@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Table catalog over the driver-provided Parquet fixtures.
+  *
+  * The reference hands every handler a live relational store
+  * (`/root/reference/src/processor.ts:26,68` — a pooled PG client); the
+  * Spark-native equivalent is a catalog of named DataFrames backed by
+  * Parquet. Schemas are declared explicitly (stricter than the reference's
+  * dynamic model — see SURVEY.md §1.2) so scans never pay inference and so
+  * column pruning / predicate pushdown are stable at 100 TB scale.
+  */
+object Tables {
+
+  /** Explicit schemas per FIXTURES.md. Declaring them (instead of relying
+    * on footer inference) keeps plans identical across scale factors and
+    * lets the vectorized Parquet reader prune columns deterministically.
+    */
+  val schemas: Map[String, StructType] = Map(
+    "region" -> StructType(Seq(
+      StructField("r_regionkey", IntegerType),
+      StructField("r_name", StringType))),
+    "nation" -> StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType))),
+    "customer" -> StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType),
+      StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType))),
+    "supplier" -> StructType(Seq(
+      StructField("s_suppkey", LongType),
+      StructField("s_name", StringType),
+      StructField("s_nationkey", IntegerType),
+      StructField("s_acctbal", DoubleType))),
+    "part" -> StructType(Seq(
+      StructField("p_partkey", LongType),
+      StructField("p_name", StringType),
+      StructField("p_brand", StringType),
+      StructField("p_type", StringType),
+      StructField("p_size", IntegerType),
+      StructField("p_retailprice", DoubleType))),
+    "orders" -> StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", TimestampType),
+      StructField("o_orderpriority", StringType))),
+    "lineitem" -> StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_partkey", LongType),
+      StructField("l_suppkey", LongType),
+      StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType),
+      StructField("l_extendedprice", DoubleType),
+      StructField("l_discount", DoubleType),
+      StructField("l_tax", DoubleType),
+      StructField("l_returnflag", StringType),
+      StructField("l_linestatus", StringType),
+      StructField("l_shipdate", TimestampType))),
+    "events" -> StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType))),
+    "documents" -> StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType))),
+    "embeddings" -> StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+  )
+
+  /** Tables small enough to broadcast in any realistic deployment — at TPC-H
+    * scale these stay O(10^2..10^5) rows while the fact tables grow.
+    */
+  val broadcastDims: Set[String] = Set("region", "nation", "supplier")
+
+  /** Read one fixture table. The explicit schema means the scan carries a
+    * fixed ReadSchema regardless of footer contents.
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
+
+  /** Register every fixture as a temp view so handlers (and `spark.sql`)
+    * can reference tables by name — the analog of the reference handing
+    * each handler a connection to a fully-populated database.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    schemas.keys.foreach { name =>
+      load(spark, dir, name).createOrReplaceTempView(name)
+    }
+}

@@ -1,0 +1,149 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.util.concurrent.ConcurrentHashMap
+import scala.collection.concurrent.TrieMap
+import scala.util.{Failure, Success, Try}
+
+/** Spark-native re-expression of the reference's job-processor frame.
+  *
+  * The reference (`/root/reference/src/processor.ts`) is a
+  * function-as-a-service dispatcher: named handlers registered into a map
+  * (`src/processor.ts:57-59`), invoked with a live relational handle and a
+  * KV-cache handle (`src/processor.ts:25-27,68-69`), with per-job resource
+  * cleanup (`src/processor.ts:72-80`), a synchronous RPC entry point with
+  * correlation ids (`src/processor.ts:92-133`), and strictly-sequential
+  * promise helpers (`src/processor.ts:135-161`).
+  *
+  * Here the relational handle is the shared `SparkSession` (the full
+  * DataFrame/SQL surface replaces delegated PostgreSQL SQL) and the cache
+  * handle is a [[CacheManager]] over Spark's persist machinery (replacing
+  * Redis). Jobs build lazy DataFrames; execution happens on `query`.
+  */
+final class Engine(val spark: SparkSession) {
+
+  /** A job: the analog of the reference's `ModuleFunction`
+    * (`src/processor.ts:25-27`) — arbitrary user logic over (db, cache).
+    */
+  type Job = (SparkSession, CacheManager, Seq[Any]) => DataFrame
+
+  private val registry = new ConcurrentHashMap[String, Job]()
+  val cache = new CacheManager(spark)
+
+  /** Register a handler; last registration wins, exactly like the
+    * reference's `Map.set` (`src/processor.ts:58`).
+    */
+  def register(cmd: String)(job: Job): Unit = registry.put(cmd, job)
+
+  def registered: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    registry.keySet().asScala.toSet
+  }
+
+  /** Dispatch: registry lookup + invocation. Unknown command is an error
+    * result, not a crash — mirrors `console.error` + drop at
+    * `src/processor.ts:86`. Per-job cleanup (the `done` closure,
+    * `src/processor.ts:72-80`) is the try/finally releasing job-scoped
+    * cached results.
+    */
+  def submit(cmd: String, args: Seq[Any] = Nil): Try[DataFrame] =
+    registry.get(cmd) match {
+      case null => Failure(new NoSuchElementException(s"unknown command: $cmd"))
+      case job =>
+        val scope = cache.openScope()
+        val out = Try(job(spark, cache, args))
+        if (out.isFailure) cache.closeScope(scope) // release on failure…
+        out // …on success the caller owns materialization; see query()
+    }
+
+  /** Synchronous query API — the analog of `rpc<T>()`
+    * (`src/processor.ts:92-133`). The correlation id (`sn`,
+    * `src/processor.ts:108`) maps to a Spark job group so the result is
+    * attributable and cancellable; collection replaces the response
+    * envelope, with codecs handled transparently by Spark (the analog of
+    * the zlib sniff at `src/processor.ts:114-121`).
+    */
+  def query(cmd: String, args: Seq[Any] = Nil): Try[Array[org.apache.spark.sql.Row]] = {
+    val sn = java.util.UUID.randomUUID().toString
+    spark.sparkContext.setJobGroup(sn, s"graft:$cmd", interruptOnCancel = true)
+    val scope = cache.openScope()
+    try submit(cmd, args).map(_.collect())
+    finally {
+      cache.closeScope(scope)
+      spark.sparkContext.clearJobGroup()
+    }
+  }
+
+  /** Strictly-sequential execution, fail-fast: first failure aborts and is
+    * returned; successes accumulate in order. The analog of `async_serial`
+    * (`src/processor.ts:135-147`). Spark actions are synchronous, so
+    * sequencing is the natural model — this keeps the ordered-accumulate +
+    * abort contract explicit.
+    */
+  def runSerial[T](steps: Seq[() => T]): Try[Vector[T]] =
+    steps.foldLeft(Try(Vector.empty[T])) { (acc, step) =>
+      acc.flatMap(v => Try(step()).map(v :+ _))
+    }
+
+  /** Sequential, failure-skipping variant: failures are dropped, successes
+    * kept in order — `async_serial_ignore` (`src/processor.ts:149-161`).
+    */
+  def runSerialIgnore[T](steps: Seq[() => T]): Vector[T] =
+    steps.foldLeft(Vector.empty[T]) { (acc, step) =>
+      Try(step()) match {
+        case Success(v) => acc :+ v
+        case Failure(_) => acc
+      }
+    }
+}
+
+/** Named-result cache — the Redis analog (`src/processor.ts:69`; binary
+  * mode `return_buffers: true` maps to Spark's internal binary rows).
+  * Entries are persisted DataFrames keyed by (name, argsHash) with optional
+  * TTL; job scopes track which entries a job created so `closeScope` can
+  * release them (the `done` cleanup contract, `src/processor.ts:72-80`).
+  */
+final class CacheManager(spark: SparkSession) {
+  import org.apache.spark.storage.StorageLevel
+
+  private case class Entry(df: DataFrame, expiresAt: Long, scope: Long)
+  private val entries = TrieMap.empty[String, Entry]
+  private val scopeIds = new java.util.concurrent.atomic.AtomicLong(0)
+  private val currentScope = new ThreadLocal[Long] { override def initialValue(): Long = -1L }
+
+  def openScope(): Long = {
+    val id = scopeIds.incrementAndGet()
+    currentScope.set(id)
+    id
+  }
+
+  def closeScope(scope: Long): Unit = {
+    entries.filterInPlace { (_, e) =>
+      if (e.scope == scope) { e.df.unpersist(blocking = false); false } else true
+    }
+    currentScope.remove()
+  }
+
+  /** Get-or-compute with TTL. `ttlMs <= 0` means session-lifetime (scope -1
+    * entries survive scope close — the analog of Redis keys without EXPIRE).
+    */
+  def getOrPut(key: String, ttlMs: Long = 0L, scoped: Boolean = false)(compute: => DataFrame): DataFrame = {
+    val now = System.currentTimeMillis()
+    entries.get(key) match {
+      case Some(e) if e.expiresAt <= 0 || e.expiresAt > now => e.df
+      case stale =>
+        stale.foreach(_.df.unpersist(blocking = false))
+        val df = compute.persist(StorageLevel.MEMORY_AND_DISK)
+        val exp = if (ttlMs <= 0) -1L else now + ttlMs
+        val scope = if (scoped) currentScope.get() else -1L
+        entries.put(key, Entry(df, exp, scope))
+        df
+    }
+  }
+
+  def invalidate(key: String): Unit =
+    entries.remove(key).foreach(_.df.unpersist(blocking = false))
+
+  def keys: Set[String] = entries.keySet.toSet
+}

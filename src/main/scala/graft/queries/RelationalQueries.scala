@@ -1,0 +1,792 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOf
+import Q.T
+
+/** SURVEY.md §2B — the delegated relational surface, re-expressed as native
+  * Spark operators. Every entry is one declared capability with a DuckDB
+  * oracle (or a documented reason there is none). All queries end in a
+  * total order; double sums use exact decimal accumulation (see [[Q]]).
+  */
+object RelationalQueries {
+
+  /** Exact, order-independent sum of a double column. */
+  private def dsum(c: Column, alias: String): Column =
+    sum(c.cast("decimal(18,4)")).as(alias)
+
+  /** Deterministic average: exact decimal sum, one IEEE double division. */
+  private def davg(c: Column, alias: String): Column =
+    (sum(c.cast("decimal(18,6)")).cast("double") / count(c)).as(alias)
+
+  private val davgSql = (x: String, a: String) =>
+    s"cast(sum(cast($x as decimal(18,6))) as double) / count($x) AS $a"
+
+  // ---------------------------------------------------------------------
+  // Scans / projection / filter / conditionals / casts / distinct
+  // ---------------------------------------------------------------------
+
+  private val scanProjection = Q(
+    (s, dir) =>
+      T(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,6)").as("disc_price"),
+          (col("l_quantity") * col("l_tax")).cast("decimal(18,6)").as("qty_tax"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("""SELECT l_orderkey, l_linenumber,
+           |  cast(l_extendedprice * (1 - l_discount) as decimal(18,6)) AS disc_price,
+           |  cast(l_quantity * l_tax as decimal(18,6)) AS qty_tax
+           |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin))
+
+  private val filterPredicates = Q(
+    (s, dir) =>
+      T(s, dir, "lineitem")
+        .where(
+          col("l_quantity").between(10, 20) &&
+          col("l_returnflag").isin("A", "N") &&
+          col("l_shipdate").isNotNull &&
+          col("l_linestatus").like("F%") &&
+          col("l_returnflag").rlike("^[AN]$") &&
+          !(col("l_discount") > 0.05))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+           |FROM lineitem
+           |WHERE l_quantity BETWEEN 10 AND 20
+           |  AND l_returnflag IN ('A','N')
+           |  AND l_shipdate IS NOT NULL
+           |  AND l_linestatus LIKE 'F%'
+           |  AND regexp_matches(l_returnflag, '^[AN]$')
+           |  AND NOT (l_discount > 0.05)
+           |ORDER BY l_orderkey, l_linenumber""".stripMargin))
+
+  private val scalarCaseWhen = Q(
+    (s, dir) =>
+      T(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          when(col("o_totalprice") > 150000, "big")
+            .when(col("o_totalprice") > 75000, "mid")
+            .otherwise("small").as("bucket"),
+          coalesce(nullif(col("o_orderstatus"), lit("P")), lit("pending")).as("status_c"),
+          greatest(col("o_totalprice"), lit(100000d)).cast("decimal(18,4)").as("hi"),
+          least(col("o_custkey"), col("o_orderkey")).as("lo"))
+        .orderBy(col("o_orderkey")),
+    Some("""SELECT o_orderkey,
+           |  CASE WHEN o_totalprice > 150000 THEN 'big'
+           |       WHEN o_totalprice > 75000 THEN 'mid'
+           |       ELSE 'small' END AS bucket,
+           |  coalesce(nullif(o_orderstatus, 'P'), 'pending') AS status_c,
+           |  cast(greatest(o_totalprice, 100000) as decimal(18,4)) AS hi,
+           |  least(o_custkey, o_orderkey) AS lo
+           |FROM orders ORDER BY o_orderkey""".stripMargin))
+
+  private val scalarCasts = Q(
+    (s, dir) =>
+      T(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          floor(col("o_totalprice")).cast("long").as("price_floor"),
+          col("o_totalprice").cast("decimal(18,2)").as("price_dec"),
+          col("o_orderdate").cast("date").as("odate"),
+          col("o_orderkey").cast("string").as("okey_str"),
+          col("o_orderkey").cast("double").as("okey_dbl"))
+        .orderBy(col("o_orderkey")),
+    Some("""SELECT o_orderkey,
+           |  cast(floor(o_totalprice) as bigint) AS price_floor,
+           |  cast(o_totalprice as decimal(18,2)) AS price_dec,
+           |  cast(o_orderdate as date) AS odate,
+           |  cast(o_orderkey as varchar) AS okey_str,
+           |  cast(o_orderkey as double) AS okey_dbl
+           |FROM orders ORDER BY o_orderkey""".stripMargin))
+
+  private val distinctRows = Q(
+    (s, dir) =>
+      T(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some("""SELECT DISTINCT l_returnflag, l_linestatus
+           |FROM lineitem ORDER BY l_returnflag, l_linestatus""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Joins
+  // ---------------------------------------------------------------------
+
+  /** Inner star join, broadcast dims: orders -> customer -> nation -> region.
+    * At 100 TB the fact side shuffles once on c_custkey; nation/region are
+    * broadcast (O(10^1..10^2) rows at any scale factor).
+    */
+  private val joinInnerStar = Q(
+    (s, dir) => {
+      val o = T(s, dir, "orders")
+      val c = T(s, dir, "customer")
+      val n = T(s, dir, "nation")
+      val r = T(s, dir, "region")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice"), "total_price"))
+        .orderBy(col("r_name"))
+    },
+    Some("""SELECT r_name, count(*) AS n_orders,
+           |  sum(cast(o_totalprice as decimal(18,4))) AS total_price
+           |FROM orders
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |GROUP BY r_name ORDER BY r_name""".stripMargin),
+    bench = true)
+
+  private val joinLeftOuter = Q(
+    (s, dir) => {
+      val c = T(s, dir, "customer")
+      val o = T(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+             dsum(col("o_totalprice"), "total_price"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, count(o_orderkey) AS n_orders,
+           |  sum(cast(o_totalprice as decimal(18,4))) AS total_price
+           |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin))
+
+  private val joinRightOuter = Q(
+    (s, dir) => {
+      val o = T(s, dir, "orders")
+      val c = T(s, dir, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"), "right")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, count(o_orderkey) AS n_orders
+           |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+           |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin))
+
+  private val joinFullOuter = Q(
+    (s, dir) => {
+      val om = T(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n_orders"))
+      val lm = T(s, dir, "lineitem")
+        .groupBy(date_trunc("month", col("l_shipdate")).as("m"))
+        .agg(count(lit(1)).as("n_lines"))
+      om.join(lm, om("m") === lm("m"), "full")
+        .select(
+          coalesce(om("m"), lm("m")).as("month"),
+          col("n_orders"), col("n_lines"))
+        .orderBy(col("month"))
+    },
+    Some("""SELECT coalesce(om.m, lm.m) AS month, n_orders, n_lines
+           |FROM (SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n_orders
+           |      FROM orders GROUP BY 1) om
+           |FULL JOIN (SELECT date_trunc('month', l_shipdate) AS m, count(*) AS n_lines
+           |      FROM lineitem GROUP BY 1) lm ON om.m = lm.m
+           |ORDER BY month""".stripMargin))
+
+  private val joinSemi = Q(
+    (s, dir) => {
+      val o = T(s, dir, "orders")
+      val li = T(s, dir, "lineitem").where(col("l_discount") > 0.08)
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_totalprice").cast("decimal(18,4)").as("total_price"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, cast(o_totalprice as decimal(18,4)) AS total_price
+           |FROM orders
+           |WHERE EXISTS (SELECT 1 FROM lineitem
+           |              WHERE l_orderkey = o_orderkey AND l_discount > 0.08)
+           |ORDER BY o_orderkey""".stripMargin))
+
+  private val joinAnti = Q(
+    (s, dir) => {
+      val c = T(s, dir, "customer")
+      val o = T(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_name FROM customer
+           |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+           |ORDER BY c_custkey""".stripMargin))
+
+  private val joinCross = Q(
+    (s, dir) => {
+      val r = T(s, dir, "region").select(col("r_name"))
+      val st = T(s, dir, "orders").select(col("o_orderstatus")).distinct()
+      r.crossJoin(st).orderBy(col("r_name"), col("o_orderstatus"))
+    },
+    Some("""SELECT r_name, o_orderstatus
+           |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+           |ORDER BY r_name, o_orderstatus""".stripMargin))
+
+  /** Theta/range join: banded non-equi predicate -> BroadcastNestedLoopJoin
+    * with the tiny band table broadcast (the only sane physical plan — the
+    * fact side streams, never materializes the cross product).
+    */
+  private val joinRangeTheta = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bands = Seq(
+        ("b0", 0d, 500d), ("b1", 500d, 1000d), ("b2", 1000d, 1500d),
+        ("b3", 1500d, 2000d), ("b4", 2000d, 1e9))
+        .toDF("band", "lo", "hi")
+      val p = T(s, dir, "part")
+      p.join(broadcast(bands),
+          p("p_retailprice") >= bands("lo") && p("p_retailprice") < bands("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_parts"), davg(col("p_retailprice"), "avg_price"))
+        .orderBy(col("band"))
+    },
+    Some(s"""SELECT band, count(*) AS n_parts, ${davgSql("p_retailprice", "avg_price")}
+            |FROM part
+            |JOIN (VALUES ('b0', 0, 500), ('b1', 500, 1000), ('b2', 1000, 1500),
+            |             ('b3', 1500, 2000), ('b4', 2000, 1000000000)) AS bands(band, lo, hi)
+            |  ON p_retailprice >= lo AND p_retailprice < hi
+            |GROUP BY band ORDER BY band""".stripMargin))
+
+  /** As-of join via [[graft.operators.AsOf]] — single shuffle, no range
+    * explosion. Oracle: correlated scalar max-subquery (same semantics).
+    */
+  private val joinAsof = Q(
+    (s, dir) => {
+      val e = T(s, dir, "events")
+      val o = T(s, dir, "orders")
+      AsOf.join(
+          e.select(col("event_id"), col("user_id"), col("ts")), o,
+          leftKey = col("user_id"), rightKey = col("o_custkey"),
+          leftTime = col("ts"), rightTime = col("o_orderdate"),
+          payload = col("o_orderdate"), payloadName = "asof_orderdate")
+        .select(col("event_id"), col("asof_orderdate"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id,
+           |  (SELECT max(o_orderdate) FROM orders
+           |   WHERE o_custkey = user_id AND o_orderdate <= ts) AS asof_orderdate
+           |FROM events ORDER BY event_id""".stripMargin))
+
+  /** TPC-H Q5-shaped 5-way star join; dims broadcast, facts shuffle on
+    * their join keys once each (Catalyst + AQE pick build sides).
+    */
+  private val joinStar5Way = Q(
+    (s, dir) => {
+      val c = T(s, dir, "customer")
+      val o = T(s, dir, "orders")
+      val l = T(s, dir, "lineitem")
+      val su = T(s, dir, "supplier")
+      val n = T(s, dir, "nation")
+      val r = T(s, dir, "region")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(broadcast(su), l("l_suppkey") === su("s_suppkey") &&
+                             c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)")).as("revenue"))
+        .orderBy(col("n_name"))
+    },
+    Some("""SELECT n_name,
+           |  sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6))) AS revenue
+           |FROM customer
+           |JOIN orders ON c_custkey = o_custkey
+           |JOIN lineitem ON o_orderkey = l_orderkey
+           |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           |JOIN nation ON s_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |GROUP BY n_name ORDER BY n_name""".stripMargin),
+    bench = true)
+
+  // ---------------------------------------------------------------------
+  // Aggregations
+  // ---------------------------------------------------------------------
+
+  /** TPC-H Q1 — the flagship pricing summary (SURVEY.md §7.1). */
+  private val aggPricingSummary = Q(
+    (s, dir) =>
+      T(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity"), "sum_qty"),
+          dsum(col("l_extendedprice"), "sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,6)")).as("sum_disc_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")) *
+               (lit(1) + col("l_tax"))).cast("decimal(18,6)")).as("sum_charge"),
+          davg(col("l_quantity"), "avg_qty"),
+          davg(col("l_extendedprice"), "avg_price"),
+          davg(col("l_discount"), "avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some(s"""SELECT l_returnflag, l_linestatus,
+            |  sum(cast(l_quantity as decimal(18,4))) AS sum_qty,
+            |  sum(cast(l_extendedprice as decimal(18,4))) AS sum_base_price,
+            |  sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6))) AS sum_disc_price,
+            |  sum(cast(l_extendedprice * (1 - l_discount) * (1 + l_tax) as decimal(18,6))) AS sum_charge,
+            |  ${davgSql("l_quantity", "avg_qty")},
+            |  ${davgSql("l_extendedprice", "avg_price")},
+            |  ${davgSql("l_discount", "avg_disc")},
+            |  count(*) AS count_order
+            |FROM lineitem
+            |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            |GROUP BY l_returnflag, l_linestatus
+            |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+    bench = true)
+
+  private val aggCountDistinct = Q(
+    (s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("nd_parts"),
+          countDistinct(col("l_suppkey")).as("nd_supps"),
+          countDistinct(col("l_partkey"), col("l_suppkey")).as("nd_part_supp"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+           |  count(DISTINCT l_partkey) AS nd_parts,
+           |  count(DISTINCT l_suppkey) AS nd_supps,
+           |  count(DISTINCT (l_partkey, l_suppkey)) AS nd_part_supp,
+           |  count(*) AS n
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  /** Statistical moments. Rounded to 6 dp: Spark merges per-partition
+    * co-moments whose float error is ~1e-12, far below the rounding.
+    */
+  private val aggStatsMoments = Q(
+    (s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 6).as("sd_samp"),
+          round(stddev_pop(col("l_quantity")), 6).as("sd_pop"),
+          round(var_samp(col("l_quantity")), 6).as("v_samp"),
+          round(var_pop(col("l_quantity")), 6).as("v_pop"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qp_corr"),
+          round(covar_pop(col("l_quantity"), col("l_extendedprice")), 6).as("qp_covar_pop"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 6).as("qp_covar_samp"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+           |  round(stddev_samp(l_quantity), 6) AS sd_samp,
+           |  round(stddev_pop(l_quantity), 6) AS sd_pop,
+           |  round(var_samp(l_quantity), 6) AS v_samp,
+           |  round(var_pop(l_quantity), 6) AS v_pop,
+           |  round(corr(l_quantity, l_extendedprice), 6) AS qp_corr,
+           |  round(covar_pop(l_quantity, l_extendedprice), 6) AS qp_covar_pop,
+           |  round(covar_samp(l_quantity, l_extendedprice), 6) AS qp_covar_samp
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  /** collect_list/collect_set made deterministic by sorting the arrays. */
+  private val aggCollectSorted = Q(
+    (s, dir) =>
+      T(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          sort_array(collect_set(col("o_orderpriority"))).as("priorities"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus")),
+    Some("""SELECT o_orderstatus,
+           |  list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+           |  count(*) AS n
+           |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+
+  /** Exact interpolated percentiles + median (both engines: linear
+    * interpolation over the sorted set).
+    */
+  private val aggPercentilesExact = Q(
+    (s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
+          round(expr("median(l_quantity)"), 6).as("med"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+           |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+           |  round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+           |  round(median(l_quantity), 6) AS med
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  /** Approximate aggregates (HLL / quantile sketch). Sketch internals are
+    * engine-specific — no cross-engine oracle exists; the driver records a
+    * rows-only check. Correct bounds are asserted in the ScalaTest spec.
+    */
+  private val aggApproxSketches = Q(
+    (s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_nd_parts"),
+          percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("approx_p50"))
+        .orderBy(col("l_returnflag")),
+    None)
+
+  private val aggRollup = Q(
+    (s, dir) =>
+      T(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), "sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+    Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+           |  sum(cast(l_quantity as decimal(18,4))) AS sum_qty
+           |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+           |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin))
+
+  private val aggCube = Q(
+    (s, dir) =>
+      T(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), "total_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+    Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           |  sum(cast(o_totalprice as decimal(18,4))) AS total_price
+           |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+           |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin))
+
+  private val aggGroupingSets = Q(
+    (s, dir) => {
+      T(s, dir, "orders").createOrReplaceTempView("graft_gs_orders")
+      s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS n
+              |FROM graft_gs_orders
+              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+              |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST, n""".stripMargin)
+    },
+    Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n
+           |FROM orders
+           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+           |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST, n""".stripMargin))
+
+  private val aggHaving = Q(
+    (s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), "sum_qty"))
+        .filter(col("n") > 30)
+        .orderBy(col("l_partkey")),
+    Some("""SELECT l_partkey, count(*) AS n,
+           |  sum(cast(l_quantity as decimal(18,4))) AS sum_qty
+           |FROM lineitem GROUP BY l_partkey HAVING count(*) > 30
+           |ORDER BY l_partkey""".stripMargin))
+
+  /** FILTER (WHERE ...) aggregates == conditional sums over when(). */
+  private val aggFilteredConditional = Q(
+    (s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("l_discount") > 0.05, col("l_quantity")).otherwise(lit(0))
+            .cast("decimal(18,4)")).as("qty_highdisc"),
+          count(when(col("l_linestatus") === "F", lit(1))).as("n_f"),
+          count(when(col("l_tax") > 0.04, lit(1))).as("n_hightax"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+           |  sum(cast(CASE WHEN l_discount > 0.05 THEN l_quantity ELSE 0 END as decimal(18,4))) AS qty_highdisc,
+           |  count(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
+           |  count(*) FILTER (WHERE l_tax > 0.04) AS n_hightax
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  private val aggPivot = Q(
+    (s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity").cast("decimal(18,4)")))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+           |  sum(cast(l_quantity as decimal(18,4))) FILTER (WHERE l_linestatus = 'F') AS F,
+           |  sum(cast(l_quantity as decimal(18,4))) FILTER (WHERE l_linestatus = 'O') AS O
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Window functions
+  // ---------------------------------------------------------------------
+
+  /** Total-ordered ranking window (ties broken to uniqueness so
+    * row_number is deterministic).
+    */
+  private val windowRanking = Q(
+    (s, dir) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity").desc, col("l_orderkey"), col("l_linenumber"))
+      T(s, dir, "lineitem")
+        .select(
+          col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          round(percent_rank().over(w), 6).as("prnk"),
+          ntile(4).over(w).as("quartile"))
+        .where(col("rn") <= 100)
+        .orderBy(col("l_returnflag"), col("rn"))
+    },
+    Some("""SELECT * FROM (
+           |  SELECT l_returnflag, l_orderkey, l_linenumber,
+           |    row_number() OVER w AS rn,
+           |    rank() OVER w AS rnk,
+           |    dense_rank() OVER w AS drnk,
+           |    round(percent_rank() OVER w, 6) AS prnk,
+           |    ntile(4) OVER w AS quartile
+           |  FROM lineitem
+           |  WINDOW w AS (PARTITION BY l_returnflag
+           |               ORDER BY l_quantity DESC, l_orderkey, l_linenumber)
+           |) WHERE rn <= 100 ORDER BY l_returnflag, rn""".stripMargin),
+    bench = true)
+
+  private val windowLagLead = Q(
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      T(s, dir, "orders")
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          lag(col("o_totalprice"), 1).over(w).cast("decimal(18,4)").as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).cast("decimal(18,4)").as("next_price"),
+          lag(col("o_orderdate"), 2).over(w).as("prev2_date"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+           |  cast(lag(o_totalprice, 1) OVER w as decimal(18,4)) AS prev_price,
+           |  cast(lead(o_totalprice, 1) OVER w as decimal(18,4)) AS next_price,
+           |  lag(o_orderdate, 2) OVER w AS prev2_date
+           |FROM orders
+           |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+           |ORDER BY o_custkey, o_orderkey""".stripMargin))
+
+  /** Running aggregates over ROWS frames. Decimal accumulation keeps the
+    * running sum exact under any frame-evaluation association order.
+    */
+  private val windowRunningFrames = Q(
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sliding = w.rowsBetween(-2, 0)
+      T(s, dir, "orders")
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).over(cum).as("run_total"),
+          count(lit(1)).over(cum).as("run_n"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).over(sliding).as("last3_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+           |  sum(cast(o_totalprice as decimal(18,4)))
+           |    OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_total,
+           |  count(*) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_n,
+           |  sum(cast(o_totalprice as decimal(18,4)))
+           |    OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS last3_total
+           |FROM orders
+           |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+           |ORDER BY o_custkey, o_orderkey""".stripMargin))
+
+  /** RANGE frame over a numeric order key (peer-inclusive, deterministic). */
+  private val windowRangeFrame = Q(
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"))
+        .rangeBetween(-10000, 0)
+      T(s, dir, "orders")
+        .select(
+          col("o_orderkey"), col("o_orderstatus"),
+          count(lit(1)).over(w).as("n_within_10k"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, o_orderstatus,
+           |  count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+           |                 RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS n_within_10k
+           |FROM orders ORDER BY o_orderkey""".stripMargin))
+
+  /** Top-k per group: the scalable pattern (rank + filter — partial
+    * top-k per partition under AQE, no global sort).
+    */
+  private val windowTopkPerGroup = Q(
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      T(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+                col("o_totalprice").cast("decimal(18,4)").as("total_price"))
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+    Some("""SELECT o_custkey, rn, o_orderkey, total_price FROM (
+           |  SELECT o_custkey, o_orderkey,
+           |    cast(o_totalprice as decimal(18,4)) AS total_price,
+           |    row_number() OVER (PARTITION BY o_custkey
+           |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           |  FROM orders
+           |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin),
+    bench = true)
+
+  private val windowAnalytic = Q(
+    (s, dir) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      T(s, dir, "lineitem")
+        .select(
+          col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          round(cume_dist().over(w), 6).as("cd"),
+          first(col("l_quantity")).over(full).as("min_qty"),
+          last(col("l_quantity")).over(full).as("max_qty"),
+          nth_value(col("l_quantity"), 5).over(full).as("qty_5th"))
+        .where(col("l_orderkey") < 100)
+        .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+    },
+    Some("""SELECT * FROM (
+           |  SELECT l_returnflag, l_orderkey, l_linenumber,
+           |    round(cume_dist() OVER w, 6) AS cd,
+           |    first_value(l_quantity) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+           |      AND UNBOUNDED FOLLOWING) AS min_qty,
+           |    last_value(l_quantity) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+           |      AND UNBOUNDED FOLLOWING) AS max_qty,
+           |    nth_value(l_quantity, 5) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+           |      AND UNBOUNDED FOLLOWING) AS qty_5th
+           |  FROM lineitem
+           |  WINDOW w AS (PARTITION BY l_returnflag
+           |               ORDER BY l_quantity, l_orderkey, l_linenumber)
+           |) WHERE l_orderkey < 100
+           |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Sorts / limits / top-k
+  // ---------------------------------------------------------------------
+
+  private val sortMultiNulls = Q(
+    (s, dir) =>
+      T(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          when(col("o_orderstatus") === "P", lit(null).cast("double"))
+            .otherwise(col("o_totalprice")).as("v"))
+        .orderBy(col("v").desc_nulls_last, col("o_orderkey"))
+        .limit(200),
+    Some("""SELECT o_orderkey,
+           |  CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_totalprice END AS v
+           |FROM orders ORDER BY v DESC NULLS LAST, o_orderkey LIMIT 200""".stripMargin))
+
+  private val limitOffset = Q(
+    (s, dir) =>
+      T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .orderBy(col("o_orderkey"))
+        .offset(100)
+        .limit(50),
+    Some("""SELECT o_orderkey, o_custkey FROM orders
+           |ORDER BY o_orderkey LIMIT 50 OFFSET 100""".stripMargin))
+
+  /** Global top-k -> TakeOrderedAndProject (no full sort at scale). */
+  private val topkGlobal = Q(
+    (s, dir) =>
+      T(s, dir, "orders")
+        .select(col("o_orderkey"),
+                col("o_totalprice").cast("decimal(18,4)").as("total_price"))
+        .orderBy(col("total_price").desc, col("o_orderkey"))
+        .limit(10),
+    Some("""SELECT o_orderkey, cast(o_totalprice as decimal(18,4)) AS total_price
+           |FROM orders ORDER BY total_price DESC, o_orderkey LIMIT 10""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Set operations
+  // ---------------------------------------------------------------------
+
+  private def bigSpenders(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders").where(col("o_totalprice") > 150000)
+      .select(col("o_custkey").as("k"))
+  private def builders(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k"))
+  private val bigSpendersSql =
+    "SELECT o_custkey AS k FROM orders WHERE o_totalprice > 150000"
+  private val buildersSql =
+    "SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'"
+
+  private val setUnionAll = Q(
+    (s, dir) => bigSpenders(s, dir).unionAll(builders(s, dir)).orderBy(col("k")),
+    Some(s"SELECT k FROM ($bigSpendersSql UNION ALL $buildersSql) ORDER BY k"))
+
+  private val setUnionDistinct = Q(
+    (s, dir) => bigSpenders(s, dir).union(builders(s, dir)).distinct().orderBy(col("k")),
+    Some(s"SELECT k FROM ($bigSpendersSql UNION $buildersSql) ORDER BY k"))
+
+  private val setIntersect = Q(
+    (s, dir) => bigSpenders(s, dir).intersect(builders(s, dir)).orderBy(col("k")),
+    Some(s"SELECT k FROM ($bigSpendersSql INTERSECT $buildersSql) ORDER BY k"))
+
+  private val setExcept = Q(
+    (s, dir) => bigSpenders(s, dir).except(builders(s, dir)).orderBy(col("k")),
+    Some(s"SELECT k FROM ($bigSpendersSql EXCEPT $buildersSql) ORDER BY k"))
+
+  private val setIntersectAll = Q(
+    (s, dir) => bigSpenders(s, dir)
+      .intersectAll(bigSpenders(s, dir).orderBy(col("k")).limit(1000))
+      .orderBy(col("k")),
+    Some(s"""SELECT k FROM ($bigSpendersSql INTERSECT ALL
+            |SELECT k FROM ($bigSpendersSql ORDER BY k LIMIT 1000)) ORDER BY k""".stripMargin))
+
+  private val setExceptAll = Q(
+    (s, dir) => bigSpenders(s, dir).exceptAll(builders(s, dir)).orderBy(col("k")),
+    Some(s"SELECT k FROM ($bigSpendersSql EXCEPT ALL $buildersSql) ORDER BY k"))
+
+  // ---------------------------------------------------------------------
+  // Assembled inventory
+  // ---------------------------------------------------------------------
+
+  val all: Map[String, Q] = Map(
+    "scan_projection" -> scanProjection,
+    "filter_predicates" -> filterPredicates,
+    "scalar_case_when" -> scalarCaseWhen,
+    "scalar_casts" -> scalarCasts,
+    "distinct_rows" -> distinctRows,
+    "join_inner_star" -> joinInnerStar,
+    "join_left_outer" -> joinLeftOuter,
+    "join_right_outer" -> joinRightOuter,
+    "join_full_outer" -> joinFullOuter,
+    "join_semi" -> joinSemi,
+    "join_anti" -> joinAnti,
+    "join_cross" -> joinCross,
+    "join_range_theta" -> joinRangeTheta,
+    "join_asof" -> joinAsof,
+    "join_star_5way" -> joinStar5Way,
+    "agg_pricing_summary" -> aggPricingSummary,
+    "agg_count_distinct" -> aggCountDistinct,
+    "agg_stats_moments" -> aggStatsMoments,
+    "agg_collect_sorted" -> aggCollectSorted,
+    "agg_percentiles_exact" -> aggPercentilesExact,
+    "agg_approx_sketches" -> aggApproxSketches,
+    "agg_rollup" -> aggRollup,
+    "agg_cube" -> aggCube,
+    "agg_grouping_sets" -> aggGroupingSets,
+    "agg_having" -> aggHaving,
+    "agg_filtered_conditional" -> aggFilteredConditional,
+    "agg_pivot" -> aggPivot,
+    "window_ranking" -> windowRanking,
+    "window_lag_lead" -> windowLagLead,
+    "window_running_frames" -> windowRunningFrames,
+    "window_range_frame" -> windowRangeFrame,
+    "window_topk_per_group" -> windowTopkPerGroup,
+    "window_analytic" -> windowAnalytic,
+    "sort_multi_nulls" -> sortMultiNulls,
+    "limit_offset" -> limitOffset,
+    "topk_global" -> topkGlobal,
+    "set_union_all" -> setUnionAll,
+    "set_union_distinct" -> setUnionDistinct,
+    "set_intersect" -> setIntersect,
+    "set_except" -> setExcept,
+    "set_intersect_all" -> setIntersectAll,
+    "set_except_all" -> setExceptAll
+  )
+}

@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Q.T
+
+/** Time-series / streaming-shaped queries over `events` (SURVEY.md §2B
+  * Streaming). Each batch query here is the replay-equivalent of a
+  * Structured Streaming query in [[graft.streaming.EventStreams]] — DuckDB
+  * has no streaming, so the oracle checks the batch formulation and the
+  * ScalaTest suite checks stream-vs-batch equivalence (SURVEY.md §5.2.5).
+  */
+object TimeSeriesQueries {
+
+  /** Hourly time buckets — the batch shape of a tumbling hour window. */
+  private val tsTimeBuckets = Q(
+    (s, dir) =>
+      T(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("value").cast("decimal(18,4)")).as("sum_value"))
+        .orderBy(col("hour"), col("event_type")),
+    Some("""SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+           |  sum(cast(value as decimal(18,4))) AS sum_value
+           |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
+    bench = true)
+
+  /** Tumbling 10-minute window via `window()` — epoch-aligned, so the
+    * oracle reproduces the bucket start with integer epoch arithmetic.
+    */
+  private val tsTumblingWindow = Q(
+    (s, dir) =>
+      T(s, dir, "events")
+        .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("value").cast("decimal(18,4)")).as("sum_value"))
+        .select(col("window.start").as("w_start"), col("event_type"),
+                col("n"), col("sum_value"))
+        .orderBy(col("w_start"), col("event_type")),
+    Some("""SELECT make_timestamp(cast(floor(epoch(ts) / 600) as bigint) * 600000000) AS w_start,
+           |  event_type, count(*) AS n,
+           |  sum(cast(value as decimal(18,4))) AS sum_value
+           |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin))
+
+  /** Sliding window (10 min size, 5 min slide): every event lands in
+    * exactly two windows; the oracle materializes both by cross-joining a
+    * two-element offset table.
+    */
+  private val tsSlidingWindow = Q(
+    (s, dir) =>
+      T(s, dir, "events")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("w_start"), col("n"))
+        .orderBy(col("w_start")),
+    Some("""SELECT make_timestamp((cast(floor(epoch(ts) / 300) as bigint) - k) * 300000000) AS w_start,
+           |  count(*) AS n
+           |FROM events CROSS JOIN (VALUES (0), (1)) offs(k)
+           |GROUP BY 1 ORDER BY w_start""".stripMargin))
+
+  /** Session windows (30-minute gap) per user — `session_window` in Spark;
+    * the oracle rebuilds sessions with the lag + cumulative-sum idiom.
+    */
+  private val tsSessionWindow = Q(
+    (s, dir) =>
+      T(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("session_window.start").as("s_start"), col("user_id"), col("n"))
+        .orderBy(col("user_id"), col("s_start")),
+    Some("""WITH flagged AS (
+           |  SELECT user_id, ts,
+           |    CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 OR
+           |              lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+           |), sess AS (
+           |  SELECT user_id, ts,
+           |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+           |                   ROWS UNBOUNDED PRECEDING) AS sid
+           |  FROM flagged
+           |)
+           |SELECT min(ts) AS s_start, user_id, count(*) AS n
+           |FROM sess GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin))
+
+  /** Sessionization via lag + cumulative sum (batch idiom; SURVEY.md §2B). */
+  private val tsSessionization = Q(
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      T(s, dir, "events")
+        .withColumn("gap_s", col("ts").cast("double") - lag(col("ts"), 1).over(w).cast("double"))
+        .withColumn("brk", when(col("gap_s").isNull || col("gap_s") > 1800, 1).otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(sum(col("brk")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH flagged AS (
+           |  SELECT user_id,
+           |    CASE WHEN lag(ts) OVER w IS NULL OR
+           |              epoch(ts) - epoch(lag(ts) OVER w) > 1800
+           |         THEN 1 ELSE 0 END AS brk
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+           |)
+           |SELECT user_id, sum(brk) AS n_sessions, count(*) AS n_events
+           |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin),
+    bench = true)
+
+  /** Deterministic dedup-by-key: keep the earliest row per event_id (the
+    * batch shape of streaming dropDuplicates; rank instead of
+    * dropDuplicates so the kept row is well-defined for the oracle).
+    */
+  private val tsDedupEvents = Q(
+    (s, dir) => {
+      val w = Window.partitionBy(col("event_id"))
+        .orderBy(col("ts"), col("user_id"), col("event_type"))
+      T(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, ts, user_id, event_type FROM (
+           |  SELECT event_id, ts, user_id, event_type,
+           |    row_number() OVER (PARTITION BY event_id
+           |                       ORDER BY ts, user_id, event_type) AS rn
+           |  FROM events
+           |) WHERE rn = 1 ORDER BY event_id""".stripMargin))
+
+  /** Stream-static join shape: events (stream side) x customer (static
+    * dim) — batch formulation for the oracle.
+    */
+  private val tsStreamStaticJoin = Q(
+    (s, dir) => {
+      val e = T(s, dir, "events")
+      val c = T(s, dir, "customer")
+      e.join(broadcast(c), e("user_id") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("value").cast("decimal(18,4)")).as("sum_value"))
+        .orderBy(col("c_mktsegment"), col("event_type"))
+    },
+    Some("""SELECT c_mktsegment, event_type, count(*) AS n,
+           |  sum(cast(value as decimal(18,4))) AS sum_value
+           |FROM events JOIN customer ON user_id = c_custkey
+           |GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""".stripMargin))
+
+  /** JSON scalar functions over `events.props` (SURVEY.md §2B JSON). */
+  private val tsJsonProps = Q(
+    (s, dir) =>
+      T(s, dir, "events")
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_int"),
+          when(get_json_object(col("props"), "$.k").isNotNull, lit("has_k"))
+            .otherwise(lit("no_k")).as("k_tag"))
+        .orderBy(col("event_id")),
+    Some("""SELECT event_id,
+           |  cast(json_extract_string(props, '$.k') as int) AS k_int,
+           |  CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+           |       THEN 'has_k' ELSE 'no_k' END AS k_tag
+           |FROM events ORDER BY event_id""".stripMargin))
+
+  val all: Map[String, Q] = Map(
+    "ts_time_buckets" -> tsTimeBuckets,
+    "ts_tumbling_window" -> tsTumblingWindow,
+    "ts_sliding_window" -> tsSlidingWindow,
+    "ts_session_window" -> tsSessionWindow,
+    "ts_sessionization" -> tsSessionization,
+    "ts_dedup_events" -> tsDedupEvents,
+    "ts_stream_static_join" -> tsStreamStaticJoin,
+    "ts_json_props" -> tsJsonProps
+  )
+}
