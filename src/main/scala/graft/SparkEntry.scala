@@ -2,13 +2,17 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.engine.Engine
 import graft.queries.{Q, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * The query inventory lives in `graft.queries.*` as [[graft.queries.Q]]
   * entries (Spark query + optional DuckDB oracle); this object flattens
-  * them into the driver's shape.
+  * them into the driver's shape. Every query is DISPATCHED THROUGH the
+  * [[graft.engine.Engine]] frame (register -> submit), so the §2A
+  * mechanisms of the reference (`/root/reference/src/processor.ts:36-89`)
+  * are exercised by the driver gates, not just by unit tests.
   */
 object SparkEntry {
 
@@ -16,15 +20,35 @@ object SparkEntry {
   def catalog: Map[String, Q] =
     RelationalQueries.all ++
     graft.queries.TimeSeriesQueries.all ++
+    graft.queries.ScalarQueries.all ++
+    graft.queries.SourcesQueries.all ++
     graft.queries.NorthStarQueries.all
+
+  /** One Engine per SparkSession, with every catalog query registered as
+    * a handler taking the fixture dir as its single argument.
+    */
+  private val engines = scala.collection.concurrent.TrieMap.empty[SparkSession, Engine]
+  def engineFor(spark: SparkSession): Engine =
+    engines.getOrElseUpdate(spark, {
+      val e = new Engine(spark)
+      catalog.foreach { case (name, q) =>
+        e.register(name)((s, _, args) => q.fn(s, args.head.toString))
+      }
+      e
+    })
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    catalog("agg_pricing_summary").fn(spark, "/root/testdata/sf0.001")
+    engineFor(spark).submit("agg_pricing_summary", Seq("/root/testdata/sf0.001")).get
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 — dispatched
+    * through Engine.submit (registry lookup, error semantics, job frame).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    catalog.map { case (name, q) => name -> q.fn }
+    catalog.keys.map { name =>
+      name -> ((s: SparkSession, dir: String) =>
+        engineFor(s).submit(name, Seq(dir)).get)
+    }.toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops

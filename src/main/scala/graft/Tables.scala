@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.types._
 
 /** Table catalog over the driver-provided Parquet fixtures.
@@ -63,9 +64,14 @@ object Tables {
       StructField("l_returnflag", StringType),
       StructField("l_linestatus", StringType),
       StructField("l_shipdate", TimestampType))),
+    // events.ts is parquet TIMESTAMP(NANOS) (FIXTURES.md), which Spark's
+    // reader does not map to TimestampType; it is read as the raw INT64
+    // (spark.sql.legacy.parquet.nanosAsLong) and truncated to a
+    // microsecond timestamp in load() — matching DuckDB, which truncates
+    // ns -> us on read.
     "events" -> StructType(Seq(
       StructField("event_id", LongType),
-      StructField("ts", TimestampType),
+      StructField("ts", LongType),
       StructField("user_id", LongType),
       StructField("event_type", StringType),
       StructField("value", DoubleType),
@@ -82,16 +88,27 @@ object Tables {
       StructField("label", IntegerType)))
   )
 
-  /** Tables small enough to broadcast in any realistic deployment — at TPC-H
-    * scale these stay O(10^2..10^5) rows while the fact tables grow.
+  /** Tables whose cardinality is FIXED regardless of scale factor (region
+    * 5, nation 25) — safe to broadcast unconditionally at any deployment
+    * size. supplier/customer/part grow with SF, so their build-side choice
+    * is left to Catalyst + AQE (autoBroadcastJoinThreshold).
     */
-  val broadcastDims: Set[String] = Set("region", "nation", "supplier")
+  val broadcastDims: Set[String] = Set("region", "nation")
 
   /** Read one fixture table. The explicit schema means the scan carries a
-    * fixed ReadSchema regardless of footer contents.
+    * fixed ReadSchema regardless of footer contents. For `events`, the
+    * nanosecond INT64 `ts` is truncated to a microsecond timestamp
+    * (`ts div 1000` — integer arithmetic, no double rounding) so
+    * downstream operators see a plain TimestampType column.
     */
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Required for reading parquet TIMESTAMP(NANOS) as INT64; runtime-settable.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
 
   /** Register every fixture as a temp view so handlers (and `spark.sql`)
     * can reference tables by name — the analog of the reference handing

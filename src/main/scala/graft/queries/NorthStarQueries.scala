@@ -1,0 +1,493 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Q.T
+
+/** SURVEY.md §2C — LLM-data-pipeline operators over `documents` and
+  * `embeddings`: dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+  * embedding-cosine), similarity search (brute-force + LSH-bucketed),
+  * and text analysis (lang-id, quality, token counts, fingerprints,
+  * top terms). The reference delegates all data processing to its SQL
+  * handle (`/root/reference/src/processor.ts:26`); these extend that
+  * surface with the operators a 100 TB training-data pipeline needs.
+  *
+  * Cross-engine determinism strategy (DuckDB oracle):
+  *   - hashing uses md5/sha256 hex strings (identical in both engines);
+  *     min over hex strings == min over the underlying big-endian value;
+  *   - float reductions (dot products, norms) are computed as exact
+  *     integer sums of `floor(x * 2^40)` per element — floor and IEEE
+  *     double multiplication are bit-deterministic in both engines, and
+  *     integer summation is order-independent, so ranking by the derived
+  *     cosine is identical everywhere;
+  *   - every query ends in a total order.
+  *
+  * Scale notes (the 100 TB contract): every operator here is a
+  * groupBy/bucket formulation — no all-pairs crossJoin anywhere except
+  * the deliberately tiny fixed query set of the brute-force ANN baseline
+  * (16 query vectors broadcast against the corpus). MinHash-LSH and
+  * sign-LSH bucket first and only compare within buckets.
+  */
+object NorthStarQueries {
+
+  /** 2^40 — float products scaled to exact integers (see scaladoc). */
+  private val S = "1099511627776"
+
+  // ---------------------------------------------------------------------
+  // Shared text fragments
+  // ---------------------------------------------------------------------
+
+  /** Word-3-gram shingles of `text` (space-tokenized), clamped to at
+    * least one shingle for short docs. Spark-side expression.
+    */
+  private val shinglesExpr =
+    "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), " +
+      "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+
+  /** Same shingling in DuckDB (list_transform over generate_series). */
+  private val shinglesSql =
+    "list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)), " +
+      "i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))"
+
+  // ---------------------------------------------------------------------
+  // Dedup 1: exact (content hash)
+  // ---------------------------------------------------------------------
+
+  /** Exact dedup: group by sha256(text); keeper = min doc_id per group.
+    * At 100 TB this is one hash-shuffle on a 64-char key with map-side
+    * partial aggregation — the canonical exact-dedup plan.
+    */
+  private val dedupExact = Q(
+    (s, dir) =>
+      T(s, dir, "documents")
+        .groupBy(sha2(col("text"), 256).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"),
+             count(lit(1)).as("n_copies"),
+             sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("keep_id")),
+    Some("""SELECT sha256(text) AS h, min(doc_id) AS keep_id,
+           |  count(*) AS n_copies, sum(n_chars) AS sum_chars
+           |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Dedup 2: MinHash + LSH (shingle -> minhash -> band -> bucket)
+  // ---------------------------------------------------------------------
+
+  private val nHashes = 8 // 4 bands x 2 rows
+  private val nBands = 4
+
+  /** MinHash-LSH near-dup detection, verified through per-band bucket
+    * statistics: for each of the 4 bands, the number of distinct buckets,
+    * docs, and candidate pairs (sum over buckets of C(size,2)). Any
+    * signature divergence between engines changes the bucket counts, so
+    * this checks the full shingle->minhash->band pipeline.
+    *
+    * Scale: signatures are computed per-doc (map-only); the only shuffle
+    * is the groupBy on (band, bucket-key) — never all-pairs. This is the
+    * standard web-scale near-dup design (band-bucket join).
+    */
+  private val dedupMinhashLsh = Q(
+    (s, dir) => {
+      val sigCols = (0 until nHashes).map { i =>
+        expr(s"array_min(transform(sh, t -> md5(concat('$i:', t))))").as(s"s$i")
+      }
+      val docs = T(s, dir, "documents")
+        .withColumn("sh", expr(shinglesExpr))
+        .select((col("doc_id") +: sigCols): _*)
+      val bands = (0 until nBands).map { j =>
+        docs.select(col("doc_id"), lit(j).as("band"),
+                    concat_ws("|", col(s"s${2 * j}"), col(s"s${2 * j + 1}")).as("bkey"))
+      }.reduce(_ unionAll _)
+      bands
+        .groupBy(col("band"), col("bkey"))
+        .agg(count(lit(1)).as("sz"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_buckets"),
+             sum(col("sz")).as("n_docs"),
+             sum(col("sz") * (col("sz") - 1) / 2).cast("long").as("n_cand_pairs"))
+        .orderBy(col("band"))
+    },
+    Some {
+      val sigs = (0 until nHashes)
+        .map(i => s"list_min(list_transform(sh, t -> md5('$i:' || t))) AS s$i")
+        .mkString(",\n    ")
+      val bands = (0 until nBands)
+        .map(j => s"SELECT doc_id, $j AS band, s${2 * j} || '|' || s${2 * j + 1} AS bkey FROM sig")
+        .mkString("\n  UNION ALL ")
+      s"""WITH sh AS (
+         |  SELECT doc_id, $shinglesSql AS sh FROM documents
+         |), sig AS (
+         |  SELECT doc_id,
+         |    $sigs
+         |  FROM sh
+         |), bands AS (
+         |  $bands
+         |), buckets AS (
+         |  SELECT band, bkey, count(*) AS sz FROM bands GROUP BY 1, 2
+         |)
+         |SELECT band, count(*) AS n_buckets, sum(sz) AS n_docs,
+         |  cast(sum(sz * (sz - 1) / 2) as bigint) AS n_cand_pairs
+         |FROM buckets GROUP BY band ORDER BY band""".stripMargin
+    })
+
+  // ---------------------------------------------------------------------
+  // Dedup 3: SimHash (16-bit, token-level)
+  // ---------------------------------------------------------------------
+
+  /** 16-bit SimHash per doc: bit j is the sign of the sum over tokens of
+    * ±1 taken from the parity of hex digit j of md5(token). Exact integer
+    * arithmetic -> bit-identical across engines. Docs sharing a simhash
+    * are near-dup candidates (hamming-0 bucket); the map-only signature +
+    * single groupBy shape scales linearly.
+    */
+  private val dedupSimhash = Q(
+    (s, dir) => {
+      val bitSum = (j: Int) =>
+        s"aggregate(split(text, ' '), 0, (acc, t) -> acc + " +
+          s"(CASE WHEN ascii(substring(md5(t), ${j + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END))"
+      val simhash = (0 until 16)
+        .map(j => s"(CASE WHEN ${bitSum(j)} >= 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ")
+      T(s, dir, "documents")
+        .select(col("doc_id"), expr(simhash).as("simhash"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val bitSum = (j: Int) =>
+        s"list_sum(list_transform(string_split(text, ' '), t -> " +
+          s"CASE WHEN ascii(substr(md5(t), ${j + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END))"
+      val simhash = (0 until 16)
+        .map(j => s"(CASE WHEN ${bitSum(j)} >= 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ")
+      s"""SELECT doc_id, $simhash AS simhash
+         |FROM documents ORDER BY doc_id""".stripMargin
+    })
+
+  // ---------------------------------------------------------------------
+  // Dedup 4: n-gram Jaccard (blocked pairwise verification)
+  // ---------------------------------------------------------------------
+
+  /** Exact 3-gram Jaccard over blocked candidate pairs (same source,
+    * |Δn_chars| <= 20 — the cheap blocking key; at scale the block key
+    * would also include a length bucket to bound skew). Top 20 pairs by
+    * similarity — always non-empty, deterministic tie-break on ids.
+    */
+  private val dedupNgramJaccard = Q(
+    (s, dir) => {
+      val d = T(s, dir, "documents")
+        .withColumn("shd", array_distinct(expr(shinglesExpr)))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("shd"))
+      val a = d.select(col("doc_id").as("doc_a"), col("source"),
+                       col("n_chars").as("ca"), col("shd").as("sha_"))
+      val b = d.select(col("doc_id").as("doc_b"), col("source").as("source_b"),
+                       col("n_chars").as("cb"), col("shd").as("shb_"))
+      a.join(b, col("source") === col("source_b") &&
+               col("doc_a") < col("doc_b") &&
+               abs(col("ca") - col("cb")) <= 20)
+        .withColumn("inter", size(array_intersect(col("sha_"), col("shb_"))))
+        .withColumn("uni", size(col("sha_")) + size(col("shb_")) - col("inter"))
+        .select(col("doc_a"), col("doc_b"),
+                round(col("inter").cast("double") / col("uni"), 6).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+        .limit(20)
+    },
+    Some(s"""WITH d AS (
+            |  SELECT doc_id, source, n_chars, list_distinct($shinglesSql) AS shd
+            |  FROM documents
+            |), p AS (
+            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            |    len(list_filter(a.shd, x -> list_contains(b.shd, x))) AS inter,
+            |    len(a.shd) + len(b.shd)
+            |      - len(list_filter(a.shd, x -> list_contains(b.shd, x))) AS uni
+            |  FROM d a JOIN d b
+            |    ON a.source = b.source AND a.doc_id < b.doc_id
+            |   AND abs(a.n_chars - b.n_chars) <= 20
+            |)
+            |SELECT doc_a, doc_b, round(cast(inter as double) / uni, 6) AS jaccard
+            |FROM p ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Similarity 1: brute-force cosine top-k (ANN baseline)
+  // ---------------------------------------------------------------------
+
+  /** Spark-side scaled dot product of two array<float> columns:
+    * sum of floor(x*y * 2^40) as exact bigint (see object scaladoc).
+    */
+  private def scaledDot(aCol: String, bCol: String): String =
+    s"aggregate(zip_with($aCol, $bCol, (x, y) -> " +
+      s"cast(floor(cast(x as double) * cast(y as double) * $S) as bigint)), " +
+      "cast(0 as bigint), (acc, v) -> acc + v)"
+
+  private def scaledDotSql(aCol: String, bCol: String): String =
+    s"list_sum(list_transform(generate_series(1, 64), i -> " +
+      s"cast(floor($aCol[i]::double * $bCol[i]::double * $S) as bigint)))"
+
+  /** Brute-force cosine top-3 for a fixed 16-vector query set against the
+    * whole corpus — the correctness baseline for ANN. The query side is
+    * tiny and broadcast; candidate norms are computed once per row before
+    * the join (not per pair). Top-k via per-query window rank, no global
+    * sort. Scale path: [[simLshBuckets]].
+    */
+  private val simCosineTopk = Q(
+    (s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val withNorm = e.withColumn("nrm", expr(scaledDot("embedding", "embedding")))
+      val q = withNorm.where(col("vec_id") < 16)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("nq"))
+      val c = withNorm
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("nrm").as("nc"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+      broadcast(q).join(c, col("q_id") =!= col("c_id"))
+        .withColumn("dot", expr(scaledDot("q_emb", "c_emb")))
+        .withColumn("cos", col("dot").cast("double") /
+          (sqrt(col("nq").cast("double")) * sqrt(col("nc").cast("double"))))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select(col("q_id"), col("rnk"), col("c_id"), round(col("cos"), 6).as("cos_sim"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(s"""WITH n AS (
+            |  SELECT vec_id, embedding,
+            |    ${scaledDotSql("embedding", "embedding")} AS nrm
+            |  FROM embeddings
+            |), q AS (
+            |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS nq FROM n WHERE vec_id < 16
+            |), c AS (
+            |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS nc FROM n
+            |), p AS (
+            |  SELECT q_id, c_id,
+            |    cast(${scaledDotSql("q_emb", "c_emb")} as double)
+            |      / (sqrt(cast(nq as double)) * sqrt(cast(nc as double))) AS cos
+            |  FROM q, c WHERE q_id <> c_id
+            |), r AS (
+            |  SELECT q_id, c_id, cos,
+            |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+            |  FROM p
+            |)
+            |SELECT q_id, rnk, c_id, round(cos, 6) AS cos_sim
+            |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin),
+    bench = true)
+
+  // ---------------------------------------------------------------------
+  // Similarity 2: sign-LSH bucketing (the scale path)
+  // ---------------------------------------------------------------------
+
+  /** Deterministic ±1 hyperplanes: sign j,i from the parity of the first
+    * hex digit of md5("j:i"). Generated once here and inlined as literals
+    * into BOTH the Spark plan and the DuckDB oracle, so the two engines
+    * share the exact projection matrix.
+    */
+  private val hyperplanes: Seq[Seq[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(j: Int, i: Int): Int = {
+      val hex = md.digest(s"$j:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (hex.charAt(0).toInt % 2 == 1) 1 else -1
+    }
+    Seq.tabulate(8, 64)((j, i) => sign(j, i + 1))
+  }
+
+  /** Random-hyperplane (sign) LSH: 8 sign bits -> 256 buckets; docs in
+    * the same bucket are cosine-similar candidates. Verified via bucket
+    * histogram (any projection/sign divergence changes it). Map-only
+    * signatures + one groupBy — this is the formulation that replaces
+    * the brute-force crossJoin above the row-count threshold.
+    */
+  private val simLshBuckets = Q(
+    (s, dir) => {
+      val bit = (j: Int) => {
+        val arr = hyperplanes(j).mkString("array(", ", ", ")")
+        s"(CASE WHEN aggregate(zip_with(embedding, $arr, (x, h) -> " +
+          s"h * cast(floor(cast(x as double) * $S) as bigint)), " +
+          s"cast(0 as bigint), (acc, v) -> acc + v) >= 0 THEN ${1 << j} ELSE 0 END)"
+      }
+      val bucket = (0 until 8).map(bit).mkString(" + ")
+      T(s, dir, "embeddings")
+        .select(col("vec_id"), expr(bucket).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"))
+        .orderBy(col("bucket"))
+    },
+    Some {
+      val bit = (j: Int) => {
+        val arr = hyperplanes(j).mkString("[", ", ", "]")
+        s"(CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> " +
+          s"($arr)[i] * cast(floor(embedding[i]::double * $S) as bigint))) >= 0 " +
+          s"THEN ${1 << j} ELSE 0 END)"
+      }
+      val bucket = (0 until 8).map(bit).mkString(" + ")
+      s"""WITH b AS (SELECT vec_id, $bucket AS bucket FROM embeddings)
+         |SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+    })
+
+  // ---------------------------------------------------------------------
+  // Text analysis
+  // ---------------------------------------------------------------------
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  private val stopArr = stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
+  private val stopList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Language-ID heuristic: stopword-ratio n-gram-free classifier (the
+    * fixture vocabulary is English-ish regardless of the `lang` label, so
+    * the heuristic output is compared, not the label).
+    */
+  private val textLangid = Q(
+    (s, dir) =>
+      T(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("stop_ratio",
+          expr(s"size(filter(toks, t -> array_contains($stopArr, t)))").cast("double") /
+            size(col("toks")))
+        .select(col("doc_id"), col("lang"),
+                when(col("stop_ratio") >= 0.05, "en").otherwise("other").as("pred_lang"),
+                round(col("stop_ratio"), 6).as("stop_ratio"))
+        .orderBy(col("doc_id")),
+    Some(s"""WITH t AS (
+            |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+            |)
+            |SELECT doc_id, lang,
+            |  CASE WHEN cast(len(list_filter(toks, t -> list_contains($stopList, t))) as double)
+            |            / len(toks) >= 0.05 THEN 'en' ELSE 'other' END AS pred_lang,
+            |  round(cast(len(list_filter(toks, t -> list_contains($stopList, t))) as double)
+            |        / len(toks), 6) AS stop_ratio
+            |FROM t ORDER BY doc_id""".stripMargin))
+
+  /** Quality scoring: token count, distinct-token ratio, mean token
+    * length, and a composite score — all per-doc map-only arithmetic.
+    */
+  private val textQuality = Q(
+    (s, dir) =>
+      T(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_toks", size(col("toks")))
+        .withColumn("distinct_ratio",
+          size(array_distinct(col("toks"))).cast("double") / col("n_toks"))
+        .withColumn("mean_tok_len",
+          (length(col("text")) - (col("n_toks") - 1)).cast("double") / col("n_toks"))
+        .select(col("doc_id"), col("n_toks"),
+                round(col("distinct_ratio"), 6).as("distinct_ratio"),
+                round(col("mean_tok_len"), 6).as("mean_tok_len"),
+                round(col("distinct_ratio") * lit(0.5) +
+                      least(col("n_toks").cast("double") / 100, lit(1.0)) * lit(0.5), 6)
+                  .as("quality"))
+        .orderBy(col("doc_id")),
+    Some("""WITH t AS (
+           |  SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS lc
+           |  FROM documents
+           |), m AS (
+           |  SELECT doc_id, len(toks) AS n_toks,
+           |    cast(len(list_distinct(toks)) as double) / len(toks) AS dr,
+           |    cast(lc - (len(toks) - 1) as double) / len(toks) AS mtl
+           |  FROM t
+           |)
+           |SELECT doc_id, n_toks, round(dr, 6) AS distinct_ratio,
+           |  round(mtl, 6) AS mean_tok_len,
+           |  round(dr * 0.5 + least(cast(n_toks as double) / 100, 1.0) * 0.5, 6) AS quality
+           |FROM m ORDER BY doc_id""".stripMargin))
+
+  /** Token counting: whitespace tokens plus a BPE-ish subword estimate
+    * (ceil(len/4) per token — the standard ~4-chars-per-token heuristic).
+    */
+  private val textTokenCounts = Q(
+    (s, dir) =>
+      T(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"),
+                length(col("text")).as("n_chars_m"),
+                size(col("toks")).as("ws_tokens"),
+                expr("aggregate(toks, 0, (acc, t) -> acc + cast(ceil(length(t) / 4.0) as int))")
+                  .as("bpe_est"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, length(text) AS n_chars_m,
+           |  len(string_split(text, ' ')) AS ws_tokens,
+           |  cast(list_sum(list_transform(string_split(text, ' '),
+           |    t -> cast(ceil(length(t) / 4.0) as int))) as int) AS bpe_est
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Corpus top terms: term frequency + document frequency. The classic
+    * explode -> two-level aggregate; partial aggregation keeps the
+    * shuffle proportional to the vocabulary, not the corpus.
+    */
+  private val textTopTerms = Q(
+    (s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("tf").desc, col("term"))
+        .limit(30),
+    Some("""WITH e AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+           |)
+           |SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+           |FROM e GROUP BY term ORDER BY tf DESC, term LIMIT 30""".stripMargin))
+
+  /** Document fingerprinting: whole-doc md5 of the normalized text plus a
+    * winnowing-style min-hash over character 8-grams (rolling window) —
+    * robust to local edits, map-only per doc.
+    */
+  private val textFingerprint = Q(
+    (s, dir) =>
+      T(s, dir, "documents")
+        .withColumn("norm", regexp_replace(lower(col("text")), "\\s+", " "))
+        .select(col("doc_id"), md5(col("norm")).as("fp_full"),
+                expr("array_min(transform(sequence(1, greatest(length(norm) - 7, 1)), " +
+                     "i -> md5(substring(norm, i, 8))))").as("fp_min8"))
+        .orderBy(col("doc_id")),
+    Some("""WITH n AS (
+           |  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm
+           |  FROM documents
+           |)
+           |SELECT doc_id, md5(norm) AS fp_full,
+           |  list_min(list_transform(generate_series(1, greatest(length(norm) - 7, 1)),
+           |    i -> md5(substr(norm, i, 8)))) AS fp_min8
+           |FROM n ORDER BY doc_id""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Multimodal: opaque binary payloads + typed metadata
+  // ---------------------------------------------------------------------
+
+  /** Multimodal column round-trip: text -> binary payload (the stand-in
+    * for image/audio bytes — see [[graft.operators.Multimodal]] for the
+    * decode/featurize plumbing), with byte length, base64 and hex
+    * prefixes as the extracted "metadata". Exercises BinaryType columns
+    * end-to-end through Parquet-compatible expressions.
+    */
+  private val multimodalBinary = Q(
+    (s, dir) =>
+      T(s, dir, "documents")
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .select(col("doc_id"),
+                length(col("payload")).as("n_bytes"),
+                substring(base64(col("payload")), 1, 16).as("b64_16"),
+                lower(substring(hex(col("payload")), 1, 16)).as("hex_16"),
+                sha2(col("text"), 256).as("content_id"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+           |  substr(to_base64(encode(text)), 1, 16) AS b64_16,
+           |  lower(substr(hex(text), 1, 16)) AS hex_16,
+           |  sha256(text) AS content_id
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Assembled inventory
+  // ---------------------------------------------------------------------
+
+  val all: Map[String, Q] = Map(
+    "ns_dedup_exact" -> dedupExact,
+    "ns_dedup_minhash_lsh" -> dedupMinhashLsh,
+    "ns_dedup_simhash" -> dedupSimhash,
+    "ns_dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "ns_sim_cosine_topk" -> simCosineTopk,
+    "ns_sim_lsh_buckets" -> simLshBuckets,
+    "ns_text_langid" -> textLangid,
+    "ns_text_quality" -> textQuality,
+    "ns_text_token_counts" -> textTokenCounts,
+    "ns_text_top_terms" -> textTopTerms,
+    "ns_text_fingerprint" -> textFingerprint,
+    "ns_multimodal_binary" -> multimodalBinary
+  )
+}

@@ -174,11 +174,13 @@ object RelationalQueries {
 
   private val joinFullOuter = Q(
     (s, dir) => {
+      // date_trunc returns TIMESTAMP in Spark but DATE in DuckDB — cast
+      // to date on this side so both engines emit the same type.
       val om = T(s, dir, "orders")
-        .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("m"))
         .agg(count(lit(1)).as("n_orders"))
       val lm = T(s, dir, "lineitem")
-        .groupBy(date_trunc("month", col("l_shipdate")).as("m"))
+        .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("m"))
         .agg(count(lit(1)).as("n_lines"))
       om.join(lm, om("m") === lm("m"), "full")
         .select(
@@ -274,8 +276,10 @@ object RelationalQueries {
            |   WHERE o_custkey = user_id AND o_orderdate <= ts) AS asof_orderdate
            |FROM events ORDER BY event_id""".stripMargin))
 
-  /** TPC-H Q5-shaped 5-way star join; dims broadcast, facts shuffle on
-    * their join keys once each (Catalyst + AQE pick build sides).
+  /** TPC-H Q5-shaped 5-way star join. Only the fixed-cardinality dims
+    * (nation, region) carry an unconditional broadcast hint; supplier
+    * grows with scale factor, so its build side is left to Catalyst/AQE
+    * (a forced broadcast would OOM at the 100 TB design point).
     */
   private val joinStar5Way = Q(
     (s, dir) => {
@@ -287,8 +291,8 @@ object RelationalQueries {
       val r = T(s, dir, "region")
       c.join(o, c("c_custkey") === o("o_custkey"))
         .join(l, o("o_orderkey") === l("l_orderkey"))
-        .join(broadcast(su), l("l_suppkey") === su("s_suppkey") &&
-                             c("c_nationkey") === su("s_nationkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey") &&
+                  c("c_nationkey") === su("s_nationkey"))
         .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("n_name"))

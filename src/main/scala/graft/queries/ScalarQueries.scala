@@ -1,0 +1,296 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import Q.T
+
+/** SURVEY.md §2B scalar-function families — string, date/time, math,
+  * array + higher-order, map, hash, and conversion — each exercised by
+  * one oracled query. Engine-specific hash functions (xxhash64, crc32,
+  * Murmur3 `hash`) have no DuckDB equivalent, so they run as a rows-only
+  * query (oracle = None) alongside the md5/sha256 oracled one.
+  *
+  * All of these are Catalyst builtin expressions (whole-stage codegen'd,
+  * no UDFs) — at 100 TB they evaluate inside the scan stage with zero
+  * extra shuffles.
+  */
+object ScalarQueries {
+
+  // ---------------------------------------------------------------------
+  // Strings
+  // ---------------------------------------------------------------------
+
+  private val stringFuncs = Q(
+    (s, dir) =>
+      T(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+          upper(col("p_name")).as("name_up"),
+          lower(col("p_brand")).as("brand_lo"),
+          substring(col("p_name"), 1, 8).as("name_8"),
+          length(col("p_name")).as("name_len"),
+          lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+          rpad(col("p_brand"), 12, ".").as("brand_pad"),
+          reverse(col("p_brand")).as("brand_rev"),
+          repeat(lit("ab"), 3).as("rep"),
+          instr(col("p_name"), "a").as("first_a"),
+          translate(col("p_type"), "aeiou", "AEIOU").as("type_tr"),
+          levenshtein(col("p_brand"), col("p_type")).as("lev"),
+          regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("name_novowel"),
+          element_at(split(col("p_type"), " "), 1).as("type_head"),
+          trim(lit("  x  ")).as("trimmed"))
+        .orderBy(col("p_partkey")),
+    Some("""SELECT p_partkey,
+           |  concat_ws('/', p_brand, p_type) AS brand_type,
+           |  upper(p_name) AS name_up,
+           |  lower(p_brand) AS brand_lo,
+           |  substr(p_name, 1, 8) AS name_8,
+           |  length(p_name) AS name_len,
+           |  lpad(cast(p_size as varchar), 4, '0') AS size_pad,
+           |  rpad(p_brand, 12, '.') AS brand_pad,
+           |  reverse(p_brand) AS brand_rev,
+           |  repeat('ab', 3) AS rep,
+           |  instr(p_name, 'a') AS first_a,
+           |  translate(p_type, 'aeiou', 'AEIOU') AS type_tr,
+           |  levenshtein(p_brand, p_type) AS lev,
+           |  regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_novowel,
+           |  split_part(p_type, ' ', 1) AS type_head,
+           |  trim('  x  ') AS trimmed
+           |FROM part ORDER BY p_partkey""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Date / time (UTC session, see build.sbt)
+  // ---------------------------------------------------------------------
+
+  private val datetimeFuncs = Q(
+    (s, dir) =>
+      T(s, dir, "orders")
+        .withColumn("od", col("o_orderdate").cast("date"))
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          hour(col("o_orderdate")).as("h"),
+          minute(col("o_orderdate")).as("mi"),
+          dayofweek(col("o_orderdate")).as("dow"), // Sunday=1 (DuckDB: +1)
+          date_trunc("month", col("o_orderdate")).cast("date").as("mstart"),
+          last_day(col("od")).as("mend"),
+          date_add(col("od"), 30).as("plus30"),
+          add_months(col("od"), 2).as("plus2mo"),
+          datediff(lit("1998-12-31").cast("date"), col("od")).as("days_to_98"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"),
+          make_date(year(col("od")), lit(1), lit(1)).as("year_start"))
+        .orderBy(col("o_orderkey")),
+    Some("""SELECT o_orderkey,
+           |  year(o_orderdate) AS y,
+           |  month(o_orderdate) AS m,
+           |  day(o_orderdate) AS d,
+           |  hour(o_orderdate) AS h,
+           |  minute(o_orderdate) AS mi,
+           |  dayofweek(o_orderdate) + 1 AS dow,
+           |  date_trunc('month', o_orderdate) AS mstart,
+           |  last_day(cast(o_orderdate as date)) AS mend,
+           |  cast(o_orderdate as date) + 30 AS plus30,
+           |  cast(cast(o_orderdate as date) + INTERVAL 2 MONTH as date) AS plus2mo,
+           |  date_diff('day', cast(o_orderdate as date), DATE '1998-12-31') AS days_to_98,
+           |  cast(floor(epoch(o_orderdate)) as bigint) AS epoch_s,
+           |  make_date(year(o_orderdate), 1, 1) AS year_start
+           |FROM orders ORDER BY o_orderkey""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Math
+  // ---------------------------------------------------------------------
+
+  /** Rounded where the value is irrational (sqrt/ln/trig) so the final
+    * decimal rendering is identical; plain arithmetic is exact.
+    */
+  private val mathFuncs = Q(
+    (s, dir) =>
+      T(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          abs(col("p_size") - 25).as("size_dev"),
+          ceil(col("p_retailprice")).cast("long").as("price_ceil"),
+          floor(col("p_retailprice")).cast("long").as("price_floor"),
+          round(sqrt(col("p_retailprice")), 6).as("price_sqrt"),
+          round(pow(col("p_size").cast("double"), 2.0), 6).as("size_sq"),
+          round(exp(col("p_size").cast("double") / 50), 6).as("size_exp"),
+          round(log(col("p_retailprice")), 6).as("price_ln"),
+          round(log10(col("p_retailprice")), 6).as("price_log10"),
+          round(log2(col("p_retailprice")), 6).as("price_log2"),
+          round(sin(col("p_size").cast("double")), 6).as("size_sin"),
+          round(cos(col("p_size").cast("double")), 6).as("size_cos"),
+          signum(col("p_size") - 25).cast("int").as("size_sign"),
+          (col("p_partkey") % 7).as("key_mod7"),
+          greatest(col("p_size"), lit(10)).as("size_hi"),
+          least(col("p_size"), lit(40)).as("size_lo"))
+        .orderBy(col("p_partkey")),
+    Some("""SELECT p_partkey,
+           |  abs(p_size - 25) AS size_dev,
+           |  cast(ceil(p_retailprice) as bigint) AS price_ceil,
+           |  cast(floor(p_retailprice) as bigint) AS price_floor,
+           |  round(sqrt(p_retailprice), 6) AS price_sqrt,
+           |  round(pow(cast(p_size as double), 2.0), 6) AS size_sq,
+           |  round(exp(cast(p_size as double) / 50), 6) AS size_exp,
+           |  round(ln(p_retailprice), 6) AS price_ln,
+           |  round(log10(p_retailprice), 6) AS price_log10,
+           |  round(log2(p_retailprice), 6) AS price_log2,
+           |  round(sin(cast(p_size as double)), 6) AS size_sin,
+           |  round(cos(cast(p_size as double)), 6) AS size_cos,
+           |  cast(sign(p_size - 25) as int) AS size_sign,
+           |  p_partkey % 7 AS key_mod7,
+           |  greatest(p_size, 10) AS size_hi,
+           |  least(p_size, 40) AS size_lo
+           |FROM part ORDER BY p_partkey""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Arrays + higher-order functions (embeddings.embedding)
+  // ---------------------------------------------------------------------
+
+  private val arrayHofFuncs = Q(
+    (s, dir) =>
+      T(s, dir, "embeddings")
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("n_dim"),
+          round(element_at(col("embedding"), 1).cast("double"), 4).as("first_r"),
+          expr("transform(slice(embedding, 1, 4), x -> round(cast(x as double), 4))")
+            .as("head4_r"),
+          expr("sort_array(transform(slice(embedding, 1, 8), x -> round(cast(x as double), 4)))")
+            .as("head8_sorted"),
+          expr("size(filter(embedding, x -> x > 0))").as("n_pos"),
+          expr("exists(embedding, x -> x > 0.25)").as("has_gt_25"),
+          expr("forall(embedding, x -> abs(x) < 1.0)").as("all_lt_1"),
+          expr(s"aggregate(embedding, cast(0 as bigint), " +
+               s"(acc, x) -> acc + cast(floor(cast(x as double) * 1099511627776) as bigint))")
+            .as("sum_scaled"),
+          expr("size(array_distinct(transform(embedding, x -> cast(floor(x * 10) as int))))")
+            .as("n_decile_bins"),
+          expr("size(flatten(array(slice(embedding, 1, 3), slice(embedding, 4, 3))))")
+            .as("flat6"),
+          sequence(lit(1), lit(5)).as("seq5"))
+        .orderBy(col("vec_id")),
+    Some("""SELECT vec_id,
+           |  len(embedding) AS n_dim,
+           |  round(embedding[1]::double, 4) AS first_r,
+           |  list_transform(embedding[1:4], x -> round(x::double, 4)) AS head4_r,
+           |  list_sort(list_transform(embedding[1:8], x -> round(x::double, 4))) AS head8_sorted,
+           |  len(list_filter(embedding, x -> x > 0)) AS n_pos,
+           |  len(list_filter(embedding, x -> x > 0.25)) > 0 AS has_gt_25,
+           |  len(list_filter(embedding, x -> abs(x) >= 1.0)) = 0 AS all_lt_1,
+           |  cast(list_sum(list_transform(embedding,
+           |    x -> cast(floor(x::double * 1099511627776) as bigint))) as bigint) AS sum_scaled,
+           |  len(list_distinct(list_transform(embedding,
+           |    x -> cast(floor(x * 10) as int)))) AS n_decile_bins,
+           |  len(flatten([embedding[1:3], embedding[4:6]])) AS flat6,
+           |  generate_series(1, 5) AS seq5
+           |FROM embeddings ORDER BY vec_id""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Maps
+  // ---------------------------------------------------------------------
+
+  /** Map construction + key/value extraction on the Spark side; the
+    * oracle reproduces the extracted VALUES directly (DuckDB's map type
+    * is not needed to check the semantics).
+    */
+  private val mapFuncs = Q(
+    (s, dir) =>
+      T(s, dir, "events")
+        .withColumn("m", map(
+          lit("type"), col("event_type"),
+          lit("uid"), col("user_id").cast("string")))
+        .select(
+          col("event_id"),
+          sort_array(map_keys(col("m"))).as("ks"),
+          element_at(col("m"), "uid").as("uid_val"),
+          element_at(col("m"), "type").as("type_val"),
+          size(col("m")).as("m_size"),
+          expr("map_contains_key(m, 'type')").as("has_type"))
+        .orderBy(col("event_id")),
+    Some("""SELECT event_id,
+           |  ['type', 'uid'] AS ks,
+           |  cast(user_id as varchar) AS uid_val,
+           |  event_type AS type_val,
+           |  2 AS m_size,
+           |  true AS has_type
+           |FROM events ORDER BY event_id""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Hash / misc
+  // ---------------------------------------------------------------------
+
+  private val hashFuncs = Q(
+    (s, dir) =>
+      T(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          md5(col("c_name")).as("h_md5"),
+          sha2(col("c_name"), 256).as("h_sha256"),
+          length(sha2(col("c_name"), 512)).as("sha512_len"))
+        .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey,
+           |  md5(c_name) AS h_md5,
+           |  sha256(c_name) AS h_sha256,
+           |  128 AS sha512_len
+           |FROM customer ORDER BY c_custkey""".stripMargin))
+
+  /** Engine-specific hashes (Murmur3 `hash`, xxhash64, crc32) — no
+    * cross-engine oracle exists by construction; driver records the
+    * rows-only check. Determinism within Spark is asserted in ScalaTest.
+    */
+  private val hashSparkNative = Q(
+    (s, dir) =>
+      T(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          hash(col("c_name")).as("h_murmur3"),
+          xxhash64(col("c_name")).as("h_xx64"),
+          crc32(col("c_name").cast("binary")).as("h_crc32"))
+        .orderBy(col("c_custkey")),
+    None)
+
+  // ---------------------------------------------------------------------
+  // Conversion (base64 / hex / casts — the rpc `sn` analog,
+  // /root/reference/src/processor.ts:108)
+  // ---------------------------------------------------------------------
+
+  private val conversionFuncs = Q(
+    (s, dir) =>
+      T(s, dir, "customer")
+        .withColumn("bin", col("c_name").cast("binary"))
+        .select(
+          col("c_custkey"),
+          base64(col("bin")).as("b64"),
+          decode(unbase64(base64(col("bin"))), "UTF-8").as("b64_rt"),
+          lower(hex(col("bin"))).as("hx"),
+          decode(unhex(hex(col("bin"))), "UTF-8").as("hex_rt"),
+          col("c_custkey").cast("string").as("key_str"),
+          col("c_custkey").cast("string").cast("long").as("key_rt"),
+          col("c_acctbal").cast("decimal(18,2)").cast("string").as("bal_str"))
+        .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey,
+           |  to_base64(encode(c_name)) AS b64,
+           |  decode(from_base64(to_base64(encode(c_name)))) AS b64_rt,
+           |  lower(hex(c_name)) AS hx,
+           |  decode(unhex(hex(c_name))) AS hex_rt,
+           |  cast(c_custkey as varchar) AS key_str,
+           |  cast(cast(c_custkey as varchar) as bigint) AS key_rt,
+           |  cast(cast(c_acctbal as decimal(18,2)) as varchar) AS bal_str
+           |FROM customer ORDER BY c_custkey""".stripMargin))
+
+  val all: Map[String, Q] = Map(
+    "scalar_string_funcs" -> stringFuncs,
+    "scalar_datetime_funcs" -> datetimeFuncs,
+    "scalar_math_funcs" -> mathFuncs,
+    "scalar_array_hof" -> arrayHofFuncs,
+    "scalar_map_funcs" -> mapFuncs,
+    "scalar_hash_funcs" -> hashFuncs,
+    "scalar_hash_spark_native" -> hashSparkNative,
+    "scalar_conversion" -> conversionFuncs
+  )
+}

@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Q.T
+
+/** SURVEY.md §2B scans/sources/sinks beyond plain Parquet reads: CSV and
+  * JSON round-trips, partitioned Parquet writes (with codec), and
+  * partition-local sort. Each query materializes a derived copy under
+  * `target/graft-tmp` (inside the repo — fixtures stay read-only), reads
+  * it back, and aggregates; the oracle computes the same aggregate from
+  * the original table, so any round-trip corruption fails the diff.
+  *
+  * Values routed through text formats are cast to decimal/long/string
+  * first — exact text round-trips, no float-rendering ambiguity.
+  */
+object SourcesQueries {
+
+  private val tmpRoot = "/root/repo/target/graft-tmp"
+
+  /** CSV sink + scan (header, explicit read schema — no inference cost). */
+  private val csvRoundtrip = Q(
+    (s, dir) => {
+      val path = s"$tmpRoot/csv_orders"
+      T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+                col("o_totalprice").cast("decimal(18,2)").as("price"))
+        .write.mode("overwrite").option("header", "true").csv(path)
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_custkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("price", DecimalType(18, 2))))
+      s.read.schema(schema).option("header", "true").csv(path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("price")).as("total"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n,
+           |  sum(cast(o_totalprice as decimal(18,2))) AS total
+           |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+
+  /** JSON-lines sink + scan with explicit schema. */
+  private val jsonRoundtrip = Q(
+    (s, dir) => {
+      val path = s"$tmpRoot/json_lineitem"
+      T(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+                col("l_quantity").cast("decimal(18,4)").as("qty"),
+                col("l_returnflag"))
+        .write.mode("overwrite").json(path)
+      val schema = StructType(Seq(
+        StructField("l_orderkey", LongType),
+        StructField("l_linenumber", IntegerType),
+        StructField("qty", DecimalType(18, 4)),
+        StructField("l_returnflag", StringType)))
+      s.read.schema(schema).json(path)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("qty")).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag, count(*) AS n,
+           |  sum(cast(l_quantity as decimal(18,4))) AS sum_qty
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  /** Partitioned Parquet write (by event date, zstd codec — the A6
+    * compression analog) + partition-pruned read-back. At scale this is
+    * the layout that enables dynamic partition pruning on date.
+    */
+  private val partitionedWrite = Q(
+    (s, dir) => {
+      val path = s"$tmpRoot/events_by_day"
+      T(s, dir, "events")
+        .withColumn("d", to_date(col("ts")))
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .partitionBy("d").parquet(path)
+      s.read.parquet(path)
+        .groupBy(col("d"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("value").cast("decimal(18,4)")).as("sum_value"))
+        .orderBy(col("d"))
+    },
+    Some("""SELECT cast(ts as date) AS d, count(*) AS n,
+           |  sum(cast(value as decimal(18,4))) AS sum_value
+           |FROM events GROUP BY 1 ORDER BY d""".stripMargin))
+
+  /** Partition-local sort: range-repartition on the key then sort within
+    * partitions — concatenated partitions form a total order without a
+    * global sort stage (the write-sorted-runs idiom for large outputs).
+    */
+  private val sortWithinPartitions = Q(
+    (s, dir) =>
+      T(s, dir, "lineitem")
+        .repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+                col("l_quantity").cast("decimal(18,4)").as("qty"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("""SELECT l_orderkey, l_linenumber,
+           |  cast(l_quantity as decimal(18,4)) AS qty
+           |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin))
+
+  val all: Map[String, Q] = Map(
+    "src_csv_roundtrip" -> csvRoundtrip,
+    "src_json_roundtrip" -> jsonRoundtrip,
+    "src_partitioned_write" -> partitionedWrite,
+    "src_sort_within_partitions" -> sortWithinPartitions
+  )
+}
