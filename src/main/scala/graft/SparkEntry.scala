@@ -22,6 +22,7 @@ object SparkEntry {
     graft.queries.TimeSeriesQueries.all ++
     graft.queries.ScalarQueries.all ++
     graft.queries.SourcesQueries.all ++
+    graft.queries.UdfQueries.all ++
     graft.queries.NorthStarQueries.all
 
   /** One Engine per SparkSession, with every catalog query registered as

@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.Tables
+
+/** Structured Streaming surface over the `events` table (SURVEY.md §2B
+  * Streaming). The reference's defining runtime behavior is a continuous
+  * intake loop — a pull socket feeding handlers one packet at a time
+  * (`/root/reference/src/processor.ts:61-89`); the Spark-native analog is
+  * a file-source stream feeding incremental query plans.
+  *
+  * Every transform here is the streaming formulation of a batch query in
+  * [[graft.queries.TimeSeriesQueries]]; replay equivalence (run the
+  * stream with `Trigger.AvailableNow` over the same files and get the
+  * batch answer — SURVEY.md §5.2.5) is asserted in `StreamingSpec`.
+  *
+  * Scale design: watermarks bound state; aggregations are keyed by
+  * (window, type) or (window, user) so state partitions by the shuffle
+  * key; file sources use `maxFilesPerTrigger` upstream in production.
+  */
+object EventStreams {
+
+  /** File-source stream of events from a directory of parquet files with
+    * the fixture schema (nanosecond INT64 `ts` truncated to a
+    * microsecond timestamp, exactly like the batch path in
+    * [[graft.Tables.load]]).
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(Tables.schemas("events"))
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling 10-minute window counts per event type, 30-minute
+    * watermark — the streaming form of `ts_tumbling_window`.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(18,4)")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+              col("n"), col("sum_value"))
+
+  /** Session windows (30-minute gap) per user — streaming form of
+    * `ts_session_window`.
+    */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("s_start"), col("user_id"), col("n"))
+
+  /** Watermarked streaming dedup on the event id — streaming form of
+    * `ts_dedup_events` (state bounded by the watermark horizon).
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicates("event_id")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+
+  /** Stream-static join against the customer dimension — streaming form
+    * of `ts_stream_static_join`. The static side is a broadcast lookup
+    * re-resolved per micro-batch.
+    */
+  def enrichWithCustomers(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(broadcast(customers),
+                events("user_id") === customers("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Run a streaming DataFrame to completion over the files currently in
+    * the source directory (`Trigger.AvailableNow`), collecting from a
+    * named in-memory sink. `outputMode` is "append" for row streams and
+    * "complete" for aggregates in tests.
+    */
+  def runAvailableNow(
+      df: DataFrame,
+      sinkName: String,
+      outputMode: String,
+      checkpoint: String): Array[Row] = {
+    val q: StreamingQuery = df.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode(outputMode)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(sinkName).collect()
+  }
+
+  /** Parquet streaming sink (append, checkpointed) — the streaming write
+    * path; used by tests and as the durable-output analog of the
+    * reference's result delivery.
+    */
+  def parquetSink(df: DataFrame, path: String, checkpoint: String): DataStreamWriter[Row] =
+    df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+}

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Engine
+
+/** Dispatch-frame semantics mirrored from the reference
+  * (`/root/reference/src/processor.ts`): unknown command -> error not
+  * crash (:86), per-job cleanup always runs (:72-80), serial helpers'
+  * ordering / fail-fast / skip (:135-161), rpc-style query returns rows
+  * (:92-133).
+  */
+class EngineSpec extends SparkSpec {
+
+  private def freshEngine = new Engine(spark)
+
+  test("register + query returns rows (the rpc round-trip)") {
+    val e = freshEngine
+    e.register("nums")((s, _, _) => {
+      import s.implicits._
+      Seq(1, 2, 3).toDF("n").orderBy(col("n"))
+    })
+    val rows = e.query("nums").get
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+  }
+
+  test("unknown command is an error result, not a crash") {
+    val e = freshEngine
+    val out = e.submit("no-such-cmd")
+    assert(out.isFailure)
+    assert(out.failed.get.getMessage.contains("no-such-cmd"))
+    // engine still serves registered commands afterwards
+    e.register("ok")((s, _, _) => { import s.implicits._; Seq(1).toDF("x") })
+    assert(e.query("ok").isSuccess)
+  }
+
+  test("last registration wins (Map.set semantics)") {
+    val e = freshEngine
+    e.register("cmd")((s, _, _) => { import s.implicits._; Seq(1).toDF("x") })
+    e.register("cmd")((s, _, _) => { import s.implicits._; Seq(2).toDF("x") })
+    assert(e.query("cmd").get.head.getInt(0) == 2)
+  }
+
+  test("job-scoped cache entries are released after query, kept for session scope") {
+    val e = freshEngine
+    e.register("cached")((s, cache, _) => {
+      import s.implicits._
+      cache.getOrPut("job-scoped", scoped = true)(Seq(1, 2).toDF("x"))
+    })
+    assert(e.query("cached").isSuccess)
+    assert(e.cache.scopedEntryCount == 0, "job-scoped entry leaked past query()")
+    // unscoped entries survive (Redis keys without EXPIRE)
+    e.register("session")((s, cache, _) => {
+      import s.implicits._
+      cache.getOrPut("session-kept")(Seq(3).toDF("x"))
+    })
+    e.query("session").get
+    assert(e.cache.keys.contains("session-kept"))
+  }
+
+  test("scoped cleanup runs on handler failure too") {
+    val e = freshEngine
+    e.register("boom")((s, cache, _) => {
+      import s.implicits._
+      cache.getOrPut("doomed", scoped = true)(Seq(1).toDF("x"))
+      throw new RuntimeException("handler failure")
+    })
+    assert(e.query("boom").isFailure)
+    assert(e.cache.scopedEntryCount == 0, "entry leaked after handler failure")
+  }
+
+  test("scopes nest: inner close restores outer scope (r2 regression)") {
+    val e = freshEngine
+    e.withScope {
+      import spark.implicits._
+      e.cache.getOrPut("outer", scoped = true)(Seq(1).toDF("x"))
+      e.withScope {
+        e.cache.getOrPut("inner", scoped = true)(Seq(2).toDF("x"))
+      }
+      // inner closed, outer entry must still be alive and still scoped
+      assert(e.cache.keys.contains("outer"))
+      assert(!e.cache.keys.contains("inner"))
+      // entries created AFTER the inner scope closed must attach to the
+      // outer scope (the r2 bug cleared the thread-local instead)
+      e.cache.getOrPut("outer2", scoped = true)(Seq(3).toDF("x"))
+    }
+    assert(e.cache.scopedEntryCount == 0, "nested scopes leaked entries")
+  }
+
+  test("cache TTL expires entries") {
+    val e = freshEngine
+    import spark.implicits._
+    val first = e.cache.getOrPut("ttl", ttlMs = 1L)(Seq(1).toDF("x"))
+    first.collect()
+    Thread.sleep(10)
+    val second = e.cache.getOrPut("ttl", ttlMs = 1L)(Seq(2).toDF("x"))
+    assert(second.head().getInt(0) == 2, "stale TTL entry served")
+  }
+
+  test("runSerial: ordered accumulation, fail-fast aborts the chain") {
+    val e = freshEngine
+    val log = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val ok = e.runSerial(Seq(() => { log += 1; "a" }, () => { log += 2; "b" }))
+    assert(ok.get == Vector("a", "b") && log.toSeq == Seq(1, 2))
+
+    log.clear()
+    val bad = e.runSerial(Seq(
+      () => { log += 1; "a" },
+      () => { log += 2; throw new RuntimeException("step2") },
+      () => { log += 3; "c" }))
+    assert(bad.isFailure && bad.failed.get.getMessage == "step2")
+    assert(log.toSeq == Seq(1, 2), "fail-fast must not run later steps")
+  }
+
+  test("runSerialIgnore: failures skipped, successes kept in order") {
+    val e = freshEngine
+    val out = e.runSerialIgnore(Seq(
+      () => "a",
+      () => throw new RuntimeException("skipped"),
+      () => "c"))
+    assert(out == Vector("a", "c"))
+  }
+}

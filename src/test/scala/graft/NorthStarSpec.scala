@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+
+/** Semantic sanity checks for the §2C operators that the DuckDB diff
+  * can't express: known-duplicate behavior, similarity identities,
+  * sketch error bounds, and the multimodal decode plumbing.
+  */
+class NorthStarSpec extends SparkSpec {
+
+  test("exact dedup: planted duplicates collapse to one keeper") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "different text here"))
+      .toDF("doc_id", "text")
+    val out = docs.groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min("doc_id").as("keep"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash signatures: identical docs collide, different docs differ") {
+    import spark.implicits._
+    val sig = (df: org.apache.spark.sql.DataFrame) => df
+      .withColumn("sh",
+        expr("transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), " +
+             "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"))
+      .withColumn("s0", expr("array_min(transform(sh, t -> md5(concat('0:', t))))"))
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8"))
+      .toDF("doc_id", "text")
+    val sigs = sig(docs).select("doc_id", "s0").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sigs(1L) == sigs(2L), "identical docs must share minhash")
+    assert(sigs(1L) != sigs(3L), "distinct docs should differ")
+  }
+
+  test("cosine similarity of a vector with itself is 1.0 under scaling") {
+    import spark.implicits._
+    val v = Seq((1L, Array(0.5f, -0.25f, 0.125f, 0.9f))).toDF("id", "e")
+    val dot = "aggregate(zip_with(e, e, (x, y) -> " +
+      "cast(floor(cast(x as double) * cast(y as double) * 1099511627776) as bigint)), " +
+      "cast(0 as bigint), (acc, v) -> acc + v)"
+    val cos = v.select(
+      (expr(dot).cast("double") /
+        (sqrt(expr(dot).cast("double")) * sqrt(expr(dot).cast("double")))).as("c"))
+      .head().getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-9)
+  }
+
+  test("approx sketches stay within declared error of exact values") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val exact = li.select(countDistinct(col("l_partkey"))).head().getLong(0)
+    val approx = li.select(approx_count_distinct(col("l_partkey"), 0.05)).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.15,
+           s"HLL too far off: approx=$approx exact=$exact")
+
+    val p50e = li.stat.approxQuantile("l_quantity", Array(0.5), 0.0).head
+    val p50a = li.stat.approxQuantile("l_quantity", Array(0.5), 0.01).head
+    assert(math.abs(p50a - p50e) <= math.max(1.0, p50e * 0.05))
+  }
+
+  test("multimodal decode plumbing: deterministic stub over binary batches") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(20)
+    val metas = Multimodal.decodeAll(Multimodal.withPayload(docs)).collect()
+    assert(metas.length == 20)
+    // n_bytes must equal the utf-8 length of the text it encodes
+    val byId = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    metas.foreach { m =>
+      assert(m.nBytes == byId(m.docId).getBytes("UTF-8").length)
+      assert(m.fakeWidth >= 64 && m.fakeWidth < 64 + 1024)
+    }
+    // deterministic: second run produces identical checksums
+    val again = Multimodal.decodeAll(Multimodal.withPayload(docs)).collect()
+    assert(metas.map(m => (m.docId, m.checksum)).sortBy(_._1)
+      .sameElements(again.map(m => (m.docId, m.checksum)).sortBy(_._1)))
+  }
+
+  test("spark-native hashes are stable across runs (rows-only query determinism)") {
+    val c = Tables.load(spark, sfDir, "customer")
+    val h1 = c.select(xxhash64(col("c_name"))).collect().map(_.getLong(0))
+    val h2 = c.select(xxhash64(col("c_name"))).collect().map(_.getLong(0))
+    assert(h1.sameElements(h2))
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStreams
+
+/** Stream-batch replay equivalence (SURVEY.md §5.2.5): each streaming
+  * query run with Trigger.AvailableNow over the fixture files must
+  * produce the batch formulation's answer — DuckDB oracles the batch
+  * side, these specs close the loop to the streaming side.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private val workDir = "/root/repo/target/graft-tmp/stream"
+
+  private def freshDirs(): (String, String) = {
+    val in = s"$workDir/in-${System.nanoTime()}"
+    val cp = s"$workDir/cp-${System.nanoTime()}"
+    Files.createDirectories(Paths.get(in))
+    Files.copy(
+      Paths.get(s"$sfDir/events.parquet"),
+      Paths.get(s"$in/events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    (in, cp)
+  }
+
+  test("tumbling window stream replays to the batch answer") {
+    val (in, cp) = freshDirs()
+    val stream = EventStreams.tumblingCounts(EventStreams.readEvents(spark, in))
+    val got = EventStreams.runAvailableNow(stream, "tumbling_sink", "complete", cp)
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+                 r.getDecimal(3).toPlainString))
+      .sortBy(t => (t._1.getTime, t._2))
+
+    val batch = Tables.load(spark, sfDir, "events")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,4)")).as("sv"))
+      .select(col("window.start"), col("event_type"), col("n"), col("sv"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+                 r.getDecimal(3).toPlainString))
+      .sortBy(t => (t._1.getTime, t._2))
+
+    assert(got.length == batch.length && got.sameElements(batch),
+           s"stream=${got.take(3).mkString(",")} batch=${batch.take(3).mkString(",")}")
+  }
+
+  test("streaming dedup replays to the batch distinct-by-key answer") {
+    val (in, cp) = freshDirs()
+    val stream = EventStreams.dedupEvents(EventStreams.readEvents(spark, in))
+    val got = EventStreams.runAvailableNow(stream, "dedup_sink", "append", cp)
+      .map(_.getLong(0)).sorted
+
+    val batch = Tables.load(spark, sfDir, "events")
+      .dropDuplicates("event_id").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(batch))
+  }
+
+  test("stream-static join replays to the batch join answer") {
+    val (in, cp) = freshDirs()
+    val customers = Tables.load(spark, sfDir, "customer")
+    val stream = EventStreams.enrichWithCustomers(
+      EventStreams.readEvents(spark, in), customers)
+    val got = EventStreams.runAvailableNow(stream, "enrich_sink", "complete", cp)
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+
+    val batch = Tables.load(spark, sfDir, "events")
+      .join(customers, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.sameElements(batch))
+  }
+
+  test("session window stream replays to the batch session answer") {
+    val (in, cp) = freshDirs()
+    val stream = EventStreams.sessionCounts(EventStreams.readEvents(spark, in))
+    val got = EventStreams.runAvailableNow(stream, "session_sink", "complete", cp)
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._2, t._1))
+
+    val batch = Tables.load(spark, sfDir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start"), col("user_id"), col("n"))
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._2, t._1))
+    assert(got.sameElements(batch))
+  }
+}
