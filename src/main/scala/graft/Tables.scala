@@ -110,6 +110,20 @@ object Tables {
     else df
   }
 
+  /** Like [[load]], but spreads the rows across the session's default
+    * parallelism when the scan yields fewer splits. Single-file /
+    * single-row-group inputs (the fixtures) otherwise execute map-side
+    * work — HOF hashing, signature computation, per-row md5 — on ONE
+    * task. For compute-heavy-per-row stages the round-robin exchange
+    * costs far less than the serialized compute; at production scale
+    * (many files) the condition is false and this is a plain load.
+    */
+  def loadSpread(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = load(spark, dir, name)
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Register every fixture as a temp view so handlers (and `spark.sql`)
     * can reference tables by name — the analog of the reference handing
     * each handler a connection to a fully-populated database.

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import Q.T
+import Q.{T, TS}
 
 /** SURVEY.md §2C — LLM-data-pipeline operators over `documents` and
   * `embeddings`: dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard /
@@ -77,6 +77,22 @@ object NorthStarQueries {
   private val nHashes = 8 // 4 bands x 2 rows
   private val nBands = 4
 
+  /** Affine-rehash minhash family: one base hash per shingle (60-bit int
+    * from the md5 hex prefix), then h_i(x) = (A_i * (x mod P) + B_i)
+    * mod P over the Mersenne prime P = 2^31 - 1. One md5 per shingle
+    * instead of one per (shingle, hash) — 8x less digest work — and all
+    * arithmetic is exact 63-bit-safe integer math in both engines.
+    */
+  private val P = 2147483647L
+  private val hashA = (0 until nHashes).map(i => 1000003L + 2L * i * 4391L)
+  private val hashB = (0 until nHashes).map(i => 12345L + 67891L * i)
+
+  /** Base hash: first 15 md5 hex digits as a bigint (< 2^60). */
+  private val hashedShinglesExpr =
+    s"transform($shinglesExpr, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
+  private val hashedShinglesSql =
+    s"list_transform($shinglesSql, t -> cast('0x' || substr(md5(t), 1, 15) as bigint))"
+
   /** MinHash-LSH near-dup detection, verified through per-band bucket
     * statistics: for each of the 4 bands, the number of distinct buckets,
     * docs, and candidate pairs (sum over buckets of C(size,2)). Any
@@ -90,15 +106,24 @@ object NorthStarQueries {
   private val dedupMinhashLsh = Q(
     (s, dir) => {
       val sigCols = (0 until nHashes).map { i =>
-        expr(s"array_min(transform(sh, t -> md5(concat('$i:', t))))").as(s"s$i")
+        expr(s"array_min(transform(hs, h -> (${hashA(i)} * (h % $P) + ${hashB(i)}) % $P))")
+          .as(s"s$i")
       }
-      val docs = T(s, dir, "documents")
-        .withColumn("sh", expr(shinglesExpr))
+      // Pipeline: spread the narrow scan -> one md5 per shingle (hs) ->
+      // exchange barrier (stops CollapseProject from inlining the md5
+      // stage into all 8 signature expressions) -> cheap integer
+      // rehashes -> band generator -> bucket aggregation.
+      val docs = TS(s, dir, "documents")
+        .withColumn("hs", expr(hashedShinglesExpr))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select((col("doc_id") +: sigCols): _*)
-      val bands = (0 until nBands).map { j =>
-        docs.select(col("doc_id"), lit(j).as("band"),
-                    concat_ws("|", col(s"s${2 * j}"), col(s"s${2 * j + 1}")).as("bkey"))
-      }.reduce(_ unionAll _)
+      // One generator pass (inline over band structs), NOT a 4-way union
+      // of selects — a union would duplicate the signature computation
+      // into every branch of the plan.
+      val bandStructs = (0 until nBands)
+        .map(j => s"struct($j as band, concat_ws('|', s${2 * j}, s${2 * j + 1}) as bkey)")
+        .mkString("inline(array(", ", ", "))")
+      val bands = docs.select(col("doc_id"), expr(bandStructs))
       bands
         .groupBy(col("band"), col("bkey"))
         .agg(count(lit(1)).as("sz"))
@@ -110,17 +135,17 @@ object NorthStarQueries {
     },
     Some {
       val sigs = (0 until nHashes)
-        .map(i => s"list_min(list_transform(sh, t -> md5('$i:' || t))) AS s$i")
+        .map(i => s"list_min(list_transform(hs, h -> (${hashA(i)} * (h % $P) + ${hashB(i)}) % $P)) AS s$i")
         .mkString(",\n    ")
       val bands = (0 until nBands)
         .map(j => s"SELECT doc_id, $j AS band, s${2 * j} || '|' || s${2 * j + 1} AS bkey FROM sig")
         .mkString("\n  UNION ALL ")
-      s"""WITH sh AS (
-         |  SELECT doc_id, $shinglesSql AS sh FROM documents
+      s"""WITH hsh AS (
+         |  SELECT doc_id, $hashedShinglesSql AS hs FROM documents
          |), sig AS (
          |  SELECT doc_id,
          |    $sigs
-         |  FROM sh
+         |  FROM hsh
          |), bands AS (
          |  $bands
          |), buckets AS (
@@ -129,7 +154,8 @@ object NorthStarQueries {
          |SELECT band, count(*) AS n_buckets, sum(sz) AS n_docs,
          |  cast(sum(sz * (sz - 1) / 2) as bigint) AS n_cand_pairs
          |FROM buckets GROUP BY band ORDER BY band""".stripMargin
-    })
+    },
+    bench = true)
 
   // ---------------------------------------------------------------------
   // Dedup 3: SimHash (16-bit, token-level)
@@ -149,7 +175,7 @@ object NorthStarQueries {
       val simhash = (0 until 16)
         .map(j => s"(CASE WHEN ${bitSum(j)} >= 0 THEN ${1 << j} ELSE 0 END)")
         .mkString(" + ")
-      T(s, dir, "documents")
+      TS(s, dir, "documents")
         .select(col("doc_id"), expr(simhash).as("simhash"))
         .orderBy(col("doc_id"))
     },
@@ -175,7 +201,7 @@ object NorthStarQueries {
     */
   private val dedupNgramJaccard = Q(
     (s, dir) => {
-      val d = T(s, dir, "documents")
+      val d = TS(s, dir, "documents")
         .withColumn("shd", array_distinct(expr(shinglesExpr)))
         .select(col("doc_id"), col("source"), col("n_chars"), col("shd"))
       val a = d.select(col("doc_id").as("doc_a"), col("source"),
@@ -231,7 +257,7 @@ object NorthStarQueries {
     */
   private val simCosineTopk = Q(
     (s, dir) => {
-      val e = T(s, dir, "embeddings")
+      val e = TS(s, dir, "embeddings")
       val withNorm = e.withColumn("nrm", expr(scaledDot("embedding", "embedding")))
       val q = withNorm.where(col("vec_id") < 16)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("nq"))
@@ -303,7 +329,7 @@ object NorthStarQueries {
           s"cast(0 as bigint), (acc, v) -> acc + v) >= 0 THEN ${1 << j} ELSE 0 END)"
       }
       val bucket = (0 until 8).map(bit).mkString(" + ")
-      T(s, dir, "embeddings")
+      TS(s, dir, "embeddings")
         .select(col("vec_id"), expr(bucket).as("bucket"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"))
@@ -413,7 +439,7 @@ object NorthStarQueries {
     */
   private val textTopTerms = Q(
     (s, dir) =>
-      T(s, dir, "documents")
+      TS(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         .groupBy(col("term"))
         .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
@@ -431,7 +457,7 @@ object NorthStarQueries {
     */
   private val textFingerprint = Q(
     (s, dir) =>
-      T(s, dir, "documents")
+      TS(s, dir, "documents")
         .withColumn("norm", regexp_replace(lower(col("text")), "\\s+", " "))
         .select(col("doc_id"), md5(col("norm")).as("fp_full"),
                 expr("array_min(transform(sequence(1, greatest(length(norm) - 7, 1)), " +

@@ -24,4 +24,10 @@ object Q {
   /** Load a fixture table (see [[graft.Tables]]). */
   def T(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
+
+  /** Load with parallelism spread — for compute-heavy-per-row stages
+    * over narrow scans (see [[graft.Tables.loadSpread]]).
+    */
+  def TS(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.loadSpread(s, dir, name)
 }

@@ -37,11 +37,13 @@ object RelationalQueries {
           (col("l_extendedprice") * (lit(1) - col("l_discount")))
             .cast("decimal(18,6)").as("disc_price"),
           (col("l_quantity") * col("l_tax")).cast("decimal(18,6)").as("qty_tax"))
-        .orderBy(col("l_orderkey"), col("l_linenumber")),
+        // (l_orderkey, l_linenumber) is NOT unique in the fixture —
+        // complete the total order over the payload columns.
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("disc_price"), col("qty_tax")),
     Some("""SELECT l_orderkey, l_linenumber,
            |  cast(l_extendedprice * (1 - l_discount) as decimal(18,6)) AS disc_price,
            |  cast(l_quantity * l_tax as decimal(18,6)) AS qty_tax
-           |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin))
+           |FROM lineitem ORDER BY l_orderkey, l_linenumber, disc_price, qty_tax""".stripMargin))
 
   private val filterPredicates = Q(
     (s, dir) =>
@@ -54,7 +56,7 @@ object RelationalQueries {
           col("l_returnflag").rlike("^[AN]$") &&
           !(col("l_discount") > 0.05))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
-        .orderBy(col("l_orderkey"), col("l_linenumber")),
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount")),
     Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount
            |FROM lineitem
            |WHERE l_quantity BETWEEN 10 AND 20
@@ -63,7 +65,7 @@ object RelationalQueries {
            |  AND l_linestatus LIKE 'F%'
            |  AND regexp_matches(l_returnflag, '^[AN]$')
            |  AND NOT (l_discount > 0.05)
-           |ORDER BY l_orderkey, l_linenumber""".stripMargin))
+           |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount""".stripMargin))
 
   private val scalarCaseWhen = Q(
     (s, dir) =>
@@ -446,7 +448,8 @@ object RelationalQueries {
     Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
            |  sum(cast(l_quantity as decimal(18,4))) AS sum_qty
            |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-           |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin))
+           |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin),
+    bench = true)
 
   private val aggCube = Q(
     (s, dir) =>
@@ -648,7 +651,7 @@ object RelationalQueries {
           last(col("l_quantity")).over(full).as("max_qty"),
           nth_value(col("l_quantity"), 5).over(full).as("qty_5th"))
         .where(col("l_orderkey") < 100)
-        .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("cd"))
     },
     Some("""SELECT * FROM (
            |  SELECT l_returnflag, l_orderkey, l_linenumber,
@@ -663,7 +666,7 @@ object RelationalQueries {
            |  WINDOW w AS (PARTITION BY l_returnflag
            |               ORDER BY l_quantity, l_orderkey, l_linenumber)
            |) WHERE l_orderkey < 100
-           |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin))
+           |ORDER BY l_returnflag, l_orderkey, l_linenumber, cd""".stripMargin))
 
   // ---------------------------------------------------------------------
   // Sorts / limits / top-k

@@ -97,10 +97,10 @@ object SourcesQueries {
         .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"))
         .select(col("l_orderkey"), col("l_linenumber"),
                 col("l_quantity").cast("decimal(18,4)").as("qty"))
-        .orderBy(col("l_orderkey"), col("l_linenumber")),
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("qty")),
     Some("""SELECT l_orderkey, l_linenumber,
            |  cast(l_quantity as decimal(18,4)) AS qty
-           |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin))
+           |FROM lineitem ORDER BY l_orderkey, l_linenumber, qty""".stripMargin))
 
   val all: Map[String, Q] = Map(
     "src_csv_roundtrip" -> csvRoundtrip,
