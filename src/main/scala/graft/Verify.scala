@@ -16,8 +16,11 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // No coalesce(1): queries end in a total order, so the sorted range
+      // partitions land as part-00000..part-NNNNN whose lexical file
+      // order IS the row order — a single-task funnel would be the one
+      // non-scalable stage in the result path.
+      try fn(spark, sfDir).write.mode("overwrite").parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -1,0 +1,22 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+import graft.expressions.ScaledDotProduct
+
+/** SparkSessionExtensions entry point (SURVEY.md §7.3): registers the
+  * engine's native expressions into any session built with
+  * `spark.sql.extensions=graft.plans.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`).
+  *
+  * This is the idiomatic injection route for custom Catalyst pieces —
+  * today only functions; a custom Rule/Strategy would be injected here
+  * too if one ever became necessary (SURVEY §4.2 concluded none is for
+  * the core contract).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(
+      (FunctionIdentifier("scaled_dot"), ScaledDotProduct.info, ScaledDotProduct.builder))
+}

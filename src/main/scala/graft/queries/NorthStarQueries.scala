@@ -237,13 +237,13 @@ object NorthStarQueries {
   // Similarity 1: brute-force cosine top-k (ANN baseline)
   // ---------------------------------------------------------------------
 
-  /** Spark-side scaled dot product of two array<float> columns:
-    * sum of floor(x*y * 2^40) as exact bigint (see object scaladoc).
+  /** Spark-side scaled dot product of two array<float> columns — the
+    * codegen'd native expression [[graft.expressions.ScaledDotProduct]]
+    * (exactly `sum floor(x*y*2^40)` like the HOF chain it replaced, but
+    * inside whole-stage codegen with no per-pair array allocation).
     */
   private def scaledDot(aCol: String, bCol: String): String =
-    s"aggregate(zip_with($aCol, $bCol, (x, y) -> " +
-      s"cast(floor(cast(x as double) * cast(y as double) * $S) as bigint)), " +
-      "cast(0 as bigint), (acc, v) -> acc + v)"
+    s"scaled_dot($aCol, $bCol)"
 
   private def scaledDotSql(aCol: String, bCol: String): String =
     s"list_sum(list_transform(generate_series(1, 64), i -> " +
@@ -257,6 +257,7 @@ object NorthStarQueries {
     */
   private val simCosineTopk = Q(
     (s, dir) => {
+      graft.expressions.ScaledDotProduct.registerIn(s)
       val e = TS(s, dir, "embeddings")
       val withNorm = e.withColumn("nrm", expr(scaledDot("embedding", "embedding")))
       val q = withNorm.where(col("vec_id") < 16)

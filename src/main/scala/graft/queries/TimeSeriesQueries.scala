@@ -162,7 +162,34 @@ object TimeSeriesQueries {
            |       THEN 'has_k' ELSE 'no_k' END AS k_tag
            |FROM events ORDER BY event_id""".stripMargin))
 
+  /** Structured JSON functions over `events.props`: from_json with an
+    * explicit schema, field extraction, json_tuple, and to_json
+    * re-serialization (Spark's to_json omits null fields; the oracle
+    * mirrors that).
+    */
+  private val tsJsonStruct = Q(
+    (s, dir) =>
+      T(s, dir, "events")
+        .withColumn("st", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+        .select(
+          col("event_id"),
+          col("st.k").as("k_field"),
+          json_tuple(col("props"), "k").as("k_tuple"),
+          to_json(struct(col("event_id"), col("st.k").as("k"))).as("js"))
+        .orderBy(col("event_id")),
+    Some("""SELECT event_id,
+           |  cast(json_extract_string(props, '$.k') as int) AS k_field,
+           |  json_extract_string(props, '$.k') AS k_tuple,
+           |  CASE WHEN json_extract_string(props, '$.k') IS NULL
+           |       THEN '{"event_id":' || event_id || '}'
+           |       ELSE '{"event_id":' || event_id || ',"k":'
+           |            || cast(json_extract_string(props, '$.k') as int) || '}'
+           |  END AS js
+           |FROM events ORDER BY event_id""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "ts_json_struct" -> tsJsonStruct,
     "ts_time_buckets" -> tsTimeBuckets,
     "ts_tumbling_window" -> tsTumblingWindow,
     "ts_sliding_window" -> tsSlidingWindow,

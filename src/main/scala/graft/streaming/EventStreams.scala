@@ -78,6 +78,30 @@ object EventStreams {
       .groupBy(col("c_mktsegment"), col("event_type"))
       .agg(count(lit(1)).as("n"))
 
+  /** Stateful per-key logic (`mapGroupsWithState`): running event count
+    * and value total per user, emitted on every update — the arbitrary-
+    * state analog of the reference's per-job handler state. State is
+    * partitioned by user_id (the groupByKey shuffle), so it scales
+    * horizontally; production would add a timeout to bound state.
+    */
+  def runningUserTotals(events: DataFrame): org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), (Long, Long, Double)](GroupStateTimeout.NoTimeout) {
+        (user, rows, state) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0
+          var s = s0
+          rows.foreach { r => n += 1; s += r._2 }
+          state.update((n, s))
+          (user, n, s)
+      }
+  }
+
   /** Run a streaming DataFrame to completion over the files currently in
     * the source directory (`Trigger.AvailableNow`), collecting from a
     * named in-memory sink. `outputMode` is "append" for row streams and

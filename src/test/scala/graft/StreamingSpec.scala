@@ -77,6 +77,24 @@ class StreamingSpec extends SparkSpec {
     assert(got.sameElements(batch))
   }
 
+  test("stateful mapGroupsWithState totals equal the batch per-user aggregate") {
+    val (in, cp) = freshDirs()
+    val stream = EventStreams.runningUserTotals(EventStreams.readEvents(spark, in))
+    // update mode emits one row per key per batch; AvailableNow over a
+    // static dir is a single batch, so rows ARE the final totals
+    val got = EventStreams.runAvailableNow(stream.toDF(), "state_sink", "update", cp)
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 100)))
+      .sortBy(_._1)
+
+    val batch = Tables.load(spark, sfDir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 100)))
+      .sortBy(_._1)
+    assert(got.sameElements(batch))
+  }
+
   test("session window stream replays to the batch session answer") {
     val (in, cp) = freshDirs()
     val stream = EventStreams.sessionCounts(EventStreams.readEvents(spark, in))
