@@ -6,6 +6,27 @@ import java.util.concurrent.ConcurrentHashMap
 import scala.collection.concurrent.TrieMap
 import scala.util.{Failure, Success, Try}
 
+/** Engine configuration — the analog of the reference's `Config`
+  * (`/root/reference/src/processor.ts:10-19`): where that names the
+  * delegated stores (PG host/port, Redis host/port) and the intake
+  * address, this names the Spark-native equivalents.
+  *
+  * @param dataDir        root of the table fixtures (the "database")
+  * @param defaultTtlMs   default cache-entry TTL; <=0 = session lifetime
+  *                       (Redis keys without EXPIRE)
+  * @param compressMinBytes result blobs at or above this size are
+  *                       deflate-compressed (A6; sniffed on read)
+  * @param maxConcurrentJobs advisory job-concurrency ceiling (the PG
+  *                       pool max=2 analog, `src/processor.ts:48`) —
+  *                       enforced via Spark's FAIR scheduler pools in a
+  *                       real deployment
+  */
+final case class EngineConfig(
+    dataDir: String = "/root/testdata/sf0.001",
+    defaultTtlMs: Long = 0L,
+    compressMinBytes: Int = 1024,
+    maxConcurrentJobs: Int = 2)
+
 /** Spark-native re-expression of the reference's job-processor frame.
   *
   * The reference (`/root/reference/src/processor.ts`) is a
@@ -21,7 +42,7 @@ import scala.util.{Failure, Success, Try}
   * handle is a [[CacheManager]] over Spark's persist machinery (replacing
   * Redis). Jobs build lazy DataFrames; execution happens on `query`.
   */
-final class Engine(val spark: SparkSession) {
+final class Engine(val spark: SparkSession, val config: EngineConfig = EngineConfig()) {
 
   /** A job: the analog of the reference's `ModuleFunction`
     * (`src/processor.ts:25-27`) — arbitrary user logic over (db, cache).
@@ -78,6 +99,38 @@ final class Engine(val spark: SparkSession) {
     finally spark.sparkContext.clearJobGroup()
   }
 
+  /** Serialized JSON result with transparent compression — the full rpc
+    * response path (`src/processor.ts:111-124`): rows as JSON lines,
+    * deflated when at or above `config.compressMinBytes` (the producer
+    * side of the zlib sniff; [[ResultCodec.decode]] is the consumer).
+    */
+  def queryJson(cmd: String, args: Seq[Any] = Nil): Try[Array[Byte]] =
+    withScope {
+      submit(cmd, args).map { df =>
+        val payload = df.toJSON.collect().mkString("\n").getBytes("UTF-8")
+        if (payload.length >= config.compressMinBytes) ResultCodec.deflate(payload)
+        else payload
+      }
+    }
+
+  /** Continuous intake: drain a queue of (cmd, args) job packets until
+    * the `poison` marker — the dispatch loop of `Processor.run()`
+    * (`src/processor.ts:61-89`). Failures are per-job results, never
+    * crashes (the `console.error`-and-continue contract); results stream
+    * to `onResult` in arrival order.
+    */
+  def serve(
+      queue: java.util.concurrent.BlockingQueue[(String, Seq[Any])],
+      poison: String = "__stop__")(
+      onResult: (String, Try[Array[org.apache.spark.sql.Row]]) => Unit): Unit = {
+    var running = true
+    while (running) {
+      val (cmd, args) = queue.take()
+      if (cmd == poison) running = false
+      else onResult(cmd, query(cmd, args))
+    }
+  }
+
   /** Strictly-sequential execution, fail-fast: first failure aborts and is
     * returned; successes accumulate in order. The analog of `async_serial`
     * (`src/processor.ts:135-147`). Spark actions are synchronous, so
@@ -98,6 +151,48 @@ final class Engine(val spark: SparkSession) {
         case Success(v) => acc :+ v
         case Failure(_) => acc
       }
+    }
+}
+
+/** Result-blob codec — the wire-compression analog (A6): the reference
+  * sniffs the zlib magic `0x78 0x9c` on every rpc payload and inflates
+  * transparently (`/root/reference/src/processor.ts:114-121`). Same
+  * contract here: [[deflate]] produces zlib default-level blobs whose
+  * first two bytes are exactly that magic (0x78 0x9c — BEST_COMPRESSION
+  * would emit 0x78 0xda and defeat the sniff); [[decode]] sniffs and
+  * inflates, passing uncompressed blobs through untouched.
+  */
+object ResultCodec {
+  import java.util.zip.{Deflater, Inflater}
+
+  def deflate(bytes: Array[Byte]): Array[Byte] = {
+    val d = new Deflater()
+    d.setInput(bytes); d.finish()
+    val buf = new Array[Byte](math.max(64, bytes.length))
+    val out = new java.io.ByteArrayOutputStream()
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** True iff the payload starts with the zlib best-compression magic. */
+  def isCompressed(bytes: Array[Byte]): Boolean =
+    bytes.length >= 2 && bytes(0) == 0x78.toByte && bytes(1) == 0x9c.toByte
+
+  def decode(bytes: Array[Byte]): Array[Byte] =
+    if (!isCompressed(bytes)) bytes
+    else {
+      val inf = new Inflater()
+      inf.setInput(bytes)
+      val buf = new Array[Byte](8192)
+      val out = new java.io.ByteArrayOutputStream()
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && inf.needsInput()) throw new java.util.zip.DataFormatException("truncated")
+        out.write(buf, 0, n)
+      }
+      inf.end()
+      out.toByteArray
     }
 }
 

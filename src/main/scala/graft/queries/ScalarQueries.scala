@@ -101,6 +101,29 @@ object ScalarQueries {
            |  make_date(year(o_orderdate), 1, 1) AS year_start
            |FROM orders ORDER BY o_orderkey""".stripMargin))
 
+  /** Second date/time family batch: epoch round-trips and calendar
+    * extraction (ISO week, quarter, day-of-year, date_sub).
+    */
+  private val datetimeFuncs2 = Q(
+    (s, dir) =>
+      T(s, dir, "orders")
+        .withColumn("od", col("o_orderdate").cast("date"))
+        .select(
+          col("o_orderkey"),
+          weekofyear(col("od")).as("iso_week"),
+          quarter(col("od")).as("q"),
+          dayofyear(col("od")).as("doy"),
+          from_unixtime(unix_timestamp(col("o_orderdate"))).as("ts_rt"),
+          date_sub(col("od"), 15).as("minus15"))
+        .orderBy(col("o_orderkey")),
+    Some("""SELECT o_orderkey,
+           |  weekofyear(o_orderdate) AS iso_week,
+           |  quarter(o_orderdate) AS q,
+           |  dayofyear(o_orderdate) AS doy,
+           |  strftime(to_timestamp(floor(epoch(o_orderdate))), '%Y-%m-%d %H:%M:%S') AS ts_rt,
+           |  cast(o_orderdate as date) - 15 AS minus15
+           |FROM orders ORDER BY o_orderkey""".stripMargin))
+
   // ---------------------------------------------------------------------
   // Math
   // ---------------------------------------------------------------------
@@ -286,6 +309,7 @@ object ScalarQueries {
   val all: Map[String, Q] = Map(
     "scalar_string_funcs" -> stringFuncs,
     "scalar_datetime_funcs" -> datetimeFuncs,
+    "scalar_datetime_funcs2" -> datetimeFuncs2,
     "scalar_math_funcs" -> mathFuncs,
     "scalar_array_hof" -> arrayHofFuncs,
     "scalar_map_funcs" -> mapFuncs,

@@ -68,6 +68,40 @@ object EventStreams {
       .dropDuplicates("event_id")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
 
+  /** Watermark-bounded dedup (`dropDuplicatesWithinWatermark`): same
+    * output as [[dedupEvents]] for in-horizon data, but state for a key
+    * is dropped once the watermark passes it — the formulation whose
+    * state is O(watermark window), not O(all keys ever seen).
+    */
+  def dedupEventsWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+
+  /** flatMapGroupsWithState variant of [[runningUserTotals]]: emits zero
+    * or many rows per group per batch (here: one summary row), the fully
+    * general arbitrary-state operator.
+    */
+  def userBatchSummaries(events: DataFrame): org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events.select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user, rows, state) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0
+          var s = s0
+          rows.foreach { r => n += 1; s += r._2 }
+          state.update((n, s))
+          Iterator.single((user, n, s))
+      }
+  }
+
   /** Stream-static join against the customer dimension — streaming form
     * of `ts_stream_static_join`. The static side is a broadcast lookup
     * re-resolved per micro-batch.

@@ -112,6 +112,40 @@ class EngineSpec extends SparkSpec {
     assert(log.toSeq == Seq(1, 2), "fail-fast must not run later steps")
   }
 
+  test("queryJson compresses large results with the zlib magic, sniff-decodes back") {
+    import graft.engine.ResultCodec
+    val e = freshEngine
+    e.register("big")((s, _, _) => {
+      import s.implicits._
+      (1 to 500).map(i => (i, "x" * 50)).toDF("i", "pad").orderBy(col("i"))
+    })
+    val blob = e.queryJson("big").get
+    assert(ResultCodec.isCompressed(blob), "large payload should carry 0x78 0x9c")
+    val text = new String(ResultCodec.decode(blob), "UTF-8")
+    assert(text.linesIterator.size == 500 && text.contains("\"i\":1"))
+    // small results stay uncompressed and pass through decode untouched
+    e.register("small")((s, _, _) => { import s.implicits._; Seq(1).toDF("i") })
+    val small = e.queryJson("small").get
+    assert(!ResultCodec.isCompressed(small))
+    assert(new String(ResultCodec.decode(small), "UTF-8").contains("\"i\":1"))
+  }
+
+  test("serve drains the job queue, reports per-job failures, stops on poison") {
+    val e = freshEngine
+    e.register("ok")((s, _, args) => {
+      import s.implicits._
+      Seq(args.head.toString).toDF("v")
+    })
+    val q = new java.util.concurrent.LinkedBlockingQueue[(String, Seq[Any])]()
+    q.put(("ok", Seq("a")))
+    q.put(("missing-cmd", Nil))
+    q.put(("ok", Seq("b")))
+    q.put(("__stop__", Nil))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+    e.serve(q)((cmd, res) => out += (cmd -> res.isSuccess))
+    assert(out.toSeq == Seq(("ok", true), ("missing-cmd", false), ("ok", true)))
+  }
+
   test("runSerialIgnore: failures skipped, successes kept in order") {
     val e = freshEngine
     val out = e.runSerialIgnore(Seq(

@@ -77,6 +77,31 @@ class StreamingSpec extends SparkSpec {
     assert(got.sameElements(batch))
   }
 
+  test("dropDuplicatesWithinWatermark replays to the batch distinct-by-key answer") {
+    val (in, cp) = freshDirs()
+    val stream = EventStreams.dedupEventsWithinWatermark(EventStreams.readEvents(spark, in))
+    val got = EventStreams.runAvailableNow(stream, "dedup_wm_sink", "append", cp)
+      .map(_.getLong(0)).sorted
+    val batch = Tables.load(spark, sfDir, "events")
+      .dropDuplicates("event_id").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(batch))
+  }
+
+  test("flatMapGroupsWithState summaries equal the batch per-user aggregate") {
+    val (in, cp) = freshDirs()
+    val stream = EventStreams.userBatchSummaries(EventStreams.readEvents(spark, in))
+    val got = EventStreams.runAvailableNow(stream.toDF(), "flat_state_sink", "append", cp)
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 100)))
+      .sortBy(_._1)
+    val batch = Tables.load(spark, sfDir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 100)))
+      .sortBy(_._1)
+    assert(got.sameElements(batch))
+  }
+
   test("stateful mapGroupsWithState totals equal the batch per-user aggregate") {
     val (in, cp) = freshDirs()
     val stream = EventStreams.runningUserTotals(EventStreams.readEvents(spark, in))
