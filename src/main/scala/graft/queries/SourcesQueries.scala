@@ -102,7 +102,25 @@ object SourcesQueries {
            |  cast(l_quantity as decimal(18,4)) AS qty
            |FROM lineitem ORDER BY l_orderkey, l_linenumber, qty""".stripMargin))
 
+  /** Table registry / catalog surface: every fixture registered as a
+    * temp view, queried by name through spark.sql — the analog of the
+    * reference handing handlers a connection to a named-table database.
+    */
+  private val tableRegistry = Q(
+    (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql("""SELECT o.o_orderstatus, count(*) AS n,
+              |  sum(cast(l.l_quantity as decimal(18,4))) AS sum_qty
+              |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+              |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin)
+    },
+    Some("""SELECT o.o_orderstatus, count(*) AS n,
+           |  sum(cast(l.l_quantity as decimal(18,4))) AS sum_qty
+           |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+           |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "src_table_registry" -> tableRegistry,
     "src_csv_roundtrip" -> csvRoundtrip,
     "src_json_roundtrip" -> jsonRoundtrip,
     "src_partitioned_write" -> partitionedWrite,

@@ -49,6 +49,16 @@ object EventStreams {
       .select(col("window.start").as("w_start"), col("event_type"),
               col("n"), col("sum_value"))
 
+  /** Sliding windows (10-minute size, 5-minute slide) — streaming form
+    * of `ts_sliding_window`; every event lands in two windows.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("n"))
+
   /** Session windows (30-minute gap) per user — streaming form of
     * `ts_session_window`.
     */

@@ -47,6 +47,31 @@ class StreamingSpec extends SparkSpec {
            s"stream=${got.take(3).mkString(",")} batch=${batch.take(3).mkString(",")}")
   }
 
+  test("sliding window stream replays to the batch answer") {
+    val (in, cp) = freshDirs()
+    val stream = EventStreams.slidingCounts(EventStreams.readEvents(spark, in))
+    val got = EventStreams.runAvailableNow(stream, "sliding_sink", "complete", cp)
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).sorted
+    val batch = Tables.load(spark, sfDir, "events")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start"), col("n"))
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).sorted
+    assert(got.sameElements(batch))
+  }
+
+  test("parquet streaming sink writes the deduped stream durably") {
+    val (in, cp) = freshDirs()
+    val out = s"$workDir/out-${System.nanoTime()}"
+    val stream = EventStreams.dedupEvents(EventStreams.readEvents(spark, in))
+    val q = EventStreams.parquetSink(stream, out, cp).start()
+    q.awaitTermination()
+    val written = spark.read.parquet(out).count()
+    val batch = Tables.load(spark, sfDir, "events").dropDuplicates("event_id").count()
+    assert(written == batch)
+  }
+
   test("streaming dedup replays to the batch distinct-by-key answer") {
     val (in, cp) = freshDirs()
     val stream = EventStreams.dedupEvents(EventStreams.readEvents(spark, in))
