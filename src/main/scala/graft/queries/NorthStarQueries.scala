@@ -315,6 +315,30 @@ object NorthStarQueries {
     Seq.tabulate(8, 64)((j, i) => sign(j, i + 1))
   }
 
+  /** Spark-side 8-bit sign-LSH bucket expression (and its DuckDB twin
+    * below) — shared by the bucket histogram and the cosine near-dup
+    * blocking join.
+    */
+  private val lshBucketExpr: String = {
+    val bit = (j: Int) => {
+      val arr = hyperplanes(j).mkString("array(", ", ", ")")
+      s"(CASE WHEN aggregate(zip_with(embedding, $arr, (x, h) -> " +
+        s"h * cast(floor(cast(x as double) * $S) as bigint)), " +
+        s"cast(0 as bigint), (acc, v) -> acc + v) >= 0 THEN ${1 << j} ELSE 0 END)"
+    }
+    (0 until 8).map(bit).mkString(" + ")
+  }
+
+  private val lshBucketSql: String = {
+    val bit = (j: Int) => {
+      val arr = hyperplanes(j).mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> " +
+        s"($arr)[i] * cast(floor(embedding[i]::double * $S) as bigint))) >= 0 " +
+        s"THEN ${1 << j} ELSE 0 END)"
+    }
+    (0 until 8).map(bit).mkString(" + ")
+  }
+
   /** Random-hyperplane (sign) LSH: 8 sign bits -> 256 buckets; docs in
     * the same bucket are cosine-similar candidates. Verified via bucket
     * histogram (any projection/sign divergence changes it). Map-only
@@ -323,31 +347,122 @@ object NorthStarQueries {
     */
   private val simLshBuckets = Q(
     (s, dir) => {
-      val bit = (j: Int) => {
-        val arr = hyperplanes(j).mkString("array(", ", ", ")")
-        s"(CASE WHEN aggregate(zip_with(embedding, $arr, (x, h) -> " +
-          s"h * cast(floor(cast(x as double) * $S) as bigint)), " +
-          s"cast(0 as bigint), (acc, v) -> acc + v) >= 0 THEN ${1 << j} ELSE 0 END)"
-      }
-      val bucket = (0 until 8).map(bit).mkString(" + ")
       TS(s, dir, "embeddings")
-        .select(col("vec_id"), expr(bucket).as("bucket"))
+        .select(col("vec_id"), expr(lshBucketExpr).as("bucket"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"))
         .orderBy(col("bucket"))
     },
-    Some {
-      val bit = (j: Int) => {
-        val arr = hyperplanes(j).mkString("[", ", ", "]")
-        s"(CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> " +
-          s"($arr)[i] * cast(floor(embedding[i]::double * $S) as bigint))) >= 0 " +
-          s"THEN ${1 << j} ELSE 0 END)"
-      }
-      val bucket = (0 until 8).map(bit).mkString(" + ")
-      s"""WITH b AS (SELECT vec_id, $bucket AS bucket FROM embeddings)
+    Some(
+      s"""WITH b AS (SELECT vec_id, $lshBucketSql AS bucket FROM embeddings)
          |SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec
-         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
-    })
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin))
+
+  /** Embedding-cosine near-dup: sign-LSH bucket blocking, then exact
+    * cosine only within buckets — the top 10 most-similar in-bucket
+    * pairs. The blocking join is the 100 TB design: candidate pairs are
+    * O(sum of bucket sizes squared), never O(N^2).
+    */
+  private val dedupEmbeddingCosine = Q(
+    (s, dir) => {
+      graft.expressions.ScaledDotProduct.registerIn(s)
+      val e = TS(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+                expr(lshBucketExpr).as("bucket"),
+                expr("scaled_dot(embedding, embedding)").as("nrm"))
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+                       col("bucket"), col("nrm").as("a_nrm"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+                       col("bucket").as("bucket_b"), col("nrm").as("b_nrm"))
+      a.join(b, col("bucket") === col("bucket_b") && col("a_id") < col("b_id"))
+        .withColumn("cos", expr("scaled_dot(a_emb, b_emb)").cast("double") /
+          (sqrt(col("a_nrm").cast("double")) * sqrt(col("b_nrm").cast("double"))))
+        .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("a_id"), col("b_id"))
+        .limit(10)
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, embedding, $lshBucketSql AS bucket,
+            |    ${scaledDotSql("embedding", "embedding")} AS nrm
+            |  FROM embeddings
+            |), p AS (
+            |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+            |    cast(${scaledDotSql("a.embedding", "b.embedding")} as double)
+            |      / (sqrt(cast(a.nrm as double)) * sqrt(cast(b.nrm as double))) AS cos
+            |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            |)
+            |SELECT a_id, b_id, round(cos, 6) AS cos_sim
+            |FROM p ORDER BY cos_sim DESC, a_id, b_id LIMIT 10""".stripMargin))
+
+  /** IVF (inverted-file) ANN, nprobe=1: 16 fixed coarse centroids
+    * (vec_ids 100..115), every vector assigned to its nearest centroid
+    * (broadcast argmax), queries probe only their own cell. The
+    * coarse-quantize-then-local-search structure is the standard
+    * billion-scale ANN layout; recall tradeoffs are the caller's knob
+    * (nprobe), correctness of the plumbing is what the oracle checks.
+    */
+  private val simIvfTopk = Q(
+    (s, dir) => {
+      graft.expressions.ScaledDotProduct.registerIn(s)
+      val e = TS(s, dir, "embeddings")
+        .withColumn("nrm", expr("scaled_dot(embedding, embedding)"))
+      val cen = e.where(col("vec_id").between(100, 115))
+        .select(col("vec_id").as("cen_id"), col("embedding").as("cen_emb"),
+                col("nrm").as("cen_nrm"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cen_cos").desc, col("cen_id"))
+      val assigned = e.join(broadcast(cen), lit(true))
+        .withColumn("cen_cos", expr("scaled_dot(embedding, cen_emb)").cast("double") /
+          (sqrt(col("nrm").cast("double")) * sqrt(col("cen_nrm").cast("double"))))
+        .withColumn("arn", row_number().over(wAssign))
+        .where(col("arn") === 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cen_id").as("cell"))
+      val q = assigned.where(col("vec_id") < 16)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+                col("nrm").as("nq"), col("cell"))
+      val c = assigned
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+                col("nrm").as("nc"), col("cell").as("cell_c"))
+      val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+      q.join(c, col("cell") === col("cell_c") && col("q_id") =!= col("c_id"))
+        .withColumn("cos", expr("scaled_dot(q_emb, c_emb)").cast("double") /
+          (sqrt(col("nq").cast("double")) * sqrt(col("nc").cast("double"))))
+        .withColumn("rnk", row_number().over(wTop))
+        .where(col("rnk") <= 3)
+        .select(col("q_id"), col("rnk"), col("c_id"), round(col("cos"), 6).as("cos_sim"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, embedding,
+            |    ${scaledDotSql("embedding", "embedding")} AS nrm
+            |  FROM embeddings
+            |), cen AS (
+            |  SELECT vec_id AS cen_id, embedding AS cen_emb, nrm AS cen_nrm
+            |  FROM e WHERE vec_id BETWEEN 100 AND 115
+            |), scored AS (
+            |  SELECT e.vec_id, e.embedding, e.nrm, cen.cen_id,
+            |    cast(${scaledDotSql("e.embedding", "cen.cen_emb")} as double)
+            |      / (sqrt(cast(e.nrm as double)) * sqrt(cast(cen.cen_nrm as double))) AS cen_cos
+            |  FROM e, cen
+            |), assigned AS (
+            |  SELECT vec_id, embedding, nrm, cen_id AS cell FROM (
+            |    SELECT *, row_number() OVER (PARTITION BY vec_id
+            |                                 ORDER BY cen_cos DESC, cen_id) AS arn
+            |    FROM scored) WHERE arn = 1
+            |), p AS (
+            |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+            |    cast(${scaledDotSql("q.embedding", "c.embedding")} as double)
+            |      / (sqrt(cast(q.nrm as double)) * sqrt(cast(c.nrm as double))) AS cos
+            |  FROM assigned q JOIN assigned c
+            |    ON q.cell = c.cell AND q.vec_id <> c.vec_id
+            |  WHERE q.vec_id < 16
+            |), r AS (
+            |  SELECT q_id, c_id, cos,
+            |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+            |  FROM p
+            |)
+            |SELECT q_id, rnk, c_id, round(cos, 6) AS cos_sim
+            |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin))
 
   // ---------------------------------------------------------------------
   // Text analysis
@@ -508,8 +623,10 @@ object NorthStarQueries {
     "ns_dedup_minhash_lsh" -> dedupMinhashLsh,
     "ns_dedup_simhash" -> dedupSimhash,
     "ns_dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "ns_dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "ns_sim_cosine_topk" -> simCosineTopk,
     "ns_sim_lsh_buckets" -> simLshBuckets,
+    "ns_sim_ivf_topk" -> simIvfTopk,
     "ns_text_langid" -> textLangid,
     "ns_text_quality" -> textQuality,
     "ns_text_token_counts" -> textTokenCounts,

@@ -475,6 +475,26 @@ object RelationalQueries {
            |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
            |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST, n""".stripMargin))
 
+  /** grouping() markers distinguish real NULL group keys from rollup
+    * subtotal rows (portable to DuckDB, unlike grouping_id's bit order).
+    */
+  private val aggGroupingId = Q(
+    (s, dir) =>
+      T(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+             grouping(col("o_orderstatus")).as("g_status"),
+             grouping(col("o_orderpriority")).as("g_prio"))
+        .orderBy(col("g_status"), col("g_prio"),
+                 col("o_orderstatus").asc_nulls_first,
+                 col("o_orderpriority").asc_nulls_first),
+    Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           |  grouping(o_orderstatus) AS g_status,
+           |  grouping(o_orderpriority) AS g_prio
+           |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+           |ORDER BY g_status, g_prio,
+           |  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin))
+
   private val aggHaving = Q(
     (s, dir) =>
       T(s, dir, "lineitem")
@@ -777,6 +797,7 @@ object RelationalQueries {
     "agg_rollup" -> aggRollup,
     "agg_cube" -> aggCube,
     "agg_grouping_sets" -> aggGroupingSets,
+    "agg_grouping_id" -> aggGroupingId,
     "agg_having" -> aggHaving,
     "agg_filtered_conditional" -> aggFilteredConditional,
     "agg_pivot" -> aggPivot,
