@@ -536,6 +536,61 @@ object RelationalQueries {
            |  sum(cast(l_quantity as decimal(18,4))) FILTER (WHERE l_linestatus = 'O') AS O
            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
+  /** Salted two-level aggregation over the (intentionally tiny-keyspace,
+    * i.e. maximally skewed) l_returnflag grouping: partial per
+    * (key, salt), merge per key — same answer as the direct groupBy,
+    * without the single-reducer-per-hot-key ceiling. Oracle is the plain
+    * aggregate; the salting must be semantically invisible.
+    */
+  private val aggSaltedSkew = Q(
+    (s, dir) => {
+      val out = graft.operators.SkewSalt.saltedAgg(
+        T(s, dir, "lineitem"),
+        key = col("l_returnflag"),
+        saltSource = col("l_orderkey"),
+        salts = 16,
+        partials = Seq(
+          (sum(col("l_quantity").cast("decimal(18,4)")), "sum_qty"),
+          (count(lit(1)), "n")),
+        merged = Seq(
+          ("sum_qty", (n: String) => sum(col(n))),
+          ("n", (n: String) => sum(col(n)))))
+      out.select(col("key").as("l_returnflag"), col("sum_qty"), col("n"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag,
+           |  sum(cast(l_quantity as decimal(18,4))) AS sum_qty,
+           |  count(*) AS n
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  /** Unpivot (melt): wide per-flag sums back to long (name, value) rows
+    * — the inverse of pivot, Spark's `unpivot` API vs DuckDB UNPIVOT.
+    */
+  private val aggUnpivot = Q(
+    (s, dir) => {
+      val wide = T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("l_linestatus") === "F", col("l_quantity")).otherwise(0)
+            .cast("decimal(18,4)")).as("qty_f"),
+          sum(when(col("l_linestatus") === "O", col("l_quantity")).otherwise(0)
+            .cast("decimal(18,4)")).as("qty_o"))
+      wide.unpivot(
+          Array(col("l_returnflag")),
+          Array(col("qty_f"), col("qty_o")),
+          "status_col", "qty")
+        .orderBy(col("l_returnflag"), col("status_col"))
+    },
+    Some("""WITH wide AS (
+           |  SELECT l_returnflag,
+           |    sum(cast(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END as decimal(18,4))) AS qty_f,
+           |    sum(cast(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END as decimal(18,4))) AS qty_o
+           |  FROM lineitem GROUP BY l_returnflag
+           |)
+           |SELECT l_returnflag, status_col, qty
+           |FROM wide UNPIVOT (qty FOR status_col IN (qty_f, qty_o))
+           |ORDER BY l_returnflag, status_col""".stripMargin))
+
   // ---------------------------------------------------------------------
   // Window functions
   // ---------------------------------------------------------------------
@@ -801,6 +856,8 @@ object RelationalQueries {
     "agg_having" -> aggHaving,
     "agg_filtered_conditional" -> aggFilteredConditional,
     "agg_pivot" -> aggPivot,
+    "agg_unpivot" -> aggUnpivot,
+    "agg_salted_skew" -> aggSaltedSkew,
     "window_ranking" -> windowRanking,
     "window_lag_lead" -> windowLagLead,
     "window_running_frames" -> windowRunningFrames,
