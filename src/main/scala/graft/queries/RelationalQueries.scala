@@ -824,6 +824,50 @@ object RelationalQueries {
     Some(s"SELECT k FROM ($bigSpendersSql EXCEPT ALL $buildersSql) ORDER BY k"))
 
   // ---------------------------------------------------------------------
+  // SQL-form queries (subquery decorrelation, CTEs)
+  // ---------------------------------------------------------------------
+
+  /** Correlated scalar subquery + CTE, run as SQL text: Catalyst's
+    * RewriteCorrelatedScalarSubquery turns the per-row subquery into a
+    * left outer aggregate join (SURVEY §4.2 — free from the optimizer;
+    * the plan has no per-row execution).
+    */
+  private val sqlCorrelatedScalar = Q(
+    (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql("""WITH big AS (SELECT * FROM customer WHERE c_acctbal > 0)
+              |SELECT c_custkey,
+              |  (SELECT cast(max(o_totalprice) as decimal(18,4)) FROM orders
+              |   WHERE o_custkey = c_custkey) AS max_price,
+              |  (SELECT count(*) FROM orders
+              |   WHERE o_custkey = c_custkey) AS n_orders
+              |FROM big ORDER BY c_custkey""".stripMargin)
+    },
+    Some("""WITH big AS (SELECT * FROM customer WHERE c_acctbal > 0)
+           |SELECT c_custkey,
+           |  (SELECT cast(max(o_totalprice) as decimal(18,4)) FROM orders
+           |   WHERE o_custkey = c_custkey) AS max_price,
+           |  (SELECT count(*) FROM orders
+           |   WHERE o_custkey = c_custkey) AS n_orders
+           |FROM big ORDER BY c_custkey""".stripMargin))
+
+  /** IN / NOT IN subqueries as SQL — Catalyst rewrites to semi/anti
+    * joins (RewritePredicateSubquery).
+    */
+  private val sqlInSubquery = Q(
+    (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql("""SELECT c_custkey, c_mktsegment FROM customer
+              |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
+              |  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+              |ORDER BY c_custkey""".stripMargin)
+    },
+    Some("""SELECT c_custkey, c_mktsegment FROM customer
+           |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
+           |  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+           |ORDER BY c_custkey""".stripMargin))
+
+  // ---------------------------------------------------------------------
   // Assembled inventory
   // ---------------------------------------------------------------------
 
@@ -872,6 +916,8 @@ object RelationalQueries {
     "set_intersect" -> setIntersect,
     "set_except" -> setExcept,
     "set_intersect_all" -> setIntersectAll,
-    "set_except_all" -> setExceptAll
+    "set_except_all" -> setExceptAll,
+    "sql_correlated_scalar" -> sqlCorrelatedScalar,
+    "sql_in_subquery" -> sqlInSubquery
   )
 }

@@ -146,6 +146,21 @@ class EngineSpec extends SparkSpec {
     assert(out.toSeq == Seq(("ok", true), ("missing-cmd", false), ("ok", true)))
   }
 
+  test("concurrent queries on the shared session all succeed (pooled-handler analog)") {
+    val e = freshEngine
+    e.register("par")((s, _, args) => {
+      import s.implicits._
+      val n = args.head.toString.toInt
+      (1 to n).map(i => (i, i * 2)).toDF("a", "b").groupBy(col("a") % 3).count()
+    })
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val futures = (1 to 4).map(i => Future(e.query("par", Seq(100 * i))))
+    val results = Await.result(Future.sequence(futures), 120.seconds)
+    assert(results.forall(_.isSuccess))
+  }
+
   test("runSerialIgnore: failures skipped, successes kept in order") {
     val e = freshEngine
     val out = e.runSerialIgnore(Seq(
