@@ -70,4 +70,53 @@ object Multimodal {
     */
   def withPayload(documents: DataFrame): DataFrame =
     documents.withColumn("payload", encode(col("text"), "UTF-8"))
+
+  /** "Resize" stub: deterministic fixed-length feature vector from the
+    * payload (byte-bucket histogram, L1-normalized) — stands in for an
+    * image thumbnail / mel spectrogram. Shape contract: every row yields
+    * exactly `dim` floats, the invariant a downstream embedding model
+    * needs. Narrow stage, same batch plumbing as [[decodeAll]].
+    */
+  final case class MediaFeature(docId: Long, feature: Array[Float])
+
+  def featurizeAll(df: DataFrame, dim: Int = 16): Dataset[MediaFeature] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val hist = new Array[Float](dim)
+          var i = 0
+          while (i < bytes.length) { hist((bytes(i) & 0xff) % dim) += 1f; i += 1 }
+          val total = math.max(bytes.length, 1).toFloat
+          var j = 0
+          while (j < dim) { hist(j) /= total; j += 1 }
+          MediaFeature(id, hist)
+        }
+      }
+  }
+
+  /** "Frame sample" stub: split the payload into `frames` contiguous
+    * chunks and keep the first `bytesPerFrame` bytes of each — the
+    * video-keyframe-sampling shape (one row in, `frames` rows out, a
+    * generator/UDTF-style expansion done partition-locally).
+    */
+  final case class MediaFrame(docId: Long, frameIdx: Int, frame: Array[Byte])
+
+  def sampleFrames(df: DataFrame, frames: Int = 4, bytesPerFrame: Int = 8): Dataset[MediaFrame] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val chunk = math.max(bytes.length / frames, 1)
+        (0 until frames).iterator
+          .map(f => (f, f * chunk))
+          .takeWhile { case (_, off) => off < bytes.length }
+          .map { case (f, off) =>
+            MediaFrame(id, f, bytes.slice(off, math.min(off + bytesPerFrame, bytes.length)))
+          }
+      }
+  }
 }

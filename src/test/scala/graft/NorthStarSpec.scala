@@ -82,6 +82,21 @@ class NorthStarSpec extends SparkSpec {
       .sameElements(again.map(m => (m.docId, m.checksum)).sortBy(_._1)))
   }
 
+  test("multimodal featurize emits fixed-dim L1-normalized vectors; frame sampling bounds rows") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(10)
+    val feats = Multimodal.featurizeAll(Multimodal.withPayload(docs), dim = 16).collect()
+    assert(feats.length == 10)
+    feats.foreach { f =>
+      assert(f.feature.length == 16, "shape contract: every row exactly dim floats")
+      assert(math.abs(f.feature.sum - 1.0f) < 1e-3, "L1-normalized histogram")
+    }
+    val frames = Multimodal.sampleFrames(Multimodal.withPayload(docs), frames = 4).collect()
+    assert(frames.nonEmpty && frames.forall(f => f.frameIdx >= 0 && f.frameIdx < 4))
+    assert(frames.forall(_.frame.length <= 8))
+    // one doc yields at most 4 frames
+    assert(frames.groupBy(_.docId).values.forall(_.length <= 4))
+  }
+
   test("spark-native hashes are stable across runs (rows-only query determinism)") {
     val c = Tables.load(spark, sfDir, "customer")
     val h1 = c.select(xxhash64(col("c_name"))).collect().map(_.getLong(0))
