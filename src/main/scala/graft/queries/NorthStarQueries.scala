@@ -464,6 +464,40 @@ object NorthStarQueries {
             |SELECT q_id, rnk, c_id, round(cos, 6) AS cos_sim
             |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin))
 
+  /** Scalar int8 quantization of embeddings (the storage-compression
+    * path for vector corpora: 4x smaller than float32): q_i =
+    * clamp(floor(x_i * 127), -127, 127), with the exact quantized sum,
+    * clip count, and max reconstruction error per vector. Map-only.
+    */
+  private val embedQuantize = Q(
+    (s, dir) =>
+      TS(s, dir, "embeddings")
+        .withColumn("q", expr(
+          "transform(embedding, x -> cast(greatest(-127, least(127, " +
+            "floor(cast(x as double) * 127))) as int))"))
+        .select(
+          col("vec_id"),
+          expr("aggregate(q, 0, (acc, v) -> acc + v)").as("q_sum"),
+          expr("size(filter(embedding, x -> abs(cast(x as double) * 127) > 127))")
+            .as("n_clipped"),
+          round(expr(
+            "array_max(zip_with(q, embedding, (qi, x) -> " +
+              "abs(cast(qi as double) / 127 - cast(x as double))))"), 6)
+            .as("max_err"))
+        .orderBy(col("vec_id")),
+    Some("""WITH q AS (
+           |  SELECT vec_id, embedding,
+           |    list_transform(embedding, x -> cast(greatest(-127, least(127,
+           |      floor(x::double * 127))) as int)) AS qv
+           |  FROM embeddings
+           |)
+           |SELECT vec_id,
+           |  cast(list_sum(qv) as int) AS q_sum,
+           |  len(list_filter(embedding, x -> abs(x::double * 127) > 127)) AS n_clipped,
+           |  round(list_max(list_transform(generate_series(1, len(qv)),
+           |    i -> abs(cast(qv[i] as double) / 127 - embedding[i]::double))), 6) AS max_err
+           |FROM q ORDER BY vec_id""".stripMargin))
+
   // ---------------------------------------------------------------------
   // Text analysis
   // ---------------------------------------------------------------------
@@ -614,6 +648,55 @@ object NorthStarQueries {
            |  sha256(text) AS content_id
            |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** End-to-end corpus curation (the operators composed the way a real
+    * training-data pipeline chains them): exact-dedup to keepers ->
+    * quality + stopword-ratio filters -> per-(lang, source) corpus stats
+    * with token budgets. One scan, two shuffles (dedup group + stats
+    * group) — the whole pipeline stays a single declarative plan.
+    */
+  private val pipelineCorpus = Q(
+    (s, dir) => {
+      val docs = T(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_toks", size(col("toks")))
+        .withColumn("stop_ratio",
+          expr(s"size(filter(toks, t -> array_contains($stopArr, t)))").cast("double") /
+            col("n_toks"))
+        .withColumn("distinct_ratio",
+          size(array_distinct(col("toks"))).cast("double") / col("n_toks"))
+      val dedupW = Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))
+      val keepers = docs
+        .withColumn("rn", row_number().over(dedupW))
+        .where(col("rn") === 1)
+        .where(col("n_toks") >= 10 && col("distinct_ratio") >= 0.2 &&
+               col("stop_ratio") >= 0.01)
+      keepers
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_toks")).as("total_tokens"),
+             round(avg(col("n_toks")), 6).as("avg_tokens"),
+             sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang"), col("source"))
+    },
+    Some("""WITH scored AS (
+           |  SELECT doc_id, lang, source, n_chars,
+           |    len(string_split(text, ' ')) AS n_toks,
+           |    cast(len(list_filter(string_split(text, ' '),
+           |      t -> list_contains(['the','a','of','and','to','in','is','it'], t))) as double)
+           |      / len(string_split(text, ' ')) AS stop_ratio,
+           |    cast(len(list_distinct(string_split(text, ' '))) as double)
+           |      / len(string_split(text, ' ')) AS distinct_ratio,
+           |    row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+           |  FROM documents
+           |)
+           |SELECT lang, source, count(*) AS n_docs,
+           |  sum(n_toks) AS total_tokens,
+           |  round(avg(n_toks), 6) AS avg_tokens,
+           |  sum(n_chars) AS total_chars
+           |FROM scored
+           |WHERE rn = 1 AND n_toks >= 10 AND distinct_ratio >= 0.2 AND stop_ratio >= 0.01
+           |GROUP BY lang, source ORDER BY lang, source""".stripMargin))
+
   // ---------------------------------------------------------------------
   // Assembled inventory
   // ---------------------------------------------------------------------
@@ -632,6 +715,8 @@ object NorthStarQueries {
     "ns_text_token_counts" -> textTokenCounts,
     "ns_text_top_terms" -> textTopTerms,
     "ns_text_fingerprint" -> textFingerprint,
-    "ns_multimodal_binary" -> multimodalBinary
+    "ns_multimodal_binary" -> multimodalBinary,
+    "ns_embed_quantize" -> embedQuantize,
+    "ns_pipeline_corpus" -> pipelineCorpus
   )
 }
