@@ -119,7 +119,42 @@ object SourcesQueries {
            |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
            |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin))
 
+  /** Bucketed co-located join: both fact tables written `bucketBy` the
+    * join key (8 buckets, sorted) into the session catalog, then joined
+    * bucket-to-bucket. With matching bucketing on both sides Catalyst
+    * drops the join-side Exchanges entirely — the layout that turns the
+    * biggest recurring shuffle at 100 TB into a local merge (plan
+    * property asserted in BucketedJoinSpec; here the oracle checks
+    * semantics against the unbucketed join).
+    */
+  private val bucketedJoin = Q(
+    (s, dir) => {
+      T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$tmpRoot/bucketed/g_orders_b")
+        .saveAsTable("g_orders_b")
+      T(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$tmpRoot/bucketed/g_lineitem_b")
+        .saveAsTable("g_lineitem_b")
+      s.table("g_orders_b")
+        .join(s.table("g_lineitem_b"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("l_quantity").cast("decimal(18,4)")).as("sum_qty"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n,
+           |  sum(cast(l_quantity as decimal(18,4))) AS sum_qty
+           |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "src_bucketed_join" -> bucketedJoin,
     "src_table_registry" -> tableRegistry,
     "src_csv_roundtrip" -> csvRoundtrip,
     "src_json_roundtrip" -> jsonRoundtrip,
