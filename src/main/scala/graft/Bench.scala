@@ -29,10 +29,11 @@ object Bench {
         try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
         catch { case _: Throwable => () }
       }
-    // Min of two timed runs per query: one-off GC/straggler pauses in a
-    // shared local JVM otherwise dominate individual measurements.
+    // Min of three timed runs per query: one-off GC/straggler pauses in
+    // a shared local JVM otherwise dominate individual measurements
+    // (observed: the same query varying 1.6s..5.6s across runs).
     val results = bench.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case e: Throwable =>
