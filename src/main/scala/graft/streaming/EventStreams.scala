@@ -146,6 +146,46 @@ object EventStreams {
       }
   }
 
+  /** Spark 4 `transformWithState` — the arbitrary-state API that
+    * supersedes mapGroupsWithState (typed state handles, timers, TTL).
+    * Per-user running totals again, so the three stateful formulations
+    * are directly comparable. Requires the RocksDB state store provider
+    * (set in the caller's session conf).
+    */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Double), (Long, Long, Double)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var totals: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Double)](
+        "totals", Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble), TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[(Long, Double)],
+        timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+      val (n0, s0) = Option(totals.get()).getOrElse((0L, 0.0))
+      var n = n0
+      var s = s0
+      rows.foreach { r => n += 1; s += r._2 }
+      totals.update((n, s))
+      Iterator.single((key, n, s))
+    }
+  }
+
+  def runningUserTotalsTws(events: DataFrame): org.apache.spark.sql.Dataset[(Long, Long, Double)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningTotalsProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
   /** Run a streaming DataFrame to completion over the files currently in
     * the source directory (`Trigger.AvailableNow`), collecting from a
     * named in-memory sink. `outputMode` is "append" for row streams and

@@ -145,6 +145,29 @@ class StreamingSpec extends SparkSpec {
     assert(got.sameElements(batch))
   }
 
+  test("transformWithState totals equal the batch per-user aggregate (RocksDB store)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (in, cp) = freshDirs()
+      val stream = EventStreams.runningUserTotalsTws(EventStreams.readEvents(spark, in))
+      val got = EventStreams.runAvailableNow(stream.toDF(), "tws_sink", "update", cp)
+        .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 100)))
+        .sortBy(_._1)
+      val batch = Tables.load(spark, sfDir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 100)))
+        .sortBy(_._1)
+      assert(got.sameElements(batch))
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("session window stream replays to the batch session answer") {
     val (in, cp) = freshDirs()
     val stream = EventStreams.sessionCounts(EventStreams.readEvents(spark, in))
