@@ -464,6 +464,39 @@ object NorthStarQueries {
             |SELECT q_id, rnk, c_id, round(cos, 6) AS cos_sim
             |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin))
 
+  /** Edit-distance near-dup: blocked pairs (same source, close length)
+    * scored by levenshtein over a fixed prefix — the fuzzy-match dedup
+    * flavor for short fields (titles, URLs). Blocking keeps the pair
+    * count linear-ish; the prefix bound caps the O(m*n) DP cost per pair.
+    */
+  private val dedupEditDistance = Q(
+    (s, dir) => {
+      val d = TS(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+                substring(col("text"), 1, 40).as("head40"))
+      val a = d.select(col("doc_id").as("doc_a"), col("source"),
+                       col("n_chars").as("ca"), col("head40").as("ha"))
+      val b = d.select(col("doc_id").as("doc_b"), col("source").as("source_b"),
+                       col("n_chars").as("cb"), col("head40").as("hb"))
+      a.join(b, col("source") === col("source_b") &&
+               col("doc_a") < col("doc_b") &&
+               abs(col("ca") - col("cb")) <= 10)
+        .select(col("doc_a"), col("doc_b"),
+                levenshtein(col("ha"), col("hb")).as("edit_dist"))
+        .orderBy(col("edit_dist"), col("doc_a"), col("doc_b"))
+        .limit(20)
+    },
+    Some("""WITH d AS (
+           |  SELECT doc_id, source, n_chars, substr(text, 1, 40) AS head40
+           |  FROM documents
+           |)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  levenshtein(a.head40, b.head40) AS edit_dist
+           |FROM d a JOIN d b
+           |  ON a.source = b.source AND a.doc_id < b.doc_id
+           | AND abs(a.n_chars - b.n_chars) <= 10
+           |ORDER BY edit_dist, doc_a, doc_b LIMIT 20""".stripMargin))
+
   /** Scalar int8 quantization of embeddings (the storage-compression
     * path for vector corpora: 4x smaller than float32): q_i =
     * clamp(floor(x_i * 127), -127, 127), with the exact quantized sum,
@@ -707,6 +740,7 @@ object NorthStarQueries {
     "ns_dedup_simhash" -> dedupSimhash,
     "ns_dedup_ngram_jaccard" -> dedupNgramJaccard,
     "ns_dedup_embedding_cosine" -> dedupEmbeddingCosine,
+    "ns_dedup_edit_distance" -> dedupEditDistance,
     "ns_sim_cosine_topk" -> simCosineTopk,
     "ns_sim_lsh_buckets" -> simLshBuckets,
     "ns_sim_ivf_topk" -> simIvfTopk,

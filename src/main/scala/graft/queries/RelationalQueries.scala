@@ -824,6 +824,69 @@ object RelationalQueries {
     Some(s"SELECT k FROM ($bigSpendersSql EXCEPT ALL $buildersSql) ORDER BY k"))
 
   // ---------------------------------------------------------------------
+  // Compound analytical shapes (TPC-H-style)
+  // ---------------------------------------------------------------------
+
+  /** TPC-H Q3 shape: shipping-priority top-k — selective filters on two
+    * tables, join, revenue aggregate, global top-10 (TakeOrderedAndProject).
+    */
+  private val tpchQ3Shape = Q(
+    (s, dir) => {
+      val c = T(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      val o = T(s, dir, "orders")
+        .where(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val l = T(s, dir, "lineitem")
+        .where(col("l_shipdate") > lit("1996-12-31").cast("timestamp"))
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)")).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT o_orderkey, o_orderdate, o_orderpriority,
+           |  sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6))) AS revenue
+           |FROM customer
+           |JOIN orders ON c_custkey = o_custkey
+           |JOIN lineitem ON o_orderkey = l_orderkey
+           |WHERE c_mktsegment = 'BUILDING'
+           |  AND o_orderdate < TIMESTAMP '1997-01-01'
+           |  AND l_shipdate > TIMESTAMP '1996-12-31'
+           |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+           |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin))
+
+  /** TPC-H Q10 shape: returned-item revenue by customer with dim join —
+    * the selective-fact + customer rollup report.
+    */
+  private val tpchQ10Shape = Q(
+    (s, dir) => {
+      val c = T(s, dir, "customer")
+      val o = T(s, dir, "orders")
+      val l = T(s, dir, "lineitem").where(col("l_returnflag") === "R")
+      val n = T(s, dir, "nation")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some("""SELECT c_custkey, c_name, n_name,
+           |  sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6))) AS revenue,
+           |  count(*) AS n_items
+           |FROM customer
+           |JOIN orders ON c_custkey = o_custkey
+           |JOIN lineitem ON o_orderkey = l_orderkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |WHERE l_returnflag = 'R'
+           |GROUP BY c_custkey, c_name, n_name
+           |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin))
+
+  // ---------------------------------------------------------------------
   // SQL-form queries (subquery decorrelation, CTEs)
   // ---------------------------------------------------------------------
 
@@ -918,6 +981,8 @@ object RelationalQueries {
     "set_intersect_all" -> setIntersectAll,
     "set_except_all" -> setExceptAll,
     "sql_correlated_scalar" -> sqlCorrelatedScalar,
-    "sql_in_subquery" -> sqlInSubquery
+    "sql_in_subquery" -> sqlInSubquery,
+    "tpch_q3_shape" -> tpchQ3Shape,
+    "tpch_q10_shape" -> tpchQ10Shape
   )
 }
