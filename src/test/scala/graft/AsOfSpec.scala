@@ -41,6 +41,29 @@ class AsOfSpec extends SparkSpec {
       (3L, None)))         // no right rows for key
   }
 
+  test("strict backward excludes equal timestamps; forward picks at-or-after") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 12:00:00"))).toDF("k", "t")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "at10"),
+      (1L, ts("2024-01-01 11:00:00"), "at11")).toDF("k", "t", "v")
+
+    def run(dir: AsOf.Direction, strict: Boolean) =
+      AsOf.join(left, right, col("k"), col("k"), col("t"), col("t"),
+          col("v"), "p", dir, strict)
+        .orderBy(col("t")).collect().map(r => Option(r.getString(2))).toSeq
+
+    assert(run(AsOf.Backward, strict = false) == Seq(Some("at10"), Some("at11")))
+    // strict: the equal-timestamp right row at 10:00 is NOT visible
+    assert(run(AsOf.Backward, strict = true) == Seq(None, Some("at11")))
+    // forward: nearest at-or-after; 12:00 has nothing after it
+    assert(run(AsOf.Forward, strict = false) == Seq(Some("at10"), None))
+    // forward strict: 10:00 must skip its equal-timestamp row -> 11:00
+    assert(run(AsOf.Forward, strict = true) == Seq(Some("at11"), None))
+  }
+
   test("as-of join plan shuffles once on the key (no range explosion)") {
     import spark.implicits._
     val left = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("k", "t")
