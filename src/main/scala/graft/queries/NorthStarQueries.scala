@@ -656,6 +656,69 @@ object NorthStarQueries {
            |FROM n ORDER BY doc_id""".stripMargin))
 
   // ---------------------------------------------------------------------
+  // Sampling / profiling (corpus-pipeline utilities)
+  // ---------------------------------------------------------------------
+
+  /** Deterministic hash-based sampling — the reproducible way to
+    * subsample a training corpus (stable across runs, engines, and
+    * repartitioning, unlike RNG-based sample()): keep a doc iff
+    * md5("seed:"+doc_id) mod 100 < rate. Verified by per-lang stats of
+    * the 20% sample.
+    */
+  private val sampleHash = Q(
+    (s, dir) =>
+      T(s, dir, "documents")
+        .where(expr(
+          "cast(conv(substring(md5(concat('s1:', cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 100 < 20"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("n_chars")).as("sum_chars"),
+             min(col("doc_id")).as("min_id"),
+             max(col("doc_id")).as("max_id"))
+        .orderBy(col("lang")),
+    Some("""SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars,
+           |  min(doc_id) AS min_id, max(doc_id) AS max_id
+           |FROM documents
+           |WHERE cast('0x' || substr(md5('s1:' || cast(doc_id as varchar)), 1, 8) as bigint) % 100 < 20
+           |GROUP BY lang ORDER BY lang""".stripMargin))
+
+  /** Seeded stratified sampling (`DataFrame.stat.sampleBy`) — per-lang
+    * fractions with a fixed seed. RNG internals are engine-specific, so
+    * this is a rows-only gate entry; the fraction bounds are asserted in
+    * NorthStarSpec.
+    */
+  private val sampleStratified = Q(
+    (s, dir) =>
+      T(s, dir, "documents")
+        .stat.sampleBy("lang", Map("en" -> 0.5, "es" -> 0.3, "de" -> 0.2), 42L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang")),
+    None)
+
+  /** Column profiling — the pre-flight data-quality pass every corpus
+    * pipeline runs: per-stratum cardinalities, null counts, ranges and
+    * means in one aggregate scan.
+    */
+  private val profileDocuments = Q(
+    (s, dir) =>
+      T(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+             countDistinct(col("source")).as("nd_sources"),
+             sum(when(col("text").isNull, 1).otherwise(0)).as("n_null_text"),
+             min(col("n_chars")).as("min_chars"),
+             max(col("n_chars")).as("max_chars"),
+             round(avg(col("n_chars")), 6).as("avg_chars"))
+        .orderBy(col("lang")),
+    Some("""SELECT lang, count(*) AS n,
+           |  count(DISTINCT source) AS nd_sources,
+           |  sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS n_null_text,
+           |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+           |  round(avg(n_chars), 6) AS avg_chars
+           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+
+  // ---------------------------------------------------------------------
   // Multimodal: opaque binary payloads + typed metadata
   // ---------------------------------------------------------------------
 
@@ -751,6 +814,9 @@ object NorthStarQueries {
     "ns_text_fingerprint" -> textFingerprint,
     "ns_multimodal_binary" -> multimodalBinary,
     "ns_embed_quantize" -> embedQuantize,
-    "ns_pipeline_corpus" -> pipelineCorpus
+    "ns_pipeline_corpus" -> pipelineCorpus,
+    "ns_sample_hash" -> sampleHash,
+    "ns_sample_stratified" -> sampleStratified,
+    "ns_profile_documents" -> profileDocuments
   )
 }

@@ -97,6 +97,24 @@ class NorthStarSpec extends SparkSpec {
     assert(frames.groupBy(_.docId).values.forall(_.length <= 4))
   }
 
+  test("stratified sampling hits the requested fractions within tolerance, deterministically") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val fractions = Map("en" -> 0.5, "es" -> 0.3, "de" -> 0.2)
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def sample() = docs.stat.sampleBy("lang", fractions, 42L)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val s1 = sample()
+    fractions.foreach { case (lang, f) =>
+      totals.get(lang).filter(_ >= 30).foreach { total =>
+        val got = s1.getOrElse(lang, 0L).toDouble / total
+        assert(math.abs(got - f) < 0.2, s"$lang: got $got want ~$f")
+      }
+    }
+    assert(sample() == s1, "seeded sample must be reproducible")
+  }
+
   test("spark-native hashes are stable across runs (rows-only query determinism)") {
     val c = Tables.load(spark, sfDir, "customer")
     val h1 = c.select(xxhash64(col("c_name"))).collect().map(_.getLong(0))
