@@ -1,0 +1,62 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe: multiplies the lineitem fixture in-plan (crossJoin with
+  * a replica range, keys remapped to keep cardinality ratios) and times
+  * the headline operator shapes at Nx the bench scale. Evidence that the
+  * plans scale linearly rather than an official gate — run manually:
+  * `runMain graft.ScaleProbe /root/testdata/sf0.1 10`.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mult = args.lift(1).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val reps = spark.range(mult).select(col("id").as("rep"))
+    val big = Tables.load(spark, sfDir, "lineitem")
+      .crossJoin(broadcast(reps))
+      .withColumn("l_orderkey", col("l_orderkey") * mult + col("rep"))
+      .withColumn("l_partkey", col("l_partkey") * mult + col("rep"))
+    big.createOrReplaceTempView("big_lineitem")
+    val n = big.count()
+
+    def time(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"[scaleprobe] $name x$mult (${n} rows): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+
+    time("hash_agg_pricing") {
+      big.where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(18,4)")), count(lit(1)))
+        .write.mode("overwrite").format("noop").save()
+    }
+    time("high_card_groupby") {
+      big.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)), sum(col("l_quantity").cast("decimal(18,4)")))
+        .write.mode("overwrite").format("noop").save()
+    }
+    time("window_topk_per_suppkey") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_suppkey")).orderBy(col("l_extendedprice").desc, col("l_orderkey"))
+      big.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+        .write.mode("overwrite").format("noop").save()
+    }
+    time("global_topk") {
+      big.orderBy(col("l_extendedprice").desc, col("l_orderkey")).limit(100)
+        .write.mode("overwrite").format("noop").save()
+    }
+    spark.stop()
+  }
+}
