@@ -127,6 +127,26 @@ class StreamingSpec extends SparkSpec {
     assert(got.sameElements(batch))
   }
 
+  test("foreachBatch sink: per-microbatch custom write lands the full stream") {
+    val (in, cp) = freshDirs()
+    val out = s"$workDir/feb-${System.nanoTime()}"
+    val stream = EventStreams.dedupEvents(EventStreams.readEvents(spark, in))
+    val q = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", cp)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(out)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val written = spark.read.parquet(out)
+    assert(written.count() ==
+      Tables.load(spark, sfDir, "events").dropDuplicates("event_id").count())
+    assert(written.columns.contains("batch_id"))
+  }
+
   test("stateful mapGroupsWithState totals equal the batch per-user aggregate") {
     val (in, cp) = freshDirs()
     val stream = EventStreams.runningUserTotals(EventStreams.readEvents(spark, in))
