@@ -16,6 +16,10 @@ import Q.T
   */
 object ScalarQueries {
 
+  /** Exact, order-independent sum of a double column (see [[Q]]). */
+  private def dsum(c: org.apache.spark.sql.Column, alias: String) =
+    sum(c.cast("decimal(18,4)")).as(alias)
+
   // ---------------------------------------------------------------------
   // Strings
   // ---------------------------------------------------------------------
@@ -306,7 +310,68 @@ object ScalarQueries {
            |  cast(cast(c_acctbal as decimal(18,2)) as varchar) AS bal_str
            |FROM customer ORDER BY c_custkey""".stripMargin))
 
+  /** Error-tolerant casts (try_cast), interval arithmetic, null-skipping
+    * aggregate semantics, and regexp_extract_all — the edge-case corner
+    * of the scalar surface.
+    */
+  private val edgeCases = Q(
+    (s, dir) =>
+      T(s, dir, "orders")
+        .withColumn("maybe_int",
+          when(col("o_orderkey") % 3 === 0, concat(lit("x"), col("o_orderkey")))
+            .otherwise(col("o_orderkey").cast("string")))
+        .withColumn("nullable_price",
+          when(col("o_orderstatus") === "P", lit(null).cast("double"))
+            .otherwise(col("o_totalprice")))
+        .select(
+          col("o_orderkey"),
+          expr("try_cast(maybe_int as bigint)").as("tried_int"),
+          expr("try_cast(o_orderpriority as date)").as("tried_date"),
+          (col("o_orderdate") + expr("INTERVAL 90 MINUTE")).as("plus90m"),
+          (col("o_orderdate") - expr("INTERVAL 2 DAY")).as("minus2d"),
+          expr("regexp_extract_all(o_orderpriority, '([0-9]+)', 1)").as("prio_nums"),
+          col("nullable_price").cast("decimal(18,4)").as("np_dec"))
+        .orderBy(col("o_orderkey")),
+    Some("""SELECT o_orderkey,
+           |  try_cast(CASE WHEN o_orderkey % 3 = 0 THEN 'x' || cast(o_orderkey as varchar)
+           |                ELSE cast(o_orderkey as varchar) END as bigint) AS tried_int,
+           |  try_cast(o_orderpriority as date) AS tried_date,
+           |  o_orderdate + INTERVAL 90 MINUTE AS plus90m,
+           |  o_orderdate - INTERVAL 2 DAY AS minus2d,
+           |  regexp_extract_all(o_orderpriority, '[0-9]+') AS prio_nums,
+           |  cast(CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_totalprice END
+           |       as decimal(18,4)) AS np_dec
+           |FROM orders ORDER BY o_orderkey""".stripMargin))
+
+  /** Null-skipping aggregate semantics over an induced-null column:
+    * count/sum/avg/min/max ignore nulls; count(*) does not.
+    */
+  private val nullAggSemantics = Q(
+    (s, dir) =>
+      T(s, dir, "orders")
+        .withColumn("v",
+          when(col("o_orderstatus") === "P", lit(null).cast("double"))
+            .otherwise(col("o_totalprice")))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+             count(col("v")).as("n_vals"),
+             dsum(col("v"), "sum_v"),
+             min(col("v").cast("decimal(18,4)")).as("min_v"),
+             max(col("v").cast("decimal(18,4)")).as("max_v"))
+        .orderBy(col("o_orderstatus")),
+    Some("""SELECT o_orderstatus, count(*) AS n_rows,
+           |  count(v) AS n_vals,
+           |  sum(cast(v as decimal(18,4))) AS sum_v,
+           |  min(cast(v as decimal(18,4))) AS min_v,
+           |  max(cast(v as decimal(18,4))) AS max_v
+           |FROM (SELECT o_orderstatus,
+           |        CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_totalprice END AS v
+           |      FROM orders)
+           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "scalar_edge_cases" -> edgeCases,
+    "agg_null_semantics" -> nullAggSemantics,
     "scalar_string_funcs" -> stringFuncs,
     "scalar_datetime_funcs" -> datetimeFuncs,
     "scalar_datetime_funcs2" -> datetimeFuncs2,
