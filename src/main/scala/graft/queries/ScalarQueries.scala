@@ -65,6 +65,32 @@ object ScalarQueries {
            |  trim('  x  ') AS trimmed
            |FROM part ORDER BY p_partkey""".stripMargin))
 
+  /** Second string batch: formatting, char codes, affix tests. */
+  private val stringFuncs2 = Q(
+    (s, dir) =>
+      T(s, dir, "nation")
+        .select(
+          col("n_nationkey"),
+          format_string("%d/%s", col("n_nationkey"), col("n_name")).as("fmt"),
+          ascii(col("n_name")).as("first_code"),
+          expr("char(65 + n_nationkey % 26)").as("letter"),
+          expr("left(n_name, 3)").as("head3"),
+          expr("right(n_name, 3)").as("tail3"),
+          col("n_name").contains("A").as("has_a"),
+          col("n_name").startsWith("A").as("starts_a"),
+          col("n_name").endsWith("A").as("ends_a"))
+        .orderBy(col("n_nationkey")),
+    Some("""SELECT n_nationkey,
+           |  printf('%d/%s', n_nationkey, n_name) AS fmt,
+           |  ascii(n_name) AS first_code,
+           |  chr(65 + n_nationkey % 26) AS letter,
+           |  left(n_name, 3) AS head3,
+           |  right(n_name, 3) AS tail3,
+           |  contains(n_name, 'A') AS has_a,
+           |  starts_with(n_name, 'A') AS starts_a,
+           |  ends_with(n_name, 'A') AS ends_a
+           |FROM nation ORDER BY n_nationkey""".stripMargin))
+
   // ---------------------------------------------------------------------
   // Date / time (UTC session, see build.sbt)
   // ---------------------------------------------------------------------
@@ -373,6 +399,7 @@ object ScalarQueries {
     "scalar_edge_cases" -> edgeCases,
     "agg_null_semantics" -> nullAggSemantics,
     "scalar_string_funcs" -> stringFuncs,
+    "scalar_string_funcs2" -> stringFuncs2,
     "scalar_datetime_funcs" -> datetimeFuncs,
     "scalar_datetime_funcs2" -> datetimeFuncs2,
     "scalar_math_funcs" -> mathFuncs,

@@ -79,6 +79,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("as-of join agrees with the brute-force per-row maximum on generated data") {
+    import graft.operators.AsOf
+    val tsGen: Gen[List[(Int, Int, Int)]] = // (key, time, payload)
+      Gen.listOf(Gen.zip(Gen.choose(0, 3), Gen.choose(0, 50), Gen.choose(0, 999)))
+    (0 until 6).foreach { i =>
+      val lrows = tsGen(Gen.Parameters.default.withSize(25), Seed(500 + i)).getOrElse(Nil)
+      val rrows = tsGen(Gen.Parameters.default.withSize(25), Seed(600 + i)).getOrElse(Nil)
+      import spark.implicits._
+      val left = lrows.zipWithIndex.map { case ((k, t, _), id) => (id.toLong, k, t) }
+        .toDF("lid", "k", "t")
+      val right = rrows.map { case (k, t, p) => (k, t, p) }.toDF("k", "t", "p")
+      val got = AsOf.join(left, right,
+          col("k"), col("k"), col("t"), col("t"), col("p"), "asof_p")
+        .select(col("lid"), col("asof_p"))
+        .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.toString.toInt)).toMap
+      // brute-force reference: greatest payload among right rows at the
+      // max eligible time (matches AsOf's documented tie resolution)
+      val expected = lrows.zipWithIndex.map { case ((k, t, _), id) =>
+        val elig = rrows.filter(r => r._1 == k && r._2 <= t)
+        val best = if (elig.isEmpty) None else {
+          val tmax = elig.map(_._2).max
+          Some(elig.filter(_._2 == tmax).map(_._3).max)
+        }
+        id.toLong -> best
+      }.toMap
+      assert(got == expected, s"seed ${500 + i}")
+    }
+  }
+
   test("groupBy sum equals per-key scala sum (exact ints)") {
     samples(8).foreach { a =>
       val got = df(a).groupBy(col("k")).agg(sum(col("v")).as("s"))
