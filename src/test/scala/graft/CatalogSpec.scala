@@ -1,0 +1,52 @@
+package graft
+
+import graft.queries._
+
+/** Catalog hygiene: the driver contract silently degrades if query
+  * names collide across files (Map ++ keeps the last) or if a query
+  * loses its oracle without a documented reason.
+  */
+class CatalogSpec extends SparkSpec {
+
+  private val families = Seq(
+    "relational" -> RelationalQueries.all,
+    "timeseries" -> TimeSeriesQueries.all,
+    "scalar" -> ScalarQueries.all,
+    "sources" -> SourcesQueries.all,
+    "udf" -> UdfQueries.all,
+    "northstar" -> NorthStarQueries.all)
+
+  /** Queries intentionally without a DuckDB oracle (engine-specific
+    * internals); each is bound-checked in a spec instead.
+    */
+  private val rowsOnlyByDesign = Set(
+    "agg_approx_sketches",     // sketch internals differ across engines
+    "scalar_hash_spark_native", // xxhash64/crc32/murmur3 are Spark-specific
+    "ns_sample_stratified")    // RNG internals differ across engines
+
+  test("no query-name collisions across catalog files") {
+    val total = families.map(_._2.size).sum
+    assert(SparkEntry.catalog.size == total,
+      s"catalog has ${SparkEntry.catalog.size} entries but files declare $total — name collision")
+  }
+
+  test("every query has an oracle unless documented rows-only") {
+    val missing = SparkEntry.catalog.collect {
+      case (name, q) if q.oracle.isEmpty && !rowsOnlyByDesign(name) => name
+    }
+    assert(missing.isEmpty, s"queries without oracle or documented reason: $missing")
+    val stale = rowsOnlyByDesign.filterNot(SparkEntry.catalog.contains)
+    assert(stale.isEmpty, s"rows-only allowlist names unknown queries: $stale")
+  }
+
+  test("bench subset is non-empty and every bench query is oracled") {
+    val bench = SparkEntry.catalog.filter(_._2.bench)
+    assert(bench.size >= 8, s"expected >=8 headline queries, got ${bench.keys}")
+    val unoracled = bench.collect { case (n, q) if q.oracle.isEmpty => n }
+    assert(unoracled.isEmpty, s"bench queries without oracle: $unoracled")
+  }
+
+  test("entry (driver smoke) returns rows") {
+    assert(SparkEntry.entry(spark).collect().nonEmpty)
+  }
+}
