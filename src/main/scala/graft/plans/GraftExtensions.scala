@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.expressions.ScaledDotProduct
+import graft.expressions.{KMinValues, ScaledDotProduct}
 
 /** SparkSessionExtensions entry point (SURVEY.md §7.3): registers the
   * engine's native expressions into any session built with
@@ -16,7 +16,10 @@ import graft.expressions.ScaledDotProduct
   * the core contract).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (FunctionIdentifier("scaled_dot"), ScaledDotProduct.info, ScaledDotProduct.builder))
+    ext.injectFunction(
+      (FunctionIdentifier("kmv_sketch"), KMinValues.info, KMinValues.builder))
+  }
 }

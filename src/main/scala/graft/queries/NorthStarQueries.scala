@@ -655,6 +655,42 @@ object NorthStarQueries {
            |    i -> md5(substr(norm, i, 8)))) AS fp_min8
            |FROM n ORDER BY doc_id""".stripMargin))
 
+  /** Per-source KMV sketch of the shingle space
+    * ([[graft.expressions.KMinValues]], k=16): the k smallest distinct
+    * shingle hashes plus the KMV distinct-count estimate
+    * (k-1)/U(k). A pure function of the input set — unlike HLL — so the
+    * whole sketch is oracle-checkable; at scale this is one partial-merge
+    * aggregation over the corpus.
+    */
+  private val sketchKmv = Q(
+    (s, dir) => {
+      graft.expressions.KMinValues.registerIn(s)
+      val k = 16
+      TS(s, dir, "documents")
+        .select(col("source"), explode(expr(hashedShinglesExpr)).as("hv"))
+        .groupBy(col("source"))
+        .agg(expr("kmv_sketch(hv, 16)").as("kmv"), countDistinct(col("hv")).as("nd_exact"))
+        .withColumn("est",
+          when(size(col("kmv")) === k,
+            round(lit((k - 1).toDouble) /
+              (element_at(col("kmv"), k).cast("double") / lit(1152921504606846976L.toDouble)), 4))
+            .otherwise(size(col("kmv")).cast("double")))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH h AS (
+            |  SELECT source, unnest($hashedShinglesSql) AS hv FROM documents
+            |), agg AS (
+            |  SELECT source,
+            |    list_sort(list(DISTINCT hv))[1:16] AS kmv,
+            |    count(DISTINCT hv) AS nd_exact
+            |  FROM h GROUP BY source
+            |)
+            |SELECT source, kmv, nd_exact,
+            |  CASE WHEN len(kmv) = 16
+            |       THEN round(15.0 / (kmv[16]::double / 1152921504606846976.0), 4)
+            |       ELSE cast(len(kmv) as double) END AS est
+            |FROM agg ORDER BY source""".stripMargin))
+
   // ---------------------------------------------------------------------
   // Sampling / profiling (corpus-pipeline utilities)
   // ---------------------------------------------------------------------
@@ -815,6 +851,7 @@ object NorthStarQueries {
     "ns_multimodal_binary" -> multimodalBinary,
     "ns_embed_quantize" -> embedQuantize,
     "ns_pipeline_corpus" -> pipelineCorpus,
+    "ns_sketch_kmv" -> sketchKmv,
     "ns_sample_hash" -> sampleHash,
     "ns_sample_stratified" -> sampleStratified,
     "ns_profile_documents" -> profileDocuments

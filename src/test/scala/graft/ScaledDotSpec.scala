@@ -42,6 +42,22 @@ class ScaledDotSpec extends SparkSpec {
     assert(ScaledDotProduct(lit, lit2).eval(row) == 0L)
   }
 
+  test("kmv_sketch keeps the k smallest distinct values across partition merges") {
+    graft.expressions.KMinValues.registerIn(spark)
+    import spark.implicits._
+    // values deliberately spread over many partitions to force merges
+    val vals = (1L to 1000L).map(x => (x * 7919L) % 1001L)
+    val got = vals.toDF("v").repartition(8)
+      .agg(expr("kmv_sketch(v, 10)").as("kmv"))
+      .head().getSeq[Long](0)
+    val expected = vals.distinct.sorted.take(10)
+    assert(got == expected)
+    // duplicates don't crowd the sketch
+    val dup = Seq.fill(100)(5L).map(Tuple1(_)).toDF("v")
+      .agg(expr("kmv_sketch(v, 4)")).head().getSeq[Long](0)
+    assert(dup == Seq(5L))
+  }
+
   test("scaled_dot pairs up to the shorter array and skips null slots") {
     ScaledDotProduct.registerIn(spark)
     val v = spark.sql(
