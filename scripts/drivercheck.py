@@ -53,6 +53,10 @@ def cell_repr(v):
         return "int:" + str(int(v))
     if isinstance(v, pd.Timestamp):
         return "ts:" + v.isoformat()
+    import datetime
+    if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+        # driver-observed: DATE and midnight TIMESTAMP hash the same
+        return "ts:" + v.isoformat() + "T00:00:00"
     if v is pd.NaT:
         return "NULL"
     try:
