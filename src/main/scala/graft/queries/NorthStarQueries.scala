@@ -67,7 +67,7 @@ object NorthStarQueries {
              sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("keep_id")),
     Some("""SELECT sha256(text) AS h, min(doc_id) AS keep_id,
-           |  count(*) AS n_copies, sum(n_chars) AS sum_chars
+           |  count(*) AS n_copies, cast(sum(n_chars) as bigint) AS sum_chars
            |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin))
 
   // ---------------------------------------------------------------------
@@ -151,7 +151,7 @@ object NorthStarQueries {
          |), buckets AS (
          |  SELECT band, bkey, count(*) AS sz FROM bands GROUP BY 1, 2
          |)
-         |SELECT band, count(*) AS n_buckets, sum(sz) AS n_docs,
+         |SELECT band, count(*) AS n_buckets, cast(sum(sz) as bigint) AS n_docs,
          |  cast(sum(sz * (sz - 1) / 2) as bigint) AS n_cand_pairs
          |FROM buckets GROUP BY band ORDER BY band""".stripMargin
     },
@@ -675,6 +675,11 @@ object NorthStarQueries {
             round(lit((k - 1).toDouble) /
               (element_at(col("kmv"), k).cast("double") / lit(1152921504606846976L.toDouble)), 4))
             .otherwise(size(col("kmv")).cast("double")))
+        // sketch serialized to a CSV string AFTER est is derived from it:
+        // the driver's pandas column sort crashes on raw list cells.
+        .select(col("source"),
+          expr("concat_ws(',', transform(kmv, v -> cast(v as string)))").as("kmv"),
+          col("nd_exact"), col("est"))
         .orderBy(col("source"))
     },
     Some(s"""WITH h AS (
@@ -685,7 +690,7 @@ object NorthStarQueries {
             |    count(DISTINCT hv) AS nd_exact
             |  FROM h GROUP BY source
             |)
-            |SELECT source, kmv, nd_exact,
+            |SELECT source, array_to_string(kmv, ',') AS kmv, nd_exact,
             |  CASE WHEN len(kmv) = 16
             |       THEN round(15.0 / (kmv[16]::double / 1152921504606846976.0), 4)
             |       ELSE cast(len(kmv) as double) END AS est
@@ -712,7 +717,7 @@ object NorthStarQueries {
              min(col("doc_id")).as("min_id"),
              max(col("doc_id")).as("max_id"))
         .orderBy(col("lang")),
-    Some("""SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars,
+    Some("""SELECT lang, count(*) AS n, cast(sum(n_chars) as bigint) AS sum_chars,
            |  min(doc_id) AS min_id, max(doc_id) AS max_id
            |FROM documents
            |WHERE cast('0x' || substr(md5('s1:' || cast(doc_id as varchar)), 1, 8) as bigint) % 100 < 20
@@ -720,17 +725,33 @@ object NorthStarQueries {
 
   /** Seeded stratified sampling (`DataFrame.stat.sampleBy`) — per-lang
     * fractions with a fixed seed. RNG internals are engine-specific, so
-    * this is a rows-only gate entry; the fraction bounds are asserted in
-    * NorthStarSpec.
+    * the oracle checks engine-independent facts: the exact per-lang
+    * totals, plus a boolean that the realized sample count lands within
+    * 4 sigma of the target fraction (+1 for rounding slack; strata not
+    * in the fraction map must sample to exactly 0). A biased or broken
+    * sampler flips the boolean and fails the diff.
     */
   private val sampleStratified = Q(
-    (s, dir) =>
-      T(s, dir, "documents")
-        .stat.sampleBy("lang", Map("en" -> 0.5, "es" -> 0.3, "de" -> 0.2), 42L)
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy(col("lang")),
-    None)
+    (s, dir) => {
+      val fracs = Map("en" -> 0.5, "es" -> 0.3, "de" -> 0.2)
+      val p = when(col("lang") === "en", 0.5)
+        .when(col("lang") === "es", 0.3)
+        .when(col("lang") === "de", 0.2)
+        .otherwise(0.0)
+      val sampled = T(s, dir, "documents")
+        .stat.sampleBy("lang", fracs, 42L)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+      val totals = T(s, dir, "documents")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+      totals.join(sampled, Seq("lang"), "left")
+        .select(col("lang"), col("n_total"),
+          (abs(coalesce(col("n_sampled"), lit(0L)).cast("double") - p * col("n_total")) <=
+            lit(4.0) * sqrt(p * (lit(1.0) - p) * col("n_total")) + lit(1.0))
+            .as("frac_ok"))
+        .orderBy(col("lang"))
+    },
+    Some("""SELECT lang, count(*) AS n_total, true AS frac_ok
+           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
 
   /** Column profiling — the pre-flight data-quality pass every corpus
     * pipeline runs: per-stratum cardinalities, null counts, ranges and
@@ -749,7 +770,7 @@ object NorthStarQueries {
         .orderBy(col("lang")),
     Some("""SELECT lang, count(*) AS n,
            |  count(DISTINCT source) AS nd_sources,
-           |  sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS n_null_text,
+           |  cast(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) as bigint) AS n_null_text,
            |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
            |  round(avg(n_chars), 6) AS avg_chars
            |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
@@ -822,9 +843,9 @@ object NorthStarQueries {
            |  FROM documents
            |)
            |SELECT lang, source, count(*) AS n_docs,
-           |  sum(n_toks) AS total_tokens,
+           |  cast(sum(n_toks) as bigint) AS total_tokens,
            |  round(avg(n_toks), 6) AS avg_tokens,
-           |  sum(n_chars) AS total_chars
+           |  cast(sum(n_chars) as bigint) AS total_chars
            |FROM scored
            |WHERE rn = 1 AND n_toks >= 10 AND distinct_ratio >= 0.2 AND stop_ratio >= 0.01
            |GROUP BY lang, source ORDER BY lang, source""".stripMargin))

@@ -14,9 +14,15 @@ import Q.T
   */
 object RelationalQueries {
 
-  /** Exact, order-independent sum of a double column. */
+  /** Exact, order-independent sum of a double column. The decimal sum is
+    * exact, so the single final IEEE conversion to double is bit-identical
+    * to DuckDB's `cast(sum(decimal) as double)` — and the OUTPUT type is
+    * double, which the driver's pandas-based hash reads identically from
+    * both engines (a DecimalType output would arrive as `object` on the
+    * Spark side but `float64` from DuckDB and hash-fail).
+    */
   private def dsum(c: Column, alias: String): Column =
-    sum(c.cast("decimal(18,4)")).as(alias)
+    sum(c.cast("decimal(18,4)")).cast("double").as(alias)
 
   /** Deterministic average: exact decimal sum, one IEEE double division. */
   private def davg(c: Column, alias: String): Column =
@@ -35,14 +41,14 @@ object RelationalQueries {
         .select(
           col("l_orderkey"), col("l_linenumber"),
           (col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast("decimal(18,6)").as("disc_price"),
-          (col("l_quantity") * col("l_tax")).cast("decimal(18,6)").as("qty_tax"))
+            .cast("decimal(18,6)").cast("double").as("disc_price"),
+          (col("l_quantity") * col("l_tax")).cast("decimal(18,6)").cast("double").as("qty_tax"))
         // (l_orderkey, l_linenumber) is NOT unique in the fixture —
         // complete the total order over the payload columns.
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("disc_price"), col("qty_tax")),
     Some("""SELECT l_orderkey, l_linenumber,
-           |  cast(l_extendedprice * (1 - l_discount) as decimal(18,6)) AS disc_price,
-           |  cast(l_quantity * l_tax as decimal(18,6)) AS qty_tax
+           |  cast(cast(l_extendedprice * (1 - l_discount) as decimal(18,6)) as double) AS disc_price,
+           |  cast(cast(l_quantity * l_tax as decimal(18,6)) as double) AS qty_tax
            |FROM lineitem ORDER BY l_orderkey, l_linenumber, disc_price, qty_tax""".stripMargin))
 
   private val filterPredicates = Q(
@@ -76,7 +82,8 @@ object RelationalQueries {
             .when(col("o_totalprice") > 75000, "mid")
             .otherwise("small").as("bucket"),
           coalesce(nullif(col("o_orderstatus"), lit("P")), lit("pending")).as("status_c"),
-          greatest(col("o_totalprice"), lit(100000d)).cast("decimal(18,4)").as("hi"),
+          greatest(col("o_totalprice"), lit(100000d)).cast("decimal(18,4)")
+            .cast("double").as("hi"),
           least(col("o_custkey"), col("o_orderkey")).as("lo"))
         .orderBy(col("o_orderkey")),
     Some("""SELECT o_orderkey,
@@ -84,7 +91,7 @@ object RelationalQueries {
            |       WHEN o_totalprice > 75000 THEN 'mid'
            |       ELSE 'small' END AS bucket,
            |  coalesce(nullif(o_orderstatus, 'P'), 'pending') AS status_c,
-           |  cast(greatest(o_totalprice, 100000) as decimal(18,4)) AS hi,
+           |  cast(cast(greatest(o_totalprice, 100000) as decimal(18,4)) as double) AS hi,
            |  least(o_custkey, o_orderkey) AS lo
            |FROM orders ORDER BY o_orderkey""".stripMargin))
 
@@ -94,14 +101,17 @@ object RelationalQueries {
         .select(
           col("o_orderkey"),
           floor(col("o_totalprice")).cast("long").as("price_floor"),
-          col("o_totalprice").cast("decimal(18,2)").as("price_dec"),
+          // decimal IS the feature here — emit it as its exact string
+          // rendering (both engines pad to scale), since a DecimalType
+          // output column would hash-fail in the driver's pandas compare.
+          col("o_totalprice").cast("decimal(18,2)").cast("string").as("price_dec"),
           col("o_orderdate").cast("date").as("odate"),
           col("o_orderkey").cast("string").as("okey_str"),
           col("o_orderkey").cast("double").as("okey_dbl"))
         .orderBy(col("o_orderkey")),
     Some("""SELECT o_orderkey,
            |  cast(floor(o_totalprice) as bigint) AS price_floor,
-           |  cast(o_totalprice as decimal(18,2)) AS price_dec,
+           |  cast(cast(o_totalprice as decimal(18,2)) as varchar) AS price_dec,
            |  cast(o_orderdate as date) AS odate,
            |  cast(o_orderkey as varchar) AS okey_str,
            |  cast(o_orderkey as double) AS okey_dbl
@@ -138,7 +148,7 @@ object RelationalQueries {
         .orderBy(col("r_name"))
     },
     Some("""SELECT r_name, count(*) AS n_orders,
-           |  sum(cast(o_totalprice as decimal(18,4))) AS total_price
+           |  cast(sum(cast(o_totalprice as decimal(18,4))) as double) AS total_price
            |FROM orders
            |JOIN customer ON o_custkey = c_custkey
            |JOIN nation ON c_nationkey = n_nationkey
@@ -157,7 +167,7 @@ object RelationalQueries {
         .orderBy(col("c_custkey"))
     },
     Some("""SELECT c_custkey, count(o_orderkey) AS n_orders,
-           |  sum(cast(o_totalprice as decimal(18,4))) AS total_price
+           |  cast(sum(cast(o_totalprice as decimal(18,4))) as double) AS total_price
            |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
            |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin))
 
@@ -202,10 +212,11 @@ object RelationalQueries {
       val o = T(s, dir, "orders")
       val li = T(s, dir, "lineitem").where(col("l_discount") > 0.08)
       o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
-        .select(col("o_orderkey"), col("o_totalprice").cast("decimal(18,4)").as("total_price"))
+        .select(col("o_orderkey"),
+                col("o_totalprice").cast("decimal(18,4)").cast("double").as("total_price"))
         .orderBy(col("o_orderkey"))
     },
-    Some("""SELECT o_orderkey, cast(o_totalprice as decimal(18,4)) AS total_price
+    Some("""SELECT o_orderkey, cast(cast(o_totalprice as decimal(18,4)) as double) AS total_price
            |FROM orders
            |WHERE EXISTS (SELECT 1 FROM lineitem
            |              WHERE l_orderkey = o_orderkey AND l_discount > 0.08)
@@ -299,11 +310,11 @@ object RelationalQueries {
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("n_name"))
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(18,6)")).as("revenue"))
+          .cast("decimal(18,6)")).cast("double").as("revenue"))
         .orderBy(col("n_name"))
     },
     Some("""SELECT n_name,
-           |  sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6))) AS revenue
+           |  cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6))) as double) AS revenue
            |FROM customer
            |JOIN orders ON c_custkey = o_custkey
            |JOIN lineitem ON o_orderkey = l_orderkey
@@ -327,19 +338,19 @@ object RelationalQueries {
           dsum(col("l_quantity"), "sum_qty"),
           dsum(col("l_extendedprice"), "sum_base_price"),
           sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast("decimal(18,6)")).as("sum_disc_price"),
+            .cast("decimal(18,6)")).cast("double").as("sum_disc_price"),
           sum((col("l_extendedprice") * (lit(1) - col("l_discount")) *
-               (lit(1) + col("l_tax"))).cast("decimal(18,6)")).as("sum_charge"),
+               (lit(1) + col("l_tax"))).cast("decimal(18,6)")).cast("double").as("sum_charge"),
           davg(col("l_quantity"), "avg_qty"),
           davg(col("l_extendedprice"), "avg_price"),
           davg(col("l_discount"), "avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus")),
     Some(s"""SELECT l_returnflag, l_linestatus,
-            |  sum(cast(l_quantity as decimal(18,4))) AS sum_qty,
-            |  sum(cast(l_extendedprice as decimal(18,4))) AS sum_base_price,
-            |  sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6))) AS sum_disc_price,
-            |  sum(cast(l_extendedprice * (1 - l_discount) * (1 + l_tax) as decimal(18,6))) AS sum_charge,
+            |  cast(sum(cast(l_quantity as decimal(18,4))) as double) AS sum_qty,
+            |  cast(sum(cast(l_extendedprice as decimal(18,4))) as double) AS sum_base_price,
+            |  cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6))) as double) AS sum_disc_price,
+            |  cast(sum(cast(l_extendedprice * (1 - l_discount) * (1 + l_tax) as decimal(18,6))) as double) AS sum_charge,
             |  ${davgSql("l_quantity", "avg_qty")},
             |  ${davgSql("l_extendedprice", "avg_price")},
             |  ${davgSql("l_discount", "avg_disc")},
@@ -393,17 +404,21 @@ object RelationalQueries {
            |  round(covar_samp(l_quantity, l_extendedprice), 6) AS qp_covar_samp
            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
-  /** collect_list/collect_set made deterministic by sorting the arrays. */
+  /** collect_list/collect_set made deterministic by sorting the arrays.
+    * The array is serialized to a CSV string on BOTH sides: the driver's
+    * checker sorts the result by every column with pandas, and a raw
+    * list cell crashes that sort (`unhashable type`).
+    */
   private val aggCollectSorted = Q(
     (s, dir) =>
       T(s, dir, "orders")
         .groupBy(col("o_orderstatus"))
         .agg(
-          sort_array(collect_set(col("o_orderpriority"))).as("priorities"),
+          concat_ws(",", sort_array(collect_set(col("o_orderpriority")))).as("priorities"),
           count(lit(1)).as("n"))
         .orderBy(col("o_orderstatus")),
     Some("""SELECT o_orderstatus,
-           |  list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+           |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
            |  count(*) AS n
            |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
 
@@ -426,18 +441,33 @@ object RelationalQueries {
            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
   /** Approximate aggregates (HLL / quantile sketch). Sketch internals are
-    * engine-specific — no cross-engine oracle exists; the driver records a
-    * rows-only check. Correct bounds are asserted in the ScalaTest spec.
+    * engine-specific, so the oracle checks engine-independent BOUND
+    * booleans instead of sketch values: the HLL estimate must land within
+    * 15% of the exact distinct count (default rsd is 5%; 15% = 3 sigma)
+    * and the approx median within 2 units of the exact interpolated
+    * median (quantities are small integers). The exact distinct count is
+    * also emitted and value-checked. A broken sketch flips a boolean and
+    * fails the diff.
     */
   private val aggApproxSketches = Q(
     (s, dir) =>
       T(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_nd_parts"),
-          percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("approx_p50"))
+          approx_count_distinct(col("l_partkey")).as("approx_nd"),
+          countDistinct(col("l_partkey")).as("exact_nd"),
+          percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("approx_p50"),
+          expr("percentile(l_quantity, 0.5)").as("exact_p50"))
+        .select(
+          col("l_returnflag"), col("exact_nd"),
+          (abs(col("approx_nd") - col("exact_nd")).cast("double") /
+            col("exact_nd") < 0.15).as("nd_within_15pct"),
+          (abs(col("approx_p50").cast("double") - col("exact_p50")) <= 2.0)
+            .as("p50_within_2"))
         .orderBy(col("l_returnflag")),
-    None)
+    Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_nd,
+           |  true AS nd_within_15pct, true AS p50_within_2
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
   private val aggRollup = Q(
     (s, dir) =>
@@ -446,7 +476,7 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), "sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
     Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
-           |  sum(cast(l_quantity as decimal(18,4))) AS sum_qty
+           |  cast(sum(cast(l_quantity as decimal(18,4))) as double) AS sum_qty
            |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
            |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin),
     bench = true)
@@ -458,7 +488,7 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), "total_price"))
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
     Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-           |  sum(cast(o_totalprice as decimal(18,4))) AS total_price
+           |  cast(sum(cast(o_totalprice as decimal(18,4))) as double) AS total_price
            |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
            |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin))
 
@@ -503,7 +533,7 @@ object RelationalQueries {
         .filter(col("n") > 30)
         .orderBy(col("l_partkey")),
     Some("""SELECT l_partkey, count(*) AS n,
-           |  sum(cast(l_quantity as decimal(18,4))) AS sum_qty
+           |  cast(sum(cast(l_quantity as decimal(18,4))) as double) AS sum_qty
            |FROM lineitem GROUP BY l_partkey HAVING count(*) > 30
            |ORDER BY l_partkey""".stripMargin))
 
@@ -514,12 +544,12 @@ object RelationalQueries {
         .groupBy(col("l_returnflag"))
         .agg(
           sum(when(col("l_discount") > 0.05, col("l_quantity")).otherwise(lit(0))
-            .cast("decimal(18,4)")).as("qty_highdisc"),
+            .cast("decimal(18,4)")).cast("double").as("qty_highdisc"),
           count(when(col("l_linestatus") === "F", lit(1))).as("n_f"),
           count(when(col("l_tax") > 0.04, lit(1))).as("n_hightax"))
         .orderBy(col("l_returnflag")),
     Some("""SELECT l_returnflag,
-           |  sum(cast(CASE WHEN l_discount > 0.05 THEN l_quantity ELSE 0 END as decimal(18,4))) AS qty_highdisc,
+           |  cast(sum(cast(CASE WHEN l_discount > 0.05 THEN l_quantity ELSE 0 END as decimal(18,4))) as double) AS qty_highdisc,
            |  count(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
            |  count(*) FILTER (WHERE l_tax > 0.04) AS n_hightax
            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
@@ -529,11 +559,11 @@ object RelationalQueries {
       T(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .pivot("l_linestatus", Seq("F", "O"))
-        .agg(sum(col("l_quantity").cast("decimal(18,4)")))
+        .agg(sum(col("l_quantity").cast("decimal(18,4)")).cast("double"))
         .orderBy(col("l_returnflag")),
     Some("""SELECT l_returnflag,
-           |  sum(cast(l_quantity as decimal(18,4))) FILTER (WHERE l_linestatus = 'F') AS F,
-           |  sum(cast(l_quantity as decimal(18,4))) FILTER (WHERE l_linestatus = 'O') AS O
+           |  cast(sum(cast(l_quantity as decimal(18,4))) FILTER (WHERE l_linestatus = 'F') as double) AS F,
+           |  cast(sum(cast(l_quantity as decimal(18,4))) FILTER (WHERE l_linestatus = 'O') as double) AS O
            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
   /** Salted two-level aggregation over the (intentionally tiny-keyspace,
@@ -555,11 +585,12 @@ object RelationalQueries {
         merged = Seq(
           ("sum_qty", (n: String) => sum(col(n))),
           ("n", (n: String) => sum(col(n)))))
-      out.select(col("key").as("l_returnflag"), col("sum_qty"), col("n"))
+      out.select(col("key").as("l_returnflag"),
+                 col("sum_qty").cast("double").as("sum_qty"), col("n"))
         .orderBy(col("l_returnflag"))
     },
     Some("""SELECT l_returnflag,
-           |  sum(cast(l_quantity as decimal(18,4))) AS sum_qty,
+           |  cast(sum(cast(l_quantity as decimal(18,4))) as double) AS sum_qty,
            |  count(*) AS n
            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
@@ -572,9 +603,9 @@ object RelationalQueries {
         .groupBy(col("l_returnflag"))
         .agg(
           sum(when(col("l_linestatus") === "F", col("l_quantity")).otherwise(0)
-            .cast("decimal(18,4)")).as("qty_f"),
+            .cast("decimal(18,4)")).cast("double").as("qty_f"),
           sum(when(col("l_linestatus") === "O", col("l_quantity")).otherwise(0)
-            .cast("decimal(18,4)")).as("qty_o"))
+            .cast("decimal(18,4)")).cast("double").as("qty_o"))
       wide.unpivot(
           Array(col("l_returnflag")),
           Array(col("qty_f"), col("qty_o")),
@@ -583,8 +614,8 @@ object RelationalQueries {
     },
     Some("""WITH wide AS (
            |  SELECT l_returnflag,
-           |    sum(cast(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END as decimal(18,4))) AS qty_f,
-           |    sum(cast(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END as decimal(18,4))) AS qty_o
+           |    cast(sum(cast(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END as decimal(18,4))) as double) AS qty_f,
+           |    cast(sum(cast(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END as decimal(18,4))) as double) AS qty_o
            |  FROM lineitem GROUP BY l_returnflag
            |)
            |SELECT l_returnflag, status_col, qty
@@ -633,14 +664,16 @@ object RelationalQueries {
       T(s, dir, "orders")
         .select(
           col("o_custkey"), col("o_orderkey"),
-          lag(col("o_totalprice"), 1).over(w).cast("decimal(18,4)").as("prev_price"),
-          lead(col("o_totalprice"), 1).over(w).cast("decimal(18,4)").as("next_price"),
+          lag(col("o_totalprice"), 1).over(w).cast("decimal(18,4)")
+            .cast("double").as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).cast("decimal(18,4)")
+            .cast("double").as("next_price"),
           lag(col("o_orderdate"), 2).over(w).as("prev2_date"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
     },
     Some("""SELECT o_custkey, o_orderkey,
-           |  cast(lag(o_totalprice, 1) OVER w as decimal(18,4)) AS prev_price,
-           |  cast(lead(o_totalprice, 1) OVER w as decimal(18,4)) AS next_price,
+           |  cast(cast(lag(o_totalprice, 1) OVER w as decimal(18,4)) as double) AS prev_price,
+           |  cast(cast(lead(o_totalprice, 1) OVER w as decimal(18,4)) as double) AS next_price,
            |  lag(o_orderdate, 2) OVER w AS prev2_date
            |FROM orders
            |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
@@ -658,17 +691,19 @@ object RelationalQueries {
       T(s, dir, "orders")
         .select(
           col("o_custkey"), col("o_orderkey"),
-          sum(col("o_totalprice").cast("decimal(18,4)")).over(cum).as("run_total"),
+          sum(col("o_totalprice").cast("decimal(18,4)")).over(cum)
+            .cast("double").as("run_total"),
           count(lit(1)).over(cum).as("run_n"),
-          sum(col("o_totalprice").cast("decimal(18,4)")).over(sliding).as("last3_total"))
+          sum(col("o_totalprice").cast("decimal(18,4)")).over(sliding)
+            .cast("double").as("last3_total"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
     },
     Some("""SELECT o_custkey, o_orderkey,
-           |  sum(cast(o_totalprice as decimal(18,4)))
-           |    OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_total,
+           |  cast(sum(cast(o_totalprice as decimal(18,4)))
+           |    OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double) AS run_total,
            |  count(*) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_n,
-           |  sum(cast(o_totalprice as decimal(18,4)))
-           |    OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS last3_total
+           |  cast(sum(cast(o_totalprice as decimal(18,4)))
+           |    OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) as double) AS last3_total
            |FROM orders
            |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
            |ORDER BY o_custkey, o_orderkey""".stripMargin))
@@ -701,12 +736,12 @@ object RelationalQueries {
         .withColumn("rn", row_number().over(w))
         .where(col("rn") <= 3)
         .select(col("o_custkey"), col("rn"), col("o_orderkey"),
-                col("o_totalprice").cast("decimal(18,4)").as("total_price"))
+                col("o_totalprice").cast("decimal(18,4)").cast("double").as("total_price"))
         .orderBy(col("o_custkey"), col("rn"))
     },
     Some("""SELECT o_custkey, rn, o_orderkey, total_price FROM (
            |  SELECT o_custkey, o_orderkey,
-           |    cast(o_totalprice as decimal(18,4)) AS total_price,
+           |    cast(cast(o_totalprice as decimal(18,4)) as double) AS total_price,
            |    row_number() OVER (PARTITION BY o_custkey
            |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
            |  FROM orders
@@ -775,10 +810,10 @@ object RelationalQueries {
     (s, dir) =>
       T(s, dir, "orders")
         .select(col("o_orderkey"),
-                col("o_totalprice").cast("decimal(18,4)").as("total_price"))
+                col("o_totalprice").cast("decimal(18,4)").cast("double").as("total_price"))
         .orderBy(col("total_price").desc, col("o_orderkey"))
         .limit(10),
-    Some("""SELECT o_orderkey, cast(o_totalprice as decimal(18,4)) AS total_price
+    Some("""SELECT o_orderkey, cast(cast(o_totalprice as decimal(18,4)) as double) AS total_price
            |FROM orders ORDER BY total_price DESC, o_orderkey LIMIT 10""".stripMargin))
 
   // ---------------------------------------------------------------------
@@ -841,12 +876,12 @@ object RelationalQueries {
         .join(l, o("o_orderkey") === l("l_orderkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(18,6)")).as("revenue"))
+          .cast("decimal(18,6)")).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
     },
     Some("""SELECT o_orderkey, o_orderdate, o_orderpriority,
-           |  sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6))) AS revenue
+           |  cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6))) as double) AS revenue
            |FROM customer
            |JOIN orders ON c_custkey = o_custkey
            |JOIN lineitem ON o_orderkey = l_orderkey
@@ -870,13 +905,13 @@ object RelationalQueries {
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(18,6)")).as("revenue"),
+          .cast("decimal(18,6)")).cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     },
     Some("""SELECT c_custkey, c_name, n_name,
-           |  sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6))) AS revenue,
+           |  cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,6))) as double) AS revenue,
            |  count(*) AS n_items
            |FROM customer
            |JOIN orders ON c_custkey = o_custkey
@@ -900,7 +935,7 @@ object RelationalQueries {
       graft.Tables.registerAll(s, dir)
       s.sql("""WITH big AS (SELECT * FROM customer WHERE c_acctbal > 0)
               |SELECT c_custkey,
-              |  (SELECT cast(max(o_totalprice) as decimal(18,4)) FROM orders
+              |  (SELECT cast(cast(max(o_totalprice) as decimal(18,4)) as double) FROM orders
               |   WHERE o_custkey = c_custkey) AS max_price,
               |  (SELECT count(*) FROM orders
               |   WHERE o_custkey = c_custkey) AS n_orders
@@ -908,7 +943,7 @@ object RelationalQueries {
     },
     Some("""WITH big AS (SELECT * FROM customer WHERE c_acctbal > 0)
            |SELECT c_custkey,
-           |  (SELECT cast(max(o_totalprice) as decimal(18,4)) FROM orders
+           |  (SELECT cast(cast(max(o_totalprice) as decimal(18,4)) as double) FROM orders
            |   WHERE o_custkey = c_custkey) AS max_price,
            |  (SELECT count(*) FROM orders
            |   WHERE o_custkey = c_custkey) AS n_orders

@@ -16,9 +16,12 @@ import Q.T
   */
 object ScalarQueries {
 
-  /** Exact, order-independent sum of a double column (see [[Q]]). */
+  /** Exact, order-independent sum of a double column (see [[Q]]); final
+    * cast to double so the output type matches the oracle's
+    * `cast(sum(decimal) as double)` bit-for-bit in the driver's hash.
+    */
   private def dsum(c: org.apache.spark.sql.Column, alias: String) =
-    sum(c.cast("decimal(18,4)")).as(alias)
+    sum(c.cast("decimal(18,4)")).cast("double").as(alias)
 
   // ---------------------------------------------------------------------
   // Strings
@@ -211,9 +214,15 @@ object ScalarQueries {
           col("vec_id"),
           size(col("embedding")).as("n_dim"),
           round(element_at(col("embedding"), 1).cast("double"), 4).as("first_r"),
-          expr("transform(slice(embedding, 1, 4), x -> round(cast(x as double), 4))")
+          // array outputs are serialized to CSV strings (driver's pandas
+          // sort crashes on list cells); doubles go through decimal(12,4)
+          // so both engines render the same padded-to-scale text.
+          expr("concat_ws(',', transform(slice(embedding, 1, 4), " +
+               "x -> cast(cast(round(cast(x as double), 4) as decimal(12,4)) as string)))")
             .as("head4_r"),
-          expr("sort_array(transform(slice(embedding, 1, 8), x -> round(cast(x as double), 4)))")
+          expr("concat_ws(',', transform(" +
+               "sort_array(transform(slice(embedding, 1, 8), x -> round(cast(x as double), 4))), " +
+               "x -> cast(cast(x as decimal(12,4)) as string)))")
             .as("head8_sorted"),
           expr("size(filter(embedding, x -> x > 0))").as("n_pos"),
           expr("exists(embedding, x -> x > 0.25)").as("has_gt_25"),
@@ -225,13 +234,17 @@ object ScalarQueries {
             .as("n_decile_bins"),
           expr("size(flatten(array(slice(embedding, 1, 3), slice(embedding, 4, 3))))")
             .as("flat6"),
-          sequence(lit(1), lit(5)).as("seq5"))
+          expr("concat_ws(',', transform(sequence(1, 5), x -> cast(x as string)))")
+            .as("seq5"))
         .orderBy(col("vec_id")),
     Some("""SELECT vec_id,
            |  len(embedding) AS n_dim,
            |  round(embedding[1]::double, 4) AS first_r,
-           |  list_transform(embedding[1:4], x -> round(x::double, 4)) AS head4_r,
-           |  list_sort(list_transform(embedding[1:8], x -> round(x::double, 4))) AS head8_sorted,
+           |  array_to_string(list_transform(embedding[1:4],
+           |    x -> cast(cast(round(x::double, 4) as decimal(12,4)) as varchar)), ',') AS head4_r,
+           |  array_to_string(list_transform(
+           |    list_sort(list_transform(embedding[1:8], x -> round(x::double, 4))),
+           |    x -> cast(cast(x as decimal(12,4)) as varchar)), ',') AS head8_sorted,
            |  len(list_filter(embedding, x -> x > 0)) AS n_pos,
            |  len(list_filter(embedding, x -> x > 0.25)) > 0 AS has_gt_25,
            |  len(list_filter(embedding, x -> abs(x) >= 1.0)) = 0 AS all_lt_1,
@@ -240,7 +253,7 @@ object ScalarQueries {
            |  len(list_distinct(list_transform(embedding,
            |    x -> cast(floor(x * 10) as int)))) AS n_decile_bins,
            |  len(flatten([embedding[1:3], embedding[4:6]])) AS flat6,
-           |  generate_series(1, 5) AS seq5
+           |  array_to_string(generate_series(1, 5), ',') AS seq5
            |FROM embeddings ORDER BY vec_id""".stripMargin))
 
   // ---------------------------------------------------------------------
@@ -259,14 +272,14 @@ object ScalarQueries {
           lit("uid"), col("user_id").cast("string")))
         .select(
           col("event_id"),
-          sort_array(map_keys(col("m"))).as("ks"),
+          concat_ws(",", sort_array(map_keys(col("m")))).as("ks"),
           element_at(col("m"), "uid").as("uid_val"),
           element_at(col("m"), "type").as("type_val"),
           size(col("m")).as("m_size"),
           expr("map_contains_key(m, 'type')").as("has_type"))
         .orderBy(col("event_id")),
     Some("""SELECT event_id,
-           |  ['type', 'uid'] AS ks,
+           |  'type,uid' AS ks,
            |  cast(user_id as varchar) AS uid_val,
            |  event_type AS type_val,
            |  2 AS m_size,
@@ -292,20 +305,53 @@ object ScalarQueries {
            |  128 AS sha512_len
            |FROM customer ORDER BY c_custkey""".stripMargin))
 
-  /** Engine-specific hashes (Murmur3 `hash`, xxhash64, crc32) — no
-    * cross-engine oracle exists by construction; driver records the
-    * rows-only check. Determinism within Spark is asserted in ScalaTest.
+  /** Engine-specific hashes (Murmur3 `hash`, xxhash64, crc32) over FIXED
+    * literal inputs: these functions are engine-defined constants
+    * (murmur3/xxhash64 with Spark's seed 42, crc32 the standard CRC-32),
+    * so the oracle is a VALUES table of the precomputed expected outputs
+    * — any drift in the hash implementations fails the diff.
     */
+  private val hashNativeExpected: Seq[(String, Int, Long, Long)] = Seq(
+    ("graft-0", -1592366997, -7835119488856756382L, 2055429426L),
+    ("graft-1", 1038620961, 7102959927320239621L, 226782628L),
+    ("graft-10", -1570895796, 2238623588376838517L, 627915965L),
+    ("graft-11", -727160484, 424227208350747673L, 1382681643L),
+    ("graft-12", -892246512, 429255895881561712L, 3412286865L),
+    ("graft-13", -104349288, 9181921749108905697L, 3160698119L),
+    ("graft-14", 463122767, 776446359865308072L, 570488996L),
+    ("graft-15", 1514612813, 5234462199020564003L, 1426573362L),
+    ("graft-16", -1819026951, 7780851527999636184L, 3423508872L),
+    ("graft-17", -874298776, -2593535962045967086L, 3137972510L),
+    ("graft-18", 1161458590, 1881161838968013074L, 733394063L),
+    ("graft-19", 470314846, 971618954918877898L, 1555137561L),
+    ("graft-2", -1922056779, -3197053065351944897L, 2492283934L),
+    ("graft-3", 87857088, 1561785834903755147L, 3817475208L),
+    ("graft-4", -1161439238, 1720231960346561339L, 2112788779L),
+    ("graft-5", -562641184, 7190316962624289293L, 183085501L),
+    ("graft-6", 779562745, -8597478234818142024L, 2480994311L),
+    ("graft-7", 1398680492, 4827471647138713585L, 3840395409L),
+    ("graft-8", 1141105083, 1881574347965829537L, 1951978752L),
+    ("graft-9", -556659899, 3543547549409846155L, 56616342L))
+
   private val hashSparkNative = Q(
-    (s, dir) =>
-      T(s, dir, "customer")
+    (s, dir) => {
+      import s.implicits._
+      (0 until 20).map(i => s"graft-$i").toDF("sval")
         .select(
-          col("c_custkey"),
-          hash(col("c_name")).as("h_murmur3"),
-          xxhash64(col("c_name")).as("h_xx64"),
-          crc32(col("c_name").cast("binary")).as("h_crc32"))
-        .orderBy(col("c_custkey")),
-    None)
+          col("sval"),
+          hash(col("sval")).as("h_murmur3"),
+          xxhash64(col("sval")).as("h_xx64"),
+          crc32(col("sval").cast("binary")).as("h_crc32"))
+        .orderBy(col("sval"))
+    },
+    Some {
+      val rows = hashNativeExpected
+        .map { case (sv, m, x, c) => s"('$sv', $m, $x, $c)" }
+        .mkString(",\n  ")
+      s"""SELECT sval, h_murmur3, h_xx64, h_crc32 FROM (VALUES
+         |  $rows) t(sval, h_murmur3, h_xx64, h_crc32)
+         |ORDER BY sval""".stripMargin
+    })
 
   // ---------------------------------------------------------------------
   // Conversion (base64 / hex / casts — the rpc `sn` analog,
@@ -355,8 +401,11 @@ object ScalarQueries {
           expr("try_cast(o_orderpriority as date)").as("tried_date"),
           (col("o_orderdate") + expr("INTERVAL 90 MINUTE")).as("plus90m"),
           (col("o_orderdate") - expr("INTERVAL 2 DAY")).as("minus2d"),
-          expr("regexp_extract_all(o_orderpriority, '([0-9]+)', 1)").as("prio_nums"),
-          col("nullable_price").cast("decimal(18,4)").as("np_dec"))
+          // array -> CSV string: the driver's checker pandas-sorts by all
+          // columns and a list cell crashes it (unhashable ndarray).
+          concat_ws(",", expr("regexp_extract_all(o_orderpriority, '([0-9]+)', 1)"))
+            .as("prio_nums"),
+          col("nullable_price").cast("decimal(18,4)").cast("double").as("np_dec"))
         .orderBy(col("o_orderkey")),
     Some("""SELECT o_orderkey,
            |  try_cast(CASE WHEN o_orderkey % 3 = 0 THEN 'x' || cast(o_orderkey as varchar)
@@ -364,9 +413,9 @@ object ScalarQueries {
            |  try_cast(o_orderpriority as date) AS tried_date,
            |  o_orderdate + INTERVAL 90 MINUTE AS plus90m,
            |  o_orderdate - INTERVAL 2 DAY AS minus2d,
-           |  regexp_extract_all(o_orderpriority, '[0-9]+') AS prio_nums,
-           |  cast(CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_totalprice END
-           |       as decimal(18,4)) AS np_dec
+           |  array_to_string(regexp_extract_all(o_orderpriority, '[0-9]+'), ',') AS prio_nums,
+           |  cast(cast(CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_totalprice END
+           |       as decimal(18,4)) as double) AS np_dec
            |FROM orders ORDER BY o_orderkey""".stripMargin))
 
   /** Null-skipping aggregate semantics over an induced-null column:
@@ -382,14 +431,14 @@ object ScalarQueries {
         .agg(count(lit(1)).as("n_rows"),
              count(col("v")).as("n_vals"),
              dsum(col("v"), "sum_v"),
-             min(col("v").cast("decimal(18,4)")).as("min_v"),
-             max(col("v").cast("decimal(18,4)")).as("max_v"))
+             min(col("v").cast("decimal(18,4)")).cast("double").as("min_v"),
+             max(col("v").cast("decimal(18,4)")).cast("double").as("max_v"))
         .orderBy(col("o_orderstatus")),
     Some("""SELECT o_orderstatus, count(*) AS n_rows,
            |  count(v) AS n_vals,
-           |  sum(cast(v as decimal(18,4))) AS sum_v,
-           |  min(cast(v as decimal(18,4))) AS min_v,
-           |  max(cast(v as decimal(18,4))) AS max_v
+           |  cast(sum(cast(v as decimal(18,4))) as double) AS sum_v,
+           |  cast(min(cast(v as decimal(18,4))) as double) AS min_v,
+           |  cast(max(cast(v as decimal(18,4))) as double) AS max_v
            |FROM (SELECT o_orderstatus,
            |        CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_totalprice END AS v
            |      FROM orders)

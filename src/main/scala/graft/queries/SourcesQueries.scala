@@ -34,11 +34,11 @@ object SourcesQueries {
         StructField("price", DecimalType(18, 2))))
       s.read.schema(schema).option("header", "true").csv(path)
         .groupBy(col("o_orderstatus"))
-        .agg(count(lit(1)).as("n"), sum(col("price")).as("total"))
+        .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("total"))
         .orderBy(col("o_orderstatus"))
     },
     Some("""SELECT o_orderstatus, count(*) AS n,
-           |  sum(cast(o_totalprice as decimal(18,2))) AS total
+           |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total
            |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
 
   /** JSON-lines sink + scan with explicit schema. */
@@ -57,11 +57,11 @@ object SourcesQueries {
         StructField("l_returnflag", StringType)))
       s.read.schema(schema).json(path)
         .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n"), sum(col("qty")).as("sum_qty"))
+        .agg(count(lit(1)).as("n"), sum(col("qty")).cast("double").as("sum_qty"))
         .orderBy(col("l_returnflag"))
     },
     Some("""SELECT l_returnflag, count(*) AS n,
-           |  sum(cast(l_quantity as decimal(18,4))) AS sum_qty
+           |  cast(sum(cast(l_quantity as decimal(18,4))) as double) AS sum_qty
            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
   /** Partitioned Parquet write (by event date, zstd codec — the A6
@@ -79,11 +79,11 @@ object SourcesQueries {
       s.read.parquet(path)
         .groupBy(col("d"))
         .agg(count(lit(1)).as("n"),
-             sum(col("value").cast("decimal(18,4)")).as("sum_value"))
+             sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
         .orderBy(col("d"))
     },
     Some("""SELECT cast(ts as date) AS d, count(*) AS n,
-           |  sum(cast(value as decimal(18,4))) AS sum_value
+           |  cast(sum(cast(value as decimal(18,4))) as double) AS sum_value
            |FROM events GROUP BY 1 ORDER BY d""".stripMargin))
 
   /** Partition-local sort: range-repartition on the key then sort within
@@ -96,10 +96,10 @@ object SourcesQueries {
         .repartitionByRange(8, col("l_orderkey"))
         .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"))
         .select(col("l_orderkey"), col("l_linenumber"),
-                col("l_quantity").cast("decimal(18,4)").as("qty"))
+                col("l_quantity").cast("decimal(18,4)").cast("double").as("qty"))
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("qty")),
     Some("""SELECT l_orderkey, l_linenumber,
-           |  cast(l_quantity as decimal(18,4)) AS qty
+           |  cast(cast(l_quantity as decimal(18,4)) as double) AS qty
            |FROM lineitem ORDER BY l_orderkey, l_linenumber, qty""".stripMargin))
 
   /** Table registry / catalog surface: every fixture registered as a
@@ -110,12 +110,12 @@ object SourcesQueries {
     (s, dir) => {
       graft.Tables.registerAll(s, dir)
       s.sql("""SELECT o.o_orderstatus, count(*) AS n,
-              |  sum(cast(l.l_quantity as decimal(18,4))) AS sum_qty
+              |  cast(sum(cast(l.l_quantity as decimal(18,4))) as double) AS sum_qty
               |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
               |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin)
     },
     Some("""SELECT o.o_orderstatus, count(*) AS n,
-           |  sum(cast(l.l_quantity as decimal(18,4))) AS sum_qty
+           |  cast(sum(cast(l.l_quantity as decimal(18,4))) as double) AS sum_qty
            |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
            |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin))
 
@@ -145,11 +145,11 @@ object SourcesQueries {
         .join(s.table("g_lineitem_b"), col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
-             sum(col("l_quantity").cast("decimal(18,4)")).as("sum_qty"))
+             sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
         .orderBy(col("o_orderstatus"))
     },
     Some("""SELECT o_orderstatus, count(*) AS n,
-           |  sum(cast(l_quantity as decimal(18,4))) AS sum_qty
+           |  cast(sum(cast(l_quantity as decimal(18,4))) as double) AS sum_qty
            |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
            |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
 

@@ -19,10 +19,10 @@ object TimeSeriesQueries {
       T(s, dir, "events")
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-             sum(col("value").cast("decimal(18,4)")).as("sum_value"))
+             sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
         .orderBy(col("hour"), col("event_type")),
     Some("""SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
-           |  sum(cast(value as decimal(18,4))) AS sum_value
+           |  cast(sum(cast(value as decimal(18,4))) as double) AS sum_value
            |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
     bench = true)
 
@@ -34,13 +34,13 @@ object TimeSeriesQueries {
       T(s, dir, "events")
         .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-             sum(col("value").cast("decimal(18,4)")).as("sum_value"))
+             sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
         .select(col("window.start").as("w_start"), col("event_type"),
                 col("n"), col("sum_value"))
         .orderBy(col("w_start"), col("event_type")),
     Some("""SELECT make_timestamp(cast(floor(epoch(ts) / 600) as bigint) * 600000000) AS w_start,
            |  event_type, count(*) AS n,
-           |  sum(cast(value as decimal(18,4))) AS sum_value
+           |  cast(sum(cast(value as decimal(18,4))) as double) AS sum_value
            |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin))
 
   /** Sliding window (10 min size, 5 min slide): every event lands in
@@ -103,7 +103,7 @@ object TimeSeriesQueries {
            |  FROM events
            |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
            |)
-           |SELECT user_id, sum(brk) AS n_sessions, count(*) AS n_events
+           |SELECT user_id, cast(sum(brk) as bigint) AS n_sessions, count(*) AS n_events
            |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin),
     bench = true)
 
@@ -138,11 +138,11 @@ object TimeSeriesQueries {
       e.join(broadcast(c), e("user_id") === c("c_custkey"))
         .groupBy(col("c_mktsegment"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-             sum(col("value").cast("decimal(18,4)")).as("sum_value"))
+             sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
         .orderBy(col("c_mktsegment"), col("event_type"))
     },
     Some("""SELECT c_mktsegment, event_type, count(*) AS n,
-           |  sum(cast(value as decimal(18,4))) AS sum_value
+           |  cast(sum(cast(value as decimal(18,4))) as double) AS sum_value
            |FROM events JOIN customer ON user_id = c_custkey
            |GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""".stripMargin))
 

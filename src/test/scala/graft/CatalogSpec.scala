@@ -16,13 +16,11 @@ class CatalogSpec extends SparkSpec {
     "udf" -> UdfQueries.all,
     "northstar" -> NorthStarQueries.all)
 
-  /** Queries intentionally without a DuckDB oracle (engine-specific
-    * internals); each is bound-checked in a spec instead.
+  /** Queries intentionally without a DuckDB oracle. Empty since round 5:
+    * the former rows-only entries (approx sketches, Spark-native hashes,
+    * stratified sampling) now carry bound-boolean / VALUES-table oracles.
     */
-  private val rowsOnlyByDesign = Set(
-    "agg_approx_sketches",     // sketch internals differ across engines
-    "scalar_hash_spark_native", // xxhash64/crc32/murmur3 are Spark-specific
-    "ns_sample_stratified")    // RNG internals differ across engines
+  private val rowsOnlyByDesign = Set.empty[String]
 
   test("no query-name collisions across catalog files") {
     val total = families.map(_._2.size).sum
