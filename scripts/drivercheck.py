@@ -42,6 +42,11 @@ def cell_repr(v):
     """Exact, type-faithful repr of a cell as the driver's hash would see it."""
     if v is None:
         return "NULL"
+    # bools BEFORE the int branch: isinstance(True, int) is True, and
+    # np.bool_ is not an int subclass — without this, a Python bool reprs
+    # as 'int:1' while np.bool_ falls through to 'bool_:True'.
+    if isinstance(v, (bool, np.bool_)):
+        return "bool:" + ("true" if bool(v) else "false")
     if isinstance(v, float):
         if math.isnan(v):
             return "float:NaN"
@@ -69,6 +74,16 @@ def cell_repr(v):
 
 npass = nfail = nerr = 0
 fails = []
+# Result dirs without an oracle entry would otherwise be silently
+# skipped, masking missing oracle coverage.
+uncovered = sorted(
+    d for d in os.listdir(outdir)
+    if os.path.isdir(os.path.join(outdir, d)) and d not in oracle)
+for d in uncovered:
+    print(f"WARN  result dir '{d}' has no oracle_sql.json entry")
+if only:
+    for n in sorted(only - set(oracle)):
+        print(f"WARN  requested query '{n}' not in oracle_sql.json")
 for name in sorted(oracle):
     if only and name not in only:
         continue
@@ -114,3 +129,4 @@ for name in sorted(oracle):
 print(f"\n{npass} pass, {nfail} fail, {nerr} err")
 if fails:
     print("failing:", " ".join(fails))
+sys.exit(1 if fails else 0)

@@ -21,14 +21,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val bench = SparkEntry.benchQueries.toSeq.sortBy(_._1)
-    // Warm-up: run the suite once at the smallest SF so JIT/codegen and
-    // class-loading costs don't land on the first timed query.
-    val warmDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmDir).isDirectory)
-      bench.foreach { case (name, fn) =>
-        try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
-        catch { case _: Throwable => () }
-      }
+    // Warm-up: one untimed pass at the smallest SF (JIT/codegen/classload)
+    // and then one at the TARGET SF (file listing, page cache, AQE stats,
+    // full-width codegen) so no timed run is the first to touch anything.
+    val warmDirs = Seq("/root/testdata/sf0.001", sfDir).distinct
+    warmDirs.foreach { wd =>
+      if (new java.io.File(wd).isDirectory)
+        bench.foreach { case (name, fn) =>
+          try fn(spark, wd).write.mode("overwrite").format("noop").save()
+          catch { case _: Throwable => () }
+        }
+    }
     // Min of three timed runs per query: one-off GC/straggler pauses in
     // a shared local JVM otherwise dominate individual measurements
     // (observed: the same query varying 1.6s..5.6s across runs).
@@ -46,7 +49,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Emit to stdout (bare line — build.sbt routes forked run output
+    // through StdoutOutput so no [info] prefix) AND to a well-known file,
+    // so a log-scraping consumer and a file-reading one both parse it.
+    println(json)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench_result.json"), json + "\n")
     spark.stop()
   }
 }
