@@ -27,6 +27,34 @@ final case class EngineConfig(
     compressMinBytes: Int = 1024,
     maxConcurrentJobs: Int = 2)
 
+object EngineConfig {
+
+  /** Three-level fallback, exactly the reference's port resolution
+    * (`/root/reference/src/processor.ts:40,45`: explicit config value,
+    * else environment variable, else hardcoded default): build a config
+    * from per-field overrides and an environment map. `env` is
+    * injectable so the fallback order is unit-testable; production
+    * callers use the default `sys.env`.
+    */
+  def resolve(
+      dataDir: Option[String] = None,
+      defaultTtlMs: Option[Long] = None,
+      compressMinBytes: Option[Int] = None,
+      maxConcurrentJobs: Option[Int] = None,
+      env: Map[String, String] = sys.env): EngineConfig = {
+    val d = EngineConfig()
+    def num[T](explicit: Option[T], key: String, parse: String => T, dflt: T): T =
+      explicit.orElse(env.get(key).flatMap(v => Try(parse(v)).toOption)).getOrElse(dflt)
+    EngineConfig(
+      dataDir = dataDir.orElse(env.get("GRAFT_DATA_DIR")).getOrElse(d.dataDir),
+      defaultTtlMs = num(defaultTtlMs, "GRAFT_TTL_MS", _.toLong, d.defaultTtlMs),
+      compressMinBytes =
+        num(compressMinBytes, "GRAFT_COMPRESS_MIN_BYTES", _.toInt, d.compressMinBytes),
+      maxConcurrentJobs =
+        num(maxConcurrentJobs, "GRAFT_MAX_JOBS", _.toInt, d.maxConcurrentJobs))
+  }
+}
+
 /** Spark-native re-expression of the reference's job-processor frame.
   *
   * The reference (`/root/reference/src/processor.ts`) is a

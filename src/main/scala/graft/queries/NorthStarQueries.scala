@@ -194,21 +194,31 @@ object NorthStarQueries {
   // Dedup 4: n-gram Jaccard (blocked pairwise verification)
   // ---------------------------------------------------------------------
 
-  /** Exact 3-gram Jaccard over blocked candidate pairs (same source,
-    * |Δn_chars| <= 20 — the cheap blocking key; at scale the block key
-    * would also include a length bucket to bound skew). Top 20 pairs by
-    * similarity — always non-empty, deterministic tie-break on ids.
+  /** Exact 3-gram Jaccard over blocked candidate pairs: same source AND
+    * |Δn_chars| <= 20. The join key is (source, length-bucket of 20
+    * chars) — an EQUI key, so at 100 TB the shuffle partitions by
+    * bucket and no single same-source block can skew a reducer. The
+    * left side probes buckets {b-1, b, b+1} (a |Δ| <= 20 pair spans at
+    * most adjacent buckets, and the lower-id doc — the only one that
+    * survives the `doc_a < doc_b` filter — can sit in either bucket);
+    * each qualifying pair matches exactly once because the probes are
+    * three distinct buckets. Top 20 pairs by similarity — always
+    * non-empty, deterministic tie-break on ids.
     */
   private val dedupNgramJaccard = Q(
     (s, dir) => {
       val d = TS(s, dir, "documents")
         .withColumn("shd", array_distinct(expr(shinglesExpr)))
-        .select(col("doc_id"), col("source"), col("n_chars"), col("shd"))
+        .withColumn("lb", floor(col("n_chars") / lit(20)).cast("long"))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("shd"), col("lb"))
       val a = d.select(col("doc_id").as("doc_a"), col("source"),
-                       col("n_chars").as("ca"), col("shd").as("sha_"))
+                       col("n_chars").as("ca"), col("shd").as("sha_"),
+                       explode(array(col("lb") - 1, col("lb"), col("lb") + 1)).as("probe_lb"))
       val b = d.select(col("doc_id").as("doc_b"), col("source").as("source_b"),
-                       col("n_chars").as("cb"), col("shd").as("shb_"))
+                       col("n_chars").as("cb"), col("shd").as("shb_"),
+                       col("lb").as("lb_b"))
       a.join(b, col("source") === col("source_b") &&
+               col("probe_lb") === col("lb_b") &&
                col("doc_a") < col("doc_b") &&
                abs(col("ca") - col("cb")) <= 20)
         .withColumn("inter", size(array_intersect(col("sha_"), col("shb_"))))

@@ -169,4 +169,21 @@ class EngineSpec extends SparkSpec {
       () => "c"))
     assert(out == Vector("a", "c"))
   }
+
+  test("config resolution: explicit beats env beats default (CACHE_PORT analog)") {
+    import graft.engine.EngineConfig
+    val env = Map(
+      "GRAFT_DATA_DIR" -> "/env/dir",
+      "GRAFT_TTL_MS" -> "5000",
+      "GRAFT_MAX_JOBS" -> "not-a-number")
+    // explicit wins over env
+    assert(EngineConfig.resolve(dataDir = Some("/x"), env = env).dataDir == "/x")
+    // env wins over default
+    val r = EngineConfig.resolve(env = env)
+    assert(r.dataDir == "/env/dir" && r.defaultTtlMs == 5000L)
+    // unparseable env falls through to the default
+    assert(r.maxConcurrentJobs == EngineConfig().maxConcurrentJobs)
+    // no env, no explicit -> defaults
+    assert(EngineConfig.resolve(env = Map.empty) == EngineConfig())
+  }
 }
