@@ -626,22 +626,43 @@ object RelationalQueries {
   // Window functions
   // ---------------------------------------------------------------------
 
-  /** Total-ordered ranking window (ties broken to uniqueness so
-    * row_number is deterministic).
+  /** Total-ordered ranking window. The window itself carries ONLY the
+    * rank-like functions (row_number/rank/dense_rank), so Catalyst's
+    * InferWindowGroupLimit prunes each partition to its top 100 rows
+    * map-side BEFORE the shuffle — the plan that survives a fat
+    * partition at 100 TB. percent_rank and ntile need the full
+    * partition cardinality, which would forbid that pruning; they are
+    * derived arithmetically from the rank and a broadcast per-group
+    * count instead (percent_rank = (rank-1)/(n-1); ntile(4) assigns the
+    * first n%4 buckets ceil(n/4) rows and the rest floor(n/4) — both
+    * exact reproductions of the SQL semantics the oracle evaluates).
     */
   private val windowRanking = Q(
     (s, dir) => {
       val w = Window.partitionBy(col("l_returnflag"))
         .orderBy(col("l_quantity").desc, col("l_orderkey"), col("l_linenumber"))
-      T(s, dir, "lineitem")
+      val top = T(s, dir, "lineitem")
         .select(
           col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
           row_number().over(w).as("rn"),
           rank().over(w).as("rnk"),
-          dense_rank().over(w).as("drnk"),
-          round(percent_rank().over(w), 6).as("prnk"),
-          ntile(4).over(w).as("quartile"))
+          dense_rank().over(w).as("drnk"))
         .where(col("rn") <= 100)
+      val counts = T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_part"))
+      val q4 = floor(col("n_part") / 4)   // floor div: small-bucket size
+      val bigQ = q4 + 1                   // size of the first n%4 buckets
+      val rem = col("n_part") % 4
+      top.join(broadcast(counts), Seq("l_returnflag"))
+        .select(
+          col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("rn"), col("rnk"), col("drnk"),
+          when(col("n_part") > 1,
+            round((col("rnk") - 1).cast("double") / (col("n_part") - 1), 6))
+            .otherwise(lit(0.0)).as("prnk"),
+          when(col("rn") <= rem * bigQ, floor((col("rn") - 1) / bigQ) + 1)
+            .otherwise(rem + floor((col("rn") - rem * bigQ - 1) / q4) + 1)
+            .cast("int").as("quartile"))
         .orderBy(col("l_returnflag"), col("rn"))
     },
     Some("""SELECT * FROM (
