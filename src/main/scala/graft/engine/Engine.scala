@@ -70,7 +70,11 @@ object EngineConfig {
   * handle is a [[CacheManager]] over Spark's persist machinery (replacing
   * Redis). Jobs build lazy DataFrames; execution happens on `query`.
   */
-final class Engine(val spark: SparkSession, val config: EngineConfig = EngineConfig()) {
+final class Engine(
+    val spark: SparkSession,
+    // Default construction resolves env fallbacks, like the reference's
+    // constructor reading CACHE_PORT (`src/processor.ts:40`).
+    val config: EngineConfig = EngineConfig.resolve()) {
 
   /** A job: the analog of the reference's `ModuleFunction`
     * (`src/processor.ts:25-27`) — arbitrary user logic over (db, cache).
