@@ -103,28 +103,50 @@ object NorthStarQueries {
     * is the groupBy on (band, bucket-key) — never all-pairs. This is the
     * standard web-scale near-dup design (band-bucket join).
     */
+  /** (doc_id, band, bkey) candidate rows — the shared minhash band-bucket
+    * pipeline: spread the narrow scan -> one md5 per shingle (hs) ->
+    * exchange barrier (stops CollapseProject from inlining the md5 stage
+    * into all 8 signature expressions) -> cheap integer rehashes -> one
+    * `inline` band-generator pass (NOT a 4-way union of selects, which
+    * would duplicate the signature computation into every plan branch).
+    */
+  private def minhashBands(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val sigCols = (0 until nHashes).map { i =>
+      expr(s"array_min(transform(hs, h -> (${hashA(i)} * (h % $P) + ${hashB(i)}) % $P))")
+        .as(s"s$i")
+    }
+    val docs = TS(s, dir, "documents")
+      .withColumn("hs", expr(hashedShinglesExpr))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select((col("doc_id") +: sigCols): _*)
+    val bandStructs = (0 until nBands)
+      .map(j => s"struct($j as band, concat_ws('|', s${2 * j}, s${2 * j + 1}) as bkey)")
+      .mkString("inline(array(", ", ", "))")
+    docs.select(col("doc_id"), expr(bandStructs))
+  }
+
+  /** DuckDB twin of [[minhashBands]] as CTE text: `hsh`, `sig`, `bands`. */
+  private val minhashBandsSqlCtes: String = {
+    val sigs = (0 until nHashes)
+      .map(i => s"list_min(list_transform(hs, h -> (${hashA(i)} * (h % $P) + ${hashB(i)}) % $P)) AS s$i")
+      .mkString(",\n    ")
+    val bands = (0 until nBands)
+      .map(j => s"SELECT doc_id, $j AS band, s${2 * j} || '|' || s${2 * j + 1} AS bkey FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""hsh AS (
+       |  SELECT doc_id, $hashedShinglesSql AS hs FROM documents
+       |), sig AS (
+       |  SELECT doc_id,
+       |    $sigs
+       |  FROM hsh
+       |), bands AS (
+       |  $bands
+       |)""".stripMargin
+  }
+
   private val dedupMinhashLsh = Q(
     (s, dir) => {
-      val sigCols = (0 until nHashes).map { i =>
-        expr(s"array_min(transform(hs, h -> (${hashA(i)} * (h % $P) + ${hashB(i)}) % $P))")
-          .as(s"s$i")
-      }
-      // Pipeline: spread the narrow scan -> one md5 per shingle (hs) ->
-      // exchange barrier (stops CollapseProject from inlining the md5
-      // stage into all 8 signature expressions) -> cheap integer
-      // rehashes -> band generator -> bucket aggregation.
-      val docs = TS(s, dir, "documents")
-        .withColumn("hs", expr(hashedShinglesExpr))
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-        .select((col("doc_id") +: sigCols): _*)
-      // One generator pass (inline over band structs), NOT a 4-way union
-      // of selects — a union would duplicate the signature computation
-      // into every branch of the plan.
-      val bandStructs = (0 until nBands)
-        .map(j => s"struct($j as band, concat_ws('|', s${2 * j}, s${2 * j + 1}) as bkey)")
-        .mkString("inline(array(", ", ", "))")
-      val bands = docs.select(col("doc_id"), expr(bandStructs))
-      bands
+      minhashBands(s, dir)
         .groupBy(col("band"), col("bkey"))
         .agg(count(lit(1)).as("sz"))
         .groupBy(col("band"))
@@ -133,29 +155,83 @@ object NorthStarQueries {
              sum(col("sz") * (col("sz") - 1) / 2).cast("long").as("n_cand_pairs"))
         .orderBy(col("band"))
     },
-    Some {
-      val sigs = (0 until nHashes)
-        .map(i => s"list_min(list_transform(hs, h -> (${hashA(i)} * (h % $P) + ${hashB(i)}) % $P)) AS s$i")
-        .mkString(",\n    ")
-      val bands = (0 until nBands)
-        .map(j => s"SELECT doc_id, $j AS band, s${2 * j} || '|' || s${2 * j + 1} AS bkey FROM sig")
-        .mkString("\n  UNION ALL ")
-      s"""WITH hsh AS (
-         |  SELECT doc_id, $hashedShinglesSql AS hs FROM documents
-         |), sig AS (
-         |  SELECT doc_id,
-         |    $sigs
-         |  FROM hsh
-         |), bands AS (
-         |  $bands
-         |), buckets AS (
+    Some(
+      s"""WITH $minhashBandsSqlCtes, buckets AS (
          |  SELECT band, bkey, count(*) AS sz FROM bands GROUP BY 1, 2
          |)
          |SELECT band, count(*) AS n_buckets, cast(sum(sz) as bigint) AS n_docs,
          |  cast(sum(sz * (sz - 1) / 2) as bigint) AS n_cand_pairs
-         |FROM buckets GROUP BY band ORDER BY band""".stripMargin
-    },
+         |FROM buckets GROUP BY band ORDER BY band""".stripMargin),
     bench = true)
+
+  // ---------------------------------------------------------------------
+  // Dedup 2b: cluster resolution (connected components over LSH edges)
+  // ---------------------------------------------------------------------
+
+  /** Near-dup CLUSTER RESOLUTION: connected components over the LSH
+    * candidate graph — the step a dedup pipeline runs after bucketing to
+    * turn candidate pairs into disjoint groups with one canonical keeper.
+    *
+    * Graph: star edges from every doc in a band-bucket to the bucket's
+    * minimum doc id (same components as the bucket cliques, with only
+    * O(docs x bands) edges instead of O(sum bucket^2)). Resolution:
+    * min-label propagation iterated to convergence — each round one
+    * shuffle keyed by doc_id, rounds O(log diameter); the fixpoint (min
+    * reachable doc id) is unique, hence deterministic under any
+    * partitioning. The driver loop holds only a convergence COUNT per
+    * round, never row data; labels are localCheckpoint'ed each round so
+    * lineage stays flat. This is the standard massive-graph CC shape
+    * (hub/star edges keep each round linear in the edge count at 100 TB).
+    *
+    * Oracle: DuckDB recursive CTE computing the true transitive-closure
+    * min label — the converged Spark fixpoint must equal it exactly.
+    */
+  private val dedupClusters = Q(
+    (s, dir) => {
+      val bands = minhashBands(s, dir)
+      val hubs = bands.groupBy(col("band"), col("bkey")).agg(min(col("doc_id")).as("hub"))
+      val e = bands.join(hubs, Seq("band", "bkey"))
+        .where(col("doc_id") =!= col("hub"))
+        .select(col("doc_id").as("a"), col("hub").as("b"))
+        .distinct()
+      val sym = e.union(e.select(col("b").as("a"), col("a").as("b"))).persist()
+      var labels = T(s, dir, "documents").select(col("doc_id"), col("doc_id").as("label"))
+      var iter = 0
+      var changed = 1L
+      while (changed > 0 && iter < 25) {
+        val prop = sym.join(labels, sym("a") === labels("doc_id"))
+          .select(col("b").as("doc_id"), col("label"))
+        val next = labels.union(prop)
+          .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+          .localCheckpoint(true)
+        changed = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
+          .where(col("label") =!= col("prev")).count()
+        labels = next
+        iter += 1
+      }
+      sym.unpersist()
+      labels.groupBy(col("label").as("cluster"))
+        .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("cluster"))
+    },
+    Some(
+      s"""WITH RECURSIVE $minhashBandsSqlCtes, hubs AS (
+         |  SELECT band, bkey, min(doc_id) AS hub FROM bands GROUP BY 1, 2
+         |), e AS (
+         |  SELECT DISTINCT b.doc_id AS a, h.hub AS b
+         |  FROM bands b JOIN hubs h USING (band, bkey)
+         |  WHERE b.doc_id <> h.hub
+         |), sym AS (
+         |  SELECT a, b FROM e UNION SELECT b, a FROM e
+         |), reach(node, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT s.b, r.label FROM sym s JOIN reach r ON r.node = s.a
+         |), comp AS (
+         |  SELECT node, min(label) AS cluster FROM reach GROUP BY node
+         |)
+         |SELECT cluster, count(*) AS n_docs, max(node) AS max_doc
+         |FROM comp GROUP BY cluster ORDER BY cluster""".stripMargin))
 
   // ---------------------------------------------------------------------
   // Dedup 3: SimHash (16-bit, token-level)
@@ -867,6 +943,7 @@ object NorthStarQueries {
   val all: Map[String, Q] = Map(
     "ns_dedup_exact" -> dedupExact,
     "ns_dedup_minhash_lsh" -> dedupMinhashLsh,
+    "ns_dedup_clusters" -> dedupClusters,
     "ns_dedup_simhash" -> dedupSimhash,
     "ns_dedup_ngram_jaccard" -> dedupNgramJaccard,
     "ns_dedup_embedding_cosine" -> dedupEmbeddingCosine,
