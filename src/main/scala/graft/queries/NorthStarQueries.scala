@@ -782,6 +782,76 @@ object NorthStarQueries {
             |       ELSE cast(len(kmv) as double) END AS est
             |FROM agg ORDER BY source""".stripMargin))
 
+  /** Benchmark DECONTAMINATION: flag corpus docs sharing any word-3-gram
+    * with a benchmark set (stand-in: doc_id < 20) — the pass every
+    * training pipeline runs so eval data never leaks into training data.
+    * The benchmark shingle set is tiny at any corpus scale, so it
+    * BROADCASTS and the check is a map-side semi-join over the corpus:
+    * zero full shuffles of the 100 TB side (the per-doc hit count is a
+    * partial-aggregated groupBy on doc_id).
+    */
+  private val decontaminate = Q(
+    (s, dir) => {
+      val sh = TS(s, dir, "documents")
+        .select(col("doc_id"), explode(array_distinct(expr(shinglesExpr))).as("sh"))
+      val benchSh = sh.where(col("doc_id") < 20).select(col("sh")).distinct()
+      val hits = sh.where(col("doc_id") >= 20)
+        .join(broadcast(benchSh), Seq("sh"))
+        .groupBy(col("doc_id")).agg(countDistinct(col("sh")).as("n_hits"))
+      T(s, dir, "documents").where(col("doc_id") >= 20).select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH sh AS (
+            |  SELECT doc_id, unnest(list_distinct($shinglesSql)) AS sh FROM documents
+            |), bench AS (
+            |  SELECT DISTINCT sh FROM sh WHERE doc_id < 20
+            |), hits AS (
+            |  SELECT s.doc_id, count(DISTINCT s.sh) AS n_hits
+            |  FROM sh s JOIN bench b ON s.sh = b.sh
+            |  WHERE s.doc_id >= 20 GROUP BY s.doc_id
+            |)
+            |SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+            |  coalesce(h.n_hits, 0) > 0 AS contaminated
+            |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+            |WHERE d.doc_id >= 20 ORDER BY d.doc_id""".stripMargin))
+
+  /** TF-IDF scoring of the corpus vocabulary (top 30 terms by tf, with
+    * df, idf = ln(N/df) and tfidf rounded to 6 dp): the term-weighting
+    * op behind quality filters and topic profiling. One explode + one
+    * vocabulary-keyed aggregate — the shuffle is proportional to the
+    * vocabulary, not the corpus; N arrives as a broadcast scalar join.
+    */
+  private val textTfidf = Q(
+    (s, dir) => {
+      val terms = TS(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val n = T(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      terms.groupBy(col("term"))
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .crossJoin(broadcast(n))
+        .select(col("term"), col("tf"), col("df"),
+          round(log(col("n_docs").cast("double") / col("df")), 6).as("idf"),
+          round(col("tf") * round(log(col("n_docs").cast("double") / col("df")), 6), 6)
+            .as("tfidf"))
+        .orderBy(col("tf").desc, col("term"))
+        .limit(30)
+    },
+    Some("""WITH e AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+           |), n AS (SELECT count(*) AS n_docs FROM documents),
+           |v AS (
+           |  SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+           |  FROM e GROUP BY term
+           |)
+           |SELECT term, tf, df,
+           |  round(ln(cast(n_docs as double) / df), 6) AS idf,
+           |  round(tf * round(ln(cast(n_docs as double) / df), 6), 6) AS tfidf
+           |FROM v, n ORDER BY tf DESC, term LIMIT 30""".stripMargin))
+
   // ---------------------------------------------------------------------
   // Sampling / profiling (corpus-pipeline utilities)
   // ---------------------------------------------------------------------
@@ -955,6 +1025,8 @@ object NorthStarQueries {
     "ns_text_quality" -> textQuality,
     "ns_text_token_counts" -> textTokenCounts,
     "ns_text_top_terms" -> textTopTerms,
+    "ns_text_tfidf" -> textTfidf,
+    "ns_decontaminate" -> decontaminate,
     "ns_text_fingerprint" -> textFingerprint,
     "ns_multimodal_binary" -> multimodalBinary,
     "ns_embed_quantize" -> embedQuantize,
