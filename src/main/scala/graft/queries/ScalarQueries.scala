@@ -213,7 +213,13 @@ object ScalarQueries {
         .select(
           col("vec_id"),
           size(col("embedding")).as("n_dim"),
-          round(element_at(col("embedding"), 1).cast("double"), 4).as("first_r"),
+          // explicit zero normalization: Spark's decimal-based round turns
+          // -0.00003 into +0.0 while DuckDB's keeps IEEE -0.0 — the
+          // CASE maps both to literal +0.0 (a plain `+ 0` could be
+          // algebraically simplified away by either optimizer).
+          when(round(element_at(col("embedding"), 1).cast("double"), 4) === 0, lit(0.0))
+            .otherwise(round(element_at(col("embedding"), 1).cast("double"), 4))
+            .as("first_r"),
           // array outputs are serialized to CSV strings (driver's pandas
           // sort crashes on list cells); doubles go through decimal(12,4)
           // so both engines render the same padded-to-scale text.
@@ -239,7 +245,8 @@ object ScalarQueries {
         .orderBy(col("vec_id")),
     Some("""SELECT vec_id,
            |  len(embedding) AS n_dim,
-           |  round(embedding[1]::double, 4) AS first_r,
+           |  CASE WHEN round(embedding[1]::double, 4) = 0 THEN 0.0
+           |       ELSE round(embedding[1]::double, 4) END AS first_r,
            |  array_to_string(list_transform(embedding[1:4],
            |    x -> cast(cast(round(x::double, 4) as decimal(12,4)) as varchar)), ',') AS head4_r,
            |  array_to_string(list_transform(
