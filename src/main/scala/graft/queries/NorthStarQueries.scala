@@ -782,6 +782,80 @@ object NorthStarQueries {
             |       ELSE cast(len(kmv) as double) END AS est
             |FROM agg ORDER BY source""".stripMargin))
 
+  /** Document CHUNKING: split each doc into fixed-size token windows
+    * (50 tokens, stride 40 — 10-token overlap), the context-window
+    * preparation step of every LLM training pipeline. Map-only: one
+    * generator (posexplode) per doc, no shuffle at all until a consumer
+    * aggregates. Chunks are emitted as (index, token count, md5) so the
+    * gate output stays narrow; chunk count = ceil((n-overlap)/stride),
+    * minimum 1.
+    */
+  private val textChunks = Q(
+    (s, dir) => {
+      val sizeT = 50
+      val stride = 40
+      TS(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_chunks",
+          greatest(ceil((size(col("toks")) - lit(sizeT - stride)) / lit(stride.toDouble))
+            .cast("int"), lit(1)))
+        .select(col("doc_id"),
+          posexplode(expr(
+            s"transform(sequence(0, n_chunks - 1), i -> slice(toks, i * $stride + 1, $sizeT))"))
+            .as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("chunk")).as("n_chunk_toks"),
+          md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, string_split(text, ' ') AS toks,
+           |    greatest(cast(ceil((len(string_split(text, ' ')) - 10) / 40.0) as int), 1)
+           |      AS n_chunks
+           |  FROM documents
+           |), c AS (
+           |  SELECT doc_id,
+           |    unnest(generate_series(0, n_chunks - 1)) AS chunk_idx,
+           |    unnest(list_transform(generate_series(0, n_chunks - 1),
+           |      i -> toks[i * 40 + 1 : i * 40 + 50])) AS chunk
+           |  FROM t
+           |)
+           |SELECT doc_id, chunk_idx, len(chunk) AS n_chunk_toks,
+           |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+           |FROM c ORDER BY doc_id, chunk_idx""".stripMargin))
+
+  /** Embedding CENTROIDS (mean pooling): per-group, per-dimension mean
+    * over `embedding` — the cluster-update step of k-means/IVF training
+    * and the pooling op behind doc-level embeddings. posexplode to
+    * (group, dim) rows, then ONE exact integer aggregate (scaled floor
+    * products, order-independent) — the shuffle is keyed by
+    * (group, dim), i.e. bounded by groups x dims, not the corpus size.
+    * The mean is derived by a single IEEE division at the end.
+    */
+  private val embedCentroids = Q(
+    (s, dir) => {
+      TS(s, dir, "embeddings")
+        .select((col("vec_id") % 8).as("grp"),
+          posexplode(col("embedding")).as(Seq("dim0", "x")))
+        .groupBy(col("grp"), (col("dim0") + 1).as("dim"))
+        .agg(sum(expr(s"cast(floor(cast(x as double) * $S) as bigint)")).as("sum_scaled"),
+             count(lit(1)).as("n"))
+        .withColumn("mean_r",
+          round(col("sum_scaled").cast("double") / (col("n") * lit(S.toDouble)), 6))
+        .where(col("dim") <= 8)
+        .orderBy(col("grp"), col("dim"))
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id % 8 AS grp,
+            |    unnest(generate_series(1, 64)) AS dim,
+            |    unnest(list_transform(generate_series(1, 64),
+            |      i -> cast(floor(embedding[i]::double * $S) as bigint))) AS xs
+            |  FROM embeddings
+            |)
+            |SELECT grp, dim, cast(sum(xs) as bigint) AS sum_scaled, count(*) AS n,
+            |  round(cast(sum(xs) as double) / (count(*) * $S.0), 6) AS mean_r
+            |FROM e WHERE dim <= 8 GROUP BY grp, dim ORDER BY grp, dim""".stripMargin))
+
   /** Benchmark DECONTAMINATION: flag corpus docs sharing any word-3-gram
     * with a benchmark set (stand-in: doc_id < 20) — the pass every
     * training pipeline runs so eval data never leaks into training data.
@@ -1026,6 +1100,8 @@ object NorthStarQueries {
     "ns_text_token_counts" -> textTokenCounts,
     "ns_text_top_terms" -> textTopTerms,
     "ns_text_tfidf" -> textTfidf,
+    "ns_text_chunks" -> textChunks,
+    "ns_embed_centroids" -> embedCentroids,
     "ns_decontaminate" -> decontaminate,
     "ns_text_fingerprint" -> textFingerprint,
     "ns_multimodal_binary" -> multimodalBinary,
