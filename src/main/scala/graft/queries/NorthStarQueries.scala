@@ -782,6 +782,41 @@ object NorthStarQueries {
             |       ELSE cast(len(kmv) as double) END AS est
             |FROM agg ORDER BY source""".stripMargin))
 
+  /** Intra-document REPETITION signals (Gopher-style quality rules):
+    * duplicate 3-gram fraction and most-common-3-gram fraction per doc.
+    * Two-level aggregate — (doc, shingle) counts then per-doc rollup —
+    * so the shuffle is bounded by distinct (doc, shingle) pairs and
+    * partial aggregation absorbs the repeats map-side.
+    */
+  private val textRepetition = Q(
+    (s, dir) =>
+      TS(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(shinglesExpr)).as("sh"))
+        .groupBy(col("doc_id"), col("sh")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_shingles"),
+             count(lit(1)).as("nd"),
+             max(col("c")).as("maxc"))
+        .select(col("doc_id"), col("n_shingles"),
+          round(lit(1.0) - col("nd").cast("double") / col("n_shingles"), 6)
+            .as("dup_ngram_frac"),
+          round(col("maxc").cast("double") / col("n_shingles"), 6)
+            .as("top_ngram_frac"))
+        .orderBy(col("doc_id")),
+    Some(s"""WITH e AS (
+            |  SELECT doc_id, unnest($shinglesSql) AS sh FROM documents
+            |), c AS (
+            |  SELECT doc_id, sh, count(*) AS c FROM e GROUP BY 1, 2
+            |), r AS (
+            |  SELECT doc_id, cast(sum(c) as bigint) AS n_shingles,
+            |    count(*) AS nd, max(c) AS maxc
+            |  FROM c GROUP BY doc_id
+            |)
+            |SELECT doc_id, n_shingles,
+            |  round(1.0 - cast(nd as double) / n_shingles, 6) AS dup_ngram_frac,
+            |  round(cast(maxc as double) / n_shingles, 6) AS top_ngram_frac
+            |FROM r ORDER BY doc_id""".stripMargin))
+
   /** Document CHUNKING: split each doc into fixed-size token windows
     * (50 tokens, stride 40 — 10-token overlap), the context-window
     * preparation step of every LLM training pipeline. Map-only: one
@@ -1101,6 +1136,7 @@ object NorthStarQueries {
     "ns_text_top_terms" -> textTopTerms,
     "ns_text_tfidf" -> textTfidf,
     "ns_text_chunks" -> textChunks,
+    "ns_text_repetition" -> textRepetition,
     "ns_embed_centroids" -> embedCentroids,
     "ns_decontaminate" -> decontaminate,
     "ns_text_fingerprint" -> textFingerprint,
