@@ -115,6 +115,54 @@ class NorthStarSpec extends SparkSpec {
     assert(sample() == s1, "seeded sample must be reproducible")
   }
 
+  test("cluster resolution: clusters partition the corpus, ids are member minima") {
+    val nDocs = Tables.load(spark, sfDir, "documents").count()
+    val rows = SparkEntry.queries("ns_dedup_clusters")(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs,
+      "clusters must partition the corpus exactly")
+    assert(rows.forall(r => r.getAs[Long]("cluster") <= r.getAs[Long]("max_doc")),
+      "cluster id is the component minimum")
+    assert(rows.map(_.getAs[Long]("cluster")).distinct.length == rows.length)
+  }
+
+  test("chunking: every doc chunked, chunk sizes within the window") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val nDocs = docs.count()
+    val chunks = SparkEntry.queries("ns_text_chunks")(spark, sfDir).collect()
+    assert(chunks.map(_.getAs[Long]("doc_id")).distinct.length == nDocs)
+    assert(chunks.forall { r =>
+      val n = r.getAs[Int]("n_chunk_toks"); n >= 1 && n <= 50
+    })
+    // chunk 0 of a >=50-token doc is exactly the window size
+    val firstFull = chunks.filter(r => r.getAs[Int]("chunk_idx") == 0)
+    assert(firstFull.exists(_.getAs[Int]("n_chunk_toks") == 50))
+  }
+
+  test("centroids: groups cover all vectors; means bounded by the value range") {
+    val nVecs = Tables.load(spark, sfDir, "embeddings").count()
+    val rows = SparkEntry.queries("ns_embed_centroids")(spark, sfDir).collect()
+    assert(rows.length == 64, "8 groups x 8 reported dims")
+    val dim1 = rows.filter(_.getAs[Int]("dim") == 1)
+    assert(dim1.map(_.getAs[Long]("n")).sum == nVecs)
+    assert(rows.forall(r => math.abs(r.getAs[Double]("mean_r")) <= 1.0))
+  }
+
+  test("tfidf/repetition/decontamination invariants") {
+    val tfidf = SparkEntry.queries("ns_text_tfidf")(spark, sfDir).collect()
+    assert(tfidf.forall(r =>
+      r.getAs[Long]("tf") >= r.getAs[Long]("df") && r.getAs[Long]("df") >= 1))
+    assert(tfidf.forall(_.getAs[Double]("idf") >= 0.0))
+    val rep = SparkEntry.queries("ns_text_repetition")(spark, sfDir).collect()
+    assert(rep.forall { r =>
+      val d = r.getAs[Double]("dup_ngram_frac"); val t = r.getAs[Double]("top_ngram_frac")
+      d >= 0.0 && d < 1.0 && t > 0.0 && t <= 1.0
+    })
+    val dec = SparkEntry.queries("ns_decontaminate")(spark, sfDir).collect()
+    assert(dec.forall(_.getAs[Long]("doc_id") >= 20), "benchmark docs excluded")
+    assert(dec.forall(r =>
+      r.getAs[Boolean]("contaminated") == (r.getAs[Long]("n_hits") > 0)))
+  }
+
   test("spark-native hashes are stable across runs (rows-only query determinism)") {
     val c = Tables.load(spark, sfDir, "customer")
     val h1 = c.select(xxhash64(col("c_name"))).collect().map(_.getLong(0))
