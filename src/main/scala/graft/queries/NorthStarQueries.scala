@@ -819,11 +819,12 @@ object NorthStarQueries {
 
   /** Document CHUNKING: split each doc into fixed-size token windows
     * (50 tokens, stride 40 — 10-token overlap), the context-window
-    * preparation step of every LLM training pipeline. Map-only: one
-    * generator (posexplode) per doc, no shuffle at all until a consumer
-    * aggregates. Chunks are emitted as (index, token count, md5) so the
-    * gate output stays narrow; chunk count = ceil((n-overlap)/stride),
-    * minimum 1.
+    * preparation step of every LLM training pipeline. The chunking
+    * itself is map-only (one posexplode generator per doc — a producer
+    * would write chunks with zero shuffles); the trailing orderBy exists
+    * only for the gate's deterministic dump. Chunks are emitted as
+    * (index, token count, md5) so the gate output stays narrow; chunk
+    * count = ceil((n-overlap)/stride), minimum 1.
     */
   private val textChunks = Q(
     (s, dir) => {
@@ -895,9 +896,11 @@ object NorthStarQueries {
     * with a benchmark set (stand-in: doc_id < 20) — the pass every
     * training pipeline runs so eval data never leaks into training data.
     * The benchmark shingle set is tiny at any corpus scale, so it
-    * BROADCASTS and the check is a map-side semi-join over the corpus:
-    * zero full shuffles of the 100 TB side (the per-doc hit count is a
-    * partial-aggregated groupBy on doc_id).
+    * BROADCASTS and the hit detection is a map-side semi-join over the
+    * corpus; the per-doc hit count shuffles only the HIT subset. The
+    * final left join (attaching zero-hit rows for the gate dump) is the
+    * one corpus-keyed exchange — in production the small contaminated
+    * list would anti-join against the corpus instead.
     */
   private val decontaminate = Q(
     (s, dir) => {
