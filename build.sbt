@@ -30,5 +30,15 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 8g forced multi-second G1 pauses mid-bench on the allocation-heavy
+  // HOF/minhash queries (32 executor threads at sf0.1); the machine has
+  // 128 GiB, so give the single local JVM real headroom by default.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Every Spark whole-stage-codegen compilation adds Janino classes to
+  // the JVM code cache; at the default 240 MB the cache fills mid-bench
+  // and UseCodeCacheFlushing evicts HOT compiled methods — stages then
+  // run interpreted at ~7x CPU (observed: the same stage at 6.5s vs 47s
+  // aggregate CPU, intermittently). 1 GB is reserved address space, not
+  // committed memory, and makes the spikes vanish entirely.
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -34,8 +34,13 @@ object Bench {
     }
     // Min of three timed runs per query: one-off GC/straggler pauses in
     // a shared local JVM otherwise dominate individual measurements
-    // (observed: the same query varying 1.6s..5.6s across runs).
+    // (observed: the same query varying 1.6s..5.6s across runs). A GC
+    // breather before each query's timed block keeps garbage from the
+    // warm-up passes and earlier queries from billing its pause to
+    // whichever query happens to allocate next.
     val results = bench.map { case (name, fn) =>
+      System.gc()
+      Thread.sleep(200)
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
@@ -44,19 +49,28 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      name -> times
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    def obj(rows: Seq[(String, String)]): String =
+      rows.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = obj(results.map { case (k, ts) => k -> ts.min.toString })
+    // All raw per-run timings ride along so run-to-run variance is
+    // visible in the artifact itself, not just the min.
+    val runs = obj(results.map { case (k, ts) => k -> ts.mkString("[", ",", "]") })
+    val total = results.map(_._2.min).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}"""
     // Emit to stdout (bare line — build.sbt routes forked run output
     // through StdoutOutput so no [info] prefix) AND to a well-known file,
     // so a log-scraping consumer and a file-reading one both parse it.
     println(json)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("target/bench_result.json"), json + "\n")
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_result.json"))
+    // resolve/create the parent so the write cannot fail on a cwd that
+    // is not the sbt project root or a missing target/ directory
+    Option(out.toAbsolutePath.getParent)
+      .foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(out.toAbsolutePath, json + "\n")
     spark.stop()
   }
 }

@@ -209,6 +209,10 @@ object NorthStarQueries {
         labels = next
         iter += 1
       }
+      // fail loudly rather than emit wrong clusters: a chain of
+      // overlapping buckets longer than the iteration cap would
+      // otherwise return silently non-converged labels.
+      require(changed == 0, s"connected-components did not converge in $iter rounds")
       sym.unpersist()
       labels.groupBy(col("label").as("cluster"))
         .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc"))
@@ -877,19 +881,30 @@ object NorthStarQueries {
         .agg(sum(expr(s"cast(floor(cast(x as double) * $S) as bigint)")).as("sum_scaled"),
              count(lit(1)).as("n"))
         .withColumn("mean_r",
-          round(col("sum_scaled").cast("double") / (col("n") * lit(S.toDouble)), 6))
+          // explicit zero normalization: a tiny-negative mean rounds to
+          // IEEE -0.0 in DuckDB but +0.0 through Spark's decimal round;
+          // the CASE maps both to literal 0.0 (same scheme as
+          // scalar_array_hof first_r).
+          when(round(col("sum_scaled").cast("double") / (col("n") * lit(S.toDouble)), 6) === 0,
+            lit(0.0))
+            .otherwise(
+              round(col("sum_scaled").cast("double") / (col("n") * lit(S.toDouble)), 6)))
         .where(col("dim") <= 8)
         .orderBy(col("grp"), col("dim"))
     },
+    // the per-row series bound derives from len(embedding) (not a
+    // hardcoded dimensionality) so the oracle tracks the fixture schema
+    // exactly like the Spark-side posexplode does.
     Some(s"""WITH e AS (
             |  SELECT vec_id % 8 AS grp,
-            |    unnest(generate_series(1, 64)) AS dim,
-            |    unnest(list_transform(generate_series(1, 64),
+            |    unnest(generate_series(1, len(embedding))) AS dim,
+            |    unnest(list_transform(generate_series(1, len(embedding)),
             |      i -> cast(floor(embedding[i]::double * $S) as bigint))) AS xs
             |  FROM embeddings
             |)
             |SELECT grp, dim, cast(sum(xs) as bigint) AS sum_scaled, count(*) AS n,
-            |  round(cast(sum(xs) as double) / (count(*) * $S.0), 6) AS mean_r
+            |  CASE WHEN round(cast(sum(xs) as double) / (count(*) * $S.0), 6) = 0 THEN 0.0
+            |       ELSE round(cast(sum(xs) as double) / (count(*) * $S.0), 6) END AS mean_r
             |FROM e WHERE dim <= 8 GROUP BY grp, dim ORDER BY grp, dim""".stripMargin))
 
   /** Benchmark DECONTAMINATION: flag corpus docs sharing any word-3-gram
