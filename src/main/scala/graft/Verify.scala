@@ -5,7 +5,8 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // extra args select a query subset (same convention as drivercheck.py)
+    val (sfDir, outDir, subset) = (args(0), args(1), args.drop(2).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -17,7 +18,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => subset.isEmpty || subset(name) }
+      .foreach { case (name, fn) =>
       // No coalesce(1): queries end in a total order, so the sorted range
       // partitions land as part-00000..part-NNNNN whose lexical file
       // order IS the row order — a single-task funnel would be the one

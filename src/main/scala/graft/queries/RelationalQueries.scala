@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.AsOf
-import Q.T
+import Q.{T, TS}
 
 /** SURVEY.md §2B — the delegated relational surface, re-expressed as native
   * Spark operators. Every entry is one declared capability with a DuckDB
@@ -641,7 +641,12 @@ object RelationalQueries {
     (s, dir) => {
       val w = Window.partitionBy(col("l_returnflag"))
         .orderBy(col("l_quantity").desc, col("l_orderkey"), col("l_linenumber"))
-      val top = T(s, dir, "lineitem")
+      // spread load: the partial (map-side) WindowGroupLimit does the
+      // heavy lifting — a single-split fixture file would run that
+      // top-100-per-group heap on ONE task; spreading makes it 32 heaps
+      // over 1/32 of the rows each, and the later hash exchange then
+      // moves only 32x100xgroups pruned rows.
+      val top = TS(s, dir, "lineitem")
         .select(
           col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
           row_number().over(w).as("rn"),
