@@ -55,6 +55,28 @@ object EngineConfig {
   }
 }
 
+object Engine {
+
+  /** Deployment entry point: a persistent-catalog (Hive metastore)
+    * session with the configured fixtures registered as external tables
+    * and analyzed for CBO — the posture where, like the reference's
+    * always-on PG database (`/root/reference/src/processor.ts:41-51`),
+    * the tables exist before the process starts and survive after it
+    * stops. Gate/bench mains keep their lightweight in-memory-catalog
+    * sessions; a real deployment starts here.
+    */
+  def persistent(
+      config: EngineConfig = EngineConfig.resolve(),
+      warehouseDir: String = "spark-warehouse",
+      metastoreDir: String = "."): Engine = {
+    val spark = graft.sources.PersistentCatalog
+      .sessionBuilder(warehouseDir, metastoreDir)
+      .getOrCreate()
+    graft.sources.PersistentCatalog.bootstrap(spark, config.dataDir)
+    new Engine(spark, config)
+  }
+}
+
 /** Spark-native re-expression of the reference's job-processor frame.
   *
   * The reference (`/root/reference/src/processor.ts`) is a

@@ -21,13 +21,19 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
 object SparkSpec {
   lazy val session: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
+    // Hive-enabled (persistent Derby metastore under target/) because
+    // spark.sql.catalogImplementation is a STATIC conf: the first
+    // session fixes it JVM-wide, and PersistentCatalogSpec needs the
+    // production posture. Other suites are unaffected — they use temp
+    // views, which behave identically under either catalog.
+    val metastore = new java.io.File("target/test-metastore").getAbsolutePath
+    val s = graft.sources.PersistentCatalog
+      .sessionBuilder(
+        warehouseDir = new java.io.File("target/test-warehouse").getAbsolutePath,
+        metastoreDir = metastore,
+        master = "local[4]",
+        shufflePartitions = 4)
       .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
