@@ -20,12 +20,17 @@ import scala.util.{Failure, Success, Try}
   *                       pool max=2 analog, `src/processor.ts:48`) —
   *                       enforced via Spark's FAIR scheduler pools in a
   *                       real deployment
+  * @param reapIntervalMs period of the background sweep that unpersists
+  *                       expired cache entries (the reference reaps idle
+  *                       resources on a 30 s timer, `src/processor.ts:49`);
+  *                       <=0 disables the sweep (lazy expiry only)
   */
 final case class EngineConfig(
     dataDir: String = "/root/testdata/sf0.001",
     defaultTtlMs: Long = 0L,
     compressMinBytes: Int = 1024,
-    maxConcurrentJobs: Int = 2)
+    maxConcurrentJobs: Int = 2,
+    reapIntervalMs: Long = 30000L)
 
 object EngineConfig {
 
@@ -51,8 +56,38 @@ object EngineConfig {
       compressMinBytes =
         num(compressMinBytes, "GRAFT_COMPRESS_MIN_BYTES", _.toInt, d.compressMinBytes),
       maxConcurrentJobs =
-        num(maxConcurrentJobs, "GRAFT_MAX_JOBS", _.toInt, d.maxConcurrentJobs))
+        num(maxConcurrentJobs, "GRAFT_MAX_JOBS", _.toInt, d.maxConcurrentJobs),
+      reapIntervalMs = num(None, "GRAFT_REAP_MS", _.toLong, d.reapIntervalMs))
   }
+}
+
+/** Caller context attached to every query — the analog of the `ctx`
+  * object the reference builds into each rpc packet
+  * (`/root/reference/src/processor.ts:98-106`: originating domain, the
+  * caller's resolved IP, and the acting user id). Carried as Spark
+  * local properties (SURVEY §1.1's mapping) so the identity rides into
+  * every task, listener event, and event-log entry of the jobs the
+  * query spawns — the multi-tenant attribution/audit trail.
+  */
+final case class RequestCtx(domain: String, ip: String, uid: String)
+
+object RequestCtx {
+  /** Local-property keys under which the ctx fields travel. */
+  val keys: Seq[String] = Seq("graft.ctx.domain", "graft.ctx.ip", "graft.ctx.uid")
+
+  /** The no-context default: properties are still set (empty) so a
+    * handler can rely on the keys existing during any query.
+    */
+  val anonymous: RequestCtx = RequestCtx("", "", "")
+
+  /** Read the ctx visible to the CURRENT task — executor-side accessor
+    * for handlers that log or branch on tenant identity.
+    */
+  def fromTask(tc: org.apache.spark.TaskContext): RequestCtx =
+    RequestCtx(
+      Option(tc.getLocalProperty(keys(0))).getOrElse(""),
+      Option(tc.getLocalProperty(keys(1))).getOrElse(""),
+      Option(tc.getLocalProperty(keys(2))).getOrElse(""))
 }
 
 object Engine {
@@ -105,6 +140,13 @@ final class Engine(
 
   private val registry = new ConcurrentHashMap[String, Job]()
   val cache = new CacheManager(spark)
+  // the 30 s idle-resource reaper analog (`src/processor.ts:49`): without
+  // it an expired entry that is never re-queried pins executor memory
+  // until session end — at scale that is a slow leak, not a nuisance.
+  if (config.reapIntervalMs > 0) cache.startReaper(config.reapIntervalMs)
+
+  /** Release background resources (reaper thread). Idempotent. */
+  def shutdown(): Unit = cache.stopReaper()
 
   /** Register a handler; last registration wins, exactly like the
     * reference's `Map.set` (`src/processor.ts:58`).
@@ -142,15 +184,31 @@ final class Engine(
   /** Synchronous query API — the analog of `rpc<T>()`
     * (`src/processor.ts:92-133`). The correlation id (`sn`,
     * `src/processor.ts:108`) maps to a Spark job group so the result is
-    * attributable and cancellable; collection replaces the response
-    * envelope, with codecs handled transparently by Spark (the analog of
-    * the zlib sniff at `src/processor.ts:114-121`).
+    * attributable and cancellable; the caller context the reference
+    * attaches to every call (`{domain, ip, uid}`,
+    * `src/processor.ts:98-106`) maps to SparkContext LOCAL PROPERTIES,
+    * which Spark propagates into every task of every job the handler
+    * triggers — so executor-side logs, listeners, and the event log can
+    * attribute work to the calling tenant. Both are cleared on exit
+    * (success or failure) so a pooled driver thread never leaks one
+    * caller's identity into the next call.
     */
-  def query(cmd: String, args: Seq[Any] = Nil): Try[Array[org.apache.spark.sql.Row]] = {
+  def query(
+      cmd: String,
+      args: Seq[Any] = Nil,
+      ctx: RequestCtx = RequestCtx.anonymous): Try[Array[org.apache.spark.sql.Row]] = {
     val sn = java.util.UUID.randomUUID().toString
-    spark.sparkContext.setJobGroup(sn, s"graft:$cmd", interruptOnCancel = true)
+    val sc = spark.sparkContext
+    sc.setJobGroup(sn, s"graft:$cmd", interruptOnCancel = true)
+    RequestCtx.keys.zip(Seq(ctx.domain, ctx.ip, ctx.uid)).foreach {
+      case (k, v) => sc.setLocalProperty(k, v)
+    }
     try withScope(submit(cmd, args).map(_.collect()))
-    finally spark.sparkContext.clearJobGroup()
+    finally {
+      // null removes the property (SparkContext.setLocalProperty contract)
+      RequestCtx.keys.foreach(sc.setLocalProperty(_, null))
+      sc.clearJobGroup()
+    }
   }
 
   /** Serialized JSON result with transparent compression — the full rpc
@@ -312,4 +370,42 @@ final class CacheManager(spark: SparkSession) {
     entries.remove(key).foreach(_.df.unpersist(blocking = false))
 
   def keys: Set[String] = entries.keySet.toSet
+
+  /** Unpersist every entry whose TTL has elapsed; returns how many were
+    * reaped. [[getOrPut]] already expires lazily on access — this is the
+    * eager path for entries nobody asks for again.
+    */
+  def sweepExpired(): Int = {
+    val now = System.currentTimeMillis()
+    var reaped = 0
+    entries.filterInPlace { (_, e) =>
+      val dead = e.expiresAt > 0 && e.expiresAt <= now
+      if (dead) { e.df.unpersist(blocking = false); reaped += 1 }
+      !dead
+    }
+    reaped
+  }
+
+  private val reaper =
+    new java.util.concurrent.atomic.AtomicReference[java.util.concurrent.ScheduledExecutorService]()
+
+  /** Start the periodic expired-entry sweep (daemon thread; the
+    * reference's 30 s resource reaper, `src/processor.ts:49`). A second
+    * start is a no-op; [[stopReaper]] cancels it.
+    */
+  def startReaper(intervalMs: Long): Unit = {
+    val exec = java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
+      val t = new Thread(r, "graft-cache-reaper"); t.setDaemon(true); t
+    }
+    if (reaper.compareAndSet(null, exec))
+      exec.scheduleAtFixedRate(
+        () => try sweepExpired() catch { case _: Throwable => () },
+        intervalMs, intervalMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    else exec.shutdownNow()
+  }
+
+  def stopReaper(): Unit = {
+    val exec = reaper.getAndSet(null)
+    if (exec != null) exec.shutdownNow()
+  }
 }

@@ -170,6 +170,53 @@ class EngineSpec extends SparkSpec {
     assert(out == Vector("a", "c"))
   }
 
+  test("rpc ctx propagates into task execution and is cleared after") {
+    import graft.engine.RequestCtx
+    val e = new Engine(spark)
+    // the handler forces ctx to be read INSIDE a running task (executor
+    // side), not just on the driver thread — local properties must ride
+    // the job all the way down.
+    e.register("whoami") { (s, _, _) =>
+      import s.implicits._
+      s.range(4).mapPartitions { it =>
+        val ctx = RequestCtx.fromTask(org.apache.spark.TaskContext.get())
+        it.map(_ => (ctx.domain, ctx.ip, ctx.uid))
+      }.toDF("domain", "ip", "uid").distinct()
+    }
+    val rows = e.query("whoami", Nil, RequestCtx("analytics", "10.0.0.7", "u42")).get
+    assert(rows.length == 1)
+    assert(rows(0).getString(0) == "analytics")
+    assert(rows(0).getString(1) == "10.0.0.7")
+    assert(rows(0).getString(2) == "u42")
+    // cleared after the call: the driver thread carries no stale identity
+    RequestCtx.keys.foreach { k =>
+      assert(spark.sparkContext.getLocalProperty(k) == null, s"$k leaked")
+    }
+    // and the next anonymous call sees empty ctx, not the previous caller's
+    val anon = e.query("whoami").get
+    assert(anon.length == 1 && anon(0).getString(2) == "")
+  }
+
+  test("reaper unpersists an expired entry that is never re-queried") {
+    import graft.engine.EngineConfig
+    import org.apache.spark.storage.StorageLevel
+    val e = new Engine(spark, EngineConfig(reapIntervalMs = 100L))
+    try {
+      import spark.implicits._
+      // TTL long enough that materializing the entry can't outlive it
+      val df = e.cache.getOrPut("reap-me", ttlMs = 3000L)(Seq(1, 2, 3).toDF("x"))
+      df.count()
+      assert(e.cache.keys.contains("reap-me"))
+      assert(df.storageLevel != StorageLevel.NONE)
+      // no further access: only the background sweep can release it
+      val deadline = System.currentTimeMillis() + 10000
+      while (e.cache.keys.contains("reap-me") && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(!e.cache.keys.contains("reap-me"), "expired entry still registered")
+      assert(df.storageLevel == StorageLevel.NONE, "expired entry still persisted")
+    } finally e.shutdown()
+  }
+
   test("config resolution: explicit beats env beats default (CACHE_PORT analog)") {
     import graft.engine.EngineConfig
     val env = Map(
