@@ -37,6 +37,20 @@ class CatalogSpec extends SparkSpec {
     assert(stale.isEmpty, s"rows-only allowlist names unknown queries: $stale")
   }
 
+  test("COVERAGE.md's declared query count matches the code catalog") {
+    // the doc opens with "**<N> declared queries**"; drift between that
+    // number and SparkEntry.catalog cost auditor trust in r5 — this
+    // makes the doc count un-driftable.
+    val doc = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("COVERAGE.md")), "UTF-8")
+    val declared = """\*\*(\d+) declared queries\*\*""".r
+      .findFirstMatchIn(doc).map(_.group(1).toInt)
+    assert(declared.isDefined, "COVERAGE.md lost its '**N declared queries**' line")
+    assert(declared.contains(SparkEntry.catalog.size),
+      s"COVERAGE.md declares ${declared.get} queries but the catalog has " +
+        s"${SparkEntry.catalog.size} — update COVERAGE.md")
+  }
+
   test("bench subset is non-empty and every bench query is oracled") {
     val bench = SparkEntry.catalog.filter(_._2.bench)
     assert(bench.size >= 8, s"expected >=8 headline queries, got ${bench.keys}")
