@@ -57,6 +57,33 @@ object ScaleProbe {
       big.orderBy(col("l_extendedprice").desc, col("l_orderkey")).limit(100)
         .write.mode("overwrite").format("noop").save()
     }
+
+    // --- LLM-pipeline operator probes over a multiplied documents table.
+    // The fixture is written (doc_ids remapped) to a temp dir and the
+    // REAL registered queries run against it — the production code path,
+    // not a re-declared shape. Replication multiplies every document
+    // `docMult` times, which is a dedup STRESS case: each LSH bucket and
+    // each connected component grows by the factor, so cluster
+    // resolution sees both more edges and larger components.
+    val docMult = args.lift(2).map(_.toInt).getOrElse(mult * 10)
+    val docReps = spark.range(docMult).select(col("id").as("rep"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
+    Tables.load(spark, sfDir, "documents")
+      .crossJoin(broadcast(docReps))
+      .withColumn("doc_id", col("doc_id") * docMult + col("rep"))
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val nDocs = spark.read.parquet(s"$tmp/documents.parquet").count()
+
+    def timeDoc(name: String): Unit = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, tmp).write.mode("overwrite").format("noop").save()
+      println(f"[scaleprobe] $name x$docMult (${nDocs} docs): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    // cluster resolution logs its rounds-to-convergence on stderr ([cc])
+    timeDoc("ns_dedup_clusters")
+    timeDoc("ns_decontaminate")
+    timeDoc("ns_text_tfidf")
     spark.stop()
   }
 }

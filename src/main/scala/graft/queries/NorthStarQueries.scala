@@ -213,6 +213,9 @@ object NorthStarQueries {
       // overlapping buckets longer than the iteration cap would
       // otherwise return silently non-converged labels.
       require(changed == 0, s"connected-components did not converge in $iter rounds")
+      // rounds-to-convergence is the scale signal for this operator
+      // (ScaleProbe/PLANS.md track it); stderr so gate stdout stays clean
+      System.err.println(s"[cc] ns_dedup_clusters converged in $iter rounds")
       sym.unpersist()
       labels.groupBy(col("label").as("cluster"))
         .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc"))
