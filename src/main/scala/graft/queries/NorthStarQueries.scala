@@ -487,32 +487,39 @@ object NorthStarQueries {
             |SELECT a_id, b_id, round(cos, 6) AS cos_sim
             |FROM p ORDER BY cos_sim DESC, a_id, b_id LIMIT 10""".stripMargin))
 
-  /** IVF (inverted-file) ANN, nprobe=1: 16 fixed coarse centroids
-    * (vec_ids 100..115), every vector assigned to its nearest centroid
-    * (broadcast argmax), queries probe only their own cell. The
+  /** IVF (inverted-file) ANN, parameterized by `nprobe`: 16 fixed coarse
+    * centroids (vec_ids 100..115), every vector assigned to its nearest
+    * centroid (broadcast argmax); each query probes its `nprobe` nearest
+    * CELLS (every corpus vector still lives in exactly one cell, so the
+    * probed candidate sets are disjoint and need no dedup). The
     * coarse-quantize-then-local-search structure is the standard
-    * billion-scale ANN layout; recall tradeoffs are the caller's knob
-    * (nprobe), correctness of the plumbing is what the oracle checks.
+    * billion-scale ANN layout; nprobe is the recall knob real ANN users
+    * turn first — candidate volume (and recall, monotonically) grows
+    * linearly with it while the plan shape stays identical. The oracle
+    * checks the plumbing at nprobe=1 and 2; NorthStarSpec checks the
+    * recall-vs-brute-force monotonicity.
     */
-  private val simIvfTopk = Q(
+  private def ivfTopk(nprobe: Int): Q = Q(
     (s, dir) => {
       graft.expressions.ScaledDotProduct.registerIn(s)
       val e = TS(s, dir, "embeddings")
         .withColumn("nrm", expr("scaled_dot(embedding, embedding)"))
-      val cen = e.where(col("vec_id").between(100, 115))
-        .select(col("vec_id").as("cen_id"), col("embedding").as("cen_emb"),
-                col("nrm").as("cen_nrm"))
       val wAssign = Window.partitionBy(col("vec_id"))
         .orderBy(col("cen_cos").desc, col("cen_id"))
-      val assigned = e.join(broadcast(cen), lit(true))
+      val ranked = e.join(broadcast(
+          e.where(col("vec_id").between(100, 115))
+            .select(col("vec_id").as("cen_id"), col("embedding").as("cen_emb"),
+                    col("nrm").as("cen_nrm"))), lit(true))
         .withColumn("cen_cos", expr("scaled_dot(embedding, cen_emb)").cast("double") /
           (sqrt(col("nrm").cast("double")) * sqrt(col("cen_nrm").cast("double"))))
         .withColumn("arn", row_number().over(wAssign))
-        .where(col("arn") === 1)
+      // corpus: every vector in exactly its nearest cell
+      val assigned = ranked.where(col("arn") === 1)
         .select(col("vec_id"), col("embedding"), col("nrm"), col("cen_id").as("cell"))
-      val q = assigned.where(col("vec_id") < 16)
+      // queries: one probe row per (query, nearest cell 1..nprobe)
+      val q = ranked.where(col("arn") <= nprobe && col("vec_id") < 16)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-                col("nrm").as("nq"), col("cell"))
+                col("nrm").as("nq"), col("cen_id").as("cell"))
       val c = assigned
         .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
                 col("nrm").as("nc"), col("cell").as("cell_c"))
@@ -532,23 +539,25 @@ object NorthStarQueries {
             |), cen AS (
             |  SELECT vec_id AS cen_id, embedding AS cen_emb, nrm AS cen_nrm
             |  FROM e WHERE vec_id BETWEEN 100 AND 115
-            |), scored AS (
-            |  SELECT e.vec_id, e.embedding, e.nrm, cen.cen_id,
-            |    cast(${scaledDotSql("e.embedding", "cen.cen_emb")} as double)
-            |      / (sqrt(cast(e.nrm as double)) * sqrt(cast(cen.cen_nrm as double))) AS cen_cos
-            |  FROM e, cen
+            |), ranked AS (
+            |  SELECT *, row_number() OVER (PARTITION BY vec_id
+            |                               ORDER BY cen_cos DESC, cen_id) AS arn
+            |  FROM (
+            |    SELECT e.vec_id, e.embedding, e.nrm, cen.cen_id,
+            |      cast(${scaledDotSql("e.embedding", "cen.cen_emb")} as double)
+            |        / (sqrt(cast(e.nrm as double)) * sqrt(cast(cen.cen_nrm as double))) AS cen_cos
+            |    FROM e, cen)
             |), assigned AS (
-            |  SELECT vec_id, embedding, nrm, cen_id AS cell FROM (
-            |    SELECT *, row_number() OVER (PARTITION BY vec_id
-            |                                 ORDER BY cen_cos DESC, cen_id) AS arn
-            |    FROM scored) WHERE arn = 1
+            |  SELECT vec_id, embedding, nrm, cen_id AS cell FROM ranked WHERE arn = 1
+            |), probes AS (
+            |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS nq, cen_id AS cell
+            |  FROM ranked WHERE arn <= $nprobe AND vec_id < 16
             |), p AS (
-            |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-            |    cast(${scaledDotSql("q.embedding", "c.embedding")} as double)
-            |      / (sqrt(cast(q.nrm as double)) * sqrt(cast(c.nrm as double))) AS cos
-            |  FROM assigned q JOIN assigned c
-            |    ON q.cell = c.cell AND q.vec_id <> c.vec_id
-            |  WHERE q.vec_id < 16
+            |  SELECT q.q_id, c.vec_id AS c_id,
+            |    cast(${scaledDotSql("q.q_emb", "c.embedding")} as double)
+            |      / (sqrt(cast(q.nq as double)) * sqrt(cast(c.nrm as double))) AS cos
+            |  FROM probes q JOIN assigned c
+            |    ON q.cell = c.cell AND q.q_id <> c.vec_id
             |), r AS (
             |  SELECT q_id, c_id, cos,
             |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
@@ -556,6 +565,9 @@ object NorthStarQueries {
             |)
             |SELECT q_id, rnk, c_id, round(cos, 6) AS cos_sim
             |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin))
+
+  private val simIvfTopk = ivfTopk(1)
+  private val simIvfNprobe2 = ivfTopk(2)
 
   /** Edit-distance near-dup: blocked pairs (same source, close length)
     * scored by levenshtein over a fixed prefix — the fuzzy-match dedup
@@ -1151,6 +1163,7 @@ object NorthStarQueries {
     "ns_sim_cosine_topk" -> simCosineTopk,
     "ns_sim_lsh_buckets" -> simLshBuckets,
     "ns_sim_ivf_topk" -> simIvfTopk,
+    "ns_sim_ivf_nprobe2" -> simIvfNprobe2,
     "ns_text_langid" -> textLangid,
     "ns_text_quality" -> textQuality,
     "ns_text_token_counts" -> textTokenCounts,
