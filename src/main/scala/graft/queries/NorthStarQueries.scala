@@ -1149,6 +1149,159 @@ object NorthStarQueries {
            |GROUP BY lang, source ORDER BY lang, source""".stripMargin))
 
   // ---------------------------------------------------------------------
+  // Sequence packing, PII redaction, corpus mixing
+  // ---------------------------------------------------------------------
+
+  /** Sequence PACKING: concatenate the corpus in doc_id order and split
+    * it into fixed 256-token context windows (the GPT-style
+    * pack-then-split step between chunking and batching). Each doc gets
+    * its global token offset and the window span it lands in. The
+    * offset is a prefix sum, computed the SCALABLE way: contiguous
+    * range blocks (monotone in the sort key) each sum locally in
+    * parallel, block totals (16 rows) cumulate into per-block bases,
+    * and the bases broadcast back — no single-reducer global window
+    * over the corpus, the shape that dies first on a fat total order.
+    * The DuckDB oracle uses a plain global cumulative sum; the
+    * hash-equality of the two IS the proof the two-pass decomposition
+    * is exact.
+    */
+  private val textPack = Q(
+    (s, dir) => {
+      val nb = 16
+      val winTok = 256
+      val d = T(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("bigint").as("n_toks"))
+      val hi = d.agg((max(col("doc_id")) + 1).as("hi"))
+      val blocked = d.crossJoin(broadcast(hi))
+        .withColumn("block", floor(col("doc_id") * nb / col("hi")).cast("int"))
+        .drop("hi")
+      val wLocal = Window.partitionBy(col("block")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // block-level running total: 16 rows, the single-partition window
+      // is a constant-size driver-side-scale step by construction
+      val wBlocks = Window.orderBy(col("block"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bases = blocked.groupBy(col("block")).agg(sum(col("n_toks")).as("btot"))
+        .withColumn("base", sum(col("btot")).over(wBlocks) - col("btot"))
+        .select(col("block"), col("base"))
+      blocked
+        .withColumn("local_cum", sum(col("n_toks")).over(wLocal))
+        .join(broadcast(bases), Seq("block"))
+        .withColumn("cum", col("base") + col("local_cum"))
+        .select(col("doc_id"), col("n_toks"),
+          (col("cum") - col("n_toks")).as("offset"),
+          expr(s"(cum - n_toks) div $winTok").as("start_win"),
+          expr(s"(cum - 1) div $winTok").as("end_win"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH d AS (
+           |  SELECT doc_id, cast(len(string_split(text, ' ')) as bigint) AS n_toks
+           |  FROM documents
+           |), c AS (
+           |  SELECT doc_id, n_toks,
+           |    sum(n_toks) OVER (ORDER BY doc_id
+           |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM d
+           |)
+           |SELECT doc_id, n_toks,
+           |  cast(cum - n_toks as bigint) AS offset,
+           |  cast((cum - n_toks) // 256 as bigint) AS start_win,
+           |  cast((cum - 1) // 256 as bigint) AS end_win
+           |FROM c ORDER BY doc_id""".stripMargin))
+
+  // PII patterns — shared Java-regex/RE2 subset (no lookaround, no \b):
+  // counted on the raw text, then redacted in a fixed order so both
+  // engines transform identically.
+  private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ipPat = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  private val phonePat = "555-[0-9]{4}"
+
+  /** PII REDACTION: count and mask emails / IPv4s / phone-shaped tokens
+    * — the compliance pass every shipped training corpus runs. The
+    * operator is a map-only stack of regexp_count + ordered
+    * regexp_replace (email -> ip -> phone, so a masked email can't
+    * leave a matchable domain behind). The synthetic documents carry no
+    * PII, so the patterns are exercised on contact strings derived
+    * deterministically from the customer fixture — the redaction logic
+    * itself is exactly what production text would get.
+    */
+  private val textPiiRedact = Q(
+    (s, dir) => {
+      val txt = concat(
+        col("c_name"), lit(" reachable at "),
+        lower(translate(col("c_name"), "#", ".")), lit("@example.com or ip 10."),
+        (col("c_custkey") % 256).cast("string"), lit(".0.1 phone 555-"),
+        lpad((col("c_custkey") % 10000).cast("string"), 4, "0"))
+      T(s, dir, "customer")
+        .select(col("c_custkey"), txt.as("txt"))
+        .select(col("c_custkey"),
+          regexp_count(col("txt"), lit(emailPat)).cast("bigint").as("n_emails"),
+          regexp_count(col("txt"), lit(ipPat)).cast("bigint").as("n_ips"),
+          regexp_count(col("txt"), lit(phonePat)).cast("bigint").as("n_phones"),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("txt"), lit(emailPat), lit("[EMAIL]")),
+              lit(ipPat), lit("[IP]")),
+            lit(phonePat), lit("[PHONE]")).as("redacted"))
+        .orderBy(col("c_custkey"))
+    },
+    Some(s"""WITH t AS (
+            |  SELECT c_custkey,
+            |    c_name || ' reachable at ' || lower(replace(c_name, '#', '.'))
+            |      || '@example.com or ip 10.' || cast(c_custkey % 256 as varchar)
+            |      || '.0.1 phone 555-' || lpad(cast(c_custkey % 10000 as varchar), 4, '0')
+            |      AS txt
+            |  FROM customer
+            |)
+            |SELECT c_custkey,
+            |  cast(len(regexp_extract_all(txt, '$emailPat')) as bigint) AS n_emails,
+            |  cast(len(regexp_extract_all(txt, '$ipPat')) as bigint) AS n_ips,
+            |  cast(len(regexp_extract_all(txt, '$phonePat')) as bigint) AS n_phones,
+            |  regexp_replace(regexp_replace(regexp_replace(
+            |    txt, '$emailPat', '[EMAIL]', 'g'), '$ipPat', '[IP]', 'g'),
+            |    '$phonePat', '[PHONE]', 'g') AS redacted
+            |FROM t ORDER BY c_custkey""".stripMargin))
+
+  /** CORPUS MIXING: deterministic per-source downsampling toward target
+    * mixture weights — the data-mixing step that turns raw crawl
+    * proportions into a training recipe. Targets derive from the source
+    * id (10%..50%); membership is an md5-mod coin keyed by doc_id, so
+    * the sample is reproducible under any partitioning and needs no
+    * shared RNG state. Map-only scan + one source-keyed aggregate
+    * reporting achieved vs target fractions.
+    */
+  private val corpusMix = Q(
+    (s, dir) => {
+      val srcnum = regexp_extract(col("source"), "([0-9]+)$", 1).cast("int")
+      T(s, dir, "documents")
+        .withColumn("target_pct", ((srcnum % 5) + 1) * 10)
+        .withColumn("keep",
+          expr("cast(conv(substring(md5(concat('mix:', cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 100")
+            < col("target_pct"))
+        .groupBy(col("source"), col("target_pct"))
+        .agg(count(lit(1)).as("n_total"),
+             sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+        .withColumn("kept_frac_r",
+          round(col("n_kept").cast("double") / col("n_total"), 4))
+        .orderBy(col("source"))
+    },
+    Some("""WITH d AS (
+           |  SELECT source,
+           |    ((cast(regexp_extract(source, '([0-9]+)$', 1) as int) % 5) + 1) * 10
+           |      AS target_pct,
+           |    (cast('0x' || substr(md5('mix:' || cast(doc_id as varchar)), 1, 8) as bigint) % 100)
+           |      < ((cast(regexp_extract(source, '([0-9]+)$', 1) as int) % 5) + 1) * 10
+           |      AS keep
+           |  FROM documents
+           |)
+           |SELECT source, target_pct, count(*) AS n_total,
+           |  cast(sum(CASE WHEN keep THEN 1 ELSE 0 END) as bigint) AS n_kept,
+           |  round(cast(sum(CASE WHEN keep THEN 1 ELSE 0 END) as double) / count(*), 4)
+           |    AS kept_frac_r
+           |FROM d GROUP BY source, target_pct ORDER BY source""".stripMargin))
+
+  // ---------------------------------------------------------------------
   // Assembled inventory
   // ---------------------------------------------------------------------
 
@@ -1180,6 +1333,9 @@ object NorthStarQueries {
     "ns_sketch_kmv" -> sketchKmv,
     "ns_sample_hash" -> sampleHash,
     "ns_sample_stratified" -> sampleStratified,
-    "ns_profile_documents" -> profileDocuments
+    "ns_profile_documents" -> profileDocuments,
+    "ns_text_pack" -> textPack,
+    "ns_text_pii_redact" -> textPiiRedact,
+    "ns_corpus_mix" -> corpusMix
   )
 }

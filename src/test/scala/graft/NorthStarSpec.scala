@@ -198,6 +198,35 @@ class NorthStarSpec extends SparkSpec {
     assert(r2 > 0.0, "nprobe=2 found none of the true neighbors")
   }
 
+  test("sequence packing: token offsets are contiguous, window spans consistent") {
+    val rows = SparkEntry.queries("ns_text_pack")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // columns: doc_id, n_toks, offset, start_win, end_win
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(2) == a.getLong(2) + a.getLong(1),
+          s"gap in packed offsets at doc ${b.getLong(0)}")
+      case _ => ()
+    }
+    rows.foreach { r =>
+      assert(r.getLong(3) == r.getLong(2) / 256)
+      assert(r.getLong(4) >= r.getLong(3), "end_win before start_win")
+    }
+  }
+
+  test("pii redaction: every planted identifier is counted and masked") {
+    val rows = SparkEntry.queries("ns_text_pii_redact")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 1, s"email count ${r.getLong(1)}")
+      assert(r.getLong(2) == 1, s"ip count ${r.getLong(2)}")
+      assert(r.getLong(3) == 1, s"phone count ${r.getLong(3)}")
+      val red = r.getString(4)
+      assert(red.contains("[EMAIL]") && red.contains("[IP]") && red.contains("[PHONE]"))
+      assert(!red.contains("@example.com"), s"unredacted email in: $red")
+    }
+  }
+
   test("spark-native hashes are stable across runs (rows-only query determinism)") {
     val c = Tables.load(spark, sfDir, "customer")
     val h1 = c.select(xxhash64(col("c_name"))).collect().map(_.getLong(0))
