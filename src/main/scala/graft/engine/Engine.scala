@@ -140,6 +140,12 @@ final class Engine(
 
   private val registry = new ConcurrentHashMap[String, Job]()
   val cache = new CacheManager(spark)
+  // The PG pool max=2 analog (`src/processor.ts:48`), actually enforced:
+  // callers beyond the ceiling BLOCK here (fair FIFO) exactly like a
+  // checkout from an exhausted connection pool. Spark-side attribution
+  // rides the scheduler-pool local property set per query.
+  private val jobPermits =
+    new java.util.concurrent.Semaphore(math.max(1, config.maxConcurrentJobs), true)
   // the 30 s idle-resource reaper analog (`src/processor.ts:49`): without
   // it an expired entry that is never re-queried pins executor memory
   // until session end — at scale that is a slow leak, not a nuisance.
@@ -199,7 +205,9 @@ final class Engine(
       ctx: RequestCtx = RequestCtx.anonymous): Try[Array[org.apache.spark.sql.Row]] = {
     val sn = java.util.UUID.randomUUID().toString
     val sc = spark.sparkContext
+    jobPermits.acquire()
     sc.setJobGroup(sn, s"graft:$cmd", interruptOnCancel = true)
+    sc.setLocalProperty("spark.scheduler.pool", "graft")
     RequestCtx.keys.zip(Seq(ctx.domain, ctx.ip, ctx.uid)).foreach {
       case (k, v) => sc.setLocalProperty(k, v)
     }
@@ -207,9 +215,16 @@ final class Engine(
     finally {
       // null removes the property (SparkContext.setLocalProperty contract)
       RequestCtx.keys.foreach(sc.setLocalProperty(_, null))
+      sc.setLocalProperty("spark.scheduler.pool", null)
       sc.clearJobGroup()
+      jobPermits.release()
     }
   }
+
+  /** Live in-flight `query` count ceiling check — exposed for the
+    * concurrency-enforcement spec.
+    */
+  def availableJobPermits: Int = jobPermits.availablePermits()
 
   /** Serialized JSON result with transparent compression — the full rpc
     * response path (`src/processor.ts:111-124`): rows as JSON lines,

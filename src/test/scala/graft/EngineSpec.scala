@@ -217,6 +217,30 @@ class EngineSpec extends SparkSpec {
     } finally e.shutdown()
   }
 
+  test("maxConcurrentJobs is enforced: excess callers block like a pool checkout") {
+    import graft.engine.EngineConfig
+    import java.util.concurrent.atomic.AtomicInteger
+    val e = new Engine(spark, EngineConfig(maxConcurrentJobs = 2))
+    try {
+      val inFlight = new AtomicInteger(0)
+      val maxSeen = new AtomicInteger(0)
+      e.register("slow") { (s, _, _) =>
+        val now = inFlight.incrementAndGet()
+        maxSeen.updateAndGet(m => math.max(m, now))
+        Thread.sleep(150)
+        inFlight.decrementAndGet()
+        import s.implicits._
+        Seq(1).toDF("x")
+      }
+      val threads = (1 to 5).map { _ =>
+        val t = new Thread(() => { e.query("slow"); () }); t.start(); t
+      }
+      threads.foreach(_.join(30000))
+      assert(maxSeen.get() <= 2, s"saw ${maxSeen.get()} concurrent jobs, ceiling 2")
+      assert(e.availableJobPermits == 2, "permits leaked after completion")
+    } finally e.shutdown()
+  }
+
   test("config resolution: explicit beats env beats default (CACHE_PORT analog)") {
     import graft.engine.EngineConfig
     val env = Map(
