@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -186,8 +187,11 @@ object NorthStarQueries {
     * Oracle: DuckDB recursive CTE computing the true transitive-closure
     * min label — the converged Spark fixpoint must equal it exactly.
     */
-  private val dedupClusters = Q(
-    (s, dir) => {
+  /** Converged (doc_id, label) cluster assignment — the CC fixpoint
+    * shared by [[dedupClusters]] (cluster stats) and [[dedupCanonical]]
+    * (best-doc keeper selection).
+    */
+  private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
       val bands = minhashBands(s, dir)
       val hubs = bands.groupBy(col("band"), col("bkey")).agg(min(col("doc_id")).as("hub"))
       val e = bands.join(hubs, Seq("band", "bkey"))
@@ -215,12 +219,17 @@ object NorthStarQueries {
       require(changed == 0, s"connected-components did not converge in $iter rounds")
       // rounds-to-convergence is the scale signal for this operator
       // (ScaleProbe/PLANS.md track it); stderr so gate stdout stays clean
-      System.err.println(s"[cc] ns_dedup_clusters converged in $iter rounds")
+      System.err.println(s"[cc] cluster labels converged in $iter rounds")
       sym.unpersist()
-      labels.groupBy(col("label").as("cluster"))
+      labels
+  }
+
+  private val dedupClusters = Q(
+    (s, dir) =>
+      clusterLabels(s, dir)
+        .groupBy(col("label").as("cluster"))
         .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc"))
-        .orderBy(col("cluster"))
-    },
+        .orderBy(col("cluster")),
     Some(
       s"""WITH RECURSIVE $minhashBandsSqlCtes, hubs AS (
          |  SELECT band, bkey, min(doc_id) AS hub FROM bands GROUP BY 1, 2
@@ -239,6 +248,63 @@ object NorthStarQueries {
          |)
          |SELECT cluster, count(*) AS n_docs, max(node) AS max_doc
          |FROM comp GROUP BY cluster ORDER BY cluster""".stripMargin))
+
+  /** CANONICAL SELECTION: per near-dup cluster, keep the BEST document
+    * — longest (n_chars), ties to the lowest doc_id — rather than an
+    * arbitrary member; real dedup pipelines keep the highest-quality
+    * version and drop the rest. Keeper choice is a rank-only window
+    * over the cluster label, so `WindowGroupLimit` prunes each
+    * partition map-side even when one cluster is huge; cluster stats
+    * come from the same join in a separate two-phase aggregate. Output
+    * also reports chars_removed — the dedup savings a curation report
+    * would show.
+    */
+  private val dedupCanonical = Q(
+    (s, dir) => {
+      val ranked = clusterLabels(s, dir)
+        .join(T(s, dir, "documents").select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      val w = Window.partitionBy(col("label"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val keep = ranked.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("label").as("cluster"), col("doc_id").as("keeper_doc"),
+                col("n_chars").as("keeper_chars"))
+      val stats = ranked.groupBy(col("label").as("cluster"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      stats.join(keep, Seq("cluster"))
+        .select(col("cluster"), col("n_docs"), col("keeper_doc"), col("keeper_chars"),
+                (col("sum_chars") - col("keeper_chars")).as("chars_removed"))
+        .orderBy(col("cluster"))
+    },
+    Some(
+      s"""WITH RECURSIVE $minhashBandsSqlCtes, hubs AS (
+         |  SELECT band, bkey, min(doc_id) AS hub FROM bands GROUP BY 1, 2
+         |), e AS (
+         |  SELECT DISTINCT b.doc_id AS a, h.hub AS b
+         |  FROM bands b JOIN hubs h USING (band, bkey)
+         |  WHERE b.doc_id <> h.hub
+         |), sym AS (
+         |  SELECT a, b FROM e UNION SELECT b, a FROM e
+         |), reach(node, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT s.b, r.label FROM sym s JOIN reach r ON r.node = s.a
+         |), comp AS (
+         |  SELECT node, min(label) AS cluster FROM reach GROUP BY node
+         |), j AS (
+         |  SELECT c.cluster, d.doc_id, d.n_chars,
+         |    row_number() OVER (PARTITION BY c.cluster
+         |                       ORDER BY d.n_chars DESC, d.doc_id) AS rn
+         |  FROM comp c JOIN documents d ON d.doc_id = c.node
+         |), st AS (
+         |  SELECT cluster, count(*) AS n_docs, cast(sum(n_chars) as bigint) AS sum_chars
+         |  FROM j GROUP BY cluster
+         |)
+         |SELECT st.cluster, st.n_docs, k.doc_id AS keeper_doc,
+         |  k.n_chars AS keeper_chars,
+         |  cast(st.sum_chars - k.n_chars as bigint) AS chars_removed
+         |FROM st JOIN j k ON k.cluster = st.cluster AND k.rn = 1
+         |ORDER BY st.cluster""".stripMargin))
 
   // ---------------------------------------------------------------------
   // Dedup 3: SimHash (16-bit, token-level)
@@ -1309,6 +1375,7 @@ object NorthStarQueries {
     "ns_dedup_exact" -> dedupExact,
     "ns_dedup_minhash_lsh" -> dedupMinhashLsh,
     "ns_dedup_clusters" -> dedupClusters,
+    "ns_dedup_canonical" -> dedupCanonical,
     "ns_dedup_simhash" -> dedupSimhash,
     "ns_dedup_ngram_jaccard" -> dedupNgramJaccard,
     "ns_dedup_embedding_cosine" -> dedupEmbeddingCosine,
