@@ -1367,6 +1367,60 @@ object NorthStarQueries {
            |    AS kept_frac_r
            |FROM d GROUP BY source, target_pct ORDER BY source""".stripMargin))
 
+  /** QUALITY-GATE FILTERING (C4-style): drop documents that contain a
+    * blocked term OR score below the corpus's 25th quality percentile —
+    * the combined blocklist + statistical floor every curation pipeline
+    * applies before training. The corpus-wide threshold is ONE exact
+    * percentile aggregate broadcast back as a scalar (no per-row
+    * subquery); term matching is a map-only regex; reporting is a
+    * (lang, source)-keyed two-phase aggregate with drop reasons —
+    * auditable filtering, not a silent WHERE.
+    */
+  private val filterQualityGate = Q(
+    (s, dir) => {
+      val scored = T(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_toks", size(col("toks")))
+        .withColumn("quality", round(
+          size(array_distinct(col("toks"))).cast("double") / col("n_toks") * 0.5 +
+            least(col("n_toks").cast("double") / 100, lit(1.0)) * 0.5, 6))
+        .withColumn("bad", col("text").rlike("(^| )(dup|slow)( |$)"))
+      val thr = scored.agg(round(expr("percentile(quality, 0.25)"), 6).as("q25"))
+      scored.crossJoin(broadcast(thr))
+        .withColumn("lowq", col("quality") < col("q25"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when(col("bad"), 1L).otherwise(0L)).as("n_bad"),
+             sum(when(col("lowq"), 1L).otherwise(0L)).as("n_lowq"),
+             sum(when(!col("bad") && !col("lowq"), 1L).otherwise(0L)).as("n_kept"))
+        .withColumn("kept_frac_r",
+          round(col("n_kept").cast("double") / col("n_docs"), 4))
+        .orderBy(col("lang"), col("source"))
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, lang, source, text, string_split(text, ' ') AS toks
+           |  FROM documents
+           |), m AS (
+           |  SELECT lang, source, text,
+           |    round(cast(len(list_distinct(toks)) as double) / len(toks) * 0.5
+           |      + least(cast(len(toks) as double) / 100, 1.0) * 0.5, 6) AS quality
+           |  FROM t
+           |), thr AS (
+           |  SELECT round(quantile_cont(quality, 0.25), 6) AS q25 FROM m
+           |), f AS (
+           |  SELECT lang, source,
+           |    regexp_matches(text, '(^| )(dup|slow)( |$)') AS bad,
+           |    quality < q25 AS lowq
+           |  FROM m, thr
+           |)
+           |SELECT lang, source, count(*) AS n_docs,
+           |  cast(sum(CASE WHEN bad THEN 1 ELSE 0 END) as bigint) AS n_bad,
+           |  cast(sum(CASE WHEN lowq THEN 1 ELSE 0 END) as bigint) AS n_lowq,
+           |  cast(sum(CASE WHEN NOT bad AND NOT lowq THEN 1 ELSE 0 END) as bigint) AS n_kept,
+           |  round(cast(sum(CASE WHEN NOT bad AND NOT lowq THEN 1 ELSE 0 END) as double)
+           |    / count(*), 4) AS kept_frac_r
+           |FROM f GROUP BY lang, source ORDER BY lang, source""".stripMargin))
+
   // ---------------------------------------------------------------------
   // Assembled inventory
   // ---------------------------------------------------------------------
@@ -1403,6 +1457,7 @@ object NorthStarQueries {
     "ns_profile_documents" -> profileDocuments,
     "ns_text_pack" -> textPack,
     "ns_text_pii_redact" -> textPiiRedact,
-    "ns_corpus_mix" -> corpusMix
+    "ns_corpus_mix" -> corpusMix,
+    "ns_filter_quality_gate" -> filterQualityGate
   )
 }
