@@ -1027,6 +1027,62 @@ object NorthStarQueries {
             |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
             |WHERE d.doc_id >= 20 ORDER BY d.doc_id""".stripMargin))
 
+  /** FUZZY DECONTAMINATION by containment: exact shingle-overlap flags
+    * only verbatim leaks; the robust test scores, per (corpus doc,
+    * benchmark doc) candidate pair, what FRACTION of the benchmark
+    * doc's shingles the corpus doc contains — containment >= 0.5 means
+    * half the eval item is present even if paraphrased around. The
+    * benchmark side broadcasts (tiny at any corpus scale); candidate
+    * pairs exist ONLY for docs sharing at least one shingle, so the
+    * pair aggregate is bounded by actual hits and, unlike the exact
+    * variant's gate dump, there is NO corpus-keyed join anywhere.
+    * Output: each flagged corpus doc's worst-case (max-containment)
+    * benchmark doc, deterministic ties to the lowest benchmark id.
+    */
+  private val decontaminateFuzzy = Q(
+    (s, dir) => {
+      val sh = TS(s, dir, "documents")
+        .select(col("doc_id"), explode(array_distinct(expr(shinglesExpr))).as("sh"))
+      val benchSh = sh.where(col("doc_id") < 20)
+        .select(col("doc_id").as("bench_doc"), col("sh"))
+      val benchSize = benchSh.groupBy(col("bench_doc")).agg(count(lit(1)).as("n_b"))
+      val shared = sh.where(col("doc_id") >= 20)
+        .join(broadcast(benchSh), Seq("sh"))
+        .groupBy(col("doc_id"), col("bench_doc"))
+        .agg(count(lit(1)).as("n_shared"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("containment").desc, col("bench_doc"))
+      shared.join(broadcast(benchSize), Seq("bench_doc"))
+        .withColumn("containment", col("n_shared").cast("double") / col("n_b"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("doc_id"), col("bench_doc"), col("n_shared"), col("n_b"),
+          round(col("containment"), 6).as("containment_r"),
+          (col("containment") >= 0.5).as("contaminated"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH sh AS (
+            |  SELECT doc_id, unnest(list_distinct($shinglesSql)) AS sh FROM documents
+            |), bench AS (
+            |  SELECT doc_id AS bench_doc, sh FROM sh WHERE doc_id < 20
+            |), bsize AS (
+            |  SELECT bench_doc, count(*) AS n_b FROM bench GROUP BY bench_doc
+            |), shared AS (
+            |  SELECT s.doc_id, b.bench_doc, count(*) AS n_shared
+            |  FROM sh s JOIN bench b ON s.sh = b.sh
+            |  WHERE s.doc_id >= 20 GROUP BY s.doc_id, b.bench_doc
+            |), scored AS (
+            |  SELECT sh.doc_id, sh.bench_doc, sh.n_shared, bs.n_b,
+            |    cast(sh.n_shared as double) / bs.n_b AS containment,
+            |    row_number() OVER (PARTITION BY sh.doc_id
+            |      ORDER BY cast(sh.n_shared as double) / bs.n_b DESC, sh.bench_doc) AS rn
+            |  FROM shared sh JOIN bsize bs USING (bench_doc)
+            |)
+            |SELECT doc_id, bench_doc, n_shared, n_b,
+            |  round(containment, 6) AS containment_r,
+            |  containment >= 0.5 AS contaminated
+            |FROM scored WHERE rn = 1 ORDER BY doc_id""".stripMargin))
+
   /** TF-IDF scoring of the corpus vocabulary (top 30 terms by tf, with
     * df, idf = ln(N/df) and tfidf rounded to 6 dp): the term-weighting
     * op behind quality filters and topic profiling. One explode + one
@@ -1447,6 +1503,7 @@ object NorthStarQueries {
     "ns_text_repetition" -> textRepetition,
     "ns_embed_centroids" -> embedCentroids,
     "ns_decontaminate" -> decontaminate,
+    "ns_decontaminate_fuzzy" -> decontaminateFuzzy,
     "ns_text_fingerprint" -> textFingerprint,
     "ns_multimodal_binary" -> multimodalBinary,
     "ns_embed_quantize" -> embedQuantize,
