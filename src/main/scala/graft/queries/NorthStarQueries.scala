@@ -1027,6 +1027,63 @@ object NorthStarQueries {
             |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
             |WHERE d.doc_id >= 20 ORDER BY d.doc_id""".stripMargin))
 
+  /** k-NN GRAPH construction (k=3, in-bucket): per vector, its 3 most
+    * cosine-similar neighbors within its sign-LSH bucket — the edge
+    * list behind graph-based clustering, diversity sampling, and label
+    * propagation over embeddings. The candidate join is bucket-equi
+    * (never all-pairs), scoring uses the codegen'd scaled_dot, and the
+    * per-vector top-3 is a rank-only window, so WindowGroupLimit prunes
+    * map-side inside each bucket. Edges also report whether they are
+    * MUTUAL (both endpoints pick each other) — the signal density
+    * metric mutual-kNN methods start from — via a self-join on the
+    * k-bounded edge list (O(N*k), not O(N^2)).
+    */
+  private val embedKnnGraph = Q(
+    (s, dir) => {
+      graft.expressions.ScaledDotProduct.registerIn(s)
+      val e = TS(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+                expr(lshBucketExpr).as("bucket"),
+                expr("scaled_dot(embedding, embedding)").as("nrm"))
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+                       col("bucket"), col("nrm").as("a_nrm"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+                       col("bucket").as("bucket_b"), col("nrm").as("b_nrm"))
+      val w = Window.partitionBy(col("a_id")).orderBy(col("cos").desc, col("b_id"))
+      val edges = a.join(b, col("bucket") === col("bucket_b") && col("a_id") =!= col("b_id"))
+        .withColumn("cos", expr("scaled_dot(a_emb, b_emb)").cast("double") /
+          (sqrt(col("a_nrm").cast("double")) * sqrt(col("b_nrm").cast("double"))))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("a_id"), col("rn"), col("b_id"), col("cos"))
+      val reverse = edges.select(col("b_id").as("a_id"), col("a_id").as("b_id"))
+      edges.join(reverse, Seq("a_id", "b_id"), "left_semi")
+        .withColumn("mutual", lit(true))
+        .union(edges.join(reverse, Seq("a_id", "b_id"), "left_anti")
+          .withColumn("mutual", lit(false)))
+        .select(col("a_id"), col("rn"), col("b_id"),
+                round(col("cos"), 6).as("cos_r"), col("mutual"))
+        .orderBy(col("a_id"), col("rn"))
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, embedding, $lshBucketSql AS bucket,
+            |    ${scaledDotSql("embedding", "embedding")} AS nrm
+            |  FROM embeddings
+            |), p AS (
+            |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+            |    cast(${scaledDotSql("a.embedding", "b.embedding")} as double)
+            |      / (sqrt(cast(a.nrm as double)) * sqrt(cast(b.nrm as double))) AS cos
+            |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+            |), edges AS (
+            |  SELECT a_id, b_id, cos,
+            |    row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rn
+            |  FROM p
+            |), k AS (SELECT a_id, rn, b_id, cos FROM edges WHERE rn <= 3)
+            |SELECT k.a_id, k.rn, k.b_id, round(k.cos, 6) AS cos_r,
+            |  EXISTS (SELECT 1 FROM k r WHERE r.a_id = k.b_id AND r.b_id = k.a_id)
+            |    AS mutual
+            |FROM k ORDER BY k.a_id, k.rn""".stripMargin))
+
   /** FUZZY DECONTAMINATION by containment: exact shingle-overlap flags
     * only verbatim leaks; the robust test scores, per (corpus doc,
     * benchmark doc) candidate pair, what FRACTION of the benchmark
@@ -1494,6 +1551,7 @@ object NorthStarQueries {
     "ns_sim_lsh_buckets" -> simLshBuckets,
     "ns_sim_ivf_topk" -> simIvfTopk,
     "ns_sim_ivf_nprobe2" -> simIvfNprobe2,
+    "ns_embed_knn_graph" -> embedKnnGraph,
     "ns_text_langid" -> textLangid,
     "ns_text_quality" -> textQuality,
     "ns_text_token_counts" -> textTokenCounts,
