@@ -945,6 +945,65 @@ object NorthStarQueries {
            |  md5(array_to_string(chunk, ' ')) AS chunk_md5
            |FROM c ORDER BY doc_id, chunk_idx""".stripMargin))
 
+  /** CONTENT-DEFINED CHUNKING (CDC): chunk boundaries fall where a
+    * rolling hash of the trailing 3-gram hits `0 mod 32`, instead of at
+    * fixed strides — so an insertion near the start of a document shifts
+    * only the chunk it lands in, and every later chunk keeps its hash
+    * (the property storage dedup and chunk-level corpus dedup rely on;
+    * fixed-stride chunking invalidates every downstream chunk). Entirely
+    * map-only HOF composition: boundary positions via transform+filter,
+    * chunk spans via zip_with over (starts, ends), one posexplode —
+    * zero shuffles before the gate dump's sort.
+    */
+  private val textChunksCdc = Q(
+    (s, dir) => {
+      TS(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n", size(col("toks")))
+        // boundary AFTER token i when md5(3-gram ending at i) % 32 == 0
+        .withColumn("bnds", expr(
+          """filter(transform(sequence(3, greatest(n, 3)), i ->
+            |  CASE WHEN i <= n AND
+            |    cast(conv(substring(md5(concat_ws(' ', slice(toks, i - 2, 3))), 1, 8), 16, 10) as bigint) % 32 = 0
+            |  THEN i ELSE -1 END), x -> x > 0)""".stripMargin))
+        .withColumn("starts", expr("concat(array(1), transform(bnds, b -> b + 1))"))
+        .withColumn("ends", expr("concat(bnds, array(n))"))
+        .select(col("doc_id"),
+          posexplode(expr("zip_with(starts, ends, (s, e) -> slice(toks, s, e - s + 1))"))
+            .as(Seq("chunk_idx", "chunk")))
+        .where(size(col("chunk")) > 0)
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("chunk")).as("n_chunk_toks"),
+          md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, string_split(text, ' ') AS toks,
+           |    len(string_split(text, ' ')) AS n
+           |  FROM documents
+           |), b AS (
+           |  SELECT doc_id, toks, n,
+           |    list_filter(list_transform(generate_series(3, greatest(n, 3)), i ->
+           |      CASE WHEN i <= n AND
+           |        cast('0x' || substr(md5(array_to_string(toks[i-2:i], ' ')), 1, 8) as bigint) % 32 = 0
+           |      THEN i ELSE -1 END), x -> x > 0) AS bnds
+           |  FROM t
+           |), sp AS (
+           |  SELECT doc_id, toks,
+           |    list_concat([1], list_transform(bnds, b -> b + 1)) AS starts,
+           |    list_concat(bnds, [n]) AS ends
+           |  FROM b
+           |), c AS (
+           |  SELECT doc_id,
+           |    unnest(generate_series(0, len(starts) - 1)) AS chunk_idx,
+           |    unnest(list_transform(generate_series(1, len(starts)),
+           |      k -> toks[starts[k]:ends[k]])) AS chunk
+           |  FROM sp
+           |)
+           |SELECT doc_id, chunk_idx, len(chunk) AS n_chunk_toks,
+           |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+           |FROM c WHERE len(chunk) > 0 ORDER BY doc_id, chunk_idx""".stripMargin))
+
   /** Embedding CENTROIDS (mean pooling): per-group, per-dimension mean
     * over `embedding` — the cluster-update step of k-means/IVF training
     * and the pooling op behind doc-level embeddings. posexplode to
@@ -1558,6 +1617,7 @@ object NorthStarQueries {
     "ns_text_top_terms" -> textTopTerms,
     "ns_text_tfidf" -> textTfidf,
     "ns_text_chunks" -> textChunks,
+    "ns_text_chunks_cdc" -> textChunksCdc,
     "ns_text_repetition" -> textRepetition,
     "ns_embed_centroids" -> embedCentroids,
     "ns_decontaminate" -> decontaminate,

@@ -227,6 +227,32 @@ class NorthStarSpec extends SparkSpec {
     }
   }
 
+  test("CDC chunking is shift-resilient: insertion perturbs only the first chunk") {
+    import spark.implicits._
+    // 200 deterministic tokens with hash variety; docB = docA with one
+    // token prepended. Rolling 3-gram boundaries shift by exactly one
+    // position, so every chunk of A after its first boundary must
+    // reappear verbatim in B — the property fixed-stride chunking lacks
+    // (there, one insertion rewrites every downstream chunk hash).
+    val words = (0 until 200).map(i => s"tok${(i * 7919) % 17}w${i % 13}")
+    val docA = words.mkString(" ")
+    val docB = "zzz " + docA
+    val tmp = java.nio.file.Files.createTempDirectory("cdc-spec").toString
+    Seq((0L, docA, "en", "srcA", docA.length.toLong),
+        (1L, docB, "en", "srcB", docB.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = SparkEntry.queries("ns_text_chunks_cdc")(spark, tmp).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(_.getString(3)).toVector).toMap
+    val a = byDoc(0L); val b = byDoc(1L)
+    assert(a.size > 2, s"expected multiple CDC chunks, got ${a.size}")
+    // all of A's chunks except the first (the one the insertion lands
+    // in, via the shifted boundary) appear verbatim among B's chunks
+    val missing = a.drop(1).filterNot(b.toSet)
+    assert(missing.isEmpty, s"${missing.size} downstream chunks changed after insertion")
+  }
+
   test("spark-native hashes are stable across runs (rows-only query determinism)") {
     val c = Tables.load(spark, sfDir, "customer")
     val h1 = c.select(xxhash64(col("c_name"))).collect().map(_.getLong(0))
