@@ -65,6 +65,27 @@ class PersistentCatalogSpec extends SparkSpec {
     assert(bx.nonEmpty, "stats-informed broadcast join not chosen")
   }
 
+  test("Engine.persistent: one-call bootstrap yields a queryable engine over the catalog") {
+    import graft.engine.{Engine, EngineConfig}
+    // getOrCreate reuses the suite's Hive-backed context; bootstrap must
+    // be idempotent over the already-registered external tables
+    val e = Engine.persistent(
+      EngineConfig(dataDir = sfDir, reapIntervalMs = 0L),
+      warehouseDir = new java.io.File("target/test-warehouse").getAbsolutePath,
+      metastoreDir = new java.io.File("target/test-metastore").getAbsolutePath)
+    try {
+      e.register("dim_count") { (s, _, _) =>
+        s.table(PersistentCatalog.tableName("nation")).groupBy().count()
+      }
+      val rows = e.query("dim_count").get
+      assert(rows.length == 1 && rows(0).getLong(0) == 25L)
+      // stats survived the re-bootstrap (ANALYZE is idempotent)
+      val stats = e.spark.table(PersistentCatalog.tableName("nation"))
+        .queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(25)))
+    } finally e.shutdown()
+  }
+
   test("CBO join reorder: selective dimension pair joins before the fact") {
     registered
     // written worst-first: fact x fact, dims last. With cbo+joinReorder
