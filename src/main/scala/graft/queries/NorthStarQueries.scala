@@ -249,6 +249,77 @@ object NorthStarQueries {
          |SELECT cluster, count(*) AS n_docs, max(node) AS max_doc
          |FROM comp GROUP BY cluster ORDER BY cluster""".stripMargin))
 
+  /** MinHash ESTIMATOR vs EXACT Jaccard: for every LSH candidate pair,
+    * the signature-agreement estimate (fraction of the 8 minhash slots
+    * that match) next to the true shingle-set Jaccard and the absolute
+    * error — the calibration report that justifies trusting the sketch
+    * at scales where exact Jaccard is unaffordable. Exact similarity is
+    * computed ONLY on the LSH-surfaced pairs (bounded by actual
+    * candidates, never all-pairs); top 20 by true Jaccard keeps the
+    * dump stable.
+    */
+  private val dedupMinhashEstimate = Q(
+    (s, dir) => {
+      val sigCols = (0 until nHashes).map { i =>
+        expr(s"array_min(transform(hs, h -> (${hashA(i)} * (h % $P) + ${hashB(i)}) % $P))")
+      }
+      val docs = TS(s, dir, "documents")
+        .withColumn("hs", expr(hashedShinglesExpr))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), array(sigCols: _*).as("sig"),
+                array_distinct(col("hs")).as("hset"))
+      val bands = minhashBands(s, dir)
+      val b2 = bands.select(col("doc_id").as("b_id"), col("band"), col("bkey"))
+      val pairs = bands.join(b2,
+          bands("band") === b2("band") && bands("bkey") === b2("bkey") &&
+            bands("doc_id") < col("b_id"))
+        .select(col("doc_id").as("a_id"), col("b_id")).distinct()
+      val a = docs.select(col("doc_id").as("a_id"), col("sig").as("a_sig"), col("hset").as("a_h"))
+      val b = docs.select(col("doc_id").as("b_id"), col("sig").as("b_sig"), col("hset").as("b_h"))
+      pairs.join(a, Seq("a_id")).join(b, Seq("b_id"))
+        .withColumn("est",
+          expr("aggregate(zip_with(a_sig, b_sig, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+            .cast("double") / nHashes)
+        .withColumn("inter", size(array_intersect(col("a_h"), col("b_h"))))
+        .withColumn("jac",
+          col("inter").cast("double") / (size(col("a_h")) + size(col("b_h")) - col("inter")))
+        .select(col("a_id"), col("b_id"),
+          round(col("est"), 6).as("est_r"),
+          round(col("jac"), 6).as("jac_r"),
+          round(abs(col("est") - col("jac")), 6).as("abs_err_r"))
+        .orderBy(col("jac_r").desc, col("a_id"), col("b_id"))
+        .limit(20)
+    },
+    Some {
+      val sigList = (0 until nHashes).map(i => s"s$i").mkString("[", ", ", "]")
+      s"""WITH $minhashBandsSqlCtes, pairs AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |), sigv AS (
+         |  SELECT doc_id, $sigList AS sig FROM sig
+         |), hset AS (
+         |  SELECT doc_id, list_distinct(hs) AS hset FROM hsh
+         |), scored AS (
+         |  SELECT p.a_id, p.b_id,
+         |    cast(list_sum(list_transform(generate_series(1, $nHashes),
+         |      k -> CASE WHEN sa.sig[k] = sb.sig[k] THEN 1 ELSE 0 END)) as double)
+         |      / $nHashes AS est,
+         |    cast(len(list_filter(ha.hset, x -> list_contains(hb.hset, x))) as double)
+         |      / (len(ha.hset) + len(hb.hset)
+         |         - len(list_filter(ha.hset, x -> list_contains(hb.hset, x)))) AS jac
+         |  FROM pairs p
+         |  JOIN sigv sa ON sa.doc_id = p.a_id
+         |  JOIN sigv sb ON sb.doc_id = p.b_id
+         |  JOIN hset ha ON ha.doc_id = p.a_id
+         |  JOIN hset hb ON hb.doc_id = p.b_id
+         |)
+         |SELECT a_id, b_id, round(est, 6) AS est_r, round(jac, 6) AS jac_r,
+         |  round(abs(est - jac), 6) AS abs_err_r
+         |FROM scored
+         |ORDER BY jac_r DESC, a_id, b_id LIMIT 20""".stripMargin
+    })
+
   /** CANONICAL SELECTION: per near-dup cluster, keep the BEST document
     * — longest (n_chars), ties to the lowest doc_id — rather than an
     * arbitrary member; real dedup pipelines keep the highest-quality
@@ -1602,6 +1673,7 @@ object NorthStarQueries {
     "ns_dedup_minhash_lsh" -> dedupMinhashLsh,
     "ns_dedup_clusters" -> dedupClusters,
     "ns_dedup_canonical" -> dedupCanonical,
+    "ns_dedup_minhash_estimate" -> dedupMinhashEstimate,
     "ns_dedup_simhash" -> dedupSimhash,
     "ns_dedup_ngram_jaccard" -> dedupNgramJaccard,
     "ns_dedup_embedding_cosine" -> dedupEmbeddingCosine,
