@@ -1026,8 +1026,11 @@ object NorthStarQueries {
     * chunk spans via zip_with over (starts, ends), one posexplode —
     * zero shuffles before the gate dump's sort.
     */
-  private val textChunksCdc = Q(
-    (s, dir) => {
+  /** CDC chunk stream (doc_id, chunk_idx, n_chunk_toks, chunk_md5),
+    * unordered — shared by [[textChunksCdc]] (the per-doc dump) and
+    * [[dedupChunks]] (cross-doc substring-level duplication).
+    */
+  private def cdcChunks(s: SparkSession, dir: String): DataFrame =
       TS(s, dir, "documents")
         .withColumn("toks", split(col("text"), " "))
         .withColumn("n", size(col("toks")))
@@ -1046,34 +1049,73 @@ object NorthStarQueries {
         .select(col("doc_id"), col("chunk_idx"),
           size(col("chunk")).as("n_chunk_toks"),
           md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
-        .orderBy(col("doc_id"), col("chunk_idx"))
-    },
-    Some("""WITH t AS (
-           |  SELECT doc_id, string_split(text, ' ') AS toks,
-           |    len(string_split(text, ' ')) AS n
-           |  FROM documents
-           |), b AS (
-           |  SELECT doc_id, toks, n,
-           |    list_filter(list_transform(generate_series(3, greatest(n, 3)), i ->
-           |      CASE WHEN i <= n AND
-           |        cast('0x' || substr(md5(array_to_string(toks[i-2:i], ' ')), 1, 8) as bigint) % 32 = 0
-           |      THEN i ELSE -1 END), x -> x > 0) AS bnds
-           |  FROM t
-           |), sp AS (
-           |  SELECT doc_id, toks,
-           |    list_concat([1], list_transform(bnds, b -> b + 1)) AS starts,
-           |    list_concat(bnds, [n]) AS ends
-           |  FROM b
-           |), c AS (
-           |  SELECT doc_id,
-           |    unnest(generate_series(0, len(starts) - 1)) AS chunk_idx,
-           |    unnest(list_transform(generate_series(1, len(starts)),
-           |      k -> toks[starts[k]:ends[k]])) AS chunk
-           |  FROM sp
-           |)
-           |SELECT doc_id, chunk_idx, len(chunk) AS n_chunk_toks,
-           |  md5(array_to_string(chunk, ' ')) AS chunk_md5
-           |FROM c WHERE len(chunk) > 0 ORDER BY doc_id, chunk_idx""".stripMargin))
+
+  private val textChunksCdc = Q(
+    (s, dir) => cdcChunks(s, dir).orderBy(col("doc_id"), col("chunk_idx")),
+    Some(s"""WITH $cdcChunksSqlCtes
+            |SELECT doc_id, chunk_idx, n_chunk_toks, chunk_md5
+            |FROM cdc ORDER BY doc_id, chunk_idx""".stripMargin))
+
+  /** Shared DuckDB CTE chain ending in `cdc(doc_id, chunk_idx,
+    * n_chunk_toks, chunk_md5)` — the oracle twin of [[cdcChunks]].
+    */
+  // lazy: referenced by textChunksCdc's oracle string above — a strict
+  // val would still be null during that earlier initializer
+  private lazy val cdcChunksSqlCtes: String =
+    """t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents
+      |), b AS (
+      |  SELECT doc_id, toks, n,
+      |    list_filter(list_transform(generate_series(3, greatest(n, 3)), i ->
+      |      CASE WHEN i <= n AND
+      |        cast('0x' || substr(md5(array_to_string(toks[i-2:i], ' ')), 1, 8) as bigint) % 32 = 0
+      |      THEN i ELSE -1 END), x -> x > 0) AS bnds
+      |  FROM t
+      |), sp AS (
+      |  SELECT doc_id, toks,
+      |    list_concat([1], list_transform(bnds, b -> b + 1)) AS starts,
+      |    list_concat(bnds, [n]) AS ends
+      |  FROM b
+      |), ch AS (
+      |  SELECT doc_id,
+      |    unnest(generate_series(0, len(starts) - 1)) AS chunk_idx,
+      |    unnest(list_transform(generate_series(1, len(starts)),
+      |      k -> toks[starts[k]:ends[k]])) AS chunk
+      |  FROM sp
+      |), cdc AS (
+      |  SELECT doc_id, chunk_idx, len(chunk) AS n_chunk_toks,
+      |    md5(array_to_string(chunk, ' ')) AS chunk_md5
+      |  FROM ch WHERE len(chunk) > 0
+      |)""".stripMargin
+
+  /** SUBSTRING-LEVEL DEDUP: CDC chunks whose hash recurs across
+    * DIFFERENT documents — duplicated passages (boilerplate, quoted
+    * blocks, templated text) that whole-document dedup can't see. CDC
+    * boundaries make the detection edit-stable (a shifted copy still
+    * chunks identically past the edit). One hash-keyed aggregate over
+    * the chunk stream; shuffle carries (chunk_md5, doc_id), bounded by
+    * total chunks. Top 50 most-repeated shared chunks.
+    */
+  private val dedupChunks = Q(
+    (s, dir) =>
+      cdcChunks(s, dir)
+        .groupBy(col("chunk_md5"))
+        .agg(count(lit(1)).as("n_occurrences"),
+             countDistinct(col("doc_id")).as("n_docs"),
+             min(col("n_chunk_toks")).as("n_toks"),
+             min(col("doc_id")).as("first_doc"))
+        .where(col("n_docs") > 1)
+        .orderBy(col("n_occurrences").desc, col("chunk_md5"))
+        .limit(50),
+    Some(s"""WITH $cdcChunksSqlCtes
+            |SELECT chunk_md5, count(*) AS n_occurrences,
+            |  count(DISTINCT doc_id) AS n_docs,
+            |  cast(min(n_chunk_toks) as int) AS n_toks,
+            |  min(doc_id) AS first_doc
+            |FROM cdc GROUP BY chunk_md5 HAVING count(DISTINCT doc_id) > 1
+            |ORDER BY n_occurrences DESC, chunk_md5 LIMIT 50""".stripMargin))
 
   /** Embedding CENTROIDS (mean pooling): per-group, per-dimension mean
     * over `embedding` — the cluster-update step of k-means/IVF training
@@ -1690,6 +1732,7 @@ object NorthStarQueries {
     "ns_text_tfidf" -> textTfidf,
     "ns_text_chunks" -> textChunks,
     "ns_text_chunks_cdc" -> textChunksCdc,
+    "ns_dedup_chunks" -> dedupChunks,
     "ns_text_repetition" -> textRepetition,
     "ns_embed_centroids" -> embedCentroids,
     "ns_decontaminate" -> decontaminate,
