@@ -84,6 +84,8 @@ object ScaleProbe {
     timeDoc("ns_dedup_clusters")
     timeDoc("ns_decontaminate")
     timeDoc("ns_text_tfidf")
+    timeDoc("ns_text_pack")
+    timeDoc("ns_dedup_chunks")
     spark.stop()
   }
 }
