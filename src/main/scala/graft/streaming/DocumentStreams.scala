@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Streaming ingestion of a DOCUMENT corpus — the continuous-crawl twin
+  * of the batch §2C pipeline: new document files land in a directory,
+  * and the stream deduplicates by content hash and applies the quality
+  * gate before anything reaches training storage. Mirrors the
+  * reference's continuous intake posture (the pull-socket loop at
+  * `/root/reference/src/processor.ts:61-89`) applied to corpus data
+  * instead of job packets.
+  *
+  * At scale: content-hash dedup state lives in the state store (RocksDB
+  * in production) keyed by the 64-hex digest — bounded by distinct
+  * content, partitioned by the shuffle on the hash; the quality filter
+  * is stateless map-only. Both compose with any downstream streaming
+  * aggregate.
+  */
+object DocumentStreams {
+
+  /** File-source stream of documents with the fixture schema. */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(Tables.schemas("documents"))
+      .parquet(dir)
+
+  /** Exact streaming dedup: first sight of a content hash wins; later
+    * copies (same text under different doc_ids, the re-crawl case) are
+    * dropped. State is keyed by the sha256 digest only.
+    */
+  def dedupByContent(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("content_hash", sha2(col("text"), 256))
+      .dropDuplicates("content_hash")
+
+  /** Stateless quality gate, the streaming form of the batch
+    * `ns_filter_quality_gate` heuristics with a FIXED threshold —
+    * corpus-relative thresholds (percentiles) are a batch-recompute
+    * concern, not per-record streaming state.
+    */
+  def qualityGate(docs: DataFrame, minDistinctRatio: Double = 0.2): DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("distinct_ratio",
+        size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+      .where(!col("text").rlike("(^| )(dup|slow)( |$)") &&
+        col("distinct_ratio") >= minDistinctRatio)
+      .drop("toks")
+
+  /** The composed ingest: dedup then gate (order matters — dedup first
+    * so the gate's per-record work runs once per distinct document).
+    */
+  def ingest(docs: DataFrame): DataFrame =
+    qualityGate(dedupByContent(docs))
+}

@@ -26,6 +26,43 @@ class StreamingSpec extends SparkSpec {
     (in, cp)
   }
 
+  test("document ingest stream: re-crawled duplicates dropped, gate matches batch") {
+    import graft.streaming.DocumentStreams
+    import spark.implicits._
+    // two "crawl batches": the second re-delivers half of the first
+    // under new doc_ids plus genuinely new docs — the re-crawl case
+    val in = s"$workDir/docs-in-${System.nanoTime()}"
+    val cp = s"$workDir/docs-cp-${System.nanoTime()}"
+    Files.createDirectories(Paths.get(in))
+    def doc(id: Long, text: String) = (id, text, "en", "crawl", text.length.toLong)
+    val batch1 = Seq(
+      doc(1, "alpha beta gamma delta epsilon zeta eta theta"),
+      doc(2, "dup dup dup dup dup dup"),                  // blocked term
+      doc(3, "one two three four five six seven eight nine ten"))
+    val batch2 = Seq(
+      doc(11, "alpha beta gamma delta epsilon zeta eta theta"), // re-crawl of 1
+      doc(12, "fresh words appear here entirely new content"),
+      doc(13, "x x x x x x x x x x x x"))                 // low distinct ratio
+    (batch1 ++ batch2).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(in)
+    val got = EventStreams.runAvailableNow(
+      DocumentStreams.ingest(DocumentStreams.readDocuments(spark, in)),
+      "doc_ingest_sink", "append", cp)
+    val kept = got.map(_.getString(1)).toSet
+    // doc 1 survives once (11 deduped away by content), 2 blocked,
+    // 3 and 12 pass, 13 fails the distinct-ratio floor
+    assert(kept == Set(
+      "alpha beta gamma delta epsilon zeta eta theta",
+      "one two three four five six seven eight nine ten",
+      "fresh words appear here entirely new content"))
+    assert(got.length == 3)
+    // streaming result == the same ingest applied in batch mode
+    val batchKept = DocumentStreams.ingest(
+      spark.read.schema(Tables.schemas("documents")).parquet(in))
+      .collect().map(_.getString(1)).toSet
+    assert(kept == batchKept)
+  }
+
   test("tumbling window stream replays to the batch answer") {
     val (in, cp) = freshDirs()
     val stream = EventStreams.tumblingCounts(EventStreams.readEvents(spark, in))
