@@ -116,4 +116,30 @@ class PropertySpec extends SparkSpec {
       assert(got == expected)
     }
   }
+
+  test("two-pass prefix sum (sequence packing) equals the sequential scan") {
+    // arbitrary corpora with RANDOM doc_id gaps: the range-block
+    // decomposition (block = floor(id*16/hi)) produces uneven, possibly
+    // empty blocks — the offsets must still equal a plain sequential
+    // cumsum for ANY id distribution, not just dense ones
+    import spark.implicits._
+    val corpusGen = Gen.nonEmptyListOf(Gen.zip(Gen.choose(1, 97), Gen.choose(1, 50)))
+    (0 until 5).foreach { i =>
+      val spec = corpusGen(Gen.Parameters.default.withSize(40), Seed(900L + i)).getOrElse(Nil)
+      val docs = spec.scanLeft((0L, 0)) { case ((id, _), (gap, n)) => (id + gap, n) }
+        .drop(1)
+      val tmp = java.nio.file.Files.createTempDirectory(s"pack-prop-$i").toString
+      docs.map { case (id, n) =>
+        (id, Seq.fill(n)("w").mkString(" "), "en", "gen", n.toLong)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val got = SparkEntry.queries("ns_text_pack")(spark, tmp).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val expected = docs.sortBy(_._1)
+        .scanLeft((0L, 0L, 0L)) { case ((_, _, cum), (id, n)) => (id, n.toLong, cum + n) }
+        .drop(1)
+        .map { case (id, n, cum) => (id, n, cum - n) }
+      assert(got.toSeq == expected, s"seed ${900 + i}")
+    }
+  }
 }
