@@ -991,6 +991,206 @@ object RelationalQueries {
            |  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
            |ORDER BY c_custkey""".stripMargin))
 
+  /** Correlated EXISTS / NOT EXISTS as SQL text — Catalyst's
+    * RewritePredicateSubquery turns both into semi/anti joins on
+    * `o_custkey` (no per-row subquery execution survives into the
+    * physical plan), the same decorrelation the reference inherits from
+    * PostgreSQL's planner for handler SQL (`src/processor.ts:26`).
+    */
+  private val sqlExistsSubquery = Q(
+    (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql("""SELECT c_custkey, c_mktsegment, c_acctbal FROM customer c
+              |WHERE EXISTS (SELECT 1 FROM orders o
+              |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+              |  AND NOT EXISTS (SELECT 1 FROM orders o
+              |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+              |ORDER BY c_custkey""".stripMargin)
+    },
+    Some("""SELECT c_custkey, c_mktsegment, c_acctbal FROM customer c
+           |WHERE EXISTS (SELECT 1 FROM orders o
+           |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+           |  AND NOT EXISTS (SELECT 1 FROM orders o
+           |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+           |ORDER BY c_custkey""".stripMargin))
+
+  /** Correlated LATERAL subquery (per-region top-2 nations by customer
+    * count) — Spark plans this as a LateralJoin and decorrelates the
+    * ORDER BY + LIMIT into a per-group rank prune, so the "for each outer
+    * row run a query" surface never executes row-at-a-time.
+    */
+  private val sqlLateralJoin = Q(
+    (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql("""SELECT r.r_name, l.n_name, l.n_customers
+              |FROM region r,
+              |LATERAL (
+              |  SELECT n.n_name, count(*) AS n_customers
+              |  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+              |  WHERE n.n_regionkey = r.r_regionkey
+              |  GROUP BY n.n_name
+              |  ORDER BY n_customers DESC, n.n_name
+              |  LIMIT 2
+              |) l
+              |ORDER BY r.r_name, l.n_customers DESC, l.n_name""".stripMargin)
+    },
+    Some("""SELECT r.r_name, l.n_name, l.n_customers
+           |FROM region r,
+           |LATERAL (
+           |  SELECT n.n_name, count(*) AS n_customers
+           |  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+           |  WHERE n.n_regionkey = r.r_regionkey
+           |  GROUP BY n.n_name
+           |  ORDER BY n_customers DESC, n.n_name
+           |  LIMIT 2
+           |) l
+           |ORDER BY r.r_name, l.n_customers DESC, l.n_name""".stripMargin))
+
+  /** Recursive CTE (Spark 4 UnionLoop): a monthly date spine grown by
+    * recursion from the data's own [min, max] order-month bounds, left
+    * joined to per-month order counts/revenue so empty months surface as
+    * zero rows — the gap-preserving report shape a plain GROUP BY cannot
+    * produce. Recursion depth = month span (80 on the fixture, bounded by
+    * the data not the row count), well under Spark's level limit; each
+    * step is a one-row increment, so the loop cost is negligible next to
+    * the single orders aggregate.
+    */
+  private val sqlRecursiveCte = Q(
+    (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql("""WITH RECURSIVE bounds AS (
+              |  SELECT date_trunc('month', min(o_orderdate)) AS min_m,
+              |         date_trunc('month', max(o_orderdate)) AS max_m
+              |  FROM orders
+              |), spine(m, max_m) AS (
+              |  SELECT min_m, max_m FROM bounds
+              |  UNION ALL
+              |  SELECT m + INTERVAL 1 MONTH, max_m FROM spine WHERE m < max_m
+              |), om AS (
+              |  SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n_orders,
+              |    cast(sum(cast(o_totalprice as decimal(18,4))) as double) AS revenue
+              |  FROM orders GROUP BY 1
+              |)
+              |SELECT cast(s.m as date) AS month,
+              |  coalesce(om.n_orders, 0) AS n_orders,
+              |  coalesce(om.revenue, 0.0) AS revenue
+              |FROM spine s LEFT JOIN om ON om.m = s.m
+              |ORDER BY month""".stripMargin)
+    },
+    Some("""WITH RECURSIVE bounds AS (
+           |  SELECT date_trunc('month', min(o_orderdate)) AS min_m,
+           |         date_trunc('month', max(o_orderdate)) AS max_m
+           |  FROM orders
+           |), spine(m, max_m) AS (
+           |  SELECT min_m, max_m FROM bounds
+           |  UNION ALL
+           |  SELECT m + INTERVAL 1 MONTH, max_m FROM spine WHERE m < max_m
+           |), om AS (
+           |  SELECT date_trunc('month', o_orderdate) AS m, count(*) AS n_orders,
+           |    cast(sum(cast(o_totalprice as decimal(18,4))) as double) AS revenue
+           |  FROM orders GROUP BY 1
+           |)
+           |SELECT cast(s.m as date) AS month,
+           |  coalesce(om.n_orders, 0) AS n_orders,
+           |  coalesce(om.revenue, 0.0) AS revenue
+           |FROM spine s LEFT JOIN om ON om.m = s.m
+           |ORDER BY month""".stripMargin))
+
+  /** Equi-width histogram (10 buckets over the data's own [min, max]) +
+    * per-bucket deterministic mode of `o_orderpriority` (max count, ties
+    * to the lexicographically smallest value — the builtin `mode()` is
+    * tie-nondeterministic, so the engine formulates it as count + rank,
+    * which also keeps the top-1 prune map-side). The global bounds are a
+    * one-row aggregate broadcast into the bucket projection; bucket edges
+    * derive from single IEEE ops on exact inputs so both engines compute
+    * identical doubles.
+    */
+  private val aggHistogramMode = Q(
+    (s, dir) => {
+      val o = T(s, dir, "orders")
+      val bounds = o.agg(
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      val bucketed = o.crossJoin(broadcast(bounds))
+        .withColumn("bucket",
+          least(floor((col("o_totalprice") - col("lo")) * lit(10.0) /
+            (col("hi") - col("lo"))), lit(9.0)).cast("bigint"))
+      val perPriority = bucketed
+        .groupBy(col("bucket"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_pri"))
+      val w = Window.partitionBy(col("bucket"))
+        .orderBy(col("n_pri").desc, col("o_orderpriority"))
+      val modes = perPriority
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select(col("bucket"), col("o_orderpriority").as("mode_priority"))
+      bucketed.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+             round(min(col("o_totalprice")), 4).as("bucket_min"),
+             round(max(col("o_totalprice")), 4).as("bucket_max"))
+        .join(modes, Seq("bucket"))
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH bounds AS (
+           |  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+           |), bucketed AS (
+           |  SELECT o.*, cast(least(floor((o_totalprice - lo) * 10.0 / (hi - lo)), 9.0) as bigint) AS bucket
+           |  FROM orders o CROSS JOIN bounds
+           |), modes AS (
+           |  SELECT bucket, o_orderpriority AS mode_priority FROM (
+           |    SELECT bucket, o_orderpriority,
+           |      row_number() OVER (PARTITION BY bucket
+           |                         ORDER BY count(*) DESC, o_orderpriority) AS rk
+           |    FROM bucketed GROUP BY bucket, o_orderpriority
+           |  ) WHERE rk = 1
+           |)
+           |SELECT b.bucket, count(*) AS n,
+           |  round(min(o_totalprice), 4) AS bucket_min,
+           |  round(max(o_totalprice), 4) AS bucket_max,
+           |  any_value(m.mode_priority) AS mode_priority
+           |FROM bucketed b JOIN modes m ON b.bucket = m.bucket
+           |GROUP BY b.bucket ORDER BY b.bucket""".stripMargin))
+
+  /** IGNORE NULLS across the analytic family (lag / lead / first / last /
+    * nth_value): per-user event streams where only purchases carry a
+    * value — the "carry the last observation forward" read. One window
+    * partition keyed by user, totally ordered by (ts, event_id); all five
+    * functions share the same sort, so the plan is one exchange + one
+    * sort feeding a single Window operator.
+    */
+  private val windowIgnoreNulls = Q(
+    (s, dir) => {
+      val ev = T(s, dir, "events")
+        .withColumn("pv", when(col("event_type") === "purchase", col("value")))
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val upTo = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      ev.select(
+          col("user_id"), col("ts"), col("event_id"),
+          col("pv"),
+          lag(col("pv"), 1, null, ignoreNulls = true).over(ord).as("prev_purchase"),
+          lead(col("pv"), 1, null, ignoreNulls = true).over(ord).as("next_purchase"),
+          last(col("pv"), ignoreNulls = true).over(upTo).as("ffill_purchase"),
+          first(col("pv"), ignoreNulls = true).over(full).as("first_purchase"),
+          nth_value(col("pv"), 2, ignoreNulls = true).over(full).as("second_purchase"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    },
+    Some("""SELECT user_id, ts, event_id, pv,
+           |  lag(pv, 1 IGNORE NULLS) OVER w AS prev_purchase,
+           |  lead(pv, 1 IGNORE NULLS) OVER w AS next_purchase,
+           |  last_value(pv IGNORE NULLS) OVER
+           |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_purchase,
+           |  first_value(pv IGNORE NULLS) OVER
+           |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_purchase,
+           |  nth_value(pv, 2 IGNORE NULLS) OVER
+           |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_purchase
+           |FROM (SELECT user_id, ts, event_id,
+           |        CASE WHEN event_type = 'purchase' THEN value END AS pv
+           |      FROM events)
+           |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+           |ORDER BY user_id, ts, event_id""".stripMargin))
+
   // ---------------------------------------------------------------------
   // Assembled inventory
   // ---------------------------------------------------------------------
@@ -1043,6 +1243,11 @@ object RelationalQueries {
     "set_except_all" -> setExceptAll,
     "sql_correlated_scalar" -> sqlCorrelatedScalar,
     "sql_in_subquery" -> sqlInSubquery,
+    "sql_exists_subquery" -> sqlExistsSubquery,
+    "sql_lateral_join" -> sqlLateralJoin,
+    "sql_recursive_cte" -> sqlRecursiveCte,
+    "agg_histogram_mode" -> aggHistogramMode,
+    "window_ignore_nulls" -> windowIgnoreNulls,
     "tpch_q3_shape" -> tpchQ3Shape,
     "tpch_q10_shape" -> tpchQ10Shape
   )

@@ -188,8 +188,67 @@ object TimeSeriesQueries {
            |  END AS js
            |FROM events ORDER BY event_id""".stripMargin))
 
+  /** Resample + forward-fill: snap each user's stream to a fixed hourly
+    * grid (grown from the data's own [min, max] span with `sequence`, so
+    * the grid is derived, never synthesized) and carry the last observed
+    * value across the gaps — the standard "regularize an irregular time
+    * series" prep before feature windows. Per (user, hour) the kept
+    * observation is the LATEST event (total order (ts, event_id) — a
+    * map-side rank-1 prune); the fill itself is one IGNORE NULLS running
+    * window per user. The grid is |users| x |hours| — at 100 TB the hour
+    * spine stays tiny (it scales with the time span, not the event
+    * count) and broadcasts, so the only event-sized shuffle is the
+    * per-user-hour top-1.
+    */
+  private val tsResampleFfill = Q(
+    (s, dir) => {
+      val ev = T(s, dir, "events").where(col("user_id") < 8)
+      val hours = T(s, dir, "events")
+        .agg(date_trunc("hour", min(col("ts"))).as("min_h"),
+             date_trunc("hour", max(col("ts"))).as("max_h"))
+        .select(explode(expr("sequence(min_h, max_h, interval 1 hour)")).as("h"))
+      val grid = ev.select(col("user_id")).distinct().crossJoin(broadcast(hours))
+      val rk = Window.partitionBy(col("user_id"), col("h"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val perHour = ev
+        .withColumn("h", date_trunc("hour", col("ts")))
+        .withColumn("rk", row_number().over(rk))
+        .where(col("rk") === 1)
+        .select(col("user_id"), col("h"), col("value").as("v"))
+      val fill = Window.partitionBy(col("user_id")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(perHour, Seq("user_id", "h"), "left")
+        .select(col("user_id"), col("h"),
+          last(col("v"), ignoreNulls = true).over(fill).as("value_ffill"),
+          col("v").isNull.as("is_gap"))
+        .orderBy(col("user_id"), col("h"))
+    },
+    Some("""WITH bounds AS (
+           |  SELECT date_trunc('hour', min(ts)) AS min_h,
+           |         date_trunc('hour', max(ts)) AS max_h FROM events
+           |), hours AS (
+           |  SELECT unnest(generate_series(min_h, max_h, INTERVAL 1 HOUR)) AS h FROM bounds
+           |), users AS (
+           |  SELECT DISTINCT user_id FROM events WHERE user_id < 8
+           |), per_hour AS (
+           |  SELECT user_id, h, v FROM (
+           |    SELECT user_id, date_trunc('hour', ts) AS h, value AS v,
+           |      row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+           |                         ORDER BY ts DESC, event_id DESC) AS rk
+           |    FROM events WHERE user_id < 8
+           |  ) WHERE rk = 1
+           |)
+           |SELECT u.user_id, hrs.h,
+           |  last_value(p.v IGNORE NULLS) OVER (PARTITION BY u.user_id ORDER BY hrs.h
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
+           |  p.v IS NULL AS is_gap
+           |FROM users u CROSS JOIN hours hrs
+           |LEFT JOIN per_hour p ON p.user_id = u.user_id AND p.h = hrs.h
+           |ORDER BY u.user_id, hrs.h""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "ts_json_struct" -> tsJsonStruct,
+    "ts_resample_ffill" -> tsResampleFfill,
     "ts_time_buckets" -> tsTimeBuckets,
     "ts_tumbling_window" -> tsTumblingWindow,
     "ts_sliding_window" -> tsSlidingWindow,
