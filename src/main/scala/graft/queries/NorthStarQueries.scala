@@ -1710,6 +1710,321 @@ object NorthStarQueries {
   // Assembled inventory
   // ---------------------------------------------------------------------
 
+  // ---------------------------------------------------------------------
+  // Text analysis: corpus-trained bigram LM scoring (CCNet-style filter)
+  // ---------------------------------------------------------------------
+
+  /** Bigram-LM quality score: train token-bigram statistics on the corpus
+    * itself, then score each document by its mean conditional probability
+    * p(w2|w1) = c(w1,w2) / c(w1·) — the engine-native stand-in for the
+    * KenLM-perplexity filter in CCNet-style pipelines (docs whose token
+    * transitions are unusual for the corpus score low). All probability
+    * mass is computed as exact integers (q = c12 * 2^20 div c1 — integer
+    * division, order-independent bigint sums) with ONE final IEEE
+    * division per doc, so both engines agree bitwise. Scale: the count
+    * tables are vocabulary-bounded (not corpus-bounded), the per-doc
+    * bigram stream shuffles once keyed by (w1,w2) and once by w1 for the
+    * count joins, and map-side partial aggregation absorbs repeated
+    * bigrams — at 100 TB the joins hash on a bounded vocabulary, and a
+    * top-K vocabulary cut (rank on count with total-order tiebreak)
+    * would bound them further without changing the determinism story.
+    */
+  private val textNgramLm = Q(
+    (s, dir) => {
+      val toks = TS(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val bigrams = toks
+        .select(col("doc_id"),
+          explode(expr(
+            "if(size(w) < 2, array(), transform(sequence(1, size(w) - 1), " +
+              "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2)))")).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val c12 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val c1 = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val scored = bigrams
+        .join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .withColumn("q", expr("c12 * 1048576 div c1"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("q_sum"))
+      T(s, dir, "documents").select(col("doc_id"))
+        .join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          round(col("q_sum").cast("double") / col("n_bigrams") / lit(1048576.0), 6)
+            .as("lm_score"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           |), bg AS (
+           |  SELECT doc_id,
+           |    unnest(w[1:len(w)-1]) AS w1,
+           |    unnest(w[2:len(w)]) AS w2
+           |  FROM toks
+           |), c12 AS (
+           |  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+           |), c1 AS (
+           |  SELECT w1, count(*) AS c1 FROM bg GROUP BY w1
+           |), scored AS (
+           |  SELECT doc_id, count(*) AS n_bigrams,
+           |    cast(sum((c12.c12 * 1048576) // c1.c1) as bigint) AS q_sum
+           |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+           |  GROUP BY doc_id
+           |)
+           |SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
+           |  round(cast(s.q_sum as double) / s.n_bigrams / 1048576.0, 6) AS lm_score
+           |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+           |ORDER BY d.doc_id""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Text analysis: per-source boilerplate n-gram detection
+  // ---------------------------------------------------------------------
+
+  /** Boilerplate detection: for each source, the 5 word-3-grams that
+    * recur across the MOST DISTINCT documents of that source (template
+    * headers/footers shared by a crawl domain — text that whole-document
+    * dedup never catches and per-doc repetition signals cannot see).
+    * Per-doc distinct shingles -> (source, shingle) doc-frequency agg ->
+    * per-source rank-only top-5 (map-side WindowGroupLimit prune), with
+    * doc-coverage as an exact ratio rounded once. Everything is counts
+    * over exact strings, so the oracle matches bitwise. Scale: the df
+    * aggregate shuffles (source, shingle) pairs with map-side partials;
+    * the top-5 prune never materializes a per-source sort of the full
+    * shingle vocabulary on one node.
+    */
+  private val textBoilerplate = Q(
+    (s, dir) => {
+      val docs = TS(s, dir, "documents")
+      val dfCounts = docs
+        .select(col("source"), col("doc_id"),
+          explode(array_distinct(expr(shinglesExpr))).as("sh"))
+        .groupBy(col("source"), col("sh"))
+        .agg(count(lit(1)).as("df"))
+      val nDocs = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("df").desc, col("sh"))
+      dfCounts
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 5)
+        .join(nDocs, Seq("source"))
+        .select(col("source"), col("rk"), col("sh"), col("df"), col("n_docs"),
+          round(col("df").cast("double") / col("n_docs"), 6).as("coverage"))
+        .orderBy(col("source"), col("rk"))
+    },
+    Some(s"""WITH sh AS (
+            |  SELECT source, doc_id, unnest(list_distinct($shinglesSql)) AS sh
+            |  FROM documents
+            |), dfc AS (
+            |  SELECT source, sh, count(*) AS df FROM sh GROUP BY source, sh
+            |), nd AS (
+            |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+            |), ranked AS (
+            |  SELECT source, sh, df,
+            |    row_number() OVER (PARTITION BY source ORDER BY df DESC, sh) AS rk
+            |  FROM dfc
+            |)
+            |SELECT r.source, r.rk, r.sh, r.df, nd.n_docs,
+            |  round(cast(r.df as double) / nd.n_docs, 6) AS coverage
+            |FROM ranked r JOIN nd USING (source)
+            |WHERE r.rk <= 5 ORDER BY r.source, r.rk""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Embedding clustering: Lloyd k-means + SemDeDup-style semantic dedup
+  // ---------------------------------------------------------------------
+
+  /** 2^14 — k-means quantization scale. A power of two means x*16384 is
+    * EXACT in IEEE doubles (no rounding before the floor), so both
+    * engines quantize identically; 14 bits keeps every distance term
+    * (xq-cq)^2 <= 2^30 and a 64-dim sum <= 2^36, all exact bigint math.
+    */
+  private val KQ = 16384L
+  private val KMEANS_K = 8
+  private val KMEANS_ITERS = 3
+
+  /** Quantized embeddings: xq[i] = floor(embedding[i] * 2^14) as bigint. */
+  private def kmeansQuantized(s: SparkSession, dir: String): DataFrame =
+    TS(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr(s"transform(embedding, x -> cast(floor(cast(x as double) * $KQ) as bigint))").as("xq"))
+
+  /** One assignment pass: nearest centroid by exact integer squared
+    * distance, ties to the lowest centroid id. The centroids arrive as
+    * expression literals (the broadcast side of Lloyd at any scale), so
+    * assignment is map-only over the corpus.
+    */
+  private def kmeansAssignTo(v: DataFrame, cents: Seq[(Int, Seq[Long])]): DataFrame = {
+    val structs = cents.map { case (j, c) =>
+      s"struct(aggregate(zip_with(xq, array(${c.mkString(",")}), " +
+        s"(a, b) -> (a - b) * (a - b)), cast(0 as bigint), (acc, t) -> acc + t) AS d, " +
+        s"cast($j as bigint) AS j)"
+    }
+    v.withColumn("best", expr(s"element_at(array_sort(array(${structs.mkString(", ")})), 1)"))
+      .select(col("vec_id"), col("xq"), col("best.j").as("cl"), col("best.d").as("d"))
+  }
+
+  /** KMEANS_ITERS Lloyd rounds over the 2^14-quantized embeddings, k = 8,
+    * seeded deterministically from vec_ids 0..7. Each round: map-only
+    * assignment against broadcast centroid literals, then a (cluster,
+    * dim)-keyed exact integer aggregate (shuffle bounded by k x dims, not
+    * the corpus) whose floor-mean becomes the next round's centroids —
+    * quantized back to the same integer grid, so the whole fixpoint is
+    * integer-exact and engine-independent. Empty clusters keep their
+    * previous centroid. Returns the FINAL assignment (vec_id, cl, d) with
+    * d = exact squared distance to the assignment centroid.
+    */
+  private[graft] def kmeansAssign(s: SparkSession, dir: String,
+                                  iters: Int = KMEANS_ITERS): DataFrame = {
+    val v = kmeansQuantized(s, dir).localCheckpoint(true)
+    var cents: Seq[(Int, Seq[Long])] = v.where(col("vec_id") < KMEANS_K)
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Long](1)))
+      .sortBy(_._1).toSeq
+    var assigned: DataFrame = kmeansAssignTo(v, cents)
+    for (_ <- 2 to iters) {
+      val sums = assigned
+        .select(col("cl"), posexplode(col("xq")).as(Seq("dim0", "x")))
+        .groupBy(col("cl"), col("dim0"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1)
+      cents = cents.map { case (j, old) =>
+        sums.get(j.toLong) match {
+          case Some(rows) =>
+            // floor(sum / n) via one exact double division — the same op
+            // sequence as the oracle's floor(cast(sum as double) / n).
+            (j, rows.sortBy(_._2).map(t => math.floor(t._3.toDouble / t._4).toLong).toSeq)
+          case None => (j, old)
+        }
+      }
+      assigned = kmeansAssignTo(v, cents)
+    }
+    assigned
+  }
+
+  /** DuckDB twin of one assignment pass (argmin by the exact scalar key
+    * d*8+j — equivalent to (d, j) lexicographic order because j < 8).
+    */
+  private def kmeansAssignSql(vRel: String, cRel: String): String =
+    s"""SELECT vec_id, arg_min(j, d * 8 + j) AS cl, (min(d * 8 + j)) // 8 AS d
+       |FROM (
+       |  SELECT v.vec_id, c.j,
+       |    list_sum(list_transform(generate_series(1, 64),
+       |      i -> (v.xq[i] - c.c[i]) * (v.xq[i] - c.c[i]))) AS d
+       |  FROM $vRel v, $cRel c
+       |) GROUP BY vec_id""".stripMargin
+
+  /** DuckDB twin of one centroid update (floor-mean per dim; empty
+    * clusters inherit the previous centroid).
+    */
+  private def kmeansUpdateSql(aRel: String, prevC: String): String =
+    s"""SELECT p.j, coalesce(u.c, p.c) AS c FROM $prevC p LEFT JOIN (
+       |  SELECT cl AS j, list(cd ORDER BY dim) AS c FROM (
+       |    SELECT cl, dim, cast(floor(cast(sum(x) as double) / count(*)) as bigint) AS cd
+       |    FROM (
+       |      SELECT a.cl, unnest(generate_series(1, 64)) AS dim, unnest(v.xq) AS x
+       |      FROM $aRel a JOIN v USING (vec_id)
+       |    ) GROUP BY cl, dim
+       |  ) GROUP BY cl
+       |) u USING (j)""".stripMargin
+
+  private val kmeansOracleCtes =
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> cast(floor(x::double * $KQ) as bigint)) AS xq
+       |  FROM embeddings
+       |), c0 AS (
+       |  SELECT vec_id AS j, xq AS c FROM v WHERE vec_id < $KMEANS_K
+       |), a1 AS (${kmeansAssignSql("v", "c0")}
+       |), c1 AS (${kmeansUpdateSql("a1", "c0")}
+       |), a2 AS (${kmeansAssignSql("v", "c1")}
+       |), c2 AS (${kmeansUpdateSql("a2", "c1")}
+       |), a3 AS (${kmeansAssignSql("v", "c2")}
+       |)""".stripMargin
+
+  /** Lloyd k-means (k = 8, 3 rounds, deterministic seed) over quantized
+    * embeddings — the clustering primitive behind IVF coarse quantizers,
+    * SemDeDup partitioning, and corpus diversity analysis. Reported per
+    * cluster: size, exact integer SSE against the assignment centroids,
+    * and min/max member ids as membership witnesses. The oracle replays
+    * all three rounds as unrolled CTEs; hash equality proves every
+    * assignment and every centroid update matched bit-for-bit.
+    */
+  private val embedKmeans = Q(
+    (s, dir) =>
+      kmeansAssign(s, dir)
+        .groupBy(col("cl"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("d")).as("sse_scaled"),
+             min(col("vec_id")).as("min_vec"), max(col("vec_id")).as("max_vec"))
+        .select(col("cl").as("cluster"), col("n_vecs"), col("sse_scaled"),
+                col("min_vec"), col("max_vec"))
+        .orderBy(col("cluster")),
+    Some(s"""$kmeansOracleCtes
+            |SELECT cl AS cluster, count(*) AS n_vecs,
+            |  cast(sum(d) as bigint) AS sse_scaled,
+            |  min(vec_id) AS min_vec, max(vec_id) AS max_vec
+            |FROM a3 GROUP BY cl ORDER BY cluster""".stripMargin))
+
+  /** SemDeDup-style semantic dedup: within each k-means cluster, find
+    * vector pairs whose exact cosine exceeds the (fixture-calibrated)
+    * 0.4 threshold and drop the higher id of each similar pair — the
+    * "cluster first, compare only within clusters" trick that turns
+    * O(N^2) semantic dedup into sum-of-cluster-sizes-squared work. The
+    * pair cosine reuses the codegen'd scaled_dot expression; its inputs
+    * are exact integers, so the double cosine and the > comparison are
+    * bit-identical across engines. Reported per cluster: size, similar
+    * pair count, dropped count, kept count.
+    */
+  private val dedupSemantic = Q(
+    (s, dir) => {
+      graft.expressions.ScaledDotProduct.registerIn(s)
+      val asg = kmeansAssign(s, dir).select(col("vec_id"), col("cl"))
+      val e = TS(s, dir, "embeddings")
+        .withColumn("nrm", expr("scaled_dot(embedding, embedding)"))
+        .join(asg, Seq("vec_id"))
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+                       col("nrm").as("a_nrm"), col("cl"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+                       col("nrm").as("b_nrm"), col("cl").as("cl_b"))
+      val sim = a.join(b, col("cl") === col("cl_b") && col("a_id") < col("b_id"))
+        .withColumn("cos", expr("scaled_dot(a_emb, b_emb)").cast("double") /
+          (sqrt(col("a_nrm").cast("double")) * sqrt(col("b_nrm").cast("double"))))
+        .where(col("cos") > 0.4)
+        .select(col("cl"), col("a_id"), col("b_id"))
+      val pairCounts = sim.groupBy(col("cl")).agg(count(lit(1)).as("n_sim_pairs"))
+      val dropCounts = sim.select(col("cl"), col("b_id")).distinct()
+        .groupBy(col("cl")).agg(count(lit(1)).as("n_dropped"))
+      asg.groupBy(col("cl")).agg(count(lit(1)).as("n_vecs"))
+        .join(pairCounts, Seq("cl"), "left")
+        .join(dropCounts, Seq("cl"), "left")
+        .select(col("cl").as("cluster"), col("n_vecs"),
+          coalesce(col("n_sim_pairs"), lit(0L)).as("n_sim_pairs"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+          (col("n_vecs") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+        .orderBy(col("cluster"))
+    },
+    Some(s"""$kmeansOracleCtes, en AS (
+            |  SELECT e.vec_id, e.embedding, a3.cl,
+            |    ${scaledDotSql("e.embedding", "e.embedding")} AS nrm
+            |  FROM embeddings e JOIN a3 ON e.vec_id = a3.vec_id
+            |), sim AS (
+            |  SELECT a.cl, a.vec_id AS a_id, b.vec_id AS b_id
+            |  FROM en a JOIN en b ON a.cl = b.cl AND a.vec_id < b.vec_id
+            |  WHERE cast(${scaledDotSql("a.embedding", "b.embedding")} as double)
+            |    / (sqrt(cast(a.nrm as double)) * sqrt(cast(b.nrm as double))) > 0.4
+            |), pc AS (
+            |  SELECT cl, count(*) AS n_sim_pairs FROM sim GROUP BY cl
+            |), dc AS (
+            |  SELECT cl, count(*) AS n_dropped FROM (SELECT DISTINCT cl, b_id FROM sim) GROUP BY cl
+            |)
+            |SELECT g.cl AS cluster, g.n_vecs,
+            |  coalesce(pc.n_sim_pairs, 0) AS n_sim_pairs,
+            |  coalesce(dc.n_dropped, 0) AS n_dropped,
+            |  g.n_vecs - coalesce(dc.n_dropped, 0) AS n_kept
+            |FROM (SELECT cl, count(*) AS n_vecs FROM a3 GROUP BY cl) g
+            |LEFT JOIN pc USING (cl) LEFT JOIN dc USING (cl)
+            |ORDER BY cluster""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "ns_dedup_exact" -> dedupExact,
     "ns_dedup_minhash_lsh" -> dedupMinhashLsh,
@@ -1748,6 +2063,10 @@ object NorthStarQueries {
     "ns_text_pack" -> textPack,
     "ns_text_pii_redact" -> textPiiRedact,
     "ns_corpus_mix" -> corpusMix,
-    "ns_filter_quality_gate" -> filterQualityGate
+    "ns_filter_quality_gate" -> filterQualityGate,
+    "ns_text_ngram_lm" -> textNgramLm,
+    "ns_text_boilerplate" -> textBoilerplate,
+    "ns_embed_kmeans" -> embedKmeans,
+    "ns_dedup_semantic" -> dedupSemantic
   )
 }

@@ -259,4 +259,31 @@ class NorthStarSpec extends SparkSpec {
     val h2 = c.select(xxhash64(col("c_name"))).collect().map(_.getLong(0))
     assert(h1.sameElements(h2))
   }
+
+  test("k-means: Lloyd iterations do not increase SSE, partition is exact") {
+    val sse = (iters: Int) =>
+      graft.queries.NorthStarQueries.kmeansAssign(spark, sfDir, iters)
+        .agg(sum(col("d"))).head().getLong(0)
+    val Seq(s1, s2, s3) = Seq(1, 2, 3).map(sse)
+    assert(s2 <= s1, s"SSE rose after round 2: $s1 -> $s2")
+    assert(s3 <= s2, s"SSE rose after round 3: $s2 -> $s3")
+    // the assignment is a partition of the corpus
+    val asg = graft.queries.NorthStarQueries.kmeansAssign(spark, sfDir)
+    val nVecs = Tables.load(spark, sfDir, "embeddings").count()
+    assert(asg.count() == nVecs)
+    assert(asg.select("vec_id").distinct().count() == nVecs)
+    // deterministic: a second run reproduces the same assignment
+    val again = graft.queries.NorthStarQueries.kmeansAssign(spark, sfDir)
+    assert(asg.select("vec_id", "cl").exceptAll(again.select("vec_id", "cl")).isEmpty)
+  }
+
+  test("semantic dedup: dropped + kept == cluster size, drops need a lower-id witness") {
+    val out = SparkEntry.queries("ns_dedup_semantic")(spark, sfDir).collect()
+    out.foreach { r =>
+      assert(r.getLong(3) + r.getLong(4) == r.getLong(1),
+        s"cluster ${r.getLong(0)}: dropped + kept != size")
+      assert(r.getLong(2) >= r.getLong(3),
+        s"cluster ${r.getLong(0)}: more drops than similar pairs")
+    }
+  }
 }
