@@ -246,9 +246,42 @@ object TimeSeriesQueries {
            |LEFT JOIN per_hour p ON p.user_id = u.user_id AND p.h = hrs.h
            |ORDER BY u.user_id, hrs.h""".stripMargin))
 
+  /** Batch twin of the stream-STREAM interval join
+    * ([[graft.streaming.EventStreams.purchaseClickAttribution]]): each
+    * purchase matched with the same user's clicks in the preceding 30
+    * minutes. The range bound is what makes the streaming form's state
+    * finite; in batch Spark plans it as an equi-join on user_id with the
+    * time range as a residual filter — one shuffle keyed by user.
+    */
+  private val tsClickAttribution = Q(
+    (s, dir) => {
+      val ev = T(s, dir, "events")
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+                col("event_id").as("purchase_id"))
+      val c = ev.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+                col("event_id").as("click_id"))
+      p.join(c,
+        col("p_user") === col("c_user") &&
+          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("click_ts") <= col("purchase_ts"))
+        .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
+                col("purchase_ts"), col("click_ts"))
+        .orderBy(col("purchase_id"), col("click_id"))
+    },
+    Some("""SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           |  p.user_id, p.ts AS purchase_ts, c.ts AS click_ts
+           |FROM events p JOIN events c
+           |  ON p.user_id = c.user_id
+           | AND p.event_type = 'purchase' AND c.event_type = 'click'
+           | AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+           |ORDER BY purchase_id, click_id""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "ts_json_struct" -> tsJsonStruct,
     "ts_resample_ffill" -> tsResampleFfill,
+    "ts_click_attribution" -> tsClickAttribution,
     "ts_time_buckets" -> tsTimeBuckets,
     "ts_tumbling_window" -> tsTumblingWindow,
     "ts_sliding_window" -> tsSlidingWindow,

@@ -122,6 +122,31 @@ object EventStreams {
       .groupBy(col("c_mktsegment"), col("event_type"))
       .agg(count(lit(1)).as("n"))
 
+  /** Stream-STREAM inner join with watermarks on both sides and an
+    * event-time range bound: each purchase joins the same user's clicks
+    * from the preceding 30 minutes (click-to-purchase attribution). The
+    * time bound plus the two watermarks is what lets Spark expire join
+    * state — without it a stream-stream join would buffer both streams
+    * forever; with it, state is capped at watermark + range on each
+    * side. Batch twin: `ts_click_attribution` (DuckDB-oracled).
+    */
+  def purchaseClickAttribution(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+              col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "1 hour")
+    val c = clicks.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+              col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
+              col("purchase_ts"), col("click_ts"))
+  }
+
   /** Stateful per-key logic (`mapGroupsWithState`): running event count
     * and value total per user, emitted on every update — the arbitrary-
     * state analog of the reference's per-job handler state. State is

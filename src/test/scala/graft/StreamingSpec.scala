@@ -98,6 +98,21 @@ class StreamingSpec extends SparkSpec {
     assert(got.sameElements(batch))
   }
 
+  test("stream-stream interval join replays to the batch attribution answer") {
+    val (in, cp) = freshDirs()
+    // two independent stream readers over the same source — a genuine
+    // stream-STREAM join (watermarks on both sides bound the state)
+    val stream = EventStreams.purchaseClickAttribution(
+      EventStreams.readEvents(spark, in), EventStreams.readEvents(spark, in))
+    val got = EventStreams.runAvailableNow(stream, "ssj_sink", "append", cp)
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val batch = SparkEntry.queries("ts_click_attribution")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.length > 0, "expected at least one attributed purchase-click pair")
+    assert(got.sameElements(batch),
+      s"stream pairs=${got.length} batch pairs=${batch.length}")
+  }
+
   test("parquet streaming sink writes the deduped stream durably") {
     val (in, cp) = freshDirs()
     val out = s"$workDir/out-${System.nanoTime()}"
