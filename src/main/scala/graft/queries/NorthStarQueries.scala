@@ -1991,12 +1991,13 @@ object NorthStarQueries {
           (sqrt(col("a_nrm").cast("double")) * sqrt(col("b_nrm").cast("double"))))
         .where(col("cos") > 0.4)
         .select(col("cl"), col("a_id"), col("b_id"))
-      val pairCounts = sim.groupBy(col("cl")).agg(count(lit(1)).as("n_sim_pairs"))
-      val dropCounts = sim.select(col("cl"), col("b_id")).distinct()
-        .groupBy(col("cl")).agg(count(lit(1)).as("n_dropped"))
+      // one pass over the (small) similar-pair set: pair count + distinct
+      // dropped ids together, so the pair join appears ONCE in the plan
+      val pairStats = sim.groupBy(col("cl"))
+        .agg(count(lit(1)).as("n_sim_pairs"),
+             countDistinct(col("b_id")).as("n_dropped"))
       asg.groupBy(col("cl")).agg(count(lit(1)).as("n_vecs"))
-        .join(pairCounts, Seq("cl"), "left")
-        .join(dropCounts, Seq("cl"), "left")
+        .join(pairStats, Seq("cl"), "left")
         .select(col("cl").as("cluster"), col("n_vecs"),
           coalesce(col("n_sim_pairs"), lit(0L)).as("n_sim_pairs"),
           coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
@@ -2013,16 +2014,15 @@ object NorthStarQueries {
             |  WHERE cast(${scaledDotSql("a.embedding", "b.embedding")} as double)
             |    / (sqrt(cast(a.nrm as double)) * sqrt(cast(b.nrm as double))) > 0.4
             |), pc AS (
-            |  SELECT cl, count(*) AS n_sim_pairs FROM sim GROUP BY cl
-            |), dc AS (
-            |  SELECT cl, count(*) AS n_dropped FROM (SELECT DISTINCT cl, b_id FROM sim) GROUP BY cl
+            |  SELECT cl, count(*) AS n_sim_pairs, count(DISTINCT b_id) AS n_dropped
+            |  FROM sim GROUP BY cl
             |)
             |SELECT g.cl AS cluster, g.n_vecs,
             |  coalesce(pc.n_sim_pairs, 0) AS n_sim_pairs,
-            |  coalesce(dc.n_dropped, 0) AS n_dropped,
-            |  g.n_vecs - coalesce(dc.n_dropped, 0) AS n_kept
+            |  coalesce(pc.n_dropped, 0) AS n_dropped,
+            |  g.n_vecs - coalesce(pc.n_dropped, 0) AS n_kept
             |FROM (SELECT cl, count(*) AS n_vecs FROM a3 GROUP BY cl) g
-            |LEFT JOIN pc USING (cl) LEFT JOIN dc USING (cl)
+            |LEFT JOIN pc USING (cl)
             |ORDER BY cluster""".stripMargin))
 
   val all: Map[String, Q] = Map(
