@@ -1729,16 +1729,29 @@ object NorthStarQueries {
     * top-K vocabulary cut (rank on count with total-order tiebreak)
     * would bound them further without changing the determinism story.
     */
+  /** Per-doc token-bigram stream (doc_id, w1, w2) — one row per adjacent
+    * token pair, map-only explode. Shared by the LM scorer and the
+    * collocation miner.
+    */
+  private def docBigrams(s: SparkSession, dir: String): DataFrame =
+    TS(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        explode(expr(
+          "if(size(w) < 2, array(), transform(sequence(1, size(w) - 1), " +
+            "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2)))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+  /** DuckDB twin of [[docBigrams]] (zipped unnest over the two shifted
+    * token slices emulates the positional explode).
+    */
+  private val docBigramsSql =
+    """SELECT doc_id, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+      |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)""".stripMargin
+
   private val textNgramLm = Q(
     (s, dir) => {
-      val toks = TS(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-      val bigrams = toks
-        .select(col("doc_id"),
-          explode(expr(
-            "if(size(w) < 2, array(), transform(sequence(1, size(w) - 1), " +
-              "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2)))")).as("bg"))
-        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val bigrams = docBigrams(s, dir)
       val c12 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
       val c1 = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
       val scored = bigrams
@@ -1754,13 +1767,8 @@ object NorthStarQueries {
             .as("lm_score"))
         .orderBy(col("doc_id"))
     },
-    Some("""WITH toks AS (
-           |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-           |), bg AS (
-           |  SELECT doc_id,
-           |    unnest(w[1:len(w)-1]) AS w1,
-           |    unnest(w[2:len(w)]) AS w2
-           |  FROM toks
+    Some(s"""WITH bg AS (
+           |$docBigramsSql
            |), c12 AS (
            |  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
            |), c1 AS (
@@ -1827,6 +1835,57 @@ object NorthStarQueries {
             |  round(cast(r.df as double) / nd.n_docs, 6) AS coverage
             |FROM ranked r JOIN nd USING (source)
             |WHERE r.rk <= 5 ORDER BY r.source, r.rk""".stripMargin))
+
+  /** Collocation mining: the corpus's top-20 bigrams by PMI-equivalent
+    * lift. PMI = log(c12·N / (c1·c2)) is rank-equivalent to the exact
+    * integer ratio (c12·N·2^20) div (c1·c2) (log is monotone), so the
+    * engine never touches floating-point transcendentals and both
+    * engines rank identically — the same scaled-integer trick the LM
+    * scorer uses. c1/c2 are token-occurrence counts, N the token total;
+    * a count floor of 5 kills the hapax noise PMI is notorious for.
+    * Scale: two vocabulary-bounded aggregates + broadcast-sized joins;
+    * top-20 via TakeOrderedAndProject (no global sort materialization).
+    * 63-bit headroom: c12·N·2^20 stays exact below ~2^21 tokens per
+    * corpus shard; shard-and-merge beyond that.
+    */
+  private val textCollocations = Q(
+    (s, dir) => {
+      val bigrams = docBigrams(s, dir)
+      val toks = TS(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+      val cw = toks.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      val n = toks.agg(count(lit(1)).as("n_tokens"))
+      val c12 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+        .where(col("c12") >= 5)
+      c12
+        .join(cw.select(col("w").as("w1"), col("cw").as("c1")), Seq("w1"))
+        .join(cw.select(col("w").as("w2"), col("cw").as("c2")), Seq("w2"))
+        .crossJoin(broadcast(n))
+        .withColumn("lift_scaled",
+          expr("c12 * n_tokens * 1048576 div (c1 * c2)"))
+        .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+                col("lift_scaled"))
+        .orderBy(col("lift_scaled").desc, col("w1"), col("w2"))
+        .limit(20)
+    },
+    Some(s"""WITH bg AS (
+            |$docBigramsSql
+            |), tok AS (
+            |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+            |), cw AS (
+            |  SELECT w, count(*) AS cw FROM tok GROUP BY w
+            |), n AS (
+            |  SELECT count(*) AS n_tokens FROM tok
+            |), c12 AS (
+            |  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2 HAVING count(*) >= 5
+            |)
+            |SELECT c12.w1, c12.w2, c12.c12, a.cw AS c1, b.cw AS c2,
+            |  (c12.c12 * n.n_tokens * 1048576) // (a.cw * b.cw) AS lift_scaled
+            |FROM c12
+            |JOIN cw a ON a.w = c12.w1
+            |JOIN cw b ON b.w = c12.w2
+            |CROSS JOIN n
+            |ORDER BY lift_scaled DESC, c12.w1, c12.w2 LIMIT 20""".stripMargin))
 
   // ---------------------------------------------------------------------
   // Embedding clustering: Lloyd k-means + SemDeDup-style semantic dedup
@@ -2025,6 +2084,78 @@ object NorthStarQueries {
             |LEFT JOIN pc USING (cl)
             |ORDER BY cluster""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // Similarity: product quantization (PQ) encode
+  // ---------------------------------------------------------------------
+
+  private val PQ_M = 8      // subspaces (64 dims -> 8 x 8)
+  private val PQ_CODES = 16 // codes per subspace (deterministic sample: vecs 0..15)
+
+  /** Product-quantization encode: split each 64-dim embedding into 8
+    * subvectors and snap each to the nearest of 16 codebook entries —
+    * the memory layout behind billion-scale ANN (a vector becomes 8
+    * bytes; distances become table lookups). The codebook is a
+    * deterministic sample (subvectors of vec_ids 0..15 — PQ's k-means++
+    * init step without the iterations; `ns_embed_kmeans` demonstrates
+    * the Lloyd refinement separately). Everything runs on the same
+    * 2^14-quantized integer grid as k-means, so assignments and SSE are
+    * exact in both engines. Reported: per (subspace, code) occupancy and
+    * SSE — the codebook-balance profile an ANN engineer actually reads.
+    * Scale: codebook broadcasts as literals, encode is map-only, the
+    * only shuffle is the (subspace, code)-keyed stats aggregate (128
+    * groups).
+    */
+  private val simPq = Q(
+    (s, dir) => {
+      val v = kmeansQuantized(s, dir).localCheckpoint(true)
+      val cb: Map[Int, Seq[(Int, Seq[Long])]] =
+        v.where(col("vec_id") < PQ_CODES).collect()
+          .map(r => (r.getLong(0).toInt, r.getSeq[Long](1)))
+          .flatMap { case (j, xs) =>
+            (0 until PQ_M).map(m => (m, j, xs.slice(m * 8, m * 8 + 8)))
+          }
+          .groupBy(_._1).view
+          .mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq).toMap
+      val rowExprs = (0 until PQ_M).map { m =>
+        val structs = cb(m).map { case (j, c) =>
+          s"struct(aggregate(zip_with(slice(xq, ${m * 8 + 1}, 8), array(${c.mkString(",")}), " +
+            s"(a, b) -> (a - b) * (a - b)), cast(0 as bigint), (acc, t) -> acc + t) AS d, " +
+            s"cast($j as bigint) AS j)"
+        }
+        s"struct(cast($m as bigint) AS subspace, " +
+          s"element_at(array_sort(array(${structs.mkString(", ")})), 1) AS best)"
+      }
+      v.select(col("vec_id"), explode(expr(s"array(${rowExprs.mkString(", ")})")).as("enc"))
+        .select(col("enc.subspace").as("subspace"),
+                col("enc.best.j").as("code"), col("enc.best.d").as("d"))
+        .groupBy(col("subspace"), col("code"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("d")).as("sse_scaled"))
+        .orderBy(col("subspace"), col("code"))
+    },
+    Some(s"""WITH v AS (
+            |  SELECT vec_id,
+            |    list_transform(embedding, x -> cast(floor(x::double * $KQ) as bigint)) AS xq
+            |  FROM embeddings
+            |), ms AS (
+            |  SELECT unnest(generate_series(0, ${PQ_M - 1})) AS m
+            |), cb AS (
+            |  SELECT m, vec_id AS j, xq[m*8+1:m*8+8] AS c FROM v, ms WHERE vec_id < $PQ_CODES
+            |), ev AS (
+            |  SELECT vec_id, m, xq[m*8+1:m*8+8] AS xs FROM v, ms
+            |), dist AS (
+            |  SELECT ev.vec_id, ev.m, cb.j,
+            |    list_sum(list_transform(generate_series(1, 8),
+            |      i -> (ev.xs[i] - cb.c[i]) * (ev.xs[i] - cb.c[i]))) AS d
+            |  FROM ev JOIN cb ON ev.m = cb.m
+            |), enc AS (
+            |  SELECT vec_id, m, arg_min(j, d * $PQ_CODES + j) AS code,
+            |    (min(d * $PQ_CODES + j)) // $PQ_CODES AS d
+            |  FROM dist GROUP BY vec_id, m
+            |)
+            |SELECT m AS subspace, code, count(*) AS n_vecs,
+            |  cast(sum(d) as bigint) AS sse_scaled
+            |FROM enc GROUP BY m, code ORDER BY subspace, code""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "ns_dedup_exact" -> dedupExact,
     "ns_dedup_minhash_lsh" -> dedupMinhashLsh,
@@ -2067,6 +2198,8 @@ object NorthStarQueries {
     "ns_text_ngram_lm" -> textNgramLm,
     "ns_text_boilerplate" -> textBoilerplate,
     "ns_embed_kmeans" -> embedKmeans,
-    "ns_dedup_semantic" -> dedupSemantic
+    "ns_dedup_semantic" -> dedupSemantic,
+    "ns_text_collocations" -> textCollocations,
+    "ns_sim_pq" -> simPq
   )
 }
