@@ -86,6 +86,30 @@ object ScaleProbe {
     timeDoc("ns_text_tfidf")
     timeDoc("ns_text_pack")
     timeDoc("ns_dedup_chunks")
+    timeDoc("ns_text_ngram_lm")
+
+    // --- Embedding probes over a multiplied embeddings table: k-means
+    // assignment stays map-only (centroid literals), so only the
+    // (cluster, dim) update agg and the within-cluster pair join grow.
+    // Multiplying vectors multiplies every k-means cluster, so the
+    // semantic-dedup pair join grows QUADRATICALLY per cluster — the
+    // stress case that shows why cluster count must scale with corpus
+    // size in production (fixed k=8 is the fixture contract, not the
+    // 100 TB configuration).
+    val vecReps = spark.range(docMult).select(col("id").as("rep"))
+    Tables.load(spark, sfDir, "embeddings")
+      .crossJoin(broadcast(vecReps))
+      .withColumn("vec_id", col("vec_id") * docMult + col("rep"))
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val nVecs = spark.read.parquet(s"$tmp/embeddings.parquet").count()
+    def timeVec(name: String): Unit = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, tmp).write.mode("overwrite").format("noop").save()
+      println(f"[scaleprobe] $name x$docMult (${nVecs} vecs): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    timeVec("ns_embed_kmeans")
+    timeVec("ns_sim_pq")
     spark.stop()
   }
 }
