@@ -451,7 +451,58 @@ object ScalarQueries {
            |      FROM orders)
            |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
 
+  /** Bitwise family over integer keys (AND / OR / XOR / shifts /
+    * popcount / bit probe) — the ops behind bitmap indexes, bucket
+    * masks, and the engine's own LSH signatures. All exact integer;
+    * every output cast to bigint on both sides so the driver's
+    * type-tagged compare sees identical reprs.
+    */
+  private val bitwiseFuncs = Q(
+    (s, dir) =>
+      Q.T(s, dir, "orders")
+        .select(col("o_orderkey"),
+          (col("o_orderkey").bitwiseAND(255)).cast("bigint").as("b_and"),
+          (col("o_orderkey").bitwiseOR(4096)).cast("bigint").as("b_or"),
+          (col("o_orderkey").bitwiseXOR(col("o_custkey"))).cast("bigint").as("b_xor"),
+          expr("shiftleft(o_orderkey, 3)").cast("bigint").as("b_shl"),
+          expr("shiftright(o_orderkey, 2)").cast("bigint").as("b_shr"),
+          expr("bit_count(o_orderkey)").cast("bigint").as("b_pop"),
+          expr("getbit(o_orderkey, 5)").cast("bigint").as("b_bit5"))
+        .orderBy(col("o_orderkey")),
+    Some("""SELECT o_orderkey,
+           |  cast(o_orderkey & 255 as bigint) AS b_and,
+           |  cast(o_orderkey | 4096 as bigint) AS b_or,
+           |  cast(xor(o_orderkey, o_custkey) as bigint) AS b_xor,
+           |  cast(o_orderkey << 3 as bigint) AS b_shl,
+           |  cast(o_orderkey >> 2 as bigint) AS b_shr,
+           |  cast(bit_count(o_orderkey) as bigint) AS b_pop,
+           |  cast((o_orderkey >> 5) & 1 as bigint) AS b_bit5
+           |FROM orders ORDER BY o_orderkey""".stripMargin))
+
+  /** Boolean aggregates (bool_and / bool_or / count_if) per group — the
+    * "does every / any row satisfy P" reductions (data-quality
+    * assertions, partition-level invariant checks).
+    */
+  private val boolAggs = Q(
+    (s, dir) =>
+      Q.T(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+          bool_or(col("o_totalprice") > 400000).as("any_over_400k"),
+          count_if(col("o_orderstatus") === "F").as("n_f"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority")),
+    Some("""SELECT o_orderpriority,
+           |  bool_and(o_totalprice > 1000) AS all_over_1k,
+           |  bool_or(o_totalprice > 400000) AS any_over_400k,
+           |  cast(count_if(o_orderstatus = 'F') as bigint) AS n_f,
+           |  count(*) AS n
+           |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "scalar_bitwise" -> bitwiseFuncs,
+    "agg_boolean_logic" -> boolAggs,
     "scalar_edge_cases" -> edgeCases,
     "agg_null_semantics" -> nullAggSemantics,
     "scalar_string_funcs" -> stringFuncs,

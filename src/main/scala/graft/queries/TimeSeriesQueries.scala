@@ -278,10 +278,89 @@ object TimeSeriesQueries {
            | AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
            |ORDER BY purchase_id, click_id""".stripMargin))
 
+  /** Ordered funnel analysis: per user, the first `view`, the first
+    * `click` at-or-after that view, and the first `purchase` at-or-after
+    * that click — the conversion-funnel read every event pipeline runs.
+    * Three conditional min-aggregates chained by joins, each keyed by
+    * user (one shuffle key end-to-end, so the chain co-partitions);
+    * `stage` counts how deep the user got. Timestamps compare exactly
+    * in both engines (microsecond values from the same parquet).
+    */
+  private val tsFunnelAnalysis = Q(
+    (s, dir) => {
+      val ev = T(s, dir, "events")
+      val v = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("view_ts"))
+      val c = ev.where(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .where(col("ts") >= col("view_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("click_ts"))
+      val p = ev.where(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .where(col("ts") >= col("click_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("purchase_ts"))
+      ev.select(col("user_id")).distinct()
+        .join(v, Seq("user_id"), "left")
+        .join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("view_ts"), col("click_ts"), col("purchase_ts"),
+          (when(col("view_ts").isNotNull, 1).otherwise(0) +
+           when(col("click_ts").isNotNull, 1).otherwise(0) +
+           when(col("purchase_ts").isNotNull, 1).otherwise(0)).cast("bigint").as("stage"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH v AS (
+           |  SELECT user_id, min(ts) AS view_ts FROM events
+           |  WHERE event_type = 'view' GROUP BY user_id
+           |), c AS (
+           |  SELECT e.user_id, min(e.ts) AS click_ts
+           |  FROM events e JOIN v ON e.user_id = v.user_id
+           |  WHERE e.event_type = 'click' AND e.ts >= v.view_ts
+           |  GROUP BY e.user_id
+           |), p AS (
+           |  SELECT e.user_id, min(e.ts) AS purchase_ts
+           |  FROM events e JOIN c ON e.user_id = c.user_id
+           |  WHERE e.event_type = 'purchase' AND e.ts >= c.click_ts
+           |  GROUP BY e.user_id
+           |)
+           |SELECT u.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+           |  cast((CASE WHEN v.view_ts IS NOT NULL THEN 1 ELSE 0 END) +
+           |       (CASE WHEN c.click_ts IS NOT NULL THEN 1 ELSE 0 END) +
+           |       (CASE WHEN p.purchase_ts IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS stage
+           |FROM (SELECT DISTINCT user_id FROM events) u
+           |LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+           |LEFT JOIN p USING (user_id)
+           |ORDER BY user_id""".stripMargin))
+
+  /** Spark 4 VARIANT over `events.props`: parse once into the binary
+    * semi-structured type, then typed path extraction — the
+    * schema-on-read shape for ragged JSON at scale (shredded storage,
+    * no per-query string re-parse). The oracle extracts the same paths
+    * with DuckDB's JSON functions; outputs are plain ints/booleans.
+    */
+  private val tsJsonVariant = Q(
+    (s, dir) =>
+      T(s, dir, "events")
+        .withColumn("vr", parse_json(col("props")))
+        .select(
+          col("event_id"),
+          expr("variant_get(vr, '$.k', 'int')").as("k_int"),
+          expr("variant_get(vr, '$.k', 'int')").isNotNull.as("has_k"),
+          coalesce(expr("is_variant_null(variant_get(vr, '$.missing'))"), lit(false))
+            .as("missing_is_null"))
+        .orderBy(col("event_id")),
+    Some("""SELECT event_id,
+           |  cast(json_extract_string(props, '$.k') as int) AS k_int,
+           |  json_extract_string(props, '$.k') IS NOT NULL AS has_k,
+           |  false AS missing_is_null
+           |FROM events ORDER BY event_id""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "ts_json_struct" -> tsJsonStruct,
     "ts_resample_ffill" -> tsResampleFfill,
     "ts_click_attribution" -> tsClickAttribution,
+    "ts_funnel_analysis" -> tsFunnelAnalysis,
+    "ts_json_variant" -> tsJsonVariant,
     "ts_time_buckets" -> tsTimeBuckets,
     "ts_tumbling_window" -> tsTumblingWindow,
     "ts_sliding_window" -> tsSlidingWindow,
