@@ -65,6 +65,44 @@ class PlanFeaturesSpec extends SparkSpec {
       s"length bucket missing from join condition: $cond")
   }
 
+  test("runtime bloom-filter join pruning injects a might_contain probe") {
+    // At 100 TB a selective dim filter should prune the fact scan even
+    // when the join key is NOT the partition key: Spark's
+    // InjectRuntimeFilter builds a bloom filter from the filtered build
+    // side and probes it map-side on the stream side. Thresholds are
+    // lowered so the rule fires on fixture-sized inputs.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      // force the shuffle-join path: bloom injection targets shuffle
+      // joins (a broadcast join already prunes via the hash relation)
+      val prevAuto = conf.get("spark.sql.autoBroadcastJoinThreshold")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val li = Tables.load(spark, sfDir, "lineitem")
+        val sel = Tables.load(spark, sfDir, "orders")
+          .where(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"))
+        val q = li.join(sel, li("l_orderkey") === sel("o_orderkey"))
+          .groupBy(col("l_returnflag")).count()
+        val plan = q.queryExecution.optimizedPlan.toString
+        assert(plan.contains("might_contain") || plan.contains("BloomFilter"),
+          s"expected a runtime bloom filter probe in plan:\n$plan")
+        assert(q.collect().nonEmpty)
+      } finally conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("typed Dataset surface agrees with the untyped DataFrame result") {
     import spark.implicits._
     import PlanFeaturesSpec.Doc
