@@ -2084,6 +2084,51 @@ object NorthStarQueries {
             |LEFT JOIN pc USING (cl)
             |ORDER BY cluster""".stripMargin))
 
+  /** Distribution-drift detection between two corpus snapshots (stand-in:
+    * even- vs odd-numbered sources): per-token two-sample chi-square
+    * contributions, exactly — the monitor a training pipeline runs
+    * between crawl snapshots to catch topic/spam shift before it reaches
+    * training. chi2 term = (cA*NB - cB*NA)^2 * 2^20 div ((cA+cB)*NA*NB),
+    * computed in decimal(38) on Spark and int128 in DuckDB: both exact,
+    * so the integer quotient matches bitwise. Top-20 shifted tokens by
+    * contribution (tie: token asc) names WHAT drifted, not just that
+    * drift happened. Scale: two vocabulary-keyed aggregates + a
+    * full-outer vocab join; nothing corpus-sized shuffles twice.
+    */
+  private val profileDrift = Q(
+    (s, dir) => {
+      val toks = TS(s, dir, "documents")
+        .select((expr("cast(substring(source, 4) as int)") % 2 === 0).as("snap_a"),
+                explode(split(col("text"), " ")).as("w"))
+      val counts = toks.groupBy(col("w"))
+        .agg(count_if(col("snap_a")).as("ca"), count_if(!col("snap_a")).as("cb"))
+      val totals = counts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      counts.crossJoin(broadcast(totals))
+        .withColumn("chi2_scaled", expr(
+          "cast((cast(ca as decimal(38,0)) * nb - cast(cb as decimal(38,0)) * na) " +
+            "* (cast(ca as decimal(38,0)) * nb - cast(cb as decimal(38,0)) * na) " +
+            "* 1048576 div (cast(ca + cb as decimal(38,0)) * na * nb) as bigint)"))
+        .select(col("w"), col("ca"), col("cb"), col("chi2_scaled"))
+        .orderBy(col("chi2_scaled").desc, col("w"))
+        .limit(20)
+    },
+    Some("""WITH tok AS (
+           |  SELECT cast(substring(source, 4) as int) % 2 = 0 AS snap_a,
+           |    unnest(string_split(text, ' ')) AS w
+           |  FROM documents
+           |), counts AS (
+           |  SELECT w, cast(count_if(snap_a) as bigint) AS ca,
+           |    cast(count_if(NOT snap_a) as bigint) AS cb
+           |  FROM tok GROUP BY w
+           |), totals AS (
+           |  SELECT cast(sum(ca) as bigint) AS na, cast(sum(cb) as bigint) AS nb FROM counts
+           |)
+           |SELECT w, ca, cb,
+           |  cast((ca::hugeint * nb - cb::hugeint * na) * (ca::hugeint * nb - cb::hugeint * na)
+           |       * 1048576 // ((ca + cb)::hugeint * na * nb) as bigint) AS chi2_scaled
+           |FROM counts CROSS JOIN totals
+           |ORDER BY chi2_scaled DESC, w LIMIT 20""".stripMargin))
+
   // ---------------------------------------------------------------------
   // Similarity: product quantization (PQ) encode
   // ---------------------------------------------------------------------
@@ -2200,6 +2245,7 @@ object NorthStarQueries {
     "ns_embed_kmeans" -> embedKmeans,
     "ns_dedup_semantic" -> dedupSemantic,
     "ns_text_collocations" -> textCollocations,
-    "ns_sim_pq" -> simPq
+    "ns_sim_pq" -> simPq,
+    "ns_profile_drift" -> profileDrift
   )
 }

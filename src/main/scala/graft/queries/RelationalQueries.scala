@@ -1191,6 +1191,35 @@ object RelationalQueries {
            |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
            |ORDER BY user_id, ts, event_id""".stripMargin))
 
+  /** Time-interval RANGE frame: per-user rolling 1-hour event count and
+    * value sum (`RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT
+    * ROW`) — the rolling-window-by-TIME read (rate limiting, rolling
+    * spend) that a ROWS frame cannot express on irregular streams. SQL
+    * text because the Scala `rangeBetween` API takes only numeric
+    * offsets. One exchange keyed by user; the frame scan is a single
+    * ordered pass per partition. The rolling sum uses the exact decimal
+    * accumulator; ties on ts are frame-peers in both engines (RANGE
+    * semantics), so the output is deterministic without a ts tiebreak.
+    */
+  private val windowIntervalRange = Q(
+    (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql("""SELECT user_id, ts, event_id,
+              |  count(*) OVER w AS n_1h,
+              |  cast(sum(cast(value as decimal(18,4))) OVER w as double) AS sum_1h
+              |FROM events
+              |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+              |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+              |ORDER BY user_id, ts, event_id""".stripMargin)
+    },
+    Some("""SELECT user_id, ts, event_id,
+           |  count(*) OVER w AS n_1h,
+           |  cast(sum(cast(value as decimal(18,4))) OVER w as double) AS sum_1h
+           |FROM events
+           |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+           |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+           |ORDER BY user_id, ts, event_id""".stripMargin))
+
   // ---------------------------------------------------------------------
   // Assembled inventory
   // ---------------------------------------------------------------------
@@ -1248,6 +1277,7 @@ object RelationalQueries {
     "sql_recursive_cte" -> sqlRecursiveCte,
     "agg_histogram_mode" -> aggHistogramMode,
     "window_ignore_nulls" -> windowIgnoreNulls,
+    "window_interval_range" -> windowIntervalRange,
     "tpch_q3_shape" -> tpchQ3Shape,
     "tpch_q10_shape" -> tpchQ10Shape
   )
