@@ -41,6 +41,31 @@ object SourcesQueries {
            |  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total
            |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
 
+  /** ORC sink + scan (zstd): the second columnar format the engine
+    * speaks natively (Spark's ORC reader is vectorized like parquet's,
+    * with the same predicate pushdown). DuckDB cannot read ORC, so the
+    * oracle recomputes the aggregate from the parquet original — the
+    * round-trip preserving it is exactly what is under test. Exact
+    * types only (long/decimal/string) cross the format boundary.
+    */
+  private val orcRoundtrip = Q(
+    (s, dir) => {
+      val path = s"$tmpRoot/orc_customer"
+      T(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+                col("c_acctbal").cast("decimal(18,2)").as("bal"))
+        .write.mode("overwrite").option("compression", "zstd").orc(path)
+      s.read.orc(path)
+        .where(col("bal") > 0)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("bal")).cast("double").as("total_bal"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n,
+           |  cast(sum(cast(c_acctbal as decimal(18,2))) as double) AS total_bal
+           |FROM customer WHERE cast(c_acctbal as decimal(18,2)) > 0
+           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+
   /** JSON-lines sink + scan with explicit schema. */
   private val jsonRoundtrip = Q(
     (s, dir) => {
@@ -157,6 +182,7 @@ object SourcesQueries {
     "src_bucketed_join" -> bucketedJoin,
     "src_table_registry" -> tableRegistry,
     "src_csv_roundtrip" -> csvRoundtrip,
+    "src_orc_roundtrip" -> orcRoundtrip,
     "src_json_roundtrip" -> jsonRoundtrip,
     "src_partitioned_write" -> partitionedWrite,
     "src_sort_within_partitions" -> sortWithinPartitions
