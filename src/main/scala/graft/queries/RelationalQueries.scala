@@ -469,6 +469,41 @@ object RelationalQueries {
            |  true AS nd_within_15pct, true AS p50_within_2
            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
+  /** MERGEABLE sketches (Apache DataSketches HLL via `hll_sketch_agg` /
+    * `hll_union_agg`): per-(flag, status) partial sketches rolled up to
+    * per-flag by sketch UNION — the algebra that lets 1000 executors
+    * sketch locally and merge cheaply (re-aggregation over binary
+    * sketch columns, no raw-data second pass). Verified with two
+    * engine-independent booleans: the merged estimate tracks the
+    * directly-built sketch's estimate within 5% (union takes
+    * per-register maxima, but sparse->dense promotions in sub-sketches
+    * can shift the estimate slightly — a bitwise identity does NOT hold
+    * at scale), and the merged estimate lands within 3-sigma of the
+    * exact distinct count; the exact count itself is value-checked.
+    */
+  private val aggSketchMergeable = Q(
+    (s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val merged = li
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+        .groupBy(col("l_returnflag"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_est"))
+      li.groupBy(col("l_returnflag"))
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))).as("direct_est"),
+             countDistinct(col("l_partkey")).as("exact_nd"))
+        .join(merged, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("exact_nd"),
+          (abs(col("merged_est") - col("direct_est")) / col("direct_est") < 0.05)
+            .as("merge_tracks_direct"),
+          (abs(col("merged_est") - col("exact_nd")).cast("double") /
+            col("exact_nd") < 0.15).as("est_within_3sigma"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_nd,
+           |  true AS merge_tracks_direct, true AS est_within_3sigma
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
   private val aggRollup = Q(
     (s, dir) =>
       T(s, dir, "lineitem")
@@ -1246,6 +1281,7 @@ object RelationalQueries {
     "agg_collect_sorted" -> aggCollectSorted,
     "agg_percentiles_exact" -> aggPercentilesExact,
     "agg_approx_sketches" -> aggApproxSketches,
+    "agg_sketch_mergeable" -> aggSketchMergeable,
     "agg_rollup" -> aggRollup,
     "agg_cube" -> aggCube,
     "agg_grouping_sets" -> aggGroupingSets,
