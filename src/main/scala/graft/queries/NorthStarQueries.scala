@@ -1912,9 +1912,11 @@ object NorthStarQueries {
     * assignment is map-only over the corpus.
     */
   private def kmeansAssignTo(v: DataFrame, cents: Seq[(Int, Seq[Long])]): DataFrame = {
+    graft.expressions.SquaredL2.registerIn(v.sparkSession)
     val structs = cents.map { case (j, c) =>
-      s"struct(aggregate(zip_with(xq, array(${c.mkString(",")}), " +
-        s"(a, b) -> (a - b) * (a - b)), cast(0 as bigint), (acc, t) -> acc + t) AS d, " +
+      // codegen'd exact integer distance (graft.expressions.SquaredL2) —
+      // the interpreted HOF chain was the dominant ScaleProbe cost
+      s"struct(sq_l2(xq, cast(array(${c.mkString(",")}) as array<bigint>)) AS d, " +
         s"cast($j as bigint) AS j)"
     }
     v.withColumn("best", expr(s"element_at(array_sort(array(${structs.mkString(", ")})), 1)"))
@@ -2161,10 +2163,11 @@ object NorthStarQueries {
           }
           .groupBy(_._1).view
           .mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq).toMap
+      graft.expressions.SquaredL2.registerIn(s)
       val rowExprs = (0 until PQ_M).map { m =>
         val structs = cb(m).map { case (j, c) =>
-          s"struct(aggregate(zip_with(slice(xq, ${m * 8 + 1}, 8), array(${c.mkString(",")}), " +
-            s"(a, b) -> (a - b) * (a - b)), cast(0 as bigint), (acc, t) -> acc + t) AS d, " +
+          s"struct(sq_l2(slice(xq, ${m * 8 + 1}, 8), " +
+            s"cast(array(${c.mkString(",")}) as array<bigint>)) AS d, " +
             s"cast($j as bigint) AS j)"
         }
         s"struct(cast($m as bigint) AS subspace, " +

@@ -58,6 +58,39 @@ class ScaledDotSpec extends SparkSpec {
     assert(dup == Seq(5L))
   }
 
+  test("sq_l2 equals the HOF formulation on quantized fixture embeddings") {
+    graft.expressions.SquaredL2.registerIn(spark)
+    val q = "transform(embedding, x -> cast(floor(cast(x as double) * 16384) as bigint))"
+    val hof = s"aggregate(zip_with($q, $q, (a, b) -> (a - b) * (a - b)), " +
+      "cast(0 as bigint), (acc, t) -> acc + t)"
+    // self-distance is 0; distance to the reversed vector is the HOF value
+    val rev = s"reverse($q)"
+    val diff = Tables.load(spark, sfDir, "embeddings")
+      .select(expr(s"sq_l2($q, $q)").as("self"),
+              expr(s"sq_l2($q, $rev)").as("native"),
+              expr(s"aggregate(zip_with($q, $rev, (a, b) -> (a - b) * (a - b)), " +
+                   "cast(0 as bigint), (acc, t) -> acc + t)").as("hof"))
+      .where(col("self") =!= 0L || col("native") =!= col("hof"))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("sq_l2 interpreted eval matches SQL codegen") {
+    graft.expressions.SquaredL2.registerIn(spark)
+    val v = spark.sql(
+      "SELECT sq_l2(array(cast(3 as bigint), cast(-2 as bigint)), " +
+      "array(cast(1 as bigint), cast(2 as bigint))) AS d").head().getLong(0)
+    assert(v == 4L + 16L)
+    val row = org.apache.spark.sql.catalyst.InternalRow.empty
+    val lit = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      Array(3L, -2L), org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType))
+    val lit2 = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      Array(1L, 2L), org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType))
+    assert(graft.expressions.SquaredL2(lit, lit2).eval(row) == 20L)
+  }
+
   test("scaled_dot pairs up to the shorter array and skips null slots") {
     ScaledDotProduct.registerIn(spark)
     val v = spark.sql(
