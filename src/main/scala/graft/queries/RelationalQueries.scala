@@ -504,6 +504,25 @@ object RelationalQueries {
            |  true AS merge_tracks_direct, true AS est_within_3sigma
            |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
+  /** Native ordered string aggregation (Spark 4 `listagg ... WITHIN
+    * GROUP`): per order-priority, the distinct statuses joined in sorted
+    * order — deterministic because the WITHIN GROUP order is total over
+    * the distinct values. The SQL-standard form of what
+    * `agg_collect_sorted` builds manually from collect_list.
+    */
+  private val aggStringAgg = Q(
+    (s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql("""SELECT o_orderpriority,
+              |  listagg(DISTINCT o_orderstatus, ',') WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+              |  count(*) AS n
+              |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    },
+    Some("""SELECT o_orderpriority,
+           |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+           |  count(*) AS n
+           |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
   private val aggRollup = Q(
     (s, dir) =>
       T(s, dir, "lineitem")
@@ -1282,6 +1301,7 @@ object RelationalQueries {
     "agg_percentiles_exact" -> aggPercentilesExact,
     "agg_approx_sketches" -> aggApproxSketches,
     "agg_sketch_mergeable" -> aggSketchMergeable,
+    "agg_string_agg" -> aggStringAgg,
     "agg_rollup" -> aggRollup,
     "agg_cube" -> aggCube,
     "agg_grouping_sets" -> aggGroupingSets,
