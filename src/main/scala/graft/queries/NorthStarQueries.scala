@@ -2131,6 +2131,57 @@ object NorthStarQueries {
            |FROM counts CROSS JOIN totals
            |ORDER BY chi2_scaled DESC, w LIMIT 20""".stripMargin))
 
+  /** Bloom-filter dedup pre-pass: build a bloom filter over the content
+    * hashes of the already-ingested corpus (stand-in: doc_id < 100) and
+    * probe each incoming document BEFORE any shuffle — the re-crawl
+    * pattern at 100 TB, where the filter (a few GB for billions of
+    * hashes) broadcasts and definite-new documents skip the exact-dedup
+    * join entirely. `DataFrameStatFunctions.bloomFilter` builds the
+    * filter distributed (treeAggregate); the probe is a broadcast
+    * closure. Oracled on the sketch's CONTRACT, not its bits: zero
+    * false negatives (every exactly-seen doc must probe positive —
+    * violating this loses data), a bounded false-positive rate, and the
+    * exact per-source counts as value-checked companions.
+    */
+  private val dedupBloom = Q(
+    (s, dir) => {
+      val docs = TS(s, dir, "documents")
+        .select(col("doc_id"), col("source"), sha2(col("text"), 256).as("h"))
+      val known = docs.where(col("doc_id") < 100)
+      val bloom = known.stat.bloomFilter("h", 1000L, 0.03)
+      val maybeSeen = udf((h: String) => bloom.mightContain(h))
+      val incoming = docs.where(col("doc_id") >= 100)
+        .join(known.select(col("h"), lit(true).as("exact_seen")).distinct(),
+              Seq("h"), "left")
+        .select(col("source"),
+          maybeSeen(col("h")).as("maybe_seen"),
+          coalesce(col("exact_seen"), lit(false)).as("exact_seen"))
+      incoming.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_in"),
+             count_if(col("exact_seen")).as("n_exact_seen"),
+             count_if(col("maybe_seen")).as("n_maybe_seen"),
+             count_if(col("exact_seen") && !col("maybe_seen")).as("n_false_neg"),
+             count_if(col("maybe_seen") && !col("exact_seen")).as("n_false_pos"))
+        .select(col("source"), col("n_in"), col("n_exact_seen"),
+          (col("n_false_neg") === 0).as("no_false_negatives"),
+          // 0.03 nominal fpp, 5x headroom on small per-source counts
+          (col("n_false_pos").cast("double") <=
+            lit(0.15) * (col("n_in") - col("n_exact_seen")) + lit(1.0))
+            .as("fp_rate_bounded"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH d AS (
+           |  SELECT doc_id, source, sha256(text) AS h FROM documents
+           |), known AS (
+           |  SELECT DISTINCT h FROM d WHERE doc_id < 100
+           |)
+           |SELECT source, count(*) AS n_in,
+           |  cast(count_if(k.h IS NOT NULL) as bigint) AS n_exact_seen,
+           |  true AS no_false_negatives, true AS fp_rate_bounded
+           |FROM d LEFT JOIN known k USING (h)
+           |WHERE doc_id >= 100
+           |GROUP BY source ORDER BY source""".stripMargin))
+
   // ---------------------------------------------------------------------
   // Similarity: product quantization (PQ) encode
   // ---------------------------------------------------------------------
@@ -2249,6 +2300,7 @@ object NorthStarQueries {
     "ns_dedup_semantic" -> dedupSemantic,
     "ns_text_collocations" -> textCollocations,
     "ns_sim_pq" -> simPq,
-    "ns_profile_drift" -> profileDrift
+    "ns_profile_drift" -> profileDrift,
+    "ns_dedup_bloom" -> dedupBloom
   )
 }

@@ -260,6 +260,54 @@ class NorthStarSpec extends SparkSpec {
     assert(h1.sameElements(h2))
   }
 
+  test("bloom dedup pre-pass: planted re-crawls probe positive (no false negatives)") {
+    import spark.implicits._
+    // doc_ids < 100 = already-ingested corpus; >= 100 = incoming batch
+    // where half are exact re-crawls of ingested docs
+    val base = (0L until 40L).map(i => (i, s"ingested document number $i with words", "en", "crawlA", 30L))
+    val recrawl = (0L until 20L).map(i => (100L + i, s"ingested document number $i with words", "en", "crawlA", 30L))
+    val fresh = (0L until 20L).map(i => (200L + i, s"genuinely new content item $i", "en", "crawlB", 25L))
+    val tmp = java.nio.file.Files.createTempDirectory("bloom-spec").toString
+    (base ++ recrawl ++ fresh).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = SparkEntry.queries("ns_dedup_bloom")(spark, tmp).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    val (aIn, aSeen, aNoFn) = rows("crawlA")
+    assert(aIn == 20 && aSeen == 20, s"all 20 re-crawls must be exactly seen: $rows")
+    assert(aNoFn, "bloom must probe positive for every exactly-seen doc")
+    val (bIn, bSeen, bNoFn) = rows("crawlB")
+    assert(bIn == 20 && bSeen == 0 && bNoFn)
+  }
+
+  test("bigram LM score: corpus-typical transitions outrank scrambled ones") {
+    import spark.implicits._
+    // corpus dominated by the chain p->q->r->s; one doc runs it backward
+    val typical = (0L until 30L).map(i => (i, "p q r s p q r s p q r s", "en", "src", 23L))
+    val scrambled = Seq((100L, "s r q p s r q p s r q p", "en", "src", 23L))
+    val tmp = java.nio.file.Files.createTempDirectory("lm-spec").toString
+    (typical ++ scrambled).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val scores = SparkEntry.queries("ns_text_ngram_lm")(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(0L) > scores(100L),
+      s"typical=${scores(0L)} must beat scrambled=${scores(100L)}")
+  }
+
+  test("collocation mining: an always-together pair ranks above independent pairs") {
+    import spark.implicits._
+    // 'aa bb' always co-occur; filler words pair with everything
+    val docs = (0L until 30L).map { i =>
+      (i, s"aa bb w${i % 3} w${(i + 1) % 3} w${(i + 2) % 3} aa bb w${i % 3}", "en", "src", 40L)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("pmi-spec").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val top = SparkEntry.queries("ns_text_collocations")(spark, tmp).collect()
+    assert(top.nonEmpty)
+    assert(top.head.getString(0) == "aa" && top.head.getString(1) == "bb",
+      s"expected (aa, bb) first, got (${top.head.getString(0)}, ${top.head.getString(1)})")
+  }
+
   test("k-means: Lloyd iterations do not increase SSE, partition is exact") {
     val sse = (iters: Int) =>
       graft.queries.NorthStarQueries.kmeansAssign(spark, sfDir, iters)
