@@ -202,8 +202,11 @@ final class Engine(
   def query(
       cmd: String,
       args: Seq[Any] = Nil,
-      ctx: RequestCtx = RequestCtx.anonymous): Try[Array[org.apache.spark.sql.Row]] = {
-    val sn = java.util.UUID.randomUUID().toString
+      ctx: RequestCtx = RequestCtx.anonymous,
+      // caller-supplied correlation id, like the reference rpc's sn
+      // (crypto.randomBytes there, `src/processor.ts:108`) — knowing it
+      // is what lets the caller cancel (`cancel(sn)`)
+      sn: String = java.util.UUID.randomUUID().toString): Try[Array[org.apache.spark.sql.Row]] = {
     val sc = spark.sparkContext
     jobPermits.acquire()
     sc.setJobGroup(sn, s"graft:$cmd", interruptOnCancel = true)
@@ -225,6 +228,16 @@ final class Engine(
     * concurrency-enforcement spec.
     */
   def availableJobPermits: Int = jobPermits.availablePermits()
+
+  /** Cancel an in-flight `query` by its correlation id: every Spark job
+    * the handler launched under that group is killed (tasks interrupted
+    * — the group was set with `interruptOnCancel`), and the blocked
+    * `query` call returns a `Failure`. The missing half of the rpc
+    * correlation story: the reference's bus lets a caller abandon an sn;
+    * a distributed engine must actually stop the work.
+    */
+  def cancel(sn: String): Unit =
+    spark.sparkContext.cancelJobGroup(sn)
 
   /** Serialized JSON result with transparent compression — the full rpc
     * response path (`src/processor.ts:111-124`): rows as JSON lines,

@@ -241,6 +241,34 @@ class EngineSpec extends SparkSpec {
     } finally e.shutdown()
   }
 
+  test("cancel(sn) kills an in-flight query's jobs and unblocks the caller") {
+    import java.util.concurrent.atomic.AtomicReference
+    val e = freshEngine
+    try {
+      e.register("glacial")((s, _, _) => {
+        import s.implicits._
+        val sleep = udf((n: Long) => { Thread.sleep(5000L); n })
+        s.range(0, 64).repartition(32).select(sleep(col("id")).as("v"))
+      })
+      val sn = "cancel-spec-sn"
+      val out = new AtomicReference[scala.util.Try[Array[org.apache.spark.sql.Row]]]()
+      val t = new Thread(() => out.set(e.query("glacial", sn = sn)))
+      val t0 = System.nanoTime()
+      t.start()
+      Thread.sleep(1500L) // let tasks start
+      e.cancel(sn)
+      t.join(20000L)
+      val elapsedSec = (System.nanoTime() - t0) / 1e9
+      assert(out.get() != null && out.get().isFailure,
+        "cancelled query must return Failure")
+      // 64 tasks x 5 s on 32 threads = ~10 s uncancelled; cancellation
+      // must beat that decisively
+      assert(elapsedSec < 8.0, f"cancel took $elapsedSec%.1f s — jobs not killed")
+      assert(e.availableJobPermits == e.config.maxConcurrentJobs,
+        "permits leaked after cancellation")
+    } finally e.shutdown()
+  }
+
   test("config resolution: explicit beats env beats default (CACHE_PORT analog)") {
     import graft.engine.EngineConfig
     val env = Map(
