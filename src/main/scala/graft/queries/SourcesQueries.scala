@@ -66,6 +66,49 @@ object SourcesQueries {
            |FROM customer WHERE cast(c_acctbal as decimal(18,2)) > 0
            |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
 
+  /** Z-order data layout: interleave the bits of two filter columns into
+    * one sort key so range-clustering the files bounds BOTH dimensions
+    * at once — the multi-dimensional scan-pruning layout (Delta/Iceberg
+    * OPTIMIZE ZORDER) expressed with plain Spark: exact integer bit
+    * interleave (pure codegen'd arithmetic, no HOFs) + range bucketing.
+    * The output proves the pruning property the layout exists for: each
+    * z-bucket's min/max envelope on BOTH key columns is narrow, so a
+    * predicate on either column can skip most buckets on file-level
+    * stats alone. All integer math — bit-identical in DuckDB.
+    */
+  private val zorderLayout = Q(
+    (s, dir) => {
+      val terms = (0 until 12).flatMap { b =>
+        Seq(s"(((xk >> $b) & 1) << ${2 * b})", s"(((yk >> $b) & 1) << ${2 * b + 1})")
+      }
+      T(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"),
+          (col("l_orderkey") % 4096).as("xk"), (col("l_partkey") % 4096).as("yk"))
+        .withColumn("z", expr(terms.mkString(" + ")))
+        .withColumn("z_bucket", expr("z >> 20"))
+        .groupBy(col("z_bucket"))
+        .agg(count(lit(1)).as("n"),
+             min(col("l_orderkey")).as("min_ok"), max(col("l_orderkey")).as("max_ok"),
+             min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"))
+        .orderBy(col("z_bucket"))
+    },
+    Some {
+      val terms = (0 until 12).flatMap { b =>
+        Seq(s"(((xk >> $b) & 1) << ${2 * b})", s"(((yk >> $b) & 1) << ${2 * b + 1})")
+      }
+      s"""WITH k AS (
+         |  SELECT l_orderkey, l_partkey,
+         |    l_orderkey % 4096 AS xk, l_partkey % 4096 AS yk
+         |  FROM lineitem
+         |), z AS (
+         |  SELECT l_orderkey, l_partkey, (${terms.mkString(" + ")}) AS z FROM k
+         |)
+         |SELECT z >> 20 AS z_bucket, count(*) AS n,
+         |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+         |  min(l_partkey) AS min_pk, max(l_partkey) AS max_pk
+         |FROM z GROUP BY z_bucket ORDER BY z_bucket""".stripMargin
+    })
+
   /** JSON-lines sink + scan with explicit schema. */
   private val jsonRoundtrip = Q(
     (s, dir) => {
@@ -183,6 +226,7 @@ object SourcesQueries {
     "src_table_registry" -> tableRegistry,
     "src_csv_roundtrip" -> csvRoundtrip,
     "src_orc_roundtrip" -> orcRoundtrip,
+    "src_zorder_layout" -> zorderLayout,
     "src_json_roundtrip" -> jsonRoundtrip,
     "src_partitioned_write" -> partitionedWrite,
     "src_sort_within_partitions" -> sortWithinPartitions
