@@ -1112,6 +1112,9 @@ object RelationalQueries {
   private val sqlRecursiveCte = Q(
     (s, dir) => {
       graft.Tables.registerAll(s, dir)
+      // depth tracks the data's month span (80 on the fixture); raise the
+      // level limit so a wider span can't trip the default 100 ceiling
+      s.conf.set("spark.sql.cteRecursionLevelLimit", "100000")
       s.sql("""WITH RECURSIVE bounds AS (
               |  SELECT date_trunc('month', min(o_orderdate)) AS min_m,
               |         date_trunc('month', max(o_orderdate)) AS max_m
