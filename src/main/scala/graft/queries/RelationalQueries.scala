@@ -1153,6 +1153,50 @@ object RelationalQueries {
            |FROM spine s LEFT JOIN om ON om.m = s.m
            |ORDER BY month""".stripMargin))
 
+  /** PostgreSQL's `DISTINCT ON` idiom — the latest order per customer —
+    * re-expressed the Spark way: a rank-only window with a TOTAL
+    * tie-break order and a rank-1 filter (WindowGroupLimit prunes
+    * map-side, so no per-customer sort materializes globally). The
+    * oracle uses DuckDB's actual `DISTINCT ON` syntax, proving the
+    * rewrite is semantics-preserving — this is the PG-surface query
+    * shape every reference handler with "get newest row per key" logic
+    * relies on (`src/processor.ts:26` hands handlers raw PG SQL).
+    */
+  private val sqlDistinctOn = Q(
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      T(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+                col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))
+        .orderBy(col("o_custkey"))
+    },
+    Some("""SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_orderdate,
+           |  cast(cast(o_totalprice as decimal(18,2)) as double) AS price
+           |FROM orders
+           |ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC""".stripMargin))
+
+  /** Case-insensitive and escaped pattern matching (`ILIKE`, `LIKE ...
+    * ESCAPE`) — the remaining PG pattern operators beyond
+    * `filter_predicates`' LIKE/rlike. All map-only scan predicates that
+    * push into the parquet reader as string filters.
+    */
+  private val scalarPatternMatch = Q(
+    (s, dir) =>
+      T(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("c_mktsegment").ilike("bui%").as("ilike_hit"),
+          col("c_mktsegment").like("%G_").as("like_us"),
+          expr("c_mktsegment LIKE '%\\\\_%' ESCAPE '\\\\'").as("has_underscore"))
+        .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey, c_mktsegment,
+           |  c_mktsegment ILIKE 'bui%' AS ilike_hit,
+           |  c_mktsegment LIKE '%G_' AS like_us,
+           |  c_mktsegment LIKE '%\_%' ESCAPE '\' AS has_underscore
+           |FROM customer ORDER BY c_custkey""".stripMargin))
+
   /** Equi-width histogram (10 buckets over the data's own [min, max]) +
     * per-bucket deterministic mode of `o_orderpriority` (max count, ties
     * to the lexicographically smallest value — the builtin `mode()` is
@@ -1332,6 +1376,8 @@ object RelationalQueries {
     "sql_correlated_scalar" -> sqlCorrelatedScalar,
     "sql_in_subquery" -> sqlInSubquery,
     "sql_exists_subquery" -> sqlExistsSubquery,
+    "sql_distinct_on" -> sqlDistinctOn,
+    "scalar_pattern_match" -> scalarPatternMatch,
     "sql_lateral_join" -> sqlLateralJoin,
     "sql_recursive_cte" -> sqlRecursiveCte,
     "agg_histogram_mode" -> aggHistogramMode,
