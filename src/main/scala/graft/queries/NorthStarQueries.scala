@@ -1887,6 +1887,87 @@ object NorthStarQueries {
             |CROSS JOIN n
             |ORDER BY lift_scaled DESC, c12.w1, c12.w2 LIMIT 20""".stripMargin))
 
+  /** The composed curation MANIFEST: the full pre-training pipeline —
+    * exact dedup -> quality gate -> benchmark decontamination -> context
+    * -window packing stats — as ONE declarative plan, reported per
+    * (lang, source) with the doc count lost at every stage (the
+    * accounting sheet a data lead actually signs off on). Stage costs at
+    * scale: one sha256-keyed shuffle (dedup), map-only quality ratios, a
+    * broadcast semi-join against the tiny benchmark shingle set
+    * (decontamination), and one (lang, source)-keyed final aggregate —
+    * nothing corpus-sized shuffles more than once. Every number is an
+    * exact integer (ceil-division packing via `div`), so the oracle
+    * hash-matches the entire DAG end-to-end.
+    */
+  private val pipelineManifest = Q(
+    (s, dir) => {
+      val docs = TS(s, dir, "documents")
+      val base = docs.where(col("doc_id") >= 20)
+      val deduped = base
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))))
+      val scored = deduped
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tok", size(col("toks")))
+        .withColumn("lowq",
+          col("n_tok") < 10 ||
+            size(array_distinct(col("toks"))).cast("double") / col("n_tok") <= 0.3)
+      val benchSh = docs.where(col("doc_id") < 20)
+        .select(explode(array_distinct(expr(shinglesExpr))).as("sh")).distinct()
+      val contaminated = base
+        .select(col("doc_id"), explode(array_distinct(expr(shinglesExpr))).as("sh"))
+        .join(broadcast(benchSh), Seq("sh"))
+        .select(col("doc_id")).distinct()
+        .withColumn("cont", lit(true))
+      scored.join(contaminated, Seq("doc_id"), "left")
+        .withColumn("cont", coalesce(col("cont"), lit(false)))
+        .withColumn("dup", col("rk") > 1)
+        .withColumn("kept", !col("dup") && !col("lowq") && !col("cont"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_in"),
+             count_if(col("dup")).as("n_dup_dropped"),
+             count_if(!col("dup") && col("lowq")).as("n_quality_dropped"),
+             count_if(!col("dup") && !col("lowq") && col("cont")).as("n_contaminated"),
+             count_if(col("kept")).as("n_kept"),
+             sum(when(col("kept"), col("n_tok")).otherwise(0)).cast("bigint").as("tokens_kept"),
+             sum(when(col("kept"), expr("(n_tok + 511) div 512")).otherwise(0))
+               .cast("bigint").as("n_sequences"))
+        .orderBy(col("lang"), col("source"))
+    },
+    Some(s"""WITH base AS (
+            |  SELECT * FROM documents WHERE doc_id >= 20
+            |), deduped AS (
+            |  SELECT *, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rk
+            |  FROM base
+            |), scored AS (
+            |  SELECT *, len(string_split(text, ' ')) AS n_tok,
+            |    (len(string_split(text, ' ')) < 10 OR
+            |     cast(len(list_distinct(string_split(text, ' '))) as double)
+            |       / len(string_split(text, ' ')) <= 0.3) AS lowq
+            |  FROM deduped
+            |), bench AS (
+            |  SELECT DISTINCT sh FROM (
+            |    SELECT unnest(list_distinct($shinglesSql)) AS sh
+            |    FROM documents WHERE doc_id < 20)
+            |), cont AS (
+            |  SELECT DISTINCT doc_id FROM (
+            |    SELECT doc_id, unnest(list_distinct($shinglesSql)) AS sh FROM base) s
+            |  JOIN bench USING (sh)
+            |), flags AS (
+            |  SELECT lang, source, rk > 1 AS dup, lowq, n_tok,
+            |    doc_id IN (SELECT doc_id FROM cont) AS cont
+            |  FROM scored
+            |)
+            |SELECT lang, source, count(*) AS n_in,
+            |  cast(count_if(dup) as bigint) AS n_dup_dropped,
+            |  cast(count_if(NOT dup AND lowq) as bigint) AS n_quality_dropped,
+            |  cast(count_if(NOT dup AND NOT lowq AND cont) as bigint) AS n_contaminated,
+            |  cast(count_if(NOT dup AND NOT lowq AND NOT cont) as bigint) AS n_kept,
+            |  cast(sum(CASE WHEN NOT dup AND NOT lowq AND NOT cont THEN n_tok ELSE 0 END) as bigint) AS tokens_kept,
+            |  cast(sum(CASE WHEN NOT dup AND NOT lowq AND NOT cont
+            |           THEN (n_tok + 511) // 512 ELSE 0 END) as bigint) AS n_sequences
+            |FROM flags GROUP BY lang, source ORDER BY lang, source""".stripMargin))
+
   // ---------------------------------------------------------------------
   // Embedding clustering: Lloyd k-means + SemDeDup-style semantic dedup
   // ---------------------------------------------------------------------
@@ -2301,6 +2382,7 @@ object NorthStarQueries {
     "ns_text_collocations" -> textCollocations,
     "ns_sim_pq" -> simPq,
     "ns_profile_drift" -> profileDrift,
-    "ns_dedup_bloom" -> dedupBloom
+    "ns_dedup_bloom" -> dedupBloom,
+    "ns_pipeline_manifest" -> pipelineManifest
   )
 }
