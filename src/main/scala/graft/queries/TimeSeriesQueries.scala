@@ -332,6 +332,52 @@ object TimeSeriesQueries {
            |LEFT JOIN p USING (user_id)
            |ORDER BY user_id""".stripMargin))
 
+  /** OHLC downsampling: per (event_type, hour) candlesticks —
+    * open/close = the value of the first/last event in the bucket
+    * (total order (ts, event_id) so ties are deterministic), high/low =
+    * min/max, volume = exact decimal sum. The classic
+    * irregular-to-bar-series compaction; one shuffle keyed by the
+    * bucket, open/close via two rank-only windows over the same sort
+    * (WindowGroupLimit prunes both map-side), never a per-bucket
+    * collect.
+    */
+  private val tsOhlcDownsample = Q(
+    (s, dir) => {
+      val ev = T(s, dir, "events")
+        .withColumn("h", date_trunc("hour", col("ts")))
+      val asc = Window.partitionBy(col("event_type"), col("h"))
+        .orderBy(col("ts"), col("event_id"))
+      val desc = Window.partitionBy(col("event_type"), col("h"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      ev.withColumn("rk_open", row_number().over(asc))
+        .withColumn("rk_close", row_number().over(desc))
+        .groupBy(col("event_type"), col("h"))
+        .agg(
+          max(when(col("rk_open") === 1, col("value"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max(when(col("rk_close") === 1, col("value"))).as("close"),
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("volume"))
+        .orderBy(col("event_type"), col("h"))
+    },
+    Some("""WITH ranked AS (
+           |  SELECT event_type, date_trunc('hour', ts) AS h, value,
+           |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+           |                       ORDER BY ts, event_id) AS rk_open,
+           |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+           |                       ORDER BY ts DESC, event_id DESC) AS rk_close
+           |  FROM events
+           |)
+           |SELECT event_type, h,
+           |  max(CASE WHEN rk_open = 1 THEN value END) AS open,
+           |  max(value) AS high, min(value) AS low,
+           |  max(CASE WHEN rk_close = 1 THEN value END) AS close,
+           |  count(*) AS n,
+           |  cast(sum(cast(value as decimal(18,4))) as double) AS volume
+           |FROM ranked GROUP BY event_type, h
+           |ORDER BY event_type, h""".stripMargin))
+
   /** Spark 4 VARIANT over `events.props`: parse once into the binary
     * semi-structured type, then typed path extraction — the
     * schema-on-read shape for ragged JSON at scale (shredded storage,
@@ -361,6 +407,7 @@ object TimeSeriesQueries {
     "ts_click_attribution" -> tsClickAttribution,
     "ts_funnel_analysis" -> tsFunnelAnalysis,
     "ts_json_variant" -> tsJsonVariant,
+    "ts_ohlc_downsample" -> tsOhlcDownsample,
     "ts_time_buckets" -> tsTimeBuckets,
     "ts_tumbling_window" -> tsTumblingWindow,
     "ts_sliding_window" -> tsSlidingWindow,
