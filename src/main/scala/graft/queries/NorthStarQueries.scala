@@ -2263,6 +2263,62 @@ object NorthStarQueries {
            |WHERE doc_id >= 100
            |GROUP BY source ORDER BY source""".stripMargin))
 
+  /** Embedding health check: per-dimension corpus statistics — scaled
+    * mean, scaled variance (exact integer sums of x and x^2 on the 2^20
+    * grid), min/max, and a dead-dimension flag (variance below 1e-4) —
+    * the QA pass that catches collapsed or constant dimensions before
+    * they poison similarity search. One (dim)-keyed exact aggregate;
+    * shuffle bounded by dimensionality, not corpus size. The variance
+    * is derived from integer sums with single IEEE ops, so both engines
+    * emit identical doubles.
+    */
+  private val embedDimStats = Q(
+    (s, dir) => {
+      val SQ = 1048576L // 2^20: x_q exact on the grid; x_q^2 <= 2^40/row
+      TS(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("dim0", "x")))
+        .select((col("dim0") + 1).as("dim"),
+          expr(s"cast(floor(cast(x as double) * $SQ) as bigint)").as("xq"))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("xq")).as("sx"), sum(col("xq") * col("xq")).as("sxx"),
+             min(col("xq")).as("min_q"), max(col("xq")).as("max_q"))
+        .select(col("dim"), col("n"), col("min_q"), col("max_q"),
+          round(col("sx").cast("double") / col("n") / lit(SQ.toDouble), 6).as("mean_r"),
+          round((col("sxx").cast("double") / col("n") -
+            (col("sx").cast("double") / col("n")) * (col("sx").cast("double") / col("n")))
+            / lit(SQ.toDouble) / lit(SQ.toDouble), 6).as("var_r"))
+        .withColumn("mean_r",
+          when(col("mean_r") === 0, lit(0.0)).otherwise(col("mean_r")))
+        .withColumn("var_r",
+          when(col("var_r") === 0, lit(0.0)).otherwise(col("var_r")))
+        .withColumn("dead", col("var_r") < 1e-4)
+        .orderBy(col("dim"))
+    },
+    Some("""WITH q AS (
+           |  SELECT dim, cast(floor(x::double * 1048576) as bigint) AS xq FROM (
+           |    SELECT unnest(generate_series(1, len(embedding))) AS dim,
+           |           unnest(embedding) AS x
+           |    FROM embeddings)
+           |), agg AS (
+           |  SELECT dim, count(*) AS n,
+           |    cast(sum(xq) as bigint) AS sx, cast(sum(xq * xq) as bigint) AS sxx,
+           |    min(xq) AS min_q, max(xq) AS max_q
+           |  FROM q GROUP BY dim
+           |), stats AS (
+           |  SELECT dim, n, min_q, max_q,
+           |    round(cast(sx as double) / n / 1048576.0, 6) AS mean_r0,
+           |    round((cast(sxx as double) / n -
+           |      (cast(sx as double) / n) * (cast(sx as double) / n))
+           |      / 1048576.0 / 1048576.0, 6) AS var_r0
+           |  FROM agg
+           |)
+           |SELECT dim, n, min_q, max_q,
+           |  CASE WHEN mean_r0 = 0 THEN 0.0 ELSE mean_r0 END AS mean_r,
+           |  CASE WHEN var_r0 = 0 THEN 0.0 ELSE var_r0 END AS var_r,
+           |  (CASE WHEN var_r0 = 0 THEN 0.0 ELSE var_r0 END) < 1e-4 AS dead
+           |FROM stats ORDER BY dim""".stripMargin))
+
   // ---------------------------------------------------------------------
   // Similarity: product quantization (PQ) encode
   // ---------------------------------------------------------------------
@@ -2383,6 +2439,7 @@ object NorthStarQueries {
     "ns_sim_pq" -> simPq,
     "ns_profile_drift" -> profileDrift,
     "ns_dedup_bloom" -> dedupBloom,
-    "ns_pipeline_manifest" -> pipelineManifest
+    "ns_pipeline_manifest" -> pipelineManifest,
+    "ns_embed_dim_stats" -> embedDimStats
   )
 }

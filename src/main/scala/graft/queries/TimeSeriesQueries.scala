@@ -378,6 +378,52 @@ object TimeSeriesQueries {
            |FROM ranked GROUP BY event_type, h
            |ORDER BY event_type, h""".stripMargin))
 
+  /** Rolling z-score anomaly flags per user: each event's value against
+    * the PRECEDING 20 events' mean/std (frame excludes the current row,
+    * so an outlier can't mask itself). The |z| > 3 test is evaluated as
+    * the EXACT decimal inequality (n*v - sum)^2 > 9*(n*sumsq - sum^2) —
+    * algebraically identical to (v-mean)^2 > 9*var_pop but with zero
+    * floating point, so both engines flag identical rows. One shuffle
+    * keyed by user; the window is a single ordered pass. Flag is null
+    * until 5 observations exist.
+    */
+  private val tsAnomalyZscore = Q(
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-20, -1)
+      T(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("value").cast("decimal(18,4)").as("v"))
+        .withColumn("n", count(col("v")).over(w))
+        .withColumn("sv", sum(col("v")).over(w))
+        .withColumn("svv", sum(col("v") * col("v")).over(w))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("v").cast("double").as("value"),
+          // warm-up rows (< 5 observations) report false, not null — a
+          // nullable boolean reprs differently through the two engines'
+          // pandas paths (None vs NaN) and would fail the driver hash
+          (col("n") >= 5 &&
+            (col("n") * col("v") - col("sv")) * (col("n") * col("v") - col("sv")) >
+              lit(9) * (col("n") * col("svv") - col("sv") * col("sv")))
+            .as("is_anomaly"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    },
+    Some("""WITH d AS (
+           |  SELECT user_id, ts, event_id, cast(value as decimal(18,4)) AS v
+           |  FROM events
+           |), win AS (
+           |  SELECT user_id, ts, event_id, v,
+           |    count(v) OVER w AS n, sum(v) OVER w AS sv, sum(v * v) OVER w AS svv
+           |  FROM d
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+           |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+           |)
+           |SELECT user_id, ts, event_id, cast(v as double) AS value,
+           |  n >= 5 AND
+           |    (n * v - sv) * (n * v - sv) > 9 * (n * svv - sv * sv) AS is_anomaly
+           |FROM win ORDER BY user_id, ts, event_id""".stripMargin))
+
   /** Spark 4 VARIANT over `events.props`: parse once into the binary
     * semi-structured type, then typed path extraction — the
     * schema-on-read shape for ragged JSON at scale (shredded storage,
@@ -408,6 +454,7 @@ object TimeSeriesQueries {
     "ts_funnel_analysis" -> tsFunnelAnalysis,
     "ts_json_variant" -> tsJsonVariant,
     "ts_ohlc_downsample" -> tsOhlcDownsample,
+    "ts_anomaly_zscore" -> tsAnomalyZscore,
     "ts_time_buckets" -> tsTimeBuckets,
     "ts_tumbling_window" -> tsTumblingWindow,
     "ts_sliding_window" -> tsSlidingWindow,
