@@ -2319,6 +2319,48 @@ object NorthStarQueries {
            |  (CASE WHEN var_r0 = 0 THEN 0.0 ELSE var_r0 END) < 1e-4 AS dead
            |FROM stats ORDER BY dim""".stripMargin))
 
+  /** Vocabulary coverage curve (Zipf audit): what fraction of all token
+    * OCCURRENCES the top-k most frequent words cover, at k = 5 / 10 / 20
+    * (fixture vocabulary is ~31 words; production ks scale with vocab) — the measurement behind tokenizer vocab sizing and stopword
+    * policy. Rank the vocabulary (count desc, word asc — total order),
+    * running-cumsum the counts, read the curve at the three ks. The
+    * vocabulary is orders of magnitude smaller than the corpus, so the
+    * rank+cumsum window runs on the aggregated table, never the token
+    * stream; coverage is one exact integer ratio rounded once.
+    */
+  private val corpusNgramCoverage = Q(
+    (s, dir) => {
+      val counts = TS(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val ranked = counts
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("c").desc, col("w"))))
+        .withColumn("cum", sum(col("c")).over(
+          Window.orderBy(col("c").desc, col("w"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      ranked.crossJoin(broadcast(counts.agg(sum(col("c")).as("total"))))
+        .where(col("rk").isin(5, 10, 20))
+        .select(col("rk").as("top_k"), col("cum").cast("bigint").as("occ_covered"),
+          col("total").cast("bigint").as("occ_total"),
+          round(col("cum").cast("double") / col("total"), 6).as("coverage"))
+        .orderBy(col("top_k"))
+    },
+    Some("""WITH counts AS (
+           |  SELECT w, count(*) AS c FROM (
+           |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           |  GROUP BY w
+           |), ranked AS (
+           |  SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rk,
+           |    sum(c) OVER (ORDER BY c DESC, w
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM counts
+           |), total AS (SELECT cast(sum(c) as bigint) AS total FROM counts)
+           |SELECT rk AS top_k, cast(cum as bigint) AS occ_covered, total AS occ_total,
+           |  round(cast(cum as double) / total, 6) AS coverage
+           |FROM ranked CROSS JOIN total
+           |WHERE rk IN (5, 10, 20) ORDER BY top_k""".stripMargin))
+
   // ---------------------------------------------------------------------
   // Similarity: product quantization (PQ) encode
   // ---------------------------------------------------------------------
@@ -2440,6 +2482,7 @@ object NorthStarQueries {
     "ns_profile_drift" -> profileDrift,
     "ns_dedup_bloom" -> dedupBloom,
     "ns_pipeline_manifest" -> pipelineManifest,
-    "ns_embed_dim_stats" -> embedDimStats
+    "ns_embed_dim_stats" -> embedDimStats,
+    "ns_corpus_ngram_coverage" -> corpusNgramCoverage
   )
 }

@@ -424,6 +424,37 @@ object TimeSeriesQueries {
            |    (n * v - sv) * (n * v - sv) > 9 * (n * svv - sv * sv) AS is_anomaly
            |FROM win ORDER BY user_id, ts, event_id""".stripMargin))
 
+  /** Cohort retention matrix: users grouped by first-seen day (the
+    * cohort), counted by how many distinct users from each cohort are
+    * active N days later — the activation/retention read behind every
+    * growth dashboard. Two aggregates, both keyed by user then by
+    * (cohort, offset): the first-seen pass is a per-user min (map-side
+    * partial), the matrix pass counts distinct users per cell — no
+    * event-sized shuffle happens twice. All exact integers and dates.
+    */
+  private val tsRetentionCohorts = Q(
+    (s, dir) => {
+      val ev = T(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort_day"))
+      ev.join(first, Seq("user_id"))
+        .withColumn("day_offset", datediff(col("d"), col("cohort_day")))
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .where(col("day_offset").isin(0, 1, 7, 14))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, cast(ts as date) AS d FROM events
+           |), first AS (
+           |  SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY user_id
+           |)
+           |SELECT f.cohort_day, datediff('day', f.cohort_day, e.d) AS day_offset,
+           |  count(DISTINCT e.user_id) AS n_active
+           |FROM ev e JOIN first f ON e.user_id = f.user_id
+           |WHERE datediff('day', f.cohort_day, e.d) IN (0, 1, 7, 14)
+           |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin))
+
   /** Spark 4 VARIANT over `events.props`: parse once into the binary
     * semi-structured type, then typed path extraction — the
     * schema-on-read shape for ragged JSON at scale (shredded storage,
@@ -455,6 +486,7 @@ object TimeSeriesQueries {
     "ts_json_variant" -> tsJsonVariant,
     "ts_ohlc_downsample" -> tsOhlcDownsample,
     "ts_anomaly_zscore" -> tsAnomalyZscore,
+    "ts_retention_cohorts" -> tsRetentionCohorts,
     "ts_time_buckets" -> tsTimeBuckets,
     "ts_tumbling_window" -> tsTumblingWindow,
     "ts_sliding_window" -> tsSlidingWindow,
