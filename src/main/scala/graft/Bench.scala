@@ -1,4 +1,10 @@
 package graft
+import java.lang.management.ManagementFactory
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark harness (driver contract): times the headline `bench=true`
@@ -6,8 +12,71 @@ import org.apache.spark.sql.SparkSession
   * line. Each query runs through the noop sink so the FULL physical
   * plan executes (count() would let Catalyst prune payload columns and
   * under-report; collect() would add driver materialization noise).
+  *
+  * Every timed run also records a diagnostic row (the `diag` key) so an
+  * anomalous run self-identifies from the artifact alone — the r6/r7
+  * driver benches each had one ~7x run (same query, middle run) whose
+  * cause could not be pinned from a single wall-clock number. The
+  * discriminators, per run:
+  *   - wall          wall-clock seconds (same number the score uses)
+  *   - taskRunMs     Σ executorRunTime over tasks (scheduler-side wall)
+  *   - taskCpuMs     Σ executorCpuTime  (real on-CPU work)
+  *   - taskGcMs      Σ jvmGCTime billed to tasks
+  *   - drvGcMs       collector MXBean delta (whole-JVM GC, incl. driver)
+  *   - jitMs         JIT compiler time delta (C1+C2 compile storms)
+  *   - spillMB       memory+disk bytes spilled
+  *   - codeUsedMB    code-cache occupancy after the run
+  *   - procCpuMs     this JVM's process CPU delta
+  *   - osBusyMs      /proc/stat non-idle delta x10ms, ALL processes
+  * Reading them: wall up with taskCpuMs up ⇒ genuinely more CPU burned
+  * (codegen fell back to interpreter / JIT deopt). wall up, taskCpuMs
+  * flat, osBusyMs up ⇒ an EXTERNAL process stole the cores. gc/jit
+  * columns isolate pause-vs-compile. codeCacheMaxMB at top level proves
+  * build.sbt's -XX:ReservedCodeCacheSize reached this forked JVM.
   */
 object Bench {
+
+  /** Accumulates executor task metrics; reset per timed run. */
+  private final class TaskAgg extends SparkListener {
+    val runMs, cpuMs, gcMs, spill = new AtomicLong()
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        runMs.addAndGet(m.executorRunTime)
+        cpuMs.addAndGet(m.executorCpuTime / 1000000L)
+        gcMs.addAndGet(m.jvmGCTime)
+        spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+    }
+    def reset(): Unit = Seq(runMs, cpuMs, gcMs, spill).foreach(_.set(0L))
+  }
+
+  private def gcMillis: Long =
+    ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+  private def jitMillis: Long = {
+    val c = ManagementFactory.getCompilationMXBean
+    if (c != null && c.isCompilationTimeMonitoringSupported) c.getTotalCompilationTime else 0L
+  }
+  private def codeCachePools =
+    ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getName.contains("CodeHeap") || p.getName.contains("Code Cache"))
+  private def codeUsedMB: Long = codeCachePools.map(_.getUsage.getUsed).sum >> 20
+  private def codeMaxMB: Long = codeCachePools.map(_.getUsage.getMax).sum >> 20
+  private def procCpuMs: Long = {
+    val d = ProcessHandle.current.info.totalCpuDuration
+    if (d.isPresent) d.get.toMillis else 0L
+  }
+  /** Whole-machine busy time from /proc/stat, in 10ms jiffies summed
+    * over all CPUs — catches contention from OTHER processes that task
+    * metrics cannot see. 0 if unreadable (non-Linux). */
+  private def osBusyMs: Long =
+    try {
+      val cpu = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      // "cpu user nice system idle iowait irq softirq steal ..."
+      val f = cpu.trim.split("\\s+").drop(1).map(_.toLong)
+      (f.sum - f(3) - (if (f.length > 4) f(4) else 0L)) * 10L
+    } catch { case _: Throwable => 0L }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -20,6 +89,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val agg = new TaskAgg
+    spark.sparkContext.addSparkListener(agg)
     val bench = SparkEntry.benchQueries.toSeq.sortBy(_._1)
     // Warm-up: one untimed pass at the smallest SF (JIT/codegen/classload)
     // and then one at the TARGET SF (file listing, page cache, AQE stats,
@@ -47,25 +118,46 @@ object Bench {
       // outside the measurement.
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
-      val times = (1 to 3).map { _ =>
+      val timed = (1 to 3).map { _ =>
+        org.apache.spark.graftbench.ListenerFlush.drain(spark.sparkContext)
+        agg.reset()
+        val (gc0, jit0, pc0, os0) = (gcMillis, jitMillis, procCpuMs, osBusyMs)
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
+        val wall = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.graftbench.ListenerFlush.drain(spark.sparkContext)
+        val d = Seq(
+          "wall" -> f"$wall%.3f",
+          "taskRunMs" -> agg.runMs.get.toString,
+          "taskCpuMs" -> agg.cpuMs.get.toString,
+          "taskGcMs" -> agg.gcMs.get.toString,
+          "drvGcMs" -> (gcMillis - gc0).toString,
+          "jitMs" -> (jitMillis - jit0).toString,
+          "spillMB" -> (agg.spill.get >> 20).toString,
+          "codeUsedMB" -> codeUsedMB.toString,
+          "procCpuMs" -> (procCpuMs - pc0).toString,
+          "osBusyMs" -> (osBusyMs - os0).toString,
+        )
+        (wall, d)
       }
-      name -> times
+      (name, timed.map(_._1), timed.map(_._2))
     }
     def obj(rows: Seq[(String, String)]): String =
       rows.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = obj(results.map { case (k, ts) => k -> ts.min.toString })
+    val qs = obj(results.map { case (k, ts, _) => k -> ts.min.toString })
     // All raw per-run timings ride along so run-to-run variance is
     // visible in the artifact itself, not just the min.
-    val runs = obj(results.map { case (k, ts) => k -> ts.mkString("[", ",", "]") })
+    val runs = obj(results.map { case (k, ts, _) => k -> ts.mkString("[", ",", "]") })
+    val diag = obj(results.map { case (k, _, ds) =>
+      k -> ds.map(obj).mkString("[", ",", "]")
+    })
     val total = results.map(_._2.min).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,""" +
+        s""""diag":$diag,"codeCacheMaxMB":$codeMaxMB,"sf":"$sfDir"}"""
     // Emit to stdout (bare line — build.sbt routes forked run output
     // through StdoutOutput so no [info] prefix) AND to a well-known file,
     // so a log-scraping consumer and a file-reading one both parse it.

@@ -103,6 +103,49 @@ class PlanFeaturesSpec extends SparkSpec {
     }
   }
 
+  test("CBO + ANALYZE stats reorder the tpch_q10_shape join (SURVEY §4.2)") {
+    // The Q10 star (customer ⋈ orders ⋈ lineitem[filtered] ⋈ nation)
+    // authored LEFT-DEEP in a deliberately naive order, over the
+    // STATS-BEARING catalog tables, with no broadcast hint: the cost-
+    // based reorder (CostBasedJoinReorder needs rowCount on every item,
+    // i.e. ANALYZE TABLE ran) must produce a different join tree than
+    // the identical query in a CBO-off session. The assertion is on the
+    // LEAF ORDER of the join tree — the order in which relations are
+    // joined — not just "plans differ".
+    import graft.sources.PersistentCatalog
+    PersistentCatalog.registerExternal(spark, sfDir)
+    PersistentCatalog.analyzeAll(spark)
+    def leafOrder(s: org.apache.spark.sql.SparkSession): Seq[String] = {
+      val c = s.table(PersistentCatalog.tableName("customer"))
+      val o = s.table(PersistentCatalog.tableName("orders"))
+      val l = s.table(PersistentCatalog.tableName("lineitem"))
+        .where(col("l_returnflag") === "R")
+      val n = s.table(PersistentCatalog.tableName("nation"))
+      val q = c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey")) // dim mid-tree: naive author
+        .join(l, o("o_orderkey") === l("l_orderkey"))   // selective fact LAST
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)")).as("revenue"))
+      q.queryExecution.optimizedPlan.collectLeaves().flatMap {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.catalogTable.map(_.identifier.table)
+        case h: org.apache.spark.sql.catalyst.catalog.HiveTableRelation =>
+          Some(h.tableMeta.identifier.table)
+        case _ => None
+      }
+    }
+    val withStats = leafOrder(spark)
+    val off = spark.newSession()
+    off.conf.set("spark.sql.cbo.enabled", "false")
+    off.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+    val noStats = leafOrder(off)
+    assert(withStats.size == 4 && noStats.size == 4,
+      s"expected 4 join leaves, got on=$withStats off=$noStats")
+    assert(withStats != noStats,
+      s"stats did not reorder the Q10 join: both plans join in $withStats")
+  }
+
   test("typed Dataset surface agrees with the untyped DataFrame result") {
     import spark.implicits._
     import PlanFeaturesSpec.Doc
