@@ -7,12 +7,20 @@ import org.apache.spark.sql.functions._
   * the headline operator shapes at Nx the bench scale. Evidence that the
   * plans scale linearly rather than an official gate — run manually:
   * `runMain graft.ScaleProbe /root/testdata/sf0.1 10`.
+  *
+  * `SPARK_GRAFT_PROBE_ONLY=name1,name2` (substring match) restricts the
+  * run to the named probes — fixture multiplication for a group is
+  * skipped entirely when none of its probes are selected, so a single
+  * operator can be re-measured in isolation.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val mult = args.lift(1).map(_.toInt).getOrElse(10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def enabled(name: String): Boolean = only.forall(_.exists(name.contains))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,40 +30,45 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val reps = spark.range(mult).select(col("id").as("rep"))
-    val big = Tables.load(spark, sfDir, "lineitem")
-      .crossJoin(broadcast(reps))
-      .withColumn("l_orderkey", col("l_orderkey") * mult + col("rep"))
-      .withColumn("l_partkey", col("l_partkey") * mult + col("rep"))
-    big.createOrReplaceTempView("big_lineitem")
-    val n = big.count()
+    val factNames = Seq(
+      "hash_agg_pricing", "high_card_groupby", "window_topk_per_suppkey",
+      "global_topk")
+    if (factNames.exists(enabled)) {
+      val reps = spark.range(mult).select(col("id").as("rep"))
+      val big = Tables.load(spark, sfDir, "lineitem")
+        .crossJoin(broadcast(reps))
+        .withColumn("l_orderkey", col("l_orderkey") * mult + col("rep"))
+        .withColumn("l_partkey", col("l_partkey") * mult + col("rep"))
+      big.createOrReplaceTempView("big_lineitem")
+      val n = big.count()
 
-    def time(name: String)(f: => Unit): Unit = {
-      val t0 = System.nanoTime()
-      f
-      println(f"[scaleprobe] $name x$mult (${n} rows): ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    }
+      def time(name: String)(f: => Unit): Unit = if (enabled(name)) {
+        val t0 = System.nanoTime()
+        f
+        println(f"[scaleprobe] $name x$mult (${n} rows): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
 
-    time("hash_agg_pricing") {
-      big.where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(col("l_quantity").cast("decimal(18,4)")), count(lit(1)))
-        .write.mode("overwrite").format("noop").save()
-    }
-    time("high_card_groupby") {
-      big.groupBy(col("l_orderkey"))
-        .agg(count(lit(1)), sum(col("l_quantity").cast("decimal(18,4)")))
-        .write.mode("overwrite").format("noop").save()
-    }
-    time("window_topk_per_suppkey") {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("l_suppkey")).orderBy(col("l_extendedprice").desc, col("l_orderkey"))
-      big.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
-        .write.mode("overwrite").format("noop").save()
-    }
-    time("global_topk") {
-      big.orderBy(col("l_extendedprice").desc, col("l_orderkey")).limit(100)
-        .write.mode("overwrite").format("noop").save()
+      time("hash_agg_pricing") {
+        big.where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("l_quantity").cast("decimal(18,4)")), count(lit(1)))
+          .write.mode("overwrite").format("noop").save()
+      }
+      time("high_card_groupby") {
+        big.groupBy(col("l_orderkey"))
+          .agg(count(lit(1)), sum(col("l_quantity").cast("decimal(18,4)")))
+          .write.mode("overwrite").format("noop").save()
+      }
+      time("window_topk_per_suppkey") {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_suppkey")).orderBy(col("l_extendedprice").desc, col("l_orderkey"))
+        big.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+          .write.mode("overwrite").format("noop").save()
+      }
+      time("global_topk") {
+        big.orderBy(col("l_extendedprice").desc, col("l_orderkey")).limit(100)
+          .write.mode("overwrite").format("noop").save()
+      }
     }
 
     // --- LLM-pipeline operator probes over a multiplied documents table.
@@ -66,50 +79,70 @@ object ScaleProbe {
     // each connected component grows by the factor, so cluster
     // resolution sees both more edges and larger components.
     val docMult = args.lift(2).map(_.toInt).getOrElse(mult * 10)
-    val docReps = spark.range(docMult).select(col("id").as("rep"))
+    val docNames = Seq(
+      "ns_dedup_clusters", "ns_decontaminate", "ns_text_tfidf",
+      "ns_text_pack", "ns_dedup_chunks", "ns_text_ngram_lm",
+      "ns_dedup_bloom", "ns_text_boilerplate", "ns_pipeline_manifest")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
-    Tables.load(spark, sfDir, "documents")
-      .crossJoin(broadcast(docReps))
-      .withColumn("doc_id", col("doc_id") * docMult + col("rep"))
-      .drop("rep")
-      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
-    val nDocs = spark.read.parquet(s"$tmp/documents.parquet").count()
+    if (docNames.exists(enabled)) {
+      val docReps = spark.range(docMult).select(col("id").as("rep"))
+      Tables.load(spark, sfDir, "documents")
+        .crossJoin(broadcast(docReps))
+        .withColumn("doc_id", col("doc_id") * docMult + col("rep"))
+        .drop("rep")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val nDocs = spark.read.parquet(s"$tmp/documents.parquet").count()
 
-    def timeDoc(name: String): Unit = {
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, tmp).write.mode("overwrite").format("noop").save()
-      println(f"[scaleprobe] $name x$docMult (${nDocs} docs): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      def timeDoc(name: String): Unit = if (enabled(name)) {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, tmp).write.mode("overwrite").format("noop").save()
+        println(f"[scaleprobe] $name x$docMult (${nDocs} docs): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      // cluster resolution logs its rounds-to-convergence on stderr ([cc])
+      docNames.foreach(timeDoc)
     }
-    // cluster resolution logs its rounds-to-convergence on stderr ([cc])
-    timeDoc("ns_dedup_clusters")
-    timeDoc("ns_decontaminate")
-    timeDoc("ns_text_tfidf")
-    timeDoc("ns_text_pack")
-    timeDoc("ns_dedup_chunks")
-    timeDoc("ns_text_ngram_lm")
 
     // --- Embedding probes over a multiplied embeddings table: k-means
     // assignment stays map-only (centroid literals), so only the
     // (cluster, dim) update agg and the within-cluster pair join grow.
-    // Multiplying vectors multiplies every k-means cluster, so the
-    // semantic-dedup pair join grows QUADRATICALLY per cluster — the
-    // stress case that shows why cluster count must scale with corpus
-    // size in production (fixed k=8 is the fixture contract, not the
-    // 100 TB configuration).
-    val vecReps = spark.range(docMult).select(col("id").as("rep"))
-    Tables.load(spark, sfDir, "embeddings")
-      .crossJoin(broadcast(vecReps))
-      .withColumn("vec_id", col("vec_id") * docMult + col("rep"))
-      .drop("rep")
-      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
-    val nVecs = spark.read.parquet(s"$tmp/embeddings.parquet").count()
-    def timeVec(name: String): Unit = {
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, tmp).write.mode("overwrite").format("noop").save()
-      println(f"[scaleprobe] $name x$docMult (${nVecs} vecs): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val vecNames = Seq("ns_embed_kmeans", "ns_sim_pq", "ns_dedup_semantic_kprop")
+    if (vecNames.exists(enabled)) {
+      val vecReps = spark.range(docMult).select(col("id").as("rep"))
+      Tables.load(spark, sfDir, "embeddings")
+        .crossJoin(broadcast(vecReps))
+        .withColumn("vec_id", col("vec_id") * docMult + col("rep"))
+        .drop("rep")
+        .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      val nVecs = spark.read.parquet(s"$tmp/embeddings.parquet").count()
+      def timeVec(name: String): Unit = if (enabled(name)) {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, tmp).write.mode("overwrite").format("noop").save()
+        println(f"[scaleprobe] $name x$docMult (${nVecs} vecs): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      timeVec("ns_embed_kmeans")
+      timeVec("ns_sim_pq")
+
+      // Semantic dedup at the PRODUCTION configuration: k ∝ N (one
+      // cluster per ~2500 vectors), seeds stride-spaced so they are k
+      // DISTINCT original vectors under replication. The gate query's
+      // fixed k = 8 is the fixture contract; under replication fixed k
+      // makes the within-cluster pair join grow quadratically — this
+      // probe is the measurement that k ∝ N keeps pair work linear.
+      // One assignment pass (iters = 1): Lloyd refinement cost is
+      // ns_embed_kmeans's story; the claim under test here is the pair
+      // phase.
+      if (enabled("ns_dedup_semantic_kprop")) {
+        val k = math.max(8, (nVecs / 2500L).toInt)
+        val asg = graft.queries.NorthStarQueries
+          .kmeansAssign(spark, tmp, iters = 1, k = k, seedStride = docMult.toLong)
+          .select(col("vec_id"), col("cl"))
+        val t0 = System.nanoTime()
+        graft.queries.NorthStarQueries.semanticPairStats(spark, tmp, asg)
+          .write.mode("overwrite").format("noop").save()
+        println(f"[scaleprobe] ns_dedup_semantic_kprop k=$k x$docMult (${nVecs} vecs): " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
     }
-    timeVec("ns_embed_kmeans")
-    timeVec("ns_sim_pq")
     spark.stop()
   }
 }

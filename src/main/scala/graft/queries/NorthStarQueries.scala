@@ -2015,11 +2015,19 @@ object NorthStarQueries {
     * d = exact squared distance to the assignment centroid.
     */
   private[graft] def kmeansAssign(s: SparkSession, dir: String,
-                                  iters: Int = KMEANS_ITERS): DataFrame = {
+                                  iters: Int = KMEANS_ITERS,
+                                  k: Int = KMEANS_K,
+                                  seedStride: Long = 1L): DataFrame = {
     val v = kmeansQuantized(s, dir).localCheckpoint(true)
-    var cents: Seq[(Int, Seq[Long])] = v.where(col("vec_id") < KMEANS_K)
+    // Seeds are the k lowest stride-spaced vec_ids, renumbered 0..k-1.
+    // stride 1 (the gate contract) is exactly `vec_id < k`; the scale
+    // probe passes the replication factor so seeds are k DISTINCT
+    // original vectors, not k copies of vector 0.
+    var cents: Seq[(Int, Seq[Long])] = v
+      .where(col("vec_id") % seedStride === 0L &&
+        (col("vec_id") / seedStride) < k)
       .collect()
-      .map(r => (r.getLong(0).toInt, r.getSeq[Long](1)))
+      .map(r => ((r.getLong(0) / seedStride).toInt, r.getSeq[Long](1)))
       .sortBy(_._1).toSeq
     var assigned: DataFrame = kmeansAssignTo(v, cents)
     for (_ <- 2 to iters) {
@@ -2107,20 +2115,25 @@ object NorthStarQueries {
             |  min(vec_id) AS min_vec, max(vec_id) AS max_vec
             |FROM a3 GROUP BY cl ORDER BY cluster""".stripMargin))
 
-  /** SemDeDup-style semantic dedup: within each k-means cluster, find
-    * vector pairs whose exact cosine exceeds the (fixture-calibrated)
-    * 0.4 threshold and drop the higher id of each similar pair — the
-    * "cluster first, compare only within clusters" trick that turns
-    * O(N^2) semantic dedup into sum-of-cluster-sizes-squared work. The
-    * pair cosine reuses the codegen'd scaled_dot expression; its inputs
-    * are exact integers, so the double cosine and the > comparison are
+  /** SemDeDup-style semantic dedup, the pair phase: within each k-means
+    * cluster of a given (vec_id, cl) assignment, find vector pairs whose
+    * exact cosine exceeds the (fixture-calibrated) 0.4 threshold and
+    * drop the higher id of each similar pair — the "cluster first,
+    * compare only within clusters" trick that turns O(N^2) semantic
+    * dedup into sum-of-cluster-sizes-squared work. The pair cosine
+    * reuses the codegen'd scaled_dot expression; its inputs are exact
+    * integers, so the double cosine and the > comparison are
     * bit-identical across engines. Reported per cluster: size, similar
     * pair count, dropped count, kept count.
+    *
+    * Shared between the gate query [[dedupSemantic]] (k = KMEANS_K
+    * fixture contract) and [[graft.ScaleProbe]] (k ∝ N — the production
+    * configuration that keeps per-cluster pair work bounded as the
+    * corpus grows).
     */
-  private val dedupSemantic = Q(
-    (s, dir) => {
+  private[graft] def semanticPairStats(s: SparkSession, dir: String,
+                                       asg: DataFrame): DataFrame = {
       graft.expressions.ScaledDotProduct.registerIn(s)
-      val asg = kmeansAssign(s, dir).select(col("vec_id"), col("cl"))
       val e = TS(s, dir, "embeddings")
         .withColumn("nrm", expr("scaled_dot(embedding, embedding)"))
         .join(asg, Seq("vec_id"))
@@ -2145,7 +2158,11 @@ object NorthStarQueries {
           coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
           (col("n_vecs") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
         .orderBy(col("cluster"))
-    },
+  }
+
+  private val dedupSemantic = Q(
+    (s, dir) => semanticPairStats(s, dir,
+      kmeansAssign(s, dir).select(col("vec_id"), col("cl"))),
     Some(s"""$kmeansOracleCtes, en AS (
             |  SELECT e.vec_id, e.embedding, a3.cl,
             |    ${scaledDotSql("e.embedding", "e.embedding")} AS nrm
@@ -2396,9 +2413,12 @@ object NorthStarQueries {
       graft.expressions.SquaredL2.registerIn(s)
       val rowExprs = (0 until PQ_M).map { m =>
         val structs = cb(m).map { case (j, c) =>
-          s"struct(sq_l2(slice(xq, ${m * 8 + 1}, 8), " +
-            s"cast(array(${c.mkString(",")}) as array<bigint>)) AS d, " +
-            s"cast($j as bigint) AS j)"
+          // offset form: reads xq[m*8 + i] in place — the slice()
+          // formulation allocated a fresh 8-element array per (code,
+          // subspace) pair per row (128 per row after CollapseProject
+          // inlines the slice into every code's distance expression)
+          s"struct(sq_l2(xq, cast(array(${c.mkString(",")}) as array<bigint>), " +
+            s"${m * 8}) AS d, cast($j as bigint) AS j)"
         }
         s"struct(cast($m as bigint) AS subspace, " +
           s"element_at(array_sort(array(${structs.mkString(", ")})), 1) AS best)"

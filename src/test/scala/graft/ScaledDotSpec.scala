@@ -91,6 +91,30 @@ class ScaledDotSpec extends SparkSpec {
     assert(graft.expressions.SquaredL2(lit, lit2).eval(row) == 20L)
   }
 
+  test("sq_l2 offset form equals the slice formulation on fixture embeddings") {
+    graft.expressions.SquaredL2.registerIn(spark)
+    val q = "transform(embedding, x -> cast(floor(cast(x as double) * 16384) as bigint))"
+    // pair subvector [m*8, m*8+8) of the vector against the first 8
+    // elements of its reverse, both ways: in-place offset read vs an
+    // explicit slice materialization — must be identical for every
+    // subspace on every fixture row
+    val rev = s"slice(reverse($q), 1, 8)"
+    val diffs = (0 until 8).map { m =>
+      expr(s"sq_l2($q, $rev, ${m * 8})")
+        .as(s"off_$m") -> expr(s"sq_l2(slice($q, ${m * 8 + 1}, 8), $rev)").as(s"sl_$m")
+    }
+    val bad = Tables.load(spark, sfDir, "embeddings")
+      .select(diffs.flatMap(t => Seq(t._1, t._2)): _*)
+      .where((0 until 8).map(m => col(s"off_$m") =!= col(s"sl_$m")).reduce(_ || _))
+      .count()
+    assert(bad == 0)
+    // offset past the end pairs zero elements
+    val z = spark.sql(
+      "SELECT sq_l2(array(cast(3 as bigint)), array(cast(1 as bigint)), 5) AS d")
+      .head().getLong(0)
+    assert(z == 0L)
+  }
+
   test("scaled_dot pairs up to the shorter array and skips null slots") {
     ScaledDotProduct.registerIn(spark)
     val v = spark.sql(
