@@ -29,6 +29,22 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // spill accounting per probe — the constrained-heap evidence that
+    // agg/join/sort fall back to disk instead of OOMing under memory
+    // pressure (run with SPARK_DRIVER_MEM=4g to force it at 18M rows)
+    val spill = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        }
+      })
+    def spillTag(): String = {
+      val mb = spill.getAndSet(0L) >> 20
+      if (mb > 0) s" [spilled ${mb} MB]" else ""
+    }
 
     val factNames = Seq(
       "hash_agg_pricing", "high_card_groupby", "window_topk_per_suppkey",
@@ -45,7 +61,7 @@ object ScaleProbe {
       def time(name: String)(f: => Unit): Unit = if (enabled(name)) {
         val t0 = System.nanoTime()
         f
-        println(f"[scaleprobe] $name x$mult (${n} rows): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        println(f"[scaleprobe] $name x$mult (${n} rows): ${(System.nanoTime() - t0) / 1e9}%.2f s" + spillTag())
       }
 
       time("hash_agg_pricing") {
@@ -96,7 +112,7 @@ object ScaleProbe {
       def timeDoc(name: String): Unit = if (enabled(name)) {
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, tmp).write.mode("overwrite").format("noop").save()
-        println(f"[scaleprobe] $name x$docMult (${nDocs} docs): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        println(f"[scaleprobe] $name x$docMult (${nDocs} docs): ${(System.nanoTime() - t0) / 1e9}%.2f s" + spillTag())
       }
       // cluster resolution logs its rounds-to-convergence on stderr ([cc])
       docNames.foreach(timeDoc)
@@ -117,7 +133,7 @@ object ScaleProbe {
       def timeVec(name: String): Unit = if (enabled(name)) {
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, tmp).write.mode("overwrite").format("noop").save()
-        println(f"[scaleprobe] $name x$docMult (${nVecs} vecs): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        println(f"[scaleprobe] $name x$docMult (${nVecs} vecs): ${(System.nanoTime() - t0) / 1e9}%.2f s" + spillTag())
       }
       timeVec("ns_embed_kmeans")
       timeVec("ns_sim_pq")
@@ -140,7 +156,7 @@ object ScaleProbe {
         graft.queries.NorthStarQueries.semanticPairStats(spark, tmp, asg)
           .write.mode("overwrite").format("noop").save()
         println(f"[scaleprobe] ns_dedup_semantic_kprop k=$k x$docMult (${nVecs} vecs): " +
-          f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s" + spillTag())
       }
     }
     spark.stop()
