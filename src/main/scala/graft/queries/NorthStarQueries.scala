@@ -2053,10 +2053,10 @@ object NorthStarQueries {
   }
 
   /** DuckDB twin of one assignment pass (argmin by the exact scalar key
-    * d*8+j — equivalent to (d, j) lexicographic order because j < 8).
+    * d*k+j — equivalent to (d, j) lexicographic order because j < k).
     */
-  private def kmeansAssignSql(vRel: String, cRel: String): String =
-    s"""SELECT vec_id, arg_min(j, d * 8 + j) AS cl, (min(d * 8 + j)) // 8 AS d
+  private def kmeansAssignSql(vRel: String, cRel: String, k: Int = KMEANS_K): String =
+    s"""SELECT vec_id, arg_min(j, d * $k + j) AS cl, (min(d * $k + j)) // $k AS d
        |FROM (
        |  SELECT v.vec_id, c.j,
        |    list_sum(list_transform(generate_series(1, 64),
@@ -2454,6 +2454,139 @@ object NorthStarQueries {
             |  cast(sum(d) as bigint) AS sse_scaled
             |FROM enc GROUP BY m, code ORDER BY subspace, code""".stripMargin))
 
+  /** The k-parameterized SemDeDup path under oracle: the same
+    * [[kmeansAssign]] / [[semanticPairStats]] code the scale probe runs
+    * with k ∝ N, here at k = 16 / one assignment pass so DuckDB can
+    * replay it exactly. Pins the k and seed parameterization added for
+    * the probe (a code path the fixed-k gate query never exercises):
+    * a wrong seed predicate, argmin tie key, or stride renumbering
+    * changes cluster memberships and the hash.
+    */
+  private val dedupSemanticK16 = Q(
+    (s, dir) => semanticPairStats(s, dir,
+      kmeansAssign(s, dir, iters = 1, k = 16).select(col("vec_id"), col("cl"))),
+    Some(s"""WITH v AS (
+            |  SELECT vec_id,
+            |    list_transform(embedding, x -> cast(floor(x::double * $KQ) as bigint)) AS xq
+            |  FROM embeddings
+            |), c0 AS (
+            |  SELECT vec_id AS j, xq AS c FROM v WHERE vec_id < 16
+            |), a1 AS (${kmeansAssignSql("v", "c0", 16)}
+            |), en AS (
+            |  SELECT e.vec_id, e.embedding, a1.cl,
+            |    ${scaledDotSql("e.embedding", "e.embedding")} AS nrm
+            |  FROM embeddings e JOIN a1 ON e.vec_id = a1.vec_id
+            |), sim AS (
+            |  SELECT a.cl, a.vec_id AS a_id, b.vec_id AS b_id
+            |  FROM en a JOIN en b ON a.cl = b.cl AND a.vec_id < b.vec_id
+            |  WHERE cast(${scaledDotSql("a.embedding", "b.embedding")} as double)
+            |    / (sqrt(cast(a.nrm as double)) * sqrt(cast(b.nrm as double))) > 0.4
+            |), pc AS (
+            |  SELECT cl, count(*) AS n_sim_pairs, count(DISTINCT b_id) AS n_dropped
+            |  FROM sim GROUP BY cl
+            |)
+            |SELECT g.cl AS cluster, g.n_vecs,
+            |  coalesce(pc.n_sim_pairs, 0) AS n_sim_pairs,
+            |  coalesce(pc.n_dropped, 0) AS n_dropped,
+            |  g.n_vecs - coalesce(pc.n_dropped, 0) AS n_kept
+            |FROM (SELECT cl, count(*) AS n_vecs FROM a1 GROUP BY cl) g
+            |LEFT JOIN pc USING (cl)
+            |ORDER BY cluster""".stripMargin))
+
+  /** PQ asymmetric-distance search (ADC) — the query path that makes PQ
+    * encode useful: each of the 16 query vectors precomputes one exact
+    * distance from each of its 8 subvectors to each of the 16 codebook
+    * entries (a 128-entry table per query), and a corpus vector's
+    * approximate distance is then just the SUM OF 8 TABLE LOOKUPS over
+    * its stored codes — no touching the original vector. Top-5 per query
+    * by (adc_distance, id). Scale: the encode is the map-only `ns_sim_pq`
+    * path (offset `sq_l2` against codebook literals); the distance
+    * tables are 16 x 128 rows, BROADCAST to the (m, code) join; scoring
+    * is one partial-aggregable (q, vector) sum — corpus rows are read
+    * once and never shuffled wider than 16 q-rows each; the per-query
+    * top-5 is a rank window that WindowGroupLimit prunes map-side. All
+    * distances are exact integers on the 2^14 grid, so ranking ties and
+    * hashes match DuckDB bit-for-bit.
+    */
+  private val simPqAdc = Q(
+    (s, dir) => {
+      val v = kmeansQuantized(s, dir).localCheckpoint(true)
+      val cb: Map[Int, Seq[(Int, Seq[Long])]] =
+        v.where(col("vec_id") < PQ_CODES).collect()
+          .map(r => (r.getLong(0).toInt, r.getSeq[Long](1)))
+          .flatMap { case (j, xs) =>
+            (0 until PQ_M).map(m => (m, j, xs.slice(m * 8, m * 8 + 8)))
+          }
+          .groupBy(_._1).view
+          .mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq).toMap
+      graft.expressions.SquaredL2.registerIn(s)
+      // corpus codes: argmin codebook entry per subspace (same encode
+      // expression as ns_sim_pq)
+      val encExprs = (0 until PQ_M).map { m =>
+        val structs = cb(m).map { case (j, c) =>
+          s"struct(sq_l2(xq, cast(array(${c.mkString(",")}) as array<bigint>), " +
+            s"${m * 8}) AS d, cast($j as bigint) AS j)"
+        }
+        s"struct(cast($m as bigint) AS em, " +
+          s"element_at(array_sort(array(${structs.mkString(", ")})), 1).j AS code)"
+      }
+      val enc = v
+        .select(col("vec_id").as("c_id"),
+          explode(expr(s"array(${encExprs.mkString(", ")})")).as("e"))
+        .select(col("c_id"), col("e.em").as("em"), col("e.code").as("code"))
+      // per-query distance tables: one row per (query, subspace, code)
+      val dtabStructs = (0 until PQ_M).flatMap { m =>
+        cb(m).map { case (j, c) =>
+          s"struct(cast($m as bigint) AS m, cast($j as bigint) AS j, " +
+            s"sq_l2(xq, cast(array(${c.mkString(",")}) as array<bigint>), ${m * 8}) AS d)"
+        }
+      }
+      val dtab = v.where(col("vec_id") < PQ_CODES)
+        .select(col("vec_id").as("q_id"),
+          explode(expr(s"array(${dtabStructs.mkString(", ")})")).as("t"))
+        .select(col("q_id"), col("t.m").as("m"), col("t.j").as("j"), col("t.d").as("d"))
+      val wTop = Window.partitionBy(col("q_id")).orderBy(col("adc_d"), col("c_id"))
+      enc.join(broadcast(dtab), col("em") === col("m") && col("code") === col("j"))
+        .where(col("q_id") =!= col("c_id")) // queries ARE codebook sources: self-ADC is 0
+        .groupBy(col("q_id"), col("c_id")).agg(sum(col("d")).as("adc_d"))
+        .withColumn("rnk", row_number().over(wTop))
+        .where(col("rnk") <= 5)
+        .select(col("q_id"), col("rnk"), col("c_id"), col("adc_d"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(s"""WITH v AS (
+            |  SELECT vec_id,
+            |    list_transform(embedding, x -> cast(floor(x::double * $KQ) as bigint)) AS xq
+            |  FROM embeddings
+            |), ms AS (
+            |  SELECT unnest(generate_series(0, ${PQ_M - 1})) AS m
+            |), cb AS (
+            |  SELECT m, vec_id AS j, xq[m*8+1:m*8+8] AS c FROM v, ms WHERE vec_id < $PQ_CODES
+            |), ev AS (
+            |  SELECT vec_id, m, xq[m*8+1:m*8+8] AS xs FROM v, ms
+            |), dist AS (
+            |  SELECT ev.vec_id, ev.m, cb.j,
+            |    list_sum(list_transform(generate_series(1, 8),
+            |      i -> (ev.xs[i] - cb.c[i]) * (ev.xs[i] - cb.c[i]))) AS d
+            |  FROM ev JOIN cb ON ev.m = cb.m
+            |), enc AS (
+            |  SELECT vec_id AS c_id, m, arg_min(j, d * $PQ_CODES + j) AS code
+            |  FROM dist GROUP BY vec_id, m
+            |), dtab AS (
+            |  SELECT vec_id AS q_id, m, j, d FROM dist WHERE vec_id < $PQ_CODES
+            |), scored AS (
+            |  SELECT dtab.q_id, enc.c_id, cast(sum(dtab.d) as bigint) AS adc_d
+            |  FROM enc JOIN dtab ON enc.m = dtab.m AND enc.code = dtab.j
+            |  WHERE dtab.q_id <> enc.c_id
+            |  GROUP BY dtab.q_id, enc.c_id
+            |), r AS (
+            |  SELECT q_id, c_id, adc_d,
+            |    row_number() OVER (PARTITION BY q_id ORDER BY adc_d, c_id) AS rnk
+            |  FROM scored
+            |)
+            |SELECT q_id, rnk, c_id, adc_d
+            |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "ns_dedup_exact" -> dedupExact,
     "ns_dedup_minhash_lsh" -> dedupMinhashLsh,
@@ -2497,6 +2630,8 @@ object NorthStarQueries {
     "ns_text_boilerplate" -> textBoilerplate,
     "ns_embed_kmeans" -> embedKmeans,
     "ns_dedup_semantic" -> dedupSemantic,
+    "ns_dedup_semantic_k16" -> dedupSemanticK16,
+    "ns_sim_pq_adc" -> simPqAdc,
     "ns_text_collocations" -> textCollocations,
     "ns_sim_pq" -> simPq,
     "ns_profile_drift" -> profileDrift,
