@@ -130,7 +130,8 @@ object Bench {
         val wall = (System.nanoTime() - t0) / 1e9
         org.apache.spark.graftbench.ListenerFlush.drain(spark.sparkContext)
         val d = Seq(
-          "wall" -> f"$wall%.3f",
+          // Double.toString, not %f: locale-independent '.' separator
+          "wall" -> ((wall * 1000).round / 1000.0).toString,
           "taskRunMs" -> agg.runMs.get.toString,
           "taskCpuMs" -> agg.cpuMs.get.toString,
           "taskGcMs" -> agg.gcMs.get.toString,

@@ -166,6 +166,81 @@ object NorthStarQueries {
     bench = true)
 
   // ---------------------------------------------------------------------
+  // Dedup 2a: incremental ingest (new snapshot vs existing corpus)
+  // ---------------------------------------------------------------------
+
+  /** Incremental-ingest dedup gate: the NEW snapshot (odd-numbered
+    * sources, the same split convention as `ns_profile_drift`) deduped
+    * against the EXISTING corpus (even sources) — the shape every
+    * continuously-crawling pipeline runs per batch, where the corpus is
+    * too big to re-dedup from scratch. A new doc is an exact dup if its
+    * sha256 matches any existing doc, and a near-dup CANDIDATE if any of
+    * its minhash band buckets contains an existing doc (the same
+    * signature pipeline as `ns_dedup_minhash_lsh`, reused). Reported per
+    * new source: arrivals, exact dups, near-candidates, clean passes.
+    *
+    * Scale: in production the existing side is a precomputed signature
+    * store read from disk, not recomputed — here both sides derive from
+    * one fixture table, but the JOIN SHAPE is the production one: two
+    * key-partitioned LEFT SEMI joins (on the 64-char hash, and on
+    * (band, bkey)) with distinct-collapsed build sides, never an
+    * all-pairs compare; per-doc flags then roll up in one map-side
+    * partial agg keyed by source.
+    */
+  private val dedupIncremental = Q(
+    (s, dir) => {
+      val d = T(s, dir, "documents")
+        .select(col("doc_id"), col("source"), sha2(col("text"), 256).as("h"),
+          (expr("cast(substring(source, 4) as int)") % 2 === 0).as("existing"))
+      val newDocs = d.where(!col("existing"))
+      val oldHashes = d.where(col("existing")).select(col("h")).distinct()
+      val exactIds = newDocs.join(oldHashes, Seq("h"), "left_semi")
+        .select(col("doc_id")).withColumn("ex", lit(1))
+      val bands = minhashBands(s, dir)
+      val oldBandKeys = bands
+        .join(d.where(col("existing")).select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .select(col("band"), col("bkey")).distinct()
+      val nearIds = bands
+        .join(newDocs.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .join(oldBandKeys, Seq("band", "bkey"), "left_semi")
+        .select(col("doc_id")).distinct().withColumn("nr", lit(1))
+      newDocs.join(exactIds, Seq("doc_id"), "left")
+        .join(nearIds, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_new"),
+          count(col("ex")).as("n_exact_dup"),
+          count(col("nr")).as("n_near_cand"),
+          expr("count_if(ex IS NULL AND nr IS NULL)").as("n_pass"))
+        .orderBy(col("source"))
+    },
+    Some(
+      s"""WITH $minhashBandsSqlCtes, d AS (
+         |  SELECT doc_id, source, sha256(text) AS h,
+         |    cast(substring(source, 4) as int) % 2 = 0 AS existing
+         |  FROM documents
+         |), newd AS (
+         |  SELECT * FROM d WHERE NOT existing
+         |), ex AS (
+         |  SELECT DISTINCT n.doc_id FROM newd n
+         |  WHERE n.h IN (SELECT h FROM d WHERE existing)
+         |), oldb AS (
+         |  SELECT DISTINCT b.band, b.bkey FROM bands b
+         |  JOIN d ON b.doc_id = d.doc_id WHERE d.existing
+         |), nr AS (
+         |  SELECT DISTINCT b.doc_id FROM bands b
+         |  JOIN newd n ON b.doc_id = n.doc_id
+         |  JOIN oldb o ON b.band = o.band AND b.bkey = o.bkey
+         |)
+         |SELECT n.source, count(*) AS n_new,
+         |  count(ex.doc_id) AS n_exact_dup,
+         |  count(nr.doc_id) AS n_near_cand,
+         |  cast(count_if(ex.doc_id IS NULL AND nr.doc_id IS NULL) as bigint) AS n_pass
+         |FROM newd n
+         |LEFT JOIN ex ON n.doc_id = ex.doc_id
+         |LEFT JOIN nr ON n.doc_id = nr.doc_id
+         |GROUP BY n.source ORDER BY n.source""".stripMargin))
+
+  // ---------------------------------------------------------------------
   // Dedup 2b: cluster resolution (connected components over LSH edges)
   // ---------------------------------------------------------------------
 
@@ -2590,6 +2665,7 @@ object NorthStarQueries {
   val all: Map[String, Q] = Map(
     "ns_dedup_exact" -> dedupExact,
     "ns_dedup_minhash_lsh" -> dedupMinhashLsh,
+    "ns_dedup_incremental" -> dedupIncremental,
     "ns_dedup_clusters" -> dedupClusters,
     "ns_dedup_canonical" -> dedupCanonical,
     "ns_dedup_minhash_estimate" -> dedupMinhashEstimate,
