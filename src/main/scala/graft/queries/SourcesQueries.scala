@@ -221,8 +221,70 @@ object SourcesQueries {
            |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
            |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
 
+  /** Plain-text sink + scan (`spark.read.text` — one string column per
+    * line): the format raw-corpus drops arrive in before any schema
+    * exists. Lines are written as a pipe-delimited record (exact
+    * long/string fields only), read back as `value`, and parsed with
+    * split — the classic ingest-then-structure pass. The oracle
+    * recomputes the aggregate from the parquet original, so a lost or
+    * mangled line fails the diff.
+    */
+  private val textRoundtrip = Q(
+    (s, dir) => {
+      val path = s"$tmpRoot/text_documents"
+      T(s, dir, "documents")
+        .select(concat_ws("|", col("doc_id"), col("lang"), col("n_chars")).as("value"))
+        .write.mode("overwrite").text(path)
+      s.read.text(path)
+        .select(split(col("value"), "\\|").as("f"))
+        .select(col("f").getItem(0).cast("long").as("doc_id"),
+                col("f").getItem(1).as("lang"),
+                col("f").getItem(2).cast("long").as("n_chars"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+             min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("lang"))
+    },
+    Some("""SELECT lang, count(*) AS n, cast(sum(n_chars) as bigint) AS sum_chars,
+           |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+
+  /** `binaryFile` source: whole files as (path, length, content) rows —
+    * the ingest path for raw multimodal assets (images/audio) before the
+    * decode UDFs in [[graft.operators.Multimodal]] take over. The 25
+    * nation names are materialized as individual .bin files (driver-side
+    * — a bounded 25-row pull, standing in for an object-store listing),
+    * scanned back via binaryFile, and fingerprinted: byte length and
+    * sha256 of the content must match what the oracle computes from the
+    * original STRING column, proving bytes survive the file boundary
+    * untouched.
+    */
+  private val binaryfileScan = Q(
+    (s, dir) => {
+      val path = new java.io.File(s"$tmpRoot/bin_nation")
+      path.mkdirs()
+      T(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+        .collect() // 25 rows: bounded fixture dim, not a corpus pull
+        .foreach { r =>
+          java.nio.file.Files.write(
+            path.toPath.resolve(f"n_${r.getInt(0)}%02d.bin"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      s.read.format("binaryFile").option("pathGlobFilter", "*.bin")
+        .load(path.getAbsolutePath)
+        .select(regexp_extract(col("path"), "n_(\\d+)\\.bin", 1).cast("long").as("nationkey"),
+                col("length"), sha2(col("content"), 256).as("sha"))
+        .orderBy(col("nationkey"))
+    },
+    Some("""SELECT cast(n_nationkey as bigint) AS nationkey,
+           |  cast(length(n_name) as bigint) AS length,
+           |  sha256(n_name) AS sha
+           |FROM nation ORDER BY nationkey""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "src_bucketed_join" -> bucketedJoin,
+    "src_text_roundtrip" -> textRoundtrip,
+    "src_binaryfile_scan" -> binaryfileScan,
     "src_table_registry" -> tableRegistry,
     "src_csv_roundtrip" -> csvRoundtrip,
     "src_orc_roundtrip" -> orcRoundtrip,
