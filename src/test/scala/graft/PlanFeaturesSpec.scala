@@ -146,6 +146,29 @@ class PlanFeaturesSpec extends SparkSpec {
       s"stats did not reorder the Q10 join: both plans join in $withStats")
   }
 
+  test("PQ ADC search broadcasts the distance tables and prunes top-k map-side") {
+    val q = SparkEntry.catalog("ns_sim_pq_adc").fn(spark, sfDir)
+    val phys = q.queryExecution.sparkPlan
+    val bhj = phys.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bhj.nonEmpty,
+      s"distance-table join must broadcast (16x128 rows), got:\n$phys")
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("WindowGroupLimit"),
+      s"per-query top-5 rank window should prune map-side:\n$opt")
+  }
+
+  test("incremental dedup probes the existing corpus via semi-joins, never all-pairs") {
+    val q = SparkEntry.catalog("ns_dedup_incremental").fn(spark, sfDir)
+    val joins = q.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j.joinType
+    }
+    assert(joins.count(_ == org.apache.spark.sql.catalyst.plans.LeftSemi) >= 2,
+      s"expected >=2 semi-joins (hash probe + band-bucket probe), got $joins")
+    assert(q.collect().nonEmpty)
+  }
+
   test("typed Dataset surface agrees with the untyped DataFrame result") {
     import spark.implicits._
     import PlanFeaturesSpec.Doc
