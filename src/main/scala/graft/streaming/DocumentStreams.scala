@@ -55,4 +55,27 @@ object DocumentStreams {
     */
   def ingest(docs: DataFrame): DataFrame =
     qualityGate(dedupByContent(docs))
+
+  /** Incremental-ingest gate, the streaming form of the batch
+    * `ns_dedup_incremental` exact path: arriving documents are dropped
+    * if their content hash already exists in the STATIC existing-corpus
+    * hash store (stream-static join — at production scale the store is
+    * the signature table the batch pipeline maintains), and re-crawls
+    * WITHIN the stream are dropped by the content-hash dedup state.
+    * Only documents new to both survive.
+    *
+    * The anti-join is expressed as stream-static LEFT OUTER + null
+    * filter (the supported stream-static shape); the build side is
+    * distinct-collapsed so the outer join cannot multiply stream rows.
+    */
+  def incrementalGate(newDocs: DataFrame, existing: DataFrame): DataFrame = {
+    val oldHashes = existing
+      .select(sha2(col("text"), 256).as("content_hash"))
+      .distinct()
+      .withColumn("known", lit(1))
+    dedupByContent(newDocs)
+      .join(oldHashes, Seq("content_hash"), "left_outer")
+      .where(col("known").isNull)
+      .drop("known")
+  }
 }

@@ -63,6 +63,41 @@ class StreamingSpec extends SparkSpec {
     assert(kept == batchKept)
   }
 
+  test("incremental ingest gate: stream drops docs known to the static corpus") {
+    import graft.streaming.DocumentStreams
+    import spark.implicits._
+    val in = s"$workDir/inc-in-${System.nanoTime()}"
+    val cp = s"$workDir/inc-cp-${System.nanoTime()}"
+    Files.createDirectories(Paths.get(in))
+    def doc(id: Long, text: String) = (id, text, "en", "crawl", text.length.toLong)
+    // the EXISTING corpus (static side — the signature store)
+    val existing = Seq(
+      doc(100, "alpha beta gamma delta"),
+      doc(101, "the quick brown fox jumps")
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    // the arriving batch: one re-crawl of the corpus, one in-stream
+    // duplicate pair, one genuinely new doc
+    Seq(
+      doc(1, "alpha beta gamma delta"),      // known to the corpus -> drop
+      doc(2, "completely new content here"), // new -> keep
+      doc(3, "another new document text"),   // new -> keep
+      doc(4, "another new document text")    // in-stream re-crawl -> drop
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(in)
+    val got = EventStreams.runAvailableNow(
+      DocumentStreams.incrementalGate(
+        DocumentStreams.readDocuments(spark, in), existing),
+      "inc_gate_sink", "append", cp)
+    val kept = got.map(_.getString(2)).toSet // (content_hash, doc_id, text, ...)
+    assert(kept == Set("completely new content here", "another new document text"),
+      s"kept=$kept")
+    // streaming result == the same gate applied in batch mode
+    val batchKept = DocumentStreams.incrementalGate(
+      spark.read.schema(Tables.schemas("documents")).parquet(in), existing)
+      .collect().map(_.getString(2)).toSet
+    assert(kept == batchKept)
+  }
+
   test("tumbling window stream replays to the batch answer") {
     val (in, cp) = freshDirs()
     val stream = EventStreams.tumblingCounts(EventStreams.readEvents(spark, in))
