@@ -62,6 +62,8 @@ object Bench {
       .filter(p => p.getName.contains("CodeHeap") || p.getName.contains("Code Cache"))
   private def codeUsedMB: Long = codeCachePools.map(_.getUsage.getUsed).sum >> 20
   private def codeMaxMB: Long = codeCachePools.map(_.getUsage.getMax).sum >> 20
+  private def classesLoaded: Long =
+    ManagementFactory.getClassLoadingMXBean.getTotalLoadedClassCount
   private def procCpuMs: Long = {
     val d = ProcessHandle.current.info.totalCpuDuration
     if (d.isPresent) d.get.toMillis else 0L
@@ -121,7 +123,8 @@ object Bench {
       val timed = (1 to 3).map { _ =>
         org.apache.spark.graftbench.ListenerFlush.drain(spark.sparkContext)
         agg.reset()
-        val (gc0, jit0, pc0, os0) = (gcMillis, jitMillis, procCpuMs, osBusyMs)
+        val (gc0, jit0, pc0, os0, cl0) =
+          (gcMillis, jitMillis, procCpuMs, osBusyMs, classesLoaded)
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case e: Throwable =>
@@ -141,6 +144,11 @@ object Bench {
           "codeUsedMB" -> codeUsedMB.toString,
           "procCpuMs" -> (procCpuMs - pc0).toString,
           "osBusyMs" -> (osBusyMs - os0).toString,
+          // new classes defined during the run: a steadily-nonzero value
+          // on a REPEATED query means fresh Janino codegen every run
+          // (codegen cache miss) — compile work that can storm under
+          // host contention
+          "classesLoaded" -> (classesLoaded - cl0).toString,
         )
         (wall, d)
       }
