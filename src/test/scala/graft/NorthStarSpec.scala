@@ -198,6 +198,33 @@ class NorthStarSpec extends SparkSpec {
     assert(r2 > 0.0, "nprobe=2 found none of the true neighbors")
   }
 
+  test("PQ ADC recall vs exact integer L2 top-5 is positive") {
+    // ground truth: exact squared-L2 top-5 per query on the same 2^14
+    // quantized grid ADC approximates (same tie-breaks: d asc, c_id)
+    graft.expressions.SquaredL2.registerIn(spark)
+    val v = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(floor(cast(x as double) * 16384) as bigint))").as("xq"))
+    val q = v.where(col("vec_id") < 16)
+      .select(col("vec_id").as("q_id"), col("xq").as("qx"))
+    val c = v.select(col("vec_id").as("c_id"), col("xq").as("cx"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d"), col("c_id"))
+    val truth = q.join(c, col("q_id") =!= col("c_id"))
+      .withColumn("d", expr("sq_l2(qx, cx)"))
+      .withColumn("rnk", row_number().over(w)).where(col("rnk") <= 5)
+      .select(col("q_id"), col("c_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val got = SparkEntry.queries("ns_sim_pq_adc")(spark, sfDir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val hits = truth.map { case (qid, t) =>
+      got.getOrElse(qid, Set.empty).count(t.contains)
+    }.sum
+    val recall = hits.toDouble / truth.values.map(_.size).sum
+    info(f"ADC recall@5 vs exact L2: $recall%.3f")
+    assert(recall > 0.0, "ADC found none of the true L2 neighbors")
+  }
+
   test("sequence packing: token offsets are contiguous, window spans consistent") {
     val rows = SparkEntry.queries("ns_text_pack")(spark, sfDir).collect()
     assert(rows.nonEmpty)
