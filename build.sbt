@@ -42,3 +42,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // committed memory, and makes the spikes vanish entirely.
   "-XX:ReservedCodeCacheSize=1g",
 )
+// One-off JIT/GC experiments (e.g. -XX:+PrintCompilation when chasing a
+// compilation storm) without editing the build: space-separated flags.
+javaOptions ++= sys.env.get("SPARK_GRAFT_EXTRA_JVM")
+  .toSeq.flatMap(_.split("\\s+")).filter(_.nonEmpty)

@@ -13,11 +13,15 @@ import org.apache.spark.sql.SparkSession
   * plan executes (count() would let Catalyst prune payload columns and
   * under-report; collect() would add driver materialization noise).
   *
-  * Every timed run also records a diagnostic row (the `diag` key) so an
-  * anomalous run self-identifies from the artifact alone — the r6/r7
-  * driver benches each had one ~7x run (same query, middle run) whose
-  * cause could not be pinned from a single wall-clock number. The
-  * discriminators, per run:
+  * The PRINTED line carries only the score fields the driver parses —
+  * {metric, value, unit, queries, runs, suspect, sf}. The r8 artifact
+  * was lost ("parsed": null) because the diag-enriched line overflowed
+  * the driver's tail-capture window; all diagnostics now go to a side
+  * file (target/bench_diag.json) instead of the score line.
+  *
+  * Every timed run records a diagnostic row in that side file so an
+  * anomalous run self-identifies from the artifact alone.
+  * The discriminators, per run:
   *   - wall          wall-clock seconds (same number the score uses)
   *   - taskRunMs     Σ executorRunTime over tasks (scheduler-side wall)
   *   - taskCpuMs     Σ executorCpuTime  (real on-CPU work)
@@ -28,17 +32,28 @@ import org.apache.spark.sql.SparkSession
   *   - codeUsedMB    code-cache occupancy after the run
   *   - procCpuMs     this JVM's process CPU delta
   *   - osBusyMs      /proc/stat non-idle delta x10ms, ALL processes
+  *   - classesLoaded new classes defined during the run (codegen churn)
+  *   - stages        per-stage {id, runMs, cpuMs, tasks}: attributes a
+  *                   CPU spike to the specific stage that burned it
   * Reading them: wall up with taskCpuMs up ⇒ genuinely more CPU burned
   * (codegen fell back to interpreter / JIT deopt). wall up, taskCpuMs
   * flat, osBusyMs up ⇒ an EXTERNAL process stole the cores. gc/jit
   * columns isolate pause-vs-compile. codeCacheMaxMB at top level proves
   * build.sbt's -XX:ReservedCodeCacheSize reached this forked JVM.
+  *
+  * `suspect` on the printed line lists "query#runIdx" for any run whose
+  * wall exceeds 2x that query's min — the artifact self-flags variance
+  * without a reader cross-referencing raw diag rows.
   */
 object Bench {
 
-  /** Accumulates executor task metrics; reset per timed run. */
+  /** Accumulates executor task metrics, plus a per-stage breakdown so a
+    * spiking run can be attributed to the stage that burned the CPU;
+    * reset per timed run. */
   private final class TaskAgg extends SparkListener {
     val runMs, cpuMs, gcMs, spill = new AtomicLong()
+    private val byStage =
+      new java.util.concurrent.ConcurrentHashMap[Int, Array[AtomicLong]]()
     override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics
       if (m != null) {
@@ -46,9 +61,22 @@ object Bench {
         cpuMs.addAndGet(m.executorCpuTime / 1000000L)
         gcMs.addAndGet(m.jvmGCTime)
         spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        val s = byStage.computeIfAbsent(
+          te.stageId, _ => Array.fill(3)(new AtomicLong()))
+        s(0).addAndGet(m.executorRunTime)
+        s(1).addAndGet(m.executorCpuTime / 1000000L)
+        s(2).incrementAndGet()
       }
     }
-    def reset(): Unit = Seq(runMs, cpuMs, gcMs, spill).foreach(_.set(0L))
+    def reset(): Unit = {
+      Seq(runMs, cpuMs, gcMs, spill).foreach(_.set(0L))
+      byStage.clear()
+    }
+    /** (stageId, runMs, cpuMs, tasks) sorted by stage id. */
+    def stageRows: Seq[(Int, Long, Long, Long)] =
+      byStage.asScala.toSeq
+        .map { case (id, a) => (id, a(0).get, a(1).get, a(2).get) }
+        .sortBy(_._1)
   }
 
   private def gcMillis: Long =
@@ -93,7 +121,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val agg = new TaskAgg
     spark.sparkContext.addSparkListener(agg)
+    // SPARK_GRAFT_BENCH_ONLY=name1,name2 (substring match) restricts the
+    // run — lets a single query be re-measured in isolation when chasing
+    // a variance flag, same convention as ScaleProbe.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val bench = SparkEntry.benchQueries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
     // Warm-up: one untimed pass at the smallest SF (JIT/codegen/classload)
     // and then one at the TARGET SF (file listing, page cache, AQE stats,
     // full-width codegen) so no timed run is the first to touch anything.
@@ -114,12 +148,29 @@ object Bench {
     val results = bench.map { case (name, fn) =>
       System.gc()
       Thread.sleep(200)
-      // one untimed pass right before the timed block: the run after a
-      // GC breather re-touches evicted cache lines / freshly-moved
-      // objects and consistently reads ~0.3-1s high — pay that cost
-      // outside the measurement.
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => () }
+      // Adaptive warm-up until the wall stabilizes (current pass within
+      // 1.3x of the best so far, max 5 passes). Two reasons: (a) the run
+      // after a GC breather re-touches evicted cache lines and reads
+      // high; (b) — the r8 "unexplained 3x CPU spike", named in r9 via
+      // -XX:+PrintCompilation — the per-ROW generated methods (e.g. the
+      // minhash shingle x 8-signature loop, generate_doConsume_0) cross
+      // the JIT Tier-4 invocation thresholds slowly at bench row counts,
+      // so early runs execute at tier 3 (C1 + profiling counters in
+      // every loop backedge) at 3-10x the C2 steady-state CPU. Repeating
+      // untimed passes drives the counters past the threshold so no
+      // TIMED run pays the tier-3 tax.
+      var bestWarm = Double.MaxValue
+      var warmed = 0
+      var stable = false
+      while (warmed < 5 && !stable) {
+        val w0 = System.nanoTime()
+        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case _: Throwable => () }
+        val w = (System.nanoTime() - w0) / 1e9
+        stable = w <= bestWarm * 1.3
+        bestWarm = math.min(bestWarm, w)
+        warmed += 1
+      }
       val timed = (1 to 3).map { _ =>
         org.apache.spark.graftbench.ListenerFlush.drain(spark.sparkContext)
         agg.reset()
@@ -132,6 +183,9 @@ object Bench {
         }
         val wall = (System.nanoTime() - t0) / 1e9
         org.apache.spark.graftbench.ListenerFlush.drain(spark.sparkContext)
+        val stages = agg.stageRows.map { case (id, r, c, n) =>
+          s"""{"id":$id,"runMs":$r,"cpuMs":$c,"tasks":$n}"""
+        }.mkString("[", ",", "]")
         val d = Seq(
           // Double.toString, not %f: locale-independent '.' separator
           "wall" -> ((wall * 1000).round / 1000.0).toString,
@@ -149,6 +203,7 @@ object Bench {
           // (codegen cache miss) — compile work that can storm under
           // host contention
           "classesLoaded" -> (classesLoaded - cl0).toString,
+          "stages" -> stages,
         )
         (wall, d)
       }
@@ -160,24 +215,36 @@ object Bench {
     // All raw per-run timings ride along so run-to-run variance is
     // visible in the artifact itself, not just the min.
     val runs = obj(results.map { case (k, ts, _) => k -> ts.mkString("[", ",", "]") })
+    // Self-flag variance: any run > 2x its query's min is suspect.
+    val suspect = results.flatMap { case (k, ts, _) =>
+      val mn = ts.min
+      ts.zipWithIndex.collect { case (t, i) if t > 2 * mn => s""""$k#${i + 1}"""" }
+    }.mkString("[", ",", "]")
+    val total = results.map(_._2.min).sum
+    val score =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""runs":$runs,"suspect":$suspect,"sf":"$sfDir"}"""
+    // Diagnostics go to a SIDE file only — putting them on the score
+    // line overflowed the driver's tail buffer in r8 and cost the round
+    // its official bench record.
     val diag = obj(results.map { case (k, _, ds) =>
       k -> ds.map(obj).mkString("[", ",", "]")
     })
-    val total = results.map(_._2.min).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,""" +
-        s""""diag":$diag,"codeCacheMaxMB":$codeMaxMB,"sf":"$sfDir"}"""
+    val diagJson =
+      s"""{"diag":$diag,"codeCacheMaxMB":$codeMaxMB,"sf":"$sfDir"}"""
     // Emit to stdout (bare line — build.sbt routes forked run output
     // through StdoutOutput so no [info] prefix) AND to a well-known file,
     // so a log-scraping consumer and a file-reading one both parse it.
-    println(json)
-    val out = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_result.json"))
-    // resolve/create the parent so the write cannot fail on a cwd that
-    // is not the sbt project root or a missing target/ directory
-    Option(out.toAbsolutePath.getParent)
-      .foreach(java.nio.file.Files.createDirectories(_))
-    java.nio.file.Files.writeString(out.toAbsolutePath, json + "\n")
+    println(score)
+    def writeOut(path: String, body: String): Unit = {
+      val p = java.nio.file.Paths.get(path).toAbsolutePath
+      // resolve/create the parent so the write cannot fail on a cwd that
+      // is not the sbt project root or a missing target/ directory
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.writeString(p, body + "\n")
+    }
+    writeOut(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_result.json"), score)
+    writeOut(sys.env.getOrElse("SPARK_GRAFT_BENCH_DIAG", "target/bench_diag.json"), diagJson)
     spark.stop()
   }
 }

@@ -42,6 +42,9 @@ object ScaleProbe {
         }
       })
     def spillTag(): String = {
+      // drain the async listener bus first, or onTaskEnd events from this
+      // probe can land after the read and bleed into the next probe's tag
+      org.apache.spark.graftbench.ListenerFlush.drain(spark.sparkContext)
       val mb = spill.getAndSet(0L) >> 20
       if (mb > 0) s" [spilled ${mb} MB]" else ""
     }
@@ -148,7 +151,11 @@ object ScaleProbe {
       // ns_embed_kmeans's story; the claim under test here is the pair
       // phase.
       if (enabled("ns_dedup_semantic_kprop")) {
-        val k = math.max(8, (nVecs / 2500L).toInt)
+        // seedStride = docMult picks original vec_ids 0..k-1, so k cannot
+        // exceed the ORIGINAL vector count (nVecs / docMult) — beyond it
+        // kmeansAssign would silently seed fewer centroids than reported
+        val k = math.min(math.max(8, (nVecs / 2500L).toInt),
+          math.max(1, (nVecs / docMult).toInt))
         val asg = graft.queries.NorthStarQueries
           .kmeansAssign(spark, tmp, iters = 1, k = k, seedStride = docMult.toLong)
           .select(col("vec_id"), col("cl"))

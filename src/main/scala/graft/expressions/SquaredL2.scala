@@ -53,6 +53,14 @@ case class SquaredL2(left: Expression, right: Expression, offset: Expression)
     else if (offset.dataType != IntegerType)
       TypeCheckResult.TypeCheckFailure(
         s"sq_l2 offset must be int, got ${offset.dataType.simpleString}")
+    else if (offset.foldable && {
+        val v = offset.eval(null); v != null && v.asInstanceOf[Int] < 0
+      })
+      // A negative offset would index UnsafeArrayData (no bounds checks)
+      // below the array base — reject at analysis when statically known,
+      // and at runtime otherwise (see nullSafeEval/doGenCode).
+      TypeCheckResult.TypeCheckFailure(
+        s"sq_l2 offset must be >= 0, got ${offset.eval(null)}")
     else TypeCheckResult.TypeCheckSuccess
   }
   override def dataType: DataType = LongType
@@ -62,6 +70,8 @@ case class SquaredL2(left: Expression, right: Expression, offset: Expression)
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
     val o = off.asInstanceOf[Int]
+    if (o < 0)
+      throw new IllegalArgumentException(s"sq_l2 offset must be >= 0, got $o")
     val n = math.min(xs.numElements() - o, ys.numElements())
     var acc = 0L
     var i = 0
@@ -82,6 +92,9 @@ case class SquaredL2(left: Expression, right: Expression, offset: Expression)
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
       s"""
+         |if ($off < 0) {
+         |  throw new IllegalArgumentException("sq_l2 offset must be >= 0, got " + $off);
+         |}
          |int $n = java.lang.Math.min($a.numElements() - $off, $b.numElements());
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {

@@ -232,14 +232,23 @@ object SourcesQueries {
   private val textRoundtrip = Q(
     (s, dir) => {
       val path = s"$tmpRoot/text_documents"
+      // concat_ws SKIPS null fields (shifting later fields left), so each
+      // field is coalesced to an explicit \N sentinel before joining —
+      // field positions stay stable for nullable columns, and the parse
+      // side maps the sentinel back to null (nullif; casts of \N null out
+      // on their own but the string column needs it explicitly).
+      val nul = "\\N"
       T(s, dir, "documents")
-        .select(concat_ws("|", col("doc_id"), col("lang"), col("n_chars")).as("value"))
+        .select(concat_ws("|",
+          coalesce(col("doc_id").cast("string"), lit(nul)),
+          coalesce(col("lang"), lit(nul)),
+          coalesce(col("n_chars").cast("string"), lit(nul))).as("value"))
         .write.mode("overwrite").text(path)
       s.read.text(path)
         .select(split(col("value"), "\\|").as("f"))
-        .select(col("f").getItem(0).cast("long").as("doc_id"),
-                col("f").getItem(1).as("lang"),
-                col("f").getItem(2).cast("long").as("n_chars"))
+        .select(nullif(col("f").getItem(0), lit(nul)).cast("long").as("doc_id"),
+                nullif(col("f").getItem(1), lit(nul)).as("lang"),
+                nullif(col("f").getItem(2), lit(nul)).cast("long").as("n_chars"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
              min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))

@@ -115,6 +115,26 @@ class ScaledDotSpec extends SparkSpec {
     assert(z == 0L)
   }
 
+  test("sq_l2 rejects negative offsets instead of reading out of bounds") {
+    graft.expressions.SquaredL2.registerIn(spark)
+    // foldable literal: fails at analysis (checkInputDataTypes)
+    val analysisErr = intercept[Exception] {
+      spark.sql("SELECT sq_l2(array(cast(1 as bigint)), array(cast(1 as bigint)), -1)")
+        .head()
+    }
+    assert(analysisErr.getMessage.toLowerCase.contains("sq_l2"))
+    // non-foldable offset: runtime guard throws rather than indexing
+    // UnsafeArrayData below the array base
+    import spark.implicits._
+    val runtimeErr = intercept[Exception] {
+      Seq((-1)).toDF("o")
+        .selectExpr("sq_l2(array(cast(1 as bigint)), array(cast(1 as bigint)), o) AS d")
+        .head()
+    }
+    assert(runtimeErr.getMessage.contains("sq_l2 offset must be >= 0") ||
+      Option(runtimeErr.getCause).exists(_.getMessage.contains("sq_l2 offset must be >= 0")))
+  }
+
   test("scaled_dot pairs up to the shorter array and skips null slots") {
     ScaledDotProduct.registerIn(spark)
     val v = spark.sql(
