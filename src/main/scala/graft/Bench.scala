@@ -119,6 +119,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Stats-bearing catalog tables + CBO for the bench session: the
+    // star-join queries then plan with real rowCount/NDV (join reorder,
+    // build-side choice) instead of file-size heuristics — the same
+    // configuration a production deployment gets from PersistentCatalog.
+    Tables.registerWithStats(spark, sfDir)
     val agg = new TaskAgg
     spark.sparkContext.addSparkListener(agg)
     // SPARK_GRAFT_BENCH_ONLY=name1,name2 (substring match) restricts the

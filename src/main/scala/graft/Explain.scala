@@ -18,6 +18,10 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_STATS=1 reproduces the bench/gate session shape
+    // (stats-bearing catalog tables + CBO) for A/B plan comparison.
+    if (sys.env.get("SPARK_GRAFT_STATS").contains("1"))
+      Tables.registerWithStats(spark, sfDir)
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       println(s"===== $name =====")

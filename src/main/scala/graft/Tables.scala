@@ -104,10 +104,63 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // Required for reading parquet TIMESTAMP(NANOS) as INT64; runtime-settable.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
+    // Prefer the stats-bearing catalog table when registerWithStats ran
+    // for THIS dir in this session — identical data/schema, but the scan
+    // carries rowCount/NDV so CBO join-reorder and build-side choice see
+    // real cardinalities instead of file-size heuristics. The table name
+    // encodes the dir, so probes reading other dirs (ScaleProbe temp
+    // fixtures) can never pick up another dir's registration.
+    val tbl = statsTableName(dir, name)
+    val df =
+      if (statsRegisteredDirs.contains(dir) && spark.catalog.tableExists(tbl))
+        spark.table(tbl)
+      else spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
     if (name == "events")
       df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else df
+  }
+
+  /** Catalog name for a fixture registered from `dir` — dir-hash suffix
+    * keeps registrations for different dirs (scale factors, temp
+    * fixtures) distinct within one session.
+    */
+  private def statsTableName(dir: String, name: String): String =
+    s"g_${name}_s" + java.lang.Integer.toHexString(dir.hashCode)
+
+  /** Dirs registered via [[registerWithStats]] this JVM — checked before
+    * the (cheap but not free) catalog lookup in the [[load]] hot path.
+    */
+  private val statsRegisteredDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Register the fixtures under `dir` as external parquet tables in the
+    * session's (in-memory) catalog and collect row-count + column stats,
+    * then enable CBO so the stats steer join ordering and build-side
+    * choice. After this, [[load]] for the same dir reads the catalog
+    * table — same bytes, same schema, but a stats-bearing relation.
+    * This is the single-session analog of
+    * [[graft.sources.PersistentCatalog]] (which persists the same stats
+    * in a Hive metastore across restarts); the bench/gate sessions use
+    * this form because they are ephemeral by design.
+    */
+  def registerWithStats(spark: SparkSession, dir: String): Unit = {
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    schemas.foreach { case (name, schema) =>
+      val t = statsTableName(dir, name)
+      spark.sql(
+        s"""CREATE TABLE IF NOT EXISTS $t (${schema.toDDL})
+           |USING PARQUET LOCATION '$dir/$name.parquet'""".stripMargin)
+      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS")
+      // column stats only for atomic types — ANALYZE rejects array/map
+      val atomic = schema.fields.collect {
+        case f if !f.dataType.typeName.matches("array|map|struct") => f.name
+      }
+      if (atomic.nonEmpty)
+        spark.sql(
+          s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS ${atomic.mkString(", ")}")
+    }
+    statsRegisteredDirs.add(dir)
   }
 
   /** Like [[load]], but spreads the rows across the session's default

@@ -17,6 +17,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Same stats+CBO session shape as Bench: the gate must verify the
+    // plans the bench (and a stats-bearing deployment) actually runs.
+    Tables.registerWithStats(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => subset.isEmpty || subset(name) }

@@ -146,6 +146,36 @@ class PlanFeaturesSpec extends SparkSpec {
       s"stats did not reorder the Q10 join: both plans join in $withStats")
   }
 
+  test("stats session never broadcasts the fact table in join_star_5way") {
+    // The r9 bench/gate session registers stats-bearing catalog tables
+    // (Tables.registerWithStats) precisely because the no-stats
+    // file-size heuristic broadcasts the FILTERED FACT TABLE in the
+    // 5-way star — a plan that OOMs the driver at production scale.
+    // Assert the stats plan keeps lineitem strictly on stream sides.
+    val savedCbo = spark.conf.get("spark.sql.cbo.enabled")
+    val savedReorder = spark.conf.get("spark.sql.cbo.joinReorder.enabled")
+    try {
+      Tables.registerWithStats(spark, sfDir)
+      val q = SparkEntry.catalog("join_star_5way").fn(spark, sfDir)
+      // build sides live on the join nodes in sparkPlan; the
+      // BroadcastExchange wrappers are only inserted by EnsureRequirements
+      val buildSides = q.queryExecution.sparkPlan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+          b.buildSide match {
+            case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+            case org.apache.spark.sql.catalyst.optimizer.BuildRight => b.right
+          }
+      }
+      assert(buildSides.nonEmpty, "star join should broadcast its dims")
+      val offenders = buildSides.filter(_.toString.contains("lineitem"))
+      assert(offenders.isEmpty,
+        s"fact table must never be broadcast under stats:\n${offenders.mkString("\n")}")
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", savedCbo)
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", savedReorder)
+    }
+  }
+
   test("PQ ADC search broadcasts the distance tables and prunes top-k map-side") {
     val q = SparkEntry.catalog("ns_sim_pq_adc").fn(spark, sfDir)
     val phys = q.queryExecution.sparkPlan
