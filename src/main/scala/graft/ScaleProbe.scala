@@ -101,7 +101,8 @@ object ScaleProbe {
     val docNames = Seq(
       "ns_dedup_clusters", "ns_decontaminate", "ns_text_tfidf",
       "ns_text_pack", "ns_dedup_chunks", "ns_text_ngram_lm",
-      "ns_dedup_bloom", "ns_text_boilerplate", "ns_pipeline_manifest")
+      "ns_dedup_bloom", "ns_text_boilerplate", "ns_pipeline_manifest",
+      "ns_dedup_incremental")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     if (docNames.exists(enabled)) {
       val docReps = spark.range(docMult).select(col("id").as("rep"))
@@ -124,7 +125,8 @@ object ScaleProbe {
     // --- Embedding probes over a multiplied embeddings table: k-means
     // assignment stays map-only (centroid literals), so only the
     // (cluster, dim) update agg and the within-cluster pair join grow.
-    val vecNames = Seq("ns_embed_kmeans", "ns_sim_pq", "ns_dedup_semantic_kprop")
+    val vecNames = Seq(
+      "ns_embed_kmeans", "ns_sim_pq", "ns_sim_pq_adc", "ns_dedup_semantic_kprop")
     if (vecNames.exists(enabled)) {
       val vecReps = spark.range(docMult).select(col("id").as("rep"))
       Tables.load(spark, sfDir, "embeddings")
@@ -140,6 +142,10 @@ object ScaleProbe {
       }
       timeVec("ns_embed_kmeans")
       timeVec("ns_sim_pq")
+      // ADC search end-to-end (encode + broadcast distance-table join +
+      // partial-agg sum + map-side top-k): the r8 probe covered only the
+      // encode phase; this times the search join at Nx corpus.
+      timeVec("ns_sim_pq_adc")
 
       // Semantic dedup at the PRODUCTION configuration: k ∝ N (one
       // cluster per ~2500 vectors), seeds stride-spaced so they are k
