@@ -240,6 +240,67 @@ object NorthStarQueries {
          |LEFT JOIN nr ON n.doc_id = nr.doc_id
          |GROUP BY n.source ORDER BY n.source""".stripMargin))
 
+  /** STREAMING twin of the incremental-ingest exact path, driver-gated
+    * (r8 verdict task 6): the arriving half of the corpus (odd sources,
+    * same split as `ns_dedup_incremental`) is written as TWO parquet
+    * files and replayed through [[graft.streaming.DocumentStreams
+    * .incrementalGate]] with `Trigger.AvailableNow` + `maxFilesPerTrigger
+    * = 1` — two REAL micro-batches, so the content-hash dedup state is
+    * exercised ACROSS batch boundaries, and the existing-corpus check is
+    * the production stream-static anti-join. The result is the set of
+    * kept content hashes, which is deterministic regardless of which
+    * duplicate arrives first (the set is arrival-order-invariant even
+    * though the surviving doc_id is not), so DuckDB can oracle it with
+    * the batch anti-join formulation.
+    *
+    * Fresh checkpoint/sink dirs per run — a reused checkpoint would
+    * replay old state and skip the new input files.
+    */
+  private val dedupIncrementalStream = Q(
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val base = s"/root/repo/target/graft-tmp/incstream-${System.nanoTime()}"
+      val inDir = s"$base/in"
+      val d = T(s, dir, "documents")
+        .withColumn("existing",
+          expr("cast(substring(source, 4) as int)") % 2 === 0)
+      val existing = d.where(col("existing")).drop("existing")
+      val arriving = d.where(!col("existing")).drop("existing")
+      // two-batch fixture split by doc_id parity: each half lands as one
+      // file; in-stream duplicates straddle the boundary either way
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+      Seq(0, 1).foreach { p =>
+        val part = s"$base/part$p"
+        arriving.where(col("doc_id") % 2 === p)
+          .coalesce(1).write.mode("overwrite").parquet(part)
+        val f = new java.io.File(part).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(s"$inDir/batch$p.parquet"))
+      }
+      val stream = graft.streaming.DocumentStreams.incrementalGate(
+        s.readStream.schema(graft.Tables.schemas("documents"))
+          .option("maxFilesPerTrigger", "1").parquet(inDir),
+        existing)
+      val q = stream.select(col("content_hash"), col("n_chars"))
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/cp")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out").orderBy(col("content_hash"))
+    },
+    Some("""WITH d AS (
+           |  SELECT sha256(text) AS h, n_chars,
+           |    cast(substring(source, 4) as int) % 2 = 0 AS existing
+           |  FROM documents
+           |)
+           |SELECT DISTINCT h AS content_hash, n_chars
+           |FROM d
+           |WHERE NOT existing AND h NOT IN (SELECT h FROM d WHERE existing)
+           |ORDER BY content_hash""".stripMargin))
+
   // ---------------------------------------------------------------------
   // Dedup 2b: cluster resolution (connected components over LSH edges)
   // ---------------------------------------------------------------------
@@ -2666,6 +2727,7 @@ object NorthStarQueries {
     "ns_dedup_exact" -> dedupExact,
     "ns_dedup_minhash_lsh" -> dedupMinhashLsh,
     "ns_dedup_incremental" -> dedupIncremental,
+    "ns_dedup_incremental_stream" -> dedupIncrementalStream,
     "ns_dedup_clusters" -> dedupClusters,
     "ns_dedup_canonical" -> dedupCanonical,
     "ns_dedup_minhash_estimate" -> dedupMinhashEstimate,

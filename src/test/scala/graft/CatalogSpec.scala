@@ -51,6 +51,19 @@ class CatalogSpec extends SparkSpec {
         s"${SparkEntry.catalog.size} — update COVERAGE.md")
   }
 
+  test("BASELINE.md's oracle-suite count matches the code catalog") {
+    // same un-driftability contract as COVERAGE.md: the r8 verdict found
+    // BASELINE.md still carrying the r3 gate shape
+    val doc = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("BASELINE.md")), "UTF-8")
+    val declared = """\*\*(\d+) declared queries\*\*""".r
+      .findFirstMatchIn(doc).map(_.group(1).toInt)
+    assert(declared.isDefined, "BASELINE.md lost its '**N declared queries**' cell")
+    assert(declared.contains(SparkEntry.catalog.size),
+      s"BASELINE.md declares ${declared.get} queries but the catalog has " +
+        s"${SparkEntry.catalog.size} — update BASELINE.md")
+  }
+
   test("bench subset is non-empty and every bench query is oracled") {
     val bench = SparkEntry.catalog.filter(_._2.bench)
     assert(bench.size >= 8, s"expected >=8 headline queries, got ${bench.keys}")
