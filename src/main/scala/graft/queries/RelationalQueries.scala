@@ -328,10 +328,16 @@ object RelationalQueries {
   // Aggregations
   // ---------------------------------------------------------------------
 
-  /** TPC-H Q1 — the flagship pricing summary (SURVEY.md §7.1). */
+  /** TPC-H Q1 — the flagship pricing summary (SURVEY.md §7.1). Loaded
+    * spread (TS): the fixture is a single one-row-group file, so the
+    * plain scan runs the 8 decimal partial aggregates in ONE task; the
+    * round-robin exchange (pruned to the 7 needed columns, filter still
+    * pushed to the scan) costs far less than serializing the decimal
+    * math. At production scale (many files) the spread is a no-op.
+    */
   private val aggPricingSummary = Q(
     (s, dir) =>
-      T(s, dir, "lineitem")
+      TS(s, dir, "lineitem")
         .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
