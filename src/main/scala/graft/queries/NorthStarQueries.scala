@@ -2644,83 +2644,152 @@ object NorthStarQueries {
     * distances are exact integers on the 2^14 grid, so ranking ties and
     * hashes match DuckDB bit-for-bit.
     */
+  /** Shared ADC scoring (q_id, c_id, adc_d) over the quantized corpus
+    * `v` — the common front half of `ns_sim_pq_adc` and
+    * `ns_sim_pq_rerank`. See [[simPqAdc]]'s scaladoc for the plan-shape
+    * argument; expressions are kept byte-identical to the pre-refactor
+    * r8 form so the ADC gate hash is unchanged.
+    */
+  private def adcScoredDf(s: SparkSession, v: DataFrame): DataFrame = {
+    val cb: Map[Int, Seq[(Int, Seq[Long])]] =
+      v.where(col("vec_id") < PQ_CODES).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Long](1)))
+        .flatMap { case (j, xs) =>
+          (0 until PQ_M).map(m => (m, j, xs.slice(m * 8, m * 8 + 8)))
+        }
+        .groupBy(_._1).view
+        .mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq).toMap
+    graft.expressions.SquaredL2.registerIn(s)
+    // corpus codes: argmin codebook entry per subspace (same encode
+    // expression as ns_sim_pq)
+    val encExprs = (0 until PQ_M).map { m =>
+      val structs = cb(m).map { case (j, c) =>
+        s"struct(sq_l2(xq, cast(array(${c.mkString(",")}) as array<bigint>), " +
+          s"${m * 8}) AS d, cast($j as bigint) AS j)"
+      }
+      s"struct(cast($m as bigint) AS em, " +
+        s"element_at(array_sort(array(${structs.mkString(", ")})), 1).j AS code)"
+    }
+    val enc = v
+      .select(col("vec_id").as("c_id"),
+        explode(expr(s"array(${encExprs.mkString(", ")})")).as("e"))
+      .select(col("c_id"), col("e.em").as("em"), col("e.code").as("code"))
+    // per-query distance tables: one row per (query, subspace, code)
+    val dtabStructs = (0 until PQ_M).flatMap { m =>
+      cb(m).map { case (j, c) =>
+        s"struct(cast($m as bigint) AS m, cast($j as bigint) AS j, " +
+          s"sq_l2(xq, cast(array(${c.mkString(",")}) as array<bigint>), ${m * 8}) AS d)"
+      }
+    }
+    val dtab = v.where(col("vec_id") < PQ_CODES)
+      .select(col("vec_id").as("q_id"),
+        explode(expr(s"array(${dtabStructs.mkString(", ")})")).as("t"))
+      .select(col("q_id"), col("t.m").as("m"), col("t.j").as("j"), col("t.d").as("d"))
+    enc.join(broadcast(dtab), col("em") === col("m") && col("code") === col("j"))
+      .where(col("q_id") =!= col("c_id")) // queries ARE codebook sources: self-ADC is 0
+      .groupBy(col("q_id"), col("c_id")).agg(sum(col("d")).as("adc_d"))
+  }
+
+  /** The matching DuckDB CTE chain ending in `scored(q_id, c_id, adc_d)`. */
+  private val adcScoredSqlCtes =
+    s"""v AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> cast(floor(x::double * $KQ) as bigint)) AS xq
+       |  FROM embeddings
+       |), ms AS (
+       |  SELECT unnest(generate_series(0, ${PQ_M - 1})) AS m
+       |), cb AS (
+       |  SELECT m, vec_id AS j, xq[m*8+1:m*8+8] AS c FROM v, ms WHERE vec_id < $PQ_CODES
+       |), ev AS (
+       |  SELECT vec_id, m, xq[m*8+1:m*8+8] AS xs FROM v, ms
+       |), dist AS (
+       |  SELECT ev.vec_id, ev.m, cb.j,
+       |    list_sum(list_transform(generate_series(1, 8),
+       |      i -> (ev.xs[i] - cb.c[i]) * (ev.xs[i] - cb.c[i]))) AS d
+       |  FROM ev JOIN cb ON ev.m = cb.m
+       |), enc AS (
+       |  SELECT vec_id AS c_id, m, arg_min(j, d * $PQ_CODES + j) AS code
+       |  FROM dist GROUP BY vec_id, m
+       |), dtab AS (
+       |  SELECT vec_id AS q_id, m, j, d FROM dist WHERE vec_id < $PQ_CODES
+       |), scored AS (
+       |  SELECT dtab.q_id, enc.c_id, cast(sum(dtab.d) as bigint) AS adc_d
+       |  FROM enc JOIN dtab ON enc.m = dtab.m AND enc.code = dtab.j
+       |  WHERE dtab.q_id <> enc.c_id
+       |  GROUP BY dtab.q_id, enc.c_id
+       |)""".stripMargin
+
   private val simPqAdc = Q(
     (s, dir) => {
       val v = kmeansQuantized(s, dir).localCheckpoint(true)
-      val cb: Map[Int, Seq[(Int, Seq[Long])]] =
-        v.where(col("vec_id") < PQ_CODES).collect()
-          .map(r => (r.getLong(0).toInt, r.getSeq[Long](1)))
-          .flatMap { case (j, xs) =>
-            (0 until PQ_M).map(m => (m, j, xs.slice(m * 8, m * 8 + 8)))
-          }
-          .groupBy(_._1).view
-          .mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq).toMap
-      graft.expressions.SquaredL2.registerIn(s)
-      // corpus codes: argmin codebook entry per subspace (same encode
-      // expression as ns_sim_pq)
-      val encExprs = (0 until PQ_M).map { m =>
-        val structs = cb(m).map { case (j, c) =>
-          s"struct(sq_l2(xq, cast(array(${c.mkString(",")}) as array<bigint>), " +
-            s"${m * 8}) AS d, cast($j as bigint) AS j)"
-        }
-        s"struct(cast($m as bigint) AS em, " +
-          s"element_at(array_sort(array(${structs.mkString(", ")})), 1).j AS code)"
-      }
-      val enc = v
-        .select(col("vec_id").as("c_id"),
-          explode(expr(s"array(${encExprs.mkString(", ")})")).as("e"))
-        .select(col("c_id"), col("e.em").as("em"), col("e.code").as("code"))
-      // per-query distance tables: one row per (query, subspace, code)
-      val dtabStructs = (0 until PQ_M).flatMap { m =>
-        cb(m).map { case (j, c) =>
-          s"struct(cast($m as bigint) AS m, cast($j as bigint) AS j, " +
-            s"sq_l2(xq, cast(array(${c.mkString(",")}) as array<bigint>), ${m * 8}) AS d)"
-        }
-      }
-      val dtab = v.where(col("vec_id") < PQ_CODES)
-        .select(col("vec_id").as("q_id"),
-          explode(expr(s"array(${dtabStructs.mkString(", ")})")).as("t"))
-        .select(col("q_id"), col("t.m").as("m"), col("t.j").as("j"), col("t.d").as("d"))
       val wTop = Window.partitionBy(col("q_id")).orderBy(col("adc_d"), col("c_id"))
-      enc.join(broadcast(dtab), col("em") === col("m") && col("code") === col("j"))
-        .where(col("q_id") =!= col("c_id")) // queries ARE codebook sources: self-ADC is 0
-        .groupBy(col("q_id"), col("c_id")).agg(sum(col("d")).as("adc_d"))
+      adcScoredDf(s, v)
         .withColumn("rnk", row_number().over(wTop))
         .where(col("rnk") <= 5)
         .select(col("q_id"), col("rnk"), col("c_id"), col("adc_d"))
         .orderBy(col("q_id"), col("rnk"))
     },
-    Some(s"""WITH v AS (
-            |  SELECT vec_id,
-            |    list_transform(embedding, x -> cast(floor(x::double * $KQ) as bigint)) AS xq
-            |  FROM embeddings
-            |), ms AS (
-            |  SELECT unnest(generate_series(0, ${PQ_M - 1})) AS m
-            |), cb AS (
-            |  SELECT m, vec_id AS j, xq[m*8+1:m*8+8] AS c FROM v, ms WHERE vec_id < $PQ_CODES
-            |), ev AS (
-            |  SELECT vec_id, m, xq[m*8+1:m*8+8] AS xs FROM v, ms
-            |), dist AS (
-            |  SELECT ev.vec_id, ev.m, cb.j,
-            |    list_sum(list_transform(generate_series(1, 8),
-            |      i -> (ev.xs[i] - cb.c[i]) * (ev.xs[i] - cb.c[i]))) AS d
-            |  FROM ev JOIN cb ON ev.m = cb.m
-            |), enc AS (
-            |  SELECT vec_id AS c_id, m, arg_min(j, d * $PQ_CODES + j) AS code
-            |  FROM dist GROUP BY vec_id, m
-            |), dtab AS (
-            |  SELECT vec_id AS q_id, m, j, d FROM dist WHERE vec_id < $PQ_CODES
-            |), scored AS (
-            |  SELECT dtab.q_id, enc.c_id, cast(sum(dtab.d) as bigint) AS adc_d
-            |  FROM enc JOIN dtab ON enc.m = dtab.m AND enc.code = dtab.j
-            |  WHERE dtab.q_id <> enc.c_id
-            |  GROUP BY dtab.q_id, enc.c_id
-            |), r AS (
+    Some(s"""WITH $adcScoredSqlCtes, r AS (
             |  SELECT q_id, c_id, adc_d,
             |    row_number() OVER (PARTITION BY q_id ORDER BY adc_d, c_id) AS rnk
             |  FROM scored
             |)
             |SELECT q_id, rnk, c_id, adc_d
+            |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin))
+
+  /** Two-stage retrieval — ADC shortlist then EXACT re-rank, the
+    * production ANN pattern that buys back the recall PQ compression
+    * loses: stage 1 takes the top-20 ADC candidates per query (the
+    * shared [[adcScoredDf]] pipeline), stage 2 recomputes the EXACT
+    * quantized L2 distance (full 64-dim `sq_l2`) for only those
+    * 16 x 20 pairs and re-ranks to a top-5.
+    *
+    * Scale: the shortlist (n_queries x 20 rows of ids) is broadcast to
+    * an equi-join against the corpus — the full vectors of only the
+    * shortlisted candidates are touched, so stage-2 cost is
+    * O(n_queries x shortlist), independent of corpus size; the corpus
+    * is read by the ADC stage exactly once. Distances are exact
+    * integers on the 2^14 grid, so ranking and hashes match DuckDB.
+    */
+  private val simPqRerank = Q(
+    (s, dir) => {
+      val v = kmeansQuantized(s, dir).localCheckpoint(true)
+      val wShort = Window.partitionBy(col("q_id")).orderBy(col("adc_d"), col("c_id"))
+      val shortlist = adcScoredDf(s, v)
+        .withColumn("srnk", row_number().over(wShort))
+        .where(col("srnk") <= 20)
+        .select(col("q_id"), col("c_id"))
+      val qv = v.where(col("vec_id") < PQ_CODES)
+        .select(col("vec_id").as("q_id"), col("xq").as("qx"))
+      val wTop = Window.partitionBy(col("q_id")).orderBy(col("exact_d"), col("c_id"))
+      v.select(col("vec_id").as("c_id"), col("xq").as("cx"))
+        .join(broadcast(shortlist), Seq("c_id"))
+        .join(broadcast(qv), Seq("q_id"))
+        .withColumn("exact_d", expr("sq_l2(qx, cx)"))
+        .withColumn("rnk", row_number().over(wTop))
+        .where(col("rnk") <= 5)
+        .select(col("q_id"), col("rnk"), col("c_id"), col("exact_d"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(s"""WITH $adcScoredSqlCtes, short AS (
+            |  SELECT q_id, c_id FROM (
+            |    SELECT q_id, c_id,
+            |      row_number() OVER (PARTITION BY q_id ORDER BY adc_d, c_id) AS srnk
+            |    FROM scored
+            |  ) WHERE srnk <= 20
+            |), ex AS (
+            |  SELECT sh.q_id, sh.c_id,
+            |    cast(list_sum(list_transform(generate_series(1, len(qv.xq)),
+            |      i -> (qv.xq[i] - cv.xq[i]) * (qv.xq[i] - cv.xq[i]))) as bigint) AS exact_d
+            |  FROM short sh
+            |  JOIN v qv ON qv.vec_id = sh.q_id
+            |  JOIN v cv ON cv.vec_id = sh.c_id
+            |), r AS (
+            |  SELECT q_id, c_id, exact_d,
+            |    row_number() OVER (PARTITION BY q_id ORDER BY exact_d, c_id) AS rnk
+            |  FROM ex
+            |)
+            |SELECT q_id, rnk, c_id, exact_d
             |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin))
 
   val all: Map[String, Q] = Map(
@@ -2770,6 +2839,7 @@ object NorthStarQueries {
     "ns_dedup_semantic" -> dedupSemantic,
     "ns_dedup_semantic_k16" -> dedupSemanticK16,
     "ns_sim_pq_adc" -> simPqAdc,
+    "ns_sim_pq_rerank" -> simPqRerank,
     "ns_text_collocations" -> textCollocations,
     "ns_sim_pq" -> simPq,
     "ns_profile_drift" -> profileDrift,

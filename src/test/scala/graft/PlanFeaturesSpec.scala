@@ -189,6 +189,19 @@ class PlanFeaturesSpec extends SparkSpec {
       s"per-query top-5 rank window should prune map-side:\n$opt")
   }
 
+  test("PQ re-rank joins the shortlist back to the corpus by broadcast") {
+    // stage 2 of two-stage retrieval must touch only the shortlisted
+    // pairs: both the (q_id, c_id) shortlist and the 16 query vectors
+    // reach the corpus scan as broadcast hash joins, never a shuffle of
+    // the corpus keyed by candidate id
+    val q = SparkEntry.catalog("ns_sim_pq_rerank").fn(spark, sfDir)
+    val bhj = q.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bhj.size >= 2,
+      s"expected shortlist + query-vector broadcast joins, got ${bhj.size}")
+  }
+
   test("incremental dedup probes the existing corpus via semi-joins, never all-pairs") {
     val q = SparkEntry.catalog("ns_dedup_incremental").fn(spark, sfDir)
     val joins = q.queryExecution.optimizedPlan.collect {
