@@ -546,6 +546,121 @@ object NorthStarQueries {
          |FROM documents ORDER BY doc_id""".stripMargin
     })
 
+  /** SimHash near-dup detection at Hamming distance <= 3 — the full
+    * production algorithm, not just the signature: a 32-bit simhash per
+    * doc (same md5-parity bit construction as `ns_dedup_simhash`,
+    * widened), split into 4 bands of 8 bits. PIGEONHOLE: any pair
+    * within Hamming <= 3 differs in at most 3 bands, so it matches
+    * EXACTLY on at least one band — candidate generation is 4 equi-join
+    * bucket probes (explode x4, join on (band, value)), never all
+    * pairs; candidates then verify the true distance with
+    * `bit_count(xor)`. Output is the verified-pair histogram by
+    * distance. At 100 TB the same plan runs with a 64-bit hash and 4
+    * x 16-bit bands (65536-way buckets): the banding factor is a
+    * constant and the bucket join partitions by (band, value).
+    */
+  private val dedupSimhashHamming = Q(
+    (s, dir) => {
+      val bitSum = (j: Int) =>
+        s"aggregate(split(text, ' '), 0, (acc, t) -> acc + " +
+          s"(CASE WHEN ascii(substring(md5(t), ${j + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END))"
+      val simhash = (0 until 32)
+        .map(j => s"(CASE WHEN ${bitSum(j)} >= 0 THEN cast(${1L << j} as bigint) " +
+          "ELSE cast(0 as bigint) END)")
+        .mkString(" + ")
+      val sh = TS(s, dir, "documents")
+        .select(col("doc_id"), expr(simhash).as("sh"))
+      val bands = sh
+        .select(col("doc_id"), col("sh"), explode(expr("sequence(0, 3)")).as("k"))
+        .withColumn("bv", expr("shiftright(sh, 8 * k) & 255"))
+      val a = bands.select(col("doc_id").as("doc_a"), col("sh").as("sha_"),
+        col("k"), col("bv"))
+      val b = bands.select(col("doc_id").as("doc_b"), col("sh").as("shb_"),
+        col("k").as("kb"), col("bv").as("bvb"))
+      a.join(b, col("k") === col("kb") && col("bv") === col("bvb") &&
+          col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("sha_"), col("shb_"))
+        .distinct() // a pair sharing several bands matches several probes
+        .withColumn("hamming", expr("bit_count(sha_ ^ shb_)"))
+        .where(col("hamming") <= 3)
+        .groupBy(col("hamming"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("doc_b")).as("n_docs_flagged"))
+        .orderBy(col("hamming"))
+    },
+    Some {
+      val bitSum = (j: Int) =>
+        s"list_sum(list_transform(string_split(text, ' '), t -> " +
+          s"CASE WHEN ascii(substr(md5(t), ${j + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END))"
+      val simhash = (0 until 32)
+        .map(j => s"(CASE WHEN ${bitSum(j)} >= 0 THEN cast(${1L << j} as bigint) " +
+          "ELSE cast(0 as bigint) END)")
+        .mkString(" + ")
+      s"""WITH s AS (
+         |  SELECT doc_id, $simhash AS sh FROM documents
+         |), ks AS (
+         |  SELECT unnest(generate_series(0, 3)) AS k
+         |), bands AS (
+         |  SELECT doc_id, sh, k, (sh >> (8 * k)) & 255 AS bv FROM s, ks
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.sh AS sha, b.sh AS shb
+         |  FROM bands a JOIN bands b
+         |    ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id
+         |), ver AS (
+         |  SELECT doc_a, doc_b, bit_count(xor(sha, shb)) AS hamming
+         |  FROM cand WHERE bit_count(xor(sha, shb)) <= 3
+         |)
+         |SELECT hamming, count(*) AS n_pairs,
+         |  count(DISTINCT doc_b) AS n_docs_flagged
+         |FROM ver GROUP BY hamming ORDER BY hamming""".stripMargin
+    })
+
+  /** Temperature-based corpus mixture (alpha-sampling, alpha = 0.5):
+    * the per-source sampling weights a multi-source training mix uses
+    * to up-weight small sources — w_s ∝ (token share)^alpha. Determinism
+    * across engines: every float here derives from exact integer token
+    * counts via IEEE-exact ops ONLY (one division + one sqrt), so
+    * `temp_weight = sqrt(tok_s / tok_max)` and the implied upsampling
+    * factor `sqrt(tok_max / tok_s)` are bit-identical in Spark and
+    * DuckDB — no order-dependent float normalization sum; the exact
+    * share uses decimal division. One source-keyed two-phase aggregate;
+    * the max joins back as a broadcast scalar.
+    */
+  private val corpusTemperature = Q(
+    (s, dir) => {
+      val toks = TS(s, dir, "documents")
+        .select(col("source"), expr("size(split(text, ' '))").cast("long").as("t"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"))
+      val mx = toks.agg(max(col("n_tokens")).as("tok_max"),
+        sum(col("n_tokens")).as("tok_total"))
+      toks.crossJoin(broadcast(mx))
+        // exact integer parts-per-billion share (round-half-up): floats
+        // never enter the shares, so they hash identically cross-engine
+        .withColumn("share_e9",
+          expr("(n_tokens * 1000000000 + tok_total div 2) div tok_total"))
+        .withColumn("temp_weight",
+          expr("sqrt(cast(n_tokens as double) / cast(tok_max as double))"))
+        .withColumn("upsample",
+          expr("sqrt(cast(tok_max as double) / cast(n_tokens as double))"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("share_e9"), col("temp_weight"), col("upsample"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH toks AS (
+           |  SELECT source, count(*) AS n_docs,
+           |    cast(sum(len(string_split(text, ' '))) as bigint) AS n_tokens
+           |  FROM documents GROUP BY source
+           |), mx AS (
+           |  SELECT max(n_tokens) AS tok_max, sum(n_tokens) AS tok_total FROM toks
+           |)
+           |SELECT source, n_docs, n_tokens,
+           |  cast((n_tokens * 1000000000 + tok_total // 2) // tok_total as bigint) AS share_e9,
+           |  sqrt(cast(n_tokens as double) / cast(tok_max as double)) AS temp_weight,
+           |  sqrt(cast(tok_max as double) / cast(n_tokens as double)) AS upsample
+           |FROM toks, mx ORDER BY source""".stripMargin))
+
   // ---------------------------------------------------------------------
   // Dedup 4: n-gram Jaccard (blocked pairwise verification)
   // ---------------------------------------------------------------------
@@ -2801,6 +2916,8 @@ object NorthStarQueries {
     "ns_dedup_canonical" -> dedupCanonical,
     "ns_dedup_minhash_estimate" -> dedupMinhashEstimate,
     "ns_dedup_simhash" -> dedupSimhash,
+    "ns_dedup_simhash_hamming" -> dedupSimhashHamming,
+    "ns_corpus_temperature" -> corpusTemperature,
     "ns_dedup_ngram_jaccard" -> dedupNgramJaccard,
     "ns_dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "ns_dedup_edit_distance" -> dedupEditDistance,
