@@ -2907,6 +2907,222 @@ object NorthStarQueries {
             |SELECT q_id, rnk, c_id, exact_d
             |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // Sparse retrieval: BM25 + hybrid dense/sparse fusion
+  // ---------------------------------------------------------------------
+
+  /** The fixed query set shared by BM25 and the hybrid-RRF op: three
+    * keyword queries over the corpus vocabulary, inlined as literals
+    * into BOTH engines (a VALUES table on the DuckDB side).
+    */
+  private val bm25QTerms: Seq[(Int, String)] = Seq(
+    0 -> "filter", 0 -> "join",
+    1 -> "stream", 1 -> "window",
+    2 -> "customer", 2 -> "data", 2 -> "query")
+
+  private val bm25QTermsSql: String =
+    bm25QTerms.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+
+  /** Okapi BM25 (k1=1.2, b=0.75, Lucene idf) per (qid, doc): the sparse
+    * retrieval baseline behind keyword search and hybrid RAG pipelines.
+    *
+    * Cross-engine determinism: idf is rounded to 6 dp (the one
+    * non-correctly-rounded primitive, ln — same mitigation as
+    * [[textTfidf]]); everything else is IEEE double arithmetic with an
+    * identical expression tree in both engines, and the per-term
+    * contributions are floored onto a 1e-6 grid and summed as exact
+    * bigints, so the per-doc score is order-independent.
+    *
+    * Scale: tokens are filtered to the query vocabulary BEFORE any
+    * shuffle, so the (doc, term) aggregate is proportional to matching
+    * postings, not the corpus; df (<= |query vocab| rows), the query
+    * table, and the N/avgdl scalar all broadcast. At 100 TB this is one
+    * keyed shuffle over the postings of the queried terms only.
+    */
+  private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
+    val docs = TS(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val scal = docs
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl").cast("long")).as("sum_dl"))
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+    val toks = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .where(col("term").isInCollection(bm25QTerms.map(_._2).distinct))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(max(col("dl")).as("dl"), count(lit(1)).as("tf"))
+    val dfq = toks.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val qt = {
+      import s.implicits._
+      bm25QTerms.toDF("qid", "term")
+    }
+    tf.join(broadcast(dfq), Seq("term"))
+      .join(broadcast(qt), Seq("term"))
+      .crossJoin(broadcast(scal))
+      .withColumn("idf", round(
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)), 6))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(floor(col("contrib") * lit(1000000.0)).cast("long")).as("score_fp"))
+  }
+
+  /** DuckDB twin of [[bm25Scores]] — CTE block ending in `bm(qid,
+    * doc_id, score_fp)`, shared by the BM25 and hybrid-RRF oracles.
+    */
+  private val bm25ScoresSql: String =
+    s"""bdocs AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |    len(string_split(text, ' ')) AS dl
+       |  FROM documents
+       |), bscal AS (
+       |  SELECT count(*) AS n_docs,
+       |    cast(sum(dl) as double) / count(*) AS avgdl
+       |  FROM bdocs
+       |), qt(qid, term) AS (
+       |  VALUES $bm25QTermsSql
+       |), btoks AS (
+       |  SELECT doc_id, dl, unnest(toks) AS term FROM bdocs
+       |), bm_m AS (
+       |  SELECT doc_id, dl, term FROM btoks
+       |  WHERE term IN (SELECT DISTINCT term FROM qt)
+       |), bm_tf AS (
+       |  SELECT doc_id, term, max(dl) AS dl, count(*) AS tf
+       |  FROM bm_m GROUP BY doc_id, term
+       |), bm_df AS (
+       |  SELECT term, count(DISTINCT doc_id) AS df FROM bm_m GROUP BY term
+       |), bm_c AS (
+       |  SELECT qt.qid, t.doc_id,
+       |    round(ln((n.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0), 6)
+       |      * (t.tf * 2.2) /
+       |      (t.tf + 1.2 * (0.25 + 0.75 * (t.dl / n.avgdl))) AS contrib
+       |  FROM bm_tf t JOIN bm_df d USING (term) JOIN qt USING (term), bscal n
+       |), bm AS (
+       |  SELECT qid, doc_id,
+       |    cast(sum(cast(floor(contrib * 1000000.0) as bigint)) as bigint) AS score_fp
+       |  FROM bm_c GROUP BY qid, doc_id
+       |)""".stripMargin
+
+  /** BM25 top-10 per query — see [[bm25Scores]] for the scoring and
+    * scale contract. Emits both the exact fixed-point score (the hash
+    * anchor) and the human-readable double.
+    */
+  private val textBm25 = Q(
+    (s, dir) => {
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("score_fp").desc, col("doc_id"))
+      bm25Scores(s, dir)
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 10)
+        .select(col("qid"), col("rnk"), col("doc_id"), col("score_fp"),
+          round(col("score_fp").cast("double") / lit(1000000.0), 6).as("bm25"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+    Some(s"""WITH $bm25ScoresSql
+            |SELECT qid, rnk, doc_id, score_fp,
+            |  round(cast(score_fp as double) / 1000000.0, 6) AS bm25
+            |FROM (
+            |  SELECT qid, doc_id, score_fp,
+            |    row_number() OVER (PARTITION BY qid
+            |      ORDER BY score_fp DESC, doc_id) AS rnk
+            |  FROM bm
+            |) WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin))
+
+  /** Hybrid retrieval via reciprocal-rank fusion: the standard way a
+    * RAG/search pipeline combines a dense (embedding-cosine) ranking
+    * with a sparse (BM25) ranking — rrf(d) = sum over lists of
+    * 1/(60 + rank_d), docs missing from a list contribute 0. Queries
+    * 0..2 pair vector qid (= vec_id) with the keyword set of
+    * [[bm25QTerms]]; ids are fused across the shared doc_id/vec_id
+    * space.
+    *
+    * Determinism: each list contribution is floor(1e12/(60+rank)) — an
+    * exact bigint from an integer rank — so fused scores and their
+    * ordering are integer-exact in both engines.
+    *
+    * Scale: both inputs are already top-20-bounded per query, so the
+    * fusion full-outer join touches O(queries x k) rows regardless of
+    * corpus size; the dense side is the broadcast-query cosine plan of
+    * [[simCosineTopk]], the sparse side the filtered-postings plan of
+    * [[bm25Scores]].
+    */
+  private val simHybridRrf = Q(
+    (s, dir) => {
+      graft.expressions.ScaledDotProduct.registerIn(s)
+      val e = TS(s, dir, "embeddings")
+      val withNorm = e.withColumn("nrm", expr(scaledDot("embedding", "embedding")))
+      val qv = withNorm.where(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_emb"), col("nrm").as("nq"))
+      val cv = withNorm
+        .select(col("vec_id").as("id"), col("embedding").as("c_emb"), col("nrm").as("nc"))
+      val wd = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("id"))
+      val dense = broadcast(qv).join(cv, col("qid") =!= col("id"))
+        .withColumn("dot", expr(scaledDot("q_emb", "c_emb")))
+        .withColumn("cos", col("dot").cast("double") /
+          (sqrt(col("nq").cast("double")) * sqrt(col("nc").cast("double"))))
+        .withColumn("rnk_d", row_number().over(wd))
+        .where(col("rnk_d") <= 20)
+        .select(col("qid"), col("id"), col("rnk_d"))
+      val ws = Window.partitionBy(col("qid")).orderBy(col("score_fp").desc, col("doc_id"))
+      val sparse = bm25Scores(s, dir)
+        .withColumn("rnk_s", row_number().over(ws))
+        .where(col("rnk_s") <= 20)
+        .select(col("qid"), col("doc_id").as("id"), col("rnk_s"))
+      val wf = Window.partitionBy(col("qid")).orderBy(col("rrf_fp").desc, col("id"))
+      dense.join(sparse, Seq("qid", "id"), "full_outer")
+        .withColumn("rrf_fp",
+          coalesce(floor(lit(1000000000000.0) / (lit(60) + col("rnk_d"))).cast("long"), lit(0L)) +
+          coalesce(floor(lit(1000000000000.0) / (lit(60) + col("rnk_s"))).cast("long"), lit(0L)))
+        .withColumn("rnk", row_number().over(wf))
+        .where(col("rnk") <= 10)
+        .select(col("qid"), col("rnk"), col("id"), col("rrf_fp"),
+          col("rnk_d").isNotNull.as("in_dense"),
+          col("rnk_s").isNotNull.as("in_sparse"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+    Some(s"""WITH $bm25ScoresSql, nv AS (
+            |  SELECT vec_id, embedding,
+            |    ${scaledDotSql("embedding", "embedding")} AS nrm
+            |  FROM embeddings
+            |), dq AS (
+            |  SELECT vec_id AS qid, embedding AS q_emb, nrm AS nq FROM nv WHERE vec_id < 3
+            |), dc AS (
+            |  SELECT vec_id AS id, embedding AS c_emb, nrm AS nc FROM nv
+            |), dp AS (
+            |  SELECT qid, id,
+            |    cast(${scaledDotSql("q_emb", "c_emb")} as double)
+            |      / (sqrt(cast(nq as double)) * sqrt(cast(nc as double))) AS cos
+            |  FROM dq, dc WHERE qid <> id
+            |), dense AS (
+            |  SELECT qid, id, rnk_d FROM (
+            |    SELECT qid, id,
+            |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id) AS rnk_d
+            |    FROM dp
+            |  ) WHERE rnk_d <= 20
+            |), sparse AS (
+            |  SELECT qid, id, rnk_s FROM (
+            |    SELECT qid, doc_id AS id,
+            |      row_number() OVER (PARTITION BY qid
+            |        ORDER BY score_fp DESC, doc_id) AS rnk_s
+            |    FROM bm
+            |  ) WHERE rnk_s <= 20
+            |), fused AS (
+            |  SELECT qid, id,
+            |    coalesce(cast(floor(1000000000000.0 / (60 + rnk_d)) as bigint), 0) +
+            |    coalesce(cast(floor(1000000000000.0 / (60 + rnk_s)) as bigint), 0) AS rrf_fp,
+            |    rnk_d IS NOT NULL AS in_dense,
+            |    rnk_s IS NOT NULL AS in_sparse
+            |  FROM dense FULL JOIN sparse USING (qid, id)
+            |)
+            |SELECT qid, rnk, id, rrf_fp, in_dense, in_sparse FROM (
+            |  SELECT qid, id, rrf_fp, in_dense, in_sparse,
+            |    row_number() OVER (PARTITION BY qid ORDER BY rrf_fp DESC, id) AS rnk
+            |  FROM fused
+            |) WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "ns_dedup_exact" -> dedupExact,
     "ns_dedup_minhash_lsh" -> dedupMinhashLsh,
@@ -2931,6 +3147,8 @@ object NorthStarQueries {
     "ns_text_token_counts" -> textTokenCounts,
     "ns_text_top_terms" -> textTopTerms,
     "ns_text_tfidf" -> textTfidf,
+    "ns_text_bm25" -> textBm25,
+    "ns_sim_hybrid_rrf" -> simHybridRrf,
     "ns_text_chunks" -> textChunks,
     "ns_text_chunks_cdc" -> textChunksCdc,
     "ns_dedup_chunks" -> dedupChunks,

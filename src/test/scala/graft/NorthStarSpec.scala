@@ -361,4 +361,58 @@ class NorthStarSpec extends SparkSpec {
         s"cluster ${r.getLong(0)}: more drops than similar pairs")
     }
   }
+
+  test("bm25: ranks are dense, scores non-increasing, hits contain a query term") {
+    val qTerms = Map(
+      0 -> Set("filter", "join"),
+      1 -> Set("stream", "window"),
+      2 -> Set("customer", "data", "query"))
+    val out = SparkEntry.queries("ns_text_bm25")(spark, sfDir)
+      .select("qid", "rnk", "doc_id", "score_fp").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val docText = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.groupBy(_._1).foreach { case (qid, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length),
+        s"qid $qid: ranks not dense from 1")
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._4 > b._4 || (a._4 == b._4 && a._3 < b._3)
+        case _           => true
+      }, s"qid $qid: scores not ordered desc with doc_id tiebreak")
+      sorted.foreach { case (_, _, docId, scoreFp) =>
+        assert(scoreFp > 0, s"qid $qid doc $docId: non-positive BM25 score")
+        val toks = docText(docId).split(" ").toSet
+        assert(qTerms(qid).exists(toks.contains),
+          s"qid $qid doc $docId: ranked without containing any query term")
+      }
+    }
+  }
+
+  test("rrf fusion: docs in both lists outrank single-list docs (k=20, base 60)") {
+    // floor(1e12/80)*2 (worst both-lists score) > floor(1e12/61)
+    // (best single-list score), so this holds by construction iff the
+    // fusion actually credits both lists.
+    val out = SparkEntry.queries("ns_sim_hybrid_rrf")(spark, sfDir)
+      .select("qid", "rnk", "rrf_fp", "in_dense", "in_sparse").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3), r.getBoolean(4)))
+    assert(out.nonEmpty)
+    out.foreach { case (qid, rnk, fp, d, s) =>
+      assert(d || s, s"qid $qid rnk $rnk: row from neither ranking")
+      val single = 1000000000000L / 61
+      val both = (1000000000000L / 80) * 2
+      if (d && s) assert(fp >= both, s"qid $qid rnk $rnk: both-lists score too low")
+      else assert(fp <= single, s"qid $qid rnk $rnk: single-list score too high")
+    }
+    out.groupBy(_._1).foreach { case (qid, rows) =>
+      val worstBoth = rows.filter(r => r._4 && r._5).map(_._2).maxOption
+      val bestSingle = rows.filter(r => !(r._4 && r._5)).map(_._2).minOption
+      (worstBoth, bestSingle) match {
+        case (Some(wb), Some(bs)) =>
+          assert(wb < bs, s"qid $qid: a single-list doc outranked a both-lists doc")
+        case _ => ()
+      }
+    }
+  }
 }
