@@ -3123,6 +3123,205 @@ object NorthStarQueries {
             |  FROM fused
             |) WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin))
 
+  /** ANN index-quality audit: recall@10 of IVF (nprobe = 1 and 2)
+    * against the exact brute-force top-10, per query — the number an
+    * ANN operator owner watches to size nprobe, produced by the engine
+    * itself instead of an offline notebook. Output is one row per
+    * (nprobe, query) with the hit count and recall, so regressions
+    * localize to a query.
+    *
+    * Determinism: both rankings order by (cos desc, c_id) on the exact
+    * integer-grid cosine used by every similarity op here, so the
+    * top-10 SETS are identical across engines; hits/recall are integer
+    * arithmetic (recall = hits/10 as one exact division).
+    *
+    * Scale: the exact side is the audit's ground truth over a FIXED
+    * 16-query sample (broadcast against the corpus — the standard way
+    * recall is estimated at any corpus size); the IVF side reuses the
+    * probed-cells join of [[ivfTopk]]. The nprobe dimension is an
+    * explode of the arn<=2 probe rows, not a recompute.
+    */
+  private val simIvfRecall = Q(
+    (s, dir) => {
+      graft.expressions.ScaledDotProduct.registerIn(s)
+      val e = TS(s, dir, "embeddings")
+        .withColumn("nrm", expr("scaled_dot(embedding, embedding)"))
+      // exact brute-force top-10 per query (ground truth)
+      val q16 = e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+                col("nrm").as("nq"))
+      val corp = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+                          col("nrm").as("nc"))
+      val wEx = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+      val exact = broadcast(q16).join(corp, col("q_id") =!= col("c_id"))
+        .withColumn("cos", expr("scaled_dot(q_emb, c_emb)").cast("double") /
+          (sqrt(col("nq").cast("double")) * sqrt(col("nc").cast("double"))))
+        .withColumn("ern", row_number().over(wEx))
+        .where(col("ern") <= 10)
+        .select(col("q_id"), col("c_id"))
+      // IVF assignment (same 16 fixed coarse centroids as ivfTopk)
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cen_cos").desc, col("cen_id"))
+      val ranked = e.join(broadcast(
+          e.where(col("vec_id").between(100, 115))
+            .select(col("vec_id").as("cen_id"), col("embedding").as("cen_emb"),
+                    col("nrm").as("cen_nrm"))), lit(true))
+        .withColumn("cen_cos", expr("scaled_dot(embedding, cen_emb)").cast("double") /
+          (sqrt(col("nrm").cast("double")) * sqrt(col("cen_nrm").cast("double"))))
+        .withColumn("arn", row_number().over(wAssign))
+      val assigned = ranked.where(col("arn") === 1)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+                col("nrm").as("nc"), col("cen_id").as("cell_c"))
+      val probes = ranked.where(col("arn") <= 2 && col("vec_id") < 16)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+                col("nrm").as("nq"), col("cen_id").as("cell"), col("arn"))
+      val np = {
+        import s.implicits._
+        Seq(1, 2).toDF("nprobe")
+      }
+      val wIvf = Window.partitionBy(col("nprobe"), col("q_id"))
+        .orderBy(col("cos").desc, col("c_id"))
+      val ivf = probes.join(broadcast(np), col("arn") <= col("nprobe"))
+        .join(assigned, col("cell") === col("cell_c") && col("q_id") =!= col("c_id"))
+        .withColumn("cos", expr("scaled_dot(q_emb, c_emb)").cast("double") /
+          (sqrt(col("nq").cast("double")) * sqrt(col("nc").cast("double"))))
+        .withColumn("irn", row_number().over(wIvf))
+        .where(col("irn") <= 10)
+        .select(col("nprobe"), col("q_id"), col("c_id"))
+      ivf.join(exact, Seq("q_id", "c_id"), "left_semi")
+        .groupBy(col("nprobe"), col("q_id"))
+        .agg(count(lit(1)).as("hits"))
+        .join(probes.select(col("q_id")).distinct()
+                .crossJoin(broadcast(np)), Seq("nprobe", "q_id"), "right")
+        .select(col("nprobe"), col("q_id"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          (coalesce(col("hits"), lit(0L)).cast("double") / lit(10.0)).as("recall_at_10"))
+        .orderBy(col("nprobe"), col("q_id"))
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, embedding,
+            |    ${scaledDotSql("embedding", "embedding")} AS nrm
+            |  FROM embeddings
+            |), q16 AS (
+            |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS nq FROM e WHERE vec_id < 16
+            |), ex AS (
+            |  SELECT q_id, c_id FROM (
+            |    SELECT q.q_id, c.vec_id AS c_id,
+            |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+            |        cast(${scaledDotSql("q.q_emb", "c.embedding")} as double)
+            |          / (sqrt(cast(q.nq as double)) * sqrt(cast(c.nrm as double))) DESC,
+            |        c.vec_id) AS ern
+            |    FROM q16 q JOIN e c ON q.q_id <> c.vec_id
+            |  ) WHERE ern <= 10
+            |), cen AS (
+            |  SELECT vec_id AS cen_id, embedding AS cen_emb, nrm AS cen_nrm
+            |  FROM e WHERE vec_id BETWEEN 100 AND 115
+            |), ranked AS (
+            |  SELECT *, row_number() OVER (PARTITION BY vec_id
+            |                               ORDER BY cen_cos DESC, cen_id) AS arn
+            |  FROM (
+            |    SELECT e.vec_id, e.embedding, e.nrm, cen.cen_id,
+            |      cast(${scaledDotSql("e.embedding", "cen.cen_emb")} as double)
+            |        / (sqrt(cast(e.nrm as double)) * sqrt(cast(cen.cen_nrm as double))) AS cen_cos
+            |    FROM e, cen)
+            |), assigned AS (
+            |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS nc, cen_id AS cell_c
+            |  FROM ranked WHERE arn = 1
+            |), probes AS (
+            |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS nq, cen_id AS cell, arn
+            |  FROM ranked WHERE arn <= 2 AND vec_id < 16
+            |), np(nprobe) AS (VALUES (1), (2)
+            |), ivf AS (
+            |  SELECT nprobe, q_id, c_id FROM (
+            |    SELECT np.nprobe, p.q_id, c.c_id,
+            |      row_number() OVER (PARTITION BY np.nprobe, p.q_id ORDER BY
+            |        cast(${scaledDotSql("p.q_emb", "c.c_emb")} as double)
+            |          / (sqrt(cast(p.nq as double)) * sqrt(cast(c.nc as double))) DESC,
+            |        c.c_id) AS irn
+            |    FROM probes p JOIN np ON p.arn <= np.nprobe
+            |    JOIN assigned c ON p.cell = c.cell_c AND p.q_id <> c.c_id
+            |  ) WHERE irn <= 10
+            |), hits AS (
+            |  SELECT i.nprobe, i.q_id, count(*) AS hits
+            |  FROM ivf i JOIN ex ON i.q_id = ex.q_id AND i.c_id = ex.c_id
+            |  GROUP BY i.nprobe, i.q_id
+            |), qs AS (
+            |  SELECT DISTINCT nprobe, q_id FROM probes, np
+            |)
+            |SELECT qs.nprobe, qs.q_id,
+            |  cast(coalesce(h.hits, 0) as bigint) AS hits,
+            |  cast(coalesce(h.hits, 0) as double) / 10.0 AS recall_at_10
+            |FROM qs LEFT JOIN hits h ON qs.nprobe = h.nprobe AND qs.q_id = h.q_id
+            |ORDER BY qs.nprobe, qs.q_id""".stripMargin))
+
+  /** Token-budget corpus selection: per source, keep the
+    * highest-quality documents until a token budget is exhausted — the
+    * selection step of budgeted data mixing (pick the best B tokens per
+    * source for a training run). Quality key: type-token ratio on a
+    * 1e-6 fixed-point grid (exact integers), ranked desc with doc_id
+    * tiebreak; a doc is kept iff the running token total through it
+    * stays within budget (first-fit by rank).
+    *
+    * Determinism: ratio, ranks and cumulative sums are all integer
+    * arithmetic; the one division per source (budget utilization) is a
+    * single IEEE op.
+    *
+    * Scale: the rank + cumsum windows are SOURCE-partitioned — no
+    * global sort; a pathologically fat source decomposes by the same
+    * block-prefix-sum trick [[textPack]] uses. Selection emits per-doc
+    * keep flags upstream; this query reports the per-source audit
+    * (kept/total docs and tokens, utilization, quality cutoff).
+    */
+  private val corpusTokenBudget = Q(
+    (s, dir) => {
+      val budget = 2000L
+      val docs = TS(s, dir, "documents")
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("source"), size(col("toks")).as("n_toks"),
+          floor(lit(1000000L) * size(array_distinct(col("toks"))) / size(col("toks")))
+            .cast("long").as("ttr_fp"))
+      val wRank = Window.partitionBy(col("source"))
+        .orderBy(col("ttr_fp").desc, col("doc_id"))
+      val ranked = docs
+        .withColumn("cum_toks", sum(col("n_toks").cast("long"))
+          .over(wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("kept", col("cum_toks") <= budget)
+      ranked.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_toks").cast("long")).as("total_toks"),
+             sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+             sum(when(col("kept"), col("n_toks").cast("long")).otherwise(0L)).as("kept_toks"),
+             min(when(col("kept"), col("ttr_fp"))).as("cutoff_ttr_fp"))
+        .withColumn("budget", lit(budget))
+        .withColumn("utilization",
+          col("kept_toks").cast("double") / col("budget"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH d AS (
+           |  SELECT doc_id, source,
+           |    len(string_split(text, ' ')) AS n_toks,
+           |    cast(floor(1000000 * len(list_distinct(string_split(text, ' ')))
+           |      / len(string_split(text, ' '))) as bigint) AS ttr_fp
+           |  FROM documents
+           |), r AS (
+           |  SELECT *, sum(n_toks) OVER (PARTITION BY source
+           |      ORDER BY ttr_fp DESC, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks
+           |  FROM d
+           |), k AS (
+           |  SELECT *, cum_toks <= 2000 AS kept FROM r
+           |)
+           |SELECT source,
+           |  count(*) AS n_docs,
+           |  cast(sum(n_toks) as bigint) AS total_toks,
+           |  cast(sum(CASE WHEN kept THEN 1 ELSE 0 END) as bigint) AS n_kept,
+           |  cast(sum(CASE WHEN kept THEN n_toks ELSE 0 END) as bigint) AS kept_toks,
+           |  min(CASE WHEN kept THEN ttr_fp END) AS cutoff_ttr_fp,
+           |  cast(2000 as bigint) AS budget,
+           |  cast(sum(CASE WHEN kept THEN n_toks ELSE 0 END) as double)
+           |    / 2000 AS utilization
+           |FROM k GROUP BY source ORDER BY source""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "ns_dedup_exact" -> dedupExact,
     "ns_dedup_minhash_lsh" -> dedupMinhashLsh,
@@ -3149,6 +3348,8 @@ object NorthStarQueries {
     "ns_text_tfidf" -> textTfidf,
     "ns_text_bm25" -> textBm25,
     "ns_sim_hybrid_rrf" -> simHybridRrf,
+    "ns_sim_ivf_recall" -> simIvfRecall,
+    "ns_corpus_token_budget" -> corpusTokenBudget,
     "ns_text_chunks" -> textChunks,
     "ns_text_chunks_cdc" -> textChunksCdc,
     "ns_dedup_chunks" -> dedupChunks,

@@ -415,4 +415,40 @@ class NorthStarSpec extends SparkSpec {
       }
     }
   }
+
+  test("ivf recall audit: recall in [0,1], monotone in nprobe, 16 queries per nprobe") {
+    val out = SparkEntry.queries("ns_sim_ivf_recall")(spark, sfDir)
+      .select("nprobe", "q_id", "hits", "recall_at_10").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byNp = out.groupBy(_._1)
+    assert(byNp.keySet == Set(1, 2))
+    byNp.foreach { case (np, rows) =>
+      assert(rows.length == 16, s"nprobe $np: expected 16 query rows")
+      rows.foreach { case (_, q, hits, rec) =>
+        assert(hits >= 0 && hits <= 10, s"nprobe $np q $q: hits out of range")
+        assert(math.abs(rec - hits / 10.0) < 1e-12)
+      }
+    }
+    val r1 = byNp(1).map(r => r._2 -> r._3).toMap
+    byNp(2).foreach { case (_, q, hits2, _) =>
+      assert(hits2 >= r1(q),
+        s"query $q: recall dropped when probing more cells (${r1(q)} -> $hits2)")
+    }
+  }
+
+  test("token budget selection: kept tokens within budget, kept docs are the quality prefix") {
+    val out = SparkEntry.queries("ns_corpus_token_budget")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nDocs, totalToks) = (r.getLong(1), r.getLong(2))
+      val (nKept, keptToks, budget) = (r.getLong(3), r.getLong(4), r.getLong(6))
+      assert(keptToks <= budget, s"source ${r.getString(0)}: budget exceeded")
+      assert(nKept <= nDocs && keptToks <= totalToks)
+      // budget binds (fixture sources all exceed 2000 tokens) so the
+      // selection must be non-trivial: something kept, something dropped
+      assert(nKept > 0, s"source ${r.getString(0)}: nothing selected")
+      if (totalToks > budget) assert(nKept < nDocs,
+        s"source ${r.getString(0)}: over-budget source kept every doc")
+    }
+  }
 }
