@@ -212,6 +212,48 @@ class PlanFeaturesSpec extends SparkSpec {
     assert(q.collect().nonEmpty)
   }
 
+  test("bm25 keeps the postings bounded: no cartesian fan-out, dims broadcast") {
+    val q = SparkEntry.catalog("ns_text_bm25").fn(spark, sfDir)
+    val phys = q.queryExecution.sparkPlan
+    val cartesian = phys.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(cartesian.isEmpty, s"bm25 must never go all-pairs:\n$phys")
+    // df (<=7 rows), the query table and the N/avgdl scalar all broadcast
+    val bhj = phys.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bhj.size >= 2, s"df + query-table joins should broadcast, got ${bhj.size}")
+    // the query-vocabulary filter runs below the (doc, term) aggregate's
+    // exchange, so the shuffle carries matching postings only
+    val opt = q.queryExecution.optimizedPlan
+    val filtersOnTerm = opt.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.references.exists(_.name == "term") => f
+    }
+    assert(filtersOnTerm.nonEmpty, s"query-vocabulary filter missing:\n$opt")
+  }
+
+  test("rrf fusion inputs are top-k-pruned map-side (WindowGroupLimit)") {
+    val q = SparkEntry.catalog("ns_sim_hybrid_rrf").fn(spark, sfDir)
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("WindowGroupLimit"),
+      s"rank<=k filters should prune window inputs map-side:\n$opt")
+  }
+
+  test("token-budget selection shuffles once, keyed by source") {
+    val q = SparkEntry.catalog("ns_corpus_token_budget").fn(spark, sfDir)
+    // exchanges are inserted by EnsureRequirements, so read the executed
+    // plan's explain string (the AQE initial plan prints them)
+    val planStr = q.queryExecution
+      .explainString(org.apache.spark.sql.execution.SimpleMode)
+    val hashExchanges = planStr.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashExchanges.size == 1 && hashExchanges.head.contains("source"),
+      s"rank+cumsum windows and the final rollup must share ONE source-keyed " +
+        s"shuffle, got:\n$planStr")
+  }
+
   test("typed Dataset surface agrees with the untyped DataFrame result") {
     import spark.implicits._
     import PlanFeaturesSpec.Doc
