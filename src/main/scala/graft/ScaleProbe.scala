@@ -102,7 +102,7 @@ object ScaleProbe {
       "ns_dedup_clusters", "ns_decontaminate", "ns_text_tfidf",
       "ns_text_pack", "ns_dedup_chunks", "ns_text_ngram_lm",
       "ns_dedup_bloom", "ns_text_boilerplate", "ns_pipeline_manifest",
-      "ns_dedup_incremental")
+      "ns_dedup_incremental", "ns_text_bm25", "ns_corpus_token_budget")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     if (docNames.exists(enabled)) {
       val docReps = spark.range(docMult).select(col("id").as("rep"))
