@@ -3322,6 +3322,71 @@ object NorthStarQueries {
            |    / 2000 AS utilization
            |FROM k GROUP BY source ORDER BY source""".stripMargin))
 
+  /** Embedding covariance matrix (upper triangle, including the
+    * diagonal): the whitening / PCA-prep and redundant-dimension audit
+    * over the corpus embeddings. Values quantized to the 2^20 grid
+    * (same convention as [[embedDimStats]]); per-pair products summed
+    * as exact decimal(38) integers, so the covariance derivation is a
+    * fixed tree of single IEEE ops on identical inputs in both engines.
+    *
+    * Scale: the dim-pair expansion (64 -> 2080 rows per vector) is
+    * generated INSIDE the partition and immediately absorbed by the
+    * partial hash aggregate — each task emits at most dim*(dim+1)/2
+    * groups regardless of row count, so the shuffle carries
+    * O(partitions x dim^2) rows, never O(corpus). This is the
+    * map-side-combine Gram-matrix shape; the explosion is pipelined
+    * CPU, not materialized data.
+    */
+  private val embedCovariance = Q(
+    (s, dir) => {
+      val SQ = 1048576L // 2^20
+      TS(s, dir, "embeddings")
+        .select(expr(
+          s"transform(embedding, x -> cast(floor(cast(x as double) * $SQ) as bigint))")
+          .as("xq"))
+        .select(posexplode(col("xq")).as(Seq("i0", "xi")), col("xq"))
+        .select(col("i0"), col("xi"),
+          posexplode(expr("slice(xq, i0 + 1, size(xq) - i0)")).as(Seq("dj", "xj")))
+        .select((col("i0") + 1).as("i"), (col("i0") + 1 + col("dj")).as("j"),
+          col("xi"), col("xj"))
+        .groupBy(col("i"), col("j"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("xi").cast("decimal(38,0)")).as("sx"),
+             sum(col("xj").cast("decimal(38,0)")).as("sy"),
+             sum((col("xi") * col("xj")).cast("decimal(38,0)")).as("sxy"))
+        .select(col("i"), col("j"), col("n"),
+          round((col("sxy").cast("double") / col("n") -
+            (col("sx").cast("double") / col("n")) * (col("sy").cast("double") / col("n")))
+            / lit(SQ.toDouble) / lit(SQ.toDouble), 6).as("cov_r0"))
+        .select(col("i"), col("j"), col("n"),
+          when(col("cov_r0") === 0, lit(0.0)).otherwise(col("cov_r0")).as("cov_r"))
+        .orderBy(col("i"), col("j"))
+    },
+    Some("""WITH v AS (
+           |  SELECT list_transform(embedding,
+           |    x -> cast(floor(x::double * 1048576) as bigint)) AS xq
+           |  FROM embeddings
+           |), a AS (
+           |  SELECT xq, unnest(generate_series(1, len(xq))) AS i FROM v
+           |), p AS (
+           |  SELECT xq, i, unnest(generate_series(i, len(xq))) AS j FROM a
+           |), q AS (
+           |  SELECT i, j, xq[i] AS xi, xq[j] AS xj FROM p
+           |), agg AS (
+           |  SELECT i, j, count(*) AS n,
+           |    sum(xi) AS sx, sum(xj) AS sy, sum(xi * xj) AS sxy
+           |  FROM q GROUP BY i, j
+           |), c AS (
+           |  SELECT i, j, n,
+           |    round((cast(sxy as double) / n -
+           |      (cast(sx as double) / n) * (cast(sy as double) / n))
+           |      / 1048576.0 / 1048576.0, 6) AS cov_r0
+           |  FROM agg
+           |)
+           |SELECT cast(i as int) AS i, cast(j as int) AS j, n,
+           |  CASE WHEN cov_r0 = 0 THEN 0.0 ELSE cov_r0 END AS cov_r
+           |FROM c ORDER BY i, j""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "ns_dedup_exact" -> dedupExact,
     "ns_dedup_minhash_lsh" -> dedupMinhashLsh,
@@ -3350,6 +3415,7 @@ object NorthStarQueries {
     "ns_sim_hybrid_rrf" -> simHybridRrf,
     "ns_sim_ivf_recall" -> simIvfRecall,
     "ns_corpus_token_budget" -> corpusTokenBudget,
+    "ns_embed_covariance" -> embedCovariance,
     "ns_text_chunks" -> textChunks,
     "ns_text_chunks_cdc" -> textChunksCdc,
     "ns_dedup_chunks" -> dedupChunks,

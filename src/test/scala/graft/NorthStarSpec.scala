@@ -436,6 +436,21 @@ class NorthStarSpec extends SparkSpec {
     }
   }
 
+  test("covariance diagonal agrees with the dim-stats variance (shared 2^20 grid)") {
+    val cov = SparkEntry.queries("ns_embed_covariance")(spark, sfDir)
+      .where(col("i") === col("j"))
+      .select("i", "cov_r").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val vars = SparkEntry.queries("ns_embed_dim_stats")(spark, sfDir)
+      .select("dim", "var_r").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(cov.keySet == vars.keySet, "dimension sets differ")
+    cov.foreach { case (d, c) =>
+      assert(math.abs(c - vars(d)) < 1e-9,
+        s"dim $d: diagonal covariance $c != variance ${vars(d)}")
+    }
+  }
+
   test("token budget selection: kept tokens within budget, kept docs are the quality prefix") {
     val out = SparkEntry.queries("ns_corpus_token_budget")(spark, sfDir).collect()
     assert(out.nonEmpty)
