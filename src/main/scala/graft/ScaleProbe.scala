@@ -126,7 +126,8 @@ object ScaleProbe {
     // assignment stays map-only (centroid literals), so only the
     // (cluster, dim) update agg and the within-cluster pair join grow.
     val vecNames = Seq(
-      "ns_embed_kmeans", "ns_sim_pq", "ns_sim_pq_adc", "ns_dedup_semantic_kprop")
+      "ns_embed_kmeans", "ns_sim_pq", "ns_sim_pq_adc", "ns_embed_covariance",
+      "ns_dedup_semantic_kprop")
     if (vecNames.exists(enabled)) {
       val vecReps = spark.range(docMult).select(col("id").as("rep"))
       Tables.load(spark, sfDir, "embeddings")
@@ -146,6 +147,9 @@ object ScaleProbe {
       // partial-agg sum + map-side top-k): the r8 probe covered only the
       // encode phase; this times the search join at Nx corpus.
       timeVec("ns_sim_pq_adc")
+      // covariance: shuffle is dim^2-bounded, so wall should track the
+      // map-side pair expansion (linear in vectors) with no agg growth
+      timeVec("ns_embed_covariance")
 
       // Semantic dedup at the PRODUCTION configuration: k ∝ N (one
       // cluster per ~2500 vectors), seeds stride-spaced so they are k
