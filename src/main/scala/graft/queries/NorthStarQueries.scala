@@ -3387,6 +3387,101 @@ object NorthStarQueries {
            |  CASE WHEN cov_r0 = 0 THEN 0.0 ELSE cov_r0 END AS cov_r
            |FROM c ORDER BY i, j""".stripMargin))
 
+  /** Importance propagation (PageRank, 3 power-iteration rounds,
+    * damping 0.85) over the k-NN graph — the graph-centrality signal
+    * behind quality propagation through near-dup neighborhoods and
+    * diversity-aware selection. Edges are the same LSH-bucketed top-3
+    * cosine neighbors as [[embedKnnGraph]]; ranks live on a 1e12
+    * fixed-point grid and every update is integer division
+    * (`r div outdeg`, damping as `*85 div 100`), so all three rounds
+    * are bit-exact in both engines. Dangling nodes (empty LSH bucket)
+    * contribute nothing, per the simplified-PageRank convention.
+    *
+    * Scale: the edge list is built once and localCheckpoint'd (the
+    * Lloyd/label-propagation pattern); each round is ONE src-keyed
+    * join + one dst-keyed aggregate — shuffles proportional to edges
+    * (O(N*k)), never pairs; outdeg rides the edge-construction
+    * partitioning as a window, not an extra join.
+    */
+  private val embedPagerank = Q(
+    (s, dir) => {
+      graft.expressions.ScaledDotProduct.registerIn(s)
+      val e = TS(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+                expr(lshBucketExpr).as("bucket"),
+                expr("scaled_dot(embedding, embedding)").as("nrm"))
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+                       col("bucket"), col("nrm").as("a_nrm"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+                       col("bucket").as("bucket_b"), col("nrm").as("b_nrm"))
+      val wTop = Window.partitionBy(col("a_id")).orderBy(col("cos").desc, col("b_id"))
+      val edges = a.join(b, col("bucket") === col("bucket_b") && col("a_id") =!= col("b_id"))
+        .withColumn("cos", expr("scaled_dot(a_emb, b_emb)").cast("double") /
+          (sqrt(col("a_nrm").cast("double")) * sqrt(col("b_nrm").cast("double"))))
+        .withColumn("rn", row_number().over(wTop))
+        .where(col("rn") <= 3)
+        .withColumn("outdeg", count(lit(1)).over(Window.partitionBy(col("a_id"))))
+        .select(col("a_id"), col("b_id"), col("outdeg"))
+        .localCheckpoint(true)
+      val nodes = e.select(col("vec_id"))
+      var rank = nodes.withColumn("r", lit(1000000000000L))
+      (1 to 3).foreach { _ =>
+        val contribs = edges.join(rank, edges("a_id") === rank("vec_id"))
+          .select(col("b_id").as("vec_id"), expr("r div outdeg").as("c"))
+          .groupBy(col("vec_id")).agg(sum(col("c")).as("s"))
+        rank = nodes.join(contribs, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            (lit(150000000000L) +
+              expr("(coalesce(s, cast(0 as bigint)) * 85) div 100")).as("r"))
+          .localCheckpoint(true)
+      }
+      rank.orderBy(col("r").desc, col("vec_id")).limit(20)
+        .select(col("vec_id"), col("r").as("rank_fp"),
+          round(col("r").cast("double") / lit(1.0e12), 6).as("pr"))
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, embedding, $lshBucketSql AS bucket,
+            |    ${scaledDotSql("embedding", "embedding")} AS nrm
+            |  FROM embeddings
+            |), p AS (
+            |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+            |    cast(${scaledDotSql("a.embedding", "b.embedding")} as double)
+            |      / (sqrt(cast(a.nrm as double)) * sqrt(cast(b.nrm as double))) AS cos
+            |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+            |), ranked AS (
+            |  SELECT a_id, b_id,
+            |    row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rn
+            |  FROM p
+            |), k AS (SELECT a_id, b_id FROM ranked WHERE rn <= 3
+            |), deg AS (SELECT a_id, count(*) AS outdeg FROM k GROUP BY a_id
+            |), edges AS (SELECT k.a_id, k.b_id, d.outdeg FROM k JOIN deg d USING (a_id)
+            |), nodes AS (SELECT vec_id FROM e
+            |), r0 AS (SELECT vec_id, cast(1000000000000 as bigint) AS r FROM nodes
+            |), c1 AS (
+            |  SELECT e.b_id AS vec_id, sum(r.r // e.outdeg) AS s
+            |  FROM edges e JOIN r0 r ON r.vec_id = e.a_id GROUP BY e.b_id
+            |), r1 AS (
+            |  SELECT n.vec_id,
+            |    cast(150000000000 + (coalesce(c.s, 0) * 85) // 100 as bigint) AS r
+            |  FROM nodes n LEFT JOIN c1 c USING (vec_id)
+            |), c2 AS (
+            |  SELECT e.b_id AS vec_id, sum(r.r // e.outdeg) AS s
+            |  FROM edges e JOIN r1 r ON r.vec_id = e.a_id GROUP BY e.b_id
+            |), r2 AS (
+            |  SELECT n.vec_id,
+            |    cast(150000000000 + (coalesce(c.s, 0) * 85) // 100 as bigint) AS r
+            |  FROM nodes n LEFT JOIN c2 c USING (vec_id)
+            |), c3 AS (
+            |  SELECT e.b_id AS vec_id, sum(r.r // e.outdeg) AS s
+            |  FROM edges e JOIN r2 r ON r.vec_id = e.a_id GROUP BY e.b_id
+            |), r3 AS (
+            |  SELECT n.vec_id,
+            |    cast(150000000000 + (coalesce(c.s, 0) * 85) // 100 as bigint) AS r
+            |  FROM nodes n LEFT JOIN c3 c USING (vec_id)
+            |)
+            |SELECT vec_id, r AS rank_fp, round(cast(r as double) / 1e12, 6) AS pr
+            |FROM r3 ORDER BY r DESC, vec_id LIMIT 20""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "ns_dedup_exact" -> dedupExact,
     "ns_dedup_minhash_lsh" -> dedupMinhashLsh,
@@ -3416,6 +3511,7 @@ object NorthStarQueries {
     "ns_sim_ivf_recall" -> simIvfRecall,
     "ns_corpus_token_budget" -> corpusTokenBudget,
     "ns_embed_covariance" -> embedCovariance,
+    "ns_embed_pagerank" -> embedPagerank,
     "ns_text_chunks" -> textChunks,
     "ns_text_chunks_cdc" -> textChunksCdc,
     "ns_dedup_chunks" -> dedupChunks,

@@ -451,6 +451,24 @@ class NorthStarSpec extends SparkSpec {
     }
   }
 
+  test("pagerank: ranks bounded below by the damping base, ordered, deterministic") {
+    val run = () => SparkEntry.queries("ns_embed_pagerank")(spark, sfDir)
+      .select("vec_id", "rank_fp").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val out = run()
+    assert(out.length == 20)
+    // every node keeps at least the damping base 0.15 * 1e12
+    out.foreach { case (v, r) =>
+      assert(r >= 150000000000L, s"vec $v: rank $r below damping base")
+    }
+    assert(out.sliding(2).forall {
+      case Seq(a, b) => a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+      case _         => true
+    }, "top-20 not ordered by (rank desc, vec_id)")
+    // integer fixed-point iteration must be bit-reproducible
+    assert(run() == out, "pagerank not deterministic across runs")
+  }
+
   test("token budget selection: kept tokens within budget, kept docs are the quality prefix") {
     val out = SparkEntry.queries("ns_corpus_token_budget")(spark, sfDir).collect()
     assert(out.nonEmpty)
