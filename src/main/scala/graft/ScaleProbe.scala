@@ -127,7 +127,7 @@ object ScaleProbe {
     // (cluster, dim) update agg and the within-cluster pair join grow.
     val vecNames = Seq(
       "ns_embed_kmeans", "ns_sim_pq", "ns_sim_pq_adc", "ns_embed_covariance",
-      "ns_dedup_semantic_kprop")
+      "ns_embed_pagerank", "ns_dedup_semantic_kprop")
     if (vecNames.exists(enabled)) {
       val vecReps = spark.range(docMult).select(col("id").as("rep"))
       Tables.load(spark, sfDir, "embeddings")
@@ -150,6 +150,10 @@ object ScaleProbe {
       // covariance: shuffle is dim^2-bounded, so wall should track the
       // map-side pair expansion (linear in vectors) with no agg growth
       timeVec("ns_embed_covariance")
+      // pagerank: replication multiplies LSH bucket occupancy, so the
+      // knn-edge join is the stress axis (bucket^2); the three rank
+      // rounds themselves are edge-linear
+      timeVec("ns_embed_pagerank")
 
       // Semantic dedup at the PRODUCTION configuration: k ∝ N (one
       // cluster per ~2500 vectors), seeds stride-spaced so they are k
