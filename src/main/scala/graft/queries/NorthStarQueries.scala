@@ -2952,8 +2952,11 @@ object NorthStarQueries {
       .where(col("term").isInCollection(bm25QTerms.map(_._2).distinct))
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(max(col("dl")).as("dl"), count(lit(1)).as("tf"))
-    val dfq = toks.groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+    // df from the (doc, term)-distinct tf aggregate, not a second pass
+    // over the corpus: the duplicated tf subtree is byte-identical, so
+    // AQE's ReusedExchange serves both consumers from ONE scan+explode
+    val dfq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
     val qt = {
       import s.implicits._
       bm25QTerms.toDF("qid", "term")
