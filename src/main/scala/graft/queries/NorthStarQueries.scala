@@ -3485,6 +3485,132 @@ object NorthStarQueries {
             |SELECT vec_id, r AS rank_fp, round(cast(r as double) / 1e12, 6) AS pr
             |FROM r3 ORDER BY r DESC, vec_id LIMIT 20""".stripMargin))
 
+  /** Hard-negative mining for contrastive training: for each of the 16
+    * fixed query vectors, the top-5 most-similar corpus vectors whose
+    * LABEL differs from the query's — the "similar but semantically
+    * different" negatives a retrieval/embedding trainer pairs with each
+    * anchor. Same broadcast-query brute-force baseline shape as
+    * [[simCosineTopk]] (the audit/sample pattern); the bucketed scale
+    * path is identical to [[simLshBuckets]] with the label-mismatch
+    * predicate pushed into the bucket join.
+    */
+  private val simHardNegatives = Q(
+    (s, dir) => {
+      graft.expressions.ScaledDotProduct.registerIn(s)
+      val e = TS(s, dir, "embeddings")
+        .withColumn("nrm", expr("scaled_dot(embedding, embedding)"))
+      val q = e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+                col("nrm").as("nq"), col("label").as("q_label"))
+      val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+                       col("nrm").as("nc"), col("label").as("c_label"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+      broadcast(q).join(c,
+          col("q_id") =!= col("c_id") && col("q_label") =!= col("c_label"))
+        .withColumn("cos", expr("scaled_dot(q_emb, c_emb)").cast("double") /
+          (sqrt(col("nq").cast("double")) * sqrt(col("nc").cast("double"))))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 5)
+        .select(col("q_id"), col("rnk"), col("c_id"), col("c_label"),
+          round(col("cos"), 6).as("cos_sim"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(s"""WITH n AS (
+            |  SELECT vec_id, embedding, label,
+            |    ${scaledDotSql("embedding", "embedding")} AS nrm
+            |  FROM embeddings
+            |), q AS (
+            |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS nq, label AS q_label
+            |  FROM n WHERE vec_id < 16
+            |), c AS (
+            |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS nc, label AS c_label
+            |  FROM n
+            |), p AS (
+            |  SELECT q_id, c_id, c_label,
+            |    cast(${scaledDotSql("q_emb", "c_emb")} as double)
+            |      / (sqrt(cast(nq as double)) * sqrt(cast(nc as double))) AS cos
+            |  FROM q, c WHERE q_id <> c_id AND q_label <> c_label
+            |), r AS (
+            |  SELECT q_id, c_id, c_label, cos,
+            |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+            |  FROM p
+            |)
+            |SELECT q_id, rnk, c_id, c_label, round(cos, 6) AS cos_sim
+            |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin))
+
+  /** Cluster label purity: per IVF cell (same 16 fixed coarse centroids
+    * as [[ivfTopk]]), the member count, dominant label and purity —
+    * the embedding-space QA that tells an index owner whether coarse
+    * cells align with semantic labels (and a curriculum builder where
+    * the mixed regions are). Assignment is the broadcast-argmax pass;
+    * the label histogram is one (cell, label)-keyed aggregate + a
+    * rank-only window over the histogram (cells x labels rows, not
+    * corpus rows); purity is one exact integer ratio rounded once.
+    */
+  private val embedClusterPurity = Q(
+    (s, dir) => {
+      graft.expressions.ScaledDotProduct.registerIn(s)
+      val e = TS(s, dir, "embeddings")
+        .withColumn("nrm", expr("scaled_dot(embedding, embedding)"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cen_cos").desc, col("cen_id"))
+      val assigned = e.join(broadcast(
+          e.where(col("vec_id").between(100, 115))
+            .select(col("vec_id").as("cen_id"), col("embedding").as("cen_emb"),
+                    col("nrm").as("cen_nrm"))), lit(true))
+        .withColumn("cen_cos", expr("scaled_dot(embedding, cen_emb)").cast("double") /
+          (sqrt(col("nrm").cast("double")) * sqrt(col("cen_nrm").cast("double"))))
+        .withColumn("arn", row_number().over(wAssign))
+        .where(col("arn") === 1)
+        .select(col("vec_id"), col("label"), col("cen_id").as("cell"))
+      val hist = assigned.groupBy(col("cell"), col("label"))
+        .agg(count(lit(1)).as("n_label"))
+      val wTop = Window.partitionBy(col("cell"))
+        .orderBy(col("n_label").desc, col("label"))
+      hist
+        .withColumn("trn", row_number().over(wTop))
+        .withColumn("n_vecs", sum(col("n_label")).over(Window.partitionBy(col("cell"))))
+        .withColumn("n_labels", count(lit(1)).over(Window.partitionBy(col("cell"))))
+        .where(col("trn") === 1)
+        .select(col("cell"), col("n_vecs"), col("n_labels"),
+          col("label").as("top_label"), col("n_label").as("top_label_n"),
+          round(col("n_label").cast("double") / col("n_vecs"), 6).as("purity_r"))
+        .orderBy(col("cell"))
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, embedding, label,
+            |    ${scaledDotSql("embedding", "embedding")} AS nrm
+            |  FROM embeddings
+            |), cen AS (
+            |  SELECT vec_id AS cen_id, embedding AS cen_emb, nrm AS cen_nrm
+            |  FROM e WHERE vec_id BETWEEN 100 AND 115
+            |), ranked AS (
+            |  SELECT vec_id, label, cen_id,
+            |    row_number() OVER (PARTITION BY vec_id
+            |                       ORDER BY cen_cos DESC, cen_id) AS arn
+            |  FROM (
+            |    SELECT e.vec_id, e.label, cen.cen_id,
+            |      cast(${scaledDotSql("e.embedding", "cen.cen_emb")} as double)
+            |        / (sqrt(cast(e.nrm as double)) * sqrt(cast(cen.cen_nrm as double))) AS cen_cos
+            |    FROM e, cen)
+            |), assigned AS (
+            |  SELECT vec_id, label, cen_id AS cell FROM ranked WHERE arn = 1
+            |), hist AS (
+            |  SELECT cell, label, count(*) AS n_label
+            |  FROM assigned GROUP BY cell, label
+            |), top AS (
+            |  SELECT cell, label, n_label,
+            |    row_number() OVER (PARTITION BY cell
+            |                       ORDER BY n_label DESC, label) AS trn,
+            |    cast(sum(n_label) OVER (PARTITION BY cell) as bigint) AS n_vecs,
+            |    cast(count(*) OVER (PARTITION BY cell) as bigint) AS n_labels
+            |  FROM hist
+            |)
+            |SELECT cell, n_vecs, n_labels, label AS top_label,
+            |  n_label AS top_label_n,
+            |  round(cast(n_label as double) / n_vecs, 6) AS purity_r
+            |FROM top WHERE trn = 1 ORDER BY cell""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "ns_dedup_exact" -> dedupExact,
     "ns_dedup_minhash_lsh" -> dedupMinhashLsh,
@@ -3515,6 +3641,8 @@ object NorthStarQueries {
     "ns_corpus_token_budget" -> corpusTokenBudget,
     "ns_embed_covariance" -> embedCovariance,
     "ns_embed_pagerank" -> embedPagerank,
+    "ns_sim_hard_negatives" -> simHardNegatives,
+    "ns_embed_cluster_purity" -> embedClusterPurity,
     "ns_text_chunks" -> textChunks,
     "ns_text_chunks_cdc" -> textChunksCdc,
     "ns_dedup_chunks" -> dedupChunks,

@@ -469,6 +469,41 @@ class NorthStarSpec extends SparkSpec {
     assert(run() == out, "pagerank not deterministic across runs")
   }
 
+  test("hard negatives: every mined negative carries a different label than its anchor") {
+    val labels = Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = SparkEntry.queries("ns_sim_hard_negatives")(spark, sfDir)
+      .select("q_id", "rnk", "c_id", "c_label").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (q, _, c, cLabel) =>
+      assert(labels(c) == cLabel, s"negative $c: reported label drifted")
+      assert(labels(q) != cLabel, s"anchor $q: negative $c shares its label")
+    }
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length),
+        s"anchor $q: ranks not dense")
+    }
+  }
+
+  test("cluster purity: cells partition the corpus, purity consistent with counts") {
+    val out = SparkEntry.queries("ns_embed_cluster_purity")(spark, sfDir).collect()
+    val nVecs = Tables.load(spark, sfDir, "embeddings").count()
+    assert(out.map(_.getLong(1)).sum == nVecs,
+      "cell member counts must partition the corpus")
+    out.foreach { r =>
+      val (n, nLabels, topN, purity) =
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getDouble(5))
+      assert(topN >= 1 && topN <= n)
+      assert(nLabels >= 1 && nLabels <= n)
+      assert(purity > 0.0 && purity <= 1.0)
+      // dominant label must cover at least 1/n_labels of the cell
+      assert(topN * nLabels >= n,
+        s"cell ${r.getLong(0)}: top label $topN of $n with $nLabels labels")
+    }
+  }
+
   test("token budget selection: kept tokens within budget, kept docs are the quality prefix") {
     val out = SparkEntry.queries("ns_corpus_token_budget")(spark, sfDir).collect()
     assert(out.nonEmpty)
