@@ -3611,6 +3611,143 @@ object NorthStarQueries {
             |  round(cast(n_label as double) / n_vecs, 6) AS purity_r
             |FROM top WHERE trn = 1 ORDER BY cell""".stripMargin))
 
+  /** MMR diversity re-rank: greedy maximal-marginal-relevance selection
+    * of 5 from each query's top-20 cosine shortlist (lambda = 0.7) —
+    * the context-selection step a RAG pipeline runs after retrieval so
+    * the picked passages are relevant AND non-redundant. Pick 1 is the
+    * most relevant candidate; pick k maximizes
+    * 7*rel_fp - 3*max(sim_fp to already-picked) (the 1e-6 fixed-point
+    * integer form of lambda*rel - (1-lambda)*maxsim), ties to the
+    * lowest candidate id — every round is integer-exact in both
+    * engines.
+    *
+    * Scale: the shortlist (queries x 20) and its within-query pair
+    * sims (queries x 20 x 19) are corpus-size-independent once the
+    * broadcast-anchor shortlist pass runs; both are localCheckpoint'd
+    * and each greedy round is a bounded join + rank-1 window over
+    * those tiny tables. The oracle replays all five rounds as
+    * unrolled CTEs (the Lloyd-round pattern).
+    */
+  private val simMmrRerank = Q(
+    (s, dir) => {
+      graft.expressions.ScaledDotProduct.registerIn(s)
+      val e = TS(s, dir, "embeddings")
+        .withColumn("nrm", expr("scaled_dot(embedding, embedding)"))
+      val q = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+                col("nrm").as("nq"))
+      val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+                       col("nrm").as("nc"))
+      val wS = Window.partitionBy(col("q_id")).orderBy(col("rel_fp").desc, col("c_id"))
+      val short = broadcast(q).join(c, col("q_id") =!= col("c_id"))
+        .withColumn("cos", expr("scaled_dot(q_emb, c_emb)").cast("double") /
+          (sqrt(col("nq").cast("double")) * sqrt(col("nc").cast("double"))))
+        .withColumn("rel_fp", floor(col("cos") * lit(1000000.0)).cast("long"))
+        .withColumn("srn", row_number().over(wS))
+        .where(col("srn") <= 20)
+        .select(col("q_id"), col("c_id"), col("rel_fp"), col("c_emb"), col("nc"))
+        .localCheckpoint(true)
+      val pa = short.select(col("q_id"), col("c_id").as("a_id"),
+                            col("c_emb").as("a_emb"), col("nc").as("na"))
+      val pb = short.select(col("q_id").as("q2"), col("c_id").as("b_id"),
+                            col("c_emb").as("b_emb"), col("nc").as("nb"))
+      val pairs = pa.join(pb, col("q_id") === col("q2") && col("a_id") =!= col("b_id"))
+        .withColumn("sim", expr("scaled_dot(a_emb, b_emb)").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+        .select(col("q_id"), col("a_id"), col("b_id"),
+          floor(col("sim") * lit(1000000.0)).cast("long").as("sim_fp"))
+        .localCheckpoint(true)
+      val cands = short.select(col("q_id"), col("c_id"), col("rel_fp"))
+      val w1 = Window.partitionBy(col("q_id")).orderBy(col("rel_fp").desc, col("c_id"))
+      var selected = cands
+        .withColumn("rn", row_number().over(w1)).where(col("rn") === 1)
+        .select(col("q_id"), col("c_id"), lit(1).as("pick"))
+        .localCheckpoint(true)
+      (2 to 5).foreach { k =>
+        val sel = selected.select(col("q_id"), col("c_id"))
+        val maxsim = pairs
+          .join(sel.withColumnRenamed("c_id", "b_id"), Seq("q_id", "b_id"))
+          .groupBy(col("q_id"), col("a_id")).agg(max(col("sim_fp")).as("maxsim_fp"))
+          .withColumnRenamed("a_id", "c_id")
+        val wk = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("c_id"))
+        val next = cands
+          .join(sel, Seq("q_id", "c_id"), "left_anti")
+          .join(maxsim, Seq("q_id", "c_id"))
+          .withColumn("score", lit(7L) * col("rel_fp") - lit(3L) * col("maxsim_fp"))
+          .withColumn("rn", row_number().over(wk)).where(col("rn") === 1)
+          .select(col("q_id"), col("c_id"), lit(k).as("pick"))
+        selected = selected.union(next).localCheckpoint(true)
+      }
+      selected.join(cands, Seq("q_id", "c_id"))
+        .select(col("q_id"), col("pick"), col("c_id"), col("rel_fp"))
+        .orderBy(col("q_id"), col("pick"))
+    },
+    Some {
+      val roundCtes = (2 to 5).map { k =>
+        s"""m$k AS (
+           |  SELECT p.q_id, p.a_id AS c_id, max(p.sim_fp) AS maxsim_fp
+           |  FROM pairs p JOIN sel${k - 1} s ON s.q_id = p.q_id AND s.c_id = p.b_id
+           |  GROUP BY p.q_id, p.a_id
+           |), n$k AS (
+           |  SELECT q_id, c_id, $k AS pick FROM (
+           |    SELECT c.q_id, c.c_id,
+           |      row_number() OVER (PARTITION BY c.q_id
+           |        ORDER BY 7 * c.rel_fp - 3 * m.maxsim_fp DESC, c.c_id) AS rn
+           |    FROM cands c JOIN m$k m USING (q_id, c_id)
+           |    WHERE NOT EXISTS (SELECT 1 FROM sel${k - 1} s
+           |                      WHERE s.q_id = c.q_id AND s.c_id = c.c_id)
+           |  ) WHERE rn = 1
+           |), sel$k AS (
+           |  SELECT q_id, c_id FROM sel${k - 1} UNION ALL SELECT q_id, c_id FROM n$k
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |    ${scaledDotSql("embedding", "embedding")} AS nrm
+         |  FROM embeddings
+         |), qv AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS nq FROM e WHERE vec_id < 8
+         |), cv AS (
+         |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS nc FROM e
+         |), short AS (
+         |  SELECT q_id, c_id, rel_fp, c_emb, nc FROM (
+         |    SELECT q.q_id, c.c_id,
+         |      cast(floor(cast(${scaledDotSql("q.q_emb", "c.c_emb")} as double)
+         |        / (sqrt(cast(q.nq as double)) * sqrt(cast(c.nc as double)))
+         |        * 1000000.0) as bigint) AS rel_fp,
+         |      c.c_emb, c.nc,
+         |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+         |        cast(floor(cast(${scaledDotSql("q.q_emb", "c.c_emb")} as double)
+         |          / (sqrt(cast(q.nq as double)) * sqrt(cast(c.nc as double)))
+         |          * 1000000.0) as bigint) DESC,
+         |        c.c_id) AS srn
+         |    FROM qv q JOIN cv c ON q.q_id <> c.c_id
+         |  ) WHERE srn <= 20
+         |), pairs AS (
+         |  SELECT a.q_id, a.c_id AS a_id, b.c_id AS b_id,
+         |    cast(floor(cast(${scaledDotSql("a.c_emb", "b.c_emb")} as double)
+         |      / (sqrt(cast(a.nc as double)) * sqrt(cast(b.nc as double)))
+         |      * 1000000.0) as bigint) AS sim_fp
+         |  FROM short a JOIN short b ON a.q_id = b.q_id AND a.c_id <> b.c_id
+         |), cands AS (
+         |  SELECT q_id, c_id, rel_fp FROM short
+         |), n1 AS (
+         |  SELECT q_id, c_id, 1 AS pick FROM (
+         |    SELECT q_id, c_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY rel_fp DESC, c_id) AS rn
+         |    FROM cands
+         |  ) WHERE rn = 1
+         |), sel1 AS (SELECT q_id, c_id FROM n1
+         |), $roundCtes
+         |, picks AS (
+         |  SELECT * FROM n1 UNION ALL SELECT * FROM n2 UNION ALL SELECT * FROM n3
+         |  UNION ALL SELECT * FROM n4 UNION ALL SELECT * FROM n5
+         |)
+         |SELECT p.q_id, p.pick, p.c_id, c.rel_fp
+         |FROM picks p JOIN cands c ON c.q_id = p.q_id AND c.c_id = p.c_id
+         |ORDER BY p.q_id, p.pick""".stripMargin
+    })
+
   val all: Map[String, Q] = Map(
     "ns_dedup_exact" -> dedupExact,
     "ns_dedup_minhash_lsh" -> dedupMinhashLsh,
@@ -3643,6 +3780,7 @@ object NorthStarQueries {
     "ns_embed_pagerank" -> embedPagerank,
     "ns_sim_hard_negatives" -> simHardNegatives,
     "ns_embed_cluster_purity" -> embedClusterPurity,
+    "ns_sim_mmr_rerank" -> simMmrRerank,
     "ns_text_chunks" -> textChunks,
     "ns_text_chunks_cdc" -> textChunksCdc,
     "ns_dedup_chunks" -> dedupChunks,

@@ -504,6 +504,22 @@ class NorthStarSpec extends SparkSpec {
     }
   }
 
+  test("mmr re-rank: 5 distinct picks per query, pick 1 is the relevance argmax") {
+    val out = SparkEntry.queries("ns_sim_mmr_rerank")(spark, sfDir)
+      .select("q_id", "pick", "c_id", "rel_fp").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to 5), s"query $q: picks not 1..5")
+      assert(rows.map(_._3).distinct.length == 5, s"query $q: duplicate picks")
+      val rel1 = rows.find(_._2 == 1).get._4
+      rows.foreach { case (_, _, c, rel) =>
+        assert(rel1 >= rel,
+          s"query $q: pick 1 (rel $rel1) less relevant than pick of $c (rel $rel)")
+      }
+    }
+  }
+
   test("token budget selection: kept tokens within budget, kept docs are the quality prefix") {
     val out = SparkEntry.queries("ns_corpus_token_budget")(spark, sfDir).collect()
     assert(out.nonEmpty)
