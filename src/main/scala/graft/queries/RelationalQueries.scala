@@ -530,11 +530,22 @@ object RelationalQueries {
            |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
 
   private val aggRollup = Q(
-    (s, dir) =>
-      T(s, dir, "lineitem")
-        .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), "sum_qty"))
-        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+    (s, dir) => {
+      // partial-aggregate pushdown through Expand: rollup multiplies its
+      // INPUT x(levels), so aggregate to the finest grouping first (the
+      // distinct-group table) and roll THAT up — sum/count re-aggregate
+      // exactly (decimal partials), NULL group values stay data values at
+      // the finest level and subtotal rows are still produced by rollup,
+      // so the rewrite is semantics-preserving for any input. At 100 TB
+      // Expand runs over |groups| rows instead of the corpus.
+      val pre = T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("pn"),
+             sum(col("l_quantity").cast("decimal(18,4)")).as("pq"))
+      pre.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("pn")).as("n"), sum(col("pq")).cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
     Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
            |  cast(sum(cast(l_quantity as decimal(18,4))) as double) AS sum_qty
            |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -542,11 +553,17 @@ object RelationalQueries {
     bench = true)
 
   private val aggCube = Q(
-    (s, dir) =>
-      T(s, dir, "orders")
-        .cube(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), "total_price"))
-        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+    (s, dir) => {
+      // same partial-aggregate pushdown as aggRollup: cube multiplies its
+      // input x4 (2^levels), so Expand runs over the distinct-group table
+      val pre = T(s, dir, "orders")
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("pn"),
+             sum(col("o_totalprice").cast("decimal(18,4)")).as("pp"))
+      pre.cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(sum(col("pn")).as("n"), sum(col("pp")).cast("double").as("total_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    },
     Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
            |  cast(sum(cast(o_totalprice as decimal(18,4))) as double) AS total_price
            |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
