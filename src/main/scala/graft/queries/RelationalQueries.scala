@@ -586,15 +586,20 @@ object RelationalQueries {
     * subtotal rows (portable to DuckDB, unlike grouping_id's bit order).
     */
   private val aggGroupingId = Q(
-    (s, dir) =>
-      T(s, dir, "orders")
-        .rollup(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"),
+    (s, dir) => {
+      // partial-aggregate pushdown (see aggRollup): grouping() markers
+      // describe the OUTER rollup's levels, so they survive the rewrite
+      val pre = T(s, dir, "orders")
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("pn"))
+      pre.rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(sum(col("pn")).as("n"),
              grouping(col("o_orderstatus")).as("g_status"),
              grouping(col("o_orderpriority")).as("g_prio"))
         .orderBy(col("g_status"), col("g_prio"),
                  col("o_orderstatus").asc_nulls_first,
-                 col("o_orderpriority").asc_nulls_first),
+                 col("o_orderpriority").asc_nulls_first)
+    },
     Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
            |  grouping(o_orderstatus) AS g_status,
            |  grouping(o_orderpriority) AS g_prio
