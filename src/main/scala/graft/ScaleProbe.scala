@@ -127,7 +127,8 @@ object ScaleProbe {
     // (cluster, dim) update agg and the within-cluster pair join grow.
     val vecNames = Seq(
       "ns_embed_kmeans", "ns_sim_pq", "ns_sim_pq_adc", "ns_embed_covariance",
-      "ns_embed_pagerank", "ns_dedup_semantic_kprop")
+      "ns_embed_pagerank", "ns_sim_hard_negatives", "ns_embed_cluster_purity",
+      "ns_sim_mmr_rerank", "ns_dedup_semantic_kprop")
     if (vecNames.exists(enabled)) {
       val vecReps = spark.range(docMult).select(col("id").as("rep"))
       Tables.load(spark, sfDir, "embeddings")
@@ -154,6 +155,11 @@ object ScaleProbe {
       // knn-edge join is the stress axis (bucket^2); the three rank
       // rounds themselves are edge-linear
       timeVec("ns_embed_pagerank")
+      // the three audit ops whose corpus-sized work is one broadcast-
+      // anchor (or broadcast-centroid) pass — expected ~linear
+      timeVec("ns_sim_hard_negatives")
+      timeVec("ns_embed_cluster_purity")
+      timeVec("ns_sim_mmr_rerank")
 
       // Semantic dedup at the PRODUCTION configuration: k ∝ N (one
       // cluster per ~2500 vectors), seeds stride-spaced so they are k
