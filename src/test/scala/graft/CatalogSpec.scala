@@ -64,6 +64,19 @@ class CatalogSpec extends SparkSpec {
         s"${SparkEntry.catalog.size} — update BASELINE.md")
   }
 
+  test("README.md's query count matches the code catalog") {
+    // README drifted to the r5 count once (caught manually in r9) —
+    // same un-driftability contract as COVERAGE.md / BASELINE.md
+    val doc = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("README.md")), "UTF-8")
+    val declared = """— (\d+) queries""".r
+      .findFirstMatchIn(doc).map(_.group(1).toInt)
+    assert(declared.isDefined, "README.md lost its '— N queries' phrase")
+    assert(declared.contains(SparkEntry.catalog.size),
+      s"README.md declares ${declared.get} queries but the catalog has " +
+        s"${SparkEntry.catalog.size} — update README.md")
+  }
+
   test("bench subset is non-empty and every bench query is oracled") {
     val bench = SparkEntry.catalog.filter(_._2.bench)
     assert(bench.size >= 8, s"expected >=8 headline queries, got ${bench.keys}")
