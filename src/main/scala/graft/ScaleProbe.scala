@@ -104,7 +104,10 @@ object ScaleProbe {
       "ns_dedup_bloom", "ns_text_boilerplate", "ns_pipeline_manifest",
       "ns_dedup_incremental", "ns_text_bm25", "ns_corpus_token_budget")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
-    if (docNames.exists(enabled)) {
+    // hybrid RRF reads BOTH fixture tables: write the documents fixture
+    // (without timing any doc probe) when only the rrf probe is selected
+    val needDocsFixture = docNames.exists(enabled) || enabled("ns_sim_hybrid_rrf")
+    if (needDocsFixture) {
       val docReps = spark.range(docMult).select(col("id").as("rep"))
       Tables.load(spark, sfDir, "documents")
         .crossJoin(broadcast(docReps))
@@ -128,7 +131,7 @@ object ScaleProbe {
     val vecNames = Seq(
       "ns_embed_kmeans", "ns_sim_pq", "ns_sim_pq_adc", "ns_embed_covariance",
       "ns_embed_pagerank", "ns_sim_hard_negatives", "ns_embed_cluster_purity",
-      "ns_sim_mmr_rerank", "ns_dedup_semantic_kprop")
+      "ns_sim_mmr_rerank", "ns_sim_hybrid_rrf", "ns_dedup_semantic_kprop")
     if (vecNames.exists(enabled)) {
       val vecReps = spark.range(docMult).select(col("id").as("rep"))
       Tables.load(spark, sfDir, "embeddings")
@@ -160,6 +163,8 @@ object ScaleProbe {
       timeVec("ns_sim_hard_negatives")
       timeVec("ns_embed_cluster_purity")
       timeVec("ns_sim_mmr_rerank")
+      // needs the documents fixture too (see needDocsFixture above)
+      timeVec("ns_sim_hybrid_rrf")
 
       // Semantic dedup at the PRODUCTION configuration: k ∝ N (one
       // cluster per ~2500 vectors), seeds stride-spaced so they are k
