@@ -102,7 +102,8 @@ object ScaleProbe {
       "ns_dedup_clusters", "ns_decontaminate", "ns_text_tfidf",
       "ns_text_pack", "ns_dedup_chunks", "ns_text_ngram_lm",
       "ns_dedup_bloom", "ns_text_boilerplate", "ns_pipeline_manifest",
-      "ns_dedup_incremental", "ns_text_bm25", "ns_corpus_token_budget")
+      "ns_dedup_incremental", "ns_text_bm25", "ns_corpus_token_budget",
+      "ns_dedup_simhash_hamming", "ns_corpus_temperature")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected
@@ -131,7 +132,8 @@ object ScaleProbe {
     val vecNames = Seq(
       "ns_embed_kmeans", "ns_sim_pq", "ns_sim_pq_adc", "ns_embed_covariance",
       "ns_embed_pagerank", "ns_sim_hard_negatives", "ns_embed_cluster_purity",
-      "ns_sim_mmr_rerank", "ns_sim_hybrid_rrf", "ns_dedup_semantic_kprop")
+      "ns_sim_mmr_rerank", "ns_sim_hybrid_rrf", "ns_sim_pq_rerank",
+      "ns_dedup_semantic_kprop")
     if (vecNames.exists(enabled)) {
       val vecReps = spark.range(docMult).select(col("id").as("rep"))
       Tables.load(spark, sfDir, "embeddings")
@@ -165,6 +167,8 @@ object ScaleProbe {
       timeVec("ns_sim_mmr_rerank")
       // needs the documents fixture too (see needDocsFixture above)
       timeVec("ns_sim_hybrid_rrf")
+      // two-stage retrieval: ADC shortlist + corpus-independent re-rank
+      timeVec("ns_sim_pq_rerank")
 
       // Semantic dedup at the PRODUCTION configuration: k ∝ N (one
       // cluster per ~2500 vectors), seeds stride-spaced so they are k
