@@ -23,7 +23,8 @@ object SparkEntry {
     graft.queries.ScalarQueries.all ++
     graft.queries.SourcesQueries.all ++
     graft.queries.UdfQueries.all ++
-    graft.queries.NorthStarQueries.all
+    graft.queries.NorthStarQueries.all ++
+    graft.queries.CurationQueries.all
 
   /** One Engine per SparkSession, with every catalog query registered as
     * a handler taking the fixture dir as its single argument.

@@ -14,7 +14,8 @@ class CatalogSpec extends SparkSpec {
     "scalar" -> ScalarQueries.all,
     "sources" -> SourcesQueries.all,
     "udf" -> UdfQueries.all,
-    "northstar" -> NorthStarQueries.all)
+    "northstar" -> NorthStarQueries.all,
+    "curation" -> CurationQueries.all)
 
   /** Queries intentionally without a DuckDB oracle. Empty since round 5:
     * the former rows-only entries (approx sketches, Spark-native hashes,

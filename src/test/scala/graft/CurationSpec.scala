@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the round-10 curation operators — properties
+  * the DuckDB hash diff can't articulate (bounds, partition-of-corpus,
+  * status algebra), checked on the sf0.001 fixture.
+  */
+class CurationSpec extends SparkSpec {
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, sfDir)
+
+  test("entropy: bounds hold — 0 <= H <= log2(distinct), top-char frac sane") {
+    val rows = run("ns_text_entropy").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nDistinct = r.getAs[Long]("n_distinct")
+      val topFrac = r.getAs[Double]("top_char_frac")
+      val h = r.getAs[Double]("entropy_bits")
+      assert(h >= -1e-6, s"negative entropy: $r")
+      assert(h <= math.log(nDistinct.toDouble) / math.log(2.0) + 1e-6,
+        s"entropy above log2(alphabet): $r")
+      assert(topFrac >= 1.0 / nDistinct - 1e-6 && topFrac <= 1.0, s"top frac: $r")
+    }
+  }
+
+  test("entropy: a single-character document scores exactly zero bits") {
+    // run the same expression pipeline on a planted degenerate doc
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ent").toString
+    Seq((0L, "aaaaaaaa", "xx", "synthetic", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = SparkEntry.queries("ns_text_entropy")(spark, tmp).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Double]("entropy_bits") == 0.0)
+    assert(r.head.getAs[Double]("top_char_frac") == 1.0)
+    assert(r.head.getAs[Long]("n_distinct") == 1L)
+  }
+
+  test("corpus split: splits partition the corpus and train dominates") {
+    val rows = run("ns_corpus_split").collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val expected = Tables.load(spark, sfDir, "documents").count()
+    assert(total == expected, "split rows must partition the corpus exactly")
+    val bySplit = rows.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    // 90% coin at n docs: 4-sigma band (same tolerance idiom as
+    // ns_sample_stratified's oracle)
+    val n = expected.toDouble
+    assert(math.abs(bySplit("train") - 0.9 * n) <= 4 * math.sqrt(0.9 * 0.1 * n) + 1)
+  }
+
+  test("pipeline delta: status counts follow the snapshot derivation exactly") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val removed = docs.where(col("doc_id") % 10 === 3).count()
+    val added = docs.where(col("doc_id") % 13 === 0).count()
+    val changed = docs.where(col("doc_id") % 10 =!= 3 && col("doc_id") % 7 === 0).count()
+    val unchanged = docs.count() - removed - changed
+    val byStatus = run("ns_pipeline_delta").collect()
+      .groupBy(_.getAs[String]("status"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(byStatus.getOrElse("removed", 0L) == removed)
+    assert(byStatus.getOrElse("added", 0L) == added)
+    assert(byStatus.getOrElse("changed", 0L) == changed)
+    assert(byStatus.getOrElse("unchanged", 0L) == unchanged)
+    // every added doc lands in the shifted id space
+    run("ns_pipeline_delta").where(col("status") === "added").collect()
+      .foreach(r => assert(r.getAs[Long]("min_id") >= 1000000L))
+  }
+
+  test("bpe merges: dense ranks, non-increasing counts, true top pair") {
+    val rows = run("ns_text_bpe_merges").collect()
+    assert(rows.map(_.getAs[Int]("rnk")).toSeq == (1 to rows.length))
+    val occ = rows.map(_.getAs[Long]("n_occ"))
+    assert(occ.zip(occ.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getAs[String]("pair").length == 2)
+      assert(r.getAs[Long]("n_words") <= r.getAs[Long]("n_occ"))
+    }
+    // cross-check rank 1 against an independent count of one pair
+    val docs = Tables.load(spark, sfDir, "documents")
+    val top = rows.head.getAs[String]("pair")
+    val independent = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 2)
+      .select(expr(s"size(filter(transform(sequence(1, length(w)), " +
+        s"i -> substring(w, i, 2)), p -> p = '${top.replace("'", "\\'")}'))").as("k"))
+      .agg(sum(col("k"))).collect().head.getLong(0)
+    assert(independent == rows.head.getAs[Long]("n_occ"),
+      s"rank-1 pair '$top' count mismatch")
+  }
+}
