@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -242,10 +243,373 @@ object CurationQueries {
            |)
            |SELECT rnk, pair, n_occ, n_words FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // Int8 scalar-quantized ANN with recall audit
+  // ---------------------------------------------------------------------
+
+  /** Scalar quantization to int8 with per-dimension min/max calibration
+    * (the FAISS SQ8 memory layout: 4x smaller than float32, ~0 recall
+    * loss on most corpora) + the recall@5 audit against exact search
+    * that decides whether the compression is safe to deploy.
+    *
+    * Determinism: the calibration mins/maxes stay IN the plan (a one-row
+    * aggregated array broadcast into the quantize expression — never
+    * printed to literals, so no double-to-string round-trip); the
+    * quantize expression is a fixed tree of IEEE ops on identical
+    * doubles in both engines; distances on both the int8 grid and the
+    * exact 2^14 grid are integer `sq_l2`, so ranking ties and hashes
+    * match bitwise.
+    *
+    * Scale: calibration is one dim-keyed aggregate (64 groups);
+    * quantization is map-only against the broadcast calibration row; the
+    * audit joins the 16-query broadcast against the corpus ONCE,
+    * computing both distances per pair, and the two per-query rank
+    * windows are map-side-prunable (WindowGroupLimit) top-5s.
+    */
+  private val simSq8Recall = Q(
+    (s, dir) => {
+      graft.expressions.SquaredL2.registerIn(s)
+      val e = NorthStarQueries.kmeansQuantized(s, dir)
+        .join(TS(s, dir, "embeddings").select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      val cal = TS(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("d0", "x")))
+        .groupBy(col("d0"))
+        .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
+        .agg(expr("transform(array_sort(collect_list(struct(d0, mn, mx))), " +
+          "t -> struct(t.mn AS mn, t.mx AS mx))").as("cal"))
+      val q8Expr =
+        "transform(sequence(1, size(embedding)), i -> " +
+          "CASE WHEN element_at(cal, i).mx = element_at(cal, i).mn THEN cast(0 as bigint) " +
+          "ELSE cast(greatest(0.0, least(255.0, floor(" +
+          "((cast(element_at(embedding, i) as double) - element_at(cal, i).mn) * 255.0) " +
+          "/ (element_at(cal, i).mx - element_at(cal, i).mn)))) as bigint) END)"
+      val vv = e.crossJoin(broadcast(cal))
+        .select(col("vec_id"), col("xq"), expr(q8Expr).as("q8"))
+      val queries = vv.where(col("vec_id") < 16)
+        .select(col("vec_id").as("q_id"), col("xq").as("qxq"), col("q8").as("qq8"))
+      val wE = Window.partitionBy(col("q_id")).orderBy(col("d_exact"), col("c_id"))
+      val wQ = Window.partitionBy(col("q_id")).orderBy(col("d_sq8"), col("c_id"))
+      vv.select(col("vec_id").as("c_id"), col("xq"), col("q8"))
+        .join(broadcast(queries), col("q_id") =!= col("c_id"))
+        .withColumn("d_exact", expr("sq_l2(qxq, xq)"))
+        .withColumn("d_sq8", expr("sq_l2(qq8, q8)"))
+        .withColumn("exact_rnk", row_number().over(wE))
+        .withColumn("sq8_rnk", row_number().over(wQ))
+        .where(col("exact_rnk") <= 5 || col("sq8_rnk") <= 5)
+        .groupBy(col("q_id"))
+        .agg(sum(when(col("exact_rnk") <= 5 && col("sq8_rnk") <= 5, 1L).otherwise(0L))
+          .as("n_hits"))
+        .select(col("q_id"), col("n_hits"),
+          (col("n_hits").cast("double") / lit(5.0)).as("recall_at5"))
+        .orderBy(col("q_id"))
+    },
+    Some(s"""WITH v AS (
+            |  SELECT vec_id, embedding,
+            |    list_transform(embedding, x -> cast(floor(x::double * 16384) as bigint)) AS xq
+            |  FROM embeddings
+            |), calrows AS (
+            |  SELECT dim, min(x::double) AS mn, max(x::double) AS mx FROM (
+            |    SELECT unnest(generate_series(1, len(embedding))) AS dim,
+            |           unnest(embedding) AS x
+            |    FROM embeddings) GROUP BY dim
+            |), cal AS (
+            |  SELECT list(struct_pack(mn := mn, mx := mx) ORDER BY dim) AS cal FROM calrows
+            |), vv AS (
+            |  SELECT vec_id, xq,
+            |    list_transform(generate_series(1, len(embedding)), i ->
+            |      CASE WHEN cal[i].mx = cal[i].mn THEN cast(0 as bigint)
+            |      ELSE cast(greatest(0.0, least(255.0, floor(
+            |        ((embedding[i]::double - cal[i].mn) * 255.0) / (cal[i].mx - cal[i].mn))))
+            |        as bigint) END) AS q8
+            |  FROM v, cal
+            |), pairs AS (
+            |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+            |    list_sum(list_transform(generate_series(1, len(q.xq)),
+            |      i -> (q.xq[i] - c.xq[i]) * (q.xq[i] - c.xq[i]))) AS d_exact,
+            |    list_sum(list_transform(generate_series(1, len(q.q8)),
+            |      i -> (q.q8[i] - c.q8[i]) * (q.q8[i] - c.q8[i]))) AS d_sq8
+            |  FROM vv q JOIN vv c ON q.vec_id < 16 AND q.vec_id <> c.vec_id
+            |), ranked AS (
+            |  SELECT q_id, c_id,
+            |    row_number() OVER (PARTITION BY q_id ORDER BY d_exact, c_id) AS exact_rnk,
+            |    row_number() OVER (PARTITION BY q_id ORDER BY d_sq8, c_id) AS sq8_rnk
+            |  FROM pairs
+            |)
+            |SELECT q_id,
+            |  cast(sum(CASE WHEN exact_rnk <= 5 AND sq8_rnk <= 5 THEN 1 ELSE 0 END) as bigint)
+            |    AS n_hits,
+            |  cast(sum(CASE WHEN exact_rnk <= 5 AND sq8_rnk <= 5 THEN 1 ELSE 0 END) as double)
+            |    / 5.0 AS recall_at5
+            |FROM ranked WHERE exact_rnk <= 5 OR sq8_rnk <= 5
+            |GROUP BY q_id ORDER BY q_id""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // IVF + PQ combined search (the FAISS IVFPQ architecture)
+  // ---------------------------------------------------------------------
+
+  private val IVF_CELLS = 16
+  private val PQ_M = 8
+  private val PQ_CODES = 16
+
+  /** IVF-PQ search — the billion-scale ANN architecture: a coarse
+    * quantizer (16 cells, centroids = quantized vecs 100..115) restricts
+    * each query to its nprobe=2 nearest cells, and within those cells
+    * distances are PQ asymmetric lookups (8 subspaces x 16 codes,
+    * codebook = subvectors of vecs 0..15) — so the search never computes
+    * a full-vector distance against the corpus, and never even LOOKS at
+    * corpus vectors outside the probed cells.
+    *
+    * Everything is exact integer math on the 2^14 grid (cell argmin,
+    * probe ranking, encode argmin, ADC sums), so both engines agree
+    * bitwise.
+    *
+    * Scale: cell assignment + PQ encode are map-only passes against
+    * broadcast literals (one corpus read); the probe list (queries x 2
+    * rows) and the distance tables (queries x 128 rows) broadcast; the
+    * candidate join keys on cell — at C cells the scored fraction is
+    * nprobe/C of the corpus, the knob that makes 100 TB searchable.
+    */
+  private val simIvfPq = Q(
+    (s, dir) => {
+      graft.expressions.SquaredL2.registerIn(s)
+      val v = NorthStarQueries.kmeansQuantized(s, dir).localCheckpoint(true)
+      val cents: Seq[(Int, Seq[Long])] = v
+        .where(col("vec_id").between(100, 115)).collect()
+        .map(r => ((r.getLong(0) - 100).toInt, r.getSeq[Long](1)))
+        .sortBy(_._1).toSeq
+      val cellStructs = cents.map { case (j, c) =>
+        s"struct(sq_l2(xq, cast(array(${c.mkString(",")}) as array<bigint>)) AS d, " +
+          s"cast($j as bigint) AS j)"
+      }
+      val cellSorted = s"array_sort(array(${cellStructs.mkString(", ")}))"
+      val vc = v.withColumn("cell", expr(s"element_at($cellSorted, 1).j"))
+      // queries probe their 2 nearest cells
+      val probes = v.where(col("vec_id") < PQ_CODES)
+        .select(col("vec_id").as("q_id"),
+          explode(expr(s"transform(slice($cellSorted, 1, 2), t -> t.j)")).as("pcell"))
+      // PQ codebook: subvectors of vecs 0..15 (same convention as ns_sim_pq)
+      val cb: Map[Int, Seq[(Int, Seq[Long])]] =
+        v.where(col("vec_id") < PQ_CODES).collect()
+          .map(r => (r.getLong(0).toInt, r.getSeq[Long](1)))
+          .flatMap { case (j, xs) =>
+            (0 until PQ_M).map(m => (m, j, xs.slice(m * 8, m * 8 + 8)))
+          }
+          .groupBy(_._1).view
+          .mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq).toMap
+      val encExprs = (0 until PQ_M).map { m =>
+        val structs = cb(m).map { case (j, c) =>
+          s"struct(sq_l2(xq, cast(array(${c.mkString(",")}) as array<bigint>), " +
+            s"${m * 8}) AS d, cast($j as bigint) AS j)"
+        }
+        s"struct(cast($m as bigint) AS em, " +
+          s"element_at(array_sort(array(${structs.mkString(", ")})), 1).j AS code)"
+      }
+      val enc = vc
+        .select(col("vec_id").as("c_id"), col("cell"),
+          explode(expr(s"array(${encExprs.mkString(", ")})")).as("e"))
+        .select(col("c_id"), col("cell"), col("e.em").as("em"), col("e.code").as("code"))
+      val dtabStructs = (0 until PQ_M).flatMap { m =>
+        cb(m).map { case (j, c) =>
+          s"struct(cast($m as bigint) AS m, cast($j as bigint) AS j, " +
+            s"sq_l2(xq, cast(array(${c.mkString(",")}) as array<bigint>), ${m * 8}) AS d)"
+        }
+      }
+      val dtab = v.where(col("vec_id") < PQ_CODES)
+        .select(col("vec_id").as("tq_id"),
+          explode(expr(s"array(${dtabStructs.mkString(", ")})")).as("t"))
+        .select(col("tq_id"), col("t.m").as("m"), col("t.j").as("j"), col("t.d").as("d"))
+      val wTop = Window.partitionBy(col("q_id")).orderBy(col("adc_d"), col("c_id"))
+      enc.join(broadcast(probes),
+          col("cell") === col("pcell") && col("q_id") =!= col("c_id"))
+        .join(broadcast(dtab),
+          col("tq_id") === col("q_id") && col("m") === col("em") && col("j") === col("code"))
+        .groupBy(col("q_id"), col("c_id")).agg(sum(col("d")).as("adc_d"))
+        .withColumn("rnk", row_number().over(wTop))
+        .where(col("rnk") <= 3)
+        .select(col("q_id"), col("rnk"), col("c_id"), col("adc_d"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(s"""WITH v AS (
+            |  SELECT vec_id,
+            |    list_transform(embedding, x -> cast(floor(x::double * 16384) as bigint)) AS xq
+            |  FROM embeddings
+            |), cents AS (
+            |  SELECT vec_id - 100 AS cj, xq AS c FROM v WHERE vec_id BETWEEN 100 AND 115
+            |), celldist AS (
+            |  SELECT v.vec_id, c.cj,
+            |    list_sum(list_transform(generate_series(1, len(v.xq)),
+            |      i -> (v.xq[i] - c.c[i]) * (v.xq[i] - c.c[i]))) AS d
+            |  FROM v, cents c
+            |), cellasg AS (
+            |  SELECT vec_id, arg_min(cj, d * $IVF_CELLS + cj) AS cell
+            |  FROM celldist GROUP BY vec_id
+            |), probes AS (
+            |  SELECT vec_id AS q_id, cj AS pcell FROM (
+            |    SELECT vec_id, cj,
+            |      row_number() OVER (PARTITION BY vec_id ORDER BY d * $IVF_CELLS + cj) AS rn
+            |    FROM celldist WHERE vec_id < $PQ_CODES
+            |  ) WHERE rn <= 2
+            |), ms AS (
+            |  SELECT unnest(generate_series(0, ${PQ_M - 1})) AS m
+            |), cb AS (
+            |  SELECT m, vec_id AS j, xq[m*8+1:m*8+8] AS c FROM v, ms WHERE vec_id < $PQ_CODES
+            |), ev AS (
+            |  SELECT vec_id, m, xq[m*8+1:m*8+8] AS xs FROM v, ms
+            |), dist AS (
+            |  SELECT ev.vec_id, ev.m, cb.j,
+            |    list_sum(list_transform(generate_series(1, 8),
+            |      i -> (ev.xs[i] - cb.c[i]) * (ev.xs[i] - cb.c[i]))) AS d
+            |  FROM ev JOIN cb ON ev.m = cb.m
+            |), enc AS (
+            |  SELECT vec_id AS c_id, m, arg_min(j, d * $PQ_CODES + j) AS code
+            |  FROM dist GROUP BY vec_id, m
+            |), dtab AS (
+            |  SELECT vec_id AS q_id, m, j, d FROM dist WHERE vec_id < $PQ_CODES
+            |), cand AS (
+            |  SELECT p.q_id, e.c_id, e.m, e.code
+            |  FROM enc e
+            |  JOIN cellasg ca ON e.c_id = ca.vec_id
+            |  JOIN probes p ON ca.cell = p.pcell
+            |  WHERE p.q_id <> e.c_id
+            |), scored AS (
+            |  SELECT cand.q_id, cand.c_id, cast(sum(dt.d) as bigint) AS adc_d
+            |  FROM cand JOIN dtab dt
+            |    ON cand.q_id = dt.q_id AND cand.m = dt.m AND cand.code = dt.j
+            |  GROUP BY cand.q_id, cand.c_id
+            |), r AS (
+            |  SELECT q_id, c_id, adc_d,
+            |    row_number() OVER (PARTITION BY q_id ORDER BY adc_d, c_id) AS rnk
+            |  FROM scored
+            |)
+            |SELECT q_id, rnk, c_id, adc_d FROM r WHERE rnk <= 3
+            |ORDER BY q_id, rnk""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // PCA top component via integer power iteration
+  // ---------------------------------------------------------------------
+
+  /** Floor division that is identical in Spark and DuckDB for any sign
+    * of `a` (b > 0): subtract the non-negative remainder, then the exact
+    * quotient. Spark's `div` and DuckDB's `//` disagree on negative
+    * operands (truncation vs floor); on an exactly-divisible numerator
+    * they agree.
+    */
+  private def fdivSpark(a: String, b: String): String =
+    s"(($a) - pmod($a, $b)) div ($b)"
+  private def fdivSql(a: String, b: String): String =
+    s"(($a) - ((($a) % ($b) + ($b)) % ($b))) // ($b)"
+
+  /** PB — the power-iteration rescale bound 2^14: vectors are renormed
+    * to max |v| = PB each round, keeping every matvec inside 63 bits
+    * (|C| <= 2^28 after the /N scale, 64 terms, PB^2 = 2^28 headroom).
+    */
+  private val PB = 16384L
+
+  /** Top principal direction of the embedding second-moment matrix via
+    * SIX integer power-iteration rounds — the PCA/whitening prep that
+    * decides which dimensions carry signal (and the scale path to
+    * low-rank projection). The Gram matrix is built DISTRIBUTED (the
+    * [[NorthStarQueries]] covariance shape: in-partition upper-triangle
+    * pair explode absorbed by the partial hash agg, shuffle bounded by
+    * dim^2, corpus read once); the 64x64 eigensolve itself is
+    * dim^2-bounded and corpus-independent, so five rounds run on
+    * driver-collected matrix rows (2080 of them — the same bounded-
+    * collect justification as Lloyd's k x dim centroid pull) and the
+    * SIXTH round runs in-plan: the returned DataFrame recomputes the
+    * final matvec + rescale distributed from the corpus, so the gate
+    * exercises the full pipeline.
+    *
+    * Every step is integer-exact: C = floordiv(sum_products, N) on the
+    * 2^14 grid, matvec is bigint dot, rescale is floordiv(u * 2^14,
+    * max|u|) — both engines replay the identical fixpoint, so the
+    * loadings hash-match bitwise.
+    */
+  private val embedPcaPower = Q(
+    (s, dir) => {
+      val upper = NorthStarQueries.kmeansQuantized(s, dir)
+        .select(col("xq"))
+        .select(posexplode(col("xq")).as(Seq("i0", "xi")), col("xq"))
+        .select(col("i0"), col("xi"),
+          posexplode(expr("slice(xq, i0 + 1, size(xq) - i0)")).as(Seq("dj", "xj")))
+        .select((col("i0") + 1).as("i"), (col("i0") + 1 + col("dj")).as("j"),
+          (col("xi") * col("xj")).as("p"))
+        .groupBy(col("i"), col("j"))
+        .agg(sum(col("p")).as("sp"), count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val full = upper.unionAll(
+        upper.where(col("i") =!= col("j"))
+          .select(col("j").as("i"), col("i").as("j"), col("sp"), col("n")))
+      // five driver-side rounds over the dim^2-bounded collected matrix
+      val rows = full.collect()
+        .map(r => ((r.getAs[Int]("i"), r.getAs[Int]("j")),
+          Math.floorDiv(r.getAs[Long]("sp"), r.getAs[Long]("n"))))
+      val dims = rows.map(_._1._1).max
+      val c = rows.toMap
+      var vcur = Array.fill(dims)(PB)
+      for (_ <- 1 to 5) {
+        val u = (1 to dims).map(i =>
+          (1 to dims).map(j => c.getOrElse((i, j), 0L) * vcur(j - 1)).sum).toArray
+        val m = u.map(math.abs).max
+        vcur = u.map(x => Math.floorDiv(x * PB, m))
+      }
+      // sixth round distributed: matvec against the in-plan matrix
+      val vLit = s"array(${vcur.mkString("L,")}L)"
+      val u6 = full
+        .withColumn("cij", expr(fdivSpark("sp", "n")))
+        .withColumn("uterm", col("cij") * expr(s"element_at($vLit, j)"))
+        .groupBy(col("i")).agg(sum(col("uterm")).as("u"))
+      u6.crossJoin(broadcast(u6.agg(max(abs(col("u"))).as("umax"))))
+        .select(col("i").as("dim"),
+          expr(fdivSpark(s"u * $PB", "umax")).as("loading"))
+        .orderBy(col("dim"))
+    },
+    Some {
+      val matvec = (cRel: String, vRel: String, uRel: String, vNext: String) =>
+        s"""$uRel AS (
+           |  SELECT c.i, cast(sum(c.c * $vRel.x) as bigint) AS u
+           |  FROM c JOIN $vRel ON c.j = $vRel.i GROUP BY c.i
+           |), ${uRel}m AS (SELECT max(abs(u)) AS mm FROM $uRel
+           |), $vNext AS (
+           |  SELECT i, ${fdivSql(s"u * $PB", "mm")} AS x FROM $uRel, ${uRel}m
+           |)""".stripMargin
+      s"""WITH v AS (
+         |  SELECT list_transform(embedding, x -> cast(floor(x::double * $PB) as bigint)) AS xq
+         |  FROM embeddings
+         |), a AS (
+         |  SELECT xq, unnest(generate_series(1, len(xq))) AS i FROM v
+         |), p AS (
+         |  SELECT xq, i, unnest(generate_series(i, len(xq))) AS j FROM a
+         |), up AS (
+         |  SELECT i, j, cast(sum(xq[i] * xq[j]) as bigint) AS sp, count(*) AS n
+         |  FROM p GROUP BY i, j
+         |), m AS (
+         |  SELECT i, j, sp, n FROM up
+         |  UNION ALL
+         |  SELECT j AS i, i AS j, sp, n FROM up WHERE i <> j
+         |), c AS (
+         |  SELECT i, j, ${fdivSql("sp", "n")} AS c FROM m
+         |), v0 AS (
+         |  SELECT unnest(generate_series(1, (SELECT max(i) FROM c))) AS i, $PB AS x
+         |), ${matvec("c", "v0", "u1", "v1")},
+         |${matvec("c", "v1", "u2", "v2")},
+         |${matvec("c", "v2", "u3", "v3")},
+         |${matvec("c", "v3", "u4", "v4")},
+         |${matvec("c", "v4", "u5", "v5")},
+         |u6 AS (
+         |  SELECT c.i, cast(sum(c.c * v5.x) as bigint) AS u
+         |  FROM c JOIN v5 ON c.j = v5.i GROUP BY c.i
+         |), u6m AS (SELECT max(abs(u)) AS mm FROM u6)
+         |SELECT cast(i as int) AS dim, ${fdivSql(s"u * $PB", "mm")} AS loading
+         |FROM u6, u6m ORDER BY dim""".stripMargin
+    })
+
   val all: Map[String, Q] = Map(
     "ns_text_entropy" -> textEntropy,
     "ns_corpus_split" -> corpusSplit,
     "ns_pipeline_delta" -> pipelineDelta,
-    "ns_text_bpe_merges" -> textBpeMerges
+    "ns_text_bpe_merges" -> textBpeMerges,
+    "ns_sim_sq8_recall" -> simSq8Recall,
+    "ns_sim_ivfpq" -> simIvfPq,
+    "ns_embed_pca_power" -> embedPcaPower
   )
 }

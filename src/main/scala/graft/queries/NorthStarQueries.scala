@@ -2233,7 +2233,7 @@ object NorthStarQueries {
   private val KMEANS_ITERS = 3
 
   /** Quantized embeddings: xq[i] = floor(embedding[i] * 2^14) as bigint. */
-  private def kmeansQuantized(s: SparkSession, dir: String): DataFrame =
+  private[queries] def kmeansQuantized(s: SparkSession, dir: String): DataFrame =
     TS(s, dir, "embeddings")
       .select(col("vec_id"),
         expr(s"transform(embedding, x -> cast(floor(cast(x as double) * $KQ) as bigint))").as("xq"))

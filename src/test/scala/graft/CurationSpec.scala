@@ -92,4 +92,78 @@ class CurationSpec extends SparkSpec {
     assert(independent == rows.head.getAs[Long]("n_occ"),
       s"rank-1 pair '$top' count mismatch")
   }
+
+  test("sq8 recall: bounded in [0,1], 16 queries, identical-grid search is sane") {
+    val rows = run("ns_sim_sq8_recall").collect()
+    assert(rows.length == 16, "one recall row per query vector")
+    rows.foreach { r =>
+      val hits = r.getAs[Long]("n_hits")
+      assert(hits >= 0 && hits <= 5, s"n_hits out of range: $r")
+      assert(math.abs(r.getAs[Double]("recall_at5") - hits / 5.0) < 1e-12)
+    }
+    // int8 quantization at 64 dims rarely reorders a top-5 badly;
+    // demand a non-degenerate aggregate recall rather than per-query 1.0
+    val mean = rows.map(_.getAs[Long]("n_hits")).sum / (5.0 * rows.length)
+    assert(mean >= 0.5, s"SQ8 mean recall collapsed to $mean — quantizer broken")
+  }
+
+  test("ivfpq: results are a subset of single-cell ADC with plausible ranks") {
+    val rows = run("ns_sim_ivfpq").collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size == 16, "one result group per query")
+    byQ.values.foreach { g =>
+      assert(g.map(_.getAs[Int]("rnk")).sorted.toSeq == (1 to g.length))
+      val ds = g.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Long]("adc_d"))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b },
+        "ADC distance must be non-decreasing in rank")
+      g.foreach(r => assert(r.getAs[Long]("q_id") != r.getAs[Long]("c_id")))
+    }
+  }
+
+  test("ivfpq: candidate scoring is cell-keyed, distance tables broadcast") {
+    val q = SparkEntry.catalog("ns_sim_ivfpq").fn(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    // the probe restriction and the (m, code) table lookups both ride
+    // broadcast joins — the corpus is never shuffled for scoring
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast probe/dtab joins:\n$plan")
+    val shuffles = q.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // allowed shuffles: the (q_id, c_id) ADC aggregate, the top-k
+    // window, and the final orderBy — never a corpus-wide join shuffle
+    assert(shuffles.size <= 4, s"unexpected shuffle count ${shuffles.size}:\n$plan")
+  }
+
+  test("pca power iteration: loadings are dim-complete, normalized, non-trivial") {
+    val rows = run("ns_embed_pca_power").collect()
+    assert(rows.map(_.getAs[Int]("dim")).toSeq == (1 to 64))
+    val loadings = rows.map(_.getAs[Long]("loading"))
+    assert(loadings.map(math.abs).max == 16384L,
+      "rescale fixes max |loading| at exactly 2^14")
+    assert(loadings.count(_ != 0L) > 1, "degenerate eigenvector")
+    // Rayleigh check: the dominant direction must explain more energy
+    // than a coordinate axis — compare quadratic forms under the same
+    // integer matrix the query iterated on
+    val m = Tables.load(spark, sfDir, "embeddings")
+      .selectExpr("transform(embedding, x -> cast(floor(cast(x as double) * 16384) as bigint)) AS xq")
+      .selectExpr("posexplode(xq) AS (i0, xi)", "xq")
+      .selectExpr("i0 + 1 AS i", "xi", "posexplode(slice(xq, i0 + 1, size(xq) - i0)) AS (dj, xj)")
+      .selectExpr("i", "i + dj AS j", "xi * xj AS p")
+      .groupBy("i", "j").agg(sum("p").as("sp"), count(lit(1)).as("n"))
+      .collect()
+      .flatMap { r =>
+        val c = Math.floorDiv(r.getAs[Long]("sp"), r.getAs[Long]("n"))
+        val (i, j) = (r.getAs[Int]("i"), r.getAs[Int]("j"))
+        if (i == j) Seq(((i, j), c)) else Seq(((i, j), c), ((j, i), c))
+      }.toMap
+    def quad(v: Array[Long]): BigInt =
+      (1 to 64).map(i => (1 to 64).map(j =>
+        BigInt(m.getOrElse((i, j), 0L)) * v(j - 1) * v(i - 1)).sum).sum
+    def norm2(v: Array[Long]): BigInt = v.map(x => BigInt(x) * x).sum
+    val axis = Array.tabulate(64)(i => if (i == 0) 16384L else 0L)
+    val rl = quad(loadings) * norm2(axis)
+    val ra = quad(axis) * norm2(loadings)
+    assert(rl >= ra, "power-iteration direction loses to a coordinate axis")
+  }
 }
