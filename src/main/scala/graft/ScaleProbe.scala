@@ -103,7 +103,12 @@ object ScaleProbe {
       "ns_text_pack", "ns_dedup_chunks", "ns_text_ngram_lm",
       "ns_dedup_bloom", "ns_text_boilerplate", "ns_pipeline_manifest",
       "ns_dedup_incremental", "ns_text_bm25", "ns_corpus_token_budget",
-      "ns_dedup_simhash_hamming", "ns_corpus_temperature")
+      "ns_dedup_simhash_hamming", "ns_corpus_temperature",
+      // r10: entropy + BPE stress the (doc,char)/(pair)-keyed aggs with
+      // docMult-times the text volume; delta doubles the corpus into the
+      // full-outer diff; split is the map-only hash-coin floor case
+      "ns_text_entropy", "ns_text_bpe_merges", "ns_pipeline_delta",
+      "ns_corpus_split")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected
@@ -133,7 +138,11 @@ object ScaleProbe {
       "ns_embed_kmeans", "ns_sim_pq", "ns_sim_pq_adc", "ns_embed_covariance",
       "ns_embed_pagerank", "ns_sim_hard_negatives", "ns_embed_cluster_purity",
       "ns_sim_mmr_rerank", "ns_sim_hybrid_rrf", "ns_sim_pq_rerank",
-      "ns_dedup_semantic_kprop")
+      "ns_dedup_semantic_kprop",
+      // r10: sq8 adds a second full-width distance per candidate pair
+      // (same broadcast-query join); ivfpq's scored set is the probed
+      // 2/16 of the corpus; pca's corpus-sized axis is the Gram build
+      "ns_sim_sq8_recall", "ns_sim_ivfpq", "ns_embed_pca_power")
     if (vecNames.exists(enabled)) {
       val vecReps = spark.range(docMult).select(col("id").as("rep"))
       Tables.load(spark, sfDir, "embeddings")
@@ -169,6 +178,12 @@ object ScaleProbe {
       timeVec("ns_sim_hybrid_rrf")
       // two-stage retrieval: ADC shortlist + corpus-independent re-rank
       timeVec("ns_sim_pq_rerank")
+      // r10: sq8 = two broadcast-query passes (exact + int8 grid), both
+      // rank windows map-side-pruned; ivfpq scores only the probed 2/16
+      // cells; pca's corpus-sized axis is the dim^2-bounded Gram build
+      timeVec("ns_sim_sq8_recall")
+      timeVec("ns_sim_ivfpq")
+      timeVec("ns_embed_pca_power")
 
       // Semantic dedup at the PRODUCTION configuration: k ∝ N (one
       // cluster per ~2500 vectors), seeds stride-spaced so they are k

@@ -62,4 +62,18 @@ object SparkEntry {
   /** Headline subset for the benchmark harness. */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
     catalog.collect { case (name, q) if q.bench => name -> q.fn }
+
+  /** North-star bench group — the LLM-pipeline perf channel. Timed by
+    * `graft.Bench` under the identical warm-up/min-of-3 protocol but
+    * summed into a SEPARATE `ns_total` score field, so the headline
+    * `value` stays comparable with the r3-frozen relational baseline
+    * while the dedup/retrieval/curation half of the engine gets its own
+    * frozen numbers (BASELINE.md north-star section, measured r10).
+    */
+  val benchNorthStar: Seq[String] = Seq(
+    "ns_text_bm25", "ns_sim_pq_adc", "ns_dedup_incremental",
+    "ns_pipeline_manifest", "ns_embed_pagerank")
+
+  def benchNsQueries: Map[String, (SparkSession, String) => DataFrame] =
+    benchNorthStar.map(n => n -> catalog(n).fn).toMap
 }

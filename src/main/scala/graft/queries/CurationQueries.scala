@@ -261,10 +261,14 @@ object CurationQueries {
     * match bitwise.
     *
     * Scale: calibration is one dim-keyed aggregate (64 groups);
-    * quantization is map-only against the broadcast calibration row; the
-    * audit joins the 16-query broadcast against the corpus ONCE,
-    * computing both distances per pair, and the two per-query rank
-    * windows are map-side-prunable (WindowGroupLimit) top-5s.
+    * quantization is map-only against the broadcast calibration row. The
+    * exact and SQ8 top-5s are built as SEPARATE branches, each a
+    * broadcast-query corpus pass whose `rank <= 5` filter sits directly
+    * above its window so WindowGroupLimit prunes map-side (a single
+    * shared pass with an OR-filter over two stacked windows would defeat
+    * the prune and funnel the whole joined set through n_queries sort
+    * partitions); recall is then a join of two queries x 5 lists —
+    * corpus-independent.
     */
   private val simSq8Recall = Q(
     (s, dir) => {
@@ -285,22 +289,26 @@ object CurationQueries {
           "/ (element_at(cal, i).mx - element_at(cal, i).mn)))) as bigint) END)"
       val vv = e.crossJoin(broadcast(cal))
         .select(col("vec_id"), col("xq"), expr(q8Expr).as("q8"))
+        .localCheckpoint(true)
       val queries = vv.where(col("vec_id") < 16)
-        .select(col("vec_id").as("q_id"), col("xq").as("qxq"), col("q8").as("qq8"))
-      val wE = Window.partitionBy(col("q_id")).orderBy(col("d_exact"), col("c_id"))
-      val wQ = Window.partitionBy(col("q_id")).orderBy(col("d_sq8"), col("c_id"))
-      vv.select(col("vec_id").as("c_id"), col("xq"), col("q8"))
-        .join(broadcast(queries), col("q_id") =!= col("c_id"))
-        .withColumn("d_exact", expr("sq_l2(qxq, xq)"))
-        .withColumn("d_sq8", expr("sq_l2(qq8, q8)"))
-        .withColumn("exact_rnk", row_number().over(wE))
-        .withColumn("sq8_rnk", row_number().over(wQ))
-        .where(col("exact_rnk") <= 5 || col("sq8_rnk") <= 5)
-        .groupBy(col("q_id"))
-        .agg(sum(when(col("exact_rnk") <= 5 && col("sq8_rnk") <= 5, 1L).otherwise(0L))
-          .as("n_hits"))
-        .select(col("q_id"), col("n_hits"),
-          (col("n_hits").cast("double") / lit(5.0)).as("recall_at5"))
+      def top5(metric: String, qCol: String, cCol: String) = {
+        val w = Window.partitionBy(col("q_id")).orderBy(col("d"), col("c_id"))
+        vv.select(col("vec_id").as("c_id"), col(metric))
+          .join(broadcast(queries.select(col("vec_id").as("q_id"),
+            col(metric).as("qv"))), col("q_id") =!= col("c_id"))
+          .withColumn("d", expr(s"sq_l2(qv, $metric)"))
+          .withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 5)
+          .select(col("q_id"), col("c_id"))
+      }
+      val hits = top5("xq", "q_id", "c_id")
+        .join(top5("q8", "q_id", "c_id"), Seq("q_id", "c_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("h"))
+      queries.select(col("vec_id").as("q_id"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("h"), lit(0L)).as("n_hits"),
+          (coalesce(col("h"), lit(0L)).cast("double") / lit(5.0)).as("recall_at5"))
         .orderBy(col("q_id"))
     },
     Some(s"""WITH v AS (

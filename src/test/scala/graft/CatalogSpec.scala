@@ -85,6 +85,17 @@ class CatalogSpec extends SparkSpec {
     assert(unoracled.isEmpty, s"bench queries without oracle: $unoracled")
   }
 
+  test("north-star bench group: all resolvable, oracled, disjoint from headline") {
+    val missing = SparkEntry.benchNorthStar.filterNot(SparkEntry.catalog.contains)
+    assert(missing.isEmpty, s"ns bench names not in catalog: $missing")
+    val unoracled = SparkEntry.benchNorthStar
+      .filter(n => SparkEntry.catalog(n).oracle.isEmpty)
+    assert(unoracled.isEmpty, s"ns bench queries without oracle: $unoracled")
+    // ns_total must never double-count a query already inside "value"
+    val overlap = SparkEntry.benchNorthStar.filter(n => SparkEntry.catalog(n).bench)
+    assert(overlap.isEmpty, s"ns bench overlaps the headline group: $overlap")
+  }
+
   test("entry (driver smoke) returns rows") {
     assert(SparkEntry.entry(spark).collect().nonEmpty)
   }

@@ -120,6 +120,14 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("sq8 recall: both top-5 branches prune map-side (WindowGroupLimit)") {
+    val q = SparkEntry.catalog("ns_sim_sq8_recall").fn(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    val prunes = "WindowGroupLimit".r.findAllIn(plan).size
+    assert(prunes >= 2,
+      s"expected a map-side rank prune per branch (exact + sq8), got $prunes:\n$plan")
+  }
+
   test("ivfpq: candidate scoring is cell-keyed, distance tables broadcast") {
     val q = SparkEntry.catalog("ns_sim_ivfpq").fn(spark, sfDir)
     val plan = q.queryExecution.executedPlan.toString
