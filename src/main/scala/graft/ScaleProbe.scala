@@ -108,7 +108,7 @@ object ScaleProbe {
       // docMult-times the text volume; delta doubles the corpus into the
       // full-outer diff; split is the map-only hash-coin floor case
       "ns_text_entropy", "ns_text_bpe_merges", "ns_pipeline_delta",
-      "ns_corpus_split")
+      "ns_corpus_split", "ns_quality_logreg")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected
@@ -142,7 +142,8 @@ object ScaleProbe {
       // r10: sq8 adds a second full-width distance per candidate pair
       // (same broadcast-query join); ivfpq's scored set is the probed
       // 2/16 of the corpus; pca's corpus-sized axis is the Gram build
-      "ns_sim_sq8_recall", "ns_sim_ivfpq", "ns_embed_pca_power")
+      "ns_sim_sq8_recall", "ns_sim_ivfpq", "ns_embed_pca_power",
+      "ns_embed_pca_project", "ns_sim_knn_2hop")
     if (vecNames.exists(enabled)) {
       val vecReps = spark.range(docMult).select(col("id").as("rep"))
       Tables.load(spark, sfDir, "embeddings")
@@ -184,6 +185,11 @@ object ScaleProbe {
       timeVec("ns_sim_sq8_recall")
       timeVec("ns_sim_ivfpq")
       timeVec("ns_embed_pca_power")
+      // r10 second half: projection is map-only vs loading literals;
+      // 2-hop's stress axis is bucket occupancy (seeds AND edges both
+      // grow with replication — the same bucket^2 axis as pagerank)
+      timeVec("ns_embed_pca_project")
+      timeVec("ns_sim_knn_2hop")
 
       // Semantic dedup at the PRODUCTION configuration: k ∝ N (one
       // cluster per ~2500 vectors), seeds stride-spaced so they are k

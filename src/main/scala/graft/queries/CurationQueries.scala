@@ -571,45 +571,290 @@ object CurationQueries {
           expr(fdivSpark(s"u * $PB", "umax")).as("loading"))
         .orderBy(col("dim"))
     },
-    Some {
-      val matvec = (cRel: String, vRel: String, uRel: String, vNext: String) =>
-        s"""$uRel AS (
-           |  SELECT c.i, cast(sum(c.c * $vRel.x) as bigint) AS u
-           |  FROM c JOIN $vRel ON c.j = $vRel.i GROUP BY c.i
-           |), ${uRel}m AS (SELECT max(abs(u)) AS mm FROM $uRel
-           |), $vNext AS (
-           |  SELECT i, ${fdivSql(s"u * $PB", "mm")} AS x FROM $uRel, ${uRel}m
-           |)""".stripMargin
-      s"""WITH v AS (
-         |  SELECT list_transform(embedding, x -> cast(floor(x::double * $PB) as bigint)) AS xq
-         |  FROM embeddings
-         |), a AS (
-         |  SELECT xq, unnest(generate_series(1, len(xq))) AS i FROM v
-         |), p AS (
-         |  SELECT xq, i, unnest(generate_series(i, len(xq))) AS j FROM a
-         |), up AS (
-         |  SELECT i, j, cast(sum(xq[i] * xq[j]) as bigint) AS sp, count(*) AS n
-         |  FROM p GROUP BY i, j
-         |), m AS (
-         |  SELECT i, j, sp, n FROM up
-         |  UNION ALL
-         |  SELECT j AS i, i AS j, sp, n FROM up WHERE i <> j
-         |), c AS (
-         |  SELECT i, j, ${fdivSql("sp", "n")} AS c FROM m
-         |), v0 AS (
-         |  SELECT unnest(generate_series(1, (SELECT max(i) FROM c))) AS i, $PB AS x
-         |), ${matvec("c", "v0", "u1", "v1")},
-         |${matvec("c", "v1", "u2", "v2")},
-         |${matvec("c", "v2", "u3", "v3")},
-         |${matvec("c", "v3", "u4", "v4")},
-         |${matvec("c", "v4", "u5", "v5")},
-         |u6 AS (
-         |  SELECT c.i, cast(sum(c.c * v5.x) as bigint) AS u
-         |  FROM c JOIN v5 ON c.j = v5.i GROUP BY c.i
-         |), u6m AS (SELECT max(abs(u)) AS mm FROM u6)
-         |SELECT cast(i as int) AS dim, ${fdivSql(s"u * $PB", "mm")} AS loading
-         |FROM u6, u6m ORDER BY dim""".stripMargin
-    })
+    Some(s"""WITH $pcaSqlCtes
+            |SELECT cast(i as int) AS dim, x AS loading
+            |FROM v6 ORDER BY dim""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Graph-expansion ANN search (2-hop over the k-NN graph)
+  // ---------------------------------------------------------------------
+
+  /** Graph-expansion ANN — the NN-descent / HNSW-family search idea in
+    * its batch form: seed each query with its sign-LSH bucket mates,
+    * expand ONE hop through the k-NN graph (neighbors-of-seeds recover
+    * true neighbors that hashed into other buckets), then exact-cosine
+    * re-rank the candidate union to a top-5. Complements IVF-PQ: same
+    * recall-recovery goal, graph structure instead of coarse cells.
+    *
+    * Scale: the edge list is the [[NorthStarQueries]] k-NN build
+    * (bucket-equi join, rank-pruned to 3 edges/vector) and is built once
+    * (localCheckpoint); per query the candidate set is bucket mates +
+    * 3x that many hop-2 rows — corpus-independent for bounded buckets;
+    * the exact re-rank joins candidate ids back to the corpus by key.
+    * Ranking uses the exact integer `scaled_dot` grid, ties to c_id, so
+    * both engines agree bitwise.
+    */
+  private val simKnn2Hop = Q(
+    (s, dir) => {
+      graft.expressions.ScaledDotProduct.registerIn(s)
+      val e = TS(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          expr(NorthStarQueries.lshBucketExpr).as("bucket"),
+          expr("scaled_dot(embedding, embedding)").as("nrm"))
+        .localCheckpoint(true)
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        col("bucket"), col("nrm").as("a_nrm"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        col("bucket").as("bucket_b"), col("nrm").as("b_nrm"))
+      val wE = Window.partitionBy(col("a_id")).orderBy(col("cos").desc, col("b_id"))
+      val edges = a.join(b, col("bucket") === col("bucket_b") && col("a_id") =!= col("b_id"))
+        .withColumn("cos", expr("scaled_dot(a_emb, b_emb)").cast("double") /
+          (sqrt(col("a_nrm").cast("double")) * sqrt(col("b_nrm").cast("double"))))
+        .withColumn("rn", row_number().over(wE))
+        .where(col("rn") <= 3)
+        .select(col("a_id"), col("b_id"))
+        .localCheckpoint(true)
+      val q = e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("nq"), col("bucket").as("q_bucket"))
+      // hop 1: bucket mates of the query
+      val seeds = broadcast(q.select(col("q_id"), col("q_bucket")))
+        .join(e.select(col("vec_id").as("c_id"), col("bucket")),
+          col("q_bucket") === col("bucket") && col("q_id") =!= col("c_id"))
+        .select(col("q_id"), col("c_id"))
+      // hop 2: k-NN neighbors of the seeds
+      val hop2 = seeds.join(edges, seeds("c_id") === edges("a_id"))
+        .where(col("q_id") =!= col("b_id"))
+        .select(col("q_id"), col("b_id").as("c_id"))
+      val cand = seeds.unionAll(hop2).distinct()
+      val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+      cand
+        .join(e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          col("nrm").as("nc")), Seq("c_id"))
+        .join(broadcast(q.select(col("q_id"), col("q_emb"), col("nq"))), Seq("q_id"))
+        .withColumn("cos", expr("scaled_dot(q_emb, c_emb)").cast("double") /
+          (sqrt(col("nq").cast("double")) * sqrt(col("nc").cast("double"))))
+        .withColumn("rnk", row_number().over(wTop))
+        .where(col("rnk") <= 5)
+        .select(col("q_id"), col("rnk"), col("c_id"), round(col("cos"), 6).as("cos_sim"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, embedding, ${NorthStarQueries.lshBucketSql} AS bucket,
+            |    ${NorthStarQueries.scaledDotSql("embedding", "embedding")} AS nrm
+            |  FROM embeddings
+            |), p AS (
+            |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+            |    cast(${NorthStarQueries.scaledDotSql("a.embedding", "b.embedding")} as double)
+            |      / (sqrt(cast(a.nrm as double)) * sqrt(cast(b.nrm as double))) AS cos
+            |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+            |), edges AS (
+            |  SELECT a_id, b_id FROM (
+            |    SELECT a_id, b_id,
+            |      row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rn
+            |    FROM p) WHERE rn <= 3
+            |), q AS (
+            |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS nq, bucket AS q_bucket
+            |  FROM e WHERE vec_id < 16
+            |), seeds AS (
+            |  SELECT q.q_id, e.vec_id AS c_id FROM q JOIN e
+            |    ON q.q_bucket = e.bucket AND q.q_id <> e.vec_id
+            |), hop2 AS (
+            |  SELECT s.q_id, ed.b_id AS c_id FROM seeds s
+            |  JOIN edges ed ON s.c_id = ed.a_id
+            |  WHERE s.q_id <> ed.b_id
+            |), cand AS (
+            |  SELECT DISTINCT q_id, c_id FROM (
+            |    SELECT * FROM seeds UNION ALL SELECT * FROM hop2)
+            |), scored AS (
+            |  SELECT cand.q_id, cand.c_id,
+            |    cast(${NorthStarQueries.scaledDotSql("q.q_emb", "c.embedding")} as double)
+            |      / (sqrt(cast(q.nq as double)) * sqrt(cast(c.nrm as double))) AS cos
+            |  FROM cand
+            |  JOIN e c ON c.vec_id = cand.c_id
+            |  JOIN q ON q.q_id = cand.q_id
+            |), r AS (
+            |  SELECT q_id, c_id, cos,
+            |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+            |  FROM scored
+            |)
+            |SELECT q_id, rnk, c_id, round(cos, 6) AS cos_sim
+            |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // PCA projection (the dimensionality-reduction application)
+  // ---------------------------------------------------------------------
+
+  /** Shared integer power iteration (the [[embedPcaPower]] fixpoint) run
+    * fully driver-side over the collected dim²-bounded Gram matrix:
+    * returns the round-`iters` loadings. Driver-side is the right place
+    * for the O(dim²) eigensolve at ANY corpus scale — the corpus-sized
+    * work (the Gram build) stays distributed in the caller.
+    */
+  private def pcaLoadings(s: org.apache.spark.sql.SparkSession, dir: String,
+                          iters: Int): Array[Long] = {
+    val upper = NorthStarQueries.kmeansQuantized(s, dir)
+      .select(col("xq"))
+      .select(posexplode(col("xq")).as(Seq("i0", "xi")), col("xq"))
+      .select(col("i0"), col("xi"),
+        posexplode(expr("slice(xq, i0 + 1, size(xq) - i0)")).as(Seq("dj", "xj")))
+      .select((col("i0") + 1).as("i"), (col("i0") + 1 + col("dj")).as("j"),
+        (col("xi") * col("xj")).as("p"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("p")).as("sp"), count(lit(1)).as("n"))
+    val rows = upper.collect()
+      .flatMap { r =>
+        val c = Math.floorDiv(r.getAs[Long]("sp"), r.getAs[Long]("n"))
+        val (i, j) = (r.getAs[Int]("i"), r.getAs[Int]("j"))
+        if (i == j) Seq(((i, j), c)) else Seq(((i, j), c), ((j, i), c))
+      }
+    val dims = rows.map(_._1._1).max
+    val c = rows.toMap
+    var vcur = Array.fill(dims)(PB)
+    for (_ <- 1 to iters) {
+      val u = (1 to dims).map(i =>
+        (1 to dims).map(j => c.getOrElse((i, j), 0L) * vcur(j - 1)).sum).toArray
+      val m = u.map(math.abs).max
+      vcur = u.map(x => Math.floorDiv(x * PB, m))
+    }
+    vcur
+  }
+
+  /** The matching oracle preamble: CTEs ending in `v6(i, x)` — the same
+    * six floordiv power rounds [[embedPcaPower]] documents.
+    */
+  private def pcaSqlCtes: String = {
+    val matvec = (vRel: String, uRel: String, vNext: String) =>
+      s"""$uRel AS (
+         |  SELECT c.i, cast(sum(c.c * $vRel.x) as bigint) AS u
+         |  FROM c JOIN $vRel ON c.j = $vRel.i GROUP BY c.i
+         |), ${uRel}m AS (SELECT max(abs(u)) AS mm FROM $uRel
+         |), $vNext AS (
+         |  SELECT i, ${fdivSql(s"u * $PB", "mm")} AS x FROM $uRel, ${uRel}m
+         |)""".stripMargin
+    s"""v AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> cast(floor(x::double * $PB) as bigint)) AS xq
+       |  FROM embeddings
+       |), a AS (
+       |  SELECT xq, unnest(generate_series(1, len(xq))) AS i FROM v
+       |), pp AS (
+       |  SELECT xq, i, unnest(generate_series(i, len(xq))) AS j FROM a
+       |), up AS (
+       |  SELECT i, j, cast(sum(xq[i] * xq[j]) as bigint) AS sp, count(*) AS n
+       |  FROM pp GROUP BY i, j
+       |), m AS (
+       |  SELECT i, j, sp, n FROM up
+       |  UNION ALL
+       |  SELECT j AS i, i AS j, sp, n FROM up WHERE i <> j
+       |), c AS (
+       |  SELECT i, j, ${fdivSql("sp", "n")} AS c FROM m
+       |), v0 AS (
+       |  SELECT unnest(generate_series(1, (SELECT max(i) FROM c))) AS i, $PB AS x
+       |), ${matvec("v0", "u1", "v1")},
+       |${matvec("v1", "u2", "v2")},
+       |${matvec("v2", "u3", "v3")},
+       |${matvec("v3", "u4", "v4")},
+       |${matvec("v4", "u5", "v5")},
+       |${matvec("v5", "u6", "v6")}""".stripMargin
+  }
+
+  /** PCA projection — the application of [[embedPcaPower]]'s component:
+    * every vector's exact integer projection onto the top principal
+    * direction, reported as the 10 most-extreme vectors (|p| desc) —
+    * the outlier/diversity audit a whitening pipeline runs before
+    * committing to a low-rank layout.
+    *
+    * Scale: loadings come from the driver-side fixpoint over the
+    * dim²-bounded Gram matrix (built distributed, collected at 2080
+    * rows); the projection pass is map-only against the loading
+    * literals; top-10 by (|p|, vec_id) is an orderBy+limit =
+    * TakeOrderedAndProject (per-partition heaps, no global sort).
+    */
+  private val embedPcaProject = Q(
+    (s, dir) => {
+      val v6 = pcaLoadings(s, dir, 6)
+      val vArr = s"array(${v6.mkString("L,")}L)"
+      NorthStarQueries.kmeansQuantized(s, dir)
+        .withColumn("p", expr(
+          s"aggregate(zip_with(xq, $vArr, (x, v) -> x * v), cast(0 as bigint), (acc, t) -> acc + t)"))
+        .select(col("vec_id"), col("p"))
+        .orderBy(abs(col("p")).desc, col("vec_id"))
+        .limit(10)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(abs(col("p")).desc, col("vec_id"))))
+        .select(col("rnk"), col("vec_id"), col("p"))
+        .orderBy(col("rnk"))
+    },
+    Some(s"""WITH $pcaSqlCtes, proj AS (
+            |  SELECT v.vec_id,
+            |    cast(sum(v.xq[l.i] * l.x) as bigint) AS p
+            |  FROM v, v6 l GROUP BY v.vec_id
+            |), r AS (
+            |  SELECT vec_id, p,
+            |    row_number() OVER (ORDER BY abs(p) DESC, vec_id) AS rnk
+            |  FROM proj
+            |)
+            |SELECT rnk, vec_id, p FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Classifier-based quality scoring
+  // ---------------------------------------------------------------------
+
+  /** Logistic-regression quality scoring — the fastText-classifier
+    * analog of the rule-based [[NorthStarQueries]] quality gate: a fixed
+    * published-style weight vector over cheap per-doc features (token
+    * count, mean token length, stopword ratio, digit ratio), squashed
+    * to a keep-probability. Weights are literals (a trained model's
+    * coefficients would broadcast identically); features and the linear
+    * term are a fixed tree of IEEE ops on identical inputs, and the one
+    * transcendental (`exp`) is rounded once at the end — the
+    * [[NorthStarQueries.textTfidf]] idf mitigation.
+    *
+    * Scale: map-only; the only shuffle is the gate dump's total order.
+    */
+  private val qualityLogreg = Q(
+    (s, dir) => {
+      val stopArr = "array('the','a','of','and','to','in','is','it')"
+      TS(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_toks", size(col("toks")).cast("double"))
+        .withColumn("mean_len",
+          (length(col("text")).cast("double") - (col("n_toks") - 1.0)) / col("n_toks"))
+        .withColumn("stop_ratio",
+          expr(s"size(filter(toks, t -> array_contains($stopArr, t)))").cast("double")
+            / col("n_toks"))
+        .withColumn("digit_ratio",
+          (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+            .cast("double") / length(col("text")).cast("double"))
+        .withColumn("z",
+          lit(-1.5) + lit(0.004) * col("n_toks") + lit(0.35) * col("mean_len")
+            + lit(4.0) * col("stop_ratio") - lit(6.0) * col("digit_ratio"))
+        .select(col("doc_id"),
+          round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).as("keep_prob"))
+        .withColumn("keep", col("keep_prob") >= 0.5)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH f AS (
+           |  SELECT doc_id,
+           |    cast(len(string_split(text, ' ')) as double) AS n_toks,
+           |    (cast(len(text) as double) - (len(string_split(text, ' ')) - 1.0))
+           |      / len(string_split(text, ' ')) AS mean_len,
+           |    cast(len(list_filter(string_split(text, ' '),
+           |      t -> list_contains(['the','a','of','and','to','in','is','it'], t))) as double)
+           |      / len(string_split(text, ' ')) AS stop_ratio,
+           |    cast(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) as double)
+           |      / cast(len(text) as double) AS digit_ratio
+           |  FROM documents
+           |), z AS (
+           |  SELECT doc_id,
+           |    -1.5 + 0.004 * n_toks + 0.35 * mean_len + 4.0 * stop_ratio
+           |      - 6.0 * digit_ratio AS z
+           |  FROM f
+           |)
+           |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS keep_prob,
+           |  round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS keep
+           |FROM z ORDER BY doc_id""".stripMargin))
 
   val all: Map[String, Q] = Map(
     "ns_text_entropy" -> textEntropy,
@@ -618,6 +863,9 @@ object CurationQueries {
     "ns_text_bpe_merges" -> textBpeMerges,
     "ns_sim_sq8_recall" -> simSq8Recall,
     "ns_sim_ivfpq" -> simIvfPq,
-    "ns_embed_pca_power" -> embedPcaPower
+    "ns_embed_pca_power" -> embedPcaPower,
+    "ns_sim_knn_2hop" -> simKnn2Hop,
+    "ns_embed_pca_project" -> embedPcaProject,
+    "ns_quality_logreg" -> qualityLogreg
   )
 }

@@ -726,7 +726,7 @@ object NorthStarQueries {
   private def scaledDot(aCol: String, bCol: String): String =
     s"scaled_dot($aCol, $bCol)"
 
-  private def scaledDotSql(aCol: String, bCol: String): String =
+  private[queries] def scaledDotSql(aCol: String, bCol: String): String =
     s"list_sum(list_transform(generate_series(1, 64), i -> " +
       s"cast(floor($aCol[i]::double * $bCol[i]::double * $S) as bigint)))"
 
@@ -800,7 +800,7 @@ object NorthStarQueries {
     * below) — shared by the bucket histogram and the cosine near-dup
     * blocking join.
     */
-  private val lshBucketExpr: String = {
+  private[queries] val lshBucketExpr: String = {
     val bit = (j: Int) => {
       val arr = hyperplanes(j).mkString("array(", ", ", ")")
       s"(CASE WHEN aggregate(zip_with(embedding, $arr, (x, h) -> " +
@@ -810,7 +810,7 @@ object NorthStarQueries {
     (0 until 8).map(bit).mkString(" + ")
   }
 
-  private val lshBucketSql: String = {
+  private[queries] val lshBucketSql: String = {
     val bit = (j: Int) => {
       val arr = hyperplanes(j).mkString("[", ", ", "]")
       s"(CASE WHEN list_sum(list_transform(generate_series(1, 64), i -> " +

@@ -143,6 +143,56 @@ class CurationSpec extends SparkSpec {
     assert(shuffles.size <= 4, s"unexpected shuffle count ${shuffles.size}:\n$plan")
   }
 
+  test("knn 2-hop: dense ranks, non-increasing cosine, no self-matches") {
+    val rows = run("ns_sim_knn_2hop").collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    byQ.foreach { case (q, g) =>
+      assert(q >= 0 && q < 16)
+      assert(g.map(_.getAs[Int]("rnk")).sorted.toSeq == (1 to g.length))
+      val cs = g.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("cos_sim"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b - 1e-9 })
+      g.foreach(r => assert(r.getAs[Long]("c_id") != q))
+    }
+  }
+
+  test("pca projection: top-10 extremes agree with the published loadings") {
+    val proj = run("ns_embed_pca_project").collect()
+    assert(proj.map(_.getAs[Int]("rnk")).toSeq == (1 to proj.length))
+    val ps = proj.map(r => math.abs(r.getAs[Long]("p")))
+    assert(ps.zip(ps.tail).forall { case (a, b) => a >= b })
+    // recompute the rank-1 projection independently from the pca_power
+    // loadings (a separate public query) and the quantized vector
+    val loadings = run("ns_embed_pca_power").collect()
+      .sortBy(_.getAs[Int]("dim")).map(_.getAs[Long]("loading"))
+    val topVec = proj.head.getAs[Long]("vec_id")
+    val xq = Tables.load(spark, sfDir, "embeddings")
+      .where(col("vec_id") === topVec)
+      .selectExpr("transform(embedding, x -> cast(floor(cast(x as double) * 16384) as bigint)) AS xq")
+      .collect().head.getSeq[Long](0)
+    val expected = xq.zip(loadings).map { case (x, v) => x * v }.sum
+    assert(expected == proj.head.getAs[Long]("p"),
+      "projection disagrees with loadings-vector dot product")
+  }
+
+  test("quality logreg: probabilities bounded, threshold consistent, digits punished") {
+    import spark.implicits._
+    run("ns_quality_logreg").collect().foreach { r =>
+      val p = r.getAs[Double]("keep_prob")
+      assert(p > 0.0 && p < 1.0)
+      assert(r.getAs[Boolean]("keep") == (p >= 0.5))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("lr").toString
+    Seq(
+      (0L, "the cat sat on the mat and it is a fine day in the sun", "en", "s", 10L),
+      (1L, "4821 9983 2210 7432 5591 0042 8876 1204 9crc 77aa", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("ns_quality_logreg")(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("keep_prob")).toMap
+    assert(out(0L) > out(1L), s"digit-heavy doc must score lower: $out")
+  }
+
   test("pca power iteration: loadings are dim-complete, normalized, non-trivial") {
     val rows = run("ns_embed_pca_power").collect()
     assert(rows.map(_.getAs[Int]("dim")).toSeq == (1 to 64))
