@@ -108,7 +108,12 @@ object ScaleProbe {
       // docMult-times the text volume; delta doubles the corpus into the
       // full-outer diff; split is the map-only hash-coin floor case
       "ns_text_entropy", "ns_text_bpe_merges", "ns_pipeline_delta",
-      "ns_corpus_split", "ns_quality_logreg")
+      "ns_corpus_split", "ns_quality_logreg",
+      // r10: all three banding layouts generate in one inline pass, so
+      // the stress axis is the single (cfg, band, bkey) count shuffle;
+      // the stream delta classifies docMult-times the arrivals against
+      // an equally-multiplied static side
+      "ns_dedup_lsh_tune", "ns_pipeline_delta_stream")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected

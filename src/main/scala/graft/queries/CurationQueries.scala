@@ -190,6 +190,95 @@ object CurationQueries {
            |  min(doc_id) AS min_id, max(doc_id) AS max_id
            |FROM d GROUP BY status, source ORDER BY status, source""".stripMargin))
 
+  /** Streaming snapshot delta — the continuous form of
+    * [[pipelineDelta]]: the new crawl ARRIVES as a stream and each
+    * document classifies against the STATIC previous snapshot
+    * (stream-static LEFT OUTER on doc_id, stateless): `added` (id
+    * unseen), `changed` (id known, content hash differs), `unchanged`.
+    * `removed` is inherently unobservable in a stream (absence is not
+    * an event) — that column stays a batch-side concern, which is
+    * exactly how production delta pipes split the work.
+    *
+    * Runs two REAL micro-batches (`maxFilesPerTrigger=1`, AvailableNow)
+    * so the classification crosses a batch boundary; per-doc status is
+    * a pure function of (doc_id, text) vs the static side, so the
+    * read-back rollup is arrival-order-invariant and DuckDB oracles it
+    * with the batch formulation.
+    *
+    * Scale: the static side is (doc_id, 64-char hash) — key-partitioned
+    * build side, no text; the stream side is map-only hashing plus the
+    * join; no streaming state at all.
+    */
+  private val pipelineDeltaStream = Q(
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val base = s"/root/repo/target/graft-tmp/deltastream-${System.nanoTime()}"
+      val inDir = s"$base/in"
+      val docs = T(s, dir, "documents")
+      val neu = docs
+        .where(col("doc_id") % 10 =!= 3)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")).as("text"))
+        .unionAll(docs.where(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), lit("ingest").as("source"),
+            col("lang"), col("n_chars"), concat(lit("new:"), col("text")).as("text")))
+        .select(docs.columns.map(col): _*) // restore fixture column order
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+      Seq(0, 1).foreach { p =>
+        val part = s"$base/part$p"
+        neu.where(col("doc_id") % 2 === p)
+          .coalesce(1).write.mode("overwrite").parquet(part)
+        val f = new java.io.File(part).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(s"$inDir/batch$p.parquet"))
+      }
+      val oldHashes = docs.select(col("doc_id"),
+        sha2(col("text"), 256).as("h_old"))
+      val classified = s.readStream
+        .schema(graft.Tables.schemas("documents"))
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+        .withColumn("h_new", sha2(col("text"), 256))
+        .join(oldHashes, Seq("doc_id"), "left_outer")
+        .withColumn("status",
+          when(col("h_old").isNull, "added")
+            .when(col("h_old") =!= col("h_new"), "changed")
+            .otherwise("unchanged"))
+        .select(col("doc_id"), col("source"), col("status"))
+      val q = classified.writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/cp")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .groupBy(col("status"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("status"), col("source"))
+    },
+    Some("""WITH old AS (
+           |  SELECT doc_id, sha256(text) AS h FROM documents
+           |), neu AS (
+           |  SELECT doc_id, source,
+           |    sha256(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END) AS h
+           |  FROM documents WHERE doc_id % 10 <> 3
+           |  UNION ALL
+           |  SELECT doc_id + 1000000 AS doc_id, 'ingest' AS source,
+           |    sha256('new:' || text) AS h
+           |  FROM documents WHERE doc_id % 13 = 0
+           |), d AS (
+           |  SELECT n.doc_id, n.source,
+           |    CASE WHEN o.h IS NULL THEN 'added'
+           |         WHEN o.h <> n.h THEN 'changed'
+           |         ELSE 'unchanged' END AS status
+           |  FROM neu n LEFT JOIN old o ON n.doc_id = o.doc_id
+           |)
+           |SELECT status, source, count(*) AS n_docs,
+           |  min(doc_id) AS min_id, max(doc_id) AS max_id
+           |FROM d GROUP BY status, source ORDER BY status, source""".stripMargin))
+
   // ---------------------------------------------------------------------
   // BPE merge-pair induction
   // ---------------------------------------------------------------------
@@ -856,7 +945,84 @@ object CurationQueries {
            |  round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS keep
            |FROM z ORDER BY doc_id""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // LSH banding-parameter audit
+  // ---------------------------------------------------------------------
+
+  /** The three (bands x rows) layouts of the shared 8-hash minhash
+    * signature under audit: high-recall 8x1, the production 4x2, and
+    * high-precision 2x4.
+    */
+  private val lshConfigs: Seq[(Int, Int)] = Seq((8, 1), (4, 2), (2, 4))
+
+  /** LSH banding-parameter audit — the tuning table a dedup engineer
+    * reads before picking (bands, rows): for each layout of the SAME
+    * 8-hash signature, the bucket count, collision-bucket count,
+    * candidate-pair volume (the cost knob) and the layout's S-curve
+    * threshold `(1/b)^(1/r)` (the recall knob). Demonstrates the
+    * recall/cost trade: 8x1 catches everything and explodes pairs, 2x4
+    * is cheap and strict.
+    *
+    * Scale: signatures compute once (the shared [[NorthStarQueries]]
+    * minhash pipeline — map-only behind the doc-keyed spread); ALL
+    * THREE layouts' band rows generate in ONE `inline` pass, so the
+    * corpus is read once and the only data-sized shuffle is the
+    * (cfg, band, bkey) count aggregate; the per-config rollup runs over
+    * bucket rows.
+    */
+  private val dedupLshTune = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bandStructs = lshConfigs.flatMap { case (b, r) =>
+        (0 until b).map { j =>
+          val key = (0 until r).map(k => s"s${r * j + k}").mkString(", ")
+          s"struct('${b}x$r' as cfg, $j as band, concat_ws('|', $key) as bkey)"
+        }
+      }.mkString("inline(array(", ", ", "))")
+      val buckets = NorthStarQueries.minhashSigs(s, dir)
+        .select(expr(bandStructs))
+        .groupBy(col("cfg"), col("band"), col("bkey"))
+        .agg(count(lit(1)).as("n"))
+      val cfgMeta = lshConfigs.map { case (b, r) => (s"${b}x$r", b, r) }
+        .toDF("cfg", "b", "r")
+      buckets.groupBy(col("cfg"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(when(col("n") >= 2, 1L).otherwise(0L)).as("n_multi_buckets"),
+          sum(expr("n * (n - 1) div 2")).as("n_candidate_pairs"),
+          max(col("n")).as("max_bucket"))
+        .join(broadcast(cfgMeta), Seq("cfg"))
+        .select(col("cfg"), col("b"), col("r"), col("n_buckets"),
+          col("n_multi_buckets"), col("n_candidate_pairs"), col("max_bucket"),
+          round(pow(lit(1.0) / col("b"), lit(1.0) / col("r")), 6).as("est_threshold"))
+        .orderBy(col("cfg"))
+    },
+    Some {
+      val bandRows = lshConfigs.flatMap { case (b, r) =>
+        (0 until b).map { j =>
+          val key = (0 until r).map(k => s"s${r * j + k}").mkString(" || '|' || ")
+          s"SELECT doc_id, '${b}x$r' AS cfg, $j AS band, $key AS bkey FROM sig"
+        }
+      }.mkString("\n  UNION ALL ")
+      val metaRows = lshConfigs.map { case (b, r) => s"('${b}x$r', $b, $r)" }.mkString(", ")
+      s"""WITH ${NorthStarQueries.minhashSigsSqlCtes}, bands AS (
+         |  $bandRows
+         |), buckets AS (
+         |  SELECT cfg, band, bkey, count(*) AS n FROM bands GROUP BY cfg, band, bkey
+         |), rollup_cfg AS (
+         |  SELECT cfg, count(*) AS n_buckets,
+         |    cast(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) as bigint) AS n_multi_buckets,
+         |    cast(sum(n * (n - 1) // 2) as bigint) AS n_candidate_pairs,
+         |    max(n) AS max_bucket
+         |  FROM buckets GROUP BY cfg
+         |), meta(cfg, b, r) AS (VALUES $metaRows)
+         |SELECT cfg, b, r, n_buckets, n_multi_buckets, n_candidate_pairs, max_bucket,
+         |  round(pow(1.0 / b, 1.0 / r), 6) AS est_threshold
+         |FROM rollup_cfg JOIN meta USING (cfg) ORDER BY cfg""".stripMargin
+    })
+
   val all: Map[String, Q] = Map(
+    "ns_dedup_lsh_tune" -> dedupLshTune,
+    "ns_pipeline_delta_stream" -> pipelineDeltaStream,
     "ns_text_entropy" -> textEntropy,
     "ns_corpus_split" -> corpusSplit,
     "ns_pipeline_delta" -> pipelineDelta,

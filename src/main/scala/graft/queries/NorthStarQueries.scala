@@ -111,36 +111,48 @@ object NorthStarQueries {
     * `inline` band-generator pass (NOT a 4-way union of selects, which
     * would duplicate the signature computation into every plan branch).
     */
-  private def minhashBands(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  /** (doc_id, s0..s7) signature table — the shared front half of the
+    * band-bucket pipeline, also reused by the banding-parameter audit
+    * (`ns_dedup_lsh_tune` in [[CurationQueries]]).
+    */
+  private[queries] def minhashSigs(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val sigCols = (0 until nHashes).map { i =>
       expr(s"array_min(transform(hs, h -> (${hashA(i)} * (h % $P) + ${hashB(i)}) % $P))")
         .as(s"s$i")
     }
-    val docs = TS(s, dir, "documents")
+    TS(s, dir, "documents")
       .withColumn("hs", expr(hashedShinglesExpr))
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select((col("doc_id") +: sigCols): _*)
-    val bandStructs = (0 until nBands)
-      .map(j => s"struct($j as band, concat_ws('|', s${2 * j}, s${2 * j + 1}) as bkey)")
-      .mkString("inline(array(", ", ", "))")
-    docs.select(col("doc_id"), expr(bandStructs))
   }
 
-  /** DuckDB twin of [[minhashBands]] as CTE text: `hsh`, `sig`, `bands`. */
-  private val minhashBandsSqlCtes: String = {
+  /** DuckDB twin of [[minhashSigs]] as CTE text: `hsh`, `sig`. */
+  private[queries] val minhashSigsSqlCtes: String = {
     val sigs = (0 until nHashes)
       .map(i => s"list_min(list_transform(hs, h -> (${hashA(i)} * (h % $P) + ${hashB(i)}) % $P)) AS s$i")
       .mkString(",\n    ")
-    val bands = (0 until nBands)
-      .map(j => s"SELECT doc_id, $j AS band, s${2 * j} || '|' || s${2 * j + 1} AS bkey FROM sig")
-      .mkString("\n  UNION ALL ")
     s"""hsh AS (
        |  SELECT doc_id, $hashedShinglesSql AS hs FROM documents
        |), sig AS (
        |  SELECT doc_id,
        |    $sigs
        |  FROM hsh
-       |), bands AS (
+       |)""".stripMargin
+  }
+
+  private def minhashBands(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val bandStructs = (0 until nBands)
+      .map(j => s"struct($j as band, concat_ws('|', s${2 * j}, s${2 * j + 1}) as bkey)")
+      .mkString("inline(array(", ", ", "))")
+    minhashSigs(s, dir).select(col("doc_id"), expr(bandStructs))
+  }
+
+  /** DuckDB twin of [[minhashBands]] as CTE text: `hsh`, `sig`, `bands`. */
+  private val minhashBandsSqlCtes: String = {
+    val bands = (0 until nBands)
+      .map(j => s"SELECT doc_id, $j AS band, s${2 * j} || '|' || s${2 * j + 1} AS bkey FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""$minhashSigsSqlCtes, bands AS (
        |  $bands
        |)""".stripMargin
   }

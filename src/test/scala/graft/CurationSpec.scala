@@ -120,6 +120,39 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("lsh tune: candidate volume and threshold move oppositely across configs") {
+    val rows = run("ns_dedup_lsh_tune").collect()
+      .map(r => r.getAs[String]("cfg") ->
+        (r.getAs[Long]("n_candidate_pairs"), r.getAs[Double]("est_threshold"))).toMap
+    assert(rows.keySet == Set("8x1", "4x2", "2x4"))
+    // more bands with shorter keys -> more collisions (recall) but more pairs (cost)
+    assert(rows("8x1")._1 >= rows("4x2")._1)
+    assert(rows("4x2")._1 >= rows("2x4")._1)
+    assert(rows("8x1")._2 < rows("4x2")._2 && rows("4x2")._2 < rows("2x4")._2)
+    assert(math.abs(rows("8x1")._2 - 0.125) < 1e-9)
+    assert(math.abs(rows("4x2")._2 - 0.5) < 1e-9)
+    // the 4x2 row audits the SAME layout ns_dedup_minhash_lsh ships:
+    // its candidate-pair total must equal the per-band pair sum there
+    val lshPairs = run("ns_dedup_minhash_lsh").collect()
+      .map(_.getAs[Long]("n_cand_pairs")).sum
+    assert(rows("4x2")._1 == lshPairs,
+      s"4x2 audit (${rows("4x2")._1}) != production band pairs ($lshPairs)")
+  }
+
+  test("delta stream: classification matches the batch derivation, no removed") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val added = docs.where(col("doc_id") % 13 === 0).count()
+    val changed = docs.where(col("doc_id") % 10 =!= 3 && col("doc_id") % 7 === 0).count()
+    val newTotal = docs.where(col("doc_id") % 10 =!= 3).count() + added
+    val byStatus = run("ns_pipeline_delta_stream").collect()
+      .groupBy(_.getAs[String]("status"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(!byStatus.contains("removed"), "absence is not a stream event")
+    assert(byStatus.getOrElse("added", 0L) == added)
+    assert(byStatus.getOrElse("changed", 0L) == changed)
+    assert(byStatus.getOrElse("unchanged", 0L) == newTotal - added - changed)
+  }
+
   test("sq8 recall: both top-5 branches prune map-side (WindowGroupLimit)") {
     val q = SparkEntry.catalog("ns_sim_sq8_recall").fn(spark, sfDir)
     val plan = q.queryExecution.executedPlan.toString
