@@ -665,6 +665,52 @@ object CurationQueries {
             |FROM v6 ORDER BY dim""".stripMargin))
 
   // ---------------------------------------------------------------------
+  // Multimodal frame sampling (gated twin of Multimodal.sampleFrames)
+  // ---------------------------------------------------------------------
+
+  /** Frame sampling over binary payloads, oracled: each payload splits
+    * into 4 evenly-spaced offsets and the first 8 bytes of each survive
+    * — the video-keyframe-sampling shape (one row in, up to `frames`
+    * rows out). This is the SQL-expressible twin of
+    * [[graft.operators.Multimodal.sampleFrames]] (the mapPartitions
+    * form a real codec plugs into, covered by NorthStarSpec); gating it
+    * here puts the row-expansion + binary-slice semantics under the
+    * DuckDB hash.
+    *
+    * Scale: map-only generator expansion (posexplode of 4 computed
+    * offsets) + in-place binary substring — zero shuffles before the
+    * gate dump's sort; payload bytes never widen (8-byte slices out).
+    */
+  private val multimodalFrames = Q(
+    (s, dir) =>
+      T(s, dir, "documents")
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .withColumn("chunk", greatest(expr("length(payload) div 4"), lit(1)))
+        .select(col("doc_id"), col("payload"), col("chunk"),
+          posexplode(expr("transform(sequence(0, 3), f -> f * chunk)"))
+            .as(Seq("frame_idx", "off")))
+        .where(col("off") < length(col("payload")))
+        .select(col("doc_id"), col("frame_idx"),
+          length(col("payload")).as("n_bytes"),
+          // slice the hex FORM (DuckDB has no substring over BLOB):
+          // byte offset off -> hex offset off*2, 8 bytes -> 16 hex chars
+          expr("substring(lower(hex(payload)), off * 2 + 1, 16)").as("frame_hex"))
+        .orderBy(col("doc_id"), col("frame_idx")),
+    Some("""WITH p AS (
+           |  SELECT doc_id, encode(text) AS payload,
+           |    greatest(octet_length(encode(text)) // 4, 1) AS chunk
+           |  FROM documents
+           |), fr AS (
+           |  SELECT doc_id, payload, f AS frame_idx, f * chunk AS off
+           |  FROM p, unnest(generate_series(0, 3)) AS t(f)
+           |)
+           |SELECT doc_id, cast(frame_idx as int) AS frame_idx,
+           |  octet_length(payload) AS n_bytes,
+           |  substr(lower(hex(payload)), cast(off * 2 + 1 as int), 16) AS frame_hex
+           |FROM fr WHERE off < octet_length(payload)
+           |ORDER BY doc_id, frame_idx""".stripMargin))
+
+  // ---------------------------------------------------------------------
   // Graph-expansion ANN search (2-hop over the k-NN graph)
   // ---------------------------------------------------------------------
 
@@ -1023,6 +1069,7 @@ object CurationQueries {
   val all: Map[String, Q] = Map(
     "ns_dedup_lsh_tune" -> dedupLshTune,
     "ns_pipeline_delta_stream" -> pipelineDeltaStream,
+    "ns_multimodal_frames" -> multimodalFrames,
     "ns_text_entropy" -> textEntropy,
     "ns_corpus_split" -> corpusSplit,
     "ns_pipeline_delta" -> pipelineDelta,

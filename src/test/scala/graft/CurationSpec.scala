@@ -153,6 +153,23 @@ class CurationSpec extends SparkSpec {
     assert(byStatus.getOrElse("unchanged", 0L) == newTotal - added - changed)
   }
 
+  test("multimodal frames: gated twin agrees with the mapPartitions operator") {
+    import graft.operators.Multimodal
+    val docs = Tables.load(spark, sfDir, "documents")
+    val fromOp = Multimodal.sampleFrames(Multimodal.withPayload(docs)).collect()
+      .map(f => (f.docId, f.frameIdx) ->
+        f.frame.map("%02x".format(_)).mkString).toMap
+    val gated = run("ns_multimodal_frames").collect()
+    assert(gated.nonEmpty)
+    gated.foreach { r =>
+      val key = (r.getAs[Long]("doc_id"), r.getAs[Int]("frame_idx"))
+      assert(fromOp.contains(key), s"gated frame $key missing from operator output")
+      assert(fromOp(key) == r.getAs[String]("frame_hex"),
+        s"frame bytes diverge at $key")
+    }
+    assert(gated.length == fromOp.size, "row expansion counts differ")
+  }
+
   test("sq8 recall: both top-5 branches prune map-side (WindowGroupLimit)") {
     val q = SparkEntry.catalog("ns_sim_sq8_recall").fn(spark, sfDir)
     val plan = q.queryExecution.executedPlan.toString
