@@ -113,7 +113,8 @@ object ScaleProbe {
       // the stress axis is the single (cfg, band, bkey) count shuffle;
       // the stream delta classifies docMult-times the arrivals against
       // an equally-multiplied static side
-      "ns_dedup_lsh_tune", "ns_pipeline_delta_stream")
+      "ns_dedup_lsh_tune", "ns_pipeline_delta_stream",
+      "ns_corpus_ppl_buckets", "ns_multimodal_frames")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected

@@ -665,6 +665,88 @@ object CurationQueries {
             |FROM v6 ORDER BY dim""".stripMargin))
 
   // ---------------------------------------------------------------------
+  // Perplexity-bucket partitioning (the CCNet output layout)
+  // ---------------------------------------------------------------------
+
+  /** CCNet-style quality bucketing: every document lands in the head /
+    * middle / tail third of the corpus by its bigram-LM score (the
+    * [[NorthStarQueries]] `ns_text_ngram_lm` fixed-point conditional-
+    * probability average — higher = more predictable = cleaner text),
+    * with documents too short to score (no bigrams) split out as
+    * `empty`. This is the partitioning CCNet publishes its crawls in,
+    * and the knob mixture builders sample against.
+    *
+    * Determinism: per-doc scores are exact bigints (the LM pipeline's
+    * `(c12 * 2^20) div c1` fixed point, floor-averaged per doc); the
+    * two tercile cutoffs are ONE exact interpolated percentile per
+    * engine (the `agg_percentiles_exact`-proven quantile_cont parity)
+    * broadcast back as scalars; bucket membership compares exact
+    * bigints against those two doubles.
+    *
+    * Scale: the LM count tables are vocabulary-bounded; the doc-score
+    * aggregate shuffles (doc, bigram-count) rows once; the percentile
+    * runs over one bigint per doc and its two-row result broadcasts —
+    * no corpus-sized sort, no second text pass.
+    */
+  private val corpusPplBuckets = Q(
+    (s, dir) => {
+      val bigrams = NorthStarQueries.docBigrams(s, dir)
+      val c12 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val c1 = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val qa = bigrams
+        .join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .withColumn("q", expr("c12 * 1048576 div c1"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("q_sum"))
+        .select(col("doc_id"), expr("q_sum div n_bigrams").as("q_avg"))
+      val cut = qa.agg(
+        expr("percentile(q_avg, 0.3333333333333333)").as("c1v"),
+        expr("percentile(q_avg, 0.6666666666666666)").as("c2v"))
+      T(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        .join(qa, Seq("doc_id"), "left")
+        .crossJoin(broadcast(cut))
+        .withColumn("bucket",
+          when(col("q_avg").isNull, "empty")
+            .when(col("q_avg") > col("c2v"), "head")
+            .when(col("q_avg") > col("c1v"), "middle")
+            .otherwise("tail"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("q_avg")).as("min_q_avg"),
+          max(col("q_avg")).as("max_q_avg"))
+        .orderBy(col("bucket"))
+    },
+    Some(s"""WITH bg AS (
+            |${NorthStarQueries.docBigramsSql}
+            |), c12 AS (
+            |  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+            |), c1 AS (
+            |  SELECT w1, count(*) AS c1 FROM bg GROUP BY w1
+            |), qa AS (
+            |  SELECT doc_id,
+            |    cast(sum((c12.c12 * 1048576) // c1.c1) as bigint)
+            |      // count(*) AS q_avg
+            |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+            |  GROUP BY doc_id
+            |), cut AS (
+            |  SELECT quantile_cont(q_avg, 0.3333333333333333) AS c1v,
+            |         quantile_cont(q_avg, 0.6666666666666666) AS c2v
+            |  FROM qa
+            |), b AS (
+            |  SELECT d.doc_id, d.n_chars, qa.q_avg,
+            |    CASE WHEN qa.q_avg IS NULL THEN 'empty'
+            |         WHEN qa.q_avg > cut.c2v THEN 'head'
+            |         WHEN qa.q_avg > cut.c1v THEN 'middle'
+            |         ELSE 'tail' END AS bucket
+            |  FROM documents d LEFT JOIN qa ON d.doc_id = qa.doc_id, cut
+            |)
+            |SELECT bucket, count(*) AS n_docs,
+            |  cast(sum(n_chars) as bigint) AS sum_chars,
+            |  min(q_avg) AS min_q_avg, max(q_avg) AS max_q_avg
+            |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin))
+
+  // ---------------------------------------------------------------------
   // Multimodal frame sampling (gated twin of Multimodal.sampleFrames)
   // ---------------------------------------------------------------------
 
@@ -1070,6 +1152,7 @@ object CurationQueries {
     "ns_dedup_lsh_tune" -> dedupLshTune,
     "ns_pipeline_delta_stream" -> pipelineDeltaStream,
     "ns_multimodal_frames" -> multimodalFrames,
+    "ns_corpus_ppl_buckets" -> corpusPplBuckets,
     "ns_text_entropy" -> textEntropy,
     "ns_corpus_split" -> corpusSplit,
     "ns_pipeline_delta" -> pipelineDelta,

@@ -1996,7 +1996,7 @@ object NorthStarQueries {
     * token pair, map-only explode. Shared by the LM scorer and the
     * collocation miner.
     */
-  private def docBigrams(s: SparkSession, dir: String): DataFrame =
+  private[queries] def docBigrams(s: SparkSession, dir: String): DataFrame =
     TS(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"),
@@ -2008,7 +2008,7 @@ object NorthStarQueries {
   /** DuckDB twin of [[docBigrams]] (zipped unnest over the two shifted
     * token slices emulates the positional explode).
     */
-  private val docBigramsSql =
+  private[queries] val docBigramsSql =
     """SELECT doc_id, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
       |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)""".stripMargin
 

@@ -153,6 +153,22 @@ class CurationSpec extends SparkSpec {
     assert(byStatus.getOrElse("unchanged", 0L) == newTotal - added - changed)
   }
 
+  test("ppl buckets: partition the corpus, score-ordered, empty = bigram-less docs") {
+    val rows = run("ns_corpus_ppl_buckets").collect()
+      .map(r => r.getAs[String]("bucket") -> r).toMap
+    val docs = Tables.load(spark, sfDir, "documents")
+    val total = docs.count()
+    assert(rows.values.map(_.getAs[Long]("n_docs")).sum == total)
+    val emptyExpected = docs
+      .where(size(split(col("text"), " ")) < 2).count()
+    assert(rows.get("empty").map(_.getAs[Long]("n_docs")).getOrElse(0L) == emptyExpected)
+    for (b <- Seq("head", "middle", "tail"))
+      assert(rows.contains(b), s"missing bucket $b")
+    // buckets are score-ordered intervals
+    assert(rows("head").getAs[Long]("min_q_avg") >= rows("middle").getAs[Long]("max_q_avg"))
+    assert(rows("middle").getAs[Long]("min_q_avg") >= rows("tail").getAs[Long]("max_q_avg"))
+  }
+
   test("multimodal frames: gated twin agrees with the mapPartitions operator") {
     import graft.operators.Multimodal
     val docs = Tables.load(spark, sfDir, "documents")
