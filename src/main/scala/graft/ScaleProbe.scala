@@ -114,7 +114,7 @@ object ScaleProbe {
       // the stream delta classifies docMult-times the arrivals against
       // an equally-multiplied static side
       "ns_dedup_lsh_tune", "ns_pipeline_delta_stream",
-      "ns_corpus_ppl_buckets", "ns_multimodal_frames")
+      "ns_corpus_ppl_buckets", "ns_multimodal_frames", "ns_corpus_shuffle")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected

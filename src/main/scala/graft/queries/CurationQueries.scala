@@ -665,6 +665,65 @@ object CurationQueries {
             |FROM v6 ORDER BY dim""".stripMargin))
 
   // ---------------------------------------------------------------------
+  // Deterministic corpus shuffle (training-order assignment)
+  // ---------------------------------------------------------------------
+
+  /** Deterministic corpus shuffle — the reproducible training-order
+    * assignment every run needs: each document's position is its rank
+    * under a salted content-id hash, so the "random" order is a pure
+    * function of the corpus (re-runs and re-ingests see the same order)
+    * and sources interleave uniformly. Reported per source: count and
+    * position stats — a skewed mean position would mean one source
+    * clusters early/late in the epoch (the bug hash-ordering exists to
+    * prevent).
+    *
+    * Scale: the global rank is computed WITHOUT a single-reducer
+    * window, via the [[NorthStarQueries]] textPack decomposition — the
+    * hash's first byte is the range block (the block id is a PREFIX of
+    * the sort key, so block-major order IS global key order), each
+    * block ranks locally in parallel, and the 256-row block-count
+    * cumsum broadcasts back as bases. The oracle uses a plain global
+    * row_number; hash equality of the two is the proof the
+    * decomposition is exact.
+    */
+  private val corpusShuffle = Q(
+    (s, dir) => {
+      val keyed = T(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          md5(concat(lit("shuf:"), col("doc_id").cast("string"))).as("k"))
+        .withColumn("block",
+          expr("cast(conv(substring(k, 1, 2), 16, 10) as int)"))
+      val wLocal = Window.partitionBy(col("block")).orderBy(col("k"), col("doc_id"))
+      val wBlocks = Window.orderBy(col("block"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bases = keyed.groupBy(col("block")).agg(count(lit(1)).as("bcnt"))
+        .withColumn("base", sum(col("bcnt")).over(wBlocks) - col("bcnt"))
+        .select(col("block"), col("base"))
+      keyed
+        .withColumn("lrank", row_number().over(wLocal))
+        .join(broadcast(bases), Seq("block"))
+        .withColumn("pos", col("base") + col("lrank"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("pos")).as("min_pos"),
+          max(col("pos")).as("max_pos"),
+          round(sum(col("pos")).cast("double") / count(lit(1)), 6).as("mean_pos"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH keyed AS (
+           |  SELECT doc_id, source, md5('shuf:' || cast(doc_id as varchar)) AS k
+           |  FROM documents
+           |), p AS (
+           |  SELECT source,
+           |    row_number() OVER (ORDER BY k, doc_id) AS pos
+           |  FROM keyed
+           |)
+           |SELECT source, count(*) AS n_docs,
+           |  min(pos) AS min_pos, max(pos) AS max_pos,
+           |  round(cast(sum(pos) as double) / count(*), 6) AS mean_pos
+           |FROM p GROUP BY source ORDER BY source""".stripMargin))
+
+  // ---------------------------------------------------------------------
   // Perplexity-bucket partitioning (the CCNet output layout)
   // ---------------------------------------------------------------------
 
@@ -1153,6 +1212,7 @@ object CurationQueries {
     "ns_pipeline_delta_stream" -> pipelineDeltaStream,
     "ns_multimodal_frames" -> multimodalFrames,
     "ns_corpus_ppl_buckets" -> corpusPplBuckets,
+    "ns_corpus_shuffle" -> corpusShuffle,
     "ns_text_entropy" -> textEntropy,
     "ns_corpus_split" -> corpusSplit,
     "ns_pipeline_delta" -> pipelineDelta,

@@ -153,6 +153,23 @@ class CurationSpec extends SparkSpec {
     assert(byStatus.getOrElse("unchanged", 0L) == newTotal - added - changed)
   }
 
+  test("corpus shuffle: positions are a permutation and sources interleave") {
+    val rows = run("ns_corpus_shuffle").collect()
+    val total = Tables.load(spark, sfDir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    assert(rows.map(_.getAs[Long]("min_pos")).min == 1L)
+    assert(rows.map(_.getAs[Long]("max_pos")).max == total)
+    // a uniform interleave puts every source's mean position near the
+    // corpus midpoint; 4-sigma of a uniform sample mean = (N/sqrt(12n))*4
+    val mid = (total + 1) / 2.0
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val tol = 4.0 * total / math.sqrt(12.0 * n) + 1
+      assert(math.abs(r.getAs[Double]("mean_pos") - mid) <= tol,
+        s"source ${r.getAs[String]("source")} clusters in the epoch: $r")
+    }
+  }
+
   test("ppl buckets: partition the corpus, score-ordered, empty = bigram-less docs") {
     val rows = run("ns_corpus_ppl_buckets").collect()
       .map(r => r.getAs[String]("bucket") -> r).toMap
