@@ -665,6 +665,63 @@ object CurationQueries {
             |FROM v6 ORDER BY dim""".stripMargin))
 
   // ---------------------------------------------------------------------
+  // Range (radius) similarity search
+  // ---------------------------------------------------------------------
+
+  /** Range search — the OTHER ANN API: instead of top-k, return
+    * everything within a similarity radius (cosine >= 0.25 here), the
+    * query shape behind near-dup candidate pulls and "find everything
+    * this similar" audits where k is unknowable a priori. Reported per
+    * query: the in-range count and the cosine extremes (rounded once),
+    * so result size stays bounded even when the radius catches a large
+    * neighborhood.
+    *
+    * Scale: one broadcast-query corpus pass, map-only predicate on the
+    * exact integer `scaled_dot` grid, then a query-keyed aggregate —
+    * no rank window at all (range search has no k to prune to); the
+    * production variant composes the same predicate with the LSH-bucket
+    * or IVF-cell blocking the top-k family already demonstrates.
+    */
+  private val simRangeSearch = Q(
+    (s, dir) => {
+      graft.expressions.ScaledDotProduct.registerIn(s)
+      val e = TS(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          expr("scaled_dot(embedding, embedding)").as("nrm"))
+      val q = e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("nq"))
+      e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          col("nrm").as("nc"))
+        .join(broadcast(q), col("q_id") =!= col("c_id"))
+        .withColumn("cos", expr("scaled_dot(q_emb, c_emb)").cast("double") /
+          (sqrt(col("nq").cast("double")) * sqrt(col("nc").cast("double"))))
+        .where(col("cos") >= 0.25)
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_in_range"),
+          round(max(col("cos")), 6).as("max_cos"),
+          round(min(col("cos")), 6).as("min_cos"))
+        .orderBy(col("q_id"))
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, embedding,
+            |    ${NorthStarQueries.scaledDotSql("embedding", "embedding")} AS nrm
+            |  FROM embeddings
+            |), q AS (
+            |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS nq
+            |  FROM e WHERE vec_id < 16
+            |), p AS (
+            |  SELECT q.q_id,
+            |    cast(${NorthStarQueries.scaledDotSql("q.q_emb", "c.embedding")} as double)
+            |      / (sqrt(cast(q.nq as double)) * sqrt(cast(c.nrm as double))) AS cos
+            |  FROM q JOIN e c ON q.q_id <> c.vec_id
+            |)
+            |SELECT q_id, count(*) AS n_in_range,
+            |  round(max(cos), 6) AS max_cos, round(min(cos), 6) AS min_cos
+            |FROM p WHERE cos >= 0.25
+            |GROUP BY q_id ORDER BY q_id""".stripMargin))
+
+  // ---------------------------------------------------------------------
   // Deterministic corpus shuffle (training-order assignment)
   // ---------------------------------------------------------------------
 
@@ -1213,6 +1270,7 @@ object CurationQueries {
     "ns_multimodal_frames" -> multimodalFrames,
     "ns_corpus_ppl_buckets" -> corpusPplBuckets,
     "ns_corpus_shuffle" -> corpusShuffle,
+    "ns_sim_range_search" -> simRangeSearch,
     "ns_text_entropy" -> textEntropy,
     "ns_corpus_split" -> corpusSplit,
     "ns_pipeline_delta" -> pipelineDelta,

@@ -153,6 +153,29 @@ class CurationSpec extends SparkSpec {
     assert(byStatus.getOrElse("unchanged", 0L) == newTotal - added - changed)
   }
 
+  test("range search: bounds hold and count matches an independent recount") {
+    graft.expressions.ScaledDotProduct.registerIn(spark)
+    val rows = run("ns_sim_range_search").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_in_range") >= 1)
+      val (mx, mn) = (r.getAs[Double]("max_cos"), r.getAs[Double]("min_cos"))
+      assert(mx >= mn && mn >= 0.25 - 1e-6, s"radius violated: $r")
+    }
+    val q0 = rows.head.getAs[Long]("q_id")
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "embedding", "scaled_dot(embedding, embedding) AS nrm")
+    val qv = e.where(col("vec_id") === q0).collect().head
+    val recount = e.where(col("vec_id") =!= q0)
+      .crossJoin(broadcast(spark.createDataFrame(java.util.List.of(qv), qv.schema)
+        .selectExpr("embedding AS q_emb", "nrm AS nq")))
+      .where(expr("cast(scaled_dot(q_emb, embedding) as double)") /
+        (sqrt(col("nq").cast("double")) * sqrt(col("nrm").cast("double"))) >= 0.25)
+      .count()
+    assert(recount == rows.head.getAs[Long]("n_in_range"),
+      s"independent recount for q=$q0 differs")
+  }
+
   test("corpus shuffle: positions are a permutation and sources interleave") {
     val rows = run("ns_corpus_shuffle").collect()
     val total = Tables.load(spark, sfDir, "documents").count()
