@@ -149,7 +149,7 @@ object ScaleProbe {
       // (same broadcast-query join); ivfpq's scored set is the probed
       // 2/16 of the corpus; pca's corpus-sized axis is the Gram build
       "ns_sim_sq8_recall", "ns_sim_ivfpq", "ns_embed_pca_power",
-      "ns_embed_pca_project", "ns_sim_knn_2hop")
+      "ns_embed_pca_project", "ns_sim_knn_2hop", "ns_sim_range_search")
     if (vecNames.exists(enabled)) {
       val vecReps = spark.range(docMult).select(col("id").as("rep"))
       Tables.load(spark, sfDir, "embeddings")
@@ -196,6 +196,10 @@ object ScaleProbe {
       // grow with replication — the same bucket^2 axis as pagerank)
       timeVec("ns_embed_pca_project")
       timeVec("ns_sim_knn_2hop")
+      // range search: one broadcast-query map-only pass, no rank window —
+      // replication grows the candidate stream AND the in-range counts
+      // linearly; the aggregate stays 16 query rows
+      timeVec("ns_sim_range_search")
 
       // Semantic dedup at the PRODUCTION configuration: k ∝ N (one
       // cluster per ~2500 vectors), seeds stride-spaced so they are k
