@@ -121,6 +121,113 @@ object CurationQueries {
            |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
   // ---------------------------------------------------------------------
+  // Leakage-safe (cluster-aware) split
+  // ---------------------------------------------------------------------
+
+  /** The 90/5/5 md5 coin from [[corpusSplit]], applied to an arbitrary
+    * key column so the same assignment function can hash either the doc
+    * id (naive) or the near-dup cluster representative (leakage-safe).
+    */
+  private def splitCoin(key: String): org.apache.spark.sql.Column = {
+    val h = s"cast(conv(substring(md5(concat('sp:', cast($key as string))), 1, 8), 16, 10) as bigint) % 100"
+    expr(s"CASE WHEN $h < 90 THEN 'train' WHEN $h < 95 THEN 'val' ELSE 'test' END")
+  }
+  private def splitCoinSql(key: String): String = {
+    val h = s"cast('0x' || substr(md5('sp:' || cast($key as varchar)), 1, 8) as bigint) % 100"
+    s"CASE WHEN $h < 90 THEN 'train' WHEN $h < 95 THEN 'val' ELSE 'test' END"
+  }
+
+  /** Leakage-safe train/val/test split: the hash coin is applied to the
+    * NEAR-DUP CLUSTER representative (the connected-components label from
+    * [[NorthStarQueries.clusterLabels]]) instead of the doc id, so every
+    * member of a near-dup cluster lands in the same split — the
+    * assignment that keeps eval honest when the corpus contains near
+    * copies (a naive per-doc coin puts one copy in train and its twin in
+    * test, and the eval set leaks). Reports per-split volumes plus the
+    * audit that justifies the extra cluster pass: the number of LSH
+    * candidate pairs straddling splits under the cluster-aware coin
+    * (zero by construction) next to the count under the naive
+    * [[corpusSplit]] coin on the same corpus.
+    *
+    * Scale: cluster labels are the CC fixpoint (one doc-keyed shuffle
+    * per round, O(log diameter) rounds); the coin itself is map-only;
+    * the audit joins the bounded LSH candidate-pair set to the
+    * assignment twice on doc id — never all-pairs, and the leak scalars
+    * broadcast back onto the 3-row split rollup.
+    */
+  private val corpusSplitLeakage = Q(
+    (s, dir) => {
+      val assigned = T(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .join(NorthStarQueries.clusterLabels(s, dir), "doc_id")
+        .withColumn("split", splitCoin("label"))
+        .withColumn("split_naive", splitCoin("doc_id"))
+      val bands = NorthStarQueries.minhashBands(s, dir)
+      val b2 = bands.select(col("doc_id").as("b_id"), col("band"), col("bkey"))
+      val pairs = bands.join(b2,
+          bands("band") === b2("band") && bands("bkey") === b2("bkey") &&
+            bands("doc_id") < col("b_id"))
+        .select(col("doc_id").as("a_id"), col("b_id")).distinct()
+      val leak = pairs
+        .join(assigned.select(col("doc_id").as("a_id"), col("split").as("sa"),
+          col("split_naive").as("na")), "a_id")
+        .join(assigned.select(col("doc_id").as("b_id"), col("split").as("sb"),
+          col("split_naive").as("nb")), "b_id")
+        .agg(
+          coalesce(sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)), lit(0L))
+            .as("leak_pairs_cluster"),
+          coalesce(sum(when(col("na") =!= col("nb"), 1L).otherwise(0L)), lit(0L))
+            .as("leak_pairs_naive"))
+      assigned.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+             countDistinct(col("label")).as("n_clusters"),
+             sum(col("n_chars")).as("sum_chars"))
+        .crossJoin(broadcast(leak))
+        .orderBy(col("split"))
+    },
+    Some(
+      s"""WITH RECURSIVE ${NorthStarQueries.minhashBandsSqlCtes}, hubs AS (
+         |  SELECT band, bkey, min(doc_id) AS hub FROM bands GROUP BY 1, 2
+         |), e AS (
+         |  SELECT DISTINCT b.doc_id AS a, h.hub AS b
+         |  FROM bands b JOIN hubs h USING (band, bkey)
+         |  WHERE b.doc_id <> h.hub
+         |), sym AS (
+         |  SELECT a, b FROM e UNION SELECT b, a FROM e
+         |), reach(node, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT s.b, r.label FROM sym s JOIN reach r ON r.node = s.a
+         |), comp AS (
+         |  SELECT node, min(label) AS cluster FROM reach GROUP BY node
+         |), asg AS (
+         |  SELECT d.doc_id, d.n_chars, c.cluster,
+         |    ${splitCoinSql("c.cluster")} AS split,
+         |    ${splitCoinSql("d.doc_id")} AS split_naive
+         |  FROM documents d JOIN comp c ON c.node = d.doc_id
+         |), pairs AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |), leak AS (
+         |  SELECT
+         |    cast(coalesce(sum(CASE WHEN pa.split <> pb.split THEN 1 ELSE 0 END), 0) as bigint)
+         |      AS leak_pairs_cluster,
+         |    cast(coalesce(sum(CASE WHEN pa.split_naive <> pb.split_naive THEN 1 ELSE 0 END), 0) as bigint)
+         |      AS leak_pairs_naive
+         |  FROM pairs p
+         |  JOIN asg pa ON pa.doc_id = p.a_id
+         |  JOIN asg pb ON pb.doc_id = p.b_id
+         |)
+         |SELECT a.split, count(*) AS n_docs,
+         |  count(distinct a.cluster) AS n_clusters,
+         |  cast(sum(a.n_chars) as bigint) AS sum_chars,
+         |  l.leak_pairs_cluster, l.leak_pairs_naive
+         |FROM asg a CROSS JOIN leak l
+         |GROUP BY a.split, l.leak_pairs_cluster, l.leak_pairs_naive
+         |ORDER BY split""".stripMargin))
+
+  // ---------------------------------------------------------------------
   // Snapshot delta (corpus versioning)
   // ---------------------------------------------------------------------
 
@@ -1273,6 +1380,7 @@ object CurationQueries {
     "ns_sim_range_search" -> simRangeSearch,
     "ns_text_entropy" -> textEntropy,
     "ns_corpus_split" -> corpusSplit,
+    "ns_corpus_split_leakage" -> corpusSplitLeakage,
     "ns_pipeline_delta" -> pipelineDelta,
     "ns_text_bpe_merges" -> textBpeMerges,
     "ns_sim_sq8_recall" -> simSq8Recall,

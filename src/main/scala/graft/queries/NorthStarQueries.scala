@@ -140,7 +140,7 @@ object NorthStarQueries {
        |)""".stripMargin
   }
 
-  private def minhashBands(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  private[queries] def minhashBands(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val bandStructs = (0 until nBands)
       .map(j => s"struct($j as band, concat_ws('|', s${2 * j}, s${2 * j + 1}) as bkey)")
       .mkString("inline(array(", ", ", "))")
@@ -148,7 +148,7 @@ object NorthStarQueries {
   }
 
   /** DuckDB twin of [[minhashBands]] as CTE text: `hsh`, `sig`, `bands`. */
-  private val minhashBandsSqlCtes: String = {
+  private[queries] val minhashBandsSqlCtes: String = {
     val bands = (0 until nBands)
       .map(j => s"SELECT doc_id, $j AS band, s${2 * j} || '|' || s${2 * j + 1} AS bkey FROM sig")
       .mkString("\n  UNION ALL ")
@@ -339,7 +339,7 @@ object NorthStarQueries {
     * shared by [[dedupClusters]] (cluster stats) and [[dedupCanonical]]
     * (best-doc keeper selection).
     */
-  private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def clusterLabels(s: SparkSession, dir: String): DataFrame = {
       val bands = minhashBands(s, dir)
       val hubs = bands.groupBy(col("band"), col("bkey")).agg(min(col("doc_id")).as("hub"))
       val e = bands.join(hubs, Seq("band", "bkey"))

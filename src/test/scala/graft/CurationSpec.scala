@@ -176,6 +176,23 @@ class CurationSpec extends SparkSpec {
       s"independent recount for q=$q0 differs")
   }
 
+  test("leakage split: cluster-aware coin never straddles, volumes reconcile") {
+    val rows = run("ns_corpus_split_leakage").collect()
+    assert(rows.nonEmpty)
+    val splits = rows.map(_.getAs[String]("split")).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("leak_pairs_cluster") == 0L,
+        s"cluster-aware split leaked: $r")
+    }
+    val total = Tables.load(spark, sfDir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    // clusters partition across splits: per-split distinct-cluster counts
+    // must sum to the corpus-wide cluster count
+    val nClusters = run("ns_dedup_clusters").count()
+    assert(rows.map(_.getAs[Long]("n_clusters")).sum == nClusters)
+  }
+
   test("corpus shuffle: positions are a permutation and sources interleave") {
     val rows = run("ns_corpus_shuffle").collect()
     val total = Tables.load(spark, sfDir, "documents").count()
