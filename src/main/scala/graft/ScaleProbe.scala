@@ -114,7 +114,11 @@ object ScaleProbe {
       // the stream delta classifies docMult-times the arrivals against
       // an equally-multiplied static side
       "ns_dedup_lsh_tune", "ns_pipeline_delta_stream",
-      "ns_corpus_ppl_buckets", "ns_multimodal_frames", "ns_corpus_shuffle")
+      "ns_corpus_ppl_buckets", "ns_multimodal_frames", "ns_corpus_shuffle",
+      // r10 fourth wave: dsir's corpus-sized work is the feature explode
+      // into the B-bounded bucket aggregates (the ratio table broadcast
+      // is corpus-independent), so wall should track text volume
+      "ns_corpus_dsir")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected
@@ -149,7 +153,12 @@ object ScaleProbe {
       // (same broadcast-query join); ivfpq's scored set is the probed
       // 2/16 of the corpus; pca's corpus-sized axis is the Gram build
       "ns_sim_sq8_recall", "ns_sim_ivfpq", "ns_embed_pca_power",
-      "ns_embed_pca_project", "ns_sim_knn_2hop", "ns_sim_range_search")
+      "ns_embed_pca_project", "ns_sim_knn_2hop", "ns_sim_range_search",
+      // r10 fourth wave: label prop's stress axis is seed-bucket
+      // occupancy (same bucket^2 family as pagerank, 4x smaller build
+      // side); matryoshka runs TWO broadcast-query passes so it should
+      // track 2x the cosine-topk growth
+      "ns_embed_label_prop", "ns_sim_matryoshka")
     if (vecNames.exists(enabled)) {
       val vecReps = spark.range(docMult).select(col("id").as("rep"))
       Tables.load(spark, sfDir, "embeddings")
@@ -200,6 +209,8 @@ object ScaleProbe {
       // replication grows the candidate stream AND the in-range counts
       // linearly; the aggregate stays 16 query rows
       timeVec("ns_sim_range_search")
+      timeVec("ns_embed_label_prop")
+      timeVec("ns_sim_matryoshka")
 
       // Semantic dedup at the PRODUCTION configuration: k ∝ N (one
       // cluster per ~2500 vectors), seeds stride-spaced so they are k

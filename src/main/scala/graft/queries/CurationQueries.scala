@@ -1371,7 +1371,329 @@ object CurationQueries {
          |FROM rollup_cfg JOIN meta USING (cfg) ORDER BY cfg""".stripMargin
     })
 
+  // ---------------------------------------------------------------------
+  // DSIR importance resampling (hashed n-gram domain-likelihood ratios)
+  // ---------------------------------------------------------------------
+
+  /** Feature-hash bucket count for DSIR (unigrams + bigrams → 64
+    * buckets). Small enough that the per-bucket log-ratio table always
+    * broadcasts; production raises this to 10k with the same plan.
+    */
+  private val DSIR_B = 64
+
+  /** DSIR-style importance resampling (Xie et al. 2023): score every
+    * document by how much more likely its hashed n-gram features are
+    * under a TARGET domain's bag-of-words model than under the raw
+    * corpus model, then keep the top decile — the data-selection pass
+    * that tilts a crawl toward a reference distribution without
+    * training a classifier. Features are unigrams + bigrams hashed into
+    * [[DSIR_B]] buckets (the paper's hashed n-gram generative model);
+    * the target here is the `lang = 'en'` slice of the corpus.
+    *
+    * Determinism: the per-bucket log-likelihood ratio is computed as
+    * ONE `ln` over a ratio of exact bigint products (Laplace-smoothed
+    * counts), floored into 1e-6 fixed point, so per-doc weights are
+    * exact bigint sums; the per-doc normalized weight is a single IEEE
+    * division written identically in both engines, and the top-decile
+    * cutoff is the `agg_percentiles_exact`-proven interpolated
+    * percentile broadcast back as a scalar.
+    *
+    * Scale: the text is exploded ONCE into a (doc, lang, bucket) count
+    * aggregate — every other table (the two bucket-count marginals, the
+    * totals, the per-doc scores, the percentile cutoff) derives from
+    * that compact rollup, and its exchange is byte-identical across
+    * consumers so AQE reuses it (the `ns_text_bm25` one-scan trick).
+    * The log-ratio table is [[DSIR_B]]-bounded and broadcasts; no
+    * second text pass, no global sort, no driver loop.
+    */
+  private val corpusDsir = Q(
+    (s, dir) => {
+      // one corpus text pass: per-(doc, bucket) feature counts
+      val dbc = TS(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), col("lang"),
+          explode(expr("concat(w, if(size(w) < 2, array(), " +
+            "transform(sequence(1, size(w) - 1), " +
+            "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))))")).as("f"))
+        .withColumn("b", expr(
+          s"cast(conv(substring(md5(concat('ds:', f)), 1, 8), 16, 10) as bigint) % $DSIR_B"))
+        .groupBy(col("doc_id"), col("lang"), col("b"))
+        .agg(count(lit(1)).as("c"))
+      // bucket-count marginals + totals — all from the rollup, no re-explode
+      val cnt = dbc.groupBy(col("b"))
+        .agg(sum(col("c")).as("cr"),
+          sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("ct"))
+      val tot = cnt.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+      val ratio = cnt.crossJoin(broadcast(tot))
+        .select(col("b"), expr(
+          s"cast(floor(ln(cast((ct + 1) * (nr + $DSIR_B) as double) / " +
+            s"cast((cr + 1) * (nt + $DSIR_B) as double)) * 1e6) as bigint)").as("r_fp"))
+      val scored = dbc.join(broadcast(ratio), Seq("b"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("c")).as("n_feats"), sum(col("c") * col("r_fp")).as("w_sum"))
+        .withColumn("w_norm",
+          col("w_sum").cast("double") / col("n_feats").cast("double"))
+      val cut = scored.agg(expr("percentile(w_norm, 0.9)").as("thr"))
+      scored.crossJoin(broadcast(cut))
+        .select(col("doc_id"), col("lang"), col("n_feats"),
+          // zero normalization: a tiny-negative score rounds to IEEE
+          // -0.0 in DuckDB but +0.0 through Spark's decimal round; the
+          // CASE maps both to literal 0.0 (the scalar_array_hof idiom)
+          when(round(col("w_norm") / lit(1e6), 6) === 0, lit(0.0))
+            .otherwise(round(col("w_norm") / lit(1e6), 6)).as("dsir_score"),
+          (col("w_norm") > col("thr")).as("selected"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH wds AS (
+            |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+            |), f AS (
+            |  SELECT doc_id, lang, unnest(list_concat(w,
+            |    list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+            |      i -> w[i] || ' ' || w[i + 1]))) AS f
+            |  FROM wds
+            |), fb AS (
+            |  SELECT doc_id, lang,
+            |    cast('0x' || substr(md5('ds:' || f), 1, 8) as bigint) % $DSIR_B AS b
+            |  FROM f
+            |), tot AS (
+            |  SELECT count(*) AS nr,
+            |    cast(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) as bigint) AS nt
+            |  FROM fb
+            |), raw AS (
+            |  SELECT b, count(*) AS cr FROM fb GROUP BY b
+            |), tgt AS (
+            |  SELECT b, count(*) AS ct FROM fb WHERE lang = 'en' GROUP BY b
+            |), ratio AS (
+            |  SELECT r.b,
+            |    cast(floor(ln(cast((coalesce(t.ct, 0) + 1) * (tot.nr + $DSIR_B) as double)
+            |      / cast((r.cr + 1) * (tot.nt + $DSIR_B) as double)) * 1e6) as bigint) AS r_fp
+            |  FROM raw r LEFT JOIN tgt t USING (b), tot
+            |), ds AS (
+            |  SELECT fb.doc_id, fb.lang, count(*) AS n_feats,
+            |    cast(sum(ratio.r_fp) as bigint) AS w_sum
+            |  FROM fb JOIN ratio USING (b) GROUP BY fb.doc_id, fb.lang
+            |), sc AS (
+            |  SELECT doc_id, lang, n_feats,
+            |    cast(w_sum as double) / cast(n_feats as double) AS w_norm
+            |  FROM ds
+            |), cut AS (SELECT quantile_cont(w_norm, 0.9) AS thr FROM sc)
+            |SELECT doc_id, lang, n_feats,
+            |  CASE WHEN round(w_norm / 1e6, 6) = 0 THEN 0.0
+            |       ELSE round(w_norm / 1e6, 6) END AS dsir_score,
+            |  w_norm > cut.thr AS selected
+            |FROM sc, cut ORDER BY doc_id""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // k-NN label propagation (semi-supervised quality classification)
+  // ---------------------------------------------------------------------
+
+  /** Label propagation over the embedding k-NN structure: a quarter of
+    * the vectors (`vec_id % 4 = 0`) act as SEED-labeled examples; every
+    * other vector takes the majority label among its 3 nearest seed
+    * neighbors inside its sign-LSH bucket — the kNN-classifier pass
+    * that spreads a small set of human quality labels across a corpus
+    * (the distilled-classifier curation step, without training). Votes
+    * break ties by total fixed-point cosine weight, then lowest label;
+    * vectors whose bucket holds no seed stay unlabeled (`label_pred`
+    * null, `n_voters` 0) so coverage is part of the output. `correct`
+    * audits the propagation against the held-back true labels.
+    *
+    * Scale: the candidate join is bucket-equi against the SEED quarter
+    * only (never all-pairs), the top-3 rank window prunes map-side
+    * (WindowGroupLimit), and the vote/pick aggregates run over ≤ 3
+    * rows per vector. Same 100-TB shape as [[NorthStarQueries]]'s
+    * `ns_embed_knn_graph` with a 4× smaller build side.
+    */
+  private val embedLabelProp = Q(
+    (s, dir) => {
+      graft.expressions.ScaledDotProduct.registerIn(s)
+      val e = TS(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding"),
+          expr(NorthStarQueries.lshBucketExpr).as("bucket"),
+          expr("scaled_dot(embedding, embedding)").as("nrm"))
+      val u = e.where(col("vec_id") % 4 =!= 0)
+        .select(col("vec_id").as("a_id"), col("label").as("label_true"),
+          col("embedding").as("a_emb"), col("bucket"), col("nrm").as("a_nrm"))
+      val seeds = e.where(col("vec_id") % 4 === 0)
+        .select(col("vec_id").as("b_id"), col("label").as("seed_label"),
+          col("embedding").as("b_emb"), col("bucket").as("bucket_b"),
+          col("nrm").as("b_nrm"))
+      val w = Window.partitionBy(col("a_id")).orderBy(col("cos").desc, col("b_id"))
+      val k3 = u.join(seeds, col("bucket") === col("bucket_b"))
+        .withColumn("cos", expr("scaled_dot(a_emb, b_emb)").cast("double") /
+          (sqrt(col("a_nrm").cast("double")) * sqrt(col("b_nrm").cast("double"))))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("a_id"), col("seed_label"),
+          expr("cast(floor(cos * 1e6) as bigint)").as("cos_fp"))
+        // ≤ 3 rows per vector; checkpointed so the vote, coverage and
+        // pick consumers don't re-run the bucket join (the
+        // ns_embed_pagerank edge-list pattern)
+        .localCheckpoint(true)
+      val votes = k3.groupBy(col("a_id"), col("seed_label"))
+        .agg(count(lit(1)).as("n_votes"), sum(col("cos_fp")).as("w_fp"))
+      val pw = Window.partitionBy(col("a_id"))
+        .orderBy(col("n_votes").desc, col("w_fp").desc, col("seed_label"))
+      val pick = votes.withColumn("pr", row_number().over(pw))
+        .where(col("pr") === 1)
+        .select(col("a_id"), col("seed_label").as("label_pred"))
+      val nv = k3.groupBy(col("a_id")).agg(count(lit(1)).as("n_voters"))
+      u.select(col("a_id").as("vec_id"), col("label_true"))
+        .join(pick.withColumnRenamed("a_id", "vec_id"), Seq("vec_id"), "left")
+        .join(nv.withColumnRenamed("a_id", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("label_true"), col("label_pred"),
+          coalesce(col("n_voters"), lit(0L)).as("n_voters"),
+          coalesce(col("label_pred") === col("label_true"), lit(false)).as("correct"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, label, embedding,
+            |    ${NorthStarQueries.lshBucketSql} AS bucket,
+            |    ${NorthStarQueries.scaledDotSql("embedding", "embedding")} AS nrm
+            |  FROM embeddings
+            |), ed AS (
+            |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, b.label AS seed_label,
+            |    cast(${NorthStarQueries.scaledDotSql("a.embedding", "b.embedding")} as double)
+            |      / (sqrt(cast(a.nrm as double)) * sqrt(cast(b.nrm as double))) AS cos
+            |  FROM e a JOIN e b ON a.bucket = b.bucket
+            |  WHERE a.vec_id % 4 <> 0 AND b.vec_id % 4 = 0
+            |), k AS (
+            |  SELECT a_id, b_id, seed_label,
+            |    cast(floor(cos * 1e6) as bigint) AS cos_fp,
+            |    row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rn
+            |  FROM ed
+            |), k3 AS (SELECT * FROM k WHERE rn <= 3
+            |), v AS (
+            |  SELECT a_id, seed_label, count(*) AS n_votes,
+            |    cast(sum(cos_fp) as bigint) AS w_fp
+            |  FROM k3 GROUP BY a_id, seed_label
+            |), pick AS (
+            |  SELECT a_id, seed_label,
+            |    row_number() OVER (PARTITION BY a_id
+            |      ORDER BY n_votes DESC, w_fp DESC, seed_label) AS pr
+            |  FROM v
+            |), nv AS (SELECT a_id, count(*) AS n_voters FROM k3 GROUP BY a_id)
+            |SELECT u.vec_id, u.label AS label_true, p.seed_label AS label_pred,
+            |  cast(coalesce(nv.n_voters, 0) as bigint) AS n_voters,
+            |  coalesce(p.seed_label = u.label, false) AS correct
+            |FROM embeddings u
+            |LEFT JOIN (SELECT a_id, seed_label FROM pick WHERE pr = 1) p
+            |  ON p.a_id = u.vec_id
+            |LEFT JOIN nv ON nv.a_id = u.vec_id
+            |WHERE u.vec_id % 4 <> 0
+            |ORDER BY u.vec_id""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Matryoshka truncated-dimension recall audit
+  // ---------------------------------------------------------------------
+
+  /** 2^40 fixed-point scale — MUST match
+    * [[graft.expressions.ScaledDotProduct.Scale]] and the `S` constant
+    * in [[NorthStarQueries]] so 16-dim dots use the same grid as the
+    * 64-dim helper.
+    */
+  private val S40 = "1099511627776"
+
+  /** DuckDB scaled dot over the first `k` dims (the 64-dim form lives
+    * in [[NorthStarQueries.scaledDotSql]]).
+    */
+  private def dotSqlK(a: String, b: String, k: Int): String =
+    s"list_sum(list_transform(generate_series(1, $k), i -> " +
+      s"cast(floor($a[i]::double * $b[i]::double * $S40) as bigint)))"
+
+  /** Matryoshka (MRL) truncation audit: how much top-5 retrieval
+    * quality survives when embeddings are cut to their first 16 of 64
+    * dims — the measurement behind serving truncated Matryoshka
+    * representations (store/scan 4× fewer bytes, re-rank the shortlist
+    * at full width). Per query: exact full-dim top-5, truncated-dim
+    * top-5, and recall@5 = |intersection| / 5.
+    *
+    * Shape: TWO independently rank-pruned broadcast-query passes
+    * intersected on (q_id, c_id) — the `ns_sim_sq8_recall` lesson
+    * (a single joined pass with an OR filter defeats
+    * WindowGroupLimit's map-side prune). The truncated pass slices
+    * before the join, so its per-pair dot reads 16 floats, not 64.
+    */
+  private val simMatryoshka = Q(
+    (s, dir) => {
+      graft.expressions.ScaledDotProduct.registerIn(s)
+      val e = TS(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          expr("slice(embedding, 1, 16)").as("emb16"))
+        .select(col("vec_id"), col("embedding"), col("emb16"),
+          expr("scaled_dot(embedding, embedding)").as("nrm"),
+          expr("scaled_dot(emb16, emb16)").as("nrm16"))
+      def topk(qEmb: String, cEmb: String, qN: String, cN: String,
+               qSel: DataFrame, cSel: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+        broadcast(qSel).join(cSel, col("q_id") =!= col("c_id"))
+          .withColumn("cos", expr(s"scaled_dot($qEmb, $cEmb)").cast("double") /
+            (sqrt(col(qN).cast("double")) * sqrt(col(cN).cast("double"))))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 5)
+          .select(col("q_id"), col("c_id"))
+      }
+      val qf = e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("nq"))
+      val cf = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("nrm").as("nc"))
+      val qt = e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("q_id"), col("emb16").as("q16"), col("nrm16").as("nq16"))
+      val ct = e.select(col("vec_id").as("c_id"), col("emb16").as("c16"),
+        col("nrm16").as("nc16"))
+      val full = topk("q_emb", "c_emb", "nq", "nc", qf, cf)
+      val trunc = topk("q16", "c16", "nq16", "nc16", qt, ct)
+      val hits = full.join(trunc, Seq("q_id", "c_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+      qf.select(col("q_id"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)) / lit(5.0), 6).as("recall_at5"))
+        .orderBy(col("q_id"))
+    },
+    Some(s"""WITH e0 AS (
+            |  SELECT vec_id, embedding, embedding[1:16] AS emb16 FROM embeddings
+            |), e AS (
+            |  SELECT vec_id, embedding, emb16,
+            |    ${NorthStarQueries.scaledDotSql("embedding", "embedding")} AS nrm,
+            |    ${dotSqlK("emb16", "emb16", 16)} AS nrm16
+            |  FROM e0
+            |), pf AS (
+            |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+            |    cast(${NorthStarQueries.scaledDotSql("q.embedding", "c.embedding")} as double)
+            |      / (sqrt(cast(q.nrm as double)) * sqrt(cast(c.nrm as double))) AS cos
+            |  FROM e q, e c WHERE q.vec_id < 16 AND q.vec_id <> c.vec_id
+            |), rf AS (
+            |  SELECT q_id, c_id,
+            |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
+            |  FROM pf
+            |), ff AS (SELECT q_id, c_id FROM rf WHERE rn <= 5
+            |), pt AS (
+            |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+            |    cast(${dotSqlK("q.emb16", "c.emb16", 16)} as double)
+            |      / (sqrt(cast(q.nrm16 as double)) * sqrt(cast(c.nrm16 as double))) AS cos
+            |  FROM e q, e c WHERE q.vec_id < 16 AND q.vec_id <> c.vec_id
+            |), rt AS (
+            |  SELECT q_id, c_id,
+            |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
+            |  FROM pt
+            |), ft AS (SELECT q_id, c_id FROM rt WHERE rn <= 5
+            |), h AS (
+            |  SELECT f.q_id, count(*) AS n_hits
+            |  FROM ff f JOIN ft t ON f.q_id = t.q_id AND f.c_id = t.c_id
+            |  GROUP BY f.q_id
+            |)
+            |SELECT q.vec_id AS q_id,
+            |  cast(coalesce(h.n_hits, 0) as bigint) AS n_hits,
+            |  round(coalesce(h.n_hits, 0) / 5.0, 6) AS recall_at5
+            |FROM embeddings q LEFT JOIN h ON h.q_id = q.vec_id
+            |WHERE q.vec_id < 16 ORDER BY q_id""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "ns_corpus_dsir" -> corpusDsir,
+    "ns_embed_label_prop" -> embedLabelProp,
+    "ns_sim_matryoshka" -> simMatryoshka,
     "ns_dedup_lsh_tune" -> dedupLshTune,
     "ns_pipeline_delta_stream" -> pipelineDeltaStream,
     "ns_multimodal_frames" -> multimodalFrames,

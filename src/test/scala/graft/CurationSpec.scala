@@ -347,4 +347,66 @@ class CurationSpec extends SparkSpec {
     val ra = quad(axis) * norm2(loadings)
     assert(rl >= ra, "power-iteration direction loses to a coordinate axis")
   }
+
+  test("dsir: top decile selected, en docs outscore the corpus mean") {
+    val rows = run("ns_corpus_dsir").collect()
+    val total = Tables.load(spark, sfDir, "documents").count()
+    assert(rows.length == total, "every doc must be scored")
+    val nSel = rows.count(_.getAs[Boolean]("selected"))
+    // strict > against an interpolated 0.9 percentile: at most 10% pass,
+    // and on a 500-doc fixture the decile is never empty
+    assert(nSel <= (total / 10) + 1 && nSel > 0, s"selected=$nSel of $total")
+    // the target-likelihood ratio must actually tilt toward the target:
+    // mean score of en docs > mean score of non-en docs
+    val (en, rest) = rows.partition(_.getAs[String]("lang") == "en")
+    def mean(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getAs[Double]("dsir_score")).sum / rs.length
+    assert(mean(en) > mean(rest),
+      f"en mean ${mean(en)}%.4f not above non-en ${mean(rest)}%.4f")
+    // selection is exactly the score order's top tail: min(selected
+    // score) >= max(unselected score) never violated by > 1e-6
+    val minSel = rows.filter(_.getAs[Boolean]("selected"))
+      .map(_.getAs[Double]("dsir_score")).min
+    val maxUnsel = rows.filterNot(_.getAs[Boolean]("selected"))
+      .map(_.getAs[Double]("dsir_score")).max
+    assert(minSel >= maxUnsel - 1e-6, s"selection not a score threshold")
+  }
+
+  test("label prop: only unlabeled vectors, <=3 voters, correct consistent") {
+    val rows = run("ns_embed_label_prop").collect()
+    val nUnlabeled = Tables.load(spark, sfDir, "embeddings")
+      .where(col("vec_id") % 4 =!= 0).count()
+    assert(rows.length == nUnlabeled, "one row per held-out vector")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("vec_id") % 4 != 0, s"seed leaked into output: $r")
+      val nv = r.getAs[Long]("n_voters")
+      assert(nv >= 0 && nv <= 3, s"voter count out of range: $r")
+      val pred = Option(r.get(r.fieldIndex("label_pred")))
+      assert(pred.nonEmpty == (nv > 0), s"prediction without voters: $r")
+      val correct = r.getAs[Boolean]("correct")
+      val expected = pred.contains(r.getAs[Int]("label_true"))
+      assert(correct == expected, s"correct flag inconsistent: $r")
+    }
+    // propagation must beat the 1/|labels| random-guess floor on the
+    // covered subset (labels are cluster-correlated in the fixture)
+    val covered = rows.filter(_.getAs[Long]("n_voters") > 0)
+    val acc = covered.count(_.getAs[Boolean]("correct")).toDouble / covered.length
+    val nLabels = Tables.load(spark, sfDir, "embeddings")
+      .select(col("label")).distinct().count()
+    assert(acc > 1.0 / nLabels, f"accuracy $acc%.3f at or below chance")
+  }
+
+  test("matryoshka: 16 queries, recall bounded, truncation loses something") {
+    val rows = run("ns_sim_matryoshka").collect()
+    assert(rows.length == 16, "one row per fixed query")
+    rows.foreach { r =>
+      val h = r.getAs[Long]("n_hits")
+      assert(h >= 0 && h <= 5, s"hits out of range: $r")
+      assert(math.abs(r.getAs[Double]("recall_at5") - h / 5.0) < 1e-9, s"recall != hits/5: $r")
+    }
+    val meanRecall = rows.map(_.getAs[Double]("recall_at5")).sum / rows.length
+    // sanity band: truncated-dim search should keep some signal (not 0)
+    // without being a perfect proxy on random-ish fixtures (not 1)
+    assert(meanRecall > 0.0, "truncated search found nothing — wiring bug")
+  }
 }
