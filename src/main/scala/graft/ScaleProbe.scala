@@ -118,7 +118,11 @@ object ScaleProbe {
       // r10 fourth wave: dsir's corpus-sized work is the feature explode
       // into the B-bounded bucket aggregates (the ratio table broadcast
       // is corpus-independent), so wall should track text volume
-      "ns_corpus_dsir")
+      "ns_corpus_dsir",
+      // r10 fifth wave: bpe apply's fold chain runs per DISTINCT word, so
+      // replication (which multiplies counts, not vocabulary) should
+      // leave the tokenize stage flat and grow only the word-keyed join
+      "ns_text_bpe_apply")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected
@@ -158,7 +162,10 @@ object ScaleProbe {
       // occupancy (same bucket^2 family as pagerank, 4x smaller build
       // side); matryoshka runs TWO broadcast-query passes so it should
       // track 2x the cosine-topk growth
-      "ns_embed_label_prop", "ns_sim_matryoshka")
+      "ns_embed_label_prop", "ns_sim_matryoshka",
+      // r10 fifth wave: outliers = the kmeans map-only assignment plus a
+      // k-row threshold broadcast — expected ~linear with kmeans itself
+      "ns_embed_outliers")
     if (vecNames.exists(enabled)) {
       val vecReps = spark.range(docMult).select(col("id").as("rep"))
       Tables.load(spark, sfDir, "embeddings")
@@ -211,6 +218,7 @@ object ScaleProbe {
       timeVec("ns_sim_range_search")
       timeVec("ns_embed_label_prop")
       timeVec("ns_sim_matryoshka")
+      timeVec("ns_embed_outliers")
 
       // Semantic dedup at the PRODUCTION configuration: k ∝ N (one
       // cluster per ~2500 vectors), seeds stride-spaced so they are k

@@ -402,42 +402,192 @@ object CurationQueries {
     * proportional to the vocabulary, not the token stream. The rank
     * window runs on the pair-vocabulary table (alphabet², tiny).
     */
+  /** The ranked top-20 merge-pair table (rnk, pair, n_occ, n_words) —
+    * shared by the learning query [[textBpeMerges]] and the tokenizer
+    * application [[textBpeApply]], so "apply" runs the literally-same
+    * induction pipeline it tokenizes with.
+    */
+  private def bpeMergeTable(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val wc = TS(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .where(length(col("w")) >= 2)
+    val pairs = wc
+      .select(col("c"),
+        explode(expr("transform(sequence(1, length(w)), i -> substring(w, i, 2))"))
+          .as("pair"))
+      .where(length(col("pair")) === 2)
+      .groupBy(col("pair"))
+      .agg(sum(col("c")).as("n_occ"), count(lit(1)).as("n_words"))
+    pairs
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("n_occ").desc, col("pair"))))
+      .where(col("rnk") <= 20)
+      .select(col("rnk"), col("pair"), col("n_occ"), col("n_words"))
+  }
+
+  /** DuckDB twin of [[bpeMergeTable]] as CTE text: `wc`, `pairs`, `r`,
+    * `merges` (the rnk <= 20 table).
+    */
+  private val bpeMergeSqlCtes =
+    """wc AS (
+      |  SELECT w, count(*) AS c FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY w HAVING len(w) >= 2
+      |), pairs AS (
+      |  SELECT pair, cast(sum(c) as bigint) AS n_occ, count(*) AS n_words FROM (
+      |    SELECT c, unnest(list_transform(generate_series(1, len(w)),
+      |      i -> substr(w, i, 2))) AS pair
+      |    FROM wc
+      |  ) WHERE len(pair) = 2 GROUP BY pair
+      |), r AS (
+      |  SELECT pair, n_occ, n_words,
+      |    row_number() OVER (ORDER BY n_occ DESC, pair) AS rnk
+      |  FROM pairs
+      |), merges AS (SELECT rnk, pair, n_occ, n_words FROM r WHERE rnk <= 20)""".stripMargin
+
   private val textBpeMerges = Q(
+    (s, dir) => bpeMergeTable(s, dir).orderBy(col("rnk")),
+    Some(s"""WITH $bpeMergeSqlCtes
+           |SELECT rnk, pair, n_occ, n_words FROM merges ORDER BY rnk""".stripMargin))
+
+  /** Spark fold chain applying merge rules 1..20 in rank order to the
+    * char-token encoding of `w` (tokens joined by the 0x1F unit
+    * separator). Each rule is one left-to-right greedy `aggregate` fold
+    * — merge (a, b) fires when the accumulated string ends in token `a`
+    * and the next token is `b`, which is exactly BPE's leftmost-first,
+    * no-overlap application (a freshly merged token can't re-fire the
+    * same rule because the rule matches the PAIR, not the merged
+    * symbol). Rule k's pieces arrive as columns a{k}/b{k}/p{k} of the
+    * pivoted one-row merge table, so the rules stay DATA — no
+    * driver-side literal round-trip.
+    */
+  private val bpeApplyExpr: String = {
+    val sep = "char(31)"
+    def step(k: Int, toks: String): String =
+      s"aggregate($toks, '', (acc, t) -> " +
+        s"CASE WHEN acc = '' THEN t " +
+        s"WHEN t = b$k AND (acc = a$k OR right(acc, 2) = concat($sep, a$k)) " +
+        s"THEN concat(left(acc, length(acc) - 1), p$k) " +
+        s"ELSE concat(acc, $sep, t) END)"
+    (1 to 20).foldLeft("split(w, '')")((arr, k) => s"split(${step(k, arr)}, $sep)")
+  }
+
+  /** DuckDB twin of [[bpeApplyExpr]]: `list_reduce` seeds the fold with
+    * the first element (no explicit zero), which matches the Spark
+    * chain's `acc = ''` bootstrap case exactly — no merge rule can fire
+    * on the empty accumulator because every `a` is a nonempty symbol.
+    */
+  private val bpeApplySql: String = {
+    def step(k: Int, toks: String): String =
+      s"list_reduce($toks, (acc, t) -> " +
+        s"CASE WHEN t = b$k AND (acc = a$k OR right(acc, 2) = chr(31) || a$k) " +
+        s"THEN left(acc, len(acc) - 1) || p$k " +
+        s"ELSE acc || chr(31) || t END)"
+    (1 to 20).foldLeft("string_split(w, '')")(
+      (arr, k) => s"string_split(${step(k, arr)}, chr(31))")
+  }
+
+  /** BPE tokenizer APPLICATION — the other half of [[textBpeMerges]]:
+    * tokenize the corpus with the top-20 learned merges and report, per
+    * document, word/char/token volumes and the chars-per-token
+    * compression the merges bought. This is the op that turns a merge
+    * table into actual token counts (the sizing input for packing,
+    * budgeting, and cost estimates downstream).
+    *
+    * Scale: merges are learned once (vocabulary-bounded pair table, the
+    * shared [[bpeMergeTable]] pipeline) and pivot into a ONE-ROW rule
+    * table crossed onto the DISTINCT-word vocabulary — the 20-fold
+    * tokenize chain runs per distinct word, never per occurrence. The
+    * corpus-sized work is one word explode + one word-keyed join (AQE
+    * broadcasts the vocabulary side at this SF) + a doc-keyed rollup.
+    */
+  private val textBpeApply = Q(
     (s, dir) => {
-      val wc = TS(s, dir, "documents")
-        .select(explode(split(col("text"), " ")).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("c"))
-        .where(length(col("w")) >= 2)
-      val pairs = wc
-        .select(col("c"),
-          explode(expr("transform(sequence(1, length(w)), i -> substring(w, i, 2))"))
-            .as("pair"))
-        .where(length(col("pair")) === 2)
-        .groupBy(col("pair"))
-        .agg(sum(col("c")).as("n_occ"), count(lit(1)).as("n_words"))
-      pairs
-        .withColumn("rnk", row_number().over(
-          Window.orderBy(col("n_occ").desc, col("pair"))))
-        .where(col("rnk") <= 20)
-        .select(col("rnk"), col("pair"), col("n_occ"), col("n_words"))
-        .orderBy(col("rnk"))
+      val m = bpeMergeTable(s, dir).agg(
+        max(when(col("rnk") === 1, expr("substring(pair, 1, 1)"))).as("a1"),
+        (1 to 20).flatMap { k =>
+          val base = if (k == 1) Seq.empty[org.apache.spark.sql.Column]
+            else Seq(max(when(col("rnk") === k, expr("substring(pair, 1, 1)"))).as(s"a$k"))
+          base ++ Seq(
+            max(when(col("rnk") === k, expr("substring(pair, 2, 1)"))).as(s"b$k"),
+            max(when(col("rnk") === k, col("pair"))).as(s"p$k"))
+        }: _*)
+      val words = TS(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")) > 0)
+      val vocab = words.select(col("w")).distinct()
+        .crossJoin(broadcast(m))
+        .select(col("w"), expr(s"size($bpeApplyExpr)").as("n_tok"))
+      words.join(vocab, Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("w"))).as("n_chars_w"),
+          sum(col("n_tok")).as("n_tokens"))
+        .select(col("doc_id"), col("n_words"), col("n_chars_w"), col("n_tokens"),
+          round(col("n_chars_w").cast("double") / col("n_tokens"), 6)
+            .as("chars_per_token"))
+        .orderBy(col("doc_id"))
     },
-    Some("""WITH wc AS (
-           |  SELECT w, count(*) AS c FROM (
-           |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-           |  GROUP BY w HAVING len(w) >= 2
-           |), pairs AS (
-           |  SELECT pair, cast(sum(c) as bigint) AS n_occ, count(*) AS n_words FROM (
-           |    SELECT c, unnest(list_transform(generate_series(1, len(w)),
-           |      i -> substr(w, i, 2))) AS pair
-           |    FROM wc
-           |  ) WHERE len(pair) = 2 GROUP BY pair
-           |), r AS (
-           |  SELECT pair, n_occ, n_words,
-           |    row_number() OVER (ORDER BY n_occ DESC, pair) AS rnk
-           |  FROM pairs
-           |)
-           |SELECT rnk, pair, n_occ, n_words FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin))
+    Some {
+      val pivotCols = (1 to 20).flatMap { k =>
+        Seq(s"max(CASE WHEN rnk = $k THEN substr(pair, 1, 1) END) AS a$k",
+          s"max(CASE WHEN rnk = $k THEN substr(pair, 2, 1) END) AS b$k",
+          s"max(CASE WHEN rnk = $k THEN pair END) AS p$k")
+      }.mkString(",\n    ")
+      s"""WITH $bpeMergeSqlCtes, m AS (
+         |  SELECT $pivotCols FROM merges
+         |), wt AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+         |), wt2 AS (SELECT doc_id, w FROM wt WHERE len(w) > 0
+         |), vocab AS (SELECT DISTINCT w FROM wt2
+         |), tok AS (
+         |  SELECT w, len($bpeApplySql) AS n_tok FROM vocab, m
+         |)
+         |SELECT doc_id, count(*) AS n_words,
+         |  cast(sum(len(w)) as bigint) AS n_chars_w,
+         |  cast(sum(n_tok) as bigint) AS n_tokens,
+         |  round(cast(sum(len(w)) as double) / sum(n_tok), 6) AS chars_per_token
+         |FROM wt2 JOIN tok USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    })
+
+  // ---------------------------------------------------------------------
+  // Embedding outlier detection (per-cluster distance percentile)
+  // ---------------------------------------------------------------------
+
+  /** Embedding-space outlier flagging: every vector's exact squared
+    * distance to its k-means centroid, compared against its CLUSTER's
+    * 90th-percentile distance — the curation gate that drops
+    * mis-embedded or off-manifold points before they poison similarity
+    * search and semantic dedup (a global threshold would mask dense
+    * clusters and over-flag sparse ones; the per-cluster percentile
+    * adapts). Reuses the [[NorthStarQueries]] integer-exact Lloyd
+    * fixpoint, so `d_scaled` is a deterministic bigint on the 2^14
+    * grid and the only floats are the k percentile thresholds (the
+    * proven quantile_cont-parity interpolation).
+    *
+    * Scale: assignment is the shared map-only pass against broadcast
+    * centroid literals; the threshold table is k rows and broadcasts
+    * back; the flag compare is map-only — no corpus-sized shuffle
+    * beyond the gate dump's sort.
+    */
+  private val embedOutliers = Q(
+    (s, dir) => {
+      val asg = NorthStarQueries.kmeansAssign(s, dir)
+        .select(col("vec_id"), col("cl"), col("d"))
+      val thr = asg.groupBy(col("cl")).agg(expr("percentile(d, 0.9)").as("t"))
+      asg.join(broadcast(thr), Seq("cl"))
+        .select(col("vec_id"), col("cl").as("cluster"), col("d").as("d_scaled"),
+          (col("d") > col("t")).as("is_outlier"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""${NorthStarQueries.kmeansOracleCtes}, thr AS (
+            |  SELECT cl, quantile_cont(d, 0.9) AS t FROM a3 GROUP BY cl
+            |)
+            |SELECT a.vec_id, a.cl AS cluster, cast(a.d as bigint) AS d_scaled,
+            |  a.d > t.t AS is_outlier
+            |FROM a3 a JOIN thr t USING (cl) ORDER BY a.vec_id""".stripMargin))
 
   // ---------------------------------------------------------------------
   // Int8 scalar-quantized ANN with recall audit
@@ -1691,6 +1841,8 @@ object CurationQueries {
             |WHERE q.vec_id < 16 ORDER BY q_id""".stripMargin))
 
   val all: Map[String, Q] = Map(
+    "ns_text_bpe_apply" -> textBpeApply,
+    "ns_embed_outliers" -> embedOutliers,
     "ns_corpus_dsir" -> corpusDsir,
     "ns_embed_label_prop" -> embedLabelProp,
     "ns_sim_matryoshka" -> simMatryoshka,

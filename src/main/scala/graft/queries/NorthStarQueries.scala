@@ -2341,7 +2341,7 @@ object NorthStarQueries {
        |  ) GROUP BY cl
        |) u USING (j)""".stripMargin
 
-  private val kmeansOracleCtes =
+  private[queries] val kmeansOracleCtes =
     s"""WITH v AS (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> cast(floor(x::double * $KQ) as bigint)) AS xq

@@ -396,6 +396,55 @@ class CurationSpec extends SparkSpec {
     assert(acc > 1.0 / nLabels, f"accuracy $acc%.3f at or below chance")
   }
 
+  test("bpe apply: token counts bounded by chars and words, planted merge collapses") {
+    val rows = run("ns_text_bpe_apply").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nw = r.getAs[Long]("n_words")
+      val nc = r.getAs[Long]("n_chars_w")
+      val nt = r.getAs[Long]("n_tokens")
+      assert(nt <= nc, s"merges can only shrink the token count: $r")
+      assert(nt >= nw, s"every word is at least one token: $r")
+      assert(math.abs(r.getAs[Double]("chars_per_token") - nc.toDouble / nt) < 1e-6, r.toString)
+    }
+    // planted corpus: the only learnable merge is (a,b) -> "ab", so the
+    // 2-char word tokenizes to ONE token and chars/token = 2.0 exactly
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("bpe").toString
+    Seq((0L, "ab ab ab", "xx", "synthetic", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val p = SparkEntry.queries("ns_text_bpe_apply")(spark, tmp).collect()
+    assert(p.length == 1)
+    assert(p.head.getAs[Long]("n_tokens") == 3L, s"planted merge failed: ${p.head}")
+    assert(p.head.getAs[Double]("chars_per_token") == 2.0)
+  }
+
+  test("embed outliers: every vector flagged consistently at ~decile rate") {
+    val rows = run("ns_embed_outliers").collect()
+    val total = Tables.load(spark, sfDir, "embeddings").count()
+    assert(rows.length == total, "one row per vector")
+    rows.foreach(r => assert(r.getAs[Long]("d_scaled") >= 0L, r.toString))
+    // strict > against an interpolated per-cluster 0.9 percentile: at
+    // most ~10% of each cluster flags, and flags exist somewhere
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster"))
+    byCluster.foreach { case (cl, members) =>
+      val flagged = members.count(_.getAs[Boolean]("is_outlier"))
+      assert(flagged <= members.length / 10 + 1,
+        s"cluster $cl flags $flagged of ${members.length}")
+      // threshold consistency: every flagged distance exceeds every
+      // unflagged distance within the cluster
+      if (flagged > 0 && flagged < members.length) {
+        val minOut = members.filter(_.getAs[Boolean]("is_outlier"))
+          .map(_.getAs[Long]("d_scaled")).min
+        val maxIn = members.filterNot(_.getAs[Boolean]("is_outlier"))
+          .map(_.getAs[Long]("d_scaled")).max
+        assert(minOut >= maxIn, s"cluster $cl outlier below an inlier")
+      }
+    }
+    assert(rows.count(_.getAs[Boolean]("is_outlier")) > 0, "no outliers flagged anywhere")
+  }
+
   test("matryoshka: 16 queries, recall bounded, truncation loses something") {
     val rows = run("ns_sim_matryoshka").collect()
     assert(rows.length == 16, "one row per fixed query")
