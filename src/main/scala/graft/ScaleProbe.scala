@@ -122,7 +122,12 @@ object ScaleProbe {
       // r10 fifth wave: bpe apply's fold chain runs per DISTINCT word, so
       // replication (which multiplies counts, not vocabulary) should
       // leave the tokenize stage flat and grow only the word-keyed join
-      "ns_text_bpe_apply")
+      "ns_text_bpe_apply",
+      // r10 sixth wave: replication clones every doc docMult times, so
+      // the rewrite's per-chunk-hash window partitions and the
+      // containment's clone-group pair explosion (docMult² per group,
+      // df-capped at 16) are both stressed directly
+      "ns_dedup_rewrite", "ns_dedup_containment")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected

@@ -590,6 +590,142 @@ object CurationQueries {
             |FROM a3 a JOIN thr t USING (cl) ORDER BY a.vec_id""".stripMargin))
 
   // ---------------------------------------------------------------------
+  // Cross-document substring dedup REWRITE (keep-first, reassembled docs)
+  // ---------------------------------------------------------------------
+
+  /** Substring-level dedup REWRITE — the transform that follows
+    * `ns_dedup_chunks`' detection pass: every CDC chunk occurrence
+    * except the globally-first one (min (doc_id, chunk_idx) per chunk
+    * hash) is removed, and each document is reassembled from its
+    * surviving chunks in position order — the "deduplicate the training
+    * set, don't just flag it" pass every pipeline runs before
+    * tokenization. Per doc: chunk/kept/token volumes plus an md5 of the
+    * rebuilt text, so the gate hash pins every byte of the cleaned
+    * corpus without dumping it (a doc whose chunks are all non-canonical
+    * rebuilds to the empty string and hashes as such).
+    *
+    * Scale: the corpus is tokenized ONCE — the keep flag is a
+    * row_number window partitioned by chunk_md5 (one chunk-hash-keyed
+    * exchange; partitions are per-hash, so there is no global-sort
+    * funnel and the per-partition sort is bounded by a chunk's
+    * duplication count). A first draft built a separate canonical
+    * min-(doc,idx) table and joined it back: that re-ran the CDC
+    * tokenize+explode for the build side and materialized a
+    * corpus-sized broadcast — 2× the scan work and a broadcast that
+    * cannot exist at 100 TB. The rebuild is one doc-keyed aggregate
+    * whose ordered reassembly runs INSIDE the aggregate (array_sort
+    * over the ≤ chunks-per-doc kept structs) — no per-doc driver
+    * state. The shuffled payload is the chunk text itself, which a
+    * corpus rewrite necessarily carries exactly once.
+    */
+  private val dedupRewrite = Q(
+    (s, dir) => {
+      val w = Window.partitionBy(col("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+      NorthStarQueries.cdcChunks(s, dir)
+        .withColumn("kept", row_number().over(w) === 1)
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          sum(when(col("kept"), lit(1L)).otherwise(lit(0L))).as("n_kept"),
+          sum(col("n_chunk_toks").cast("long")).as("n_toks"),
+          sum(when(col("kept"), col("n_chunk_toks").cast("long")).otherwise(lit(0L)))
+            .as("n_toks_kept"),
+          expr("""md5(array_join(transform(
+                 |  array_sort(collect_list(
+                 |    CASE WHEN kept THEN struct(chunk_idx, chunk_txt) END)),
+                 |  x -> x.chunk_txt), ' '))""".stripMargin).as("rebuilt_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH ${NorthStarQueries.cdcChunksSqlCtes}, k AS (
+            |  SELECT doc_id, chunk_idx, n_chunk_toks, chunk_txt,
+            |    row_number() OVER (PARTITION BY chunk_md5
+            |      ORDER BY doc_id, chunk_idx) AS rn
+            |  FROM cdc
+            |)
+            |SELECT doc_id, count(*) AS n_chunks,
+            |  cast(coalesce(sum(CASE WHEN rn = 1 THEN 1 END), 0) as bigint) AS n_kept,
+            |  cast(sum(n_chunk_toks) as bigint) AS n_toks,
+            |  cast(coalesce(sum(CASE WHEN rn = 1 THEN n_chunk_toks END), 0) as bigint)
+            |    AS n_toks_kept,
+            |  md5(coalesce(string_agg(CASE WHEN rn = 1 THEN chunk_txt END, ' '
+            |    ORDER BY chunk_idx), '')) AS rebuilt_md5
+            |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Document-pair containment (subset duplicates)
+  // ---------------------------------------------------------------------
+
+  /** Doc-pair CONTAINMENT detection: |chunks(A) ∩ chunks(B)| / min(|A|,
+    * |B|) over distinct CDC chunk hashes — the asymmetric measure that
+    * catches subset duplicates (doc A embedded whole inside a longer
+    * doc B), which Jaccard-style near-dup (`ns_dedup_ngram_jaccard`)
+    * structurally under-scores and its length-band blocking never even
+    * pairs. Top-20 pairs with both endpoint sizes so the direction of
+    * containment is readable.
+    *
+    * Scale: pairing goes through the chunk-hash inverted index, never
+    * all-pairs — and chunk hashes shared by more than 16 docs are
+    * excluded from PAIRING (they are boilerplate, `ns_dedup_chunks` /
+    * `ns_text_boilerplate` territory; the standard df-cap that bounds
+    * the pair explosion to ≤ 16× the chunk stream regardless of corpus
+    * size). Doc sizes join back on doc id; the final top-20 is a
+    * TakeOrderedAndProject (per-partition heaps, no global sort). The
+    * distinct (doc, chunk-hash) inverted index feeds FOUR consumers
+    * (df counts, both self-join sides, doc sizes), so it
+    * localCheckpoints — without it the CDC tokenize+explode re-ran 4×
+    * (the label-prop/knn-2hop lesson).
+    */
+  private val dedupContainment = Q(
+    (s, dir) => {
+      val u = NorthStarQueries.cdcChunks(s, dir)
+        .select(col("doc_id"), col("chunk_md5")).distinct()
+        .localCheckpoint(true)
+      val df = u.groupBy(col("chunk_md5")).agg(count(lit(1)).as("n_docs"))
+      val shared = u.join(df.where(col("n_docs").between(2, 16)), Seq("chunk_md5"))
+        .select(col("chunk_md5"), col("doc_id"))
+      val pairs = shared.select(col("chunk_md5"), col("doc_id").as("doc_a"))
+        .join(shared.select(col("chunk_md5"), col("doc_id").as("doc_b")),
+          Seq("chunk_md5"))
+        .where(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      val sizes = u.groupBy(col("doc_id")).agg(count(lit(1)).as("n_ch"))
+      pairs
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n_ch").as("n_a")),
+          Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n_ch").as("n_b")),
+          Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("n_shared"),
+          col("n_a"), col("n_b"),
+          round(col("n_shared").cast("double") / least(col("n_a"), col("n_b")), 6)
+            .as("containment"))
+        .orderBy(col("containment").desc, col("doc_a"), col("doc_b"))
+        .limit(20)
+    },
+    Some(s"""WITH ${NorthStarQueries.cdcChunksSqlCtes}, u AS (
+            |  SELECT DISTINCT doc_id, chunk_md5 FROM cdc
+            |), fdf AS (
+            |  SELECT chunk_md5, count(*) AS n_docs FROM u GROUP BY chunk_md5
+            |), sh AS (
+            |  SELECT u.doc_id, u.chunk_md5 FROM u JOIN fdf USING (chunk_md5)
+            |  WHERE n_docs BETWEEN 2 AND 16
+            |), p AS (
+            |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+            |  FROM sh a JOIN sh b
+            |    ON a.chunk_md5 = b.chunk_md5 AND a.doc_id < b.doc_id
+            |  GROUP BY 1, 2
+            |), sz AS (
+            |  SELECT doc_id, count(*) AS n_ch FROM u GROUP BY doc_id
+            |)
+            |SELECT p.doc_a, p.doc_b, p.n_shared, sa.n_ch AS n_a, sb.n_ch AS n_b,
+            |  round(cast(p.n_shared as double) / least(sa.n_ch, sb.n_ch), 6)
+            |    AS containment
+            |FROM p JOIN sz sa ON p.doc_a = sa.doc_id
+            |       JOIN sz sb ON p.doc_b = sb.doc_id
+            |ORDER BY containment DESC, doc_a, doc_b LIMIT 20""".stripMargin))
+
+  // ---------------------------------------------------------------------
   // Int8 scalar-quantized ANN with recall audit
   // ---------------------------------------------------------------------
 
@@ -1841,6 +1977,8 @@ object CurationQueries {
             |WHERE q.vec_id < 16 ORDER BY q_id""".stripMargin))
 
   val all: Map[String, Q] = Map(
+    "ns_dedup_rewrite" -> dedupRewrite,
+    "ns_dedup_containment" -> dedupContainment,
     "ns_text_bpe_apply" -> textBpeApply,
     "ns_embed_outliers" -> embedOutliers,
     "ns_corpus_dsir" -> corpusDsir,

@@ -1289,11 +1289,13 @@ object NorthStarQueries {
     * chunk spans via zip_with over (starts, ends), one posexplode —
     * zero shuffles before the gate dump's sort.
     */
-  /** CDC chunk stream (doc_id, chunk_idx, n_chunk_toks, chunk_md5),
-    * unordered — shared by [[textChunksCdc]] (the per-doc dump) and
-    * [[dedupChunks]] (cross-doc substring-level duplication).
+  /** CDC chunk stream (doc_id, chunk_idx, n_chunk_toks, chunk_md5,
+    * chunk_txt), unordered — shared by [[textChunksCdc]] (the per-doc
+    * dump), [[dedupChunks]] (cross-doc substring-level duplication),
+    * and [[CurationQueries]]' dedup rewrite / containment operators
+    * (which need the chunk text to reassemble documents).
     */
-  private def cdcChunks(s: SparkSession, dir: String): DataFrame =
+  private[queries] def cdcChunks(s: SparkSession, dir: String): DataFrame =
       TS(s, dir, "documents")
         .withColumn("toks", split(col("text"), " "))
         .withColumn("n", size(col("toks")))
@@ -1311,20 +1313,24 @@ object NorthStarQueries {
         .where(size(col("chunk")) > 0)
         .select(col("doc_id"), col("chunk_idx"),
           size(col("chunk")).as("n_chunk_toks"),
-          md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+          md5(concat_ws(" ", col("chunk"))).as("chunk_md5"),
+          concat_ws(" ", col("chunk")).as("chunk_txt"))
 
   private val textChunksCdc = Q(
-    (s, dir) => cdcChunks(s, dir).orderBy(col("doc_id"), col("chunk_idx")),
+    (s, dir) => cdcChunks(s, dir)
+      .select(col("doc_id"), col("chunk_idx"), col("n_chunk_toks"), col("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx")),
     Some(s"""WITH $cdcChunksSqlCtes
             |SELECT doc_id, chunk_idx, n_chunk_toks, chunk_md5
             |FROM cdc ORDER BY doc_id, chunk_idx""".stripMargin))
 
   /** Shared DuckDB CTE chain ending in `cdc(doc_id, chunk_idx,
-    * n_chunk_toks, chunk_md5)` — the oracle twin of [[cdcChunks]].
+    * n_chunk_toks, chunk_md5, chunk_txt)` — the oracle twin of
+    * [[cdcChunks]].
     */
   // lazy: referenced by textChunksCdc's oracle string above — a strict
   // val would still be null during that earlier initializer
-  private lazy val cdcChunksSqlCtes: String =
+  private[queries] lazy val cdcChunksSqlCtes: String =
     """t AS (
       |  SELECT doc_id, string_split(text, ' ') AS toks,
       |    len(string_split(text, ' ')) AS n
@@ -1349,7 +1355,8 @@ object NorthStarQueries {
       |  FROM sp
       |), cdc AS (
       |  SELECT doc_id, chunk_idx, len(chunk) AS n_chunk_toks,
-      |    md5(array_to_string(chunk, ' ')) AS chunk_md5
+      |    md5(array_to_string(chunk, ' ')) AS chunk_md5,
+      |    array_to_string(chunk, ' ') AS chunk_txt
       |  FROM ch WHERE len(chunk) > 0
       |)""".stripMargin
 

@@ -445,6 +445,74 @@ class CurationSpec extends SparkSpec {
     assert(rows.count(_.getAs[Boolean]("is_outlier")) > 0, "no outliers flagged anywhere")
   }
 
+  test("dedup rewrite: unique docs survive byte-identical, a clone rebuilds empty") {
+    val rows = run("ns_dedup_rewrite").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_chunks"), r.toString)
+      assert(r.getAs[Long]("n_toks_kept") <= r.getAs[Long]("n_toks"), r.toString)
+    }
+    // globally, kept occurrences == distinct chunk hashes (keep-first
+    // keeps exactly one occurrence per hash)
+    val distinctHashes = SparkEntry.queries("ns_text_chunks_cdc")(spark, sfDir)
+      .select(col("chunk_md5")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_kept")).sum == distinctHashes)
+    // planted: doc 0 and doc 1 are byte-identical; doc 2 shares nothing.
+    // Keep-first ⇒ doc 0 survives whole (rebuilt == original text), the
+    // clone rebuilds to the empty string, the unique doc is untouched.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("rw").toString
+    val t0 = (1 to 60).map(i => s"w$i").mkString(" ")
+    val t2 = (1 to 60).map(i => s"u$i").mkString(" ")
+    Seq((0L, t0, "xx", "synthetic", t0.length.toLong),
+        (1L, t0, "xx", "synthetic", t0.length.toLong),
+        (2L, t2, "xx", "synthetic", t2.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val p = SparkEntry.queries("ns_dedup_rewrite")(spark, tmp)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(p(0L).getAs[String]("rebuilt_md5") == md5hex(t0), "canonical doc changed")
+    assert(p(0L).getAs[Long]("n_kept") == p(0L).getAs[Long]("n_chunks"))
+    assert(p(1L).getAs[Long]("n_kept") == 0L, "clone kept a chunk")
+    assert(p(1L).getAs[String]("rebuilt_md5") == md5hex(""), "clone not emptied")
+    assert(p(2L).getAs[String]("rebuilt_md5") == md5hex(t2), "unique doc changed")
+  }
+
+  test("containment: bounds hold, a planted subset-duplicate pair surfaces") {
+    val rows = run("ns_dedup_containment").collect()
+    assert(rows.length <= 20)
+    rows.foreach { r =>
+      val (ns, na, nb) = (r.getAs[Long]("n_shared"),
+        r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"), r.toString)
+      assert(ns <= math.min(na, nb), r.toString)
+      val c = r.getAs[Double]("containment")
+      assert(c > 0.0 && c <= 1.0, r.toString)
+      assert(math.abs(c - ns.toDouble / math.min(na, nb)) < 1e-6, r.toString)
+    }
+    // planted: doc 11 is a strict prefix of doc 12 (A ⊂ B). CDC
+    // boundaries are content-defined, so every chunk of A except
+    // (possibly) its trailing one reappears in B — Jaccard's length-band
+    // blocking would never even pair these.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("cont").toString
+    val a = (1 to 120).map(i => s"a$i").mkString(" ")
+    val b = a + " " + (1 to 80).map(i => s"b$i").mkString(" ")
+    val c = (1 to 120).map(i => s"c$i").mkString(" ")
+    Seq((11L, a, "xx", "synthetic", a.length.toLong),
+        (12L, b, "xx", "synthetic", b.length.toLong),
+        (13L, c, "xx", "synthetic", c.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val p = SparkEntry.queries("ns_dedup_containment")(spark, tmp).collect()
+    assert(p.length == 1, s"expected exactly the planted pair: ${p.mkString(";")}")
+    assert(p.head.getAs[Long]("doc_a") == 11L && p.head.getAs[Long]("doc_b") == 12L)
+    assert(p.head.getAs[Double]("containment") > 0.5,
+      s"prefix containment should dominate: ${p.head}")
+  }
+
   test("matryoshka: 16 queries, recall bounded, truncation loses something") {
     val rows = run("ns_sim_matryoshka").collect()
     assert(rows.length == 16, "one row per fixed query")
