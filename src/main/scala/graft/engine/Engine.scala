@@ -206,7 +206,14 @@ final class Engine(
       // caller-supplied correlation id, like the reference rpc's sn
       // (crypto.randomBytes there, `src/processor.ts:108`) — knowing it
       // is what lets the caller cancel (`cancel(sn)`)
-      sn: String = java.util.UUID.randomUUID().toString): Try[Array[org.apache.spark.sql.Row]] = {
+      sn: String = java.util.UUID.randomUUID().toString): Try[Array[org.apache.spark.sql.Row]] =
+    withQueryFrame(cmd, ctx, sn)(submit(cmd, args).map(_.collect()))
+
+  /** The attribution/cleanup frame shared by every rpc-shaped entry:
+    * concurrency permit, job group (cancellable via sn), tenant local
+    * properties — all cleared on exit, success or failure.
+    */
+  private def withQueryFrame[T](cmd: String, ctx: RequestCtx, sn: String)(f: => T): T = {
     val sc = spark.sparkContext
     jobPermits.acquire()
     sc.setJobGroup(sn, s"graft:$cmd", interruptOnCancel = true)
@@ -214,7 +221,7 @@ final class Engine(
     RequestCtx.keys.zip(Seq(ctx.domain, ctx.ip, ctx.uid)).foreach {
       case (k, v) => sc.setLocalProperty(k, v)
     }
-    try withScope(submit(cmd, args).map(_.collect()))
+    try withScope(f)
     finally {
       // null removes the property (SparkContext.setLocalProperty contract)
       RequestCtx.keys.foreach(sc.setLocalProperty(_, null))
@@ -223,6 +230,24 @@ final class Engine(
       jobPermits.release()
     }
   }
+
+  /** Full rpc server side under one frame: dispatch `cmd`, collect, and
+    * produce the wire payload (msgpack rows, deflated at/above
+    * `compressMinBytes`) with the caller's ctx and sn attached — what
+    * [[Transport.RpcServer]] puts in the `{sn, payload}` response
+    * envelope (`src/processor.ts:111-124` producer side).
+    */
+  def queryEnvelope(
+      cmd: String,
+      args: Seq[Any] = Nil,
+      ctx: RequestCtx = RequestCtx.anonymous,
+      sn: String = java.util.UUID.randomUUID().toString): Try[Array[Byte]] =
+    withQueryFrame(cmd, ctx, sn)(submit(cmd, args).map { df =>
+      val schema = df.schema
+      val payload = MsgPack.encode(df.collect().map(MsgPack.rowToValue(_, schema)).toVector)
+      if (payload.length >= config.compressMinBytes) ResultCodec.deflate(payload)
+      else payload
+    })
 
   /** Live in-flight `query` count ceiling check — exposed for the
     * concurrency-enforcement spec.
