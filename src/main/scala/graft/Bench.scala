@@ -180,7 +180,12 @@ object Bench {
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case _: Throwable => () }
         val w = (System.nanoTime() - w0) / 1e9
-        stable = w <= bestWarm * 1.3
+        // the first pass can never prove stability (bestWarm is still
+        // the MaxValue sentinel, making the bound vacuous) — requiring a
+        // prior pass guarantees >=2 warm passes, which is what actually
+        // drives the per-row generated methods past the JIT tier-4
+        // threshold (the r10 ns_dedup_incremental#1 13s first-run spike)
+        stable = warmed > 0 && w <= bestWarm * 1.3
         bestWarm = math.min(bestWarm, w)
         warmed += 1
       }
@@ -235,9 +240,14 @@ object Bench {
       k -> ts.map(ms).mkString("[", ",", "]")
     })
     // Self-flag variance: any run > 2x its query's min is suspect.
+    // Flags are computed from the SAME 1ms-rounded values the line
+    // prints, so a reader recomputing "run > 2x min" from the published
+    // runs reproduces this set exactly (raw-vs-rounded borderline runs
+    // cannot disagree with the artifact).
     val suspect = results.flatMap { case (k, ts, _, _) =>
-      val mn = ts.min
-      ts.zipWithIndex.collect { case (t, i) if t > 2 * mn => s""""$k#${i + 1}"""" }
+      val r = ts.map(t => (t * 1000).round / 1000.0)
+      val mn = r.min
+      r.zipWithIndex.collect { case (t, i) if t > 2 * mn => s""""$k#${i + 1}"""" }
     }.mkString("[", ",", "]")
     val total = results.collect { case (_, ts, _, true) => ts.min }.sum
     val nsTotal = results.collect { case (_, ts, _, false) => ts.min }.sum

@@ -153,11 +153,12 @@ object ScaleProbe {
     // --- Embedding probes over a multiplied embeddings table: k-means
     // assignment stays map-only (centroid literals), so only the
     // (cluster, dim) update agg and the within-cluster pair join grow.
+    // CATALOG-keyed names only (each resolves via SparkEntry.queries);
+    // probes with custom harnesses live in customVecProbes below.
     val vecNames = Seq(
       "ns_embed_kmeans", "ns_sim_pq", "ns_sim_pq_adc", "ns_embed_covariance",
       "ns_embed_pagerank", "ns_sim_hard_negatives", "ns_embed_cluster_purity",
       "ns_sim_mmr_rerank", "ns_sim_hybrid_rrf", "ns_sim_pq_rerank",
-      "ns_dedup_semantic_kprop",
       // r10: sq8 adds a second full-width distance per candidate pair
       // (same broadcast-query join); ivfpq's scored set is the probed
       // 2/16 of the corpus; pca's corpus-sized axis is the Gram build
@@ -171,7 +172,10 @@ object ScaleProbe {
       // r10 fifth wave: outliers = the kmeans map-only assignment plus a
       // k-row threshold broadcast — expected ~linear with kmeans itself
       "ns_embed_outliers")
-    if (vecNames.exists(enabled)) {
+    // probes over the embeddings fixture that do NOT resolve through the
+    // query catalog (custom parameterization below)
+    val customVecProbes = Seq("ns_dedup_semantic_kprop")
+    if ((vecNames ++ customVecProbes).exists(enabled)) {
       val vecReps = spark.range(docMult).select(col("id").as("rep"))
       Tables.load(spark, sfDir, "embeddings")
         .crossJoin(broadcast(vecReps))

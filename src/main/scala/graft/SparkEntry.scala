@@ -72,7 +72,13 @@ object SparkEntry {
     */
   val benchNorthStar: Seq[String] = Seq(
     "ns_text_bm25", "ns_sim_pq_adc", "ns_dedup_incremental",
-    "ns_pipeline_manifest", "ns_embed_pagerank")
+    "ns_pipeline_manifest", "ns_embed_pagerank",
+    // r11: the BLOCKED production ANN shape (IVF cells + PQ codes, the
+    // nprobe/C scored fraction) joins the gate so the 2x bound guards
+    // the scale path, not just the brute-force audit baseline
+    // (ns_sim_cosine_topk stays in the headline set as the exactness
+    // anchor)
+    "ns_sim_ivfpq")
 
   def benchNsQueries: Map[String, (SparkSession, String) => DataFrame] =
     benchNorthStar.map(n => n -> catalog(n).fn).toMap

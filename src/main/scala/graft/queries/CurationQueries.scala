@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import Q.{T, TS}
+import Q.{T, TS, scratchDir, scratchDelete}
 
 /** SURVEY.md §2C, round-10 additions — corpus-curation operators a
   * training-data pipeline runs between crawl and tokenizer: per-document
@@ -298,28 +298,31 @@ object CurationQueries {
            |FROM d GROUP BY status, source ORDER BY status, source""".stripMargin))
 
   /** Streaming snapshot delta — the continuous form of
-    * [[pipelineDelta]]: the new crawl ARRIVES as a stream and each
-    * document classifies against the STATIC previous snapshot
-    * (stream-static LEFT OUTER on doc_id, stateless): `added` (id
-    * unseen), `changed` (id known, content hash differs), `unchanged`.
-    * `removed` is inherently unobservable in a stream (absence is not
-    * an event) — that column stays a batch-side concern, which is
-    * exactly how production delta pipes split the work.
+    * [[pipelineDelta]], now COMPLETE including `removed`: the previous
+    * snapshot and the new crawl both arrive as streams (the two-stream
+    * union formulation, materialized through one tagged file source)
+    * and [[graft.streaming.DocumentStreams.snapshotDelta]] pairs them
+    * per doc_id under a watermarked window. A group that finalizes with
+    * only an old-side record IS the removal observation — absence
+    * becomes an event at the watermark crossing, which a trailing
+    * sentinel record (later event time, never emitted: its own window
+    * stays open when the query stops) pushes past the data window.
     *
-    * Runs two REAL micro-batches (`maxFilesPerTrigger=1`, AvailableNow)
-    * so the classification crosses a batch boundary; per-doc status is
-    * a pure function of (doc_id, text) vs the static side, so the
-    * read-back rollup is arrival-order-invariant and DuckDB oracles it
-    * with the batch formulation.
+    * Runs four REAL micro-batches (`maxFilesPerTrigger=1`, AvailableNow:
+    * old snapshot, two crawl halves, sentinel) plus the no-data
+    * finalization batch, so classification state crosses batch
+    * boundaries; the finalized (doc_id -> status) set is a pure function
+    * of the two snapshots, hence arrival-order-invariant, and DuckDB
+    * oracles it with the batch FULL OUTER formulation.
     *
-    * Scale: the static side is (doc_id, 64-char hash) — key-partitioned
-    * build side, no text; the stream side is map-only hashing plus the
-    * join; no streaming state at all.
+    * Scale: streaming state per doc is two 64-hex hashes + two source
+    * strings, evicted at watermark; both inputs are map-only hashed
+    * before the one (window, doc_id)-keyed aggregate.
     */
   private val pipelineDeltaStream = Q(
     (s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      val base = s"/root/repo/target/graft-tmp/deltastream-${System.nanoTime()}"
+      val base = scratchDir("deltastream")
       val inDir = s"$base/in"
       val docs = T(s, dir, "documents")
       val neu = docs
@@ -330,43 +333,59 @@ object CurationQueries {
         .unionAll(docs.where(col("doc_id") % 13 === 0)
           .select((col("doc_id") + 1000000L).as("doc_id"), lit("ingest").as("source"),
             col("lang"), col("n_chars"), concat(lit("new:"), col("text")).as("text")))
-        .select(docs.columns.map(col): _*) // restore fixture column order
+      val t0 = lit("2024-01-01 00:00:00").cast("timestamp")
+      def tag(df: DataFrame, side: String) = df.select(
+        col("doc_id"), col("source"), lit(side).as("side"),
+        sha2(col("text"), 256).as("h"), t0.as("ts"))
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
-      Seq(0, 1).foreach { p =>
-        val part = s"$base/part$p"
-        neu.where(col("doc_id") % 2 === p)
-          .coalesce(1).write.mode("overwrite").parquet(part)
+      // one file per micro-batch, mod-times ascending so the file source
+      // processes the sentinel LAST (a sentinel-first order would set
+      // the watermark past the data and drop every record as late)
+      val now = System.currentTimeMillis()
+      val parts: Seq[(String, DataFrame)] = Seq(
+        "old" -> tag(docs, "old"),
+        "new0" -> tag(neu.where(col("doc_id") % 2 === 0), "new"),
+        "new1" -> tag(neu.where(col("doc_id") % 2 === 1), "new"),
+        "tick" -> tag(
+          docs.limit(1).select(lit(-1L).as("doc_id"), lit("tick").as("source"),
+            col("lang"), col("n_chars"), lit("").as("text")),
+          "tick").withColumn("ts", lit("2024-01-02 00:00:00").cast("timestamp")))
+      parts.zipWithIndex.foreach { case ((name, df), i) =>
+        val part = s"$base/part-$name"
+        df.coalesce(1).write.mode("overwrite").parquet(part)
         val f = new java.io.File(part).listFiles()
           .find(_.getName.endsWith(".parquet")).get
-        java.nio.file.Files.move(f.toPath,
-          java.nio.file.Paths.get(s"$inDir/batch$p.parquet"))
+        val dest = java.nio.file.Paths.get(s"$inDir/$name.parquet")
+        java.nio.file.Files.move(f.toPath, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(now + i * 1000L))
       }
-      val oldHashes = docs.select(col("doc_id"),
-        sha2(col("text"), 256).as("h_old"))
-      val classified = s.readStream
-        .schema(graft.Tables.schemas("documents"))
+      val tagged = s.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("side", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("h", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType))))
         .option("maxFilesPerTrigger", "1").parquet(inDir)
-        .withColumn("h_new", sha2(col("text"), 256))
-        .join(oldHashes, Seq("doc_id"), "left_outer")
-        .withColumn("status",
-          when(col("h_old").isNull, "added")
-            .when(col("h_old") =!= col("h_new"), "changed")
-            .otherwise("unchanged"))
-        .select(col("doc_id"), col("source"), col("status"))
-      val q = classified.writeStream.format("parquet")
+      val q = graft.streaming.DocumentStreams.snapshotDelta(tagged)
+        .writeStream.format("parquet")
+        .outputMode("append")
         .option("path", s"$base/out")
         .option("checkpointLocation", s"$base/cp")
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.read.parquet(s"$base/out")
+      val out = s.read.parquet(s"$base/out")
         .groupBy(col("status"), col("source"))
         .agg(count(lit(1)).as("n_docs"),
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
-        .orderBy(col("status"), col("source"))
+        .localCheckpoint(true)
+      scratchDelete(base)
+      out.orderBy(col("status"), col("source"))
     },
     Some("""WITH old AS (
-           |  SELECT doc_id, sha256(text) AS h FROM documents
+           |  SELECT doc_id, source, sha256(text) AS h FROM documents
            |), neu AS (
            |  SELECT doc_id, source,
            |    sha256(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END) AS h
@@ -376,11 +395,13 @@ object CurationQueries {
            |    sha256('new:' || text) AS h
            |  FROM documents WHERE doc_id % 13 = 0
            |), d AS (
-           |  SELECT n.doc_id, n.source,
+           |  SELECT coalesce(n.doc_id, o.doc_id) AS doc_id,
+           |    coalesce(n.source, o.source) AS source,
            |    CASE WHEN o.h IS NULL THEN 'added'
+           |         WHEN n.h IS NULL THEN 'removed'
            |         WHEN o.h <> n.h THEN 'changed'
            |         ELSE 'unchanged' END AS status
-           |  FROM neu n LEFT JOIN old o ON n.doc_id = o.doc_id
+           |  FROM neu n FULL OUTER JOIN old o ON n.doc_id = o.doc_id
            |)
            |SELECT status, source, count(*) AS n_docs,
            |  min(doc_id) AS min_id, max(doc_id) AS max_id
@@ -838,8 +859,9 @@ object CurationQueries {
   // ---------------------------------------------------------------------
 
   private val IVF_CELLS = 16
-  private val PQ_M = 8
-  private val PQ_CODES = 16
+  // single source of truth: the ns_sim_pq codebook geometry
+  private val PQ_M = NorthStarQueries.PQ_M
+  private val PQ_CODES = NorthStarQueries.PQ_CODES
 
   /** IVF-PQ search — the billion-scale ANN architecture: a coarse
     * quantizer (16 cells, centroids = quantized vecs 100..115) restricts
@@ -877,23 +899,10 @@ object CurationQueries {
       val probes = v.where(col("vec_id") < PQ_CODES)
         .select(col("vec_id").as("q_id"),
           explode(expr(s"transform(slice($cellSorted, 1, 2), t -> t.j)")).as("pcell"))
-      // PQ codebook: subvectors of vecs 0..15 (same convention as ns_sim_pq)
-      val cb: Map[Int, Seq[(Int, Seq[Long])]] =
-        v.where(col("vec_id") < PQ_CODES).collect()
-          .map(r => (r.getLong(0).toInt, r.getSeq[Long](1)))
-          .flatMap { case (j, xs) =>
-            (0 until PQ_M).map(m => (m, j, xs.slice(m * 8, m * 8 + 8)))
-          }
-          .groupBy(_._1).view
-          .mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq).toMap
-      val encExprs = (0 until PQ_M).map { m =>
-        val structs = cb(m).map { case (j, c) =>
-          s"struct(sq_l2(xq, cast(array(${c.mkString(",")}) as array<bigint>), " +
-            s"${m * 8}) AS d, cast($j as bigint) AS j)"
-        }
-        s"struct(cast($m as bigint) AS em, " +
-          s"element_at(array_sort(array(${structs.mkString(", ")})), 1).j AS code)"
-      }
+      // PQ codebook + encode exprs: the shared builder (same convention
+      // and byte-identical expression text as ns_sim_pq / ns_sim_pq_adc)
+      val cb = NorthStarQueries.pqCodebook(v)
+      val encExprs = NorthStarQueries.pqEncodeExprs(cb)
       val enc = vc
         .select(col("vec_id").as("c_id"), col("cell"),
           explode(expr(s"array(${encExprs.mkString(", ")})")).as("e"))
@@ -1016,32 +1025,17 @@ object CurationQueries {
     */
   private val embedPcaPower = Q(
     (s, dir) => {
-      val upper = NorthStarQueries.kmeansQuantized(s, dir)
-        .select(col("xq"))
-        .select(posexplode(col("xq")).as(Seq("i0", "xi")), col("xq"))
-        .select(col("i0"), col("xi"),
-          posexplode(expr("slice(xq, i0 + 1, size(xq) - i0)")).as(Seq("dj", "xj")))
-        .select((col("i0") + 1).as("i"), (col("i0") + 1 + col("dj")).as("j"),
-          (col("xi") * col("xj")).as("p"))
-        .groupBy(col("i"), col("j"))
-        .agg(sum(col("p")).as("sp"), count(lit(1)).as("n"))
-        .localCheckpoint(true)
+      val upper = gramUpper(s, dir).localCheckpoint(true)
       val full = upper.unionAll(
         upper.where(col("i") =!= col("j"))
           .select(col("j").as("i"), col("i").as("j"), col("sp"), col("n")))
       // five driver-side rounds over the dim^2-bounded collected matrix
+      // (the checkpointed Gram is collected rather than re-scanned via
+      // pcaLoadings — one corpus read for the whole query)
       val rows = full.collect()
         .map(r => ((r.getAs[Int]("i"), r.getAs[Int]("j")),
           Math.floorDiv(r.getAs[Long]("sp"), r.getAs[Long]("n"))))
-      val dims = rows.map(_._1._1).max
-      val c = rows.toMap
-      var vcur = Array.fill(dims)(PB)
-      for (_ <- 1 to 5) {
-        val u = (1 to dims).map(i =>
-          (1 to dims).map(j => c.getOrElse((i, j), 0L) * vcur(j - 1)).sum).toArray
-        val m = u.map(math.abs).max
-        vcur = u.map(x => Math.floorDiv(x * PB, m))
-      }
+      val vcur = pcaPowerRounds(rows.toMap, rows.map(_._1._1).max, 5)
       // sixth round distributed: matvec against the in-plan matrix
       val vLit = s"array(${vcur.mkString("L,")}L)"
       val u6 = full
@@ -1094,6 +1088,14 @@ object CurationQueries {
         .agg(count(lit(1)).as("n_in_range"),
           round(max(col("cos")), 6).as("max_cos"),
           round(min(col("cos")), 6).as("min_cos"))
+        // re-anchor on the 16-query spine (the simSq8Recall pattern):
+        // a query with NO in-range neighbor still reports its row
+        // (n_in_range = 0, null extremes) — "reported per query" holds
+        // on sparser data instead of silently dropping the query
+        .join(q.select(col("q_id")), Seq("q_id"), "right_outer")
+        .select(col("q_id"),
+          coalesce(col("n_in_range"), lit(0L)).as("n_in_range"),
+          col("max_cos"), col("min_cos"))
         .orderBy(col("q_id"))
     },
     Some(s"""WITH e AS (
@@ -1108,11 +1110,16 @@ object CurationQueries {
             |    cast(${NorthStarQueries.scaledDotSql("q.q_emb", "c.embedding")} as double)
             |      / (sqrt(cast(q.nq as double)) * sqrt(cast(c.nrm as double))) AS cos
             |  FROM q JOIN e c ON q.q_id <> c.vec_id
+            |), a AS (
+            |  SELECT q_id, count(*) AS n_in_range,
+            |    round(max(cos), 6) AS max_cos, round(min(cos), 6) AS min_cos
+            |  FROM p WHERE cos >= 0.25
+            |  GROUP BY q_id
             |)
-            |SELECT q_id, count(*) AS n_in_range,
-            |  round(max(cos), 6) AS max_cos, round(min(cos), 6) AS min_cos
-            |FROM p WHERE cos >= 0.25
-            |GROUP BY q_id ORDER BY q_id""".stripMargin))
+            |SELECT q.q_id, cast(coalesce(a.n_in_range, 0) as bigint) AS n_in_range,
+            |  a.max_cos, a.min_cos
+            |FROM q LEFT JOIN a ON a.q_id = q.q_id
+            |ORDER BY q.q_id""".stripMargin))
 
   // ---------------------------------------------------------------------
   // Deterministic corpus shuffle (training-order assignment)
@@ -1419,7 +1426,22 @@ object CurationQueries {
     */
   private def pcaLoadings(s: org.apache.spark.sql.SparkSession, dir: String,
                           iters: Int): Array[Long] = {
-    val upper = NorthStarQueries.kmeansQuantized(s, dir)
+    val rows = gramUpper(s, dir).collect()
+      .flatMap { r =>
+        val c = Math.floorDiv(r.getAs[Long]("sp"), r.getAs[Long]("n"))
+        val (i, j) = (r.getAs[Int]("i"), r.getAs[Int]("j"))
+        if (i == j) Seq(((i, j), c)) else Seq(((i, j), c), ((j, i), c))
+      }
+    pcaPowerRounds(rows.toMap, rows.map(_._1._1).max, iters)
+  }
+
+  /** Distributed Gram build shared by [[embedPcaPower]] and
+    * [[pcaLoadings]]: in-partition upper-triangle pair explode absorbed
+    * by the partial hash agg, shuffle bounded by dim^2, corpus read
+    * once. One definition so the two PCA queries cannot drift apart.
+    */
+  private def gramUpper(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    NorthStarQueries.kmeansQuantized(s, dir)
       .select(col("xq"))
       .select(posexplode(col("xq")).as(Seq("i0", "xi")), col("xq"))
       .select(col("i0"), col("xi"),
@@ -1428,14 +1450,14 @@ object CurationQueries {
         (col("xi") * col("xj")).as("p"))
       .groupBy(col("i"), col("j"))
       .agg(sum(col("p")).as("sp"), count(lit(1)).as("n"))
-    val rows = upper.collect()
-      .flatMap { r =>
-        val c = Math.floorDiv(r.getAs[Long]("sp"), r.getAs[Long]("n"))
-        val (i, j) = (r.getAs[Int]("i"), r.getAs[Int]("j"))
-        if (i == j) Seq(((i, j), c)) else Seq(((i, j), c), ((j, i), c))
-      }
-    val dims = rows.map(_._1._1).max
-    val c = rows.toMap
+
+  /** The driver-side integer power fixpoint over the collected
+    * dim^2-bounded matrix — ONE implementation so both PCA queries replay
+    * bit-identical rounds (floordiv matvec + floordiv rescale on the
+    * 2^14 grid).
+    */
+  private def pcaPowerRounds(c: Map[(Int, Int), Long], dims: Int,
+                             iters: Int): Array[Long] = {
     var vcur = Array.fill(dims)(PB)
     for (_ <- 1 to iters) {
       val u = (1 to dims).map(i =>

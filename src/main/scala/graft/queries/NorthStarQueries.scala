@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import Q.{T, TS}
+import Q.{T, TS, scratchDir, scratchDelete}
 
 /** SURVEY.md §2C — LLM-data-pipeline operators over `documents` and
   * `embeddings`: dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard /
@@ -271,7 +271,7 @@ object NorthStarQueries {
   private val dedupIncrementalStream = Q(
     (s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      val base = s"/root/repo/target/graft-tmp/incstream-${System.nanoTime()}"
+      val base = scratchDir("incstream")
       val inDir = s"$base/in"
       val d = T(s, dir, "documents")
         .withColumn("existing",
@@ -301,7 +301,10 @@ object NorthStarQueries {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.read.parquet(s"$base/out").orderBy(col("content_hash"))
+      // materialize before deleting the scratch tree (the plan is lazy)
+      val out = s.read.parquet(s"$base/out").localCheckpoint(true)
+      scratchDelete(base)
+      out.orderBy(col("content_hash"))
     },
     Some("""WITH d AS (
            |  SELECT sha256(text) AS h, n_chars,
@@ -2652,8 +2655,39 @@ object NorthStarQueries {
   // Similarity: product quantization (PQ) encode
   // ---------------------------------------------------------------------
 
-  private val PQ_M = 8      // subspaces (64 dims -> 8 x 8)
-  private val PQ_CODES = 16 // codes per subspace (deterministic sample: vecs 0..15)
+  private[queries] val PQ_M = 8      // subspaces (64 dims -> 8 x 8)
+  private[queries] val PQ_CODES = 16 // codes per subspace (deterministic sample: vecs 0..15)
+
+  /** PQ codebook shared by `ns_sim_pq` / `ns_sim_pq_adc` /
+    * `ns_sim_ivfpq`: subspace -> ordered (code id, 8-dim subvector)
+    * entries, sampled deterministically from vec_ids 0..PQ_CODES-1.
+    * Hash-stability note: every caller composes these subvectors into
+    * sq_l2 expression strings that must stay byte-identical across
+    * queries (the ADC gate hash depends on it) — change this builder
+    * and the string templates together or not at all.
+    */
+  private[queries] def pqCodebook(v: DataFrame): Map[Int, Seq[(Int, Seq[Long])]] =
+    v.where(col("vec_id") < PQ_CODES).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Long](1)))
+      .flatMap { case (j, xs) =>
+        (0 until PQ_M).map(m => (m, j, xs.slice(m * 8, m * 8 + 8)))
+      }
+      .groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq).toMap
+
+  /** Per-subspace encode expressions (argmin codebook entry via the
+    * offset-form sq_l2 — no per-row slice allocation); shared verbatim
+    * by `adcScoredDf` and `CurationQueries.simIvfPq`.
+    */
+  private[queries] def pqEncodeExprs(cb: Map[Int, Seq[(Int, Seq[Long])]]): Seq[String] =
+    (0 until PQ_M).map { m =>
+      val structs = cb(m).map { case (j, c) =>
+        s"struct(sq_l2(xq, cast(array(${c.mkString(",")}) as array<bigint>), " +
+          s"${m * 8}) AS d, cast($j as bigint) AS j)"
+      }
+      s"struct(cast($m as bigint) AS em, " +
+        s"element_at(array_sort(array(${structs.mkString(", ")})), 1).j AS code)"
+    }
 
   /** Product-quantization encode: split each 64-dim embedding into 8
     * subvectors and snap each to the nearest of 16 codebook entries —
@@ -2672,14 +2706,7 @@ object NorthStarQueries {
   private val simPq = Q(
     (s, dir) => {
       val v = kmeansQuantized(s, dir).localCheckpoint(true)
-      val cb: Map[Int, Seq[(Int, Seq[Long])]] =
-        v.where(col("vec_id") < PQ_CODES).collect()
-          .map(r => (r.getLong(0).toInt, r.getSeq[Long](1)))
-          .flatMap { case (j, xs) =>
-            (0 until PQ_M).map(m => (m, j, xs.slice(m * 8, m * 8 + 8)))
-          }
-          .groupBy(_._1).view
-          .mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq).toMap
+      val cb = pqCodebook(v)
       graft.expressions.SquaredL2.registerIn(s)
       val rowExprs = (0 until PQ_M).map { m =>
         val structs = cb(m).map { case (j, c) =>
@@ -2785,25 +2812,11 @@ object NorthStarQueries {
     * r8 form so the ADC gate hash is unchanged.
     */
   private def adcScoredDf(s: SparkSession, v: DataFrame): DataFrame = {
-    val cb: Map[Int, Seq[(Int, Seq[Long])]] =
-      v.where(col("vec_id") < PQ_CODES).collect()
-        .map(r => (r.getLong(0).toInt, r.getSeq[Long](1)))
-        .flatMap { case (j, xs) =>
-          (0 until PQ_M).map(m => (m, j, xs.slice(m * 8, m * 8 + 8)))
-        }
-        .groupBy(_._1).view
-        .mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq).toMap
+    val cb = pqCodebook(v)
     graft.expressions.SquaredL2.registerIn(s)
     // corpus codes: argmin codebook entry per subspace (same encode
     // expression as ns_sim_pq)
-    val encExprs = (0 until PQ_M).map { m =>
-      val structs = cb(m).map { case (j, c) =>
-        s"struct(sq_l2(xq, cast(array(${c.mkString(",")}) as array<bigint>), " +
-          s"${m * 8}) AS d, cast($j as bigint) AS j)"
-      }
-      s"struct(cast($m as bigint) AS em, " +
-        s"element_at(array_sort(array(${structs.mkString(", ")})), 1).j AS code)"
-    }
+    val encExprs = pqEncodeExprs(cb)
     val enc = v
       .select(col("vec_id").as("c_id"),
         explode(expr(s"array(${encExprs.mkString(", ")})")).as("e"))

@@ -25,6 +25,31 @@ object Q {
   def T(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Fresh scratch directory for queries that must round-trip through
+    * files (streaming fixtures): under `java.io.tmpdir`, never a
+    * hardcoded repo path, so the query runs from any checkout and the
+    * caller can [[scratchDelete]] the whole tree after materializing
+    * its result (gate/bench/probe invocations must not accumulate
+    * corpus-sized copies).
+    */
+  def scratchDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-$prefix-").toString
+
+  /** Best-effort recursive delete of a [[scratchDir]] tree. Call only
+    * AFTER the result DataFrame is materialized (e.g. localCheckpoint) —
+    * a lazy plan still reading the tree would break.
+    */
+  def scratchDelete(base: String): Unit = {
+    import java.nio.file.{Files, Path, Paths}
+    val root = Paths.get(base)
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => { Files.deleteIfExists(p); () })
+      finally walk.close()
+    }
+  }
+
   /** Load with parallelism spread — for compute-heavy-per-row stages
     * over narrow scans (see [[graft.Tables.loadSpread]]).
     */

@@ -56,6 +56,40 @@ object DocumentStreams {
   def ingest(docs: DataFrame): DataFrame =
     qualityGate(dedupByContent(docs))
 
+  /** Snapshot-delta classification INCLUDING `removed` — the two-stream
+    * union formulation: the previous snapshot and the new crawl both
+    * arrive as streams tagged `side` ('old' / 'new'), each record
+    * carrying its content hash and a shared event time. A watermarked
+    * windowed aggregate pairs the sides per doc_id; when the watermark
+    * passes the window, the finalized pair emits exactly one status row.
+    * Absence has become an event: a group that finalizes with only an
+    * old-side record IS the removal observation (`removed`); new-only is
+    * `added`; both sides with differing hashes `changed`, else
+    * `unchanged`. The emitting trigger is the watermark crossing, so the
+    * input needs one later-timestamped record after the snapshot pair
+    * (the caller's sentinel) to push the watermark past the data window.
+    *
+    * Scale: state per doc_id is two 64-hex hashes and two source
+    * strings inside one window, evicted at watermark — bounded,
+    * RocksDB-friendly; the aggregate shuffles on (window, doc_id) like
+    * any streaming group-by.
+    */
+  def snapshotDelta(tagged: DataFrame): DataFrame =
+    tagged
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 minute"), col("doc_id"))
+      .agg(
+        max(when(col("side") === "old", col("h"))).as("h_old"),
+        max(when(col("side") === "new", col("h"))).as("h_new"),
+        max(when(col("side") === "old", col("source"))).as("src_old"),
+        max(when(col("side") === "new", col("source"))).as("src_new"))
+      .select(col("doc_id"),
+        coalesce(col("src_new"), col("src_old")).as("source"),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("unchanged").as("status"))
+
   /** Incremental-ingest gate, the streaming form of the batch
     * `ns_dedup_incremental` exact path: arriving documents are dropped
     * if their content hash already exists in the STATIC existing-corpus

@@ -139,18 +139,21 @@ class CurationSpec extends SparkSpec {
       s"4x2 audit (${rows("4x2")._1}) != production band pairs ($lshPairs)")
   }
 
-  test("delta stream: classification matches the batch derivation, no removed") {
+  test("delta stream: classification matches the batch derivation, removed observed") {
     val docs = Tables.load(spark, sfDir, "documents")
     val added = docs.where(col("doc_id") % 13 === 0).count()
+    val removed = docs.where(col("doc_id") % 10 === 3).count()
     val changed = docs.where(col("doc_id") % 10 =!= 3 && col("doc_id") % 7 === 0).count()
-    val newTotal = docs.where(col("doc_id") % 10 =!= 3).count() + added
+    val kept = docs.where(col("doc_id") % 10 =!= 3).count()
     val byStatus = run("ns_pipeline_delta_stream").collect()
       .groupBy(_.getAs[String]("status"))
       .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
-    assert(!byStatus.contains("removed"), "absence is not a stream event")
+    // the watermark sweep turns absence into an event: old-only groups
+    // finalize as `removed` (and the sentinel's open window never emits)
+    assert(byStatus.getOrElse("removed", 0L) == removed)
     assert(byStatus.getOrElse("added", 0L) == added)
     assert(byStatus.getOrElse("changed", 0L) == changed)
-    assert(byStatus.getOrElse("unchanged", 0L) == newTotal - added - changed)
+    assert(byStatus.getOrElse("unchanged", 0L) == kept - changed)
   }
 
   test("range search: bounds hold and count matches an independent recount") {

@@ -275,6 +275,62 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("snapshot delta stream emits removed at the watermark sweep, equals batch full-outer") {
+    import graft.streaming.DocumentStreams
+    import spark.implicits._
+    val in = s"$workDir/delta-in-${System.nanoTime()}"
+    val cp = s"$workDir/delta-cp-${System.nanoTime()}"
+    Files.createDirectories(Paths.get(in))
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val tick = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+    // old snapshot: docs 1,2,3; new crawl: 1 unchanged, 2 changed,
+    // 4 added; 3 is absent from the new side -> removed
+    val files = Seq(
+      "old" -> Seq((1L, "crawl", "old", "h-a", t0), (2L, "crawl", "old", "h-b", t0),
+        (3L, "crawl", "old", "h-c", t0)),
+      "new" -> Seq((1L, "crawl", "new", "h-a", t0), (2L, "crawl", "new", "h-B2", t0),
+        (4L, "crawl", "new", "h-d", t0)),
+      // sentinel: pushes the watermark past the data window so the
+      // unmatched old-side group finalizes as `removed`; its own window
+      // never flushes, so it must not appear in the output
+      "tick" -> Seq((-1L, "tick", "tick", "", tick)))
+    val now = System.currentTimeMillis()
+    files.zipWithIndex.foreach { case ((name, rows), i) =>
+      val part = s"$in-part-$name"
+      rows.toDF("doc_id", "source", "side", "h", "ts")
+        .coalesce(1).write.mode("overwrite").parquet(part)
+      val f = new java.io.File(part).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = Paths.get(s"$in/$name.parquet")
+      Files.move(f.toPath, dest)
+      // ascending mod times: the file source must process the sentinel
+      // LAST or the early watermark drops the data as late
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(now + i * 1000L))
+    }
+    val tagged = spark.readStream
+      .schema(spark.read.parquet(s"$in/old.parquet").schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val got = EventStreams.runAvailableNow(
+      DocumentStreams.snapshotDelta(tagged), "delta_sink", "append", cp)
+      .map(r => (r.getLong(0), r.getString(2))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, "unchanged"), (2L, "changed"), (3L, "removed"), (4L, "added")),
+      s"got=${got.toSeq}")
+    // equals the batch FULL OUTER formulation over the same tagged rows
+    val all = spark.read.parquet(s"$in/old.parquet", s"$in/new.parquet")
+    val o = all.where(col("side") === "old").select(col("doc_id"), col("h").as("h_old"))
+    val n = all.where(col("side") === "new").select(col("doc_id"), col("h").as("h_new"))
+    val batch = o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("unchanged").as("status"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(got.sameElements(batch))
+  }
+
   test("session window stream replays to the batch session answer") {
     val (in, cp) = freshDirs()
     val stream = EventStreams.sessionCounts(EventStreams.readEvents(spark, in))
