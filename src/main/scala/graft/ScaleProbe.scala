@@ -104,6 +104,10 @@ object ScaleProbe {
       "ns_dedup_bloom", "ns_text_boilerplate", "ns_pipeline_manifest",
       "ns_dedup_incremental", "ns_text_bm25", "ns_corpus_token_budget",
       "ns_dedup_simhash_hamming", "ns_corpus_temperature",
+      // r11: production width — same banded plan with 65536-way band
+      // keys, so bucket occupancy under replication should grow SLOWER
+      // than the 8-bit-band variant above
+      "ns_dedup_simhash64",
       // r10: entropy + BPE stress the (doc,char)/(pair)-keyed aggs with
       // docMult-times the text volume; delta doubles the corpus into the
       // full-outer diff; split is the map-only hash-coin floor case

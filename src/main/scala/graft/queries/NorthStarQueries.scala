@@ -631,6 +631,106 @@ object NorthStarQueries {
          |FROM ver GROUP BY hamming ORDER BY hamming""".stripMargin
     })
 
+  /** Production-width SimHash near-dup detection: the 64-bit signature /
+    * 16-bit-band variant [[dedupSimhashHamming]]'s Scaladoc promises —
+    * SAME banded plan (map-only signature -> explode x4 band keys ->
+    * (band, value) equi-join candidates -> distinct -> bit_count
+    * verify -> histogram), with the band keyspace widened from 256 to
+    * 65536 so bucket occupancy drops by the same factor.
+    *
+    * Two engine-portability choices, both semantics-preserving:
+    * (1) the 64-bit signature is carried as two 32-bit words
+    * (`sh_hi`, `sh_lo`) — bit 63 of a packed bigint would sit on the
+    * sign bit, and signed-shift behavior there is engine-specific; the
+    * two-word form is also how >64-bit signatures generalize. (2) each
+    * token is hashed ONCE (sha256 -> 64 hex digits, one parity lane per
+    * digit) and a 64-lane +/-1 accumulate folds tokens into the
+    * signature — not one hash recomputation per bit as the narrow
+    * variants do; at 100 TB the hash is the dominant map-side cost and
+    * this form does 1/64th the hashing.
+    *
+    * Pigeonhole: Hamming <= 3 over 64 bits differs in at most 3 of the
+    * 4 bands, so every qualifying pair matches exactly on >= 1 band —
+    * candidate generation is 4 equi-join bucket probes, never all
+    * pairs; `bit_count(xor)` per word verifies the true distance.
+    */
+  private val dedupSimhash64 = Q(
+    (s, dir) => {
+      // one sha256 per token, 64 parity lanes accumulated in one pass
+      val bitsums =
+        "aggregate(transform(split(text, ' '), t -> sha2(t, 256)), " +
+          "array_repeat(0, 64), (acc, h) -> zip_with(acc, " +
+          "transform(sequence(1, 64), j -> IF(ascii(substring(h, j, 1)) % 2 = 1, 1, -1)), " +
+          "(a, b) -> a + b))"
+      def word(lo: Int) = (0 until 32)
+        .map(j => s"(CASE WHEN element_at(bs, ${lo + j + 1}) >= 0 " +
+          s"THEN cast(${1L << j} as bigint) ELSE cast(0 as bigint) END)")
+        .mkString(" + ")
+      val sh = TS(s, dir, "documents")
+        .select(col("doc_id"), expr(bitsums).as("bs"))
+        .select(col("doc_id"), expr(word(0)).as("sh_lo"), expr(word(32)).as("sh_hi"))
+      val bands = sh
+        .select(col("doc_id"), col("sh_lo"), col("sh_hi"),
+          explode(expr("sequence(0, 3)")).as("k"))
+        .withColumn("bv", expr(
+          "IF(k < 2, shiftright(sh_lo, 16 * k), shiftright(sh_hi, 16 * (k - 2))) & 65535"))
+      val a = bands.select(col("doc_id").as("doc_a"), col("sh_lo").as("la"),
+        col("sh_hi").as("ha"), col("k"), col("bv"))
+      val b = bands.select(col("doc_id").as("doc_b"), col("sh_lo").as("lb"),
+        col("sh_hi").as("hb"), col("k").as("kb"), col("bv").as("bvb"))
+      a.join(b, col("k") === col("kb") && col("bv") === col("bvb") &&
+          col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("la"), col("ha"), col("lb"), col("hb"))
+        .distinct() // a pair sharing several bands matches several probes
+        .withColumn("hamming", expr("bit_count(la ^ lb) + bit_count(ha ^ hb)"))
+        .where(col("hamming") <= 3)
+        .groupBy(col("hamming"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("doc_b")).as("n_docs_flagged"))
+        .orderBy(col("hamming"))
+    },
+    Some {
+      def word(lo: Int) = (0 until 32)
+        .map(j => s"(CASE WHEN s[${lo + j + 1}] >= 0 " +
+          s"THEN cast(${1L << j} as bigint) ELSE cast(0 as bigint) END)")
+        .mkString(" + ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+         |), hs AS (
+         |  SELECT doc_id, sha256(t) AS hx FROM toks
+         |), js AS (
+         |  SELECT unnest(generate_series(0, 63)) AS j
+         |), lanes AS (
+         |  SELECT doc_id, j,
+         |    sum(CASE WHEN ascii(substr(hx, j + 1, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM hs, js GROUP BY doc_id, j
+         |), sums AS (
+         |  SELECT doc_id, list(v ORDER BY j) AS s FROM lanes GROUP BY doc_id
+         |), sh AS (
+         |  SELECT doc_id, ${word(0)} AS sh_lo, ${word(32)} AS sh_hi FROM sums
+         |), ks AS (
+         |  SELECT unnest(generate_series(0, 3)) AS k
+         |), bands AS (
+         |  SELECT doc_id, sh_lo, sh_hi, k,
+         |    (CASE WHEN k < 2 THEN sh_lo >> (16 * k)
+         |          ELSE sh_hi >> (16 * (k - 2)) END) & 65535 AS bv
+         |  FROM sh, ks
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.sh_lo AS la, a.sh_hi AS ha, b.sh_lo AS lb, b.sh_hi AS hb
+         |  FROM bands a JOIN bands b
+         |    ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id
+         |), ver AS (
+         |  SELECT doc_a, doc_b,
+         |    bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) AS hamming
+         |  FROM cand
+         |  WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 3
+         |)
+         |SELECT hamming, count(*) AS n_pairs,
+         |  count(DISTINCT doc_b) AS n_docs_flagged
+         |FROM ver GROUP BY hamming ORDER BY hamming""".stripMargin
+    })
+
   /** Temperature-based corpus mixture (alpha-sampling, alpha = 0.5):
     * the per-source sampling weights a multi-source training mix uses
     * to up-weight small sources — w_s ∝ (token share)^alpha. Determinism
@@ -3790,6 +3890,7 @@ object NorthStarQueries {
     "ns_dedup_minhash_estimate" -> dedupMinhashEstimate,
     "ns_dedup_simhash" -> dedupSimhash,
     "ns_dedup_simhash_hamming" -> dedupSimhashHamming,
+    "ns_dedup_simhash64" -> dedupSimhash64,
     "ns_corpus_temperature" -> corpusTemperature,
     "ns_dedup_ngram_jaccard" -> dedupNgramJaccard,
     "ns_dedup_embedding_cosine" -> dedupEmbeddingCosine,
