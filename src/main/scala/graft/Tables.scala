@@ -112,7 +112,7 @@ object Tables {
     // fixtures) can never pick up another dir's registration.
     val tbl = statsTableName(dir, name)
     val df =
-      if (statsRegisteredDirs.contains(dir) && spark.catalog.tableExists(tbl))
+      if (statsRegisteredDirs.contains(canon(dir)) && spark.catalog.tableExists(tbl))
         spark.table(tbl)
       else spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
     if (name == "events")
@@ -120,12 +120,23 @@ object Tables {
     else df
   }
 
+  /** Canonical absolute form of a fixture dir. Registration and lookup
+    * BOTH canonicalize, so a relative `dir` (resolved against the JVM's
+    * cwd here) can never diverge from the absolute path the catalog
+    * table's LOCATION needs: Spark resolves a relative LOCATION against
+    * the warehouse dir, not the cwd, so an un-canonicalized relative
+    * registration silently creates EMPTY tables — observed r11 with
+    * `target/benchsf1`, where every corpus query then ran on zero rows.
+    */
+  private def canon(dir: String): String =
+    java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString
+
   /** Catalog name for a fixture registered from `dir` — dir-hash suffix
     * keeps registrations for different dirs (scale factors, temp
     * fixtures) distinct within one session.
     */
   private def statsTableName(dir: String, name: String): String =
-    s"g_${name}_s" + java.lang.Integer.toHexString(dir.hashCode)
+    s"g_${name}_s" + java.lang.Integer.toHexString(canon(dir).hashCode)
 
   /** Dirs registered via [[registerWithStats]] this JVM — checked before
     * the (cheap but not free) catalog lookup in the [[load]] hot path.
@@ -144,13 +155,16 @@ object Tables {
     * this form because they are ephemeral by design.
     */
   def registerWithStats(spark: SparkSession, dir: String): Unit = {
+    val abs = canon(dir)
+    require(new java.io.File(abs).isDirectory,
+      s"registerWithStats: fixture dir does not exist: $abs (from '$dir')")
     spark.conf.set("spark.sql.cbo.enabled", "true")
     spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
     schemas.foreach { case (name, schema) =>
       val t = statsTableName(dir, name)
       spark.sql(
         s"""CREATE TABLE IF NOT EXISTS $t (${schema.toDDL})
-           |USING PARQUET LOCATION '$dir/$name.parquet'""".stripMargin)
+           |USING PARQUET LOCATION '$abs/$name.parquet'""".stripMargin)
       spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS")
       // column stats only for atomic types — ANALYZE rejects array/map
       val atomic = schema.fields.collect {
@@ -160,7 +174,7 @@ object Tables {
         spark.sql(
           s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS ${atomic.mkString(", ")}")
     }
-    statsRegisteredDirs.add(dir)
+    statsRegisteredDirs.add(abs)
   }
 
   /** Like [[load]], but spreads the rows across the session's default

@@ -176,6 +176,21 @@ class PlanFeaturesSpec extends SparkSpec {
     }
   }
 
+  test("registerWithStats with a RELATIVE dir reads real rows (r11 regression)") {
+    // Pre-r11, a relative fixture dir put the relative path into the
+    // catalog table's LOCATION; Spark resolves that against the
+    // WAREHOUSE dir (not the cwd), so the table registered EMPTY and
+    // every query on the dir silently ran over zero rows. Registration
+    // and lookup now canonicalize, so the relative and absolute forms
+    // of the same dir are one registration backed by real files.
+    val rel = java.nio.file.Paths.get("").toAbsolutePath
+      .relativize(java.nio.file.Paths.get(sfDir)).toString
+    assert(!rel.startsWith("/"), s"expected a relative form, got $rel")
+    Tables.registerWithStats(spark, rel)
+    assert(Tables.load(spark, rel, "region").count() == 5,
+      "catalog table registered from a relative dir must serve real rows")
+  }
+
   test("PQ ADC search broadcasts the distance tables and prunes top-k map-side") {
     val q = SparkEntry.catalog("ns_sim_pq_adc").fn(spark, sfDir)
     val phys = q.queryExecution.sparkPlan
