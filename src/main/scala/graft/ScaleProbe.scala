@@ -131,7 +131,11 @@ object ScaleProbe {
       // the rewrite's per-chunk-hash window partitions and the
       // containment's clone-group pair explosion (docMult² per group,
       // df-capped at 16) are both stressed directly
-      "ns_dedup_rewrite", "ns_dedup_containment")
+      "ns_dedup_rewrite", "ns_dedup_containment",
+      // r11: cms stresses the vocab aggregate (counter table is 256 rows
+      // at any corpus size); vocab growth adds the per-term min(doc_id)
+      // agg — both should track text volume linearly
+      "ns_sketch_cms", "ns_corpus_vocab_growth")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected

@@ -1998,7 +1998,152 @@ object CurationQueries {
             |FROM embeddings q LEFT JOIN h ON h.q_id = q.vec_id
             |WHERE q.vec_id < 16 ORDER BY q_id""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // r11: Count-Min Sketch heavy hitters + Heaps-law vocabulary growth
+  // ---------------------------------------------------------------------
+
+  /** Count-Min Sketch frequency estimation with an exact-error audit —
+    * the mergeable-sketch answer to "what are the heavy-hitter terms"
+    * when the vocabulary itself is too large to count exactly: d=4 hash
+    * rows x w=64 buckets of ADDITIVE counters (so partial sketches from
+    * any partitioning merge by cell-wise sum — the same re-aggregable
+    * algebra as `agg_sketch_mergeable`), estimate = min over rows of the
+    * term's bucket counter, which only ever OVER-estimates (collisions
+    * add, never subtract).
+    *
+    * Plan: ONE corpus tokenize pass -> (term, cnt) aggregate; the d x w
+    * counter table derives from that VOCAB-sized aggregate (explode d
+    * rows per term), never from the corpus again, and is 256 rows
+    * regardless of corpus size — the broadcast side of the estimate
+    * join. The audit reports the top-20 exact heavy hitters with their
+    * CMS estimate and the overestimate, i.e. the index-tuning error
+    * number comes out of the engine itself (same discipline as
+    * `ns_sim_ivf_recall`). Buckets are md5-derived on both engines, so
+    * the sketch contents are bit-identical. At 100 TB: the per-partition
+    * state is d x w integers, the vocab agg is the only shuffle.
+    */
+  private val sketchCms = Q(
+    (s, dir) => {
+      val bucket = "cast(conv(substring(md5(concat('cms', cast(i as string), " +
+        "':', term)), 1, 8), 16, 10) as bigint) % 64"
+      val tf = TS(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("term"))
+        .where(length(col("term")) > 0)
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val counters = tf
+        .select(col("term"), col("cnt"), explode(expr("sequence(0, 3)")).as("i"))
+        .select(col("i"), expr(bucket).as("b"), col("cnt"))
+        .groupBy(col("i"), col("b")).agg(sum(col("cnt")).as("c"))
+      val top = tf.orderBy(col("cnt").desc, col("term")).limit(20)
+      top
+        .select(col("term"), col("cnt"), explode(expr("sequence(0, 3)")).as("i"))
+        .select(col("term"), col("cnt"), col("i"), expr(bucket).as("b"))
+        .join(broadcast(counters), Seq("i", "b"))
+        .groupBy(col("term"), col("cnt"))
+        .agg(min(col("c")).as("est"))
+        .select(col("term"), col("cnt").as("exact_count"),
+          col("est").as("cms_estimate"),
+          (col("est") - col("cnt")).as("overestimate"))
+        .orderBy(col("exact_count").desc, col("term"))
+    },
+    Some {
+      val bucket = (t: String) =>
+        s"cast('0x' || substr(md5('cms' || cast(i as varchar) || ':' || $t), 1, 8) " +
+          s"as bigint) % 64"
+      s"""WITH tf AS (
+         |  SELECT t AS term, count(*) AS cnt FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS t FROM documents
+         |  ) WHERE length(t) > 0 GROUP BY t
+         |), is_ AS (SELECT unnest(generate_series(0, 3)) AS i
+         |), counters AS (
+         |  SELECT i, ${bucket("term")} AS b, cast(sum(cnt) as bigint) AS c
+         |  FROM tf, is_ GROUP BY i, ${bucket("term")}
+         |), top AS (
+         |  SELECT term, cnt FROM tf ORDER BY cnt DESC, term LIMIT 20
+         |), est AS (
+         |  SELECT t.term, t.cnt, min(c.c) AS est
+         |  FROM (SELECT term, cnt, i, ${bucket("term")} AS b FROM top, is_) t
+         |  JOIN counters c ON c.i = t.i AND c.b = t.b
+         |  GROUP BY t.term, t.cnt
+         |)
+         |SELECT term, cnt AS exact_count, est AS cms_estimate,
+         |  est - cnt AS overestimate
+         |FROM est ORDER BY exact_count DESC, term""".stripMargin
+    })
+
+  /** Heaps-law vocabulary growth curve: cumulative distinct vocabulary
+    * vs cumulative token volume, sampled at 10 equal doc_id blocks of
+    * the corpus — the curve a tokenizer-budget decision reads (is the
+    * vocabulary still growing at the corpus tail, i.e. does more data
+    * still buy coverage?). Companion to the static coverage numbers in
+    * `ns_corpus_ngram_coverage`.
+    *
+    * "Cumulative distinct so far" NEVER materializes a running distinct
+    * over the scan order (a single-reducer non-starter): a term's entire
+    * contribution is its FIRST-occurrence block (`min(doc_id)` over one
+    * vocab-keyed aggregate), per-block new-term counts and token sums
+    * are B-row tables, and the running sums are windows over B=10 rows —
+    * the block-decomposition discipline of `ns_corpus_shuffle`. Block
+    * edges come from broadcast min/max doc_id scalars (the whitelisted
+    * one-row shape), so the curve is deterministic for any doc_id
+    * domain. At 100 TB: two corpus passes (token counts, first
+    * occurrences), everything after is O(vocab) then O(B).
+    */
+  private val corpusVocabGrowth = Q(
+    (s, dir) => {
+      val docs = TS(s, dir, "documents")
+      val bounds = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      val blk = "((doc_id - lo) * 10) div (hi - lo + 1)"
+      val perBlock = docs
+        .select(col("doc_id"), expr("size(filter(split(text, ' '), t -> length(t) > 0))").as("n_toks"))
+        .crossJoin(broadcast(bounds))
+        .select(expr(blk).as("block"), col("n_toks"))
+        .groupBy(col("block"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("block_tokens"))
+      val firstOcc = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .where(length(col("term")) > 0)
+        .groupBy(col("term")).agg(min(col("doc_id")).as("doc_id"))
+        .crossJoin(broadcast(bounds))
+        .select(expr(blk).as("block"))
+        .groupBy(col("block")).agg(count(lit(1)).as("new_terms"))
+      val w = Window.orderBy(col("block"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perBlock.join(firstOcc, Seq("block"), "left")
+        .na.fill(0L, Seq("new_terms"))
+        .select(col("block"), col("n_docs"), col("block_tokens"),
+          sum(col("block_tokens")).over(w).as("cum_tokens"),
+          col("new_terms"),
+          sum(col("new_terms")).over(w).as("cum_vocab"))
+        .orderBy(col("block"))
+    },
+    Some(
+      """WITH bounds AS (
+        |  SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents
+        |), per_block AS (
+        |  SELECT ((doc_id - lo) * 10) // (hi - lo + 1) AS block,
+        |    count(*) AS n_docs,
+        |    cast(sum(len(list_filter(string_split(text, ' '), t -> length(t) > 0))) as bigint) AS block_tokens
+        |  FROM documents, bounds GROUP BY 1
+        |), first_occ AS (
+        |  SELECT t AS term, min(doc_id) AS doc_id FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+        |  ) WHERE length(t) > 0 GROUP BY t
+        |), new_terms AS (
+        |  SELECT ((doc_id - lo) * 10) // (hi - lo + 1) AS block,
+        |    count(*) AS new_terms
+        |  FROM first_occ, bounds GROUP BY 1
+        |)
+        |SELECT p.block, p.n_docs, p.block_tokens,
+        |  cast(sum(p.block_tokens) OVER (ORDER BY p.block) as bigint) AS cum_tokens,
+        |  coalesce(n.new_terms, 0) AS new_terms,
+        |  cast(sum(coalesce(n.new_terms, 0)) OVER (ORDER BY p.block) as bigint) AS cum_vocab
+        |FROM per_block p LEFT JOIN new_terms n ON n.block = p.block
+        |ORDER BY p.block""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "ns_sketch_cms" -> sketchCms,
+    "ns_corpus_vocab_growth" -> corpusVocabGrowth,
     "ns_dedup_rewrite" -> dedupRewrite,
     "ns_dedup_containment" -> dedupContainment,
     "ns_text_bpe_apply" -> textBpeApply,
