@@ -269,6 +269,18 @@ class PlanFeaturesSpec extends SparkSpec {
         s"shuffle, got:\n$planStr")
   }
 
+  test("cms counter build and top-20 spine share one tf aggregate (AQE reuse)") {
+    // Both consumers (the 256-cell counter table and the top-20 exact
+    // spine) derive from the SAME (term, cnt) aggregate subtree, so at
+    // runtime AQE must serve one of them from a ReusedExchange — the
+    // corpus is tokenized and aggregated once, not twice.
+    val q = SparkEntry.catalog("ns_sketch_cms").fn(spark, sfDir)
+    q.collect() // AQE finalizes the adaptive plan on this QueryExecution
+    val finalPlan = q.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("ReusedExchange"),
+      s"tf aggregate should be computed once and reused:\n$finalPlan")
+  }
+
   test("typed Dataset surface agrees with the untyped DataFrame result") {
     import spark.implicits._
     import PlanFeaturesSpec.Doc
