@@ -135,7 +135,10 @@ object ScaleProbe {
       // r11: cms stresses the vocab aggregate (counter table is 256 rows
       // at any corpus size); vocab growth adds the per-term min(doc_id)
       // agg — both should track text volume linearly
-      "ns_sketch_cms", "ns_corpus_vocab_growth")
+      "ns_sketch_cms", "ns_corpus_vocab_growth",
+      // r11: code-switch is pure map-side (in-array chunk transform, no
+      // shuffle at all) — the floor case, expected linear in text volume
+      "ns_text_code_switch")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected

@@ -1172,6 +1172,70 @@ object NorthStarQueries {
             |        / len(toks), 6) AS stop_ratio
             |FROM t ORDER BY doc_id""".stripMargin))
 
+  /** Chunk-level language consistency (code-switching detection): the
+    * doc splits into 4 contiguous token chunks, each chunk classifies
+    * with the SAME stopword-ratio heuristic as [[textLangid]], and the
+    * doc reports how many chunks agree plus the chunk-ratio spread — a
+    * mixed-language document (or one with an embedded foreign-language
+    * block) shows a high spread / split vote where the doc-level
+    * classifier alone averages the signal away.
+    *
+    * Entirely MAP-ONLY: chunk boundaries are integer arithmetic on the
+    * token array, the 4 per-chunk ratios compute inside one `transform`
+    * over the array (no explode, no shuffle of any kind) — at 100 TB
+    * this is a pure scan-side pass like the quality gates it composes
+    * with. Ratios are single IEEE divisions of exact integer counts, so
+    * both engines agree bitwise.
+    */
+  private val textCodeSwitch = Q(
+    (s, dir) => {
+      val len = (k: String) => s"(($k + 1) * n) div 4 - ($k * n) div 4"
+      val ratios =
+        s"transform(sequence(0, 3), k -> CASE WHEN ${len("k")} <= 0 " +
+          "THEN cast(0.0 as double) ELSE " +
+          s"cast(size(filter(slice(toks, cast((k * n) div 4 as int) + 1, " +
+          s"cast(${len("k")} as int)), t -> array_contains($stopArr, t))) as double) " +
+          s"/ cast(${len("k")} as double) END)"
+      T(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n", size(col("toks")))
+        .withColumn("ratios", expr(ratios))
+        .select(col("doc_id"),
+          when(expr(s"size(filter(toks, t -> array_contains($stopArr, t)))")
+            .cast("double") / col("n") >= 0.05, "en").otherwise("other")
+            .as("pred_lang"),
+          expr("cast(size(filter(ratios, r -> r >= 0.05d)) as bigint)")
+            .as("n_chunks_en"),
+          round(expr("array_max(ratios) - array_min(ratios)"), 6)
+            .as("ratio_spread"),
+          expr("size(filter(ratios, r -> r >= 0.05d)) IN (0, 4)")
+            .as("consistent"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val len = (k: String) => s"((($k + 1) * n) // 4 - ($k * n) // 4)"
+      val ratios =
+        s"list_transform([0, 1, 2, 3], k -> CASE WHEN ${len("k")} <= 0 " +
+          "THEN 0.0 ELSE " +
+          s"cast(len(list_filter(toks[(k * n) // 4 + 1:((k + 1) * n) // 4], " +
+          s"t -> list_contains($stopList, t))) as double) " +
+          s"/ cast(${len("k")} as double) END)"
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks,
+         |    len(string_split(text, ' ')) AS n
+         |  FROM documents
+         |), r AS (
+         |  SELECT doc_id, toks, n, $ratios AS ratios FROM t
+         |)
+         |SELECT doc_id,
+         |  CASE WHEN cast(len(list_filter(toks, t -> list_contains($stopList, t))) as double)
+         |            / n >= 0.05 THEN 'en' ELSE 'other' END AS pred_lang,
+         |  cast(len(list_filter(ratios, r -> r >= 0.05)) as bigint) AS n_chunks_en,
+         |  round(list_max(ratios) - list_min(ratios), 6) AS ratio_spread,
+         |  len(list_filter(ratios, r -> r >= 0.05)) IN (0, 4) AS consistent
+         |FROM r ORDER BY doc_id""".stripMargin
+    })
+
   /** Quality scoring: token count, distinct-token ratio, mean token
     * length, and a composite score — all per-doc map-only arithmetic.
     */
@@ -3901,6 +3965,7 @@ object NorthStarQueries {
     "ns_sim_ivf_nprobe2" -> simIvfNprobe2,
     "ns_embed_knn_graph" -> embedKnnGraph,
     "ns_text_langid" -> textLangid,
+    "ns_text_code_switch" -> textCodeSwitch,
     "ns_text_quality" -> textQuality,
     "ns_text_token_counts" -> textTokenCounts,
     "ns_text_top_terms" -> textTopTerms,
