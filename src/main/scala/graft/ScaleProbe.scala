@@ -138,7 +138,13 @@ object ScaleProbe {
       "ns_sketch_cms", "ns_corpus_vocab_growth",
       // r11: code-switch is pure map-side (in-array chunk transform, no
       // shuffle at all) — the floor case, expected linear in text volume
-      "ns_text_code_switch")
+      "ns_text_code_switch",
+      // r11: winnow's window explode is a bounded w-fold expansion (linear
+      // in text volume); replication clones every doc, so each selected
+      // fingerprint's df multiplies by docMult and the df<=16 boilerplate
+      // cap prunes clone groups HARDER as the corpus grows — pair volume
+      // should grow sublinearly, same mechanism as containment above
+      "ns_dedup_winnow")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected

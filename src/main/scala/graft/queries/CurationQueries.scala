@@ -2141,8 +2141,109 @@ object CurationQueries {
         |FROM per_block p LEFT JOIN new_terms n ON n.block = p.block
         |ORDER BY p.block""".stripMargin))
 
+  /** Winnowing document fingerprints (the MOSS scheme) + cross-doc
+    * overlap detection — the guarantee-bearing alternative to the CDC
+    * chunk fingerprints: for window size w, EVERY shared substring of at
+    * least w + k - 1 tokens is provably caught by a shared fingerprint
+    * (CDC chunking only catches shares that span a chunk boundary
+    * pattern). k=3 token-grams hashed, w=4 windows; each window selects
+    * its RIGHTMOST minimum hash, selections dedupe into the doc's
+    * fingerprint set, and doc pairs rank by shared-fingerprint overlap.
+    *
+    * The exact rightmost-min-per-window argmin is ONE aggregate: each
+    * gram position explodes into the <= w window starts it can serve
+    * (a bounded w-fold expansion, never all pairs) and the (doc, window)
+    * group takes `min(array(h, -pos))` — lexicographic array order gives
+    * min-hash-then-rightmost-position in a single pass, identically in
+    * both engines. Pairing reuses the containment discipline: hashes
+    * capped at df <= 16 docs (a fingerprint shared by more docs is
+    * boilerplate, not provenance), pair explosion bounded by df^2 per
+    * hash, top-20 = TakeOrderedAndProject. Docs shorter than w + k - 1
+    * tokens have no window and are excluded by construction.
+    */
+  private val dedupWinnow = Q(
+    (s, dir) => {
+      val gramHash = "cast(conv(substring(md5(concat_ws(' ', slice(toks, i, 3))), 1, 15), 16, 10) as bigint)"
+      val grams = TS(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"),
+          expr(s"transform(sequence(1, size(toks) - 2), i -> $gramHash)").as("hs"))
+        .where(size(col("hs")) >= 4)
+        .select(col("doc_id"), size(col("hs")).as("np"),
+          posexplode(col("hs")).as(Seq("p0", "h")))
+        .select(col("doc_id"), col("np"), (col("p0") + 1).as("pos"), col("h"))
+      val sel = grams
+        .select(col("doc_id"), col("pos"), col("h"),
+          explode(expr("sequence(greatest(1, pos - 3), least(pos, np - 3))")).as("w"))
+        .groupBy(col("doc_id"), col("w"))
+        .agg(min(array(col("h"), -col("pos"))).as("m"))
+        .select(col("doc_id"), col("m").getItem(0).as("h"))
+        .distinct()
+      val docFp = sel.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+      val keep = sel.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .where(col("df") <= 16)
+        .select(col("h"))
+      val idx = sel.join(keep, Seq("h"))
+      val pairs = idx.select(col("h"), col("doc_id").as("doc_a"))
+        .join(idx.select(col("h"), col("doc_id").as("doc_b")), Seq("h"))
+        .where(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      pairs
+        .join(docFp.select(col("doc_id").as("doc_a"), col("n_fp").as("fp_a")), Seq("doc_a"))
+        .join(docFp.select(col("doc_id").as("doc_b"), col("n_fp").as("fp_b")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("n_shared"),
+          round(col("n_shared").cast("double") /
+            least(col("fp_a"), col("fp_b")).cast("double"), 6).as("overlap"))
+        .orderBy(col("overlap").desc, col("n_shared").desc, col("doc_a"), col("doc_b"))
+        .limit(20)
+    },
+    Some(
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, len(toks) - 2),
+        |      i -> cast('0x' || substr(md5(concat_ws(' ',
+        |             toks[i], toks[i+1], toks[i+2])), 1, 15) as bigint)) AS hs
+        |  FROM t
+        |), gp AS (
+        |  SELECT doc_id, len(hs) AS np,
+        |    unnest(list_transform(generate_series(1, len(hs)),
+        |      i -> {'pos': i, 'h': hs[i]})) AS u
+        |  FROM g WHERE len(hs) >= 4
+        |), pos AS (
+        |  SELECT doc_id, np, u.pos AS pos, u.h AS h FROM gp
+        |), win AS (
+        |  SELECT doc_id, pos, h,
+        |    unnest(generate_series(greatest(1, pos - 3), least(pos, np - 3))) AS w
+        |  FROM pos
+        |), sel AS (
+        |  SELECT DISTINCT doc_id, min([h, -pos])[1] AS h
+        |  FROM win GROUP BY doc_id, w
+        |), doc_fp AS (
+        |  SELECT doc_id, count(*) AS n_fp FROM sel GROUP BY doc_id
+        |), keep AS (
+        |  SELECT h FROM sel GROUP BY h HAVING count(DISTINCT doc_id) <= 16
+        |), idx AS (
+        |  SELECT s.h, s.doc_id FROM sel s JOIN keep k ON k.h = s.h
+        |), pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |  FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |)
+        |SELECT p.doc_a, p.doc_b, p.n_shared,
+        |  round(cast(p.n_shared as double) /
+        |        cast(least(fa.n_fp, fb.n_fp) as double), 6) AS overlap
+        |FROM pairs p
+        |JOIN doc_fp fa ON fa.doc_id = p.doc_a
+        |JOIN doc_fp fb ON fb.doc_id = p.doc_b
+        |ORDER BY overlap DESC, n_shared DESC, doc_a, doc_b LIMIT 20""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "ns_sketch_cms" -> sketchCms,
+    "ns_dedup_winnow" -> dedupWinnow,
     "ns_corpus_vocab_growth" -> corpusVocabGrowth,
     "ns_dedup_rewrite" -> dedupRewrite,
     "ns_dedup_containment" -> dedupContainment,
