@@ -27,13 +27,15 @@ object ScaleFixture {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val reps = spark.range(mult).select(col("id").as("rep"))
     Tables.schemas.keys.toSeq.sorted.foreach { name =>
-      val src = spark.read.schema(Tables.schemas(name)).parquet(s"$srcDir/$name.parquet")
+      // Tables.load is footer-aware for events.ts — the tier therefore
+      // re-writes events with a normalized TimestampType ts, which the
+      // downstream footer detection reads back natively.
+      val src = Tables.load(spark, srcDir, name)
       val out = name match {
         case "documents" =>
           src.crossJoin(broadcast(reps))

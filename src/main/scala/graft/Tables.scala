@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.types._
 
 /** Table catalog over the driver-provided Parquet fixtures.
@@ -64,11 +64,11 @@ object Tables {
       StructField("l_returnflag", StringType),
       StructField("l_linestatus", StringType),
       StructField("l_shipdate", TimestampType))),
-    // events.ts is parquet TIMESTAMP(NANOS) (FIXTURES.md), which Spark's
-    // reader does not map to TimestampType; it is read as the raw INT64
-    // (spark.sql.legacy.parquet.nanosAsLong) and truncated to a
-    // microsecond timestamp in load() — matching DuckDB, which truncates
-    // ns -> us on read.
+    // events.ts is PHYSICAL-ENCODING-DEPENDENT: fixture generations have
+    // shipped it as parquet TIMESTAMP(NANOS) and as TIMESTAMP(MICROS).
+    // The ts type declared here is a placeholder — every real read goes
+    // through schemaFor/load, which inspect the parquet footer and pick
+    // the unit-correct schema + normalization (see TsEncoding below).
     "events" -> StructType(Seq(
       StructField("event_id", LongType),
       StructField("ts", LongType),
@@ -95,15 +95,145 @@ object Tables {
     */
   val broadcastDims: Set[String] = Set("region", "nation")
 
+  /** How `events.ts` is physically stored, per the parquet footer. An
+    * engine reading third-party parquet must honor the footer's logical
+    * type, not assume one frozen encoding: fixture generations have
+    * shipped ts as INT64 TIMESTAMP(NANOS) and as INT64 TIMESTAMP(MICROS),
+    * and hardcoding either silently corrupts the other (a NANOS-assumed
+    * read of a MICROS file divides every timestamp by 1000).
+    */
+  sealed trait TsEncoding
+  object TsEncoding {
+    /** INT64 TIMESTAMP(NANOS) — Spark has no nanosecond TimestampType,
+      * so the column is read as the raw INT64
+      * (`spark.sql.legacy.parquet.nanosAsLong`) and truncated to a
+      * microsecond timestamp (`ts div 1000` — integer arithmetic, no
+      * double rounding), matching DuckDB's ns→µs truncation on read.
+      * Unannotated INT64 is treated the same (raw epoch-nanos), the
+      * historical fixture contract.
+      */
+    case object NanosLong extends TsEncoding
+    /** INT64 TIMESTAMP(MICROS) or TIMESTAMP(MILLIS) — Spark reads these
+      * natively; `utc` is the footer's isAdjustedToUTC (false → NTZ,
+      * cast to the UTC session timestamp, value-preserving since the
+      * session timezone is pinned UTC). Legacy INT96 timestamps (what
+      * Spark itself writes under the default `outputTimestampType`)
+      * also land here as `Native(true)` — Spark reads INT96 as a
+      * UTC-adjusted TimestampType.
+      */
+    final case class Native(utc: Boolean) extends TsEncoding
+  }
+
+  /** Footer-detected ts encoding for the events data at `path` (a single
+    * parquet file or a directory of part files), cached per canonical
+    * path — one footer read per path per JVM.
+    */
+  def eventsTsEncoding(spark: SparkSession, path: String): TsEncoding =
+    tsEncodingCache.computeIfAbsent(canon(path), _ => detectTsEncoding(spark, path))
+
+  private val tsEncodingCache =
+    new java.util.concurrent.ConcurrentHashMap[String, TsEncoding]()
+
+  private def detectTsEncoding(spark: SparkSession, path: String): TsEncoding = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    // Descend into part-file directories (fixtures ship both as a single
+    // file named `events.parquet` and as a directory of part files).
+    @annotation.tailrec
+    def resolve(p: Path): Path =
+      if (!fs.getFileStatus(p).isDirectory) p
+      else {
+        val kids = fs.listStatus(p).map(_.getPath)
+          .filter { f =>
+            val n = f.getName
+            !n.startsWith("_") && !n.startsWith(".")
+          }
+          .sortBy(_.getName)
+        kids.find(_.getName.endsWith(".parquet")).orElse(kids.headOption) match {
+          case Some(next) => resolve(next)
+          case None => throw new IllegalArgumentException(
+            s"eventsTsEncoding: no parquet files under $path")
+        }
+      }
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(resolve(root), conf))
+    try {
+      val msg = reader.getFileMetaData.getSchema
+      val prim = msg.getType(msg.getFieldIndex("ts")).asPrimitiveType()
+      prim.getLogicalTypeAnnotation match {
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          if (t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS) TsEncoding.NanosLong
+          else TsEncoding.Native(t.isAdjustedToUTC)
+        case _ =>
+          // INT96: Spark's legacy timestamp physical type, read natively
+          // as a UTC-adjusted timestamp. Unannotated INT64: raw
+          // epoch-nanos, the historical fixture contract.
+          if (prim.getPrimitiveTypeName == PrimitiveType.PrimitiveTypeName.INT96)
+            TsEncoding.Native(true)
+          else TsEncoding.NanosLong
+      }
+    } finally reader.close()
+  }
+
+  /** The events schema with `ts` typed per the footer encoding. */
+  def eventsSchema(enc: TsEncoding): StructType = {
+    val tsType: DataType = enc match {
+      case TsEncoding.NanosLong     => LongType
+      case TsEncoding.Native(true)  => TimestampType
+      case TsEncoding.Native(false) => TimestampNTZType
+    }
+    StructType(schemas("events").fields.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
+  }
+
+  /** Read-schema for fixture `name` under `dir` — footer-aware for
+    * events, the static declaration otherwise.
+    */
+  def schemaFor(spark: SparkSession, dir: String, name: String): StructType =
+    if (name == "events") eventsSchema(eventsTsEncoding(spark, s"$dir/$name.parquet"))
+    else schemas(name)
+
+  /** Detect the events encoding at `path` and, for the NANOS case, set
+    * the legacy conf the scan requires (runtime-settable; set ONLY on
+    * this branch so a µs fixture never flips session-wide behavior for
+    * other ns-typed parquet reads).
+    */
+  private[graft] def prepareEventsRead(spark: SparkSession, path: String): TsEncoding = {
+    val enc = eventsTsEncoding(spark, path)
+    if (enc == TsEncoding.NanosLong)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    enc
+  }
+
+  /** Normalize the `ts` column to plain TimestampType — the single
+    * column type every downstream operator sees, regardless of how the
+    * file stored it. Keyed on the OBSERVED column type (not the detected
+    * file encoding) so it is also correct over catalog tables, whose
+    * declared type is authoritative for the scan:
+    * LongType → raw epoch-nanos, truncate (`div 1000`, integer
+    * arithmetic, no double rounding) to a µs timestamp; NTZ → cast to
+    * the UTC session timestamp (value-preserving, session TZ is pinned
+    * UTC); TimestampType → already normalized.
+    */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
+
   /** Read one fixture table. The explicit schema means the scan carries a
     * fixed ReadSchema regardless of footer contents. For `events`, the
-    * nanosecond INT64 `ts` is truncated to a microsecond timestamp
-    * (`ts div 1000` — integer arithmetic, no double rounding) so
-    * downstream operators see a plain TimestampType column.
+    * schema and the `ts` normalization follow the footer's logical type
+    * (see [[TsEncoding]]) so downstream operators always see a plain
+    * TimestampType column with the literal event times.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // Required for reading parquet TIMESTAMP(NANOS) as INT64; runtime-settable.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Prefer the stats-bearing catalog table when registerWithStats ran
     // for THIS dir in this session — identical data/schema, but the scan
     // carries rowCount/NDV so CBO join-reorder and build-side choice see
@@ -111,13 +241,18 @@ object Tables {
     // encodes the dir, so probes reading other dirs (ScaleProbe temp
     // fixtures) can never pick up another dir's registration.
     val tbl = statsTableName(dir, name)
-    val df =
-      if (statsRegisteredDirs.contains(canon(dir)) && spark.catalog.tableExists(tbl))
-        spark.table(tbl)
+    val useCatalog =
+      statsRegisteredDirs.contains(canon(dir)) && spark.catalog.tableExists(tbl)
+    if (name == "events") {
+      val enc = prepareEventsRead(spark, s"$dir/$name.parquet")
+      val df =
+        if (useCatalog) spark.table(tbl)
+        else spark.read.schema(eventsSchema(enc)).parquet(s"$dir/$name.parquet")
+      normalizeTs(df)
+    } else {
+      if (useCatalog) spark.table(tbl)
       else spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    }
   }
 
   /** Canonical absolute form of a fixture dir. Registration and lookup
@@ -137,6 +272,23 @@ object Tables {
     */
   private def statsTableName(dir: String, name: String): String =
     s"g_${name}_s" + java.lang.Integer.toHexString(canon(dir).hashCode)
+
+  /** Drop a catalog table whose column shape no longer matches the
+    * desired DDL. `CREATE TABLE IF NOT EXISTS` silently KEEPS a stale
+    * registration — observed r13 with a persistent (Hive/Derby)
+    * metastore carrying an events table from the ns-fixture era
+    * (`ts BIGINT`) over the regenerated µs fixture: every catalog-path
+    * read decoded garbage. Comparing (name, dataType) pairs — not full
+    * StructType equality — ignores nullability/metadata drift that
+    * catalog round-trips introduce.
+    */
+  private def dropIfSchemaDrifted(
+      spark: SparkSession, table: String, want: StructType): Unit =
+    if (spark.catalog.tableExists(table)) {
+      val have = spark.table(table).schema
+      val shape = (s: StructType) => s.fields.map(f => (f.name, f.dataType)).toSeq
+      if (shape(have) != shape(want)) spark.sql(s"DROP TABLE $table")
+    }
 
   /** Dirs registered via [[registerWithStats]] this JVM — checked before
     * the (cheap but not free) catalog lookup in the [[load]] hot path.
@@ -160,8 +312,14 @@ object Tables {
       s"registerWithStats: fixture dir does not exist: $abs (from '$dir')")
     spark.conf.set("spark.sql.cbo.enabled", "true")
     spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
-    schemas.foreach { case (name, schema) =>
+    schemas.keys.foreach { name =>
+      // footer-aware DDL for events (and the NANOS legacy conf if the
+      // fixture needs it — ANALYZE scans the file through this table)
+      val schema =
+        if (name == "events") eventsSchema(prepareEventsRead(spark, s"$abs/$name.parquet"))
+        else schemas(name)
       val t = statsTableName(dir, name)
+      dropIfSchemaDrifted(spark, t, schema)
       spark.sql(
         s"""CREATE TABLE IF NOT EXISTS $t (${schema.toDDL})
            |USING PARQUET LOCATION '$abs/$name.parquet'""".stripMargin)

@@ -50,7 +50,6 @@ object PersistentCatalog {
         s"jdbc:derby:;databaseName=$metastoreDir/metastore_db;create=true")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.cbo.enabled", "true")
       .config("spark.sql.cbo.joinReorder.enabled", "true")
@@ -74,9 +73,23 @@ object PersistentCatalog {
     * layout persists Hive-compatibly with no other change here.
     */
   def registerExternal(spark: SparkSession, dir: String): Unit =
-    Tables.schemas.foreach { case (name, schema) =>
+    Tables.schemas.keys.foreach { name =>
+      // footer-aware ts type for events (+ the NANOS legacy conf when
+      // that fixture generation is in place — required by any scan
+      // through this external table)
+      val schema = Tables.schemaFor(spark, dir, name)
+      if (name == "events") Tables.prepareEventsRead(spark, s"$dir/$name.parquet")
+      // a persistent metastore can carry a registration from a PREVIOUS
+      // fixture generation (e.g. events.ts BIGINT from the ns era) —
+      // IF NOT EXISTS would silently keep it, so drop on schema drift
+      val t = tableName(name)
+      if (spark.catalog.tableExists(t)) {
+        val have = spark.table(t).schema.fields.map(f => (f.name, f.dataType)).toSeq
+        val want = schema.fields.map(f => (f.name, f.dataType)).toSeq
+        if (have != want) spark.sql(s"DROP TABLE $t")
+      }
       spark.sql(
-        s"""CREATE TABLE IF NOT EXISTS ${tableName(name)} (${schema.toDDL})
+        s"""CREATE TABLE IF NOT EXISTS $t (${schema.toDDL})
            |USING PARQUET LOCATION '$dir/$name.parquet'""".stripMargin)
     }
 

@@ -25,16 +25,16 @@ import graft.Tables
 object EventStreams {
 
   /** File-source stream of events from a directory of parquet files with
-    * the fixture schema (nanosecond INT64 `ts` truncated to a
-    * microsecond timestamp, exactly like the batch path in
-    * [[graft.Tables.load]]).
+    * the fixture schema. The `ts` physical encoding (INT64
+    * TIMESTAMP(NANOS) vs native MICROS/MILLIS) is detected from the
+    * footer of the first file present and normalized to TimestampType,
+    * exactly like the batch path in [[graft.Tables.load]] — so stream
+    * and batch stay replay-equivalent across fixture generations.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(Tables.schemas("events"))
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val enc = Tables.prepareEventsRead(spark, dir)
+    Tables.normalizeTs(
+      spark.readStream.schema(Tables.eventsSchema(enc)).parquet(dir))
   }
 
   /** Tumbling 10-minute window counts per event type, 30-minute

@@ -1,0 +1,204 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.time.Instant
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.hadoop.util.HadoopOutputFile
+import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+
+import graft.streaming.EventStreams
+
+/** Fixture-schema robustness for `events.ts` (VERDICT r12): the engine
+  * must reproduce the LITERAL event times from every parquet encoding a
+  * fixture generation has shipped — INT64 TIMESTAMP(NANOS),
+  * TIMESTAMP(MICROS) NTZ (isAdjustedToUTC=false), and TIMESTAMP(MICROS)
+  * UTC — via the footer-driven branch in [[Tables.load]] /
+  * [[EventStreams.readEvents]], with all encodings readable in the SAME
+  * session (the NANOS legacy conf must not be set by, or corrupt, µs
+  * reads).
+  */
+class TsEncodingSpec extends SparkSpec {
+
+  private val workDir = "/root/repo/target/graft-tmp/tsenc"
+
+  /** Literal event times the fixtures encode; µs precision. */
+  private val literals = Seq(
+    (1L, "2024-01-01T00:00:00.000000Z", 10L, "signup", 1.5, """{"k":1}"""),
+    (2L, "2024-01-15T12:34:56.789012Z", 11L, "purchase", 2.5, """{"k":2}"""),
+    (3L, "2024-01-30T23:59:59.999999Z", 12L, "error", 3.5, """{"k":3}"""))
+
+  private def micros(iso: String): Long = {
+    val i = Instant.parse(iso)
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
+  /** Write an events fixture whose ts is annotated INT64
+    * TIMESTAMP(NANOS, isAdjustedToUTC=false) — Spark cannot write this
+    * encoding, so it is produced directly with parquet-hadoop.
+    */
+  private def writeNanosFixture(dir: String): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val schema = Types.buildMessage()
+      .required(INT64).named("event_id")
+      .required(INT64)
+      .as(LogicalTypeAnnotation.timestampType(false, LogicalTypeAnnotation.TimeUnit.NANOS))
+      .named("ts")
+      .required(INT64).named("user_id")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("event_type")
+      .required(DOUBLE).named("value")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("props")
+      .named("events")
+    val out = HadoopOutputFile.fromPath(
+      new Path(s"$dir/events.parquet"), spark.sessionState.newHadoopConf())
+    val writer = ExampleParquetWriter.builder(out).withType(schema).build()
+    val f = new SimpleGroupFactory(schema)
+    try literals.foreach { case (id, iso, uid, typ, v, props) =>
+      writer.write(f.newGroup()
+        .append("event_id", id)
+        .append("ts", micros(iso) * 1000L)
+        .append("user_id", uid)
+        .append("event_type", typ)
+        .append("value", v)
+        .append("props", props))
+    } finally writer.close()
+  }
+
+  /** Write a µs fixture via Spark: NTZ (TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false), the driver generator's encoding), UTC
+    * (TIMESTAMP(MICROS, isAdjustedToUTC=true)), or — when
+    * `outputType` = INT96 — Spark's legacy default physical encoding,
+    * which our own default-conf sinks (e.g. ScaleFixture) produce.
+    */
+  private def writeMicrosFixture(
+      dir: String, ntz: Boolean, outputType: String = "TIMESTAMP_MICROS"): Unit = {
+    import spark.implicits._
+    val rows = literals.map { case (id, iso, uid, typ, v, props) =>
+      (id, Instant.parse(iso), uid, typ, v, props)
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val typed =
+      if (ntz) df.withColumn("ts", col("ts").cast(TimestampNTZType))
+      else df
+    val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", outputType)
+    try typed.coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None    => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+  }
+
+  private def loadedLiterals(dir: String): Seq[(Long, String)] = {
+    val df = Tables.load(spark, dir, "events")
+    assert(df.schema("ts").dataType == TimestampType,
+      s"ts must normalize to TimestampType, got ${df.schema("ts").dataType}")
+    df.select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+  }
+
+  private def expectedLiterals: Seq[(Long, String)] =
+    literals.map { case (id, iso, _, _, _, _) =>
+      // normalize to full-µs ISO form to match date_format output
+      val i = Instant.parse(iso)
+      val base = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(i)
+      (id, base)
+    }
+
+  test("µs (NTZ) fixture loads with literal timestamps, no legacy conf set") {
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    val dir = s"$workDir/us-ntz-${System.nanoTime()}"
+    writeMicrosFixture(dir, ntz = true)
+    assert(Tables.eventsTsEncoding(spark, s"$dir/events.parquet") ==
+      Tables.TsEncoding.Native(false))
+    assert(loadedLiterals(dir) == expectedLiterals)
+    // a µs fixture must NOT flip the session-wide ns legacy flag
+    assert(!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+  }
+
+  test("µs (UTC-adjusted) fixture loads with literal timestamps") {
+    val dir = s"$workDir/us-utc-${System.nanoTime()}"
+    writeMicrosFixture(dir, ntz = false)
+    assert(Tables.eventsTsEncoding(spark, s"$dir/events.parquet") ==
+      Tables.TsEncoding.Native(true))
+    assert(loadedLiterals(dir) == expectedLiterals)
+  }
+
+  test("INT96 fixture (Spark legacy default write) loads with literal timestamps") {
+    val dir = s"$workDir/int96-${System.nanoTime()}"
+    writeMicrosFixture(dir, ntz = false, outputType = "INT96")
+    assert(Tables.eventsTsEncoding(spark, s"$dir/events.parquet") ==
+      Tables.TsEncoding.Native(true))
+    assert(loadedLiterals(dir) == expectedLiterals)
+  }
+
+  test("ns fixture loads with literal timestamps (truncated to µs)") {
+    val dir = s"$workDir/ns-${System.nanoTime()}"
+    writeNanosFixture(dir)
+    assert(Tables.eventsTsEncoding(spark, s"$dir/events.parquet") ==
+      Tables.TsEncoding.NanosLong)
+    assert(loadedLiterals(dir) == expectedLiterals)
+  }
+
+  test("mixed-unit reads in one session agree both ways") {
+    // ns first (sets the legacy conf), then µs — then µs-first ordering
+    // is covered by the suites above. Both must return the literals.
+    val nsDir = s"$workDir/ns-mix-${System.nanoTime()}"
+    val usDir = s"$workDir/us-mix-${System.nanoTime()}"
+    writeNanosFixture(nsDir)
+    writeMicrosFixture(usDir, ntz = true)
+    assert(loadedLiterals(nsDir) == expectedLiterals)
+    assert(loadedLiterals(usDir) == expectedLiterals)
+    assert(loadedLiterals(nsDir) == expectedLiterals)
+  }
+
+  /** Like writeMicrosFixture, but lands a SINGLE file named
+    * `events.parquet` (the file-stream source does not recurse into
+    * part-file subdirectories — matching the StreamingSpec layout).
+    */
+  private def writeMicrosFile(dir: String): Unit = {
+    val staging = s"$dir-staging"
+    writeMicrosFixture(staging, ntz = true)
+    Files.createDirectories(Paths.get(dir))
+    val part = Files.list(Paths.get(s"$staging/events.parquet"))
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .findFirst().get()
+    Files.copy(part, Paths.get(s"$dir/events.parquet"))
+  }
+
+  test("streaming readEvents normalizes both encodings like the batch path") {
+    for ((mkFixture, tag) <- Seq(
+        ((d: String) => writeNanosFixture(d), "ns"),
+        ((d: String) => writeMicrosFile(d), "us"))) {
+      val dir = s"$workDir/stream-$tag-${System.nanoTime()}"
+      val cp = s"$workDir/stream-cp-$tag-${System.nanoTime()}"
+      mkFixture(dir)
+      val streamed = EventStreams.runAvailableNow(
+        EventStreams.readEvents(spark, dir)
+          .select(col("event_id"),
+            date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("t")),
+        s"tsenc_sink_$tag", "append", cp)
+      val got = streamed.map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+      assert(got == expectedLiterals, s"stream[$tag] mismatch")
+    }
+  }
+
+  test("real fixture dir decodes to the documented 2024-01 event range") {
+    val df = Tables.load(spark, sfDir, "events")
+    val r = df.agg(min("ts").as("lo"), max("ts").as("hi"), count(lit(1)).as("n"))
+      .selectExpr("date_format(lo,'yyyy-MM-dd')", "date_format(hi,'yyyy-MM-dd')", "n")
+      .collect()(0)
+    assert(r.getString(0).startsWith("2024-01"), s"min ts ${r.getString(0)}")
+    assert(r.getString(1).startsWith("2024-0"), s"max ts ${r.getString(1)}")
+    assert(r.getLong(2) > 0)
+  }
+}
