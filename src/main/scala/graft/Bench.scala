@@ -117,7 +117,6 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -185,12 +184,20 @@ object Bench {
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case _: Throwable => () }
         val w = (System.nanoTime() - w0) / 1e9
-        // the first pass can never prove stability (bestWarm is still
-        // the MaxValue sentinel, making the bound vacuous) — requiring a
-        // prior pass guarantees >=2 warm passes, which is what actually
-        // drives the per-row generated methods past the JIT tier-4
-        // threshold (the r10 ns_dedup_incremental#1 13s first-run spike)
-        stable = warmed > 0 && w <= bestWarm * 1.3
+        // Converged = this pass lands in a BAND around the best so far:
+        //   - not a spike (w <= 1.3x best), and
+        //   - not still improving (w >= 0.85x best).
+        // The r12 lesson: the old check was only the upper bound, which
+        // an IMPROVING pass satisfies trivially (w < best => w < 1.3x
+        // best) — warm-up declared victory after 2 passes mid-JIT-ramp,
+        // and multi-stage plans (pagerank's per-round joins, bm25's
+        // two-level aggs) then ran every TIMED pass on the tier-3
+        // plateau: r12 showed them flat at 2.7x/2.9x their frozen mins.
+        // Requiring the lower bound keeps warming while each pass still
+        // beats the best by >15%.
+        // (warmed > 0: the first pass can never prove stability — the
+        // MaxValue sentinel would make both bounds vacuous.)
+        stable = warmed > 0 && w <= bestWarm * 1.3 && w >= bestWarm * 0.85
         bestWarm = math.min(bestWarm, w)
         warmed += 1
       }
