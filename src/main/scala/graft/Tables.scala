@@ -124,17 +124,38 @@ object Tables {
     final case class Native(utc: Boolean) extends TsEncoding
   }
 
-  /** Footer-detected ts encoding for the events data at `path` (a single
-    * parquet file or a directory of part files), cached per canonical
-    * path — one footer read per path per JVM.
+  /** Timestamp-bearing columns per fixture table — every one of these is
+    * footer-detected on read, so a fixture regeneration that changes the
+    * physical encoding (the r12 events.ts ns→µs incident) can never
+    * silently corrupt values or hard-fail the scan.
     */
+  private val tsColumns: Map[String, Seq[String]] = Map(
+    "events"   -> Seq("ts"),
+    "orders"   -> Seq("o_orderdate"),
+    "lineitem" -> Seq("l_shipdate"))
+
+  /** The footer-detected timestamp columns of fixture `name` (empty for
+    * tables without one). */
+  def tsColumnsOf(name: String): Seq[String] = tsColumns.getOrElse(name, Nil)
+
+  /** Footer-detected encoding of timestamp column `column` in the
+    * parquet data at `path` (a single file or a directory of part
+    * files), cached per canonical (path, column) — one footer read per
+    * path per JVM.
+    */
+  def tsEncodingFor(spark: SparkSession, path: String, column: String): TsEncoding =
+    tsEncodingCache.computeIfAbsent(canon(path) + "#" + column,
+      _ => detectTsEncoding(spark, path, column))
+
+  /** Footer-detected encoding of `events.ts` — see [[tsEncodingFor]]. */
   def eventsTsEncoding(spark: SparkSession, path: String): TsEncoding =
-    tsEncodingCache.computeIfAbsent(canon(path), _ => detectTsEncoding(spark, path))
+    tsEncodingFor(spark, path, "ts")
 
   private val tsEncodingCache =
     new java.util.concurrent.ConcurrentHashMap[String, TsEncoding]()
 
-  private def detectTsEncoding(spark: SparkSession, path: String): TsEncoding = {
+  private def detectTsEncoding(
+      spark: SparkSession, path: String, column: String): TsEncoding = {
     import org.apache.hadoop.fs.Path
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
@@ -164,7 +185,7 @@ object Tables {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(resolve(root), conf))
     try {
       val msg = reader.getFileMetaData.getSchema
-      val prim = msg.getType(msg.getFieldIndex("ts")).asPrimitiveType()
+      val prim = msg.getType(msg.getFieldIndex(column)).asPrimitiveType()
       prim.getLogicalTypeAnnotation match {
         case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
           if (t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS) TsEncoding.NanosLong
@@ -180,51 +201,70 @@ object Tables {
     } finally reader.close()
   }
 
+  /** Re-type the given timestamp columns of `base` per their detected
+    * encodings: NANOS → LongType (raw read, truncated in
+    * [[normalizeTs]]); MICROS/MILLIS/INT96 (adjusted or NTZ) →
+    * TimestampType (the reader maps NTZ micros into the UTC session
+    * timestamp value-unchanged — the session timezone is pinned UTC).
+    */
+  private def withTsTypes(base: StructType, encs: Map[String, TsEncoding]): StructType =
+    StructType(base.fields.map { f =>
+      encs.get(f.name) match {
+        case Some(TsEncoding.NanosLong) => f.copy(dataType = LongType)
+        case Some(TsEncoding.Native(_)) => f.copy(dataType = TimestampType)
+        case None                       => f
+      }
+    })
+
   /** The events schema with `ts` typed per the footer encoding. */
-  def eventsSchema(enc: TsEncoding): StructType = {
-    val tsType: DataType = enc match {
-      case TsEncoding.NanosLong     => LongType
-      case TsEncoding.Native(true)  => TimestampType
-      case TsEncoding.Native(false) => TimestampNTZType
-    }
-    StructType(schemas("events").fields.map(f =>
-      if (f.name == "ts") f.copy(dataType = tsType) else f))
-  }
+  def eventsSchema(enc: TsEncoding): StructType =
+    withTsTypes(schemas("events"), Map("ts" -> enc))
 
   /** Read-schema for fixture `name` under `dir` — footer-aware for
-    * events, the static declaration otherwise.
+    * every timestamp-bearing table ([[tsColumns]]), the static
+    * declaration otherwise.
     */
-  def schemaFor(spark: SparkSession, dir: String, name: String): StructType =
-    if (name == "events") eventsSchema(eventsTsEncoding(spark, s"$dir/$name.parquet"))
-    else schemas(name)
-
-  /** Detect the events encoding at `path` and, for the NANOS case, set
-    * the legacy conf the scan requires (runtime-settable; set ONLY on
-    * this branch so a µs fixture never flips session-wide behavior for
-    * other ns-typed parquet reads).
-    */
-  private[graft] def prepareEventsRead(spark: SparkSession, path: String): TsEncoding = {
-    val enc = eventsTsEncoding(spark, path)
-    if (enc == TsEncoding.NanosLong)
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    enc
+  def schemaFor(spark: SparkSession, dir: String, name: String): StructType = {
+    val cols = tsColumns.getOrElse(name, Nil)
+    if (cols.isEmpty) schemas(name)
+    else withTsTypes(schemas(name),
+      cols.map(c => c -> tsEncodingFor(spark, s"$dir/$name.parquet", c)).toMap)
   }
 
-  /** Normalize the `ts` column to plain TimestampType — the single
-    * column type every downstream operator sees, regardless of how the
-    * file stored it. Keyed on the OBSERVED column type (not the detected
-    * file encoding) so it is also correct over catalog tables, whose
-    * declared type is authoritative for the scan:
+  /** Detect the encodings of the given timestamp columns at `path` and,
+    * if ANY is NANOS, set the legacy conf the scan requires
+    * (runtime-settable; set ONLY on this branch so a µs fixture never
+    * flips session-wide behavior for other ns-typed parquet reads).
+    */
+  private[graft] def prepareTsRead(
+      spark: SparkSession, path: String, cols: Seq[String]): Map[String, TsEncoding] = {
+    val encs = cols.map(c => c -> tsEncodingFor(spark, path, c)).toMap
+    if (encs.valuesIterator.contains(TsEncoding.NanosLong))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    encs
+  }
+
+  /** [[prepareTsRead]] for the events stream/batch read path. */
+  private[graft] def prepareEventsRead(spark: SparkSession, path: String): TsEncoding =
+    prepareTsRead(spark, path, Seq("ts"))("ts")
+
+  /** Normalize the named timestamp columns to plain TimestampType — the
+    * single column type every downstream operator sees, regardless of
+    * how the file stored them. Keyed on the OBSERVED column type (not
+    * the detected file encoding) so it is also correct over catalog
+    * tables, whose declared type is authoritative for the scan:
     * LongType → raw epoch-nanos, truncate (`div 1000`, integer
     * arithmetic, no double rounding) to a µs timestamp; NTZ → cast to
     * the UTC session timestamp (value-preserving, session TZ is pinned
     * UTC); TimestampType → already normalized.
     */
-  private[graft] def normalizeTs(df: DataFrame): DataFrame =
-    df.schema("ts").dataType match {
-      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
-      case _                => df
+  private[graft] def normalizeTs(df: DataFrame, cols: Seq[String] = Seq("ts")): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      d.schema(c).dataType match {
+        case LongType         => d.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+        case TimestampNTZType => d.withColumn(c, col(c).cast(TimestampType))
+        case _                => d
+      }
     }
 
   /** Read one fixture table. The explicit schema means the scan carries a
@@ -243,15 +283,16 @@ object Tables {
     val tbl = statsTableName(dir, name)
     val useCatalog =
       statsRegisteredDirs.contains(canon(dir)) && spark.catalog.tableExists(tbl)
-    if (name == "events") {
-      val enc = prepareEventsRead(spark, s"$dir/$name.parquet")
-      val df =
-        if (useCatalog) spark.table(tbl)
-        else spark.read.schema(eventsSchema(enc)).parquet(s"$dir/$name.parquet")
-      normalizeTs(df)
-    } else {
+    val cols = tsColumns.getOrElse(name, Nil)
+    if (cols.isEmpty) {
       if (useCatalog) spark.table(tbl)
       else spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
+    } else {
+      prepareTsRead(spark, s"$dir/$name.parquet", cols)
+      val df =
+        if (useCatalog) spark.table(tbl)
+        else spark.read.schema(schemaFor(spark, dir, name)).parquet(s"$dir/$name.parquet")
+      normalizeTs(df, cols)
     }
   }
 
@@ -313,11 +354,12 @@ object Tables {
     spark.conf.set("spark.sql.cbo.enabled", "true")
     spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
     schemas.keys.foreach { name =>
-      // footer-aware DDL for events (and the NANOS legacy conf if the
-      // fixture needs it — ANALYZE scans the file through this table)
-      val schema =
-        if (name == "events") eventsSchema(prepareEventsRead(spark, s"$abs/$name.parquet"))
-        else schemas(name)
+      // footer-aware DDL for timestamp-bearing tables (and the NANOS
+      // legacy conf if a fixture needs it — ANALYZE scans the file
+      // through this table)
+      tsColumns.get(name).foreach(cols =>
+        prepareTsRead(spark, s"$abs/$name.parquet", cols))
+      val schema = schemaFor(spark, abs, name)
       val t = statsTableName(dir, name)
       dropIfSchemaDrifted(spark, t, schema)
       spark.sql(

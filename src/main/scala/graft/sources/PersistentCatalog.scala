@@ -77,8 +77,8 @@ object PersistentCatalog {
       // footer-aware ts type for events (+ the NANOS legacy conf when
       // that fixture generation is in place — required by any scan
       // through this external table)
+      Tables.prepareTsRead(spark, s"$dir/$name.parquet", Tables.tsColumnsOf(name))
       val schema = Tables.schemaFor(spark, dir, name)
-      if (name == "events") Tables.prepareEventsRead(spark, s"$dir/$name.parquet")
       // a persistent metastore can carry a registration from a PREVIOUS
       // fixture generation (e.g. events.ts BIGINT from the ns era) —
       // IF NOT EXISTS would silently keep it, so drop on schema drift
