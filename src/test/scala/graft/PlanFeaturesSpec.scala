@@ -38,6 +38,29 @@ class PlanFeaturesSpec extends SparkSpec {
     assert(joined.count() > 0)
   }
 
+  test("event-time predicates push into the parquet scan on a native-ts fixture") {
+    // The r13 ts fix is a SCALE feature, not just a correctness one: the
+    // old NANOS path computed ts via timestamp_micros(ts div 1000), an
+    // expression no parquet filter can see, so event-time predicates —
+    // the most common filter over a 100 TB event store — never reached
+    // the scan. With the footer-detected native read, ts is a plain
+    // scan column and the range predicate lands in PushedFilters, where
+    // row-group statistics prune I/O before any row is decoded.
+    val enc = Tables.eventsTsEncoding(spark, s"$sfDir/events.parquet")
+    assume(enc.isInstanceOf[Tables.TsEncoding.Native],
+      s"fixture is $enc — pushdown only applies to the native path")
+    val q = Tables.load(spark, sfDir, "events")
+      .where(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp"))
+    val scans = q.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "expected a parquet file scan")
+    val pushed = scans.map(_.metadata.getOrElse("PushedFilters", "")).mkString(";")
+    assert(pushed.contains("ts"),
+      s"expected a ts predicate in PushedFilters, got: $pushed")
+    assert(q.count() > 0)
+  }
+
   test("cacheTable serves repeat queries from InMemoryRelation") {
     Tables.load(spark, sfDir, "nation").createOrReplaceTempView("nation_cached")
     spark.catalog.cacheTable("nation_cached")
