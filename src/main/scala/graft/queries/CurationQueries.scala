@@ -2241,7 +2241,136 @@ object CurationQueries {
         |JOIN doc_fp fb ON fb.doc_id = p.doc_b
         |ORDER BY overlap DESC, n_shared DESC, doc_a, doc_b LIMIT 20""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // Context-window packing + epoch scheduling (pre-training batch plan)
+  // ---------------------------------------------------------------------
+
+  /** Concatenate-then-chunk packing accounting per source: documents in
+    * deterministic doc_id order are conceptually concatenated and cut
+    * into fixed 512-token context windows — the packing strategy decoder
+    * pre-training actually uses — and the report gives the numbers a
+    * data lead needs to size a run: sequences produced, pad waste in the
+    * final window, and how many documents straddle a window boundary
+    * (the cross-document-attention contamination metric that motivates
+    * boundary-aware packing variants).
+    *
+    * Determinism: every column is exact integer arithmetic over a
+    * source-partitioned running sum (`div` chunking, no floats except
+    * one terminal rounded fraction).
+    *
+    * Scale: ONE source-keyed ordered window (a single shuffle); a fat
+    * source decomposes with the same hash-prefix block prefix-sum
+    * pattern `ns_corpus_shuffle` uses, so no single reducer ever owns a
+    * corpus-sized source.
+    */
+  private val corpusPackGreedy = Q(
+    (s, dir) => {
+      val SEQ = 512L
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      val docs = TS(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          expr("size(split(text, ' '))").cast("long").as("n_tok"))
+        .withColumn("cum_before",
+          coalesce(sum(col("n_tok")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("seq_first", expr(s"cum_before div $SEQ"))
+        .withColumn("seq_last", expr(s"(cum_before + n_tok - 1) div $SEQ"))
+      docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_tok")).as("total_toks"),
+             sum(when(col("seq_first") =!= col("seq_last"), 1L).otherwise(0L))
+               .as("n_docs_split"))
+        .withColumn("n_seqs", expr(s"(total_toks + ${SEQ - 1}) div $SEQ"))
+        .withColumn("pad_toks", expr(s"n_seqs * $SEQ - total_toks"))
+        .withColumn("split_frac",
+          round(col("n_docs_split").cast("double") / col("n_docs"), 6))
+        .select(col("source"), col("n_docs"), col("total_toks"), col("n_seqs"),
+          col("pad_toks"), col("n_docs_split"), col("split_frac"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH d AS (
+           |  SELECT doc_id, source,
+           |    cast(len(string_split(text, ' ')) as bigint) AS n_tok
+           |  FROM documents
+           |), c AS (
+           |  SELECT *, coalesce(sum(n_tok) OVER (PARTITION BY source
+           |      ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+           |  FROM d
+           |), f AS (
+           |  SELECT source, n_tok,
+           |    cum_before // 512 AS seq_first,
+           |    (cum_before + n_tok - 1) // 512 AS seq_last
+           |  FROM c
+           |), g AS (
+           |  SELECT source, count(*) AS n_docs,
+           |    cast(sum(n_tok) as bigint) AS total_toks,
+           |    cast(sum(CASE WHEN seq_first <> seq_last THEN 1 ELSE 0 END) as bigint)
+           |      AS n_docs_split
+           |  FROM f GROUP BY source
+           |)
+           |SELECT source, n_docs, total_toks,
+           |  (total_toks + 511) // 512 AS n_seqs,
+           |  ((total_toks + 511) // 512) * 512 - total_toks AS pad_toks,
+           |  n_docs_split,
+           |  round(cast(n_docs_split as double) / n_docs, 6) AS split_frac
+           |FROM g ORDER BY source""".stripMargin))
+
+  /** Temperature-weighted epoch schedule: allocate a global token budget
+    * across sources by w_i = sqrt(n_tokens_i) (temperature α = 0.5, the
+    * standard multilingual up-sampling) and report each source's token
+    * target and REPEAT FACTOR (epochs, fixed-point ×1e6) — with an
+    * over-repetition flag at the 4-epoch mark where repeated data stops
+    * helping. This is the planning step AFTER [[NorthStarQueries]]'s
+    * `ns_corpus_temperature` weight report: weights become an executable
+    * per-source allocation.
+    *
+    * Determinism: the only transcendental (sqrt) is quantized to a 2^20
+    * fixed-point bigint per source — one correctly-rounded IEEE op on
+    * identical inputs — and every share/target/epoch derives with exact
+    * integer `div`, so the order of the weight SUM cannot perturb a bit.
+    *
+    * Scale: two tiny aggregates (per-source rollup, then a 1-row total
+    * broadcast back) — corpus-sized data shuffles once into the
+    * per-source rollup; everything after is O(sources).
+    */
+  private val corpusEpochSchedule = Q(
+    (s, dir) => {
+      val BUDGET = 50000L
+      val toks = TS(s, dir, "documents")
+        .select(col("source"), expr("size(split(text, ' '))").cast("long").as("t"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"))
+        .withColumn("w_fp",
+          expr("cast(floor(sqrt(cast(n_tokens as double)) * 1048576) as bigint)"))
+      val tot = toks.agg(sum(col("w_fp")).as("w_tot"))
+      toks.crossJoin(broadcast(tot))
+        .withColumn("target_toks", expr(s"($BUDGET * w_fp) div w_tot"))
+        .withColumn("epochs_e6", expr("(target_toks * 1000000) div n_tokens"))
+        .withColumn("overrep", col("epochs_e6") > lit(4000000L))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("w_fp"),
+          col("target_toks"), col("epochs_e6"), col("overrep"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH toks AS (
+           |  SELECT source, count(*) AS n_docs,
+           |    cast(sum(len(string_split(text, ' '))) as bigint) AS n_tokens
+           |  FROM documents GROUP BY source
+           |), w AS (
+           |  SELECT *, cast(floor(sqrt(cast(n_tokens as double)) * 1048576) as bigint)
+           |    AS w_fp
+           |  FROM toks
+           |), t AS (SELECT sum(w_fp) AS w_tot FROM w)
+           |SELECT source, n_docs, n_tokens, w_fp,
+           |  cast((50000 * w_fp) // w_tot as bigint) AS target_toks,
+           |  cast((((50000 * w_fp) // w_tot) * 1000000) // n_tokens as bigint) AS epochs_e6,
+           |  cast((((50000 * w_fp) // w_tot) * 1000000) // n_tokens as bigint) > 4000000
+           |    AS overrep
+           |FROM w, t ORDER BY source""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "ns_corpus_pack_greedy" -> corpusPackGreedy,
+    "ns_corpus_epoch_schedule" -> corpusEpochSchedule,
     "ns_sketch_cms" -> sketchCms,
     "ns_dedup_winnow" -> dedupWinnow,
     "ns_corpus_vocab_growth" -> corpusVocabGrowth,
