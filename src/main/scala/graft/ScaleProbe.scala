@@ -143,7 +143,12 @@ object ScaleProbe {
       // fingerprint's df multiplies by docMult and the df<=16 boilerplate
       // cap prunes clone groups HARDER as the corpus grows — pair volume
       // should grow sublinearly, same mechanism as containment above
-      "ns_dedup_winnow")
+      "ns_dedup_winnow",
+      // r13: packing's one shuffle is the source-keyed ordered window
+      // (docMult-times the rows per source partition — the fat-source
+      // axis); the epoch schedule's corpus-sized work is the per-source
+      // rollup, everything after is O(sources) — expected ~linear floors
+      "ns_corpus_pack_greedy", "ns_corpus_epoch_schedule")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected
