@@ -71,8 +71,10 @@ def main():
     with open(FIXTURES_MD, encoding="utf-8") as fh:
         doc = fh.read()
     if BEGIN in doc:
+        # lambda replacement: the generated body must be inserted
+        # literally, never interpreted as a regex template
         doc = re.sub(re.escape(BEGIN) + r".*?" + re.escape(END) + r"\n?",
-                     body, doc, flags=re.S)
+                     lambda _m: body, doc, flags=re.S)
     else:
         doc = doc.rstrip("\n") + "\n\n" + body
     with open(FIXTURES_MD, "w", encoding="utf-8") as fh:

@@ -160,8 +160,9 @@ object Bench {
     val results = bench.map { case (name, fn, isHeadline) =>
       System.gc()
       Thread.sleep(200)
-      // Adaptive warm-up until the wall stabilizes (current pass within
-      // 1.3x of the best so far, max 5 passes). Two reasons: (a) the run
+      // Adaptive warm-up until the wall stabilizes (current pass inside
+      // the 0.85x-1.3x band around the best so far, max 8 passes — see
+      // the convergence comment below). Two reasons: (a) the run
       // after a GC breather re-touches evicted cache lines and reads
       // high; (b) — the r8 "unexplained 3x CPU spike", named in r9 via
       // -XX:+PrintCompilation — the per-ROW generated methods (e.g. the

@@ -140,12 +140,26 @@ object Tables {
 
   /** Footer-detected encoding of timestamp column `column` in the
     * parquet data at `path` (a single file or a directory of part
-    * files), cached per canonical (path, column) — one footer read per
-    * path per JVM.
+    * files). Cached per canonical (path, column, resolved-file
+    * mtime+size) — one footer read per path per JVM, but a same-path
+    * fixture REGENERATION (new mtime/length) re-detects instead of
+    * serving the stale encoding, so a long-lived session cannot
+    * reproduce the r12 failure class against a swapped file.
+    *
+    * Directories are assumed encoding-homogeneous (the fixture layout:
+    * one generation per directory) — detection reads ONE footer; a
+    * directory mixing generations cannot be scanned with a single
+    * schema by Spark anyway.
     */
-  def tsEncodingFor(spark: SparkSession, path: String, column: String): TsEncoding =
-    tsEncodingCache.computeIfAbsent(canon(path) + "#" + column,
-      _ => detectTsEncoding(spark, path, column))
+  def tsEncodingFor(spark: SparkSession, path: String, column: String): TsEncoding = {
+    val file = resolveParquetFile(spark, path)
+    val stamp = file.map { f =>
+      val st = f.getFileSystem(spark.sessionState.newHadoopConf()).getFileStatus(f)
+      s"${st.getModificationTime}:${st.getLen}"
+    }.getOrElse("absent")
+    tsEncodingCache.computeIfAbsent(canon(path) + "#" + column + "#" + stamp,
+      _ => detectTsEncoding(spark, file, column))
+  }
 
   /** Footer-detected encoding of `events.ts` — see [[tsEncodingFor]]. */
   def eventsTsEncoding(spark: SparkSession, path: String): TsEncoding =
@@ -154,21 +168,21 @@ object Tables {
   private val tsEncodingCache =
     new java.util.concurrent.ConcurrentHashMap[String, TsEncoding]()
 
-  private def detectTsEncoding(
-      spark: SparkSession, path: String, column: String): TsEncoding = {
+  /** First data file under `path` (descending into part-file
+    * directories — fixtures ship both as a single file named
+    * `events.parquet` and as a directory of part files). None when the
+    * path is an existing but still-EMPTY directory — the file-stream
+    * define-before-data case.
+    */
+  private def resolveParquetFile(
+      spark: SparkSession, path: String): Option[org.apache.hadoop.fs.Path] = {
     import org.apache.hadoop.fs.Path
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
-    import org.apache.parquet.schema.LogicalTypeAnnotation
-    import org.apache.parquet.schema.PrimitiveType
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
-    // Descend into part-file directories (fixtures ship both as a single
-    // file named `events.parquet` and as a directory of part files).
     @annotation.tailrec
-    def resolve(p: Path): Path =
-      if (!fs.getFileStatus(p).isDirectory) p
+    def resolve(p: Path): Option[Path] =
+      if (!fs.getFileStatus(p).isDirectory) Some(p)
       else {
         val kids = fs.listStatus(p).map(_.getPath)
           .filter { f =>
@@ -178,11 +192,29 @@ object Tables {
           .sortBy(_.getName)
         kids.find(_.getName.endsWith(".parquet")).orElse(kids.headOption) match {
           case Some(next) => resolve(next)
-          case None => throw new IllegalArgumentException(
-            s"eventsTsEncoding: no parquet files under $path")
+          case None       => None
         }
       }
-    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(resolve(root), conf))
+    resolve(root)
+  }
+
+  private def detectTsEncoding(
+      spark: SparkSession,
+      file: Option[org.apache.hadoop.fs.Path],
+      column: String): TsEncoding = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType
+    val conf = spark.sessionState.newHadoopConf()
+    val f = file.getOrElse {
+      // No data yet — a stream defined over an empty landing directory.
+      // Assume the CURRENT fixture generation's encoding (µs NTZ); the
+      // mtime-stamped cache key re-detects once the first file lands
+      // and the stream is (re)defined.
+      return TsEncoding.Native(false)
+    }
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
     try {
       val msg = reader.getFileMetaData.getSchema
       val prim = msg.getType(msg.getFieldIndex(column)).asPrimitiveType()
@@ -323,7 +355,7 @@ object Tables {
     * StructType equality — ignores nullability/metadata drift that
     * catalog round-trips introduce.
     */
-  private def dropIfSchemaDrifted(
+  private[graft] def dropIfSchemaDrifted(
       spark: SparkSession, table: String, want: StructType): Unit =
     if (spark.catalog.tableExists(table)) {
       val have = spark.table(table).schema

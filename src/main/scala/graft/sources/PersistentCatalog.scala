@@ -66,6 +66,16 @@ object PersistentCatalog {
     * process restart: any later session over the same metastore sees
     * the tables immediately — the "register fixtures once" contract.
     *
+    * NANOS-era caveat: when the events fixture is INT64
+    * TIMESTAMP(NANOS), scanning its external table requires the
+    * `spark.sql.legacy.parquet.nanosAsLong` RUNTIME conf, which
+    * [[graft.Tables.prepareTsRead]] sets on the session that runs
+    * [[bootstrap]]/[[registerExternal]] — but runtime confs do not
+    * propagate to `spark.newSession()` or a fresh restart. A derived or
+    * restarted session must re-run [[bootstrap]] (idempotent, metadata
+    * only) before querying the events table directly; µs/INT96 fixtures
+    * (the current generation) need nothing.
+    *
     * The fixtures are single FILES, so Hive-compatible table persistence
     * (which requires a directory location) falls back to Spark-native
     * metastore metadata with a logged warning — still persistent,
@@ -83,11 +93,7 @@ object PersistentCatalog {
       // fixture generation (e.g. events.ts BIGINT from the ns era) —
       // IF NOT EXISTS would silently keep it, so drop on schema drift
       val t = tableName(name)
-      if (spark.catalog.tableExists(t)) {
-        val have = spark.table(t).schema.fields.map(f => (f.name, f.dataType)).toSeq
-        val want = schema.fields.map(f => (f.name, f.dataType)).toSeq
-        if (have != want) spark.sql(s"DROP TABLE $t")
-      }
+      Tables.dropIfSchemaDrifted(spark, t, schema)
       spark.sql(
         s"""CREATE TABLE IF NOT EXISTS $t (${schema.toDDL})
            |USING PARQUET LOCATION '$dir/$name.parquet'""".stripMargin)

@@ -169,9 +169,11 @@ class TsEncodingSpec extends SparkSpec {
     val staging = s"$dir-staging"
     writeMicrosFixture(staging, ntz = true)
     Files.createDirectories(Paths.get(dir))
-    val part = Files.list(Paths.get(s"$staging/events.parquet"))
-      .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .findFirst().get()
+    val listing = Files.list(Paths.get(s"$staging/events.parquet"))
+    val part =
+      try listing.filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      finally listing.close()
     Files.copy(part, Paths.get(s"$dir/events.parquet"))
   }
 
@@ -190,6 +192,44 @@ class TsEncodingSpec extends SparkSpec {
       val got = streamed.map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
       assert(got == expectedLiterals, s"stream[$tag] mismatch")
     }
+  }
+
+  test("same-path fixture regeneration re-detects the encoding (no stale cache)") {
+    // the mtime+size-stamped cache key: swapping the file generation at
+    // the SAME path must not serve the old encoding (the r12 failure
+    // class, this time within one JVM)
+    val dir = s"$workDir/regen-${System.nanoTime()}"
+    writeMicrosFixture(dir, ntz = true)
+    assert(Tables.eventsTsEncoding(spark, s"$dir/events.parquet") ==
+      Tables.TsEncoding.Native(false))
+    assert(loadedLiterals(dir) == expectedLiterals)
+    // swap in the ns generation at the same path
+    val walk = Files.walk(Paths.get(s"$dir/events.parquet"))
+    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => { Files.deleteIfExists(p); () })
+    finally walk.close()
+    writeNanosFixture(dir)
+    assert(Tables.eventsTsEncoding(spark, s"$dir/events.parquet") ==
+      Tables.TsEncoding.NanosLong)
+    assert(loadedLiterals(dir) == expectedLiterals)
+  }
+
+  test("a stream defined on an empty landing dir works once data arrives") {
+    // define-before-data: detection must not throw on an empty dir; the
+    // fallback schema (current-generation µs) then reads the arriving
+    // file correctly
+    val dir = s"$workDir/empty-${System.nanoTime()}"
+    val cp = s"$workDir/empty-cp-${System.nanoTime()}"
+    Files.createDirectories(Paths.get(dir))
+    // readEvents must not throw here (the old behavior crashed at
+    // stream-definition time on an empty dir)
+    val stream = EventStreams.readEvents(spark, dir)
+      .select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("t"))
+    writeMicrosFile(dir)
+    val got = EventStreams.runAvailableNow(stream, "tsenc_sink_empty", "append", cp)
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+    assert(got == expectedLiterals)
   }
 
   test("real fixture dir decodes to the documented 2024-01 event range") {
