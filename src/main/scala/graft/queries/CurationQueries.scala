@@ -2337,12 +2337,17 @@ object CurationQueries {
   private val corpusEpochSchedule = Q(
     (s, dir) => {
       val BUDGET = 50000L
+      // localCheckpoint the O(sources)-row rollup so the weight total
+      // derives from it WITHOUT a second corpus pass (guaranteed even
+      // where AQE exchange reuse doesn't fire — the label-prop /
+      // containment pattern)
       val toks = TS(s, dir, "documents")
         .select(col("source"), expr("size(split(text, ' '))").cast("long").as("t"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"))
         .withColumn("w_fp",
           expr("cast(floor(sqrt(cast(n_tokens as double)) * 1048576) as bigint)"))
+        .localCheckpoint(true)
       val tot = toks.agg(sum(col("w_fp")).as("w_tot"))
       toks.crossJoin(broadcast(tot))
         .withColumn("target_toks", expr(s"($BUDGET * w_fp) div w_tot"))
