@@ -2373,9 +2373,101 @@ object CurationQueries {
            |    AS overrep
            |FROM w, t ORDER BY source""".stripMargin))
 
+  /** Quality-gate threshold sweep: docs and tokens retained at each
+    * classifier cutoff 0.1..0.9 — the retention curve a data lead reads
+    * before PICKING the quality threshold (the single [[qualityLogreg]]
+    * row only reports the 0.5 decision). One corpus pass buckets every
+    * document by its score decile; all nine cutoffs then derive from
+    * the <=11-row decile rollup, so sweeping more cutoffs costs nothing
+    * corpus-sized.
+    *
+    * Determinism: the score is [[qualityLogreg]]'s rounded 6-dp sigmoid
+    * (already hash-proven cross-engine); the decile index is one
+    * floor(x*10) on that rounded double; retention fractions are exact
+    * integer parts-per-million.
+    *
+    * Scale: one (decile)-keyed two-phase aggregate over the corpus; the
+    * rollup localCheckpoints at <=11 rows and the cutoff expansion is a
+    * 9x11 literal join — O(1) regardless of corpus size.
+    */
+  private val qualityThresholdSweep = Q(
+    (s, dir) => {
+      val stopArr = "array('the','a','of','and','to','in','is','it')"
+      val buckets = TS(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_toks", size(col("toks")).cast("double"))
+        .withColumn("mean_len",
+          (length(col("text")).cast("double") - (col("n_toks") - 1.0)) / col("n_toks"))
+        .withColumn("stop_ratio",
+          expr(s"size(filter(toks, t -> array_contains($stopArr, t)))").cast("double")
+            / col("n_toks"))
+        .withColumn("digit_ratio",
+          (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+            .cast("double") / length(col("text")).cast("double"))
+        .withColumn("z",
+          lit(-1.5) + lit(0.004) * col("n_toks") + lit(0.35) * col("mean_len")
+            + lit(4.0) * col("stop_ratio") - lit(6.0) * col("digit_ratio"))
+        .withColumn("keep_prob", round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6))
+        .withColumn("decile",
+          expr("cast(floor(keep_prob * 10) as bigint)"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_toks").cast("long")).as("n_toks"))
+        .localCheckpoint(true)
+      val totals = buckets.agg(sum(col("n_docs")).as("docs_total"),
+        sum(col("n_toks")).as("toks_total"))
+      val cutoffs = s.range(1, 10).select(col("id").as("cutoff_e1"))
+      cutoffs.join(buckets, col("decile") >= col("cutoff_e1"), "left")
+        .groupBy(col("cutoff_e1"))
+        .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_kept"),
+             coalesce(sum(col("n_toks")), lit(0L)).as("toks_kept"))
+        .crossJoin(broadcast(totals))
+        .withColumn("frac_docs_e6", expr("(n_kept * 1000000) div docs_total"))
+        .withColumn("frac_toks_e6", expr("(toks_kept * 1000000) div toks_total"))
+        .select(col("cutoff_e1"), col("n_kept"), col("toks_kept"),
+          col("frac_docs_e6"), col("frac_toks_e6"))
+        .orderBy(col("cutoff_e1"))
+    },
+    Some("""WITH f AS (
+           |  SELECT doc_id,
+           |    cast(len(string_split(text, ' ')) as double) AS n_toks,
+           |    (cast(len(text) as double) - (len(string_split(text, ' ')) - 1.0))
+           |      / len(string_split(text, ' ')) AS mean_len,
+           |    cast(len(list_filter(string_split(text, ' '),
+           |      t -> list_contains(['the','a','of','and','to','in','is','it'], t))) as double)
+           |      / len(string_split(text, ' ')) AS stop_ratio,
+           |    cast(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) as double)
+           |      / cast(len(text) as double) AS digit_ratio
+           |  FROM documents
+           |), p AS (
+           |  SELECT doc_id, n_toks,
+           |    round(1.0 / (1.0 + exp(-(-1.5 + 0.004 * n_toks + 0.35 * mean_len
+           |      + 4.0 * stop_ratio - 6.0 * digit_ratio))), 6) AS keep_prob
+           |  FROM f
+           |), b AS (
+           |  SELECT cast(floor(keep_prob * 10) as bigint) AS decile,
+           |    count(*) AS n_docs, cast(sum(n_toks) as bigint) AS n_toks
+           |  FROM p GROUP BY 1
+           |), t AS (
+           |  SELECT cast(sum(n_docs) as bigint) AS docs_total,
+           |    cast(sum(n_toks) as bigint) AS toks_total
+           |  FROM b
+           |), c AS (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS cutoff_e1)
+           |SELECT cast(c.cutoff_e1 as bigint) AS cutoff_e1,
+           |  cast(coalesce(sum(b.n_docs), 0) as bigint) AS n_kept,
+           |  cast(coalesce(sum(b.n_toks), 0) as bigint) AS toks_kept,
+           |  cast((coalesce(sum(b.n_docs), 0) * 1000000) // t.docs_total as bigint)
+           |    AS frac_docs_e6,
+           |  cast((coalesce(sum(b.n_toks), 0) * 1000000) // t.toks_total as bigint)
+           |    AS frac_toks_e6
+           |FROM c LEFT JOIN b ON b.decile >= c.cutoff_e1 CROSS JOIN t
+           |GROUP BY c.cutoff_e1, t.docs_total, t.toks_total
+           |ORDER BY cutoff_e1""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "ns_corpus_pack_greedy" -> corpusPackGreedy,
     "ns_corpus_epoch_schedule" -> corpusEpochSchedule,
+    "ns_quality_threshold_sweep" -> qualityThresholdSweep,
     "ns_sketch_cms" -> sketchCms,
     "ns_dedup_winnow" -> dedupWinnow,
     "ns_corpus_vocab_growth" -> corpusVocabGrowth,
