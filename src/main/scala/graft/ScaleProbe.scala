@@ -148,7 +148,10 @@ object ScaleProbe {
       // (docMult-times the rows per source partition — the fat-source
       // axis); the epoch schedule's corpus-sized work is the per-source
       // rollup, everything after is O(sources) — expected ~linear floors
-      "ns_corpus_pack_greedy", "ns_corpus_epoch_schedule")
+      "ns_corpus_pack_greedy", "ns_corpus_epoch_schedule",
+      // r13: the sweep's corpus-sized work is one decile-keyed agg (11
+      // groups); the cutoff expansion is a 9x11 literal join — flat
+      "ns_quality_threshold_sweep")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected
