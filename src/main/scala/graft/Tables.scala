@@ -143,8 +143,11 @@ object Tables {
     * files). Cached per canonical (path, column, resolved-file
     * mtime+size) — one footer read per path per JVM, but a same-path
     * fixture REGENERATION (new mtime/length) re-detects instead of
-    * serving the stale encoding, so a long-lived session cannot
-    * reproduce the r12 failure class against a swapped file.
+    * serving the stale encoding. Together with [[load]]'s
+    * catalog-vs-footer reconciliation (a registered table whose frozen
+    * ts DDL disagrees with the fresh detection is bypassed for the
+    * direct footer-aware read), a long-lived session cannot reproduce
+    * the r12 failure class against a swapped file on either read path.
     *
     * Directories are assumed encoding-homogeneous (the fixture layout:
     * one generation per directory) — detection reads ONE footer; a
@@ -184,13 +187,18 @@ object Tables {
     def resolve(p: Path): Option[Path] =
       if (!fs.getFileStatus(p).isDirectory) Some(p)
       else {
-        val kids = fs.listStatus(p).map(_.getPath)
-          .filter { f =>
-            val n = f.getName
-            !n.startsWith("_") && !n.startsWith(".")
+        val kids = fs.listStatus(p)
+          .filter { st =>
+            val n = st.getPath.getName
+            // Only parquet files and directories can lead to a footer; a
+            // stray non-parquet sibling (marker file, csv, log) must not
+            // be picked as the "footer" file — ParquetFileReader.open on
+            // it would fail the whole load with an opaque error.
+            !n.startsWith("_") && !n.startsWith(".") &&
+              (st.isDirectory || n.endsWith(".parquet"))
           }
-          .sortBy(_.getName)
-        kids.find(_.getName.endsWith(".parquet")).orElse(kids.headOption) match {
+          .sortBy(_.getPath.getName)
+        kids.find(st => !st.isDirectory).orElse(kids.headOption).map(_.getPath) match {
           case Some(next) => resolve(next)
           case None       => None
         }
@@ -264,9 +272,15 @@ object Tables {
   }
 
   /** Detect the encodings of the given timestamp columns at `path` and,
-    * if ANY is NANOS, set the legacy conf the scan requires
-    * (runtime-settable; set ONLY on this branch so a µs fixture never
-    * flips session-wide behavior for other ns-typed parquet reads).
+    * if ANY is NANOS, set the legacy conf the scan requires. The conf is
+    * runtime-settable but STICKY: the scan consults it lazily at
+    * execution time, so it cannot be safely set/restored around this
+    * call — once any ns fixture has been prepared, the session reads
+    * ALL ns-annotated parquet (fixture or ad-hoc) as raw INT64 for the
+    * rest of the JVM. That is the fixture contract here (ns columns are
+    * normalized via [[normalizeTs]]); callers doing ad-hoc
+    * `spark.read.parquet` of ns-annotated files after a fixture read
+    * will see LongType where a fresh session would error.
     */
   private[graft] def prepareTsRead(
       spark: SparkSession, path: String, cols: Seq[String]): Map[String, TsEncoding] = {
@@ -279,6 +293,15 @@ object Tables {
   /** [[prepareTsRead]] for the events stream/batch read path. */
   private[graft] def prepareEventsRead(spark: SparkSession, path: String): TsEncoding =
     prepareTsRead(spark, path, Seq("ts"))("ts")
+
+  /** Whether `path` currently holds at least one parquet data file —
+    * false for the define-before-data empty landing dir, where
+    * [[detectTsEncoding]] falls back to assuming the current fixture
+    * generation (µs NTZ). Stream definers use this to know the detected
+    * encoding is an ASSUMPTION, not an observation.
+    */
+  private[graft] def hasParquetData(spark: SparkSession, path: String): Boolean =
+    resolveParquetFile(spark, path).isDefined
 
   /** Normalize the named timestamp columns to plain TimestampType — the
     * single column type every downstream operator sees, regardless of
@@ -321,9 +344,19 @@ object Tables {
       else spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
     } else {
       prepareTsRead(spark, s"$dir/$name.parquet", cols)
+      val want = schemaFor(spark, dir, name)
+      // The catalog table's ts DDL was frozen at registerWithStats time;
+      // a mid-JVM fixture regeneration (ns↔µs) makes the fresh footer
+      // detection disagree with it. Serving the stale declared type would
+      // decode wrong-unit values, so fall back to the direct footer-aware
+      // read until registration is re-run.
+      val catalogFresh = useCatalog && {
+        val have = spark.table(tbl).schema
+        cols.forall(c => have(c).dataType == want(c).dataType)
+      }
       val df =
-        if (useCatalog) spark.table(tbl)
-        else spark.read.schema(schemaFor(spark, dir, name)).parquet(s"$dir/$name.parquet")
+        if (catalogFresh) spark.table(tbl)
+        else spark.read.schema(want).parquet(s"$dir/$name.parquet")
       normalizeTs(df, cols)
     }
   }

@@ -2446,7 +2446,7 @@ object CurationQueries {
            |  FROM f
            |), b AS (
            |  SELECT cast(floor(keep_prob * 10) as bigint) AS decile,
-           |    count(*) AS n_docs, cast(sum(n_toks) as bigint) AS n_toks
+           |    count(*) AS n_docs, sum(cast(n_toks as bigint)) AS n_toks
            |  FROM p GROUP BY 1
            |), t AS (
            |  SELECT cast(sum(n_docs) as bigint) AS docs_total,

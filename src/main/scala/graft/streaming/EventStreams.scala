@@ -30,11 +30,66 @@ object EventStreams {
     * footer of the first file present and normalized to TimestampType,
     * exactly like the batch path in [[graft.Tables.load]] — so stream
     * and batch stay replay-equivalent across fixture generations.
+    *
+    * DEFINE-BEFORE-DATA CAVEAT: over a still-EMPTY landing dir there is
+    * no footer to detect, so the stream ASSUMES the current fixture
+    * generation (µs NTZ) and bakes that into its schema. The assumption
+    * is recorded here; if a ns-generation file later lands, the scan
+    * fails (Spark cannot decode TIMESTAMP(NANOS) into the baked
+    * TimestampType schema) and [[runAvailableNow]] re-detects the
+    * footer to rethrow a targeted error naming the dir and the fix
+    * (redefine the stream) instead of the opaque decode failure.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val hadData = Tables.hasParquetData(spark, dir)
     val enc = Tables.prepareEventsRead(spark, dir)
+    if (hadData) {
+      // a redefinition over now-present data resolves any earlier
+      // assumption for this dir — drop it so later unrelated failures
+      // are not misattributed to encoding drift here
+      assumedEncodings.remove(canonDir(dir))
+    } else {
+      assumedEncodings.put(canonDir(dir), enc)
+      System.err.println(
+        s"[graft] readEvents($dir): landing dir is empty; assuming the " +
+          s"current fixture generation's ts encoding ($enc). If a " +
+          "ns-generation file lands here, redefine the stream.")
+    }
     Tables.normalizeTs(
       spark.readStream.schema(Tables.eventsSchema(enc)).parquet(dir))
+  }
+
+  /** Dirs whose ts encoding was ASSUMED (empty at stream definition),
+    * mapped to the assumed encoding — consulted by [[runAvailableNow]]
+    * when a query fails, to turn a decode error caused by a
+    * late-landing ns-generation file into an actionable one.
+    */
+  private val assumedEncodings =
+    new java.util.concurrent.ConcurrentHashMap[String, Tables.TsEncoding]()
+
+  private def canonDir(dir: String): String =
+    java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString
+
+  /** Re-detect the footer encoding of every assumed-encoding dir; if one
+    * now disagrees with what the stream definition baked in, raise the
+    * targeted error (cause = the original scan failure). Otherwise
+    * rethrow `cause` unchanged.
+    */
+  private def rethrowIfEncodingDrift(
+      spark: SparkSession, cause: Throwable): Nothing = {
+    assumedEncodings.forEach { (dir, assumed) =>
+      if (Tables.hasParquetData(spark, dir)) {
+        val now = Tables.eventsTsEncoding(spark, dir)
+        if (now != assumed)
+          throw new IllegalStateException(
+            s"events stream over $dir was defined while the dir was empty " +
+              s"and assumed ts encoding $assumed, but the first file to land " +
+              s"is $now-encoded. The stream's schema is frozen at definition " +
+              "— redefine the stream (re-call readEvents) now that data " +
+              "exists.", cause)
+      }
+    }
+    throw cause
   }
 
   /** Tumbling 10-minute window counts per event type, 30-minute
@@ -228,7 +283,11 @@ object EventStreams {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    try q.awaitTermination()
+    catch {
+      case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+        rethrowIfEncodingDrift(df.sparkSession, e)
+    }
     df.sparkSession.table(sinkName).collect()
   }
 

@@ -232,6 +232,36 @@ class TsEncodingSpec extends SparkSpec {
     assert(got == expectedLiterals)
   }
 
+  test("ns file landing in an initially-empty dir errors loudly, not silently") {
+    // define-before-data where the WRONG generation lands: the stream's
+    // schema was baked assuming µs NTZ; a ns-annotated file cannot be
+    // decoded into it. The failure must be the targeted redefine-the-
+    // stream error, not silent wrong-unit values or an opaque decode
+    // stack (VERDICT r13 item 6).
+    val dir = s"$workDir/empty-ns-${System.nanoTime()}"
+    val cp = s"$workDir/empty-ns-cp-${System.nanoTime()}"
+    Files.createDirectories(Paths.get(dir))
+    val stream = EventStreams.readEvents(spark, dir)
+      .select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("t"))
+    writeNanosFixture(dir)
+    val e = intercept[IllegalStateException] {
+      EventStreams.runAvailableNow(stream, "tsenc_sink_empty_ns", "append", cp)
+    }
+    assert(e.getMessage.contains("redefine the stream"), e.getMessage)
+    assert(e.getMessage.contains(java.nio.file.Paths.get(dir)
+      .toAbsolutePath.normalize.toString), e.getMessage)
+    // and redefining the stream now that data exists reads the literals
+    val cp2 = s"$workDir/empty-ns-cp2-${System.nanoTime()}"
+    val got = EventStreams.runAvailableNow(
+      EventStreams.readEvents(spark, dir)
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("t")),
+      "tsenc_sink_empty_ns2", "append", cp2)
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+    assert(got == expectedLiterals)
+  }
+
   test("real fixture dir decodes to the documented 2024-01 event range") {
     val df = Tables.load(spark, sfDir, "events")
     val r = df.agg(min("ts").as("lo"), max("ts").as("hi"), count(lit(1)).as("n"))
