@@ -1887,6 +1887,66 @@ object NorthStarQueries {
            |  sha256(text) AS content_id
            |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** Multimodal HEADER-METADATA extraction over real container bytes
+    * (the tier above [[multimodalBinary]]'s opaque round-trip): 25
+    * spec-valid media files — PNG (every 3rd nation key), JPEG, PCM WAV
+    * — are materialized driver-side (a bounded 25-row dimension pull,
+    * standing in for an object-store prefix), with dimensions/duration
+    * derived from nation attributes so the oracle can recompute them
+    * from the table alone. A 26th file of non-media bytes proves the
+    * invalid path. The scan is `binaryFile`; the parse is
+    * [[graft.operators.Multimodal.parseAll]] — real PNG-IHDR / JPEG-SOFn
+    * / RIFF-WAVE parsing in a partition-mapped narrow stage, the shape a
+    * corpus-wide metadata pass has at 100 TB (no shuffle; metadata rows
+    * are tiny regardless of payload size).
+    */
+  private val multimodalMeta = Q(
+    (s, dir) => {
+      val base = scratchDir("mediameta")
+      val p = java.nio.file.Paths.get(base)
+      T(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+        .collect() // 25 rows: bounded fixture dim, not a corpus pull
+        .foreach { r =>
+          val k = r.getInt(0)
+          val name = r.getString(1)
+          val (bytes, ext) = k % 3 match {
+            case 0 => (graft.operators.Multimodal.pngBytes(16 + 3 * k, 9 + name.length), "png")
+            case 1 => (graft.operators.Multimodal.jpegBytes(32 + 2 * k, 24 + name.length), "jpg")
+            case _ => (graft.operators.Multimodal.wavBytes(8000, (k + 1) * 400), "wav")
+          }
+          java.nio.file.Files.write(p.resolve(f"m_$k%02d.$ext"), bytes)
+        }
+      java.nio.file.Files.write(p.resolve("m_99.bin"),
+        "not a media container".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val scanned = s.read.format("binaryFile").load(base)
+        .select(regexp_extract(col("path"), "m_(\\d+)\\.", 1).cast("long").as("file_id"),
+                col("content"))
+      val out = graft.operators.Multimodal.parseAll(scanned).toDF()
+        .select(col("fileId").as("file_id"), col("format"),
+                col("width"), col("height"),
+                col("durationMs").as("duration_ms"), col("valid"))
+        .orderBy(col("file_id"))
+        .localCheckpoint(true)
+      scratchDelete(base)
+      out
+    },
+    Some("""WITH m AS (
+           |  SELECT cast(n_nationkey as bigint) AS k,
+           |    cast(length(n_name) as bigint) AS nl,
+           |    cast(n_nationkey % 3 as int) AS f
+           |  FROM nation
+           |)
+           |SELECT k AS file_id,
+           |  CASE f WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
+           |  cast(CASE f WHEN 0 THEN 16 + 3 * k WHEN 1 THEN 32 + 2 * k END as bigint) AS width,
+           |  cast(CASE f WHEN 0 THEN 9 + nl WHEN 1 THEN 24 + nl END as bigint) AS height,
+           |  cast(CASE f WHEN 2 THEN (k + 1) * 25 END as bigint) AS duration_ms,
+           |  true AS valid
+           |FROM m
+           |UNION ALL
+           |SELECT 99, 'unknown', NULL, NULL, NULL, false
+           |ORDER BY file_id""".stripMargin))
+
   /** End-to-end corpus curation (the operators composed the way a real
     * training-data pipeline chains them): exact-dedup to keepers ->
     * quality + stopword-ratio filters -> per-(lang, source) corpus stats
@@ -3988,6 +4048,7 @@ object NorthStarQueries {
     "ns_decontaminate_fuzzy" -> decontaminateFuzzy,
     "ns_text_fingerprint" -> textFingerprint,
     "ns_multimodal_binary" -> multimodalBinary,
+    "ns_multimodal_meta" -> multimodalMeta,
     "ns_embed_quantize" -> embedQuantize,
     "ns_pipeline_corpus" -> pipelineCorpus,
     "ns_sketch_kmv" -> sketchKmv,

@@ -97,6 +97,65 @@ class NorthStarSpec extends SparkSpec {
     assert(frames.groupBy(_.docId).values.forall(_.length <= 4))
   }
 
+  test("media header parsers agree with the JDK's own readers on spec-valid containers") {
+    // PNG: our writer emits a complete PNG (CRC-correct IHDR + deflated
+    // IDAT), so the JDK can FULLY decode it — parser and ImageIO must
+    // agree on the dimensions.
+    val png = Multimodal.pngBytes(123, 45)
+    assert(Multimodal.parseHeader(png) ==
+      (("png", Some(123L), Some(45L), None, true)))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == 123 && img.getHeight == 45)
+
+    // JPEG: header-only stream (SOI/APP0/SOF0/EOI); the JDK's JPEG
+    // ImageReader parses the same SOF0 for dimensions without pixels.
+    val jpg = Multimodal.jpegBytes(640, 480)
+    assert(Multimodal.parseHeader(jpg) ==
+      (("jpeg", Some(640L), Some(480L), None, true)))
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(jpg))
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    assert(readers.hasNext, "JDK found no reader for our JPEG stream")
+    val rd = readers.next()
+    rd.setInput(iis)
+    assert(rd.getWidth(0) == 640 && rd.getHeight(0) == 480)
+    rd.dispose()
+
+    // WAV: complete PCM file; AudioSystem must see the same format and
+    // frame count our duration derives from (4000 bytes / 2-byte frames
+    // at 8 kHz = 2000 frames = 250 ms).
+    val wav = Multimodal.wavBytes(8000, 4000)
+    assert(Multimodal.parseHeader(wav) ==
+      (("wav", None, None, Some(250L), true)))
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    assert(ais.getFormat.getSampleRate == 8000f)
+    assert(ais.getFrameLength == 2000L)
+
+    // non-media bytes and truncated containers are invalid, not wrong
+    assert(!Multimodal.parseHeader("not a media container".getBytes)._5)
+    assert(!Multimodal.parseHeader(png.take(16))._5)
+    assert(!Multimodal.parseHeader(jpg.take(6))._5)
+    assert(!Multimodal.parseHeader(wav.take(20))._5)
+  }
+
+  test("ns_multimodal_meta extracts header metadata partition-side over binaryFile") {
+    val rows = SparkEntry.queries("ns_multimodal_meta")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.isNullAt(2),
+        r.isNullAt(4), r.getBoolean(5))).sortBy(_._1)
+    assert(rows.length == 26)
+    val (valid, invalid) = rows.partition(_._5)
+    assert(invalid.map(t => (t._1, t._2)).toSeq == Seq((99L, "unknown")))
+    assert(valid.length == 25)
+    // images carry dims and no duration; audio the reverse
+    valid.foreach {
+      case (k, "png", wNull, dNull, _)  => assert(k % 3 == 0 && !wNull && dNull)
+      case (k, "jpeg", wNull, dNull, _) => assert(k % 3 == 1 && !wNull && dNull)
+      case (k, "wav", wNull, dNull, _)  => assert(k % 3 == 2 && wNull && !dNull)
+      case other                        => fail(s"unexpected row $other")
+    }
+  }
+
   test("stratified sampling hits the requested fractions within tolerance, deterministically") {
     val docs = Tables.load(spark, sfDir, "documents")
     val fractions = Map("en" -> 0.5, "es" -> 0.3, "de" -> 0.2)
