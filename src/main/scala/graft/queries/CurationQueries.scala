@@ -1181,6 +1181,101 @@ object CurationQueries {
            |FROM p GROUP BY source ORDER BY source""".stripMargin))
 
   // ---------------------------------------------------------------------
+  // Training-shard writer (the pipeline's output stage)
+  // ---------------------------------------------------------------------
+
+  /** Training-shard writer — the write a real 100 TB run END IN: every
+    * document gets a deterministic shard from its position in the
+    * [[corpusShuffle]] training order (shard k = the k-th contiguous
+    * range of the shuffled order, so one shard = one training-order
+    * slice), the doc-level assignment is WRITTEN as shard-partitioned
+    * parquet, and the per-shard manifest — doc/token counts, position
+    * span, a contiguity audit, an order-independent content
+    * fingerprint — is computed by READING THE SHARDS BACK, so the gate
+    * hashes what the files actually contain, not what the plan meant
+    * to write.
+    *
+    * Determinism: position reuses the corpusShuffle salted-md5 rank
+    * (block-decomposed, no single-reducer window); the shard index is
+    * `(pos-1) * S div N` (integer floor, N broadcast from a 1-row agg);
+    * the fingerprint sums each doc's first-8-hex-of-sha256 as exact
+    * bigints — order-independent, so it is stable under any read-back
+    * row order and any engine.
+    *
+    * Scale: one corpus shuffle for the rank, one partitioned write
+    * (shard-keyed, S output dirs), one read-back aggregate keyed by
+    * shard. The manifest is S rows; nothing corpus-sized ever reaches
+    * the driver. `contiguous` must be true for every shard — the audit
+    * that the rank decomposition and the shard math agree.
+    */
+  private val corpusShardManifest = Q(
+    (s, dir) => {
+      val S = 8
+      val base = scratchDir("shards")
+      val keyed = T(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"),
+          sha2(col("text"), 256).as("sha"),
+          md5(concat(lit("shuf:"), col("doc_id").cast("string"))).as("k"))
+        .withColumn("block",
+          expr("cast(conv(substring(k, 1, 2), 16, 10) as int)"))
+      val wLocal = Window.partitionBy(col("block")).orderBy(col("k"), col("doc_id"))
+      val wBlocks = Window.orderBy(col("block"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bases = keyed.groupBy(col("block")).agg(count(lit(1)).as("bcnt"))
+        .withColumn("base", sum(col("bcnt")).over(wBlocks) - col("bcnt"))
+        .select(col("block"), col("base"))
+      val total = keyed.agg(count(lit(1)).as("n_total"))
+      val assigned = keyed
+        .withColumn("lrank", row_number().over(wLocal))
+        .join(broadcast(bases), Seq("block"))
+        .withColumn("pos", col("base") + col("lrank"))
+        .crossJoin(broadcast(total))
+        .withColumn("shard_id", expr(s"(pos - 1) * $S div n_total"))
+        .select(col("doc_id"), col("source"), col("n_toks"), col("sha"),
+          col("pos"), col("shard_id"))
+      assigned.write.mode("overwrite").partitionBy("shard_id").parquet(base)
+      val out = s.read.parquet(base)
+        .groupBy(col("shard_id").cast("long").as("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          countDistinct(col("source")).as("n_sources"),
+          min(col("pos")).as("min_pos"),
+          max(col("pos")).as("max_pos"),
+          sum(expr("cast(conv(substring(sha, 1, 8), 16, 10) as bigint)"))
+            .as("content_fp"))
+        .withColumn("contiguous", col("max_pos") - col("min_pos") + 1 === col("n_docs"))
+        .orderBy(col("shard_id"))
+        .localCheckpoint(true)
+      scratchDelete(base)
+      out
+    },
+    Some("""WITH keyed AS (
+           |  SELECT doc_id, source,
+           |    cast(len(string_split(text, ' ')) as bigint) AS n_toks,
+           |    sha256(text) AS sha,
+           |    md5('shuf:' || cast(doc_id as varchar)) AS k
+           |  FROM documents
+           |), p AS (
+           |  SELECT doc_id, source, n_toks, sha,
+           |    row_number() OVER (ORDER BY k, doc_id) AS pos,
+           |    count(*) OVER () AS n_total
+           |  FROM keyed
+           |), a AS (
+           |  SELECT doc_id, source, n_toks, sha, pos,
+           |    (pos - 1) * 8 // n_total AS shard_id
+           |  FROM p
+           |)
+           |SELECT cast(shard_id as bigint) AS shard_id,
+           |  count(*) AS n_docs,
+           |  cast(sum(n_toks) as bigint) AS n_tokens,
+           |  cast(count(DISTINCT source) as bigint) AS n_sources,
+           |  min(pos) AS min_pos, max(pos) AS max_pos,
+           |  cast(sum(cast('0x' || substr(sha, 1, 8) as bigint)) as bigint) AS content_fp,
+           |  (max(pos) - min(pos) + 1 = count(*)) AS contiguous
+           |FROM a GROUP BY shard_id ORDER BY shard_id""".stripMargin))
+
+  // ---------------------------------------------------------------------
   // Perplexity-bucket partitioning (the CCNet output layout)
   // ---------------------------------------------------------------------
 
@@ -2483,6 +2578,7 @@ object CurationQueries {
     "ns_multimodal_frames" -> multimodalFrames,
     "ns_corpus_ppl_buckets" -> corpusPplBuckets,
     "ns_corpus_shuffle" -> corpusShuffle,
+    "ns_corpus_shard_manifest" -> corpusShardManifest,
     "ns_sim_range_search" -> simRangeSearch,
     "ns_text_entropy" -> textEntropy,
     "ns_corpus_split" -> corpusSplit,

@@ -516,6 +516,57 @@ class CurationSpec extends SparkSpec {
       s"prefix containment should dominate: ${p.head}")
   }
 
+  test("shard writer: partitioned layout on disk, contiguous slices, full coverage") {
+    // Re-run the shard assignment standalone (same expressions as the
+    // gated query) and WRITE it, then assert the physical layout a
+    // training job consumes: one shard_id=K directory per shard, every
+    // doc in exactly one shard, shard = its training-order slice.
+    val S = 8
+    val base = graft.queries.Q.scratchDir("shardspec")
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        md5(concat(lit("shuf:"), col("doc_id").cast("string"))).as("k"))
+    val n = docs.count()
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("k"), col("doc_id"))
+    // oracle-shaped single-window rank is fine at spec scale
+    val assigned = docs.withColumn("pos", row_number().over(w))
+      .withColumn("shard_id", expr(s"(pos - 1) * $S div $n"))
+    assigned.write.mode("overwrite").partitionBy("shard_id").parquet(base)
+    val dirs = new java.io.File(base).listFiles()
+      .filter(_.getName.startsWith("shard_id=")).map(_.getName).sorted
+    assert(dirs.toSeq == (0 until S).map(i => s"shard_id=$i"),
+      s"expected $S partition dirs, got ${dirs.mkString(",")}")
+    val back = spark.read.parquet(base)
+    assert(back.count() == n, "read-back must cover every doc exactly once")
+    // each shard's positions form a contiguous range and ranges tile [1, n]
+    val spans = back.groupBy("shard_id")
+      .agg(min("pos").as("lo"), max("pos").as("hi"), count(lit(1)).as("c"))
+      .orderBy("shard_id").collect()
+      .map(r => (r.getAs[Number]("shard_id").longValue(),
+        r.getAs[Int]("lo").toLong, r.getAs[Int]("hi").toLong, r.getAs[Long]("c")))
+    spans.foreach { case (sid, lo, hi, c) =>
+      assert(hi - lo + 1 == c, s"shard $sid not contiguous: [$lo,$hi] count $c") }
+    assert(spans.head._2 == 1L && spans.last._3 == n)
+    spans.sliding(2).foreach {
+      case Array((_, _, hi1, _), (_, lo2, _, _)) =>
+        assert(lo2 == hi1 + 1, "shard ranges must tile the order with no gap")
+      case _ =>
+    }
+    // and the gated manifest agrees with this ground truth
+    val manifest = run("ns_corpus_shard_manifest").collect()
+    assert(manifest.length == S)
+    manifest.foreach(r => assert(r.getAs[Boolean]("contiguous"), s"manifest: $r"))
+    val bySid = spans.map(s => s._1 -> s).toMap
+    manifest.foreach { r =>
+      val sid = r.getAs[Long]("shard_id")
+      assert(r.getAs[Long]("n_docs") == bySid(sid)._4, s"doc count diverges: $r")
+      assert(r.getAs[Long]("min_pos") == bySid(sid)._2 &&
+        r.getAs[Long]("max_pos") == bySid(sid)._3, s"span diverges: $r")
+    }
+    graft.queries.Q.scratchDelete(base)
+  }
+
   test("matryoshka: 16 queries, recall bounded, truncation loses something") {
     val rows = run("ns_sim_matryoshka").collect()
     assert(rows.length == 16, "one row per fixed query")
