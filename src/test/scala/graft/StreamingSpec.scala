@@ -331,6 +331,83 @@ class StreamingSpec extends SparkSpec {
     assert(got.sameElements(batch))
   }
 
+  test("late file past the watermark is dropped and counted by the listener") {
+    // The r12 lesson: replay==batch specs can't see load-level bugs.
+    // This one CRAFTS the load-level case — a file landing out of order
+    // whose events are behind the watermark — and asserts the drop
+    // happens (result excludes them) and is observable (the listener's
+    // numRowsDroppedByWatermark).
+    import spark.implicits._
+    val in = s"$workDir/late-in-${System.nanoTime()}"
+    val cp = s"$workDir/late-cp-${System.nanoTime()}"
+    Files.createDirectories(Paths.get(in))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val now = System.currentTimeMillis()
+    def land(name: String, idx: Int,
+             rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]): Unit = {
+      val part = s"$in-part-$name"
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(part)
+      val f = new java.io.File(part).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = Paths.get(s"$in/$name.parquet")
+      Files.move(f.toPath, dest)
+      // ascending mod times: the file source processes b1 before b2
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(now + idx * 1000L))
+    }
+    // batch 1 (on time): max event time 13:00 -> watermark 12:30 after it
+    land("b1", 0, Seq(
+      (1L, ts("2024-01-01 12:00:00"), 1L, "click", 1.0, "{}"),
+      (2L, ts("2024-01-01 12:15:00"), 1L, "click", 1.0, "{}"),
+      (3L, ts("2024-01-01 13:00:00"), 1L, "click", 1.0, "{}")))
+    // batch 2 (on time): advances the watermark to 12:40
+    land("b2", 1, Seq(
+      (5L, ts("2024-01-01 13:10:00"), 2L, "click", 1.0, "{}")))
+    // batch 3 (out of order): event 4 is 100 min behind the watermark.
+    // Late-record filtering uses the PREVIOUS batch's watermark
+    // (SPARK-40925 two-watermark semantics), which by batch 3 is 12:30
+    // — so this row, and only this row, must be dropped and counted.
+    land("b3", 2, Seq(
+      (4L, ts("2024-01-01 11:00:00"), 2L, "click", 1.0, "{}")))
+    val events = Tables.normalizeTs(
+      spark.readStream.schema(Tables.eventsSchema(Tables.prepareEventsRead(spark, in)))
+        .option("maxFilesPerTrigger", "1").parquet(in))
+    val dropped = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.name == "late_drop_sink")
+          dropped.addAndGet(e.progress.stateOperators.map(_.numRowsDroppedByWatermark).sum)
+    }
+    spark.streams.addListener(listener)
+    try {
+      val got = EventStreams.runAvailableNow(
+        EventStreams.tumblingCounts(events), "late_drop_sink", "append", cp)
+        .map(r => (r.getTimestamp(0).toString, r.getLong(2))).sortBy(_._1)
+      // append mode emits only watermark-finalized windows: 12:00 and
+      // 12:10 (final watermark 12:40). The late 11:00 event's window
+      // must NOT appear — the drop semantics, observed in the output.
+      assert(got.toSeq == Seq(
+        ("2024-01-01 12:00:00.0", 1L), ("2024-01-01 12:10:00.0", 1L)),
+        s"got=${got.toSeq}")
+      assert(!got.exists(_._1.startsWith("2024-01-01 11")), "late window leaked")
+      // the batch twin WOULD count event 4 — proving the spec can tell
+      // stream late-drop apart from batch semantics
+      val batch = spark.read.schema(events.schema).parquet(in)
+        .groupBy(window(col("ts"), "10 minutes")).count()
+        .where(col("window.start") === ts("2024-01-01 11:00:00")).count()
+      assert(batch == 1L, "batch twin must see the late event")
+      // ...and the drop is COUNTED: listener progress is async, poll
+      var waited = 0
+      while (dropped.get() < 1L && waited < 100) { Thread.sleep(100); waited += 1 }
+      assert(dropped.get() == 1L,
+        s"expected exactly the one late row dropped, got ${dropped.get()}")
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("session window stream replays to the batch session answer") {
     val (in, cp) = freshDirs()
     val stream = EventStreams.sessionCounts(EventStreams.readEvents(spark, in))
