@@ -322,11 +322,84 @@ object Tables {
       }
     }
 
+  /** Identity key per fixture table — the one column a file cannot be
+    * missing: a regeneration that drops it is a different dataset, not
+    * an evolved schema, and must fail loudly rather than null-fill.
+    */
+  private val keyColumns: Map[String, String] = Map(
+    "region" -> "r_regionkey", "nation" -> "n_nationkey",
+    "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+    "part" -> "p_partkey", "orders" -> "o_orderkey",
+    "lineitem" -> "l_orderkey", "events" -> "event_id",
+    "documents" -> "doc_id", "embeddings" -> "vec_id")
+
+  /** Nullability-insensitive type shape (nested too) — catalog and
+    * footer round-trips disagree on containsNull/valueContainsNull
+    * flags that carry no semantic weight for reconciliation.
+    */
+  private def typeShape(dt: DataType): DataType = dt match {
+    case ArrayType(e, _)      => ArrayType(typeShape(e), containsNull = true)
+    case MapType(k, v, _)     => MapType(typeShape(k), typeShape(v), valueContainsNull = true)
+    case StructType(fs)       => StructType(fs.map(f =>
+      StructField(f.name, typeShape(f.dataType), nullable = true)))
+    case other                => other
+  }
+
+  private val reconcileCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Footer-vs-declared reconciliation (the generalization of the r12
+    * ts lesson: a fixture regeneration must never silently decode wrong
+    * or fail with an opaque scan error). Policy per declared column:
+    * present with the same type shape → fine; present with a DIFFERENT
+    * type → loud error naming table, column, both types (timestamp
+    * columns excepted — their physical drift is handled by
+    * [[TsEncoding]] detection); absent and non-key → allowed, the scan
+    * null-fills it (asserted in SchemaEvolutionSpec); absent KEY column
+    * ([[keyColumns]]) → loud error. Extra file columns are ignored by
+    * the explicit ReadSchema. Cached per (path, file mtime+size) like
+    * the encoding detection, so it costs one footer read per
+    * generation per JVM.
+    */
+  private[graft] def reconcileOrFail(
+      spark: SparkSession, dir: String, name: String): Unit = {
+    val path = s"$dir/$name.parquet"
+    val file = resolveParquetFile(spark, path)
+    if (file.isEmpty) return // empty landing dir — nothing to check yet
+    val st = file.get.getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileStatus(file.get)
+    val key = canon(path) + "#" + st.getModificationTime + ":" + st.getLen
+    reconcileCache.computeIfAbsent(key, { _ =>
+      val footer = spark.read.parquet(file.get.toString).schema
+      val have = footer.fields.map(f => f.name -> typeShape(f.dataType)).toMap
+      val tsCols = tsColumnsOf(name).toSet
+      schemas(name).fields.foreach { f =>
+        have.get(f.name) match {
+          case Some(dt) if !tsCols.contains(f.name) && dt != typeShape(f.dataType) =>
+            throw new IllegalStateException(
+              s"fixture '$name' at $path: column '${f.name}' is declared " +
+                s"${f.dataType.simpleString} but the file stores ${dt.simpleString} " +
+                "— type drift; regenerate the fixture or update Tables.schemas")
+          case None if keyColumns.get(name).contains(f.name) =>
+            throw new IllegalStateException(
+              s"fixture '$name' at $path: key column '${f.name}' is missing " +
+                "from the file — this is a different dataset, not an evolved " +
+                "schema; refusing to null-fill it")
+          case _ => () // same type, or absent non-key (null-filled), or ts
+        }
+      }
+      java.lang.Boolean.TRUE
+    })
+  }
+
   /** Read one fixture table. The explicit schema means the scan carries a
     * fixed ReadSchema regardless of footer contents. For `events`, the
     * schema and the `ts` normalization follow the footer's logical type
     * (see [[TsEncoding]]) so downstream operators always see a plain
-    * TimestampType column with the literal event times.
+    * TimestampType column with the literal event times. Every load
+    * first passes [[reconcileOrFail]] — footer drift surfaces as a
+    * targeted error (or sanctioned null-fill), never an opaque scan
+    * failure or silent mis-decode.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // Prefer the stats-bearing catalog table when registerWithStats ran
@@ -340,10 +413,14 @@ object Tables {
       statsRegisteredDirs.contains(canon(dir)) && spark.catalog.tableExists(tbl)
     val cols = tsColumns.getOrElse(name, Nil)
     if (cols.isEmpty) {
+      reconcileOrFail(spark, dir, name)
       if (useCatalog) spark.table(tbl)
       else spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
     } else {
+      // ts detection first: reconcile's footer read needs the NANOS
+      // legacy conf in place for ns-generation files
       prepareTsRead(spark, s"$dir/$name.parquet", cols)
+      reconcileOrFail(spark, dir, name)
       val want = schemaFor(spark, dir, name)
       // The catalog table's ts DDL was frozen at registerWithStats time;
       // a mid-JVM fixture regeneration (ns↔µs) makes the fresh footer
