@@ -303,6 +303,18 @@ object Tables {
   private[graft] def hasParquetData(spark: SparkSession, path: String): Boolean =
     resolveParquetFile(spark, path).isDefined
 
+  /** Canonical path + mtime:size generation stamp of the parquet data at
+    * `path` — the cache-key convention every footer-derived artifact
+    * uses (encoding detection, schema reconciliation, query-side index
+    * caches), so a fixture regeneration invalidates them all the same
+    * way.
+    */
+  private[graft] def fileStamp(spark: SparkSession, path: String): String =
+    canon(path) + "#" + resolveParquetFile(spark, path).map { f =>
+      val st = f.getFileSystem(spark.sessionState.newHadoopConf()).getFileStatus(f)
+      s"${st.getModificationTime}:${st.getLen}"
+    }.getOrElse("absent")
+
   /** Normalize the named timestamp columns to plain TimestampType — the
     * single column type every downstream operator sees, regardless of
     * how the file stored them. Keyed on the OBSERVED column type (not

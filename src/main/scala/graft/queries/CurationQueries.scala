@@ -884,7 +884,7 @@ object CurationQueries {
   private val simIvfPq = Q(
     (s, dir) => {
       graft.expressions.SquaredL2.registerIn(s)
-      val v = NorthStarQueries.kmeansQuantized(s, dir).localCheckpoint(true)
+      val v = NorthStarQueries.kmeansQuantizedIndex(s, dir)
       val cents: Seq[(Int, Seq[Long])] = v
         .where(col("vec_id").between(100, 115)).collect()
         .map(r => ((r.getLong(0) - 100).toInt, r.getSeq[Long](1)))
