@@ -137,9 +137,17 @@ object Bench {
     // (scored as "value", comparable across every round) and the
     // north-star LLM-pipeline set (scored as "ns_total", frozen in
     // BASELINE.md's north-star section from r10 on).
+    // SPARK_GRAFT_BENCH_EXTRA=name1,name2 (exact catalog names) times
+    // additional queries in the ns channel under the identical protocol
+    // — used for scale-tier anchor runs (BENCH_r*_ns_10x). Unset in the
+    // driver's per-round invocation, so the frozen score groups (and
+    // value/ns_total comparability) are untouched there.
+    val extras = sys.env.get("SPARK_GRAFT_BENCH_EXTRA")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+      .flatMap(n => SparkEntry.queryFn(n).map(f => (n, f, false)))
     val bench = (SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (n, f) => (n, f, true) } ++
         SparkEntry.benchNsQueries.toSeq.sortBy(_._1).map { case (n, f) => (n, f, false) })
-      .filter { case (name, _, _) => only.forall(_.exists(name.contains)) }
+      .filter { case (name, _, _) => only.forall(_.exists(name.contains)) } ++ extras
     // Warm-up: one untimed pass at the smallest SF (JIT/codegen/classload)
     // and then one at the TARGET SF (file listing, page cache, AQE stats,
     // full-width codegen) so no timed run is the first to touch anything.

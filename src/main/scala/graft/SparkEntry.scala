@@ -82,4 +82,12 @@ object SparkEntry {
 
   def benchNsQueries: Map[String, (SparkSession, String) => DataFrame] =
     benchNorthStar.map(n => n -> catalog(n).fn).toMap
+
+  /** Direct (un-dispatched) fn of any catalog query — the hook
+    * `graft.Bench` uses to time ad-hoc extras (scale-tier anchors)
+    * under the standard protocol without touching the frozen score
+    * groups.
+    */
+  def queryFn(name: String): Option[(SparkSession, String) => DataFrame] =
+    catalog.get(name).map(_.fn)
 }
