@@ -360,6 +360,10 @@ object Tables {
   private val reconcileCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
+  /** Cached catalog-vs-footer ts-type freshness verdicts (see [[load]]). */
+  private val catalogFreshCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   /** Footer-vs-declared reconciliation (the generalization of the r12
     * ts lesson: a fixture regeneration must never silently decode wrong
     * or fail with an opaque scan error). Policy per declared column:
@@ -438,11 +442,15 @@ object Tables {
       // a mid-JVM fixture regeneration (ns↔µs) makes the fresh footer
       // detection disagree with it. Serving the stale declared type would
       // decode wrong-unit values, so fall back to the direct footer-aware
-      // read until registration is re-run.
-      val catalogFresh = useCatalog && {
-        val have = spark.table(tbl).schema
-        cols.forall(c => have(c).dataType == want(c).dataType)
-      }
+      // read until registration is re-run. The verdict is cached per
+      // (table, file generation stamp) — the schema analysis runs once
+      // per generation, not once per load() on the hot path.
+      val catalogFresh = useCatalog && catalogFreshCache.computeIfAbsent(
+        tbl + "#" + fileStamp(spark, s"$dir/$name.parquet"), { _ =>
+          val have = spark.table(tbl).schema
+          java.lang.Boolean.valueOf(
+            cols.forall(c => have(c).dataType == want(c).dataType))
+        })
       val df =
         if (catalogFresh) spark.table(tbl)
         else spark.read.schema(want).parquet(s"$dir/$name.parquet")
@@ -529,6 +537,9 @@ object Tables {
           s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS ${atomic.mkString(", ")}")
     }
     statsRegisteredDirs.add(abs)
+    // re-registration may have refreshed a previously-drifted DDL: stale
+    // freshness verdicts must not keep load() on the fallback path
+    catalogFreshCache.clear()
   }
 
   /** Like [[load]], but spreads the rows across the session's default

@@ -1276,6 +1276,117 @@ object CurationQueries {
            |FROM a GROUP BY shard_id ORDER BY shard_id""".stripMargin))
 
   // ---------------------------------------------------------------------
+  // N-gram novelty (per-document diversity contribution)
+  // ---------------------------------------------------------------------
+
+  /** Per-document n-gram NOVELTY: the fraction of a document's distinct
+    * word-3-grams whose global first occurrence (min doc_id over the
+    * corpus) is this document — the "what does this doc add that the
+    * corpus didn't already have" signal diversity-aware selection ranks
+    * by (the complement of the containment/near-dup signals: those find
+    * redundancy, this finds contribution).
+    *
+    * Determinism: first occurrence is an exact min over doc_ids;
+    * novelty is integer parts-per-million of exact counts.
+    *
+    * Scale: one corpus shingle pass -> (doc, gram) distinct (gram-keyed
+    * shuffle with map-side partials), one gram-keyed min aggregate, one
+    * gram-keyed join back, one doc-keyed rollup — every stage keyed and
+    * partial-aggregable, nothing driver-side, same plan family as
+    * `ns_corpus_vocab_growth`'s first-occurrence decomposition.
+    */
+  private val textNovelty = Q(
+    (s, dir) => {
+      val grams = TS(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(expr(NorthStarQueries.shinglesExpr)).as("g"))
+        .distinct()
+      val first = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+      grams.join(first, Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty_ppm", expr("n_novel * 1000000 div n_grams"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH raw AS (
+            |  SELECT doc_id, unnest(${NorthStarQueries.shinglesSql}) AS g
+            |  FROM documents
+            |), g AS (
+            |  SELECT DISTINCT doc_id, g FROM raw
+            |), f AS (
+            |  SELECT g, min(doc_id) AS first_doc FROM g GROUP BY g
+            |)
+            |SELECT g.doc_id, count(*) AS n_grams,
+            |  cast(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) as bigint)
+            |    AS n_novel,
+            |  cast((cast(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) as bigint)
+            |    * 1000000) // count(*) as bigint) AS novelty_ppm
+            |FROM g JOIN f ON f.g = g.g
+            |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Context-length planning profile (truncation / padding accounting)
+  // ---------------------------------------------------------------------
+
+  /** Context-length planning profile: for each candidate context size,
+    * the exact truncation loss (docs clipped to one window) and padding
+    * waste (one doc per sequence, long docs split) the corpus would
+    * incur — the numbers a pipeline reads BEFORE committing to a
+    * context size and packing strategy (the planning complement of
+    * `ns_text_pack` / `ns_corpus_pack_greedy`, which execute one
+    * chosen layout).
+    *
+    * Scale: ONE corpus pass; the 4-way context expansion explodes
+    * map-side and is absorbed by the 4-group partial aggregate, so the
+    * shuffle carries 4 rows per partition regardless of corpus size.
+    * All counters are exact integers (ppm floor-division), so the
+    * cross-engine hash is stable at any corpus size.
+    */
+  private val corpusCtxProfile = Q(
+    (s, dir) => {
+      TS(s, dir, "documents")
+        .select(expr("cast(size(filter(split(text, ' '), t -> length(t) > 0)) as bigint)")
+          .as("n_toks"))
+        .select(col("n_toks"),
+          explode(expr("array(cast(128 as bigint), cast(256 as bigint), " +
+            "cast(512 as bigint), cast(1024 as bigint))")).as("ctx"))
+        .groupBy(col("ctx"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("total_tokens"),
+          sum(when(col("n_toks") > col("ctx"), 1L).otherwise(0L)).as("trunc_docs"),
+          sum(greatest(col("n_toks") - col("ctx"), lit(0L))).as("trunc_lost"),
+          sum(expr("(n_toks + ctx - 1) div ctx")).as("pad_sequences"),
+          sum(expr("((n_toks + ctx - 1) div ctx) * ctx - n_toks")).as("pad_waste"))
+        .withColumn("trunc_lost_ppm", expr("trunc_lost * 1000000 div total_tokens"))
+        .withColumn("pad_waste_ppm",
+          expr("pad_waste * 1000000 div (pad_sequences * ctx)"))
+        .select(col("ctx"), col("n_docs"), col("trunc_docs"), col("trunc_lost"),
+          col("trunc_lost_ppm"), col("pad_sequences"), col("pad_waste"),
+          col("pad_waste_ppm"))
+        .orderBy(col("ctx"))
+    },
+    Some("""WITH d AS (
+           |  SELECT cast(len(list_filter(string_split(text, ' '),
+           |    t -> len(t) > 0)) as bigint) AS n_toks
+           |  FROM documents
+           |), x AS (
+           |  SELECT n_toks, cast(c.ctx as bigint) AS ctx
+           |  FROM d CROSS JOIN (SELECT unnest([128, 256, 512, 1024]) AS ctx) c
+           |)
+           |SELECT ctx, count(*) AS n_docs,
+           |  cast(sum(CASE WHEN n_toks > ctx THEN 1 ELSE 0 END) as bigint) AS trunc_docs,
+           |  cast(sum(greatest(n_toks - ctx, 0)) as bigint) AS trunc_lost,
+           |  cast((cast(sum(greatest(n_toks - ctx, 0)) as bigint) * 1000000)
+           |    // cast(sum(n_toks) as bigint) as bigint) AS trunc_lost_ppm,
+           |  cast(sum((n_toks + ctx - 1) // ctx) as bigint) AS pad_sequences,
+           |  cast(sum(((n_toks + ctx - 1) // ctx) * ctx - n_toks) as bigint) AS pad_waste,
+           |  cast((cast(sum(((n_toks + ctx - 1) // ctx) * ctx - n_toks) as bigint) * 1000000)
+           |    // (cast(sum((n_toks + ctx - 1) // ctx) as bigint) * ctx) as bigint)
+           |    AS pad_waste_ppm
+           |FROM x GROUP BY ctx ORDER BY ctx""".stripMargin))
+
+  // ---------------------------------------------------------------------
   // Perplexity-bucket partitioning (the CCNet output layout)
   // ---------------------------------------------------------------------
 
@@ -2579,6 +2690,8 @@ object CurationQueries {
     "ns_corpus_ppl_buckets" -> corpusPplBuckets,
     "ns_corpus_shuffle" -> corpusShuffle,
     "ns_corpus_shard_manifest" -> corpusShardManifest,
+    "ns_text_novelty" -> textNovelty,
+    "ns_corpus_ctx_profile" -> corpusCtxProfile,
     "ns_sim_range_search" -> simRangeSearch,
     "ns_text_entropy" -> textEntropy,
     "ns_corpus_split" -> corpusSplit,

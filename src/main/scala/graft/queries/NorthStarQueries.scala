@@ -42,12 +42,12 @@ object NorthStarQueries {
   /** Word-3-gram shingles of `text` (space-tokenized), clamped to at
     * least one shingle for short docs. Spark-side expression.
     */
-  private val shinglesExpr =
+  private[queries] val shinglesExpr =
     "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), " +
       "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
 
   /** Same shingling in DuckDB (list_transform over generate_series). */
-  private val shinglesSql =
+  private[queries] val shinglesSql =
     "list_transform(generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)), " +
       "i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))"
 
