@@ -151,7 +151,14 @@ object ScaleProbe {
       "ns_corpus_pack_greedy", "ns_corpus_epoch_schedule",
       // r13: the sweep's corpus-sized work is one decile-keyed agg (11
       // groups); the cutoff expansion is a 9x11 literal join — flat
-      "ns_quality_threshold_sweep")
+      "ns_quality_threshold_sweep",
+      // r14: the shard writer's corpus work is the block-decomposed rank
+      // + the S-way partitioned write + the read-back S-group agg —
+      // expected ~linear in corpus volume with flat manifest cost; the
+      // novelty probe stresses the (doc, gram) distinct and gram-keyed
+      // first-occurrence agg (replication multiplies every gram's df);
+      // ctx profile is the single-pass 4-group agg floor case
+      "ns_corpus_shard_manifest", "ns_text_novelty", "ns_corpus_ctx_profile")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected
