@@ -983,6 +983,78 @@ object CurationQueries {
             |SELECT q_id, rnk, c_id, adc_d FROM r WHERE rnk <= 3
             |ORDER BY q_id, rnk""".stripMargin))
 
+  /** IVF-PQ over a PERSISTED index — the production build/serve split
+    * [[simIvfPq]] computes in one plan. BUILD: cell assignment + PQ
+    * codes are written as parquet PARTITIONED BY CELL (the layout an
+    * ANN serving tier stores). SERVE: the probed cells (queries x
+    * nprobe, a bounded driver-side set — 2-16 values) become a static
+    * partition filter on the read-back, so the scan READS ONLY the
+    * probed cells' files — cell pruning realized as parquet partition
+    * pruning, which at 100 TB means the search I/O is nprobe/C of the
+    * index regardless of corpus size (PlanFeaturesSpec asserts the
+    * PartitionFilters reach the scan). Same output contract and oracle
+    * as [[simIvfPq]]: persisting the index must not change a single
+    * result bit.
+    */
+  private val simIvfPqPersisted = Q(
+    (s, dir) => {
+      graft.expressions.SquaredL2.registerIn(s)
+      val v = NorthStarQueries.kmeansQuantizedIndex(s, dir)
+      val cents: Seq[(Int, Seq[Long])] = v
+        .where(col("vec_id").between(100, 115)).collect()
+        .map(r => ((r.getLong(0) - 100).toInt, r.getSeq[Long](1)))
+        .sortBy(_._1).toSeq
+      val cellStructs = cents.map { case (j, c) =>
+        s"struct(sq_l2(xq, cast(array(${c.mkString(",")}) as array<bigint>)) AS d, " +
+          s"cast($j as bigint) AS j)"
+      }
+      val cellSorted = s"array_sort(array(${cellStructs.mkString(", ")}))"
+      val vc = v.withColumn("cell", expr(s"element_at($cellSorted, 1).j"))
+      val cb = NorthStarQueries.pqCodebook(v)
+      val encExprs = NorthStarQueries.pqEncodeExprs(cb)
+      // BUILD: the stored index — (c_id, m, code) rows partitioned by cell
+      val base = scratchDir("ivfidx")
+      vc.select(col("vec_id").as("c_id"), col("cell"),
+          explode(expr(s"array(${encExprs.mkString(", ")})")).as("e"))
+        .select(col("c_id"), col("cell"), col("e.em").as("em"), col("e.code").as("code"))
+        .write.mode("overwrite").partitionBy("cell").parquet(base)
+      // SERVE: probed cells collected (bounded <= IVF_CELLS values) and
+      // applied as a STATIC partition filter — only those cells' files
+      // are read
+      val probes = v.where(col("vec_id") < PQ_CODES)
+        .select(col("vec_id").as("q_id"),
+          explode(expr(s"transform(slice($cellSorted, 1, 2), t -> t.j)")).as("pcell"))
+        .localCheckpoint(true)
+      val probedCells = probes.select(col("pcell")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      val served = s.read.parquet(base)
+        .where(col("cell").isin(probedCells: _*))
+      val dtabStructs = (0 until PQ_M).flatMap { m =>
+        cb(m).map { case (j, c) =>
+          s"struct(cast($m as bigint) AS m, cast($j as bigint) AS j, " +
+            s"sq_l2(xq, cast(array(${c.mkString(",")}) as array<bigint>), ${m * 8}) AS d)"
+        }
+      }
+      val dtab = v.where(col("vec_id") < PQ_CODES)
+        .select(col("vec_id").as("tq_id"),
+          explode(expr(s"array(${dtabStructs.mkString(", ")})")).as("t"))
+        .select(col("tq_id"), col("t.m").as("m"), col("t.j").as("j"), col("t.d").as("d"))
+      val wTop = Window.partitionBy(col("q_id")).orderBy(col("adc_d"), col("c_id"))
+      val out = served.join(broadcast(probes),
+          col("cell") === col("pcell") && col("q_id") =!= col("c_id"))
+        .join(broadcast(dtab),
+          col("tq_id") === col("q_id") && col("m") === col("em") && col("j") === col("code"))
+        .groupBy(col("q_id"), col("c_id")).agg(sum(col("d")).as("adc_d"))
+        .withColumn("rnk", row_number().over(wTop))
+        .where(col("rnk") <= 3)
+        .select(col("q_id"), col("rnk"), col("c_id"), col("adc_d"))
+        .orderBy(col("q_id"), col("rnk"))
+        .localCheckpoint(true)
+      scratchDelete(base)
+      out
+    },
+    simIvfPq.oracle)
+
   // ---------------------------------------------------------------------
   // PCA top component via integer power iteration
   // ---------------------------------------------------------------------
@@ -2700,6 +2772,7 @@ object CurationQueries {
     "ns_text_bpe_merges" -> textBpeMerges,
     "ns_sim_sq8_recall" -> simSq8Recall,
     "ns_sim_ivfpq" -> simIvfPq,
+    "ns_sim_ivfpq_persisted" -> simIvfPqPersisted,
     "ns_embed_pca_power" -> embedPcaPower,
     "ns_sim_knn_2hop" -> simKnn2Hop,
     "ns_embed_pca_project" -> embedPcaProject,

@@ -2502,7 +2502,7 @@ object NorthStarQueries {
   private val quantizedIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private[queries] def kmeansQuantizedIndex(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def kmeansQuantizedIndex(s: SparkSession, dir: String): DataFrame = {
     val key = System.identityHashCode(s.sparkContext).toString + "#" +
       graft.Tables.fileStamp(s, s"$dir/embeddings.parquet")
     quantizedIndexCache.computeIfAbsent(key,

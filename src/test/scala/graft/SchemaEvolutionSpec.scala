@@ -71,6 +71,26 @@ class SchemaEvolutionSpec extends SparkSpec {
     graft.queries.Q.scratchDelete(base)
   }
 
+  test("quantized-index cache invalidates on fixture regeneration") {
+    // the r14 session-scoped index artifact must rebuild when the
+    // embeddings fixture changes generation (mtime+size stamp), exactly
+    // like the ts-encoding cache — a stale index over regenerated data
+    // would be the r12 failure class in vector-search form
+    val base = graft.queries.Q.scratchDir("idxregen")
+    val src = Tables.load(spark, sfDir, "embeddings")
+    src.limit(10).write.mode("overwrite").parquet(s"$base/embeddings.parquet")
+    val idx1 = graft.queries.NorthStarQueries.kmeansQuantizedIndex(spark, base)
+    assert(idx1.count() == 10)
+    Thread.sleep(1100) // ensure a distinct mtime at 1s filesystem resolution
+    src.limit(25).write.mode("overwrite").parquet(s"$base/embeddings.parquet")
+    val idx2 = graft.queries.NorthStarQueries.kmeansQuantizedIndex(spark, base)
+    assert(idx2.count() == 25, "regenerated fixture must rebuild the index")
+    // and the same generation is served from cache (same checkpointed plan)
+    val idx3 = graft.queries.NorthStarQueries.kmeansQuantizedIndex(spark, base)
+    assert(idx3 eq idx2, "same generation must hit the cache")
+    graft.queries.Q.scratchDelete(base)
+  }
+
   test("real fixture dirs pass reconciliation unchanged") {
     // the gate's own tables must sail through (no false positives)
     Tables.schemas.keys.foreach { t =>
