@@ -56,6 +56,36 @@ object DocumentStreams {
   def ingest(docs: DataFrame): DataFrame =
     qualityGate(dedupByContent(docs))
 
+  /** Streaming training-shard APPEND — the streaming twin of the batch
+    * `ns_corpus_shard_manifest` writer: each arriving document gets its
+    * deterministic hash shard (content-hash based, since a stream
+    * cannot rank a global order) and lands in shard-partitioned parquet
+    * through the file sink. EXACTLY-ONCE is the file sink's
+    * `_spark_metadata` transaction log: a replay from the same
+    * checkpoint must not duplicate rows, and readers that honor the log
+    * (any Spark parquet read of the directory) see each committed batch
+    * once — asserted in StreamingSpec by re-running the same checkpoint
+    * over the same input and diffing against the batch twin.
+    *
+    * At scale this is the continuous-ingest output stage: S shard
+    * directories, each appended to transactionally per micro-batch,
+    * manifests derivable by the batch manifest query at any time.
+    */
+  def shardAppend(
+      docs: DataFrame, outDir: String, checkpoint: String, shards: Int = 8):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs
+      .withColumn("shard_id",
+        pmod(expr("cast(conv(substring(md5(concat('shard:', cast(doc_id as string))), 1, 8), 16, 10) as bigint)"),
+          lit(shards.toLong)))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("shard_id")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+
   /** Snapshot-delta classification INCLUDING `removed` — the two-stream
     * union formulation: the previous snapshot and the new crawl both
     * arrive as streams tagged `side` ('old' / 'new'), each record
