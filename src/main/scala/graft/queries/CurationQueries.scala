@@ -1459,6 +1459,60 @@ object CurationQueries {
            |FROM x GROUP BY ctx ORDER BY ctx""".stripMargin))
 
   // ---------------------------------------------------------------------
+  // Small-file compaction (ingest housekeeping)
+  // ---------------------------------------------------------------------
+
+  /** Small-file COMPACTION — the housekeeping pass every long-running
+    * ingest needs: a fragmented shard store (many small part files per
+    * shard dir, what micro-batch appends and wide-parallelism writes
+    * leave behind) is rewritten to one file per shard, clustering on
+    * the partition column so each shard lands in exactly one task. The
+    * query's OUTPUT is computed from the COMPACTED files — per-shard
+    * doc counts and an order-independent content fingerprint that the
+    * oracle recomputes from the source table — so a compaction that
+    * lost, duplicated, or cross-assigned a single row hash-fails the
+    * gate. The physical claim (files collapse to one per shard) is
+    * asserted in CurationSpec.
+    *
+    * Scale: both writes are one corpus pass each; the compact
+    * clustering is a single shard-keyed exchange (S partitions); at
+    * 100 TB the same plan compacts per-shard subtrees independently
+    * and the fingerprint lets an auditor verify any shard without
+    * re-reading the rest.
+    */
+  private val corpusCompact = Q(
+    (s, dir) => {
+      val S = 8
+      val base = scratchDir("compact")
+      T(s, dir, "documents")
+        .withColumn("shard_id",
+          pmod(expr("cast(conv(substring(md5(concat('shard:', " +
+            "cast(doc_id as string))), 1, 8), 16, 10) as bigint)"), lit(S.toLong)))
+        .repartition(32) // the fragmented ingest state: many files/shard
+        .write.mode("overwrite").partitionBy("shard_id").parquet(s"$base/frag")
+      s.read.parquet(s"$base/frag")
+        .repartition(S, col("shard_id")) // cluster: one task -> one file per shard
+        .write.mode("overwrite").partitionBy("shard_id").parquet(s"$base/compact")
+      val out = s.read.parquet(s"$base/compact")
+        .groupBy(col("shard_id").cast("long").as("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr("cast(conv(substring(sha2(text, 256), 1, 8), 16, 10) as bigint)"))
+            .as("content_fp"))
+        .orderBy(col("shard_id"))
+        .localCheckpoint(true)
+      scratchDelete(base)
+      out
+    },
+    Some("""SELECT
+           |  cast('0x' || substr(md5('shard:' || cast(doc_id as varchar)), 1, 8)
+           |    as bigint) % 8 AS shard_id,
+           |  count(*) AS n_docs,
+           |  cast(sum(cast('0x' || substr(sha256(text), 1, 8) as bigint)) as bigint)
+           |    AS content_fp
+           |FROM documents
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  // ---------------------------------------------------------------------
   // Perplexity-bucket partitioning (the CCNet output layout)
   // ---------------------------------------------------------------------
 
@@ -2763,6 +2817,7 @@ object CurationQueries {
     "ns_corpus_shuffle" -> corpusShuffle,
     "ns_corpus_shard_manifest" -> corpusShardManifest,
     "ns_text_novelty" -> textNovelty,
+    "ns_corpus_compact" -> corpusCompact,
     "ns_corpus_ctx_profile" -> corpusCtxProfile,
     "ns_sim_range_search" -> simRangeSearch,
     "ns_text_entropy" -> textEntropy,

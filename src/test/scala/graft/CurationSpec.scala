@@ -567,6 +567,38 @@ class CurationSpec extends SparkSpec {
     graft.queries.Q.scratchDelete(base)
   }
 
+  test("compaction collapses the fragmented shard store to one file per shard") {
+    // replicate the gated query's two writes and assert the PHYSICAL
+    // claim the oracle can't see: frag has many files, compact has
+    // exactly one per shard, and row counts survive both rewrites
+    val S = 8
+    val base = graft.queries.Q.scratchDir("compactspec")
+    val docs = Tables.load(spark, sfDir, "documents")
+      .withColumn("shard_id",
+        pmod(expr("cast(conv(substring(md5(concat('shard:', cast(doc_id as string))), 1, 8), 16, 10) as bigint)"), lit(S.toLong)))
+    val n = docs.count()
+    docs.repartition(32).write.mode("overwrite").partitionBy("shard_id").parquet(s"$base/frag")
+    spark.read.parquet(s"$base/frag")
+      .repartition(S, col("shard_id"))
+      .write.mode("overwrite").partitionBy("shard_id").parquet(s"$base/compact")
+    def filesPerShard(root: String): Map[String, Int] =
+      new java.io.File(root).listFiles()
+        .filter(_.getName.startsWith("shard_id="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    val frag = filesPerShard(s"$base/frag")
+    val compact = filesPerShard(s"$base/compact")
+    assert(frag.values.sum > compact.values.sum,
+      s"fragmentation setup failed: frag=$frag compact=$compact")
+    assert(compact.values.forall(_ == 1),
+      s"compaction must leave one file per shard: $compact")
+    assert(spark.read.parquet(s"$base/compact").count() == n)
+    // and the gated query's fingerprint gate passes end-to-end
+    val rows = run("ns_corpus_compact").collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == n)
+    graft.queries.Q.scratchDelete(base)
+  }
+
   test("matryoshka: 16 queries, recall bounded, truncation loses something") {
     val rows = run("ns_sim_matryoshka").collect()
     assert(rows.length == 16, "one row per fixed query")
