@@ -2796,7 +2796,397 @@ object CurationQueries {
            |GROUP BY c.cutoff_e1, t.docs_total, t.toks_total
            |ORDER BY cutoff_e1""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // Per-domain frequency cap
+  // ---------------------------------------------------------------------
+
+  /** Per-domain frequency capping — the web-curation rule that stops any
+    * single domain from dominating the mix (the RefinedWeb/C4 "no more
+    * than N pages per site" control): each (source, lang) domain keeps at
+    * most [[DOMAIN_CAP]] documents, selected deterministically by a
+    * salted md5 order so a re-crawl keeps the same survivors. Reports
+    * per-domain kept/dropped volumes plus the last kept hash key — a
+    * direct witness that the kept set is exactly the CAP lowest keys.
+    *
+    * Scale: the only data-sized operation is one (source, lang)-keyed
+    * top-CAP window — the `window_topk_per_group` shape, rank-pruned
+    * map-side by Spark's WindowGroupLimit before the shuffle, so a hot
+    * domain moves at most CAP rows per map partition, not its whole
+    * page set. The rollup reuses the window's partitioning (no second
+    * exchange).
+    */
+  private val DOMAIN_CAP = 4
+
+  private val sampleDomainCap = Q(
+    (s, dir) => {
+      val w = Window.partitionBy(col("source"), col("lang"))
+        .orderBy(col("k"), col("doc_id"))
+      T(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"),
+          md5(concat(lit("cap:"), col("doc_id").cast("string"))).as("k"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rn") <= DOMAIN_CAP, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("rn") <= DOMAIN_CAP, col("n_toks")).otherwise(0L))
+            .as("toks_kept"),
+          max(when(col("rn") <= DOMAIN_CAP, col("k"))).as("last_kept_k"))
+        .withColumn("n_dropped", col("n_docs") - col("n_kept"))
+        .select(col("source"), col("lang"), col("n_docs"), col("n_kept"),
+          col("n_dropped"), col("toks_kept"), col("last_kept_k"))
+        .orderBy(col("source"), col("lang"))
+    },
+    Some(s"""WITH ranked AS (
+            |  SELECT source, lang,
+            |    cast(len(string_split(text, ' ')) as bigint) AS n_toks,
+            |    md5('cap:' || cast(doc_id as varchar)) AS k,
+            |    row_number() OVER (PARTITION BY source, lang
+            |      ORDER BY md5('cap:' || cast(doc_id as varchar)), doc_id) AS rn
+            |  FROM documents
+            |)
+            |SELECT source, lang, count(*) AS n_docs,
+            |  cast(sum(CASE WHEN rn <= $DOMAIN_CAP THEN 1 ELSE 0 END) as bigint)
+            |    AS n_kept,
+            |  cast(count(*) - sum(CASE WHEN rn <= $DOMAIN_CAP THEN 1 ELSE 0 END)
+            |    as bigint) AS n_dropped,
+            |  cast(sum(CASE WHEN rn <= $DOMAIN_CAP THEN n_toks ELSE 0 END)
+            |    as bigint) AS toks_kept,
+            |  max(CASE WHEN rn <= $DOMAIN_CAP THEN k END) AS last_kept_k
+            |FROM ranked GROUP BY source, lang
+            |ORDER BY source, lang""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Partitioned shard-store upsert (MERGE apply)
+  // ---------------------------------------------------------------------
+
+  /** Apply a crawl changeset to the persisted shard store IN PLACE — the
+    * incremental-update write a 100 TB corpus store needs (a Delta-style
+    * MERGE): inserts/updates/deletes land by rewriting ONLY the shard
+    * partitions that contain affected documents (dynamic partition
+    * overwrite), never the whole store. The changeset is the
+    * [[pipelineDelta]] generative scheme (edits at `doc_id % 7`, removals
+    * at `% 10 = 3`, ingests at `% 13`); after the merge the store is read
+    * back and every shard's document count and content fingerprint is
+    * compared against a from-scratch rebuild of the new snapshot — the
+    * `consistent` flag failing would hash-fail the gate, so the merge
+    * path is proven byte-equivalent to a full rewrite.
+    *
+    * Determinism: shard assignment is `doc_id % 16`; fingerprints are
+    * the shard-manifest order-independent bigint sum over sha256
+    * prefixes.
+    *
+    * Scale: the changeset derivation is one id-keyed full-outer hash
+    * join over (id, hash) pairs — never text; the merge reads only
+    * touched partitions (partition pruning on the scan, `IN touched`);
+    * the rewrite shuffles only touched-shard rows. The touched-shard
+    * list is the ONLY driver-side collect and is bounded by the shard
+    * count S, not the corpus. Selectivity (untouched partitions keep
+    * their physical files) is asserted in CurationSpec.
+    */
+  private[graft] def upsertShardStore(
+      s: org.apache.spark.sql.SparkSession, base: String,
+      ch: DataFrame): Seq[Int] = {
+    val touched = ch.select(col("shard")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    if (touched.nonEmpty) {
+      val store = s.read.parquet(base)
+        .where(col("shard").isin(touched: _*))
+      val merged = store
+        .join(ch.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"), col("n_toks"), col("sha"),
+          col("shard"))
+        .unionByName(ch.where(col("op") === "upsert")
+          .select(col("doc_id"), col("source"), col("n_toks"), col("sha"),
+            col("shard")))
+        // break lineage to the files being overwritten (Spark refuses a
+        // write whose plan still reads the target path)
+        .localCheckpoint(true)
+      val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try merged.write.mode("overwrite").partitionBy("shard").parquet(base)
+      finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    }
+    touched
+  }
+
+  private val corpusUpsert = Q(
+    (s, dir) => {
+      val S = 16
+      val base = scratchDir("upsert")
+      val docs = T(s, dir, "documents")
+      val old = docs.select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"),
+          sha2(col("text"), 256).as("sha"))
+        .withColumn("shard", (col("doc_id") % S).cast("int"))
+      old.write.mode("overwrite").partitionBy("shard").parquet(base)
+      val newText =
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text"))
+      val neu = docs.where(col("doc_id") % 10 =!= 3)
+        .select(col("doc_id"), col("source"),
+          size(split(newText, " ")).cast("long").as("n_toks"),
+          sha2(newText, 256).as("sha"))
+        .unionAll(docs.where(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            lit("ingest").as("source"),
+            size(split(concat(lit("new:"), col("text")), " ")).cast("long")
+              .as("n_toks"),
+            sha2(concat(lit("new:"), col("text")), 256).as("sha")))
+      val ch = old.select(col("doc_id"), col("sha").as("sha_old"))
+        .join(neu.select(col("doc_id"), col("source").as("src_new"),
+          col("n_toks").as("nt_new"), col("sha").as("sha_new")),
+          Seq("doc_id"), "full_outer")
+        .withColumn("op",
+          when(col("sha_new").isNull, "delete")
+            .when(col("sha_old").isNull || col("sha_old") =!= col("sha_new"),
+              "upsert"))
+        .where(col("op").isNotNull)
+        .select(col("doc_id"), col("op"), col("src_new").as("source"),
+          col("nt_new").as("n_toks"), col("sha_new").as("sha"),
+          (col("doc_id") % S).cast("int").as("shard"))
+      val touched = upsertShardStore(s, base, ch)
+      val rb = s.read.parquet(base)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+          sum(expr("cast(conv(substring(sha, 1, 8), 16, 10) as bigint)"))
+            .as("content_fp"))
+      val rebuild = neu
+        .groupBy((col("doc_id") % S).cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs_rb"),
+          sum(expr("cast(conv(substring(sha, 1, 8), 16, 10) as bigint)"))
+            .as("fp_rb"))
+      val out = rb.join(rebuild, Seq("shard"), "full_outer")
+        .withColumn("consistent",
+          col("n_docs") === col("n_docs_rb") &&
+            col("content_fp") === col("fp_rb"))
+        .withColumn("rewritten",
+          col("shard").isin(touched.map(_.toLong): _*))
+        .select(col("shard"), col("n_docs"), col("n_tokens"),
+          col("content_fp"), col("consistent"), col("rewritten"))
+        .orderBy(col("shard"))
+        .localCheckpoint(true)
+      scratchDelete(base)
+      out
+    },
+    Some("""WITH neu AS (
+           |  SELECT doc_id, source,
+           |    cast(len(string_split(CASE WHEN doc_id % 7 = 0
+           |      THEN text || ' [rev2]' ELSE text END, ' ')) as bigint) AS n_toks,
+           |    sha256(CASE WHEN doc_id % 7 = 0
+           |      THEN text || ' [rev2]' ELSE text END) AS sha
+           |  FROM documents WHERE doc_id % 10 <> 3
+           |  UNION ALL
+           |  SELECT doc_id + 1000000 AS doc_id, 'ingest' AS source,
+           |    cast(len(string_split('new:' || text, ' ')) as bigint) AS n_toks,
+           |    sha256('new:' || text) AS sha
+           |  FROM documents WHERE doc_id % 13 = 0
+           |), old AS (
+           |  SELECT doc_id, sha256(text) AS sha FROM documents
+           |), touched AS (
+           |  SELECT DISTINCT coalesce(o.doc_id, n.doc_id) % 16 AS shard
+           |  FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id
+           |  WHERE o.sha IS NULL OR n.sha IS NULL OR o.sha <> n.sha
+           |), agg AS (
+           |  SELECT doc_id % 16 AS shard, count(*) AS n_docs,
+           |    cast(sum(n_toks) as bigint) AS n_tokens,
+           |    cast(sum(cast('0x' || substr(sha, 1, 8) as bigint)) as bigint)
+           |      AS content_fp
+           |  FROM neu GROUP BY 1
+           |)
+           |SELECT cast(a.shard as bigint) AS shard, a.n_docs, a.n_tokens,
+           |  a.content_fp, true AS consistent,
+           |  (t.shard IS NOT NULL) AS rewritten
+           |FROM agg a LEFT JOIN touched t ON a.shard = t.shard
+           |ORDER BY shard""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Quality-curriculum schedule
+  // ---------------------------------------------------------------------
+
+  /** Quality-curriculum schedule — the training-order plan that feeds the
+    * highest-quality documents first and defers the noisy tail (the
+    * quality analog of [[corpusEpochSchedule]]'s source mixing): every
+    * document gets a curriculum phase from its [[qualityLogreg]]
+    * keep-probability (phase 0 = top quality band trains first), phases
+    * are contiguous in the training order by construction, and the audit
+    * reports each phase's volume, token mass, mean quality, and global
+    * position span. Phases are QUARTILES of the score distribution (exact
+    * percentile cutoffs broadcast back — the [[corpusPplBuckets]] tercile
+    * pattern), not fixed thresholds, so every phase is populated whatever
+    * the corpus quality profile. Within-phase order is the deterministic
+    * [[corpusShuffle]] block-decomposed rank — composition, not a new
+    * ordering mechanism — so only the phase BOUNDARIES (a cumulative sum
+    * over 4 phase counts) are computed here.
+    *
+    * Determinism: keep_prob is the logreg query's already-proven 6 dp
+    * rounding, lifted to an exact `round(kp*1e6)` bigint; the three
+    * cutoffs are one exact interpolated percentile per engine (the
+    * quantile_cont parity); the mean is an exact `sum div n` bigint.
+    *
+    * Scale: one map-only scoring pass, one percentile over a bigint per
+    * doc (its 3 scalars broadcast), a 4-group aggregate, and a 4-row
+    * window — nothing corpus-sized shuffles or sorts.
+    */
+  private val corpusCurriculum = Q(
+    (s, dir) => {
+      val stopArr = "array('the','a','of','and','to','in','is','it')"
+      val scored = TS(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_toks_d", size(col("toks")).cast("double"))
+        .withColumn("mean_len",
+          (length(col("text")).cast("double") - (col("n_toks_d") - 1.0))
+            / col("n_toks_d"))
+        .withColumn("stop_ratio",
+          expr(s"size(filter(toks, t -> array_contains($stopArr, t)))")
+            .cast("double") / col("n_toks_d"))
+        .withColumn("digit_ratio",
+          (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+            .cast("double") / length(col("text")).cast("double"))
+        .withColumn("z",
+          lit(-1.5) + lit(0.004) * col("n_toks_d") + lit(0.35) * col("mean_len")
+            + lit(4.0) * col("stop_ratio") - lit(6.0) * col("digit_ratio"))
+        .withColumn("kp_e6",
+          expr("cast(round((1.0 / (1.0 + exp(-z))) * 1e6) as bigint)"))
+      val cut = scored.agg(
+        expr("percentile(kp_e6, 0.25)").as("q1"),
+        expr("percentile(kp_e6, 0.5)").as("q2"),
+        expr("percentile(kp_e6, 0.75)").as("q3"))
+      val agg = scored.crossJoin(broadcast(cut))
+        .withColumn("phase",
+          when(col("kp_e6") > col("q3"), 0L)
+            .when(col("kp_e6") > col("q2"), 1L)
+            .when(col("kp_e6") > col("q1"), 2L)
+            .otherwise(3L))
+        .groupBy(col("phase"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks_d").cast("long")).as("n_tokens"),
+          sum(col("kp_e6")).as("kp_sum"))
+      val w = Window.orderBy(col("phase"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      agg.withColumn("pos_hi", sum(col("n_docs")).over(w))
+        .select(col("phase"), col("n_docs"), col("n_tokens"),
+          (col("pos_hi") - col("n_docs") + 1).as("pos_lo"), col("pos_hi"),
+          expr("kp_sum div n_docs").as("mean_kp_e6"))
+        .orderBy(col("phase"))
+    },
+    Some("""WITH f AS (
+           |  SELECT doc_id,
+           |    cast(len(string_split(text, ' ')) as double) AS n_toks,
+           |    (cast(len(text) as double) - (len(string_split(text, ' ')) - 1.0))
+           |      / len(string_split(text, ' ')) AS mean_len,
+           |    cast(len(list_filter(string_split(text, ' '),
+           |      t -> list_contains(['the','a','of','and','to','in','is','it'], t)))
+           |      as double) / len(string_split(text, ' ')) AS stop_ratio,
+           |    cast(len(text) - len(regexp_replace(text, '[0-9]', '', 'g'))
+           |      as double) / cast(len(text) as double) AS digit_ratio
+           |  FROM documents
+           |), p AS (
+           |  SELECT doc_id, cast(n_toks as bigint) AS n_toks_l,
+           |    cast(round((1.0 / (1.0 + exp(-(-1.5 + 0.004 * n_toks
+           |      + 0.35 * mean_len + 4.0 * stop_ratio - 6.0 * digit_ratio))))
+           |      * 1e6) as bigint) AS kp_e6
+           |  FROM f
+           |), cut AS (
+           |  SELECT quantile_cont(kp_e6, 0.25) AS q1,
+           |         quantile_cont(kp_e6, 0.5) AS q2,
+           |         quantile_cont(kp_e6, 0.75) AS q3
+           |  FROM p
+           |), ph AS (
+           |  SELECT CASE WHEN kp_e6 > q3 THEN 0
+           |              WHEN kp_e6 > q2 THEN 1
+           |              WHEN kp_e6 > q1 THEN 2
+           |              ELSE 3 END AS phase,
+           |    n_toks_l, kp_e6
+           |  FROM p, cut
+           |), a AS (
+           |  SELECT phase, count(*) AS n_docs,
+           |    cast(sum(n_toks_l) as bigint) AS n_tokens,
+           |    cast(sum(kp_e6) as bigint) AS kp_sum
+           |  FROM ph GROUP BY phase
+           |)
+           |SELECT cast(phase as bigint) AS phase, n_docs, n_tokens,
+           |  cast(sum(n_docs) OVER (ORDER BY phase) - n_docs + 1 as bigint)
+           |    AS pos_lo,
+           |  cast(sum(n_docs) OVER (ORDER BY phase) as bigint) AS pos_hi,
+           |  cast(kp_sum // n_docs as bigint) AS mean_kp_e6
+           |FROM a ORDER BY phase""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // IVF cell-balance audit
+  // ---------------------------------------------------------------------
+
+  /** IVF cell-occupancy balance audit — the serving-health read an ANN
+    * deployment runs before trusting its latency envelope: per coarse
+    * cell, the vector count, corpus share, and load factor relative to
+    * perfect balance (1e6 = exactly N/C). A skewed cell is the IVF
+    * failure mode — nprobe/C stops bounding the scored fraction when one
+    * cell holds half the corpus — so this is the observability twin of
+    * the `ns_sim_ivf_*` search family (same 16-centroid coarse
+    * quantizer, same assignment rule).
+    *
+    * Scale: assignment is the shared map-only broadcast-centroid pass;
+    * the only shuffle is a C-group count. At 100 TB this reads the
+    * stored cell column off the persisted index instead of re-assigning
+    * — the aggregate is identical.
+    */
+  private val simIvfBalance = Q(
+    (s, dir) => {
+      graft.expressions.ScaledDotProduct.registerIn(s)
+      val e = TS(s, dir, "embeddings")
+        .withColumn("nrm", expr("scaled_dot(embedding, embedding)"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cen_cos").desc, col("cen_id"))
+      val cells = e.join(broadcast(
+          e.where(col("vec_id").between(100, 115))
+            .select(col("vec_id").as("cen_id"), col("embedding").as("cen_emb"),
+              col("nrm").as("cen_nrm"))), lit(true))
+        .withColumn("cen_cos",
+          expr("scaled_dot(embedding, cen_emb)").cast("double") /
+            (sqrt(col("nrm").cast("double")) * sqrt(col("cen_nrm").cast("double"))))
+        .withColumn("arn", row_number().over(wAssign))
+        .where(col("arn") === 1)
+        .groupBy(col("cen_id").as("cell"))
+        .agg(count(lit(1)).as("n_vecs"))
+      val total = cells.agg(sum(col("n_vecs")).as("n_total"))
+      cells.crossJoin(broadcast(total))
+        .select(col("cell"), col("n_vecs"),
+          expr("n_vecs * 1000000 div n_total").as("share_e6"),
+          expr("n_vecs * 16 * 1000000 div n_total").as("load_e6"))
+        .orderBy(col("cell"))
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, embedding,
+            |    ${NorthStarQueries.scaledDotSql("embedding", "embedding")} AS nrm
+            |  FROM embeddings
+            |), cen AS (
+            |  SELECT vec_id AS cen_id, embedding AS cen_emb, nrm AS cen_nrm
+            |  FROM e WHERE vec_id BETWEEN 100 AND 115
+            |), ranked AS (
+            |  SELECT vec_id, cen_id,
+            |    row_number() OVER (PARTITION BY vec_id
+            |                       ORDER BY cen_cos DESC, cen_id) AS arn
+            |  FROM (
+            |    SELECT e.vec_id, cen.cen_id,
+            |      cast(${NorthStarQueries.scaledDotSql("e.embedding", "cen.cen_emb")}
+            |        as double)
+            |        / (sqrt(cast(e.nrm as double)) * sqrt(cast(cen.cen_nrm as double)))
+            |        AS cen_cos
+            |    FROM e, cen)
+            |), cells AS (
+            |  SELECT cen_id AS cell, count(*) AS n_vecs
+            |  FROM ranked WHERE arn = 1 GROUP BY 1
+            |), t AS (SELECT cast(sum(n_vecs) as bigint) AS n_total FROM cells)
+            |SELECT cell, n_vecs,
+            |  cast((n_vecs * 1000000) // n_total as bigint) AS share_e6,
+            |  cast((n_vecs * 16 * 1000000) // n_total as bigint) AS load_e6
+            |FROM cells, t ORDER BY cell""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "ns_sample_domain_cap" -> sampleDomainCap,
+    "ns_corpus_upsert" -> corpusUpsert,
+    "ns_corpus_curriculum" -> corpusCurriculum,
+    "ns_sim_ivf_balance" -> simIvfBalance,
     "ns_corpus_pack_greedy" -> corpusPackGreedy,
     "ns_corpus_epoch_schedule" -> corpusEpochSchedule,
     "ns_quality_threshold_sweep" -> qualityThresholdSweep,

@@ -290,7 +290,50 @@ object SourcesQueries {
            |  sha256(n_name) AS sha
            |FROM nation ORDER BY nationkey""".stripMargin))
 
+  /** Parquet AGGREGATE pushdown — the stats-only scan: count/min/max
+    * answered from row-group metadata in the parquet footers, zero data
+    * pages decoded. At 100 TB this is the difference between a
+    * sub-second manifest read and a full corpus scan for the "how many
+    * rows / what id range" operational queries every pipeline run
+    * issues. Requires the DSv2 parquet path, so the two confs are set
+    * scoped around the one eager execution and restored (the catalog and
+    * every other query keep their planned V1 path); the plan actually
+    * containing `PushedAggregation` is asserted in PlanFeaturesSpec —
+    * this query gates the VALUES against DuckDB.
+    *
+    * Bounded to types whose parquet min/max stats are exact and
+    * engine-portable (int64/int32); count(*) needs no stats at all
+    * (row-group row counts).
+    */
+  private val aggPushdown = Q(
+    (s, dir) => {
+      val (keyList, keyAgg) =
+        ("spark.sql.sources.useV1SourceList", "spark.sql.parquet.aggregatePushdown")
+      val prevList = s.conf.get(keyList, "")
+      val prevAgg = s.conf.get(keyAgg, "false")
+      s.conf.set(keyList, "")
+      s.conf.set(keyAgg, "true")
+      try {
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("l_orderkey")).as("min_okey"),
+            max(col("l_orderkey")).as("max_okey"),
+            min(col("l_linenumber")).cast("long").as("min_line"),
+            max(col("l_linenumber")).cast("long").as("max_line"))
+          .localCheckpoint(true) // eager: executes while the v2 confs hold
+      } finally {
+        s.conf.set(keyList, prevList)
+        s.conf.set(keyAgg, prevAgg)
+      }
+    },
+    Some("""SELECT count(*) AS n_rows,
+           |  min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey,
+           |  cast(min(l_linenumber) as bigint) AS min_line,
+           |  cast(max(l_linenumber) as bigint) AS max_line
+           |FROM lineitem""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "src_agg_pushdown" -> aggPushdown,
     "src_bucketed_join" -> bucketedJoin,
     "src_text_roundtrip" -> textRoundtrip,
     "src_binaryfile_scan" -> binaryfileScan,

@@ -599,6 +599,86 @@ class CurationSpec extends SparkSpec {
     graft.queries.Q.scratchDelete(base)
   }
 
+  test("upsert: rewrites ONLY touched shard partitions, others keep their files") {
+    import org.apache.spark.sql.functions._
+    val base = graft.queries.Q.scratchDir("upsert-spec")
+    val docs = Tables.load(spark, sfDir, "documents")
+    val store = docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"),
+        sha2(col("text"), 256).as("sha"))
+      .withColumn("shard", (col("doc_id") % 4).cast("int"))
+    store.write.mode("overwrite").partitionBy("shard").parquet(base)
+    def shardFiles(shard: Int): Map[String, Long] = {
+      val d = new java.io.File(s"$base/shard=$shard")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val before = (0 to 3).map(shardFiles)
+    // a changeset touching ONLY shard 1: one update (doc 1) + one delete (doc 5)
+    import spark.implicits._
+    val ch = Seq(
+      (1L, "upsert", "patched", 3L, "f" * 64, 1),
+      (5L, "delete", null: String, 0L, null: String, 1))
+      .toDF("doc_id", "op", "source", "n_toks", "sha", "shard")
+    val touched = graft.queries.CurationQueries.upsertShardStore(spark, base, ch)
+    assert(touched == Seq(1), s"expected only shard 1 touched, got $touched")
+    val after = (0 to 3).map(shardFiles)
+    for (sh <- Seq(0, 2, 3))
+      assert(after(sh) == before(sh),
+        s"untouched shard $sh was rewritten: before=${before(sh)} after=${after(sh)}")
+    assert(after(1) != before(1), "touched shard 1 must have new files")
+    // and the merged content is exactly old minus doc 5, with doc 1 patched
+    val rb = spark.read.parquet(base)
+    assert(rb.where(col("doc_id") === 5L).count() == 0, "deleted doc survived")
+    assert(rb.where(col("doc_id") === 1L).select("source").as[String].head() == "patched")
+    assert(rb.count() == docs.count() - 1)
+    graft.queries.Q.scratchDelete(base)
+  }
+
+  test("upsert: gate query reports every shard consistent with the rebuild") {
+    val rows = run("ns_corpus_upsert").collect()
+    assert(rows.length == 16, "one row per shard")
+    assert(rows.forall(_.getAs[Boolean]("consistent")),
+      "merge path diverged from the full rebuild")
+  }
+
+  test("curriculum: phases partition the corpus with contiguous position spans") {
+    val rows = run("ns_corpus_curriculum").collect()
+    val n = Tables.load(spark, sfDir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == n, "phases must partition")
+    var expectLo = 1L
+    rows.sortBy(_.getAs[Long]("phase")).foreach { r =>
+      assert(r.getAs[Long]("pos_lo") == expectLo, s"gap in curriculum order: $r")
+      expectLo = r.getAs[Long]("pos_hi") + 1
+      assert(r.getAs[Long]("mean_kp_e6") >= 0 && r.getAs[Long]("mean_kp_e6") <= 1000000)
+    }
+    // quality must be non-increasing across phases (phase 0 trains first)
+    val means = rows.sortBy(_.getAs[Long]("phase")).map(_.getAs[Long]("mean_kp_e6"))
+    assert(means.zip(means.tail).forall { case (a, b) => a >= b },
+      s"phase quality not monotone: ${means.toSeq}")
+  }
+
+  test("domain cap: kept counts bounded by cap, drops only above it") {
+    val rows = run("ns_sample_domain_cap").collect()
+    rows.foreach { r =>
+      val (nd, nk, drop) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"),
+        r.getAs[Long]("n_dropped"))
+      assert(nk <= 4, s"cap violated: $r")
+      assert(nk == math.min(nd, 4L), s"kept != min(n, cap): $r")
+      assert(drop == nd - nk, s"drop accounting broken: $r")
+    }
+  }
+
+  test("ivf balance: shares sum to ~1e6 and occupancy covers the corpus") {
+    val rows = run("ns_sim_ivf_balance").collect()
+    assert(rows.length == 16, "one row per coarse cell")
+    val n = Tables.load(spark, sfDir, "embeddings").count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == n, "cells must partition")
+    val shareSum = rows.map(_.getAs[Long]("share_e6")).sum
+    assert(shareSum > 1000000L - 16 && shareSum <= 1000000L,
+      s"floor-div shares should sum to just under 1e6: $shareSum")
+  }
+
   test("matryoshka: 16 queries, recall bounded, truncation loses something") {
     val rows = run("ns_sim_matryoshka").collect()
     assert(rows.length == 16, "one row per fixed query")

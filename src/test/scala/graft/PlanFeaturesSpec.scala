@@ -362,6 +362,38 @@ class PlanFeaturesSpec extends SparkSpec {
       s"tf aggregate should be computed once and reused:\n$finalPlan")
   }
 
+  test("parquet aggregate pushdown answers count/min/max from footer stats") {
+    // The stats-only scan src_agg_pushdown claims: under the DSv2 parquet
+    // path the whole aggregate folds into the scan node and the plan
+    // carries PushedAggregation — zero data pages decoded at any scale.
+    val prevList = spark.conf.get("spark.sql.sources.useV1SourceList", "")
+    val prevAgg = spark.conf.get("spark.sql.parquet.aggregatePushdown", "false")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      val q = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_orderkey")).as("min_okey"),
+          max(col("l_orderkey")).as("max_okey"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation"),
+        s"expected PushedAggregation in the v2 scan:\n$plan")
+      // and the metadata answer equals the data answer
+      val r = q.collect().head
+      val full = Tables.load(spark, sfDir, "lineitem")
+        .agg(count(lit(1)), min(col("l_orderkey")), max(col("l_orderkey")))
+        .collect().head
+      assert(r == full, s"stats-only answer diverged: $r vs $full")
+    } finally {
+      spark.conf.set("spark.sql.sources.useV1SourceList", prevList)
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", prevAgg)
+    }
+    // the gate query restores the confs — the catalog keeps its V1 path
+    graft.queries.SourcesQueries.all("src_agg_pushdown").fn(spark, sfDir)
+    assert(spark.conf.get("spark.sql.sources.useV1SourceList", "") == prevList,
+      "src_agg_pushdown leaked useV1SourceList")
+  }
+
   test("typed Dataset surface agrees with the untyped DataFrame result") {
     import spark.implicits._
     import PlanFeaturesSpec.Doc
