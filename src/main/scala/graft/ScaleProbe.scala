@@ -158,7 +158,14 @@ object ScaleProbe {
       // novelty probe stresses the (doc, gram) distinct and gram-keyed
       // first-occurrence agg (replication multiplies every gram's df);
       // ctx profile is the single-pass 4-group agg floor case
-      "ns_corpus_shard_manifest", "ns_text_novelty", "ns_corpus_ctx_profile")
+      "ns_corpus_shard_manifest", "ns_text_novelty", "ns_corpus_ctx_profile",
+      // r14 second wave: domain cap's one shuffle is the (source, lang)
+      // top-CAP window (replication multiplies rows per domain — the
+      // WindowGroupLimit map-side prune is the claim under test); upsert
+      // stresses the changeset full-outer join + the touched-shard
+      // rewrite (replication grows every shard by the factor); the
+      // curriculum is a map-only score + percentile + 4-group agg floor
+      "ns_sample_domain_cap", "ns_corpus_upsert", "ns_corpus_curriculum")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected
@@ -202,7 +209,10 @@ object ScaleProbe {
       "ns_embed_label_prop", "ns_sim_matryoshka",
       // r10 fifth wave: outliers = the kmeans map-only assignment plus a
       // k-row threshold broadcast — expected ~linear with kmeans itself
-      "ns_embed_outliers")
+      "ns_embed_outliers",
+      // r14: cell-balance audit = one broadcast-centroid assignment pass
+      // + a C-group count — expected ~linear with the assignment scan
+      "ns_sim_ivf_balance")
     // probes over the embeddings fixture that do NOT resolve through the
     // query catalog (custom parameterization below)
     val customVecProbes = Seq("ns_dedup_semantic_kprop")
@@ -259,6 +269,7 @@ object ScaleProbe {
       timeVec("ns_embed_label_prop")
       timeVec("ns_sim_matryoshka")
       timeVec("ns_embed_outliers")
+      timeVec("ns_sim_ivf_balance")
 
       // Semantic dedup at the PRODUCTION configuration: k ∝ N (one
       // cluster per ~2500 vectors), seeds stride-spaced so they are k

@@ -2808,30 +2808,35 @@ object CurationQueries {
     * per-domain kept/dropped volumes plus the last kept hash key — a
     * direct witness that the kept set is exactly the CAP lowest keys.
     *
-    * Scale: the only data-sized operation is one (source, lang)-keyed
-    * top-CAP window — the `window_topk_per_group` shape, rank-pruned
-    * map-side by Spark's WindowGroupLimit before the shuffle, so a hot
-    * domain moves at most CAP rows per map partition, not its whole
-    * page set. The rollup reuses the window's partitioning (no second
-    * exchange).
+    * Scale: two cheap passes instead of one expensive one — the domain
+    * volumes are a plain keyed count (map-side partials, no sort), and
+    * the kept set is a top-CAP window WITH the `rn <= CAP` filter, so
+    * Spark's WindowGroupLimit prunes map-side (asserted in
+    * PlanFeaturesSpec): a hot domain moves at most CAP rows per map
+    * partition into the sort, not its whole page set. A single
+    * unfiltered window would instead fully sort every domain. The two
+    * branches join on the domain key (both sides already partitioned by
+    * it).
     */
   private val DOMAIN_CAP = 4
 
   private val sampleDomainCap = Q(
     (s, dir) => {
-      val w = Window.partitionBy(col("source"), col("lang"))
-        .orderBy(col("k"), col("doc_id"))
-      T(s, dir, "documents")
+      val keyed = T(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("lang"),
           size(split(col("text"), " ")).cast("long").as("n_toks"),
           md5(concat(lit("cap:"), col("doc_id").cast("string"))).as("k"))
-        .withColumn("rn", row_number().over(w))
+      val totals = keyed.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("source"), col("lang"))
+        .orderBy(col("k"), col("doc_id"))
+      val kept = keyed.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= DOMAIN_CAP)
         .groupBy(col("source"), col("lang"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("rn") <= DOMAIN_CAP, 1L).otherwise(0L)).as("n_kept"),
-          sum(when(col("rn") <= DOMAIN_CAP, col("n_toks")).otherwise(0L))
-            .as("toks_kept"),
-          max(when(col("rn") <= DOMAIN_CAP, col("k"))).as("last_kept_k"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_toks")).as("toks_kept"),
+          max(col("k")).as("last_kept_k"))
+      totals.join(kept, Seq("source", "lang"))
         .withColumn("n_dropped", col("n_docs") - col("n_kept"))
         .select(col("source"), col("lang"), col("n_docs"), col("n_kept"),
           col("n_dropped"), col("toks_kept"), col("last_kept_k"))

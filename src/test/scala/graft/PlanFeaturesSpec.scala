@@ -337,6 +337,15 @@ class PlanFeaturesSpec extends SparkSpec {
       s"rank<=k filters should prune window inputs map-side:\n$opt")
   }
 
+  test("domain cap: the kept branch is top-CAP-pruned map-side (WindowGroupLimit)") {
+    // the scale claim: a hot domain ships at most CAP rows per map task
+    // into the window sort, not its full page set
+    val q = SparkEntry.catalog("ns_sample_domain_cap").fn(spark, sfDir)
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("WindowGroupLimit"),
+      s"rn<=CAP should prune the window input map-side:\n$opt")
+  }
+
   test("token-budget selection shuffles once, keyed by source") {
     val q = SparkEntry.catalog("ns_corpus_token_budget").fn(spark, sfDir)
     // exchanges are inserted by EnsureRequirements, so read the executed
