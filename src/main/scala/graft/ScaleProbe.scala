@@ -165,7 +165,10 @@ object ScaleProbe {
       // stresses the changeset full-outer join + the touched-shard
       // rewrite (replication grows every shard by the factor); the
       // curriculum is a map-only score + percentile + 4-group agg floor
-      "ns_sample_domain_cap", "ns_corpus_upsert", "ns_corpus_curriculum")
+      "ns_sample_domain_cap", "ns_corpus_upsert", "ns_corpus_curriculum",
+      // r14: normalization is a map-only text transform + source rollup —
+      // a linear-in-text-volume floor case like code_switch
+      "ns_text_normalize")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected

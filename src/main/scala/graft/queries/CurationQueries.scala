@@ -3029,9 +3029,12 @@ object CurationQueries {
     * cutoffs are one exact interpolated percentile per engine (the
     * quantile_cont parity); the mean is an exact `sum div n` bigint.
     *
-    * Scale: one map-only scoring pass, one percentile over a bigint per
-    * doc (its 3 scalars broadcast), a 4-group aggregate, and a 4-row
-    * window — nothing corpus-sized shuffles or sorts.
+    * Scale: ONE map-only scoring pass (the scored frame narrows to two
+    * ints per doc and localCheckpoints, so the percentile branch and the
+    * phase aggregate don't each re-run the text regexps), one percentile
+    * over a bigint per doc (its 3 scalars broadcast), a 4-group
+    * aggregate, and a 4-row window — nothing corpus-sized shuffles or
+    * sorts.
     */
   private val corpusCurriculum = Q(
     (s, dir) => {
@@ -3053,6 +3056,11 @@ object CurationQueries {
             + lit(4.0) * col("stop_ratio") - lit(6.0) * col("digit_ratio"))
         .withColumn("kp_e6",
           expr("cast(round((1.0 / (1.0 + exp(-z))) * 1e6) as bigint)"))
+        // narrow to 2 ints/doc and checkpoint: the percentile branch and
+        // the phase aggregate otherwise each re-run the regexp/HOF
+        // scoring over the text — one corpus text pass, not two
+        .select(col("n_toks_d").cast("long").as("n_toks_l"), col("kp_e6"))
+        .localCheckpoint(true)
       val cut = scored.agg(
         expr("percentile(kp_e6, 0.25)").as("q1"),
         expr("percentile(kp_e6, 0.5)").as("q2"),
@@ -3065,7 +3073,7 @@ object CurationQueries {
             .otherwise(3L))
         .groupBy(col("phase"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_toks_d").cast("long")).as("n_tokens"),
+          sum(col("n_toks_l")).as("n_tokens"),
           sum(col("kp_e6")).as("kp_sum"))
       val w = Window.orderBy(col("phase"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -3118,6 +3126,86 @@ object CurationQueries {
            |FROM a ORDER BY phase""".stripMargin))
 
   // ---------------------------------------------------------------------
+  // Text normalization (crawl cleaning)
+  // ---------------------------------------------------------------------
+
+  /** Crawl-text normalization — the cleaning stage between raw ingest and
+    * every hash-keyed operator (exact dedup, fingerprints, splits all key
+    * on text bytes, so un-normalized case/whitespace variants silently
+    * defeat them): lowercase, collapse space runs, trim. The fixture is
+    * already canonical, so the query derives the RAW view by
+    * deterministically perturbing it (case flips at `doc_id % 3`,
+    * space-run injection at `% 5`, edge whitespace at `% 7` — the
+    * pipelineDelta generative idiom) and proves the normalizer inverts
+    * every perturbation: per source, `n_recovered` must equal `n_docs`
+    * and the normalized-text fingerprint must equal the canonical one —
+    * either failing would hash-fail the gate.
+    *
+    * Scale: map-only text transform + one source-keyed rollup; the
+    * shuffle carries counts and bigint fingerprints, never text.
+    */
+  private val textNormalize = Q(
+    (s, dir) => {
+      val raw = expr(
+        """concat(CASE WHEN doc_id % 7 = 0 THEN '  ' ELSE '' END,
+          |  CASE WHEN doc_id % 5 = 0 THEN replace(
+          |         CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END,
+          |         ' ', '   ')
+          |       ELSE CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END
+          |  END,
+          |  CASE WHEN doc_id % 7 = 0 THEN ' ' ELSE '' END)""".stripMargin)
+      TS(s, dir, "documents")
+        .withColumn("raw", raw)
+        .withColumn("norm", trim(lower(regexp_replace(col("raw"), " +", " "))))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("raw") =!= col("text"), 1L).otherwise(0L))
+            .as("n_perturbed"),
+          sum(when(col("norm") === col("text"), 1L).otherwise(0L))
+            .as("n_recovered"),
+          sum(length(col("raw")) - length(col("norm")))
+            .cast("long").as("chars_removed"),
+          sum(expr("cast(conv(substring(md5(norm), 1, 8), 16, 10) as bigint)"))
+            .as("fp_norm"),
+          sum(expr("cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint)"))
+            .as("fp_canonical"))
+        .withColumn("lossless", col("fp_norm") === col("fp_canonical") &&
+          col("n_recovered") === col("n_docs"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH r AS (
+           |  SELECT doc_id, source, text,
+           |    (CASE WHEN doc_id % 7 = 0 THEN '  ' ELSE '' END) ||
+           |    (CASE WHEN doc_id % 5 = 0 THEN replace(
+           |            CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END,
+           |            ' ', '   ')
+           |          ELSE CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END
+           |     END) ||
+           |    (CASE WHEN doc_id % 7 = 0 THEN ' ' ELSE '' END) AS raw
+           |  FROM documents
+           |), n AS (
+           |  SELECT doc_id, source, text, raw,
+           |    trim(lower(regexp_replace(raw, ' +', ' ', 'g'))) AS norm
+           |  FROM r
+           |), a AS (
+           |  SELECT source, count(*) AS n_docs,
+           |    cast(sum(CASE WHEN raw <> text THEN 1 ELSE 0 END) as bigint)
+           |      AS n_perturbed,
+           |    cast(sum(CASE WHEN norm = text THEN 1 ELSE 0 END) as bigint)
+           |      AS n_recovered,
+           |    cast(sum(len(raw) - len(norm)) as bigint) AS chars_removed,
+           |    cast(sum(cast('0x' || substr(md5(norm), 1, 8) as bigint)) as bigint)
+           |      AS fp_norm,
+           |    cast(sum(cast('0x' || substr(md5(text), 1, 8) as bigint)) as bigint)
+           |      AS fp_canonical
+           |  FROM n GROUP BY source
+           |)
+           |SELECT source, n_docs, n_perturbed, n_recovered, chars_removed,
+           |  fp_norm, fp_canonical,
+           |  (fp_norm = fp_canonical AND n_recovered = n_docs) AS lossless
+           |FROM a ORDER BY source""".stripMargin))
+
+  // ---------------------------------------------------------------------
   // IVF cell-balance audit
   // ---------------------------------------------------------------------
 
@@ -3153,6 +3241,9 @@ object CurationQueries {
         .where(col("arn") === 1)
         .groupBy(col("cen_id").as("cell"))
         .agg(count(lit(1)).as("n_vecs"))
+        // C rows: checkpoint so the 1-row total derives WITHOUT a second
+        // corpus assignment pass (the epoch-schedule one-pass guarantee)
+        .localCheckpoint(true)
       val total = cells.agg(sum(col("n_vecs")).as("n_total"))
       cells.crossJoin(broadcast(total))
         .select(col("cell"), col("n_vecs"),
@@ -3189,6 +3280,7 @@ object CurationQueries {
 
   val all: Map[String, Q] = Map(
     "ns_sample_domain_cap" -> sampleDomainCap,
+    "ns_text_normalize" -> textNormalize,
     "ns_corpus_upsert" -> corpusUpsert,
     "ns_corpus_curriculum" -> corpusCurriculum,
     "ns_sim_ivf_balance" -> simIvfBalance,

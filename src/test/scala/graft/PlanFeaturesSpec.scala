@@ -371,6 +371,42 @@ class PlanFeaturesSpec extends SparkSpec {
       s"tf aggregate should be computed once and reused:\n$finalPlan")
   }
 
+  test("AQE splits a skewed join partition (skew=true in the final plan)") {
+    // The 100 TB skew story COVERAGE.md leans on ("salting OR AQE
+    // skew-join"): beyond the manual salting demo (agg_salted_skew),
+    // prove the runtime half actually fires — one hot key holding most
+    // of the probe side gets its shuffle partition split at execution
+    // time instead of stalling one reducer.
+    import spark.implicits._
+    val keys = Seq("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    // thresholds scaled down so a ~MB-sized hot partition counts as skew
+    spark.conf.set(keys(0), "2")
+    spark.conf.set(keys(1), "65536")
+    spark.conf.set(keys(2), "16384")
+    spark.conf.set(keys(3), "-1") // force SMJ: broadcast would hide the skew path
+    spark.conf.set(keys(4), "-1")
+    try {
+      val hot = spark.range(200000).select(
+        when(col("id") % 10 === 0, col("id")).otherwise(lit(7L)).as("k"),
+        col("id").as("payload"))
+      val dim = spark.range(64).select(col("id").as("k"), (col("id") * 2).as("v"))
+      // terminal join: a downstream distribution requirement would let
+      // the rule veto the split as introducing an extra shuffle
+      val joined = hot.join(dim, Seq("k"))
+      joined.collect() // AQE finalizes THIS QueryExecution's adaptive plan
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected the hot key's partition to be skew-split:\n$plan")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("parquet aggregate pushdown answers count/min/max from footer stats") {
     // The stats-only scan src_agg_pushdown claims: under the DSv2 parquet
     // path the whole aggregate folds into the scan node and the plan
