@@ -214,8 +214,10 @@ object ScaleProbe {
       // k-row threshold broadcast — expected ~linear with kmeans itself
       "ns_embed_outliers",
       // r14: cell-balance audit = one broadcast-centroid assignment pass
-      // + a C-group count — expected ~linear with the assignment scan
-      "ns_sim_ivf_balance")
+      // + a C-group count — expected ~linear with the assignment scan;
+      // the incremental append writes 0.9N + 0.1N index rows per run, so
+      // its wall should track the persisted build's
+      "ns_sim_ivf_balance", "ns_sim_ivf_append")
     // probes over the embeddings fixture that do NOT resolve through the
     // query catalog (custom parameterization below)
     val customVecProbes = Seq("ns_dedup_semantic_kprop")
@@ -273,6 +275,7 @@ object ScaleProbe {
       timeVec("ns_sim_matryoshka")
       timeVec("ns_embed_outliers")
       timeVec("ns_sim_ivf_balance")
+      timeVec("ns_sim_ivf_append")
 
       // Semantic dedup at the PRODUCTION configuration: k ∝ N (one
       // cluster per ~2500 vectors), seeds stride-spaced so they are k

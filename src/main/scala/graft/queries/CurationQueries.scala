@@ -996,60 +996,123 @@ object CurationQueries {
     * as [[simIvfPq]]: persisting the index must not change a single
     * result bit.
     */
+  /** The coarse-quantizer assignment expression (sorted (distance, cell)
+    * structs over the 16 centroid literals) — shared by the persisted
+    * index build, the incremental append, and the serve-side probe
+    * selection. Requires `SquaredL2.registerIn` on the session.
+    */
+  private[graft] def ivfCellSortedExpr(v: DataFrame): String = {
+    val cents: Seq[(Int, Seq[Long])] = v
+      .where(col("vec_id").between(100, 115)).collect()
+      .map(r => ((r.getLong(0) - 100).toInt, r.getSeq[Long](1)))
+      .sortBy(_._1).toSeq
+    val cellStructs = cents.map { case (j, c) =>
+      s"struct(sq_l2(xq, cast(array(${c.mkString(",")}) as array<bigint>)) AS d, " +
+        s"cast($j as bigint) AS j)"
+    }
+    s"array_sort(array(${cellStructs.mkString(", ")}))"
+  }
+
+  /** PQ-encode a cell-assigned corpus slice into the stored-index row
+    * shape: one (c_id, cell, em, code) row per (vector, subspace).
+    */
+  private[graft] def ivfPqIndexRows(vc: DataFrame,
+      cb: Map[Int, Seq[(Int, Seq[Long])]]): DataFrame = {
+    val encExprs = NorthStarQueries.pqEncodeExprs(cb)
+    vc.select(col("vec_id").as("c_id"), col("cell"),
+        explode(expr(s"array(${encExprs.mkString(", ")})")).as("e"))
+      .select(col("c_id"), col("cell"), col("e.em").as("em"),
+        col("e.code").as("code"))
+  }
+
+  /** Serve an ADC top-3 search over a PERSISTED cell-partitioned index:
+    * probed cells collected (bounded <= IVF_CELLS values) and applied as
+    * a STATIC partition filter — only those cells' files are read;
+    * probes and per-query distance tables broadcast. Returns the
+    * un-checkpointed result (callers checkpoint before deleting the
+    * store).
+    */
+  private def ivfPqServeStore(s: org.apache.spark.sql.SparkSession,
+      v: DataFrame, base: String, cellSorted: String,
+      cb: Map[Int, Seq[(Int, Seq[Long])]]): DataFrame = {
+    val probes = v.where(col("vec_id") < PQ_CODES)
+      .select(col("vec_id").as("q_id"),
+        explode(expr(s"transform(slice($cellSorted, 1, 2), t -> t.j)")).as("pcell"))
+      .localCheckpoint(true)
+    val probedCells = probes.select(col("pcell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val served = s.read.parquet(base)
+      .where(col("cell").isin(probedCells: _*))
+    val dtabStructs = (0 until PQ_M).flatMap { m =>
+      cb(m).map { case (j, c) =>
+        s"struct(cast($m as bigint) AS m, cast($j as bigint) AS j, " +
+          s"sq_l2(xq, cast(array(${c.mkString(",")}) as array<bigint>), ${m * 8}) AS d)"
+      }
+    }
+    val dtab = v.where(col("vec_id") < PQ_CODES)
+      .select(col("vec_id").as("tq_id"),
+        explode(expr(s"array(${dtabStructs.mkString(", ")})")).as("t"))
+      .select(col("tq_id"), col("t.m").as("m"), col("t.j").as("j"), col("t.d").as("d"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("adc_d"), col("c_id"))
+    served.join(broadcast(probes),
+        col("cell") === col("pcell") && col("q_id") =!= col("c_id"))
+      .join(broadcast(dtab),
+        col("tq_id") === col("q_id") && col("m") === col("em") && col("j") === col("code"))
+      .groupBy(col("q_id"), col("c_id")).agg(sum(col("d")).as("adc_d"))
+      .withColumn("rnk", row_number().over(wTop))
+      .where(col("rnk") <= 3)
+      .select(col("q_id"), col("rnk"), col("c_id"), col("adc_d"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   private val simIvfPqPersisted = Q(
     (s, dir) => {
       graft.expressions.SquaredL2.registerIn(s)
       val v = NorthStarQueries.kmeansQuantizedIndex(s, dir)
-      val cents: Seq[(Int, Seq[Long])] = v
-        .where(col("vec_id").between(100, 115)).collect()
-        .map(r => ((r.getLong(0) - 100).toInt, r.getSeq[Long](1)))
-        .sortBy(_._1).toSeq
-      val cellStructs = cents.map { case (j, c) =>
-        s"struct(sq_l2(xq, cast(array(${c.mkString(",")}) as array<bigint>)) AS d, " +
-          s"cast($j as bigint) AS j)"
-      }
-      val cellSorted = s"array_sort(array(${cellStructs.mkString(", ")}))"
+      val cellSorted = ivfCellSortedExpr(v)
       val vc = v.withColumn("cell", expr(s"element_at($cellSorted, 1).j"))
       val cb = NorthStarQueries.pqCodebook(v)
-      val encExprs = NorthStarQueries.pqEncodeExprs(cb)
       // BUILD: the stored index — (c_id, m, code) rows partitioned by cell
       val base = scratchDir("ivfidx")
-      vc.select(col("vec_id").as("c_id"), col("cell"),
-          explode(expr(s"array(${encExprs.mkString(", ")})")).as("e"))
-        .select(col("c_id"), col("cell"), col("e.em").as("em"), col("e.code").as("code"))
+      ivfPqIndexRows(vc, cb)
         .write.mode("overwrite").partitionBy("cell").parquet(base)
-      // SERVE: probed cells collected (bounded <= IVF_CELLS values) and
-      // applied as a STATIC partition filter — only those cells' files
-      // are read
-      val probes = v.where(col("vec_id") < PQ_CODES)
-        .select(col("vec_id").as("q_id"),
-          explode(expr(s"transform(slice($cellSorted, 1, 2), t -> t.j)")).as("pcell"))
-        .localCheckpoint(true)
-      val probedCells = probes.select(col("pcell")).distinct()
-        .collect().map(_.getLong(0)).sorted
-      val served = s.read.parquet(base)
-        .where(col("cell").isin(probedCells: _*))
-      val dtabStructs = (0 until PQ_M).flatMap { m =>
-        cb(m).map { case (j, c) =>
-          s"struct(cast($m as bigint) AS m, cast($j as bigint) AS j, " +
-            s"sq_l2(xq, cast(array(${c.mkString(",")}) as array<bigint>), ${m * 8}) AS d)"
-        }
-      }
-      val dtab = v.where(col("vec_id") < PQ_CODES)
-        .select(col("vec_id").as("tq_id"),
-          explode(expr(s"array(${dtabStructs.mkString(", ")})")).as("t"))
-        .select(col("tq_id"), col("t.m").as("m"), col("t.j").as("j"), col("t.d").as("d"))
-      val wTop = Window.partitionBy(col("q_id")).orderBy(col("adc_d"), col("c_id"))
-      val out = served.join(broadcast(probes),
-          col("cell") === col("pcell") && col("q_id") =!= col("c_id"))
-        .join(broadcast(dtab),
-          col("tq_id") === col("q_id") && col("m") === col("em") && col("j") === col("code"))
-        .groupBy(col("q_id"), col("c_id")).agg(sum(col("d")).as("adc_d"))
-        .withColumn("rnk", row_number().over(wTop))
-        .where(col("rnk") <= 3)
-        .select(col("q_id"), col("rnk"), col("c_id"), col("adc_d"))
-        .orderBy(col("q_id"), col("rnk"))
-        .localCheckpoint(true)
+      val out = ivfPqServeStore(s, v, base, cellSorted, cb).localCheckpoint(true)
+      scratchDelete(base)
+      out
+    },
+    simIvfPq.oracle)
+
+  /** Incremental IVF-PQ index maintenance — the ANN analog of
+    * [[corpusUpsert]]: the index is first built from the vectors already
+    * ingested (vec_id % 10 != 0), then the new arrivals (the remaining
+    * tenth) are assigned to their cells and APPENDED to the
+    * cell-partitioned store — no rebuild, no rewrite of existing files
+    * (CurationSpec asserts the base files survive byte-identical). The
+    * gate then serves the standard ADC search over the appended store
+    * with the SAME oracle as the one-shot build: any lost, duplicated,
+    * or mis-assigned appended vector changes the top-3 lists and
+    * hash-fails.
+    *
+    * Scale: this is how a 100 TB vector index tracks a growing corpus —
+    * per-batch work is one map-only assign+encode over the ARRIVALS plus
+    * an append write into the cells they land in; search cost is
+    * unchanged (partition-pruned to probed cells). Codebook/centroids
+    * stay frozen across the append, exactly like production (drift is
+    * [[simIvfBalance]]'s job to detect).
+    */
+  private val simIvfAppend = Q(
+    (s, dir) => {
+      graft.expressions.SquaredL2.registerIn(s)
+      val v = NorthStarQueries.kmeansQuantizedIndex(s, dir)
+      val cellSorted = ivfCellSortedExpr(v)
+      val vc = v.withColumn("cell", expr(s"element_at($cellSorted, 1).j"))
+      val cb = NorthStarQueries.pqCodebook(v)
+      val base = scratchDir("ivfappend")
+      ivfPqIndexRows(vc.where(col("vec_id") % 10 =!= 0), cb)
+        .write.mode("overwrite").partitionBy("cell").parquet(base)
+      ivfPqIndexRows(vc.where(col("vec_id") % 10 === 0), cb)
+        .write.mode("append").partitionBy("cell").parquet(base)
+      val out = ivfPqServeStore(s, v, base, cellSorted, cb).localCheckpoint(true)
       scratchDelete(base)
       out
     },
@@ -3315,6 +3378,7 @@ object CurationQueries {
     "ns_sim_sq8_recall" -> simSq8Recall,
     "ns_sim_ivfpq" -> simIvfPq,
     "ns_sim_ivfpq_persisted" -> simIvfPqPersisted,
+    "ns_sim_ivf_append" -> simIvfAppend,
     "ns_embed_pca_power" -> embedPcaPower,
     "ns_sim_knn_2hop" -> simKnn2Hop,
     "ns_embed_pca_project" -> embedPcaProject,

@@ -2915,7 +2915,7 @@ object NorthStarQueries {
     * queries (the ADC gate hash depends on it) — change this builder
     * and the string templates together or not at all.
     */
-  private[queries] def pqCodebook(v: DataFrame): Map[Int, Seq[(Int, Seq[Long])]] =
+  private[graft] def pqCodebook(v: DataFrame): Map[Int, Seq[(Int, Seq[Long])]] =
     v.where(col("vec_id") < PQ_CODES).collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Long](1)))
       .flatMap { case (j, xs) =>

@@ -679,6 +679,43 @@ class CurationSpec extends SparkSpec {
       s"floor-div shares should sum to just under 1e6: $shareSum")
   }
 
+  test("ivf append: base index files survive byte-identical, arrivals only add") {
+    import org.apache.spark.sql.functions._
+    graft.expressions.SquaredL2.registerIn(spark)
+    val v = graft.queries.NorthStarQueries.kmeansQuantizedIndex(spark, sfDir)
+    val cellSorted = graft.queries.CurationQueries.ivfCellSortedExpr(v)
+    val vc = v.withColumn("cell", expr(s"element_at($cellSorted, 1).j"))
+    val cb = graft.queries.NorthStarQueries.pqCodebook(v)
+    val base = graft.queries.Q.scratchDir("ivfappend-spec")
+    graft.queries.CurationQueries
+      .ivfPqIndexRows(vc.where(col("vec_id") % 10 =!= 0), cb)
+      .write.mode("overwrite").partitionBy("cell").parquet(base)
+    def files(): Map[String, (Long, Long)] = {
+      val b = new java.io.File(base)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(b).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> (f.length(), f.lastModified())).toMap
+    }
+    val before = files()
+    val baseRows = spark.read.parquet(base).count()
+    graft.queries.CurationQueries
+      .ivfPqIndexRows(vc.where(col("vec_id") % 10 === 0), cb)
+      .write.mode("append").partitionBy("cell").parquet(base)
+    val after = files()
+    // every pre-append file is still there, same bytes, untouched mtime
+    before.foreach { case (path, stat) =>
+      assert(after.get(path).contains(stat),
+        s"append rewrote a base index file: $path")
+    }
+    assert(after.size > before.size, "append must add files")
+    val total = spark.read.parquet(base).count()
+    val arrivals = vc.where(col("vec_id") % 10 === 0).count() * 8 // PQ_M rows/vec
+    assert(total == baseRows + arrivals,
+      s"appended store rows: $total != $baseRows + $arrivals")
+    graft.queries.Q.scratchDelete(base)
+  }
+
   test("matryoshka: 16 queries, recall bounded, truncation loses something") {
     val rows = run("ns_sim_matryoshka").collect()
     assert(rows.length == 16, "one row per fixed query")
