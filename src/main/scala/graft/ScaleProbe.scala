@@ -168,7 +168,14 @@ object ScaleProbe {
       "ns_sample_domain_cap", "ns_corpus_upsert", "ns_corpus_curriculum",
       // r14: normalization is a map-only text transform + source rollup —
       // a linear-in-text-volume floor case like code_switch
-      "ns_text_normalize")
+      "ns_text_normalize",
+      // r14: line dedup's corpus work is the checkpointed line explode +
+      // the distinct-collapsed line-df agg; replication multiplies every
+      // line's df by the factor (every cloned body line crosses df >= 3,
+      // so ~all lines flag as boilerplate — the worst-case removal rate)
+      // while the broadcast recurring set saturates at the DISTINCT-line
+      // count, which clones don't grow — wall should track line volume
+      "ns_dedup_lines")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected

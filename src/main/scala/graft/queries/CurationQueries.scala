@@ -3341,7 +3341,151 @@ object CurationQueries {
             |  cast((n_vecs * 16 * 1000000) // n_total as bigint) AS load_e6
             |FROM cells, t ORDER BY cell""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // Line-level boilerplate dedup (remove + rebuild)
+  // ---------------------------------------------------------------------
+
+  /** LINE-LEVEL dedup — the RefinedWeb/CCNet cleaning stage that removes
+    * every occurrence of a line recurring across ≥ 3 distinct documents
+    * (navigation chrome, cookie banners, per-site footers) and
+    * reassembles each document from its surviving lines. Distinct from
+    * [[dedupRewrite]] (keep-FIRST chunk dedup: one copy survives) and
+    * from `ns_text_boilerplate` (detection only): boilerplate lines are
+    * dropped from ALL documents, including the first.
+    *
+    * The fixture corpus has no newlines, so lines derive as fixed 8-token
+    * groups, and the boilerplate to remove is INJECTED deterministically
+    * (the textNormalize/pipelineDelta generative idiom): a global header
+    * line at `doc_id % 5 = 0`, a per-source footer at `% 2 = 0` — both
+    * recur far above the df ≥ 3 threshold, so the output proves every
+    * injected line was cleared (`injected_survived` must be 0; a miss
+    * hash-fails the gate). `organic_removed` counts fixture lines that
+    * genuinely recur in ≥ 3 docs (the exact-dup clusters the dedup family
+    * targets — line dedup removing them too is the documented CCNet
+    * behavior, not an error), and `fp_clean` pins every byte of the
+    * rebuilt corpus via the order-independent md5-prefix sum.
+    *
+    * Scale: the exploded line stream is localCheckpoint'd because it
+    * feeds two consumers (df aggregate + flag join) — without it the
+    * tokenize+explode runs twice (the dedupContainment lesson). The df
+    * aggregate is a line-keyed partial-aggregable shuffle over the
+    * DISTINCT (line, doc) stream; the recurring set (df ≥ 3) is
+    * boilerplate by definition — orders of magnitude smaller than the
+    * line stream — and broadcasts back, so flagging is map-side and the
+    * corpus text is never shuffled for the filter. The rebuild is the
+    * dedupRewrite in-aggregate ordered reassembly (array_sort over ≤
+    * lines-per-doc structs inside the doc agg), then a source rollup
+    * shuffles only counters and bigint fingerprints.
+    */
+  private val dedupLines = Q(
+    (s, dir) => {
+      val L = 8
+      val lines = TS(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_body", ceil(size(col("toks")) / L.toDouble).cast("int"))
+        .withColumn("body", expr(
+          s"transform(sequence(0, n_body - 1), g -> array_join(slice(toks, g * $L + 1, $L), ' '))"))
+        .withColumn("lines", expr(
+          """concat(
+            |  slice(array('boiler header global promo'), 1,
+            |        cast(doc_id % 5 = 0 as int)),
+            |  body,
+            |  slice(array(concat('boiler footer ', source)), 1,
+            |        cast(doc_id % 2 = 0 as int)))""".stripMargin))
+        .select(col("doc_id"), col("source"),
+          posexplode(col("lines")).as(Seq("pos", "line")))
+        .localCheckpoint(true)
+      val boiler = lines.select(col("line"), col("doc_id")).distinct()
+        .groupBy(col("line")).agg(count(lit(1)).as("nd"))
+        .where(col("nd") >= 3)
+        .select(col("line"), lit(true).as("is_boiler"))
+      val docs = lines
+        .join(broadcast(boiler), Seq("line"), "left")
+        .withColumn("keep", col("is_boiler").isNull)
+        .withColumn("injected", col("line").startsWith("boiler "))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(when(!col("keep"), 1L).otherwise(0L)).as("n_removed"),
+          sum(when(col("injected"), 1L).otherwise(0L)).as("n_injected"),
+          sum(when(col("injected") && !col("keep"), 1L).otherwise(0L))
+            .as("inj_removed"),
+          sum(when(!col("injected") && !col("keep"), 1L).otherwise(0L))
+            .as("org_removed"),
+          sum(when(col("keep"), size(split(col("line"), " ")).cast("long"))
+            .otherwise(0L)).as("toks_kept"),
+          expr("""md5(array_join(transform(
+                 |  array_sort(collect_list(
+                 |    CASE WHEN keep THEN struct(pos, line) END)),
+                 |  x -> x.line), ' '))""".stripMargin).as("clean_md5"))
+      docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_lines")).as("n_lines"),
+          sum(col("n_removed")).as("n_removed"),
+          sum(col("n_injected") - col("inj_removed")).as("injected_survived"),
+          sum(col("org_removed")).as("organic_removed"),
+          sum(col("toks_kept")).as("toks_kept"),
+          sum(expr("cast(conv(substring(clean_md5, 1, 8), 16, 10) as bigint)"))
+            .as("fp_clean"))
+        .withColumn("injected_cleared", col("injected_survived") === 0L)
+        .orderBy(col("source"))
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, source, string_split(text, ' ') AS toks,
+           |    cast(ceil(len(string_split(text, ' ')) / 8.0) as int) AS n_body
+           |  FROM documents
+           |), body AS (
+           |  SELECT doc_id, source,
+           |    unnest(generate_series(0, n_body - 1)) AS g,
+           |    unnest(list_transform(generate_series(0, n_body - 1),
+           |      i -> array_to_string(toks[i * 8 + 1 : i * 8 + 8], ' '))) AS line
+           |  FROM t
+           |), l AS (
+           |  SELECT doc_id, source, g + 1 AS pos, line FROM body
+           |  UNION ALL
+           |  SELECT doc_id, source, 0 AS pos,
+           |    'boiler header global promo' AS line
+           |  FROM t WHERE doc_id % 5 = 0
+           |  UNION ALL
+           |  SELECT doc_id, source, n_body + 1 AS pos,
+           |    'boiler footer ' || source AS line
+           |  FROM t WHERE doc_id % 2 = 0
+           |), b AS (
+           |  SELECT line FROM (
+           |    SELECT line, count(DISTINCT doc_id) AS nd FROM l GROUP BY line)
+           |  WHERE nd >= 3
+           |), f AS (
+           |  SELECT l.doc_id, l.source, l.pos, l.line,
+           |    (b.line IS NOT NULL) AS is_boiler,
+           |    (l.line LIKE 'boiler %') AS injected
+           |  FROM l LEFT JOIN b ON l.line = b.line
+           |), d AS (
+           |  SELECT doc_id, source, count(*) AS n_lines,
+           |    sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS n_removed,
+           |    sum(CASE WHEN injected THEN 1 ELSE 0 END) AS n_injected,
+           |    sum(CASE WHEN injected AND is_boiler THEN 1 ELSE 0 END)
+           |      AS inj_removed,
+           |    sum(CASE WHEN NOT injected AND is_boiler THEN 1 ELSE 0 END)
+           |      AS org_removed,
+           |    sum(CASE WHEN NOT is_boiler
+           |        THEN len(string_split(line, ' ')) ELSE 0 END) AS toks_kept,
+           |    md5(coalesce(string_agg(CASE WHEN NOT is_boiler THEN line END,
+           |      ' ' ORDER BY pos), '')) AS clean_md5
+           |  FROM f GROUP BY doc_id, source
+           |)
+           |SELECT source, count(*) AS n_docs,
+           |  cast(sum(n_lines) as bigint) AS n_lines,
+           |  cast(sum(n_removed) as bigint) AS n_removed,
+           |  cast(sum(n_injected - inj_removed) as bigint) AS injected_survived,
+           |  cast(sum(org_removed) as bigint) AS organic_removed,
+           |  cast(sum(toks_kept) as bigint) AS toks_kept,
+           |  cast(sum(cast('0x' || substr(clean_md5, 1, 8) as bigint)) as bigint)
+           |    AS fp_clean,
+           |  (sum(n_injected - inj_removed) = 0) AS injected_cleared
+           |FROM d GROUP BY source ORDER BY source""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "ns_dedup_lines" -> dedupLines,
     "ns_sample_domain_cap" -> sampleDomainCap,
     "ns_text_normalize" -> textNormalize,
     "ns_corpus_upsert" -> corpusUpsert,
