@@ -224,7 +224,11 @@ object ScaleProbe {
       // + a C-group count — expected ~linear with the assignment scan;
       // the incremental append writes 0.9N + 0.1N index rows per run, so
       // its wall should track the persisted build's
-      "ns_sim_ivf_balance", "ns_sim_ivf_append")
+      "ns_sim_ivf_balance", "ns_sim_ivf_append",
+      // r14: JL projection is map-only vs the sign-matrix literal; the
+      // two broadcast-query searches track matryoshka's growth, and the
+      // distortion pass is queries x 5 pairs — corpus-independent
+      "ns_sim_jl_recall")
     // probes over the embeddings fixture that do NOT resolve through the
     // query catalog (custom parameterization below)
     val customVecProbes = Seq("ns_dedup_semantic_kprop")
@@ -283,6 +287,7 @@ object ScaleProbe {
       timeVec("ns_embed_outliers")
       timeVec("ns_sim_ivf_balance")
       timeVec("ns_sim_ivf_append")
+      timeVec("ns_sim_jl_recall")
 
       // Semantic dedup at the PRODUCTION configuration: k ∝ N (one
       // cluster per ~2500 vectors), seeds stride-spaced so they are k

@@ -3484,7 +3484,186 @@ object CurationQueries {
            |  (sum(n_injected - inj_removed) = 0) AS injected_cleared
            |FROM d GROUP BY source ORDER BY source""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // Johnson-Lindenstrauss random-projection recall + distortion audit
+  // ---------------------------------------------------------------------
+
+  /** The 16 x 64 JL sign matrix as a Spark array literal: entry (j, i) is
+    * ±1 from the parity of the first hex digit of `md5("jl:j:i")` — the
+    * same derivation the DuckDB oracle runs in SQL, so both engines use
+    * the identical matrix without shipping data. Computed ONCE driver
+    * side (1024 ints, corpus-independent) and baked into the plan as a
+    * literal, the PQ-codebook idiom — per-row md5 hashing of matrix keys
+    * would be 1024 digests per vector at 100 TB.
+    */
+  private lazy val jlSignLiteral: String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until 16).map { j =>
+      (1 to 64).map { i =>
+        val d = md.digest(s"jl:$j:$i".getBytes("UTF-8"))
+        if (((d(0) >> 4) & 0xf) % 2 == 0) "1" else "-1"
+      }.mkString("array(", ",", ")")
+    }.mkString("array(", ",", ")")
+  }
+
+  /** Johnson-Lindenstrauss random projection 64 -> 16 dims with a
+    * retrieval-quality audit: recall@5 of projected-space search vs
+    * exact full-dim search, plus the per-query mean cosine DISTORTION
+    * over the exact top-5 pairs (the quantity the JL lemma bounds).
+    * Complements [[simMatryoshka]]: truncation only works on
+    * MRL-trained embeddings, while a random ±1 projection (Achlioptas'
+    * database-friendly variant) compresses ANY embedding table 4x —
+    * this audit is the measurement that decides whether the compressed
+    * scan is safe to serve. (On the fixture's near-random embeddings the
+    * top-5 margin is noise-width, so measured recall is pessimistic —
+    * exactly the verdict the audit SHOULD return for unclusterable
+    * vectors; the distortion column shows why: ~0.1-0.3 cosine error vs
+    * the fixture's near-zero inter-vector cosines.)
+    *
+    * Determinism: elements quantize to a 2^20 fixed-point grid (exact in
+    * double: float mantissa 24 bits x 2^20 stays integral), the sign-dot
+    * accumulations are exact bigint sums, each cosine is ONE IEEE
+    * division of identical bigints, and the distortion mean is an
+    * integer `div` over floor-scaled e6 terms — bit-identical across
+    * engines.
+    *
+    * Shape: the projection is MAP-ONLY against the sign-matrix literal;
+    * the two searches are independently rank-pruned broadcast-query
+    * passes intersected on (q, c) (the simMatryoshka/sq8 shape —
+    * brute-force is the declared audit form, query-sample-bounded; a
+    * deployment serves JL vectors through the same IVF/LSH bucketing as
+    * full-width ones). The distortion pass touches only queries x 5
+    * pairs: the exact-top-5 shortlist broadcasts back to the projected
+    * table by id (the pq_rerank idiom), never the reverse.
+    */
+  private val simJlRecall = Q(
+    (s, dir) => {
+      graft.expressions.ScaledDotProduct.registerIn(s)
+      val e = TS(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          expr("scaled_dot(embedding, embedding)").as("nrm"),
+          expr(s"""transform(sequence(0, 15), j ->
+                  |  aggregate(sequence(1, 64), cast(0 as bigint), (acc, i) ->
+                  |    acc + element_at(element_at($jlSignLiteral, j + 1), i) *
+                  |      cast(floor(cast(element_at(embedding, i) as double)
+                  |        * 1048576.0) as bigint)))""".stripMargin).as("p"))
+        .withColumn("nrmp",
+          expr("aggregate(p, cast(0 as bigint), (a, x) -> a + x * x)"))
+        .localCheckpoint(true)
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("c_id"))
+      val full = broadcast(
+          e.where(col("vec_id") < 16).select(col("vec_id").as("q_id"),
+            col("embedding").as("q_emb"), col("nrm").as("nq")))
+        .join(e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          col("nrm").as("nc")), col("q_id") =!= col("c_id"))
+        .withColumn("cos",
+          expr("scaled_dot(q_emb, c_emb)").cast("double") /
+            (sqrt(col("nq").cast("double")) * sqrt(col("nc").cast("double"))))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 5)
+        .select(col("q_id"), col("c_id"), col("cos").as("cosf"))
+        .localCheckpoint(true)
+      val jl = broadcast(
+          e.where(col("vec_id") < 16).select(col("vec_id").as("q_id"),
+            col("p").as("qp"), col("nrmp").as("nqp")))
+        .join(e.select(col("vec_id").as("c_id"), col("p").as("cp"),
+          col("nrmp").as("ncp")), col("q_id") =!= col("c_id"))
+        .withColumn("cos",
+          expr("""cast(aggregate(zip_with(qp, cp, (x, y) -> x * y),
+                 |  cast(0 as bigint), (a, x) -> a + x) as double)""".stripMargin) /
+            (sqrt(col("nqp").cast("double")) * sqrt(col("ncp").cast("double"))))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 5)
+        .select(col("q_id"), col("c_id"))
+      val hits = full.join(jl, Seq("q_id", "c_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+      val dist = e.select(col("vec_id").as("q_id"), col("p").as("qp2"),
+          col("nrmp").as("nq2"))
+        .join(broadcast(full), Seq("q_id"))
+        .join(e.select(col("vec_id").as("c_id"), col("p").as("cp2"),
+          col("nrmp").as("nc2")), Seq("c_id"))
+        .withColumn("cosj",
+          expr("""cast(aggregate(zip_with(qp2, cp2, (x, y) -> x * y),
+                 |  cast(0 as bigint), (a, x) -> a + x) as double)""".stripMargin) /
+            (sqrt(col("nq2").cast("double")) * sqrt(col("nc2").cast("double"))))
+        .withColumn("d_e6",
+          expr("cast(floor(abs(cosf - cosj) * 1000000.0) as bigint)"))
+        .groupBy(col("q_id"))
+        .agg(sum(col("d_e6")).as("sd"), count(lit(1)).as("n5"))
+        .select(col("q_id"), expr("sd div n5").as("distortion_e6"))
+      e.where(col("vec_id") < 16).select(col("vec_id").as("q_id"))
+        .join(hits, Seq("q_id"), "left")
+        .join(dist, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)) / lit(5.0), 6).as("recall_at5"),
+          coalesce(col("distortion_e6"), lit(0L)).as("distortion_e6"))
+        .orderBy(col("q_id"))
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, embedding,
+            |    ${NorthStarQueries.scaledDotSql("embedding", "embedding")} AS nrm,
+            |    list_transform(generate_series(0, 15), j ->
+            |      list_sum(list_transform(generate_series(1, 64), i ->
+            |        (1 - 2 * (cast('0x' || substr(md5('jl:' || j || ':' || i), 1, 1)
+            |           as int) % 2)) *
+            |        cast(floor(embedding[i]::double * 1048576.0) as bigint)))) AS p
+            |  FROM embeddings
+            |), e2 AS (
+            |  SELECT vec_id, embedding, nrm, p,
+            |    list_sum(list_transform(p, x -> x * x)) AS nrmp
+            |  FROM e
+            |), pf AS (
+            |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+            |    cast(${NorthStarQueries.scaledDotSql("q.embedding", "c.embedding")}
+            |      as double)
+            |      / (sqrt(cast(q.nrm as double)) * sqrt(cast(c.nrm as double))) AS cos
+            |  FROM e2 q, e2 c WHERE q.vec_id < 16 AND q.vec_id <> c.vec_id
+            |), ff AS (
+            |  SELECT q_id, c_id, cos AS cosf FROM (
+            |    SELECT q_id, c_id, cos,
+            |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
+            |    FROM pf) WHERE rn <= 5
+            |), pj AS (
+            |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+            |    cast(list_sum(list_transform(generate_series(1, 16), k ->
+            |      q.p[k] * c.p[k])) as double)
+            |      / (sqrt(cast(q.nrmp as double)) * sqrt(cast(c.nrmp as double))) AS cos
+            |  FROM e2 q, e2 c WHERE q.vec_id < 16 AND q.vec_id <> c.vec_id
+            |), fj AS (
+            |  SELECT q_id, c_id FROM (
+            |    SELECT q_id, c_id,
+            |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
+            |    FROM pj) WHERE rn <= 5
+            |), h AS (
+            |  SELECT f.q_id, count(*) AS n_hits
+            |  FROM ff f JOIN fj t ON f.q_id = t.q_id AND f.c_id = t.c_id
+            |  GROUP BY f.q_id
+            |), dd AS (
+            |  SELECT f.q_id,
+            |    cast(floor(abs(f.cosf -
+            |      cast(list_sum(list_transform(generate_series(1, 16), k ->
+            |        a.p[k] * b.p[k])) as double)
+            |        / (sqrt(cast(a.nrmp as double)) * sqrt(cast(b.nrmp as double))))
+            |      * 1000000.0) as bigint) AS d_e6
+            |  FROM ff f JOIN e2 a ON a.vec_id = f.q_id
+            |            JOIN e2 b ON b.vec_id = f.c_id
+            |), d AS (
+            |  SELECT q_id, cast(sum(d_e6) // count(*) as bigint) AS distortion_e6
+            |  FROM dd GROUP BY q_id
+            |)
+            |SELECT q.vec_id AS q_id,
+            |  cast(coalesce(h.n_hits, 0) as bigint) AS n_hits,
+            |  round(coalesce(h.n_hits, 0) / 5.0, 6) AS recall_at5,
+            |  cast(coalesce(d.distortion_e6, 0) as bigint) AS distortion_e6
+            |FROM embeddings q
+            |LEFT JOIN h ON h.q_id = q.vec_id
+            |LEFT JOIN d ON d.q_id = q.vec_id
+            |WHERE q.vec_id < 16 ORDER BY q_id""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "ns_sim_jl_recall" -> simJlRecall,
     "ns_dedup_lines" -> dedupLines,
     "ns_sample_domain_cap" -> sampleDomainCap,
     "ns_text_normalize" -> textNormalize,
