@@ -175,7 +175,11 @@ object ScaleProbe {
       // so ~all lines flag as boilerplate — the worst-case removal rate)
       // while the broadcast recurring set saturates at the DISTINCT-line
       // count, which clones don't grow — wall should track line volume
-      "ns_dedup_lines")
+      "ns_dedup_lines",
+      // r14: calibration = one map-only double-scoring pass narrowed to
+      // 16 bytes/doc before the checkpoint; percentile + <=10-group
+      // rollup both read the checkpoint — the curriculum floor class
+      "ns_quality_calibration")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected
@@ -228,7 +232,11 @@ object ScaleProbe {
       // r14: JL projection is map-only vs the sign-matrix literal; the
       // two broadcast-query searches track matryoshka's growth, and the
       // distortion pass is queries x 5 pairs — corpus-independent
-      "ns_sim_jl_recall")
+      "ns_sim_jl_recall",
+      // r14: filtered IVF = the ivfTopk skeleton with the label predicate
+      // in the join condition; replication multiplies per-cell matching
+      // candidates, so the shortfall rate should FALL as the corpus grows
+      "ns_sim_ivf_filtered")
     // probes over the embeddings fixture that do NOT resolve through the
     // query catalog (custom parameterization below)
     val customVecProbes = Seq("ns_dedup_semantic_kprop")
@@ -288,6 +296,7 @@ object ScaleProbe {
       timeVec("ns_sim_ivf_balance")
       timeVec("ns_sim_ivf_append")
       timeVec("ns_sim_jl_recall")
+      timeVec("ns_sim_ivf_filtered")
 
       // Semantic dedup at the PRODUCTION configuration: k ∝ N (one
       // cluster per ~2500 vectors), seeds stride-spaced so they are k

@@ -3662,8 +3662,267 @@ object CurationQueries {
             |LEFT JOIN d ON d.q_id = q.vec_id
             |WHERE q.vec_id < 16 ORDER BY q_id""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // Label-filtered IVF search (metadata-constrained ANN)
+  // ---------------------------------------------------------------------
+
+  /** FILTERED vector search — top-3 same-label neighbors through the IVF
+    * index (nprobe = 2), audited against exact filtered search. The
+    * metadata predicate (tenant / language / category — here the fixture
+    * label) applies to the probed inverted lists BEFORE any distance is
+    * scored, so the scored set shrinks by the filter's selectivity — and
+    * that interaction is exactly what this audit measures: with ~10
+    * labels, each probed cell holds ~1/10th the usual matching
+    * candidates, so `n_cand` can fall under k and `shortfall` flags the
+    * queries where the index returned fewer than 3 results at all (the
+    * filtered-ANN failure mode that forces nprobe up in production; the
+    * unfiltered twin `ns_sim_ivf_topk` never underflows).
+    *
+    * Scale: identical plan skeleton to [[NorthStarQueries]]'s ivfTopk —
+    * broadcast-centroid argmax assignment, per-probe cell equi-join with
+    * the label predicate pushed into the join condition (Catalyst folds
+    * it into the join filter, so non-matching postings never reach the
+    * rank window), map-side-pruned top-3; the exact side is the
+    * query-sample-bounded broadcast pass with the same predicate. The
+    * candidate stream localCheckpoints because three reads derive from
+    * it (candidate counts, found counts, the hit intersection).
+    */
+  private val simIvfFiltered = Q(
+    (s, dir) => {
+      graft.expressions.ScaledDotProduct.registerIn(s)
+      val e = TS(s, dir, "embeddings")
+        .withColumn("nrm", expr("scaled_dot(embedding, embedding)"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cen_cos").desc, col("cen_id"))
+      val ranked = e.join(broadcast(
+          e.where(col("vec_id").between(100, 115))
+            .select(col("vec_id").as("cen_id"), col("embedding").as("cen_emb"),
+              col("nrm").as("cen_nrm"))), lit(true))
+        .withColumn("cen_cos",
+          expr("scaled_dot(embedding, cen_emb)").cast("double") /
+            (sqrt(col("nrm").cast("double")) * sqrt(col("cen_nrm").cast("double"))))
+        .withColumn("arn", row_number().over(wAssign))
+      val assigned = ranked.where(col("arn") === 1)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          col("nrm").as("nc"), col("label").as("lc"), col("cen_id").as("cell_c"))
+      val probes = ranked.where(col("arn") <= 2 && col("vec_id") < 16)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("nq"), col("label").as("lq"), col("cen_id").as("cell"))
+      val wTop = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("c_id"))
+      val cand = probes.join(assigned,
+          col("cell") === col("cell_c") && col("q_id") =!= col("c_id") &&
+            col("lq") === col("lc"))
+        .withColumn("cos", expr("scaled_dot(q_emb, c_emb)").cast("double") /
+          (sqrt(col("nq").cast("double")) * sqrt(col("nc").cast("double"))))
+        .withColumn("rnk", row_number().over(wTop))
+        .select(col("q_id"), col("c_id"), col("rnk"))
+        .localCheckpoint(true)
+      val nCand = cand.groupBy(col("q_id")).agg(count(lit(1)).as("n_cand"))
+      val ivfTop = cand.where(col("rnk") <= 3).select(col("q_id"), col("c_id"))
+      val nFound = ivfTop.groupBy(col("q_id")).agg(count(lit(1)).as("n_found"))
+      val exact = broadcast(
+          e.where(col("vec_id") < 16).select(col("vec_id").as("q_id"),
+            col("embedding").as("q_emb"), col("nrm").as("nq"),
+            col("label").as("lq")))
+        .join(e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          col("nrm").as("nc"), col("label").as("lc")),
+          col("q_id") =!= col("c_id") && col("lq") === col("lc"))
+        .withColumn("cos", expr("scaled_dot(q_emb, c_emb)").cast("double") /
+          (sqrt(col("nq").cast("double")) * sqrt(col("nc").cast("double"))))
+        .withColumn("rnk", row_number().over(wTop))
+        .where(col("rnk") <= 3)
+        .select(col("q_id"), col("c_id"))
+      val hits = exact.join(ivfTop, Seq("q_id", "c_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+      e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("q_id"), col("label").cast("int").as("label"))
+        .join(nCand, Seq("q_id"), "left")
+        .join(nFound, Seq("q_id"), "left")
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), col("label"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          coalesce(col("n_found"), lit(0L)).as("n_found"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)) / lit(3.0), 6).as("recall_at3"),
+          (coalesce(col("n_found"), lit(0L)) < 3).as("shortfall"))
+        .orderBy(col("q_id"))
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, embedding, label,
+            |    ${NorthStarQueries.scaledDotSql("embedding", "embedding")} AS nrm
+            |  FROM embeddings
+            |), cen AS (
+            |  SELECT vec_id AS cen_id, embedding AS cen_emb, nrm AS cen_nrm
+            |  FROM e WHERE vec_id BETWEEN 100 AND 115
+            |), ranked AS (
+            |  SELECT *, row_number() OVER (PARTITION BY vec_id
+            |                               ORDER BY cen_cos DESC, cen_id) AS arn
+            |  FROM (
+            |    SELECT e.vec_id, e.embedding, e.label, e.nrm, cen.cen_id,
+            |      cast(${NorthStarQueries.scaledDotSql("e.embedding", "cen.cen_emb")}
+            |        as double)
+            |        / (sqrt(cast(e.nrm as double)) * sqrt(cast(cen.cen_nrm as double)))
+            |        AS cen_cos
+            |    FROM e, cen)
+            |), assigned AS (
+            |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS nc, label AS lc,
+            |    cen_id AS cell_c
+            |  FROM ranked WHERE arn = 1
+            |), probes AS (
+            |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS nq, label AS lq,
+            |    cen_id AS cell
+            |  FROM ranked WHERE arn <= 2 AND vec_id < 16
+            |), cand AS (
+            |  SELECT q.q_id, c.c_id,
+            |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+            |      cast(${NorthStarQueries.scaledDotSql("q.q_emb", "c.c_emb")} as double)
+            |        / (sqrt(cast(q.nq as double)) * sqrt(cast(c.nc as double))) DESC,
+            |      c.c_id) AS rnk
+            |  FROM probes q JOIN assigned c
+            |    ON q.cell = c.cell_c AND q.q_id <> c.c_id AND q.lq = c.lc
+            |), ncand AS (
+            |  SELECT q_id, count(*) AS n_cand FROM cand GROUP BY q_id
+            |), itop AS (SELECT q_id, c_id FROM cand WHERE rnk <= 3
+            |), nfound AS (
+            |  SELECT q_id, count(*) AS n_found FROM itop GROUP BY q_id
+            |), ex AS (
+            |  SELECT q_id, c_id FROM (
+            |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+            |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+            |        cast(${NorthStarQueries.scaledDotSql("q.embedding", "c.embedding")}
+            |          as double)
+            |          / (sqrt(cast(q.nrm as double)) * sqrt(cast(c.nrm as double))) DESC,
+            |        c.vec_id) AS rnk
+            |    FROM e q JOIN e c
+            |      ON q.vec_id < 16 AND q.vec_id <> c.vec_id AND q.label = c.label)
+            |  WHERE rnk <= 3
+            |), h AS (
+            |  SELECT x.q_id, count(*) AS n_hits
+            |  FROM ex x JOIN itop i ON x.q_id = i.q_id AND x.c_id = i.c_id
+            |  GROUP BY x.q_id
+            |)
+            |SELECT q.vec_id AS q_id, cast(q.label as int) AS label,
+            |  cast(coalesce(nc.n_cand, 0) as bigint) AS n_cand,
+            |  cast(coalesce(nf.n_found, 0) as bigint) AS n_found,
+            |  cast(coalesce(h.n_hits, 0) as bigint) AS n_hits,
+            |  round(coalesce(h.n_hits, 0) / 3.0, 6) AS recall_at3,
+            |  (coalesce(nf.n_found, 0) < 3) AS shortfall
+            |FROM e q
+            |LEFT JOIN ncand nc ON nc.q_id = q.vec_id
+            |LEFT JOIN nfound nf ON nf.q_id = q.vec_id
+            |LEFT JOIN h ON h.q_id = q.vec_id
+            |WHERE q.vec_id < 16 ORDER BY q_id""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Quality-classifier calibration audit (reliability diagram + ECE)
+  // ---------------------------------------------------------------------
+
+  /** CALIBRATION audit of the quality classifier — the reliability
+    * diagram an ML-ops pass draws before trusting [[qualityLogreg]]'s
+    * keep-probabilities as sampling weights (DSIR, curriculum, and the
+    * threshold sweep all consume the score AS a probability; an
+    * uncalibrated classifier silently skews every one of them): docs
+    * bucket by predicted-probability decile, and each bucket compares
+    * the mean predicted probability against the EMPIRICAL pass rate of
+    * the rule-based gate (`ns_filter_quality_gate`'s exact definition:
+    * not blocklisted AND rule-quality >= the corpus p25 floor) — the
+    * label the classifier is meant to replace. `gap_e6` per decile is
+    * the reliability-diagram deviation; the n-weighted gaps are the ECE
+    * terms. All-integer outputs (e6 fixed point, integer div) so the
+    * cross-engine hash is exact.
+    *
+    * Scale: ONE corpus pass computes both scores map-side, then narrows
+    * to three 16-byte columns and localCheckpoints — the percentile
+    * branch (1 scalar broadcast back) and the decile rollup both read
+    * the checkpoint, not the text (the corpusCurriculum lesson). The
+    * rollup is <= 10 groups at any corpus size.
+    */
+  private val qualityCalibration = Q(
+    (s, dir) => {
+      val stopArr = "array('the','a','of','and','to','in','is','it')"
+      val scored = TS(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_toks", size(col("toks")).cast("double"))
+        .withColumn("mean_len",
+          (length(col("text")).cast("double") - (col("n_toks") - 1.0)) / col("n_toks"))
+        .withColumn("stop_ratio",
+          expr(s"size(filter(toks, t -> array_contains($stopArr, t)))").cast("double")
+            / col("n_toks"))
+        .withColumn("digit_ratio",
+          (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+            .cast("double") / length(col("text")).cast("double"))
+        .withColumn("z",
+          lit(-1.5) + lit(0.004) * col("n_toks") + lit(0.35) * col("mean_len")
+            + lit(4.0) * col("stop_ratio") - lit(6.0) * col("digit_ratio"))
+        .withColumn("keep_prob", round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6))
+        .withColumn("quality", round(
+          size(array_distinct(col("toks"))).cast("double") /
+            size(col("toks")).cast("double") * 0.5 +
+            least(size(col("toks")).cast("double") / 100, lit(1.0)) * 0.5, 6))
+        .withColumn("bad", col("text").rlike("(^| )(dup|slow)( |$)"))
+        .select(col("keep_prob"), col("quality"), col("bad"))
+        .localCheckpoint(true)
+      val thr = scored.agg(
+        round(expr("percentile(quality, 0.25)"), 6).as("q25"))
+      scored.crossJoin(broadcast(thr))
+        .withColumn("pass", !col("bad") && col("quality") >= col("q25"))
+        .withColumn("decile", expr("cast(floor(keep_prob * 10) as bigint)"))
+        .withColumn("pred_e6",
+          expr("cast(round(keep_prob * 1000000, 0) as bigint)"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+          sum(col("pred_e6")).as("sp"))
+        .select(col("decile"), col("n_docs"), col("n_pass"),
+          expr("sp div n_docs").as("mean_pred_e6"),
+          expr("(n_pass * 1000000) div n_docs").as("pass_rate_e6"))
+        .withColumn("gap_e6", abs(col("mean_pred_e6") - col("pass_rate_e6")))
+        .orderBy(col("decile"))
+    },
+    Some("""WITH f AS (
+           |  SELECT text, string_split(text, ' ') AS toks,
+           |    cast(len(string_split(text, ' ')) as double) AS n_toks,
+           |    (cast(len(text) as double) - (len(string_split(text, ' ')) - 1.0))
+           |      / len(string_split(text, ' ')) AS mean_len,
+           |    cast(len(list_filter(string_split(text, ' '),
+           |      t -> list_contains(['the','a','of','and','to','in','is','it'], t)))
+           |      as double) / len(string_split(text, ' ')) AS stop_ratio,
+           |    cast(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) as double)
+           |      / cast(len(text) as double) AS digit_ratio
+           |  FROM documents
+           |), sc AS (
+           |  SELECT
+           |    round(1.0 / (1.0 + exp(-(-1.5 + 0.004 * n_toks + 0.35 * mean_len
+           |      + 4.0 * stop_ratio - 6.0 * digit_ratio))), 6) AS keep_prob,
+           |    round(cast(len(list_distinct(toks)) as double) / len(toks) * 0.5
+           |      + least(cast(len(toks) as double) / 100, 1.0) * 0.5, 6) AS quality,
+           |    regexp_matches(text, '(^| )(dup|slow)( |$)') AS bad
+           |  FROM f
+           |), thr AS (
+           |  SELECT round(quantile_cont(quality, 0.25), 6) AS q25 FROM sc
+           |), g AS (
+           |  SELECT cast(floor(keep_prob * 10) as bigint) AS decile,
+           |    cast(round(keep_prob * 1000000, 0) as bigint) AS pred_e6,
+           |    (NOT bad AND quality >= q25) AS pass
+           |  FROM sc, thr
+           |), a AS (
+           |  SELECT decile, count(*) AS n_docs,
+           |    cast(sum(CASE WHEN pass THEN 1 ELSE 0 END) as bigint) AS n_pass,
+           |    cast(sum(pred_e6) as bigint) AS sp
+           |  FROM g GROUP BY decile
+           |)
+           |SELECT decile, n_docs, n_pass,
+           |  cast(sp // n_docs as bigint) AS mean_pred_e6,
+           |  cast((n_pass * 1000000) // n_docs as bigint) AS pass_rate_e6,
+           |  cast(abs(sp // n_docs - (n_pass * 1000000) // n_docs) as bigint)
+           |    AS gap_e6
+           |FROM a ORDER BY decile""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "ns_sim_jl_recall" -> simJlRecall,
+    "ns_sim_ivf_filtered" -> simIvfFiltered,
+    "ns_quality_calibration" -> qualityCalibration,
     "ns_dedup_lines" -> dedupLines,
     "ns_sample_domain_cap" -> sampleDomainCap,
     "ns_text_normalize" -> textNormalize,
