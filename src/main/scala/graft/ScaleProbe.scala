@@ -179,7 +179,11 @@ object ScaleProbe {
       // r14: calibration = one map-only double-scoring pass narrowed to
       // 16 bytes/doc before the checkpoint; percentile + <=10-group
       // rollup both read the checkpoint — the curriculum floor class
-      "ns_quality_calibration")
+      "ns_quality_calibration",
+      // r14: sft masks = one map-only ~n/32-row turn explode absorbed by
+      // the source-group partial agg (doc facts ride the i=0 row, no
+      // doc-keyed shuffle) — the ctx_profile floor class
+      "ns_corpus_sft_masks")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected

@@ -3919,10 +3919,113 @@ object CurationQueries {
            |    AS gap_e6
            |FROM a ORDER BY decile""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // SFT loss-mask accounting (chat-turn packing prep)
+  // ---------------------------------------------------------------------
+
+  /** SFT LOSS-MASK accounting — the pre-packing read an instruction-
+    * tuning pipeline runs before committing to a context limit: each
+    * document is treated as a conversation of alternating 32-token
+    * turns (even turn index = user, odd = assistant — the fixture's
+    * deterministic stand-in for a chat template), user turns are
+    * loss-MASKED (only assistant tokens train), and the tail past a
+    * 48-token context limit truncates (the limit sits at ~1.5 turns so
+    * the truncation branch actually fires on fixture-sized docs). Per source: conversation and
+    * token volumes by role, the TRAINABLE fraction of the kept window
+    * (the number that decides whether the mix is worth its compute),
+    * truncation loss split by role (lost assistant tokens are lost
+    * supervision; lost user tokens are just lost context), and two
+    * data-quality flags — conversations ending on a user turn (no
+    * supervision target for the last exchange) and conversations that
+    * fit the limit whole.
+    *
+    * Scale: the turn explode is a map-only generator (~n/32 rows per
+    * doc) absorbed by the per-source partial aggregate map-side — the
+    * `ns_corpus_ctx_profile` plan class; doc-level facts (ends-on-user,
+    * fits-whole, doc count) ride the i=0 turn row so there is NO
+    * doc-keyed shuffle at all, just the one source-group aggregate.
+    * Every output is an exact integer (e6 fractions via integer div).
+    */
+  private val corpusSftMasks = Q(
+    (s, dir) => {
+      val T = 32 // tokens per turn
+      val C = 48 // context limit (~1.5 turns: truncation must bite at fixture scale)
+      TS(s, dir, "documents")
+        .select(col("source"),
+          size(split(col("text"), " ")).as("n"))
+        .withColumn("n_turns", expr(s"cast(ceil(n / $T.0) as int)"))
+        .select(col("source"), col("n"), col("n_turns"),
+          posexplode(expr("sequence(0, n_turns - 1)")).as(Seq("i", "ti")))
+        .withColumn("t_len", least(lit(T), col("n") - col("ti") * T))
+        .withColumn("kept",
+          greatest(lit(0), least(col("ti") * T + col("t_len"), lit(C)) - col("ti") * T))
+        .withColumn("is_user", col("ti") % 2 === 0)
+        .groupBy(col("source"))
+        .agg(
+          sum(when(col("ti") === 0, 1L).otherwise(0L)).as("n_convs"),
+          sum(when(col("ti") === 0 && col("n_turns") % 2 === 1, 1L)
+            .otherwise(0L)).as("n_end_on_user"),
+          sum(when(col("ti") === 0 && col("n") <= C, 1L).otherwise(0L))
+            .as("n_fit_whole"),
+          sum(when(col("is_user"), col("t_len").cast("long")).otherwise(0L))
+            .as("user_toks"),
+          sum(when(!col("is_user"), col("t_len").cast("long")).otherwise(0L))
+            .as("asst_toks"),
+          sum(when(col("is_user"), col("kept").cast("long")).otherwise(0L))
+            .as("masked_kept"),
+          sum(when(!col("is_user"), col("kept").cast("long")).otherwise(0L))
+            .as("trainable_kept"))
+        .withColumn("trunc_user", col("user_toks") - col("masked_kept"))
+        .withColumn("trunc_asst", col("asst_toks") - col("trainable_kept"))
+        .withColumn("trainable_frac_e6",
+          expr("trainable_kept * 1000000 div (trainable_kept + masked_kept)"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH d AS (
+           |  SELECT source, len(string_split(text, ' ')) AS n,
+           |    cast(ceil(len(string_split(text, ' ')) / 32.0) as int) AS n_turns
+           |  FROM documents
+           |), t AS (
+           |  SELECT source, n, n_turns,
+           |    unnest(generate_series(0, n_turns - 1)) AS ti
+           |  FROM d
+           |), k AS (
+           |  SELECT source, n, n_turns, ti,
+           |    least(32, n - ti * 32) AS t_len,
+           |    greatest(0, least(ti * 32 + least(32, n - ti * 32), 48) - ti * 32)
+           |      AS kept,
+           |    (ti % 2 = 0) AS is_user
+           |  FROM t
+           |), a AS (
+           |  SELECT source,
+           |    cast(sum(CASE WHEN ti = 0 THEN 1 ELSE 0 END) as bigint) AS n_convs,
+           |    cast(sum(CASE WHEN ti = 0 AND n_turns % 2 = 1 THEN 1 ELSE 0 END)
+           |      as bigint) AS n_end_on_user,
+           |    cast(sum(CASE WHEN ti = 0 AND n <= 48 THEN 1 ELSE 0 END) as bigint)
+           |      AS n_fit_whole,
+           |    cast(sum(CASE WHEN is_user THEN t_len ELSE 0 END) as bigint)
+           |      AS user_toks,
+           |    cast(sum(CASE WHEN NOT is_user THEN t_len ELSE 0 END) as bigint)
+           |      AS asst_toks,
+           |    cast(sum(CASE WHEN is_user THEN kept ELSE 0 END) as bigint)
+           |      AS masked_kept,
+           |    cast(sum(CASE WHEN NOT is_user THEN kept ELSE 0 END) as bigint)
+           |      AS trainable_kept
+           |  FROM k GROUP BY source
+           |)
+           |SELECT source, n_convs, n_end_on_user, n_fit_whole, user_toks,
+           |  asst_toks, masked_kept, trainable_kept,
+           |  cast(user_toks - masked_kept as bigint) AS trunc_user,
+           |  cast(asst_toks - trainable_kept as bigint) AS trunc_asst,
+           |  cast(trainable_kept * 1000000 // (trainable_kept + masked_kept)
+           |    as bigint) AS trainable_frac_e6
+           |FROM a ORDER BY source""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "ns_sim_jl_recall" -> simJlRecall,
     "ns_sim_ivf_filtered" -> simIvfFiltered,
     "ns_quality_calibration" -> qualityCalibration,
+    "ns_corpus_sft_masks" -> corpusSftMasks,
     "ns_dedup_lines" -> dedupLines,
     "ns_sample_domain_cap" -> sampleDomainCap,
     "ns_text_normalize" -> textNormalize,
