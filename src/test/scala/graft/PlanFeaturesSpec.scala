@@ -439,6 +439,31 @@ class PlanFeaturesSpec extends SparkSpec {
       "src_agg_pushdown leaked useV1SourceList")
   }
 
+  test("line dedup flags by broadcast: corpus text never shuffles for the filter") {
+    // the recurring-line set (df >= 3) must come back as the broadcast
+    // build side of the flag join — a shuffled join here would move the
+    // whole line stream (the corpus text) a second time
+    val q = SparkEntry.catalog("ns_dedup_lines").fn(spark, sfDir)
+    q.collect() // finalize the adaptive plan before inspecting join nodes
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the boiler-set broadcast flag join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no shuffled join may touch the line stream:\n$plan")
+  }
+
+  test("sft masks: turn explode is absorbed map-side (3 exchanges total)") {
+    // the ~n/32-row generator must feed the source-group partial agg in
+    // the same stage; doc facts ride the i=0 row so no doc-keyed
+    // exchange exists — same budget as ns_corpus_ctx_profile
+    val q = SparkEntry.catalog("ns_corpus_sft_masks").fn(spark, sfDir)
+    val exchanges = q.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size <= 3,
+      s"expected <=3 exchanges (spread, source agg, sort), got ${exchanges.size}")
+  }
+
   test("typed Dataset surface agrees with the untyped DataFrame result") {
     import spark.implicits._
     import PlanFeaturesSpec.Doc
