@@ -240,7 +240,11 @@ object ScaleProbe {
       // r14: filtered IVF = the ivfTopk skeleton with the label predicate
       // in the join condition; replication multiplies per-cell matching
       // candidates, so the shortfall rate should FALL as the corpus grows
-      "ns_sim_ivf_filtered")
+      "ns_sim_ivf_filtered",
+      // r14: drift = one posexplode into a 64-group exact-integer agg —
+      // the dim-keyed floor case (shuffle carries 64 partial sums per
+      // partition at any corpus size)
+      "ns_embed_drift")
     // probes over the embeddings fixture that do NOT resolve through the
     // query catalog (custom parameterization below)
     val customVecProbes = Seq("ns_dedup_semantic_kprop")
@@ -301,6 +305,7 @@ object ScaleProbe {
       timeVec("ns_sim_ivf_append")
       timeVec("ns_sim_jl_recall")
       timeVec("ns_sim_ivf_filtered")
+      timeVec("ns_embed_drift")
 
       // Semantic dedup at the PRODUCTION configuration: k ∝ N (one
       // cluster per ~2500 vectors), seeds stride-spaced so they are k

@@ -4021,11 +4021,95 @@ object CurationQueries {
            |    as bigint) AS trainable_frac_e6
            |FROM a ORDER BY source""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // Embedding snapshot drift (per-dimension mean shift)
+  // ---------------------------------------------------------------------
+
+  /** EMBEDDING drift detection — the vector-space twin of the token-level
+    * `ns_pipeline_drift`: when the embedding model (or the corpus it
+    * encodes) changes between crawl snapshots, per-dimension means move,
+    * and a serving stack that mixes snapshot generations in one index
+    * silently degrades. Snapshots derive by vec_id parity (the
+    * pipelineDelta generative idiom) and snapshot B is deterministically
+    * perturbed: dims 0-3 shift by 0.15·(d+1) on the 2^20 fixed-point
+    * grid — far above the fixture's ~0.011 organic mean-difference noise
+    * (elements ~N(0, 0.125), ~250 vecs/snapshot) — so exactly those four
+    * dims must flag `drifted` and the gate hash pins it.
+    *
+    * Determinism: NO division anywhere — the shift comparison is
+    * cross-multiplied (`|sb·n_a − sa·n_b| >= thresh·n_a·n_b`, all exact
+    * bigints; Spark's `div` truncates while DuckDB's `//` floors, so
+    * integer mean division would diverge on negative sums); the one
+    * human-readable float column derives from the same bigints with an
+    * identical op order and a terminal round.
+    *
+    * Scale: one map-only posexplode into a 64-group aggregate — the
+    * dim-keyed shuffle carries partial sums, never vectors; the
+    * embedCovariance plan family one degree smaller.
+    */
+  private val embedDrift = Q(
+    (s, dir) => {
+      TS(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d0", "x")))
+        .withColumn("q", expr("cast(floor(cast(x as double) * 1048576.0) as bigint)"))
+        .withColumn("snap_b", col("vec_id") % 2 === 1)
+        .withColumn("qv", when(col("snap_b") && col("d0") < 4,
+          col("q") + (col("d0") + 1).cast("long") * 157286L).otherwise(col("q")))
+        .groupBy(col("d0").cast("long").as("dim"))
+        .agg(
+          sum(when(!col("snap_b"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("snap_b"), 1L).otherwise(0L)).as("n_b"),
+          sum(when(!col("snap_b"), col("qv")).otherwise(0L)).as("sum_a_q"),
+          sum(when(col("snap_b"), col("qv")).otherwise(0L)).as("sum_b_q"))
+        .withColumn("shift_num",
+          col("sum_b_q") * col("n_a") - col("sum_a_q") * col("n_b"))
+        .withColumn("drifted",
+          abs(col("shift_num")) >= lit(100000L) * col("n_a") * col("n_b"))
+        // + 0.0 normalizes IEEE -0.0 (a tiny negative drift rounding to
+        // zero) to +0.0 so both engines hash the same bytes
+        .withColumn("shift_r", round(
+          col("shift_num").cast("double") / col("n_a").cast("double")
+            / col("n_b").cast("double") / lit(1048576.0), 4) + lit(0.0))
+        .select(col("dim"), col("n_a"), col("n_b"), col("sum_a_q"),
+          col("sum_b_q"), col("shift_num"), col("shift_r"), col("drifted"))
+        .orderBy(col("dim"))
+    },
+    Some("""WITH x AS (
+           |  SELECT vec_id,
+           |    unnest(generate_series(1, len(embedding))) AS dim1,
+           |    unnest(embedding) AS x
+           |  FROM embeddings
+           |), q AS (
+           |  SELECT cast(dim1 - 1 as bigint) AS dim,
+           |    (vec_id % 2 = 1) AS snap_b,
+           |    cast(floor(x::double * 1048576.0) as bigint)
+           |      + CASE WHEN vec_id % 2 = 1 AND dim1 - 1 < 4
+           |             THEN cast(dim1 as bigint) * 157286 ELSE 0 END AS qv
+           |  FROM x
+           |), a AS (
+           |  SELECT dim,
+           |    cast(sum(CASE WHEN NOT snap_b THEN 1 ELSE 0 END) as bigint) AS n_a,
+           |    cast(sum(CASE WHEN snap_b THEN 1 ELSE 0 END) as bigint) AS n_b,
+           |    cast(sum(CASE WHEN NOT snap_b THEN qv ELSE 0 END) as bigint)
+           |      AS sum_a_q,
+           |    cast(sum(CASE WHEN snap_b THEN qv ELSE 0 END) as bigint) AS sum_b_q
+           |  FROM q GROUP BY dim
+           |)
+           |SELECT dim, n_a, n_b, sum_a_q, sum_b_q,
+           |  cast(sum_b_q * n_a - sum_a_q * n_b as bigint) AS shift_num,
+           |  round(cast(sum_b_q * n_a - sum_a_q * n_b as double)
+           |    / cast(n_a as double) / cast(n_b as double) / 1048576.0, 4) + 0.0
+           |    AS shift_r,
+           |  (abs(sum_b_q * n_a - sum_a_q * n_b) >= 100000 * n_a * n_b)
+           |    AS drifted
+           |FROM a ORDER BY dim""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "ns_sim_jl_recall" -> simJlRecall,
     "ns_sim_ivf_filtered" -> simIvfFiltered,
     "ns_quality_calibration" -> qualityCalibration,
     "ns_corpus_sft_masks" -> corpusSftMasks,
+    "ns_embed_drift" -> embedDrift,
     "ns_dedup_lines" -> dedupLines,
     "ns_sample_domain_cap" -> sampleDomainCap,
     "ns_text_normalize" -> textNormalize,
