@@ -183,7 +183,11 @@ object ScaleProbe {
       // r14: sft masks = one map-only ~n/32-row turn explode absorbed by
       // the source-group partial agg (doc facts ride the i=0 row, no
       // doc-keyed shuffle) — the ctx_profile floor class
-      "ns_corpus_sft_masks")
+      "ns_corpus_sft_masks",
+      // r14: reshard = a x24 md5-weight explode per doc absorbed by the
+      // partial max_by agg; downstream is 48 + 2 groups — the per-doc
+      // hashing (24 md5s/doc) is the wall, expected linear in docs
+      "ns_corpus_reshard")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected

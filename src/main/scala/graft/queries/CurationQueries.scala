@@ -4104,12 +4104,111 @@ object CurationQueries {
            |    AS drifted
            |FROM a ORDER BY dim""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // Reshard movement audit (mod vs rendezvous hashing)
+  // ---------------------------------------------------------------------
+
+  /** RESHARD planning audit — the read that decides HOW to grow the
+    * shard store from 16 to 24 shards before any byte moves: under
+    * `doc_id % S` assignment (what [[corpusUpsert]]'s store uses)
+    * growing S reassigns every document whose residue changes — exactly
+    * 2/3 of the corpus at 16→24 — while rendezvous (highest-random-
+    * weight) hashing moves only the docs whose argmax lands on a NEW
+    * shard — 8/24 = 1/3 in expectation, and never between two old
+    * shards. The audit computes both strategies' moved volume and the
+    * new store's occupancy balance, so the "rewrite 2/3 of 100 TB vs
+    * 1/3" decision comes out of the engine itself.
+    *
+    * Determinism: rendezvous weights are 60-bit md5 prefixes of
+    * `doc:shard` (tie probability per doc ~2^-61, and both engines hash
+    * identical strings); every output is an exact integer.
+    *
+    * Scale: ONE ×24 weight explode per doc, absorbed map-side by the
+    * partial `max_by` aggregate (the old-16 argmax derives from the
+    * same stream via a conditional max_by — no second explode); the
+    * doc-keyed agg output is 3 ints per doc; strategies then unpivot
+    * via a 2-struct inline into a (strategy, new-shard)-keyed count (48
+    * groups) and a 2-group rollup. No text, no vectors, no window.
+    */
+  private val corpusReshard = Q(
+    (s, dir) => {
+      val S = 16
+      val S2 = 24
+      val w = s"cast(conv(substring(md5(concat(cast(doc_id as string), ':', " +
+        s"cast(j as string))), 1, 15), 16, 10) as bigint)"
+      val docs = TS(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(expr(s"transform(sequence(0, ${S2 - 1}), j -> $w)"))
+            .as(Seq("j", "wt")))
+        .groupBy(col("doc_id"))
+        .agg(
+          expr(s"max_by(CASE WHEN j < $S THEN j END, CASE WHEN j < $S THEN wt END)")
+            .as("rdv_old"),
+          expr("max_by(j, wt)").as("rdv_new"))
+        .select(col("doc_id"),
+          expr(s"""inline(array(
+                  |  named_struct('strategy', 'mod',
+                  |    'old_shard', cast(doc_id % $S as int),
+                  |    'new_shard', cast(doc_id % $S2 as int)),
+                  |  named_struct('strategy', 'rendezvous',
+                  |    'old_shard', rdv_old, 'new_shard', rdv_new)))""".stripMargin))
+      val byShard = docs.groupBy(col("strategy"), col("new_shard"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("old_shard") =!= col("new_shard"), 1L).otherwise(0L))
+            .as("n_moved"))
+      byShard.groupBy(col("strategy"))
+        .agg(sum(col("n")).as("n_docs"),
+          sum(col("n_moved")).as("n_moved"),
+          max(col("n")).as("max_shard"),
+          min(col("n")).as("min_shard"))
+        .select(col("strategy"), col("n_docs"), col("n_moved"),
+          expr("n_moved * 1000000 div n_docs").as("moved_frac_e6"),
+          col("max_shard"), col("min_shard"),
+          expr(s"max_shard * $S2 * 1000000 div n_docs").as("load_max_e6"))
+        .orderBy(col("strategy"))
+    },
+    Some(s"""WITH x AS (
+            |  SELECT doc_id, unnest(generate_series(0, 23)) AS j FROM documents
+            |), wts AS (
+            |  SELECT doc_id, j,
+            |    cast('0x' || substr(md5(cast(doc_id as varchar) || ':' ||
+            |      cast(j as varchar)), 1, 15) as bigint) AS wt
+            |  FROM x
+            |), rdv AS (
+            |  SELECT doc_id,
+            |    arg_max(CASE WHEN j < 16 THEN j END,
+            |            CASE WHEN j < 16 THEN wt END) AS rdv_old,
+            |    arg_max(j, wt) AS rdv_new
+            |  FROM wts GROUP BY doc_id
+            |), longf AS (
+            |  SELECT 'mod' AS strategy, cast(doc_id % 16 as int) AS old_shard,
+            |    cast(doc_id % 24 as int) AS new_shard
+            |  FROM rdv
+            |  UNION ALL
+            |  SELECT 'rendezvous' AS strategy, rdv_old AS old_shard,
+            |    rdv_new AS new_shard
+            |  FROM rdv
+            |), bs AS (
+            |  SELECT strategy, new_shard, count(*) AS n,
+            |    cast(sum(CASE WHEN old_shard <> new_shard THEN 1 ELSE 0 END)
+            |      as bigint) AS n_moved
+            |  FROM longf GROUP BY strategy, new_shard
+            |)
+            |SELECT strategy, cast(sum(n) as bigint) AS n_docs,
+            |  cast(sum(n_moved) as bigint) AS n_moved,
+            |  cast(sum(n_moved) * 1000000 // sum(n) as bigint) AS moved_frac_e6,
+            |  cast(max(n) as bigint) AS max_shard,
+            |  cast(min(n) as bigint) AS min_shard,
+            |  cast(max(n) * 24 * 1000000 // sum(n) as bigint) AS load_max_e6
+            |FROM bs GROUP BY strategy ORDER BY strategy""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "ns_sim_jl_recall" -> simJlRecall,
     "ns_sim_ivf_filtered" -> simIvfFiltered,
     "ns_quality_calibration" -> qualityCalibration,
     "ns_corpus_sft_masks" -> corpusSftMasks,
     "ns_embed_drift" -> embedDrift,
+    "ns_corpus_reshard" -> corpusReshard,
     "ns_dedup_lines" -> dedupLines,
     "ns_sample_domain_cap" -> sampleDomainCap,
     "ns_text_normalize" -> textNormalize,
