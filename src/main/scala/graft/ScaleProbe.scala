@@ -187,7 +187,12 @@ object ScaleProbe {
       // r14: reshard = a x24 md5-weight explode per doc absorbed by the
       // partial max_by agg; downstream is 48 + 2 groups — the per-doc
       // hashing (24 md5s/doc) is the wall, expected linear in docs
-      "ns_corpus_reshard")
+      "ns_corpus_reshard",
+      // r14: shard bloom = one sha256 pass + the Array[BloomFilter]
+      // treeAggregate (driver state S x bloom bytes at any corpus size);
+      // capacity re-sizes to the replicated per-shard count so the
+      // bounded booleans must stay true at every tier
+      "ns_corpus_shard_bloom")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected

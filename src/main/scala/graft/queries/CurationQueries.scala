@@ -4202,6 +4202,83 @@ object CurationQueries {
             |  cast(max(n) * 24 * 1000000 // sum(n) as bigint) AS load_max_e6
             |FROM bs GROUP BY strategy ORDER BY strategy""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // Per-shard bloom filters for point-lookup pruning
+  // ---------------------------------------------------------------------
+
+  /** PER-SHARD bloom pruning — the read-path optimization the shard
+    * store ([[corpusUpsert]]/`ns_corpus_shard_manifest`) needs for
+    * content-hash point lookups: the store shards by `doc_id`, so a
+    * "is this content hash anywhere?" probe is uncorrelated with the
+    * shard key and naively touches ALL S shards; a per-shard bloom over
+    * the content hashes answers most shards with zero I/O. All S blooms
+    * build in ONE corpus pass (an `Array[BloomFilter]` treeAggregate —
+    * the sketches are mergeable, so per-partition arrays combine
+    * treewise; driver state is S x bloom bytes, corpus-independent) and
+    * broadcast to the probe evaluation. Bloom capacity sizes to the
+    * actual per-shard count so the nominal fpp holds under replication.
+    *
+    * The probe set is half present hashes (their true shard known from
+    * the store) and half novel ones. Engine-specific bloom counters
+    * stay INSIDE bounded booleans (the `ns_dedup_bloom` oracle idiom):
+    * `no_false_negatives` (every present probe's true shard answers
+    * yes — a bloom guarantee, so `false` here means the build is
+    * broken), `pruning_effective` (strictly fewer than S x n shard
+    * touches — the point of the structure), and `touched_bounded`
+    * (touches within the fpp envelope + slack). The two UDFs are the
+    * sketch-probe surface, the dedupBloom precedent — no builtin
+    * expresses bloom membership.
+    */
+  private val corpusShardBloom = Q(
+    (s, dir) => {
+      import org.apache.spark.util.sketch.BloomFilter
+      val S = 16
+      val store = TS(s, dir, "documents")
+        .select(col("doc_id"), sha2(col("text"), 256).as("h"),
+          pmod(col("doc_id"), lit(S)).cast("int").as("shard"))
+        .localCheckpoint(true)
+      val perShard = math.max(1000L, store.count() / S + 1L)
+      val blooms = store.select(col("h"), col("shard")).rdd.treeAggregate(
+          Array.fill(S)(BloomFilter.create(perShard, 0.03)))(
+        (acc, r) => { acc(r.getInt(1)).putString(r.getString(0)); acc },
+        (a, b) => { a.indices.foreach(i => a(i).mergeInPlace(b(i))); a })
+      val bc = s.sparkContext.broadcast(blooms)
+      val touchedCount = udf((h: String) =>
+        (0 until S).count(i => bc.value(i).mightContainString(h)).toLong)
+      val touchesTrue = udf((h: String, sh: Int) =>
+        bc.value(sh).mightContainString(h))
+      val probes = store.where(pmod(col("doc_id"), lit(17)) === 0)
+        .select(col("h"), col("shard"), lit(true).as("present"))
+        .unionByName(store.where(pmod(col("doc_id"), lit(17)) === 0)
+          .select(sha2(concat(lit("novel:"), col("h")), 256).as("h"),
+            lit(-1).as("shard"), lit(false).as("present")))
+      probes
+        .withColumn("n_touched", touchedCount(col("h")))
+        .withColumn("hit_true", when(col("present"),
+          touchesTrue(col("h"), col("shard"))).otherwise(lit(true)))
+        .groupBy(col("present"))
+        .agg(count(lit(1)).as("n_probes"),
+          expr("bool_and(hit_true)").as("no_false_negatives"),
+          (sum(col("n_touched")) < count(lit(1)) * S).as("pruning_effective"),
+          (sum(col("n_touched")).cast("double") <=
+            when(col("present"), lit(4.0)).otherwise(lit(0.15 * S))
+              * count(lit(1)) + lit(1.0)).as("touched_bounded"))
+        .orderBy(col("present"))
+    },
+    Some("""WITH d AS (
+           |  SELECT doc_id, sha256(text) AS h FROM documents
+           |), p AS (
+           |  SELECT h, true AS present FROM d WHERE doc_id % 17 = 0
+           |  UNION ALL
+           |  SELECT sha256('novel:' || h) AS h, false AS present
+           |  FROM d WHERE doc_id % 17 = 0
+           |)
+           |SELECT present, count(*) AS n_probes,
+           |  true AS no_false_negatives,
+           |  true AS pruning_effective,
+           |  true AS touched_bounded
+           |FROM p GROUP BY present ORDER BY present""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "ns_sim_jl_recall" -> simJlRecall,
     "ns_sim_ivf_filtered" -> simIvfFiltered,
@@ -4209,6 +4286,7 @@ object CurationQueries {
     "ns_corpus_sft_masks" -> corpusSftMasks,
     "ns_embed_drift" -> embedDrift,
     "ns_corpus_reshard" -> corpusReshard,
+    "ns_corpus_shard_bloom" -> corpusShardBloom,
     "ns_dedup_lines" -> dedupLines,
     "ns_sample_domain_cap" -> sampleDomainCap,
     "ns_text_normalize" -> textNormalize,
