@@ -192,7 +192,11 @@ object ScaleProbe {
       // treeAggregate (driver state S x bloom bytes at any corpus size);
       // capacity re-sizes to the replicated per-shard count so the
       // bounded booleans must stay true at every tier
-      "ns_corpus_shard_bloom")
+      "ns_corpus_shard_bloom",
+      // r14: ndcg = one scoring pass into a 4-int checkpoint; the three
+      // rank windows share one source-keyed exchange — per-source sort
+      // volume is the stress axis (replication multiplies rows/source)
+      "ns_quality_ranker_ndcg")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected

@@ -4279,6 +4279,137 @@ object CurationQueries {
            |  true AS touched_bounded
            |FROM p GROUP BY present ORDER BY present""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // Ranker evaluation: nDCG@10 + MRR (offline eval harness)
+  // ---------------------------------------------------------------------
+
+  /** RANKER evaluation harness — the offline eval every selection policy
+    * needs before it reorders a corpus: which cheap ranker better orders
+    * documents by true quality? Candidate rankers are the
+    * [[qualityLogreg]] keep-probability and the naive length baseline
+    * (more tokens = better); the graded gold is the rule-quality score
+    * (`ns_filter_quality_gate`'s distinct-fraction/length blend). Per
+    * source: nDCG@10 and MRR of each ranker — the standard
+    * rank-quality pair (graded top-of-list quality + where the single
+    * best doc lands). On the fixture the LENGTH baseline wins nDCG
+    * (~0.999 vs ~0.96) because the rule gold is itself half
+    * length-driven — exactly the gold-metric-correlation bias this
+    * harness exists to surface before anyone trusts an offline eval.
+    *
+    * Determinism: DCG is order-dependent float summation in its naive
+    * form, so each position's term is floored to an exact bigint
+    * (`floor(gain_e6 / log2(pos+1))` — one log2 and one division per
+    * term, identical in both engines) and the sum is an
+    * order-independent integer; nDCG/MRR are integer `div` of
+    * non-negative bigints.
+    *
+    * Scale: one map-only scoring pass narrowed to 4 ints/doc and
+    * checkpointed; the three rank windows share ONE source-keyed
+    * exchange (identical partitioning); all metrics fold in a single
+    * source-group aggregate. Per-source sorts are the honest cost of
+    * exact ranking eval — at 100 TB this runs over an eval slice, and
+    * the plan is unchanged.
+    */
+  private val qualityRankerNdcg = Q(
+    (s, dir) => {
+      val stopArr = "array('the','a','of','and','to','in','is','it')"
+      val scored = TS(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_toks", size(col("toks")).cast("double"))
+        .withColumn("mean_len",
+          (length(col("text")).cast("double") - (col("n_toks") - 1.0)) / col("n_toks"))
+        .withColumn("stop_ratio",
+          expr(s"size(filter(toks, t -> array_contains($stopArr, t)))").cast("double")
+            / col("n_toks"))
+        .withColumn("digit_ratio",
+          (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+            .cast("double") / length(col("text")).cast("double"))
+        .withColumn("z",
+          lit(-1.5) + lit(0.004) * col("n_toks") + lit(0.35) * col("mean_len")
+            + lit(4.0) * col("stop_ratio") - lit(6.0) * col("digit_ratio"))
+        .withColumn("keep_prob", round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6))
+        .withColumn("g_e6", expr(
+          """cast(round((cast(size(array_distinct(toks)) as double)
+            |  / size(toks) * 0.5
+            |  + least(cast(size(toks) as double) / 100, 1.0) * 0.5) * 1000000, 0)
+            |as bigint)""".stripMargin))
+        .select(col("doc_id"), col("source"), col("n_toks").cast("long").as("nt"),
+          col("keep_prob"), col("g_e6"))
+        .localCheckpoint(true)
+      val wL = Window.partitionBy(col("source"))
+        .orderBy(col("keep_prob").desc, col("doc_id"))
+      val wN = Window.partitionBy(col("source"))
+        .orderBy(col("nt").desc, col("doc_id"))
+      val wG = Window.partitionBy(col("source"))
+        .orderBy(col("g_e6").desc, col("doc_id"))
+      def dcgTerm(pos: String) =
+        expr(s"cast(floor(g_e6 / log2($pos + 1)) as bigint)")
+      scored
+        .withColumn("pos_l", row_number().over(wL))
+        .withColumn("pos_n", row_number().over(wN))
+        .withColumn("pos_g", row_number().over(wG))
+        .groupBy(col("source"))
+        .agg(
+          sum(when(col("pos_l") <= 10, dcgTerm("pos_l")).otherwise(0L)).as("dcg_l"),
+          sum(when(col("pos_n") <= 10, dcgTerm("pos_n")).otherwise(0L)).as("dcg_n"),
+          sum(when(col("pos_g") <= 10, dcgTerm("pos_g")).otherwise(0L)).as("idcg"),
+          min(when(col("pos_g") === 1, col("pos_l"))).as("top_pos_l"),
+          min(when(col("pos_g") === 1, col("pos_n"))).as("top_pos_n"))
+        .select(col("source"),
+          expr("dcg_l * 1000000 div idcg").as("ndcg_logreg_e6"),
+          expr("dcg_n * 1000000 div idcg").as("ndcg_length_e6"),
+          expr("1000000 div top_pos_l").as("mrr_logreg_e6"),
+          expr("1000000 div top_pos_n").as("mrr_length_e6"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH f AS (
+           |  SELECT doc_id, source, text, string_split(text, ' ') AS toks,
+           |    cast(len(string_split(text, ' ')) as double) AS n_toks
+           |  FROM documents
+           |), sc AS (
+           |  SELECT doc_id, source, cast(n_toks as bigint) AS nt,
+           |    round(1.0 / (1.0 + exp(-(-1.5 + 0.004 * n_toks
+           |      + 0.35 * ((cast(len(text) as double) - (n_toks - 1.0)) / n_toks)
+           |      + 4.0 * (cast(len(list_filter(toks,
+           |          t -> list_contains(['the','a','of','and','to','in','is','it'], t)))
+           |          as double) / n_toks)
+           |      - 6.0 * (cast(len(text) - len(regexp_replace(text, '[0-9]', '', 'g'))
+           |          as double) / cast(len(text) as double))))), 6) AS keep_prob,
+           |    cast(round((cast(len(list_distinct(toks)) as double) / len(toks) * 0.5
+           |      + least(cast(len(toks) as double) / 100, 1.0) * 0.5) * 1000000, 0)
+           |      as bigint) AS g_e6
+           |  FROM f
+           |), r AS (
+           |  SELECT source, g_e6,
+           |    row_number() OVER (PARTITION BY source
+           |      ORDER BY keep_prob DESC, doc_id) AS pos_l,
+           |    row_number() OVER (PARTITION BY source
+           |      ORDER BY nt DESC, doc_id) AS pos_n,
+           |    row_number() OVER (PARTITION BY source
+           |      ORDER BY g_e6 DESC, doc_id) AS pos_g
+           |  FROM sc
+           |), a AS (
+           |  SELECT source,
+           |    cast(sum(CASE WHEN pos_l <= 10
+           |      THEN cast(floor(g_e6 / log2(pos_l + 1)) as bigint) ELSE 0 END)
+           |      as bigint) AS dcg_l,
+           |    cast(sum(CASE WHEN pos_n <= 10
+           |      THEN cast(floor(g_e6 / log2(pos_n + 1)) as bigint) ELSE 0 END)
+           |      as bigint) AS dcg_n,
+           |    cast(sum(CASE WHEN pos_g <= 10
+           |      THEN cast(floor(g_e6 / log2(pos_g + 1)) as bigint) ELSE 0 END)
+           |      as bigint) AS idcg,
+           |    min(CASE WHEN pos_g = 1 THEN pos_l END) AS top_pos_l,
+           |    min(CASE WHEN pos_g = 1 THEN pos_n END) AS top_pos_n
+           |  FROM r GROUP BY source
+           |)
+           |SELECT source,
+           |  cast(dcg_l * 1000000 // idcg as bigint) AS ndcg_logreg_e6,
+           |  cast(dcg_n * 1000000 // idcg as bigint) AS ndcg_length_e6,
+           |  cast(1000000 // top_pos_l as bigint) AS mrr_logreg_e6,
+           |  cast(1000000 // top_pos_n as bigint) AS mrr_length_e6
+           |FROM a ORDER BY source""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "ns_sim_jl_recall" -> simJlRecall,
     "ns_sim_ivf_filtered" -> simIvfFiltered,
@@ -4287,6 +4418,7 @@ object CurationQueries {
     "ns_embed_drift" -> embedDrift,
     "ns_corpus_reshard" -> corpusReshard,
     "ns_corpus_shard_bloom" -> corpusShardBloom,
+    "ns_quality_ranker_ndcg" -> qualityRankerNdcg,
     "ns_dedup_lines" -> dedupLines,
     "ns_sample_domain_cap" -> sampleDomainCap,
     "ns_text_normalize" -> textNormalize,
