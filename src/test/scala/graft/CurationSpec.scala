@@ -716,6 +716,43 @@ class CurationSpec extends SparkSpec {
     graft.queries.Q.scratchDelete(base)
   }
 
+  test("reshard: rendezvous never moves a doc between two OLD shards") {
+    // the consistent-hashing guarantee the audit's movement numbers rest
+    // on: growing 16 -> 24 only ever moves a doc to a NEW shard (its
+    // old-16 argmax is unchanged by adding candidates, so if the 24-wide
+    // argmax differs it must be one of shards 16..23). Recomputed here
+    // doc-by-doc with the query's exact weight function.
+    import org.apache.spark.sql.functions._
+    val S = 16
+    val S2 = 24
+    val w = "cast(conv(substring(md5(concat(cast(doc_id as string), ':', " +
+      "cast(j as string))), 1, 15), 16, 10) as bigint)"
+    val moved = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(0, ${S2 - 1}), j -> $w)"))
+          .as(Seq("j", "wt")))
+      .groupBy(col("doc_id"))
+      .agg(
+        expr(s"max_by(CASE WHEN j < $S THEN j END, CASE WHEN j < $S THEN wt END)")
+          .as("rdv_old"),
+        expr("max_by(j, wt)").as("rdv_new"))
+      .where(col("rdv_old") =!= col("rdv_new"))
+      .collect()
+    assert(moved.nonEmpty, "16 -> 24 must move someone")
+    moved.foreach { r =>
+      assert(r.getAs[Int]("rdv_new") >= S,
+        s"doc ${r.get(0)} moved old -> old (${r.get(1)} -> ${r.get(2)}): " +
+          "rendezvous invariant broken")
+    }
+    // and the audit's own rows agree with theory: mod moves ~2/3,
+    // rendezvous ~1/3 (wide tolerance — 500-doc fixture)
+    val audit = run("ns_corpus_reshard").collect()
+      .map(r => r.getAs[String]("strategy") -> r.getAs[Long]("moved_frac_e6")).toMap
+    assert(audit("mod") > 550000 && audit("mod") < 750000, s"mod frac: $audit")
+    assert(audit("rendezvous") > 233000 && audit("rendezvous") < 433000,
+      s"rendezvous frac: $audit")
+  }
+
   test("matryoshka: 16 queries, recall bounded, truncation loses something") {
     val rows = run("ns_sim_matryoshka").collect()
     assert(rows.length == 16, "one row per fixed query")
