@@ -196,7 +196,11 @@ object ScaleProbe {
       // r14: ndcg = one scoring pass into a 4-int checkpoint; the three
       // rank windows share one source-keyed exchange — per-source sort
       // volume is the stress axis (replication multiplies rows/source)
-      "ns_quality_ranker_ndcg")
+      "ns_quality_ranker_ndcg",
+      // r14: source KL = one corpus tokenize+count; the grid is vocab x
+      // sources, which replication does NOT grow (clones multiply counts,
+      // not vocabulary) — wall should track the tokenize pass
+      "ns_profile_source_kl")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected

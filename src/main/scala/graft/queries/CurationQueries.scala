@@ -4410,6 +4410,92 @@ object CurationQueries {
            |  cast(1000000 // top_pos_n as bigint) AS mrr_length_e6
            |FROM a ORDER BY source""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // Per-source KL divergence (distributional outlier sources)
+  // ---------------------------------------------------------------------
+
+  /** Per-source DISTRIBUTIONAL triage — KL(source ‖ corpus) over the
+    * token distribution with add-1 smoothing: which crawl source is
+    * statistically unlike the rest (spam farm, wrong-language feed,
+    * template mill)? Complements `ns_pipeline_drift` (same corpus
+    * across TIME) with the same-snapshot across-SOURCE slice — the
+    * read that decides which source gets a human look before the next
+    * mix. KL is computed over the FULL vocabulary grid (observed pairs
+    * from the corpus aggregate, zeros from the vocab × source
+    * expansion), since the missing-term mass is exactly what makes a
+    * narrow source diverge.
+    *
+    * Determinism: the DSIR one-ln pattern — each grid cell's log term
+    * is ONE `ln` of a ratio of exact integers, floored to 1e6 fixed
+    * point; contributions sum as exact bigints and the final
+    * normalization is `floor` of a single double division (floor, not
+    * integer div, so both engines agree for any sign).
+    *
+    * Scale: ONE corpus tokenize+count; everything after runs on the
+    * (source, term) aggregate, which localCheckpoints for its four
+    * consumers (term marginals, source totals, the global scalar, the
+    * grid join). The grid is vocab × sources — the `ns_pipeline_drift`
+    * work class — and the S-row source-totals side broadcasts.
+    */
+  private val profileSourceKl = Q(
+    (s, dir) => {
+      val st = TS(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("t"))
+        .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c_st"))
+        .localCheckpoint(true)
+      val termTot = st.groupBy(col("t")).agg(sum(col("c_st")).as("c_t"))
+      val srcTot = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"),
+        count(lit(1)).as("n_terms_used"))
+      val glob = termTot.agg(sum(col("c_t")).as("n"),
+        count(lit(1)).as("v"))
+      val grid = termTot.crossJoin(broadcast(srcTot.select(col("source"), col("n_s"))))
+        .join(st, Seq("source", "t"), "left")
+        .crossJoin(broadcast(glob))
+        .withColumn("c", coalesce(col("c_st"), lit(0L)))
+        .withColumn("ln_fp", expr(
+          """cast(floor(ln(cast((c + 1) * (n + v) as double)
+            |  / cast((n_s + v) * (c_t + 1) as double)) * 1e6) as bigint)""".stripMargin))
+        .groupBy(col("source"))
+        .agg(sum((col("c") + 1L) * col("ln_fp")).as("kl_sum_fp"),
+          max(col("n_s") + col("v")).as("denom"))
+      grid.join(broadcast(srcTot), Seq("source"))
+        .select(col("source"), col("n_s").as("n_toks"), col("n_terms_used"),
+          expr("cast(floor(cast(kl_sum_fp as double) / cast(denom as double)) as bigint)")
+            .as("kl_e6"))
+        .orderBy(col("kl_e6").desc, col("source"))
+    },
+    Some("""WITH st AS (
+           |  SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+           |), stc AS (
+           |  SELECT source, t, count(*) AS c_st FROM st GROUP BY source, t
+           |), tt AS (
+           |  SELECT t, cast(sum(c_st) as bigint) AS c_t FROM stc GROUP BY t
+           |), sr AS (
+           |  SELECT source, cast(sum(c_st) as bigint) AS n_s,
+           |    count(*) AS n_terms_used
+           |  FROM stc GROUP BY source
+           |), g AS (
+           |  SELECT cast(sum(c_t) as bigint) AS n, count(*) AS v FROM tt
+           |), grid AS (
+           |  SELECT sr.source, tt.t, tt.c_t, sr.n_s, g.n, g.v,
+           |    coalesce(stc.c_st, 0) AS c
+           |  FROM tt CROSS JOIN sr CROSS JOIN g
+           |  LEFT JOIN stc ON stc.source = sr.source AND stc.t = tt.t
+           |), kl AS (
+           |  SELECT source,
+           |    cast(sum((c + 1) *
+           |      cast(floor(ln(cast((c + 1) * (n + v) as double)
+           |        / cast((n_s + v) * (c_t + 1) as double)) * 1e6) as bigint))
+           |      as bigint) AS kl_sum_fp,
+           |    max(n_s + v) AS denom
+           |  FROM grid GROUP BY source
+           |)
+           |SELECT kl.source, sr.n_s AS n_toks, sr.n_terms_used,
+           |  cast(floor(cast(kl_sum_fp as double) / cast(denom as double))
+           |    as bigint) AS kl_e6
+           |FROM kl JOIN sr USING (source)
+           |ORDER BY kl_e6 DESC, source""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "ns_sim_jl_recall" -> simJlRecall,
     "ns_sim_ivf_filtered" -> simIvfFiltered,
@@ -4419,6 +4505,7 @@ object CurationQueries {
     "ns_corpus_reshard" -> corpusReshard,
     "ns_corpus_shard_bloom" -> corpusShardBloom,
     "ns_quality_ranker_ndcg" -> qualityRankerNdcg,
+    "ns_profile_source_kl" -> profileSourceKl,
     "ns_dedup_lines" -> dedupLines,
     "ns_sample_domain_cap" -> sampleDomainCap,
     "ns_text_normalize" -> textNormalize,
