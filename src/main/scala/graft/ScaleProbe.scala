@@ -223,6 +223,32 @@ object ScaleProbe {
       docNames.foreach(timeDoc)
     }
 
+    // --- Event-stream probes over a multiplied events table: user_id
+    // remap gives every clone its own users, so per-user session SHAPE
+    // is invariant and growth isolates event volume (the window + the
+    // session agg both scale with rows, never with rows-per-user).
+    val evtNames = Seq(
+      // r14: trajectories = one user-keyed window + the (user, session)
+      // agg with in-aggregate rebuild — expected ~linear in events
+      "ns_corpus_trajectories")
+    if (evtNames.exists(enabled)) {
+      val evtReps = spark.range(docMult).select(col("id").as("rep"))
+      Tables.load(spark, sfDir, "events")
+        .crossJoin(broadcast(evtReps))
+        .withColumn("user_id", col("user_id") * docMult + col("rep"))
+        .withColumn("event_id", col("event_id") * docMult + col("rep"))
+        .drop("rep")
+        .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      val nEv = spark.read.parquet(s"$tmp/events.parquet").count()
+      evtNames.foreach { name =>
+        if (enabled(name)) {
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, tmp).write.mode("overwrite").format("noop").save()
+          println(f"[scaleprobe] $name x$docMult (${nEv} events): ${(System.nanoTime() - t0) / 1e9}%.2f s" + spillTag())
+        }
+      }
+    }
+
     // --- Embedding probes over a multiplied embeddings table: k-means
     // assignment stays map-only (centroid literals), so only the
     // (cluster, dim) update agg and the within-cluster pair join grow.

@@ -4496,6 +4496,89 @@ object CurationQueries {
            |FROM kl JOIN sr USING (source)
            |ORDER BY kl_e6 DESC, source""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // Behavioral trajectory assembly (events -> training sequences)
+  // ---------------------------------------------------------------------
+
+  /** TRAJECTORY assembly — the events-to-training-sequences stage an
+    * agent-training pipeline runs over behavioral logs: sessionize each
+    * user's event stream (25-hour gap — daily-rhythm trajectories; the
+    * fixture's inter-event gaps average ~8 h with a p90 of ~25 h, so
+    * the `ts_sessionization` 30-min rule would produce only singletons
+    * and a week-long gap would never split — 25 h yields ~9-event
+    * sessions where BOTH segmentation and the cap fire), order each
+    * session's events, serialize the action sequence, and truncate at
+    * a 16-action context cap. Per session: raw
+    * and kept event counts, wall duration, the md5 pinning every byte
+    * of the (truncated) serialized trajectory, and the final kept
+    * action — the "does the trajectory end on a terminal action"
+    * data-quality read, the event-log analog of [[corpusSftMasks]]'
+    * end-on-user flag.
+    *
+    * Determinism: event order is (ts, event_id) — unique, so the
+    * in-aggregate `array_sort` rebuild and the oracle's ordered
+    * string_agg serialize identically; duration floors the epoch-second
+    * difference explicitly (Spark's double->long cast truncates while
+    * DuckDB's rounds — `floor` agrees everywhere).
+    *
+    * Scale: ONE user-keyed exchange for the gap/cumsum window (explicit
+    * ROWS frame), then the (user, session)-keyed aggregate whose
+    * ordered reassembly runs INSIDE the aggregate (dedupRewrite idiom —
+    * no per-doc driver state, no second rank window); the serialized
+    * payload is capped at 16 action tokens per session.
+    */
+  private val corpusTrajectories = Q(
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, dir, "events")
+        .withColumn("gap_s",
+          col("ts").cast("double") - lag(col("ts"), 1).over(w).cast("double"))
+        .withColumn("brk",
+          when(col("gap_s").isNull || col("gap_s") > 90000, 1L).otherwise(0L))
+        .withColumn("session_idx", sum(col("brk")).over(wRun))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("t0"), max(col("ts")).as("t1"),
+          expr("array_sort(collect_list(struct(ts, event_id, event_type)))")
+            .as("evs"))
+        .select(col("user_id"), col("session_idx"), col("n_events"),
+          expr("cast(floor(cast(t1 as double) - cast(t0 as double)) as bigint)")
+            .as("duration_s"),
+          least(col("n_events"), lit(16L)).as("n_kept"),
+          expr("md5(array_join(transform(slice(evs, 1, 16), x -> x.event_type), ' '))")
+            .as("traj_md5"),
+          expr("element_at(evs, cast(least(n_events, 16) as int)).event_type")
+            .as("last_kept_type"))
+        .orderBy(col("user_id"), col("session_idx"))
+    },
+    Some("""WITH f AS (
+           |  SELECT user_id, ts, event_id, event_type,
+           |    CASE WHEN lag(ts) OVER w IS NULL
+           |              OR epoch(ts) - epoch(lag(ts) OVER w) > 90000
+           |         THEN 1 ELSE 0 END AS brk
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+           |), se AS (
+           |  SELECT *, sum(brk) OVER (PARTITION BY user_id
+           |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+           |  FROM f
+           |), p AS (
+           |  SELECT *, row_number() OVER (PARTITION BY user_id, session_idx
+           |    ORDER BY ts, event_id) AS pos
+           |  FROM se
+           |)
+           |SELECT user_id, cast(session_idx as bigint) AS session_idx,
+           |  count(*) AS n_events,
+           |  cast(floor(epoch(max(ts)) - epoch(min(ts))) as bigint) AS duration_s,
+           |  cast(least(count(*), 16) as bigint) AS n_kept,
+           |  md5(string_agg(CASE WHEN pos <= 16 THEN event_type END, ' '
+           |    ORDER BY ts, event_id)) AS traj_md5,
+           |  arg_max(CASE WHEN pos <= 16 THEN event_type END,
+           |          CASE WHEN pos <= 16 THEN pos END) AS last_kept_type
+           |FROM p GROUP BY user_id, session_idx
+           |ORDER BY user_id, session_idx""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "ns_sim_jl_recall" -> simJlRecall,
     "ns_sim_ivf_filtered" -> simIvfFiltered,
@@ -4506,6 +4589,7 @@ object CurationQueries {
     "ns_corpus_shard_bloom" -> corpusShardBloom,
     "ns_quality_ranker_ndcg" -> qualityRankerNdcg,
     "ns_profile_source_kl" -> profileSourceKl,
+    "ns_corpus_trajectories" -> corpusTrajectories,
     "ns_dedup_lines" -> dedupLines,
     "ns_sample_domain_cap" -> sampleDomainCap,
     "ns_text_normalize" -> textNormalize,
