@@ -200,7 +200,12 @@ object ScaleProbe {
       // r14: source KL = one corpus tokenize+count; the grid is vocab x
       // sources, which replication does NOT grow (clones multiply counts,
       // not vocabulary) — wall should track the tokenize pass
-      "ns_profile_source_kl")
+      "ns_profile_source_kl",
+      // r14: the streaming line gate replays the multiplied corpus as two
+      // real micro-batches; per-batch work is one line-keyed FMGWS
+      // exchange and state is one long per distinct line (which clones
+      // don't grow) — wall should track line volume plus file-sink cost
+      "ns_dedup_lines_stream")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected

@@ -4579,7 +4579,112 @@ object CurationQueries {
            |FROM p GROUP BY user_id, session_idx
            |ORDER BY user_id, session_idx""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // Streaming line-boilerplate gate (stateful cross-batch df counts)
+  // ---------------------------------------------------------------------
+
+  /** STREAMING twin of [[dedupLines]], driver-gated through a REAL
+    * two-micro-batch replay: the corpus lands as two parquet files
+    * (doc-parity split), streams through [[graft.streaming
+    * .DocumentStreams.lineBoilerplateGate]] with `AvailableNow` +
+    * `maxFilesPerTrigger = 1`, and the per-line cumulative distinct-doc
+    * counts carry ACROSS the batch boundary in flatMapGroupsWithState
+    * state — a line that reaches df ≥ 3 only once batch 2 arrives drops
+    * batch-2 occurrences while its batch-1 occurrences were already
+    * emitted as kept. That is the honest streaming semantic (no
+    * retraction; production closes the gap with the periodic batch
+    * rewrite), and because verdicts are batch-atomic and the file order
+    * deterministic, DuckDB can oracle it exactly with a two-phase df
+    * formulation. The kept-stream fingerprint is position-free
+    * (doc_id : line md5-prefix sum) so it is invariant to explode
+    * ordering while still pinning every kept occurrence with
+    * multiplicity.
+    *
+    * Scale: the gate's state is one long per distinct line; each
+    * micro-batch shuffles once on the line key (the FMGWS exchange);
+    * the post-hoc rollup here is gate plumbing, not the serving path.
+    */
+  private val dedupLinesStream = Q(
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val base = scratchDir("linestream")
+      val inDir = s"$base/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+      val docs = T(s, dir, "documents")
+      Seq(0, 1).foreach { p =>
+        val part = s"$base/part$p"
+        docs.where(col("doc_id") % 2 === p)
+          .coalesce(1).write.mode("overwrite").parquet(part)
+        val f = new java.io.File(part).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(s"$inDir/batch$p.parquet"))
+      }
+      val gated = graft.streaming.DocumentStreams.lineBoilerplateGate(
+        s.readStream.schema(graft.Tables.schemas("documents"))
+          .option("maxFilesPerTrigger", "1").parquet(inDir))
+      val q = gated.writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/cp")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = s.read.parquet(s"$base/out").localCheckpoint(true)
+      scratchDelete(base)
+      out.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"),
+          sum(when(col("dropped") && col("line").startsWith("boiler "), 1L)
+            .otherwise(0L)).as("inj_dropped"),
+          sum(when(!col("dropped"), expr(
+            """cast(conv(substring(md5(concat(cast(doc_id as string), ':', line)),
+              |  1, 8), 16, 10) as bigint)""".stripMargin))
+            .otherwise(0L)).as("fp_kept"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, source, string_split(text, ' ') AS toks,
+           |    cast(ceil(len(string_split(text, ' ')) / 8.0) as int) AS n_body
+           |  FROM documents
+           |), body AS (
+           |  SELECT doc_id, source,
+           |    unnest(list_transform(generate_series(0, n_body - 1),
+           |      i -> array_to_string(toks[i * 8 + 1 : i * 8 + 8], ' '))) AS line
+           |  FROM t
+           |), l AS (
+           |  SELECT doc_id, source, line FROM body
+           |  UNION ALL
+           |  SELECT doc_id, source, 'boiler header global promo' AS line
+           |  FROM t WHERE doc_id % 5 = 0
+           |  UNION ALL
+           |  SELECT doc_id, source, 'boiler footer ' || source AS line
+           |  FROM t WHERE doc_id % 2 = 0
+           |), lb AS (
+           |  SELECT doc_id, source, line, doc_id % 2 AS b FROM l
+           |), dfb AS (
+           |  SELECT line, b, count(DISTINCT doc_id) AS d FROM lb GROUP BY line, b
+           |), tot AS (
+           |  SELECT line,
+           |    coalesce(max(CASE WHEN b = 0 THEN d END), 0) AS d0,
+           |    coalesce(max(CASE WHEN b = 1 THEN d END), 0) AS d1
+           |  FROM dfb GROUP BY line
+           |), v AS (
+           |  SELECT lb.doc_id, lb.source, lb.line,
+           |    CASE WHEN lb.b = 0 THEN t.d0 >= 3
+           |         ELSE t.d0 + t.d1 >= 3 END AS dropped
+           |  FROM lb JOIN tot t USING (line)
+           |)
+           |SELECT source, count(*) AS n_lines,
+           |  cast(sum(CASE WHEN dropped THEN 1 ELSE 0 END) as bigint) AS n_dropped,
+           |  cast(sum(CASE WHEN dropped AND line LIKE 'boiler %' THEN 1 ELSE 0 END)
+           |    as bigint) AS inj_dropped,
+           |  cast(sum(CASE WHEN NOT dropped THEN
+           |    cast('0x' || substr(md5(cast(doc_id as varchar) || ':' || line), 1, 8)
+           |      as bigint) ELSE 0 END) as bigint) AS fp_kept
+           |FROM v GROUP BY source ORDER BY source""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "ns_dedup_lines_stream" -> dedupLinesStream,
     "ns_sim_jl_recall" -> simJlRecall,
     "ns_sim_ivf_filtered" -> simIvfFiltered,
     "ns_quality_calibration" -> qualityCalibration,

@@ -120,6 +120,75 @@ object DocumentStreams {
           .when(col("h_old") =!= col("h_new"), "changed")
           .otherwise("unchanged").as("status"))
 
+  /** One exploded line row (the `ns_dedup_lines` derivation) flowing
+    * through the streaming gate.
+    */
+  final case class LineRow(doc_id: Long, source: String, pos: Int, line: String)
+
+  /** [[LineRow]] plus the gate's verdict for the micro-batch it arrived
+    * in.
+    */
+  final case class LineVerdict(
+      doc_id: Long, source: String, pos: Int, line: String, dropped: Boolean)
+
+  /** The batch `ns_dedup_lines` line derivation (8-token pseudo-lines +
+    * the deterministically injected header/footer boilerplate), shared
+    * verbatim so the streaming gate and the batch rewrite see the same
+    * line stream. Stateless map-only — safe on a streaming DataFrame.
+    */
+  def deriveLines(docs: DataFrame): DataFrame = docs
+    .withColumn("toks", split(col("text"), " "))
+    .withColumn("n_body", ceil(size(col("toks")) / 8.0).cast("int"))
+    .withColumn("body", expr(
+      "transform(sequence(0, n_body - 1), g -> array_join(slice(toks, g * 8 + 1, 8), ' '))"))
+    .withColumn("lines", expr(
+      """concat(
+        |  slice(array('boiler header global promo'), 1,
+        |        cast(doc_id % 5 = 0 as int)),
+        |  body,
+        |  slice(array(concat('boiler footer ', source)), 1,
+        |        cast(doc_id % 2 = 0 as int)))""".stripMargin))
+    .select(col("doc_id"), col("source"),
+      posexplode(col("lines")).as(Seq("pos", "line")))
+
+  /** STREAMING line-boilerplate gate — the continuous-crawl twin of the
+    * batch `ns_dedup_lines` removal: per-line cumulative distinct-doc
+    * counts live in `flatMapGroupsWithState` state (keyed by the line
+    * text; RocksDB-backed in production, bounded by the distinct-line
+    * vocabulary), and a micro-batch's occurrences of a line are dropped
+    * iff the count INCLUDING this batch reaches the threshold.
+    * Verdicts are batch-atomic (every occurrence within one batch gets
+    * the same verdict — the group function sees the batch's rows at
+    * once), which makes the two-batch replay deterministic and
+    * SQL-expressible for the oracle.
+    *
+    * The deliberate semantic gap vs batch: occurrences that arrived
+    * BEFORE a line crossed the threshold were already emitted as kept —
+    * a stream cannot retract them. Production closes the gap with a
+    * periodic batch re-clean (the `ns_dedup_lines` rewrite); the gate
+    * query's oracle encodes the honest streaming semantics, not the
+    * batch ones.
+    */
+  def lineBoilerplateGate(docs: DataFrame, threshold: Int = 3): DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    deriveLines(docs).as[LineRow]
+      .groupByKey(_.line)
+      .flatMapGroupsWithState[Long, LineVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, rows, state) =>
+          val batch = rows.toSeq
+          val total = state.getOption.getOrElse(0L) +
+            batch.map(_.doc_id).distinct.size
+          state.update(total)
+          val drop = total >= threshold
+          batch.iterator.map(r =>
+            LineVerdict(r.doc_id, r.source, r.pos, r.line, drop))
+      }
+      .toDF()
+  }
+
   /** Incremental-ingest gate, the streaming form of the batch
     * `ns_dedup_incremental` exact path: arriving documents are dropped
     * if their content hash already exists in the STATIC existing-corpus

@@ -753,6 +753,24 @@ class CurationSpec extends SparkSpec {
       s"rendezvous frac: $audit")
   }
 
+  test("streaming line gate drops a subset of what the batch rewrite drops") {
+    // a stream drops an occurrence iff the CUMULATIVE df at arrival has
+    // reached the threshold; batch drops iff the FINAL df has. Cumulative
+    // <= final, so stream-drop implies batch-drop: per source the stream
+    // can never drop more, and (with any line crossing the threshold only
+    // in batch 2) drops strictly less in total — the no-retraction gap
+    // the Scaladoc documents.
+    val st = run("ns_dedup_lines_stream").collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_dropped")).toMap
+    val ba = run("ns_dedup_lines").collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_removed")).toMap
+    st.foreach { case (src, d) =>
+      assert(d <= ba(src), s"stream dropped more than batch for $src: $d > ${ba(src)}")
+    }
+    assert(st.values.sum < ba.values.sum,
+      s"expected the no-retraction gap: stream ${st.values.sum} vs batch ${ba.values.sum}")
+  }
+
   test("matryoshka: 16 queries, recall bounded, truncation loses something") {
     val rows = run("ns_sim_matryoshka").collect()
     assert(rows.length == 16, "one row per fixed query")
