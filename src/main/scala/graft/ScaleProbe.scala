@@ -205,7 +205,12 @@ object ScaleProbe {
       // real micro-batches; per-batch work is one line-keyed FMGWS
       // exchange and state is one long per distinct line (which clones
       // don't grow) — wall should track line volume plus file-sink cost
-      "ns_dedup_lines_stream")
+      "ns_dedup_lines_stream",
+      // r14: skyline's corpus work is the map-only criteria pass + two
+      // broadcast anti probes; clones are identical triples (mutually
+      // non-dominating), so survivors grow with the clone factor — the
+      // stress axis is the exact phase's bounded self-join
+      "ns_quality_skyline")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected

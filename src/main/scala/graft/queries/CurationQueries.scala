@@ -4683,7 +4683,83 @@ object CurationQueries {
            |      as bigint) ELSE 0 END) as bigint) AS fp_kept
            |FROM v GROUP BY source ORDER BY source""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // Skyline (Pareto-frontier) document selection
+  // ---------------------------------------------------------------------
+
+  /** SKYLINE selection — the Pareto frontier of the corpus over three
+    * maximized criteria (rule-quality score, token volume, distinct-
+    * token ratio): the multi-criteria "best documents" read when no
+    * single scalar ranking is trusted (every skyline doc is optimal
+    * under SOME monotone preference — the selection-committee framing).
+    * A relational operator Spark lacks natively; the shape here is the
+    * standard two-phase distributed skyline (cf. the EDBT 2023 Spark
+    * skyline integration, PAPERS.md): an exact skyline of a
+    * DETERMINISTIC sample broadcasts as the pruning set — any corpus
+    * point dominated by a sample-skyline point cannot be in the global
+    * skyline — and the exact dominance test runs only on the surviving
+    * candidates.
+    *
+    * Scale: criteria are one map-only pass; phase 1 (sample skyline)
+    * and phase 3 (exact on survivors) are dominance anti-joins over
+    * BOUNDED sets (the sample rate is the knob — at 100 TB it tightens
+    * so the broadcast prune set stays small, and a good sample prunes
+    * all but ~skyline-sized survivors); phase 2 is a map-side
+    * broadcast anti probe over the corpus, never a corpus self-join.
+    * All criteria are exact integers, so dominance is bit-identical
+    * across engines; ties (identical triples) are mutually
+    * non-dominating and both survive, keeping the set deterministic.
+    */
+  private val qualitySkyline = Q(
+    (s, dir) => {
+      val crit = TS(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"),
+          expr("""cast(round((cast(size(array_distinct(toks)) as double)
+                 |  / size(toks) * 0.5
+                 |  + least(cast(size(toks) as double) / 100, 1.0) * 0.5)
+                 |  * 1000000, 0) as bigint)""".stripMargin).as("q"),
+          size(col("toks")).cast("long").as("t"),
+          expr("""cast(round(cast(size(array_distinct(toks)) as double)
+                 |  / size(toks) * 1000000, 0) as bigint)""".stripMargin).as("d"))
+        .localCheckpoint(true)
+      def dominates(b: String, a: String) =
+        expr(s"""${b}.q >= ${a}.q AND ${b}.t >= ${a}.t AND ${b}.d >= ${a}.d
+                |AND (${b}.q > ${a}.q OR ${b}.t > ${a}.t OR ${b}.d > ${a}.d)"""
+          .stripMargin)
+      val sample = crit.where(col("doc_id") % 13 === 0)
+      val sampleSky = sample.as("a")
+        .join(broadcast(sample.as("b")), dominates("b", "a"), "left_anti")
+      val survivors = crit.as("a")
+        .join(broadcast(sampleSky.as("b")), dominates("b", "a"), "left_anti")
+        .localCheckpoint(true)
+      survivors.as("a")
+        .join(broadcast(survivors.as("b")), dominates("b", "a"), "left_anti")
+        .select(col("doc_id"), col("q").as("quality_e6"), col("t").as("n_toks"),
+          col("d").as("distinct_e6"))
+        .orderBy(col("quality_e6").desc, col("doc_id"))
+    },
+    Some("""WITH c AS (
+           |  SELECT doc_id,
+           |    cast(round((cast(len(list_distinct(string_split(text, ' '))) as double)
+           |      / len(string_split(text, ' ')) * 0.5
+           |      + least(cast(len(string_split(text, ' ')) as double) / 100, 1.0)
+           |        * 0.5) * 1000000, 0) as bigint) AS q,
+           |    cast(len(string_split(text, ' ')) as bigint) AS t,
+           |    cast(round(cast(len(list_distinct(string_split(text, ' '))) as double)
+           |      / len(string_split(text, ' ')) * 1000000, 0) as bigint) AS d
+           |  FROM documents
+           |)
+           |SELECT a.doc_id, a.q AS quality_e6, a.t AS n_toks, a.d AS distinct_e6
+           |FROM c a
+           |WHERE NOT EXISTS (
+           |  SELECT 1 FROM c b
+           |  WHERE b.q >= a.q AND b.t >= a.t AND b.d >= a.d
+           |    AND (b.q > a.q OR b.t > a.t OR b.d > a.d))
+           |ORDER BY quality_e6 DESC, doc_id""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "ns_quality_skyline" -> qualitySkyline,
     "ns_dedup_lines_stream" -> dedupLinesStream,
     "ns_sim_jl_recall" -> simJlRecall,
     "ns_sim_ivf_filtered" -> simIvfFiltered,
