@@ -297,7 +297,11 @@ object ScaleProbe {
       // r14: drift = one posexplode into a 64-group exact-integer agg —
       // the dim-keyed floor case (shuffle carries 64 partial sums per
       // partition at any corpus size)
-      "ns_embed_drift")
+      "ns_embed_drift",
+      // r14: triangles = the bucket-equi edge build (bucket^2 stress
+      // axis under replication, like pagerank) + degree-bounded wedge
+      // and closure joins — edge volume is the wall
+      "ns_embed_knn_triangles")
     // probes over the embeddings fixture that do NOT resolve through the
     // query catalog (custom parameterization below)
     val customVecProbes = Seq("ns_dedup_semantic_kprop")
@@ -359,6 +363,7 @@ object ScaleProbe {
       timeVec("ns_sim_jl_recall")
       timeVec("ns_sim_ivf_filtered")
       timeVec("ns_embed_drift")
+      timeVec("ns_embed_knn_triangles")
 
       // Semantic dedup at the PRODUCTION configuration: k ∝ N (one
       // cluster per ~2500 vectors), seeds stride-spaced so they are k

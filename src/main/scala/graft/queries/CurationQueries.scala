@@ -4758,7 +4758,123 @@ object CurationQueries {
            |    AND (b.q > a.q OR b.t > a.t OR b.d > a.d))
            |ORDER BY quality_e6 DESC, doc_id""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // k-NN graph triangle census (clustering-coefficient health audit)
+  // ---------------------------------------------------------------------
+
+  /** TRIANGLE census over the mutual k-NN graph — the graph-health read
+    * before trusting graph-based ANN (`ns_sim_knn_2hop` expands through
+    * this graph; a near-zero clustering coefficient means 2-hop
+    * expansion wanders instead of staying in the query's neighborhood,
+    * and graph-clustering methods degrade the same way). Counts the
+    * mutual-edge graph's wedges and triangles and reports the global
+    * clustering coefficient `3·triangles / wedges` — the standard
+    * transitivity measure — plus the raw census so the trend is
+    * watchable across index rebuilds.
+    *
+    * Scale: the edge list is the shared bucket-equi k=3 construction
+    * (O(N·k), never all-pairs) and localCheckpoints for its three
+    * graph-side consumers; every downstream join is on the
+    * DEGREE-BOUNDED mutual edge list (deg <= k, so wedges <= N·k² and
+    * the closure semi-join probes <= that) — triangle counting stays
+    * linear-ish in vectors for fixed k. All counts exact integers; the
+    * coefficient is an integer div of non-negatives.
+    */
+  private val embedKnnTriangles = Q(
+    (s, dir) => {
+      graft.expressions.ScaledDotProduct.registerIn(s)
+      val e = TS(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          expr(NorthStarQueries.lshBucketExpr).as("bucket"),
+          expr("scaled_dot(embedding, embedding)").as("nrm"))
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        col("bucket"), col("nrm").as("a_nrm"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        col("bucket").as("bucket_b"), col("nrm").as("b_nrm"))
+      val w = Window.partitionBy(col("a_id")).orderBy(col("cos").desc, col("b_id"))
+      val edges = a.join(b,
+          col("bucket") === col("bucket_b") && col("a_id") =!= col("b_id"))
+        .withColumn("cos", expr("scaled_dot(a_emb, b_emb)").cast("double") /
+          (sqrt(col("a_nrm").cast("double")) * sqrt(col("b_nrm").cast("double"))))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("a_id"), col("b_id"))
+        .localCheckpoint(true)
+      // canonical (u < v) mutual edges: both directions picked each other
+      val mutual = edges
+        .join(edges.select(col("b_id").as("a_id"), col("a_id").as("b_id")),
+          Seq("a_id", "b_id"), "left_semi")
+        .where(col("a_id") < col("b_id"))
+        .select(col("a_id").as("u"), col("b_id").as("v"))
+        .localCheckpoint(true)
+      // adjacency (both directions) for wedge building
+      val adj = mutual.unionByName(
+        mutual.select(col("v").as("u"), col("u").as("v")))
+      // wedges centered at m: (x - m - y), x < y to count each once;
+      // checkpointed for its two consumers (census + closure probe)
+      val wedges = adj.select(col("u").as("m"), col("v").as("x"))
+        .join(adj.select(col("u").as("m"), col("v").as("y")), Seq("m"))
+        .where(col("x") < col("y"))
+        .localCheckpoint(true)
+      val nodesDf = adj.select(col("u")).distinct()
+        .agg(count(lit(1)).as("n_nodes"))
+      val edgesDf = mutual.agg(count(lit(1)).as("n_mutual_edges"))
+      val wedgesDf = wedges.agg(count(lit(1)).as("n_wedges"))
+      // closed wedges: each triangle closes the wedge at EACH of its 3
+      // centers, so n_triangles = closed/3 and the transitivity ratio
+      // is closed/wedges directly (NOT 3·triangles/wedges again)
+      val triDf = wedges
+        .join(mutual.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"),
+          "left_semi")
+        .agg(count(lit(1)).as("n_closed"))
+      nodesDf.crossJoin(broadcast(edgesDf))
+        .crossJoin(broadcast(wedgesDf))
+        .crossJoin(broadcast(triDf))
+        .select(col("n_nodes"), col("n_mutual_edges"), col("n_wedges"),
+          expr("n_closed div 3").as("n_triangles"),
+          expr("""CASE WHEN n_wedges > 0
+                 |THEN n_closed * 1000000 div n_wedges
+                 |ELSE cast(0 as bigint) END""".stripMargin).as("global_cc_e6"))
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, embedding, ${NorthStarQueries.lshBucketSql} AS bucket,
+            |    ${NorthStarQueries.scaledDotSql("embedding", "embedding")} AS nrm
+            |  FROM embeddings
+            |), p AS (
+            |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+            |    cast(${NorthStarQueries.scaledDotSql("a.embedding", "b.embedding")}
+            |      as double)
+            |      / (sqrt(cast(a.nrm as double)) * sqrt(cast(b.nrm as double))) AS cos
+            |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+            |), k AS (
+            |  SELECT a_id, b_id FROM (
+            |    SELECT a_id, b_id,
+            |      row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rn
+            |    FROM p) WHERE rn <= 3
+            |), mu AS (
+            |  SELECT k.a_id AS u, k.b_id AS v FROM k
+            |  WHERE k.a_id < k.b_id
+            |    AND EXISTS (SELECT 1 FROM k r WHERE r.a_id = k.b_id AND r.b_id = k.a_id)
+            |), adj AS (
+            |  SELECT u, v FROM mu UNION ALL SELECT v AS u, u AS v FROM mu
+            |), wd AS (
+            |  SELECT a1.u AS m, a1.v AS x, a2.v AS y
+            |  FROM adj a1 JOIN adj a2 ON a1.u = a2.u AND a1.v < a2.v
+            |), tri AS (
+            |  SELECT * FROM wd
+            |  WHERE EXISTS (SELECT 1 FROM mu WHERE mu.u = wd.x AND mu.v = wd.y)
+            |)
+            |SELECT (SELECT count(DISTINCT u) FROM adj) AS n_nodes,
+            |  (SELECT count(*) FROM mu) AS n_mutual_edges,
+            |  (SELECT count(*) FROM wd) AS n_wedges,
+            |  cast((SELECT count(*) FROM tri) // 3 as bigint) AS n_triangles,
+            |  CASE WHEN (SELECT count(*) FROM wd) > 0
+            |       THEN cast((SELECT count(*) FROM tri) * 1000000
+            |              // (SELECT count(*) FROM wd) as bigint)
+            |       ELSE 0 END AS global_cc_e6""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "ns_embed_knn_triangles" -> embedKnnTriangles,
     "ns_quality_skyline" -> qualitySkyline,
     "ns_dedup_lines_stream" -> dedupLinesStream,
     "ns_sim_jl_recall" -> simJlRecall,
