@@ -206,6 +206,17 @@ object ScaleProbe {
       // exchange and state is one long per distinct line (which clones
       // don't grow) — wall should track line volume plus file-sink cost
       "ns_dedup_lines_stream",
+      // r14 late wave: pref pairs = one map-only scoring pass into the
+      // (source, lang)-keyed max_by/min_by agg (4 longs per group) — the
+      // ctx_profile floor class; heavy hitters = the MG sketch pass
+      // (<=32 rows shuffled per partition) + the candidate-semi-join
+      // recount, so the wall is two narrow corpus scans and replication
+      // must NOT grow the shuffle (clones multiply counts, not keys);
+      // kanon = two shrinking aggs (docs -> QI classes -> size
+      // histogram); fertility = the token-counts HOF fold into a
+      // |langs|-group agg — both floor cases
+      "ns_corpus_pref_pairs", "ns_sketch_heavy_hitters",
+      "ns_profile_kanon", "ns_text_fertility",
       // r14: skyline's corpus work is the map-only criteria pass + two
       // broadcast anti probes; clones are identical triples (mutually
       // non-dominating), so survivors grow with the clone factor — the
@@ -214,7 +225,8 @@ object ScaleProbe {
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected
-    val needDocsFixture = docNames.exists(enabled) || enabled("ns_sim_hybrid_rrf")
+    val needDocsFixture = docNames.exists(enabled) || enabled("ns_sim_hybrid_rrf") ||
+      enabled("ns_pipeline_integrity")
     if (needDocsFixture) {
       val docReps = spark.range(docMult).select(col("id").as("rep"))
       Tables.load(spark, sfDir, "documents")
@@ -301,7 +313,12 @@ object ScaleProbe {
       // r14: triangles = the bucket-equi edge build (bucket^2 stress
       // axis under replication, like pagerank) + degree-bounded wedge
       // and closure joins — edge volume is the wall
-      "ns_embed_knn_triangles")
+      "ns_embed_knn_triangles",
+      // r14 late wave: integrity reads BOTH multiplied fixtures (the
+      // doc_id / vec_id remaps are identical, so per-replica match
+      // structure is invariant); each side distinct-collapses before the
+      // full-outer join, so the join carries one row per distinct key
+      "ns_pipeline_integrity")
     // probes over the embeddings fixture that do NOT resolve through the
     // query catalog (custom parameterization below)
     val customVecProbes = Seq("ns_dedup_semantic_kprop")
@@ -364,6 +381,7 @@ object ScaleProbe {
       timeVec("ns_sim_ivf_filtered")
       timeVec("ns_embed_drift")
       timeVec("ns_embed_knn_triangles")
+      timeVec("ns_pipeline_integrity")
 
       // Semantic dedup at the PRODUCTION configuration: k ∝ N (one
       // cluster per ~2500 vectors), seeds stride-spaced so they are k

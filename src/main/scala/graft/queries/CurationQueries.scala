@@ -4873,7 +4873,350 @@ object CurationQueries {
             |              // (SELECT count(*) FROM wd) as bigint)
             |       ELSE 0 END AS global_cc_e6""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // Preference-pair assembly (DPO/RLHF prep)
+  // ---------------------------------------------------------------------
+
+  /** PREFERENCE-PAIR assembly — the DPO/RLHF prep stage that turns a
+    * scored corpus into (chosen, rejected) training pairs: within each
+    * prompt bucket (the `(source, lang)` group stands in for a shared
+    * prompt), the highest-scoring document is paired against the
+    * lowest-scoring one, and the pair is kept only when the score margin
+    * clears 0.1 — a margin-gated pair is the unit a preference-training
+    * run actually consumes, and the margin floor is what keeps
+    * near-tie noise pairs out of the loss.
+    *
+    * Determinism: scores are the rule-quality formula rounded to 6 dp
+    * then fixed-pointed to e6 bigints; ties break by doc_id through the
+    * UNIQUE bigint compare key `score_e6 * 2^40 - doc_id` (max key =
+    * highest score then lowest id = chosen; min key = lowest score then
+    * highest id = rejected), so the pair is total-order determined even
+    * under distributed merge. A single-bigint key (vs a struct) keeps
+    * the aggregate a HashAggregate — a struct ordering demotes Spark to
+    * SortAggregate, which sorts every partition's corpus rows. Packing
+    * assumes doc_id < 2^40 (the fixture contract; a larger id space
+    * widens the base, not the plan).
+    *
+    * Scale: ONE corpus pass computes the score map-side and ONE
+    * group-keyed aggregate (map-side partials, 4 longs per group)
+    * produces both extremes via max_by/min_by — no corpus-wide window,
+    * no self-join, shuffle rows = |source x lang|. At 100 TB with real
+    * prompt ids the same plan holds: the aggregate carries O(groups),
+    * never O(docs).
+    */
+  private val corpusPrefPairs = Q(
+    (s, dir) => {
+      val scored = TS(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("score", round(
+          size(array_distinct(col("toks"))).cast("double") /
+            size(col("toks")).cast("double") * 0.5 +
+            least(size(col("toks")).cast("double") / 100, lit(1.0)) * 0.5, 6))
+        .select(col("source"), col("lang"), col("doc_id"),
+          expr("cast(round(score * 1000000, 0) as bigint)").as("score_e6"))
+        .withColumn("okey",
+          expr("score_e6 * cast(1099511627776 as bigint) - doc_id"))
+      scored
+        .groupBy(col("source"), col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          expr("max_by(doc_id, okey)").as("chosen_id"),
+          max(col("score_e6")).as("chosen_e6"),
+          expr("min_by(doc_id, okey)").as("rejected_id"),
+          min(col("score_e6")).as("rejected_e6"))
+        .where(col("n_docs") >= 2 &&
+          col("chosen_e6") - col("rejected_e6") >= 100000)
+        .select(col("source"), col("lang"), col("n_docs"), col("chosen_id"),
+          col("rejected_id"), col("chosen_e6"), col("rejected_e6"),
+          (col("chosen_e6") - col("rejected_e6")).as("margin_e6"))
+        .orderBy(col("source"), col("lang"))
+    },
+    Some("""WITH f AS (
+           |  SELECT source, lang, doc_id, string_split(text, ' ') AS toks
+           |  FROM documents
+           |), sc AS (
+           |  SELECT source, lang, doc_id,
+           |    cast(round(round(
+           |      cast(len(list_distinct(toks)) as double) / len(toks) * 0.5
+           |        + least(cast(len(toks) as double) / 100, 1.0) * 0.5, 6)
+           |      * 1000000, 0) as bigint) AS score_e6
+           |  FROM f
+           |), r AS (
+           |  SELECT source, lang, doc_id, score_e6,
+           |    row_number() OVER (PARTITION BY source, lang
+           |      ORDER BY score_e6 DESC, doc_id) AS rb,
+           |    row_number() OVER (PARTITION BY source, lang
+           |      ORDER BY score_e6 ASC, doc_id DESC) AS rw,
+           |    count(*) OVER (PARTITION BY source, lang) AS n_docs
+           |  FROM sc
+           |), b AS (
+           |  SELECT source, lang, n_docs, doc_id AS chosen_id,
+           |    score_e6 AS chosen_e6 FROM r WHERE rb = 1
+           |), w AS (
+           |  SELECT source, lang, doc_id AS rejected_id,
+           |    score_e6 AS rejected_e6 FROM r WHERE rw = 1
+           |)
+           |SELECT b.source, b.lang, b.n_docs, b.chosen_id, w.rejected_id,
+           |  b.chosen_e6, w.rejected_e6,
+           |  b.chosen_e6 - w.rejected_e6 AS margin_e6
+           |FROM b JOIN w ON b.source = w.source AND b.lang = w.lang
+           |WHERE b.n_docs >= 2 AND b.chosen_e6 - w.rejected_e6 >= 100000
+           |ORDER BY b.source, b.lang""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Referential-integrity audit (documents <-> embeddings)
+  // ---------------------------------------------------------------------
+
+  /** REFERENTIAL-INTEGRITY audit between the document store and its
+    * embedding index — the consistency check a pipeline runs after any
+    * partial re-embed or shard repair, because every ANN / semantic-dedup
+    * operator silently degrades when the two drift: key counts on each
+    * side, matched keys, orphans in each direction (docs never embedded;
+    * embeddings whose doc was deleted), duplicate keys per side, and the
+    * e6 coverage ratio.
+    *
+    * Scale: each side collapses to (key, multiplicity) with map-side
+    * partial aggregation BEFORE the join, so the full-outer join carries
+    * one row per DISTINCT key — the only safe shape when either side can
+    * hold duplicate keys (a raw full-outer would multiply). One keyed
+    * shuffle per side plus the single-row rollup; no driver state.
+    */
+  private val pipelineIntegrity = Q(
+    (s, dir) => {
+      val d = T(s, dir, "documents")
+        .groupBy(col("doc_id").as("id")).agg(count(lit(1)).as("dc"))
+      val e = T(s, dir, "embeddings")
+        .groupBy(col("vec_id").as("id")).agg(count(lit(1)).as("ec"))
+      d.join(e, Seq("id"), "full_outer")
+        .agg(
+          sum(when(col("dc").isNotNull, 1L).otherwise(0L)).as("n_doc_keys"),
+          sum(when(col("ec").isNotNull, 1L).otherwise(0L)).as("n_vec_keys"),
+          sum(when(col("dc").isNotNull && col("ec").isNotNull, 1L)
+            .otherwise(0L)).as("n_matched"),
+          sum(when(col("dc").isNotNull && col("ec").isNull, 1L)
+            .otherwise(0L)).as("n_doc_orphans"),
+          sum(when(col("dc").isNull && col("ec").isNotNull, 1L)
+            .otherwise(0L)).as("n_vec_orphans"),
+          sum(when(col("dc") > 1L, 1L).otherwise(0L)).as("n_doc_dup_keys"),
+          sum(when(col("ec") > 1L, 1L).otherwise(0L)).as("n_vec_dup_keys"))
+        .withColumn("coverage_e6",
+          expr("(n_matched * 1000000) div n_doc_keys"))
+    },
+    Some("""WITH d AS (
+           |  SELECT doc_id AS id, count(*) AS dc FROM documents GROUP BY 1
+           |), e AS (
+           |  SELECT vec_id AS id, count(*) AS ec FROM embeddings GROUP BY 1
+           |), j AS (
+           |  SELECT dc, ec FROM d FULL OUTER JOIN e ON d.id = e.id
+           |)
+           |SELECT
+           |  cast(sum(CASE WHEN dc IS NOT NULL THEN 1 ELSE 0 END) as bigint)
+           |    AS n_doc_keys,
+           |  cast(sum(CASE WHEN ec IS NOT NULL THEN 1 ELSE 0 END) as bigint)
+           |    AS n_vec_keys,
+           |  cast(sum(CASE WHEN dc IS NOT NULL AND ec IS NOT NULL
+           |    THEN 1 ELSE 0 END) as bigint) AS n_matched,
+           |  cast(sum(CASE WHEN dc IS NOT NULL AND ec IS NULL
+           |    THEN 1 ELSE 0 END) as bigint) AS n_doc_orphans,
+           |  cast(sum(CASE WHEN dc IS NULL AND ec IS NOT NULL
+           |    THEN 1 ELSE 0 END) as bigint) AS n_vec_orphans,
+           |  cast(sum(CASE WHEN dc > 1 THEN 1 ELSE 0 END) as bigint)
+           |    AS n_doc_dup_keys,
+           |  cast(sum(CASE WHEN ec > 1 THEN 1 ELSE 0 END) as bigint)
+           |    AS n_vec_dup_keys,
+           |  cast((sum(CASE WHEN dc IS NOT NULL AND ec IS NOT NULL
+           |      THEN 1 ELSE 0 END) * 1000000)
+           |    // sum(CASE WHEN dc IS NOT NULL THEN 1 ELSE 0 END) as bigint)
+           |    AS coverage_e6
+           |FROM j""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Heavy hitters: Misra-Gries sketch pass + exact verify pass
+  // ---------------------------------------------------------------------
+
+  /** HEAVY-HITTER census — every term whose corpus frequency exceeds
+    * n/33 (Misra-Gries width 32), found WITHOUT a full-vocabulary
+    * shuffle: pass 1 runs a per-partition Misra-Gries summary
+    * ([[graft.operators.HeavyHitters.mgPartition]]) whose union is a
+    * guaranteed SUPERSET of the true heavies (<= 32 x partitions
+    * candidates); pass 2 recounts only the candidates exactly (broadcast
+    * semi-join prunes the corpus map-side) and applies the exact
+    * threshold. The sketch content depends on partition order but the
+    * FINAL output does not — spurious candidates fail the exact
+    * threshold, true heavies can never be missed (see the operator's
+    * scaladoc for the proof sketch) — so the result is deterministic
+    * and oracled against DuckDB's exact full count.
+    *
+    * Scale: this is the 100 TB shape for frequent-term mining — the
+    * full-cardinality explode->groupBy that `ns_text_top_terms` uses is
+    * fine when the vocabulary fits a shuffle, but a web-scale token
+    * stream shuffles billions of distinct keys; here the shuffled rows
+    * are <= 32 per partition (pass 1) and |candidates| (pass 2), and the
+    * corpus-total scalar rides a map-side sum of token counts, not a
+    * third explode.
+    */
+  private val sketchHeavyHitters = Q(
+    (s, dir) => {
+      import s.implicits._
+      val K = 32
+      val toks = TS(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val cand = toks.as[String]
+        .mapPartitions(graft.operators.HeavyHitters.mgPartition(K))
+        .toDF("tok", "c")
+        .groupBy(col("tok")).agg(sum(col("c")).as("c_lower"))
+        .select(col("tok"))
+      val total = TS(s, dir, "documents")
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_total"))
+      toks.join(broadcast(cand), Seq("tok"), "left_semi")
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(total))
+        .where(col("n") * (K + 1) > col("n_total"))
+        .select(col("tok"), col("n"), col("n_total"),
+          expr("(n * 1000000) div n_total").as("freq_e6"))
+        .orderBy(col("n").desc, col("tok"))
+    },
+    Some("""WITH e AS (
+           |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+           |), t AS (
+           |  SELECT count(*) AS n_total FROM e
+           |), c AS (
+           |  SELECT tok, count(*) AS n FROM e GROUP BY tok
+           |)
+           |SELECT c.tok, c.n, t.n_total,
+           |  cast((c.n * 1000000) // t.n_total as bigint) AS freq_e6
+           |FROM c, t WHERE c.n * 33 > t.n_total
+           |ORDER BY c.n DESC, c.tok""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // k-anonymity audit over quasi-identifier metadata
+  // ---------------------------------------------------------------------
+
+  /** K-ANONYMITY audit — the privacy-side companion to
+    * `ns_text_pii_redact`: documents group into equivalence classes by
+    * the quasi-identifier tuple (lang, source, length-centile bucket) —
+    * the metadata an adversary could join against an external dataset —
+    * and the audit reports the equivalence-class size histogram, flagging
+    * classes smaller than k=5 (a doc in a size-1 class is uniquely
+    * re-identifiable from its metadata alone) and each size's share of
+    * the corpus in e6 fixed point.
+    *
+    * Scale: two strictly-shrinking aggregates — docs -> classes (keyed by
+    * the QI tuple, map-side partials) -> size histogram (at most
+    * max-class-size groups) — plus one broadcast scalar for the share
+    * denominator. No windows, no joins on the corpus.
+    */
+  private val profileKanon = Q(
+    (s, dir) => {
+      val classes = TS(s, dir, "documents")
+        .select(col("lang"), col("source"),
+          expr("n_chars div 100").as("len_bucket"))
+        .groupBy(col("lang"), col("source"), col("len_bucket"))
+        .agg(count(lit(1)).as("class_size"))
+      val total = T(s, dir, "documents").agg(count(lit(1)).as("n_total"))
+      classes.groupBy(col("class_size"))
+        .agg(count(lit(1)).as("n_classes"))
+        .withColumn("n_docs", col("class_size") * col("n_classes"))
+        .crossJoin(broadcast(total))
+        .select(col("class_size"), col("n_classes"), col("n_docs"),
+          expr("(n_docs * 1000000) div n_total").as("docs_share_e6"),
+          (col("class_size") < 5).as("at_risk"))
+        .orderBy(col("class_size"))
+    },
+    Some("""WITH c AS (
+           |  SELECT lang, source, n_chars // 100 AS len_bucket,
+           |    count(*) AS class_size
+           |  FROM documents GROUP BY 1, 2, 3
+           |), h AS (
+           |  SELECT class_size, count(*) AS n_classes,
+           |    cast(class_size * count(*) as bigint) AS n_docs
+           |  FROM c GROUP BY 1
+           |), t AS (
+           |  SELECT count(*) AS n_total FROM documents
+           |)
+           |SELECT class_size, n_classes, n_docs,
+           |  cast((n_docs * 1000000) // t.n_total as bigint) AS docs_share_e6,
+           |  (class_size < 5) AS at_risk
+           |FROM h, t ORDER BY class_size""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Tokenizer fertility per language
+  // ---------------------------------------------------------------------
+
+  /** TOKENIZER-FERTILITY audit by language — the multilingual-equity
+    * read a tokenizer rollout runs before fixing a context budget:
+    * per language, subwords-per-word fertility (the `ceil(len/4)`
+    * subword estimate `ns_text_token_counts` uses per document,
+    * aggregated to the language level), characters per subword, and the
+    * PARITY GAP — each language's fertility relative to the corpus-best
+    * language in e6 fixed point (a language at +40% fertility pays 40%
+    * more context budget for the same content; that asymmetry decides
+    * per-language sampling weights).
+    *
+    * Determinism: all counts are exact bigints; the only divisions are
+    * terminal integer `div`s.
+    *
+    * Scale: the per-doc word/subword/char totals fold map-side inside
+    * one corpus pass (higher-order `aggregate`, no explode), the
+    * language rollup shuffles |langs| rows, and the best-fertility
+    * scalar broadcasts back. Three shuffle rows per language total.
+    */
+  private val textFertility = Q(
+    (s, dir) => {
+      val byLang = TS(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("lang"),
+          size(col("toks")).cast("long").as("w"),
+          expr("aggregate(toks, cast(0 as bigint), " +
+            "(acc, t) -> acc + cast(ceil(length(t) / 4.0) as bigint))").as("sw"),
+          expr("aggregate(toks, cast(0 as bigint), " +
+            "(acc, t) -> acc + length(t))").as("ch"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+          sum(col("sw")).as("n_subwords"), sum(col("ch")).as("n_chars_sum"))
+        .withColumn("fertility_e6",
+          expr("(n_subwords * 1000000) div n_words"))
+        .withColumn("chars_per_subword_e6",
+          expr("(n_chars_sum * 1000000) div n_subwords"))
+      val best = byLang.agg(min(col("fertility_e6")).as("best_fert"))
+      byLang.crossJoin(broadcast(best))
+        .withColumn("parity_gap_e6",
+          expr("((fertility_e6 * 1000000) div best_fert) - 1000000"))
+        .drop("best_fert")
+        .orderBy(col("lang"))
+    },
+    Some("""WITH f AS (
+           |  SELECT lang, string_split(text, ' ') AS toks FROM documents
+           |), d AS (
+           |  SELECT lang, cast(len(toks) as bigint) AS w,
+           |    cast(list_sum(list_transform(toks,
+           |      t -> cast(ceil(length(t) / 4.0) as bigint))) as bigint) AS sw,
+           |    cast(list_sum(list_transform(toks, t -> length(t))) as bigint)
+           |      AS ch
+           |  FROM f
+           |), l AS (
+           |  SELECT lang, count(*) AS n_docs,
+           |    cast(sum(w) as bigint) AS n_words,
+           |    cast(sum(sw) as bigint) AS n_subwords,
+           |    cast(sum(ch) as bigint) AS n_chars_sum
+           |  FROM d GROUP BY lang
+           |), b AS (
+           |  SELECT min((n_subwords * 1000000) // n_words) AS best_fert FROM l
+           |)
+           |SELECT lang, n_docs, n_words, n_subwords, n_chars_sum,
+           |  cast((n_subwords * 1000000) // n_words as bigint) AS fertility_e6,
+           |  cast((n_chars_sum * 1000000) // n_subwords as bigint)
+           |    AS chars_per_subword_e6,
+           |  cast((((n_subwords * 1000000) // n_words) * 1000000) // b.best_fert
+           |    - 1000000 as bigint) AS parity_gap_e6
+           |FROM l, b ORDER BY lang""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "ns_corpus_pref_pairs" -> corpusPrefPairs,
+    "ns_pipeline_integrity" -> pipelineIntegrity,
+    "ns_sketch_heavy_hitters" -> sketchHeavyHitters,
+    "ns_profile_kanon" -> profileKanon,
+    "ns_text_fertility" -> textFertility,
     "ns_embed_knn_triangles" -> embedKnnTriangles,
     "ns_quality_skyline" -> qualitySkyline,
     "ns_dedup_lines_stream" -> dedupLinesStream,
