@@ -217,6 +217,12 @@ object ScaleProbe {
       // |langs|-group agg — both floor cases
       "ns_corpus_pref_pairs", "ns_sketch_heavy_hitters",
       "ns_profile_kanon", "ns_text_fertility",
+      // r14 late wave 2: memorization = the 8-gram (doc, gram) distinct
+      // collapse + gram-df agg + df join-back (replication multiplies
+      // every gram's df — the novelty stress axis); gini = one
+      // source-keyed exchange shared by the rank window and the rollup
+      // (the ndcg class; per-source sort volume is the axis)
+      "ns_text_memorization", "ns_profile_gini",
       // r14: skyline's corpus work is the map-only criteria pass + two
       // broadcast anti probes; clones are identical triples (mutually
       // non-dominating), so survivors grow with the clone factor — the
@@ -318,7 +324,13 @@ object ScaleProbe {
       // doc_id / vec_id remaps are identical, so per-replica match
       // structure is invariant); each side distinct-collapses before the
       // full-outer join, so the join carries one row per distinct key
-      "ns_pipeline_integrity")
+      "ns_pipeline_integrity",
+      // r14 late wave 2: semantic decontamination is the broadcast-query
+      // cosine pass (16 eval rows vs the corpus scan) into a 16-group
+      // packed-key max_by agg — the cosine_topk growth class; cluster
+      // balance is the shared centroid assignment + a per-cell rank cut
+      // (WindowGroupLimit prunes to 24/cell map-side) + a C-group census
+      "ns_decontaminate_semantic", "ns_sample_cluster_balance")
     // probes over the embeddings fixture that do NOT resolve through the
     // query catalog (custom parameterization below)
     val customVecProbes = Seq("ns_dedup_semantic_kprop")
@@ -382,6 +394,8 @@ object ScaleProbe {
       timeVec("ns_embed_drift")
       timeVec("ns_embed_knn_triangles")
       timeVec("ns_pipeline_integrity")
+      timeVec("ns_decontaminate_semantic")
+      timeVec("ns_sample_cluster_balance")
 
       // Semantic dedup at the PRODUCTION configuration: k ∝ N (one
       // cluster per ~2500 vectors), seeds stride-spaced so they are k

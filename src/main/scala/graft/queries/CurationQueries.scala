@@ -5211,7 +5211,323 @@ object CurationQueries {
            |    - 1000000 as bigint) AS parity_gap_e6
            |FROM l, b ORDER BY lang""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // Semantic decontamination (embedding-space eval contamination)
+  // ---------------------------------------------------------------------
+
+  /** SEMANTIC decontamination audit — the embedding-space companion to
+    * `ns_decontaminate`'s n-gram matching: paraphrased or lightly-edited
+    * eval material shares no 8-gram with its source but sits at
+    * cosine ~1 in embedding space, so a pipeline also screens eval
+    * items against the corpus by nearest-neighbor similarity. The
+    * 16-item eval set is half clean (raw held-out vectors 0..7, outside
+    * the corpus) and half DERIVED (vectors 32..39 perturbed per-dim by
+    * a deterministic ±0.02 md5-parity sign — the fixture's stand-in for
+    * a paraphrase, cos ~0.999 to its source, which IS in the corpus);
+    * the audit must flag exactly the derived half and name each item's
+    * nearest corpus neighbor.
+    *
+    * Determinism: cosines derive from exact scaled-dot bigints through
+    * identical IEEE double ops in both engines; the nearest-neighbor
+    * argmax uses the packed bigint key `floor(cos*1e6) * 2^40 - c_id`
+    * (unique per pair — c_id tiebreak) so `max_by` needs no window and
+    * no struct ordering.
+    *
+    * Scale: the broadcast-query pass (`ns_sim_cosine_topk`'s class) —
+    * 16 eval rows broadcast against one corpus scan, cosine map-side,
+    * ONE 16-group aggregate with map-side partials (count + max + the
+    * packed-key max_by). No corpus-keyed window, no self-join; at
+    * billion-doc scale this is exactly the screening pass an eval
+    * release runs, with the IVF index as the drop-in candidate pruner.
+    */
+  private val decontaminateSemantic = Q(
+    (s, dir) => {
+      graft.expressions.ScaledDotProduct.registerIn(s)
+      val e = TS(s, dir, "embeddings")
+      val corpus = e.where(col("vec_id") >= 32)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          expr("scaled_dot(embedding, embedding)").as("nc"))
+      val clean = e.where(col("vec_id") < 8)
+        .select(col("vec_id").as("eval_id"), col("embedding").as("q_emb"))
+      val derived = e.where(col("vec_id").between(32, 39))
+        .select((col("vec_id") - 24).as("eval_id"),
+          expr("transform(embedding, (x, i) -> cast(x + cast(case when " +
+            "substring(md5(concat('pv:', cast(vec_id as string), ':', " +
+            "cast(i as string))), 1, 1) < '8' then 0.02 else -0.02 end " +
+            "as float) as float))").as("q_emb"))
+      val q = clean.unionByName(derived)
+        .withColumn("nq", expr("scaled_dot(q_emb, q_emb)"))
+      corpus.join(broadcast(q), lit(true))
+        .withColumn("cos", expr("scaled_dot(q_emb, c_emb)").cast("double") /
+          (sqrt(col("nq").cast("double")) * sqrt(col("nc").cast("double"))))
+        .withColumn("pack",
+          expr("cast(floor(cos * 1000000) as bigint) " +
+            "* cast(1099511627776 as bigint) - c_id"))
+        .groupBy(col("eval_id"))
+        .agg(
+          sum(when(col("cos") >= 0.95, 1L).otherwise(0L)).as("n_above_95"),
+          round(max(col("cos")), 6).as("max_cos"),
+          expr("max_by(c_id, pack)").as("nearest_id"))
+        .withColumn("contaminated", col("n_above_95") > 0)
+        .orderBy(col("eval_id"))
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, embedding,
+            |    ${NorthStarQueries.scaledDotSql("embedding", "embedding")} AS nrm
+            |  FROM embeddings
+            |), c AS (
+            |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS nc
+            |  FROM e WHERE vec_id >= 32
+            |), cl AS (
+            |  SELECT vec_id AS eval_id, embedding AS q_emb
+            |  FROM embeddings WHERE vec_id < 8
+            |), dv AS (
+            |  SELECT vec_id - 24 AS eval_id,
+            |    list_transform(generate_series(1, 64), i ->
+            |      cast(embedding[i] + cast(CASE WHEN
+            |        substr(md5('pv:' || cast(vec_id as varchar) || ':' ||
+            |          cast(i - 1 as varchar)), 1, 1) < '8'
+            |        THEN 0.02 ELSE -0.02 END as float) as float)) AS q_emb
+            |  FROM embeddings WHERE vec_id BETWEEN 32 AND 39
+            |), q AS (
+            |  SELECT eval_id, q_emb,
+            |    ${NorthStarQueries.scaledDotSql("q_emb", "q_emb")} AS nq
+            |  FROM (SELECT * FROM cl UNION ALL SELECT * FROM dv)
+            |), p AS (
+            |  SELECT q.eval_id, c.c_id,
+            |    cast(${NorthStarQueries.scaledDotSql("q.q_emb", "c.c_emb")}
+            |      as double)
+            |      / (sqrt(cast(q.nq as double)) * sqrt(cast(c.nc as double)))
+            |      AS cos
+            |  FROM q, c
+            |), k AS (
+            |  SELECT eval_id, c_id, cos,
+            |    cast(floor(cos * 1000000) as bigint) * 1099511627776 - c_id
+            |      AS pack
+            |  FROM p
+            |)
+            |SELECT eval_id,
+            |  cast(sum(CASE WHEN cos >= 0.95 THEN 1 ELSE 0 END) as bigint)
+            |    AS n_above_95,
+            |  round(max(cos), 6) AS max_cos,
+            |  arg_max(c_id, pack) AS nearest_id,
+            |  (sum(CASE WHEN cos >= 0.95 THEN 1 ELSE 0 END) > 0)
+            |    AS contaminated
+            |FROM k GROUP BY eval_id ORDER BY eval_id""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Cluster-balanced sampling (semantic topic balancing)
+  // ---------------------------------------------------------------------
+
+  /** CLUSTER-BALANCED sampling — the semantic companion to
+    * `ns_sample_domain_cap`: instead of capping by metadata domain, the
+    * corpus is capped per EMBEDDING cluster (the IVF cells of
+    * `ns_sim_ivf_topk`'s 16-centroid layout), the DataComp-style topic
+    * rebalance that stops one over-crawled topic from dominating the
+    * mix even when it spans many domains. Each cell keeps its 24
+    * hash-first vectors (deterministic md5 order — a reproducible
+    * uniform subsample, not a quality rank); the output is the per-cell
+    * before/after census with a kept-membership fingerprint (sum of the
+    * kept rows' hash keys) so the oracle pins exactly WHICH vectors
+    * survived, not just how many.
+    *
+    * Scale: assignment is the shared broadcast-centroid pass; the
+    * per-cell cap is a rank-only window (WindowGroupLimit prunes to the
+    * top 24 per cell map-side before the exchange — the domain-cap
+    * claim, spec-asserted there); the census is a C-group aggregate.
+    */
+  private val sampleClusterBalance = Q(
+    (s, dir) => {
+      graft.expressions.ScaledDotProduct.registerIn(s)
+      val CAP = 24
+      val e = TS(s, dir, "embeddings")
+        .withColumn("nrm", expr("scaled_dot(embedding, embedding)"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cen_cos").desc, col("cen_id"))
+      val assigned = e.join(broadcast(
+          e.where(col("vec_id").between(100, 115))
+            .select(col("vec_id").as("cen_id"), col("embedding").as("cen_emb"),
+              col("nrm").as("cen_nrm"))), lit(true))
+        .withColumn("cen_cos",
+          expr("scaled_dot(embedding, cen_emb)").cast("double") /
+            (sqrt(col("nrm").cast("double")) * sqrt(col("cen_nrm").cast("double"))))
+        .withColumn("arn", row_number().over(wAssign))
+        .where(col("arn") === 1)
+        .select(col("vec_id"), col("cen_id").as("cell"))
+        .withColumn("hkey", expr(
+          "cast(conv(substring(md5(concat('cb:', cast(vec_id as string))), " +
+            "1, 8), 16, 10) as bigint)"))
+      val wCap = Window.partitionBy(col("cell"))
+        .orderBy(col("hkey"), col("vec_id"))
+      assigned
+        .withColumn("rn", row_number().over(wCap))
+        .withColumn("kept", col("rn") <= CAP)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_before"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), col("hkey")).otherwise(0L)).as("kept_fp"))
+        .withColumn("truncated", col("n_before") > CAP)
+        .orderBy(col("cell"))
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, embedding,
+            |    ${NorthStarQueries.scaledDotSql("embedding", "embedding")} AS nrm
+            |  FROM embeddings
+            |), cen AS (
+            |  SELECT vec_id AS cen_id, embedding AS cen_emb, nrm AS cen_nrm
+            |  FROM e WHERE vec_id BETWEEN 100 AND 115
+            |), ranked AS (
+            |  SELECT vec_id, cen_id,
+            |    row_number() OVER (PARTITION BY vec_id
+            |                       ORDER BY cen_cos DESC, cen_id) AS arn
+            |  FROM (
+            |    SELECT e.vec_id, cen.cen_id,
+            |      cast(${NorthStarQueries.scaledDotSql("e.embedding", "cen.cen_emb")}
+            |        as double)
+            |        / (sqrt(cast(e.nrm as double)) * sqrt(cast(cen.cen_nrm as double)))
+            |        AS cen_cos
+            |    FROM e, cen)
+            |), a AS (
+            |  SELECT vec_id, cen_id AS cell,
+            |    cast('0x' || substr(md5('cb:' || cast(vec_id as varchar)), 1, 8)
+            |      as bigint) AS hkey
+            |  FROM ranked WHERE arn = 1
+            |), r AS (
+            |  SELECT cell, hkey,
+            |    row_number() OVER (PARTITION BY cell ORDER BY hkey, vec_id) AS rn
+            |  FROM a
+            |)
+            |SELECT cell, count(*) AS n_before,
+            |  cast(sum(CASE WHEN rn <= 24 THEN 1 ELSE 0 END) as bigint)
+            |    AS n_kept,
+            |  cast(sum(CASE WHEN rn <= 24 THEN hkey ELSE 0 END) as bigint)
+            |    AS kept_fp,
+            |  (count(*) > 24) AS truncated
+            |FROM r GROUP BY cell ORDER BY cell""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Memorization-exposure scoring (cross-doc verbatim-span census)
+  // ---------------------------------------------------------------------
+
+  /** MEMORIZATION-EXPOSURE score — the per-document read behind
+    * "deduplicating training data mitigates memorization": a document
+    * whose 8-gram spans recur verbatim across other documents is the
+    * one a model is most likely to regurgitate, and the exposure
+    * fraction (shared distinct 8-grams / total distinct 8-grams) ranks
+    * documents for span-level dedup ahead of doc-level near-dup
+    * signals (a doc can be 30% verbatim-shared yet Jaccard-distant).
+    * Reports the top-40 most-exposed docs with their shared-span
+    * volumes and worst span df.
+    *
+    * Scale: one tokenize pass explodes 8-gram shingles into the
+    * (doc, gram) DISTINCT collapse (checkpointed — the df aggregate and
+    * the doc rollup both read it); gram df is a vocabulary-keyed
+    * aggregate; the df joins back gram-keyed (SMJ at vocab scale) and
+    * the doc rollup is a second shrinking aggregate. The final top-40
+    * is a rank cut with a unique tiebreak, not a global sort of the
+    * corpus.
+    */
+  private val textMemorization = Q(
+    (s, dir) => {
+      val grams = TS(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, greatest(size(toks) - 7, 1)), " +
+            "i -> concat_ws(' ', slice(toks, i, 8)))")).as("gram"))
+        .distinct()
+        .localCheckpoint(true)
+      val df8 = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      grams.join(df8, Seq("gram"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"),
+          sum(when(col("df") >= 3, 1L).otherwise(0L)).as("n_shared3"),
+          max(col("df")).as("max_df"))
+        .withColumn("exposure_e6", expr("(n_shared * 1000000) div n_grams"))
+        .orderBy(col("exposure_e6").desc, col("doc_id"))
+        .limit(40)
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+           |), g AS (
+           |  SELECT DISTINCT doc_id,
+           |    list_aggregate(toks[i:i+7], 'string_agg', ' ') AS gram
+           |  FROM t, unnest(range(1, greatest(len(toks) - 6, 2))) AS u(i)
+           |), d AS (
+           |  SELECT gram, count(*) AS df FROM g GROUP BY gram
+           |), a AS (
+           |  SELECT g.doc_id, count(*) AS n_grams,
+           |    cast(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) as bigint)
+           |      AS n_shared,
+           |    cast(sum(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END) as bigint)
+           |      AS n_shared3,
+           |    max(d.df) AS max_df
+           |  FROM g JOIN d USING (gram) GROUP BY g.doc_id
+           |)
+           |SELECT doc_id, n_grams, n_shared, n_shared3, max_df,
+           |  cast((n_shared * 1000000) // n_grams as bigint) AS exposure_e6
+           |FROM a ORDER BY exposure_e6 DESC, doc_id LIMIT 40""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Per-source length-concentration (Gini) profile
+  // ---------------------------------------------------------------------
+
+  /** LENGTH-CONCENTRATION profile — per-source Gini coefficient of the
+    * document-length distribution: a source whose token mass
+    * concentrates in a few huge documents (high Gini) behaves very
+    * differently under context packing, per-doc sampling, and dedup
+    * than one with uniform lengths at the same mean — this is the
+    * inequality read `ns_profile_documents`' moments miss.
+    *
+    * Determinism: the exact rank formulation
+    * `G = (2*sum(rank*x) - (n+1)*sum(x)) / (n*sum(x))` over
+    * `row_number` ranks (doc_id tiebreak — ties in length get distinct
+    * ranks, which the formula absorbs) in e6 integer fixed point.
+    *
+    * Scale: ONE source-keyed exchange serves both the rank window and
+    * the rollup aggregate (identical partitioning — the ranker-ndcg
+    * plan class); per-source sort volume is the only corpus-sized
+    * work. The rank-weighted sum peaks at n_docs * sum_chars per
+    * source — bigint holds to ~3e18, past which the accumulator
+    * widens to decimal(38,0) with the same formula.
+    */
+  private val profileGini = Q(
+    (s, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      TS(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("rk", row_number().over(w))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("rk") * col("n_chars")).as("s_rx"))
+        .select(col("source"), col("n_docs"), col("sum_chars"),
+          expr("((2 * s_rx - (n_docs + 1) * sum_chars) * 1000000) " +
+            "div (n_docs * sum_chars)").as("gini_e6"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH r AS (
+           |  SELECT source, n_chars,
+           |    row_number() OVER (PARTITION BY source
+           |                       ORDER BY n_chars, doc_id) AS rk
+           |  FROM documents
+           |), a AS (
+           |  SELECT source, count(*) AS n_docs,
+           |    cast(sum(n_chars) as bigint) AS sum_chars,
+           |    cast(sum(rk * n_chars) as bigint) AS s_rx
+           |  FROM r GROUP BY source
+           |)
+           |SELECT source, n_docs, sum_chars,
+           |  cast(((2 * s_rx - (n_docs + 1) * sum_chars) * 1000000)
+           |    // (n_docs * sum_chars) as bigint) AS gini_e6
+           |FROM a ORDER BY source""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "ns_decontaminate_semantic" -> decontaminateSemantic,
+    "ns_sample_cluster_balance" -> sampleClusterBalance,
+    "ns_text_memorization" -> textMemorization,
+    "ns_profile_gini" -> profileGini,
     "ns_corpus_pref_pairs" -> corpusPrefPairs,
     "ns_pipeline_integrity" -> pipelineIntegrity,
     "ns_sketch_heavy_hitters" -> sketchHeavyHitters,
