@@ -258,7 +258,13 @@ object ScaleProbe {
     val evtNames = Seq(
       // r14: trajectories = one user-keyed window + the (user, session)
       // agg with in-aggregate rebuild — expected ~linear in events
-      "ns_corpus_trajectories")
+      "ns_corpus_trajectories",
+      // r14 late wave 2: the streaming twin replays the multiplied events
+      // as two real time-split micro-batches; per-batch work is one
+      // user-keyed FMGWS exchange and state is O(1) per user (clone
+      // users multiply state linearly but each entry is ~5 fields) —
+      // wall should track event volume plus the fixed sink cost
+      "ns_corpus_trajectories_stream")
     if (evtNames.exists(enabled)) {
       val evtReps = spark.range(docMult).select(col("id").as("rep"))
       Tables.load(spark, sfDir, "events")

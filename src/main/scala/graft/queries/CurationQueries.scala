@@ -5523,7 +5523,99 @@ object CurationQueries {
            |    // (n_docs * sum_chars) as bigint) AS gini_e6
            |FROM a ORDER BY source""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // Streaming trajectory assembly (stateful cross-batch sessionizer)
+  // ---------------------------------------------------------------------
+
+  /** STREAMING twin of [[corpusTrajectories]], driver-gated through a
+    * real two-micro-batch replay: events land as two TIME-split parquet
+    * files (cut at the median timestamp — the log-shipping arrival
+    * order, so each user's events arrive in event-time order across
+    * batches) and stream through [[graft.streaming.EventStreams
+    * .trajectoryGate]], whose per-user open-session state carries
+    * across the batch boundary — a session straddling the cut
+    * assembles exactly once, with the same count / floor-second
+    * duration / capped-payload md5 the batch query computes. A
+    * session only closes when a LATER event proves the 25-hour gap,
+    * so each user's final session stays in state un-emitted: the
+    * honest streaming output is "every session except each user's
+    * last", which DuckDB oracles exactly (the batch formulation
+    * filtered to `session_idx < max(session_idx) per user`) and which
+    * is invariant to where the stream was cut.
+    *
+    * Scale: state is O(1) per user (count, two timestamps, <= 16
+    * action types — never an event buffer); each micro-batch shuffles
+    * once on user_id into the FMGWS exchange. The median-cut scalar is
+    * a 1-value driver pull for fixture plumbing, not the serving path.
+    */
+  private val corpusTrajectoriesStream = Q(
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val base = scratchDir("trajstream")
+      val inDir = s"$base/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+      val ev = T(s, dir, "events")
+      val cut = ev.agg(expr("percentile(cast(ts as double), 0.5)"))
+        .first().getDouble(0)
+      Seq(0, 1).foreach { p =>
+        val part = s"$base/part$p"
+        val sel = if (p == 0) ev.where(col("ts").cast("double") <= cut)
+                  else ev.where(col("ts").cast("double") > cut)
+        sel.coalesce(1).write.mode("overwrite").parquet(part)
+        val f = new java.io.File(part).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(s"$inDir/batch$p.parquet"))
+      }
+      val gated = graft.streaming.EventStreams.trajectoryGate(
+        s.readStream.schema(s.read.parquet(inDir).schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir))
+      val q = gated.writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/cp")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = s.read.parquet(s"$base/out").localCheckpoint(true)
+      scratchDelete(base)
+      out.orderBy(col("user_id"), col("session_idx"))
+    },
+    Some("""WITH f AS (
+           |  SELECT user_id, ts, event_id, event_type,
+           |    CASE WHEN lag(ts) OVER w IS NULL
+           |              OR epoch(ts) - epoch(lag(ts) OVER w) > 90000
+           |         THEN 1 ELSE 0 END AS brk
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+           |), se AS (
+           |  SELECT *, sum(brk) OVER (PARTITION BY user_id
+           |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+           |  FROM f
+           |), p AS (
+           |  SELECT *, row_number() OVER (PARTITION BY user_id, session_idx
+           |    ORDER BY ts, event_id) AS pos
+           |  FROM se
+           |), a AS (
+           |  SELECT user_id, cast(session_idx as bigint) AS session_idx,
+           |    count(*) AS n_events,
+           |    cast(floor(epoch(max(ts)) - epoch(min(ts))) as bigint)
+           |      AS duration_s,
+           |    cast(least(count(*), 16) as bigint) AS n_kept,
+           |    md5(string_agg(CASE WHEN pos <= 16 THEN event_type END, ' '
+           |      ORDER BY ts, event_id)) AS traj_md5,
+           |    arg_max(CASE WHEN pos <= 16 THEN event_type END,
+           |            CASE WHEN pos <= 16 THEN pos END) AS last_kept_type
+           |  FROM p GROUP BY user_id, session_idx
+           |), m AS (
+           |  SELECT user_id, max(session_idx) AS mx FROM a GROUP BY user_id
+           |)
+           |SELECT a.user_id, a.session_idx, a.n_events, a.duration_s,
+           |  a.n_kept, a.traj_md5, a.last_kept_type
+           |FROM a JOIN m USING (user_id) WHERE a.session_idx < m.mx
+           |ORDER BY user_id, session_idx""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "ns_corpus_trajectories_stream" -> corpusTrajectoriesStream,
     "ns_decontaminate_semantic" -> decontaminateSemantic,
     "ns_sample_cluster_balance" -> sampleClusterBalance,
     "ns_text_memorization" -> textMemorization,

@@ -302,4 +302,85 @@ object EventStreams {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
+
+  // --- Streaming trajectory assembly (ns_corpus_trajectories twin) ----
+
+  /** One input event, timestamps as epoch micros (the exact value
+    * `cast(ts as double)` divides by 1e6 — kept integral in state so
+    * the gap and duration arithmetic replays the batch formulation
+    * bit-for-bit).
+    */
+  final case class TrajEv(user_id: Long, tsm: Long, event_id: Long,
+                          event_type: String)
+
+  /** One OPEN session in state: O(1) per user — running count, first/
+    * last timestamps, and only the first <= cap action types (the
+    * payload the trajectory keeps anyway), NOT the event buffer.
+    */
+  final case class TrajOpen(idx: Long, n: Long, t0m: Long, lastm: Long,
+                            acts: List[String])
+
+  final case class TrajOut(user_id: Long, session_idx: Long, n_events: Long,
+                           duration_s: Long, n_kept: Long, traj_md5: String,
+                           last_kept_type: String)
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Streaming twin of the batch `ns_corpus_trajectories` sessionizer:
+    * per-user `flatMapGroupsWithState` closes a session (emitting the
+    * SAME row the batch query produces — count, floor-second duration,
+    * capped action payload md5) when a later event crosses the 25-hour
+    * gap, and carries the open tail in state across micro-batches — a
+    * session straddling the batch boundary assembles exactly once.
+    * Each user's FINAL session never closes (no later event arrives to
+    * prove the gap), so the honest streaming output is "every session
+    * except each user's last" — a set DuckDB can oracle exactly, and
+    * one that is INVARIANT to how the stream was cut into batches.
+    *
+    * Contract: per-user event-time order across micro-batches
+    * (time-split ingestion — the log-shipping case); within a batch,
+    * rows sort by (ts, event_id) before folding. State is O(1) per
+    * user (count + two timestamps + <= cap action types), not an event
+    * buffer.
+    */
+  def trajectoryGate(events: DataFrame, gapSeconds: Long = 90000L,
+                     cap: Int = 16): DataFrame = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events.select(col("user_id"), expr("unix_micros(ts)").as("tsm"),
+        col("event_id"), col("event_type"))
+      .as[TrajEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TrajOpen, TrajOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user, rows, state) =>
+          val sorted = rows.toSeq.sortBy(r => (r.tsm, r.event_id))
+          var open = state.getOption.orNull
+          val outs = scala.collection.mutable.ArrayBuffer.empty[TrajOut]
+          def close(o: TrajOpen): TrajOut =
+            TrajOut(user, o.idx, o.n,
+              math.floor(o.lastm.toDouble / 1e6 - o.t0m.toDouble / 1e6).toLong,
+              math.min(o.n, cap.toLong),
+              md5hex(o.acts.mkString(" ")), o.acts.last)
+          for (e <- sorted) {
+            if (open == null)
+              open = TrajOpen(1L, 1L, e.tsm, e.tsm, List(e.event_type))
+            else if (e.tsm.toDouble / 1e6 - open.lastm.toDouble / 1e6
+                       > gapSeconds.toDouble) {
+              outs += close(open)
+              open = TrajOpen(open.idx + 1, 1L, e.tsm, e.tsm,
+                List(e.event_type))
+            } else
+              open = open.copy(n = open.n + 1, lastm = e.tsm,
+                acts = if (open.acts.size < cap) open.acts :+ e.event_type
+                       else open.acts)
+          }
+          if (open != null) state.update(open)
+          outs.iterator
+      }
+      .toDF()
+  }
 }

@@ -771,6 +771,27 @@ class CurationSpec extends SparkSpec {
       s"expected the no-retraction gap: stream ${st.values.sum} vs batch ${ba.values.sum}")
   }
 
+  test("streaming trajectories equal the batch sessions minus each user's open tail") {
+    // the gate closes a session only when a later event proves the gap,
+    // so the stream's output must be EXACTLY the batch sessionization
+    // with each user's last (still-open) session removed — including
+    // identical counts, floor-second durations, and capped payload md5s
+    // for sessions that straddle the micro-batch cut.
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("user_id"), r.getAs[Long]("session_idx"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("duration_s"),
+        r.getAs[Long]("n_kept"), r.getAs[String]("traj_md5"),
+        r.getAs[String]("last_kept_type"))
+    val stream = run("ns_corpus_trajectories_stream").collect().map(key).toSet
+    val batch = run("ns_corpus_trajectories").collect().map(key)
+    val lastIdx = batch.groupBy(_._1).map { case (u, ss) => u -> ss.map(_._2).max }
+    val closed = batch.filter(s => s._2 < lastIdx(s._1)).toSet
+    assert(stream == closed,
+      s"stream/batch diverged: only-stream=${(stream -- closed).take(3)}, " +
+        s"only-batch=${(closed -- stream).take(3)}")
+    assert(stream.nonEmpty, "no closed sessions — the fixture split produced none")
+  }
+
   test("matryoshka: 16 queries, recall bounded, truncation loses something") {
     val rows = run("ns_sim_matryoshka").collect()
     assert(rows.length == 16, "one row per fixed query")
