@@ -223,6 +223,12 @@ object ScaleProbe {
       // source-keyed exchange shared by the rank window and the rollup
       // (the ndcg class; per-source sort volume is the axis)
       "ns_text_memorization", "ns_profile_gini",
+      // r14 late wave 3: quarantine = one map-only 5-validator pass into
+      // a single-row conditional-sum agg + a literal 6-row stack — the
+      // curriculum floor class; length binning = two block-decomposed
+      // rank windows ((bucket, blk) and (blk) — no window sees more than
+      // one block) + two shrinking aggs off one checkpointed narrow base
+      "ns_pipeline_quarantine", "ns_corpus_length_binning",
       // r14: skyline's corpus work is the map-only criteria pass + two
       // broadcast anti probes; clones are identical triples (mutually
       // non-dominating), so survivors grow with the clone factor — the

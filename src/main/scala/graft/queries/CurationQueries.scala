@@ -5614,7 +5614,234 @@ object CurationQueries {
            |FROM a JOIN m USING (user_id) WHERE a.session_idx < m.mx
            |ORDER BY user_id, session_idx""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // Quarantine routing (reason-coded validator gate)
+  // ---------------------------------------------------------------------
+
+  /** QUARANTINE routing — the validator stage between ingest and the
+    * clean store: every document runs ALL five validators in one pass
+    * (too-short, repetitive, high-digit, blocklisted, low-quality — the
+    * gate formulas the quality family already oracles), failing docs
+    * route to quarantine under their FIRST failing reason (fixed
+    * priority: structural defects outrank the soft classifier so
+    * triage buckets stay stable when the classifier is retrained),
+    * and the audit reports per reason both the routed volume and the
+    * total firing volume (n_failing >= n_routed — the overlap is what
+    * tells an operator which validators are redundant). A `pass` row
+    * carries the clean-store volume so the rows partition the corpus.
+    *
+    * Scale: ONE corpus pass computes all five booleans map-side into a
+    * single-row conditional-sum aggregate; the per-reason rows unpivot
+    * from that one row via a literal stack — O(1) work after the scan,
+    * no second pass, no joins.
+    */
+  private val pipelineQuarantine = Q(
+    (s, dir) => {
+      val one = TS(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n", size(col("toks")).cast("double"))
+        .withColumn("r_short", col("n") < 20)
+        .withColumn("r_rep",
+          size(array_distinct(col("toks"))).cast("double") / col("n") < 0.45)
+        .withColumn("r_digit",
+          (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+            .cast("double") / length(col("text")).cast("double") > 0.05)
+        .withColumn("r_block", col("text").rlike("(^| )dup dup( |$)"))
+        .withColumn("r_lowq", round(
+          size(array_distinct(col("toks"))).cast("double") / col("n") * 0.5 +
+            least(col("n") / 100, lit(1.0)) * 0.5, 6) < 0.5)
+        .withColumn("routed",
+          when(col("r_short"), "1_too_short")
+            .when(col("r_rep"), "2_repetitive")
+            .when(col("r_digit"), "3_high_digit")
+            .when(col("r_block"), "4_blocklisted")
+            .when(col("r_lowq"), "5_low_quality")
+            .otherwise("6_pass"))
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum(when(col("r_short"), 1L).otherwise(0L)).as("f_short"),
+          sum(when(col("r_rep"), 1L).otherwise(0L)).as("f_rep"),
+          sum(when(col("r_digit"), 1L).otherwise(0L)).as("f_digit"),
+          sum(when(col("r_block"), 1L).otherwise(0L)).as("f_block"),
+          sum(when(col("r_lowq"), 1L).otherwise(0L)).as("f_lowq"),
+          sum(when(col("routed") === "1_too_short", 1L).otherwise(0L)).as("q_short"),
+          sum(when(col("routed") === "2_repetitive", 1L).otherwise(0L)).as("q_rep"),
+          sum(when(col("routed") === "3_high_digit", 1L).otherwise(0L)).as("q_digit"),
+          sum(when(col("routed") === "4_blocklisted", 1L).otherwise(0L)).as("q_block"),
+          sum(when(col("routed") === "5_low_quality", 1L).otherwise(0L)).as("q_lowq"),
+          sum(when(col("routed") === "6_pass", 1L).otherwise(0L)).as("q_pass"))
+      one.select(expr(
+        """stack(6,
+          |  '1_too_short',    f_short, q_short,
+          |  '2_repetitive',   f_rep,   q_rep,
+          |  '3_high_digit',   f_digit, q_digit,
+          |  '4_blocklisted',  f_block, q_block,
+          |  '5_low_quality',  f_lowq,  q_lowq,
+          |  '6_pass',         cast(0 as bigint), q_pass
+          |) as (reason, n_failing, n_routed)""".stripMargin),
+        col("n_total"))
+        .select(col("reason"), col("n_failing"), col("n_routed"),
+          expr("(n_routed * 1000000) div n_total").as("routed_share_e6"))
+        .orderBy(col("reason"))
+    },
+    Some("""WITH f AS (
+           |  SELECT text, string_split(text, ' ') AS toks,
+           |    cast(len(string_split(text, ' ')) as double) AS n
+           |  FROM documents
+           |), v AS (
+           |  SELECT
+           |    (n < 20) AS r_short,
+           |    (cast(len(list_distinct(toks)) as double) / n < 0.45) AS r_rep,
+           |    (cast(len(text) - len(regexp_replace(text, '[0-9]', '', 'g'))
+           |      as double) / len(text) > 0.05) AS r_digit,
+           |    regexp_matches(text, '(^| )dup dup( |$)') AS r_block,
+           |    (round(cast(len(list_distinct(toks)) as double) / n * 0.5
+           |      + least(n / 100, 1.0) * 0.5, 6) < 0.5) AS r_lowq
+           |  FROM f
+           |), r AS (
+           |  SELECT *, CASE WHEN r_short THEN '1_too_short'
+           |    WHEN r_rep THEN '2_repetitive'
+           |    WHEN r_digit THEN '3_high_digit'
+           |    WHEN r_block THEN '4_blocklisted'
+           |    WHEN r_lowq THEN '5_low_quality'
+           |    ELSE '6_pass' END AS routed
+           |  FROM v
+           |), a AS (
+           |  SELECT count(*) AS n_total,
+           |    cast(sum(CASE WHEN r_short THEN 1 ELSE 0 END) as bigint) AS f_short,
+           |    cast(sum(CASE WHEN r_rep THEN 1 ELSE 0 END) as bigint) AS f_rep,
+           |    cast(sum(CASE WHEN r_digit THEN 1 ELSE 0 END) as bigint) AS f_digit,
+           |    cast(sum(CASE WHEN r_block THEN 1 ELSE 0 END) as bigint) AS f_block,
+           |    cast(sum(CASE WHEN r_lowq THEN 1 ELSE 0 END) as bigint) AS f_lowq,
+           |    cast(sum(CASE WHEN routed = '1_too_short' THEN 1 ELSE 0 END) as bigint) AS q_short,
+           |    cast(sum(CASE WHEN routed = '2_repetitive' THEN 1 ELSE 0 END) as bigint) AS q_rep,
+           |    cast(sum(CASE WHEN routed = '3_high_digit' THEN 1 ELSE 0 END) as bigint) AS q_digit,
+           |    cast(sum(CASE WHEN routed = '4_blocklisted' THEN 1 ELSE 0 END) as bigint) AS q_block,
+           |    cast(sum(CASE WHEN routed = '5_low_quality' THEN 1 ELSE 0 END) as bigint) AS q_lowq,
+           |    cast(sum(CASE WHEN routed = '6_pass' THEN 1 ELSE 0 END) as bigint) AS q_pass
+           |  FROM r
+           |), u AS (
+           |  SELECT '1_too_short' AS reason, f_short AS n_failing, q_short AS n_routed, n_total FROM a
+           |  UNION ALL SELECT '2_repetitive', f_rep, q_rep, n_total FROM a
+           |  UNION ALL SELECT '3_high_digit', f_digit, q_digit, n_total FROM a
+           |  UNION ALL SELECT '4_blocklisted', f_block, q_block, n_total FROM a
+           |  UNION ALL SELECT '5_low_quality', f_lowq, q_lowq, n_total FROM a
+           |  UNION ALL SELECT '6_pass', cast(0 as bigint), q_pass, n_total FROM a
+           |)
+           |SELECT reason, n_failing, n_routed,
+           |  cast((n_routed * 1000000) // n_total as bigint) AS routed_share_e6
+           |FROM u ORDER BY reason""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Length-binned batching audit (padding-waste accounting)
+  // ---------------------------------------------------------------------
+
+  /** LENGTH-BINNED batching audit — the dataloader-design read before
+    * fixing a batching strategy: batches of 8 padded to their longest
+    * member waste `8*max - sum` tokens, and grouping documents into
+    * power-of-two length buckets first (bucketed batching) cuts that
+    * waste versus uniform random batching. The audit computes both
+    * strategies' padding from the SAME deterministic hash order and
+    * reports the per-bucket and uniform-baseline waste so the trainer
+    * can price the tradeoff (bucketing reduces pad FLOPs but narrows
+    * in-batch length diversity).
+    *
+    * Determinism: order inside every batching domain is the md5 hash
+    * key (reproducible shuffle); buckets are integer CASE thresholds
+    * (no float log2 at the boundary).
+    *
+    * Scale: batches form inside (bucket, hash-block) / (hash-block)
+    * domains — the corpusShuffle block decomposition, so no window ever
+    * sees more than one block of one bucket (B=32 blocks → every rank
+    * window is block-parallel, no single-reducer corpus sort); both
+    * strategies fold to <= |buckets|+1 rows in one aggregate each.
+    */
+  private val corpusLengthBinning = Q(
+    (s, dir) => {
+      val B = 32
+      val base = TS(s, dir, "documents")
+        .withColumn("len", size(split(col("text"), " ")).cast("long"))
+        .withColumn("bucket",
+          when(col("len") <= 16, 16L).when(col("len") <= 32, 32L)
+            .when(col("len") <= 64, 64L).otherwise(128L))
+        .withColumn("hkey", expr(
+          "cast(conv(substring(md5(concat('lb:', cast(doc_id as string))), " +
+            "1, 8), 16, 10) as bigint)"))
+        .withColumn("blk", pmod(col("hkey"), lit(B.toLong)))
+        .localCheckpoint(true)
+      def waste(partition: Seq[String], label: String) = {
+        val w = Window.partitionBy(partition.map(col): _*)
+          .orderBy(col("hkey"), col("doc_id"))
+        base
+          .withColumn("rn", row_number().over(w))
+          .withColumn("batch", expr("(rn - 1) div 8"))
+          .groupBy((partition.map(col) :+ col("batch")): _*)
+          .agg(count(lit(1)).as("bsz"), max(col("len")).as("bmax"),
+            sum(col("len")).as("btok"))
+          .groupBy(if (label == "bucketed") col("bucket") else lit(0L).as("bucket"))
+          .agg(count(lit(1)).as("n_batches"), sum(col("bsz")).as("n_docs"),
+            sum(col("btok")).as("sum_tokens"),
+            sum(col("bsz") * col("bmax") - col("btok")).as("pad_tokens"))
+          .withColumn("strategy", lit(label))
+      }
+      waste(Seq("bucket", "blk"), "bucketed")
+        .unionByName(waste(Seq("blk"), "uniform"))
+        .select(col("strategy"), col("bucket"), col("n_docs"), col("n_batches"),
+          col("sum_tokens"), col("pad_tokens"),
+          expr("(pad_tokens * 1000000) div (sum_tokens + pad_tokens)")
+            .as("pad_share_e6"))
+        .orderBy(col("strategy"), col("bucket"))
+    },
+    Some("""WITH f AS (
+           |  SELECT doc_id, cast(len(string_split(text, ' ')) as bigint) AS len,
+           |    CASE WHEN len(string_split(text, ' ')) <= 16 THEN 16
+           |         WHEN len(string_split(text, ' ')) <= 32 THEN 32
+           |         WHEN len(string_split(text, ' ')) <= 64 THEN 64
+           |         ELSE 128 END AS bucket,
+           |    cast('0x' || substr(md5('lb:' || cast(doc_id as varchar)), 1, 8)
+           |      as bigint) AS hkey
+           |  FROM documents
+           |), g AS (
+           |  SELECT *, hkey % 32 AS blk FROM f
+           |), rb AS (
+           |  SELECT bucket, blk, len,
+           |    (row_number() OVER (PARTITION BY bucket, blk
+           |      ORDER BY hkey, doc_id) - 1) // 8 AS batch
+           |  FROM g
+           |), bb AS (
+           |  SELECT bucket, blk, batch, count(*) AS bsz, max(len) AS bmax,
+           |    cast(sum(len) as bigint) AS btok
+           |  FROM rb GROUP BY 1, 2, 3
+           |), sb AS (
+           |  SELECT 'bucketed' AS strategy, bucket,
+           |    cast(sum(bsz) as bigint) AS n_docs, count(*) AS n_batches,
+           |    cast(sum(btok) as bigint) AS sum_tokens,
+           |    cast(sum(bsz * bmax - btok) as bigint) AS pad_tokens
+           |  FROM bb GROUP BY 2
+           |), ru AS (
+           |  SELECT blk, len,
+           |    (row_number() OVER (PARTITION BY blk
+           |      ORDER BY hkey, doc_id) - 1) // 8 AS batch
+           |  FROM g
+           |), bu AS (
+           |  SELECT blk, batch, count(*) AS bsz, max(len) AS bmax,
+           |    cast(sum(len) as bigint) AS btok
+           |  FROM ru GROUP BY 1, 2
+           |), su AS (
+           |  SELECT 'uniform' AS strategy, cast(0 as bigint) AS bucket,
+           |    cast(sum(bsz) as bigint) AS n_docs, count(*) AS n_batches,
+           |    cast(sum(btok) as bigint) AS sum_tokens,
+           |    cast(sum(bsz * bmax - btok) as bigint) AS pad_tokens
+           |  FROM bu
+           |), u AS (SELECT * FROM sb UNION ALL SELECT * FROM su)
+           |SELECT strategy, bucket, n_docs, n_batches, sum_tokens, pad_tokens,
+           |  cast((pad_tokens * 1000000) // (sum_tokens + pad_tokens) as bigint)
+           |    AS pad_share_e6
+           |FROM u ORDER BY strategy, bucket""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "ns_pipeline_quarantine" -> pipelineQuarantine,
+    "ns_corpus_length_binning" -> corpusLengthBinning,
     "ns_corpus_trajectories_stream" -> corpusTrajectoriesStream,
     "ns_decontaminate_semantic" -> decontaminateSemantic,
     "ns_sample_cluster_balance" -> sampleClusterBalance,

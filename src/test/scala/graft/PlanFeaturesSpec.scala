@@ -285,6 +285,58 @@ class PlanFeaturesSpec extends SparkSpec {
     assert(q.collect().length == 26)
   }
 
+  test("pref pairs: one hash-agg pass, no window, no per-partition sort agg") {
+    // the packed-bigint compare key exists precisely so the max_by /
+    // min_by aggregate stays a HashAggregate — a struct ordering demotes
+    // Spark to SortAggregate, which sorts every partition's corpus rows
+    val q = SparkEntry.catalog("ns_corpus_pref_pairs").fn(spark, sfDir)
+    val phys = q.queryExecution.executedPlan
+    val s = phys.toString
+    assert(!s.contains("SortAggregate"),
+      s"compare key demoted the agg to SortAggregate:\n$s")
+    assert(!s.contains("Window"), s"unexpected window:\n$s")
+    // the plan string survives the AQE wrapper (a collect on the
+    // executedPlan does not — AdaptiveSparkPlanExec hides its children)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(s).size
+    assert(hashEx == 1,
+      s"expected exactly one group-keyed exchange, got $hashEx:\n$s")
+  }
+
+  test("heavy hitters: candidate recount prunes via broadcast semi-join") {
+    // pass 2 must never shuffle the exploded token stream on the token
+    // key — the candidate set broadcasts and prunes map-side; pass 1's
+    // sketch is the MapPartitions stage
+    val q = SparkEntry.catalog("ns_sketch_heavy_hitters").fn(spark, sfDir)
+    val s = q.queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastHashJoin") && s.contains("LeftSemi"),
+      s"expected a broadcast left-semi candidate prune:\n$s")
+    assert(s.contains("MapPartitions"), s"expected the MG sketch stage:\n$s")
+    assert(!s.contains("SortMergeJoin"),
+      s"token stream must not shuffle on the token key:\n$s")
+  }
+
+  test("integrity audit: sides distinct-collapse before the full-outer join") {
+    // the join must carry one row per DISTINCT key: each side's
+    // two-phase aggregate provides the hash partitioning the SMJ reuses,
+    // so the whole plan holds exactly three shuffles (two side aggs +
+    // the single-row rollup)
+    val q = SparkEntry.catalog("ns_pipeline_integrity").fn(spark, sfDir)
+    val s = q.queryExecution.executedPlan.toString
+    assert(s.contains("FullOuter"), s"expected a full-outer join:\n$s")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(s).size
+    assert(hashEx == 2,
+      s"expected exactly two key exchanges (one per side's distinct " +
+        s"collapse; the SMJ reuses them), got $hashEx:\n$s")
+  }
+
+  test("gini: the rank window and the rollup share one source exchange") {
+    val q = SparkEntry.catalog("ns_profile_gini").fn(spark, sfDir)
+    val s = q.queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(s).size
+    assert(hashEx == 1,
+      s"expected exactly one source-keyed exchange, got $hashEx:\n$s")
+  }
+
   test("PQ re-rank joins the shortlist back to the corpus by broadcast") {
     // stage 2 of two-stage retrieval must touch only the shortlisted
     // pairs: both the (q_id, c_id) shortlist and the 16 query vectors
