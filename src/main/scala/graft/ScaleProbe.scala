@@ -229,6 +229,12 @@ object ScaleProbe {
       // rank windows ((bucket, blk) and (blk) — no window sees more than
       // one block) + two shrinking aggs off one checkpointed narrow base
       "ns_pipeline_quarantine", "ns_corpus_length_binning",
+      // r14 late wave 4: datacard = one ~30-byte/doc checkpoint feeding
+      // three shrinking aggs (source rollup w/ exact percentile, the
+      // (source, lang) mix, the (source, hash) distinct collapse) —
+      // replication multiplies dup counts, not languages; manifest diff
+      // = one narrow pass into an S-row conditional-sum manifest
+      "ns_profile_datacard", "ns_pipeline_manifest_diff",
       // r14: skyline's corpus work is the map-only criteria pass + two
       // broadcast anti probes; clones are identical triples (mutually
       // non-dominating), so survivors grow with the clone factor — the

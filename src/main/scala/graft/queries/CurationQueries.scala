@@ -5839,7 +5839,166 @@ object CurationQueries {
            |    AS pad_share_e6
            |FROM u ORDER BY strategy, bucket""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // Data-card profile (per-source datasheet row)
+  // ---------------------------------------------------------------------
+
+  /** DATA-CARD profile — the per-source datasheet row a corpus release
+    * publishes (the "Datasheets for Datasets" summary block): volumes,
+    * language mix (count, dominant language and its share), the exact
+    * median length, and the exact-duplicate rate — four different
+    * aggregate shapes composed into ONE release artifact, which is how
+    * this read actually ships (one table, not four queries).
+    *
+    * Scale: one narrow pass checkpoints (source, lang, n_chars, ws
+    * tokens, content sha-prefix) — ~30 bytes/doc; from it: the source
+    * rollup (count/sum/exact percentile), the (source, lang) mix agg
+    * (bounded rows — the dominant-language rank window runs over THAT,
+    * never the corpus), and the (source, hash)-collapsed dup count.
+    * Three shrinking aggregates, one corpus scan.
+    */
+  private val profileDatacard = Q(
+    (s, dir) => {
+      val base = TS(s, dir, "documents")
+        .select(col("source"), col("lang"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"),
+          expr("cast(conv(substring(sha2(text, 256), 1, 8), 16, 10) as bigint)")
+            .as("h"))
+        .localCheckpoint(true)
+      val vol = base.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+          round(expr("percentile(n_chars, 0.5)"), 6).as("p50_chars"))
+      val mix = base.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("ln"))
+      val wTop = Window.partitionBy(col("source"))
+        .orderBy(col("ln").desc, col("lang"))
+      val top = mix
+        .withColumn("rn", row_number().over(wTop))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_langs"),
+          max(when(col("rn") === 1, col("lang"))).as("top_lang"),
+          max(when(col("rn") === 1, col("ln"))).as("top_lang_n"))
+      val dups = base.select(col("source"), col("h")).distinct()
+        .groupBy(col("source")).agg(count(lit(1)).as("n_distinct"))
+      vol.join(top, Seq("source")).join(dups, Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("p50_chars"), col("n_langs"), col("top_lang"),
+          expr("(top_lang_n * 1000000) div n_docs").as("top_lang_share_e6"),
+          expr("((n_docs - n_distinct) * 1000000) div n_docs")
+            .as("dup_rate_e6"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH base AS (
+           |  SELECT source, lang, n_chars,
+           |    cast(len(string_split(text, ' ')) as bigint) AS n_toks,
+           |    cast('0x' || substr(sha256(text), 1, 8) as bigint) AS h
+           |  FROM documents
+           |), vol AS (
+           |  SELECT source, count(*) AS n_docs,
+           |    cast(sum(n_toks) as bigint) AS n_tokens,
+           |    round(quantile_cont(n_chars, 0.5), 6) AS p50_chars
+           |  FROM base GROUP BY source
+           |), mix AS (
+           |  SELECT source, lang, count(*) AS ln FROM base GROUP BY 1, 2
+           |), top AS (
+           |  SELECT source, count(*) AS n_langs,
+           |    max(CASE WHEN rn = 1 THEN lang END) AS top_lang,
+           |    cast(max(CASE WHEN rn = 1 THEN ln END) as bigint) AS top_lang_n
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY source
+           |          ORDER BY ln DESC, lang) AS rn FROM mix)
+           |  GROUP BY source
+           |), dups AS (
+           |  SELECT source, count(*) AS n_distinct
+           |  FROM (SELECT DISTINCT source, h FROM base) GROUP BY source
+           |)
+           |SELECT v.source, v.n_docs, v.n_tokens, v.p50_chars, t.n_langs,
+           |  t.top_lang,
+           |  cast((t.top_lang_n * 1000000) // v.n_docs as bigint)
+           |    AS top_lang_share_e6,
+           |  cast(((v.n_docs - d.n_distinct) * 1000000) // v.n_docs as bigint)
+           |    AS dup_rate_e6
+           |FROM vol v JOIN top t ON v.source = t.source
+           |JOIN dups d ON v.source = d.source
+           |ORDER BY v.source""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Manifest diff (nightly-run blast-radius audit)
+  // ---------------------------------------------------------------------
+
+  /** MANIFEST DIFF — the blast-radius audit an operator runs after a
+    * nightly ingest: compare the shard manifests of two corpus versions
+    * (v1 = yesterday, before the newest arrivals; v2 = today) and
+    * report per shard whether it is `unchanged`, `changed`, or `added`
+    * — under id-range sharding, appends land in the TAIL shards, so the
+    * expected diff is "a couple of shards changed, the rest
+    * byte-identical", and any unexpected `changed` row means a
+    * non-append mutation slipped in. Shard = contiguous id range (the
+    * append-mostly production layout); v1 = docs below the arrival
+    * cutoff. Fingerprints are order-independent bigint sums of content
+    * sha-prefixes, so "unchanged" is a content claim, not a row count.
+    *
+    * Scale: one narrow pass (shard, arrival flag, token count, sha
+    * prefix) feeds BOTH versions' manifests (v1 = a conditional-sum
+    * re-aggregate, not a second scan); the diff is a full-outer join of
+    * two <= S-row manifests.
+    */
+  private val pipelineManifestDiff = Q(
+    (s, dir) => {
+      val base = TS(s, dir, "documents")
+        .select(
+          least(expr("doc_id div 32"), lit(15L)).as("shard"),
+          (col("doc_id") >= 450).as("arrival"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"),
+          expr("cast(conv(substring(sha2(text, 256), 1, 8), 16, 10) as bigint)")
+            .as("h"))
+      val man = base.groupBy(col("shard"))
+        .agg(
+          sum(when(!col("arrival"), 1L).otherwise(0L)).as("v1_docs"),
+          sum(when(!col("arrival"), col("n_toks")).otherwise(0L)).as("v1_tokens"),
+          sum(when(!col("arrival"), col("h")).otherwise(0L)).as("v1_fp"),
+          count(lit(1)).as("v2_docs"),
+          sum(col("n_toks")).as("v2_tokens"),
+          sum(col("h")).as("v2_fp"))
+      man
+        .select(col("shard"), col("v1_docs"), col("v2_docs"),
+          (col("v2_docs") - col("v1_docs")).as("d_docs"),
+          (col("v2_tokens") - col("v1_tokens")).as("d_tokens"),
+          when(col("v1_docs") === 0 && col("v2_docs") > 0, "added")
+            .when(col("v1_fp") === col("v2_fp") &&
+              col("v1_docs") === col("v2_docs"), "unchanged")
+            .otherwise("changed").as("status"))
+        .orderBy(col("shard"))
+    },
+    Some("""WITH base AS (
+           |  SELECT least(doc_id // 32, 15) AS shard,
+           |    (doc_id >= 450) AS arrival,
+           |    cast(len(string_split(text, ' ')) as bigint) AS n_toks,
+           |    cast('0x' || substr(sha256(text), 1, 8) as bigint) AS h
+           |  FROM documents
+           |), man AS (
+           |  SELECT shard,
+           |    cast(sum(CASE WHEN NOT arrival THEN 1 ELSE 0 END) as bigint)
+           |      AS v1_docs,
+           |    cast(sum(CASE WHEN NOT arrival THEN n_toks ELSE 0 END) as bigint)
+           |      AS v1_tokens,
+           |    cast(sum(CASE WHEN NOT arrival THEN h ELSE 0 END) as bigint)
+           |      AS v1_fp,
+           |    count(*) AS v2_docs,
+           |    cast(sum(n_toks) as bigint) AS v2_tokens,
+           |    cast(sum(h) as bigint) AS v2_fp
+           |  FROM base GROUP BY shard
+           |)
+           |SELECT shard, v1_docs, v2_docs,
+           |  cast(v2_docs - v1_docs as bigint) AS d_docs,
+           |  cast(v2_tokens - v1_tokens as bigint) AS d_tokens,
+           |  CASE WHEN v1_docs = 0 AND v2_docs > 0 THEN 'added'
+           |       WHEN v1_fp = v2_fp AND v1_docs = v2_docs THEN 'unchanged'
+           |       ELSE 'changed' END AS status
+           |FROM man ORDER BY shard""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "ns_profile_datacard" -> profileDatacard,
+    "ns_pipeline_manifest_diff" -> pipelineManifestDiff,
     "ns_pipeline_quarantine" -> pipelineQuarantine,
     "ns_corpus_length_binning" -> corpusLengthBinning,
     "ns_corpus_trajectories_stream" -> corpusTrajectoriesStream,
