@@ -235,6 +235,9 @@ object ScaleProbe {
       // replication multiplies dup counts, not languages; manifest diff
       // = one narrow pass into an S-row conditional-sum manifest
       "ns_profile_datacard", "ns_pipeline_manifest_diff",
+      // r14 late wave 4: kappa = the calibration floor class (one
+      // double-scoring pass -> 2 booleans -> single-row confusion agg)
+      "ns_quality_kappa",
       // r14: skyline's corpus work is the map-only criteria pass + two
       // broadcast anti probes; clones are identical triples (mutually
       // non-dominating), so survivors grow with the clone factor — the
@@ -348,7 +351,11 @@ object ScaleProbe {
       // packed-key max_by agg — the cosine_topk growth class; cluster
       // balance is the shared centroid assignment + a per-cell rank cut
       // (WindowGroupLimit prunes to 24/cell map-side) + a C-group census
-      "ns_decontaminate_semantic", "ns_sample_cluster_balance")
+      "ns_decontaminate_semantic", "ns_sample_cluster_balance",
+      // r14 late wave 4: tombstone delete = the persisted build + one
+      // broadcast anti-join on the probed slice — wall should track the
+      // persisted build's (the index write dominates)
+      "ns_sim_ivf_delete")
     // probes over the embeddings fixture that do NOT resolve through the
     // query catalog (custom parameterization below)
     val customVecProbes = Seq("ns_dedup_semantic_kprop")
@@ -414,6 +421,7 @@ object ScaleProbe {
       timeVec("ns_pipeline_integrity")
       timeVec("ns_decontaminate_semantic")
       timeVec("ns_sample_cluster_balance")
+      timeVec("ns_sim_ivf_delete")
 
       // Semantic dedup at the PRODUCTION configuration: k ∝ N (one
       // cluster per ~2500 vectors), seeds stride-spaced so they are k

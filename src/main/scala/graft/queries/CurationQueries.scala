@@ -1034,15 +1034,20 @@ object CurationQueries {
     */
   private def ivfPqServeStore(s: org.apache.spark.sql.SparkSession,
       v: DataFrame, base: String, cellSorted: String,
-      cb: Map[Int, Seq[(Int, Seq[Long])]]): DataFrame = {
+      cb: Map[Int, Seq[(Int, Seq[Long])]],
+      tombstones: Option[DataFrame] = None): DataFrame = {
     val probes = v.where(col("vec_id") < PQ_CODES)
       .select(col("vec_id").as("q_id"),
         explode(expr(s"transform(slice($cellSorted, 1, 2), t -> t.j)")).as("pcell"))
       .localCheckpoint(true)
     val probedCells = probes.select(col("pcell")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val served = s.read.parquet(base)
+    val servedAll = s.read.parquet(base)
       .where(col("cell").isin(probedCells: _*))
+    // tombstoned serve: deleted ids never score — a broadcast anti-join
+    // on the probed slice only (the stored files are untouched)
+    val served = tombstones.fold(servedAll)(t =>
+      servedAll.join(broadcast(t), Seq("c_id"), "left_anti"))
     val dtabStructs = (0 until PQ_M).flatMap { m =>
       cb(m).map { case (j, c) =>
         s"struct(cast($m as bigint) AS m, cast($j as bigint) AS j, " +
@@ -5996,7 +6001,157 @@ object CurationQueries {
            |       ELSE 'changed' END AS status
            |FROM man ORDER BY shard""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // IVF index tombstone delete (index lifecycle: build / append / delete)
+  // ---------------------------------------------------------------------
+
+  /** TOMBSTONE DELETE on the persisted IVF-PQ index — the third index
+    * lifecycle operation after build ([[simIvfPqPersisted]]) and append
+    * ([[simIvfAppend]]): takedowns/GDPR deletes arrive as an id set,
+    * the stored index files are NOT rewritten, and the serve path
+    * anti-joins the tombstone set against the probed slice so deleted
+    * vectors never score. The oracle is the shared IVF-PQ search SQL
+    * with the deleted ids excluded from the candidate set — byte-level
+    * agreement proves tombstoned serving is indistinguishable from a
+    * full rebuild without the deleted vectors (the compaction that
+    * production eventually runs, but must not need synchronously).
+    *
+    * Scale: the tombstone set broadcasts (delete volume is tiny next to
+    * the corpus) and the anti-join applies AFTER partition pruning, so
+    * the extra cost is one hash probe per candidate row of the probed
+    * cells — the store's nprobe/C I/O bound is unchanged.
+    */
+  private val simIvfDelete = Q(
+    (s, dir) => {
+      graft.expressions.SquaredL2.registerIn(s)
+      val v = NorthStarQueries.kmeansQuantizedIndex(s, dir)
+      val cellSorted = ivfCellSortedExpr(v)
+      val vc = v.withColumn("cell", expr(s"element_at($cellSorted, 1).j"))
+      val cb = NorthStarQueries.pqCodebook(v)
+      val base = scratchDir("ivfdelete")
+      ivfPqIndexRows(vc, cb)
+        .write.mode("overwrite").partitionBy("cell").parquet(base)
+      val tomb = v.where(col("vec_id") % 7 === 3)
+        .select(col("vec_id").as("c_id"))
+      val out = ivfPqServeStore(s, v, base, cellSorted, cb, Some(tomb))
+        .localCheckpoint(true)
+      scratchDelete(base)
+      out
+    },
+    simIvfPq.oracle.map(_.replace(
+      "WHERE p.q_id <> e.c_id",
+      "WHERE p.q_id <> e.c_id AND e.c_id % 7 <> 3")))
+
+  // ---------------------------------------------------------------------
+  // Classifier agreement (Cohen's kappa)
+  // ---------------------------------------------------------------------
+
+  /** COHEN'S KAPPA between the logreg keep decision and the rule gate —
+    * the chance-corrected agreement read that decides whether two
+    * labelers (here: the trained classifier vs the hand rules it is
+    * meant to replace) actually measure the same thing: raw agreement
+    * over-credits imbalanced gates, kappa subtracts the agreement two
+    * INDEPENDENT gates with these marginals would get for free. All
+    * terms are exact integers; the two divisions use the sign-safe
+    * floor-division pair ([[fdivSpark]]/[[fdivSql]]) because kappa is
+    * legitimately negative when the gates anti-correlate and Spark's
+    * `div` truncates toward zero while DuckDB's `//` floors.
+    *
+    * Scale: the calibration plan class — one corpus double-scoring
+    * pass narrowed to two booleans and checkpointed; the percentile
+    * scalar broadcasts back; the confusion matrix is one single-row
+    * conditional-sum aggregate.
+    */
+  private val qualityKappa = Q(
+    (s, dir) => {
+      val scored = TS(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_toks", size(col("toks")).cast("double"))
+        .withColumn("mean_len",
+          (length(col("text")).cast("double") - (col("n_toks") - 1.0)) / col("n_toks"))
+        .withColumn("stop_ratio",
+          expr("size(filter(toks, t -> array_contains(" +
+            "array('the','a','of','and','to','in','is','it'), t)))").cast("double")
+            / col("n_toks"))
+        .withColumn("digit_ratio",
+          (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+            .cast("double") / length(col("text")).cast("double"))
+        .withColumn("z",
+          lit(-1.5) + lit(0.004) * col("n_toks") + lit(0.35) * col("mean_len")
+            + lit(4.0) * col("stop_ratio") - lit(6.0) * col("digit_ratio"))
+        .withColumn("clf_keep",
+          round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6) >= 0.5)
+        .withColumn("quality", round(
+          size(array_distinct(col("toks"))).cast("double") /
+            size(col("toks")).cast("double") * 0.5 +
+            least(size(col("toks")).cast("double") / 100, lit(1.0)) * 0.5, 6))
+        .withColumn("bad", col("text").rlike("(^| )(dup|slow)( |$)"))
+        .select(col("clf_keep"), col("quality"), col("bad"))
+        .localCheckpoint(true)
+      val thr = scored.agg(
+        round(expr("percentile(quality, 0.25)"), 6).as("q25"))
+      scored.crossJoin(broadcast(thr))
+        .withColumn("gate_keep", !col("bad") && col("quality") >= col("q25"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("clf_keep") && col("gate_keep"), 1L).otherwise(0L)).as("a_kk"),
+          sum(when(col("clf_keep") && !col("gate_keep"), 1L).otherwise(0L)).as("b_kd"),
+          sum(when(!col("clf_keep") && col("gate_keep"), 1L).otherwise(0L)).as("c_dk"),
+          sum(when(!col("clf_keep") && !col("gate_keep"), 1L).otherwise(0L)).as("d_dd"))
+        .withColumn("po_e6", expr("((a_kk + d_dd) * 1000000) div n"))
+        .withColumn("pe_e6", expr(
+          "(((a_kk + b_kd) * (a_kk + c_dk) + (c_dk + d_dd) * (b_kd + d_dd)) " +
+            "* 1000000) div (n * n)"))
+        .withColumn("kappa_e6", expr(
+          fdivSpark("(po_e6 - pe_e6) * 1000000", "1000000 - pe_e6")))
+    },
+    Some("""WITH f AS (
+           |  SELECT text, string_split(text, ' ') AS toks,
+           |    cast(len(string_split(text, ' ')) as double) AS n_toks,
+           |    (cast(len(text) as double) - (len(string_split(text, ' ')) - 1.0))
+           |      / len(string_split(text, ' ')) AS mean_len,
+           |    cast(len(list_filter(string_split(text, ' '),
+           |      t -> list_contains(['the','a','of','and','to','in','is','it'], t)))
+           |      as double) / len(string_split(text, ' ')) AS stop_ratio,
+           |    cast(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) as double)
+           |      / cast(len(text) as double) AS digit_ratio
+           |  FROM documents
+           |), sc AS (
+           |  SELECT
+           |    (round(1.0 / (1.0 + exp(-(-1.5 + 0.004 * n_toks + 0.35 * mean_len
+           |      + 4.0 * stop_ratio - 6.0 * digit_ratio))), 6) >= 0.5) AS clf_keep,
+           |    round(cast(len(list_distinct(toks)) as double) / len(toks) * 0.5
+           |      + least(cast(len(toks) as double) / 100, 1.0) * 0.5, 6) AS quality,
+           |    regexp_matches(text, '(^| )(dup|slow)( |$)') AS bad
+           |  FROM f
+           |), thr AS (
+           |  SELECT round(quantile_cont(quality, 0.25), 6) AS q25 FROM sc
+           |), g AS (
+           |  SELECT clf_keep, (NOT bad AND quality >= q25) AS gate_keep
+           |  FROM sc, thr
+           |), cm AS (
+           |  SELECT count(*) AS n,
+           |    cast(sum(CASE WHEN clf_keep AND gate_keep THEN 1 ELSE 0 END) as bigint) AS a_kk,
+           |    cast(sum(CASE WHEN clf_keep AND NOT gate_keep THEN 1 ELSE 0 END) as bigint) AS b_kd,
+           |    cast(sum(CASE WHEN NOT clf_keep AND gate_keep THEN 1 ELSE 0 END) as bigint) AS c_dk,
+           |    cast(sum(CASE WHEN NOT clf_keep AND NOT gate_keep THEN 1 ELSE 0 END) as bigint) AS d_dd
+           |  FROM g
+           |), k AS (
+           |  SELECT *,
+           |    cast(((a_kk + d_dd) * 1000000) // n as bigint) AS po_e6,
+           |    cast((((a_kk + b_kd) * (a_kk + c_dk) + (c_dk + d_dd) * (b_kd + d_dd))
+           |      * 1000000) // (n * n) as bigint) AS pe_e6
+           |  FROM cm
+           |)
+           |SELECT n, a_kk, b_kd, c_dk, d_dd, po_e6, pe_e6,
+           |  cast(""".stripMargin +
+      fdivSql("(po_e6 - pe_e6) * 1000000", "1000000 - pe_e6") +
+      """ as bigint) AS kappa_e6
+        |FROM k""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "ns_sim_ivf_delete" -> simIvfDelete,
+    "ns_quality_kappa" -> qualityKappa,
     "ns_profile_datacard" -> profileDatacard,
     "ns_pipeline_manifest_diff" -> pipelineManifestDiff,
     "ns_pipeline_quarantine" -> pipelineQuarantine,
