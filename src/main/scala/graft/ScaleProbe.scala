@@ -238,6 +238,12 @@ object ScaleProbe {
       // r14 late wave 4: kappa = the calibration floor class (one
       // double-scoring pass -> 2 booleans -> single-row confusion agg)
       "ns_quality_kappa",
+      // r14 late wave 5: reservoir = hash-key TakeOrdered (O(k) per
+      // partition — wall should be the scan); zipf = the top_terms
+      // vocab agg + an O(100) regression (clones multiply counts, not
+      // vocabulary — flat); interleave = one source-keyed rank window +
+      // a global top-48 TakeOrdered by the progress key
+      "ns_sample_reservoir", "ns_profile_zipf", "ns_corpus_interleave",
       // r14: skyline's corpus work is the map-only criteria pass + two
       // broadcast anti probes; clones are identical triples (mutually
       // non-dominating), so survivors grow with the clone factor — the

@@ -6149,7 +6149,175 @@ object CurationQueries {
       """ as bigint) AS kappa_e6
         |FROM k""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // Fixed-size uniform sample (distributed reservoir by hash top-k)
+  // ---------------------------------------------------------------------
+
+  /** FIXED-SIZE uniform sample — the "give me exactly 64 random docs"
+    * read behind manual QA, labeling batches, and eval seeding. A
+    * sequential reservoir doesn't distribute; the equivalent at scale
+    * is the k SMALLEST hash keys (a uniform random permutation's first
+    * k elements): per-partition top-k fold + O(k) merge — Spark's
+    * TakeOrdered — so driver and shuffle state are k rows at any corpus
+    * size, and the sample is REPRODUCIBLE (the hash is the seed) and
+    * stable under appends except where a new doc's key displaces the
+    * current maximum (the reservoir property).
+    */
+  private val sampleReservoir = Q(
+    (s, dir) => {
+      val w = Window.orderBy(col("hkey"), col("doc_id"))
+      TS(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          expr("cast(conv(substring(md5(concat('rs:', cast(doc_id as string))), " +
+            "1, 8), 16, 10) as bigint)").as("hkey"))
+        .orderBy(col("hkey"), col("doc_id"))
+        .limit(64)
+        .withColumn("rn", row_number().over(w))
+        .select(col("rn"), col("doc_id"), col("source"), col("hkey"))
+        .orderBy(col("rn"))
+    },
+    Some("""WITH h AS (
+           |  SELECT doc_id, source,
+           |    cast('0x' || substr(md5('rs:' || cast(doc_id as varchar)), 1, 8)
+           |      as bigint) AS hkey
+           |  FROM documents
+           |)
+           |SELECT row_number() OVER (ORDER BY hkey, doc_id) AS rn,
+           |  doc_id, source, hkey
+           |FROM h ORDER BY hkey, doc_id LIMIT 64""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Zipf power-law fit over the term-frequency distribution
+  // ---------------------------------------------------------------------
+
+  /** ZIPF fit — the corpus-linguistics health read: natural text's term
+    * frequencies follow rank^(-s) with s ~ 1; a corpus whose fitted
+    * slope is far from -1 (too flat = template/boilerplate vocabulary;
+    * too steep = a few tokens dominating) earns a second look before
+    * training. Least-squares slope of ln(tf) on ln(rank) over the
+    * top-100 terms, with each ln floored to e6 fixed point (the DSIR
+    * one-ln pattern) so the regression sums are exact bigints; the one
+    * terminal division is floor of a single double ratio (sign-safe —
+    * the slope is legitimately negative).
+    *
+    * Scale: term frequencies are the vocabulary-keyed aggregate; the
+    * rank window and the regression run over the top-100 cut (a rank
+    * prune, not a vocab sort — WindowGroupLimit at scale), so
+    * everything past the tf aggregate is O(100).
+    */
+  private val profileZipf = Q(
+    (s, dir) => {
+      val wR = Window.orderBy(col("tf").desc, col("term"))
+      val top = TS(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+        .withColumn("rank", row_number().over(wR))
+        .where(col("rank") <= 100)
+        .withColumn("x", expr("cast(floor(ln(cast(rank as double)) * 1000000) as bigint)"))
+        .withColumn("y", expr("cast(floor(ln(cast(tf as double)) * 1000000) as bigint)"))
+      top.agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        .select(col("n"),
+          expr("cast(floor(cast(n * sxy - sx * sy as double) * 1000000 " +
+            "/ cast(n * sxx - sx * sx as double)) as bigint)").as("slope_e6"),
+          expr("cast(floor((cast(sy as double) - " +
+            "cast(floor(cast(n * sxy - sx * sy as double) * 1000000 " +
+            "/ cast(n * sxx - sx * sx as double)) as bigint) " +
+            "* cast(sx as double) / 1000000.0) / cast(n as double)) as bigint)")
+            .as("intercept_e6"))
+    },
+    Some("""WITH tf AS (
+           |  SELECT term, count(*) AS tf FROM (
+           |    SELECT unnest(string_split(text, ' ')) AS term FROM documents
+           |  ) GROUP BY term
+           |), top AS (
+           |  SELECT cast(floor(ln(cast(rank as double)) * 1000000) as bigint) AS x,
+           |    cast(floor(ln(cast(tf as double)) * 1000000) as bigint) AS y
+           |  FROM (SELECT tf, row_number() OVER (ORDER BY tf DESC, term) AS rank
+           |        FROM tf)
+           |  WHERE rank <= 100
+           |), a AS (
+           |  SELECT count(*) AS n, cast(sum(x) as bigint) AS sx,
+           |    cast(sum(y) as bigint) AS sy,
+           |    cast(sum(x * y) as bigint) AS sxy,
+           |    cast(sum(x * x) as bigint) AS sxx
+           |  FROM top
+           |)
+           |SELECT n,
+           |  cast(floor(cast(n * sxy - sx * sy as double) * 1000000
+           |    / cast(n * sxx - sx * sx as double)) as bigint) AS slope_e6,
+           |  cast(floor((cast(sy as double)
+           |    - cast(floor(cast(n * sxy - sx * sy as double) * 1000000
+           |        / cast(n * sxx - sx * sx as double)) as bigint)
+           |      * cast(sx as double) / 1000000.0) / cast(n as double)) as bigint)
+           |    AS intercept_e6
+           |FROM a""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Weighted interleave order (balanced training-order assembly)
+  // ---------------------------------------------------------------------
+
+  /** INTERLEAVE order — the training-order assembly BETWEEN the mixing
+    * weights and the shard writer: each source's documents spread
+    * evenly over the epoch by progress key `rank_in_source / n_source`
+    * (every source advances at its own uniform rate — the "don't front-
+    * load one source" guarantee that a plain concatenation or even a
+    * global shuffle only gives in expectation), and the global order is
+    * the merge of those progress streams. Emits the first 48 positions
+    * (the order's head is what a resume-from-checkpoint run re-reads)
+    * plus each position's progress key; ties across sources at equal
+    * progress break by (source, rank) so the order is total.
+    *
+    * Scale: per-source ranks are one source-keyed window over the
+    * hash-ordered corpus; the head cut is a global top-k by the
+    * progress key (TakeOrdered — O(k) per partition, no full sort);
+    * progress keys are exact integers (rank * 1e12 div n_source).
+    */
+  private val corpusInterleave = Q(
+    (s, dir) => {
+      val wS = Window.partitionBy(col("source"))
+        .orderBy(col("hkey"), col("doc_id"))
+      val ranked = TS(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          expr("cast(conv(substring(md5(concat('il:', cast(doc_id as string))), " +
+            "1, 8), 16, 10) as bigint)").as("hkey"))
+        .withColumn("srk", row_number().over(wS).cast("long"))
+      val sizes = ranked.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+      val wG = Window.orderBy(col("progress"), col("source"), col("srk"))
+      ranked.join(broadcast(sizes), Seq("source"))
+        .withColumn("progress", expr("(srk * 1000000000000) div ns"))
+        .orderBy(col("progress"), col("source"), col("srk"))
+        .limit(48)
+        .withColumn("pos", row_number().over(wG))
+        .select(col("pos"), col("source"), col("srk"), col("doc_id"),
+          col("progress"))
+        .orderBy(col("pos"))
+    },
+    Some("""WITH h AS (
+           |  SELECT doc_id, source,
+           |    cast('0x' || substr(md5('il:' || cast(doc_id as varchar)), 1, 8)
+           |      as bigint) AS hkey
+           |  FROM documents
+           |), r AS (
+           |  SELECT doc_id, source,
+           |    cast(row_number() OVER (PARTITION BY source ORDER BY hkey, doc_id)
+           |      as bigint) AS srk,
+           |    count(*) OVER (PARTITION BY source) AS ns
+           |  FROM h
+           |), p AS (
+           |  SELECT doc_id, source, srk,
+           |    cast((srk * 1000000000000) // ns as bigint) AS progress
+           |  FROM r
+           |)
+           |SELECT row_number() OVER (ORDER BY progress, source, srk) AS pos,
+           |  source, srk, doc_id, progress
+           |FROM p ORDER BY progress, source, srk LIMIT 48""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "ns_sample_reservoir" -> sampleReservoir,
+    "ns_profile_zipf" -> profileZipf,
+    "ns_corpus_interleave" -> corpusInterleave,
     "ns_sim_ivf_delete" -> simIvfDelete,
     "ns_quality_kappa" -> qualityKappa,
     "ns_profile_datacard" -> profileDatacard,

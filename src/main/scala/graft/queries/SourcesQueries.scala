@@ -332,7 +332,39 @@ object SourcesQueries {
            |  cast(max(l_linenumber) as bigint) AS max_line
            |FROM lineitem""".stripMargin))
 
+  /** XML sink + scan — the fourth text-format round-trip (CSV / JSON /
+    * text / XML), using Spark 4's built-in XML data source (rowTag
+    * framing both ways). DuckDB cannot read XML, so the oracle
+    * recomputes the aggregate from the parquet original — the
+    * round-trip preserving it is exactly what is under test. Exact
+    * types only (int/long/string) cross the format boundary.
+    */
+  private val xmlRoundtrip = Q(
+    (s, dir) => {
+      val path = s"$tmpRoot/xml_nation"
+      T(s, dir, "nation")
+        .write.mode("overwrite")
+        .format("xml").option("rootTag", "nations").option("rowTag", "nation")
+        .save(path)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      s.read.schema(schema)
+        .format("xml").option("rowTag", "nation").load(path)
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_nationkey").cast("long")).as("key_sum"),
+          min(col("n_name")).as("first_name"))
+        .orderBy(col("n_regionkey"))
+    },
+    Some("""SELECT n_regionkey, count(*) AS n,
+           |  cast(sum(n_nationkey) as bigint) AS key_sum,
+           |  min(n_name) AS first_name
+           |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "src_xml_roundtrip" -> xmlRoundtrip,
     "src_agg_pushdown" -> aggPushdown,
     "src_bucketed_join" -> bucketedJoin,
     "src_text_roundtrip" -> textRoundtrip,
