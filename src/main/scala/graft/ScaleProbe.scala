@@ -248,7 +248,12 @@ object ScaleProbe {
       // broadcast anti probes; clones are identical triples (mutually
       // non-dominating), so survivors grow with the clone factor — the
       // stress axis is the exact phase's bounded self-join
-      "ns_quality_skyline")
+      "ns_quality_skyline",
+      // r14: bradley-terry's corpus work is one bucket-keyed lead()
+      // window (one comparison per doc — linear) + an O(|sources|^2)
+      // matrix; the 3 MM rounds never touch the corpus. readability is
+      // a map-only regex-count pass into a source-keyed partial agg
+      "ns_quality_bradley_terry", "ns_text_readability")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected

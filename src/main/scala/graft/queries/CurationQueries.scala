@@ -6314,7 +6314,268 @@ object CurationQueries {
            |  source, srk, doc_id, progress
            |FROM p ORDER BY progress, source, srk LIMIT 48""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // Bradley-Terry preference-strength fit (reward-data aggregation)
+  // ---------------------------------------------------------------------
+
+  /** BRADLEY-TERRY strength fit over pairwise document preferences — the
+    * aggregation step between raw A/B preference labels (the
+    * [[corpusPrefPairs]] output shape) and a per-source reward signal:
+    * each source gets a latent strength π from the comparisons its
+    * documents won and lost, via 3 rounds of the standard MM update
+    * π_i ← W_i / Σ_j n_ij/(π_i+π_j) (Hunter 2004, "MM algorithms for
+    * generalized Bradley-Terry models").
+    *
+    * Comparisons are generated scale-linearly: documents land in 64
+    * hash buckets and each doc is compared to its SUCCESSOR in the
+    * bucket's hash order (adjacent pairing — one comparison per doc,
+    * never the quadratic within-bucket cross), kept when the two docs
+    * come from different sources; the winner is the higher
+    * quality-score okey (score e6 · 2^40 − doc_id, unique by
+    * construction). The (source_i, source_j) win/loss matrix is at most
+    * |sources|² rows, so the MM rounds run over a broadcast-scale frame.
+    *
+    * Determinism: match counts are pre-normalized to e6 of the total
+    * (BT is scale-invariant), strengths are e12 fixed-point bigints,
+    * every division is a positive integer floor div, and a 1e-6 floor
+    * keeps a winless source's strength positive for the next round's
+    * denominator. Oracle unrolls the 3 rounds as CTEs exactly like
+    * [[graft.queries.NorthStarQueries]]'s pagerank.
+    *
+    * Scale: the corpus-sized work is one bucket-keyed lead() window and
+    * one (i,j) aggregation; everything after is O(|sources|²) on
+    * localCheckpoint'd frames. 100 TB: bucket count scales with
+    * partitions, pairing stays one-comparison-per-doc.
+    */
+  private val qualityBradleyTerry = Q(
+    (s, dir) => {
+      val wB = Window.partitionBy(col("bkt")).orderBy(col("hkey"), col("doc_id"))
+      val sc0 = TS(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("score_e6", expr(
+          "cast(round((cast(size(array_distinct(toks)) as double) / size(toks) * 0.5 " +
+            "+ least(cast(size(toks) as double) / 100, 1.0) * 0.5) * 1000000, 0) as bigint)"))
+        .withColumn("hkey", expr(
+          "cast(conv(substring(md5(concat('bt:', cast(doc_id as string))), 1, 8), 16, 10) as bigint)"))
+        .withColumn("bkt", pmod(col("hkey"), lit(64)))
+        .withColumn("okey", expr("score_e6 * cast(1099511627776 as bigint) - doc_id"))
+        .select(col("doc_id"), col("source"), col("hkey"), col("bkt"), col("okey"))
+      val paired = sc0
+        .withColumn("nxt_source", lead(col("source"), 1).over(wB))
+        .withColumn("nxt_okey", lead(col("okey"), 1).over(wB))
+        .where(col("nxt_source").isNotNull && col("nxt_source") =!= col("source"))
+        .withColumn("i", least(col("source"), col("nxt_source")))
+        .withColumn("j", greatest(col("source"), col("nxt_source")))
+        .withColumn("i_win", expr(
+          "CASE WHEN okey > nxt_okey THEN source ELSE nxt_source END") === col("i"))
+      val m = paired.groupBy(col("i"), col("j"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("i_win"), 1L).otherwise(0L)).as("wi"))
+        .withColumn("wj", col("n") - col("wi"))
+        .localCheckpoint(true)
+      val mm = m.crossJoin(broadcast(m.agg(sum(col("n")).as("t"))))
+        .select(col("i"), col("j"),
+          expr("(n * 1000000) div t").as("nn"),
+          expr("(wi * 1000000) div t").as("nwi"),
+          expr("(wj * 1000000) div t").as("nwj"))
+        .localCheckpoint(true)
+      val raw = m.select(col("i").as("src"), col("n").as("nm"), col("wi").as("nw"))
+        .unionAll(m.select(col("j").as("src"), col("n").as("nm"), col("wj").as("nw")))
+        .groupBy(col("src"))
+        .agg(sum(col("nm")).as("n_matches"), sum(col("nw")).as("n_wins"))
+        .localCheckpoint(true)
+      val ws = mm.select(col("i").as("src"), col("nwi").as("nw"))
+        .unionAll(mm.select(col("j").as("src"), col("nwj").as("nw")))
+        .groupBy(col("src")).agg(sum(col("nw")).as("ww"))
+        .localCheckpoint(true)
+      var p = raw.select(col("src"), lit(1000000000000L).as("p"))
+      (1 to 3).foreach { _ =>
+        val terms = mm
+          .join(p.select(col("src").as("i"), col("p").as("pi")), Seq("i"))
+          .join(p.select(col("src").as("j"), col("p").as("pj")), Seq("j"))
+          .withColumn("t", expr("(nn * 1000000000000) div (pi + pj)"))
+        val d = terms.select(col("i").as("src"), col("t"))
+          .unionAll(terms.select(col("j").as("src"), col("t")))
+          .groupBy(col("src")).agg(sum(col("t")).as("d"))
+        p = ws.join(d, Seq("src"))
+          .select(col("src"),
+            greatest(expr("(ww * 1000000000000) div d"), lit(1000000L)).as("p"))
+          .localCheckpoint(true)
+      }
+      val wR = Window.orderBy(col("strength_fp").desc, col("source"))
+      raw.join(p, Seq("src"))
+        .select(col("src").as("source"), col("n_matches"), col("n_wins"),
+          col("p").as("strength_fp"))
+        .withColumn("strength", round(col("strength_fp").cast("double") / lit(1.0e12), 6))
+        .withColumn("rnk", row_number().over(wR))
+        .orderBy(col("rnk"))
+    },
+    Some("""WITH sc AS (
+           |  SELECT doc_id, source,
+           |    cast(round((cast(len(list_distinct(string_split(text, ' '))) as double)
+           |        / len(string_split(text, ' ')) * 0.5
+           |      + least(cast(len(string_split(text, ' ')) as double) / 100, 1.0) * 0.5)
+           |      * 1000000, 0) as bigint) AS score_e6,
+           |    cast('0x' || substr(md5('bt:' || cast(doc_id as varchar)), 1, 8)
+           |      as bigint) AS hkey
+           |  FROM documents
+           |), k AS (
+           |  SELECT doc_id, source, hkey, hkey % 64 AS bkt,
+           |    score_e6 * cast(1099511627776 as bigint) - doc_id AS okey
+           |  FROM sc
+           |), pr AS (
+           |  SELECT source, okey,
+           |    lead(source) OVER (PARTITION BY bkt ORDER BY hkey, doc_id) AS nxt_source,
+           |    lead(okey) OVER (PARTITION BY bkt ORDER BY hkey, doc_id) AS nxt_okey
+           |  FROM k
+           |), cmp AS (
+           |  SELECT least(source, nxt_source) AS i,
+           |    greatest(source, nxt_source) AS j,
+           |    (CASE WHEN okey > nxt_okey THEN source ELSE nxt_source END)
+           |      = least(source, nxt_source) AS i_win
+           |  FROM pr WHERE nxt_source IS NOT NULL AND nxt_source <> source
+           |), m AS (
+           |  SELECT i, j, cast(count(*) as bigint) AS n,
+           |    cast(sum(CASE WHEN i_win THEN 1 ELSE 0 END) as bigint) AS wi,
+           |    cast(count(*) - sum(CASE WHEN i_win THEN 1 ELSE 0 END) as bigint) AS wj
+           |  FROM cmp GROUP BY i, j
+           |), tt AS (SELECT cast(sum(n) as bigint) AS t FROM m
+           |), mm AS (
+           |  SELECT i, j, (n * 1000000) // t AS nn, (wi * 1000000) // t AS nwi,
+           |    (wj * 1000000) // t AS nwj
+           |  FROM m, tt
+           |), raw AS (
+           |  SELECT src, cast(sum(nm) as bigint) AS n_matches,
+           |    cast(sum(nw) as bigint) AS n_wins
+           |  FROM (SELECT i AS src, n AS nm, wi AS nw FROM m
+           |        UNION ALL SELECT j, n, wj FROM m)
+           |  GROUP BY src
+           |), ws AS (
+           |  SELECT src, cast(sum(nw) as bigint) AS ww
+           |  FROM (SELECT i AS src, nwi AS nw FROM mm
+           |        UNION ALL SELECT j, nwj FROM mm)
+           |  GROUP BY src
+           |), p0 AS (SELECT src, cast(1000000000000 as bigint) AS p FROM raw
+           |), d1 AS (
+           |  SELECT src, cast(sum(t) as bigint) AS d FROM (
+           |    SELECT mm.i AS src, (mm.nn * 1000000000000) // (pi.p + pj.p) AS t
+           |    FROM mm JOIN p0 pi ON pi.src = mm.i JOIN p0 pj ON pj.src = mm.j
+           |    UNION ALL
+           |    SELECT mm.j, (mm.nn * 1000000000000) // (pi.p + pj.p)
+           |    FROM mm JOIN p0 pi ON pi.src = mm.i JOIN p0 pj ON pj.src = mm.j)
+           |  GROUP BY src
+           |), p1 AS (
+           |  SELECT w.src,
+           |    greatest((w.ww * 1000000000000) // d.d, cast(1000000 as bigint)) AS p
+           |  FROM ws w JOIN d1 d USING (src)
+           |), d2 AS (
+           |  SELECT src, cast(sum(t) as bigint) AS d FROM (
+           |    SELECT mm.i AS src, (mm.nn * 1000000000000) // (pi.p + pj.p) AS t
+           |    FROM mm JOIN p1 pi ON pi.src = mm.i JOIN p1 pj ON pj.src = mm.j
+           |    UNION ALL
+           |    SELECT mm.j, (mm.nn * 1000000000000) // (pi.p + pj.p)
+           |    FROM mm JOIN p1 pi ON pi.src = mm.i JOIN p1 pj ON pj.src = mm.j)
+           |  GROUP BY src
+           |), p2 AS (
+           |  SELECT w.src,
+           |    greatest((w.ww * 1000000000000) // d.d, cast(1000000 as bigint)) AS p
+           |  FROM ws w JOIN d2 d USING (src)
+           |), d3 AS (
+           |  SELECT src, cast(sum(t) as bigint) AS d FROM (
+           |    SELECT mm.i AS src, (mm.nn * 1000000000000) // (pi.p + pj.p) AS t
+           |    FROM mm JOIN p2 pi ON pi.src = mm.i JOIN p2 pj ON pj.src = mm.j
+           |    UNION ALL
+           |    SELECT mm.j, (mm.nn * 1000000000000) // (pi.p + pj.p)
+           |    FROM mm JOIN p2 pi ON pi.src = mm.i JOIN p2 pj ON pj.src = mm.j)
+           |  GROUP BY src
+           |), p3 AS (
+           |  SELECT w.src,
+           |    greatest((w.ww * 1000000000000) // d.d, cast(1000000 as bigint)) AS p
+           |  FROM ws w JOIN d3 d USING (src)
+           |)
+           |SELECT raw.src AS source, raw.n_matches, raw.n_wins,
+           |  p3.p AS strength_fp, round(cast(p3.p as double) / 1e12, 6) AS strength,
+           |  row_number() OVER (ORDER BY p3.p DESC, raw.src) AS rnk
+           |FROM raw JOIN p3 ON p3.src = raw.src
+           |ORDER BY rnk""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Readability profile (sentence-free FORCAST formula)
+  // ---------------------------------------------------------------------
+
+  /** READABILITY profile per source — the curation signal that separates
+    * technical/telegraphic text from prose without trusting sentence
+    * boundaries: the FORCAST grade (20 − 15·monosyllabic/words — the one
+    * published readability formula designed for non-prose text, so it
+    * stays defined on this fixture's punctuation-free corpus),
+    * syllables-per-word, monosyllable ratio, and chars-per-word.
+    * Syllables are maximal vowel runs `[aeiouy]+` — the standard cheap
+    * estimator.
+    *
+    * Determinism: counts are exact bigints pooled per source BEFORE the
+    * single ratio (never an average of per-doc floats); each ratio is an
+    * e6 integer floor div. DuckDB needs the 'g' regex flag where Spark
+    * replaces globally by default.
+    *
+    * Scale: map-only per-doc counting (regex + one list_filter HOF, no
+    * explode) into a source-keyed partial agg — one shuffle of
+    * |sources| rows.
+    */
+  private val textReadability = Q(
+    (s, dir) => {
+      val d = TS(s, dir, "documents")
+        .withColumn("words", size(split(col("text"), " ")).cast("long"))
+        .withColumn("vv", regexp_replace(col("text"), "[aeiouy]+", "V"))
+        .withColumn("syll",
+          (length(col("vv")) - length(regexp_replace(col("vv"), "V", ""))).cast("long"))
+        .withColumn("mono", expr(
+          "cast(size(filter(split(text, ' '), w -> " +
+            "length(regexp_replace(w, '[aeiouy]+', 'V')) - " +
+            "length(regexp_replace(regexp_replace(w, '[aeiouy]+', 'V'), 'V', '')) = 1)) as long)"))
+      d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("words")).as("sum_words"),
+          sum(col("syll")).as("sum_syll"),
+          sum(col("mono")).as("sum_mono"),
+          sum(col("n_chars").cast("long")).as("sum_chars"))
+        .select(col("source"), col("n_docs"), col("sum_words"), col("sum_syll"),
+          col("sum_mono"),
+          expr("20000000 - (15000000 * sum_mono) div sum_words").as("forcast_e6"),
+          expr("(sum_syll * 1000000) div sum_words").as("syll_per_word_e6"),
+          expr("(sum_mono * 1000000) div sum_words").as("mono_ratio_e6"),
+          expr("(sum_chars * 1000000) div sum_words").as("chars_per_word_e6"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH d AS (
+           |  SELECT source,
+           |    cast(len(string_split(text, ' ')) as bigint) AS words,
+           |    cast(length(regexp_replace(text, '[aeiouy]+', 'V', 'g'))
+           |      - length(replace(regexp_replace(text, '[aeiouy]+', 'V', 'g'), 'V', ''))
+           |      as bigint) AS syll,
+           |    cast(len(list_filter(string_split(text, ' '), w ->
+           |      length(regexp_replace(w, '[aeiouy]+', 'V', 'g'))
+           |        - length(replace(regexp_replace(w, '[aeiouy]+', 'V', 'g'), 'V', '')) = 1))
+           |      as bigint) AS mono,
+           |    cast(n_chars as bigint) AS n_chars
+           |  FROM documents
+           |), a AS (
+           |  SELECT source, cast(count(*) as bigint) AS n_docs,
+           |    cast(sum(words) as bigint) AS sum_words,
+           |    cast(sum(syll) as bigint) AS sum_syll,
+           |    cast(sum(mono) as bigint) AS sum_mono,
+           |    cast(sum(n_chars) as bigint) AS sum_chars
+           |  FROM d GROUP BY source
+           |)
+           |SELECT source, n_docs, sum_words, sum_syll, sum_mono,
+           |  20000000 - (15000000 * sum_mono) // sum_words AS forcast_e6,
+           |  (sum_syll * 1000000) // sum_words AS syll_per_word_e6,
+           |  (sum_mono * 1000000) // sum_words AS mono_ratio_e6,
+           |  (sum_chars * 1000000) // sum_words AS chars_per_word_e6
+           |FROM a ORDER BY source""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "ns_quality_bradley_terry" -> qualityBradleyTerry,
+    "ns_text_readability" -> textReadability,
     "ns_sample_reservoir" -> sampleReservoir,
     "ns_profile_zipf" -> profileZipf,
     "ns_corpus_interleave" -> corpusInterleave,
