@@ -253,7 +253,12 @@ object ScaleProbe {
       // window (one comparison per doc — linear) + an O(|sources|^2)
       // matrix; the 3 MM rounds never touch the corpus. readability is
       // a map-only regex-count pass into a source-keyed partial agg
-      "ns_quality_bradley_terry", "ns_text_readability")
+      "ns_quality_bradley_terry", "ns_text_readability",
+      // r14: kmv overlap's corpus work is the shingle explode + two
+      // distinct collapses; sketches are 64 rows/source, pair merges
+      // |sources|^2 x 64. The exact audit twin's shingle join is the
+      // stress axis (clones multiply each shingle's source fan-in)
+      "ns_sketch_kmv_overlap")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected
@@ -290,7 +295,11 @@ object ScaleProbe {
       // user-keyed FMGWS exchange and state is O(1) per user (clone
       // users multiply state linearly but each entry is ~5 fields) —
       // wall should track event volume plus the fixed sink cost
-      "ns_corpus_trajectories_stream")
+      "ns_corpus_trajectories_stream",
+      // r14: embargo split = two map-side-combined aggregates (span
+      // min/max; user rollup) + map-only tagging — expected ~linear in
+      // events with no sort anywhere
+      "ns_corpus_embargo_split")
     if (evtNames.exists(enabled)) {
       val evtReps = spark.range(docMult).select(col("id").as("rep"))
       Tables.load(spark, sfDir, "events")

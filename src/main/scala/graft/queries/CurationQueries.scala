@@ -6573,7 +6573,232 @@ object CurationQueries {
            |  (sum_chars * 1000000) // sum_words AS chars_per_word_e6
            |FROM a ORDER BY source""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // KMV cross-source overlap (mergeable sketches + exact audit twin)
+  // ---------------------------------------------------------------------
+
+  /** CROSS-SOURCE content overlap via mergeable KMV sketches — the
+    * "which crawls duplicate each other" read that schedules dedup
+    * effort BEFORE paying for it: every source keeps only its k=64
+    * smallest distinct shingle hashes (a k-minimum-values sketch —
+    * mergeable by taking the k smallest of a union, so per-source state
+    * is O(k) at any corpus size and sketches combine across shards/
+    * snapshots for free), and each source pair estimates Jaccard as the
+    * both-members fraction of the merged sketch and union cardinality
+    * as (k−1)·H/h_k (Beyer et al. 2007). The same query computes the
+    * EXACT per-pair shingle Jaccard as the audit twin, so the result
+    * carries its own error column — the estimator-calibration pattern
+    * of `ns_dedup_minhash_estimate`.
+    *
+    * Scale: the corpus-sized work is one shingle explode + two distinct
+    * collapses; sketches are 64·|sources| rows, pair merges are
+    * |sources|²·64 rows. The EXACT twin joins distinct (source,
+    * shingle) rows on shingle — per-shingle fan-out is bounded by
+    * |sources|² (at most 190 pair rows per shingle here); at true
+    * 100 TB that audit runs on a sample while the KMV path is the
+    * product.
+    */
+  private val sketchKmvOverlap = Q(
+    (s, dir) => {
+      val sh = TS(s, dir, "documents")
+        .select(col("source"),
+          explode(expr(NorthStarQueries.shinglesExpr)).as("shingle"))
+      // one corpus explode; every downstream branch (sizes, exact join,
+      // sketches) reuses this checkpointed distinct set
+      val dist = sh.distinct().localCheckpoint(true)
+      val sizes = dist.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val inter = dist.as("a").join(dist.as("b"),
+          col("a.shingle") === col("b.shingle") &&
+            col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("i"), col("b.source").as("j"))
+        .agg(count(lit(1)).as("inter_exact"))
+      val pairs = broadcast(sizes.select(col("source").as("i"), col("n").as("n_i")))
+        .join(broadcast(sizes.select(col("source").as("j"), col("n").as("n_j"))),
+          col("i") < col("j"))
+      val wK = Window.partitionBy(col("source")).orderBy(col("h"))
+      val sk = dist
+        .withColumn("h",
+          expr("cast(conv(substring(md5(shingle), 1, 8), 16, 10) as bigint)"))
+        .select(col("source"), col("h")).distinct()
+        .withColumn("r", row_number().over(wK)).where(col("r") <= 64)
+        .select(col("source"), col("h")).localCheckpoint(true)
+      val merged = pairs.select(col("i"), col("j"))
+        .join(sk, col("source") === col("i") || col("source") === col("j"))
+        .groupBy(col("i"), col("j"), col("h"))
+        .agg(max(when(col("source") === col("i"), 1).otherwise(0)).as("has_i"),
+          max(when(col("source") === col("j"), 1).otherwise(0)).as("has_j"))
+      val wM = Window.partitionBy(col("i"), col("j")).orderBy(col("h"))
+      val kmv = merged.withColumn("rn", row_number().over(wM))
+        .where(col("rn") <= 64)
+        .groupBy(col("i"), col("j"))
+        .agg(count(lit(1)).as("kk"),
+          sum(when(col("has_i") === 1 && col("has_j") === 1, 1L)
+            .otherwise(0L)).as("both_kmv"),
+          max(col("h")).as("hmax"))
+      pairs.join(inter, Seq("i", "j"), "left")
+        .withColumn("inter_exact", coalesce(col("inter_exact"), lit(0L)))
+        .join(kmv, Seq("i", "j"))
+        .select(col("i"), col("j"), col("n_i"), col("n_j"), col("inter_exact"),
+          (col("n_i") + col("n_j") - col("inter_exact")).as("union_exact"),
+          expr("(inter_exact * 1000000) div (n_i + n_j - inter_exact)")
+            .as("jacc_exact_e6"),
+          col("kk"), col("both_kmv"),
+          expr("(both_kmv * 1000000) div kk").as("jacc_kmv_e6"),
+          expr("((kk - 1) * 4294967296) div hmax").as("union_est"))
+        .withColumn("err_e6", abs(col("jacc_kmv_e6") - col("jacc_exact_e6")))
+        .orderBy(col("i"), col("j"))
+    },
+    Some(s"""WITH sh AS (
+            |  SELECT source, unnest(${NorthStarQueries.shinglesSql}) AS shingle
+            |  FROM documents
+            |), hh AS (
+            |  SELECT source, shingle,
+            |    cast('0x' || substr(md5(shingle), 1, 8) as bigint) AS h
+            |  FROM sh
+            |), dist AS (SELECT DISTINCT source, shingle FROM hh
+            |), sizes AS (SELECT source, cast(count(*) as bigint) AS n
+            |             FROM dist GROUP BY source
+            |), inter AS (
+            |  SELECT a.source AS i, b.source AS j,
+            |    cast(count(*) as bigint) AS inter_exact
+            |  FROM dist a JOIN dist b
+            |    ON a.shingle = b.shingle AND a.source < b.source
+            |  GROUP BY a.source, b.source
+            |), pairs AS (
+            |  SELECT a.source AS i, b.source AS j, a.n AS n_i, b.n AS n_j
+            |  FROM sizes a JOIN sizes b ON a.source < b.source
+            |), hd AS (SELECT DISTINCT source, h FROM hh
+            |), sk AS (
+            |  SELECT source, h FROM (
+            |    SELECT source, h,
+            |      row_number() OVER (PARTITION BY source ORDER BY h) AS r
+            |    FROM hd)
+            |  WHERE r <= 64
+            |), mg AS (
+            |  SELECT p.i, p.j, s.h,
+            |    max(CASE WHEN s.source = p.i THEN 1 ELSE 0 END) AS has_i,
+            |    max(CASE WHEN s.source = p.j THEN 1 ELSE 0 END) AS has_j
+            |  FROM pairs p JOIN sk s ON s.source = p.i OR s.source = p.j
+            |  GROUP BY p.i, p.j, s.h
+            |), topk AS (
+            |  SELECT i, j, h, has_i, has_j,
+            |    row_number() OVER (PARTITION BY i, j ORDER BY h) AS rn
+            |  FROM mg
+            |), kmv AS (
+            |  SELECT i, j, cast(count(*) as bigint) AS kk,
+            |    cast(sum(CASE WHEN has_i = 1 AND has_j = 1 THEN 1 ELSE 0 END)
+            |      as bigint) AS both_kmv,
+            |    max(h) AS hmax
+            |  FROM topk WHERE rn <= 64 GROUP BY i, j
+            |)
+            |SELECT p.i, p.j, p.n_i, p.n_j,
+            |  coalesce(it.inter_exact, 0) AS inter_exact,
+            |  p.n_i + p.n_j - coalesce(it.inter_exact, 0) AS union_exact,
+            |  (coalesce(it.inter_exact, 0) * 1000000)
+            |    // (p.n_i + p.n_j - coalesce(it.inter_exact, 0)) AS jacc_exact_e6,
+            |  k.kk, k.both_kmv,
+            |  (k.both_kmv * 1000000) // k.kk AS jacc_kmv_e6,
+            |  ((k.kk - 1) * 4294967296) // k.hmax AS union_est,
+            |  abs((k.both_kmv * 1000000) // k.kk
+            |    - (coalesce(it.inter_exact, 0) * 1000000)
+            |      // (p.n_i + p.n_j - coalesce(it.inter_exact, 0))) AS err_e6
+            |FROM pairs p
+            |LEFT JOIN inter it ON it.i = p.i AND it.j = p.j
+            |JOIN kmv k ON k.i = p.i AND k.j = p.j
+            |ORDER BY p.i, p.j""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Temporal embargo split (leakage-safe time-based train/test)
+  // ---------------------------------------------------------------------
+
+  /** TEMPORAL EMBARGO split over the event stream — the time-axis
+    * counterpart of [[corpusSplitLeakage]]'s cluster-aware split: train
+    * is everything up to the 70% point of the observed time span, a
+    * 1-hour embargo zone after the cut is DROPPED (events there are
+    * temporally correlated with both sides — the forecasting-leakage
+    * window), and test is everything after. The single-row audit proves
+    * the construction: per-user minimum gap between the last train
+    * event and the first test event is >= the embargo (3600 s) for
+    * every user appearing on both sides.
+    *
+    * Determinism: the cut is min + 7/10 of the µs span (exact bigint
+    * arithmetic on epoch-µs — never a quantile whose interpolation
+    * could diverge); all outputs are bigints.
+    *
+    * Scale: min/max are map-side-combined aggregates broadcast back as
+    * one row; tagging is map-only; the audit is one user-keyed agg plus
+    * a single-row rollup. No global sort anywhere (a rank-quantile cut
+    * would need one — the span cut is the scale-correct choice, and the
+    * production variant swaps in approx_percentile if a count-balanced
+    * cut is required).
+    */
+  private val corpusEmbargoSplit = Q(
+    (s, dir) => {
+      val e = T(s, dir, "events")
+        .select(col("user_id"), expr("unix_micros(ts)").as("us"))
+      val b = e.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+        .select(expr("mn + ((mx - mn) * 7) div 10").as("cut_us"))
+        .withColumn("emb_end_us", col("cut_us") + lit(3600000000L))
+      val tagged = e.crossJoin(broadcast(b))
+        .withColumn("split",
+          when(col("us") <= col("cut_us"), "train")
+            .when(col("us") <= col("emb_end_us"), "embargo")
+            .otherwise("test"))
+      val byUser = tagged.groupBy(col("user_id"))
+        .agg(max(when(col("split") === "train", col("us"))).as("last_train"),
+          min(when(col("split") === "test", col("us"))).as("first_test"),
+          sum(when(col("split") === "train", 1L).otherwise(0L)).as("nt"),
+          sum(when(col("split") === "embargo", 1L).otherwise(0L)).as("ne"),
+          sum(when(col("split") === "test", 1L).otherwise(0L)).as("nx"))
+      byUser.crossJoin(broadcast(b))
+        .agg(first(col("cut_us")).as("cut_us"),
+          first(col("emb_end_us")).as("emb_end_us"),
+          sum(col("nt")).as("n_train"),
+          sum(col("ne")).as("n_embargo"),
+          sum(col("nx")).as("n_test"),
+          sum(when(col("nt") > 0L, 1L).otherwise(0L)).as("users_train"),
+          sum(when(col("nx") > 0L, 1L).otherwise(0L)).as("users_test"),
+          sum(when(col("nt") > 0L && col("nx") > 0L, 1L).otherwise(0L))
+            .as("users_both"),
+          min(when(col("nt") > 0L && col("nx") > 0L,
+            expr("(first_test - last_train) div 1000000"))).as("min_gap_s"))
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, epoch_us(ts) AS us FROM events
+           |), b AS (
+           |  SELECT min(us) + ((max(us) - min(us)) * 7) // 10 AS cut_us,
+           |    min(us) + ((max(us) - min(us)) * 7) // 10 + 3600000000 AS emb_end_us
+           |  FROM e
+           |), t AS (
+           |  SELECT user_id,
+           |    CASE WHEN us <= cut_us THEN 'train'
+           |         WHEN us <= emb_end_us THEN 'embargo'
+           |         ELSE 'test' END AS split, us
+           |  FROM e, b
+           |), u AS (
+           |  SELECT user_id,
+           |    max(CASE WHEN split = 'train' THEN us END) AS last_train,
+           |    min(CASE WHEN split = 'test' THEN us END) AS first_test,
+           |    cast(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) as bigint) AS nt,
+           |    cast(sum(CASE WHEN split = 'embargo' THEN 1 ELSE 0 END) as bigint) AS ne,
+           |    cast(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) as bigint) AS nx
+           |  FROM t GROUP BY user_id
+           |)
+           |SELECT b.cut_us, b.emb_end_us,
+           |  cast(sum(u.nt) as bigint) AS n_train,
+           |  cast(sum(u.ne) as bigint) AS n_embargo,
+           |  cast(sum(u.nx) as bigint) AS n_test,
+           |  cast(sum(CASE WHEN u.nt > 0 THEN 1 ELSE 0 END) as bigint) AS users_train,
+           |  cast(sum(CASE WHEN u.nx > 0 THEN 1 ELSE 0 END) as bigint) AS users_test,
+           |  cast(sum(CASE WHEN u.nt > 0 AND u.nx > 0 THEN 1 ELSE 0 END) as bigint)
+           |    AS users_both,
+           |  min(CASE WHEN u.nt > 0 AND u.nx > 0
+           |    THEN (u.first_test - u.last_train) // 1000000 END) AS min_gap_s
+           |FROM u, b GROUP BY b.cut_us, b.emb_end_us""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "ns_sketch_kmv_overlap" -> sketchKmvOverlap,
+    "ns_corpus_embargo_split" -> corpusEmbargoSplit,
     "ns_quality_bradley_terry" -> qualityBradleyTerry,
     "ns_text_readability" -> textReadability,
     "ns_sample_reservoir" -> sampleReservoir,
