@@ -258,12 +258,17 @@ object ScaleProbe {
       // distinct collapses; sketches are 64 rows/source, pair merges
       // |sources|^2 x 64. The exact audit twin's shingle join is the
       // stress axis (clones multiply each shingle's source fan-in)
-      "ns_sketch_kmv_overlap")
+      "ns_sketch_kmv_overlap",
+      // r14: burstiness = two vocabulary-keyed aggs + a 25-row rank
+      // cut (clones multiply counts, not vocabulary — flat). bitext
+      // joins BOTH fixtures (doc langs onto vectors), so it runs in the
+      // dual-fixture group below, not here
+      "ns_profile_burstiness")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected
     val needDocsFixture = docNames.exists(enabled) || enabled("ns_sim_hybrid_rrf") ||
-      enabled("ns_pipeline_integrity")
+      enabled("ns_pipeline_integrity") || enabled("ns_sim_bitext_mining")
     if (needDocsFixture) {
       val docReps = spark.range(docMult).select(col("id").as("rep"))
       Tables.load(spark, sfDir, "documents")
@@ -375,7 +380,12 @@ object ScaleProbe {
       // r14 late wave 4: tombstone delete = the persisted build + one
       // broadcast anti-join on the probed slice — wall should track the
       // persisted build's (the index write dominates)
-      "ns_sim_ivf_delete")
+      "ns_sim_ivf_delete",
+      // r14: bitext mining reads BOTH multiplied fixtures (langs join
+      // onto vectors by the identical id remap); the scored pass is the
+      // broadcast-anchor cosine class with the anchor set growing with
+      // the en-side replicas — the margin agg stays 4 rows/anchor
+      "ns_sim_bitext_mining")
     // probes over the embeddings fixture that do NOT resolve through the
     // query catalog (custom parameterization below)
     val customVecProbes = Seq("ns_dedup_semantic_kprop")
@@ -442,6 +452,7 @@ object ScaleProbe {
       timeVec("ns_decontaminate_semantic")
       timeVec("ns_sample_cluster_balance")
       timeVec("ns_sim_ivf_delete")
+      timeVec("ns_sim_bitext_mining")
 
       // Semantic dedup at the PRODUCTION configuration: k ∝ N (one
       // cluster per ~2500 vectors), seeds stride-spaced so they are k

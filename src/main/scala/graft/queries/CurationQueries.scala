@@ -6796,7 +6796,170 @@ object CurationQueries {
            |    THEN (u.first_test - u.last_train) // 1000000 END) AS min_gap_s
            |FROM u, b GROUP BY b.cut_us, b.emb_end_us""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // Margin-based bitext mining (cross-lingual pair alignment)
+  // ---------------------------------------------------------------------
+
+  /** BITEXT MINING — the parallel-corpus construction step for
+    * translation/cross-lingual training data: align English documents
+    * with their most similar German counterparts in embedding space and
+    * keep only pairs whose MARGIN score clears a threshold. The margin
+    * is the ratio of the best cosine to the mean of the anchor's top-4
+    * cosines (the absolute-cosine-is-uncalibrated fix from
+    * margin-based mining, Artetxe & Schwenk 2019) — a hubby anchor
+    * whose neighborhood is uniformly close scores near 1.0 and is
+    * rejected; a true translation pair stands out from the
+    * neighborhood and clears it.
+    *
+    * Determinism: cosines become e9 bigints by one floor each (the
+    * IEEE steps before the floor are identical literals in both
+    * engines); the margin is (best · c · 1e6) div Σ(top-c), all
+    * integer.
+    *
+    * Scale: the anchor set is bounded and broadcast (the
+    * [[NorthStarQueries.simCosineTopk]] audit class); candidates are
+    * one narrow scan; top-4 via per-anchor rank window pruned
+    * map-side. The production path swaps the brute candidate scan for
+    * the IVF/LSH bucket join exactly as cosine_topk → lsh_buckets.
+    */
+  private val simBitextMining = Q(
+    (s, dir) => {
+      graft.expressions.ScaledDotProduct.registerIn(s)
+      val d = T(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val e = TS(s, dir, "embeddings")
+        .join(d, col("vec_id") === col("doc_id"))
+        .withColumn("nrm", expr("scaled_dot(embedding, embedding)"))
+      val q = e.where(col("lang") === "en" && col("vec_id") < 64)
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+          col("nrm").as("na"))
+      val c = e.where(col("lang") === "de")
+        .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+          col("nrm").as("nb"))
+      val w = Window.partitionBy(col("a_id")).orderBy(col("cos_e9").desc, col("b_id"))
+      broadcast(q).join(c, col("a_id") =!= col("b_id"))
+        .withColumn("cos_e9", expr(
+          "cast(floor(cast(scaled_dot(a_emb, b_emb) as double) " +
+            "/ (sqrt(cast(na as double)) * sqrt(cast(nb as double))) * 1000000000) as bigint)"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 4)
+        .groupBy(col("a_id"))
+        .agg(max(when(col("rnk") === 1, col("b_id"))).as("b_id"),
+          max(col("cos_e9")).as("best_e9"),
+          count(lit(1)).as("c"),
+          sum(col("cos_e9")).as("sum_e9"))
+        .select(col("a_id"), col("b_id"),
+          round(col("best_e9").cast("double") / lit(1.0e9), 6).as("cos_sim"),
+          expr("(best_e9 * c * 1000000) div sum_e9").as("margin_e6"))
+        .withColumn("accepted", col("margin_e6") >= 1050000L)
+        .orderBy(col("a_id"))
+    },
+    Some(s"""WITH j AS (
+            |  SELECT e.vec_id, e.embedding, d.lang,
+            |    ${NorthStarQueries.scaledDotSql("e.embedding", "e.embedding")} AS nrm
+            |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+            |), q AS (
+            |  SELECT vec_id AS a_id, embedding AS a_emb, nrm AS na
+            |  FROM j WHERE lang = 'en' AND vec_id < 64
+            |), c AS (
+            |  SELECT vec_id AS b_id, embedding AS b_emb, nrm AS nb
+            |  FROM j WHERE lang = 'de'
+            |), p AS (
+            |  SELECT a_id, b_id,
+            |    cast(floor(cast(${NorthStarQueries.scaledDotSql("a_emb", "b_emb")} as double)
+            |      / (sqrt(cast(na as double)) * sqrt(cast(nb as double)))
+            |      * 1000000000) as bigint) AS cos_e9
+            |  FROM q JOIN c ON a_id <> b_id
+            |), r AS (
+            |  SELECT a_id, b_id, cos_e9,
+            |    row_number() OVER (PARTITION BY a_id ORDER BY cos_e9 DESC, b_id) AS rnk
+            |  FROM p
+            |), t AS (
+            |  SELECT a_id,
+            |    max(CASE WHEN rnk = 1 THEN b_id END) AS b_id,
+            |    max(cos_e9) AS best_e9,
+            |    cast(count(*) as bigint) AS c,
+            |    cast(sum(cos_e9) as bigint) AS sum_e9
+            |  FROM r WHERE rnk <= 4 GROUP BY a_id
+            |)
+            |SELECT a_id, b_id,
+            |  round(cast(best_e9 as double) / 1e9, 6) AS cos_sim,
+            |  (best_e9 * c * 1000000) // sum_e9 AS margin_e6,
+            |  (best_e9 * c * 1000000) // sum_e9 >= 1050000 AS accepted
+            |FROM t ORDER BY a_id""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Term burstiness profile (variance-to-mean ratio)
+  // ---------------------------------------------------------------------
+
+  /** TERM BURSTINESS — the distributional spam/template signal that raw
+    * frequency misses: for the 25 highest-frequency terms, the
+    * variance-to-mean ratio (VMR) of per-document counts over ALL
+    * documents (zeros included). A term used evenly across the corpus
+    * sits near the Poisson baseline (VMR ≈ 1); a term whose mass
+    * concentrates in few documents (boilerplate blocks, generated spam,
+    * keyword stuffing) is over-dispersed — exactly the terms a
+    * template-detection pass should inspect first.
+    *
+    * Determinism: per-term Σc and Σc² are exact bigints; mean and
+    * E[x²] normalize to e6 per-document BEFORE the variance identity
+    * (var = E[x²] − mean²) so the arithmetic stays inside int64 at any
+    * corpus size; VMR is one final e6 floor div.
+    *
+    * Scale: the (term, doc) count and the term rollup are
+    * vocabulary-keyed aggregates (the top_terms class); N broadcasts
+    * as one row; the rank cut bounds the output at 25 rows.
+    */
+  private val profileBurstiness = Q(
+    (s, dir) => {
+      val td = TS(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("cnt"))
+      val term = td.groupBy(col("term"))
+        .agg(sum(col("cnt")).as("tf"), count(lit(1)).as("df"),
+          sum(col("cnt") * col("cnt")).as("sum_c2"))
+      val n = T(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      val wR = Window.orderBy(col("tf").desc, col("term"))
+      term.crossJoin(broadcast(n))
+        .withColumn("rnk", row_number().over(wR))
+        .where(col("rnk") <= 25)
+        .withColumn("mean_e6", expr("(tf * 1000000) div n_docs"))
+        .withColumn("ex2_e6", expr("(sum_c2 * 1000000) div n_docs"))
+        .withColumn("var_e6",
+          greatest(expr("ex2_e6 - (mean_e6 * mean_e6) div 1000000"), lit(0L)))
+        .withColumn("vmr_e6", expr("(var_e6 * 1000000) div mean_e6"))
+        .select(col("rnk"), col("term"), col("tf"), col("df"), col("n_docs"),
+          col("mean_e6"), col("vmr_e6"))
+        .orderBy(col("rnk"))
+    },
+    Some("""WITH td AS (
+           |  SELECT term, doc_id, cast(count(*) as bigint) AS cnt FROM (
+           |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           |    FROM documents
+           |  ) GROUP BY term, doc_id
+           |), t AS (
+           |  SELECT term, cast(sum(cnt) as bigint) AS tf,
+           |    cast(count(*) as bigint) AS df,
+           |    cast(sum(cnt * cnt) as bigint) AS sum_c2
+           |  FROM td GROUP BY term
+           |), nn AS (SELECT cast(count(*) as bigint) AS n_docs FROM documents
+           |), r AS (
+           |  SELECT t.*, nn.n_docs,
+           |    row_number() OVER (ORDER BY tf DESC, term) AS rnk
+           |  FROM t, nn
+           |), x AS (
+           |  SELECT rnk, term, tf, df, n_docs,
+           |    (tf * 1000000) // n_docs AS mean_e6,
+           |    (sum_c2 * 1000000) // n_docs AS ex2_e6
+           |  FROM r WHERE rnk <= 25
+           |)
+           |SELECT rnk, term, tf, df, n_docs, mean_e6,
+           |  (greatest(ex2_e6 - (mean_e6 * mean_e6) // 1000000, 0) * 1000000)
+           |    // mean_e6 AS vmr_e6
+           |FROM x ORDER BY rnk""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "ns_sim_bitext_mining" -> simBitextMining,
+    "ns_profile_burstiness" -> profileBurstiness,
     "ns_sketch_kmv_overlap" -> sketchKmvOverlap,
     "ns_corpus_embargo_split" -> corpusEmbargoSplit,
     "ns_quality_bradley_terry" -> qualityBradleyTerry,
