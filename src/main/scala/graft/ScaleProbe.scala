@@ -263,7 +263,12 @@ object ScaleProbe {
       // cut (clones multiply counts, not vocabulary — flat). bitext
       // joins BOTH fixtures (doc langs onto vectors), so it runs in the
       // dual-fixture group below, not here
-      "ns_profile_burstiness")
+      "ns_profile_burstiness",
+      // r14: the observed gate is ONE scan with CollectMetrics riding
+      // it (the no-second-pass accounting claim — wall should track the
+      // scoring scan); anneal mix collapses the corpus to S rows in one
+      // agg and every allocation derives from that frame
+      "ns_pipeline_observed", "ns_corpus_anneal_mix")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected

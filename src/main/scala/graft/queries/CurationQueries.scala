@@ -6957,7 +6957,188 @@ object CurationQueries {
            |    // mean_e6 AS vmr_e6
            |FROM x ORDER BY rnk""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // Observed quality gate (single-pass in-flight accounting)
+  // ---------------------------------------------------------------------
+
+  /** OBSERVED quality gate — the in-flight accounting pattern every
+    * production gate needs and a naive pipeline pays a second scan for:
+    * the drop/keep counters ride the SAME job as the gate itself via
+    * `Dataset.observe` (Catalyst `CollectMetrics` — accumulator-backed,
+    * zero extra passes, exactly-once per action), placed BEFORE the
+    * filter so the metrics see every row while the output carries only
+    * the survivors. The observation node is on the plan that feeds the
+    * kept-rows write; at 100 TB the counters cost nothing beyond the
+    * scan the gate already does.
+    *
+    * The returned frame is the observation row itself (bounded driver
+    * state: 6 scalars, the k-means-centroid class), so the oracle can
+    * hash-check that the IN-FLIGHT counters equal the ground truth a
+    * second full pass would compute — which is the entire claim of the
+    * pattern. PlanFeaturesSpec asserts the executed plan contains the
+    * CollectMetrics node and exactly one scan of documents.
+    */
+  /** The observed-gate plan itself: (observation, gated survivors).
+    * Shared with PlanFeaturesSpec, which asserts the executed plan
+    * carries the CollectMetrics node and exactly one documents scan.
+    */
+  private[graft] def observedGate(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.Observation, DataFrame) = {
+    val obs = org.apache.spark.sql.Observation()
+    val base = TS(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("score_e6", expr(
+        "cast(round((cast(size(array_distinct(toks)) as double) / size(toks) * 0.5 " +
+          "+ least(cast(size(toks) as double) / 100, 1.0) * 0.5) * 1000000, 0) as bigint)"))
+      .withColumn("keep", col("score_e6") >= 500000L)
+    val gated = base.observe(obs,
+        count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(col("n_toks")).as("toks_total"),
+        sum(when(col("keep"), col("n_toks")).otherwise(0L)).as("toks_kept"))
+      .where(col("keep"))
+      .select(col("doc_id"))
+    (obs, gated)
+  }
+
+  private val pipelineObserved = Q(
+    (s, dir) => {
+      val (obs, gated) = observedGate(s, dir)
+      // one action drives the gate AND fills the observation
+      gated.write.mode("overwrite").format("noop").save()
+      val m = obs.get
+      val row = Seq((m("n_total").asInstanceOf[Long],
+        m("n_kept").asInstanceOf[Long], m("n_dropped").asInstanceOf[Long],
+        m("toks_total").asInstanceOf[Long], m("toks_kept").asInstanceOf[Long]))
+      import s.implicits._
+      row.toDF("n_total", "n_kept", "n_dropped", "toks_total", "toks_kept")
+        .withColumn("kept_ppm", expr("(n_kept * 1000000) div n_total"))
+    },
+    Some("""WITH f AS (
+           |  SELECT cast(len(string_split(text, ' ')) as bigint) AS n_toks,
+           |    cast(round((cast(len(list_distinct(string_split(text, ' '))) as double)
+           |        / len(string_split(text, ' ')) * 0.5
+           |      + least(cast(len(string_split(text, ' ')) as double) / 100, 1.0) * 0.5)
+           |      * 1000000, 0) as bigint) >= 500000 AS keep
+           |  FROM documents
+           |)
+           |SELECT cast(count(*) as bigint) AS n_total,
+           |  cast(sum(CASE WHEN keep THEN 1 ELSE 0 END) as bigint) AS n_kept,
+           |  cast(sum(CASE WHEN keep THEN 0 ELSE 1 END) as bigint) AS n_dropped,
+           |  cast(sum(n_toks) as bigint) AS toks_total,
+           |  cast(sum(CASE WHEN keep THEN n_toks ELSE 0 END) as bigint) AS toks_kept,
+           |  (cast(sum(CASE WHEN keep THEN 1 ELSE 0 END) as bigint) * 1000000)
+           |    // cast(count(*) as bigint) AS kept_ppm
+           |FROM f""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Two-phase anneal mix (quality-upweighted final tokens)
+  // ---------------------------------------------------------------------
+
+  /** ANNEAL MIX — the two-phase token-allocation plan behind
+    * "anneal on high-quality data at the end of training": a budget of
+    * half the corpus's tokens is split 80/20; phase 1 allocates
+    * proportionally to each source's available mass (the iid mix), and
+    * phase 2 — the anneal — restricts to the top half of sources by
+    * mean quality score and re-allocates proportionally among them,
+    * capped by what phase 1 left unconsumed. Shortfall is REPORTED, not
+    * silently redistributed (the audit column an operator needs before
+    * re-planning), and each source's repetition factor (allocated over
+    * available, e6) is the epochs-equivalent read.
+    *
+    * Scale: one scoring pass collapses the corpus to |sources| rows
+    * (mass + exact mean quality); every allocation derives from that
+    * S-row frame joined to a broadcast 1-row total — more phases cost
+    * nothing corpus-sized, the [[qualityThresholdSweep]] property.
+    */
+  private val corpusAnnealMix = Q(
+    (s, dir) => {
+      val src = TS(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_toks", size(col("toks")).cast("long"))
+        .withColumn("score_e6", expr(
+          "cast(round((cast(size(array_distinct(toks)) as double) / size(toks) * 0.5 " +
+            "+ least(cast(size(toks) as double) / 100, 1.0) * 0.5) * 1000000, 0) as bigint)"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_toks")).as("avail_toks"),
+          sum(col("score_e6")).as("sum_q"), count(lit(1)).as("n_docs"))
+        .withColumn("q_e6", expr("sum_q div n_docs"))
+        .localCheckpoint(true)
+      val tot = src.agg(sum(col("avail_toks")).as("total_avail"),
+        count(lit(1)).as("n_src"))
+      val wQ = Window.orderBy(col("q_e6").desc, col("source"))
+      val ranked = src.crossJoin(broadcast(tot))
+        .withColumn("q_rank", row_number().over(wQ))
+        .withColumn("budget", expr("total_avail div 2"))
+        .withColumn("alloc1", expr("((budget * 4) div 5 * avail_toks) div total_avail"))
+        .withColumn("in_anneal", col("q_rank") <= expr("n_src div 2"))
+        .localCheckpoint(true)
+      val anneal = ranked.where(col("in_anneal"))
+        .agg(sum(col("avail_toks")).as("anneal_avail"))
+      ranked.crossJoin(broadcast(anneal))
+        .withColumn("alloc2_want",
+          when(col("in_anneal"),
+            expr("((budget div 5) * avail_toks) div anneal_avail")).otherwise(0L))
+        .withColumn("alloc2",
+          least(col("alloc2_want"), col("avail_toks") - col("alloc1")))
+        .withColumn("shortfall", col("alloc2_want") - col("alloc2"))
+        .withColumn("alloc_total", col("alloc1") + col("alloc2"))
+        .withColumn("repetition_e6", expr("(alloc_total * 1000000) div avail_toks"))
+        .select(col("source"), col("avail_toks"), col("n_docs"), col("q_e6"),
+          col("q_rank"), col("in_anneal"), col("alloc1"), col("alloc2"),
+          col("shortfall"), col("alloc_total"), col("repetition_e6"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH f AS (
+           |  SELECT source,
+           |    cast(len(string_split(text, ' ')) as bigint) AS n_toks,
+           |    cast(round((cast(len(list_distinct(string_split(text, ' '))) as double)
+           |        / len(string_split(text, ' ')) * 0.5
+           |      + least(cast(len(string_split(text, ' ')) as double) / 100, 1.0) * 0.5)
+           |      * 1000000, 0) as bigint) AS score_e6
+           |  FROM documents
+           |), src AS (
+           |  SELECT source, cast(sum(n_toks) as bigint) AS avail_toks,
+           |    cast(sum(score_e6) as bigint) // cast(count(*) as bigint) AS q_e6,
+           |    cast(count(*) as bigint) AS n_docs
+           |  FROM f GROUP BY source
+           |), tot AS (
+           |  SELECT cast(sum(avail_toks) as bigint) AS total_avail,
+           |    cast(count(*) as bigint) AS n_src
+           |  FROM src
+           |), r AS (
+           |  SELECT src.*, tot.total_avail, tot.n_src,
+           |    row_number() OVER (ORDER BY q_e6 DESC, source) AS q_rank,
+           |    tot.total_avail // 2 AS budget
+           |  FROM src, tot
+           |), a AS (
+           |  SELECT r.*,
+           |    ((budget * 4) // 5 * avail_toks) // total_avail AS alloc1,
+           |    q_rank <= n_src // 2 AS in_anneal
+           |  FROM r
+           |), av AS (
+           |  SELECT cast(sum(avail_toks) as bigint) AS anneal_avail
+           |  FROM a WHERE in_anneal
+           |), x AS (
+           |  SELECT a.*, CASE WHEN in_anneal
+           |      THEN ((budget // 5) * avail_toks) // av.anneal_avail
+           |      ELSE 0 END AS alloc2_want
+           |  FROM a, av
+           |), y AS (
+           |  SELECT x.*, least(alloc2_want, avail_toks - alloc1) AS alloc2
+           |  FROM x
+           |)
+           |SELECT source, avail_toks, n_docs, q_e6, q_rank, in_anneal,
+           |  alloc1, alloc2, alloc2_want - alloc2 AS shortfall,
+           |  alloc1 + alloc2 AS alloc_total,
+           |  ((alloc1 + alloc2) * 1000000) // avail_toks AS repetition_e6
+           |FROM y ORDER BY source""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "ns_pipeline_observed" -> pipelineObserved,
+    "ns_corpus_anneal_mix" -> corpusAnnealMix,
     "ns_sim_bitext_mining" -> simBitextMining,
     "ns_profile_burstiness" -> profileBurstiness,
     "ns_sketch_kmv_overlap" -> sketchKmvOverlap,

@@ -516,6 +516,25 @@ class PlanFeaturesSpec extends SparkSpec {
       s"expected <=3 exchanges (spread, source agg, sort), got ${exchanges.size}")
   }
 
+  test("observed gate: CollectMetrics rides the single documents scan") {
+    val (obs, gated) = queries.CurationQueries.observedGate(spark, sfDir)
+    gated.write.mode("overwrite").format("noop").save()
+    // the AQE wrapper hides children from collect() pre-finalization —
+    // assert on the rendered plan instead
+    val plan = gated.queryExecution.executedPlan.toString
+    val nMetrics = "CollectMetrics".r.findAllIn(plan).size
+    assert(nMetrics == 1,
+      s"expected one CollectMetrics node, got $nMetrics:\n$plan")
+    val nScans = "FileScan parquet".r.findAllIn(plan).size
+    assert(nScans == 1,
+      s"in-flight accounting must not add a second scan, got $nScans:\n$plan")
+    // the observed counters equal what a second full pass would compute
+    val m = obs.get
+    val truth = Tables.load(spark, sfDir, "documents").count()
+    assert(m("n_total").asInstanceOf[Long] == truth)
+    assert(m("n_kept").asInstanceOf[Long] + m("n_dropped").asInstanceOf[Long] == truth)
+  }
+
   test("typed Dataset surface agrees with the untyped DataFrame result") {
     import spark.implicits._
     import PlanFeaturesSpec.Doc
