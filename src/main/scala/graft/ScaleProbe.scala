@@ -390,7 +390,11 @@ object ScaleProbe {
       // onto vectors by the identical id remap); the scored pass is the
       // broadcast-anchor cosine class with the anchor set growing with
       // the en-side replicas — the margin agg stays 4 rows/anchor
-      "ns_sim_bitext_mining")
+      "ns_sim_bitext_mining",
+      // r14: HITS shares pagerank's bucket-equi edge build (the bucket^2
+      // stress axis); each half-round is one edge join + keyed agg over
+      // the checkpointed O(N·k) edge list — edge-linear per round
+      "ns_embed_hits")
     // probes over the embeddings fixture that do NOT resolve through the
     // query catalog (custom parameterization below)
     val customVecProbes = Seq("ns_dedup_semantic_kprop")
@@ -458,6 +462,7 @@ object ScaleProbe {
       timeVec("ns_sample_cluster_balance")
       timeVec("ns_sim_ivf_delete")
       timeVec("ns_sim_bitext_mining")
+      timeVec("ns_embed_hits")
 
       // Semantic dedup at the PRODUCTION configuration: k ∝ N (one
       // cluster per ~2500 vectors), seeds stride-spaced so they are k

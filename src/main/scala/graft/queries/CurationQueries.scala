@@ -7136,7 +7136,147 @@ object CurationQueries {
            |  ((alloc1 + alloc2) * 1000000) // avail_toks AS repetition_e6
            |FROM y ORDER BY source""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // HITS hubs/authorities over the k-NN graph
+  // ---------------------------------------------------------------------
+
+  /** HITS (hubs and authorities, Kleinberg 1999) over the same directed
+    * top-3-cosine k-NN graph as [[NorthStarQueries]]'s pagerank — the
+    * DUAL read pagerank cannot give: authorities are vectors many good
+    * hubs point AT (canonical cluster representatives — natural dedup
+    * keepers and few-shot exemplars), hubs are vectors whose out-edges
+    * find good authorities (strong query/probe points). Two full
+    * mutual-reinforcement rounds (authority ← Σ in-hubs, hub ← Σ
+    * out-authorities), max-normalized to e12 fixed point after every
+    * update so the iteration never overflows and the oracle's unrolled
+    * CTEs reproduce it exactly.
+    *
+    * Scale: the edge build is the bucket-equi candidate join (the
+    * pagerank stress axis, bucket-bounded); each half-round is one
+    * edge join + one keyed agg over the checkpointed O(N·k) edge list;
+    * normalization is a broadcast 1-row max. Edge-linear per round.
+    */
+  private val embedHits = Q(
+    (s, dir) => {
+      graft.expressions.ScaledDotProduct.registerIn(s)
+      val e = TS(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          expr(NorthStarQueries.lshBucketExpr).as("bucket"),
+          expr("scaled_dot(embedding, embedding)").as("nrm"))
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        col("bucket"), col("nrm").as("a_nrm"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        col("bucket").as("bucket_b"), col("nrm").as("b_nrm"))
+      val wTop = Window.partitionBy(col("a_id")).orderBy(col("cos").desc, col("b_id"))
+      val edges = a.join(b,
+          col("bucket") === col("bucket_b") && col("a_id") =!= col("b_id"))
+        .withColumn("cos", expr("scaled_dot(a_emb, b_emb)").cast("double") /
+          (sqrt(col("a_nrm").cast("double")) * sqrt(col("b_nrm").cast("double"))))
+        .withColumn("rn", row_number().over(wTop))
+        .where(col("rn") <= 3)
+        .select(col("a_id"), col("b_id"))
+        .localCheckpoint(true)
+      val nodes = e.select(col("vec_id").as("id"))
+      // raw sums reach indeg·1e12, so the e12 re-scale pre-divides both
+      // sides by mx/1e6 (relative quantization 1e-6) to stay in int64
+      def norm(df: DataFrame, c: String): DataFrame = {
+        val mx = df.agg(max(col(c)).as("mx"),
+          greatest(expr(s"max($c) div 1000000"), lit(1L)).as("sc"))
+        df.crossJoin(broadcast(mx))
+          .select(col("id"),
+            expr(s"(($c div sc) * 1000000000000) div (mx div sc)").as(c))
+          .localCheckpoint(true)
+      }
+      var hub = nodes.select(col("id"), lit(1000000000000L).as("h"))
+      var auth = nodes.select(col("id"), lit(1000000000000L).as("a"))
+      (1 to 2).foreach { _ =>
+        val aRaw = edges.join(hub.withColumnRenamed("id", "a_id"), Seq("a_id"))
+          .groupBy(col("b_id").as("id")).agg(sum(col("h")).as("a"))
+        auth = norm(nodes.join(aRaw, Seq("id"), "left")
+          .select(col("id"), coalesce(col("a"), lit(0L)).as("a")), "a")
+        val hRaw = edges.join(auth.withColumnRenamed("id", "b_id"), Seq("b_id"))
+          .groupBy(col("a_id").as("id")).agg(sum(col("a")).as("h"))
+        hub = norm(nodes.join(hRaw, Seq("id"), "left")
+          .select(col("id"), coalesce(col("h"), lit(0L)).as("h")), "h")
+      }
+      val wR = Window.orderBy(col("a").desc, col("id"))
+      auth.join(hub, Seq("id"))
+        .withColumn("rnk", row_number().over(wR))
+        .where(col("rnk") <= 20)
+        .select(col("rnk"), col("id").as("vec_id"), col("a").as("auth_fp"),
+          col("h").as("hub_fp"),
+          round(col("a").cast("double") / lit(1.0e12), 6).as("authority"),
+          round(col("h").cast("double") / lit(1.0e12), 6).as("hub"))
+        .orderBy(col("rnk"))
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, embedding, ${NorthStarQueries.lshBucketSql} AS bucket,
+            |    ${NorthStarQueries.scaledDotSql("embedding", "embedding")} AS nrm
+            |  FROM embeddings
+            |), p AS (
+            |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+            |    cast(${NorthStarQueries.scaledDotSql("a.embedding", "b.embedding")} as double)
+            |      / (sqrt(cast(a.nrm as double)) * sqrt(cast(b.nrm as double))) AS cos
+            |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+            |), ranked AS (
+            |  SELECT a_id, b_id,
+            |    row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rn
+            |  FROM p
+            |), edges AS (SELECT a_id, b_id FROM ranked WHERE rn <= 3
+            |), nodes AS (SELECT vec_id AS id FROM e
+            |), h0 AS (SELECT id, cast(1000000000000 as bigint) AS h FROM nodes
+            |), a1r AS (
+            |  SELECT e.b_id AS id, cast(sum(h.h) as bigint) AS a
+            |  FROM edges e JOIN h0 h ON h.id = e.a_id GROUP BY e.b_id
+            |), a1n AS (
+            |  SELECT n.id, coalesce(r.a, 0) AS a FROM nodes n LEFT JOIN a1r r USING (id)
+            |), a1s AS (
+            |  SELECT max(a) AS mx, greatest(max(a) // 1000000, 1) AS sc FROM a1n
+            |), a1 AS (
+            |  SELECT id, ((a // s.sc) * 1000000000000) // (s.mx // s.sc) AS a
+            |  FROM a1n, a1s s
+            |), h1r AS (
+            |  SELECT e.a_id AS id, cast(sum(a.a) as bigint) AS h
+            |  FROM edges e JOIN a1 a ON a.id = e.b_id GROUP BY e.a_id
+            |), h1n AS (
+            |  SELECT n.id, coalesce(r.h, 0) AS h FROM nodes n LEFT JOIN h1r r USING (id)
+            |), h1s AS (
+            |  SELECT max(h) AS mx, greatest(max(h) // 1000000, 1) AS sc FROM h1n
+            |), h1 AS (
+            |  SELECT id, ((h // s.sc) * 1000000000000) // (s.mx // s.sc) AS h
+            |  FROM h1n, h1s s
+            |), a2r AS (
+            |  SELECT e.b_id AS id, cast(sum(h.h) as bigint) AS a
+            |  FROM edges e JOIN h1 h ON h.id = e.a_id GROUP BY e.b_id
+            |), a2n AS (
+            |  SELECT n.id, coalesce(r.a, 0) AS a FROM nodes n LEFT JOIN a2r r USING (id)
+            |), a2s AS (
+            |  SELECT max(a) AS mx, greatest(max(a) // 1000000, 1) AS sc FROM a2n
+            |), a2 AS (
+            |  SELECT id, ((a // s.sc) * 1000000000000) // (s.mx // s.sc) AS a
+            |  FROM a2n, a2s s
+            |), h2r AS (
+            |  SELECT e.a_id AS id, cast(sum(a.a) as bigint) AS h
+            |  FROM edges e JOIN a2 a ON a.id = e.b_id GROUP BY e.a_id
+            |), h2n AS (
+            |  SELECT n.id, coalesce(r.h, 0) AS h FROM nodes n LEFT JOIN h2r r USING (id)
+            |), h2s AS (
+            |  SELECT max(h) AS mx, greatest(max(h) // 1000000, 1) AS sc FROM h2n
+            |), h2 AS (
+            |  SELECT id, ((h // s.sc) * 1000000000000) // (s.mx // s.sc) AS h
+            |  FROM h2n, h2s s
+            |), f AS (
+            |  SELECT a2.id, a2.a, h2.h,
+            |    row_number() OVER (ORDER BY a2.a DESC, a2.id) AS rnk
+            |  FROM a2 JOIN h2 ON a2.id = h2.id
+            |)
+            |SELECT rnk, id AS vec_id, a AS auth_fp, h AS hub_fp,
+            |  round(cast(a as double) / 1e12, 6) AS authority,
+            |  round(cast(h as double) / 1e12, 6) AS hub
+            |FROM f WHERE rnk <= 20 ORDER BY rnk""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "ns_embed_hits" -> embedHits,
     "ns_pipeline_observed" -> pipelineObserved,
     "ns_corpus_anneal_mix" -> corpusAnnealMix,
     "ns_sim_bitext_mining" -> simBitextMining,

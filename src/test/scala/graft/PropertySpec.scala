@@ -117,6 +117,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("KMV merge law: sketch of a union = k-min of the merged sketches") {
+    // the mergeability claim ns_sketch_kmv_overlap's scale story rests
+    // on: KMV_k(A ∪ B) is exactly the k smallest of KMV_k(A) ∪ KMV_k(B)
+    // — so per-source/shard sketches combine without touching raw data
+    val k = 16
+    (0 until 5).foreach { i =>
+      val vals = (0 until 10).flatMap { j =>
+        rowsGen(Gen.Parameters.default.withSize(60), Seed(900L + i * 10 + j))
+          .getOrElse(Nil)
+      }.map { case (a, b) => a.toLong * 1000 + b }
+      val (xa, xb) = vals.zipWithIndex.partition(_._2 % 2 == 0)
+      def hashes(xs: Seq[Long]): Set[Long] = {
+        import spark.implicits._
+        xs.toDF("x")
+          .select(expr(
+            "cast(conv(substring(md5(cast(x as string)), 1, 8), 16, 10) as bigint)")
+            .as("h"))
+          .distinct().collect().map(_.getLong(0)).toSet
+      }
+      val ha = hashes(xa.map(_._1))
+      val hb = hashes(xb.map(_._1))
+      def kmv(s: Set[Long]): Set[Long] = s.toSeq.sorted.take(k).toSet
+      val direct = kmv(ha ++ hb)
+      val merged = kmv(kmv(ha) ++ kmv(hb))
+      assert(direct == merged,
+        s"KMV merge law broken on sample $i: direct=$direct merged=$merged")
+    }
+  }
+
   test("two-pass prefix sum (sequence packing) equals the sequential scan") {
     // arbitrary corpora with RANDOM doc_id gaps: the range-block
     // decomposition (block = floor(id*16/hi)) produces uneven, possibly

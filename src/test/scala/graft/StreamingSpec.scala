@@ -408,6 +408,48 @@ class StreamingSpec extends SparkSpec {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("streaming observe: in-flight gate counters surface via observedMetrics") {
+    // the streaming twin of ns_pipeline_observed's claim: drop/keep
+    // accounting rides the stream's own micro-batches (CollectMetrics),
+    // surfaced per batch through QueryProgress.observedMetrics — no
+    // second pass, no separate counting query
+    val (in, cp) = freshDirs()
+    val events = EventStreams.readEvents(spark, in)
+    val gated = events.observe("gate_obs",
+        count(lit(1)).as("n_total"),
+        sum(when(col("value") > 0.5, 1L).otherwise(0L)).as("n_kept"))
+      .where(col("value") > 0.5)
+    val total = new java.util.concurrent.atomic.AtomicLong(0)
+    val kept = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val m = e.progress.observedMetrics
+        if (m.containsKey("gate_obs")) {
+          val row = m.get("gate_obs")
+          total.addAndGet(row.getAs[Long]("n_total"))
+          kept.addAndGet(row.getAs[Long]("n_kept"))
+        }
+      }
+    }
+    spark.streams.addListener(listener)
+    try {
+      val got = EventStreams.runAvailableNow(gated, "obs_sink", "append", cp)
+      val truthTotal = spark.read.schema(events.schema).parquet(in).count()
+      val truthKept = spark.read.schema(events.schema).parquet(in)
+        .where(col("value") > 0.5).count()
+      assert(got.length.toLong == truthKept, "gate output must be the survivors")
+      var waited = 0
+      while (total.get() < truthTotal && waited < 100) { Thread.sleep(100); waited += 1 }
+      assert(total.get() == truthTotal,
+        s"observed n_total ${total.get()} != batch truth $truthTotal")
+      assert(kept.get() == truthKept,
+        s"observed n_kept ${kept.get()} != batch truth $truthKept")
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("streaming shard append is exactly-once and matches the batch assignment") {
     import graft.streaming.DocumentStreams
     import spark.implicits._
