@@ -203,6 +203,113 @@ object Multimodal {
       }
   }
 
+  // ---------------------------------------------------------------------
+  // Real sample-level PCM statistics (the tier above header parsing)
+  // ---------------------------------------------------------------------
+
+  /** Sample-level statistics of a 16-bit mono PCM WAV payload: sample
+    * count, exact amplitude sum and sum of squares (bigints — RMS and DC
+    * offset derive from them without float accumulation), peak absolute
+    * amplitude, and zero-crossing count (sign changes between adjacent
+    * samples; zero samples keep the previous sign). This is the real
+    * audio-curation signal layer — silence/clipping detection, energy
+    * gating — computed by actually decoding the data chunk, not a stub.
+    */
+  final case class PcmStats(
+      fileId: Long, nSamples: Long, sumAmp: Long, sumSq: Long,
+      peakAbs: Long, crossings: Long, valid: Boolean)
+
+  /** Decode the RIFF/WAVE data chunk as LE int16 mono and fold the
+    * stats in one pass. None when the container is not 16-bit mono PCM
+    * (or is truncated). Pure function — partition-side safe.
+    */
+  def pcmStats(b: Array[Byte]): Option[(Long, Long, Long, Long, Long)] = {
+    if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+        b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E')
+      return None
+    var pos = 12
+    var ok16Mono = false
+    var dataOff = -1
+    var dataLen = -1
+    while (pos + 8 <= b.length && (!ok16Mono || dataOff < 0)) {
+      val id = new String(b, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = le32(b, pos + 4).toInt
+      if (id == "fmt " && pos + 24 <= b.length) {
+        val fmt = (b(pos + 8) & 0xff) | ((b(pos + 9) & 0xff) << 8)
+        val ch = (b(pos + 10) & 0xff) | ((b(pos + 11) & 0xff) << 8)
+        val bits = (b(pos + 22) & 0xff) | ((b(pos + 23) & 0xff) << 8)
+        ok16Mono = fmt == 1 && ch == 1 && bits == 16
+      } else if (id == "data") { dataOff = pos + 8; dataLen = size }
+      pos += 8 + size + (size & 1)
+    }
+    if (!ok16Mono || dataOff < 0 || dataOff + dataLen > b.length) return None
+    val n = dataLen / 2
+    var i = 0
+    var sum = 0L
+    var sumSq = 0L
+    var peak = 0L
+    var crossings = 0L
+    var prevSign = 0
+    while (i < n) {
+      val o = dataOff + 2 * i
+      val s = (((b(o + 1) & 0xff) << 8) | (b(o) & 0xff)).toShort.toLong
+      sum += s
+      sumSq += s * s
+      val a = math.abs(s)
+      if (a > peak) peak = a
+      val sign = if (s > 0) 1 else if (s < 0) -1 else prevSign
+      if (prevSign != 0 && sign != prevSign) crossings += 1
+      if (sign != 0) prevSign = sign
+      i += 1
+    }
+    Some((n.toLong, sum, sumSq, peak, crossings))
+  }
+
+  /** Partition-mapped PCM stats over a (`file_id`, `content`) frame —
+    * same narrow no-shuffle shape as [[parseAll]].
+    */
+  def pcmStatsAll(df: DataFrame): Dataset[PcmStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("file_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          pcmStats(bytes) match {
+            case Some((n, s, sq, p, c)) => PcmStats(id, n, s, sq, p, c, valid = true)
+            case None => PcmStats(id, 0L, 0L, 0L, 0L, 0L, valid = false)
+          }
+        }
+      }
+  }
+
+  /** Complete 16-bit mono PCM WAV carrying a DETERMINISTIC biased
+    * square wave: sample i = bias + amp when (i / halfPeriod) is even,
+    * bias − amp when odd — every statistic [[pcmStats]] computes is
+    * recomputable in closed form from (nSamples, amp, bias,
+    * halfPeriod), which is what lets a SQL oracle check a real binary
+    * decode.
+    */
+  def wavToneBytes(sampleRate: Int, nSamples: Int, amp: Int, bias: Int,
+      halfPeriod: Int): Array[Byte] = {
+    val dataBytes = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    bb.put("RIFF".getBytes(ascii)).putInt(36 + dataBytes).put("WAVE".getBytes(ascii))
+    bb.put("fmt ".getBytes(ascii)).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes(ascii)).putInt(dataBytes)
+    var i = 0
+    while (i < nSamples) {
+      val s = if ((i / halfPeriod) % 2 == 0) bias + amp else bias - amp
+      bb.putShort(s.toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
   // Writers for the spec/oracle fixtures: complete, spec-valid minimal
   // containers (the container layer is fully real; pixel/sample payloads
   // are zeros — header parsing never reads them).

@@ -7275,7 +7275,83 @@ object CurationQueries {
             |  round(cast(h as double) / 1e12, 6) AS hub
             |FROM f WHERE rnk <= 20 ORDER BY rnk""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // Multimodal: sample-level PCM audio statistics
+  // ---------------------------------------------------------------------
+
+  /** AUDIO-STATS extraction over real PCM payloads — the tier above
+    * `ns_multimodal_meta`'s header parsing: 25 WAV files carry a
+    * deterministic biased square wave (amplitude/bias/period derived
+    * from nation attributes), and [[graft.operators.Multimodal.pcmStats]]
+    * actually decodes the 16-bit data chunk sample by sample to fold
+    * count, exact amplitude sum, exact sum of squares, peak, and
+    * zero-crossing count — the silence/clipping/energy-gating signals an
+    * audio-curation pipeline computes per clip. The oracle recomputes
+    * every statistic in CLOSED FORM from the generator parameters
+    * (n_plus − n_minus from the square-wave phase arithmetic), which is
+    * what makes a real binary decode SQL-checkable.
+    *
+    * Scale: binaryFile scan → partition-mapped one-pass fold, no
+    * shuffle; stats rows are tiny regardless of payload size (the
+    * parseAll narrow shape). RMS derives from the exact bigint
+    * sum-of-squares with ONE float sqrt per file.
+    */
+  private val multimodalAudioStats = Q(
+    (s, dir) => {
+      val base = scratchDir("audiostats")
+      val p = java.nio.file.Paths.get(base)
+      T(s, dir, "nation").select(col("n_nationkey")).collect() // 25-row dim
+        .foreach { r =>
+          val k = r.getInt(0)
+          java.nio.file.Files.write(p.resolve(f"a_$k%02d.wav"),
+            graft.operators.Multimodal.wavToneBytes(
+              8000, 200 * (k + 1), 1000 + 50 * k, 100 + k, 8 + (k % 5)))
+        }
+      val scanned = s.read.format("binaryFile").load(base)
+        .select(regexp_extract(col("path"), "a_(\\d+)\\.", 1).cast("long")
+          .as("file_id"), col("content"))
+      val out = graft.operators.Multimodal.pcmStatsAll(scanned).toDF()
+        .select(col("fileId").as("file_id"), col("nSamples").as("n_samples"),
+          col("sumAmp").as("sum_amp"), col("sumSq").as("sum_sq"),
+          col("peakAbs").as("peak_abs"), col("crossings"), col("valid"))
+        .withColumn("rms_e3", expr(
+          // 0 for an invalid parse (n=0) rather than a query-wide crash —
+          // the gate then flags the row instead of the run erroring out
+          "CASE WHEN n_samples > 0 THEN cast(floor(sqrt(cast(sum_sq as double) " +
+            "/ cast(n_samples as double)) * 1000) as bigint) ELSE 0 END"))
+        .orderBy(col("file_id"))
+        .localCheckpoint(true)
+      scratchDelete(base)
+      out
+    },
+    Some("""WITH g AS (
+           |  SELECT cast(n_nationkey as bigint) AS k,
+           |    cast(200 * (n_nationkey + 1) as bigint) AS n,
+           |    cast(1000 + 50 * n_nationkey as bigint) AS a,
+           |    cast(100 + n_nationkey as bigint) AS bia,
+           |    cast(8 + (n_nationkey % 5) as bigint) AS h
+           |  FROM nation
+           |), ph AS (
+           |  SELECT k, n, a, bia, h,
+           |    (n // (2 * h)) * h + least(n % (2 * h), h) AS n_plus
+           |  FROM g
+           |), d AS (
+           |  SELECT k, n, a, bia, h, n_plus, n - n_plus AS n_minus,
+           |    2 * n_plus - n AS diff
+           |  FROM ph
+           |)
+           |SELECT k AS file_id, n AS n_samples,
+           |  n * bia + a * diff AS sum_amp,
+           |  n * (a * a + bia * bia) + 2 * a * bia * diff AS sum_sq,
+           |  a + bia AS peak_abs,
+           |  (n - 1) // h AS crossings,
+           |  true AS valid,
+           |  cast(floor(sqrt(cast(n * (a * a + bia * bia) + 2 * a * bia * diff
+           |    as double) / cast(n as double)) * 1000) as bigint) AS rms_e3
+           |FROM d ORDER BY file_id""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "ns_multimodal_audio_stats" -> multimodalAudioStats,
     "ns_embed_hits" -> embedHits,
     "ns_pipeline_observed" -> pipelineObserved,
     "ns_corpus_anneal_mix" -> corpusAnnealMix,

@@ -139,6 +139,29 @@ class NorthStarSpec extends SparkSpec {
     assert(!Multimodal.parseHeader(wav.take(20))._5)
   }
 
+  test("pcm stats decode agrees with the JDK and closed-form tone arithmetic") {
+    // tone: n=100, amp=500, bias=50, halfPeriod=7 — all stats are
+    // closed-form. The JDK must also read the same container.
+    val wav = Multimodal.wavToneBytes(8000, 100, 500, 50, 7)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    assert(ais.getFrameLength == 100L)
+    val Some((n, sum, sumSq, peak, crossings)) = Multimodal.pcmStats(wav)
+    assert(n == 100L)
+    val nPlus = (100 / 14) * 7 + math.min(100 % 14, 7) // 49+2=51
+    val diff = 2L * nPlus - 100L
+    assert(sum == 100L * 50 + 500L * diff)
+    assert(sumSq == 100L * (500L * 500 + 50L * 50) + 2L * 500 * 50 * diff)
+    assert(peak == 550L)
+    assert(crossings == 99L / 7)
+    // silence: zero everything, zero crossings (sign never changes)
+    val Some((ns, ss, sq, pk, cr)) = Multimodal.pcmStats(Multimodal.wavBytes(8000, 400))
+    assert(ns == 200L && ss == 0L && sq == 0L && pk == 0L && cr == 0L)
+    // non-PCM / non-WAV payloads are rejected, not mis-decoded
+    assert(Multimodal.pcmStats("not audio".getBytes).isEmpty)
+    assert(Multimodal.pcmStats(Multimodal.pngBytes(8, 8)).isEmpty)
+  }
+
   test("ns_multimodal_meta extracts header metadata partition-side over binaryFile") {
     val rows = SparkEntry.queries("ns_multimodal_meta")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getString(1), r.isNullAt(2),
