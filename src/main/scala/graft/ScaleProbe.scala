@@ -268,7 +268,11 @@ object ScaleProbe {
       // it (the no-second-pass accounting claim — wall should track the
       // scoring scan); anneal mix collapses the corpus to S rows in one
       // agg and every allocation derives from that frame
-      "ns_pipeline_observed", "ns_corpus_anneal_mix")
+      "ns_pipeline_observed", "ns_corpus_anneal_mix",
+      // r14: csv_malformed writes the corpus as CSV + the corrupt file
+      // in-plan, reads both PERMISSIVE, and folds a lang census — wall
+      // should track the write+parse volume (full-parallel file I/O)
+      "src_csv_malformed")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected
@@ -309,7 +313,10 @@ object ScaleProbe {
       // r14: embargo split = two map-side-combined aggregates (span
       // min/max; user rollup) + map-only tagging — expected ~linear in
       // events with no sort anywhere
-      "ns_corpus_embargo_split")
+      "ns_corpus_embargo_split",
+      // r14: ab lift = one user-keyed agg + a 2-group rollup; clone
+      // users multiply groups linearly, per-user work is invariant
+      "ts_ab_lift")
     if (evtNames.exists(enabled)) {
       val evtReps = spark.range(docMult).select(col("id").as("rep"))
       Tables.load(spark, sfDir, "events")

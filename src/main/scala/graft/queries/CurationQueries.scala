@@ -7350,7 +7350,161 @@ object CurationQueries {
            |    as double) / cast(n as double)) * 1000) as bigint) AS rms_e3
            |FROM d ORDER BY file_id""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // A/B experiment lift (deterministic assignment + two-proportion z)
+  // ---------------------------------------------------------------------
+
+  /** A/B LIFT analysis over the event stream — the experiment read a
+    * data-recipe or ranking change ships with: users are assigned to
+    * variants by a DETERMINISTIC hash of their id (the same
+    * reproducible-randomness pattern as [[sampleHash]] — assignment
+    * survives reruns and joins), conversion is a per-user any-purchase
+    * flag, and the single-row result carries both rates, the relative
+    * lift, and the pooled two-proportion z-statistic with its
+    * significance call.
+    *
+    * Determinism: counts and rates are exact integers; lift and z (both
+    * legitimately SIGNED) go through identical double arithmetic and
+    * ONE floor each — floor, not integer div, because Spark's `div`
+    * truncates toward zero while DuckDB's `//` floors, and they diverge
+    * exactly on negatives.
+    *
+    * Scale: one user-keyed aggregate (map-side combined), then a 2-group
+    * rollup into one row. Nothing else.
+    */
+  private val tsAbLift = Q(
+    (s, dir) => {
+      val users = T(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          >= 15L, 1L).otherwise(0L).as("converted"))
+        .withColumn("variant", expr(
+          "CASE WHEN pmod(cast(conv(substring(md5(concat('ab:', cast(user_id as string))), " +
+            "1, 8), 16, 10) as bigint), 2) = 0 THEN 'A' ELSE 'B' END"))
+      users.agg(
+          sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("variant") === "A", col("converted")).otherwise(0L)).as("conv_a"),
+          sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("variant") === "B", col("converted")).otherwise(0L)).as("conv_b"))
+        .withColumn("rate_a_e6", expr("(conv_a * 1000000) div n_a"))
+        .withColumn("rate_b_e6", expr("(conv_b * 1000000) div n_b"))
+        .withColumn("lift_e6", expr(
+          "CASE WHEN conv_a = 0 THEN 0 ELSE " +
+            "cast(floor((cast(conv_b as double) / cast(n_b as double) " +
+            "- cast(conv_a as double) / cast(n_a as double)) " +
+            "/ (cast(conv_a as double) / cast(n_a as double)) * 1000000) as bigint) END"))
+        .withColumn("z_e3", expr(
+          "CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b THEN 0 ELSE " +
+            "cast(floor((cast(conv_b as double) / cast(n_b as double) " +
+            "- cast(conv_a as double) / cast(n_a as double)) " +
+            "/ sqrt((cast(conv_a + conv_b as double) / cast(n_a + n_b as double)) " +
+            "* (1.0 - cast(conv_a + conv_b as double) / cast(n_a + n_b as double)) " +
+            "* (1.0 / cast(n_a as double) + 1.0 / cast(n_b as double))) * 1000) as bigint) END"))
+        .withColumn("significant", abs(col("z_e3")) >= 1960L)
+    },
+    Some("""WITH u AS (
+           |  SELECT user_id,
+           |    cast(CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           |      >= 15 THEN 1 ELSE 0 END as bigint) AS converted,
+           |    CASE WHEN cast('0x' || substr(md5('ab:' || cast(user_id as varchar)), 1, 8)
+           |      as bigint) % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+           |  FROM events GROUP BY user_id
+           |), agg AS (
+           |  SELECT
+           |    cast(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) as bigint) AS n_a,
+           |    cast(sum(CASE WHEN variant = 'A' THEN converted ELSE 0 END) as bigint) AS conv_a,
+           |    cast(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) as bigint) AS n_b,
+           |    cast(sum(CASE WHEN variant = 'B' THEN converted ELSE 0 END) as bigint) AS conv_b
+           |  FROM u
+           |)
+           |SELECT n_a, conv_a, n_b, conv_b,
+           |  (conv_a * 1000000) // n_a AS rate_a_e6,
+           |  (conv_b * 1000000) // n_b AS rate_b_e6,
+           |  CASE WHEN conv_a = 0 THEN 0 ELSE
+           |    cast(floor((cast(conv_b as double) / cast(n_b as double)
+           |    - cast(conv_a as double) / cast(n_a as double))
+           |    / (cast(conv_a as double) / cast(n_a as double)) * 1000000) as bigint) END
+           |    AS lift_e6,
+           |  CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b THEN 0 ELSE
+           |    cast(floor((cast(conv_b as double) / cast(n_b as double)
+           |    - cast(conv_a as double) / cast(n_a as double))
+           |    / sqrt((cast(conv_a + conv_b as double) / cast(n_a + n_b as double))
+           |      * (1.0 - cast(conv_a + conv_b as double) / cast(n_a + n_b as double))
+           |      * (1.0 / cast(n_a as double) + 1.0 / cast(n_b as double))) * 1000)
+           |    as bigint) END AS z_e3,
+           |  abs(CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b THEN 0 ELSE
+           |    cast(floor((cast(conv_b as double) / cast(n_b as double)
+           |    - cast(conv_a as double) / cast(n_a as double))
+           |    / sqrt((cast(conv_a + conv_b as double) / cast(n_a + n_b as double))
+           |      * (1.0 - cast(conv_a + conv_b as double) / cast(n_a + n_b as double))
+           |      * (1.0 / cast(n_a as double) + 1.0 / cast(n_b as double))) * 1000)
+           |    as bigint) END) >= 1960 AS significant
+           |FROM agg""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Malformed-CSV ingestion (PERMISSIVE + corrupt-record routing)
+  // ---------------------------------------------------------------------
+
+  /** MALFORMED-ROW ingestion — the robustness path every real crawl/CSV
+    * feed needs and the happy-path round-trip (`src_csv_roundtrip`)
+    * never exercises: the corpus lands as headerless CSV alongside a
+    * second file of deterministically corrupted lines (every
+    * doc_id % 11 == 0 re-emitted with an unparseable int field), and
+    * the PERMISSIVE reader with an explicit schema + corrupt-record
+    * column must (a) keep every valid row intact, (b) route every
+    * corrupted line to the corrupt column — never silently drop or
+    * mis-coerce. Output is the per-lang census over the valid rows
+    * plus a `__corrupt__` row carrying the quarantine count — the
+    * [[pipelineQuarantine]] shape at the FORMAT layer.
+    *
+    * Oracle: DuckDB never reads the CSV — it recomputes the expected
+    * census and corrupt count from the parquet original and the
+    * injection rule (the XML-roundtrip oracle pattern).
+    *
+    * Scale: both writes and the read are full-parallel file I/O; the
+    * census is one keyed agg. The corrupt file is built in-plan
+    * (filter + format string), never via a driver collect.
+    */
+  private val srcCsvMalformed = Q(
+    (s, dir) => {
+      val base = scratchDir("csvmal")
+      val docs = T(s, dir, "documents")
+      docs.select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .write.mode("overwrite").option("header", "false").csv(s"$base/good")
+      docs.where(pmod(col("doc_id"), lit(11)) === 0)
+        .select(concat_ws(",", col("doc_id"), col("text"), col("lang"),
+          col("source"), lit("notanumber")).as("value"))
+        .write.mode("overwrite").text(s"$base/bad")
+      val schema = "doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+        "n_chars BIGINT, _corrupt STRING"
+      val read = s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(s"$base/good", s"$base/bad")
+      val out = read
+        .withColumn("bucket",
+          when(col("_corrupt").isNotNull, lit("__corrupt__")).otherwise(col("lang")))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("_corrupt").isNull, col("n_chars")).otherwise(0L))
+            .as("sum_chars"))
+        .orderBy(col("bucket"))
+        .localCheckpoint(true)
+      scratchDelete(base)
+      out
+    },
+    Some("""SELECT lang AS bucket, cast(count(*) as bigint) AS n_rows,
+           |  cast(sum(n_chars) as bigint) AS sum_chars
+           |FROM documents GROUP BY lang
+           |UNION ALL
+           |SELECT '__corrupt__', cast(count(*) as bigint), 0
+           |FROM documents WHERE doc_id % 11 = 0
+           |ORDER BY bucket""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "ts_ab_lift" -> tsAbLift,
+    "src_csv_malformed" -> srcCsvMalformed,
     "ns_multimodal_audio_stats" -> multimodalAudioStats,
     "ns_embed_hits" -> embedHits,
     "ns_pipeline_observed" -> pipelineObserved,
