@@ -272,7 +272,10 @@ object ScaleProbe {
       // r14: csv_malformed writes the corpus as CSV + the corrupt file
       // in-plan, reads both PERMISSIVE, and folds a lang census — wall
       // should track the write+parse volume (full-parallel file I/O)
-      "src_csv_malformed")
+      "src_csv_malformed",
+      // r14: entropy rate = two vocabulary-keyed aggs (unigram+bigram)
+      // into S rows; clones multiply counts, not vocabulary
+      "ns_text_entropy_rate")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected
@@ -316,7 +319,11 @@ object ScaleProbe {
       "ns_corpus_embargo_split",
       // r14: ab lift = one user-keyed agg + a 2-group rollup; clone
       // users multiply groups linearly, per-user work is invariant
-      "ts_ab_lift")
+      "ts_ab_lift",
+      // r14: dynamic-gap sessions = one user-keyed session agg (the
+      // native operator); clone users keep per-user session shape
+      // invariant, growth isolates event volume
+      "ts_session_dynamic_gap")
     if (evtNames.exists(enabled)) {
       val evtReps = spark.range(docMult).select(col("id").as("rep"))
       Tables.load(spark, sfDir, "events")

@@ -7502,7 +7502,151 @@ object CurationQueries {
            |FROM documents WHERE doc_id % 11 = 0
            |ORDER BY bucket""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // Dynamic-gap session windows (per-event gap durations)
+  // ---------------------------------------------------------------------
+
+  /** DYNAMIC-GAP session windows — Spark's `session_window` with a
+    * per-event gap EXPRESSION (view events time out after 10 minutes,
+    * everything else after 30): the semantics are interval-union (each
+    * event extends its session to event_time + its own gap; overlapping
+    * extents merge), which a fixed-gap lag comparison cannot express.
+    * The oracle reproduces the interval union with the running-max
+    * island algorithm: a session breaks exactly where an event's time
+    * reaches the running max of all previous extents.
+    *
+    * Scale: one user-keyed session aggregation (the native streaming-
+    * capable operator) — same shuffle budget as the fixed-gap form;
+    * the oracle's window twin is per-user in-partition.
+    */
+  private val tsSessionDynamicGap = Q(
+    (s, dir) => {
+      val e = T(s, dir, "events")
+        .withColumn("gap",
+          when(col("event_type") === "view", lit("10 minutes"))
+            .otherwise(lit("30 minutes")))
+      e.groupBy(session_window(col("ts"), col("gap")), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("session_window.start").as("s_start"),
+          col("session_window.end").as("s_end"), col("user_id"), col("n"))
+        .orderBy(col("user_id"), col("s_start"))
+    },
+    Some("""WITH e AS (
+           |  SELECT user_id, event_id, epoch_us(ts) AS us,
+           |    epoch_us(ts) + CASE WHEN event_type = 'view'
+           |      THEN 600000000 ELSE 1800000000 END AS ext
+           |  FROM events
+           |), r AS (
+           |  SELECT user_id, us, ext,
+           |    max(ext) OVER (PARTITION BY user_id ORDER BY us, event_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+           |  FROM e
+           |), b AS (
+           |  SELECT user_id, us, ext,
+           |    CASE WHEN prev_max IS NULL OR us >= prev_max THEN 1 ELSE 0 END AS brk
+           |  FROM r
+           |), sid AS (
+           |  SELECT user_id, us, ext,
+           |    sum(brk) OVER (PARTITION BY user_id ORDER BY us
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+           |  FROM b
+           |)
+           |SELECT make_timestamp(min(us)) AS s_start,
+           |  make_timestamp(max(ext)) AS s_end,
+           |  user_id, cast(count(*) as bigint) AS n
+           |FROM sid GROUP BY user_id, s
+           |ORDER BY user_id, s_start""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Word-level entropy rate (bigram conditional entropy)
+  // ---------------------------------------------------------------------
+
+  /** ENTROPY RATE per source — the predictability read character
+    * entropy ([[textEntropy]]) and the bigram LM miss: conditional
+    * next-word entropy H(w₂|w₁) ≈ H(bigram) − H(unigram), the standard
+    * plug-in estimator. Low rate = formulaic/templated text (the next
+    * word is predictable from the previous one even when the unigram
+    * mix looks healthy); high rate = genuinely varied continuations.
+    *
+    * Determinism: the [[textEntropy]] exact pattern at the word level —
+    * both entropies fold Σ floor(c·ln c·1e6) bigints over
+    * vocabulary-keyed aggregates, one terminal float round each, and
+    * the conditional rate is one rounded difference of those doubles.
+    *
+    * Scale: two vocabulary-keyed aggregates (unigram and bigram counts,
+    * map-side combined) collapsing to |sources| rows — the top_terms
+    * class twice.
+    */
+  private val textEntropyRate = Q(
+    (s, dir) => {
+      val uni = TS(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("t"))
+        .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as("tt"), count(lit(1)).as("v1"),
+          sum(floor(col("c").cast("double") * log(col("c").cast("double"))
+            * lit(1e6)).cast("long")).as("s1"))
+      val bi = TS(s, dir, "documents")
+        .where(size(split(col("text"), " ")) >= 2)
+        .select(col("source"), explode(expr(
+          "transform(sequence(1, size(split(text, ' ')) - 1), " +
+            "i -> concat(element_at(split(text, ' '), i), ' ', " +
+            "element_at(split(text, ' '), i + 1)))")).as("g"))
+        .groupBy(col("source"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as("bb"), count(lit(1)).as("v2"),
+          sum(floor(col("c").cast("double") * log(col("c").cast("double"))
+            * lit(1e6)).cast("long")).as("s2"))
+      uni.join(bi, Seq("source"))
+        .withColumn("h1_bits",
+          (log(col("tt").cast("double")) -
+            col("s1").cast("double") / lit(1e6) / col("tt")) / expr(LN2))
+        .withColumn("h2_bits",
+          (log(col("bb").cast("double")) -
+            col("s2").cast("double") / lit(1e6) / col("bb")) / expr(LN2))
+        .select(col("source"), col("tt").as("n_tokens"), col("v1").as("vocab_uni"),
+          col("bb").as("n_bigrams"), col("v2").as("vocab_bi"),
+          round(col("h1_bits"), 6).as("h_unigram_bits"),
+          round(col("h2_bits"), 6).as("h_bigram_bits"),
+          round(col("h2_bits") - col("h1_bits"), 6).as("h_cond_bits"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH u AS (
+            |  SELECT source, t, count(*) AS c FROM (
+            |    SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+            |  ) GROUP BY source, t
+            |), ua AS (
+            |  SELECT source, cast(sum(c) as bigint) AS tt, count(*) AS v1,
+            |    cast(sum(cast(floor(c * ln(c) * 1e6) as bigint)) as bigint) AS s1
+            |  FROM u GROUP BY source
+            |), b AS (
+            |  SELECT source, g, count(*) AS c FROM (
+            |    SELECT source, unnest(list_transform(
+            |      generate_series(1, len(string_split(text, ' ')) - 1),
+            |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))
+            |      AS g
+            |    FROM documents WHERE len(string_split(text, ' ')) >= 2
+            |  ) GROUP BY source, g
+            |), ba AS (
+            |  SELECT source, cast(sum(c) as bigint) AS bb, count(*) AS v2,
+            |    cast(sum(cast(floor(c * ln(c) * 1e6) as bigint)) as bigint) AS s2
+            |  FROM b GROUP BY source
+            |)
+            |SELECT ua.source, tt AS n_tokens, v1 AS vocab_uni,
+            |  bb AS n_bigrams, v2 AS vocab_bi,
+            |  round((ln(tt) - cast(s1 as double) / 1e6 / tt) / $LN2, 6)
+            |    AS h_unigram_bits,
+            |  round((ln(bb) - cast(s2 as double) / 1e6 / bb) / $LN2, 6)
+            |    AS h_bigram_bits,
+            |  round((ln(bb) - cast(s2 as double) / 1e6 / bb) / $LN2
+            |    - (ln(tt) - cast(s1 as double) / 1e6 / tt) / $LN2, 6)
+            |    AS h_cond_bits
+            |FROM ua JOIN ba ON ua.source = ba.source
+            |ORDER BY ua.source""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "ts_session_dynamic_gap" -> tsSessionDynamicGap,
+    "ns_text_entropy_rate" -> textEntropyRate,
     "ts_ab_lift" -> tsAbLift,
     "src_csv_malformed" -> srcCsvMalformed,
     "ns_multimodal_audio_stats" -> multimodalAudioStats,
