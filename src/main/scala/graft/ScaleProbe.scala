@@ -275,7 +275,10 @@ object ScaleProbe {
       "src_csv_malformed",
       // r14: entropy rate = two vocabulary-keyed aggs (unigram+bigram)
       // into S rows; clones multiply counts, not vocabulary
-      "ns_text_entropy_rate")
+      "ns_text_entropy_rate",
+      // r14: IPF mix = one corpus agg to the SxL grid; all fitting
+      // rounds and audits are grid-sized — flat
+      "ns_corpus_ipf_mix")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected
@@ -408,7 +411,7 @@ object ScaleProbe {
       // r14: HITS shares pagerank's bucket-equi edge build (the bucket^2
       // stress axis); each half-round is one edge join + keyed agg over
       // the checkpointed O(N·k) edge list — edge-linear per round
-      "ns_embed_hits")
+      "ns_embed_hits", "ns_sim_maxsim")
     // probes over the embeddings fixture that do NOT resolve through the
     // query catalog (custom parameterization below)
     val customVecProbes = Seq("ns_dedup_semantic_kprop")
@@ -477,6 +480,9 @@ object ScaleProbe {
       timeVec("ns_sim_ivf_delete")
       timeVec("ns_sim_bitext_mining")
       timeVec("ns_embed_hits")
+      // maxsim: the broadcast-query class with 64 sub-dots per pair in
+      // one codegen'd HOF expression — expected ~linear in candidates
+      timeVec("ns_sim_maxsim")
 
       // Semantic dedup at the PRODUCTION configuration: k ∝ N (one
       // cluster per ~2500 vectors), seeds stride-spaced so they are k

@@ -7644,7 +7644,168 @@ object CurationQueries {
             |FROM ua JOIN ba ON ua.source = ba.source
             |ORDER BY ua.source""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // MaxSim late-interaction retrieval (ColBERT-style)
+  // ---------------------------------------------------------------------
+
+  /** MAXSIM late-interaction scoring — the retrieval semantics between
+    * single-vector cosine and full cross-attention (the ColBERT
+    * pattern): each embedding is treated as 8 sub-vectors of 8 dims
+    * (the multi-vector stand-in), and a candidate's score is
+    * Σ over query sub-vectors of the MAX dot product against any
+    * candidate sub-vector — a query term matches its best-aligned
+    * document term, not the pooled average. Top-3 per query.
+    *
+    * Determinism: each sub-dot is Σ floor(x·2^20)·floor(y·2^20) exact
+    * bigints (≤2^46 after the 8-term sum — int64-safe), max and sum
+    * are exact; no floats anywhere.
+    *
+    * Scale: the broadcast-query audit class (bounded query set × one
+    * candidate scan; 64 sub-dots per pair stay inside one codegen'd
+    * HOF expression, no explode); the production path prunes
+    * candidates with the single-vector IVF/LSH index first and
+    * MaxSim-scores only the shortlist — the pq_rerank two-stage shape.
+    */
+  private val simMaxsim = Q(
+    (s, dir) => {
+      val e = TS(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val maxsim =
+        "aggregate(transform(sequence(0, 7), qs -> " +
+          "array_max(transform(sequence(0, 7), ds -> " +
+            "aggregate(zip_with(slice(q_emb, qs * 8 + 1, 8), " +
+              "slice(c_emb, ds * 8 + 1, 8), " +
+              "(x, y) -> cast(floor(cast(x as double) * 1048576) as bigint) " +
+                "* cast(floor(cast(y as double) * 1048576) as bigint)), " +
+              "cast(0 as bigint), (acc, v) -> acc + v)))), " +
+          "cast(0 as bigint), (acc, v) -> acc + v)"
+      val w = Window.partitionBy(col("q_id")).orderBy(col("score_fp").desc, col("c_id"))
+      broadcast(q).join(c, col("q_id") =!= col("c_id"))
+        .withColumn("score_fp", expr(maxsim))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select(col("q_id"), col("rnk"), col("c_id"), col("score_fp"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some("""WITH q AS (
+           |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+           |  WHERE vec_id < 16
+           |), c AS (
+           |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings
+           |), p AS (
+           |  SELECT q_id, c_id,
+           |    list_sum(list_transform(generate_series(0, 7), qs ->
+           |      list_max(list_transform(generate_series(0, 7), ds ->
+           |        list_sum(list_transform(generate_series(1, 8), i ->
+           |          cast(floor(q_emb[qs * 8 + i]::double * 1048576) as bigint)
+           |          * cast(floor(c_emb[ds * 8 + i]::double * 1048576) as bigint)))))))
+           |      AS score_fp
+           |  FROM q JOIN c ON q_id <> c_id
+           |), r AS (
+           |  SELECT q_id, c_id, score_fp,
+           |    row_number() OVER (PARTITION BY q_id
+           |      ORDER BY score_fp DESC, c_id) AS rnk
+           |  FROM p
+           |)
+           |SELECT q_id, rnk, c_id, cast(score_fp as bigint) AS score_fp
+           |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // IPF mixing solver (match target marginals)
+  // ---------------------------------------------------------------------
+
+  /** IPF MIX solver — "re-weight the (source, lang) grid so both
+    * marginals hit their targets": two unrolled rounds of iterative
+    * proportional fitting (alternately rescale rows to the per-source
+    * target and columns to the per-lang target — Deming-Stephan),
+    * targets here the uniform shares. The output ratio per cell is the
+    * sampling weight a mixer applies; the deviation columns audit how
+    * far two rounds got (IPF converges geometrically, and the audit is
+    * what tells an operator whether to run more rounds).
+    *
+    * Determinism: cell masses are exact token counts; every rescale is
+    * one bigint mult-div; deviations are e6 floor divs.
+    *
+    * Scale: ONE corpus aggregate collapses to the S×L grid
+    * (checkpointed); all IPF rounds and both audits are grid-sized
+    * joins — more rounds cost nothing corpus-sized (the anneal-mix
+    * property).
+    */
+  private val corpusIpfMix = Q(
+    (s, dir) => {
+      val cells = TS(s, dir, "documents")
+        .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+        .groupBy(col("source"), col("lang"))
+        .agg(sum(col("n_toks")).as("n"))
+        .localCheckpoint(true)
+      val tot = cells.agg(sum(col("n")).as("t"),
+        countDistinct(col("source")).as("ns"),
+        countDistinct(col("lang")).as("nl"))
+      var w = cells.crossJoin(broadcast(tot))
+        .select(col("source"), col("lang"), col("n"), col("t"), col("ns"),
+          col("nl"), col("n").as("w"))
+      (1 to 2).foreach { _ =>
+        val rs = w.groupBy(col("source")).agg(sum(col("w")).as("rs"))
+        w = w.join(rs, Seq("source"))
+          .withColumn("w", expr("(w * (t div ns)) div rs"))
+          .drop("rs")
+        val cs = w.groupBy(col("lang")).agg(sum(col("w")).as("cs"))
+        w = w.join(cs, Seq("lang"))
+          .withColumn("w", expr("(w * (t div nl)) div cs"))
+          .drop("cs").localCheckpoint(true)
+      }
+      val rowDev = w.groupBy(col("source"))
+        .agg(sum(col("w")).as("rsum"), first(col("t")).as("t0"),
+          first(col("ns")).as("ns0"))
+        .select(col("source"),
+          abs(expr("(rsum * 1000000) div (t0 div ns0) - 1000000")).as("row_dev_e6"))
+      w.join(rowDev, Seq("source"))
+        .select(col("source"), col("lang"), col("n"), col("w").as("w_ipf"),
+          expr("(w * 1000000) div n").as("ratio_e6"), col("row_dev_e6"))
+        .orderBy(col("source"), col("lang"))
+    },
+    Some("""WITH cells AS (
+           |  SELECT source, lang,
+           |    cast(sum(len(string_split(text, ' '))) as bigint) AS n
+           |  FROM documents GROUP BY source, lang
+           |), tot AS (
+           |  SELECT cast(sum(n) as bigint) AS t,
+           |    cast(count(DISTINCT source) as bigint) AS ns,
+           |    cast(count(DISTINCT lang) as bigint) AS nl
+           |  FROM cells
+           |), w0 AS (SELECT source, lang, n, t, ns, nl, n AS w FROM cells, tot
+           |), r1 AS (
+           |  SELECT w0.*, cast((w * (t // ns))
+           |    // cast(sum(w) OVER (PARTITION BY source) as bigint) as bigint) AS w1
+           |  FROM w0
+           |), c1 AS (
+           |  SELECT r1.*, cast((w1 * (t // nl))
+           |    // cast(sum(w1) OVER (PARTITION BY lang) as bigint) as bigint) AS w2
+           |  FROM r1
+           |), r2 AS (
+           |  SELECT c1.*, cast((w2 * (t // ns))
+           |    // cast(sum(w2) OVER (PARTITION BY source) as bigint) as bigint) AS w3
+           |  FROM c1
+           |), c2 AS (
+           |  SELECT r2.*, cast((w3 * (t // nl))
+           |    // cast(sum(w3) OVER (PARTITION BY lang) as bigint) as bigint) AS w4
+           |  FROM r2
+           |), dev AS (
+           |  SELECT source,
+           |    cast(abs((cast(sum(w4) as bigint) * 1000000)
+           |      // (max(t) // max(ns)) - 1000000) as bigint) AS row_dev_e6
+           |  FROM c2 GROUP BY source
+           |)
+           |SELECT c2.source, c2.lang, c2.n, cast(c2.w4 as bigint) AS w_ipf,
+           |  cast((c2.w4 * 1000000) // c2.n as bigint) AS ratio_e6, dev.row_dev_e6
+           |FROM c2 JOIN dev ON c2.source = dev.source
+           |ORDER BY c2.source, c2.lang""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "ns_sim_maxsim" -> simMaxsim,
+    "ns_corpus_ipf_mix" -> corpusIpfMix,
     "ts_session_dynamic_gap" -> tsSessionDynamicGap,
     "ns_text_entropy_rate" -> textEntropyRate,
     "ts_ab_lift" -> tsAbLift,
