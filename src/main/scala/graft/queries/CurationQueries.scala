@@ -7586,12 +7586,15 @@ object CurationQueries {
         .agg(sum(col("c")).as("tt"), count(lit(1)).as("v1"),
           sum(floor(col("c").cast("double") * log(col("c").cast("double"))
             * lit(1e6)).cast("long")).as("s1"))
+      // materialize the token array ONCE per row — a split inside the
+      // lambda re-evaluates per element (O(len^2) garbage per doc;
+      // observed as wild 1.6-30 s bench spread before this)
       val bi = TS(s, dir, "documents")
-        .where(size(split(col("text"), " ")) >= 2)
+        .withColumn("w", split(col("text"), " "))
+        .where(size(col("w")) >= 2)
         .select(col("source"), explode(expr(
-          "transform(sequence(1, size(split(text, ' ')) - 1), " +
-            "i -> concat(element_at(split(text, ' '), i), ' ', " +
-            "element_at(split(text, ' '), i + 1)))")).as("g"))
+          "transform(sequence(1, size(w) - 1), " +
+            "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))")).as("g"))
         .groupBy(col("source"), col("g")).agg(count(lit(1)).as("c"))
         .groupBy(col("source"))
         .agg(sum(col("c")).as("bb"), count(lit(1)).as("v2"),
@@ -7622,10 +7625,10 @@ object CurationQueries {
             |), b AS (
             |  SELECT source, g, count(*) AS c FROM (
             |    SELECT source, unnest(list_transform(
-            |      generate_series(1, len(string_split(text, ' ')) - 1),
-            |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))
-            |      AS g
-            |    FROM documents WHERE len(string_split(text, ' ')) >= 2
+            |      generate_series(1, len(w) - 1),
+            |      i -> w[i] || ' ' || w[i+1])) AS g
+            |    FROM (SELECT source, string_split(text, ' ') AS w FROM documents)
+            |    WHERE len(w) >= 2
             |  ) GROUP BY source, g
             |), ba AS (
             |  SELECT source, cast(sum(c) as bigint) AS bb, count(*) AS v2,
