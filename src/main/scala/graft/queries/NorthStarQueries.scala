@@ -41,10 +41,16 @@ object NorthStarQueries {
 
   /** Word-3-gram shingles of `text` (space-tokenized), clamped to at
     * least one shingle for short docs. Spark-side expression.
+    *
+    * The outer one-element transform BINDS the split array once: a
+    * `split` referenced directly inside the index lambda re-evaluates
+    * per shingle (O(len²) per doc — the same class as the entropy-rate
+    * bigram fix, PLANS.md), while `w` here is computed once per row.
     */
   private[queries] val shinglesExpr =
-    "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)), " +
-      "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+    "flatten(transform(array(split(text, ' ')), w -> " +
+      "transform(sequence(1, greatest(size(w) - 2, 1)), " +
+      "i -> concat_ws(' ', slice(w, i, 3)))))"
 
   /** Same shingling in DuckDB (list_transform over generate_series). */
   private[queries] val shinglesSql =
