@@ -326,7 +326,10 @@ object ScaleProbe {
       // r14: dynamic-gap sessions = one user-keyed session agg (the
       // native operator); clone users keep per-user session shape
       // invariant, growth isolates event volume
-      "ts_session_dynamic_gap")
+      "ts_session_dynamic_gap",
+      // r14: disorder profile = one user-keyed running-max window + a
+      // 1-row percentile rollup
+      "ts_disorder_profile")
     if (evtNames.exists(enabled)) {
       val evtReps = spark.range(docMult).select(col("id").as("rep"))
       Tables.load(spark, sfDir, "events")
@@ -411,7 +414,11 @@ object ScaleProbe {
       // r14: HITS shares pagerank's bucket-equi edge build (the bucket^2
       // stress axis); each half-round is one edge join + keyed agg over
       // the checkpointed O(N·k) edge list — edge-linear per round
-      "ns_embed_hits", "ns_sim_maxsim")
+      "ns_embed_hits", "ns_sim_maxsim",
+      // r14: the recall curve runs BOTH the exact audit pass and the
+      // bucket-matched LSH pass; replication multiplies bucket occupancy
+      // (the LSH side's stress axis) while the k expansion stays 4 rows
+      "ns_sim_recall_curve")
     // probes over the embeddings fixture that do NOT resolve through the
     // query catalog (custom parameterization below)
     val customVecProbes = Seq("ns_dedup_semantic_kprop")
@@ -483,6 +490,7 @@ object ScaleProbe {
       // maxsim: the broadcast-query class with 64 sub-dots per pair in
       // one codegen'd HOF expression — expected ~linear in candidates
       timeVec("ns_sim_maxsim")
+      timeVec("ns_sim_recall_curve")
 
       // Semantic dedup at the PRODUCTION configuration: k ∝ N (one
       // cluster per ~2500 vectors), seeds stride-spaced so they are k

@@ -7806,7 +7806,160 @@ object CurationQueries {
            |FROM c2 JOIN dev ON c2.source = dev.source
            |ORDER BY c2.source, c2.lang""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // Event-time disorder profile (watermark tuning input)
+  // ---------------------------------------------------------------------
+
+  /** DISORDER profile of the event stream — the measurement that turns
+    * watermark choice from folklore into data: per user (the stream's
+    * key partitioning), each event's LATENESS is how far its event time
+    * sits behind the running maximum in arrival order (event_id). The
+    * p50/p95/max lateness and the late-event share are exactly the
+    * numbers an operator reads before setting `withWatermark` — a
+    * watermark below p95 drops real data, far above it holds state for
+    * nothing.
+    *
+    * Scale: one user-keyed running-max window (in-partition) + a
+    * single-row rollup with two exact interpolated percentiles — never
+    * a global arrival-order sort.
+    */
+  private val tsDisorderProfile = Q(
+    (s, dir) => {
+      T(s, dir, "events")
+        .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("us"))
+        .withColumn("late_s", expr("(max(us) OVER (PARTITION BY user_id " +
+          "ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+          "- us) div 1000000"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("late_s") > 0L, 1L).otherwise(0L)).as("n_late"),
+          max(col("late_s")).as("max_late_s"),
+          round(expr("percentile(late_s, 0.5)"), 6).as("p50_late_s"),
+          round(expr("percentile(late_s, 0.95)"), 6).as("p95_late_s"))
+        .withColumn("late_ppm", expr("(n_late * 1000000) div n_events"))
+    },
+    Some("""WITH l AS (
+           |  SELECT (max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |    - epoch_us(ts)) // 1000000 AS late_s
+           |  FROM events
+           |)
+           |SELECT cast(count(*) as bigint) AS n_events,
+           |  cast(sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) as bigint) AS n_late,
+           |  cast(max(late_s) as bigint) AS max_late_s,
+           |  round(quantile_cont(late_s, 0.5), 6) AS p50_late_s,
+           |  round(quantile_cont(late_s, 0.95), 6) AS p95_late_s,
+           |  (cast(sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) as bigint) * 1000000)
+           |    // cast(count(*) as bigint) AS late_ppm
+           |FROM l""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // LSH recall@k curve (index-quality read across k)
+  // ---------------------------------------------------------------------
+
+  /** RECALL CURVE for the sign-LSH candidate index — recall@k for
+    * k ∈ {1,3,5,10} in ONE query: the single-k recall audits
+    * (`ns_sim_ivf_recall`, `ns_sim_sq8_recall`) tell you whether an
+    * index setting works at one operating point; the curve is what a
+    * retrieval owner actually tunes against (is the index missing
+    * near-top neighbors or only tail ones?). Also reports the mean
+    * candidate-set size — the cost side of the recall/cost trade.
+    *
+    * Scale: the exact side is the declared audit baseline; the LSH side
+    * scans only bucket-matched candidates; the k expansion is a 4-row
+    * literal join over the already-ranked pairs (more ks cost nothing —
+    * the threshold-sweep property).
+    */
+  private val simRecallCurve = Q(
+    (s, dir) => {
+      graft.expressions.ScaledDotProduct.registerIn(s)
+      val e = TS(s, dir, "embeddings")
+        .withColumn("nrm", expr("scaled_dot(embedding, embedding)"))
+        .withColumn("bkt", expr(NorthStarQueries.lshBucketExpr))
+      val q16 = e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("nq"), col("bkt").as("qbkt"))
+      val corp = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("nrm").as("nc"), col("bkt"))
+      val wEx = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+      val exact = broadcast(q16).join(corp, col("q_id") =!= col("c_id"))
+        .withColumn("cos", expr("scaled_dot(q_emb, c_emb)").cast("double") /
+          (sqrt(col("nq").cast("double")) * sqrt(col("nc").cast("double"))))
+        .withColumn("ern", row_number().over(wEx))
+        .where(col("ern") <= 10)
+        .select(col("q_id"), col("c_id"), col("ern"))
+        .localCheckpoint(true)
+      val lsh = broadcast(q16)
+        .join(corp, col("qbkt") === col("bkt") && col("q_id") =!= col("c_id"))
+        .withColumn("cos", expr("scaled_dot(q_emb, c_emb)").cast("double") /
+          (sqrt(col("nq").cast("double")) * sqrt(col("nc").cast("double"))))
+        .withColumn("lrn", row_number().over(wEx))
+        .select(col("q_id"), col("c_id"), col("lrn"))
+        .localCheckpoint(true)
+      val nq = q16.count()
+      val cands = lsh.agg(count(lit(1)).as("total_cands"))
+      val ks = { import s.implicits._; Seq(1, 3, 5, 10).toDF("k") }
+      val hits = broadcast(ks)
+        .join(exact, col("ern") <= col("k"))
+        .join(lsh.withColumnRenamed("q_id", "lq").withColumnRenamed("c_id", "lc"),
+          col("q_id") === col("lq") && col("c_id") === col("lc") &&
+            col("lrn") <= col("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("hits"))
+      broadcast(ks).join(hits, Seq("k"), "left")
+        .withColumn("hits", coalesce(col("hits"), lit(0L)))
+        .crossJoin(broadcast(cands))
+        .withColumn("n_queries", lit(nq))
+        .withColumn("recall_e6", expr(s"(hits * 1000000) div (k * $nq)"))
+        .withColumn("avg_cands_e2", expr(s"(total_cands * 100) div $nq"))
+        .select(col("k"), col("n_queries"), col("hits"), col("recall_e6"),
+          col("avg_cands_e2"))
+        .orderBy(col("k"))
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, embedding,
+            |    ${NorthStarQueries.scaledDotSql("embedding", "embedding")} AS nrm,
+            |    ${NorthStarQueries.lshBucketSql} AS bkt
+            |  FROM embeddings
+            |), q AS (
+            |  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS nq, bkt AS qbkt
+            |  FROM e WHERE vec_id < 16
+            |), c AS (
+            |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS nc, bkt FROM e
+            |), ex AS (
+            |  SELECT q_id, c_id,
+            |    row_number() OVER (PARTITION BY q_id ORDER BY
+            |      cast(${NorthStarQueries.scaledDotSql("q_emb", "c_emb")} as double)
+            |        / (sqrt(cast(nq as double)) * sqrt(cast(nc as double))) DESC,
+            |      c_id) AS ern
+            |  FROM q JOIN c ON q_id <> c_id
+            |), lsh AS (
+            |  SELECT q_id, c_id,
+            |    row_number() OVER (PARTITION BY q_id ORDER BY
+            |      cast(${NorthStarQueries.scaledDotSql("q_emb", "c_emb")} as double)
+            |        / (sqrt(cast(nq as double)) * sqrt(cast(nc as double))) DESC,
+            |      c_id) AS lrn
+            |  FROM q JOIN c ON qbkt = bkt AND q_id <> c_id
+            |), nq2 AS (SELECT cast(count(*) as bigint) AS nq FROM q
+            |), tc AS (SELECT cast(count(*) as bigint) AS total_cands FROM lsh
+            |), ks AS (SELECT unnest([1, 3, 5, 10]) AS k
+            |), h AS (
+            |  SELECT ks.k, cast(count(*) as bigint) AS hits
+            |  FROM ks
+            |  JOIN ex ON ex.ern <= ks.k
+            |  JOIN lsh ON lsh.q_id = ex.q_id AND lsh.c_id = ex.c_id
+            |    AND lsh.lrn <= ks.k
+            |  WHERE ex.ern <= 10
+            |  GROUP BY ks.k
+            |)
+            |SELECT cast(ks.k as bigint) AS k, nq2.nq AS n_queries,
+            |  coalesce(h.hits, 0) AS hits,
+            |  (coalesce(h.hits, 0) * 1000000) // (ks.k * nq2.nq) AS recall_e6,
+            |  (tc.total_cands * 100) // nq2.nq AS avg_cands_e2
+            |FROM ks LEFT JOIN h ON h.k = ks.k, nq2, tc
+            |ORDER BY k""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "ts_disorder_profile" -> tsDisorderProfile,
+    "ns_sim_recall_curve" -> simRecallCurve,
     "ns_sim_maxsim" -> simMaxsim,
     "ns_corpus_ipf_mix" -> corpusIpfMix,
     "ts_session_dynamic_gap" -> tsSessionDynamicGap,
