@@ -24,6 +24,36 @@ class ScaledDotSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("maxsim_score equals the nested-HOF formulation on fixture pairs") {
+    graft.expressions.MaxSimScore.registerIn(spark)
+    val hofMaxsim =
+      "aggregate(transform(sequence(0, 7), qs -> " +
+        "array_max(transform(sequence(0, 7), ds -> " +
+          "aggregate(zip_with(slice(q_emb, qs * 8 + 1, 8), " +
+            "slice(c_emb, ds * 8 + 1, 8), " +
+            "(x, y) -> cast(floor(cast(x as double) * 1048576) as bigint) " +
+              "* cast(floor(cast(y as double) * 1048576) as bigint)), " +
+            "cast(0 as bigint), (acc, v) -> acc + v)))), " +
+        "cast(0 as bigint), (acc, v) -> acc + v)"
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val q = e.where(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = e.where(col("vec_id") < 40)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val diff = q.crossJoin(c)
+      .select(expr(hofMaxsim).as("hof"),
+        expr("maxsim_score(q_emb, c_emb)").as("native"))
+      .where(col("hof") =!= col("native"))
+      .count()
+    assert(diff == 0)
+    // interpreted eval (no codegen) must match too
+    val row = q.limit(1).crossJoin(c.limit(1))
+      .select(expr("maxsim_score(q_emb, c_emb)").as("v")).collect()(0).getLong(0)
+    val litRow = q.limit(1).crossJoin(c.limit(1))
+      .select(expr(hofMaxsim).as("v")).collect()(0).getLong(0)
+    assert(row == litRow)
+  }
+
   test("scaled_dot works via SQL after registration and in interpreted mode") {
     ScaledDotProduct.registerIn(spark)
     val v = spark.sql(
