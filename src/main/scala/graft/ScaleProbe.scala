@@ -418,7 +418,11 @@ object ScaleProbe {
       // r14: the recall curve runs BOTH the exact audit pass and the
       // bucket-matched LSH pass; replication multiplies bucket occupancy
       // (the LSH side's stress axis) while the k expansion stays 4 rows
-      "ns_sim_recall_curve")
+      "ns_sim_recall_curve",
+      // r14: two-stage maxsim = broadcast-centroid assignment +
+      // cell-keyed shortlist join paying the native kernel, plus the
+      // exact audit join; shortlist occupancy grows with replication
+      "ns_sim_maxsim_ivf")
     // probes over the embeddings fixture that do NOT resolve through the
     // query catalog (custom parameterization below)
     val customVecProbes = Seq("ns_dedup_semantic_kprop")
@@ -491,6 +495,7 @@ object ScaleProbe {
       // one codegen'd HOF expression — expected ~linear in candidates
       timeVec("ns_sim_maxsim")
       timeVec("ns_sim_recall_curve")
+      timeVec("ns_sim_maxsim_ivf")
 
       // Semantic dedup at the PRODUCTION configuration: k ∝ N (one
       // cluster per ~2500 vectors), seeds stride-spaced so they are k

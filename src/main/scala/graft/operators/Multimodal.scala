@@ -346,6 +346,122 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** PNG carrying a DETERMINISTIC RGB gradient — pixel (x, y) is
+    * r = (7x+3y) mod 256, g = (x+2y) mod 256, b = (5x+y) mod 256, all
+    * scanlines filter-0 — so channel sums are recomputable in closed
+    * form (a generate_series cross product in SQL), which is what lets
+    * an oracle check a real inflate + unfilter + pixel walk.
+    */
+  def pngGradientBytes(width: Int, height: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val len = java.nio.ByteBuffer.allocate(4).putInt(data.length).array()
+      out.write(len)
+      val body = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ data
+      out.write(body)
+      val crc = new java.util.zip.CRC32()
+      crc.update(body)
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+      .array()
+    chunk("IHDR", ihdr)
+    val raw = new Array[Byte](height * (1 + width * 3))
+    var y = 0
+    while (y < height) {
+      val rowOff = y * (1 + width * 3)
+      raw(rowOff) = 0 // filter: None
+      var x = 0
+      while (x < width) {
+        raw(rowOff + 1 + 3 * x) = ((7 * x + 3 * y) % 256).toByte
+        raw(rowOff + 2 + 3 * x) = ((x + 2 * y) % 256).toByte
+        raw(rowOff + 3 + 3 * x) = ((5 * x + y) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 128)
+    val n = deflater.deflate(buf)
+    deflater.end()
+    chunk("IDAT", buf.take(n))
+    chunk("IEND", Array.empty[Byte])
+    out.toByteArray
+  }
+
+  /** Pixel-level statistics of an 8-bit RGB filter-0 PNG: dimensions
+    * plus exact per-channel byte sums from a REAL decode — IDAT chunks
+    * concatenated, inflated (`java.util.zip.Inflater`), scanlines
+    * unfiltered, pixels walked. None when the container is not 8-bit
+    * truecolor, uses a filter other than None, or the inflated payload
+    * is short — reject, never mis-decode.
+    */
+  final case class PngStats(
+      fileId: Long, width: Long, height: Long,
+      sumR: Long, sumG: Long, sumB: Long, valid: Boolean)
+
+  def pngPixelStats(b: Array[Byte]): Option[(Long, Long, Long, Long, Long)] = {
+    val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    if (b.length < 33 || !b.startsWith(pngSig)) return None
+    if (!(b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')) return None
+    val w = be32(b, 16).toInt
+    val h = be32(b, 20).toInt
+    val bitDepth = b(24) & 0xff
+    val colorType = b(25) & 0xff
+    if (bitDepth != 8 || colorType != 2) return None
+    // concatenate IDAT payloads
+    val idat = new java.io.ByteArrayOutputStream()
+    var pos = 33 // after IHDR chunk (8 sig + 4 len + 4 type + 13 + 4 crc)
+    while (pos + 8 <= b.length) {
+      val size = be32(b, pos).toInt
+      val typ = new String(b, pos + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (typ == "IDAT") idat.write(b, pos + 8, size)
+      if (typ == "IEND") pos = b.length
+      else pos += 12 + size
+    }
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    val raw = new Array[Byte](h * (1 + w * 3))
+    val got = try inflater.inflate(raw) finally inflater.end()
+    if (got != raw.length) return None
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var y = 0
+    while (y < h) {
+      val rowOff = y * (1 + w * 3)
+      if (raw(rowOff) != 0) return None // only filter None supported
+      var x = 0
+      while (x < w) {
+        sumR += raw(rowOff + 1 + 3 * x) & 0xff
+        sumG += raw(rowOff + 2 + 3 * x) & 0xff
+        sumB += raw(rowOff + 3 + 3 * x) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    Some((w.toLong, h.toLong, sumR, sumG, sumB))
+  }
+
+  /** Partition-mapped PNG pixel stats — the [[parseAll]] narrow shape. */
+  def pngStatsAll(df: DataFrame): Dataset[PngStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("file_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          pngPixelStats(bytes) match {
+            case Some((w, h, r, g, bl)) => PngStats(id, w, h, r, g, bl, valid = true)
+            case None => PngStats(id, 0L, 0L, 0L, 0L, 0L, valid = false)
+          }
+        }
+      }
+  }
+
   /** Complete baseline JPEG (grayscale, all-zero coefficients): SOI,
     * JFIF APP0, DQT, SOF0 carrying the dimensions, DC/AC Huffman tables
     * (one length-1 code each), SOS, the entropy-coded MCUs (2 zero bits

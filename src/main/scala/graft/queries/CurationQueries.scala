@@ -7954,7 +7954,195 @@ object CurationQueries {
             |FROM ks LEFT JOIN h ON h.k = ks.k, nq2, tc
             |ORDER BY k""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // Multimodal: real PNG pixel decode (inflate + unfilter + walk)
+  // ---------------------------------------------------------------------
+
+  /** IMAGE-STATS extraction over real PNG pixels — the deepest tier of
+    * the multimodal family (headers → audio samples → image pixels):
+    * 25 PNGs carry a deterministic RGB gradient (r = (7x+3y) mod 256
+    * etc.), and [[graft.operators.Multimodal.pngPixelStats]] actually
+    * DECODES them — IDAT chunks concatenated, inflated with
+    * `java.util.zip.Inflater`, scanlines unfiltered, pixels walked —
+    * folding exact per-channel sums. The oracle recomputes every sum in
+    * closed form from the gradient formula via a generate_series cross
+    * product, so a real zlib+PNG decode is SQL-checkable end to end.
+    *
+    * Scale: the parseAll narrow shape — binaryFile scan, one
+    * partition-mapped decode pass, no shuffle; stats rows are tiny
+    * regardless of image size.
+    */
+  private val multimodalImageStats = Q(
+    (s, dir) => {
+      val base = scratchDir("imagestats")
+      val p = java.nio.file.Paths.get(base)
+      T(s, dir, "nation").select(col("n_nationkey")).collect() // 25-row dim
+        .foreach { r =>
+          val k = r.getInt(0)
+          java.nio.file.Files.write(p.resolve(f"i_$k%02d.png"),
+            graft.operators.Multimodal.pngGradientBytes(16 + k, 10 + (k % 7)))
+        }
+      val scanned = s.read.format("binaryFile").load(base)
+        .select(regexp_extract(col("path"), "i_(\\d+)\\.", 1).cast("long")
+          .as("file_id"), col("content"))
+      val out = graft.operators.Multimodal.pngStatsAll(scanned).toDF()
+        .select(col("fileId").as("file_id"), col("width"), col("height"),
+          (col("width") * col("height")).as("n_px"),
+          col("sumR").as("sum_r"), col("sumG").as("sum_g"),
+          col("sumB").as("sum_b"), col("valid"))
+        .withColumn("mean_r_e3", expr("(sum_r * 1000) div n_px"))
+        .withColumn("mean_g_e3", expr("(sum_g * 1000) div n_px"))
+        .withColumn("mean_b_e3", expr("(sum_b * 1000) div n_px"))
+        .orderBy(col("file_id"))
+        .localCheckpoint(true)
+      scratchDelete(base)
+      out
+    },
+    Some("""WITH g AS (
+           |  SELECT cast(n_nationkey as bigint) AS k,
+           |    cast(16 + n_nationkey as bigint) AS w,
+           |    cast(10 + (n_nationkey % 7) as bigint) AS h
+           |  FROM nation
+           |), xs AS (
+           |  SELECT k, w, h, unnest(generate_series(0, w - 1)) AS x FROM g
+           |), ps AS (
+           |  SELECT k, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs
+           |), sm AS (
+           |  SELECT k, w, h, cast(count(*) as bigint) AS n_px,
+           |    cast(sum((7 * x + 3 * y) % 256) as bigint) AS sum_r,
+           |    cast(sum((x + 2 * y) % 256) as bigint) AS sum_g,
+           |    cast(sum((5 * x + y) % 256) as bigint) AS sum_b
+           |  FROM ps GROUP BY k, w, h
+           |)
+           |SELECT k AS file_id, w AS width, h AS height, n_px,
+           |  sum_r, sum_g, sum_b, true AS valid,
+           |  (sum_r * 1000) // n_px AS mean_r_e3,
+           |  (sum_g * 1000) // n_px AS mean_g_e3,
+           |  (sum_b * 1000) // n_px AS mean_b_e3
+           |FROM sm ORDER BY file_id""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Two-stage MaxSim (IVF shortlist -> late-interaction re-rank)
+  // ---------------------------------------------------------------------
+
+  /** TWO-STAGE MaxSim — the production path `ns_sim_maxsim`'s scaladoc
+    * promises, made a real query: candidates are first pruned to the
+    * query's top-2 IVF cells (the same 16 fixed coarse centroids as
+    * `ns_sim_ivf_recall`, scored fraction nprobe/C of the corpus), and
+    * only the shortlist pays the 64-sub-dot MaxSim kernel. Each emitted
+    * row carries `in_exact` — whether the two-stage pick is also in the
+    * exhaustive MaxSim top-3 — so the query IS its own recall audit.
+    *
+    * Scale: assignment is one broadcast-centroid pass; the shortlist
+    * join is cell-keyed; the exact side remains the declared audit and
+    * at 100 TB only the shortlist path runs (drop the audit join, keep
+    * the plan).
+    */
+  private val simMaxsimIvf = Q(
+    (s, dir) => {
+      graft.expressions.ScaledDotProduct.registerIn(s)
+      graft.expressions.MaxSimScore.registerIn(s)
+      val e = TS(s, dir, "embeddings")
+        .withColumn("nrm", expr("scaled_dot(embedding, embedding)"))
+      val cen = broadcast(e.where(col("vec_id").between(100, 115))
+        .select(col("vec_id").as("cen_id"), col("embedding").as("cen_emb"),
+          col("nrm").as("cen_nrm")))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cen_cos").desc, col("cen_id"))
+      val ranked = e.join(cen, lit(true))
+        .withColumn("cen_cos", expr("scaled_dot(embedding, cen_emb)").cast("double") /
+          (sqrt(col("nrm").cast("double")) * sqrt(col("cen_nrm").cast("double"))))
+        .withColumn("arn", row_number().over(wAssign))
+      val assigned = ranked.where(col("arn") === 1)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          col("cen_id").as("cell"))
+        .localCheckpoint(true)
+      val probes = ranked.where(col("arn") <= 2 && col("vec_id") < 16)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("cen_id").as("pcell"))
+      val wTop = Window.partitionBy(col("q_id")).orderBy(col("score_fp").desc, col("c_id"))
+      val twoStage = broadcast(probes)
+        .join(assigned, col("pcell") === col("cell") && col("q_id") =!= col("c_id"))
+        .withColumn("score_fp", expr("maxsim_score(q_emb, c_emb)"))
+        .withColumn("rnk", row_number().over(wTop))
+        .where(col("rnk") <= 3)
+        .select(col("q_id"), col("rnk"), col("c_id"), col("score_fp"))
+      val q = e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val exact = broadcast(q).join(c, col("q_id") =!= col("c_id"))
+        .withColumn("score_fp", expr("maxsim_score(q_emb, c_emb)"))
+        .withColumn("ern", row_number().over(wTop))
+        .where(col("ern") <= 3)
+        .select(col("q_id").as("eq"), col("c_id").as("ec"))
+      twoStage.join(exact,
+          col("q_id") === col("eq") && col("c_id") === col("ec"), "left")
+        .withColumn("in_exact", col("ec").isNotNull)
+        .select(col("q_id"), col("rnk"), col("c_id"), col("score_fp"),
+          col("in_exact"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, embedding,
+            |    ${NorthStarQueries.scaledDotSql("embedding", "embedding")} AS nrm
+            |  FROM embeddings
+            |), cen AS (
+            |  SELECT vec_id AS cen_id, embedding AS cen_emb, nrm AS cen_nrm
+            |  FROM e WHERE vec_id BETWEEN 100 AND 115
+            |), rk AS (
+            |  SELECT e.vec_id, e.embedding, c.cen_id,
+            |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+            |      cast(${NorthStarQueries.scaledDotSql("e.embedding", "c.cen_emb")} as double)
+            |        / (sqrt(cast(e.nrm as double)) * sqrt(cast(c.cen_nrm as double))) DESC,
+            |      c.cen_id) AS arn
+            |  FROM e, cen c
+            |), assigned AS (
+            |  SELECT vec_id AS c_id, embedding AS c_emb, cen_id AS cell
+            |  FROM rk WHERE arn = 1
+            |), probes AS (
+            |  SELECT vec_id AS q_id, embedding AS q_emb, cen_id AS pcell
+            |  FROM rk WHERE arn <= 2 AND vec_id < 16
+            |), ms AS (
+            |  SELECT p.q_id, a.c_id,
+            |    list_sum(list_transform(generate_series(0, 7), qs ->
+            |      list_max(list_transform(generate_series(0, 7), ds ->
+            |        list_sum(list_transform(generate_series(1, 8), i ->
+            |          cast(floor(p.q_emb[qs * 8 + i]::double * 1048576) as bigint)
+            |          * cast(floor(a.c_emb[ds * 8 + i]::double * 1048576) as bigint)))))))
+            |      AS score_fp
+            |  FROM probes p JOIN assigned a
+            |    ON p.pcell = a.cell AND p.q_id <> a.c_id
+            |), two AS (
+            |  SELECT q_id, c_id, score_fp,
+            |    row_number() OVER (PARTITION BY q_id
+            |      ORDER BY score_fp DESC, c_id) AS rnk
+            |  FROM ms
+            |), ex0 AS (
+            |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+            |    list_sum(list_transform(generate_series(0, 7), qs ->
+            |      list_max(list_transform(generate_series(0, 7), ds ->
+            |        list_sum(list_transform(generate_series(1, 8), i ->
+            |          cast(floor(q.embedding[qs * 8 + i]::double * 1048576) as bigint)
+            |          * cast(floor(c.embedding[ds * 8 + i]::double * 1048576) as bigint)))))))
+            |      AS score_fp
+            |  FROM e q JOIN e c ON q.vec_id < 16 AND q.vec_id <> c.vec_id
+            |), ex AS (
+            |  SELECT q_id, c_id FROM (
+            |    SELECT q_id, c_id,
+            |      row_number() OVER (PARTITION BY q_id
+            |        ORDER BY score_fp DESC, c_id) AS ern
+            |    FROM ex0)
+            |  WHERE ern <= 3
+            |)
+            |SELECT t.q_id, t.rnk, t.c_id, cast(t.score_fp as bigint) AS score_fp,
+            |  ex.c_id IS NOT NULL AS in_exact
+            |FROM two t LEFT JOIN ex ON ex.q_id = t.q_id AND ex.c_id = t.c_id
+            |WHERE t.rnk <= 3
+            |ORDER BY t.q_id, t.rnk""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "ns_multimodal_image_stats" -> multimodalImageStats,
+    "ns_sim_maxsim_ivf" -> simMaxsimIvf,
     "ts_disorder_profile" -> tsDisorderProfile,
     "ns_sim_recall_curve" -> simRecallCurve,
     "ns_sim_maxsim" -> simMaxsim,
