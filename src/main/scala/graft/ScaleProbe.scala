@@ -278,7 +278,11 @@ object ScaleProbe {
       "ns_text_entropy_rate",
       // r14: IPF mix = one corpus agg to the SxL grid; all fitting
       // rounds and audits are grid-sized — flat
-      "ns_corpus_ipf_mix")
+      "ns_corpus_ipf_mix",
+      // r14: heaps fit = one (term -> min decile) vocab agg + a decile
+      // token histogram; the regression is 10 rows. Clones multiply
+      // counts, not vocabulary — flat
+      "ns_profile_heaps_fit")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected
@@ -329,7 +333,10 @@ object ScaleProbe {
       "ts_session_dynamic_gap",
       // r14: disorder profile = one user-keyed running-max window + a
       // 1-row percentile rollup
-      "ts_disorder_profile")
+      "ts_disorder_profile",
+      // r14: markov = one user-keyed lag window + a |types|^2 agg;
+      // the power iterations are 25-row frames
+      "ts_markov_transitions")
     if (evtNames.exists(enabled)) {
       val evtReps = spark.range(docMult).select(col("id").as("rep"))
       Tables.load(spark, sfDir, "events")

@@ -8140,7 +8140,176 @@ object CurationQueries {
             |WHERE t.rnk <= 3
             |ORDER BY t.q_id, t.rnk""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // Markov transition model over event sequences
+  // ---------------------------------------------------------------------
+
+  /** MARKOV transition estimation over per-user event sequences — the
+    * behavioral model behind trajectory generation and anomaly scoring:
+    * the transition matrix P(next type | type) from per-user ordered
+    * event pairs, plus the STATIONARY distribution (3 unrolled power
+    * iterations from uniform) — where the chain spends its time, the
+    * single-vector summary that flags when live traffic drifts from
+    * the corpus the model trained on.
+    *
+    * Determinism: counts exact; row-normalized probabilities are e6
+    * floor divs; the power iterations run in e12 fixed point (each step
+    * is Σ π_src·p_e6 div 1e6, exact bigints).
+    *
+    * Scale: one user-keyed lag window (in-partition) + a |types|²
+    * aggregate; the iterations are matrix-sized. The `ns_embed_pagerank`
+    * class with a 5×5 matrix.
+    */
+  private val tsMarkovTransitions = Q(
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val m = T(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .groupBy(col("prev").as("src"), col("event_type").as("dst"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val rows = m.groupBy(col("src")).agg(sum(col("c")).as("rc"))
+      val p = m.join(rows, Seq("src"))
+        .withColumn("p_e6", expr("(c * 1000000) div rc"))
+        .localCheckpoint(true)
+      val types = p.select(col("src").as("t")).distinct()
+      val nT = types.count()
+      var pi = types.select(col("t"), lit(1000000000000L / nT).as("pi"))
+      (1 to 3).foreach { _ =>
+        pi = p.join(pi.select(col("t").as("src"), col("pi")), Seq("src"))
+          .withColumn("contrib", expr("(pi * p_e6) div 1000000"))
+          .groupBy(col("dst").as("t")).agg(sum(col("contrib")).as("pi"))
+          .localCheckpoint(true)
+      }
+      p.join(pi.select(col("t").as("dst"), col("pi").as("pi_dst_fp")), Seq("dst"))
+        .select(col("src"), col("dst"), col("c"), col("p_e6"),
+          col("pi_dst_fp"),
+          round(col("pi_dst_fp").cast("double") / lit(1.0e12), 6).as("pi_dst"))
+        .orderBy(col("src"), col("dst"))
+    },
+    Some("""WITH seq AS (
+           |  SELECT user_id, event_type,
+           |    lag(event_type) OVER (PARTITION BY user_id
+           |      ORDER BY ts, event_id) AS prev
+           |  FROM events
+           |), m AS (
+           |  SELECT prev AS src, event_type AS dst, cast(count(*) as bigint) AS c
+           |  FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type
+           |), r AS (SELECT src, cast(sum(c) as bigint) AS rc FROM m GROUP BY src
+           |), p AS (
+           |  SELECT m.src, m.dst, m.c, (m.c * 1000000) // r.rc AS p_e6
+           |  FROM m JOIN r USING (src)
+           |), ty AS (SELECT DISTINCT src AS t FROM p
+           |), nt AS (SELECT cast(count(*) as bigint) AS n FROM ty
+           |), pi0 AS (SELECT t, cast(1000000000000 // n as bigint) AS pi FROM ty, nt
+           |), pi1 AS (
+           |  SELECT p.dst AS t, cast(sum((pi0.pi * p.p_e6) // 1000000) as bigint) AS pi
+           |  FROM p JOIN pi0 ON pi0.t = p.src GROUP BY p.dst
+           |), pi2 AS (
+           |  SELECT p.dst AS t, cast(sum((pi1.pi * p.p_e6) // 1000000) as bigint) AS pi
+           |  FROM p JOIN pi1 ON pi1.t = p.src GROUP BY p.dst
+           |), pi3 AS (
+           |  SELECT p.dst AS t, cast(sum((pi2.pi * p.p_e6) // 1000000) as bigint) AS pi
+           |  FROM p JOIN pi2 ON pi2.t = p.src GROUP BY p.dst
+           |)
+           |SELECT p.src, p.dst, p.c, p.p_e6, pi3.pi AS pi_dst_fp,
+           |  round(cast(pi3.pi as double) / 1e12, 6) AS pi_dst
+           |FROM p JOIN pi3 ON pi3.t = p.dst
+           |ORDER BY p.src, p.dst""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Heaps-law fit (vocabulary growth exponent)
+  // ---------------------------------------------------------------------
+
+  /** HEAPS-LAW fit — the growth EXPONENT on top of the raw vocabulary
+    * curve (`ns_corpus_vocab_growth`): V(N) ≈ K·N^β, fit by exact-
+    * integer least squares of ln V on ln N over ten cumulative deciles.
+    * Natural text sits near β ≈ 0.5; this fixture's template vocabulary
+    * saturates almost immediately, so β ≈ 0 — the single-scalar flag
+    * that new data is not bringing new words (dedup/template leakage).
+    *
+    * The cumulative curve needs NO global sort: docs land in ten hash
+    * deciles, each term keeps its MINIMUM decile, and both V(d) and
+    * N(d) are 10-row cumulative sums over decile histograms.
+    *
+    * Scale: one (term → min decile) vocabulary-keyed aggregate + one
+    * decile token histogram; the regression runs over 10 rows with the
+    * `ns_profile_zipf` exact-bigint sums.
+    */
+  private val profileHeapsFit = Q(
+    (s, dir) => {
+      val d = TS(s, dir, "documents")
+        .withColumn("dec", expr(
+          "pmod(cast(conv(substring(md5(concat('hp:', cast(doc_id as string))), " +
+            "1, 8), 16, 10) as bigint), 10)"))
+        .withColumn("toks", split(col("text"), " "))
+      val termMin = d.select(col("dec"), explode(col("toks")).as("t"))
+        .groupBy(col("t")).agg(min(col("dec")).as("md"))
+        .groupBy(col("md")).agg(count(lit(1)).as("nv"))
+      val tokHist = d.groupBy(col("dec"))
+        .agg(sum(size(col("toks"))).as("ntok"))
+      val wC = Window.orderBy(col("dec"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val curve = tokHist
+        .join(termMin.withColumnRenamed("md", "dec"), Seq("dec"), "left")
+        .withColumn("nv", coalesce(col("nv"), lit(0L)))
+        .withColumn("cum_toks", sum(col("ntok")).over(wC))
+        .withColumn("cum_vocab", sum(col("nv")).over(wC))
+        .withColumn("x", expr("cast(floor(ln(cast(cum_toks as double)) * 1000000) as bigint)"))
+        .withColumn("y", expr("cast(floor(ln(cast(cum_vocab as double)) * 1000000) as bigint)"))
+        .localCheckpoint(true)
+      val fit = curve.agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        .select(
+          expr("cast(floor(cast(n * sxy - sx * sy as double) * 1000000 " +
+            "/ cast(n * sxx - sx * sx as double)) as bigint)").as("beta_e6"))
+      curve.crossJoin(broadcast(fit))
+        .select(col("dec"), col("cum_toks"), col("cum_vocab"), col("beta_e6"))
+        .orderBy(col("dec"))
+    },
+    Some("""WITH d AS (
+           |  SELECT doc_id, string_split(text, ' ') AS toks,
+           |    cast('0x' || substr(md5('hp:' || cast(doc_id as varchar)), 1, 8)
+           |      as bigint) % 10 AS dec
+           |  FROM documents
+           |), tm AS (
+           |  SELECT t, min(dec) AS md FROM (
+           |    SELECT dec, unnest(toks) AS t FROM d
+           |  ) GROUP BY t
+           |), vh AS (SELECT md AS dec, cast(count(*) as bigint) AS nv FROM tm GROUP BY md
+           |), th AS (
+           |  SELECT dec, cast(sum(len(toks)) as bigint) AS ntok FROM d GROUP BY dec
+           |), curve AS (
+           |  SELECT th.dec, th.ntok, coalesce(vh.nv, 0) AS nv,
+           |    cast(sum(th.ntok) OVER (ORDER BY th.dec
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS cum_toks,
+           |    cast(sum(coalesce(vh.nv, 0)) OVER (ORDER BY th.dec
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS cum_vocab
+           |  FROM th LEFT JOIN vh ON vh.dec = th.dec
+           |), pts AS (
+           |  SELECT dec, cum_toks, cum_vocab,
+           |    cast(floor(ln(cast(cum_toks as double)) * 1000000) as bigint) AS x,
+           |    cast(floor(ln(cast(cum_vocab as double)) * 1000000) as bigint) AS y
+           |  FROM curve
+           |), a AS (
+           |  SELECT cast(count(*) as bigint) AS n, cast(sum(x) as bigint) AS sx,
+           |    cast(sum(y) as bigint) AS sy, cast(sum(x * y) as bigint) AS sxy,
+           |    cast(sum(x * x) as bigint) AS sxx
+           |  FROM pts
+           |), f AS (
+           |  SELECT cast(floor(cast(n * sxy - sx * sy as double) * 1000000
+           |    / cast(n * sxx - sx * sx as double)) as bigint) AS beta_e6
+           |  FROM a
+           |)
+           |SELECT pts.dec, pts.cum_toks, pts.cum_vocab, f.beta_e6
+           |FROM pts, f ORDER BY pts.dec""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "ts_markov_transitions" -> tsMarkovTransitions,
+    "ns_profile_heaps_fit" -> profileHeapsFit,
     "ns_multimodal_image_stats" -> multimodalImageStats,
     "ns_sim_maxsim_ivf" -> simMaxsimIvf,
     "ts_disorder_profile" -> tsDisorderProfile,
