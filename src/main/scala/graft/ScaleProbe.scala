@@ -282,7 +282,12 @@ object ScaleProbe {
       // r14: heaps fit = one (term -> min decile) vocab agg + a decile
       // token histogram; the regression is 10 rows. Clones multiply
       // counts, not vocabulary — flat
-      "ns_profile_heaps_fit")
+      "ns_profile_heaps_fit",
+      // r14: rate curve = the minhash band-bucket candidate join (the
+      // lsh stress axis: clone groups multiply pair volume) + an exact
+      // per-pair Jaccard + a 5-threshold conditional rollup; confusion
+      // = one map-only detector pass into a |langs|x2 agg
+      "ns_dedup_rate_curve", "ns_profile_langid_confusion")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected

@@ -8307,7 +8307,170 @@ object CurationQueries {
            |SELECT pts.dec, pts.cum_toks, pts.cum_vocab, f.beta_e6
            |FROM pts, f ORDER BY pts.dec""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // Dedup rate curve (threshold retention sweep)
+  // ---------------------------------------------------------------------
+
+  /** DEDUP RATE CURVE — "how aggressive can we afford to be": for each
+    * Jaccard threshold 0.5..0.9, how many documents (and tokens) a
+    * keep-smallest-id near-dup pass would drop. The LSH tune audit
+    * (`ns_dedup_lsh_tune`) picks the banding; THIS picks the threshold —
+    * the two knobs of a dedup rollout, each now with its own measured
+    * curve. One pass computes candidate pairs (minhash band buckets) and
+    * their EXACT Jaccard as e6 integers; each doc folds to its max
+    * Jaccard against any smaller-id partner; the five thresholds read
+    * off that per-doc scalar — the threshold-sweep property (more
+    * thresholds cost nothing corpus-sized).
+    *
+    * Scale: the band-bucket candidate join is the minhash_lsh plan (no
+    * all-pairs); the exact-Jaccard join carries only candidate pairs;
+    * everything after the per-doc max is a 5×N-row conditional sum.
+    */
+  private val dedupRateCurve = Q(
+    (s, dir) => {
+      val docs = TS(s, dir, "documents")
+        .withColumn("hs", expr(NorthStarQueries.hashedShinglesExpr))
+        .select(col("doc_id"), array_distinct(col("hs")).as("hset"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+        .localCheckpoint(true)
+      val bands = NorthStarQueries.minhashBands(s, dir)
+      val b2 = bands.select(col("doc_id").as("b_id"), col("band"), col("bkey"))
+      val pairs = bands.join(b2,
+          bands("band") === b2("band") && bands("bkey") === b2("bkey") &&
+            bands("doc_id") < col("b_id"))
+        .select(col("doc_id").as("a_id"), col("b_id")).distinct()
+      val a = docs.select(col("doc_id").as("a_id"), col("hset").as("a_h"))
+      val b = docs.select(col("doc_id").as("b_id"), col("hset").as("b_h"))
+      val maxj = pairs.join(a, Seq("a_id")).join(b, Seq("b_id"))
+        .withColumn("inter", size(array_intersect(col("a_h"), col("b_h"))).cast("long"))
+        .withColumn("jac_e6", expr(
+          "(inter * 1000000) div (size(a_h) + size(b_h) - inter)"))
+        .groupBy(col("b_id").as("doc_id"))
+        .agg(max(col("jac_e6")).as("maxj_e6"))
+      val scored = docs.join(maxj, Seq("doc_id"), "left")
+        .withColumn("maxj_e6", coalesce(col("maxj_e6"), lit(0L)))
+        .localCheckpoint(true)
+      val ts = { import s.implicits._
+        Seq(500000L, 600000L, 700000L, 800000L, 900000L).toDF("threshold_e6") }
+      broadcast(ts).join(scored, col("maxj_e6") >= col("threshold_e6"), "left")
+        .groupBy(col("threshold_e6"))
+        .agg(count(col("doc_id")).as("n_dropped"),
+          coalesce(sum(col("n_toks")), lit(0L)).as("toks_dropped"))
+        .crossJoin(broadcast(
+          docs.agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("toks_total"))))
+        .select(col("threshold_e6"), col("n_dropped"), col("toks_dropped"),
+          (col("n_docs") - col("n_dropped")).as("n_kept"),
+          expr("((n_docs - n_dropped) * 1000000) div n_docs").as("kept_docs_ppm"),
+          expr("((toks_total - toks_dropped) * 1000000) div toks_total")
+            .as("kept_toks_ppm"))
+        .orderBy(col("threshold_e6"))
+    },
+    Some(s"""WITH ${NorthStarQueries.minhashBandsSqlCtes}, pairs AS (
+            |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+            |  FROM bands a JOIN bands b
+            |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+            |), hset AS (
+            |  SELECT doc_id, list_distinct(hs) AS hset FROM hsh
+            |), toks AS (
+            |  SELECT doc_id, cast(len(string_split(text, ' ')) as bigint) AS n_toks
+            |  FROM documents
+            |), pj AS (
+            |  SELECT p.b_id AS doc_id,
+            |    max((cast(len(list_filter(ha.hset, x -> list_contains(hb.hset, x)))
+            |        as bigint) * 1000000)
+            |      // cast(len(ha.hset) + len(hb.hset)
+            |        - len(list_filter(ha.hset, x -> list_contains(hb.hset, x)))
+            |        as bigint)) AS maxj_e6
+            |  FROM pairs p
+            |  JOIN hset ha ON ha.doc_id = p.a_id
+            |  JOIN hset hb ON hb.doc_id = p.b_id
+            |  GROUP BY p.b_id
+            |), scored AS (
+            |  SELECT t.doc_id, t.n_toks, coalesce(pj.maxj_e6, 0) AS maxj_e6
+            |  FROM toks t LEFT JOIN pj USING (doc_id)
+            |), tot AS (
+            |  SELECT cast(count(*) as bigint) AS n_docs,
+            |    cast(sum(n_toks) as bigint) AS toks_total
+            |  FROM scored
+            |), th AS (SELECT unnest([500000, 600000, 700000, 800000, 900000])
+            |          AS threshold_e6
+            |)
+            |SELECT cast(th.threshold_e6 as bigint) AS threshold_e6,
+            |  cast(count(s.doc_id) as bigint) AS n_dropped,
+            |  cast(coalesce(sum(s.n_toks), 0) as bigint) AS toks_dropped,
+            |  tot.n_docs - cast(count(s.doc_id) as bigint) AS n_kept,
+            |  ((tot.n_docs - cast(count(s.doc_id) as bigint)) * 1000000)
+            |    // tot.n_docs AS kept_docs_ppm,
+            |  ((tot.toks_total - cast(coalesce(sum(s.n_toks), 0) as bigint)) * 1000000)
+            |    // tot.toks_total AS kept_toks_ppm
+            |FROM th
+            |LEFT JOIN scored s ON s.maxj_e6 >= th.threshold_e6, tot
+            |GROUP BY th.threshold_e6, tot.n_docs, tot.toks_total
+            |ORDER BY threshold_e6""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Language-metadata confusion audit
+  // ---------------------------------------------------------------------
+
+  /** LANGID CONFUSION — does the DECLARED language metadata agree with
+    * the CONTENT? The confusion matrix between the `lang` column and
+    * the stopword-ratio detector (`ns_text_langid`'s heuristic), plus a
+    * per-declared-language mismatch rate. On real crawls this is the
+    * audit that catches mislabeled feeds and boilerplate-English pages
+    * under foreign domains; on THIS fixture every document's text is
+    * the same English-ish template regardless of its `lang` tag, so the
+    * matrix shows en-detected mass under every declared language — the
+    * metadata-contradicts-content flag at full strength, exactly what
+    * the audit exists to catch.
+    *
+    * Scale: one map-only detector pass into a (declared, detected)
+    * aggregate — |langs|×2 rows.
+    */
+  private val profileLangidConfusion = Q(
+    (s, dir) => {
+      val stopArr = "array('the','a','of','and','to','in','is','it')"
+      val d = T(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("pred", when(
+          expr(s"size(filter(toks, t -> array_contains($stopArr, t)))").cast("double") /
+            size(col("toks")) >= 0.05, "en").otherwise("other"))
+      val cm = d.groupBy(col("lang").as("declared"), col("pred").as("detected"))
+        .agg(count(lit(1)).as("n"))
+      val perLang = cm.groupBy(col("declared"))
+        .agg(sum(col("n")).as("n_declared"),
+          sum(when(col("declared") === col("detected"), col("n")).otherwise(0L))
+            .as("n_agree"))
+        .withColumn("mismatch_ppm",
+          expr("((n_declared - n_agree) * 1000000) div n_declared"))
+      cm.join(perLang, Seq("declared"))
+        .select(col("declared"), col("detected"), col("n"), col("n_declared"),
+          col("mismatch_ppm"))
+        .orderBy(col("declared"), col("detected"))
+    },
+    Some("""WITH d AS (
+           |  SELECT lang AS declared,
+           |    CASE WHEN cast(len(list_filter(string_split(text, ' '),
+           |        t -> list_contains(['the','a','of','and','to','in','is','it'], t)))
+           |        as double) / len(string_split(text, ' ')) >= 0.05
+           |      THEN 'en' ELSE 'other' END AS detected
+           |  FROM documents
+           |), cm AS (
+           |  SELECT declared, detected, cast(count(*) as bigint) AS n
+           |  FROM d GROUP BY declared, detected
+           |), pl AS (
+           |  SELECT declared, cast(sum(n) as bigint) AS n_declared,
+           |    cast(sum(CASE WHEN declared = detected THEN n ELSE 0 END) as bigint)
+           |      AS n_agree
+           |  FROM cm GROUP BY declared
+           |)
+           |SELECT cm.declared, cm.detected, cm.n, pl.n_declared,
+           |  ((pl.n_declared - pl.n_agree) * 1000000) // pl.n_declared AS mismatch_ppm
+           |FROM cm JOIN pl USING (declared)
+           |ORDER BY cm.declared, cm.detected""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "ns_dedup_rate_curve" -> dedupRateCurve,
+    "ns_profile_langid_confusion" -> profileLangidConfusion,
     "ts_markov_transitions" -> tsMarkovTransitions,
     "ns_profile_heaps_fit" -> profileHeapsFit,
     "ns_multimodal_image_stats" -> multimodalImageStats,

@@ -95,9 +95,9 @@ object NorthStarQueries {
   private val hashB = (0 until nHashes).map(i => 12345L + 67891L * i)
 
   /** Base hash: first 15 md5 hex digits as a bigint (< 2^60). */
-  private val hashedShinglesExpr =
+  private[queries] val hashedShinglesExpr =
     s"transform($shinglesExpr, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
-  private val hashedShinglesSql =
+  private[queries] val hashedShinglesSql =
     s"list_transform($shinglesSql, t -> cast('0x' || substr(md5(t), 1, 15) as bigint))"
 
   /** MinHash-LSH near-dup detection, verified through per-band bucket
