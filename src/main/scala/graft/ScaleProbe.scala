@@ -287,7 +287,10 @@ object ScaleProbe {
       // lsh stress axis: clone groups multiply pair volume) + an exact
       // per-pair Jaccard + a 5-threshold conditional rollup; confusion
       // = one map-only detector pass into a |langs|x2 agg
-      "ns_dedup_rate_curve", "ns_profile_langid_confusion")
+      "ns_dedup_rate_curve", "ns_profile_langid_confusion",
+      // r14: krippendorff = the calibration scoring pass narrowed to
+      // three booleans + a 1-row rollup
+      "ns_quality_krippendorff")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected
@@ -426,7 +429,7 @@ object ScaleProbe {
       // r14: HITS shares pagerank's bucket-equi edge build (the bucket^2
       // stress axis); each half-round is one edge join + keyed agg over
       // the checkpointed O(N·k) edge list — edge-linear per round
-      "ns_embed_hits", "ns_sim_maxsim",
+      "ns_embed_hits", "ns_sim_maxsim", "ns_embed_kcenter_init",
       // r14: the recall curve runs BOTH the exact audit pass and the
       // bucket-matched LSH pass; replication multiplies bucket occupancy
       // (the LSH side's stress axis) while the k expansion stays 4 rows
@@ -508,6 +511,9 @@ object ScaleProbe {
       timeVec("ns_sim_maxsim")
       timeVec("ns_sim_recall_curve")
       timeVec("ns_sim_maxsim_ivf")
+      // kcenter: 8 rounds, each one broadcast join vs <=8 centers + a
+      // global top-1 — k corpus passes, map-bounded
+      timeVec("ns_embed_kcenter_init")
 
       // Semantic dedup at the PRODUCTION configuration: k ∝ N (one
       // cluster per ~2500 vectors), seeds stride-spaced so they are k

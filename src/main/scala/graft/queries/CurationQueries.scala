@@ -8468,7 +8468,212 @@ object CurationQueries {
            |FROM cm JOIN pl USING (declared)
            |ORDER BY cm.declared, cm.detected""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // Krippendorff's alpha (3-rater agreement)
+  // ---------------------------------------------------------------------
+
+  /** KRIPPENDORFF'S ALPHA over THREE quality gates — the multi-rater
+    * agreement read Cohen's kappa (`ns_quality_kappa`, strictly
+    * pairwise) cannot give: the logistic classifier, the rule gate
+    * (bad-term + quality-quartile), and the absolute score gate each
+    * vote keep/drop per document; alpha = 1 − Do/De with observed
+    * disagreement from per-unit discordant pairs (k(3−k) for k keeps of
+    * 3) and expected disagreement from POOLED value frequencies with
+    * the small-sample n(n−1) correction — Krippendorff's definition,
+    * not kappa's per-rater marginals.
+    *
+    * Determinism: all counts exact; Do/De are e6 floor divs; alpha is
+    * the shared sign-safe fdiv (alpha is legitimately negative when
+    * gates anti-correlate).
+    *
+    * Scale: one scoring pass (the calibration class) narrowed to three
+    * booleans, a broadcast percentile scalar, and a single-row rollup.
+    */
+  private val qualityKrippendorff = Q(
+    (s, dir) => {
+      val scored = TS(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_toks", size(col("toks")).cast("double"))
+        .withColumn("mean_len",
+          (length(col("text")).cast("double") - (col("n_toks") - 1.0)) / col("n_toks"))
+        .withColumn("stop_ratio",
+          expr("size(filter(toks, t -> array_contains(" +
+            "array('the','a','of','and','to','in','is','it'), t)))").cast("double")
+            / col("n_toks"))
+        .withColumn("digit_ratio",
+          (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+            .cast("double") / length(col("text")).cast("double"))
+        .withColumn("z",
+          lit(-1.5) + lit(0.004) * col("n_toks") + lit(0.35) * col("mean_len")
+            + lit(4.0) * col("stop_ratio") - lit(6.0) * col("digit_ratio"))
+        .withColumn("r1", round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6) >= 0.5)
+        .withColumn("quality", round(
+          size(array_distinct(col("toks"))).cast("double") /
+            size(col("toks")).cast("double") * 0.5 +
+            least(size(col("toks")).cast("double") / 100, lit(1.0)) * 0.5, 6))
+        .withColumn("bad", col("text").rlike("(^| )(dup|slow)( |$)"))
+        .withColumn("r3", col("quality") >= 0.5)
+        .select(col("r1"), col("quality"), col("bad"), col("r3"))
+        .localCheckpoint(true)
+      val thr = scored.agg(round(expr("percentile(quality, 0.25)"), 6).as("q25"))
+      scored.crossJoin(broadcast(thr))
+        .withColumn("r2", !col("bad") && col("quality") >= col("q25"))
+        .withColumn("k", expr(
+          "cast(IF(r1, 1, 0) + IF(r2, 1, 0) + IF(r3, 1, 0) as bigint)"))
+        .agg(count(lit(1)).as("n_units"),
+          sum(when(col("r1"), 1L).otherwise(0L)).as("keep_r1"),
+          sum(when(col("r2"), 1L).otherwise(0L)).as("keep_r2"),
+          sum(when(col("r3"), 1L).otherwise(0L)).as("keep_r3"),
+          sum(expr("k * (3 - k)")).as("discord"),
+          sum(col("k")).as("keeps"))
+        .withColumn("do_e6", expr("(discord * 1000000) div (3 * n_units)"))
+        .withColumn("de_e6", expr(
+          "(2 * keeps * (3 * n_units - keeps) * 1000000) " +
+            "div ((3 * n_units) * (3 * n_units - 1))"))
+        .withColumn("alpha_e6", expr(
+          "CASE WHEN de_e6 = 0 THEN 0 ELSE " +
+            fdivSpark("(de_e6 - do_e6) * 1000000", "de_e6") + " END"))
+        .select(col("n_units"), col("keep_r1"), col("keep_r2"), col("keep_r3"),
+          col("discord"), col("do_e6"), col("de_e6"), col("alpha_e6"))
+    },
+    Some("""WITH f AS (
+           |  SELECT text, string_split(text, ' ') AS toks,
+           |    cast(len(string_split(text, ' ')) as double) AS n_toks,
+           |    (cast(len(text) as double) - (len(string_split(text, ' ')) - 1.0))
+           |      / len(string_split(text, ' ')) AS mean_len,
+           |    cast(len(list_filter(string_split(text, ' '),
+           |      t -> list_contains(['the','a','of','and','to','in','is','it'], t)))
+           |      as double) / len(string_split(text, ' ')) AS stop_ratio,
+           |    cast(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) as double)
+           |      / cast(len(text) as double) AS digit_ratio
+           |  FROM documents
+           |), sc AS (
+           |  SELECT
+           |    (round(1.0 / (1.0 + exp(-(-1.5 + 0.004 * n_toks + 0.35 * mean_len
+           |      + 4.0 * stop_ratio - 6.0 * digit_ratio))), 6) >= 0.5) AS r1,
+           |    round(cast(len(list_distinct(toks)) as double) / len(toks) * 0.5
+           |      + least(cast(len(toks) as double) / 100, 1.0) * 0.5, 6) AS quality,
+           |    regexp_matches(text, '(^| )(dup|slow)( |$)') AS bad
+           |  FROM f
+           |), thr AS (
+           |  SELECT round(quantile_cont(quality, 0.25), 6) AS q25 FROM sc
+           |), g AS (
+           |  SELECT cast(CASE WHEN r1 THEN 1 ELSE 0 END
+           |    + CASE WHEN (NOT bad AND quality >= q25) THEN 1 ELSE 0 END
+           |    + CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END as bigint) AS k,
+           |    r1, (NOT bad AND quality >= q25) AS r2, quality >= 0.5 AS r3
+           |  FROM sc, thr
+           |), a AS (
+           |  SELECT cast(count(*) as bigint) AS n_units,
+           |    cast(sum(CASE WHEN r1 THEN 1 ELSE 0 END) as bigint) AS keep_r1,
+           |    cast(sum(CASE WHEN r2 THEN 1 ELSE 0 END) as bigint) AS keep_r2,
+           |    cast(sum(CASE WHEN r3 THEN 1 ELSE 0 END) as bigint) AS keep_r3,
+           |    cast(sum(k * (3 - k)) as bigint) AS discord,
+           |    cast(sum(k) as bigint) AS keeps
+           |  FROM g
+           |), d AS (
+           |  SELECT a.*,
+           |    (discord * 1000000) // (3 * n_units) AS do_e6,
+           |    (2 * keeps * (3 * n_units - keeps) * 1000000)
+           |      // ((3 * n_units) * (3 * n_units - 1)) AS de_e6
+           |  FROM a
+           |)
+           |SELECT n_units, keep_r1, keep_r2, keep_r3, discord, do_e6, de_e6,
+           |  cast(CASE WHEN de_e6 = 0 THEN 0 ELSE """.stripMargin +
+      fdivSql("(de_e6 - do_e6) * 1000000", "de_e6") +
+      """ END as bigint) AS alpha_e6
+        |FROM d""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Greedy k-center seeding (farthest-point index init)
+  // ---------------------------------------------------------------------
+
+  /** K-CENTER greedy seeding (Gonzalez farthest-point traversal) — the
+    * DETERMINISTIC index-initialization read: starting from vector 0,
+    * each round picks the vector farthest (exact fixed-point squared
+    * distance ‖a‖² + ‖b‖² − 2⟨a,b⟩, all scaled_dot bigints) from the
+    * chosen set, 8 rounds; the COVERAGE RADIUS after each pick (max
+    * min-distance) is the curve that says how many coarse centroids an
+    * IVF index actually needs — the 2-approximation guarantee of
+    * k-center makes the radius column an honest capacity bound, which
+    * hash-seeded or k-means++ inits can't promise.
+    *
+    * Scale: each round is one broadcast join against the ≤8-row chosen
+    * set, a per-vector min, and a global top-1 (TakeOrdered) — k corpus
+    * passes total, each map-bounded; the oracle unrolls all 8 rounds.
+    */
+  private val embedKcenterInit = Q(
+    (s, dir) => {
+      graft.expressions.ScaledDotProduct.registerIn(s)
+      val e = TS(s, dir, "embeddings")
+        .withColumn("nrm", expr("scaled_dot(embedding, embedding)"))
+        .select(col("vec_id"), col("embedding"), col("nrm"))
+        .localCheckpoint(true)
+      var chosen = e.where(col("vec_id") === 0)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+          col("nrm").as("c_nrm"))
+        .localCheckpoint(true)
+      val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
+      (1 to 8).foreach { r =>
+        val mind = e.join(broadcast(chosen), lit(true))
+          .withColumn("d2", expr("nrm + c_nrm - 2 * scaled_dot(embedding, c_emb)"))
+          .groupBy(col("vec_id")).agg(min(col("d2")).as("mind"))
+        val radius = mind.agg(max(col("mind")).as("rad")).collect()(0).getLong(0)
+        val pick = mind.orderBy(col("mind").desc, col("vec_id")).limit(1)
+          .collect()(0).getLong(0)
+        out += ((r, pick, radius))
+        if (r < 8) {
+          chosen = chosen.unionAll(
+            e.where(col("vec_id") === pick)
+              .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+                col("nrm").as("c_nrm"))).localCheckpoint(true)
+        }
+      }
+      import s.implicits._
+      out.toSeq.toDF("pick_order", "picked_id", "radius_fp")
+        .orderBy(col("pick_order"))
+    },
+    Some {
+      val dot = NorthStarQueries.scaledDotSql("e.embedding", "c.c_emb")
+      def md(prev: String) =
+        s"""SELECT e.vec_id, cast(min(e.nrm + c.c_nrm - 2 * cast(($dot) as bigint))
+           |    as bigint) AS mind
+           |  FROM e JOIN $prev c ON true GROUP BY e.vec_id""".stripMargin
+      def pick(m: String) =
+        s"(SELECT vec_id FROM $m ORDER BY mind DESC, vec_id LIMIT 1)"
+      val rounds = (1 to 8).map { r =>
+        s"""md$r AS MATERIALIZED (
+           |  ${md(s"c$r")}
+           |), p$r AS MATERIALIZED (
+           |  SELECT $r AS pick_order,
+           |    cast(${pick(s"md$r")} as bigint) AS picked_id,
+           |    cast((SELECT max(mind) FROM md$r) as bigint) AS radius_fp
+           |)""".stripMargin + (if (r < 8)
+          s""", c${r + 1} AS MATERIALIZED (
+             |  SELECT * FROM c$r UNION ALL
+             |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+             |  FROM e WHERE vec_id = (SELECT picked_id FROM p$r)
+             |)""".stripMargin
+        else "")
+      }.mkString(", ")
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT vec_id, embedding,
+         |    cast(${NorthStarQueries.scaledDotSql("embedding", "embedding")} as bigint) AS nrm
+         |  FROM embeddings
+         |), c1 AS MATERIALIZED (
+         |  SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+         |  FROM e WHERE vec_id = 0
+         |), $rounds
+         |SELECT * FROM p1 UNION ALL SELECT * FROM p2 UNION ALL
+         |SELECT * FROM p3 UNION ALL SELECT * FROM p4 UNION ALL
+         |SELECT * FROM p5 UNION ALL SELECT * FROM p6 UNION ALL
+         |SELECT * FROM p7 UNION ALL SELECT * FROM p8
+         |ORDER BY pick_order""".stripMargin
+    })
+
   val all: Map[String, Q] = Map(
+    "ns_quality_krippendorff" -> qualityKrippendorff,
+    "ns_embed_kcenter_init" -> embedKcenterInit,
     "ns_dedup_rate_curve" -> dedupRateCurve,
     "ns_profile_langid_confusion" -> profileLangidConfusion,
     "ts_markov_transitions" -> tsMarkovTransitions,
