@@ -290,7 +290,10 @@ object ScaleProbe {
       "ns_dedup_rate_curve", "ns_profile_langid_confusion",
       // r14: krippendorff = the calibration scoring pass narrowed to
       // three booleans + a 1-row rollup
-      "ns_quality_krippendorff")
+      "ns_quality_krippendorff",
+      // r14: kfold = one source-keyed rank window + grid rollups;
+      // neyman = one corpus agg to S rows + S-row arithmetic
+      "ns_corpus_kfold", "ns_sample_neyman")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected

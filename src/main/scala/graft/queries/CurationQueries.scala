@@ -8671,7 +8671,137 @@ object CurationQueries {
          |ORDER BY pick_order""".stripMargin
     })
 
+  // ---------------------------------------------------------------------
+  // Stratified k-fold assignment (cross-validation prep)
+  // ---------------------------------------------------------------------
+
+  /** STRATIFIED 5-FOLD assignment — the cross-validation harness a
+    * quality-classifier trainer needs: within every source, documents
+    * take folds round-robin in hash order (rank mod 5), so each
+    * source's fold counts differ by AT MOST ONE — exact stratification,
+    * not the in-expectation balance a plain hash split gives. The
+    * output proves it: per-fold doc/token masses plus the worst
+    * per-source fold-count spread, which is ≤ 1 BY CONSTRUCTION and
+    * emitted as the audit column.
+    *
+    * Scale: one source-keyed rank window (in-partition, the gini
+    * class), a (source, fold) grid aggregate, and two grid-sized
+    * rollups.
+    */
+  private val corpusKfold = Q(
+    (s, dir) => {
+      val wS = Window.partitionBy(col("source")).orderBy(col("hkey"), col("doc_id"))
+      val d = TS(s, dir, "documents")
+        .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+        .withColumn("hkey", expr(
+          "cast(conv(substring(md5(concat('kf:', cast(doc_id as string))), " +
+            "1, 8), 16, 10) as bigint)"))
+        .withColumn("fold", pmod(row_number().over(wS) - 1, lit(5)).cast("long"))
+      val grid = d.groupBy(col("source"), col("fold"))
+        .agg(count(lit(1)).as("n"), sum(col("n_toks")).as("toks"))
+        .localCheckpoint(true)
+      val spread = grid.groupBy(col("source"))
+        .agg((max(col("n")) - min(col("n"))).as("sp"))
+        .agg(max(col("sp")).as("max_source_spread"))
+      grid.groupBy(col("fold"))
+        .agg(sum(col("n")).as("n_docs"), sum(col("toks")).as("n_toks"),
+          count(lit(1)).as("n_sources"))
+        .crossJoin(broadcast(spread))
+        .withColumn("balanced", col("max_source_spread") <= 1L)
+        .orderBy(col("fold"))
+    },
+    Some("""WITH d AS (
+           |  SELECT source, doc_id,
+           |    cast(len(string_split(text, ' ')) as bigint) AS n_toks,
+           |    cast('0x' || substr(md5('kf:' || cast(doc_id as varchar)), 1, 8)
+           |      as bigint) AS hkey
+           |  FROM documents
+           |), f AS (
+           |  SELECT source, n_toks,
+           |    cast((row_number() OVER (PARTITION BY source ORDER BY hkey, doc_id)
+           |      - 1) % 5 as bigint) AS fold
+           |  FROM d
+           |), grid AS (
+           |  SELECT source, fold, cast(count(*) as bigint) AS n,
+           |    cast(sum(n_toks) as bigint) AS toks
+           |  FROM f GROUP BY source, fold
+           |), sp AS (
+           |  SELECT cast(max(mx - mn) as bigint) AS max_source_spread FROM (
+           |    SELECT source, max(n) AS mx, min(n) AS mn FROM grid GROUP BY source)
+           |)
+           |SELECT fold, cast(sum(n) as bigint) AS n_docs,
+           |  cast(sum(toks) as bigint) AS n_toks,
+           |  cast(count(*) as bigint) AS n_sources,
+           |  sp.max_source_spread, sp.max_source_spread <= 1 AS balanced
+           |FROM grid, sp
+           |GROUP BY fold, sp.max_source_spread
+           |ORDER BY fold""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Neyman sample allocation (variance-optimal stratified sampling)
+  // ---------------------------------------------------------------------
+
+  /** NEYMAN allocation — how a fixed labeling/eval budget SHOULD split
+    * across sources: proportional-to-N_h·σ_h (the allocation that
+    * minimizes the stratified estimator's variance), versus the naive
+    * proportional-to-size split. Sources whose token lengths vary more
+    * get more of the budget; near-constant sources get less — the
+    * delta column is the read ("where naive sampling wastes labels").
+    *
+    * Determinism: per-stratum variance numerators are the exact
+    * integer identity N·Σx² − (Σx)²; each σ takes ONE double sqrt
+    * floored to e3; allocations are bigint mult-divs of a broadcast
+    * total.
+    *
+    * Scale: one corpus aggregate to |sources| rows; everything after
+    * is S-row arithmetic.
+    */
+  private val sampleNeyman = Q(
+    (s, dir) => {
+      val src = TS(s, dir, "documents")
+        .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("nh"), sum(col("n_toks")).as("sx"),
+          sum(col("n_toks") * col("n_toks")).as("sxx"))
+        .withColumn("s_e3", expr(
+          "cast(floor(sqrt(cast(nh * sxx - sx * sx as double) " +
+            "/ cast(nh * (nh - 1) as double)) * 1000) as bigint)"))
+        .withColumn("w", col("nh") * col("s_e3"))
+        .localCheckpoint(true)
+      val tot = src.agg(sum(col("w")).as("tw"), sum(col("nh")).as("tn"))
+      src.crossJoin(broadcast(tot))
+        .withColumn("alloc_neyman", expr("(1000 * w) div tw"))
+        .withColumn("alloc_prop", expr("(1000 * nh) div tn"))
+        .select(col("source"), col("nh"), col("s_e3"),
+          col("alloc_neyman"), col("alloc_prop"),
+          (col("alloc_neyman") - col("alloc_prop")).as("delta"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH src AS (
+           |  SELECT source, cast(count(*) as bigint) AS nh,
+           |    cast(sum(len(string_split(text, ' '))) as bigint) AS sx,
+           |    cast(sum(len(string_split(text, ' ')) * len(string_split(text, ' ')))
+           |      as bigint) AS sxx
+           |  FROM documents GROUP BY source
+           |), w AS (
+           |  SELECT source, nh,
+           |    cast(floor(sqrt(cast(nh * sxx - sx * sx as double)
+           |      / cast(nh * (nh - 1) as double)) * 1000) as bigint) AS s_e3
+           |  FROM src
+           |), ww AS (SELECT w.*, nh * s_e3 AS wt FROM w
+           |), tot AS (
+           |  SELECT cast(sum(wt) as bigint) AS tw, cast(sum(nh) as bigint) AS tn
+           |  FROM ww
+           |)
+           |SELECT ww.source, ww.nh, ww.s_e3,
+           |  (1000 * ww.wt) // tot.tw AS alloc_neyman,
+           |  (1000 * ww.nh) // tot.tn AS alloc_prop,
+           |  (1000 * ww.wt) // tot.tw - (1000 * ww.nh) // tot.tn AS delta
+           |FROM ww, tot ORDER BY ww.source""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "ns_corpus_kfold" -> corpusKfold,
+    "ns_sample_neyman" -> sampleNeyman,
     "ns_quality_krippendorff" -> qualityKrippendorff,
     "ns_embed_kcenter_init" -> embedKcenterInit,
     "ns_dedup_rate_curve" -> dedupRateCurve,
