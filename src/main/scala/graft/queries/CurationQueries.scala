@@ -8618,9 +8618,13 @@ object CurationQueries {
         val mind = e.join(broadcast(chosen), lit(true))
           .withColumn("d2", expr("nrm + c_nrm - 2 * scaled_dot(embedding, c_emb)"))
           .groupBy(col("vec_id")).agg(min(col("d2")).as("mind"))
-        val radius = mind.agg(max(col("mind")).as("rad")).collect()(0).getLong(0)
-        val pick = mind.orderBy(col("mind").desc, col("vec_id")).limit(1)
-          .collect()(0).getLong(0)
+        // the radius IS the picked row's own min-distance (it's the
+        // argmax), so one TakeOrdered collect serves both — halves the
+        // driver round-trips vs a separate max() job per round
+        val top = mind.orderBy(col("mind").desc, col("vec_id")).limit(1)
+          .collect()(0)
+        val pick = top.getLong(0)
+        val radius = top.getLong(1)
         out += ((r, pick, radius))
         if (r < 8) {
           chosen = chosen.unionAll(
