@@ -505,4 +505,29 @@ class StreamingSpec extends SparkSpec {
       .sortBy(t => (t._2, t._1))
     assert(got.sameElements(batch))
   }
+
+  test("dynamic-gap session window stream replays to the batch answer") {
+    // the streaming twin of ts_session_dynamic_gap: the per-event gap
+    // EXPRESSION (views 10 min, others 30) must produce the same
+    // interval-union sessions whether the events arrive as a stream or
+    // sit in a table — the replay-equivalence contract for the one
+    // session shape a fixed-gap lag can't express
+    val (in, cp) = freshDirs()
+    def gapped(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("gap",
+        when(col("event_type") === "view", lit("10 minutes"))
+          .otherwise(lit("30 minutes")))
+      .groupBy(session_window(col("ts"), col("gap")), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start"), col("user_id"), col("n"))
+    val got = EventStreams.runAvailableNow(
+        gapped(EventStreams.readEvents(spark, in)), "dyngap_sink", "complete", cp)
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._2, t._1))
+    val batch = gapped(Tables.load(spark, sfDir, "events"))
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._2, t._1))
+    assert(got.sameElements(batch))
+  }
 }
