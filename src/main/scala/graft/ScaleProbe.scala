@@ -293,7 +293,12 @@ object ScaleProbe {
       "ns_quality_krippendorff",
       // r14: kfold = one source-keyed rank window + grid rollups;
       // neyman = one corpus agg to S rows + S-row arithmetic
-      "ns_corpus_kfold", "ns_sample_neyman")
+      "ns_corpus_kfold", "ns_sample_neyman",
+      // r14: sorted-neighborhood = two block-keyed bounded lead windows
+      // (candidates <= 2*w*N) + the candidate-sized exact-Jaccard join;
+      // clone groups share normalized keys, so replication packs blocks
+      // denser — the window-sort and verify-join volume is the axis
+      "ns_dedup_sorted_neighborhood")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected

@@ -8803,7 +8803,109 @@ object CurationQueries {
            |  (1000 * ww.wt) // tot.tw - (1000 * ww.nh) // tot.tn AS delta
            |FROM ww, tot ORDER BY ww.source""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // Sorted-neighborhood blocking dedup (merge/purge)
+  // ---------------------------------------------------------------------
+
+  /** SORTED-NEIGHBORHOOD dedup — the classic sort-merge alternative to
+    * minhash banding (Hernandez/Stolfo merge-purge): normalize the text
+    * to a sort key, order the corpus by it, and propose only pairs
+    * within a sliding window of w=4 neighbors. Two passes with
+    * complementary keys (normalized prefix, reversed-text prefix =
+    * suffix key) so edits at either end of a document cannot hide a
+    * near-dup from both orderings; candidates are then verified with
+    * the EXACT shingle Jaccard (shared 3-gram pipeline), so the output
+    * is an audited pair list: (pair, how many passes proposed it,
+    * jac_e6, dup verdict at 0.5). On this fixture the prefix pass finds
+    * every true near-dup (tail-perturbed copies) and the suffix pass
+    * contributes only low-sim candidates — exactly the per-pass recall
+    * attribution the audit exists to measure.
+    *
+    * Scale: each pass is one hash-shuffle on the 8-char block key with
+    * a BOUNDED (w-row lead) window inside each block — never a
+    * corpus-wide single-reducer window, never all-pairs; candidate
+    * volume is <= 2*w*N rows, and the exact-Jaccard join touches only
+    * candidates. The block prefix keeps sort locality (near keys share
+    * the block), so at 100 TB this is two bounded-window passes plus a
+    * candidate-sized verify join.
+    */
+  private val dedupSortedNeighborhood = Q(
+    (s, dir) => {
+      val keys = TS(s, dir, "documents")
+        .withColumn("nrm", expr("regexp_replace(lower(text), '[^a-z0-9]', '')"))
+        .select(col("doc_id"),
+          expr("substring(nrm, 1, 32)").as("k1"),
+          expr("substring(reverse(nrm), 1, 32)").as("k2"))
+        .localCheckpoint(true)
+      def pass(kcol: String, p: Int) = {
+        val w = Window.partitionBy(expr(s"substring($kcol, 1, 8)"))
+          .orderBy(col(kcol), col("doc_id"))
+        keys.select(col("doc_id").as("a0"),
+            array((1 to 4).map(k => lead(col("doc_id"), k).over(w)): _*).as("nb"))
+          .select(col("a0"), explode(col("nb")).as("b0"))
+          .where(col("b0").isNotNull)
+          .select(least(col("a0"), col("b0")).as("a_id"),
+            greatest(col("a0"), col("b0")).as("b_id"), lit(p).as("pass"))
+      }
+      val cand = pass("k1", 1).union(pass("k2", 2))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(countDistinct(col("pass")).as("n_passes"))
+      val hs = TS(s, dir, "documents")
+        .withColumn("hs", expr(NorthStarQueries.hashedShinglesExpr))
+        .select(col("doc_id"), array_distinct(col("hs")).as("hset"))
+        .localCheckpoint(true)
+      cand
+        .join(hs.select(col("doc_id").as("a_id"), col("hset").as("a_h")), Seq("a_id"))
+        .join(hs.select(col("doc_id").as("b_id"), col("hset").as("b_h")), Seq("b_id"))
+        .withColumn("inter", size(array_intersect(col("a_h"), col("b_h"))).cast("long"))
+        .withColumn("jac_e6", expr(
+          "coalesce((inter * 1000000) div nullif(size(a_h) + size(b_h) - inter, 0), 1000000)"))
+        .select(col("a_id"), col("b_id"), col("n_passes"), col("jac_e6"),
+          expr("cast(jac_e6 >= 500000 as bigint)").as("is_dup"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some(s"""WITH hsh AS (
+            |  SELECT doc_id, ${NorthStarQueries.hashedShinglesSql} AS hs FROM documents
+            |), d AS (
+            |  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS nrm
+            |  FROM documents
+            |), keys AS (
+            |  SELECT doc_id, substr(nrm, 1, 32) AS k1, substr(reverse(nrm), 1, 32) AS k2
+            |  FROM d
+            |), c1 AS (
+            |  SELECT doc_id AS a0, [lead(doc_id, 1) OVER w1, lead(doc_id, 2) OVER w1,
+            |    lead(doc_id, 3) OVER w1, lead(doc_id, 4) OVER w1] AS nb
+            |  FROM keys WINDOW w1 AS (PARTITION BY substr(k1, 1, 8) ORDER BY k1, doc_id)
+            |), c2 AS (
+            |  SELECT doc_id AS a0, [lead(doc_id, 1) OVER w2, lead(doc_id, 2) OVER w2,
+            |    lead(doc_id, 3) OVER w2, lead(doc_id, 4) OVER w2] AS nb
+            |  FROM keys WINDOW w2 AS (PARTITION BY substr(k2, 1, 8) ORDER BY k2, doc_id)
+            |), cand AS (
+            |  SELECT least(a0, b0) AS a_id, greatest(a0, b0) AS b_id, 1 AS pass
+            |  FROM (SELECT a0, unnest(nb) AS b0 FROM c1) WHERE b0 IS NOT NULL
+            |  UNION ALL
+            |  SELECT least(a0, b0), greatest(a0, b0), 2
+            |  FROM (SELECT a0, unnest(nb) AS b0 FROM c2) WHERE b0 IS NOT NULL
+            |), agg AS (
+            |  SELECT a_id, b_id, cast(count(DISTINCT pass) as bigint) AS n_passes
+            |  FROM cand GROUP BY 1, 2
+            |), hset AS (SELECT doc_id, list_distinct(hs) AS hset FROM hsh),
+            |j AS (
+            |  SELECT g.a_id, g.b_id, g.n_passes,
+            |    coalesce((cast(len(list_filter(ha.hset, x -> list_contains(hb.hset, x)))
+            |        as bigint) * 1000000)
+            |      // nullif(cast(len(ha.hset) + len(hb.hset)
+            |        - len(list_filter(ha.hset, x -> list_contains(hb.hset, x)))
+            |        as bigint), 0), 1000000) AS jac_e6
+            |  FROM agg g JOIN hset ha ON ha.doc_id = g.a_id
+            |  JOIN hset hb ON hb.doc_id = g.b_id
+            |)
+            |SELECT a_id, b_id, n_passes, jac_e6,
+            |  cast(CASE WHEN jac_e6 >= 500000 THEN 1 ELSE 0 END as bigint) AS is_dup
+            |FROM j ORDER BY a_id, b_id""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "ns_dedup_sorted_neighborhood" -> dedupSortedNeighborhood,
     "ns_corpus_kfold" -> corpusKfold,
     "ns_sample_neyman" -> sampleNeyman,
     "ns_quality_krippendorff" -> qualityKrippendorff,
