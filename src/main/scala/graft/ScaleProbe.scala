@@ -352,7 +352,11 @@ object ScaleProbe {
       "ts_disorder_profile",
       // r14: markov = one user-keyed lag window + a |types|^2 agg;
       // the power iterations are 25-row frames
-      "ts_markov_transitions")
+      "ts_markov_transitions",
+      // r14: ewma = one user-keyed 16-lag window (bounded in-partition
+      // state) + map-side dyadic arithmetic; clone users keep per-user
+      // tap depth invariant, growth isolates event volume
+      "ts_ewma_smooth")
     if (evtNames.exists(enabled)) {
       val evtReps = spark.range(docMult).select(col("id").as("rep"))
       Tables.load(spark, sfDir, "events")

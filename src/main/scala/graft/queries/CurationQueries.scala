@@ -8904,7 +8904,72 @@ object CurationQueries {
             |  cast(CASE WHEN jac_e6 >= 500000 THEN 1 ELSE 0 END as bigint) AS is_dup
             |FROM j ORDER BY a_id, b_id""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // Exact per-key EWMA smoothing (dyadic weights)
+  // ---------------------------------------------------------------------
+
+  /** EWMA SMOOTHING — per-user exponentially-weighted moving average of
+    * the event value with a burst flag (value > 2x its smoothed level),
+    * the standard low-latency baseline for per-entity rate/spend
+    * monitoring. alpha = 1/2 truncated at 16 taps makes every weight a
+    * POWER OF TWO, so the whole smoother is exact bigint arithmetic
+    * (value -> decimal(18,4) -> e4 fixed point; numerator = sum of
+    * lag_k * 2^(15-k); denominator = sum of the weights actually
+    * present, so the warm-up ramp is exact too) — no float recursion,
+    * bit-identical across engines, and the truncation error (< 2^-16 of
+    * one tap) is BELOW the e4 quantum by construction.
+    *
+    * Scale: ONE hash-shuffle on user_id; the 16-lag window is bounded
+    * in-partition state (16 longs per key), everything else is map-side
+    * expression work — the plan is a single exchange at any corpus size.
+    */
+  private val tsEwmaSmooth = Q(
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val lags = (0 until 16).map { k =>
+        val wgt = 1L << (15 - k)
+        val lg = if (k == 0) col("v_e4") else lag(col("v_e4"), k).over(w)
+        (coalesce(lg, lit(0L)) * lit(wgt),
+          when(lg.isNotNull, lit(wgt)).otherwise(lit(0L)))
+      }
+      TS(s, dir, "events")
+        .withColumn("v_e4", expr("cast(cast(value as decimal(18,4)) * 10000 as bigint)"))
+        .withColumn("num", lags.map(_._1).reduce(_ + _))
+        .withColumn("den", lags.map(_._2).reduce(_ + _))
+        .withColumn("ewma_e4", expr("num div den"))
+        .select(col("event_id"), col("user_id"), col("v_e4"), col("ewma_e4"),
+          (col("v_e4") - col("ewma_e4")).as("dev_e4"),
+          expr("cast(v_e4 > 2 * ewma_e4 as bigint)").as("is_burst"))
+        .orderBy(col("event_id"))
+    },
+    Some {
+      val num = (0 until 16).map { k =>
+        val wgt = 1L << (15 - k)
+        if (k == 0) s"v_e4 * $wgt" else s"coalesce(lag(v_e4, $k) OVER w, 0) * $wgt"
+      }.mkString(" + ")
+      val den = (0 until 16).map { k =>
+        val wgt = 1L << (15 - k)
+        if (k == 0) s"$wgt"
+        else s"CASE WHEN lag(v_e4, $k) OVER w IS NOT NULL THEN $wgt ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH base AS (
+         |  SELECT event_id, user_id, ts,
+         |    cast(cast(value as decimal(18,4)) * 10000 as bigint) AS v_e4
+         |  FROM events
+         |), sm AS (
+         |  SELECT event_id, user_id, v_e4,
+         |    cast($num as bigint) AS num,
+         |    cast($den as bigint) AS den
+         |  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |)
+         |SELECT event_id, user_id, v_e4, num // den AS ewma_e4,
+         |  v_e4 - num // den AS dev_e4,
+         |  cast(CASE WHEN v_e4 > 2 * (num // den) THEN 1 ELSE 0 END as bigint) AS is_burst
+         |FROM sm ORDER BY event_id""".stripMargin
+    })
+
   val all: Map[String, Q] = Map(
+    "ts_ewma_smooth" -> tsEwmaSmooth,
     "ns_dedup_sorted_neighborhood" -> dedupSortedNeighborhood,
     "ns_corpus_kfold" -> corpusKfold,
     "ns_sample_neyman" -> sampleNeyman,
