@@ -105,8 +105,9 @@ object Tables {
   sealed trait TsEncoding
   object TsEncoding {
     /** INT64 TIMESTAMP(NANOS) — Spark has no nanosecond TimestampType,
-      * so the column is read as the raw INT64
-      * (`spark.sql.legacy.parquet.nanosAsLong`) and truncated to a
+      * so the column is read as the raw INT64 (an explicit LongType
+      * read schema decodes the physical INT64 directly — no session
+      * conf needed; asserted in TsEncodingSpec) and truncated to a
       * microsecond timestamp (`ts div 1000` — integer arithmetic, no
       * double rounding), matching DuckDB's ns→µs truncation on read.
       * Unannotated INT64 is treated the same (raw epoch-nanos), the
@@ -271,23 +272,38 @@ object Tables {
       cols.map(c => c -> tsEncodingFor(spark, s"$dir/$name.parquet", c)).toMap)
   }
 
-  /** Detect the encodings of the given timestamp columns at `path` and,
-    * if ANY is NANOS, set the legacy conf the scan requires. The conf is
-    * runtime-settable but STICKY: the scan consults it lazily at
-    * execution time, so it cannot be safely set/restored around this
-    * call — once any ns fixture has been prepared, the session reads
-    * ALL ns-annotated parquet (fixture or ad-hoc) as raw INT64 for the
-    * rest of the JVM. That is the fixture contract here (ns columns are
-    * normalized via [[normalizeTs]]); callers doing ad-hoc
-    * `spark.read.parquet` of ns-annotated files after a fixture read
-    * will see LongType where a fresh session would error.
+  /** Detect the encodings of the given timestamp columns at `path`.
+    * Detection mutates NO session state: every graft read of a NANOS
+    * column goes through an EXPLICIT LongType read schema (batch
+    * `spark.read.schema`, `readStream.schema`, catalog DDL), and the
+    * parquet reader decodes the physical INT64 directly under a
+    * requested LongType — the session-wide
+    * `spark.sql.legacy.parquet.nanosAsLong` conf is only needed for
+    * schema INFERENCE, which graft never relies on for fixture data
+    * (the one inference read, [[reconcileOrFail]]'s footer check, sets
+    * and restores the conf around its own eager schema resolution).
+    * So ad-hoc `spark.read.parquet` behavior elsewhere in the session
+    * is identical before and after any fixture read — asserted in
+    * TsEncodingSpec ("ns fixture reads leave ad-hoc reads untouched").
     */
   private[graft] def prepareTsRead(
-      spark: SparkSession, path: String, cols: Seq[String]): Map[String, TsEncoding] = {
-    val encs = cols.map(c => c -> tsEncodingFor(spark, path, c)).toMap
-    if (encs.valuesIterator.contains(TsEncoding.NanosLong))
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    encs
+      spark: SparkSession, path: String, cols: Seq[String]): Map[String, TsEncoding] =
+    cols.map(c => c -> tsEncodingFor(spark, path, c)).toMap
+
+  /** Run `body` with the ns-inference legacy conf set, restoring the
+    * previous value after. ONLY safe around EAGER schema resolution
+    * (`spark.read.parquet(...).schema` resolves footers at call time);
+    * a lazily-executed scan would consult the restored value.
+    */
+  private def withNanosInference[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 
   /** [[prepareTsRead]] for the events stream/batch read path. */
@@ -386,7 +402,11 @@ object Tables {
       .getFileStatus(file.get)
     val key = canon(path) + "#" + st.getModificationTime + ":" + st.getLen
     reconcileCache.computeIfAbsent(key, { _ =>
-      val footer = spark.read.parquet(file.get.toString).schema
+      // inference read: a NANOS-era fixture needs the legacy conf to
+      // infer at all; scoped here because the .schema resolution is
+      // eager (footers are read at the spark.read call, not at scan)
+      val footer = withNanosInference(spark)(
+        spark.read.parquet(file.get.toString).schema)
       val have = footer.fields.map(f => f.name -> typeShape(f.dataType)).toMap
       val tsCols = tsColumnsOf(name).toSet
       schemas(name).fields.foreach { f =>
@@ -417,6 +437,19 @@ object Tables {
     * targeted error (or sanctioned null-fill), never an opaque scan
     * failure or silent mis-decode.
     */
+  /** The direct (non-catalog) fixture scan: explicit schema + a
+    * `pathGlobFilter` restricting the listing to `*.parquet`, so a
+    * stray non-parquet sibling (marker file, csv, log) dropped into a
+    * part-file directory is SKIPPED by the scan — matching
+    * [[resolveParquetFile]]'s footer-resolution semantics — instead of
+    * failing the whole read with an opaque FAILED_READ_FILE. A
+    * single-FILE fixture (`events.parquet`) matches the glob by its own
+    * leaf name, so both fixture layouts read identically.
+    */
+  private def fixtureRead(
+      spark: SparkSession, schema: StructType, path: String): DataFrame =
+    spark.read.schema(schema).option("pathGlobFilter", "*.parquet").parquet(path)
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // Prefer the stats-bearing catalog table when registerWithStats ran
     // for THIS dir in this session — identical data/schema, but the scan
@@ -431,7 +464,7 @@ object Tables {
     if (cols.isEmpty) {
       reconcileOrFail(spark, dir, name)
       if (useCatalog) spark.table(tbl)
-      else spark.read.schema(schemas(name)).parquet(s"$dir/$name.parquet")
+      else fixtureRead(spark, schemas(name), s"$dir/$name.parquet")
     } else {
       // ts detection first: reconcile's footer read needs the NANOS
       // legacy conf in place for ns-generation files
@@ -453,7 +486,7 @@ object Tables {
         })
       val df =
         if (catalogFresh) spark.table(tbl)
-        else spark.read.schema(want).parquet(s"$dir/$name.parquet")
+        else fixtureRead(spark, want, s"$dir/$name.parquet")
       normalizeTs(df, cols)
     }
   }
@@ -524,9 +557,12 @@ object Tables {
       val schema = schemaFor(spark, abs, name)
       val t = statsTableName(dir, name)
       dropIfSchemaDrifted(spark, t, schema)
+      // pathGlobFilter mirrors [[fixtureRead]]: stray non-parquet
+      // siblings in a part-file directory are skipped, not fatal
       spark.sql(
         s"""CREATE TABLE IF NOT EXISTS $t (${schema.toDDL})
-           |USING PARQUET LOCATION '$abs/$name.parquet'""".stripMargin)
+           |USING PARQUET OPTIONS (pathGlobFilter '*.parquet')
+           |LOCATION '$abs/$name.parquet'""".stripMargin)
       spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS")
       // column stats only for atomic types — ANALYZE rejects array/map
       val atomic = schema.fields.collect {

@@ -66,15 +66,13 @@ object PersistentCatalog {
     * process restart: any later session over the same metastore sees
     * the tables immediately — the "register fixtures once" contract.
     *
-    * NANOS-era caveat: when the events fixture is INT64
-    * TIMESTAMP(NANOS), scanning its external table requires the
-    * `spark.sql.legacy.parquet.nanosAsLong` RUNTIME conf, which
-    * [[graft.Tables.prepareTsRead]] sets on the session that runs
-    * [[bootstrap]]/[[registerExternal]] — but runtime confs do not
-    * propagate to `spark.newSession()` or a fresh restart. A derived or
-    * restarted session must re-run [[bootstrap]] (idempotent, metadata
-    * only) before querying the events table directly; µs/INT96 fixtures
-    * (the current generation) need nothing.
+    * NANOS-era note: when the events fixture is INT64 TIMESTAMP(NANOS),
+    * the table's declared ts DDL is BIGINT ([[graft.Tables.schemaFor]])
+    * and the scan decodes the physical INT64 directly under that
+    * requested type — no session conf involved (TsEncodingSpec), so a
+    * derived `spark.newSession()` or restarted session can query the
+    * table with no re-preparation beyond [[bootstrap]]'s idempotent
+    * metadata registration.
     *
     * The fixtures are single FILES, so Hive-compatible table persistence
     * (which requires a directory location) falls back to Spark-native
@@ -94,9 +92,12 @@ object PersistentCatalog {
       // IF NOT EXISTS would silently keep it, so drop on schema drift
       val t = tableName(name)
       Tables.dropIfSchemaDrifted(spark, t, schema)
+      // pathGlobFilter mirrors Tables.fixtureRead: a stray non-parquet
+      // sibling in a part-file directory is skipped, not fatal
       spark.sql(
         s"""CREATE TABLE IF NOT EXISTS $t (${schema.toDDL})
-           |USING PARQUET LOCATION '$dir/$name.parquet'""".stripMargin)
+           |USING PARQUET OPTIONS (pathGlobFilter '*.parquet')
+           |LOCATION '$dir/$name.parquet'""".stripMargin)
     }
 
   /** Collect table-level (row count, size) and column-level (NDV,

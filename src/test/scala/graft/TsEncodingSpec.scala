@@ -262,6 +262,106 @@ class TsEncodingSpec extends SparkSpec {
     assert(got == expectedLiterals)
   }
 
+  test("explicit LongType read schema decodes NANOS with no session conf") {
+    // the mechanism that lets prepareTsRead mutate no session state:
+    // the parquet reader decodes a physical INT64 directly when the
+    // REQUESTED type is LongType, regardless of the NANOS annotation —
+    // the nanosAsLong conf only gates schema INFERENCE
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    val dir = s"$workDir/explicit-ns-${System.nanoTime()}"
+    writeNanosFixture(dir)
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val got = spark.read
+      .schema(StructType(Seq(StructField("event_id", LongType), StructField("ts", LongType))))
+      .parquet(s"$dir/events.parquet")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val want = literals.map { case (id, iso, _, _, _, _) => (id, micros(iso) * 1000L) }
+    assert(got == want)
+  }
+
+  test("ns fixture reads leave ad-hoc reads untouched (conf not sticky)") {
+    // VERDICT r14 item 3: touching a ns fixture must not silently
+    // re-type unrelated ad-hoc spark.read.parquet for the rest of the
+    // session. An ad-hoc INFERENCE read of a ns-annotated file must
+    // behave identically before and after a fixture load: same outcome,
+    // same error class if it errors.
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    val adhocDir = s"$workDir/adhoc-ns-${System.nanoTime()}"
+    val fixtureDir = s"$workDir/fixture-ns-${System.nanoTime()}"
+    writeNanosFixture(adhocDir)
+    writeNanosFixture(fixtureDir)
+    def adhocOutcome(): String =
+      try spark.read.parquet(s"$adhocDir/events.parquet").schema("ts").dataType.simpleString
+      catch { case e: Throwable => s"throws:${e.getClass.getName}" }
+    val before = adhocOutcome()
+    // the full fixture path: detection + reconcile + load + collect
+    assert(loadedLiterals(fixtureDir) == expectedLiterals)
+    val after = adhocOutcome()
+    assert(after == before,
+      s"ad-hoc ns inference read changed from '$before' to '$after' after a fixture load")
+    assert(!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "fixture load left the session-wide nanosAsLong conf set")
+  }
+
+  test("stats-registered dir: mid-JVM ns regeneration is never served stale") {
+    // VERDICT r14 item 2: once a dir is stats-registered, load() serves
+    // the catalog table whose ts DDL was frozen at registration. A
+    // mid-JVM fixture regeneration that flips µs→ns must bypass the
+    // stale catalog type (fall back to the footer-aware direct read),
+    // never decode wrong-unit values through it.
+    val dir = s"$workDir/statsregen"
+    val p = Paths.get(dir)
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(q => { Files.deleteIfExists(q); () })
+      finally walk.close()
+    }
+    Files.createDirectories(p)
+    for (t <- Tables.schemas.keys)
+      Files.copy(Paths.get(s"$sfDir/$t.parquet"), Paths.get(s"$dir/$t.parquet"))
+    Tables.registerWithStats(spark, dir)
+    // µs generation through the catalog path: typed + plausible range
+    val viaCatalog = Tables.load(spark, dir, "events")
+    assert(viaCatalog.schema("ts").dataType == TimestampType)
+    assert(viaCatalog.count() > 0)
+    // regenerate events as the ns generation at the same path
+    Files.delete(Paths.get(s"$dir/events.parquet"))
+    writeNanosFixture(dir)
+    // load() against the still-registered dir must serve the literals
+    // (fresh footer detection disagrees with the frozen catalog DDL →
+    // direct footer-aware read), not nanos misread through the µs DDL
+    assert(loadedLiterals(dir) == expectedLiterals)
+  }
+
+  test("a stray non-parquet file in a fixture dir is skipped by footer resolution") {
+    // VERDICT r14 item 6: resolveParquetFile must not pick a marker /
+    // csv / log sibling as the "footer" file and fail the load opaquely
+    val dir = s"$workDir/stray-${System.nanoTime()}"
+    val staging = s"$dir-staging"
+    writeMicrosFixture(staging, ntz = true)
+    Files.createDirectories(Paths.get(s"$dir/events.parquet"))
+    val listing = Files.list(Paths.get(s"$staging/events.parquet"))
+    val part =
+      try listing.filter(q => q.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      finally listing.close()
+    Files.copy(part, Paths.get(s"$dir/events.parquet/part-00000.parquet"))
+    // stray siblings that sort BEFORE the part file
+    Files.write(Paths.get(s"$dir/events.parquet/aaa-marker.txt"),
+      "not parquet".getBytes("UTF-8"))
+    Files.write(Paths.get(s"$dir/events.parquet/log.csv"),
+      "a,b\n1,2\n".getBytes("UTF-8"))
+    assert(Tables.eventsTsEncoding(spark, s"$dir/events.parquet") ==
+      Tables.TsEncoding.Native(false))
+    assert(loadedLiterals(dir) == expectedLiterals)
+    // a dir holding ONLY strays is "no data yet", not an opaque failure
+    val onlyStrays = s"$workDir/strayonly-${System.nanoTime()}"
+    Files.createDirectories(Paths.get(onlyStrays))
+    Files.write(Paths.get(s"$onlyStrays/junk.txt"), "x".getBytes("UTF-8"))
+    assert(!Tables.hasParquetData(spark, onlyStrays))
+  }
+
   test("real fixture dir decodes to the documented 2024-01 event range") {
     val df = Tables.load(spark, sfDir, "events")
     val r = df.agg(min("ts").as("lo"), max("ts").as("hi"), count(lit(1)).as("n"))
