@@ -87,6 +87,36 @@ object PhaseSplit {
     println(f"[phase-split] $name min construct ${rows.map(_._2).min}%.3f s, " +
       f"min plan ${rows.map(_._3).min}%.3f s, min exec ${rows.map(_._4).min}%.3f s, " +
       f"min total ${rows.map(_._5).min}%.3f s")
+    // The AQE-FINAL plan of one more execution — the static explain shows
+    // duplicated subtrees even when runtime exchange reuse serves them
+    // from one computation, so reuse claims must be checked HERE. The
+    // write action runs its OWN QueryExecution (df.queryExecution never
+    // executes), so capture the executed one via a listener.
+    val captured = new java.util.concurrent.atomic.AtomicReference[String]("")
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        captured.set(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    })
+    val df = fn(spark, sfDir)
+    df.write.mode("overwrite").format("noop").save()
+    org.apache.spark.graftbench.ListenerFlush.drain(spark.sparkContext)
+    val fin = captured.get
+    val reused = fin.linesIterator.count(_.contains("ReusedExchange"))
+    val scans = fin.linesIterator.count(_.contains("Scan parquet"))
+    val gens = fin.linesIterator.count(_.contains("Generate"))
+    // Under AQE a REUSED shuffle stage prints as the same
+    // "ShuffleQueryStage n" id appearing more than once — distinct ids
+    // vs mentions is the truthful reuse count.
+    val stageIds = raw"ShuffleQueryStage (\d+)".r
+      .findAllMatchIn(fin).map(_.group(1)).toSeq
+    println(s"[phase-split] $name AQE-final: $scans parquet scans, " +
+      s"$gens generates, $reused ReusedExchange nodes, " +
+      s"${stageIds.size} ShuffleQueryStage mentions of " +
+      s"${stageIds.distinct.size} distinct ids")
+    if (sys.env.get("SPARK_GRAFT_PRINT_PLAN").contains("1")) println(fin)
     spark.stop()
   }
 }

@@ -3226,22 +3226,52 @@ object NorthStarQueries {
     * table, and the N/avgdl scalar all broadcast. At 100 TB this is one
     * keyed shuffle over the postings of the queried terms only.
     */
+  /** dl (= token count when splitting on ' ') is spaces+1 — a cheap
+    * character scan, NOT size(split(...)): consumers that only need the
+    * length never tokenize. Identical value to `len(string_split)` for
+    * every input (consecutive spaces produce empty tokens in both).
+    */
+  private def bm25Docs(s: SparkSession, dir: String): DataFrame =
+    TS(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        (length(col("text")) - length(translate(col("text"), " ", ""))
+          + lit(1)).as("dl"))
+
+  /** The PRE-materialization postings aggregate — tf per (doc, term)
+    * over the query vocabulary, with the vocab filter BELOW the
+    * aggregate's exchange so the shuffle carries matching postings
+    * only. Exposed un-checkpointed for PlanFeaturesSpec to assert that
+    * filter placement (the materialized form hides the subtree behind a
+    * LogicalRDD).
+    */
+  private[graft] def bm25Postings(s: SparkSession, dir: String): DataFrame =
+    bm25Docs(s, dir)
+      .select(col("doc_id"), col("dl"), explode(split(col("text"), " ")).as("term"))
+      .where(col("term").isInCollection(bm25QTerms.map(_._2).distinct))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(max(col("dl")).as("dl"), count(lit(1)).as("tf"))
+
   private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
-    val docs = TS(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .withColumn("dl", size(col("toks")))
-    val scal = docs
+    // avgdl from the split-free dl: the r15 phase-split measured the
+    // split-based avgdl scan at 4.5 CPU-s of the query's 14 — a second
+    // full tokenization for two scalars.
+    val scal = bm25Docs(s, dir)
       .agg(count(lit(1)).as("n_docs"), sum(col("dl").cast("long")).as("sum_dl"))
       .select(col("n_docs"),
         (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
-    val toks = docs
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-      .where(col("term").isInCollection(bm25QTerms.map(_._2).distinct))
-    val tf = toks.groupBy(col("doc_id"), col("term"))
-      .agg(max(col("dl")).as("dl"), count(lit(1)).as("tf"))
-    // df from the (doc, term)-distinct tf aggregate, not a second pass
-    // over the corpus: the duplicated tf subtree is byte-identical, so
-    // AQE's ReusedExchange serves both consumers from ONE scan+explode
+    // The postings aggregate materializes ONCE (localCheckpoint —
+    // postings-sized: only tokens matching the query vocabulary survive
+    // the pre-shuffle filter) and BOTH consumers (df and the scoring
+    // join) read the materialized rows. The r14 draft instead relied on
+    // AQE ReusedExchange serving the two consumers from one scan, but
+    // column pruning gives the df branch a NARROWER partial-agg schema
+    // (no dl), the exchanges stop canonicalizing equal, and the corpus
+    // scan+split+explode ran twice — measured r15 as two 4.3-8.8 CPU-s
+    // stages where one should exist (PLANS.md "r15 bm25 root-cause").
+    // Materializing the postings is also the 100 TB shape: an index
+    // build writes postings once, df and scoring are postings-sized
+    // reads.
+    val tf = bm25Postings(s, dir).localCheckpoint(true)
     val dfq = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
     val qt = {

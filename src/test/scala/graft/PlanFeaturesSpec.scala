@@ -373,13 +373,23 @@ class PlanFeaturesSpec extends SparkSpec {
     }
     assert(bhj.size >= 2, s"df + query-table joins should broadcast, got ${bhj.size}")
     // the query-vocabulary filter runs below the (doc, term) aggregate's
-    // exchange, so the shuffle carries matching postings only
-    val opt = q.queryExecution.optimizedPlan
+    // exchange, so the shuffle carries matching postings only. The
+    // scoring query materializes the postings (localCheckpoint) so the
+    // subtree hides behind a LogicalRDD there — assert the placement on
+    // the exposed pre-materialization postings plan instead.
+    val postings = graft.queries.NorthStarQueries.bm25Postings(spark, sfDir)
+    val opt = postings.queryExecution.optimizedPlan
     val filtersOnTerm = opt.collect {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter
           if f.condition.references.exists(_.name == "term") => f
     }
     assert(filtersOnTerm.nonEmpty, s"query-vocabulary filter missing:\n$opt")
+    val aggAboveFilter = opt.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if a.collectLeaves() == filtersOnTerm.head.collectLeaves() => a
+    }
+    assert(aggAboveFilter.nonEmpty,
+      s"the (doc, term) aggregate should sit ABOVE the vocab filter:\n$opt")
   }
 
   test("rrf fusion inputs are top-k-pruned map-side (WindowGroupLimit)") {
