@@ -449,7 +449,13 @@ object ScaleProbe {
       // r14: two-stage maxsim = broadcast-centroid assignment +
       // cell-keyed shortlist join paying the native kernel, plus the
       // exact audit join; shortlist occupancy grows with replication
-      "ns_sim_maxsim_ivf")
+      "ns_sim_maxsim_ivf",
+      // r15: sub-vector (PLAID) routing = the map-side (vector x slot)
+      // assignment vs the 128-row broadcast sub-centroid table + a
+      // cell-keyed shortlist join; replication multiplies per-cell
+      // membership, so shortlist growth is the stress axis (the
+      // maxsim_ivf class with an 8x denser index)
+      "ns_sim_maxsim_plaid")
     // probes over the embeddings fixture that do NOT resolve through the
     // query catalog (custom parameterization below)
     val customVecProbes = Seq("ns_dedup_semantic_kprop")
@@ -523,6 +529,7 @@ object ScaleProbe {
       timeVec("ns_sim_maxsim")
       timeVec("ns_sim_recall_curve")
       timeVec("ns_sim_maxsim_ivf")
+      timeVec("ns_sim_maxsim_plaid")
       // kcenter: 8 rounds, each one broadcast join vs <=8 centers + a
       // global top-1 — k corpus passes, map-bounded
       timeVec("ns_embed_kcenter_init")

