@@ -298,7 +298,12 @@ object ScaleProbe {
       // (candidates <= 2*w*N) + the candidate-sized exact-Jaccard join;
       // clone groups share normalized keys, so replication packs blocks
       // denser — the window-sort and verify-join volume is the axis
-      "ns_dedup_sorted_neighborhood")
+      "ns_dedup_sorted_neighborhood",
+      // r15: exact-substr = one tokenize pass into (site, gram-hash)
+      // rows; replication multiplies every gram's occurrence count so
+      // ~ALL positions flag as duplicated (worst-case coverage) — the
+      // gram-keyed stats agg and the site⋈stats join volume is the axis
+      "ns_dedup_exact_substr")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected

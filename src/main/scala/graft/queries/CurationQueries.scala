@@ -8141,6 +8141,123 @@ object CurationQueries {
             |ORDER BY t.q_id, t.rnk""".stripMargin))
 
   // ---------------------------------------------------------------------
+  // Exact duplicated-span dedup (the ExactSubstr class)
+  // ---------------------------------------------------------------------
+
+  /** Duplicated-span detection window: a span counts as duplicated when
+    * a run of at least this many consecutive tokens recurs anywhere in
+    * the corpus (the published method uses 50 tokens over BPE ids at
+    * crawl scale; 8 matches the fixture's document lengths and the
+    * memorization operator's n-gram scale).
+    */
+  private val XS_L = 8
+
+  /** EXACT duplicated-span dedup — the ExactSubstr method (Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better"):
+    * find every maximal token span of length >= L that occurs more than
+    * once in the corpus, and attribute each to its globally-first
+    * occurrence so a keep-first rewrite (the `ns_dedup_rewrite`
+    * composition) can drop the repeats. Exactness without a suffix
+    * array: a position is covered by a duplicated span of length >= L
+    * iff some L-gram window containing it recurs, so duplicated L-gram
+    * start positions, island-merged per document (coverage union:
+    * merge when `next_start <= prev_end + 1`), reconstruct the maximal
+    * spans exactly. Per span: token extent, the covering L-gram count,
+    * and `is_first` — whether this document at this offset is the
+    * globally-first site of the span's LEADING gram (min packed
+    * (doc_id, pos), the deterministic keep-first owner).
+    *
+    * Determinism: gram identity is sha256 of the joined tokens (the
+    * `ns_dedup_exact` collision-free-by-contract identity, bounding
+    * shuffle keys at 64 chars); first-site attribution is an exact
+    * bigint min over `doc_id * 1e6 + pos` packed keys; the island
+    * running-max is integer arithmetic over a doc-keyed window.
+    *
+    * Scale: one tokenize pass emits (site, gram-hash) rows; gram stats
+    * are a partial-aggregable keyed count (hot boilerplate grams
+    * partial-aggregate map-side, never collect on one reducer as a
+    * window would); the site⋈stats join is gram-keyed — NO corpus
+    * self-join, the containment/inverted-index shape; the island merge
+    * windows only over each doc's DUPLICATED sites (doc-length
+    * bounded). The L-token join strings never shuffle — only their
+    * 64-char hashes do.
+    */
+  private val dedupExactSubstr = Q(
+    (s, dir) => {
+      val L = XS_L
+      val g = TS(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .where(size(col("w")) >= L)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(1, size(w) - ${L - 1}), " +
+            s"i -> sha2(array_join(slice(w, i, $L), ' '), 256))"))
+          .as(Seq("pos0", "gk")))
+      val stats = g.groupBy(col("gk"))
+        .agg(count(lit(1)).as("c"),
+          min(col("doc_id") * lit(1000000L) + col("pos0")).as("fk"))
+        .where(col("c") >= 2)
+      val sites = g.join(stats, Seq("gk"))
+        .select(col("doc_id"), col("pos0"), col("fk"))
+      val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos0"))
+      val spans = sites
+        .withColumn("prev_end", max(col("pos0") + lit(L - 1))
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("new_isl",
+          when(col("prev_end").isNull || col("pos0") > col("prev_end") + 1, 1L)
+            .otherwise(0L))
+        .withColumn("isl", sum(col("new_isl")).over(wOrd))
+        .groupBy(col("doc_id"), col("isl"))
+        .agg(min(col("pos0")).as("span_start"),
+          (max(col("pos0")) + lit(L - 1)).cast("long").as("span_end"),
+          count(lit(1)).as("n_grams"),
+          min_by(col("fk"), col("pos0")).as("owner_fk"))
+      spans
+        .select(col("doc_id"), col("span_start").cast("long").as("span_start"),
+          col("span_end"),
+          (col("span_end") - col("span_start") + 1).cast("long").as("span_tokens"),
+          col("n_grams"),
+          (col("owner_fk") === col("doc_id") * lit(1000000L) + col("span_start"))
+            .as("is_first"))
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+    Some(s"""WITH wd AS (
+            |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            |  WHERE len(string_split(text, ' ')) >= $XS_L
+            |), g AS (
+            |  SELECT doc_id, i - 1 AS pos0,
+            |    sha256(array_to_string(w[i:i+${XS_L - 1}], ' ')) AS gk
+            |  FROM (SELECT doc_id, w,
+            |          unnest(generate_series(1, len(w) - ${XS_L - 1})) AS i
+            |        FROM wd)
+            |), stats AS (
+            |  SELECT gk, count(*) AS c, min(doc_id * 1000000 + pos0) AS fk
+            |  FROM g GROUP BY gk HAVING count(*) >= 2
+            |), sites AS (
+            |  SELECT g.doc_id, g.pos0, s.fk FROM g JOIN stats s USING (gk)
+            |), isl AS (
+            |  SELECT doc_id, pos0, fk,
+            |    cast(sum(CASE WHEN prev_end IS NULL OR pos0 > prev_end + 1
+            |      THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos0)
+            |      as bigint) AS isl
+            |  FROM (
+            |    SELECT doc_id, pos0, fk,
+            |      max(pos0 + ${XS_L - 1}) OVER (PARTITION BY doc_id ORDER BY pos0
+            |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+            |    FROM sites)
+            |), sp AS (
+            |  SELECT doc_id, isl, min(pos0) AS span_start,
+            |    max(pos0) + ${XS_L - 1} AS span_end,
+            |    count(*) AS n_grams, arg_min(fk, pos0) AS owner_fk
+            |  FROM isl GROUP BY doc_id, isl
+            |)
+            |SELECT doc_id, cast(span_start as bigint) AS span_start,
+            |  cast(span_end as bigint) AS span_end,
+            |  cast(span_end - span_start + 1 as bigint) AS span_tokens,
+            |  cast(n_grams as bigint) AS n_grams,
+            |  owner_fk = doc_id * 1000000 + span_start AS is_first
+            |FROM sp ORDER BY doc_id, span_start""".stripMargin))
+
+  // ---------------------------------------------------------------------
   // MaxSim-aware (sub-vector) ANN routing — the PLAID/ColBERT pattern
   // ---------------------------------------------------------------------
 
@@ -9135,6 +9252,7 @@ object CurationQueries {
     "ns_multimodal_image_stats" -> multimodalImageStats,
     "ns_sim_maxsim_ivf" -> simMaxsimIvf,
     "ns_sim_maxsim_plaid" -> simMaxsimPlaid,
+    "ns_dedup_exact_substr" -> dedupExactSubstr,
     "ts_disorder_profile" -> tsDisorderProfile,
     "ns_sim_recall_curve" -> simRecallCurve,
     "ns_sim_maxsim" -> simMaxsim,
