@@ -520,6 +520,259 @@ object Multimodal {
     */
   final case class MediaFrame(docId: Long, frameIdx: Int, frame: Array[Byte])
 
+  // -------------------------------------------------------------------
+  // Real JPEG entropy decode — the DC-coefficient tier
+  // -------------------------------------------------------------------
+
+  /** Canonical JPEG Huffman table built from a DHT segment's 16 length
+    * counts + symbol list (ITU T.81 Annex C: codes assigned in symbol
+    * order, incrementing within a length, doubled between lengths).
+    */
+  private final class JpegHuff(counts: Array[Int], symbols: Array[Int]) {
+    private val firstCode = new Array[Int](17)
+    private val firstIdx = new Array[Int](17)
+    locally {
+      var code = 0; var idx = 0; var len = 1
+      while (len <= 16) {
+        firstCode(len) = code; firstIdx(len) = idx
+        code += counts(len - 1); idx += counts(len - 1)
+        code <<= 1; len += 1
+      }
+    }
+    /** One symbol off the bit reader; -1 on exhausted/invalid input. */
+    def decode(br: JpegBits): Int = {
+      var code = 0; var len = 0
+      while (len < 16) {
+        val bit = br.readBit(); if (bit < 0) return -1
+        code = (code << 1) | bit; len += 1
+        val n = counts(len - 1)
+        if (n > 0 && code >= firstCode(len) && code - firstCode(len) < n)
+          return symbols(firstIdx(len) + (code - firstCode(len)))
+      }
+      -1
+    }
+  }
+
+  /** MSB-first bit reader over entropy-coded data with T.81 §F.1.2.3
+    * byte UNstuffing (a 0xFF data byte is followed by a stuffed 0x00;
+    * 0xFF followed by anything else is a marker — end of data).
+    */
+  private final class JpegBits(b: Array[Byte], start: Int) {
+    private var pos = start
+    private var bit = 0
+    def readBit(): Int = {
+      if (pos >= b.length) return -1
+      val cur = b(pos) & 0xff
+      if (cur == 0xff &&
+          (pos + 1 >= b.length || (b(pos + 1) & 0xff) != 0x00)) return -1
+      val v = (cur >> (7 - bit)) & 1
+      bit += 1
+      if (bit == 8) { bit = 0; pos += (if (cur == 0xff) 2 else 1) }
+      v
+    }
+  }
+
+  /** REAL baseline-JPEG DC decode (the tier between SOFn header dims
+    * and full IDCT pixels): walks the marker segments (DQT quant table,
+    * DHT canonical Huffman tables, SOF0 frame, SOS), then
+    * entropy-decodes every MCU — DC category via Huffman, T.81
+    * difference extension, cumulative DC, AC (run, size) symbols
+    * consumed to EOB — folding exact integer stats over the DEQUANTIZED
+    * DC coefficients. For a DC-only block the spatial mean is exactly
+    * `128 + dcq/8` (all AC basis functions are zero-mean), so the DC
+    * tier already yields per-block brightness without an IDCT.
+    * Returns (width, height, nBlocks, sumDcq, minDcq, maxDcq); None for
+    * anything but 8-bit single-component (grayscale) baseline
+    * sequential with an 8-bit quant table — reject, never mis-decode.
+    */
+  def jpegDcStats(b: Array[Byte]): Option[(Long, Long, Long, Long, Long, Long)] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    var pos = 2
+    var q0 = -1
+    var dcHuff: JpegHuff = null
+    var acHuff: JpegHuff = null
+    var w = 0; var h = 0
+    var sosAt = -1
+    while (sosAt < 0) {
+      if (pos + 4 > b.length || (b(pos) & 0xff) != 0xff) return None
+      val m = b(pos + 1) & 0xff
+      if (m == 0xd9) return None // EOI before SOS
+      val len = be16(b, pos + 2)
+      val seg = pos + 4
+      if (pos + 2 + len > b.length) return None
+      m match {
+        case 0xdb => // DQT (possibly several tables per segment)
+          var p = seg
+          while (p < pos + 2 + len) {
+            if (((b(p) & 0xff) >> 4) != 0) return None // 16-bit table
+            if ((b(p) & 0x0f) == 0) q0 = b(p + 1) & 0xff
+            p += 1 + 64
+          }
+        case 0xc4 => // DHT (possibly several tables per segment)
+          var p = seg
+          while (p < pos + 2 + len) {
+            val tc = (b(p) & 0xff) >> 4
+            val th = b(p) & 0x0f
+            val counts = Array.tabulate(16)(i => b(p + 1 + i) & 0xff)
+            val n = counts.sum
+            val symbols = Array.tabulate(n)(i => b(p + 17 + i) & 0xff)
+            val huff = new JpegHuff(counts, symbols)
+            if (tc == 0 && th == 0) dcHuff = huff
+            if (tc == 1 && th == 0) acHuff = huff
+            p += 17 + n
+          }
+        case 0xc0 => // SOF0: baseline sequential
+          if ((b(seg) & 0xff) != 8) return None
+          h = be16(b, seg + 1); w = be16(b, seg + 3)
+          if ((b(seg + 5) & 0xff) != 1) return None // grayscale tier only
+          if ((b(seg + 7) & 0xff) != 0x11) return None // 1x1 sampling
+        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+            0xcb | 0xcd | 0xce | 0xcf =>
+          return None // progressive/arithmetic/hierarchical frames
+        case _ => () // APPn / COM / DRI(unsupported restarts reject below)
+      }
+      if (m == 0xdd) return None // restart intervals unsupported
+      if (m == 0xda) sosAt = pos + 2 + len else pos += 2 + len
+    }
+    if (q0 <= 0 || dcHuff == null || acHuff == null || w <= 0 || h <= 0) return None
+    val nb = ((w + 7) / 8).toLong * ((h + 7) / 8).toLong
+    val br = new JpegBits(b, sosAt)
+    var dc = 0L
+    var sum = 0L
+    var mn = Long.MaxValue
+    var mx = Long.MinValue
+    var j = 0L
+    while (j < nb) {
+      val cat = dcHuff.decode(br)
+      if (cat < 0 || cat > 11) return None
+      var diff = 0L
+      if (cat > 0) {
+        var bits = 0L; var i = 0
+        while (i < cat) {
+          val v = br.readBit(); if (v < 0) return None
+          bits = (bits << 1) | v; i += 1
+        }
+        // T.81 §F.2.2.1 EXTEND: low-range values are negatives
+        diff = if (bits < (1L << (cat - 1))) bits - (1L << cat) + 1 else bits
+      }
+      dc += diff
+      val dq = dc * q0
+      sum += dq
+      mn = math.min(mn, dq)
+      mx = math.max(mx, dq)
+      var k = 1
+      var eob = false
+      while (!eob && k <= 63) {
+        val sym = acHuff.decode(br); if (sym < 0) return None
+        if (sym == 0x00) eob = true // EOB
+        else if (sym == 0xf0) k += 16 // ZRL
+        else {
+          k += (sym >> 4) + 1
+          var i = 0
+          while (i < (sym & 0x0f)) {
+            if (br.readBit() < 0) return None
+            i += 1
+          }
+        }
+      }
+      j += 1
+    }
+    Some((w.toLong, h.toLong, nb, sum, mn, mx))
+  }
+
+  final case class JpegDcRow(
+      fileId: Long, width: Long, height: Long, nBlocks: Long,
+      sumDcq: Long, minDcq: Long, maxDcq: Long, valid: Boolean)
+
+  /** Partition-mapped JPEG DC stats — the [[parseAll]] narrow shape. */
+  def jpegDcAll(df: DataFrame): Dataset[JpegDcRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("file_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          jpegDcStats(bytes) match {
+            case Some((w, h, nb, s, mn, mx)) =>
+              JpegDcRow(id, w, h, nb, s, mn, mx, valid = true)
+            case None => JpegDcRow(id, 0L, 0L, 0L, 0L, 0L, 0L, valid = false)
+          }
+        }
+      }
+  }
+
+  /** Baseline grayscale JPEG whose 8x8 blocks carry the deterministic
+    * quantized-DC pattern `d(j) = ((7*j) mod 32) - 16` (row-major MCU
+    * index j), AC all-EOB — the JPEG analog of [[pngGradientBytes]]: a
+    * spec-valid entropy-coded stream (canonical 6-symbol DC Huffman
+    * over categories 0-5 — all codes length 3, so code(cat) = cat —
+    * T.81 difference coding, 0xFF byte stuffing) whose DC-tier decode
+    * has a closed-form oracle. Q(DC) = 16, so the dequantized DC is
+    * `16*d(j)` and every block's spatial mean is exactly `128 + 2*d(j)`
+    * (JpegDcSpec cross-checks that against the JDK's own full decode).
+    */
+  def jpegDcPatternBytes(width: Int, height: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def b(xs: Int*): Unit = xs.foreach(x => out.write(x & 0xff))
+    b(0xff, 0xd8) // SOI
+    b(0xff, 0xe0, 0x00, 0x10) // APP0 JFIF
+    b('J', 'F', 'I', 'F', 0x00, 0x01, 0x01, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00)
+    b(0xff, 0xdb, 0x00, 0x43, 0x00) // DQT: 8-bit table 0, all 16s
+    (0 until 64).foreach(_ => b(0x10))
+    b(0xff, 0xc0, 0x00, 0x0b) // SOF0, 1 component
+    b(0x08, (height >> 8) & 0xff, height & 0xff, (width >> 8) & 0xff, width & 0xff)
+    b(0x01, 0x01, 0x11, 0x00)
+    b(0xff, 0xc4, 0x00, 0x19, 0x00) // DHT DC 0: six length-3 codes, symbols 0-5
+    b(0x00, 0x00, 0x06); (0 until 13).foreach(_ => b(0x00))
+    (0 to 5).foreach(c => b(c))
+    b(0xff, 0xc4, 0x00, 0x14, 0x10) // DHT AC 0: one length-1 code, symbol EOB
+    b(0x01); (0 until 15).foreach(_ => b(0x00))
+    b(0x00)
+    b(0xff, 0xda, 0x00, 0x08, 0x01, 0x01, 0x00, 0x00, 0x3f, 0x00) // SOS
+    val ent = new java.io.ByteArrayOutputStream()
+    var cur = 0; var nbits = 0
+    def flushByte(): Unit = {
+      ent.write(cur)
+      if (cur == 0xff) ent.write(0x00) // T.81 byte stuffing
+      cur = 0; nbits = 0
+    }
+    def putBits(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >> i) & 1L).toInt
+        nbits += 1
+        if (nbits == 8) flushByte()
+        i -= 1
+      }
+    }
+    val nb = ((width + 7) / 8) * ((height + 7) / 8)
+    var prev = 0
+    var j = 0
+    while (j < nb) {
+      val d = ((7 * j) % 32) - 16
+      val diff = d - prev
+      prev = d
+      val cat =
+        if (diff == 0) 0
+        else 64 - java.lang.Long.numberOfLeadingZeros(math.abs(diff).toLong)
+      putBits(cat.toLong, 3) // DC code for category = the category itself
+      if (cat > 0) {
+        val bits =
+          if (diff >= 0) diff.toLong else diff.toLong + (1L << cat) - 1
+        putBits(bits, cat)
+      }
+      putBits(0L, 1) // AC EOB
+      j += 1
+    }
+    if (nbits > 0) { // pad the final byte with 1-bits per T.81
+      while (nbits < 8) { cur = (cur << 1) | 1; nbits += 1 }
+      flushByte()
+    }
+    out.write(ent.toByteArray)
+    b(0xff, 0xd9) // EOI
+    out.toByteArray
+  }
+
   def sampleFrames(df: DataFrame, frames: Int = 4, bytesPerFrame: Int = 8): Dataset[MediaFrame] = {
     val spark = df.sparkSession
     import spark.implicits._

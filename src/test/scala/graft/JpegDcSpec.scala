@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.Multimodal
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The JPEG DC-decode tier: [[Multimodal.jpegDcStats]] must really
+  * entropy-decode — verified two independent ways: (a) closed form
+  * against the generator's DC pattern, (b) against the JDK's own FULL
+  * IDCT decode of the same bytes (a DC-only block's spatial pixels are
+  * all exactly `128 + dcq/8`, since every AC basis function is
+  * zero-mean — so the JDK raster reproduces the per-block DC values
+  * our decoder reads straight off the bitstream).
+  */
+class JpegDcSpec extends AnyFunSuite {
+
+  private def pattern(nb: Int): Seq[Int] =
+    (0 until nb).map(j => ((7 * j) % 32) - 16)
+
+  test("DC decode matches the generator's pattern in closed form") {
+    for ((w, h) <- Seq((16, 10), (24, 16), (40, 12), (7, 7), (8, 8), (41, 17))) {
+      val bytes = Multimodal.jpegDcPatternBytes(w, h)
+      val nb = ((w + 7) / 8) * ((h + 7) / 8)
+      val want = pattern(nb).map(_ * 16L)
+      val got = Multimodal.jpegDcStats(bytes)
+      assert(got.contains((w.toLong, h.toLong, nb.toLong,
+        want.sum, want.min, want.max)), s"($w x $h): $got")
+    }
+  }
+
+  test("DC decode agrees with the JDK's full IDCT decode block-for-block") {
+    val (w, h) = (40, 16)
+    val bytes = Multimodal.jpegDcPatternBytes(w, h)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "JDK could not decode the generated JPEG")
+    assert(img.getWidth == w && img.getHeight == h)
+    val bw = (w + 7) / 8
+    val nb = bw * ((h + 7) / 8)
+    val d = pattern(nb)
+    for (y <- 0 until h; x <- 0 until w) {
+      val j = (y / 8) * bw + (x / 8)
+      val expect = 128 + 2 * d(j) // 128 + dcq/8 with Q(DC)=16
+      val got = img.getRaster.getSample(x, y, 0)
+      assert(got == expect,
+        s"pixel ($x,$y) in block $j: JDK=$got, DC-derived=$expect")
+    }
+  }
+
+  test("the legacy all-zero fixture JPEGs decode to flat gray") {
+    // ns_multimodal_meta's jpegBytes: every DC diff is category 0 and
+    // AC is immediate EOB — dcq 0 everywhere, mean level 128
+    val bytes = Multimodal.jpegBytes(32, 24)
+    assert(Multimodal.jpegDcStats(bytes).contains((32L, 24L, 12L, 0L, 0L, 0L)))
+  }
+
+  test("non-baseline and malformed streams are rejected, never mis-decoded") {
+    val good = Multimodal.jpegDcPatternBytes(16, 16)
+    assert(Multimodal.jpegDcStats("not a jpeg".getBytes).isEmpty)
+    assert(Multimodal.jpegDcStats(good.take(20).toArray).isEmpty)
+    // flip SOF0 (0xC0) to SOF2 (0xC2, progressive): reject
+    val prog = good.clone()
+    val sofAt = prog.indices.find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    assert(Multimodal.jpegDcStats(prog).isEmpty)
+    // truncate mid-entropy-data: reject (bit reader runs dry)
+    assert(Multimodal.jpegDcStats(good.dropRight(6).toArray).isEmpty)
+  }
+}
