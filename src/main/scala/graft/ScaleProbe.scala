@@ -303,7 +303,23 @@ object ScaleProbe {
       // rows; replication multiplies every gram's occurrence count so
       // ~ALL positions flag as duplicated (worst-case coverage) — the
       // gram-keyed stats agg and the site⋈stats join volume is the axis
-      "ns_dedup_exact_substr")
+      "ns_dedup_exact_substr",
+      // r15: span flow = the exact-substr frame + two doc-keyed joins;
+      // replication makes every span non-first (clones), so the flow
+      // rollup sees the worst-case edge volume
+      "ns_dedup_span_flow",
+      // r15: rank normalize = one score pass + per-(source, score)
+      // counts; replication multiplies counts but NOT distinct score
+      // values, so the cumulative window's input stays flat — the
+      // claim under test
+      "ns_quality_rank_normalize",
+      // r15: histogram match = bin counts broadcast onto a map-only
+      // coin pass — the dsir floor class, expected ~linear
+      "ns_sample_histogram_match",
+      // r15: distinct-n = one inline 3-way gram expansion into a
+      // (source, n, gram)-keyed count; replication multiplies counts
+      // but not types, so the distinct collapse output stays flat
+      "ns_profile_distinct_ngrams")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected

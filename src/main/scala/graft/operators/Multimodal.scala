@@ -310,6 +310,95 @@ object Multimodal {
     bb.array()
   }
 
+  final case class PcmSample(fileId: Long, idx: Long, amp: Long)
+
+  /** Partition-mapped per-SAMPLE PCM decode — the row-level form of
+    * [[pcmStatsAll]] for operators that window over the samples in
+    * Spark (energy/VAD): same narrow binaryFile shape, one flatMap per
+    * file, no shuffle until the consumer's keyed aggregate. Invalid
+    * containers contribute zero rows (the consumer's per-file rollup
+    * then reports them absent rather than wrong).
+    */
+  def pcmSamplesAll(df: DataFrame): Dataset[PcmSample] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("file_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, b) =>
+        pcmDataChunk(b) match {
+          case Some((off, len)) =>
+            (0 until len / 2).iterator.map { i =>
+              val o = off + 2 * i
+              PcmSample(id, i.toLong,
+                (((b(o + 1) & 0xff) << 8) | (b(o) & 0xff)).toShort.toLong)
+            }
+          case None => Iterator.empty
+        }
+      }
+  }
+
+  /** (offset, byteLength) of the 16-bit-mono PCM data chunk, or None —
+    * the container walk shared by [[pcmStats]]-style consumers. */
+  private def pcmDataChunk(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+        b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E')
+      return None
+    var pos = 12
+    var ok16Mono = false
+    var dataOff = -1
+    var dataLen = -1
+    while (pos + 8 <= b.length && (!ok16Mono || dataOff < 0)) {
+      val id = new String(b, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = le32(b, pos + 4).toInt
+      if (id == "fmt " && pos + 24 <= b.length) {
+        val fmt = (b(pos + 8) & 0xff) | ((b(pos + 9) & 0xff) << 8)
+        val ch = (b(pos + 10) & 0xff) | ((b(pos + 11) & 0xff) << 8)
+        val bits = (b(pos + 22) & 0xff) | ((b(pos + 23) & 0xff) << 8)
+        ok16Mono = fmt == 1 && ch == 1 && bits == 16
+      } else if (id == "data") { dataOff = pos + 8; dataLen = size }
+      pos += 8 + size + (size & 1)
+    }
+    if (!ok16Mono || dataOff < 0 || dataOff + dataLen > b.length) None
+    else Some((dataOff, dataLen))
+  }
+
+  /** Complete 16-bit mono PCM WAV of `nSegs` segments x `segLen`
+    * samples where segment s carries a +-amp square wave (half-period
+    * `halfPeriod`, phase local to the segment) iff
+    * `((5*s + 3) mod 7) < 4`, and silence otherwise — alternating
+    * speech-burst/silence structure whose windowed-energy profile is
+    * closed-form: |sample| = amp in an active segment, 0 in a silent
+    * one, so a segLen-aligned window's RMS is exactly amp or 0.
+    */
+  def wavBurstBytes(sampleRate: Int, nSegs: Int, segLen: Int, amp: Int,
+      halfPeriod: Int): Array[Byte] = {
+    val n = nSegs * segLen
+    val dataBytes = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    bb.put("RIFF".getBytes(ascii)).putInt(36 + dataBytes).put("WAVE".getBytes(ascii))
+    bb.put("fmt ".getBytes(ascii)).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes(ascii)).putInt(dataBytes)
+    var s = 0
+    while (s < nSegs) {
+      val active = ((5 * s + 3) % 7) < 4
+      var i = 0
+      while (i < segLen) {
+        val v =
+          if (!active) 0
+          else if ((i / halfPeriod) % 2 == 0) amp
+          else -amp
+        bb.putShort(v.toShort)
+        i += 1
+      }
+      s += 1
+    }
+    bb.array()
+  }
+
   // Writers for the spec/oracle fixtures: complete, spec-valid minimal
   // containers (the container layer is fully real; pixel/sample payloads
   // are zeros — header parsing never reads them).

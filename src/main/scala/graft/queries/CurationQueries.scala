@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -7351,6 +7351,111 @@ object CurationQueries {
            |FROM d ORDER BY file_id""".stripMargin))
 
   // ---------------------------------------------------------------------
+  // Multimodal: windowed-energy VAD over real PCM samples
+  // ---------------------------------------------------------------------
+
+  /** VOICE-ACTIVITY profile over really-decoded PCM — the windowed
+    * energy pass an audio-curation pipeline runs to drop dead air and
+    * measure speech density before transcription: samples decode
+    * row-level ([[graft.operators.Multimodal.pcmSamplesAll]], the
+    * narrow flatMap form of the PCM tier), Spark windows them into
+    * 160-sample (20 ms at 8 kHz) frames, per-frame RMS gates
+    * active/silent, and the per-file rollup reports speech share and
+    * the LONGEST silence run (the trim decision's number). Fixtures
+    * are burst WAVs alternating square-wave speech segments and
+    * silence on a deterministic pattern, so every output is
+    * closed-form.
+    *
+    * Determinism: an active frame's samples all have |amp| = A, so its
+    * RMS is exactly A (one floor of an exact sqrt); silence is 0;
+    * run-lengths come from the integer win − row_number grouping trick,
+    * identical in both engines.
+    *
+    * Scale: decode is map-only; the frame aggregate is (file, win)-
+    * keyed with map-side partials; the run/rollup layer works on
+    * frame-count-sized rows. No corpus-wide window — the run window
+    * partitions per file over its frames.
+    */
+  private val multimodalAudioVad = Q(
+    (s, dir) => {
+      val base = scratchDir("audiovad")
+      val p = java.nio.file.Paths.get(base)
+      T(s, dir, "nation").select(col("n_nationkey")).collect() // 25-row dim
+        .foreach { r =>
+          val k = r.getInt(0)
+          java.nio.file.Files.write(p.resolve(f"v_$k%02d.wav"),
+            graft.operators.Multimodal.wavBurstBytes(
+              8000, 6 + (k % 5), 160, 800 + 10 * k, 8))
+        }
+      val scanned = s.read.format("binaryFile").load(base)
+        .select(regexp_extract(col("path"), "v_(\\d+)\\.", 1).cast("long")
+          .as("file_id"), col("content"))
+      val frames = graft.operators.Multimodal.pcmSamplesAll(scanned).toDF()
+        .select(col("fileId").as("file_id"), col("idx"), col("amp"))
+        .withColumn("win", expr("idx div 160"))
+        .groupBy(col("file_id"), col("win"))
+        .agg(sum(col("amp") * col("amp")).as("ssq"), count(lit(1)).as("n"))
+        .withColumn("rms_e3",
+          floor(sqrt(col("ssq").cast("double") / col("n").cast("double"))
+            * lit(1000.0)).cast("long"))
+        .withColumn("active", col("rms_e3") >= 100000L)
+        .localCheckpoint(true)
+      val wRn = Window.partitionBy(col("file_id")).orderBy(col("win"))
+      val silence = frames.where(!col("active"))
+        .withColumn("grp", col("win") - row_number().over(wRn))
+        .groupBy(col("file_id"), col("grp")).agg(count(lit(1)).as("run"))
+        .groupBy(col("file_id")).agg(max(col("run")).as("ls"))
+      val out = frames.groupBy(col("file_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("active"), 1L).otherwise(0L)).as("n_active"),
+          max(col("rms_e3")).as("rms_active_e3"))
+        .join(silence, Seq("file_id"), "left")
+        .withColumn("longest_silence", coalesce(col("ls"), lit(0L)))
+        .withColumn("active_ppm", expr("(n_active * 1000000) div n_windows"))
+        .select(col("file_id"), col("n_windows"), col("n_active"),
+          col("active_ppm"), col("longest_silence"), col("rms_active_e3"))
+        .orderBy(col("file_id"))
+        .localCheckpoint(true)
+      scratchDelete(base)
+      out
+    },
+    Some("""WITH g AS (
+           |  SELECT cast(n_nationkey as bigint) AS k,
+           |    cast(6 + (n_nationkey % 5) as bigint) AS n_segs,
+           |    cast(800 + 10 * n_nationkey as bigint) AS amp
+           |  FROM nation
+           |), segs AS (
+           |  SELECT k, n_segs, amp, unnest(generate_series(0, n_segs - 1)) AS w
+           |  FROM g
+           |), fr AS (
+           |  SELECT k, n_segs, amp, w,
+           |    ((5 * w + 3) % 7) < 4 AS active,
+           |    CASE WHEN ((5 * w + 3) % 7) < 4 THEN amp * 1000 ELSE 0 END
+           |      AS rms_e3
+           |  FROM segs
+           |), sil AS (
+           |  SELECT k, cast(max(run) as bigint) AS ls FROM (
+           |    SELECT k, grp, count(*) AS run FROM (
+           |      SELECT k, w,
+           |        w - row_number() OVER (PARTITION BY k ORDER BY w) AS grp
+           |      FROM fr WHERE NOT active)
+           |    GROUP BY k, grp)
+           |  GROUP BY k
+           |), roll AS (
+           |  SELECT k, cast(count(*) as bigint) AS n_windows,
+           |    cast(sum(CASE WHEN active THEN 1 ELSE 0 END) as bigint)
+           |      AS n_active,
+           |    cast(max(rms_e3) as bigint) AS rms_active_e3
+           |  FROM fr GROUP BY k
+           |)
+           |SELECT roll.k AS file_id, n_windows, n_active,
+           |  (n_active * 1000000) // n_windows AS active_ppm,
+           |  cast(coalesce(sil.ls, 0) as bigint) AS longest_silence,
+           |  rms_active_e3
+           |FROM roll LEFT JOIN sil ON sil.k = roll.k
+           |ORDER BY file_id""".stripMargin))
+
+  // ---------------------------------------------------------------------
   // A/B experiment lift (deterministic assignment + two-proportion z)
   // ---------------------------------------------------------------------
 
@@ -8214,6 +8319,259 @@ object CurationQueries {
             |ORDER BY t.q_id, t.rnk""".stripMargin))
 
   // ---------------------------------------------------------------------
+  // Per-source quality rank normalization
+  // ---------------------------------------------------------------------
+
+  /** PER-SOURCE RANK NORMALIZATION of quality scores — the calibration
+    * step a mixer runs before a GLOBAL keep threshold: raw classifier
+    * scores aren't comparable across domains (a mid-pack arxiv doc
+    * outscores a top-decile forum post), so each document's score is
+    * replaced by its percentile WITHIN its source and the gate applies
+    * to that. The query reports, per source, how the global-threshold
+    * and normalized-threshold decisions differ — the flip counts ARE
+    * the bias the normalization removes.
+    *
+    * Determinism: the raw score is one floored logistic (the
+    * threshold-sweep formula, exact e6 bigint); the percentile is the
+    * CDF-minus definition — (docs with strictly smaller score) /
+    * (n - 1) — which needs NO per-document tie-break: identical exact
+    * integer arithmetic in both engines.
+    *
+    * Scale: no corpus-wide window — scores collapse to per-(source,
+    * score) counts first, the cumulative runs over each source's
+    * DISTINCT score values (bounded by the e6 grid, not the corpus),
+    * and docs join back by (source, score) to pick up their rank. The
+    * vocab-growth cumulative shape.
+    */
+  private val qualityRankNormalize = Q(
+    (s, dir) => {
+      val stopArr = "array('the','a','of','and','to','in','is','it')"
+      val scored = TS(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_toks", size(col("toks")).cast("double"))
+        .withColumn("mean_len",
+          (length(col("text")).cast("double") - (col("n_toks") - 1.0)) / col("n_toks"))
+        .withColumn("stop_ratio",
+          expr(s"size(filter(toks, t -> array_contains($stopArr, t)))").cast("double")
+            / col("n_toks"))
+        .withColumn("digit_ratio",
+          (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+            .cast("double") / length(col("text")).cast("double"))
+        .withColumn("z",
+          lit(-1.5) + lit(0.004) * col("n_toks") + lit(0.35) * col("mean_len")
+            + lit(4.0) * col("stop_ratio") - lit(6.0) * col("digit_ratio"))
+        .withColumn("score_fp",
+          floor(lit(1000000.0) / (lit(1.0) + exp(-col("z")))).cast("long"))
+        .select(col("doc_id"), col("source"), col("score_fp"))
+      val sc = scored.groupBy(col("source"), col("score_fp"))
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy(col("source")).orderBy(col("score_fp"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranks = sc
+        .withColumn("c_lt", coalesce(sum(col("c")).over(wCum), lit(0L)))
+      val totals = scored.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      scored
+        .join(ranks, Seq("source", "score_fp"))
+        .join(broadcast(totals), Seq("source"))
+        .withColumn("norm_e6", expr("(c_lt * 1000000) div (n_docs - 1)"))
+        .withColumn("keep_global", col("score_fp") >= 500000L)
+        .withColumn("keep_norm", col("norm_e6") >= 500000L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep_global"), 1L).otherwise(0L)).as("kept_global"),
+          sum(when(col("keep_norm"), 1L).otherwise(0L)).as("kept_norm"),
+          sum(when(col("keep_norm") && !col("keep_global"), 1L).otherwise(0L))
+            .as("flipped_on"),
+          sum(when(col("keep_global") && !col("keep_norm"), 1L).otherwise(0L))
+            .as("flipped_off"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH f AS (
+           |  SELECT doc_id, source,
+           |    cast(len(string_split(text, ' ')) as double) AS n_toks,
+           |    (cast(len(text) as double) - (len(string_split(text, ' ')) - 1.0))
+           |      / len(string_split(text, ' ')) AS mean_len,
+           |    cast(len(list_filter(string_split(text, ' '),
+           |      t -> list_contains(['the','a','of','and','to','in','is','it'], t))) as double)
+           |      / len(string_split(text, ' ')) AS stop_ratio,
+           |    cast(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) as double)
+           |      / cast(len(text) as double) AS digit_ratio
+           |  FROM documents
+           |), scored AS (
+           |  SELECT doc_id, source,
+           |    cast(floor(1000000.0 / (1.0 + exp(-(-1.5 + 0.004 * n_toks
+           |      + 0.35 * mean_len + 4.0 * stop_ratio - 6.0 * digit_ratio))))
+           |      as bigint) AS score_fp
+           |  FROM f
+           |), sc AS (
+           |  SELECT source, score_fp, count(*) AS c
+           |  FROM scored GROUP BY source, score_fp
+           |), ranks AS (
+           |  SELECT source, score_fp,
+           |    cast(coalesce(sum(c) OVER (PARTITION BY source ORDER BY score_fp
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as bigint)
+           |      AS c_lt
+           |  FROM sc
+           |), totals AS (
+           |  SELECT source, count(*) AS n_docs FROM scored GROUP BY source
+           |), dd AS (
+           |  SELECT s.source, s.score_fp,
+           |    (r.c_lt * 1000000) // (t.n_docs - 1) AS norm_e6,
+           |    s.score_fp >= 500000 AS keep_global,
+           |    (r.c_lt * 1000000) // (t.n_docs - 1) >= 500000 AS keep_norm
+           |  FROM scored s
+           |  JOIN ranks r ON r.source = s.source AND r.score_fp = s.score_fp
+           |  JOIN totals t ON t.source = s.source
+           |)
+           |SELECT source, count(*) AS n_docs,
+           |  cast(sum(CASE WHEN keep_global THEN 1 ELSE 0 END) as bigint)
+           |    AS kept_global,
+           |  cast(sum(CASE WHEN keep_norm THEN 1 ELSE 0 END) as bigint)
+           |    AS kept_norm,
+           |  cast(sum(CASE WHEN keep_norm AND NOT keep_global THEN 1 ELSE 0 END)
+           |    as bigint) AS flipped_on,
+           |  cast(sum(CASE WHEN keep_global AND NOT keep_norm THEN 1 ELSE 0 END)
+           |    as bigint) AS flipped_off
+           |FROM dd GROUP BY source ORDER BY source""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Histogram-matched (distribution-shaping) sampling
+  // ---------------------------------------------------------------------
+
+  /** HISTOGRAM-MATCHED SAMPLING — reshape the corpus's length
+    * distribution toward a uniform target over 5 length bins by
+    * per-bin acceptance sampling (the dataset-shaping move behind "too
+    * many short docs" rebalancing): each bin keeps documents with
+    * probability `min(1, target_share / actual_share)`, realized
+    * DETERMINISTICALLY by an md5 hash coin (the [[NorthStarQueries]]
+    * sampleHash pattern — re-runs keep the same documents). Reports
+    * per bin the acceptance rate, realized keeps, and the before/after
+    * distribution shares — the after column converging toward 200000
+    * ppm per bin (up to bins smaller than target, which cap at 1e6).
+    *
+    * Determinism: shares and acceptance thresholds are exact integer
+    * ppm; the coin is the md5 32-bit prefix mod 1e6.
+    *
+    * Scale: one bin-count aggregate broadcast back onto a map-only
+    * coin pass, then a bin-keyed rollup — no windows, no driver state.
+    */
+  private val sampleHistogramMatch = Q(
+    (s, dir) => {
+      val binned = TS(s, dir, "documents")
+        .withColumn("bin",
+          least(expr("size(split(text, ' ')) div 20"), lit(4L)).cast("long"))
+      val counts = binned.groupBy(col("bin")).agg(count(lit(1)).as("n_bin"))
+      val tot = counts.agg(sum(col("n_bin")).as("n_total"))
+      val rates = counts.crossJoin(broadcast(tot))
+        .withColumn("accept_ppm",
+          least(lit(1000000L), expr("(n_total * 1000000) div (5 * n_bin)")))
+      binned.join(broadcast(rates), Seq("bin"))
+        .withColumn("coin", expr(
+          "cast(conv(substring(md5(concat('hm:', cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 1000000"))
+        .withColumn("kept", col("coin") < col("accept_ppm"))
+        .groupBy(col("bin"))
+        .agg(first(col("n_bin")).as("n_bin"), first(col("n_total")).as("n_total"),
+          first(col("accept_ppm")).as("accept_ppm"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+        .withColumn("before_ppm", expr("(n_bin * 1000000) div n_total"))
+        .select(col("bin"), col("n_bin"), col("accept_ppm"), col("n_kept"),
+          col("before_ppm"))
+        .orderBy(col("bin"))
+        .localCheckpoint(true)
+        .withColumn("after_ppm", expr(
+          "(n_kept * 1000000) div (sum(n_kept) over ())"))
+    },
+    Some("""WITH b AS (
+           |  SELECT doc_id,
+           |    least(len(string_split(text, ' ')) // 20, 4) AS bin
+           |  FROM documents
+           |), c AS (
+           |  SELECT bin, count(*) AS n_bin FROM b GROUP BY bin
+           |), t AS (SELECT cast(sum(n_bin) as bigint) AS n_total FROM c
+           |), r AS (
+           |  SELECT bin, n_bin, n_total,
+           |    least(1000000, (n_total * 1000000) // (5 * n_bin)) AS accept_ppm
+           |  FROM c, t
+           |), k AS (
+           |  SELECT b.bin, r.n_bin, r.n_total, r.accept_ppm,
+           |    cast(sum(CASE WHEN cast('0x' || substr(md5('hm:' || cast(doc_id as varchar)), 1, 8)
+           |      as bigint) % 1000000 < r.accept_ppm THEN 1 ELSE 0 END) as bigint)
+           |      AS n_kept
+           |  FROM b JOIN r USING (bin)
+           |  GROUP BY b.bin, r.n_bin, r.n_total, r.accept_ppm
+           |)
+           |SELECT cast(bin as bigint) AS bin, cast(n_bin as bigint) AS n_bin,
+           |  cast(accept_ppm as bigint) AS accept_ppm, n_kept,
+           |  (n_bin * 1000000) // n_total AS before_ppm,
+           |  (n_kept * 1000000) // cast((SELECT sum(n_kept) FROM k) as bigint)
+           |    AS after_ppm
+           |FROM k ORDER BY bin""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Distinct-n diversity profile (self-repetition audit)
+  // ---------------------------------------------------------------------
+
+  /** DISTINCT-N DIVERSITY per source — the distinct-1/2/3 metric
+    * (Li et al. 2016) generated-data audits watch: the share of n-gram
+    * OCCURRENCES that are distinct types. A synthetic or templated
+    * source shows low distinct-2/3 (the same bigrams recur) long
+    * before its unigram mix looks wrong; the companion `rep_ppm`
+    * (1 - distinct share) is the direct self-repetition rate.
+    *
+    * Determinism: pure counts and integer ppm divisions.
+    *
+    * Scale: ONE text pass emits (source, n, gram) for n in 1..3 via a
+    * single inline expansion (the lsh_tune one-pass trick); the
+    * distinct collapse is a (source, n, gram)-keyed count with
+    * map-side partials, then a (source, n) rollup — shuffles carry
+    * gram counts, never documents.
+    */
+  private val profileDistinctNgrams = Q(
+    (s, dir) => {
+      val grams = TS(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .select(col("source"), explode(expr(
+          // if-guard: Spark's sequence(1, 0) counts DOWN — a doc shorter
+          // than n must contribute an empty array, as generate_series does
+          """flatten(transform(sequence(1, 3), n ->
+            |  if(size(w) < n, array(),
+            |    transform(sequence(1, size(w) - n + 1),
+            |      i -> struct(n AS n, array_join(slice(w, i, n), ' ') AS g)))))"""
+            .stripMargin)).as("e"))
+        .select(col("source"), col("e.n").as("n"), col("e.g").as("g"))
+        .where(length(col("g")) > 0)
+      grams.groupBy(col("source"), col("n"), col("g"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("source"), col("n"))
+        .agg(sum(col("c")).as("n_grams"), count(lit(1)).as("n_distinct"))
+        .withColumn("distinct_ppm", expr("(n_distinct * 1000000) div n_grams"))
+        .withColumn("rep_ppm", lit(1000000L) - col("distinct_ppm"))
+        .select(col("source"), col("n").cast("long").as("n"), col("n_grams"),
+          col("n_distinct"), col("distinct_ppm"), col("rep_ppm"))
+        .orderBy(col("source"), col("n"))
+    },
+    Some("""WITH wd AS (
+           |  SELECT source, string_split(text, ' ') AS w FROM documents
+           |), g AS (
+           |  SELECT source, n, unnest(list_transform(
+           |    generate_series(1, len(w) - n + 1),
+           |    i -> array_to_string(list_slice(w, i, i + n - 1), ' '))) AS g
+           |  FROM wd, (SELECT unnest(generate_series(1, 3)) AS n)
+           |  WHERE len(w) >= n
+           |), d AS (
+           |  SELECT source, n, g, count(*) AS c FROM g
+           |  WHERE len(g) > 0 GROUP BY source, n, g
+           |), a AS (
+           |  SELECT source, n, cast(sum(c) as bigint) AS n_grams,
+           |    cast(count(*) as bigint) AS n_distinct
+           |  FROM d GROUP BY source, n
+           |)
+           |SELECT source, cast(n as bigint) AS n, n_grams, n_distinct,
+           |  (n_distinct * 1000000) // n_grams AS distinct_ppm,
+           |  1000000 - (n_distinct * 1000000) // n_grams AS rep_ppm
+           |FROM a ORDER BY source, n""".stripMargin))
+
+  // ---------------------------------------------------------------------
   // Exact duplicated-span dedup (the ExactSubstr class)
   // ---------------------------------------------------------------------
 
@@ -8255,80 +8613,142 @@ object CurationQueries {
     * bounded). The L-token join strings never shuffle — only their
     * 64-char hashes do.
     */
+  /** The shared duplicated-span frame — columns (doc_id, span_start,
+    * span_end, span_tokens, n_grams, owner_fk, is_first); see
+    * [[dedupExactSubstr]] for semantics. Consumed by the span inventory
+    * and the source-flow rollup.
+    */
+  private def exactSubstrSpans(s: SparkSession, dir: String): DataFrame = {
+    val L = XS_L
+    val g = TS(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= L)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(w) - ${L - 1}), " +
+          s"i -> sha2(array_join(slice(w, i, $L), ' '), 256))"))
+        .as(Seq("pos0", "gk")))
+    val stats = g.groupBy(col("gk"))
+      .agg(count(lit(1)).as("c"),
+        min(col("doc_id") * lit(1000000L) + col("pos0")).as("fk"))
+      .where(col("c") >= 2)
+    val sites = g.join(stats, Seq("gk"))
+      .select(col("doc_id"), col("pos0"), col("fk"))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos0"))
+    sites
+      .withColumn("prev_end", max(col("pos0") + lit(L - 1))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_isl",
+        when(col("prev_end").isNull || col("pos0") > col("prev_end") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("isl", sum(col("new_isl")).over(wOrd))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos0")).as("span_start"),
+        (max(col("pos0")) + lit(L - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_grams"),
+        min_by(col("fk"), col("pos0")).as("owner_fk"))
+      .select(col("doc_id"), col("span_start").cast("long").as("span_start"),
+        col("span_end"),
+        (col("span_end") - col("span_start") + 1).cast("long").as("span_tokens"),
+        col("n_grams"), col("owner_fk"),
+        (col("owner_fk") === col("doc_id") * lit(1000000L) + col("span_start"))
+          .as("is_first"))
+  }
+
+  /** DuckDB twin of [[exactSubstrSpans]] — CTE block ending in
+    * `sp(doc_id, isl, span_start, span_end, n_grams, owner_fk)`.
+    */
+  private val exactSubstrSpansSql: String =
+    s"""wd AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $XS_L
+       |), g AS (
+       |  SELECT doc_id, i - 1 AS pos0,
+       |    sha256(array_to_string(w[i:i+${XS_L - 1}], ' ')) AS gk
+       |  FROM (SELECT doc_id, w,
+       |          unnest(generate_series(1, len(w) - ${XS_L - 1})) AS i
+       |        FROM wd)
+       |), stats AS (
+       |  SELECT gk, count(*) AS c, min(doc_id * 1000000 + pos0) AS fk
+       |  FROM g GROUP BY gk HAVING count(*) >= 2
+       |), sites AS (
+       |  SELECT g.doc_id, g.pos0, s.fk FROM g JOIN stats s USING (gk)
+       |), isl AS (
+       |  SELECT doc_id, pos0, fk,
+       |    cast(sum(CASE WHEN prev_end IS NULL OR pos0 > prev_end + 1
+       |      THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos0)
+       |      as bigint) AS isl
+       |  FROM (
+       |    SELECT doc_id, pos0, fk,
+       |      max(pos0 + ${XS_L - 1}) OVER (PARTITION BY doc_id ORDER BY pos0
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |    FROM sites)
+       |), sp AS (
+       |  SELECT doc_id, isl, min(pos0) AS span_start,
+       |    max(pos0) + ${XS_L - 1} AS span_end,
+       |    count(*) AS n_grams, arg_min(fk, pos0) AS owner_fk
+       |  FROM isl GROUP BY doc_id, isl
+       |)""".stripMargin
+
   private val dedupExactSubstr = Q(
-    (s, dir) => {
-      val L = XS_L
-      val g = TS(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .where(size(col("w")) >= L)
-        .select(col("doc_id"), posexplode(expr(
-          s"transform(sequence(1, size(w) - ${L - 1}), " +
-            s"i -> sha2(array_join(slice(w, i, $L), ' '), 256))"))
-          .as(Seq("pos0", "gk")))
-      val stats = g.groupBy(col("gk"))
-        .agg(count(lit(1)).as("c"),
-          min(col("doc_id") * lit(1000000L) + col("pos0")).as("fk"))
-        .where(col("c") >= 2)
-      val sites = g.join(stats, Seq("gk"))
-        .select(col("doc_id"), col("pos0"), col("fk"))
-      val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos0"))
-      val spans = sites
-        .withColumn("prev_end", max(col("pos0") + lit(L - 1))
-          .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
-        .withColumn("new_isl",
-          when(col("prev_end").isNull || col("pos0") > col("prev_end") + 1, 1L)
-            .otherwise(0L))
-        .withColumn("isl", sum(col("new_isl")).over(wOrd))
-        .groupBy(col("doc_id"), col("isl"))
-        .agg(min(col("pos0")).as("span_start"),
-          (max(col("pos0")) + lit(L - 1)).cast("long").as("span_end"),
-          count(lit(1)).as("n_grams"),
-          min_by(col("fk"), col("pos0")).as("owner_fk"))
-      spans
-        .select(col("doc_id"), col("span_start").cast("long").as("span_start"),
-          col("span_end"),
-          (col("span_end") - col("span_start") + 1).cast("long").as("span_tokens"),
-          col("n_grams"),
-          (col("owner_fk") === col("doc_id") * lit(1000000L) + col("span_start"))
-            .as("is_first"))
-        .orderBy(col("doc_id"), col("span_start"))
-    },
-    Some(s"""WITH wd AS (
-            |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-            |  WHERE len(string_split(text, ' ')) >= $XS_L
-            |), g AS (
-            |  SELECT doc_id, i - 1 AS pos0,
-            |    sha256(array_to_string(w[i:i+${XS_L - 1}], ' ')) AS gk
-            |  FROM (SELECT doc_id, w,
-            |          unnest(generate_series(1, len(w) - ${XS_L - 1})) AS i
-            |        FROM wd)
-            |), stats AS (
-            |  SELECT gk, count(*) AS c, min(doc_id * 1000000 + pos0) AS fk
-            |  FROM g GROUP BY gk HAVING count(*) >= 2
-            |), sites AS (
-            |  SELECT g.doc_id, g.pos0, s.fk FROM g JOIN stats s USING (gk)
-            |), isl AS (
-            |  SELECT doc_id, pos0, fk,
-            |    cast(sum(CASE WHEN prev_end IS NULL OR pos0 > prev_end + 1
-            |      THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos0)
-            |      as bigint) AS isl
-            |  FROM (
-            |    SELECT doc_id, pos0, fk,
-            |      max(pos0 + ${XS_L - 1}) OVER (PARTITION BY doc_id ORDER BY pos0
-            |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
-            |    FROM sites)
-            |), sp AS (
-            |  SELECT doc_id, isl, min(pos0) AS span_start,
-            |    max(pos0) + ${XS_L - 1} AS span_end,
-            |    count(*) AS n_grams, arg_min(fk, pos0) AS owner_fk
-            |  FROM isl GROUP BY doc_id, isl
-            |)
+    (s, dir) =>
+      exactSubstrSpans(s, dir)
+        .drop("owner_fk")
+        .orderBy(col("doc_id"), col("span_start")),
+    Some(s"""WITH $exactSubstrSpansSql
             |SELECT doc_id, cast(span_start as bigint) AS span_start,
             |  cast(span_end as bigint) AS span_end,
             |  cast(span_end - span_start + 1 as bigint) AS span_tokens,
             |  cast(n_grams as bigint) AS n_grams,
             |  owner_fk = doc_id * 1000000 + span_start AS is_first
             |FROM sp ORDER BY doc_id, span_start""".stripMargin))
+
+  /** SOURCE-LEVEL DUPLICATION FLOW — the provenance rollup over
+    * [[exactSubstrSpans]]: every NON-first span occurrence is an edge
+    * from the source that published the span first (the owner doc's
+    * source) to the source repeating it; aggregated to (from_source,
+    * to_source) with span counts and token volumes, it answers "who
+    * copies from whom" — the read behind source trust weights and
+    * crawl-order decisions (self-edges = within-source boilerplate).
+    *
+    * Determinism: pure integer rollups over the exact span frame; the
+    * owner doc is `owner_fk div 1e6` (the packed key).
+    *
+    * Scale: the span frame's shape (gram-keyed, no corpus self-join)
+    * plus two doc_id-keyed joins onto the (doc_id, source) projection —
+    * span rows are duplication-sized, far below corpus-sized, so both
+    * joins broadcast their span side at any corpus scale.
+    */
+  private val dedupSpanFlow = Q(
+    (s, dir) => {
+      val src = TS(s, dir, "documents").select(col("doc_id"), col("source"))
+      val spans = exactSubstrSpans(s, dir)
+        .where(!col("is_first"))
+        .withColumn("owner_doc", expr("owner_fk div 1000000"))
+      spans
+        .join(src.withColumnRenamed("source", "to_source"), Seq("doc_id"))
+        .join(src.select(col("doc_id").as("owner_doc"),
+          col("source").as("from_source")), Seq("owner_doc"))
+        .groupBy(col("from_source"), col("to_source"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("span_tokens")).as("dup_tokens"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("from_source"), col("to_source"))
+    },
+    Some(s"""WITH $exactSubstrSpansSql, nf AS (
+            |  SELECT doc_id, span_start,
+            |    span_end - span_start + 1 AS span_tokens,
+            |    owner_fk // 1000000 AS owner_doc
+            |  FROM sp WHERE owner_fk <> doc_id * 1000000 + span_start
+            |)
+            |SELECT f.source AS from_source, t.source AS to_source,
+            |  cast(count(*) as bigint) AS n_spans,
+            |  cast(sum(nf.span_tokens) as bigint) AS dup_tokens,
+            |  cast(count(DISTINCT nf.doc_id) as bigint) AS n_docs
+            |FROM nf
+            |JOIN documents t ON t.doc_id = nf.doc_id
+            |JOIN documents f ON f.doc_id = nf.owner_doc
+            |GROUP BY f.source, t.source
+            |ORDER BY from_source, to_source""".stripMargin))
 
   // ---------------------------------------------------------------------
   // MaxSim-aware (sub-vector) ANN routing — the PLAID/ColBERT pattern
@@ -9327,6 +9747,11 @@ object CurationQueries {
     "ns_sim_maxsim_plaid" -> simMaxsimPlaid,
     "ns_dedup_exact_substr" -> dedupExactSubstr,
     "ns_multimodal_jpeg_dc" -> multimodalJpegDc,
+    "ns_quality_rank_normalize" -> qualityRankNormalize,
+    "ns_sample_histogram_match" -> sampleHistogramMatch,
+    "ns_profile_distinct_ngrams" -> profileDistinctNgrams,
+    "ns_dedup_span_flow" -> dedupSpanFlow,
+    "ns_multimodal_audio_vad" -> multimodalAudioVad,
     "ts_disorder_profile" -> tsDisorderProfile,
     "ns_sim_recall_curve" -> simRecallCurve,
     "ns_sim_maxsim" -> simMaxsim,
