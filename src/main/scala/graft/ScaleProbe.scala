@@ -319,7 +319,18 @@ object ScaleProbe {
       // r15: distinct-n = one inline 3-way gram expansion into a
       // (source, n, gram)-keyed count; replication multiplies counts
       // but not types, so the distinct collapse output stays flat
-      "ns_profile_distinct_ngrams")
+      "ns_profile_distinct_ngrams",
+      // r15: substr rewrite = the span frame collapsed to per-doc
+      // removal arrays + one doc-keyed join + in-array HOF rebuild;
+      // replication makes every clone's spans non-first — worst-case
+      // removal volume
+      "ns_dedup_substr_rewrite",
+      // r15: uncertainty = one map-only score pass into a global
+      // top-50 TakeOrdered — the floor class
+      "ns_sample_uncertainty",
+      // r15: prefix share = 3 (k, prefix-hash) rows per doc into a
+      // keyed count; replication multiplies group sizes, not groups
+      "ns_corpus_prefix_share")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected
@@ -377,7 +388,11 @@ object ScaleProbe {
       // r14: ewma = one user-keyed 16-lag window (bounded in-partition
       // state) + map-side dyadic arithmetic; clone users keep per-user
       // tap depth invariant, growth isolates event volume
-      "ts_ewma_smooth")
+      "ts_ewma_smooth",
+      // r15: cusum = (type, hour) count agg first (the corpus collapse),
+      // then two per-type windows over HOURLY buckets — replication
+      // multiplies counts, not buckets, so window input stays flat
+      "ts_cusum_changepoint")
     if (evtNames.exists(enabled)) {
       val evtReps = spark.range(docMult).select(col("id").as("rep"))
       Tables.load(spark, sfDir, "events")

@@ -8751,6 +8751,281 @@ object CurationQueries {
             |ORDER BY from_source, to_source""".stripMargin))
 
   // ---------------------------------------------------------------------
+  // Exact-span rewrite (the ExactSubstr removal artifact)
+  // ---------------------------------------------------------------------
+
+  /** EXACT-SPAN REWRITE — the artifact the ExactSubstr method actually
+    * ships: every document's text REBUILT with its non-first duplicated
+    * spans removed (the first occurrence corpus-wide keeps its text;
+    * repeats lose exactly the duplicated tokens). Emits per document
+    * the before/after token counts and the md5 of the rebuilt text —
+    * the content identity a downstream tokenizer run would see.
+    *
+    * Determinism: span extents and keep-first ownership come from the
+    * exact [[exactSubstrSpans]] frame; token keep/drop is pure integer
+    * interval membership; the rebuild is an order-preserving join of
+    * the kept tokens.
+    *
+    * Scale: the span frame (gram-keyed, no corpus self-join) collapses
+    * to per-doc removal-interval ARRAYS (duplication-sized) that join
+    * the corpus doc-keyed; the rewrite itself is an in-array HOF per
+    * row — token stream never explodes, nothing shuffles text except
+    * the one doc-keyed join.
+    */
+  private val dedupSubstrRewrite = Q(
+    (s, dir) => {
+      val rem = exactSubstrSpans(s, dir)
+        .where(!col("is_first"))
+        .groupBy(col("doc_id"))
+        .agg(collect_list(struct(col("span_start").as("a"), col("span_end").as("b")))
+          .as("rem"))
+      TS(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .join(rem, Seq("doc_id"), "left")
+        .withColumn("rem", coalesce(col("rem"),
+          expr("cast(array() as array<struct<a: bigint, b: bigint>>)")))
+        .withColumn("kept", expr(
+          """transform(filter(sequence(1, size(w)),
+            |  i -> NOT exists(rem, r -> i - 1 >= r.a AND i - 1 <= r.b)),
+            |  i -> element_at(w, i))""".stripMargin))
+        .select(col("doc_id"), size(col("w")).cast("long").as("n_toks"),
+          size(col("kept")).cast("long").as("n_kept"),
+          (size(col("w")) - size(col("kept"))).cast("long").as("removed_toks"),
+          md5(array_join(col("kept"), " ")).as("rebuilt_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $exactSubstrSpansSql, nf AS (
+            |  SELECT doc_id, span_start, span_end FROM sp
+            |  WHERE owner_fk <> doc_id * 1000000 + span_start
+            |), wd0 AS (
+            |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            |), toks AS (
+            |  SELECT doc_id, i AS pos, w[i] AS t, len(w) AS n_toks
+            |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+            |        FROM wd0)
+            |), kept AS (
+            |  SELECT doc_id, pos, t, n_toks FROM toks tk
+            |  WHERE NOT EXISTS (
+            |    SELECT 1 FROM nf WHERE nf.doc_id = tk.doc_id
+            |      AND tk.pos - 1 >= nf.span_start AND tk.pos - 1 <= nf.span_end)
+            |)
+            |SELECT w0.doc_id,
+            |  cast(len(w0.w) as bigint) AS n_toks,
+            |  cast(coalesce(count(k.pos), 0) as bigint) AS n_kept,
+            |  cast(len(w0.w) - coalesce(count(k.pos), 0) as bigint)
+            |    AS removed_toks,
+            |  md5(coalesce(string_agg(k.t, ' ' ORDER BY k.pos), ''))
+            |    AS rebuilt_md5
+            |FROM wd0 w0 LEFT JOIN kept k ON k.doc_id = w0.doc_id
+            |GROUP BY w0.doc_id, len(w0.w)
+            |ORDER BY w0.doc_id""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Uncertainty (margin) sampling for annotation budgets
+  // ---------------------------------------------------------------------
+
+  /** UNCERTAINTY SAMPLING — the active-learning selection a labeling
+    * budget goes to: the 50 documents whose quality-classifier score
+    * sits CLOSEST to the decision boundary (|p − 0.5|, the margin),
+    * where a human label moves the classifier most. Confidently-kept
+    * and confidently-dropped docs are exactly the ones not worth
+    * annotating.
+    *
+    * Determinism: the score is the shared exact-e6 floored logistic;
+    * margin is integer |score − 5e5|; ties break by doc_id.
+    *
+    * Scale: one map-only scoring pass into a global top-50 by
+    * (margin, doc_id) — TakeOrderedAndProject (per-partition heaps),
+    * no global sort, no window.
+    */
+  private val sampleUncertainty = Q(
+    (s, dir) => {
+      val stopArr = "array('the','a','of','and','to','in','is','it')"
+      TS(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_toks", size(col("toks")).cast("double"))
+        .withColumn("mean_len",
+          (length(col("text")).cast("double") - (col("n_toks") - 1.0)) / col("n_toks"))
+        .withColumn("stop_ratio",
+          expr(s"size(filter(toks, t -> array_contains($stopArr, t)))").cast("double")
+            / col("n_toks"))
+        .withColumn("digit_ratio",
+          (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+            .cast("double") / length(col("text")).cast("double"))
+        .withColumn("z",
+          lit(-1.5) + lit(0.004) * col("n_toks") + lit(0.35) * col("mean_len")
+            + lit(4.0) * col("stop_ratio") - lit(6.0) * col("digit_ratio"))
+        .withColumn("score_fp",
+          floor(lit(1000000.0) / (lit(1.0) + exp(-col("z")))).cast("long"))
+        .withColumn("margin_e6", abs(col("score_fp") - lit(500000L)))
+        .select(col("doc_id"), col("source"), col("score_fp"), col("margin_e6"))
+        .orderBy(col("margin_e6"), col("doc_id"))
+        .limit(50)
+    },
+    Some("""WITH f AS (
+           |  SELECT doc_id, source,
+           |    cast(len(string_split(text, ' ')) as double) AS n_toks,
+           |    (cast(len(text) as double) - (len(string_split(text, ' ')) - 1.0))
+           |      / len(string_split(text, ' ')) AS mean_len,
+           |    cast(len(list_filter(string_split(text, ' '),
+           |      t -> list_contains(['the','a','of','and','to','in','is','it'], t))) as double)
+           |      / len(string_split(text, ' ')) AS stop_ratio,
+           |    cast(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) as double)
+           |      / cast(len(text) as double) AS digit_ratio
+           |  FROM documents
+           |), scored AS (
+           |  SELECT doc_id, source,
+           |    cast(floor(1000000.0 / (1.0 + exp(-(-1.5 + 0.004 * n_toks
+           |      + 0.35 * mean_len + 4.0 * stop_ratio - 6.0 * digit_ratio))))
+           |      as bigint) AS score_fp
+           |  FROM f
+           |)
+           |SELECT doc_id, source, score_fp,
+           |  abs(score_fp - 500000) AS margin_e6
+           |FROM scored
+           |ORDER BY margin_e6, doc_id LIMIT 50""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Prefix-sharing audit (inference-batching economics)
+  // ---------------------------------------------------------------------
+
+  /** PREFIX-SHARE AUDIT — the inference-side economics read: documents
+    * grouped by their first-k-token prefix for k in {4, 8, 16}; a
+    * prefix shared by g documents lets a KV-cache serve k tokens once
+    * instead of g times, saving k·(g−1) token computations. Per k:
+    * group counts, sharing docs, and the total saved-token volume —
+    * the number that says whether prefix-dedup batching is worth
+    * wiring up for this corpus (templated corpora share heavily,
+    * crawls barely).
+    *
+    * Determinism: prefixes are exact token joins; savings are exact
+    * integer sums.
+    *
+    * Scale: ONE pass emits (k, prefix-hash) per doc (3 rows each — the
+    * inline expansion); the group collapse is a keyed count with
+    * map-side partials; prefix STRINGS never shuffle, only md5 hashes.
+    */
+  private val corpusPrefixShare = Q(
+    (s, dir) => {
+      val pk = TS(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .select(explode(expr(
+          """transform(array(4, 8, 16), k ->
+            |  struct(k AS k, md5(array_join(slice(w, 1, k), ' ')) AS p,
+            |         least(size(w), k) AS plen))""".stripMargin)).as("e"))
+        .select(col("e.k").as("k"), col("e.p").as("p"), col("e.plen").as("plen"))
+      pk.groupBy(col("k"), col("p"))
+        .agg(count(lit(1)).as("g"), max(col("plen")).as("plen"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("g") >= 2, 1L).otherwise(0L)).as("shared_groups"),
+          sum(when(col("g") >= 2, col("g")).otherwise(0L)).as("docs_sharing"),
+          sum(col("plen").cast("long") * (col("g") - 1)).as("saved_tokens"))
+        .select(col("k").cast("long").as("k"), col("n_groups"),
+          col("shared_groups"), col("docs_sharing"), col("saved_tokens"))
+        .orderBy(col("k"))
+    },
+    Some("""WITH wd AS (
+           |  SELECT string_split(text, ' ') AS w FROM documents
+           |), pk AS (
+           |  SELECT k, md5(array_to_string(w[1:k], ' ')) AS p,
+           |    least(len(w), k) AS plen
+           |  FROM wd, (SELECT unnest([4, 8, 16]) AS k)
+           |), gg AS (
+           |  SELECT k, p, count(*) AS g, max(plen) AS plen
+           |  FROM pk GROUP BY k, p
+           |)
+           |SELECT cast(k as bigint) AS k, cast(count(*) as bigint) AS n_groups,
+           |  cast(sum(CASE WHEN g >= 2 THEN 1 ELSE 0 END) as bigint)
+           |    AS shared_groups,
+           |  cast(sum(CASE WHEN g >= 2 THEN g ELSE 0 END) as bigint)
+           |    AS docs_sharing,
+           |  cast(sum(plen * (g - 1)) as bigint) AS saved_tokens
+           |FROM gg GROUP BY k ORDER BY k""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // CUSUM change-point detection over event rates
+  // ---------------------------------------------------------------------
+
+  /** CUSUM CHANGE-POINT detection over per-type hourly event rates —
+    * the sequential drift detector a pipeline runs beside the z-score
+    * anomaly flags: the one-sided CUSUM statistic
+    * `C_t = max(0, C_{t-1} + (x_t − μ − slack))` accumulates small
+    * sustained shifts a per-point z-score never flags. Computed WITHOUT
+    * a per-row recurrence via the prefix-sum identity
+    * `C_t = S_t − min(S_0..S_t)` (S = running sum of deviations) — two
+    * plain windows. Per type: bucket count, flagged-bucket count (C >
+    * 5·slack), the peak statistic, and the first flagged hour.
+    *
+    * Determinism: μ is the exact e6 fixed-point per-type mean; all
+    * deviations, prefix sums, and thresholds are exact bigints.
+    *
+    * Scale: the corpus collapses to (type, hour) counts first; both
+    * windows run per type over HOURLY buckets (calendar-bounded, not
+    * event-bounded) — the resample/ffill window class.
+    */
+  private val tsCusumChangepoint = Q(
+    (s, dir) => {
+      val buckets = T(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("x"))
+      val mu = buckets.groupBy(col("event_type"))
+        .agg(expr("(sum(x) * 1000000) div count(1)").as("mu_e6"),
+          count(lit(1)).as("n_buckets"))
+        .withColumn("k_e6", expr("mu_e6 div 10"))
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      val cusum = buckets.join(broadcast(mu), Seq("event_type"))
+        .withColumn("dev", col("x") * lit(1000000L) - col("mu_e6") - col("k_e6"))
+        .withColumn("s", sum(col("dev")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("smin", least(min(col("s")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, 0)), lit(0L)))
+        .withColumn("c", col("s") - col("smin"))
+        .withColumn("flagged", col("c") > col("k_e6") * 5)
+      cusum.groupBy(col("event_type"))
+        .agg(first(col("n_buckets")).as("n_buckets"),
+          first(col("mu_e6")).as("mu_e6"),
+          sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
+          max(col("c")).as("max_cusum_e6"),
+          min(when(col("flagged"), col("hour"))).as("first_flag_hour"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH b AS (
+           |  SELECT event_type, date_trunc('hour', ts) AS hour,
+           |    cast(count(*) as bigint) AS x
+           |  FROM events GROUP BY 1, 2
+           |), m AS (
+           |  SELECT event_type,
+           |    (cast(sum(x) as bigint) * 1000000) // cast(count(*) as bigint)
+           |      AS mu_e6,
+           |    cast(count(*) as bigint) AS n_buckets
+           |  FROM b GROUP BY event_type
+           |), c0 AS (
+           |  SELECT b.event_type, b.hour, m.n_buckets, m.mu_e6,
+           |    m.mu_e6 // 10 AS k_e6,
+           |    cast(sum(b.x * 1000000 - m.mu_e6 - m.mu_e6 // 10) OVER (
+           |      PARTITION BY b.event_type ORDER BY b.hour
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint)
+           |      AS s
+           |  FROM b JOIN m USING (event_type)
+           |), c1 AS (
+           |  SELECT *, least(cast(min(s) OVER (
+           |      PARTITION BY event_type ORDER BY hour
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint), 0)
+           |      AS smin
+           |  FROM c0
+           |), c2 AS (
+           |  SELECT *, s - smin AS c, (s - smin) > k_e6 * 5 AS flagged FROM c1
+           |)
+           |SELECT event_type, cast(max(n_buckets) as bigint) AS n_buckets,
+           |  cast(max(mu_e6) as bigint) AS mu_e6,
+           |  cast(sum(CASE WHEN flagged THEN 1 ELSE 0 END) as bigint)
+           |    AS n_flagged,
+           |  cast(max(c) as bigint) AS max_cusum_e6,
+           |  min(CASE WHEN flagged THEN hour END) AS first_flag_hour
+           |FROM c2 GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  // ---------------------------------------------------------------------
   // MaxSim-aware (sub-vector) ANN routing — the PLAID/ColBERT pattern
   // ---------------------------------------------------------------------
 
@@ -9752,6 +10027,10 @@ object CurationQueries {
     "ns_profile_distinct_ngrams" -> profileDistinctNgrams,
     "ns_dedup_span_flow" -> dedupSpanFlow,
     "ns_multimodal_audio_vad" -> multimodalAudioVad,
+    "ns_dedup_substr_rewrite" -> dedupSubstrRewrite,
+    "ns_sample_uncertainty" -> sampleUncertainty,
+    "ns_corpus_prefix_share" -> corpusPrefixShare,
+    "ts_cusum_changepoint" -> tsCusumChangepoint,
     "ts_disorder_profile" -> tsDisorderProfile,
     "ns_sim_recall_curve" -> simRecallCurve,
     "ns_sim_maxsim" -> simMaxsim,
