@@ -330,7 +330,14 @@ object ScaleProbe {
       "ns_sample_uncertainty",
       // r15: prefix share = 3 (k, prefix-hash) rows per doc into a
       // keyed count; replication multiplies group sizes, not groups
-      "ns_corpus_prefix_share")
+      "ns_corpus_prefix_share",
+      // r15: ocr artifacts = pure map-side in-array HOF counting, no
+      // shuffle before the gate sort — the code_switch floor class
+      "ns_text_ocr_artifacts",
+      // r15: the L curve = one tokenize expanding THREE gram orders
+      // (3x the exact-substr row volume, same keyed-stats shape);
+      // replication drives worst-case duplicated coverage at all three L
+      "ns_dedup_substr_curve")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected

@@ -441,7 +441,14 @@ object Multimodal {
     * form (a generate_series cross product in SQL), which is what lets
     * an oracle check a real inflate + unfilter + pixel walk.
     */
-  def pngGradientBytes(width: Int, height: Int): Array[Byte] = {
+  def pngGradientBytes(width: Int, height: Int): Array[Byte] =
+    pngGradientBytes(width, height, java.util.zip.Deflater.DEFAULT_COMPRESSION)
+
+  /** [[pngGradientBytes]] with an explicit zlib compression `level` —
+    * different levels produce different CONTAINER bytes for identical
+    * pixels, the fixture for pixel-identity (vs byte-identity) dedup.
+    */
+  def pngGradientBytes(width: Int, height: Int, level: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
     def chunk(typ: String, data: Array[Byte]): Unit = {
@@ -473,7 +480,7 @@ object Multimodal {
       }
       y += 1
     }
-    val deflater = new java.util.zip.Deflater()
+    val deflater = new java.util.zip.Deflater(level)
     deflater.setInput(raw); deflater.finish()
     val buf = new Array[Byte](raw.length + 128)
     val n = deflater.deflate(buf)
@@ -481,6 +488,57 @@ object Multimodal {
     chunk("IDAT", buf.take(n))
     chunk("IEND", Array.empty[Byte])
     out.toByteArray
+  }
+
+  /** sha256 (hex) of the DECODED raw RGB pixel stream (rows
+    * concatenated, filter bytes excluded) — the content identity that
+    * survives container re-encoding (compression level, chunking),
+    * which a byte-level hash does not. None on undecodable input.
+    */
+  def pngPixelSha(b: Array[Byte]): Option[(Long, Long, String)] = {
+    // reuse the validated decode path, then re-walk for the digest
+    pngPixelStats(b).map { case (w, h, _, _, _) =>
+      // pngPixelStats proved the container decodes; re-inflate for bytes
+      val idat = new java.io.ByteArrayOutputStream()
+      var pos = 33
+      while (pos + 8 <= b.length) {
+        val size = be32(b, pos).toInt
+        val typ = new String(b, pos + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        if (typ == "IDAT") idat.write(b, pos + 8, size)
+        if (typ == "IEND") pos = b.length
+        else pos += 12 + size
+      }
+      val inflater = new java.util.zip.Inflater()
+      inflater.setInput(idat.toByteArray)
+      val raw = new Array[Byte]((h * (1 + w * 3)).toInt)
+      try inflater.inflate(raw) finally inflater.end()
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      var y = 0
+      while (y < h) {
+        md.update(raw, (y * (1 + w * 3)).toInt + 1, (w * 3).toInt)
+        y += 1
+      }
+      (w, h, md.digest().map("%02x".format(_)).mkString)
+    }
+  }
+
+  final case class PixelId(fileId: Long, width: Long, height: Long,
+      pixelSha: String, valid: Boolean)
+
+  /** Partition-mapped pixel-identity extraction — [[parseAll]] shape. */
+  def pngPixelIdAll(df: DataFrame): Dataset[PixelId] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("file_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          pngPixelSha(bytes) match {
+            case Some((w, h, sha)) => PixelId(id, w, h, sha, valid = true)
+            case None => PixelId(id, 0L, 0L, "", valid = false)
+          }
+        }
+      }
   }
 
   /** Pixel-level statistics of an 8-bit RGB filter-0 PNG: dimensions

@@ -8751,6 +8751,232 @@ object CurationQueries {
             |ORDER BY from_source, to_source""".stripMargin))
 
   // ---------------------------------------------------------------------
+  // OCR-artifact signals (crawl-cleaning heuristics)
+  // ---------------------------------------------------------------------
+
+  /** OCR/EXTRACTION-ARTIFACT signals — the crawl-cleaning heuristics
+    * that catch scanner and PDF-extraction garbage the entropy and
+    * stopword filters miss: per document, the shares of tokens that mix
+    * letters and digits inside one token (`l0rem`, `f1gure` — the
+    * classic OCR confusion), single-character tokens (shattered
+    * words), and tokens with no letters at all; a composite flag marks
+    * documents an OCR-repair or re-extraction queue should take.
+    *
+    * Determinism: token classes are simple character-class regexes
+    * (identical semantics in Java regex and RE2 — no backreferences);
+    * shares are exact integer ppm.
+    *
+    * Scale: pure map-side — per-row in-array HOF counting, no explode,
+    * no shuffle before the gate sort.
+    */
+  private val textOcrArtifacts = Q(
+    (s, dir) =>
+      TS(s, dir, "documents")
+        .withColumn("toks", expr("filter(split(text, ' '), t -> length(t) > 0)"))
+        .withColumn("n_toks", size(col("toks")).cast("long"))
+        .where(col("n_toks") > 0)
+        .withColumn("n_mixed", expr(
+          "size(filter(toks, t -> t rlike '[a-z]' AND t rlike '[0-9]'))").cast("long"))
+        .withColumn("n_single", expr(
+          "size(filter(toks, t -> length(t) = 1))").cast("long"))
+        .withColumn("n_nonalpha", expr(
+          "size(filter(toks, t -> NOT t rlike '[a-z]'))").cast("long"))
+        .withColumn("mixed_ppm", expr("(n_mixed * 1000000) div n_toks"))
+        .withColumn("single_ppm", expr("(n_single * 1000000) div n_toks"))
+        .withColumn("nonalpha_ppm", expr("(n_nonalpha * 1000000) div n_toks"))
+        .withColumn("ocr_flag",
+          col("mixed_ppm") > 50000L || col("single_ppm") > 200000L ||
+            col("nonalpha_ppm") > 300000L)
+        .select(col("doc_id"), col("n_toks"), col("mixed_ppm"),
+          col("single_ppm"), col("nonalpha_ppm"), col("ocr_flag"))
+        .orderBy(col("doc_id")),
+    Some("""WITH t AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+           |  FROM documents
+           |), c AS (
+           |  SELECT doc_id, cast(len(toks) as bigint) AS n_toks,
+           |    cast(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')
+           |      AND regexp_matches(t, '[0-9]'))) as bigint) AS n_mixed,
+           |    cast(len(list_filter(toks, t -> len(t) = 1)) as bigint)
+           |      AS n_single,
+           |    cast(len(list_filter(toks, t -> NOT regexp_matches(t, '[a-z]')))
+           |      as bigint) AS n_nonalpha
+           |  FROM t WHERE len(toks) > 0
+           |)
+           |SELECT doc_id, n_toks,
+           |  (n_mixed * 1000000) // n_toks AS mixed_ppm,
+           |  (n_single * 1000000) // n_toks AS single_ppm,
+           |  (n_nonalpha * 1000000) // n_toks AS nonalpha_ppm,
+           |  (n_mixed * 1000000) // n_toks > 50000
+           |    OR (n_single * 1000000) // n_toks > 200000
+           |    OR (n_nonalpha * 1000000) // n_toks > 300000 AS ocr_flag
+           |FROM c ORDER BY doc_id""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Duplicated-span threshold curve (exact-substr L sensitivity)
+  // ---------------------------------------------------------------------
+
+  /** DUPLICATED-SPAN THRESHOLD CURVE — the tuning table for the
+    * exact-span dedup's one knob: the minimum span length L. For L in
+    * {4, 8, 16}, every [[exactSubstrSpans]] quantity re-derives — span
+    * counts, affected docs, duplicated-token coverage and the
+    * keep-first-removable volume — so an operator reads directly how
+    * aggressive each threshold is before committing a rewrite (the
+    * `ns_dedup_rate_curve` read for the substring family).
+    *
+    * Scale: ONE tokenize pass expands all three L-gram orders inline
+    * (3x row volume, one scan — the distinct_ngrams trade); stats and
+    * sites key by (L, gram-hash), islands window per (doc, L) over
+    * duplicated sites only. Same no-corpus-self-join shape as the
+    * single-L frame.
+    */
+  private val dedupSubstrCurve = Q(
+    (s, dir) => {
+      val g = TS(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), explode(expr(
+          """flatten(transform(array(4, 8, 16), l ->
+            |  if(size(w) < l, array(),
+            |    transform(sequence(1, size(w) - l + 1),
+            |      i -> struct(cast(l as bigint) AS l, cast(i - 1 as bigint) AS pos0,
+            |                  sha2(array_join(slice(w, i, l), ' '), 256) AS gk)))))"""
+            .stripMargin)).as("e"))
+        .select(col("doc_id"), col("e.l").as("l"), col("e.pos0").as("pos0"),
+          col("e.gk").as("gk"))
+      val stats = g.groupBy(col("l"), col("gk"))
+        .agg(count(lit(1)).as("c"),
+          min(col("doc_id") * lit(1000000L) + col("pos0")).as("fk"))
+        .where(col("c") >= 2)
+      val sites = g.join(stats, Seq("l", "gk"))
+        .select(col("doc_id"), col("l"), col("pos0"), col("fk"))
+      val wOrd = Window.partitionBy(col("doc_id"), col("l")).orderBy(col("pos0"))
+      val spans = sites
+        .withColumn("prev_end", max(col("pos0") + col("l") - 1)
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("new_isl",
+          when(col("prev_end").isNull || col("pos0") > col("prev_end") + 1, 1L)
+            .otherwise(0L))
+        .withColumn("isl", sum(col("new_isl")).over(wOrd))
+        .groupBy(col("doc_id"), col("l"), col("isl"))
+        .agg(min(col("pos0")).as("span_start"),
+          (max(col("pos0")) + first(col("l")) - 1).as("span_end"),
+          min_by(col("fk"), col("pos0")).as("owner_fk"))
+      spans
+        .withColumn("span_tokens", col("span_end") - col("span_start") + 1)
+        .withColumn("removable",
+          col("owner_fk") =!= col("doc_id") * lit(1000000L) + col("span_start"))
+        .groupBy(col("l"))
+        .agg(count(lit(1)).as("n_spans"),
+          countDistinct(col("doc_id")).as("docs_affected"),
+          sum(col("span_tokens")).as("dup_tokens"),
+          sum(when(col("removable"), col("span_tokens")).otherwise(0L))
+            .as("removable_tokens"))
+        .orderBy(col("l"))
+    },
+    Some("""WITH wd AS (
+           |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           |), ls AS (SELECT unnest([4, 8, 16]) AS l
+           |), g0 AS (
+           |  SELECT doc_id, l, unnest(list_transform(
+           |    generate_series(1, len(w) - l + 1),
+           |    i -> {'pos0': i - 1,
+           |          'gk': sha256(array_to_string(list_slice(w, i, i + l - 1), ' '))}))
+           |    AS e
+           |  FROM wd, ls WHERE len(w) >= l
+           |), g AS (
+           |  SELECT doc_id, cast(l as bigint) AS l,
+           |    cast(e.pos0 as bigint) AS pos0, e.gk AS gk
+           |  FROM g0
+           |), stats AS (
+           |  SELECT l, gk, count(*) AS c, min(doc_id * 1000000 + pos0) AS fk
+           |  FROM g GROUP BY l, gk HAVING count(*) >= 2
+           |), sites AS (
+           |  SELECT g.doc_id, g.l, g.pos0, s.fk
+           |  FROM g JOIN stats s USING (l, gk)
+           |), isl AS (
+           |  SELECT doc_id, l, pos0, fk,
+           |    cast(sum(CASE WHEN prev_end IS NULL OR pos0 > prev_end + 1
+           |      THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id, l ORDER BY pos0)
+           |      as bigint) AS isl
+           |  FROM (
+           |    SELECT doc_id, l, pos0, fk,
+           |      max(pos0 + l - 1) OVER (PARTITION BY doc_id, l ORDER BY pos0
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+           |    FROM sites)
+           |), sp AS (
+           |  SELECT doc_id, l, isl, min(pos0) AS span_start,
+           |    max(pos0) + max(l) - 1 AS span_end,
+           |    arg_min(fk, pos0) AS owner_fk
+           |  FROM isl GROUP BY doc_id, l, isl
+           |), sp2 AS (
+           |  SELECT doc_id, l, span_end - span_start + 1 AS span_tokens,
+           |    owner_fk <> doc_id * 1000000 + span_start AS removable
+           |  FROM sp
+           |)
+           |SELECT l, cast(count(*) as bigint) AS n_spans,
+           |  cast(count(DISTINCT doc_id) as bigint) AS docs_affected,
+           |  cast(sum(span_tokens) as bigint) AS dup_tokens,
+           |  cast(coalesce(sum(CASE WHEN removable THEN span_tokens END), 0)
+           |    as bigint) AS removable_tokens
+           |FROM sp2 GROUP BY l ORDER BY l""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Pixel-identity image dedup (content vs container)
+  // ---------------------------------------------------------------------
+
+  /** PIXEL-IDENTITY image dedup — the dedup byte-hashing can't do: 25
+    * PNGs where groups share EXACT pixel content but differ in
+    * container bytes (different zlib compression levels re-encode the
+    * same gradient), grouped by the sha256 of the DECODED RGB stream.
+    * A byte-level content hash sees 25 distinct files; the pixel
+    * identity recovers the 10 true content groups — the image analog
+    * of text exact-dedup after normalization.
+    *
+    * Determinism: the pixel digest hashes the unfiltered RGB scanline
+    * bytes in row order; group canonical = min file id.
+    *
+    * Scale: the parseAll narrow shape (decode + digest per file, no
+    * shuffle) into a digest-keyed count — byte volume never shuffles,
+    * only 64-char digests.
+    */
+  private val multimodalPixelDedup = Q(
+    (s, dir) => {
+      val base = scratchDir("pixeldedup")
+      val p = java.nio.file.Paths.get(base)
+      val levels = Array(1, 6, 9)
+      T(s, dir, "nation").select(col("n_nationkey")).collect() // 25-row dim
+        .foreach { r =>
+          val k = r.getInt(0)
+          java.nio.file.Files.write(p.resolve(f"d_$k%02d.png"),
+            graft.operators.Multimodal.pngGradientBytes(
+              16 + (k % 10), 10 + (k % 5), levels(k / 10)))
+        }
+      val scanned = s.read.format("binaryFile").load(base)
+        .select(regexp_extract(col("path"), "d_(\\d+)\\.", 1).cast("long")
+          .as("file_id"), col("content"))
+      val out = graft.operators.Multimodal.pngPixelIdAll(scanned).toDF()
+        .groupBy(col("pixelSha"))
+        .agg(min(col("fileId")).as("canonical_file"),
+          count(lit(1)).as("n_copies"),
+          first(col("width")).as("width"), first(col("height")).as("height"))
+        .select(col("canonical_file"), col("n_copies"), col("width"),
+          col("height"))
+        .orderBy(col("canonical_file"))
+        .localCheckpoint(true)
+      scratchDelete(base)
+      out
+    },
+    Some("""SELECT cast(min(n_nationkey) as bigint) AS canonical_file,
+           |  cast(count(*) as bigint) AS n_copies,
+           |  cast(16 + (n_nationkey % 10) as bigint) AS width,
+           |  cast(10 + (n_nationkey % 5) as bigint) AS height
+           |FROM nation
+           |GROUP BY n_nationkey % 10, 16 + (n_nationkey % 10),
+           |  10 + (n_nationkey % 5)
+           |ORDER BY canonical_file""".stripMargin))
+
+  // ---------------------------------------------------------------------
   // Exact-span rewrite (the ExactSubstr removal artifact)
   // ---------------------------------------------------------------------
 
@@ -10031,6 +10257,9 @@ object CurationQueries {
     "ns_sample_uncertainty" -> sampleUncertainty,
     "ns_corpus_prefix_share" -> corpusPrefixShare,
     "ts_cusum_changepoint" -> tsCusumChangepoint,
+    "ns_text_ocr_artifacts" -> textOcrArtifacts,
+    "ns_dedup_substr_curve" -> dedupSubstrCurve,
+    "ns_multimodal_pixel_dedup" -> multimodalPixelDedup,
     "ts_disorder_profile" -> tsDisorderProfile,
     "ns_sim_recall_curve" -> simRecallCurve,
     "ns_sim_maxsim" -> simMaxsim,
