@@ -337,7 +337,14 @@ object ScaleProbe {
       // r15: the L curve = one tokenize expanding THREE gram orders
       // (3x the exact-substr row volume, same keyed-stats shape);
       // replication drives worst-case duplicated coverage at all three L
-      "ns_dedup_substr_curve")
+      "ns_dedup_substr_curve",
+      // r15: gate venn = map-only integer gates into an 8-group agg —
+      // the floor class
+      "ns_quality_gate_venn",
+      // r15: order audit = score+hash pass, sha-keyed group agg, two
+      // group-sized doc-keyed joins; replication grows every sha group
+      // by the factor (every clone group's rescue structure invariant)
+      "ns_pipeline_order_audit")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected
@@ -399,7 +406,10 @@ object ScaleProbe {
       // r15: cusum = (type, hour) count agg first (the corpus collapse),
       // then two per-type windows over HOURLY buckets — replication
       // multiplies counts, not buckets, so window input stays flat
-      "ts_cusum_changepoint")
+      "ts_cusum_changepoint",
+      // r15: seasonality = one (type, dow, hour) collapse to <= 168
+      // cells/type; the peak window is grid-sized
+      "ts_seasonality_profile")
     if (evtNames.exists(enabled)) {
       val evtReps = spark.range(docMult).select(col("id").as("rep"))
       Tables.load(spark, sfDir, "events")

@@ -8751,6 +8751,225 @@ object CurationQueries {
             |ORDER BY from_source, to_source""".stripMargin))
 
   // ---------------------------------------------------------------------
+  // Weekly seasonality profile (capacity planning)
+  // ---------------------------------------------------------------------
+
+  /** WEEKLY SEASONALITY profile per event type — the capacity-planning
+    * read behind ingestion scheduling: the (day-of-week x hour) traffic
+    * matrix collapsed to each type's peak cell, trough and
+    * peak-to-trough ratio. A flat ratio says schedule anywhere; a spiky
+    * one says the crawler/compaction jobs get a quiet window.
+    *
+    * Determinism: counts exact; the peak cell breaks ties to the
+    * smallest packed (dow, hour) key via a unique ordering; dow is
+    * normalized to 0 = Sunday in both engines (Spark's dayofweek is
+    * 1-based).
+    *
+    * Scale: the corpus collapses to <= types x 168 cells in one
+    * partial-aggregable pass; everything after is grid-sized (the
+    * ts_markov class).
+    */
+  private val tsSeasonalityProfile = Q(
+    (s, dir) => {
+      val cells = T(s, dir, "events")
+        .groupBy(col("event_type"),
+          (dayofweek(col("ts")) - 1).as("dow"), hour(col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("key", col("dow") * 100 + col("hr"))
+      val wPk = Window.partitionBy(col("event_type"))
+        .orderBy(col("n").desc, col("key"))
+      cells
+        .withColumn("rn", row_number().over(wPk))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_cells"),
+          max(col("n")).as("peak_n"), min(col("n")).as("trough_n"),
+          min(when(col("rn") === 1, col("dow"))).cast("long").as("peak_dow"),
+          min(when(col("rn") === 1, col("hr"))).cast("long").as("peak_hour"))
+        .withColumn("peak_trough_e3", expr("(peak_n * 1000) div trough_n"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH c AS (
+           |  SELECT event_type, dayofweek(ts) AS dow, hour(ts) AS hr,
+           |    cast(count(*) as bigint) AS n
+           |  FROM events GROUP BY 1, 2, 3
+           |), r AS (
+           |  SELECT *, dow * 100 + hr AS key,
+           |    row_number() OVER (PARTITION BY event_type
+           |      ORDER BY n DESC, dow * 100 + hr) AS rn
+           |  FROM c
+           |)
+           |SELECT event_type, cast(count(*) as bigint) AS n_cells,
+           |  cast(max(n) as bigint) AS peak_n,
+           |  cast(min(n) as bigint) AS trough_n,
+           |  cast(min(CASE WHEN rn = 1 THEN dow END) as bigint) AS peak_dow,
+           |  cast(min(CASE WHEN rn = 1 THEN hr END) as bigint) AS peak_hour,
+           |  (cast(max(n) as bigint) * 1000) // cast(min(n) as bigint)
+           |    AS peak_trough_e3
+           |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Quality-gate Venn (filter-redundancy audit)
+  // ---------------------------------------------------------------------
+
+  /** QUALITY-GATE VENN — the filter-redundancy read the agreement
+    * statistics (kappa, Krippendorff) summarize away: the corpus
+    * partitioned into the 2^3 regions of three independent gates
+    * (length band, stopword floor, digit ceiling), with document and
+    * token volumes per region. A gate whose unique region is empty is
+    * redundant; the all-fail region sizes the reject pile.
+    *
+    * Determinism: every gate is an exact integer comparison (no float
+    * ratios); region rollups are pure counts.
+    *
+    * Scale: one map-only gate pass into an at-most-8-group aggregate.
+    */
+  private val qualityGateVenn = Q(
+    (s, dir) =>
+      TS(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_toks", size(col("toks")).cast("long"))
+        .withColumn("n_stop", expr(
+          "size(filter(toks, t -> array_contains(" +
+            "array('the','a','of','and','to','in','is','it'), t)))").cast("long"))
+        .withColumn("n_digit",
+          (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+            .cast("long"))
+        .withColumn("g_len", col("n_toks").between(20L, 80L))
+        .withColumn("g_stop", col("n_stop") * 100L >= col("n_toks") * 10L)
+        .withColumn("g_digit", col("n_digit") * 100L <= length(col("text")) * 5L)
+        .groupBy(col("g_len"), col("g_stop"), col("g_digit"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_toks"))
+        .orderBy(col("g_len"), col("g_stop"), col("g_digit")),
+    Some("""WITH f AS (
+           |  SELECT
+           |    cast(len(string_split(text, ' ')) as bigint) AS n_toks,
+           |    cast(len(list_filter(string_split(text, ' '),
+           |      t -> list_contains(['the','a','of','and','to','in','is','it'], t)))
+           |      as bigint) AS n_stop,
+           |    cast(len(text) - len(regexp_replace(text, '[0-9]', '', 'g'))
+           |      as bigint) AS n_digit,
+           |    cast(len(text) as bigint) AS n_chars
+           |  FROM documents
+           |)
+           |SELECT n_toks BETWEEN 20 AND 80 AS g_len,
+           |  n_stop * 100 >= n_toks * 10 AS g_stop,
+           |  n_digit * 100 <= n_chars * 5 AS g_digit,
+           |  cast(count(*) as bigint) AS n_docs,
+           |  cast(sum(n_toks) as bigint) AS n_toks
+           |FROM f GROUP BY 1, 2, 3
+           |ORDER BY g_len, g_stop, g_digit""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Pipeline-order audit (dedup-then-filter vs filter-then-dedup)
+  // ---------------------------------------------------------------------
+
+  /** PIPELINE-ORDER AUDIT — dedup-before-filter vs filter-before-dedup
+    * are NOT equivalent under keep-first dedup: if a duplicate group's
+    * first (kept) copy fails the quality gate, dedup-first drops the
+    * whole group, while filter-first lets a later passing copy survive.
+    * Per source: groups kept under each order and the RESCUED count
+    * (first copy fails, a later copy passes — attributed to the
+    * rescuing survivor's source). The numbers that decide stage order
+    * in a curation DAG.
+    *
+    * Determinism: group identity is sha256(text); survivors are exact
+    * min-doc_id selections; the gate is the shared exact-e6 logistic.
+    *
+    * Scale: one score+hash pass; groups are a sha-keyed aggregate
+    * (map-side partials); survivor attribution is two doc_id-keyed
+    * joins of GROUP-sized rows back to the scored frame. No windows.
+    */
+  private val pipelineOrderAudit = Q(
+    (s, dir) => {
+      val stopArr = "array('the','a','of','and','to','in','is','it')"
+      val scored = TS(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_toks", size(col("toks")).cast("double"))
+        .withColumn("mean_len",
+          (length(col("text")).cast("double") - (col("n_toks") - 1.0)) / col("n_toks"))
+        .withColumn("stop_ratio",
+          expr(s"size(filter(toks, t -> array_contains($stopArr, t)))").cast("double")
+            / col("n_toks"))
+        .withColumn("digit_ratio",
+          (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+            .cast("double") / length(col("text")).cast("double"))
+        .withColumn("z",
+          lit(-1.5) + lit(0.004) * col("n_toks") + lit(0.35) * col("mean_len")
+            + lit(4.0) * col("stop_ratio") - lit(6.0) * col("digit_ratio"))
+        .withColumn("pass",
+          floor(lit(1000000.0) / (lit(1.0) + exp(-col("z")))).cast("long") >= 500000L)
+        .select(col("doc_id"), col("source"), sha2(col("text"), 256).as("sha"),
+          col("pass"))
+        .localCheckpoint(true)
+      val groups = scored.groupBy(col("sha"))
+        .agg(min(col("doc_id")).as("min_doc"),
+          min(when(col("pass"), col("doc_id"))).as("ff_doc"))
+      val df_ = groups
+        .join(scored.select(col("doc_id").as("min_doc"),
+          col("source").as("min_src"), col("pass").as("min_pass")), Seq("min_doc"))
+      val both = df_
+        .join(scored.select(col("doc_id").as("ff_doc"),
+          col("source").as("ff_src")), Seq("ff_doc"), "left")
+      val dfKept = both.where(col("min_pass"))
+        .groupBy(col("min_src").as("source"))
+        .agg(count(lit(1)).as("kept_dedup_first"))
+      val ffKept = both.where(col("ff_doc").isNotNull)
+        .groupBy(col("ff_src").as("source"))
+        .agg(count(lit(1)).as("kept_filter_first"),
+          sum(when(!col("min_pass"), 1L).otherwise(0L)).as("rescued"))
+      ffKept.join(dfKept, Seq("source"), "full")
+        .select(col("source"),
+          coalesce(col("kept_dedup_first"), lit(0L)).as("kept_dedup_first"),
+          coalesce(col("kept_filter_first"), lit(0L)).as("kept_filter_first"),
+          coalesce(col("rescued"), lit(0L)).as("rescued"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH f AS (
+           |  SELECT doc_id, source, sha256(text) AS sha,
+           |    cast(len(string_split(text, ' ')) as double) AS n_toks,
+           |    (cast(len(text) as double) - (len(string_split(text, ' ')) - 1.0))
+           |      / len(string_split(text, ' ')) AS mean_len,
+           |    cast(len(list_filter(string_split(text, ' '),
+           |      t -> list_contains(['the','a','of','and','to','in','is','it'], t))) as double)
+           |      / len(string_split(text, ' ')) AS stop_ratio,
+           |    cast(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) as double)
+           |      / cast(len(text) as double) AS digit_ratio
+           |  FROM documents
+           |), scored AS (
+           |  SELECT doc_id, source, sha,
+           |    cast(floor(1000000.0 / (1.0 + exp(-(-1.5 + 0.004 * n_toks
+           |      + 0.35 * mean_len + 4.0 * stop_ratio - 6.0 * digit_ratio))))
+           |      as bigint) >= 500000 AS pass
+           |  FROM f
+           |), g AS (
+           |  SELECT sha, min(doc_id) AS min_doc,
+           |    min(CASE WHEN pass THEN doc_id END) AS ff_doc
+           |  FROM scored GROUP BY sha
+           |), b AS (
+           |  SELECT g.sha, g.ff_doc, m.source AS min_src, m.pass AS min_pass,
+           |    s2.source AS ff_src
+           |  FROM g
+           |  JOIN scored m ON m.doc_id = g.min_doc
+           |  LEFT JOIN scored s2 ON s2.doc_id = g.ff_doc
+           |), dfk AS (
+           |  SELECT min_src AS source, cast(count(*) as bigint)
+           |    AS kept_dedup_first
+           |  FROM b WHERE min_pass GROUP BY min_src
+           |), ffk AS (
+           |  SELECT ff_src AS source, cast(count(*) as bigint)
+           |    AS kept_filter_first,
+           |    cast(sum(CASE WHEN NOT min_pass THEN 1 ELSE 0 END) as bigint)
+           |      AS rescued
+           |  FROM b WHERE ff_doc IS NOT NULL GROUP BY ff_src
+           |)
+           |SELECT coalesce(ffk.source, dfk.source) AS source,
+           |  coalesce(kept_dedup_first, 0) AS kept_dedup_first,
+           |  coalesce(kept_filter_first, 0) AS kept_filter_first,
+           |  coalesce(rescued, 0) AS rescued
+           |FROM ffk FULL JOIN dfk ON ffk.source = dfk.source
+           |ORDER BY source""".stripMargin))
+
+  // ---------------------------------------------------------------------
   // OCR-artifact signals (crawl-cleaning heuristics)
   // ---------------------------------------------------------------------
 
@@ -10260,6 +10479,9 @@ object CurationQueries {
     "ns_text_ocr_artifacts" -> textOcrArtifacts,
     "ns_dedup_substr_curve" -> dedupSubstrCurve,
     "ns_multimodal_pixel_dedup" -> multimodalPixelDedup,
+    "ts_seasonality_profile" -> tsSeasonalityProfile,
+    "ns_quality_gate_venn" -> qualityGateVenn,
+    "ns_pipeline_order_audit" -> pipelineOrderAudit,
     "ts_disorder_profile" -> tsDisorderProfile,
     "ns_sim_recall_curve" -> simRecallCurve,
     "ns_sim_maxsim" -> simMaxsim,
