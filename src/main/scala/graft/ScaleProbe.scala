@@ -344,7 +344,11 @@ object ScaleProbe {
       // r15: order audit = score+hash pass, sha-keyed group agg, two
       // group-sized doc-keyed joins; replication grows every sha group
       // by the factor (every clone group's rescue structure invariant)
-      "ns_pipeline_order_audit")
+      "ns_pipeline_order_audit",
+      // r15: unk rate = term counts collapsed to the count-of-counts
+      // frame; replication multiplies counts (shifting levels), not
+      // types — the level frame stays heavy-tail bounded
+      "ns_text_unk_rate")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected

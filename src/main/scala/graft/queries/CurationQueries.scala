@@ -8751,6 +8751,90 @@ object CurationQueries {
             |ORDER BY from_source, to_source""".stripMargin))
 
   // ---------------------------------------------------------------------
+  // UNK-rate curve (vocabulary-budget coverage)
+  // ---------------------------------------------------------------------
+
+  /** UNK-RATE CURVE — token coverage under a vocabulary budget: for
+    * k in {100, 1000, 10000}, the share of corpus token OCCURRENCES
+    * covered by the k most frequent types, and the complementary UNK
+    * rate a word-level tokenizer with that budget would emit. The
+    * classic vocab-size tuning read (BPE budgets train against exactly
+    * this curve).
+    *
+    * Determinism: coverage at budget k needs NO term-level tie-break —
+    * equally-frequent types are interchangeable (they contribute the
+    * same count), so the exact coverage is full frequency levels above
+    * the cutoff plus `(k − terms_above) × cutoff_count` at it.
+    *
+    * Scale: no term-level global sort — term counts collapse to the
+    * COUNT-OF-COUNTS frame (one row per distinct frequency value,
+    * heavy-tail bounded), the per-budget inclusion is a tiny broadcast
+    * join over those levels, and everything is partial-aggregable up
+    * to that frame.
+    */
+  private val textUnkRate = Q(
+    (s, dir) => {
+      val tf = TS(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("t"))
+        .where(length(col("t")) > 0)
+        .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+      val cc = tf.groupBy(col("cnt")).agg(count(lit(1)).as("nt"))
+      val wOrd = Window.orderBy(col("cnt").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val lev = cc
+        .withColumn("before", coalesce(sum(col("nt")).over(wOrd), lit(0L)))
+        .localCheckpoint(true)
+      val tot = lev.agg(sum(col("cnt") * col("nt")).as("total_tokens"),
+        sum(col("nt")).as("n_terms"))
+      val ks = s.range(0, 3).select(
+        expr("element_at(array(100L, 1000L, 10000L), cast(id + 1 as int))").as("k"))
+      ks.join(lev, col("before") < col("k"), "left")
+        .withColumn("take", least(col("nt"), col("k") - col("before")))
+        .groupBy(col("k"))
+        .agg(coalesce(sum(col("take") * col("cnt")), lit(0L)).as("covered_tokens"),
+          coalesce(sum(col("take")), lit(0L)).as("terms_used"))
+        .crossJoin(broadcast(tot))
+        .select(col("k"), least(col("k"), col("n_terms")).as("vocab_k"),
+          col("terms_used"), col("covered_tokens"),
+          (col("total_tokens") - col("covered_tokens")).as("unk_tokens"),
+          expr("((total_tokens - covered_tokens) * 1000000) div total_tokens")
+            .as("unk_ppm"))
+        .orderBy(col("k"))
+    },
+    Some("""WITH tf AS (
+           |  SELECT t, cast(count(*) as bigint) AS cnt FROM (
+           |    SELECT unnest(string_split(text, ' ')) AS t FROM documents
+           |  ) WHERE len(t) > 0 GROUP BY t
+           |), cc AS (
+           |  SELECT cnt, cast(count(*) as bigint) AS nt FROM tf GROUP BY cnt
+           |), lev AS (
+           |  SELECT cnt, nt,
+           |    cast(coalesce(sum(nt) OVER (ORDER BY cnt DESC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as bigint)
+           |      AS before
+           |  FROM cc
+           |), tot AS (
+           |  SELECT cast(sum(cnt * nt) as bigint) AS total_tokens,
+           |    cast(sum(nt) as bigint) AS n_terms
+           |  FROM lev
+           |), ks AS (SELECT unnest([100, 1000, 10000]) AS k
+           |), cov AS (
+           |  SELECT ks.k,
+           |    cast(coalesce(sum(least(l.nt, ks.k - l.before) * l.cnt), 0)
+           |      as bigint) AS covered_tokens,
+           |    cast(coalesce(sum(least(l.nt, ks.k - l.before)), 0) as bigint)
+           |      AS terms_used
+           |  FROM ks LEFT JOIN lev l ON l.before < ks.k
+           |  GROUP BY ks.k
+           |)
+           |SELECT cast(k as bigint) AS k, least(k, tot.n_terms) AS vocab_k,
+           |  terms_used, covered_tokens,
+           |  tot.total_tokens - covered_tokens AS unk_tokens,
+           |  ((tot.total_tokens - covered_tokens) * 1000000) // tot.total_tokens
+           |    AS unk_ppm
+           |FROM cov, tot ORDER BY k""".stripMargin))
+
+  // ---------------------------------------------------------------------
   // Weekly seasonality profile (capacity planning)
   // ---------------------------------------------------------------------
 
@@ -10482,6 +10566,7 @@ object CurationQueries {
     "ts_seasonality_profile" -> tsSeasonalityProfile,
     "ns_quality_gate_venn" -> qualityGateVenn,
     "ns_pipeline_order_audit" -> pipelineOrderAudit,
+    "ns_text_unk_rate" -> textUnkRate,
     "ts_disorder_profile" -> tsDisorderProfile,
     "ns_sim_recall_curve" -> simRecallCurve,
     "ns_sim_maxsim" -> simMaxsim,
