@@ -413,7 +413,11 @@ object ScaleProbe {
       "ts_cusum_changepoint",
       // r15: seasonality = one (type, dow, hour) collapse to <= 168
       // cells/type; the peak window is grid-sized
-      "ts_seasonality_profile")
+      "ts_seasonality_profile",
+      // r15: the streaming cusum twin replays hour-split files through
+      // FMGWS; replication multiplies per-bucket counts, state stays
+      // O(1) per type
+      "ts_cusum_stream")
     if (evtNames.exists(enabled)) {
       val evtReps = spark.range(docMult).select(col("id").as("rep"))
       Tables.load(spark, sfDir, "events")

@@ -9519,40 +9519,118 @@ object CurationQueries {
           min(when(col("flagged"), col("hour"))).as("first_flag_hour"))
         .orderBy(col("event_type"))
     },
-    Some("""WITH b AS (
-           |  SELECT event_type, date_trunc('hour', ts) AS hour,
-           |    cast(count(*) as bigint) AS x
-           |  FROM events GROUP BY 1, 2
-           |), m AS (
-           |  SELECT event_type,
-           |    (cast(sum(x) as bigint) * 1000000) // cast(count(*) as bigint)
-           |      AS mu_e6,
-           |    cast(count(*) as bigint) AS n_buckets
-           |  FROM b GROUP BY event_type
-           |), c0 AS (
-           |  SELECT b.event_type, b.hour, m.n_buckets, m.mu_e6,
-           |    m.mu_e6 // 10 AS k_e6,
-           |    cast(sum(b.x * 1000000 - m.mu_e6 - m.mu_e6 // 10) OVER (
-           |      PARTITION BY b.event_type ORDER BY b.hour
-           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint)
-           |      AS s
-           |  FROM b JOIN m USING (event_type)
-           |), c1 AS (
-           |  SELECT *, least(cast(min(s) OVER (
-           |      PARTITION BY event_type ORDER BY hour
-           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint), 0)
-           |      AS smin
-           |  FROM c0
-           |), c2 AS (
-           |  SELECT *, s - smin AS c, (s - smin) > k_e6 * 5 AS flagged FROM c1
-           |)
-           |SELECT event_type, cast(max(n_buckets) as bigint) AS n_buckets,
-           |  cast(max(mu_e6) as bigint) AS mu_e6,
-           |  cast(sum(CASE WHEN flagged THEN 1 ELSE 0 END) as bigint)
-           |    AS n_flagged,
-           |  cast(max(c) as bigint) AS max_cusum_e6,
-           |  min(CASE WHEN flagged THEN hour END) AS first_flag_hour
-           |FROM c2 GROUP BY event_type ORDER BY event_type""".stripMargin))
+    Some(cusumSql))
+
+  /** The CUSUM oracle — shared verbatim by the batch query and its
+    * streaming twin: the twin's whole claim is that an hour-partitioned
+    * micro-batch replay reproduces the batch detector exactly.
+    */
+  private lazy val cusumSql: String =
+    """WITH b AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour,
+      |    cast(count(*) as bigint) AS x
+      |  FROM events GROUP BY 1, 2
+      |), m AS (
+      |  SELECT event_type,
+      |    (cast(sum(x) as bigint) * 1000000) // cast(count(*) as bigint)
+      |      AS mu_e6,
+      |    cast(count(*) as bigint) AS n_buckets
+      |  FROM b GROUP BY event_type
+      |), c0 AS (
+      |  SELECT b.event_type, b.hour, m.n_buckets, m.mu_e6,
+      |    m.mu_e6 // 10 AS k_e6,
+      |    cast(sum(b.x * 1000000 - m.mu_e6 - m.mu_e6 // 10) OVER (
+      |      PARTITION BY b.event_type ORDER BY b.hour
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint)
+      |      AS s
+      |  FROM b JOIN m USING (event_type)
+      |), c1 AS (
+      |  SELECT *, least(cast(min(s) OVER (
+      |      PARTITION BY event_type ORDER BY hour
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint), 0)
+      |      AS smin
+      |  FROM c0
+      |), c2 AS (
+      |  SELECT *, s - smin AS c, (s - smin) > k_e6 * 5 AS flagged FROM c1
+      |)
+      |SELECT event_type, cast(max(n_buckets) as bigint) AS n_buckets,
+      |  cast(max(mu_e6) as bigint) AS mu_e6,
+      |  cast(sum(CASE WHEN flagged THEN 1 ELSE 0 END) as bigint)
+      |    AS n_flagged,
+      |  cast(max(c) as bigint) AS max_cusum_e6,
+      |  min(CASE WHEN flagged THEN hour END) AS first_flag_hour
+      |FROM c2 GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** STREAMING CUSUM twin — the batch detector replayed as a live
+    * monitor: the baseline (µ, slack) map is trained batch-side (the
+    * production deployment's offline half), the event stream is split
+    * into TWO micro-batch files on an hour boundary (buckets never
+    * straddle batches — the replay-equivalence contract
+    * [[graft.streaming.EventStreams.cusumMonitor]] documents), and the
+    * per-type detector state (prefix sum, running min, counters)
+    * carries across the batches in flatMapGroupsWithState. The oracle
+    * is the BATCH query's SQL verbatim — the gate proves
+    * stream replay == batch computation row-for-row.
+    */
+  private val tsCusumStream = Q(
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val base = scratchDir("cusumstream")
+      val inDir = s"$base/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+      val ev = T(s, dir, "events")
+      val bl = ev
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("x"))
+        .groupBy(col("event_type"))
+        .agg(expr("(sum(x) * 1000000) div count(1)").as("mu_e6"))
+        .collect().map(r => r.getString(0) -> {
+          val m = r.getLong(1); (m, m / 10)
+        }).toMap // |event types| entries — bounded driver state
+      val mm = ev.agg(
+        expr("unix_micros(date_trunc('hour', min(ts)))").as("lo"),
+        expr("unix_micros(date_trunc('hour', max(ts)))").as("hi")).head()
+      val mid = (mm.getLong(0) + mm.getLong(1)) / 2
+      Seq(0, 1).foreach { p =>
+        val part = s"$base/part$p"
+        val cond =
+          if (p == 0) expr(s"unix_micros(date_trunc('hour', ts)) < ${mid}L")
+          else expr(s"unix_micros(date_trunc('hour', ts)) >= ${mid}L")
+        ev.where(cond).coalesce(1).write.mode("overwrite").parquet(part)
+        val f = new java.io.File(part).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(s"$inDir/batch$p.parquet"))
+      }
+      val stream = s.readStream
+        .schema(graft.Tables.eventsSchema(graft.Tables.TsEncoding.Native(false)))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir)
+      val q = graft.streaming.EventStreams.cusumMonitor(stream, bl)
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/cp")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val res = s.read.parquet(s"$base/out").localCheckpoint(true)
+      scratchDelete(base)
+      val muDf = {
+        import s.implicits._
+        bl.toSeq.map { case (t, (m, _)) => (t, m) }.toDF("event_type", "mu_e6")
+      }
+      res.groupBy(col("event_type"))
+        .agg(max_by(struct(col("nBuckets"), col("nFlagged"), col("maxC"),
+          col("firstFlag")), col("seq")).as("f"))
+        .join(broadcast(muDf), Seq("event_type"))
+        .select(col("event_type"), col("f.nBuckets").as("n_buckets"),
+          col("mu_e6"), col("f.nFlagged").as("n_flagged"),
+          col("f.maxC").as("max_cusum_e6"),
+          when(col("f.firstFlag") >= 0, timestamp_micros(col("f.firstFlag")))
+            .as("first_flag_hour"))
+        .orderBy(col("event_type"))
+    },
+    Some(cusumSql))
 
   // ---------------------------------------------------------------------
   // MaxSim-aware (sub-vector) ANN routing — the PLAID/ColBERT pattern
@@ -10567,6 +10645,7 @@ object CurationQueries {
     "ns_quality_gate_venn" -> qualityGateVenn,
     "ns_pipeline_order_audit" -> pipelineOrderAudit,
     "ns_text_unk_rate" -> textUnkRate,
+    "ts_cusum_stream" -> tsCusumStream,
     "ts_disorder_profile" -> tsDisorderProfile,
     "ns_sim_recall_curve" -> simRecallCurve,
     "ns_sim_maxsim" -> simMaxsim,

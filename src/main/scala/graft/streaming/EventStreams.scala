@@ -167,6 +167,78 @@ object EventStreams {
       }
   }
 
+  /** One CUSUM monitor's persistent per-type state: the running
+    * deviation prefix sum, its running minimum (including the empty
+    * prefix S_0 = 0), cumulative bucket/flag counters, the peak
+    * statistic, the first flagged hour (µs; −1 = none yet), and the
+    * emission sequence number used to select each type's LATEST
+    * cumulative row on read-back.
+    */
+  final case class CusumState(s: Long, minS: Long, nBuckets: Long,
+      nFlagged: Long, maxC: Long, firstFlag: Long, seq: Long)
+
+  final case class CusumOut(event_type: String, seq: Long, nBuckets: Long,
+      nFlagged: Long, maxC: Long, firstFlag: Long)
+
+  /** STREAMING one-sided CUSUM over per-type hourly event rates — the
+    * live form of the batch `ts_cusum_changepoint`: per-type detector
+    * state (prefix sum + running minimum, the identity
+    * `C_t = S_t − min(S_0..S_t)`) carries ACROSS micro-batches in
+    * flatMapGroupsWithState, against a FIXED baseline (µ, slack) map —
+    * exactly how a production monitor runs, with the baseline trained
+    * offline and only O(1) state per key online.
+    *
+    * Replay equivalence contract (what the gate twin proves): micro-
+    * batches must partition the stream on HOUR boundaries in ascending
+    * order — a bucket split across batches would fold as two deviations
+    * and diverge from batch semantics. Each invocation buckets its rows
+    * by hour, folds them in hour order, and emits ONE cumulative
+    * summary row; the consumer keeps each type's highest-seq row.
+    */
+  def cusumMonitor(events: DataFrame,
+      baselines: Map[String, (Long, Long)]): org.apache.spark.sql.Dataset[CusumOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events
+      .select(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts))").as("hour_us"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CusumState, CusumOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key, rows, state) =>
+          val (mu, k) = baselines(key)
+          val st = state.getOption.getOrElse(
+            CusumState(0L, 0L, 0L, 0L, 0L, -1L, 0L))
+          var s = st.s
+          var minS = st.minS
+          var nBuckets = st.nBuckets
+          var nFlagged = st.nFlagged
+          var maxC = st.maxC
+          var firstFlag = st.firstFlag
+          val buckets = rows.toSeq.groupBy(_._2).view
+            .mapValues(_.size.toLong).toSeq.sortBy(_._1)
+          buckets.foreach { case (h, x) =>
+            val dev = x * 1000000L - mu - k
+            s += dev
+            if (s < minS) minS = s
+            val c = s - minS
+            nBuckets += 1
+            if (c > maxC) maxC = c
+            if (c > 5 * k) {
+              nFlagged += 1
+              if (firstFlag < 0) firstFlag = h
+            }
+          }
+          val next = CusumState(s, minS, nBuckets, nFlagged, maxC, firstFlag,
+            st.seq + 1)
+          state.update(next)
+          Iterator.single(CusumOut(key, next.seq, nBuckets, nFlagged, maxC,
+            firstFlag))
+      }
+  }
+
   /** Stream-static join against the customer dimension — streaming form
     * of `ts_stream_static_join`. The static side is a broadcast lookup
     * re-resolved per micro-batch.

@@ -530,4 +530,60 @@ class StreamingSpec extends SparkSpec {
       .sortBy(t => (t._2, t._1))
     assert(got.sameElements(batch))
   }
+
+  test("streaming CUSUM: detector state carries across micro-batches") {
+    // the cross-batch property the ts_cusum_stream gate twin rests on:
+    // the SECOND micro-batch continues the first's prefix sum / running
+    // min instead of restarting the detector. Two hour-disjoint files,
+    // one type; crafted counts (3, 3, 9) around mu make the final
+    // statistic provably different from a restarted batch-2 detector.
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.EventStreams
+    import spark.implicits._
+    val in = s"$workDir/cusum-in-${System.nanoTime()}"
+    val out = s"$workDir/cusum-out-${System.nanoTime()}"
+    val cp = s"$workDir/cusum-cp-${System.nanoTime()}"
+    Files.createDirectories(Paths.get(in))
+    val hourUs = 3600L * 1000000L
+    def evts(hour: Long, n: Int) = (0 until n).map(i =>
+      (hour * 100 + i, new java.sql.Timestamp(hour * 3600000L), 1L, "view",
+        1.0, "{}"))
+    // batch 1: hours 0 (x=9) and 1 (x=3); batch 2: hour 2 (x=9) —
+    // chosen so the carried positive prefix (S=1e6 after batch 1, min
+    // still the EMPTY prefix 0) makes batch 2's statistic 4.5e6, while
+    // a restarted detector would read only dev(9)=3.5e6
+    Seq(evts(0, 9) ++ evts(1, 3), evts(2, 9)).zipWithIndex.foreach {
+      case (rows, p) =>
+        val part = s"$workDir/cusum-part-$p-${System.nanoTime()}"
+        rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(part)
+        val f = new java.io.File(part).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        Files.move(f.toPath, Paths.get(s"$in/batch$p.parquet"))
+    }
+    // fixed offline baseline (the monitor's contract): mu = 5e6
+    val mu = 5000000L
+    val stream = spark.readStream
+      .schema(Tables.eventsSchema(Tables.TsEncoding.Native(false)))
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = EventStreams.cusumMonitor(stream, Map("view" -> (mu, mu / 10)))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.read.parquet(out)
+      .as[EventStreams.CusumOut].collect().sortBy(_.seq)
+    assert(rows.map(_.seq).toSeq == Seq(1L, 2L), s"one row per batch: ${rows.toSeq}")
+    // dev per bucket: x*1e6 - mu - mu/10
+    val dev = (x: Long) => x * 1000000L - mu - mu / 10
+    val s2 = dev(9) + dev(3) + dev(9)
+    val minS = math.min(math.min(dev(9), dev(9) + dev(3)), 0L)
+    assert(rows(0).nBuckets == 2 && rows(1).nBuckets == 3,
+      "bucket counters must be cumulative across batches")
+    assert(rows(1).maxC == s2 - minS,
+      s"batch 2 must continue batch 1's prefix/min state: ${rows(1)} " +
+        s"expected maxC ${s2 - minS}")
+    // a RESTARTED detector would see only dev(9) = 3.4e6 < s2 - minS
+    assert(rows(1).maxC > dev(9))
+  }
 }
