@@ -178,7 +178,10 @@ object Multimodal {
         val size = le32(b, pos + 4)
         if (id == "fmt " && pos + 20 <= b.length) byteRate = le32(b, pos + 16)
         else if (id == "data") dataBytes = size
-        pos += 8 + size.toInt + (size.toInt & 1)
+        // A crafted/corrupt chunk size must not drive the advance
+        // nonpositive (infinite loop) or overflow: stop the walk.
+        if (size < 0L || pos.toLong + 8L + size > b.length.toLong) pos = b.length
+        else pos += 8 + size.toInt + (size.toInt & 1)
       }
       if (byteRate > 0L && dataBytes >= 0L)
         ("wav", None, None, Some(dataBytes * 1000L / byteRate), true)
@@ -240,6 +243,7 @@ object Multimodal {
         val bits = (b(pos + 22) & 0xff) | ((b(pos + 23) & 0xff) << 8)
         ok16Mono = fmt == 1 && ch == 1 && bits == 16
       } else if (id == "data") { dataOff = pos + 8; dataLen = size }
+      if (size < 0 || pos + 8 + size > b.length) return None // corrupt chunk size
       pos += 8 + size + (size & 1)
     }
     if (!ok16Mono || dataOff < 0 || dataOff + dataLen > b.length) return None
@@ -356,6 +360,7 @@ object Multimodal {
         val bits = (b(pos + 22) & 0xff) | ((b(pos + 23) & 0xff) << 8)
         ok16Mono = fmt == 1 && ch == 1 && bits == 16
       } else if (id == "data") { dataOff = pos + 8; dataLen = size }
+      if (size < 0 || pos + 8 + size > b.length) return None // corrupt chunk size
       pos += 8 + size + (size & 1)
     }
     if (!ok16Mono || dataOff < 0 || dataOff + dataLen > b.length) None
@@ -732,7 +737,14 @@ object Multimodal {
     * anything but 8-bit single-component (grayscale) baseline
     * sequential with an 8-bit quant table — reject, never mis-decode.
     */
-  def jpegDcStats(b: Array[Byte]): Option[(Long, Long, Long, Long, Long, Long)] = {
+  def jpegDcStats(b: Array[Byte]): Option[(Long, Long, Long, Long, Long, Long)] =
+    // A truncated/malformed segment must land in the valid=false row,
+    // not throw out of the task: any OOB read rejects.
+    try jpegDcStatsImpl(b)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def jpegDcStatsImpl(
+      b: Array[Byte]): Option[(Long, Long, Long, Long, Long, Long)] = {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
     var pos = 2
     var q0 = -1
@@ -751,6 +763,7 @@ object Multimodal {
         case 0xdb => // DQT (possibly several tables per segment)
           var p = seg
           while (p < pos + 2 + len) {
+            if (p + 65 > pos + 2 + len) return None // truncated table
             if (((b(p) & 0xff) >> 4) != 0) return None // 16-bit table
             if ((b(p) & 0x0f) == 0) q0 = b(p + 1) & 0xff
             p += 1 + 64
@@ -758,10 +771,12 @@ object Multimodal {
         case 0xc4 => // DHT (possibly several tables per segment)
           var p = seg
           while (p < pos + 2 + len) {
+            if (p + 17 > pos + 2 + len) return None // truncated table
             val tc = (b(p) & 0xff) >> 4
             val th = b(p) & 0x0f
             val counts = Array.tabulate(16)(i => b(p + 1 + i) & 0xff)
             val n = counts.sum
+            if (p + 17 + n > pos + 2 + len) return None // truncated symbols
             val symbols = Array.tabulate(n)(i => b(p + 17 + i) & 0xff)
             val huff = new JpegHuff(counts, symbols)
             if (tc == 0 && th == 0) dcHuff = huff

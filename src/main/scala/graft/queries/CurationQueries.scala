@@ -8601,8 +8601,11 @@ object CurationQueries {
     * Determinism: gram identity is sha256 of the joined tokens (the
     * `ns_dedup_exact` collision-free-by-contract identity, bounding
     * shuffle keys at 64 chars); first-site attribution is an exact
-    * bigint min over `doc_id * 1e6 + pos` packed keys; the island
-    * running-max is integer arithmetic over a doc-keyed window.
+    * bigint min over `doc_id * 2^32 + pos` packed keys — exact for any
+    * document under 2^32 tokens (book-length docs included; the r15
+    * `1e6` packing could mis-attribute owners past 1M tokens/doc) and
+    * doc_id < 2^31; the island running-max is integer arithmetic over
+    * a doc-keyed window.
     *
     * Scale: one tokenize pass emits (site, gram-hash) rows; gram stats
     * are a partial-aggregable keyed count (hot boilerplate grams
@@ -8629,7 +8632,7 @@ object CurationQueries {
         .as(Seq("pos0", "gk")))
     val stats = g.groupBy(col("gk"))
       .agg(count(lit(1)).as("c"),
-        min(col("doc_id") * lit(1000000L) + col("pos0")).as("fk"))
+        min(col("doc_id") * lit(4294967296L) + col("pos0")).as("fk"))
       .where(col("c") >= 2)
     val sites = g.join(stats, Seq("gk"))
       .select(col("doc_id"), col("pos0"), col("fk"))
@@ -8650,7 +8653,7 @@ object CurationQueries {
         col("span_end"),
         (col("span_end") - col("span_start") + 1).cast("long").as("span_tokens"),
         col("n_grams"), col("owner_fk"),
-        (col("owner_fk") === col("doc_id") * lit(1000000L) + col("span_start"))
+        (col("owner_fk") === col("doc_id") * lit(4294967296L) + col("span_start"))
           .as("is_first"))
   }
 
@@ -8668,7 +8671,7 @@ object CurationQueries {
        |          unnest(generate_series(1, len(w) - ${XS_L - 1})) AS i
        |        FROM wd)
        |), stats AS (
-       |  SELECT gk, count(*) AS c, min(doc_id * 1000000 + pos0) AS fk
+       |  SELECT gk, count(*) AS c, min(doc_id * 4294967296 + pos0) AS fk
        |  FROM g GROUP BY gk HAVING count(*) >= 2
        |), sites AS (
        |  SELECT g.doc_id, g.pos0, s.fk FROM g JOIN stats s USING (gk)
@@ -8699,7 +8702,7 @@ object CurationQueries {
             |  cast(span_end as bigint) AS span_end,
             |  cast(span_end - span_start + 1 as bigint) AS span_tokens,
             |  cast(n_grams as bigint) AS n_grams,
-            |  owner_fk = doc_id * 1000000 + span_start AS is_first
+            |  owner_fk = doc_id * 4294967296 + span_start AS is_first
             |FROM sp ORDER BY doc_id, span_start""".stripMargin))
 
   /** SOURCE-LEVEL DUPLICATION FLOW — the provenance rollup over
@@ -8711,7 +8714,7 @@ object CurationQueries {
     * crawl-order decisions (self-edges = within-source boilerplate).
     *
     * Determinism: pure integer rollups over the exact span frame; the
-    * owner doc is `owner_fk div 1e6` (the packed key).
+    * owner doc is `owner_fk div 2^32` (the packed key).
     *
     * Scale: the span frame's shape (gram-keyed, no corpus self-join)
     * plus two doc_id-keyed joins onto the (doc_id, source) projection —
@@ -8723,7 +8726,7 @@ object CurationQueries {
       val src = TS(s, dir, "documents").select(col("doc_id"), col("source"))
       val spans = exactSubstrSpans(s, dir)
         .where(!col("is_first"))
-        .withColumn("owner_doc", expr("owner_fk div 1000000"))
+        .withColumn("owner_doc", expr("owner_fk div 4294967296"))
       spans
         .join(src.withColumnRenamed("source", "to_source"), Seq("doc_id"))
         .join(src.select(col("doc_id").as("owner_doc"),
@@ -8737,8 +8740,8 @@ object CurationQueries {
     Some(s"""WITH $exactSubstrSpansSql, nf AS (
             |  SELECT doc_id, span_start,
             |    span_end - span_start + 1 AS span_tokens,
-            |    owner_fk // 1000000 AS owner_doc
-            |  FROM sp WHERE owner_fk <> doc_id * 1000000 + span_start
+            |    owner_fk // 4294967296 AS owner_doc
+            |  FROM sp WHERE owner_fk <> doc_id * 4294967296 + span_start
             |)
             |SELECT f.source AS from_source, t.source AS to_source,
             |  cast(count(*) as bigint) AS n_spans,
@@ -9149,7 +9152,7 @@ object CurationQueries {
           col("e.gk").as("gk"))
       val stats = g.groupBy(col("l"), col("gk"))
         .agg(count(lit(1)).as("c"),
-          min(col("doc_id") * lit(1000000L) + col("pos0")).as("fk"))
+          min(col("doc_id") * lit(4294967296L) + col("pos0")).as("fk"))
         .where(col("c") >= 2)
       val sites = g.join(stats, Seq("l", "gk"))
         .select(col("doc_id"), col("l"), col("pos0"), col("fk"))
@@ -9168,7 +9171,7 @@ object CurationQueries {
       spans
         .withColumn("span_tokens", col("span_end") - col("span_start") + 1)
         .withColumn("removable",
-          col("owner_fk") =!= col("doc_id") * lit(1000000L) + col("span_start"))
+          col("owner_fk") =!= col("doc_id") * lit(4294967296L) + col("span_start"))
         .groupBy(col("l"))
         .agg(count(lit(1)).as("n_spans"),
           countDistinct(col("doc_id")).as("docs_affected"),
@@ -9192,7 +9195,7 @@ object CurationQueries {
            |    cast(e.pos0 as bigint) AS pos0, e.gk AS gk
            |  FROM g0
            |), stats AS (
-           |  SELECT l, gk, count(*) AS c, min(doc_id * 1000000 + pos0) AS fk
+           |  SELECT l, gk, count(*) AS c, min(doc_id * 4294967296 + pos0) AS fk
            |  FROM g GROUP BY l, gk HAVING count(*) >= 2
            |), sites AS (
            |  SELECT g.doc_id, g.l, g.pos0, s.fk
@@ -9214,7 +9217,7 @@ object CurationQueries {
            |  FROM isl GROUP BY doc_id, l, isl
            |), sp2 AS (
            |  SELECT doc_id, l, span_end - span_start + 1 AS span_tokens,
-           |    owner_fk <> doc_id * 1000000 + span_start AS removable
+           |    owner_fk <> doc_id * 4294967296 + span_start AS removable
            |  FROM sp
            |)
            |SELECT l, cast(count(*) as bigint) AS n_spans,
@@ -9325,7 +9328,7 @@ object CurationQueries {
     },
     Some(s"""WITH $exactSubstrSpansSql, nf AS (
             |  SELECT doc_id, span_start, span_end FROM sp
-            |  WHERE owner_fk <> doc_id * 1000000 + span_start
+            |  WHERE owner_fk <> doc_id * 4294967296 + span_start
             |), wd0 AS (
             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
             |), toks AS (
@@ -9564,13 +9567,16 @@ object CurationQueries {
   /** STREAMING CUSUM twin — the batch detector replayed as a live
     * monitor: the baseline (µ, slack) map is trained batch-side (the
     * production deployment's offline half), the event stream is split
-    * into TWO micro-batch files on an hour boundary (buckets never
-    * straddle batches — the replay-equivalence contract
-    * [[graft.streaming.EventStreams.cusumMonitor]] documents), and the
+    * into TWO micro-batch files (replay equivalence holds for ANY
+    * time-ordered split — the monitor carries the newest hour OPEN in
+    * state and folds it provisionally, so a bucket straddling batches
+    * still folds exactly once with its final count; see
+    * [[graft.streaming.EventStreams.cusumMonitor]]), and the
     * per-type detector state (prefix sum, running min, counters)
     * carries across the batches in flatMapGroupsWithState. The oracle
     * is the BATCH query's SQL verbatim — the gate proves
-    * stream replay == batch computation row-for-row.
+    * stream replay == batch computation row-for-row; StreamingSpec
+    * additionally proves a MID-hour split replays equal.
     */
   private val tsCusumStream = Q(
     (s, dir) => {
@@ -9599,8 +9605,12 @@ object CurationQueries {
         ev.where(cond).coalesce(1).write.mode("overwrite").parquet(part)
         val f = new java.io.File(part).listFiles()
           .find(_.getName.endsWith(".parquet")).get
-        java.nio.file.Files.move(f.toPath,
-          java.nio.file.Paths.get(s"$inDir/batch$p.parquet"))
+        val dst = java.nio.file.Paths.get(s"$inDir/batch$p.parquet")
+        java.nio.file.Files.move(f.toPath, dst)
+        // FileStreamSource orders files by modification time; the two
+        // moves can land in the same mtime granularity, so pin strictly
+        // increasing mtimes to make batch order deterministic.
+        dst.toFile.setLastModified(1700000000000L + p * 60000L)
       }
       val stream = s.readStream
         .schema(graft.Tables.eventsSchema(graft.Tables.TsEncoding.Native(false)))

@@ -170,12 +170,17 @@ object EventStreams {
   /** One CUSUM monitor's persistent per-type state: the running
     * deviation prefix sum, its running minimum (including the empty
     * prefix S_0 = 0), cumulative bucket/flag counters, the peak
-    * statistic, the first flagged hour (µs; −1 = none yet), and the
+    * statistic, the first flagged hour (µs; −1 = none yet) — all
+    * COMMITTED through the last hour proven complete — plus the OPEN
+    * hour's partial count (the trajectories open-tail pattern: the
+    * newest hour seen may still gain rows in a later micro-batch, so
+    * it is folded only provisionally at emission time), and the
     * emission sequence number used to select each type's LATEST
     * cumulative row on read-back.
     */
   final case class CusumState(s: Long, minS: Long, nBuckets: Long,
-      nFlagged: Long, maxC: Long, firstFlag: Long, seq: Long)
+      nFlagged: Long, maxC: Long, firstFlag: Long, seq: Long,
+      openHour: Long, openCount: Long)
 
   final case class CusumOut(event_type: String, seq: Long, nBuckets: Long,
       nFlagged: Long, maxC: Long, firstFlag: Long)
@@ -186,14 +191,22 @@ object EventStreams {
     * `C_t = S_t − min(S_0..S_t)`) carries ACROSS micro-batches in
     * flatMapGroupsWithState, against a FIXED baseline (µ, slack) map —
     * exactly how a production monitor runs, with the baseline trained
-    * offline and only O(1) state per key online.
+    * offline and only O(1) state per key online. Event types absent
+    * from the baseline map are SKIPPED (no state, no rows) — an
+    * unknown type must not kill the monitor.
     *
     * Replay equivalence contract (what the gate twin proves): micro-
-    * batches must partition the stream on HOUR boundaries in ascending
-    * order — a bucket split across batches would fold as two deviations
-    * and diverge from batch semantics. Each invocation buckets its rows
-    * by hour, folds them in hour order, and emits ONE cumulative
-    * summary row; the consumer keeps each type's highest-seq row.
+    * batches may split the stream ANYWHERE as long as each type's
+    * event-time order holds across batches (time-split ingestion, the
+    * log-shipping case). The newest hour in each batch is carried OPEN
+    * in state — committed detector state advances only through hours a
+    * later row has proven complete, and each emission folds the open
+    * hour provisionally — so a bucket split across micro-batches folds
+    * exactly once with its final count. A batch carrying an hour OLDER
+    * than the open hour violates the order contract and fails loudly
+    * rather than emitting silently-wrong detector rows. Each
+    * invocation emits ONE cumulative summary row; the consumer keeps
+    * each type's highest-seq row.
     */
   def cusumMonitor(events: DataFrame,
       baselines: Map[String, (Long, Long)]): org.apache.spark.sql.Dataset[CusumOut] = {
@@ -208,34 +221,54 @@ object EventStreams {
       .flatMapGroupsWithState[CusumState, CusumOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (key, rows, state) =>
-          val (mu, k) = baselines(key)
-          val st = state.getOption.getOrElse(
-            CusumState(0L, 0L, 0L, 0L, 0L, -1L, 0L))
-          var s = st.s
-          var minS = st.minS
-          var nBuckets = st.nBuckets
-          var nFlagged = st.nFlagged
-          var maxC = st.maxC
-          var firstFlag = st.firstFlag
-          val buckets = rows.toSeq.groupBy(_._2).view
-            .mapValues(_.size.toLong).toSeq.sortBy(_._1)
-          buckets.foreach { case (h, x) =>
-            val dev = x * 1000000L - mu - k
-            s += dev
-            if (s < minS) minS = s
-            val c = s - minS
-            nBuckets += 1
-            if (c > maxC) maxC = c
-            if (c > 5 * k) {
-              nFlagged += 1
-              if (firstFlag < 0) firstFlag = h
-            }
+          baselines.get(key) match {
+            case None => Iterator.empty // no offline baseline: skip the type
+            case Some((mu, k)) =>
+              val st = state.getOption.getOrElse(
+                CusumState(0L, 0L, 0L, 0L, 0L, -1L, 0L, -1L, 0L))
+              val batchBuckets = rows.toSeq.groupBy(_._2).view
+                .mapValues(_.size.toLong).toSeq.sortBy(_._1)
+              if (batchBuckets.nonEmpty && st.openHour >= 0 &&
+                  batchBuckets.head._1 < st.openHour)
+                throw new IllegalStateException(
+                  s"cusumMonitor($key): batch carries hour " +
+                    s"${batchBuckets.head._1} older than the open hour " +
+                    s"${st.openHour} — per-type event-time order across " +
+                    "micro-batches is the monitor's ingestion contract.")
+              // merge the carried open hour into this batch's buckets
+              val buckets =
+                if (st.openHour < 0) batchBuckets
+                else if (batchBuckets.nonEmpty &&
+                    batchBuckets.head._1 == st.openHour)
+                  (st.openHour, batchBuckets.head._2 + st.openCount) +:
+                    batchBuckets.tail
+                else (st.openHour, st.openCount) +: batchBuckets
+              // fold one complete bucket into (s, minS, nB, nF, maxC, ff)
+              def fold(acc: (Long, Long, Long, Long, Long, Long), h: Long,
+                  x: Long): (Long, Long, Long, Long, Long, Long) = {
+                val s = acc._1 + (x * 1000000L - mu - k)
+                val minS = math.min(acc._2, s)
+                val c = s - minS
+                val flagged = c > 5 * k
+                (s, minS, acc._3 + 1, if (flagged) acc._4 + 1 else acc._4,
+                  math.max(acc._5, c),
+                  if (flagged && acc._6 < 0) h else acc._6)
+              }
+              // commit every bucket except the newest (still open)
+              val committed = buckets.dropRight(1).foldLeft(
+                (st.s, st.minS, st.nBuckets, st.nFlagged, st.maxC,
+                  st.firstFlag)) { case (a, (h, x)) => fold(a, h, x) }
+              val (oh, oc) =
+                if (buckets.nonEmpty) buckets.last else (-1L, 0L)
+              // provisional fold of the open hour for this emission
+              val prov =
+                if (oh >= 0) fold(committed, oh, oc) else committed
+              val next = CusumState(committed._1, committed._2, committed._3,
+                committed._4, committed._5, committed._6, st.seq + 1, oh, oc)
+              state.update(next)
+              Iterator.single(
+                CusumOut(key, next.seq, prov._3, prov._4, prov._5, prov._6))
           }
-          val next = CusumState(s, minS, nBuckets, nFlagged, maxC, firstFlag,
-            st.seq + 1)
-          state.update(next)
-          Iterator.single(CusumOut(key, next.seq, nBuckets, nFlagged, maxC,
-            firstFlag))
       }
   }
 

@@ -559,7 +559,10 @@ class StreamingSpec extends SparkSpec {
           .coalesce(1).write.mode("overwrite").parquet(part)
         val f = new java.io.File(part).listFiles()
           .find(_.getName.endsWith(".parquet")).get
-        Files.move(f.toPath, Paths.get(s"$in/batch$p.parquet"))
+        val dst = Paths.get(s"$in/batch$p.parquet")
+        Files.move(f.toPath, dst)
+        // FileStreamSource orders by mtime — pin strictly increasing
+        dst.toFile.setLastModified(1700000000000L + p * 60000L)
     }
     // fixed offline baseline (the monitor's contract): mu = 5e6
     val mu = 5000000L
@@ -585,5 +588,65 @@ class StreamingSpec extends SparkSpec {
         s"expected maxC ${s2 - minS}")
     // a RESTARTED detector would see only dev(9) = 3.4e6 < s2 - minS
     assert(rows(1).maxC > dev(9))
+  }
+
+  test("streaming CUSUM: a MID-hour batch split replays equal to batch") {
+    // the r15 contract hole, closed: hour 1's rows arrive across TWO
+    // micro-batches (2 then 3). The monitor carries the newest hour
+    // OPEN in state and folds it provisionally, so hour 1 folds exactly
+    // once with its final count x=5 — the pre-fix monitor would have
+    // folded it twice (as x=2 and x=3) and drifted from the batch
+    // detector. Also proves an event type ABSENT from the baseline map
+    // is skipped, not fatal.
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.EventStreams
+    import spark.implicits._
+    val in = s"$workDir/cusum-mid-in-${System.nanoTime()}"
+    val out = s"$workDir/cusum-mid-out-${System.nanoTime()}"
+    val cp = s"$workDir/cusum-mid-cp-${System.nanoTime()}"
+    Files.createDirectories(Paths.get(in))
+    def evts(hour: Long, n: Int, typ: String = "view") = (0 until n).map(i =>
+      (hour * 1000 + i + (if (typ == "view") 0 else 500),
+        new java.sql.Timestamp(hour * 3600000L + i * 60000L), 1L, typ,
+        1.0, "{}"))
+    // batch 0: hour 0 (x=4) + the FIRST 2 rows of hour 1 + an unknown
+    // type; batch 1: hour 1's REMAINING 3 rows + hour 2 (x=6)
+    Seq(evts(0, 4) ++ evts(1, 2) ++ evts(0, 1, "unknown_type"),
+        evts(1, 3).map { case (id, ts, u, t, v, p) => (id + 100, ts, u, t, v, p) }
+          ++ evts(2, 6)).zipWithIndex.foreach {
+      case (rows, p) =>
+        val part = s"$workDir/cusum-mid-part-$p-${System.nanoTime()}"
+        rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(part)
+        val dst = Paths.get(s"$in/batch$p.parquet")
+        val f = new java.io.File(part).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        Files.move(f.toPath, dst)
+        dst.toFile.setLastModified(1700000000000L + p * 60000L)
+    }
+    val mu = 5000000L // dev(x) = x*1e6 - 5.5e6
+    val stream = spark.readStream
+      .schema(Tables.eventsSchema(Tables.TsEncoding.Native(false)))
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = EventStreams.cusumMonitor(stream, Map("view" -> (mu, mu / 10)))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.read.parquet(out)
+      .as[EventStreams.CusumOut].collect().sortBy(_.seq)
+    assert(rows.forall(_.event_type == "view"),
+      s"unknown baseline type must be skipped, not emitted/fatal: ${rows.toSeq}")
+    assert(rows.map(_.seq).toSeq == Seq(1L, 2L))
+    // hand-derived batch detector over hourly counts (4, 5, 6):
+    // devs (e6): -1.5, -0.5, +0.5; S: -1.5, -2.0, -1.5; min(0,S): -1.5,
+    // -2.0, -2.0; C: 0, 0, 0.5e6 — three buckets, no flags
+    val fin = rows(1)
+    assert(fin.nBuckets == 3L,
+      s"hour 1 must fold ONCE with its final count: $fin")
+    assert(fin.maxC == 500000L && fin.nFlagged == 0L && fin.firstFlag == -1L,
+      s"mid-hour split must replay the batch detector exactly: $fin")
+    // the interim emission folded the open hour provisionally
+    assert(rows(0).nBuckets == 2L, s"provisional open-hour fold: ${rows(0)}")
   }
 }
