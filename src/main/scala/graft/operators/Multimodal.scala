@@ -733,9 +733,13 @@ object Multimodal {
     * DC coefficients. For a DC-only block the spatial mean is exactly
     * `128 + dcq/8` (all AC basis functions are zero-mean), so the DC
     * tier already yields per-block brightness without an IDCT.
-    * Returns (width, height, nBlocks, sumDcq, minDcq, maxDcq); None for
-    * anything but 8-bit single-component (grayscale) baseline
-    * sequential with an 8-bit quant table — reject, never mis-decode.
+    * Returns (width, height, nBlocks, sumDcq, minDcq, maxDcq) over the
+    * LUMA channel. Accepts 8-bit baseline sequential with 8-bit quant
+    * tables, single-component (grayscale) or 3-component (YCbCr) at
+    * 1x1 sampling — chroma blocks are entropy-consumed with their own
+    * Huffman tables and DC predictors, stats fold Y only. None for
+    * everything else (progressive, arithmetic, subsampled chroma,
+    * restart intervals) — reject, never mis-decode.
     */
   def jpegDcStats(b: Array[Byte]): Option[(Long, Long, Long, Long, Long, Long)] =
     // A truncated/malformed segment must land in the valid=false row,
@@ -747,10 +751,14 @@ object Multimodal {
       b: Array[Byte]): Option[(Long, Long, Long, Long, Long, Long)] = {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
     var pos = 2
-    var q0 = -1
-    var dcHuff: JpegHuff = null
-    var acHuff: JpegHuff = null
+    val qDc = Array.fill(4)(-1) // DC quant value per 8-bit table id
+    val huffs = Array.ofDim[JpegHuff](2, 4) // (class dc=0/ac=1, table id)
     var w = 0; var h = 0
+    var nComp = 0
+    val sofId = new Array[Int](3)
+    val compTq = new Array[Int](3)
+    val compTd = new Array[Int](3)
+    val compTa = new Array[Int](3)
     var sosAt = -1
     while (sosAt < 0) {
       if (pos + 4 > b.length || (b(pos) & 0xff) != 0xff) return None
@@ -765,7 +773,8 @@ object Multimodal {
           while (p < pos + 2 + len) {
             if (p + 65 > pos + 2 + len) return None // truncated table
             if (((b(p) & 0xff) >> 4) != 0) return None // 16-bit table
-            if ((b(p) & 0x0f) == 0) q0 = b(p + 1) & 0xff
+            if ((b(p) & 0x0f) > 3) return None // invalid table id
+            qDc(b(p) & 0x0f) = b(p + 1) & 0xff
             p += 1 + 64
           }
         case 0xc4 => // DHT (possibly several tables per segment)
@@ -774,68 +783,110 @@ object Multimodal {
             if (p + 17 > pos + 2 + len) return None // truncated table
             val tc = (b(p) & 0xff) >> 4
             val th = b(p) & 0x0f
+            if (tc > 1 || th > 3) return None // invalid class/table id
             val counts = Array.tabulate(16)(i => b(p + 1 + i) & 0xff)
             val n = counts.sum
             if (p + 17 + n > pos + 2 + len) return None // truncated symbols
             val symbols = Array.tabulate(n)(i => b(p + 17 + i) & 0xff)
-            val huff = new JpegHuff(counts, symbols)
-            if (tc == 0 && th == 0) dcHuff = huff
-            if (tc == 1 && th == 0) acHuff = huff
+            huffs(tc)(th) = new JpegHuff(counts, symbols)
             p += 17 + n
           }
-        case 0xc0 => // SOF0: baseline sequential
+        case 0xc0 => // SOF0: baseline sequential, 1 (gray) or 3 (YCbCr)
           if ((b(seg) & 0xff) != 8) return None
           h = be16(b, seg + 1); w = be16(b, seg + 3)
-          if ((b(seg + 5) & 0xff) != 1) return None // grayscale tier only
-          if ((b(seg + 7) & 0xff) != 0x11) return None // 1x1 sampling
+          nComp = b(seg + 5) & 0xff
+          if (nComp != 1 && nComp != 3) return None
+          if (len < 8 + 3 * nComp) return None // truncated frame header
+          var c = 0
+          while (c < nComp) {
+            sofId(c) = b(seg + 6 + 3 * c) & 0xff
+            // 1x1 sampling only: subsampled chroma (2x1/2x2 MCUs) is the
+            // next tier — reject, never mis-decode
+            if ((b(seg + 7 + 3 * c) & 0xff) != 0x11) return None
+            compTq(c) = b(seg + 8 + 3 * c) & 0xff
+            if (compTq(c) > 3) return None
+            c += 1
+          }
         case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
             0xcb | 0xcd | 0xce | 0xcf =>
           return None // progressive/arithmetic/hierarchical frames
         case _ => () // APPn / COM / DRI(unsupported restarts reject below)
       }
       if (m == 0xdd) return None // restart intervals unsupported
-      if (m == 0xda) sosAt = pos + 2 + len else pos += 2 + len
+      if (m == 0xda) {
+        // SOS header: per-component entropy table bindings, in SOF order
+        val ns = b(seg) & 0xff
+        if (nComp == 0 || ns != nComp || len < 6 + 2 * ns) return None
+        var c = 0
+        while (c < ns) {
+          if ((b(seg + 1 + 2 * c) & 0xff) != sofId(c)) return None
+          compTd(c) = (b(seg + 2 + 2 * c) & 0xff) >> 4
+          compTa(c) = b(seg + 2 + 2 * c) & 0x0f
+          if (compTd(c) > 3 || compTa(c) > 3) return None
+          c += 1
+        }
+        sosAt = pos + 2 + len
+      } else pos += 2 + len
     }
-    if (q0 <= 0 || dcHuff == null || acHuff == null || w <= 0 || h <= 0) return None
+    if (w <= 0 || h <= 0) return None
+    val qY = qDc(compTq(0))
+    if (qY <= 0) return None
+    var cc = 0
+    while (cc < nComp) {
+      if (huffs(0)(compTd(cc)) == null || huffs(1)(compTa(cc)) == null)
+        return None
+      cc += 1
+    }
+    // 1x1 sampling => one MCU per 8x8 block position, each MCU carrying
+    // one block per component in SOF order. Stats fold the LUMA channel;
+    // chroma blocks are fully entropy-consumed with their OWN Huffman
+    // tables and DC predictors (interleaving desyncs otherwise).
     val nb = ((w + 7) / 8).toLong * ((h + 7) / 8).toLong
     val br = new JpegBits(b, sosAt)
-    var dc = 0L
+    val dcPred = new Array[Long](3)
     var sum = 0L
     var mn = Long.MaxValue
     var mx = Long.MinValue
     var j = 0L
     while (j < nb) {
-      val cat = dcHuff.decode(br)
-      if (cat < 0 || cat > 11) return None
-      var diff = 0L
-      if (cat > 0) {
-        var bits = 0L; var i = 0
-        while (i < cat) {
-          val v = br.readBit(); if (v < 0) return None
-          bits = (bits << 1) | v; i += 1
+      var ci = 0
+      while (ci < nComp) {
+        val cat = huffs(0)(compTd(ci)).decode(br)
+        if (cat < 0 || cat > 11) return None
+        var diff = 0L
+        if (cat > 0) {
+          var bits = 0L; var i = 0
+          while (i < cat) {
+            val v = br.readBit(); if (v < 0) return None
+            bits = (bits << 1) | v; i += 1
+          }
+          // T.81 §F.2.2.1 EXTEND: low-range values are negatives
+          diff = if (bits < (1L << (cat - 1))) bits - (1L << cat) + 1 else bits
         }
-        // T.81 §F.2.2.1 EXTEND: low-range values are negatives
-        diff = if (bits < (1L << (cat - 1))) bits - (1L << cat) + 1 else bits
-      }
-      dc += diff
-      val dq = dc * q0
-      sum += dq
-      mn = math.min(mn, dq)
-      mx = math.max(mx, dq)
-      var k = 1
-      var eob = false
-      while (!eob && k <= 63) {
-        val sym = acHuff.decode(br); if (sym < 0) return None
-        if (sym == 0x00) eob = true // EOB
-        else if (sym == 0xf0) k += 16 // ZRL
-        else {
-          k += (sym >> 4) + 1
-          var i = 0
-          while (i < (sym & 0x0f)) {
-            if (br.readBit() < 0) return None
-            i += 1
+        dcPred(ci) += diff
+        if (ci == 0) {
+          val dq = dcPred(0) * qY
+          sum += dq
+          mn = math.min(mn, dq)
+          mx = math.max(mx, dq)
+        }
+        var k = 1
+        var eob = false
+        val ac = huffs(1)(compTa(ci))
+        while (!eob && k <= 63) {
+          val sym = ac.decode(br); if (sym < 0) return None
+          if (sym == 0x00) eob = true // EOB
+          else if (sym == 0xf0) k += 16 // ZRL
+          else {
+            k += (sym >> 4) + 1
+            var i = 0
+            while (i < (sym & 0x0f)) {
+              if (br.readBit() < 0) return None
+              i += 1
+            }
           }
         }
+        ci += 1
       }
       j += 1
     }
@@ -924,6 +975,101 @@ object Multimodal {
         putBits(bits, cat)
       }
       putBits(0L, 1) // AC EOB
+      j += 1
+    }
+    if (nbits > 0) { // pad the final byte with 1-bits per T.81
+      while (nbits < 8) { cur = (cur << 1) | 1; nbits += 1 }
+      flushByte()
+    }
+    out.write(ent.toByteArray)
+    b(0xff, 0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** 3-component (YCbCr) baseline JPEG twin of [[jpegDcPatternBytes]]:
+    * the luma channel carries the same deterministic quantized-DC
+    * pattern `d(j) = ((7*j) mod 32) - 16` (so the DC-tier LUMA stats
+    * have the same closed-form oracle), while the chroma channels bind
+    * their OWN Huffman tables — DC table 1 is the REVERSE-symbol
+    * canonical code (code(cat) = 5 - cat) and AC table 1 a length-2
+    * EOB — so a decoder that mistakenly reads chroma with the luma
+    * tables desyncs immediately instead of silently passing. With
+    * `chromaMotion` the Cb predictor alternates +-4 and Cr steps -8
+    * once (nonzero categories through the chroma path); without it all
+    * chroma diffs are 0, the decoded image is exactly grayscale
+    * (Cb = Cr = 128), and the JDK cross-check can compare RGB means
+    * against `128 + 2*d(j)` with zero color-convert error.
+    */
+  def jpegDcColorPatternBytes(width: Int, height: Int,
+      chromaMotion: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def b(xs: Int*): Unit = xs.foreach(x => out.write(x & 0xff))
+    b(0xff, 0xd8) // SOI
+    b(0xff, 0xe0, 0x00, 0x10) // APP0 JFIF
+    b('J', 'F', 'I', 'F', 0x00, 0x01, 0x01, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00)
+    b(0xff, 0xdb, 0x00, 0x43, 0x00) // DQT: 8-bit table 0, all 16s
+    (0 until 64).foreach(_ => b(0x10))
+    b(0xff, 0xc0, 0x00, 0x11) // SOF0, 3 components, 1x1 sampling, all q0
+    b(0x08, (height >> 8) & 0xff, height & 0xff, (width >> 8) & 0xff, width & 0xff)
+    b(0x03, 0x01, 0x11, 0x00, 0x02, 0x11, 0x00, 0x03, 0x11, 0x00)
+    b(0xff, 0xc4, 0x00, 0x19, 0x00) // DHT DC 0: len-3 codes, symbols 0-5
+    b(0x00, 0x00, 0x06); (0 until 13).foreach(_ => b(0x00))
+    (0 to 5).foreach(c => b(c))
+    b(0xff, 0xc4, 0x00, 0x19, 0x01) // DHT DC 1: len-3 codes, symbols 5-0
+    b(0x00, 0x00, 0x06); (0 until 13).foreach(_ => b(0x00))
+    (0 to 5).foreach(c => b(5 - c))
+    b(0xff, 0xc4, 0x00, 0x14, 0x10) // DHT AC 0: one len-1 code, EOB
+    b(0x01); (0 until 15).foreach(_ => b(0x00))
+    b(0x00)
+    b(0xff, 0xc4, 0x00, 0x14, 0x11) // DHT AC 1: one len-2 code, EOB
+    b(0x00, 0x01); (0 until 14).foreach(_ => b(0x00))
+    b(0x00)
+    // SOS: Y -> tables (0,0); Cb, Cr -> tables (1,1)
+    b(0xff, 0xda, 0x00, 0x0c, 0x03, 0x01, 0x00, 0x02, 0x11, 0x03, 0x11,
+      0x00, 0x3f, 0x00)
+    val ent = new java.io.ByteArrayOutputStream()
+    var cur = 0; var nbits = 0
+    def flushByte(): Unit = {
+      ent.write(cur)
+      if (cur == 0xff) ent.write(0x00) // T.81 byte stuffing
+      cur = 0; nbits = 0
+    }
+    def putBits(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >> i) & 1L).toInt
+        nbits += 1
+        if (nbits == 8) flushByte()
+        i -= 1
+      }
+    }
+    def cat(diff: Int): Int =
+      if (diff == 0) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(math.abs(diff).toLong)
+    def putDiff(diff: Int, dcCode: Int => Long): Unit = {
+      val c = cat(diff)
+      putBits(dcCode(c), 3)
+      if (c > 0)
+        putBits(if (diff >= 0) diff.toLong else diff.toLong + (1L << c) - 1, c)
+    }
+    val nb = ((width + 7) / 8) * ((height + 7) / 8)
+    var prevY = 0
+    var prevCb = 0
+    var prevCr = 0
+    var j = 0
+    while (j < nb) {
+      val dY = ((7 * j) % 32) - 16
+      putDiff(dY - prevY, c => c.toLong) // Y: DC table 0 code = cat
+      prevY = dY
+      putBits(0L, 1) // Y AC EOB (table 0, len 1)
+      val dCb = if (chromaMotion && j % 2 == 1) 4 else 0
+      putDiff(dCb - prevCb, c => (5 - c).toLong) // Cb: DC table 1 code = 5-cat
+      prevCb = dCb
+      putBits(0L, 2) // Cb AC EOB (table 1, len 2, code 00)
+      val dCr = if (chromaMotion) -8 else 0
+      putDiff(dCr - prevCr, c => (5 - c).toLong)
+      prevCr = dCr
+      putBits(0L, 2) // Cr AC EOB
       j += 1
     }
     if (nbits > 0) { // pad the final byte with 1-bits per T.81

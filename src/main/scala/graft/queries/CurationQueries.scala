@@ -8199,6 +8199,75 @@ object CurationQueries {
            |    AS mean_level_e3
            |FROM sm ORDER BY file_id""".stripMargin))
 
+  /** COLOR (3-component YCbCr) JPEG DC statistics — the tier the r15
+    * verdict ranked first: a real image corpus is overwhelmingly color,
+    * and the grayscale-only decoder sent every color JPEG to the reject
+    * row. 25 spec-valid 3-component baseline JPEGs (1x1 sampling) whose
+    * LUMA channel carries the same closed-form DC pattern as
+    * `ns_multimodal_jpeg_dc`; the even files additionally move the
+    * chroma DC predictors through nonzero Huffman categories on the
+    * chroma channels' OWN tables (a reverse-symbol DC code and a
+    * length-2 EOB, so reading chroma with the luma tables desyncs
+    * rather than silently passing). The oracle is the same Y-only
+    * closed form — identical across the chroma variants, which is
+    * itself the check that chroma consumption leaves the luma stream
+    * in sync; JpegDcSpec cross-checks the no-chroma-motion variant
+    * against the JDK's full color decode.
+    *
+    * Scale: the parseAll narrow shape — binaryFile scan, one
+    * partition-mapped decode, no shuffle.
+    */
+  private val multimodalJpegColor = Q(
+    (s, dir) => {
+      val base = scratchDir("jpegcolor")
+      val p = java.nio.file.Paths.get(base)
+      T(s, dir, "nation").select(col("n_nationkey")).collect() // 25-row dim
+        .foreach { r =>
+          val k = r.getInt(0)
+          java.nio.file.Files.write(p.resolve(f"j_$k%02d.jpg"),
+            graft.operators.Multimodal.jpegDcColorPatternBytes(
+              16 + k, 10 + (k % 7), chromaMotion = k % 2 == 0))
+        }
+      val scanned = s.read.format("binaryFile").load(base)
+        .select(regexp_extract(col("path"), "j_(\\d+)\\.", 1).cast("long")
+          .as("file_id"), col("content"))
+      val out = graft.operators.Multimodal.jpegDcAll(scanned).toDF()
+        .select(col("fileId").as("file_id"), col("width"), col("height"),
+          col("nBlocks").as("n_blocks"), col("sumDcq").as("sum_dcq"),
+          col("minDcq").as("min_dcq"), col("maxDcq").as("max_dcq"),
+          col("valid"))
+        .withColumn("mean_level_e3",
+          expr("((1024 * n_blocks + sum_dcq) * 1000) div (8 * n_blocks)"))
+        .orderBy(col("file_id"))
+        .localCheckpoint(true)
+      scratchDelete(base)
+      out
+    },
+    Some("""WITH g AS (
+           |  SELECT cast(n_nationkey as bigint) AS k,
+           |    cast(16 + n_nationkey as bigint) AS w,
+           |    cast(10 + (n_nationkey % 7) as bigint) AS h
+           |  FROM nation
+           |), nb AS (
+           |  SELECT k, w, h, ((w + 7) // 8) * ((h + 7) // 8) AS n_blocks FROM g
+           |), ds AS (
+           |  SELECT k, w, h, n_blocks,
+           |    unnest(generate_series(0, n_blocks - 1)) AS j
+           |  FROM nb
+           |), dd AS (
+           |  SELECT k, w, h, n_blocks, 16 * (((7 * j) % 32) - 16) AS dcq FROM ds
+           |), sm AS (
+           |  SELECT k, w, h, n_blocks, cast(sum(dcq) as bigint) AS sum_dcq,
+           |    cast(min(dcq) as bigint) AS min_dcq,
+           |    cast(max(dcq) as bigint) AS max_dcq
+           |  FROM dd GROUP BY k, w, h, n_blocks
+           |)
+           |SELECT k AS file_id, w AS width, h AS height, n_blocks,
+           |  sum_dcq, min_dcq, max_dcq, true AS valid,
+           |  ((1024 * n_blocks + sum_dcq) * 1000) // (8 * n_blocks)
+           |    AS mean_level_e3
+           |FROM sm ORDER BY file_id""".stripMargin))
+
   // ---------------------------------------------------------------------
   // Two-stage MaxSim (IVF shortlist -> late-interaction re-rank)
   // ---------------------------------------------------------------------
@@ -10639,6 +10708,7 @@ object CurationQueries {
     "ns_sim_maxsim_plaid" -> simMaxsimPlaid,
     "ns_dedup_exact_substr" -> dedupExactSubstr,
     "ns_multimodal_jpeg_dc" -> multimodalJpegDc,
+    "ns_multimodal_jpeg_color" -> multimodalJpegColor,
     "ns_quality_rank_normalize" -> qualityRankNormalize,
     "ns_sample_histogram_match" -> sampleHistogramMatch,
     "ns_profile_distinct_ngrams" -> profileDistinctNgrams,

@@ -52,6 +52,46 @@ class JpegDcSpec extends AnyFunSuite {
     assert(Multimodal.jpegDcStats(bytes).contains((32L, 24L, 12L, 0L, 0L, 0L)))
   }
 
+  test("COLOR (3-component) luma DC decode matches the closed form, " +
+      "with and without chroma motion") {
+    for ((w, h) <- Seq((16, 10), (40, 16), (7, 7), (41, 17));
+         motion <- Seq(false, true)) {
+      val bytes = Multimodal.jpegDcColorPatternBytes(w, h, motion)
+      val nb = ((w + 7) / 8) * ((h + 7) / 8)
+      val want = pattern(nb).map(_ * 16L)
+      val got = Multimodal.jpegDcStats(bytes)
+      // Y stats are chroma-invariant — equality across the motion
+      // variants proves chroma consumption leaves the luma stream in
+      // sync (chroma DC categories 3/4 flow through the chroma-only
+      // reverse-symbol DC table and length-2 EOB)
+      assert(got.contains((w.toLong, h.toLong, nb.toLong,
+        want.sum, want.min, want.max)), s"($w x $h, motion=$motion): $got")
+    }
+  }
+
+  test("COLOR DC decode agrees with the JDK's full color decode") {
+    // chromaMotion=false => Cb=Cr=128 exactly, so RGB == (Y, Y, Y) with
+    // zero color-convert error and the grayscale identity holds per pixel
+    val (w, h) = (40, 16)
+    val bytes = Multimodal.jpegDcColorPatternBytes(w, h, chromaMotion = false)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "JDK could not decode the generated color JPEG")
+    assert(img.getWidth == w && img.getHeight == h)
+    val bw = (w + 7) / 8
+    val nb = bw * ((h + 7) / 8)
+    val d = pattern(nb)
+    for (y <- 0 until h; x <- 0 until w) {
+      val j = (y / 8) * bw + (x / 8)
+      val expect = 128 + 2 * d(j)
+      val rgb = img.getRGB(x, y)
+      for ((ch, shift) <- Seq(("r", 16), ("g", 8), ("b", 0))) {
+        val got = (rgb >> shift) & 0xff
+        assert(got == expect,
+          s"$ch at ($x,$y) in block $j: JDK=$got, DC-derived=$expect")
+      }
+    }
+  }
+
   test("non-baseline and malformed streams are rejected, never mis-decoded") {
     val good = Multimodal.jpegDcPatternBytes(16, 16)
     assert(Multimodal.jpegDcStats("not a jpeg".getBytes).isEmpty)
@@ -64,5 +104,22 @@ class JpegDcSpec extends AnyFunSuite {
     assert(Multimodal.jpegDcStats(prog).isEmpty)
     // truncate mid-entropy-data: reject (bit reader runs dry)
     assert(Multimodal.jpegDcStats(good.dropRight(6).toArray).isEmpty)
+    // corrupt a segment LENGTH so payload reads run past the buffer:
+    // must reject via the bounds/catch guard, not throw out of the task
+    val dhtAt = good.indices.find(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc4).get
+    val hugeLen = good.clone()
+    hugeLen(dhtAt + 2) = 0x7f.toByte // DHT claims a 32k payload
+    assert(Multimodal.jpegDcStats(hugeLen).isEmpty)
+    val shortLen = good.clone()
+    shortLen(dhtAt + 3) = 0x05.toByte // DHT shorter than its own counts
+    assert(Multimodal.jpegDcStats(shortLen).isEmpty)
+    // 2x2-subsampled chroma (the unimplemented tier): reject
+    val color = Multimodal.jpegDcColorPatternBytes(16, 16, chromaMotion = false)
+    val sub = color.clone()
+    val csofAt = sub.indices.find(i =>
+      (sub(i) & 0xff) == 0xff && (sub(i + 1) & 0xff) == 0xc0).get
+    sub(csofAt + 11) = 0x22.toByte // Y sampling 2x2
+    assert(Multimodal.jpegDcStats(sub).isEmpty)
   }
 }
