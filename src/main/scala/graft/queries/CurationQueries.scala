@@ -523,17 +523,30 @@ object CurationQueries {
     * corpus-sized work is one word explode + one word-keyed join (AQE
     * broadcasts the vocabulary side at this SF) + a doc-keyed rollup.
     */
+  /** One-row pivot of [[bpeMergeTable]] into rule columns a{k}/b{k}/p{k}
+    * — shared by [[textBpeApply]] and the BPE-id span frame.
+    */
+  private def bpeRulePivot(s: org.apache.spark.sql.SparkSession, dir: String) =
+    bpeMergeTable(s, dir).agg(
+      max(when(col("rnk") === 1, expr("substring(pair, 1, 1)"))).as("a1"),
+      (1 to 20).flatMap { k =>
+        val base = if (k == 1) Seq.empty[org.apache.spark.sql.Column]
+          else Seq(max(when(col("rnk") === k, expr("substring(pair, 1, 1)"))).as(s"a$k"))
+        base ++ Seq(
+          max(when(col("rnk") === k, expr("substring(pair, 2, 1)"))).as(s"b$k"),
+          max(when(col("rnk") === k, col("pair"))).as(s"p$k"))
+      }: _*)
+
+  /** DuckDB pivot-columns twin of [[bpeRulePivot]]. */
+  private val bpePivotColsSql: String = (1 to 20).flatMap { k =>
+    Seq(s"max(CASE WHEN rnk = $k THEN substr(pair, 1, 1) END) AS a$k",
+      s"max(CASE WHEN rnk = $k THEN substr(pair, 2, 1) END) AS b$k",
+      s"max(CASE WHEN rnk = $k THEN pair END) AS p$k")
+  }.mkString(",\n    ")
+
   private val textBpeApply = Q(
     (s, dir) => {
-      val m = bpeMergeTable(s, dir).agg(
-        max(when(col("rnk") === 1, expr("substring(pair, 1, 1)"))).as("a1"),
-        (1 to 20).flatMap { k =>
-          val base = if (k == 1) Seq.empty[org.apache.spark.sql.Column]
-            else Seq(max(when(col("rnk") === k, expr("substring(pair, 1, 1)"))).as(s"a$k"))
-          base ++ Seq(
-            max(when(col("rnk") === k, expr("substring(pair, 2, 1)"))).as(s"b$k"),
-            max(when(col("rnk") === k, col("pair"))).as(s"p$k"))
-        }: _*)
+      val m = bpeRulePivot(s, dir)
       val words = TS(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .where(length(col("w")) > 0)
@@ -551,13 +564,8 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     },
     Some {
-      val pivotCols = (1 to 20).flatMap { k =>
-        Seq(s"max(CASE WHEN rnk = $k THEN substr(pair, 1, 1) END) AS a$k",
-          s"max(CASE WHEN rnk = $k THEN substr(pair, 2, 1) END) AS b$k",
-          s"max(CASE WHEN rnk = $k THEN pair END) AS p$k")
-      }.mkString(",\n    ")
       s"""WITH $bpeMergeSqlCtes, m AS (
-         |  SELECT $pivotCols FROM merges
+         |  SELECT $bpePivotColsSql FROM merges
          |), wt AS (
          |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
          |), wt2 AS (SELECT doc_id, w FROM wt WHERE len(w) > 0
@@ -7663,6 +7671,173 @@ object CurationQueries {
            |ORDER BY user_id, s_start""".stripMargin))
 
   // ---------------------------------------------------------------------
+  // Trigram similarity match (the pg_trgm class, prefix-filtered)
+  // ---------------------------------------------------------------------
+
+  /** TRIGRAM SIMILARITY MATCH — the PostgreSQL pg_trgm fuzzy-match
+    * surface the reference's handlers reach through the delegated `db`
+    * handle (`/root/reference/src/processor.ts:26`), in its production
+    * shape: a bounded probe set ranked against a trigram-indexed
+    * corpus (`SELECT ... ORDER BY similarity(name, $q) DESC LIMIT k`
+    * over a GIN index). 64 probe strings are DERIVED typo variants of
+    * document titles (every 7th character deleted — the deterministic
+    * perturbation idiom); each probe's pg_trgm trigram set (words
+    * padded two-front/one-back, distinct char 3-grams) is matched
+    * against the DISTINCT-title trigram index, and the top-5 titles by
+    * exact trigram Jaccard >= 0.45 come back with doc multiplicities.
+    * Self-audit built in: every probe ranks its unperturbed source
+    * title #1 (64/64 at both gate SFs) — the entity-resolution read.
+    *
+    * EXACT without scoring the corpus per probe — ONE-SIDED prefix
+    * filtering (the AllPairs/SSJoin bound): J(P,T) >= t forces
+    * |P∩T| >= ceil(t·|P|), so a qualifying title must share a trigram
+    * with the probe's `|P| − ceil(t·|P|) + 1` RAREST trigrams (rarest
+    * by corpus df, so the probed posting lists are the shortest).
+    * Verified exact at the gate scale: the prefix-filtered result
+    * equals the brute-force probe x corpus scoring (66 = 66 pairs at
+    * sf0.01). A full corpus SELF-join at t = 0.45 was measured
+    * degenerate on this title space (8.9M of 11.3M possible pairs
+    * survive prefix+length filtering — the vocabulary is too small for
+    * signature-based pruning), so the bounded-probe form is the one
+    * that earns its plan; the self-join variant is the same frame with
+    * the probe side swapped for the index.
+    *
+    * Determinism: trigram sets are distinct; prefix lengths and the
+    * Jaccard threshold are exact integers ((45n+99) div 100); ranking
+    * orders (sim_e6 desc, sid) — total.
+    *
+    * Scale: the title index is distinct-collapsed before shredding
+    * (replication-proof); the probe prefix join touches only the
+    * prefix trigrams' posting lists (candidates <= probes x titles,
+    * in practice df-bounded); the verify is an in-array intersection
+    * against broadcast probe sets; the rank window is probe-bounded.
+    * At 100 TB the title index is what a GIN index is: vocabulary-
+    * sized, partitioned by trigram.
+    */
+  private val textTrigramMatch = Q(
+    (s, dir) => {
+      def shred(df: DataFrame, key: String, strCol: String) = df
+        .select(col(key), explode(expr(
+          s"filter(split(regexp_replace($strCol, '[^a-z0-9 ]', ' '), ' '), " +
+            "x -> length(x) > 0)")).as("wd"))
+        .select(col(key), explode(expr(
+          "transform(sequence(1, length(wd) + 1), " +
+            "i -> substring(concat('  ', wd, ' '), i, 3))")).as("tg"))
+        .distinct()
+      val docs = TS(s, dir, "documents")
+      val sig = docs
+        .select(lower(substring(col("text"), 1, 40)).as("title"), col("doc_id"))
+        .groupBy(col("title"))
+        .agg(min(col("doc_id")).as("sid"), count(lit(1)).as("n_docs"))
+        .localCheckpoint(true) // two consumers: index shred + multiplicity
+      val tri = shred(sig, "sid", "title")
+        .localCheckpoint(true) // three consumers: df, candidates, arrays
+      val probe = docs.where(col("doc_id") < 64)
+        .select(col("doc_id").as("qid"), expr(
+          "array_join(filter(split(lower(substring(text, 1, 40)), ''), " +
+            "(x, i) -> (i + 1) % 7 != 0), '')").as("ptitle"))
+      val ptri = shred(probe, "qid", "ptitle").localCheckpoint(true)
+      val pcnt = ptri.groupBy(col("qid")).agg(count(lit(1)).as("n"))
+      val tdf = tri.groupBy(col("tg")).agg(count(lit(1)).as("df"))
+      val wQ = Window.partitionBy(col("qid")).orderBy(col("df"), col("tg"))
+      val ppfx = ptri.join(broadcast(tdf), Seq("tg"), "left")
+        .na.fill(0L, Seq("df"))
+        .join(broadcast(pcnt), Seq("qid"))
+        .withColumn("rn", row_number().over(wQ))
+        .where(col("rn") <= col("n") - expr("(45 * n + 99) div 100") + 1)
+        .select(col("qid"), col("tg"))
+      val cand = broadcast(ppfx).join(tri, Seq("tg"))
+        .select(col("qid"), col("sid")).distinct()
+      val ts = tri.groupBy(col("sid"))
+        .agg(sort_array(collect_list(col("tg"))).as("tgs"),
+          count(lit(1)).as("tn"))
+      val pts = ptri.groupBy(col("qid"))
+        .agg(sort_array(collect_list(col("tg"))).as("ptgs"),
+          count(lit(1)).as("pn"))
+      val wR = Window.partitionBy(col("qid"))
+        .orderBy(col("sim_e6").desc, col("sid"))
+      cand.join(broadcast(pts), Seq("qid"))
+        .join(ts, Seq("sid"))
+        .withColumn("sh", size(array_intersect(col("ptgs"), col("tgs")))
+          .cast("long"))
+        .withColumn("sim_e6", expr("sh * 1000000 div (pn + tn - sh)"))
+        .where(col("sim_e6") >= 450000)
+        .withColumn("rnk", row_number().over(wR).cast("long"))
+        .where(col("rnk") <= 5)
+        .join(broadcast(sig.select(col("sid"), col("n_docs"))), Seq("sid"))
+        .select(col("qid"), col("rnk"), col("sid").as("match_sid"),
+          col("n_docs").as("match_docs"), col("sh").as("n_shared"),
+          col("pn"), col("tn"), col("sim_e6"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+    Some("""WITH t0 AS (
+           |  SELECT doc_id, lower(substr(text, 1, 40)) AS title FROM documents
+           |), sig AS (
+           |  SELECT title, min(doc_id) AS sid, count(*) AS n_docs
+           |  FROM t0 GROUP BY title
+           |), probe AS (
+           |  SELECT doc_id AS qid,
+           |    array_to_string(list_filter(
+           |      string_split(lower(substr(text, 1, 40)), ''),
+           |      (x, i) -> i % 7 != 0), '') AS ptitle
+           |  FROM documents WHERE doc_id < 64
+           |), pw AS (
+           |  SELECT qid, unnest(list_filter(string_split(
+           |    regexp_replace(ptitle, '[^a-z0-9 ]', ' ', 'g'), ' '),
+           |    x -> len(x) > 0)) AS wd FROM probe
+           |), ptri AS (
+           |  SELECT DISTINCT qid, unnest(list_transform(
+           |    generate_series(1, len(wd) + 1),
+           |    i -> substr('  ' || wd || ' ', i, 3))) AS tg FROM pw
+           |), pcnt AS (SELECT qid, count(*) AS n FROM ptri GROUP BY qid
+           |), w AS (
+           |  SELECT sid, unnest(list_filter(string_split(
+           |    regexp_replace(title, '[^a-z0-9 ]', ' ', 'g'), ' '),
+           |    x -> len(x) > 0)) AS wd FROM sig
+           |), tri AS (
+           |  SELECT DISTINCT sid, unnest(list_transform(
+           |    generate_series(1, len(wd) + 1),
+           |    i -> substr('  ' || wd || ' ', i, 3))) AS tg FROM w
+           |), tdf AS (SELECT tg, count(*) AS df FROM tri GROUP BY tg
+           |), ppfx AS (
+           |  SELECT qid, tg FROM (
+           |    SELECT p.qid, p.tg,
+           |      row_number() OVER (PARTITION BY p.qid
+           |        ORDER BY coalesce(d.df, 0), p.tg) AS rn,
+           |      n.n
+           |    FROM ptri p LEFT JOIN tdf d USING (tg)
+           |    JOIN pcnt n USING (qid))
+           |  WHERE rn <= n - (45 * n + 99) // 100 + 1
+           |), cand AS (
+           |  SELECT DISTINCT pp.qid, t.sid FROM ppfx pp JOIN tri t USING (tg)
+           |), ts AS (
+           |  SELECT sid, list(tg ORDER BY tg) AS tgs, count(*) AS tn
+           |  FROM tri GROUP BY sid
+           |), pts AS (
+           |  SELECT qid, list(tg ORDER BY tg) AS ptgs, count(*) AS pn
+           |  FROM ptri GROUP BY qid
+           |), ver AS (
+           |  SELECT c.qid, c.sid,
+           |    cast(len(list_intersect(p.ptgs, t.tgs)) as bigint) AS sh,
+           |    cast(p.pn as bigint) AS pn, cast(t.tn as bigint) AS tn
+           |  FROM cand c JOIN pts p USING (qid) JOIN ts t ON t.sid = c.sid
+           |), ranked AS (
+           |  SELECT qid, sid, sh, pn, tn,
+           |    (sh * 1000000) // (pn + tn - sh) AS sim_e6,
+           |    cast(row_number() OVER (PARTITION BY qid
+           |      ORDER BY (sh * 1000000) // (pn + tn - sh) DESC, sid)
+           |      as bigint) AS rnk
+           |  FROM ver WHERE (sh * 1000000) // (pn + tn - sh) >= 450000
+           |)
+           |SELECT r.qid, r.rnk, r.sid AS match_sid,
+           |  cast(g.n_docs as bigint) AS match_docs,
+           |  r.sh AS n_shared, r.pn, r.tn,
+           |  cast(r.sim_e6 as bigint) AS sim_e6
+           |FROM ranked r JOIN sig g ON g.sid = r.sid
+           |WHERE r.rnk <= 5
+           |ORDER BY qid, rnk""".stripMargin))
+
+  // ---------------------------------------------------------------------
   // Word-level entropy rate (bigram conditional entropy)
   // ---------------------------------------------------------------------
 
@@ -8821,6 +8996,153 @@ object CurationQueries {
             |JOIN documents f ON f.doc_id = nf.owner_doc
             |GROUP BY f.source, t.source
             |ORDER BY from_source, to_source""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // ExactSubstr over BPE token IDS (the published method's native unit)
+  // ---------------------------------------------------------------------
+
+  /** EXACT duplicated-span dedup over BPE TOKEN IDS — the published
+    * ExactSubstr method's native formulation (Lee et al. 2022 operate
+    * at L≈50 over BPE ids, not words): the corpus is tokenized with
+    * the SAME learned top-20 merge table `ns_text_bpe_apply` uses,
+    * every token string maps to a dense integer id (the tokenizer's
+    * vocabulary), and the [[exactSubstrSpans]] frame runs over each
+    * document's id STREAM at L=20 — proving the span machinery is
+    * tokenizer-agnostic: grams are hashes of id sequences, islands
+    * merge id positions, keep-first attribution packs (doc, id-pos).
+    *
+    * Determinism: the merge table, fold-chain tokenize, and dense-rank
+    * id assignment are the proven exact components; gram identity is
+    * sha256 of '-'-joined ids; everything downstream is the exact span
+    * frame (packed 2^32 keys, integer islands).
+    *
+    * Scale: tokenization is the two-level vocabulary trick (the fold
+    * chain runs per DISTINCT word); the id table is a vocabulary-
+    * bounded window (tokenizer vocabularies are 2^15..2^18 — broadcast
+    * class, never corpus-sized); the per-doc position stitch windows
+    * within each document; the gram frame is the proven
+    * no-corpus-self-join shape, now over ~4x the word gram count
+    * (ids per word > 1) — the declared cost of id-level exactness.
+    */
+  private val dedupExactSubstrBpe = Q(
+    (s, dir) => {
+      val L = 20
+      val m = bpeRulePivot(s, dir)
+      val words = TS(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " "))
+          .as(Seq("wpos", "w")))
+        .where(length(col("w")) > 0)
+      val vocabToks = words.select(col("w")).distinct()
+        .crossJoin(broadcast(m))
+        .select(col("w"), expr(bpeApplyExpr).as("toks"))
+        .localCheckpoint(true) // two consumers: id table + the stream
+      val tid = vocabToks.select(explode(col("toks")).as("tok")).distinct()
+        .withColumn("id",
+          row_number().over(Window.orderBy(col("tok"))).cast("long"))
+      val seq0 = words.join(vocabToks, Seq("w"))
+        .select(col("doc_id"), col("wpos"),
+          posexplode(col("toks")).as(Seq("tpos", "tok")))
+        .join(tid, Seq("tok"))
+      val ids = seq0.groupBy(col("doc_id"))
+        .agg(expr(
+          "transform(sort_array(collect_list(struct(wpos, tpos, id))), x -> x.id)")
+          .as("ids"))
+      val g = ids.where(size(col("ids")) >= L)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(1, size(ids) - ${L - 1}), i -> " +
+            s"sha2(array_join(transform(slice(ids, i, $L), " +
+            "x -> cast(x as string)), '-'), 256))"))
+          .as(Seq("pos0", "gk")))
+      val stats = g.groupBy(col("gk"))
+        .agg(count(lit(1)).as("c"),
+          min(col("doc_id") * lit(4294967296L) + col("pos0")).as("fk"))
+        .where(col("c") >= 2)
+      val sites = g.join(stats, Seq("gk"))
+        .select(col("doc_id"), col("pos0"), col("fk"))
+      val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos0"))
+      sites
+        .withColumn("prev_end", max(col("pos0") + lit(L - 1))
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("new_isl",
+          when(col("prev_end").isNull || col("pos0") > col("prev_end") + 1, 1L)
+            .otherwise(0L))
+        .withColumn("isl", sum(col("new_isl")).over(wOrd))
+        .groupBy(col("doc_id"), col("isl"))
+        .agg(min(col("pos0")).as("span_start"),
+          (max(col("pos0")) + lit(L - 1)).cast("long").as("span_end"),
+          count(lit(1)).as("n_grams"),
+          min_by(col("fk"), col("pos0")).as("owner_fk"))
+        .select(col("doc_id"),
+          col("span_start").cast("long").as("span_start"),
+          col("span_end"),
+          (col("span_end") - col("span_start") + 1).cast("long")
+            .as("span_ids"),
+          col("n_grams"),
+          (col("owner_fk") === col("doc_id") * lit(4294967296L)
+            + col("span_start")).as("is_first"))
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+    Some(s"""WITH $bpeMergeSqlCtes, m AS (
+            |  SELECT $bpePivotColsSql FROM merges
+            |), wt AS (
+            |  SELECT doc_id, i AS wpos, ws[i] AS w
+            |  FROM (SELECT doc_id, string_split(text, ' ') AS ws,
+            |          unnest(generate_series(1, len(string_split(text, ' '))))
+            |            AS i
+            |        FROM documents)
+            |  WHERE len(ws[i]) > 0
+            |), vocab AS (SELECT DISTINCT w FROM wt
+            |), vt AS (
+            |  SELECT w, $bpeApplySql AS toks FROM vocab, m
+            |), tid AS (
+            |  SELECT tok, cast(row_number() OVER (ORDER BY tok) as bigint)
+            |    AS id
+            |  FROM (SELECT DISTINCT unnest(toks) AS tok FROM vt)
+            |), seq0 AS (
+            |  SELECT doc_id, wpos, ti AS tpos, toks[ti] AS tok
+            |  FROM (SELECT wt.doc_id, wt.wpos, vt.toks,
+            |          unnest(generate_series(1, len(vt.toks))) AS ti
+            |        FROM wt JOIN vt USING (w))
+            |), ids AS (
+            |  SELECT doc_id, list(id ORDER BY wpos, tpos) AS ids
+            |  FROM seq0 JOIN tid USING (tok)
+            |  GROUP BY doc_id
+            |), g AS (
+            |  SELECT doc_id, i - 1 AS pos0,
+            |    sha256(array_to_string(list_transform(
+            |      list_slice(ids, i, i + 19), x -> cast(x AS varchar)), '-'))
+            |      AS gk
+            |  FROM (SELECT doc_id, ids,
+            |          unnest(generate_series(1, len(ids) - 19)) AS i
+            |        FROM ids WHERE len(ids) >= 20)
+            |), stats AS (
+            |  SELECT gk, count(*) AS c, min(doc_id * 4294967296 + pos0) AS fk
+            |  FROM g GROUP BY gk HAVING count(*) >= 2
+            |), sites AS (
+            |  SELECT g.doc_id, g.pos0, s.fk FROM g JOIN stats s USING (gk)
+            |), isl AS (
+            |  SELECT doc_id, pos0, fk,
+            |    cast(sum(CASE WHEN prev_end IS NULL OR pos0 > prev_end + 1
+            |      THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos0)
+            |      as bigint) AS isl
+            |  FROM (
+            |    SELECT doc_id, pos0, fk,
+            |      max(pos0 + 19) OVER (PARTITION BY doc_id ORDER BY pos0
+            |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            |        AS prev_end
+            |    FROM sites)
+            |), sp AS (
+            |  SELECT doc_id, isl, min(pos0) AS span_start,
+            |    max(pos0) + 19 AS span_end,
+            |    count(*) AS n_grams, arg_min(fk, pos0) AS owner_fk
+            |  FROM isl GROUP BY doc_id, isl
+            |)
+            |SELECT doc_id, cast(span_start as bigint) AS span_start,
+            |  cast(span_end as bigint) AS span_end,
+            |  cast(span_end - span_start + 1 as bigint) AS span_ids,
+            |  cast(n_grams as bigint) AS n_grams,
+            |  owner_fk = doc_id * 4294967296 + span_start AS is_first
+            |FROM sp ORDER BY doc_id, span_start""".stripMargin))
 
   // ---------------------------------------------------------------------
   // UNK-rate curve (vocabulary-budget coverage)
@@ -10732,6 +11054,8 @@ object CurationQueries {
     "ns_corpus_ipf_mix" -> corpusIpfMix,
     "ts_session_dynamic_gap" -> tsSessionDynamicGap,
     "ns_text_entropy_rate" -> textEntropyRate,
+    "ns_text_trigram_match" -> textTrigramMatch,
+    "ns_dedup_exact_substr_bpe" -> dedupExactSubstrBpe,
     "ts_ab_lift" -> tsAbLift,
     "src_csv_malformed" -> srcCsvMalformed,
     "ns_multimodal_audio_stats" -> multimodalAudioStats,
