@@ -1131,6 +1131,78 @@ object CurationQueries {
     },
     simIvfPq.oracle)
 
+  /** STREAMING IVF-PQ ingest — the continuous-arrival twin of
+    * [[simIvfAppend]] (the r15 verdict's item 8): vectors land as files
+    * in a directory; a stream assigns each micro-batch to its frozen
+    * coarse cell, PQ-encodes it (map-only against the frozen codebook —
+    * a stateless stream, exactly the production ANN ingest stage), and
+    * appends through the parquet FILE SINK partitioned by cell, so
+    * EXACTLY-ONCE is the sink's `_spark_metadata` transaction log. Two
+    * landing files (the base nine-tenths, then the arrival tenth,
+    * mtime-ordered) stream through one checkpoint; the stream is then
+    * REPLAYED from the same checkpoint over the same input and the
+    * query itself requires the store row count unchanged — a duplicated
+    * append fails the gate loudly, not statistically. Serving is the
+    * standard partition-pruned ADC search with the SAME oracle as the
+    * one-shot [[simIvfPq]] build: any lost, duplicated, or mis-assigned
+    * streamed vector changes the top-3 lists and hash-fails.
+    *
+    * Scale: per-micro-batch work is map-only assign+encode over the
+    * arrivals plus a transactional append into the cells they touch;
+    * the search I/O stays nprobe/C of the index via partition pruning.
+    * The whole store lives under ONE file-sink log (a batch-written
+    * base plus a streaming append would split visibility — Spark's
+    * metadata-aware read ignores foreign files in a sink directory).
+    */
+  private val simIvfAppendStream = Q(
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      graft.expressions.SquaredL2.registerIn(s)
+      val v = NorthStarQueries.kmeansQuantizedIndex(s, dir)
+      val cellSorted = ivfCellSortedExpr(v)
+      val cb = NorthStarQueries.pqCodebook(v)
+      val base = scratchDir("ivfappendstream")
+      val store = s"$base/store"
+      val land = s"$base/land"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(land))
+      Seq(0, 1).foreach { p =>
+        val part = s"$base/part$p"
+        val cond =
+          if (p == 0) col("vec_id") % 10 =!= 0 else col("vec_id") % 10 === 0
+        v.where(cond).coalesce(1).write.mode("overwrite").parquet(part)
+        val f = new java.io.File(part).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = java.nio.file.Paths.get(s"$land/batch$p.parquet")
+        java.nio.file.Files.move(f.toPath, dst)
+        dst.toFile.setLastModified(1700000000000L + p * 60000L)
+      }
+      val stream = s.readStream.schema(v.schema)
+        .option("maxFilesPerTrigger", "1").parquet(land)
+      val streamVc = stream
+        .withColumn("cell", expr(s"element_at($cellSorted, 1).j"))
+      def run(): Unit = {
+        val q = ivfPqIndexRows(streamVc, cb)
+          .writeStream.format("parquet")
+          .option("path", store)
+          .option("checkpointLocation", s"$base/cp")
+          .partitionBy("cell")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      run()
+      val n1 = s.read.parquet(store).count()
+      run() // replay from the same checkpoint over the same input
+      val n2 = s.read.parquet(store).count()
+      require(n1 == n2,
+        s"streaming IVF append replayed rows: $n1 -> $n2 (exactly-once broken)")
+      val out = ivfPqServeStore(s, v, store, cellSorted, cb).localCheckpoint(true)
+      scratchDelete(base)
+      out
+    },
+    simIvfPq.oracle)
+
   // ---------------------------------------------------------------------
   // PCA top component via integer power iteration
   // ---------------------------------------------------------------------
@@ -10187,6 +10259,200 @@ object CurationQueries {
             |ORDER BY t.q_id, t.rnk""".stripMargin))
 
   // ---------------------------------------------------------------------
+  // PLAID recall/cost curve (the sub-vector router's tuning table)
+  // ---------------------------------------------------------------------
+
+  /** PLAID RECALL/COST CURVE — the r15 verdict's ask: turn the
+    * sub-vector router's single operating point (and its scored-
+    * fraction footnote) into a measured tuning table. Four operating
+    * points — cell count C in {64, 128} x probes-per-sub-vector p in
+    * {1, 2} — each reporting recall@3 against the exhaustive MaxSim
+    * top-3 AND the scored fraction (mean shortlist share of the
+    * corpus), the two axes a deployment trades: more cells shrink the
+    * shortlist, more probes buy recall back. The `ns_sim_recall_curve`
+    * read for late-interaction routing.
+    *
+    * Determinism: sub-dots and MaxSim scores are the codegen'd exact
+    * bigint kernels; cell assignment and all rankings tie-break on the
+    * lowest id; the DuckDB twin ranks with the identical (score desc,
+    * id) orders.
+    *
+    * Scale: the (vector x slot) x sub-centroid dot pass runs ONCE
+    * (localCheckpointed) and every config derives by filtering
+    * `cell < C` — C=64 cells are a prefix of the C=128 table, so no
+    * second assignment pass; corpus indexes reduce by partial-
+    * aggregable min_by (no window over corpus rows — only the 16
+    * probe vectors rank in a window); shortlists union per config and
+    * the MaxSim kernel prices each DISTINCT (q, candidate) pair once
+    * across all four configs. The exhaustive branch is the declared
+    * audit, dropped at production scale.
+    */
+  private val simPlaidCurve = Q(
+    (s, dir) => {
+      graft.expressions.ScaledDotProduct.registerIn(s)
+      graft.expressions.MaxSimScore.registerIn(s)
+      val e = TS(s, dir, "embeddings")
+      val subc = e.where(col("vec_id").between(100, 115))
+        .select(col("vec_id"), explode(expr("sequence(0, 7)")).as("cs"),
+          col("embedding"))
+        .select(((col("vec_id") - 100) * 8 + col("cs")).as("cell"),
+          expr("slice(embedding, cs * 8 + 1, 8)").as("csv"))
+      val sub = e
+        .select(col("vec_id"), explode(expr("sequence(0, 7)")).as("sl"),
+          col("embedding"))
+        .select(col("vec_id"), col("sl"),
+          expr("slice(embedding, sl * 8 + 1, 8)").as("sv"))
+      val dots = sub.join(broadcast(subc), lit(true))
+        .select(col("vec_id"), col("sl"), col("cell"),
+          expr("scaled_dot(sv, csv)").as("d"))
+        .localCheckpoint(true) // one dot pass serves all four configs
+      def index(c: Int) = dots.where(col("cell") < c)
+        .groupBy(col("vec_id"), col("sl"))
+        .agg(min_by(col("cell"), struct((-col("d")).as("nd"), col("cell")))
+          .as("cell"))
+        .select(lit(c.toLong).as("cells"), col("vec_id").as("c_id"),
+          col("cell"))
+        .distinct()
+      val idx = index(64).unionAll(index(128))
+      def probes(c: Int) = dots
+        .where(col("vec_id") < 16 && col("cell") < c)
+        .withColumn("rn", row_number().over(Window
+          .partitionBy(col("vec_id"), col("sl"))
+          .orderBy(col("d").desc, col("cell"))))
+        .where(col("rn") <= 2)
+        .select(lit(c.toLong).as("cells"), col("vec_id").as("q_id"),
+          col("cell"), col("rn"))
+      val prbCfg = probes(64).unionAll(probes(128))
+        .select(col("cells"), col("q_id"), col("cell"),
+          explode(when(col("rn") === 1, array(lit(1L), lit(2L)))
+            .otherwise(array(lit(2L)))).as("probes"))
+        .select(col("cells"), col("probes"), col("q_id"), col("cell"))
+        .distinct()
+      val short = prbCfg.join(idx, Seq("cells", "cell"))
+        .where(col("q_id") =!= col("c_id"))
+        .select(col("cells"), col("probes"), col("q_id"), col("c_id"))
+        .distinct()
+        .localCheckpoint(true) // consumers: counts + two-stage ranking
+      val qe = e.where(col("vec_id") < 16)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val ce = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val pairScores = short.select(col("q_id"), col("c_id")).distinct()
+        .join(broadcast(qe), Seq("q_id"))
+        .join(ce, Seq("c_id"))
+        .select(col("q_id"), col("c_id"),
+          expr("maxsim_score(q_emb, c_emb)").as("score_fp"))
+      val wTop = Window.partitionBy(col("cells"), col("probes"), col("q_id"))
+        .orderBy(col("score_fp").desc, col("c_id"))
+      val two = short.join(pairScores, Seq("q_id", "c_id"))
+        .withColumn("rnk", row_number().over(wTop))
+        .where(col("rnk") <= 3)
+      val wEx = Window.partitionBy(col("q_id"))
+        .orderBy(col("score_fp").desc, col("c_id"))
+      val exact = broadcast(qe).join(ce, col("q_id") =!= col("c_id"))
+        .withColumn("score_fp", expr("maxsim_score(q_emb, c_emb)"))
+        .withColumn("ern", row_number().over(wEx))
+        .where(col("ern") <= 3)
+        .select(col("q_id").as("eq"), col("c_id").as("ec"))
+      val hits = two.join(exact,
+          col("q_id") === col("eq") && col("c_id") === col("ec"), "left")
+        .groupBy(col("cells"), col("probes"))
+        .agg(sum(when(col("ec").isNotNull, 1L).otherwise(0L)).as("hits3"))
+      val candCounts = short.groupBy(col("cells"), col("probes"))
+        .agg(count(lit(1)).as("n_cand"))
+      val nTot = e.agg(count(lit(1)).as("n_total"))
+      hits.join(candCounts, Seq("cells", "probes"))
+        .crossJoin(broadcast(nTot))
+        .select(col("cells"), col("probes"), col("hits3"),
+          expr("hits3 * 1000000 div 48").as("recall3_e6"),
+          col("n_cand"),
+          expr("n_cand * 1000000 div (16 * (n_total - 1))")
+            .as("scored_frac_e6"))
+        .orderBy(col("cells"), col("probes"))
+    },
+    Some("""WITH e AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |), slots AS (SELECT unnest(generate_series(0, 7)) AS sl
+           |), subc AS (
+           |  SELECT (vec_id - 100) * 8 + sl AS cell, sl AS csl,
+           |    embedding AS cemb
+           |  FROM e, slots WHERE vec_id BETWEEN 100 AND 115
+           |), dots AS (
+           |  SELECT e.vec_id, s.sl, c.cell,
+           |    list_sum(list_transform(generate_series(1, 8), i ->
+           |      cast(floor(e.embedding[s.sl * 8 + i]::double
+           |        * c.cemb[c.csl * 8 + i]::double * 1099511627776) as bigint)))
+           |      AS d
+           |  FROM e, slots s, subc c
+           |), cfgc AS (SELECT unnest([64, 128]) AS cells
+           |), rnk0 AS (
+           |  SELECT f.cells, d.vec_id, d.sl, d.cell,
+           |    row_number() OVER (PARTITION BY f.cells, d.vec_id, d.sl
+           |      ORDER BY d.d DESC, d.cell) AS rn
+           |  FROM dots d JOIN cfgc f ON d.cell < f.cells
+           |), idx AS (
+           |  SELECT DISTINCT cells, vec_id AS c_id, cell
+           |  FROM rnk0 WHERE rn = 1
+           |), prb AS (
+           |  SELECT DISTINCT r.cells, p.probes, r.vec_id AS q_id, r.cell
+           |  FROM rnk0 r JOIN (SELECT unnest([1, 2]) AS probes) p
+           |    ON r.rn <= p.probes
+           |  WHERE r.vec_id < 16
+           |), short AS (
+           |  SELECT DISTINCT pr.cells, pr.probes, pr.q_id, i.c_id
+           |  FROM prb pr JOIN idx i ON i.cells = pr.cells AND i.cell = pr.cell
+           |  WHERE pr.q_id <> i.c_id
+           |), pairs AS (SELECT DISTINCT q_id, c_id FROM short
+           |), ms AS (
+           |  SELECT p.q_id, p.c_id,
+           |    list_sum(list_transform(generate_series(0, 7), qs ->
+           |      list_max(list_transform(generate_series(0, 7), ds ->
+           |        list_sum(list_transform(generate_series(1, 8), i ->
+           |          cast(floor(q.embedding[qs * 8 + i]::double * 1048576) as bigint)
+           |          * cast(floor(c.embedding[ds * 8 + i]::double * 1048576) as bigint)))))))
+           |      AS score_fp
+           |  FROM pairs p JOIN e q ON q.vec_id = p.q_id
+           |    JOIN e c ON c.vec_id = p.c_id
+           |), two AS (
+           |  SELECT s.cells, s.probes, s.q_id, s.c_id,
+           |    row_number() OVER (PARTITION BY s.cells, s.probes, s.q_id
+           |      ORDER BY m.score_fp DESC, s.c_id) AS rnk
+           |  FROM short s JOIN ms m ON m.q_id = s.q_id AND m.c_id = s.c_id
+           |), ex0 AS (
+           |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           |    list_sum(list_transform(generate_series(0, 7), qs ->
+           |      list_max(list_transform(generate_series(0, 7), ds ->
+           |        list_sum(list_transform(generate_series(1, 8), i ->
+           |          cast(floor(q.embedding[qs * 8 + i]::double * 1048576) as bigint)
+           |          * cast(floor(c.embedding[ds * 8 + i]::double * 1048576) as bigint)))))))
+           |      AS score_fp
+           |  FROM e q, e c WHERE q.vec_id < 16 AND q.vec_id <> c.vec_id
+           |), ex AS (
+           |  SELECT q_id, c_id FROM (
+           |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+           |      ORDER BY score_fp DESC, c_id) AS ern
+           |    FROM ex0)
+           |  WHERE ern <= 3
+           |), hits AS (
+           |  SELECT t.cells, t.probes, count(x.c_id) AS hits3
+           |  FROM two t LEFT JOIN ex x
+           |    ON x.q_id = t.q_id AND x.c_id = t.c_id
+           |  WHERE t.rnk <= 3
+           |  GROUP BY t.cells, t.probes
+           |), cc AS (
+           |  SELECT cells, probes, count(*) AS n_cand
+           |  FROM short GROUP BY cells, probes
+           |), nt AS (SELECT cast(count(*) as bigint) AS n_total FROM e)
+           |SELECT cast(h.cells as bigint) AS cells,
+           |  cast(h.probes as bigint) AS probes,
+           |  cast(h.hits3 as bigint) AS hits3,
+           |  cast((h.hits3 * 1000000) // 48 as bigint) AS recall3_e6,
+           |  cast(c.n_cand as bigint) AS n_cand,
+           |  cast((c.n_cand * 1000000) // (16 * (n_total - 1)) as bigint)
+           |    AS scored_frac_e6
+           |FROM hits h JOIN cc c USING (cells, probes), nt
+           |ORDER BY cells, probes""".stripMargin))
+
+  // ---------------------------------------------------------------------
   // Markov transition model over event sequences
   // ---------------------------------------------------------------------
 
@@ -11028,6 +11294,7 @@ object CurationQueries {
     "ns_multimodal_image_stats" -> multimodalImageStats,
     "ns_sim_maxsim_ivf" -> simMaxsimIvf,
     "ns_sim_maxsim_plaid" -> simMaxsimPlaid,
+    "ns_sim_plaid_curve" -> simPlaidCurve,
     "ns_dedup_exact_substr" -> dedupExactSubstr,
     "ns_multimodal_jpeg_dc" -> multimodalJpegDc,
     "ns_multimodal_jpeg_color" -> multimodalJpegColor,
@@ -11138,6 +11405,7 @@ object CurationQueries {
     "ns_sim_ivfpq" -> simIvfPq,
     "ns_sim_ivfpq_persisted" -> simIvfPqPersisted,
     "ns_sim_ivf_append" -> simIvfAppend,
+    "ns_sim_ivf_append_stream" -> simIvfAppendStream,
     "ns_embed_pca_power" -> embedPcaPower,
     "ns_sim_knn_2hop" -> simKnn2Hop,
     "ns_embed_pca_project" -> embedPcaProject,

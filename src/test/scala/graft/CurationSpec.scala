@@ -792,6 +792,20 @@ class CurationSpec extends SparkSpec {
     assert(stream.nonEmpty, "no closed sessions — the fixture split produced none")
   }
 
+  test("streaming IVF append serves the batch twin's exact results") {
+    // the r16 exactly-once streaming ingest: the same top-3 lists must
+    // come back whether the arrival tenth was appended by the batch
+    // writer or streamed through the file sink (replay-zero is required
+    // loudly inside the streaming query itself)
+    val batch = run("ns_sim_ivf_append").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val stream = run("ns_sim_ivf_append_stream").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(batch.nonEmpty && batch.sameElements(stream),
+      s"stream-ingested index diverged from batch append: " +
+        s"batch=${batch.take(3).toSeq} stream=${stream.take(3).toSeq}")
+  }
+
   test("matryoshka: 16 queries, recall bounded, truncation loses something") {
     val rows = run("ns_sim_matryoshka").collect()
     assert(rows.length == 16, "one row per fixed query")
