@@ -722,6 +722,21 @@ object Multimodal {
       if (bit == 8) { bit = 0; pos += (if (cur == 0xff) 2 else 1) }
       v
     }
+    /** Byte-align (discarding T.81 padding bits) and consume the
+      * expected RSTn restart marker; false on anything else.
+      */
+    def consumeRst(n: Int): Boolean = {
+      if (bit != 0) {
+        val cur = b(pos) & 0xff
+        bit = 0
+        pos += (if (cur == 0xff) 2 else 1)
+      }
+      if (pos + 1 >= b.length) return false
+      if ((b(pos) & 0xff) != 0xff ||
+          (b(pos + 1) & 0xff) != (0xd0 + (n & 7))) return false
+      pos += 2
+      true
+    }
   }
 
   /** REAL baseline-JPEG DC decode (the tier between SOFn header dims
@@ -734,12 +749,15 @@ object Multimodal {
     * `128 + dcq/8` (all AC basis functions are zero-mean), so the DC
     * tier already yields per-block brightness without an IDCT.
     * Returns (width, height, nBlocks, sumDcq, minDcq, maxDcq) over the
-    * LUMA channel. Accepts 8-bit baseline sequential with 8-bit quant
-    * tables, single-component (grayscale) or 3-component (YCbCr) at
-    * 1x1 sampling — chroma blocks are entropy-consumed with their own
-    * Huffman tables and DC predictors, stats fold Y only. None for
-    * everything else (progressive, arithmetic, subsampled chroma,
-    * restart intervals) — reject, never mis-decode.
+    * LUMA channel (nBlocks counts the entropy stream's Y blocks,
+    * including spec-mandated edge padding blocks). Accepts 8-bit
+    * baseline sequential with 8-bit quant tables: single-component
+    * (grayscale) 1x1, 3-component (YCbCr) 1x1, or the dominant
+    * real-world 4:2:0 layout (Y 2x2, chroma 1x1) — chroma blocks are
+    * entropy-consumed with their own Huffman tables and DC predictors,
+    * stats fold Y only — and DRI restart intervals (byte-align at each
+    * RSTn, reset DC predictors). None for everything else (progressive,
+    * arithmetic, 2x1/4:1:1 sampling) — reject, never mis-decode.
     */
   def jpegDcStats(b: Array[Byte]): Option[(Long, Long, Long, Long, Long, Long)] =
     // A truncated/malformed segment must land in the valid=false row,
@@ -756,9 +774,11 @@ object Multimodal {
     var w = 0; var h = 0
     var nComp = 0
     val sofId = new Array[Int](3)
+    val compSamp = new Array[Int](3)
     val compTq = new Array[Int](3)
     val compTd = new Array[Int](3)
     val compTa = new Array[Int](3)
+    var restartInterval = 0
     var sosAt = -1
     while (sosAt < 0) {
       if (pos + 4 > b.length || (b(pos) & 0xff) != 0xff) return None
@@ -800,19 +820,27 @@ object Multimodal {
           var c = 0
           while (c < nComp) {
             sofId(c) = b(seg + 6 + 3 * c) & 0xff
-            // 1x1 sampling only: subsampled chroma (2x1/2x2 MCUs) is the
-            // next tier — reject, never mis-decode
-            if ((b(seg + 7 + 3 * c) & 0xff) != 0x11) return None
+            compSamp(c) = b(seg + 7 + 3 * c) & 0xff
             compTq(c) = b(seg + 8 + 3 * c) & 0xff
             if (compTq(c) > 3) return None
             c += 1
           }
+          // accepted sampling layouts: grayscale 1x1; color 1x1x3; color
+          // 2x2 luma with 1x1 chroma (the dominant camera/web layout).
+          // Anything else (2x1, 4:1:1, ...) rejects, never mis-decodes.
+          val ok =
+            (nComp == 1 && compSamp(0) == 0x11) ||
+            (nComp == 3 && compSamp(1) == 0x11 && compSamp(2) == 0x11 &&
+              (compSamp(0) == 0x11 || compSamp(0) == 0x22))
+          if (!ok) return None
         case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
             0xcb | 0xcd | 0xce | 0xcf =>
           return None // progressive/arithmetic/hierarchical frames
-        case _ => () // APPn / COM / DRI(unsupported restarts reject below)
+        case 0xdd => // DRI: restart interval in MCUs
+          if (len < 4) return None
+          restartInterval = be16(b, seg)
+        case _ => () // APPn / COM
       }
-      if (m == 0xdd) return None // restart intervals unsupported
       if (m == 0xda) {
         // SOS header: per-component entropy table bindings, in SOF order
         val ns = b(seg) & 0xff
@@ -837,58 +865,77 @@ object Multimodal {
         return None
       cc += 1
     }
-    // 1x1 sampling => one MCU per 8x8 block position, each MCU carrying
-    // one block per component in SOF order. Stats fold the LUMA channel;
-    // chroma blocks are fully entropy-consumed with their OWN Huffman
-    // tables and DC predictors (interleaving desyncs otherwise).
-    val nb = ((w + 7) / 8).toLong * ((h + 7) / 8).toLong
+    // MCU geometry: at 1x1 one block per component per MCU; at 2x2 luma
+    // each MCU carries FOUR Y blocks then one Cb and one Cr. Stats fold
+    // the LUMA channel (including the spec-mandated edge padding blocks
+    // the entropy stream contains); chroma blocks are fully
+    // entropy-consumed with their OWN Huffman tables and DC predictors
+    // (interleaving desyncs otherwise). Restart intervals byte-align at
+    // each RSTn and reset every DC predictor, per T.81 §F.2.1.3.1.
+    val hv = if (nComp == 3 && compSamp(0) == 0x22) 2 else 1
+    val mcusX = ((w + 8 * hv - 1) / (8 * hv)).toLong
+    val mcusY = ((h + 8 * hv - 1) / (8 * hv)).toLong
+    val nMcus = mcusX * mcusY
+    val nb = nMcus * hv * hv // luma blocks, edge pads included
     val br = new JpegBits(b, sosAt)
     val dcPred = new Array[Long](3)
     var sum = 0L
     var mn = Long.MaxValue
     var mx = Long.MinValue
-    var j = 0L
-    while (j < nb) {
+    var rstCount = 0
+    var m0 = 0L
+    while (m0 < nMcus) {
+      if (restartInterval > 0 && m0 > 0 && m0 % restartInterval == 0) {
+        if (!br.consumeRst(rstCount)) return None
+        rstCount += 1
+        java.util.Arrays.fill(dcPred, 0L)
+      }
       var ci = 0
       while (ci < nComp) {
-        val cat = huffs(0)(compTd(ci)).decode(br)
-        if (cat < 0 || cat > 11) return None
-        var diff = 0L
-        if (cat > 0) {
-          var bits = 0L; var i = 0
-          while (i < cat) {
-            val v = br.readBit(); if (v < 0) return None
-            bits = (bits << 1) | v; i += 1
+        val nBlk = if (ci == 0) hv * hv else 1
+        var blk = 0
+        while (blk < nBlk) {
+          val cat = huffs(0)(compTd(ci)).decode(br)
+          if (cat < 0 || cat > 11) return None
+          var diff = 0L
+          if (cat > 0) {
+            var bits = 0L; var i = 0
+            while (i < cat) {
+              val v = br.readBit(); if (v < 0) return None
+              bits = (bits << 1) | v; i += 1
+            }
+            // T.81 §F.2.2.1 EXTEND: low-range values are negatives
+            diff = if (bits < (1L << (cat - 1))) bits - (1L << cat) + 1
+              else bits
           }
-          // T.81 §F.2.2.1 EXTEND: low-range values are negatives
-          diff = if (bits < (1L << (cat - 1))) bits - (1L << cat) + 1 else bits
-        }
-        dcPred(ci) += diff
-        if (ci == 0) {
-          val dq = dcPred(0) * qY
-          sum += dq
-          mn = math.min(mn, dq)
-          mx = math.max(mx, dq)
-        }
-        var k = 1
-        var eob = false
-        val ac = huffs(1)(compTa(ci))
-        while (!eob && k <= 63) {
-          val sym = ac.decode(br); if (sym < 0) return None
-          if (sym == 0x00) eob = true // EOB
-          else if (sym == 0xf0) k += 16 // ZRL
-          else {
-            k += (sym >> 4) + 1
-            var i = 0
-            while (i < (sym & 0x0f)) {
-              if (br.readBit() < 0) return None
-              i += 1
+          dcPred(ci) += diff
+          if (ci == 0) {
+            val dq = dcPred(0) * qY
+            sum += dq
+            mn = math.min(mn, dq)
+            mx = math.max(mx, dq)
+          }
+          var k = 1
+          var eob = false
+          val ac = huffs(1)(compTa(ci))
+          while (!eob && k <= 63) {
+            val sym = ac.decode(br); if (sym < 0) return None
+            if (sym == 0x00) eob = true // EOB
+            else if (sym == 0xf0) k += 16 // ZRL
+            else {
+              k += (sym >> 4) + 1
+              var i = 0
+              while (i < (sym & 0x0f)) {
+                if (br.readBit() < 0) return None
+                i += 1
+              }
             }
           }
+          blk += 1
         }
         ci += 1
       }
-      j += 1
+      m0 += 1
     }
     Some((w.toLong, h.toLong, nb, sum, mn, mx))
   }
@@ -1076,6 +1123,111 @@ object Multimodal {
       while (nbits < 8) { cur = (cur << 1) | 1; nbits += 1 }
       flushByte()
     }
+    out.write(ent.toByteArray)
+    b(0xff, 0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** 4:2:0 (2x2-subsampled) baseline JPEG with optional RESTART
+    * intervals — the dominant real-world camera/web layout, as a
+    * closed-form fixture: each MCU carries FOUR Y blocks (global Y
+    * block index j in MCU raster order carries the [[jpegDcPatternBytes]]
+    * quantized-DC pattern d(j)) then one Cb and one Cr block bound to
+    * the chroma-only tables of [[jpegDcColorPatternBytes]] with zero DC
+    * motion (so decoded RGB == Y exactly). With `restartEvery > 0` a
+    * DRI segment is emitted and every `restartEvery` MCUs the entropy
+    * stream byte-aligns, emits RST0..7 cyclically, and resets all DC
+    * predictors — the closed form is restart-invariant because d(j) is
+    * absolute (each segment's first diff rebuilds it from the reset
+    * predictor).
+    */
+  def jpegDcSubPatternBytes(width: Int, height: Int,
+      restartEvery: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def b(xs: Int*): Unit = xs.foreach(x => out.write(x & 0xff))
+    b(0xff, 0xd8) // SOI
+    b(0xff, 0xe0, 0x00, 0x10) // APP0 JFIF
+    b('J', 'F', 'I', 'F', 0x00, 0x01, 0x01, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00)
+    b(0xff, 0xdb, 0x00, 0x43, 0x00) // DQT: 8-bit table 0, all 16s
+    (0 until 64).foreach(_ => b(0x10))
+    if (restartEvery > 0)
+      b(0xff, 0xdd, 0x00, 0x04, (restartEvery >> 8) & 0xff, restartEvery & 0xff)
+    b(0xff, 0xc0, 0x00, 0x11) // SOF0, 3 components, Y 2x2 / chroma 1x1
+    b(0x08, (height >> 8) & 0xff, height & 0xff, (width >> 8) & 0xff, width & 0xff)
+    b(0x03, 0x01, 0x22, 0x00, 0x02, 0x11, 0x00, 0x03, 0x11, 0x00)
+    b(0xff, 0xc4, 0x00, 0x19, 0x00) // DHT DC 0: len-3 codes, symbols 0-5
+    b(0x00, 0x00, 0x06); (0 until 13).foreach(_ => b(0x00))
+    (0 to 5).foreach(c => b(c))
+    b(0xff, 0xc4, 0x00, 0x19, 0x01) // DHT DC 1: len-3 codes, symbols 5-0
+    b(0x00, 0x00, 0x06); (0 until 13).foreach(_ => b(0x00))
+    (0 to 5).foreach(c => b(5 - c))
+    b(0xff, 0xc4, 0x00, 0x14, 0x10) // DHT AC 0: one len-1 code, EOB
+    b(0x01); (0 until 15).foreach(_ => b(0x00))
+    b(0x00)
+    b(0xff, 0xc4, 0x00, 0x14, 0x11) // DHT AC 1: one len-2 code, EOB
+    b(0x00, 0x01); (0 until 14).foreach(_ => b(0x00))
+    b(0x00)
+    b(0xff, 0xda, 0x00, 0x0c, 0x03, 0x01, 0x00, 0x02, 0x11, 0x03, 0x11,
+      0x00, 0x3f, 0x00) // SOS: Y -> (0,0); Cb, Cr -> (1,1)
+    val ent = new java.io.ByteArrayOutputStream()
+    var cur = 0; var nbits = 0
+    def flushByte(): Unit = {
+      ent.write(cur)
+      if (cur == 0xff) ent.write(0x00) // T.81 byte stuffing
+      cur = 0; nbits = 0
+    }
+    def putBits(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >> i) & 1L).toInt
+        nbits += 1
+        if (nbits == 8) flushByte()
+        i -= 1
+      }
+    }
+    def pad(): Unit =
+      if (nbits > 0) {
+        while (nbits < 8) { cur = (cur << 1) | 1; nbits += 1 }
+        flushByte()
+      }
+    def cat(diff: Int): Int =
+      if (diff == 0) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(math.abs(diff).toLong)
+    def putDiff(diff: Int, dcCode: Int => Long): Unit = {
+      val c = cat(diff)
+      putBits(dcCode(c), 3)
+      if (c > 0)
+        putBits(if (diff >= 0) diff.toLong else diff.toLong + (1L << c) - 1, c)
+    }
+    val mcusX = (width + 15) / 16
+    val mcusY = (height + 15) / 16
+    var prevY = 0
+    var prevCb = 0
+    var prevCr = 0
+    var rst = 0
+    var m = 0
+    while (m < mcusX * mcusY) {
+      if (restartEvery > 0 && m > 0 && m % restartEvery == 0) {
+        pad() // byte-align, then the raw (unstuffed) restart marker
+        ent.write(0xff); ent.write(0xd0 + (rst % 8))
+        rst += 1
+        prevY = 0; prevCb = 0; prevCr = 0
+      }
+      var sub = 0
+      while (sub < 4) { // four Y blocks per MCU
+        val dY = ((7 * (m * 4 + sub)) % 32) - 16
+        putDiff(dY - prevY, c => c.toLong)
+        prevY = dY
+        putBits(0L, 1) // Y AC EOB
+        sub += 1
+      }
+      putDiff(0 - prevCb, c => (5 - c).toLong); prevCb = 0
+      putBits(0L, 2) // Cb AC EOB
+      putDiff(0 - prevCr, c => (5 - c).toLong); prevCr = 0
+      putBits(0L, 2) // Cr AC EOB
+      m += 1
+    }
+    pad()
     out.write(ent.toByteArray)
     b(0xff, 0xd9) // EOI
     out.toByteArray

@@ -8515,6 +8515,75 @@ object CurationQueries {
            |    AS mean_level_e3
            |FROM sm ORDER BY file_id""".stripMargin))
 
+  /** 4:2:0 SUBSAMPLED JPEG DC statistics with RESTART intervals — the
+    * final tier of the r15 verdict's "what's missing" item 1: the
+    * dominant real-world camera/web layout (Y sampled 2x2, chroma 1x1,
+    * DRI restart markers). Each MCU interleaves FOUR Y blocks then
+    * Cb/Cr on their own tables; restart boundaries byte-align the
+    * entropy stream at RST0..7 and reset every DC predictor
+    * (T.81 §F.2.1.3.1). Fixtures mix restart intervals 0/1/2 MCUs —
+    * the closed-form Y oracle is restart-INVARIANT (the pattern is
+    * absolute, each segment's first diff rebuilds it from the reset
+    * predictor), so a decoder that misses a reset or misaligns at a
+    * marker hash-fails. nBlocks counts the entropy stream's Y blocks
+    * including the spec-mandated edge padding blocks.
+    *
+    * Scale: the parseAll narrow shape — one partition-mapped decode,
+    * no shuffle.
+    */
+  private val multimodalJpeg420 = Q(
+    (s, dir) => {
+      val base = scratchDir("jpeg420")
+      val p = java.nio.file.Paths.get(base)
+      T(s, dir, "nation").select(col("n_nationkey")).collect() // 25-row dim
+        .foreach { r =>
+          val k = r.getInt(0)
+          java.nio.file.Files.write(p.resolve(f"j_$k%02d.jpg"),
+            graft.operators.Multimodal.jpegDcSubPatternBytes(
+              16 + k, 10 + (k % 7), restartEvery = k % 3))
+        }
+      val scanned = s.read.format("binaryFile").load(base)
+        .select(regexp_extract(col("path"), "j_(\\d+)\\.", 1).cast("long")
+          .as("file_id"), col("content"))
+      val out = graft.operators.Multimodal.jpegDcAll(scanned).toDF()
+        .select(col("fileId").as("file_id"), col("width"), col("height"),
+          col("nBlocks").as("n_blocks"), col("sumDcq").as("sum_dcq"),
+          col("minDcq").as("min_dcq"), col("maxDcq").as("max_dcq"),
+          col("valid"))
+        .withColumn("mean_level_e3",
+          expr("((1024 * n_blocks + sum_dcq) * 1000) div (8 * n_blocks)"))
+        .orderBy(col("file_id"))
+        .localCheckpoint(true)
+      scratchDelete(base)
+      out
+    },
+    Some("""WITH g AS (
+           |  SELECT cast(n_nationkey as bigint) AS k,
+           |    cast(16 + n_nationkey as bigint) AS w,
+           |    cast(10 + (n_nationkey % 7) as bigint) AS h
+           |  FROM nation
+           |), nb AS (
+           |  SELECT k, w, h,
+           |    ((w + 15) // 16) * ((h + 15) // 16) * 4 AS n_blocks
+           |  FROM g
+           |), ds AS (
+           |  SELECT k, w, h, n_blocks,
+           |    unnest(generate_series(0, n_blocks - 1)) AS j
+           |  FROM nb
+           |), dd AS (
+           |  SELECT k, w, h, n_blocks, 16 * (((7 * j) % 32) - 16) AS dcq FROM ds
+           |), sm AS (
+           |  SELECT k, w, h, n_blocks, cast(sum(dcq) as bigint) AS sum_dcq,
+           |    cast(min(dcq) as bigint) AS min_dcq,
+           |    cast(max(dcq) as bigint) AS max_dcq
+           |  FROM dd GROUP BY k, w, h, n_blocks
+           |)
+           |SELECT k AS file_id, w AS width, h AS height, n_blocks,
+           |  sum_dcq, min_dcq, max_dcq, true AS valid,
+           |  ((1024 * n_blocks + sum_dcq) * 1000) // (8 * n_blocks)
+           |    AS mean_level_e3
+           |FROM sm ORDER BY file_id""".stripMargin))
+
   // ---------------------------------------------------------------------
   // Two-stage MaxSim (IVF shortlist -> late-interaction re-rank)
   // ---------------------------------------------------------------------
@@ -8914,9 +8983,10 @@ object CurationQueries {
     * globally-first site of the span's LEADING gram (min packed
     * (doc_id, pos), the deterministic keep-first owner).
     *
-    * Determinism: gram identity is sha256 of the joined tokens (the
-    * `ns_dedup_exact` collision-free-by-contract identity, bounding
-    * shuffle keys at 64 chars); first-site attribution is an exact
+    * Determinism: gram identity is md5 of the joined tokens (the
+    * `ns_dedup_rewrite` collision-free-by-contract identity — 32-char
+    * shuffle keys, half the sha256 bytes the r15 frame moved);
+    * first-site attribution is an exact
     * bigint min over `doc_id * 2^32 + pos` packed keys — exact for any
     * document under 2^32 tokens (book-length docs included; the r15
     * `1e6` packing could mis-attribute owners past 1M tokens/doc) and
@@ -8930,7 +9000,7 @@ object CurationQueries {
     * self-join, the containment/inverted-index shape; the island merge
     * windows only over each doc's DUPLICATED sites (doc-length
     * bounded). The L-token join strings never shuffle — only their
-    * 64-char hashes do.
+    * 32-char hashes do.
     */
   /** The shared duplicated-span frame — columns (doc_id, span_start,
     * span_end, span_tokens, n_grams, owner_fk, is_first); see
@@ -8944,8 +9014,13 @@ object CurationQueries {
       .where(size(col("w")) >= L)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(1, size(w) - ${L - 1}), " +
-          s"i -> sha2(array_join(slice(w, i, $L), ' '), 256))"))
+          s"i -> md5(array_join(slice(w, i, $L), ' ')))"))
         .as(Seq("pos0", "gk")))
+      // two consumers (stats + sites): materialize so the scan +
+      // tokenize + gram hash run ONCE — column pruning can specialize
+      // "identical" subtrees apart and defeat exchange reuse (the r15
+      // bm25 root-cause; r16 PhaseSplit showed this frame double-scanned)
+      .localCheckpoint(true)
     val stats = g.groupBy(col("gk"))
       .agg(count(lit(1)).as("c"),
         min(col("doc_id") * lit(4294967296L) + col("pos0")).as("fk"))
@@ -8982,7 +9057,7 @@ object CurationQueries {
        |  WHERE len(string_split(text, ' ')) >= $XS_L
        |), g AS (
        |  SELECT doc_id, i - 1 AS pos0,
-       |    sha256(array_to_string(w[i:i+${XS_L - 1}], ' ')) AS gk
+       |    md5(array_to_string(w[i:i+${XS_L - 1}], ' ')) AS gk
        |  FROM (SELECT doc_id, w,
        |          unnest(generate_series(1, len(w) - ${XS_L - 1})) AS i
        |        FROM wd)
@@ -9122,9 +9197,10 @@ object CurationQueries {
       val g = ids.where(size(col("ids")) >= L)
         .select(col("doc_id"), posexplode(expr(
           s"transform(sequence(1, size(ids) - ${L - 1}), i -> " +
-            s"sha2(array_join(transform(slice(ids, i, $L), " +
-            "x -> cast(x as string)), '-'), 256))"))
+            s"md5(array_join(transform(slice(ids, i, $L), " +
+            "x -> cast(x as string)), '-')))"))
           .as(Seq("pos0", "gk")))
+        .localCheckpoint(true) // stats + sites: one tokenize+hash pass
       val stats = g.groupBy(col("gk"))
         .agg(count(lit(1)).as("c"),
           min(col("doc_id") * lit(4294967296L) + col("pos0")).as("fk"))
@@ -9181,7 +9257,7 @@ object CurationQueries {
             |  GROUP BY doc_id
             |), g AS (
             |  SELECT doc_id, i - 1 AS pos0,
-            |    sha256(array_to_string(list_transform(
+            |    md5(array_to_string(list_transform(
             |      list_slice(ids, i, i + 19), x -> cast(x AS varchar)), '-'))
             |      AS gk
             |  FROM (SELECT doc_id, ids,
@@ -9609,10 +9685,14 @@ object CurationQueries {
             |  if(size(w) < l, array(),
             |    transform(sequence(1, size(w) - l + 1),
             |      i -> struct(cast(l as bigint) AS l, cast(i - 1 as bigint) AS pos0,
-            |                  sha2(array_join(slice(w, i, l), ' '), 256) AS gk)))))"""
+            |                  md5(array_join(slice(w, i, l), ' ')) AS gk)))))"""
             .stripMargin)).as("e"))
         .select(col("doc_id"), col("e.l").as("l"), col("e.pos0").as("pos0"),
           col("e.gk").as("gk"))
+        // stats + sites both consume this 3-tier gram stream: one
+        // tokenize+hash pass, materialized (the bm25/exchange-reuse fix;
+        // the r16 10x PhaseSplit showed it double-scanned otherwise)
+        .localCheckpoint(true)
       val stats = g.groupBy(col("l"), col("gk"))
         .agg(count(lit(1)).as("c"),
           min(col("doc_id") * lit(4294967296L) + col("pos0")).as("fk"))
@@ -9650,7 +9730,7 @@ object CurationQueries {
            |  SELECT doc_id, l, unnest(list_transform(
            |    generate_series(1, len(w) - l + 1),
            |    i -> {'pos0': i - 1,
-           |          'gk': sha256(array_to_string(list_slice(w, i, i + l - 1), ' '))}))
+           |          'gk': md5(array_to_string(list_slice(w, i, i + l - 1), ' '))}))
            |    AS e
            |  FROM wd, ls WHERE len(w) >= l
            |), g AS (
@@ -11298,6 +11378,7 @@ object CurationQueries {
     "ns_dedup_exact_substr" -> dedupExactSubstr,
     "ns_multimodal_jpeg_dc" -> multimodalJpegDc,
     "ns_multimodal_jpeg_color" -> multimodalJpegColor,
+    "ns_multimodal_jpeg_420" -> multimodalJpeg420,
     "ns_quality_rank_normalize" -> qualityRankNormalize,
     "ns_sample_histogram_match" -> sampleHistogramMatch,
     "ns_profile_distinct_ngrams" -> profileDistinctNgrams,

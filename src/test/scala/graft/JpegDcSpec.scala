@@ -92,6 +92,43 @@ class JpegDcSpec extends AnyFunSuite {
     }
   }
 
+  test("4:2:0 subsampled luma DC decode matches the closed form, " +
+      "restart-invariant") {
+    for ((w, h) <- Seq((16, 16), (40, 26), (17, 23), (48, 32));
+         rst <- Seq(0, 1, 3)) {
+      val bytes = Multimodal.jpegDcSubPatternBytes(w, h, rst)
+      val nb = ((w + 15) / 16) * ((h + 15) / 16) * 4
+      val want = pattern(nb).map(_ * 16L)
+      val got = Multimodal.jpegDcStats(bytes)
+      // the pattern is absolute, so the stats must be IDENTICAL across
+      // restart intervals — a missed predictor reset or marker
+      // misalignment shows up immediately
+      assert(got.contains((w.toLong, h.toLong, nb.toLong,
+        want.sum, want.min, want.max)), s"($w x $h, rst=$rst): $got")
+    }
+  }
+
+  test("4:2:0 DC decode agrees with the JDK's full decode (with restarts)") {
+    // chroma DC 0 => Cb=Cr=128 at any upsampling, so RGB == Y exactly;
+    // dims multiples of 16 so no cropped padding blocks complicate the
+    // pixel map: block j = (y/16 * mcusX + x/16) * 4 + (y%16)/8*2 + (x%16)/8
+    val (w, h) = (48, 32)
+    val bytes = Multimodal.jpegDcSubPatternBytes(w, h, restartEvery = 2)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "JDK could not decode the generated 4:2:0 JPEG")
+    assert(img.getWidth == w && img.getHeight == h)
+    val mcusX = w / 16
+    val nb = mcusX * (h / 16) * 4
+    val d = pattern(nb)
+    for (y <- 0 until h; x <- 0 until w) {
+      val j = ((y / 16) * mcusX + (x / 16)) * 4 + ((y % 16) / 8) * 2 + (x % 16) / 8
+      val expect = 128 + 2 * d(j)
+      val got = (img.getRGB(x, y) >> 8) & 0xff // green channel
+      assert(got == expect,
+        s"pixel ($x,$y) in Y block $j: JDK=$got, DC-derived=$expect")
+    }
+  }
+
   test("non-baseline and malformed streams are rejected, never mis-decoded") {
     val good = Multimodal.jpegDcPatternBytes(16, 16)
     assert(Multimodal.jpegDcStats("not a jpeg".getBytes).isEmpty)
@@ -114,12 +151,17 @@ class JpegDcSpec extends AnyFunSuite {
     val shortLen = good.clone()
     shortLen(dhtAt + 3) = 0x05.toByte // DHT shorter than its own counts
     assert(Multimodal.jpegDcStats(shortLen).isEmpty)
-    // 2x2-subsampled chroma (the unimplemented tier): reject
+    // unsupported sampling layouts (2x1, 4:1:1) still reject
     val color = Multimodal.jpegDcColorPatternBytes(16, 16, chromaMotion = false)
     val sub = color.clone()
     val csofAt = sub.indices.find(i =>
       (sub(i) & 0xff) == 0xff && (sub(i + 1) & 0xff) == 0xc0).get
-    sub(csofAt + 11) = 0x22.toByte // Y sampling 2x2
+    sub(csofAt + 11) = 0x21.toByte // Y sampling 2x1
     assert(Multimodal.jpegDcStats(sub).isEmpty)
+    val sub2 = Multimodal.jpegDcSubPatternBytes(32, 32, 0)
+    val ssofAt = sub2.indices.find(i =>
+      (sub2(i) & 0xff) == 0xff && (sub2(i + 1) & 0xff) == 0xc0).get
+    sub2(ssofAt + 11) = 0x42.toByte // Y sampling 4x2 (4:1:1-ish)
+    assert(Multimodal.jpegDcStats(sub2).isEmpty)
   }
 }
