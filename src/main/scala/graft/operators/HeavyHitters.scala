@@ -34,8 +34,19 @@ object HeavyHitters {
     * LOWER bounds on the partition-local frequency (undercount at most
     * `n_p / (k + 1)`).
     */
-  def mgPartition(k: Int)(it: Iterator[String]): Iterator[(String, Long)] = {
-    val m = mutable.HashMap.empty[String, Long]
+  def mgPartition(k: Int)(it: Iterator[String]): Iterator[(String, Long)] =
+    mgFold(k, Map.empty, it).iterator
+
+  /** The MG step as a RESUMABLE fold: seed with carried counters, fold
+    * the new segment, return the updated summary. Seeding with a prior
+    * segment's counters makes the combined run EQUAL to one continuous
+    * MG pass over the concatenation, so a streaming monitor that carries
+    * the map in state keeps the classic guarantee over the whole stream
+    * regardless of how micro-batches cut it.
+    */
+  def mgFold(k: Int, init: Map[String, Long],
+      it: Iterator[String]): Map[String, Long] = {
+    val m = mutable.HashMap.empty[String, Long] ++= init
     while (it.hasNext) {
       val t = it.next()
       m.get(t) match {
@@ -51,6 +62,6 @@ object HeavyHitters {
           dead.foreach(m.remove)
       }
     }
-    m.iterator
+    m.toMap
   }
 }

@@ -862,6 +862,127 @@ object CurationQueries {
             |FROM ranked WHERE exact_rnk <= 5 OR sq8_rnk <= 5
             |GROUP BY q_id ORDER BY q_id""".stripMargin))
 
+  /** SCALAR-QUANTIZATION LADDER — [[simSq8Recall]] extended down the
+    * compression axis in one query: recall@5 of int8 (256 levels), int4
+    * (16) and int2 (4) scalar quantization against exact search, the
+    * memory/recall trade read (4x/8x/16x smaller than float32) that
+    * decides which tier an index can afford. One calibration, one
+    * quantize pass producing all three grids, one exact top-5; each
+    * tier's ranking reuses the same machinery, so adding a tier costs
+    * one column, not one corpus pass.
+    *
+    * Determinism: the [[simSq8Recall]] contract per tier — IEEE
+    * quantize expressions written identically in both engines, integer
+    * `sq_l2` distances, (d, c_id) total orders.
+    *
+    * Scale: the quantize pass is map-only against the broadcast
+    * calibration row; each tier's top-5 is a broadcast-query corpus
+    * pass with the rank filter directly above its window
+    * (WindowGroupLimit prunes map-side); the roll-up is 3 rows.
+    */
+  private val simSqLadder = Q(
+    (s, dir) => {
+      graft.expressions.SquaredL2.registerIn(s)
+      val e = NorthStarQueries.kmeansQuantized(s, dir)
+        .join(TS(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+          Seq("vec_id"))
+      val cal = TS(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("d0", "x")))
+        .groupBy(col("d0"))
+        .agg(min(col("x").cast("double")).as("mn"),
+          max(col("x").cast("double")).as("mx"))
+        .agg(expr("transform(array_sort(collect_list(struct(d0, mn, mx))), " +
+          "t -> struct(t.mn AS mn, t.mx AS mx))").as("cal"))
+      def qExpr(levels: Int): String =
+        "transform(sequence(1, size(embedding)), i -> " +
+          "CASE WHEN element_at(cal, i).mx = element_at(cal, i).mn THEN cast(0 as bigint) " +
+          s"ELSE cast(greatest(0.0, least($levels.0, floor(" +
+          s"((cast(element_at(embedding, i) as double) - element_at(cal, i).mn) * $levels.0) " +
+          "/ (element_at(cal, i).mx - element_at(cal, i).mn)))) as bigint) END)"
+      val vv = e.crossJoin(broadcast(cal))
+        .select(col("vec_id"), col("xq"), expr(qExpr(255)).as("q8"),
+          expr(qExpr(15)).as("q4"), expr(qExpr(3)).as("q2"))
+        .localCheckpoint(true)
+      val queries = vv.where(col("vec_id") < 16)
+      def top5(metric: String) = {
+        val w = Window.partitionBy(col("q_id")).orderBy(col("d"), col("c_id"))
+        vv.select(col("vec_id").as("c_id"), col(metric))
+          .join(broadcast(queries.select(col("vec_id").as("q_id"),
+            col(metric).as("qv"))), col("q_id") =!= col("c_id"))
+          .withColumn("d", expr(s"sq_l2(qv, $metric)"))
+          .withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 5)
+          .select(col("q_id"), col("c_id"))
+      }
+      val exact = top5("xq").localCheckpoint(true)
+      val tiers = Seq(8 -> "q8", 4 -> "q4", 2 -> "q2").map { case (bits, m) =>
+        exact.join(top5(m), Seq("q_id", "c_id"))
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(bits.toLong).as("bits"), col("hits"))
+      }
+      tiers.reduce(_ unionAll _)
+        .select(col("bits"), col("hits"),
+          expr("hits * 1000000 div 80").as("recall5_e6"))
+        .orderBy(col("bits").desc)
+    },
+    Some(s"""WITH v AS (
+            |  SELECT vec_id, embedding,
+            |    list_transform(embedding, x -> cast(floor(x::double * 16384) as bigint)) AS xq
+            |  FROM embeddings
+            |), calrows AS (
+            |  SELECT dim, min(x::double) AS mn, max(x::double) AS mx FROM (
+            |    SELECT unnest(generate_series(1, len(embedding))) AS dim,
+            |           unnest(embedding) AS x
+            |    FROM embeddings) GROUP BY dim
+            |), cal AS (
+            |  SELECT list(struct_pack(mn := mn, mx := mx) ORDER BY dim) AS cal FROM calrows
+            |), vv AS (
+            |  SELECT vec_id, xq,
+            |    list_transform(generate_series(1, len(embedding)), i ->
+            |      CASE WHEN cal[i].mx = cal[i].mn THEN cast(0 as bigint)
+            |      ELSE cast(greatest(0.0, least(255.0, floor(
+            |        ((embedding[i]::double - cal[i].mn) * 255.0) / (cal[i].mx - cal[i].mn))))
+            |        as bigint) END) AS q8,
+            |    list_transform(generate_series(1, len(embedding)), i ->
+            |      CASE WHEN cal[i].mx = cal[i].mn THEN cast(0 as bigint)
+            |      ELSE cast(greatest(0.0, least(15.0, floor(
+            |        ((embedding[i]::double - cal[i].mn) * 15.0) / (cal[i].mx - cal[i].mn))))
+            |        as bigint) END) AS q4,
+            |    list_transform(generate_series(1, len(embedding)), i ->
+            |      CASE WHEN cal[i].mx = cal[i].mn THEN cast(0 as bigint)
+            |      ELSE cast(greatest(0.0, least(3.0, floor(
+            |        ((embedding[i]::double - cal[i].mn) * 3.0) / (cal[i].mx - cal[i].mn))))
+            |        as bigint) END) AS q2
+            |  FROM v, cal
+            |), pairs AS (
+            |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+            |    list_sum(list_transform(generate_series(1, len(q.xq)),
+            |      i -> (q.xq[i] - c.xq[i]) * (q.xq[i] - c.xq[i]))) AS d_exact,
+            |    list_sum(list_transform(generate_series(1, len(q.q8)),
+            |      i -> (q.q8[i] - c.q8[i]) * (q.q8[i] - c.q8[i]))) AS d8,
+            |    list_sum(list_transform(generate_series(1, len(q.q4)),
+            |      i -> (q.q4[i] - c.q4[i]) * (q.q4[i] - c.q4[i]))) AS d4,
+            |    list_sum(list_transform(generate_series(1, len(q.q2)),
+            |      i -> (q.q2[i] - c.q2[i]) * (q.q2[i] - c.q2[i]))) AS d2
+            |  FROM vv q JOIN vv c ON q.vec_id < 16 AND q.vec_id <> c.vec_id
+            |), ranked AS (
+            |  SELECT q_id, c_id,
+            |    row_number() OVER (PARTITION BY q_id ORDER BY d_exact, c_id) AS re,
+            |    row_number() OVER (PARTITION BY q_id ORDER BY d8, c_id) AS r8,
+            |    row_number() OVER (PARTITION BY q_id ORDER BY d4, c_id) AS r4,
+            |    row_number() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS r2
+            |  FROM pairs
+            |), h AS (
+            |  SELECT 8 AS bits, cast(sum(CASE WHEN re <= 5 AND r8 <= 5 THEN 1 ELSE 0 END) as bigint) AS hits FROM ranked
+            |  UNION ALL
+            |  SELECT 4, cast(sum(CASE WHEN re <= 5 AND r4 <= 5 THEN 1 ELSE 0 END) as bigint) FROM ranked
+            |  UNION ALL
+            |  SELECT 2, cast(sum(CASE WHEN re <= 5 AND r2 <= 5 THEN 1 ELSE 0 END) as bigint) FROM ranked
+            |)
+            |SELECT cast(bits as bigint) AS bits, hits,
+            |  (hits * 1000000) // 80 AS recall5_e6
+            |FROM h ORDER BY bits DESC""".stripMargin))
+
   // ---------------------------------------------------------------------
   // IVF + PQ combined search (the FAISS IVFPQ architecture)
   // ---------------------------------------------------------------------
@@ -5049,6 +5170,87 @@ object CurationQueries {
            |ORDER BY b.source, b.lang""".stripMargin))
 
   // ---------------------------------------------------------------------
+  // Group-relative advantages (GRPO prep)
+  // ---------------------------------------------------------------------
+
+  /** GROUP-RELATIVE ADVANTAGES — the GRPO data-prep companion to
+    * [[corpusPrefPairs]]' DPO pairs: responses grouped per prompt (the
+    * (source, lang) grouping idiom, rewards = the same quality score),
+    * each response's advantage is its reward standardized WITHIN the
+    * group, `(r − mean) / std` — the group-relative signal GRPO trains
+    * on instead of a learned value baseline. Degenerate groups
+    * (singletons, or zero reward variance — nothing to learn from)
+    * are dropped, which is exactly the filtering step the method
+    * prescribes.
+    *
+    * Determinism: rewards are exact e3 integers; the centered value
+    * `c = r·n − Σr` and the group's `Σc²` are exact bigints (e3 scale
+    * keeps Σc² under 2^53 at any group size the fixture reaches), and
+    * the advantage is ONE identically-written float expression
+    * `floor(c·1e6·sqrt(n)/sqrt(Σc²))` in both engines (IEEE sqrt/mul/
+    * div on identical doubles — the proven round-once pattern).
+    *
+    * Scale: one map-side score pass, one group aggregate (mean/Σc²
+    * via sum/count — partial-aggregable), one group-keyed join back;
+    * no windows at all.
+    */
+  private val corpusGrpoGroups = Q(
+    (s, dir) => {
+      val scored = TS(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("score", round(
+          size(array_distinct(col("toks"))).cast("double") /
+            size(col("toks")).cast("double") * 0.5 +
+            least(size(col("toks")).cast("double") / 100, lit(1.0)) * 0.5, 6))
+        .select(col("source"), col("lang"), col("doc_id"),
+          expr("cast(round(score * 1000, 0) as bigint)").as("reward_e3"))
+      val g = scored.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("reward_e3")).as("sr"))
+      val centered = scored.join(g, Seq("source", "lang"))
+        .withColumn("c", col("reward_e3") * col("n") - col("sr"))
+      val sc2 = centered.groupBy(col("source"), col("lang"))
+        .agg(sum(col("c") * col("c")).as("sc2"))
+      centered.join(sc2, Seq("source", "lang"))
+        .where(col("n") >= 2 && col("sc2") > 0)
+        .select(col("source"), col("lang"), col("doc_id"),
+          col("reward_e3"), col("n").as("n_group"),
+          expr("cast(floor(cast(c as double) * 1000000.0 " +
+            "* sqrt(cast(n as double)) / sqrt(cast(sc2 as double))) as bigint)")
+            .as("adv_e6"))
+        .orderBy(col("source"), col("lang"), col("doc_id"))
+    },
+    Some("""WITH f AS (
+           |  SELECT source, lang, doc_id, string_split(text, ' ') AS toks
+           |  FROM documents
+           |), sc AS (
+           |  SELECT source, lang, doc_id,
+           |    cast(round(round(
+           |      cast(len(list_distinct(toks)) as double) / len(toks) * 0.5
+           |        + least(cast(len(toks) as double) / 100, 1.0) * 0.5, 6)
+           |      * 1000, 0) as bigint) AS reward_e3
+           |  FROM f
+           |), g AS (
+           |  SELECT source, lang, cast(count(*) as bigint) AS n,
+           |    cast(sum(reward_e3) as bigint) AS sr
+           |  FROM sc GROUP BY source, lang
+           |), cent AS (
+           |  SELECT sc.source, sc.lang, sc.doc_id, sc.reward_e3, g.n,
+           |    sc.reward_e3 * g.n - g.sr AS c
+           |  FROM sc JOIN g USING (source, lang)
+           |), s2 AS (
+           |  SELECT source, lang, cast(sum(c * c) as bigint) AS sc2
+           |  FROM cent GROUP BY source, lang
+           |)
+           |SELECT ct.source, ct.lang, ct.doc_id, ct.reward_e3,
+           |  ct.n AS n_group,
+           |  cast(floor(cast(ct.c as double) * 1000000.0
+           |    * sqrt(cast(ct.n as double)) / sqrt(cast(s2.sc2 as double)))
+           |    as bigint) AS adv_e6
+           |FROM cent ct JOIN s2 USING (source, lang)
+           |WHERE ct.n >= 2 AND s2.sc2 > 0
+           |ORDER BY ct.source, ct.lang, ct.doc_id""".stripMargin))
+
+  // ---------------------------------------------------------------------
   // Referential-integrity audit (documents <-> embeddings)
   // ---------------------------------------------------------------------
 
@@ -5172,6 +5374,69 @@ object CurationQueries {
            |  cast((c.n * 1000000) // t.n_total as bigint) AS freq_e6
            |FROM c, t WHERE c.n * 33 > t.n_total
            |ORDER BY c.n DESC, c.tok""".stripMargin))
+
+  /** STREAMING heavy-hitter census — the batch [[sketchHeavyHitters]]
+    * as a live monitor (see
+    * [[graft.streaming.DocumentStreams.heavyHittersMonitor]]): the
+    * corpus streams in two micro-batch files, per-shard Misra-Gries
+    * counter maps carry across batches in flatMapGroupsWithState, and
+    * the final emissions' candidate union is exactly recounted
+    * batch-side under the same threshold. The superset guarantee makes
+    * the thresholded answer split- AND order-invariant by
+    * construction, so the oracle is the batch query's SQL verbatim —
+    * no ingestion-order contract needed at all (unlike the CUSUM
+    * monitor, whose statistic is order-dependent).
+    *
+    * Scale: term traffic shards by hash (8 ways here — no single
+    * reducer), state is <= k counters per shard forever, emissions are
+    * <= k rows per shard per batch; the exact recount is the batch
+    * op's candidate-semi-join pass.
+    */
+  private val sketchHhStream = Q(
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val K = 32
+      val base = scratchDir("hhstream")
+      val inDir = s"$base/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+      val docs = TS(s, dir, "documents")
+      Seq(0, 1).foreach { p =>
+        val part = s"$base/part$p"
+        docs.where(pmod(col("doc_id"), lit(2)) === p)
+          .coalesce(1).write.mode("overwrite").parquet(part)
+        val f = new java.io.File(part).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = java.nio.file.Paths.get(s"$inDir/batch$p.parquet")
+        java.nio.file.Files.move(f.toPath, dst)
+        dst.toFile.setLastModified(1700000000000L + p * 60000L)
+      }
+      val stream = s.readStream.schema(graft.Tables.schemas("documents"))
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      val q = graft.streaming.DocumentStreams.heavyHittersMonitor(stream, K)
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/cp")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val emitted = s.read.parquet(s"$base/out").localCheckpoint(true)
+      scratchDelete(base)
+      val lastSeq = emitted.groupBy(col("shard")).agg(max(col("seq")).as("mseq"))
+      val cand = emitted.join(lastSeq, Seq("shard"))
+        .where(col("seq") === col("mseq"))
+        .select(col("tok")).distinct() // <= shards x k candidate terms
+      val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+      val total = docs
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_total"))
+      toks.join(broadcast(cand), Seq("tok"), "left_semi")
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(total))
+        .where(col("n") * (K + 1) > col("n_total"))
+        .select(col("tok"), col("n"), col("n_total"),
+          expr("(n * 1000000) div n_total").as("freq_e6"))
+        .orderBy(col("n").desc, col("tok"))
+    },
+    sketchHeavyHitters.oracle)
 
   // ---------------------------------------------------------------------
   // k-anonymity audit over quasi-identifier metadata
@@ -11404,6 +11669,8 @@ object CurationQueries {
     "ns_text_entropy_rate" -> textEntropyRate,
     "ns_text_trigram_match" -> textTrigramMatch,
     "ns_dedup_exact_substr_bpe" -> dedupExactSubstrBpe,
+    "ns_corpus_grpo_groups" -> corpusGrpoGroups,
+    "ns_sim_sq_ladder" -> simSqLadder,
     "ts_ab_lift" -> tsAbLift,
     "src_csv_malformed" -> srcCsvMalformed,
     "ns_multimodal_audio_stats" -> multimodalAudioStats,
@@ -11433,6 +11700,7 @@ object CurationQueries {
     "ns_corpus_pref_pairs" -> corpusPrefPairs,
     "ns_pipeline_integrity" -> pipelineIntegrity,
     "ns_sketch_heavy_hitters" -> sketchHeavyHitters,
+    "ns_sketch_hh_stream" -> sketchHhStream,
     "ns_profile_kanon" -> profileKanon,
     "ns_text_fertility" -> textFertility,
     "ns_embed_knn_triangles" -> embedKnnTriangles,

@@ -86,6 +86,53 @@ object DocumentStreams {
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
 
+  /** One heavy-hitter monitor shard's state: the carried Misra-Gries
+    * counter map (<= k entries) and the emission sequence number.
+    */
+  final case class HhState(seq: Long, counts: Map[String, Long])
+
+  final case class HhOut(shard: Long, seq: Long, tok: String, c: Long)
+
+  /** STREAMING Misra-Gries heavy-hitter monitor — the live twin of the
+    * batch `ns_sketch_heavy_hitters` two-pass plan: term traffic is
+    * SHARDED by term hash (so no single reducer sees the stream — the
+    * same reason the batch pass sketches per partition), and each
+    * shard's MG counter map (<= k entries) carries across micro-batches
+    * in flatMapGroupsWithState via the resumable
+    * [[graft.operators.HeavyHitters.mgFold]], making the whole run ONE
+    * continuous MG pass per shard no matter how files cut the stream.
+    * Each invocation emits the shard's current summary tagged with a
+    * sequence number; the consumer keeps the last emission per shard,
+    * unions the candidate sets, and EXACTLY recounts candidates
+    * batch-side — the superset guarantee (an item heavier than
+    * n/(k+1) globally is heavier than its shard's n_s/(k+1)) makes the
+    * final thresholded answer split-invariant and order-invariant BY
+    * CONSTRUCTION, which is why the gate oracle can be the batch
+    * query's exact SQL. The carry is what keeps per-shard state and
+    * emission size at k counters regardless of how many batches run.
+    */
+  def heavyHittersMonitor(docs: DataFrame, k: Int = 32,
+      shards: Int = 8): org.apache.spark.sql.Dataset[HhOut] = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    docs.select(explode(split(col("text"), " ")).as("tok"))
+      .select(pmod(hash(col("tok")), lit(shards)).cast("long").as("shard"),
+        col("tok"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[HhState, HhOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (shard, rows, state) =>
+          val st = state.getOption.getOrElse(HhState(0L, Map.empty))
+          val m = graft.operators.HeavyHitters.mgFold(
+            k, st.counts, rows.map(_._2))
+          val next = HhState(st.seq + 1, m)
+          state.update(next)
+          m.iterator.map { case (t, c) => HhOut(shard, next.seq, t, c) }
+      }
+  }
+
   /** Snapshot-delta classification INCLUDING `removed` — the two-stream
     * union formulation: the previous snapshot and the new crawl both
     * arrive as streams tagged `side` ('old' / 'new'), each record
