@@ -348,7 +348,26 @@ object ScaleProbe {
       // r15: unk rate = term counts collapsed to the count-of-counts
       // frame; replication multiplies counts (shifting levels), not
       // types — the level frame stays heavy-tail bounded
-      "ns_text_unk_rate")
+      "ns_text_unk_rate",
+      // r16: trigram match = distinct-title index (replication collapses
+      // — clone titles dedup into one signature, the claim under test)
+      // + a probe-bounded prefix join; wall should stay near-flat
+      "ns_text_trigram_match",
+      // r16: BPE-id spans = the two-level tokenize (vocab flat under
+      // replication — the bpe_apply claim) + the id-gram frame at the
+      // exact-substr worst case (every id-gram duplicated by clones)
+      "ns_dedup_exact_substr_bpe",
+      // r16: grpo = one score pass + two group aggs + a group-keyed
+      // join; clones multiply group sizes, not groups — ~linear floor
+      "ns_corpus_grpo_groups",
+      // r16: streaming heavy hitters = two real micro-batches over the
+      // multiplied corpus; per-shard MG state is k counters regardless
+      // of volume, so wall should track token volume + fixed sink cost
+      "ns_sketch_hh_stream",
+      // r16: split JS = one token pass into (split, term) counts;
+      // replication multiplies counts, not vocabulary — the pair joins
+      // and entropy folds run over the flat term table
+      "ns_corpus_split_js")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected
@@ -516,7 +535,19 @@ object ScaleProbe {
       // cell-keyed shortlist join; replication multiplies per-cell
       // membership, so shortlist growth is the stress axis (the
       // maxsim_ivf class with an 8x denser index)
-      "ns_sim_maxsim_plaid")
+      "ns_sim_maxsim_plaid",
+      // r16: the plaid curve runs the plaid shape at FOUR operating
+      // points off one dot pass; replication multiplies cell membership
+      // at every config — expected ~4x the single-point growth
+      "ns_sim_plaid_curve",
+      // r16: the SQ ladder = sq8_recall with two extra quantized grids
+      // off the same calibration/quantize pass — expected to track
+      // sq8_recall's growth (the top-5 passes dominate)
+      "ns_sim_sq_ladder",
+      // r16: streaming IVF ingest = the append build through the file
+      // sink (two micro-batches) + the partition-pruned serve; wall
+      // should track ns_sim_ivf_append's (write volume dominates)
+      "ns_sim_ivf_append_stream")
     // probes over the embeddings fixture that do NOT resolve through the
     // query catalog (custom parameterization below)
     val customVecProbes = Seq("ns_dedup_semantic_kprop")
@@ -591,6 +622,9 @@ object ScaleProbe {
       timeVec("ns_sim_recall_curve")
       timeVec("ns_sim_maxsim_ivf")
       timeVec("ns_sim_maxsim_plaid")
+      timeVec("ns_sim_plaid_curve")
+      timeVec("ns_sim_sq_ladder")
+      timeVec("ns_sim_ivf_append_stream")
       // kcenter: 8 rounds, each one broadcast join vs <=8 centers + a
       // global top-1 — k corpus passes, map-bounded
       timeVec("ns_embed_kcenter_init")

@@ -98,6 +98,128 @@ object CurationQueries {
     * [[NorthStarQueries.sampleHash]]); the only shuffle is the tiny
     * (split, lang) rollup.
     */
+  /** SPLIT DISTRIBUTION PARITY — the companion audit to
+    * [[corpusSplitLeakage]] on the DISTRIBUTION axis: Jensen-Shannon
+    * divergence between the unigram token distributions of each split
+    * pair (train/val, train/test, val/test) from the SAME deterministic
+    * hash split as `ns_corpus_split`. Leakage-free splits can still be
+    * skewed (a val set whose vocabulary mix drifts from train measures
+    * the wrong thing); near-zero JS across pairs is the parity
+    * certificate, and a drifted pair names itself.
+    *
+    * Determinism: the declared estimator is integer-folded exactly like
+    * the entropy family — per-term Σ floor(c·ln c·1e3) for each split
+    * and Σ floor(u·ln u) for the common-denominator mixture counts
+    * u = c_a·N_b + c_b·N_a (so the mixture needs no rational
+    * arithmetic: m_t = u_t / (2·N_a·N_b)); the final
+    * JS = H(m) − (H(a)+H(b))/2 is ONE identically-written float
+    * expression over those exact bigints, rounded once to e6. Both
+    * engines fold the same integers, so the gate matches bitwise.
+    *
+    * Scale: one token pass into a (split, term)-keyed count
+    * (partial-aggregable, vocabulary-bounded output); the pair frames
+    * are term-keyed full-outer joins of two vocabulary-sized sides;
+    * totals are 3 rows. Replication multiplies counts, not vocabulary.
+    */
+  private val corpusSplitJs = Q(
+    (s, dir) => {
+      val cnt = T(s, dir, "documents")
+        .withColumn("h", expr(
+          "cast(conv(substring(md5(concat('sp:', cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 100"))
+        .withColumn("split",
+          when(col("h") < 90, "train").when(col("h") < 95, "val")
+            .otherwise("test"))
+        .select(col("split"), explode(split(col("text"), " ")).as("tok"))
+        .where(length(col("tok")) > 0)
+        .groupBy(col("split"), col("tok")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // consumers: 3 totals + 3 pair joins
+      val tot = cnt.groupBy(col("split"))
+        .agg(sum(col("c")).as("n"),
+          sum(expr("cast(floor(cast(c as double) * ln(cast(c as double)) " +
+            "* 1000.0) as bigint)")).as("sh"))
+      val pairs = Seq(("train", "val"), ("train", "test"), ("val", "test"))
+        .map { case (a, b) =>
+          val ca = cnt.where(col("split") === a)
+            .select(col("tok"), col("c").as("ca"))
+          val cb = cnt.where(col("split") === b)
+            .select(col("tok"), col("c").as("cb"))
+          val ta = tot.where(col("split") === a)
+            .select(col("n").as("na"), col("sh").as("sha"))
+          val tb = tot.where(col("split") === b)
+            .select(col("n").as("nb"), col("sh").as("shb"))
+          ca.join(cb, Seq("tok"), "full_outer")
+            .na.fill(0L, Seq("ca", "cb"))
+            .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+            .withColumn("u", col("ca") * col("nb") + col("cb") * col("na"))
+            .agg(
+              first(col("na")).as("na"), first(col("nb")).as("nb"),
+              first(col("sha")).as("sha"), first(col("shb")).as("shb"),
+              count(lit(1)).as("n_terms"),
+              sum(expr("cast(floor(cast(u as double) * ln(cast(u as double))) as bigint)"))
+                .as("su"))
+            .select(lit(a).as("split_a"), lit(b).as("split_b"),
+              col("na"), col("nb"), col("n_terms"),
+              expr("cast(floor(((ln(2.0 * na * nb) " +
+                "- cast(su as double) / (2.0 * na * nb)) " +
+                "- 0.5 * (ln(cast(na as double)) - cast(sha as double) / 1000.0 / na) " +
+                "- 0.5 * (ln(cast(nb as double)) - cast(shb as double) / 1000.0 / nb)) " +
+                "* 1000000.0) as bigint)").as("js_e6"))
+        }
+      pairs.reduce(_ unionAll _).orderBy(col("split_a"), col("split_b"))
+    },
+    Some("""WITH h AS (
+           |  SELECT doc_id, text,
+           |    cast('0x' || substr(md5('sp:' || cast(doc_id as varchar)), 1, 8)
+           |      as bigint) % 100 AS h
+           |  FROM documents
+           |), tk AS (
+           |  SELECT CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val'
+           |    ELSE 'test' END AS split,
+           |    unnest(string_split(text, ' ')) AS tok
+           |  FROM h
+           |), cnt AS (
+           |  SELECT split, tok, cast(count(*) as bigint) AS c
+           |  FROM tk WHERE len(tok) > 0 GROUP BY split, tok
+           |), tot AS (
+           |  SELECT split, cast(sum(c) as bigint) AS n,
+           |    cast(sum(cast(floor(cast(c as double) * ln(cast(c as double))
+           |      * 1000.0) as bigint)) as bigint) AS sh
+           |  FROM cnt GROUP BY split
+           |), pr AS (
+           |  SELECT 'train' AS a, 'val' AS b
+           |  UNION ALL SELECT 'train', 'test'
+           |  UNION ALL SELECT 'val', 'test'
+           |), tp AS (
+           |  SELECT pr.a, pr.b, c.tok
+           |  FROM pr JOIN cnt c ON c.split = pr.a OR c.split = pr.b
+           |  GROUP BY pr.a, pr.b, c.tok
+           |), u AS (
+           |  SELECT tp.a, tp.b,
+           |    coalesce(ca.c, 0) * tb.n + coalesce(cb.c, 0) * ta.n AS u
+           |  FROM tp
+           |  LEFT JOIN cnt ca ON ca.split = tp.a AND ca.tok = tp.tok
+           |  LEFT JOIN cnt cb ON cb.split = tp.b AND cb.tok = tp.tok
+           |  JOIN tot ta ON ta.split = tp.a
+           |  JOIN tot tb ON tb.split = tp.b
+           |), agg AS (
+           |  SELECT a, b, cast(count(*) as bigint) AS n_terms,
+           |    cast(sum(cast(floor(cast(u as double) * ln(cast(u as double)))
+           |      as bigint)) as bigint) AS su
+           |  FROM u GROUP BY a, b
+           |)
+           |SELECT agg.a AS split_a, agg.b AS split_b,
+           |  ta.n AS na, tb.n AS nb, agg.n_terms,
+           |  cast(floor(((ln(2.0 * ta.n * tb.n)
+           |    - cast(agg.su as double) / (2.0 * ta.n * tb.n))
+           |    - 0.5 * (ln(cast(ta.n as double))
+           |      - cast(ta.sh as double) / 1000.0 / ta.n)
+           |    - 0.5 * (ln(cast(tb.n as double))
+           |      - cast(tb.sh as double) / 1000.0 / tb.n))
+           |    * 1000000.0) as bigint) AS js_e6
+           |FROM agg JOIN tot ta ON ta.split = agg.a
+           |JOIN tot tb ON tb.split = agg.b
+           |ORDER BY split_a, split_b""".stripMargin))
+
   private val corpusSplit = Q(
     (s, dir) =>
       T(s, dir, "documents")
@@ -11670,6 +11792,7 @@ object CurationQueries {
     "ns_text_trigram_match" -> textTrigramMatch,
     "ns_dedup_exact_substr_bpe" -> dedupExactSubstrBpe,
     "ns_corpus_grpo_groups" -> corpusGrpoGroups,
+    "ns_corpus_split_js" -> corpusSplitJs,
     "ns_sim_sq_ladder" -> simSqLadder,
     "ts_ab_lift" -> tsAbLift,
     "src_csv_malformed" -> srcCsvMalformed,
