@@ -314,6 +314,108 @@ object Multimodal {
     bb.array()
   }
 
+  final case class PcmChStats(
+      fileId: Long, channel: Long, nSamples: Long, sumAmp: Long, sumSq: Long,
+      peakAbs: Long, crossings: Long, valid: Boolean)
+
+  /** STEREO (16-bit 2-channel interleaved) PCM statistics — the
+    * [[pcmStats]] fold per channel over L/R-interleaved frames. None
+    * unless the container is exactly 16-bit stereo PCM.
+    */
+  def pcmStereoStats(
+      b: Array[Byte]): Option[Array[(Long, Long, Long, Long, Long)]] = {
+    if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+        b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E')
+      return None
+    var pos = 12
+    var ok16Stereo = false
+    var dataOff = -1
+    var dataLen = -1
+    while (pos + 8 <= b.length && (!ok16Stereo || dataOff < 0)) {
+      val id = new String(b, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = le32(b, pos + 4).toInt
+      if (id == "fmt " && pos + 24 <= b.length) {
+        val fmt = (b(pos + 8) & 0xff) | ((b(pos + 9) & 0xff) << 8)
+        val ch = (b(pos + 10) & 0xff) | ((b(pos + 11) & 0xff) << 8)
+        val bits = (b(pos + 22) & 0xff) | ((b(pos + 23) & 0xff) << 8)
+        ok16Stereo = fmt == 1 && ch == 2 && bits == 16
+      } else if (id == "data") { dataOff = pos + 8; dataLen = size }
+      if (size < 0 || pos + 8 + size > b.length) return None // corrupt size
+      pos += 8 + size + (size & 1)
+    }
+    if (!ok16Stereo || dataOff < 0 || dataOff + dataLen > b.length) return None
+    val frames = dataLen / 4
+    val out = Array.fill(2)((0L, 0L, 0L, 0L, 0L))
+    var ch = 0
+    while (ch < 2) {
+      var i = 0
+      var sum = 0L; var sumSq = 0L; var peak = 0L; var crossings = 0L
+      var prevSign = 0
+      while (i < frames) {
+        val o = dataOff + 4 * i + 2 * ch
+        val s = (((b(o + 1) & 0xff) << 8) | (b(o) & 0xff)).toShort.toLong
+        sum += s
+        sumSq += s * s
+        val a = math.abs(s)
+        if (a > peak) peak = a
+        val sign = if (s > 0) 1 else if (s < 0) -1 else prevSign
+        if (prevSign != 0 && sign != prevSign) crossings += 1
+        if (sign != 0) prevSign = sign
+        i += 1
+      }
+      out(ch) = (frames.toLong, sum, sumSq, peak, crossings)
+      ch += 1
+    }
+    Some(out)
+  }
+
+  /** Partition-mapped stereo PCM stats — two rows per valid file (one
+    * per channel), one valid=false row otherwise.
+    */
+  def pcmStereoAll(df: DataFrame): Dataset[PcmChStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("file_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        pcmStereoStats(bytes) match {
+          case Some(chs) => chs.iterator.zipWithIndex.map {
+            case ((n, s, sq, p, c), ch) =>
+              PcmChStats(id, ch.toLong, n, s, sq, p, c, valid = true)
+          }
+          case None =>
+            Iterator.single(PcmChStats(id, -1L, 0L, 0L, 0L, 0L, 0L, valid = false))
+        }
+      }
+  }
+
+  /** Complete 16-bit STEREO PCM WAV: channel 0 carries the
+    * [[wavToneBytes]] square wave (ampL, biasL, halfPeriodL) and
+    * channel 1 an independent one — every per-channel statistic has the
+    * same closed form as the mono fixture.
+    */
+  def wavStereoToneBytes(sampleRate: Int, nFrames: Int,
+      ampL: Int, biasL: Int, hpL: Int,
+      ampR: Int, biasR: Int, hpR: Int): Array[Byte] = {
+    val dataBytes = nFrames * 4
+    val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    bb.put("RIFF".getBytes(ascii)).putInt(36 + dataBytes).put("WAVE".getBytes(ascii))
+    bb.put("fmt ".getBytes(ascii)).putInt(16)
+      .putShort(1).putShort(2).putInt(sampleRate)
+      .putInt(sampleRate * 4).putShort(4).putShort(16)
+    bb.put("data".getBytes(ascii)).putInt(dataBytes)
+    var i = 0
+    while (i < nFrames) {
+      val l = if ((i / hpL) % 2 == 0) biasL + ampL else biasL - ampL
+      val r = if ((i / hpR) % 2 == 0) biasR + ampR else biasR - ampR
+      bb.putShort(l.toShort).putShort(r.toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
   final case class PcmSample(fileId: Long, idx: Long, amp: Long)
 
   /** Partition-mapped per-SAMPLE PCM decode — the row-level form of
@@ -825,13 +927,16 @@ object Multimodal {
             if (compTq(c) > 3) return None
             c += 1
           }
-          // accepted sampling layouts: grayscale 1x1; color 1x1x3; color
-          // 2x2 luma with 1x1 chroma (the dominant camera/web layout).
-          // Anything else (2x1, 4:1:1, ...) rejects, never mis-decodes.
+          // accepted sampling layouts: grayscale 1x1; color with 1x1
+          // chroma and luma factors h,v in {1,2} — 4:4:4 (1x1), 4:2:2
+          // (2x1), 4:4:0 (1x2), 4:2:0 (2x2). Anything else (4:1:1,
+          // supersampled chroma, ...) rejects, never mis-decodes.
+          val h0 = (compSamp(0) >> 4) & 0xf
+          val v0 = compSamp(0) & 0xf
           val ok =
             (nComp == 1 && compSamp(0) == 0x11) ||
             (nComp == 3 && compSamp(1) == 0x11 && compSamp(2) == 0x11 &&
-              (compSamp(0) == 0x11 || compSamp(0) == 0x22))
+              h0 >= 1 && h0 <= 2 && v0 >= 1 && v0 <= 2)
           if (!ok) return None
         case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
             0xcb | 0xcd | 0xce | 0xcf =>
@@ -865,18 +970,19 @@ object Multimodal {
         return None
       cc += 1
     }
-    // MCU geometry: at 1x1 one block per component per MCU; at 2x2 luma
-    // each MCU carries FOUR Y blocks then one Cb and one Cr. Stats fold
-    // the LUMA channel (including the spec-mandated edge padding blocks
-    // the entropy stream contains); chroma blocks are fully
-    // entropy-consumed with their OWN Huffman tables and DC predictors
-    // (interleaving desyncs otherwise). Restart intervals byte-align at
-    // each RSTn and reset every DC predictor, per T.81 §F.2.1.3.1.
-    val hv = if (nComp == 3 && compSamp(0) == 0x22) 2 else 1
-    val mcusX = ((w + 8 * hv - 1) / (8 * hv)).toLong
-    val mcusY = ((h + 8 * hv - 1) / (8 * hv)).toLong
+    // MCU geometry: each MCU carries h0*v0 luma blocks (row-major) then
+    // one Cb and one Cr. Stats fold the LUMA channel (including the
+    // spec-mandated edge padding blocks the entropy stream contains);
+    // chroma blocks are fully entropy-consumed with their OWN Huffman
+    // tables and DC predictors (interleaving desyncs otherwise).
+    // Restart intervals byte-align at each RSTn and reset every DC
+    // predictor, per T.81 §F.2.1.3.1.
+    val hs = if (nComp == 3) (compSamp(0) >> 4) & 0xf else 1
+    val vs = if (nComp == 3) compSamp(0) & 0xf else 1
+    val mcusX = ((w + 8 * hs - 1) / (8 * hs)).toLong
+    val mcusY = ((h + 8 * vs - 1) / (8 * vs)).toLong
     val nMcus = mcusX * mcusY
-    val nb = nMcus * hv * hv // luma blocks, edge pads included
+    val nb = nMcus * hs * vs // luma blocks, edge pads included
     val br = new JpegBits(b, sosAt)
     val dcPred = new Array[Long](3)
     var sum = 0L
@@ -892,7 +998,7 @@ object Multimodal {
       }
       var ci = 0
       while (ci < nComp) {
-        val nBlk = if (ci == 0) hv * hv else 1
+        val nBlk = if (ci == 0) hs * vs else 1
         var blk = 0
         while (blk < nBlk) {
           val cat = huffs(0)(compTd(ci)).decode(br)
@@ -1128,10 +1234,11 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** 4:2:0 (2x2-subsampled) baseline JPEG with optional RESTART
-    * intervals — the dominant real-world camera/web layout, as a
-    * closed-form fixture: each MCU carries FOUR Y blocks (global Y
-    * block index j in MCU raster order carries the [[jpegDcPatternBytes]]
+  /** Subsampled baseline JPEG with optional RESTART intervals — 4:2:0
+    * (samp=0x22, the dominant camera/web layout; the default), 4:2:2
+    * (0x21) or 4:4:0 (0x12) — as a closed-form fixture: each MCU
+    * carries h*v Y blocks row-major (global Y block index j in MCU
+    * raster order carries the [[jpegDcPatternBytes]]
     * quantized-DC pattern d(j)) then one Cb and one Cr block bound to
     * the chroma-only tables of [[jpegDcColorPatternBytes]] with zero DC
     * motion (so decoded RGB == Y exactly). With `restartEvery > 0` a
@@ -1142,7 +1249,9 @@ object Multimodal {
     * predictor).
     */
   def jpegDcSubPatternBytes(width: Int, height: Int,
-      restartEvery: Int): Array[Byte] = {
+      restartEvery: Int, samp: Int = 0x22): Array[Byte] = {
+    val sh = (samp >> 4) & 0xf
+    val sv = samp & 0xf
     val out = new java.io.ByteArrayOutputStream()
     def b(xs: Int*): Unit = xs.foreach(x => out.write(x & 0xff))
     b(0xff, 0xd8) // SOI
@@ -1154,7 +1263,7 @@ object Multimodal {
       b(0xff, 0xdd, 0x00, 0x04, (restartEvery >> 8) & 0xff, restartEvery & 0xff)
     b(0xff, 0xc0, 0x00, 0x11) // SOF0, 3 components, Y 2x2 / chroma 1x1
     b(0x08, (height >> 8) & 0xff, height & 0xff, (width >> 8) & 0xff, width & 0xff)
-    b(0x03, 0x01, 0x22, 0x00, 0x02, 0x11, 0x00, 0x03, 0x11, 0x00)
+    b(0x03, 0x01, samp, 0x00, 0x02, 0x11, 0x00, 0x03, 0x11, 0x00)
     b(0xff, 0xc4, 0x00, 0x19, 0x00) // DHT DC 0: len-3 codes, symbols 0-5
     b(0x00, 0x00, 0x06); (0 until 13).foreach(_ => b(0x00))
     (0 to 5).foreach(c => b(c))
@@ -1199,8 +1308,8 @@ object Multimodal {
       if (c > 0)
         putBits(if (diff >= 0) diff.toLong else diff.toLong + (1L << c) - 1, c)
     }
-    val mcusX = (width + 15) / 16
-    val mcusY = (height + 15) / 16
+    val mcusX = (width + 8 * sh - 1) / (8 * sh)
+    val mcusY = (height + 8 * sv - 1) / (8 * sv)
     var prevY = 0
     var prevCb = 0
     var prevCr = 0
@@ -1214,8 +1323,8 @@ object Multimodal {
         prevY = 0; prevCb = 0; prevCr = 0
       }
       var sub = 0
-      while (sub < 4) { // four Y blocks per MCU
-        val dY = ((7 * (m * 4 + sub)) % 32) - 16
+      while (sub < sh * sv) { // h*v Y blocks per MCU, row-major
+        val dY = ((7 * (m * sh * sv + sub)) % 32) - 16
         putDiff(dY - prevY, c => c.toLong)
         prevY = dY
         putBits(0L, 1) // Y AC EOB

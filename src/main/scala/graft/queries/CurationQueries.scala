@@ -8971,6 +8971,144 @@ object CurationQueries {
            |    AS mean_level_e3
            |FROM sm ORDER BY file_id""".stripMargin))
 
+  /** STEREO PCM statistics — the channel tier above
+    * `ns_multimodal_audio_stats`' 16-bit mono: real-world audio is
+    * overwhelmingly 2-channel, and the mono decoder sent every stereo
+    * file to the reject row. L/R-interleaved frames decode into
+    * per-channel exact integer stats (two rows per file); the fixture
+    * gives each channel an INDEPENDENT square wave, so a decoder that
+    * mixes channels or mis-strides the interleave hash-fails on both
+    * rows. Same closed-form oracle family as the mono op, per channel.
+    *
+    * Scale: the parseAll narrow shape — one partition-mapped decode,
+    * no shuffle; two constant-size rows per file.
+    */
+  private val multimodalAudioStereo = Q(
+    (s, dir) => {
+      val base = scratchDir("audiostereo")
+      val p = java.nio.file.Paths.get(base)
+      T(s, dir, "nation").select(col("n_nationkey")).collect() // 25-row dim
+        .foreach { r =>
+          val k = r.getInt(0)
+          java.nio.file.Files.write(p.resolve(f"a_$k%02d.wav"),
+            graft.operators.Multimodal.wavStereoToneBytes(
+              8000, 200 * (k + 1),
+              1000 + 50 * k, 100 + k, 8 + (k % 5),
+              700 + 30 * k, 50 + 2 * k, 5 + (k % 4)))
+        }
+      val scanned = s.read.format("binaryFile").load(base)
+        .select(regexp_extract(col("path"), "a_(\\d+)\\.", 1).cast("long")
+          .as("file_id"), col("content"))
+      val out = graft.operators.Multimodal.pcmStereoAll(scanned).toDF()
+        .select(col("fileId").as("file_id"), col("channel"),
+          col("nSamples").as("n_samples"),
+          col("sumAmp").as("sum_amp"), col("sumSq").as("sum_sq"),
+          col("peakAbs").as("peak_abs"), col("crossings"), col("valid"))
+        .withColumn("rms_e3", expr(
+          "CASE WHEN n_samples > 0 THEN cast(floor(sqrt(cast(sum_sq as double) " +
+            "/ cast(n_samples as double)) * 1000) as bigint) ELSE 0 END"))
+        .orderBy(col("file_id"), col("channel"))
+        .localCheckpoint(true)
+      scratchDelete(base)
+      out
+    },
+    Some("""WITH g AS (
+           |  SELECT cast(n_nationkey as bigint) AS k,
+           |    cast(200 * (n_nationkey + 1) as bigint) AS n,
+           |    ch,
+           |    CASE WHEN ch = 0 THEN cast(1000 + 50 * n_nationkey as bigint)
+           |      ELSE cast(700 + 30 * n_nationkey as bigint) END AS a,
+           |    CASE WHEN ch = 0 THEN cast(100 + n_nationkey as bigint)
+           |      ELSE cast(50 + 2 * n_nationkey as bigint) END AS bia,
+           |    CASE WHEN ch = 0 THEN cast(8 + (n_nationkey % 5) as bigint)
+           |      ELSE cast(5 + (n_nationkey % 4) as bigint) END AS h
+           |  FROM nation, (SELECT unnest([0, 1]) AS ch)
+           |), ph AS (
+           |  SELECT k, ch, n, a, bia, h,
+           |    (n // (2 * h)) * h + least(n % (2 * h), h) AS n_plus
+           |  FROM g
+           |), d AS (
+           |  SELECT k, ch, n, a, bia, h, 2 * n_plus - n AS diff
+           |  FROM ph
+           |)
+           |SELECT k AS file_id, cast(ch as bigint) AS channel,
+           |  n AS n_samples,
+           |  n * bia + a * diff AS sum_amp,
+           |  n * (a * a + bia * bia) + 2 * a * bia * diff AS sum_sq,
+           |  a + bia AS peak_abs,
+           |  (n - 1) // h AS crossings,
+           |  true AS valid,
+           |  cast(floor(sqrt(cast(n * (a * a + bia * bia) + 2 * a * bia * diff
+           |    as double) / cast(n as double)) * 1000) as bigint) AS rms_e3
+           |FROM d ORDER BY file_id, channel""".stripMargin))
+
+  /** 4:2:2 / 4:4:0 JPEG DC statistics — the remaining rectangular
+    * chroma-subsampling layouts (broadcast/video-derived stills are
+    * typically 4:2:2): the generalized MCU loop decodes h x v luma
+    * blocks per MCU with INDEPENDENT horizontal/vertical factors. Even
+    * fixtures are 4:2:2 (2x1), odd are 4:4:0 (1x2), restart intervals
+    * mix 0/1/2 — the Y closed form switches geometry per file, so a
+    * transposed MCU raster or a wrong block count per MCU hash-fails.
+    *
+    * Scale: the parseAll narrow shape — one partition-mapped decode, no
+    * shuffle.
+    */
+  private val multimodalJpeg422 = Q(
+    (s, dir) => {
+      val base = scratchDir("jpeg422")
+      val p = java.nio.file.Paths.get(base)
+      T(s, dir, "nation").select(col("n_nationkey")).collect() // 25-row dim
+        .foreach { r =>
+          val k = r.getInt(0)
+          java.nio.file.Files.write(p.resolve(f"j_$k%02d.jpg"),
+            graft.operators.Multimodal.jpegDcSubPatternBytes(
+              16 + k, 10 + (k % 7), restartEvery = k % 3,
+              samp = if (k % 2 == 0) 0x21 else 0x12))
+        }
+      val scanned = s.read.format("binaryFile").load(base)
+        .select(regexp_extract(col("path"), "j_(\\d+)\\.", 1).cast("long")
+          .as("file_id"), col("content"))
+      val out = graft.operators.Multimodal.jpegDcAll(scanned).toDF()
+        .select(col("fileId").as("file_id"), col("width"), col("height"),
+          col("nBlocks").as("n_blocks"), col("sumDcq").as("sum_dcq"),
+          col("minDcq").as("min_dcq"), col("maxDcq").as("max_dcq"),
+          col("valid"))
+        .withColumn("mean_level_e3",
+          expr("((1024 * n_blocks + sum_dcq) * 1000) div (8 * n_blocks)"))
+        .orderBy(col("file_id"))
+        .localCheckpoint(true)
+      scratchDelete(base)
+      out
+    },
+    Some("""WITH g AS (
+           |  SELECT cast(n_nationkey as bigint) AS k,
+           |    cast(16 + n_nationkey as bigint) AS w,
+           |    cast(10 + (n_nationkey % 7) as bigint) AS h
+           |  FROM nation
+           |), nb AS (
+           |  SELECT k, w, h,
+           |    CASE WHEN k % 2 = 0
+           |      THEN ((w + 15) // 16) * ((h + 7) // 8) * 2
+           |      ELSE ((w + 7) // 8) * ((h + 15) // 16) * 2 END AS n_blocks
+           |  FROM g
+           |), ds AS (
+           |  SELECT k, w, h, n_blocks,
+           |    unnest(generate_series(0, n_blocks - 1)) AS j
+           |  FROM nb
+           |), dd AS (
+           |  SELECT k, w, h, n_blocks, 16 * (((7 * j) % 32) - 16) AS dcq FROM ds
+           |), sm AS (
+           |  SELECT k, w, h, n_blocks, cast(sum(dcq) as bigint) AS sum_dcq,
+           |    cast(min(dcq) as bigint) AS min_dcq,
+           |    cast(max(dcq) as bigint) AS max_dcq
+           |  FROM dd GROUP BY k, w, h, n_blocks
+           |)
+           |SELECT k AS file_id, w AS width, h AS height, n_blocks,
+           |  sum_dcq, min_dcq, max_dcq, true AS valid,
+           |  ((1024 * n_blocks + sum_dcq) * 1000) // (8 * n_blocks)
+           |    AS mean_level_e3
+           |FROM sm ORDER BY file_id""".stripMargin))
+
   // ---------------------------------------------------------------------
   // Two-stage MaxSim (IVF shortlist -> late-interaction re-rank)
   // ---------------------------------------------------------------------
@@ -11766,6 +11904,8 @@ object CurationQueries {
     "ns_multimodal_jpeg_dc" -> multimodalJpegDc,
     "ns_multimodal_jpeg_color" -> multimodalJpegColor,
     "ns_multimodal_jpeg_420" -> multimodalJpeg420,
+    "ns_multimodal_jpeg_422" -> multimodalJpeg422,
+    "ns_multimodal_audio_stereo" -> multimodalAudioStereo,
     "ns_quality_rank_normalize" -> qualityRankNormalize,
     "ns_sample_histogram_match" -> sampleHistogramMatch,
     "ns_profile_distinct_ngrams" -> profileDistinctNgrams,

@@ -108,6 +108,37 @@ class JpegDcSpec extends AnyFunSuite {
     }
   }
 
+  test("4:2:2 / 4:4:0 luma DC decode matches the closed form per geometry") {
+    for ((w, h) <- Seq((16, 16), (40, 26), (17, 23));
+         (samp, bx, by) <- Seq((0x21, 16, 8), (0x12, 8, 16));
+         rst <- Seq(0, 2)) {
+      val bytes = Multimodal.jpegDcSubPatternBytes(w, h, rst, samp)
+      val nb = ((w + bx - 1) / bx) * ((h + by - 1) / by) * 2
+      val want = pattern(nb).map(_ * 16L)
+      val got = Multimodal.jpegDcStats(bytes)
+      assert(got.contains((w.toLong, h.toLong, nb.toLong,
+        want.sum, want.min, want.max)),
+        s"($w x $h, samp=$samp%02x, rst=$rst): $got")
+    }
+  }
+
+  test("4:2:2 DC decode agrees with the JDK's full decode") {
+    // dims multiples of 16x8; MCU = two Y blocks side by side:
+    // j = ((y/8)*mcusX + x/16)*2 + (x%16)/8
+    val (w, h) = (48, 32)
+    val bytes = Multimodal.jpegDcSubPatternBytes(w, h, 2, samp = 0x21)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "JDK could not decode the generated 4:2:2 JPEG")
+    val mcusX = w / 16
+    val d = pattern(mcusX * (h / 8) * 2)
+    for (y <- 0 until h; x <- 0 until w) {
+      val j = ((y / 8) * mcusX + x / 16) * 2 + (x % 16) / 8
+      val expect = 128 + 2 * d(j)
+      val got = (img.getRGB(x, y) >> 8) & 0xff
+      assert(got == expect, s"pixel ($x,$y) in Y block $j: JDK=$got, want=$expect")
+    }
+  }
+
   test("4:2:0 DC decode agrees with the JDK's full decode (with restarts)") {
     // chroma DC 0 => Cb=Cr=128 at any upsampling, so RGB == Y exactly;
     // dims multiples of 16 so no cropped padding blocks complicate the

@@ -171,4 +171,33 @@ class PropertySpec extends SparkSpec {
       assert(got.toSeq == expected, s"seed ${900 + i}")
     }
   }
+
+  test("mgFold resumability: carried-state fold == one continuous MG pass " +
+      "at any split point, and the superset guarantee holds") {
+    // the streaming heavy-hitter monitor's load-bearing property: seeding
+    // mgFold with a prior segment's counters must equal folding the
+    // concatenated stream in one pass (so micro-batch cuts are invisible),
+    // and the summary must contain every item heavier than n/(k+1)
+    import graft.operators.HeavyHitters
+    val tokGen = Gen.listOf(Gen.choose(0, 12).map(i => s"t$i"))
+    (0 until 20).foreach { i =>
+      val stream = tokGen(Gen.Parameters.default.withSize(200), Seed(7000 + i))
+        .getOrElse(Nil)
+      val k = 4 + i % 5
+      val whole = HeavyHitters.mgFold(k, Map.empty, stream.iterator)
+      Seq(0, 1, stream.size / 3, stream.size / 2, stream.size).foreach { cut =>
+        val (a, b) = stream.splitAt(cut)
+        val carried = HeavyHitters.mgFold(
+          k, HeavyHitters.mgFold(k, Map.empty, a.iterator), b.iterator)
+        assert(carried == whole, s"seed ${7000 + i} cut $cut k $k")
+      }
+      val n = stream.size
+      val exact = stream.groupBy(identity).view.mapValues(_.size).toMap
+      exact.foreach { case (t, c) =>
+        if (c.toLong * (k + 1) > n)
+          assert(whole.contains(t),
+            s"seed ${7000 + i}: heavy item $t (count $c, n $n, k $k) missing")
+      }
+    }
+  }
 }
