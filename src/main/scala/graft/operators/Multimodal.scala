@@ -243,7 +243,9 @@ object Multimodal {
         val bits = (b(pos + 22) & 0xff) | ((b(pos + 23) & 0xff) << 8)
         ok16Mono = fmt == 1 && ch == 1 && bits == 16
       } else if (id == "data") { dataOff = pos + 8; dataLen = size }
-      if (size < 0 || pos + 8 + size > b.length) return None // corrupt chunk size
+      // Long arithmetic: a crafted size in [2^31-b.length, 2^31) would wrap
+      // pos+8+size negative in Int and sail past the bound check
+      if (size < 0 || pos.toLong + 8L + size.toLong > b.length.toLong) return None
       pos += 8 + size + (size & 1)
     }
     if (!ok16Mono || dataOff < 0 || dataOff + dataLen > b.length) return None
@@ -340,7 +342,7 @@ object Multimodal {
         val bits = (b(pos + 22) & 0xff) | ((b(pos + 23) & 0xff) << 8)
         ok16Stereo = fmt == 1 && ch == 2 && bits == 16
       } else if (id == "data") { dataOff = pos + 8; dataLen = size }
-      if (size < 0 || pos + 8 + size > b.length) return None // corrupt size
+      if (size < 0 || pos.toLong + 8L + size.toLong > b.length.toLong) return None // corrupt size (Long: no Int wrap)
       pos += 8 + size + (size & 1)
     }
     if (!ok16Stereo || dataOff < 0 || dataOff + dataLen > b.length) return None
@@ -462,7 +464,7 @@ object Multimodal {
         val bits = (b(pos + 22) & 0xff) | ((b(pos + 23) & 0xff) << 8)
         ok16Mono = fmt == 1 && ch == 1 && bits == 16
       } else if (id == "data") { dataOff = pos + 8; dataLen = size }
-      if (size < 0 || pos + 8 + size > b.length) return None // corrupt chunk size
+      if (size < 0 || pos.toLong + 8L + size.toLong > b.length.toLong) return None // corrupt chunk size (Long: no Int wrap)
       pos += 8 + size + (size & 1)
     }
     if (!ok16Mono || dataOff < 0 || dataOff + dataLen > b.length) None
@@ -854,12 +856,15 @@ object Multimodal {
     * LUMA channel (nBlocks counts the entropy stream's Y blocks,
     * including spec-mandated edge padding blocks). Accepts 8-bit
     * baseline sequential with 8-bit quant tables: single-component
-    * (grayscale) 1x1, 3-component (YCbCr) 1x1, or the dominant
-    * real-world 4:2:0 layout (Y 2x2, chroma 1x1) — chroma blocks are
+    * (grayscale) 1x1, and 3-component (YCbCr) with luma sampling
+    * factors h,v in {1,2} against 1x1 chroma — 4:4:4 (1x1), 4:2:0
+    * (2x2), 4:2:2 (2x1), 4:4:0 (1x2) — chroma blocks are
     * entropy-consumed with their own Huffman tables and DC predictors,
     * stats fold Y only — and DRI restart intervals (byte-align at each
-    * RSTn, reset DC predictors). None for everything else (progressive,
-    * arithmetic, 2x1/4:1:1 sampling) — reject, never mis-decode.
+    * RSTn, reset DC predictors). None for everything else
+    * (arithmetic coding, 4:1:1, chroma subsampling factors > 1;
+    * progressive streams decode via the DC first scan — see SOF2
+    * handling below) — reject, never mis-decode.
     */
   def jpegDcStats(b: Array[Byte]): Option[(Long, Long, Long, Long, Long, Long)] =
     // A truncated/malformed segment must land in the valid=false row,

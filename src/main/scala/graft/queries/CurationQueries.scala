@@ -164,6 +164,10 @@ object CurationQueries {
                 "- 0.5 * (ln(cast(na as double)) - cast(sha as double) / 1000.0 / na) " +
                 "- 0.5 * (ln(cast(nb as double)) - cast(shb as double) / 1000.0 / nb)) " +
                 "* 1000000.0) as bigint)").as("js_e6"))
+            // empty-split degenerate: the global agg over zero rows would
+            // emit one all-null row while the oracle's join emits none —
+            // drop the pair in both engines (null na/nb fails > 0)
+            .where(col("na") > 0 && col("nb") > 0)
         }
       pairs.reduce(_ unionAll _).orderBy(col("split_a"), col("split_b"))
     },
@@ -218,6 +222,7 @@ object CurationQueries {
            |    * 1000000.0) as bigint) AS js_e6
            |FROM agg JOIN tot ta ON ta.split = agg.a
            |JOIN tot tb ON tb.split = agg.b
+           |WHERE ta.n > 0 AND tb.n > 0
            |ORDER BY split_a, split_b""".stripMargin))
 
   private val corpusSplit = Q(

@@ -182,7 +182,10 @@ class JpegDcSpec extends AnyFunSuite {
     val shortLen = good.clone()
     shortLen(dhtAt + 3) = 0x05.toByte // DHT shorter than its own counts
     assert(Multimodal.jpegDcStats(shortLen).isEmpty)
-    // unsupported sampling layouts (2x1, 4:1:1) still reject
+    // mutating the SOF luma sampling factor of a 1x1-encoded stream: the
+    // header itself is now ACCEPTED (2x1 = 4:2:2 is a supported layout),
+    // but the entropy stream was encoded as 1x1, so the MCU walk desyncs
+    // and the decode rejects via the bounds/NonFatal guard
     val color = Multimodal.jpegDcColorPatternBytes(16, 16, chromaMotion = false)
     val sub = color.clone()
     val csofAt = sub.indices.find(i =>
