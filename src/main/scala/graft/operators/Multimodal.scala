@@ -841,6 +841,15 @@ object Multimodal {
       pos += 2
       true
     }
+    /** Byte position of the next marker after the entropy data consumed
+      * so far (skips the T.81 padding bits of a partially-read byte).
+      * -1 if the padding byte would run off the buffer.
+      */
+    def nextMarkerPos: Int = {
+      if (bit == 0) pos
+      else if (pos >= b.length) -1
+      else pos + (if ((b(pos) & 0xff) == 0xff) 2 else 1)
+    }
   }
 
   /** REAL baseline-JPEG DC decode (the tier between SOFn header dims
@@ -886,6 +895,8 @@ object Multimodal {
     val compTd = new Array[Int](3)
     val compTa = new Array[Int](3)
     var restartInterval = 0
+    var progressive = false
+    var scanSs = -1; var scanSe = -1; var scanAh = -1; var scanAl = -1
     var sosAt = -1
     while (sosAt < 0) {
       if (pos + 4 > b.length || (b(pos) & 0xff) != 0xff) return None
@@ -918,7 +929,8 @@ object Multimodal {
             huffs(tc)(th) = new JpegHuff(counts, symbols)
             p += 17 + n
           }
-        case 0xc0 => // SOF0: baseline sequential, 1 (gray) or 3 (YCbCr)
+        case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive (DC-scan tier)
+          progressive = m == 0xc2
           if ((b(seg) & 0xff) != 8) return None
           h = be16(b, seg + 1); w = be16(b, seg + 3)
           nComp = b(seg + 5) & 0xff
@@ -943,9 +955,9 @@ object Multimodal {
             (nComp == 3 && compSamp(1) == 0x11 && compSamp(2) == 0x11 &&
               h0 >= 1 && h0 <= 2 && v0 >= 1 && v0 <= 2)
           if (!ok) return None
-        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+        case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
             0xcb | 0xcd | 0xce | 0xcf =>
-          return None // progressive/arithmetic/hierarchical frames
+          return None // extended/arithmetic/hierarchical frames
         case 0xdd => // DRI: restart interval in MCUs
           if (len < 4) return None
           restartInterval = be16(b, seg)
@@ -963,15 +975,30 @@ object Multimodal {
           if (compTd(c) > 3 || compTa(c) > 3) return None
           c += 1
         }
+        scanSs = b(seg + 1 + 2 * ns) & 0xff
+        scanSe = b(seg + 2 + 2 * ns) & 0xff
+        val aa = b(seg + 3 + 2 * ns) & 0xff
+        scanAh = (aa >> 4) & 0xf
+        scanAl = aa & 0xf
         sosAt = pos + 2 + len
       } else pos += 2 + len
     }
     if (w <= 0 || h <= 0) return None
+    // scan-progression contract: a baseline scan is always the full
+    // spectrum at full precision; a progressive stream's FIRST scan must
+    // be the DC first scan (T.81 G.1.1.1.1 — DC precedes all AC)
+    if (!progressive && (scanSs != 0 || scanSe != 63 || scanAh != 0 || scanAl != 0))
+      return None
+    if (progressive && (scanSs != 0 || scanSe != 0 || scanAh != 0 || scanAl > 13))
+      return None
     val qY = qDc(compTq(0))
     if (qY <= 0) return None
     var cc = 0
     while (cc < nComp) {
-      if (huffs(0)(compTd(cc)) == null || huffs(1)(compTa(cc)) == null)
+      // progressive DC scans code no AC symbols, so only the DC tables
+      // must exist up front (AC tables may arrive before later AC scans)
+      if (huffs(0)(compTd(cc)) == null ||
+          (!progressive && huffs(1)(compTa(cc)) == null))
         return None
       cc += 1
     }
@@ -988,6 +1015,9 @@ object Multimodal {
     val mcusY = ((h + 8 * vs - 1) / (8 * vs)).toLong
     val nMcus = mcusX * mcusY
     val nb = nMcus * hs * vs // luma blocks, edge pads included
+    if (progressive)
+      return jpegProgressiveDc(b, sosAt, scanAl, huffs, qY, compTq(0),
+        nComp, compTd, hs, vs, nMcus, nb, restartInterval, w, h)
     val br = new JpegBits(b, sosAt)
     val dcPred = new Array[Long](3)
     var sum = 0L
@@ -1047,6 +1077,207 @@ object Multimodal {
         ci += 1
       }
       m0 += 1
+    }
+    Some((w.toLong, h.toLong, nb, sum, mn, mx))
+  }
+
+  /** Progressive (SOF2) DC-tier walk — T.81 G.1/G.2: decodes the DC
+    * FIRST scan (Huffman category + EXTEND diffs of the
+    * point-transformed DC, interleaved over all components — the
+    * libjpeg standard scan script's shape) and every DC REFINEMENT scan
+    * (one raw correction bit per block, OR-ed in at bit Al — exact for
+    * two's-complement arithmetic-shifted values, T.81 G.1.2.1), and
+    * SKIPS AC scans entirely: spectral selection means Ss>=1 scans
+    * never touch DC, so their entropy data is skipped to the next
+    * marker through the 0xFF00-stuffing/RSTn grammar without decoding.
+    * DHT/DRI segments between scans update tables / the restart
+    * interval. Rejects unless the refinement chain completes to Al=0 by
+    * EOI — a truncated progressive stream's DC low bits are unknown,
+    * and the contract is reject-never-mis-decode (same posture as the
+    * AC refinement tiers this function does not attempt).
+    */
+  private def jpegProgressiveDc(
+      b: Array[Byte], firstScanAt: Int, firstAl: Int,
+      huffs: Array[Array[JpegHuff]], qY: Int, lumaTq: Int, nComp: Int,
+      compTd: Array[Int], hs: Int, vs: Int, nMcus: Long, nb: Long,
+      restartInterval0: Int,
+      w: Int, h: Int): Option[(Long, Long, Long, Long, Long, Long)] = {
+    // crafted-dimension guard: the per-block DC store (needed to apply
+    // refinement bits) is the one allocation baseline doesn't make;
+    // 16M luma blocks (a 32768x32768 px 4:4:4 frame) is far past any
+    // real photograph
+    if (nb <= 0 || nb > (1L << 24)) return None
+    var restartInterval = restartInterval0
+    val dcY = new Array[Long](nb.toInt)
+    // ---- DC first scan (diffs of DC >> Al, interleaved) ----
+    val br = new JpegBits(b, firstScanAt)
+    val dcPred = new Array[Long](3)
+    var rstCount = 0
+    var yIdx = 0
+    var m0 = 0L
+    while (m0 < nMcus) {
+      if (restartInterval > 0 && m0 > 0 && m0 % restartInterval == 0) {
+        if (!br.consumeRst(rstCount)) return None
+        rstCount += 1
+        java.util.Arrays.fill(dcPred, 0L)
+      }
+      var ci = 0
+      while (ci < nComp) {
+        val nBlk = if (ci == 0) hs * vs else 1
+        var blk = 0
+        while (blk < nBlk) {
+          val cat = huffs(0)(compTd(ci)).decode(br)
+          if (cat < 0 || cat > 11) return None
+          var diff = 0L
+          if (cat > 0) {
+            var bits = 0L; var i = 0
+            while (i < cat) {
+              val v = br.readBit(); if (v < 0) return None
+              bits = (bits << 1) | v; i += 1
+            }
+            // T.81 §F.2.2.1 EXTEND
+            diff = if (bits < (1L << (cat - 1))) bits - (1L << cat) + 1
+              else bits
+          }
+          dcPred(ci) += diff
+          if (ci == 0) { dcY(yIdx) = dcPred(0) << firstAl; yIdx += 1 }
+          blk += 1
+        }
+        ci += 1
+      }
+      m0 += 1
+    }
+    // ---- subsequent scans until EOI ----
+    var curAl = firstAl // low bits still unrefined
+    var p = br.nextMarkerPos
+    if (p < 0) return None
+    var done = false
+    while (!done) {
+      if (p + 2 > b.length || (b(p) & 0xff) != 0xff) return None
+      val m = b(p + 1) & 0xff
+      if (m == 0xd9) done = true // EOI
+      else if (m == 0xda) {
+        if (p + 4 > b.length) return None
+        val len = be16(b, p + 2)
+        val seg = p + 4
+        if (p + 2 + len > b.length) return None
+        val ns = b(seg) & 0xff
+        if (ns < 1 || ns > nComp || len < 6 + 2 * ns) return None
+        val ss = b(seg + 1 + 2 * ns) & 0xff
+        val se = b(seg + 2 + 2 * ns) & 0xff
+        val aa = b(seg + 3 + 2 * ns) & 0xff
+        val ah = (aa >> 4) & 0xf
+        val al = aa & 0xf
+        val scanStart = p + 2 + len
+        if (ss == 0 && se == 0) {
+          // DC refinement: interleaved over all components, one raw bit
+          // per block; successive approximation must chain down by one
+          if (ns != nComp || ah != curAl || al != ah - 1) return None
+          val br2 = new JpegBits(b, scanStart)
+          var rst2 = 0
+          var yI = 0
+          var mm = 0L
+          while (mm < nMcus) {
+            if (restartInterval > 0 && mm > 0 && mm % restartInterval == 0) {
+              if (!br2.consumeRst(rst2)) return None
+              rst2 += 1
+            }
+            var ci = 0
+            while (ci < nComp) {
+              val nBlk = if (ci == 0) hs * vs else 1
+              var blk = 0
+              while (blk < nBlk) {
+                val v = br2.readBit(); if (v < 0) return None
+                if (ci == 0) {
+                  if (v == 1) dcY(yI) |= (1L << al)
+                  yI += 1
+                }
+                blk += 1
+              }
+              ci += 1
+            }
+            mm += 1
+          }
+          curAl = al
+          p = br2.nextMarkerPos
+          if (p < 0) return None
+        } else if (ss >= 1 && ss <= se && se <= 63 && ns == 1) {
+          // AC scan (T.81 mandates single-component): it never touches
+          // DC — skip its entropy data to the next marker through the
+          // stuffing/restart grammar, no decode needed
+          var q = scanStart
+          var found = -1
+          while (found < 0 && q + 1 < b.length) {
+            if ((b(q) & 0xff) == 0xff) {
+              val nxt = b(q + 1) & 0xff
+              if (nxt == 0x00 || (nxt >= 0xd0 && nxt <= 0xd7)) q += 2
+              else found = q
+            } else q += 1
+          }
+          if (found < 0) return None
+          p = found
+        } else return None
+      } else if (m >= 0xd0 && m <= 0xd7) {
+        return None // stray restart marker between scans
+      } else if (m == 0x01 || m == 0xd8) {
+        return None // TEM / second SOI
+      } else {
+        if (p + 4 > b.length) return None
+        val len = be16(b, p + 2)
+        val seg = p + 4
+        if (len < 2 || p + 2 + len > b.length) return None
+        m match {
+          case 0xc4 => // DHT between scans: tables for later scans
+            var q = seg
+            while (q < p + 2 + len) {
+              if (q + 17 > p + 2 + len) return None
+              val tc = (b(q) & 0xff) >> 4
+              val th = b(q) & 0x0f
+              if (tc > 1 || th > 3) return None
+              val counts = Array.tabulate(16)(i => b(q + 1 + i) & 0xff)
+              val n = counts.sum
+              if (q + 17 + n > p + 2 + len) return None
+              val symbols = Array.tabulate(n)(i => b(q + 17 + i) & 0xff)
+              huffs(tc)(th) = new JpegHuff(counts, symbols)
+              q += 17 + n
+            }
+          case 0xdd => // DRI between scans: new interval for later scans
+            if (len < 4) return None
+            restartInterval = be16(b, seg)
+          case 0xdb =>
+            // DQT between scans: T.81 forbids redefining a table the
+            // frame already used — accept a no-op redefinition, reject
+            // one that would change the luma DC dequant
+            var q = seg
+            while (q < p + 2 + len) {
+              if (q + 65 > p + 2 + len) return None
+              if (((b(q) & 0xff) >> 4) != 0) return None
+              if ((b(q) & 0x0f) > 3) return None
+              if ((b(q) & 0x0f) == lumaTq && (b(q + 1) & 0xff) != qY)
+                return None
+              q += 1 + 64
+            }
+          case 0xc0 | 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 |
+              0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+            return None // a second frame header
+          case _ => () // APPn / COM / DNL
+        }
+        p += 2 + len
+      }
+    }
+    // a refinement chain that stops above Al=0 leaves the true DC
+    // unknown at the low bits: reject, never guess
+    if (curAl != 0) return None
+    var sum = 0L
+    var mn = Long.MaxValue
+    var mx = Long.MinValue
+    var i = 0
+    while (i < nb.toInt) {
+      val dq = dcY(i) * qY
+      sum += dq
+      if (dq < mn) mn = dq
+      if (dq > mx) mx = dq
+      i += 1
     }
     Some((w.toLong, h.toLong, nb, sum, mn, mx))
   }
@@ -1343,6 +1574,150 @@ object Multimodal {
     }
     pad()
     out.write(ent.toByteArray)
+    b(0xff, 0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** PROGRESSIVE (SOF2) JPEG fixture with the libjpeg-class scan
+    * script: an interleaved DC FIRST scan at successive-approximation
+    * Al=1 (coding diffs of the arithmetic-shifted `d(j) >> 1`), three
+    * single-component AC first scans (Ss=1..63, all-zero AC coded as
+    * EOB runs — the scans a DC-tier decoder must SKIP through the
+    * stuffing/restart grammar), and a final interleaved DC REFINEMENT
+    * scan (Ah=1, Al=0) carrying each block's low bit `d(j) & 1` raw.
+    * The luma channel carries the same closed-form quantized-DC pattern
+    * `d(j) = ((7*j) mod 32) - 16` as every other tier (arithmetic-shift
+    * + OR reconstruction is exact in two's complement, so the oracle is
+    * unchanged); chroma is zero through its own reverse-coded DC table.
+    * With `restartEvery > 0` every scan restarts per DRI — markers
+    * renumber from RST0 at each scan start per T.81 — so a decoder that
+    * forgets per-scan marker renumbering or skips AC restart markers
+    * wrongly hash-fails. 3 components, 1x1 sampling.
+    */
+  def jpegDcProgPatternBytes(width: Int, height: Int,
+      restartEvery: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def b(xs: Int*): Unit = xs.foreach(x => out.write(x & 0xff))
+    b(0xff, 0xd8) // SOI
+    b(0xff, 0xe0, 0x00, 0x10) // APP0 JFIF
+    b('J', 'F', 'I', 'F', 0x00, 0x01, 0x01, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00)
+    b(0xff, 0xdb, 0x00, 0x43, 0x00) // DQT: 8-bit table 0, all 16s
+    (0 until 64).foreach(_ => b(0x10))
+    if (restartEvery > 0)
+      b(0xff, 0xdd, 0x00, 0x04, (restartEvery >> 8) & 0xff, restartEvery & 0xff)
+    b(0xff, 0xc2, 0x00, 0x11) // SOF2 progressive, 3 components, 1x1
+    b(0x08, (height >> 8) & 0xff, height & 0xff, (width >> 8) & 0xff, width & 0xff)
+    b(0x03, 0x01, 0x11, 0x00, 0x02, 0x11, 0x00, 0x03, 0x11, 0x00)
+    b(0xff, 0xc4, 0x00, 0x19, 0x00) // DHT DC 0: len-3 codes, symbols 0-5
+    b(0x00, 0x00, 0x06); (0 until 13).foreach(_ => b(0x00))
+    (0 to 5).foreach(c => b(c))
+    b(0xff, 0xc4, 0x00, 0x19, 0x01) // DHT DC 1: len-3 codes, symbols 5-0
+    b(0x00, 0x00, 0x06); (0 until 13).foreach(_ => b(0x00))
+    (0 to 5).foreach(c => b(5 - c))
+    // DHT AC 0: six len-3 codes for the EOBn symbols 0x00..0x50
+    // (EOB runs of 1, 2-3, 4-7, 8-15, 16-31, 32-63 blocks)
+    b(0xff, 0xc4, 0x00, 0x19, 0x10)
+    b(0x00, 0x00, 0x06); (0 until 13).foreach(_ => b(0x00))
+    (0 to 5).foreach(k => b(k << 4))
+    val ent = new java.io.ByteArrayOutputStream()
+    var cur = 0; var nbits = 0
+    def flushByte(): Unit = {
+      ent.write(cur)
+      if (cur == 0xff) ent.write(0x00) // T.81 byte stuffing
+      cur = 0; nbits = 0
+    }
+    def putBits(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >> i) & 1L).toInt
+        nbits += 1
+        if (nbits == 8) flushByte()
+        i -= 1
+      }
+    }
+    def pad(): Unit =
+      if (nbits > 0) {
+        while (nbits < 8) { cur = (cur << 1) | 1; nbits += 1 }
+        flushByte()
+      }
+    def endScan(): Unit = {
+      pad()
+      out.write(ent.toByteArray)
+      ent.reset()
+    }
+    def cat(diff: Int): Int =
+      if (diff == 0) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(math.abs(diff).toLong)
+    def putDiff(diff: Int, dcCode: Int => Long): Unit = {
+      val c = cat(diff)
+      putBits(dcCode(c), 3)
+      if (c > 0)
+        putBits(if (diff >= 0) diff.toLong else diff.toLong + (1L << c) - 1, c)
+    }
+    def rstMarker(n: Int): Unit = {
+      pad()
+      ent.write(0xff); ent.write(0xd0 + (n % 8))
+    }
+    val nb = ((width + 7) / 8) * ((height + 7) / 8)
+    def d(j: Int): Int = ((7 * j) % 32) - 16
+    // ---- scan 1: DC first, interleaved, Ah=0 Al=1 ----
+    b(0xff, 0xda, 0x00, 0x0c, 0x03, 0x01, 0x00, 0x02, 0x10, 0x03, 0x10,
+      0x00, 0x00, 0x01)
+    var prevY = 0
+    var rst = 0
+    var j = 0
+    while (j < nb) {
+      if (restartEvery > 0 && j > 0 && j % restartEvery == 0) {
+        rstMarker(rst); rst += 1
+        prevY = 0 // chroma predictors are already 0
+      }
+      val v = d(j) >> 1 // arithmetic shift: the point-transformed DC
+      putDiff(v - prevY, c => c.toLong)
+      prevY = v
+      putDiff(0, c => (5 - c).toLong) // Cb (predictor stays 0)
+      putDiff(0, c => (5 - c).toLong) // Cr
+      j += 1
+    }
+    endScan()
+    // ---- scans 2-4: AC first per component, Ss=1 Se=63, all-zero AC ----
+    var comp = 1
+    while (comp <= 3) {
+      b(0xff, 0xda, 0x00, 0x08, 0x01, comp, 0x00, 0x01, 0x3f, 0x00)
+      var rstA = 0
+      var left = nb
+      while (left > 0) {
+        val segLen =
+          if (restartEvery > 0) math.min(left, restartEvery) else left
+        // cover the segment with EOB runs (run = 2^k + k extra bits)
+        var seg = segLen
+        while (seg > 0) {
+          val chunk = math.min(seg, 63)
+          val k = 31 - java.lang.Integer.numberOfLeadingZeros(chunk)
+          putBits(k.toLong, 3) // the EOBn symbol's len-3 code
+          if (k > 0) putBits((chunk - (1 << k)).toLong, k)
+          seg -= chunk
+        }
+        left -= segLen
+        if (restartEvery > 0 && left > 0) { rstMarker(rstA); rstA += 1 }
+      }
+      endScan()
+      comp += 1
+    }
+    // ---- scan 5: DC refinement, interleaved, Ah=1 Al=0 ----
+    b(0xff, 0xda, 0x00, 0x0c, 0x03, 0x01, 0x00, 0x02, 0x10, 0x03, 0x10,
+      0x00, 0x00, 0x10)
+    var rstR = 0
+    j = 0
+    while (j < nb) {
+      if (restartEvery > 0 && j > 0 && j % restartEvery == 0) {
+        rstMarker(rstR); rstR += 1
+      }
+      putBits((d(j) & 1).toLong, 1) // Y low bit
+      putBits(0L, 1) // Cb correction bit
+      putBits(0L, 1) // Cr correction bit
+      j += 1
+    }
+    endScan()
     b(0xff, 0xd9) // EOI
     out.toByteArray
   }

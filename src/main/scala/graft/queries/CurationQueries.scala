@@ -9114,6 +9114,77 @@ object CurationQueries {
            |    AS mean_level_e3
            |FROM sm ORDER BY file_id""".stripMargin))
 
+  /** PROGRESSIVE (SOF2) JPEG DC statistics — the r16 verdict's top
+    * missing tier: a large share of real web JPEGs are progressive, and
+    * every one landed in the reject row. The decoder now walks the full
+    * progressive scan script: the interleaved DC FIRST scan (diffs of
+    * the point-transformed DC at successive approximation Al=1), SKIPS
+    * the per-component AC scans through the 0xFF00-stuffing/RSTn
+    * grammar (spectral selection means they never touch DC), and
+    * applies the DC REFINEMENT scan's raw correction bits — exact
+    * two's-complement reconstruction, so the oracle is the SAME closed
+    * form as the sequential tiers. Rejects unless refinement completes
+    * to Al=0 (reject-never-mis-decode, as for AC-refinement tiers).
+    * Fixtures mix restart intervals 0/1/2 — restart markers renumber
+    * from RST0 at each scan, so a decoder reusing the previous scan's
+    * count hash-fails. JpegDcSpec cross-checks against the JDK's own
+    * full progressive decode.
+    *
+    * Scale: the parseAll narrow shape — one partition-mapped decode, no
+    * shuffle; the per-block DC store the refinement pass needs is
+    * dimension-capped (16M blocks) against crafted headers.
+    */
+  private val multimodalJpegProg = Q(
+    (s, dir) => {
+      val base = scratchDir("jpegprog")
+      val p = java.nio.file.Paths.get(base)
+      T(s, dir, "nation").select(col("n_nationkey")).collect() // 25-row dim
+        .foreach { r =>
+          val k = r.getInt(0)
+          java.nio.file.Files.write(p.resolve(f"j_$k%02d.jpg"),
+            graft.operators.Multimodal.jpegDcProgPatternBytes(
+              16 + k, 10 + (k % 7), restartEvery = k % 3))
+        }
+      val scanned = s.read.format("binaryFile").load(base)
+        .select(regexp_extract(col("path"), "j_(\\d+)\\.", 1).cast("long")
+          .as("file_id"), col("content"))
+      val out = graft.operators.Multimodal.jpegDcAll(scanned).toDF()
+        .select(col("fileId").as("file_id"), col("width"), col("height"),
+          col("nBlocks").as("n_blocks"), col("sumDcq").as("sum_dcq"),
+          col("minDcq").as("min_dcq"), col("maxDcq").as("max_dcq"),
+          col("valid"))
+        .withColumn("mean_level_e3",
+          expr("((1024 * n_blocks + sum_dcq) * 1000) div (8 * n_blocks)"))
+        .orderBy(col("file_id"))
+        .localCheckpoint(true)
+      scratchDelete(base)
+      out
+    },
+    Some("""WITH g AS (
+           |  SELECT cast(n_nationkey as bigint) AS k,
+           |    cast(16 + n_nationkey as bigint) AS w,
+           |    cast(10 + (n_nationkey % 7) as bigint) AS h
+           |  FROM nation
+           |), nb AS (
+           |  SELECT k, w, h, ((w + 7) // 8) * ((h + 7) // 8) AS n_blocks FROM g
+           |), ds AS (
+           |  SELECT k, w, h, n_blocks,
+           |    unnest(generate_series(0, n_blocks - 1)) AS j
+           |  FROM nb
+           |), dd AS (
+           |  SELECT k, w, h, n_blocks, 16 * (((7 * j) % 32) - 16) AS dcq FROM ds
+           |), sm AS (
+           |  SELECT k, w, h, n_blocks, cast(sum(dcq) as bigint) AS sum_dcq,
+           |    cast(min(dcq) as bigint) AS min_dcq,
+           |    cast(max(dcq) as bigint) AS max_dcq
+           |  FROM dd GROUP BY k, w, h, n_blocks
+           |)
+           |SELECT k AS file_id, w AS width, h AS height, n_blocks,
+           |  sum_dcq, min_dcq, max_dcq, true AS valid,
+           |  ((1024 * n_blocks + sum_dcq) * 1000) // (8 * n_blocks)
+           |    AS mean_level_e3
+           |FROM sm ORDER BY file_id""".stripMargin))
+
   // ---------------------------------------------------------------------
   // Two-stage MaxSim (IVF shortlist -> late-interaction re-rank)
   // ---------------------------------------------------------------------
@@ -11910,6 +11981,7 @@ object CurationQueries {
     "ns_multimodal_jpeg_color" -> multimodalJpegColor,
     "ns_multimodal_jpeg_420" -> multimodalJpeg420,
     "ns_multimodal_jpeg_422" -> multimodalJpeg422,
+    "ns_multimodal_jpeg_prog" -> multimodalJpegProg,
     "ns_multimodal_audio_stereo" -> multimodalAudioStereo,
     "ns_quality_rank_normalize" -> qualityRankNormalize,
     "ns_sample_histogram_match" -> sampleHistogramMatch,

@@ -160,11 +160,66 @@ class JpegDcSpec extends AnyFunSuite {
     }
   }
 
+  test("PROGRESSIVE (SOF2) DC decode matches the closed form, restart-invariant") {
+    for ((w, h) <- Seq((16, 10), (40, 16), (7, 7), (41, 17), (48, 32));
+         rst <- Seq(0, 1, 3)) {
+      val bytes = Multimodal.jpegDcProgPatternBytes(w, h, rst)
+      val nb = ((w + 7) / 8) * ((h + 7) / 8)
+      val want = pattern(nb).map(_ * 16L)
+      val got = Multimodal.jpegDcStats(bytes)
+      // the first scan carries d(j)>>1 and the refinement scan the low
+      // bit, so an exact result PROVES the successive-approximation
+      // reconstruction ((v<<1)|bit in two's complement) and the AC-scan
+      // skip both work; the pattern is absolute, so stats must be
+      // restart-invariant too
+      assert(got.contains((w.toLong, h.toLong, nb.toLong,
+        want.sum, want.min, want.max)), s"($w x $h, rst=$rst): $got")
+    }
+  }
+
+  test("PROGRESSIVE DC decode agrees with the JDK's full progressive decode") {
+    // chroma DC 0 => RGB == Y exactly, same identity as the color test
+    val (w, h) = (40, 16)
+    val bytes = Multimodal.jpegDcProgPatternBytes(w, h, restartEvery = 2)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "JDK could not decode the generated progressive JPEG")
+    assert(img.getWidth == w && img.getHeight == h)
+    val bw = (w + 7) / 8
+    val d = pattern(bw * ((h + 7) / 8))
+    for (y <- 0 until h; x <- 0 until w) {
+      val j = (y / 8) * bw + (x / 8)
+      val expect = 128 + 2 * d(j)
+      val got = (img.getRGB(x, y) >> 8) & 0xff // green channel
+      assert(got == expect,
+        s"pixel ($x,$y) in block $j: JDK=$got, DC-derived=$expect")
+    }
+  }
+
+  test("PROGRESSIVE streams with an incomplete DC refinement chain reject") {
+    val full = Multimodal.jpegDcProgPatternBytes(24, 16, 0)
+    assert(Multimodal.jpegDcStats(full).nonEmpty)
+    // truncate before the FINAL scan (the DC refinement) and close with
+    // EOI: DC low bits are unknown, so reject-never-mis-decode applies
+    val lastSos = full.indices.findLast(i =>
+      (full(i) & 0xff) == 0xff && i + 1 < full.length &&
+        (full(i + 1) & 0xff) == 0xda).get
+    val cut = full.take(lastSos).toArray ++ Array(0xff.toByte, 0xd9.toByte)
+    assert(Multimodal.jpegDcStats(cut).isEmpty)
+    // breaking the successive-approximation chain (refinement claims
+    // Ah=2 where the first scan left Al=1) rejects too
+    val badChain = full.clone()
+    badChain(lastSos + 13) = 0x20.toByte // AhAl 0x10 -> 0x20
+    assert(Multimodal.jpegDcStats(badChain).isEmpty)
+  }
+
   test("non-baseline and malformed streams are rejected, never mis-decoded") {
     val good = Multimodal.jpegDcPatternBytes(16, 16)
     assert(Multimodal.jpegDcStats("not a jpeg".getBytes).isEmpty)
     assert(Multimodal.jpegDcStats(good.take(20).toArray).isEmpty)
-    // flip SOF0 (0xC0) to SOF2 (0xC2, progressive): reject
+    // flip SOF0 (0xC0) to SOF2 (0xC2, progressive): the header is now
+    // accepted, but the stream's single scan is a full-spectrum baseline
+    // scan (Ss=0, Se=63) — not a legal progressive FIRST scan (must be
+    // the DC scan, Se=0) — so the scan-progression contract rejects
     val prog = good.clone()
     val sofAt = prog.indices.find(i =>
       (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
