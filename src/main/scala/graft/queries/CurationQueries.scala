@@ -8135,6 +8135,100 @@ object CurationQueries {
            |ORDER BY user_id, s_start""".stripMargin))
 
   // ---------------------------------------------------------------------
+  // Boolean/phrase full-text query (the PG tsvector/tsquery class)
+  // ---------------------------------------------------------------------
+
+  /** BOOLEAN/PHRASE FULL-TEXT QUERY — the PostgreSQL tsquery surface
+    * the reference's handlers reach through the delegated `db` handle
+    * (`/root/reference/src/processor.ts:26`): `to_tsvector(text) @@
+    * to_tsquery('a & b', '!c', 'a <-> b')` — AND / OR / NOT term
+    * combinators plus position-adjacency PHRASE match. The engine
+    * already had the ranked half (BM25, RRF, trigram fuzzy match);
+    * this is the boolean half real users filter with before ranking.
+    * Six representative queries (pure AND, phrase, AND NOT, OR-of-
+    * phrase, phrase AND NOT, mixed) return their full match lists.
+    *
+    * Shape: ONE corpus pass — posexplode keeps original token
+    * positions, the query-vocabulary `term IN (...)` filter prunes
+    * BEFORE any exchange (the bm25 idiom: only postings shuffle, never
+    * the corpus), and a doc-keyed `lead` window derives adjacency
+    * (next KEPT token is phrase-adjacent iff its position is pos+1 —
+    * exact, because a qualifying phrase's both words are in the kept
+    * vocabulary). The presence/phrase flags aggregate groups on the
+    * window's own partition key, so Catalyst plans window + aggregate
+    * on a single exchange; the six query evaluations read the
+    * localCheckpointed doc-sized flags frame (one row, 9 ints per
+    * matching doc). The oracle is an INDEPENDENT implementation:
+    * DuckDB space-padded LIKE scans (exact on the single-space
+    * corpus), so a positional bug cannot cancel out.
+    *
+    * Scale: postings-bounded by query vocabulary exactly like bm25;
+    * the adjacency window is doc-bounded; flags rows are one per doc
+    * containing >= 1 query term. At 100 TB this is the materialized
+    * positional-postings index probed per query — the GIN shape.
+    */
+  private val textFtsQuery = Q(
+    (s, dir) => {
+      val vocab = Seq("dup", "vector", "hash", "join", "scan", "filter",
+        "merge", "sort", "data", "table", "slow")
+      val toks = T(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+        .where(col("term").isin(vocab: _*))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      def has(t: String) =
+        max(when(col("term") === t, 1).otherwise(0)).as("has_" + t)
+      def phrase(a: String, b: String, name: String) =
+        max(when(col("npos") === col("pos") + 1 &&
+          col("term") === a && col("nterm") === b, 1).otherwise(0)).as(name)
+      val ev = toks
+        .withColumn("nterm", lead(col("term"), 1).over(w))
+        .withColumn("npos", lead(col("pos"), 1).over(w))
+        .groupBy(col("doc_id"))
+        .agg(has("dup"), has("vector"), has("scan"), has("filter"),
+          has("slow"),
+          phrase("hash", "join", "ph_hash_join"),
+          phrase("merge", "sort", "ph_merge_sort"),
+          phrase("data", "table", "ph_data_table"))
+        .localCheckpoint(true) // doc-sized; six query consumers
+      def q(id: String, cond: org.apache.spark.sql.Column) =
+        ev.where(cond).select(lit(id).as("query_id"),
+          col("doc_id").cast("long").as("doc_id"))
+      q("q1_and", col("has_dup") === 1 && col("has_vector") === 1)
+        .unionAll(q("q2_phrase", col("ph_hash_join") === 1))
+        .unionAll(q("q3_andnot",
+          col("has_scan") === 1 && col("has_filter") === 0))
+        .unionAll(q("q4_or",
+          col("has_dup") === 1 || col("ph_merge_sort") === 1))
+        .unionAll(q("q5_phrase_not",
+          col("ph_merge_sort") === 1 && col("has_slow") === 0))
+        .unionAll(q("q6_mixed", col("ph_data_table") === 1 ||
+          (col("has_dup") === 1 && col("has_vector") === 1)))
+        .orderBy(col("query_id"), col("doc_id"))
+    },
+    Some("""WITH d AS (
+           |  SELECT cast(doc_id as bigint) AS doc_id,
+           |    ' ' || text || ' ' AS t
+           |  FROM documents
+           |), m AS (
+           |  SELECT 'q1_and' AS query_id, doc_id FROM d
+           |    WHERE t LIKE '% dup %' AND t LIKE '% vector %'
+           |  UNION ALL SELECT 'q2_phrase', doc_id FROM d
+           |    WHERE t LIKE '% hash join %'
+           |  UNION ALL SELECT 'q3_andnot', doc_id FROM d
+           |    WHERE t LIKE '% scan %' AND t NOT LIKE '% filter %'
+           |  UNION ALL SELECT 'q4_or', doc_id FROM d
+           |    WHERE t LIKE '% dup %' OR t LIKE '% merge sort %'
+           |  UNION ALL SELECT 'q5_phrase_not', doc_id FROM d
+           |    WHERE t LIKE '% merge sort %' AND t NOT LIKE '% slow %'
+           |  UNION ALL SELECT 'q6_mixed', doc_id FROM d
+           |    WHERE t LIKE '% data table %'
+           |      OR (t LIKE '% dup %' AND t LIKE '% vector %')
+           |)
+           |SELECT query_id, doc_id FROM m
+           |ORDER BY query_id, doc_id""".stripMargin))
+
+  // ---------------------------------------------------------------------
   // Trigram similarity match (the pg_trgm class, prefix-filtered)
   // ---------------------------------------------------------------------
 
@@ -9744,6 +9838,130 @@ object CurationQueries {
             |JOIN documents f ON f.doc_id = nf.owner_doc
             |GROUP BY f.source, t.source
             |ORDER BY from_source, to_source""".stripMargin))
+
+  /** INCREMENTAL ExactSubstr gate — the r16 verdict's item 3: the
+    * exact-span family was batch-only, so every arrival cohort forced a
+    * full-corpus recompute. This op closes it with the persisted-store
+    * discipline of [[simIvfAppend]]: the gram-stats store (gk ->
+    * base count, base keep-first key) is BUILT once from the
+    * already-ingested corpus (doc_id % 4 != 0) and written to parquet;
+    * the ARRIVALS (doc_id % 4 == 0) then probe ONLY the store — their
+    * grams join store rows, total count = arrival count + store count,
+    * keep-first key = min(arrival fk, store fk) — and the proven island
+    * merge reconstructs each arrival document's maximal duplicated
+    * spans. The base corpus is never re-scanned at probe time.
+    *
+    * The oracle is the FULL-corpus span frame restricted to arrival
+    * docs — the strongest possible contract: a hash match PROVES the
+    * incremental computation equals the full recompute exactly (an
+    * arrival site's duplication status and owner depend only on its
+    * own gram's corpus-wide count and minimal site key, both of which
+    * the store + arrival-side aggregate reconstruct exactly).
+    *
+    * Determinism: the packed `doc_id*2^32 + pos` keys and integer
+    * islands of the span family; min() over packed keys commutes with
+    * the base/arrival split.
+    *
+    * Scale: this is how span dedup tracks a growing corpus at 100 TB —
+    * per-cohort work is one gram pass over the ARRIVALS plus a
+    * gk-keyed join against the store (gram-partitioned, the GIN-index
+    * shape); after gating, the cohort's own gram stats merge into the
+    * store by the same keyed append ([[simIvfAppend]]'s discipline),
+    * keeping the next probe exact. CurationSpec proves the sequential
+    * two-cohort probe+append protocol: cross-cohort duplicates are
+    * caught with correct first-owner attribution, the probe leaves the
+    * store byte-identical, and a replayed probe returns an identical
+    * frame.
+    */
+  /** L-gram stream of a documents frame — (doc_id, pos0, gk). */
+  private[graft] def substrGrams(df: DataFrame, L: Int): DataFrame = df
+    .select(col("doc_id"), split(col("text"), " ").as("w"))
+    .where(size(col("w")) >= L)
+    .select(col("doc_id"), posexplode(expr(
+      s"transform(sequence(1, size(w) - ${L - 1}), " +
+        s"i -> md5(array_join(slice(w, i, $L), ' ')))"))
+      .as(Seq("pos0", "gk")))
+
+  /** Gram-stats rows for the persisted store — (gk, c, fk); mergeable
+    * (counts sum, keep-first keys min), so cohort appends compose.
+    */
+  private[graft] def substrGramStats(df: DataFrame, L: Int): DataFrame =
+    substrGrams(df, L)
+      .groupBy(col("gk"))
+      .agg(count(lit(1)).as("c"),
+        min(col("doc_id") * lit(4294967296L) + col("pos0")).as("fk"))
+
+  /** Probe a cohort of ARRIVALS against the persisted gram-stats store
+    * (possibly multi-row per gk after appends — aggregated here by the
+    * mergeable (sum, min) fold) and reconstruct each arrival doc's
+    * maximal duplicated spans. The base corpus is never re-scanned.
+    */
+  private[graft] def substrIncrProbe(arrivals: DataFrame, store: DataFrame,
+      L: Int): DataFrame = {
+    val ag = substrGrams(arrivals, L)
+      .localCheckpoint(true) // two consumers: arrival stats + sites
+    val storeAgg = store.groupBy(col("gk"))
+      .agg(sum(col("c")).as("base_c"), min(col("fk")).as("base_fk"))
+    val merged = ag.groupBy(col("gk"))
+      .agg(count(lit(1)).as("arr_c"),
+        min(col("doc_id") * lit(4294967296L) + col("pos0")).as("arr_fk"))
+      .join(storeAgg, Seq("gk"), "left_outer")
+      .na.fill(0L, Seq("base_c"))
+      .where(col("arr_c") + col("base_c") >= 2)
+      .select(col("gk"),
+        when(col("base_fk").isNull, col("arr_fk"))
+          .otherwise(least(col("arr_fk"), col("base_fk"))).as("fk"))
+    val sites = ag.join(merged, Seq("gk"))
+      .select(col("doc_id"), col("pos0"), col("fk"))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos0"))
+    sites
+      .withColumn("prev_end", max(col("pos0") + lit(L - 1))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_isl",
+        when(col("prev_end").isNull || col("pos0") > col("prev_end") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("isl", sum(col("new_isl")).over(wOrd))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos0")).as("span_start"),
+        (max(col("pos0")) + lit(L - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_grams"),
+        min_by(col("fk"), col("pos0")).as("owner_fk"))
+      .select(col("doc_id"),
+        col("span_start").cast("long").as("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).cast("long")
+          .as("span_tokens"),
+        col("n_grams"), col("owner_fk"),
+        (col("owner_fk") ===
+          col("doc_id") * lit(4294967296L) + col("span_start"))
+          .as("is_first"))
+  }
+
+  private val dedupSubstrIncr = Q(
+    (s, dir) => {
+      val L = XS_L
+      val docs = TS(s, dir, "documents")
+      val base = scratchDir("substrstore")
+      // BUILD: the persisted gram-stats store over the ingested corpus
+      substrGramStats(docs.where(col("doc_id") % 4 =!= 0), L)
+        .write.mode("overwrite").parquet(base)
+      // PROBE: arrivals touch their own grams + the store, never the
+      // base corpus
+      val out = substrIncrProbe(docs.where(col("doc_id") % 4 === 0),
+          s.read.parquet(base), L)
+        .drop("owner_fk")
+        .orderBy(col("doc_id"), col("span_start"))
+        .localCheckpoint(true)
+      scratchDelete(base)
+      out
+    },
+    Some(s"""WITH $exactSubstrSpansSql
+            |SELECT doc_id, cast(span_start as bigint) AS span_start,
+            |  cast(span_end as bigint) AS span_end,
+            |  cast(span_end - span_start + 1 as bigint) AS span_tokens,
+            |  cast(n_grams as bigint) AS n_grams,
+            |  owner_fk = doc_id * 4294967296 + span_start AS is_first
+            |FROM sp WHERE doc_id % 4 = 0
+            |ORDER BY doc_id, span_start""".stripMargin))
 
   // ---------------------------------------------------------------------
   // ExactSubstr over BPE token IDS (the published method's native unit)
@@ -11977,6 +12195,7 @@ object CurationQueries {
     "ns_sim_maxsim_plaid" -> simMaxsimPlaid,
     "ns_sim_plaid_curve" -> simPlaidCurve,
     "ns_dedup_exact_substr" -> dedupExactSubstr,
+    "ns_dedup_substr_incr" -> dedupSubstrIncr,
     "ns_multimodal_jpeg_dc" -> multimodalJpegDc,
     "ns_multimodal_jpeg_color" -> multimodalJpegColor,
     "ns_multimodal_jpeg_420" -> multimodalJpeg420,
@@ -12007,6 +12226,7 @@ object CurationQueries {
     "ts_session_dynamic_gap" -> tsSessionDynamicGap,
     "ns_text_entropy_rate" -> textEntropyRate,
     "ns_text_trigram_match" -> textTrigramMatch,
+    "ns_text_fts_query" -> textFtsQuery,
     "ns_dedup_exact_substr_bpe" -> dedupExactSubstrBpe,
     "ns_corpus_grpo_groups" -> corpusGrpoGroups,
     "ns_corpus_split_js" -> corpusSplitJs,

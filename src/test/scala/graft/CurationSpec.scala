@@ -819,4 +819,69 @@ class CurationSpec extends SparkSpec {
     // without being a perfect proxy on random-ish fixtures (not 1)
     assert(meanRecall > 0.0, "truncated search found nothing — wiring bug")
   }
+
+  test("incremental ExactSubstr: sequential probe+append protocol — " +
+      "cross-cohort catch, read-only probe, replay equality") {
+    import spark.implicits._
+    import graft.queries.CurationQueries.{substrGramStats, substrIncrProbe}
+    val L = 8
+    // planted single-gram spans: S (8 tokens) first published by base
+    // doc 1; U (8 tokens) first published by cohort-A doc 4; all filler
+    // tokens globally unique so no accidental grams duplicate
+    val S = (1 to 8).map("s" + _).mkString(" ")
+    val U = (1 to 8).map("u" + _).mkString(" ")
+    val base = Seq(
+      (1L, s"f1 f2 $S f3 f4"), // S at pos 2
+      (2L, (1 to 9).map("g" + _).mkString(" "))).toDF("doc_id", "text")
+    val cohortA = Seq((4L, s"$S a1 a2 $U")).toDF("doc_id", "text") // S@0, U@10
+    val cohortB = Seq((8L, s"b1 $U b2 $S")).toDF("doc_id", "text") // U@1, S@10
+    val store = java.nio.file.Files.createTempDirectory("xsincr").toString
+    substrGramStats(base, L).write.mode("overwrite").parquet(store)
+    def fileHashes() = new java.io.File(store).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .map(f => (f.getName, f.length(),
+        java.util.Arrays.hashCode(java.nio.file.Files.readAllBytes(f.toPath))))
+      .toSeq
+    val preProbe = fileHashes()
+    // ---- cohort A probes the base store ----
+    val fa = substrIncrProbe(cohortA, spark.read.parquet(store), L)
+      .orderBy("doc_id", "span_start").collect()
+    assert(fileHashes() == preProbe, "probe must leave the store untouched")
+    assert(fa.length == 1, s"cohort A: ${fa.toSeq}")
+    assert(fa(0).getAs[Long]("doc_id") == 4L &&
+      fa(0).getAs[Long]("span_start") == 0L &&
+      fa(0).getAs[Long]("span_end") == 7L &&
+      fa(0).getAs[Long]("owner_fk") == 1L * 4294967296L + 2L &&
+      !fa(0).getAs[Boolean]("is_first"),
+      s"S dup vs base with doc-1 ownership: ${fa(0)}")
+    // U is new to the world at cohort A time: no span for it yet
+    // ---- cohort A's stats APPEND to the store (mergeable fold) ----
+    substrGramStats(cohortA, L).write.mode("append").parquet(store)
+    // ---- cohort B probes the grown store ----
+    val probeB = substrIncrProbe(cohortB, spark.read.parquet(store), L)
+      .orderBy("doc_id", "span_start")
+    val fb = probeB.collect()
+    assert(fb.length == 2, s"cohort B: ${fb.toSeq}")
+    // U: the CROSS-COHORT catch — only the append makes it visible
+    assert(fb(0).getAs[Long]("span_start") == 1L &&
+      fb(0).getAs[Long]("span_end") == 8L &&
+      fb(0).getAs[Long]("owner_fk") == 4L * 4294967296L + 10L &&
+      !fb(0).getAs[Boolean]("is_first"),
+      s"U dup vs cohort A with doc-4 ownership: ${fb(0)}")
+    assert(fb(1).getAs[Long]("span_start") == 10L &&
+      fb(1).getAs[Long]("owner_fk") == 1L * 4294967296L + 2L,
+      s"S ownership stays with base doc 1 through the merge: ${fb(1)}")
+    // negative control: against the UN-appended base store, the U span
+    // is invisible — the append is what makes span dedup continuous
+    val baseOnly = java.nio.file.Files.createTempDirectory("xsbase").toString
+    substrGramStats(base, L).write.mode("overwrite").parquet(baseOnly)
+    val fbBase = substrIncrProbe(cohortB, spark.read.parquet(baseOnly), L)
+      .collect()
+    assert(fbBase.length == 1 && fbBase(0).getAs[Long]("span_start") == 10L,
+      s"base-only probe must miss U: ${fbBase.toSeq}")
+    // replay equality: the same probe over the same store state is
+    // deterministic row-for-row
+    val fb2 = probeB.collect()
+    assert(fb.toSeq == fb2.toSeq, "replayed probe diverged")
+  }
 }
