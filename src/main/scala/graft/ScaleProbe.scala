@@ -367,7 +367,30 @@ object ScaleProbe {
       // r16: split JS = one token pass into (split, term) counts;
       // replication multiplies counts, not vocabulary — the pair joins
       // and entropy folds run over the flat term table
-      "ns_corpus_split_js")
+      "ns_corpus_split_js",
+      // r17: FTS = query-vocabulary postings (replication multiplies
+      // postings linearly) through one doc-keyed window+agg exchange —
+      // expected ~linear in text volume
+      "ns_text_fts_query",
+      // r17: the percolator twin = two real micro-batches of stateless
+      // map-only matching + the file-sink replay — wall should track
+      // doc volume plus the fixed stream-harness cost (the hh_stream
+      // class)
+      "ns_text_fts_stream",
+      // r17: incremental span gate = store build over base + arrival
+      // probe; replication multiplies BOTH sides of the gk join and
+      // every gram's df — the exact-substr stress class
+      "ns_dedup_substr_incr",
+      // r17: the published L=50 point — same frame as the L=20 probe
+      // above; gram count per doc shrinks by L-1, so the id-gram volume
+      // should sit BELOW the L=20 row at the same multiplier
+      "ns_dedup_exact_substr_bpe50",
+      // r17: symmetric trigram join = distinct-collapse makes the
+      // entity table replication-INVARIANT (clone titles dedup into one
+      // signature), so the candidate self-join should be near-flat —
+      // the same claim the probe-vs-index r16 row proved, now for the
+      // self-join
+      "ns_text_trigram_join")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected

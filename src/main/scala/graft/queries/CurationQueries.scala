@@ -1110,6 +1110,117 @@ object CurationQueries {
             |  (hits * 1000000) // 80 AS recall5_e6
             |FROM h ORDER BY bits DESC""".stripMargin))
 
+  /** BINARY QUANTIZATION search — the 1-bit rung below the
+    * [[simSqLadder]] (int8/int4/int2): each 64-dim vector packs to 64
+    * SIGN bits (the BQ/RaBitQ serving shape every major vector store
+    * now ships), candidates shortlist by HAMMING distance
+    * (xor + bit_count on two sign-safe 32-bit words), and only the
+    * top-20 shortlist pays the exact re-rank — the two-stage contract
+    * that makes 1-bit storage usable: 64x smaller index, exact
+    * distances only on the shortlist. Each emitted row carries
+    * `in_exact` (membership in the exhaustive top-5), so the query is
+    * its own recall audit — directly comparable to the ladder's
+    * int2 row (binary-with-rerank vs 2-bit-without).
+    *
+    * Determinism: the sign test is an exact float comparison; packing,
+    * xor, bit_count, and the 16384-grid re-rank distances are integer;
+    * all rankings tie-break on the lowest id.
+    *
+    * Scale: packing is one map-only pass (two bigint words per
+    * vector); the Hamming pass scans words, not vectors (16 bytes per
+    * candidate vs 256); the re-rank window is probe-bounded
+    * (WindowGroupLimit) and exact distances touch 20 rows per query.
+    * The exhaustive branch is the declared audit, dropped at scale.
+    */
+  private val simBinaryQuant = Q(
+    (s, dir) => {
+      graft.expressions.SquaredL2.registerIn(s)
+      val v = NorthStarQueries.kmeansQuantized(s, dir)
+        .join(TS(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+          Seq("vec_id"))
+      def packExpr(lo: Int) =
+        s"aggregate(sequence($lo, ${lo + 31}), cast(0 as bigint), " +
+          "(acc, i) -> acc + IF(cast(element_at(embedding, i) as double) > 0.0D, " +
+          s"shiftleft(cast(1 as bigint), i - $lo), cast(0 as bigint)))"
+      val bq = v.select(col("vec_id"), col("xq"),
+          expr(packExpr(1)).as("w0"), expr(packExpr(33)).as("w1"))
+        .localCheckpoint(true) // corpus side + query side + exact audit
+      val qs = bq.where(col("vec_id") < 16)
+        .select(col("vec_id").as("q_id"), col("xq").as("qx"),
+          col("w0").as("qw0"), col("w1").as("qw1"))
+      val wH = Window.partitionBy(col("q_id"))
+        .orderBy(col("hamming"), col("c_id"))
+      val wR = Window.partitionBy(col("q_id")).orderBy(col("d"), col("c_id"))
+      val rer = bq
+        .select(col("vec_id").as("c_id"), col("xq").as("cx"),
+          col("w0"), col("w1"))
+        .join(broadcast(qs), col("q_id") =!= col("c_id"))
+        .withColumn("hamming", expr(
+          "cast(bit_count(qw0 ^ w0) + bit_count(qw1 ^ w1) as bigint)"))
+        .withColumn("hrn", row_number().over(wH))
+        .where(col("hrn") <= 20)
+        .withColumn("d", expr("sq_l2(qx, cx)"))
+        .withColumn("rnk", row_number().over(wR).cast("long"))
+        .where(col("rnk") <= 5)
+      val exact = bq.select(col("vec_id").as("c_id"), col("xq").as("cx"))
+        .join(broadcast(qs.select(col("q_id"), col("qx"))),
+          col("q_id") =!= col("c_id"))
+        .withColumn("d", expr("sq_l2(qx, cx)"))
+        .withColumn("ern", row_number().over(wR))
+        .where(col("ern") <= 5)
+        .select(col("q_id").as("eq"), col("c_id").as("ec"))
+      rer.join(exact,
+          col("q_id") === col("eq") && col("c_id") === col("ec"), "left")
+        .select(col("q_id"), col("rnk"), col("c_id"), col("hamming"),
+          col("d").cast("long").as("d_grid"),
+          col("ec").isNotNull.as("in_exact"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some("""WITH v AS (
+           |  SELECT vec_id, embedding,
+           |    list_transform(embedding,
+           |      x -> cast(floor(x::double * 16384) as bigint)) AS xq
+           |  FROM embeddings
+           |), bq AS (
+           |  SELECT vec_id, xq,
+           |    list_sum(list_transform(generate_series(1, 32), i ->
+           |      CASE WHEN embedding[i]::double > 0.0
+           |        THEN (1::BIGINT << (i - 1)) ELSE 0 END)) AS w0,
+           |    list_sum(list_transform(generate_series(33, 64), i ->
+           |      CASE WHEN embedding[i]::double > 0.0
+           |        THEN (1::BIGINT << (i - 33)) ELSE 0 END)) AS w1
+           |  FROM v
+           |), pairs AS (
+           |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           |    cast(bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1))
+           |      as bigint) AS hamming,
+           |    list_sum(list_transform(generate_series(1, len(q.xq)),
+           |      i -> (q.xq[i] - c.xq[i]) * (q.xq[i] - c.xq[i]))) AS d
+           |  FROM bq q JOIN bq c ON q.vec_id < 16 AND q.vec_id <> c.vec_id
+           |), short AS (
+           |  SELECT q_id, c_id, hamming, d FROM (
+           |    SELECT q_id, c_id, hamming, d,
+           |      row_number() OVER (PARTITION BY q_id
+           |        ORDER BY hamming, c_id) AS hrn
+           |    FROM pairs) WHERE hrn <= 20
+           |), rer AS (
+           |  SELECT q_id, c_id, hamming, d,
+           |    cast(row_number() OVER (PARTITION BY q_id ORDER BY d, c_id)
+           |      as bigint) AS rnk
+           |  FROM short
+           |), ex AS (
+           |  SELECT q_id, c_id FROM (
+           |    SELECT q_id, c_id,
+           |      row_number() OVER (PARTITION BY q_id ORDER BY d, c_id) AS ern
+           |    FROM pairs) WHERE ern <= 5
+           |)
+           |SELECT r.q_id, r.rnk, r.c_id, r.hamming,
+           |  cast(r.d as bigint) AS d_grid,
+           |  ex.c_id IS NOT NULL AS in_exact
+           |FROM rer r LEFT JOIN ex ON ex.q_id = r.q_id AND ex.c_id = r.c_id
+           |WHERE r.rnk <= 5
+           |ORDER BY r.q_id, r.rnk""".stripMargin))
+
   // ---------------------------------------------------------------------
   // IVF + PQ combined search (the FAISS IVFPQ architecture)
   // ---------------------------------------------------------------------
@@ -8228,6 +8339,69 @@ object CurationQueries {
            |SELECT query_id, doc_id FROM m
            |ORDER BY query_id, doc_id""".stripMargin))
 
+  /** STANDING FTS QUERIES over the document STREAM — the percolator
+    * twin of [[textFtsQuery]] (PG users run exactly this as a
+    * LISTEN/NOTIFY consumer of `to_tsvector(new.text) @@ tsquery`):
+    * documents arrive as two mtime-pinned micro-batch files, each is
+    * routed through the six standing boolean/phrase queries by the
+    * STATELESS map-only matcher ([[graft.streaming.DocumentStreams
+    * .ftsMatch]] — per-row token-array HOFs, no state store), and
+    * matches land through the parquet file sink whose `_spark_metadata`
+    * log is the exactly-once contract: the stream is REPLAYED from the
+    * same checkpoint over the same input and the query itself requires
+    * the match count unchanged — a re-emitting percolator fails the
+    * gate loudly. Because matching is stateless, the stream's lifetime
+    * match set provably equals the batch query's result, so the gate
+    * oracle is the batch SQL verbatim.
+    *
+    * Scale: per-micro-batch cost is map-only matching over the
+    * arrivals + a transactional append; no shuffle anywhere in the
+    * stream.
+    */
+  private val textFtsStream = Q(
+    (s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val base = scratchDir("ftsstream")
+      val inDir = s"$base/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+      val docs = T(s, dir, "documents")
+      Seq(0, 1).foreach { p =>
+        val part = s"$base/part$p"
+        docs.where(col("doc_id") % 2 === p)
+          .coalesce(1).write.mode("overwrite").parquet(part)
+        val f = new java.io.File(part).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = java.nio.file.Paths.get(s"$inDir/batch$p.parquet")
+        java.nio.file.Files.move(f.toPath, dst)
+        dst.toFile.setLastModified(1700000000000L + p * 60000L)
+      }
+      def run(): Unit = {
+        val q = graft.streaming.DocumentStreams.ftsMatch(
+            s.readStream.schema(graft.Tables.schemas("documents"))
+              .option("maxFilesPerTrigger", "1").parquet(inDir))
+          .writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/cp")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      run()
+      val n1 = s.read.parquet(s"$base/out").count()
+      run() // replay from the same checkpoint over the same input
+      val n2 = s.read.parquet(s"$base/out").count()
+      // exactly-once is part of the QUERY contract, not just a spec
+      require(n1 == n2,
+        s"standing-query replay re-emitted matches: $n1 -> $n2")
+      val out = s.read.parquet(s"$base/out")
+        .orderBy(col("query_id"), col("doc_id"))
+        .localCheckpoint(true)
+      scratchDelete(base)
+      out
+    },
+    textFtsQuery.oracle)
+
   // ---------------------------------------------------------------------
   // Trigram similarity match (the pg_trgm class, prefix-filtered)
   // ---------------------------------------------------------------------
@@ -12382,11 +12556,13 @@ object CurationQueries {
     "ns_text_trigram_match" -> textTrigramMatch,
     "ns_text_fts_query" -> textFtsQuery,
     "ns_text_trigram_join" -> textTrigramJoin,
+    "ns_text_fts_stream" -> textFtsStream,
     "ns_dedup_exact_substr_bpe" -> dedupExactSubstrBpe,
     "ns_dedup_exact_substr_bpe50" -> dedupExactSubstrBpe50,
     "ns_corpus_grpo_groups" -> corpusGrpoGroups,
     "ns_corpus_split_js" -> corpusSplitJs,
     "ns_sim_sq_ladder" -> simSqLadder,
+    "ns_sim_binary_quant" -> simBinaryQuant,
     "ts_ab_lift" -> tsAbLift,
     "src_csv_malformed" -> srcCsvMalformed,
     "ns_multimodal_audio_stats" -> multimodalAudioStats,

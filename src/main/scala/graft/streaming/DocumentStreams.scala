@@ -236,6 +236,40 @@ object DocumentStreams {
       .toDF()
   }
 
+  /** STANDING boolean/phrase full-text queries over the document
+    * stream — the PG "percolator" shape (a LISTEN/NOTIFY consumer of
+    * `to_tsvector(new.text) @@ tsquery`): every arriving document is
+    * evaluated against the six standing queries of the batch
+    * `ns_text_fts_query` and emits one row per query it matches.
+    * Evaluation is per-row HOFs over the token array (membership +
+    * in-array adjacency for phrases) — STATELESS map-only, no state
+    * store, no watermark — so the stream's lifetime match set provably
+    * equals the batch query's result and the gate oracle is the batch
+    * SQL verbatim.
+    *
+    * At scale: the standing-query set is a broadcast-sized dictionary
+    * (here six literals); per-document cost is one pass over its own
+    * tokens per query atom. This is the router stage of a percolation
+    * pipeline — downstream consumers subscribe per query_id.
+    */
+  def ftsMatch(docs: DataFrame): DataFrame = {
+    val w = docs.withColumn("w", split(col("text"), " "))
+    def has(t: String) = array_contains(col("w"), t)
+    def phrase(a: String, b: String) =
+      expr(s"size(w) >= 2 AND exists(sequence(1, size(w) - 1), " +
+        s"i -> element_at(w, i) = '$a' AND element_at(w, i + 1) = '$b')")
+    w.select(col("doc_id").cast("long").as("doc_id"),
+        explode(filter(array(
+          when(has("dup") && has("vector"), "q1_and"),
+          when(phrase("hash", "join"), "q2_phrase"),
+          when(has("scan") && !has("filter"), "q3_andnot"),
+          when(has("dup") || phrase("merge", "sort"), "q4_or"),
+          when(phrase("merge", "sort") && !has("slow"), "q5_phrase_not"),
+          when(phrase("data", "table") || (has("dup") && has("vector")),
+            "q6_mixed")), x => x.isNotNull)).as("query_id"))
+      .select(col("query_id"), col("doc_id"))
+  }
+
   /** Incremental-ingest gate, the streaming form of the batch
     * `ns_dedup_incremental` exact path: arriving documents are dropped
     * if their content hash already exists in the STATIC existing-corpus
