@@ -1722,6 +1722,302 @@ object Multimodal {
     out.toByteArray
   }
 
+  // ---------------------------------------------------------------------
+  // GIF (LZW) pixel-index statistics — the second real codec family
+  // ---------------------------------------------------------------------
+
+  /** REAL GIF decode at the pixel-index tier — the LZW analog of
+    * [[jpegDcStats]]'s Huffman/DCT ladder: parses GIF87a/GIF89a
+    * (logical screen descriptor, global/local color tables, 89a
+    * extension blocks skipped through their sub-block grammar), then
+    * LZW-decompresses the single image's table-based data — variable
+    * code width (LSB-first bit packing, the opposite of JPEG's
+    * MSB-first), CLEAR/EOI control codes, dictionary growth with the
+    * KwKwK (`code == next`) case, width bumps at `next == 2^width`,
+    * deferred clear at 4096 — folding exact integer stats over the
+    * decoded COLOR INDICES. Returns (width, height, nPixels, sumIdx,
+    * minIdx, maxIdx); requires the stream to decode to exactly
+    * width*height pixels and end at EOI. None for interlaced images,
+    * truncated streams, or any code outside the dictionary — reject,
+    * never mis-decode. GifLzwSpec cross-checks against the JDK's own
+    * GIF decode (gray palette makes pixel value == index).
+    */
+  def gifIndexStats(b: Array[Byte]): Option[(Long, Long, Long, Long, Long, Long)] =
+    try gifIndexStatsImpl(b)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def gifIndexStatsImpl(
+      b: Array[Byte]): Option[(Long, Long, Long, Long, Long, Long)] = {
+    if (b.length < 14) return None
+    val sig = new String(b, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    def le16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    val sw = le16(6)
+    val sh = le16(8)
+    val packed = b(10) & 0xff
+    var pos = 13
+    if ((packed & 0x80) != 0) pos += 3 * (1 << ((packed & 7) + 1)) // GCT
+    while (pos < b.length) {
+      val bt = b(pos) & 0xff
+      if (bt == 0x3b) return None // trailer before any image
+      else if (bt == 0x21) { // 89a extension: label byte + sub-blocks
+        pos += 2
+        var n = -1
+        while (n != 0) {
+          if (pos >= b.length) return None
+          n = b(pos) & 0xff
+          pos += 1 + n
+        }
+      } else if (bt == 0x2c) { // image descriptor
+        if (pos + 10 > b.length) return None
+        val iw = le16(pos + 5)
+        val ih = le16(pos + 7)
+        val ip = b(pos + 9) & 0xff
+        if ((ip & 0x40) != 0) return None // interlaced: reject
+        pos += 10
+        if ((ip & 0x80) != 0) pos += 3 * (1 << ((ip & 7) + 1)) // local CT
+        if (pos >= b.length) return None
+        val minCode = b(pos) & 0xff
+        pos += 1
+        if (minCode < 2 || minCode > 8) return None
+        val data = new java.io.ByteArrayOutputStream()
+        var n = -1
+        while (n != 0) {
+          if (pos >= b.length) return None
+          n = b(pos) & 0xff
+          if (pos + 1 + n > b.length) return None
+          data.write(b, pos + 1, n)
+          pos += 1 + n
+        }
+        if (iw <= 0 || ih <= 0) return None
+        return gifLzwStats(data.toByteArray, minCode, iw.toLong * ih, sw, sh)
+      } else return None
+    }
+    None
+  }
+
+  /** LZW-decode `d` (concatenated sub-block payloads) and fold index
+    * stats; exact-pixel-count and in-dictionary checks reject anything
+    * malformed.
+    */
+  private def gifLzwStats(d: Array[Byte], minCode: Int, nPix: Long,
+      w: Int, h: Int): Option[(Long, Long, Long, Long, Long, Long)] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    var width = minCode + 1
+    var next = eoi + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Int](4096)
+    val stack = new Array[Int](4096)
+    var bitPos = 0L
+    val totalBits = d.length.toLong * 8
+    def readCode(): Int = {
+      if (bitPos + width > totalBits) return -1
+      var v = 0
+      var i = 0
+      while (i < width) { // LSB-first across bytes (GIF, unlike JPEG)
+        val bp = bitPos + i
+        v |= (((d((bp >> 3).toInt) & 0xff) >> (bp & 7).toInt) & 1) << i
+        i += 1
+      }
+      bitPos += width
+      v
+    }
+    var count = 0L
+    var sum = 0L
+    var mn = Long.MaxValue
+    var mx = Long.MinValue
+    def emit(idx: Int): Boolean = {
+      count += 1
+      if (count > nPix) return false
+      sum += idx
+      if (idx < mn) mn = idx
+      if (idx > mx) mx = idx
+      true
+    }
+    // expand a code onto the stack; returns the stack depth, or -1 on a
+    // corrupt prefix chain; stack(top-1..0) is the string in order
+    def expand(code: Int): Int = {
+      var c = code
+      var sp = 0
+      while (c >= clear + 2) {
+        if (sp >= stack.length || c >= next) return -1
+        stack(sp) = suffix(c)
+        sp += 1
+        c = prefix(c)
+      }
+      if (c >= clear) return -1 // chain must bottom out at a root
+      stack(sp) = c
+      sp + 1
+    }
+    var prev = -1
+    while (true) {
+      val c = readCode()
+      if (c < 0) return None
+      if (c == clear) {
+        next = eoi + 1
+        width = minCode + 1
+        prev = -1
+      } else if (c == eoi) {
+        if (count != nPix) return None
+        return Some((w.toLong, h.toLong, nPix, sum, mn, mx))
+      } else if (prev == -1) {
+        if (c >= clear) return None // first code after clear: a root
+        if (!emit(c)) return None
+        prev = c
+      } else {
+        var sp = -1
+        if (c < next) {
+          sp = expand(c)
+          if (sp < 0) return None
+        } else if (c == next && next < 4096) {
+          // KwKwK: string(prev) + first(string(prev))
+          val spPrev = expand(prev)
+          if (spPrev < 0) return None
+          // shift up one slot and append first char at the bottom
+          var i = spPrev
+          while (i > 0) { stack(i) = stack(i - 1); i -= 1 }
+          stack(0) = stack(spPrev) // first char = bottom of prev's stack
+          sp = spPrev + 1
+        } else return None
+        val firstCh = stack(sp - 1)
+        var i = sp - 1
+        while (i >= 0) {
+          if (!emit(stack(i))) return None
+          i -= 1
+        }
+        if (next < 4096) { // deferred clear: full dictionary stops adds
+          prefix(next) = prev
+          suffix(next) = firstCh
+          next += 1
+          if (next == (1 << width) && width < 12) width += 1
+        }
+        prev = c
+      }
+    }
+    None
+  }
+
+  /** GIF89a fixture with REAL LZW compression: a 256-entry grayscale
+    * ramp palette (pixel value == index, so the JDK cross-check is
+    * exact) and the deterministic index pattern
+    * `idx(p) = ((7*p) mod 32) * 8` whose period-32 repeats exercise
+    * genuine dictionary growth (multi-character entries, width bumps,
+    * and — on larger images — the 4096-entry clear). The encoder is a
+    * textbook greedy-longest-match LZW whose emitted code widths track
+    * the DECODER's dictionary view (the decoder lags one entry behind
+    * the encoder, so widths are driven by a simulated decoder counter —
+    * the subtle bit every GIF codec pair must agree on). A graphic
+    * control extension block is included so the 89a extension-skip
+    * grammar is exercised on every fixture.
+    */
+  def gifPatternBytes(width: Int, height: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def b(xs: Int*): Unit = xs.foreach(x => out.write(x & 0xff))
+    out.write("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    b(width & 0xff, width >> 8, height & 0xff, height >> 8, 0xf7, 0x00, 0x00)
+    (0 until 256).foreach(i => b(i, i, i)) // gray ramp GCT
+    b(0x21, 0xf9, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00) // GCE (no transparency)
+    b(0x2c, 0, 0, 0, 0,
+      width & 0xff, width >> 8, height & 0xff, height >> 8, 0x00)
+    b(0x08) // LZW minimum code size
+    val minCode = 8
+    val clearCode = 1 << minCode
+    val eoiCode = clearCode + 1
+    // bit packer, LSB-first
+    val ent = new java.io.ByteArrayOutputStream()
+    var cur = 0
+    var nbits = 0
+    // the decoder's view: width bumps when ITS next counter (one entry
+    // behind the encoder's) reaches 2^width
+    var decWidth = minCode + 1
+    var decNext = eoiCode + 1
+    var emitted = 0 // non-control codes since the last clear
+    def putCode(code: Int, control: Boolean): Unit = {
+      var i = 0
+      while (i < decWidth) {
+        cur |= ((code >> i) & 1) << nbits
+        nbits += 1
+        if (nbits == 8) { ent.write(cur); cur = 0; nbits = 0 }
+        i += 1
+      }
+      if (!control) {
+        if (emitted >= 1) { // the decoder adds one entry per code after the first
+          decNext += 1
+          if (decNext == (1 << decWidth) && decWidth < 12) decWidth += 1
+        }
+        emitted += 1
+      }
+    }
+    val dict = new java.util.HashMap[Integer, Integer]()
+    var encNext = eoiCode + 1
+    def reset(): Unit = {
+      dict.clear()
+      encNext = eoiCode + 1
+      decWidth = minCode + 1
+      decNext = eoiCode + 1
+      emitted = 0
+    }
+    val nPix = width.toLong * height
+    def idx(p: Long): Int = (((7 * p) % 32) * 8).toInt
+    putCode(clearCode, control = true)
+    var curStr = idx(0)
+    var p = 1L
+    while (p < nPix) {
+      val k = idx(p)
+      val key = Integer.valueOf((curStr << 8) | k)
+      val hit = dict.get(key)
+      if (hit != null) curStr = hit.intValue()
+      else {
+        putCode(curStr, control = false)
+        if (encNext < 4096) {
+          dict.put(key, Integer.valueOf(encNext))
+          encNext += 1
+        } else {
+          putCode(clearCode, control = true)
+          reset()
+        }
+        curStr = k
+      }
+      p += 1
+    }
+    putCode(curStr, control = false)
+    putCode(eoiCode, control = true)
+    if (nbits > 0) { ent.write(cur); cur = 0; nbits = 0 }
+    val payload = ent.toByteArray
+    var off = 0
+    while (off < payload.length) { // 255-byte sub-blocks
+      val n = math.min(255, payload.length - off)
+      out.write(n)
+      out.write(payload, off, n)
+      off += n
+    }
+    b(0x00, 0x3b) // block terminator + trailer
+    out.toByteArray
+  }
+
+  final case class GifStatsRow(
+      fileId: Long, width: Long, height: Long, nPixels: Long,
+      sumIdx: Long, minIdx: Long, maxIdx: Long, valid: Boolean)
+
+  /** Partition-mapped GIF index stats — the [[parseAll]] narrow shape. */
+  def gifStatsAll(df: DataFrame): Dataset[GifStatsRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("file_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          gifIndexStats(bytes) match {
+            case Some((w, h, np, s, mn, mx)) =>
+              GifStatsRow(id, w, h, np, s, mn, mx, valid = true)
+            case None =>
+              GifStatsRow(id, 0L, 0L, 0L, 0L, 0L, 0L, valid = false)
+          }
+        }
+      }
+  }
+
   def sampleFrames(df: DataFrame, frames: Int = 4, bytesPerFrame: Int = 8): Dataset[MediaFrame] = {
     val spark = df.sparkSession
     import spark.implicits._

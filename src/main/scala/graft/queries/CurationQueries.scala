@@ -9581,6 +9581,68 @@ object CurationQueries {
            |    AS mean_level_e3
            |FROM sm ORDER BY file_id""".stripMargin))
 
+  /** GIF PIXEL-INDEX statistics — the second real CODEC family in the
+    * multimodal ladder (LZW after the JPEG tier's Huffman/DCT): real
+    * GIF87a/89a parsing (screen descriptor, color tables, 89a extension
+    * blocks through their sub-block grammar) and a real LZW
+    * decompression — variable code width LSB-first, CLEAR/EOI,
+    * dictionary growth with the KwKwK case, width bumps, deferred
+    * clear — folding exact integer stats over the decoded color
+    * indices. Fixtures carry the deterministic period-32 index pattern
+    * through REAL compression (multi-character dictionary entries, not
+    * a literals-only stream), so a decoder that mis-handles the
+    * encoder/decoder dictionary lag desyncs and hash-fails; GifLzwSpec
+    * cross-checks pixel-for-pixel against the JDK's own GIF decode.
+    *
+    * Scale: the parseAll narrow shape — one partition-mapped decode,
+    * no shuffle.
+    */
+  private val multimodalGifStats = Q(
+    (s, dir) => {
+      val base = scratchDir("gifstats")
+      val p = java.nio.file.Paths.get(base)
+      T(s, dir, "nation").select(col("n_nationkey")).collect() // 25-row dim
+        .foreach { r =>
+          val k = r.getInt(0)
+          java.nio.file.Files.write(p.resolve(f"g_$k%02d.gif"),
+            graft.operators.Multimodal.gifPatternBytes(16 + k, 10 + (k % 7)))
+        }
+      val scanned = s.read.format("binaryFile").load(base)
+        .select(regexp_extract(col("path"), "g_(\\d+)\\.", 1).cast("long")
+          .as("file_id"), col("content"))
+      val out = graft.operators.Multimodal.gifStatsAll(scanned).toDF()
+        .select(col("fileId").as("file_id"), col("width"), col("height"),
+          col("nPixels").as("n_pixels"), col("sumIdx").as("sum_idx"),
+          col("minIdx").as("min_idx"), col("maxIdx").as("max_idx"),
+          col("valid"))
+        .withColumn("mean_idx_e3", expr("(sum_idx * 1000) div n_pixels"))
+        .orderBy(col("file_id"))
+        .localCheckpoint(true)
+      scratchDelete(base)
+      out
+    },
+    Some("""WITH g AS (
+           |  SELECT cast(n_nationkey as bigint) AS k,
+           |    cast(16 + n_nationkey as bigint) AS w,
+           |    cast(10 + (n_nationkey % 7) as bigint) AS h
+           |  FROM nation
+           |), ds AS (
+           |  SELECT k, w, h, w * h AS n_pixels,
+           |    unnest(generate_series(0, w * h - 1)) AS j
+           |  FROM g
+           |), dd AS (
+           |  SELECT k, w, h, n_pixels, ((7 * j) % 32) * 8 AS v FROM ds
+           |), sm AS (
+           |  SELECT k, w, h, n_pixels, cast(sum(v) as bigint) AS sum_idx,
+           |    cast(min(v) as bigint) AS min_idx,
+           |    cast(max(v) as bigint) AS max_idx
+           |  FROM dd GROUP BY k, w, h, n_pixels
+           |)
+           |SELECT k AS file_id, w AS width, h AS height, n_pixels,
+           |  sum_idx, min_idx, max_idx, true AS valid,
+           |  (sum_idx * 1000) // n_pixels AS mean_idx_e3
+           |FROM sm ORDER BY file_id""".stripMargin))
+
   // ---------------------------------------------------------------------
   // Two-stage MaxSim (IVF shortlist -> late-interaction re-rank)
   // ---------------------------------------------------------------------
@@ -12529,6 +12591,7 @@ object CurationQueries {
     "ns_multimodal_jpeg_420" -> multimodalJpeg420,
     "ns_multimodal_jpeg_422" -> multimodalJpeg422,
     "ns_multimodal_jpeg_prog" -> multimodalJpegProg,
+    "ns_multimodal_gif_stats" -> multimodalGifStats,
     "ns_multimodal_audio_stereo" -> multimodalAudioStereo,
     "ns_quality_rank_normalize" -> qualityRankNormalize,
     "ns_sample_histogram_match" -> sampleHistogramMatch,

@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.Multimodal
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The GIF LZW-decode tier: [[Multimodal.gifIndexStats]] must really
+  * LZW-decompress — verified two independent ways: (a) closed form
+  * against the generator's index pattern, (b) against the JDK's own
+  * GIF decode of the same bytes (the gray ramp palette makes every
+  * decoded pixel value equal its color index).
+  */
+class GifLzwSpec extends AnyFunSuite {
+
+  private def idx(p: Long): Long = ((7 * p) % 32) * 8
+
+  test("GIF LZW decode matches the generator's pattern in closed form") {
+    for ((w, h) <- Seq((16, 10), (40, 16), (7, 7), (1, 1), (64, 48), (97, 31))) {
+      val bytes = Multimodal.gifPatternBytes(w, h)
+      val n = w.toLong * h
+      val vals = (0L until n).map(idx)
+      val got = Multimodal.gifIndexStats(bytes)
+      assert(got.contains((w.toLong, h.toLong, n,
+        vals.sum, vals.min, vals.max)), s"($w x $h): $got")
+    }
+  }
+
+  test("a large image crosses LZW width bumps and stays exact") {
+    // 256x256 = 65536 pixels of a period-32 pattern: the dictionary
+    // grows through the 9->10->11->12 bit widths (and possibly a
+    // mid-stream clear) — any width-accounting bug desyncs immediately
+    val (w, h) = (256, 256)
+    val bytes = Multimodal.gifPatternBytes(w, h)
+    val n = w.toLong * h
+    val vals = (0L until n).map(idx)
+    assert(Multimodal.gifIndexStats(bytes)
+      .contains((w.toLong, h.toLong, n, vals.sum, vals.min, vals.max)))
+  }
+
+  test("GIF decode agrees with the JDK's own decode pixel-for-pixel") {
+    val (w, h) = (40, 16)
+    val bytes = Multimodal.gifPatternBytes(w, h)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "JDK could not decode the generated GIF")
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = y.toLong * w + x
+      val expect = idx(p).toInt
+      val got = (img.getRGB(x, y) >> 8) & 0xff // green of the gray ramp
+      assert(got == expect, s"pixel ($x,$y): JDK=$got, LZW-derived=$expect")
+    }
+  }
+
+  test("malformed and unsupported GIFs reject, never mis-decode") {
+    val good = Multimodal.gifPatternBytes(16, 16)
+    assert(Multimodal.gifIndexStats("not a gif".getBytes).isEmpty)
+    assert(Multimodal.gifIndexStats(good.take(30).toArray).isEmpty)
+    // truncate mid-entropy-data: the exact-pixel-count check rejects
+    assert(Multimodal.gifIndexStats(good.dropRight(8).toArray).isEmpty)
+    // flip the interlace flag: reject (deinterlacing unsupported)
+    val desc = good.indices.find(i => (good(i) & 0xff) == 0x2c &&
+      i > 13 + 768).get // first image separator after the GCT
+    val inter = good.clone()
+    inter(desc + 9) = (inter(desc + 9) | 0x40).toByte
+    assert(Multimodal.gifIndexStats(inter).isEmpty)
+    // corrupt a code mid-stream so an out-of-dictionary code appears:
+    // flip high bits in the middle of the LZW payload
+    val corrupt = good.clone()
+    val mid = desc + 11 + 20 // inside the first data sub-block
+    corrupt(mid) = (corrupt(mid) ^ 0xff).toByte
+    // either rejects outright or still satisfies the exact-pixel-count
+    // contract — it must never throw out of the call
+    Multimodal.gifIndexStats(corrupt)
+  }
+}
