@@ -316,6 +316,122 @@ object Multimodal {
     bb.array()
   }
 
+  /** Bit-DEPTH-aware mono PCM statistics — the depth ladder above
+    * [[pcmStats]]'s fixed 16-bit: 8-bit (UNSIGNED storage per the WAV
+    * spec, centered by −128 on decode), 16-bit, and 24-bit (both
+    * signed little-endian). Returns (bits, n, sum, sumSq, peakAbs,
+    * crossings) over the centered samples; None for any other layout —
+    * reject, never mis-decode. Chunk walks use Long arithmetic
+    * (crafted sizes near 2^31 must not wrap past the bounds check).
+    */
+  def pcmDepthStats(
+      b: Array[Byte]): Option[(Long, Long, Long, Long, Long, Long)] = {
+    if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+        b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E')
+      return None
+    var pos = 12
+    var bits = -1
+    var dataOff = -1
+    var dataLen = -1
+    while (pos + 8 <= b.length && (bits < 0 || dataOff < 0)) {
+      val id = new String(b, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = le32(b, pos + 4).toInt
+      if (id == "fmt " && pos + 24 <= b.length) {
+        val fmt = (b(pos + 8) & 0xff) | ((b(pos + 9) & 0xff) << 8)
+        val ch = (b(pos + 10) & 0xff) | ((b(pos + 11) & 0xff) << 8)
+        val bi = (b(pos + 22) & 0xff) | ((b(pos + 23) & 0xff) << 8)
+        if (fmt == 1 && ch == 1 && (bi == 8 || bi == 16 || bi == 24)) bits = bi
+      } else if (id == "data") { dataOff = pos + 8; dataLen = size }
+      if (size < 0 || pos.toLong + 8L + size.toLong > b.length.toLong)
+        return None // corrupt chunk size (Long: no Int wrap)
+      pos += 8 + size + (size & 1)
+    }
+    if (bits < 0 || dataOff < 0 || dataOff + dataLen > b.length) return None
+    val bps = bits / 8
+    val n = dataLen / bps
+    var i = 0
+    var sum = 0L
+    var sumSq = 0L
+    var peak = 0L
+    var crossings = 0L
+    var prevSign = 0
+    while (i < n) {
+      val o = dataOff + bps * i
+      val s: Long = bits match {
+        case 8 => (b(o) & 0xff).toLong - 128L // unsigned storage
+        case 16 => (((b(o + 1) & 0xff) << 8) | (b(o) & 0xff)).toShort.toLong
+        case _ => // 24-bit signed LE: sign-extend through bit 23
+          val v = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+            ((b(o + 2) & 0xff) << 16)
+          ((v << 8) >> 8).toLong
+      }
+      sum += s
+      sumSq += s * s
+      val a = math.abs(s)
+      if (a > peak) peak = a
+      val sign = if (s > 0) 1 else if (s < 0) -1 else prevSign
+      if (prevSign != 0 && sign != prevSign) crossings += 1
+      if (sign != 0) prevSign = sign
+      i += 1
+    }
+    Some((bits.toLong, n.toLong, sum, sumSq, peak, crossings))
+  }
+
+  final case class PcmDepthStats(
+      fileId: Long, bits: Long, nSamples: Long, sumAmp: Long, sumSq: Long,
+      peakAbs: Long, crossings: Long, valid: Boolean)
+
+  /** Partition-mapped depth-aware PCM stats — the parseAll shape. */
+  def pcmDepthAll(df: DataFrame): Dataset[PcmDepthStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("file_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          pcmDepthStats(bytes) match {
+            case Some((bi, n, s, sq, p, c)) =>
+              PcmDepthStats(id, bi, n, s, sq, p, c, valid = true)
+            case None => PcmDepthStats(id, 0L, 0L, 0L, 0L, 0L, 0L, valid = false)
+          }
+        }
+      }
+  }
+
+  /** Depth-parameterized mono square-wave WAV — [[wavToneBytes]] at 8,
+    * 16, or 24 bits per sample (8-bit stored UNSIGNED with the +128
+    * offset the WAV spec mandates; 16/24 signed LE), so the same
+    * closed-form oracle family covers the whole depth ladder.
+    */
+  def wavToneBytesDepth(sampleRate: Int, nSamples: Int, amp: Int, bias: Int,
+      halfPeriod: Int, bits: Int): Array[Byte] = {
+    require(bits == 8 || bits == 16 || bits == 24)
+    val bps = bits / 8
+    val dataBytes = nSamples * bps
+    val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    bb.put("RIFF".getBytes(ascii)).putInt(36 + dataBytes).put("WAVE".getBytes(ascii))
+    bb.put("fmt ".getBytes(ascii)).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate * bps).putShort(bps.toShort).putShort(bits.toShort)
+    bb.put("data".getBytes(ascii)).putInt(dataBytes)
+    var i = 0
+    while (i < nSamples) {
+      val s = if ((i / halfPeriod) % 2 == 0) bias + amp else bias - amp
+      bits match {
+        case 8 => bb.put((s + 128).toByte)
+        case 16 => bb.putShort(s.toShort)
+        case _ =>
+          bb.put((s & 0xff).toByte)
+          bb.put(((s >> 8) & 0xff).toByte)
+          bb.put(((s >> 16) & 0xff).toByte)
+      }
+      i += 1
+    }
+    bb.array()
+  }
+
   final case class PcmChStats(
       fileId: Long, channel: Long, nSamples: Long, sumAmp: Long, sumSq: Long,
       peakAbs: Long, crossings: Long, valid: Boolean)

@@ -4363,6 +4363,145 @@ object CurationQueries {
            |    AS gap_e6
            |FROM a ORDER BY decile""".stripMargin))
 
+  /** ISOTONIC CALIBRATION of the quality classifier — the fix the
+    * [[qualityCalibration]] reliability diagram motivates: fit the
+    * monotone step function (PAV / isotonic regression) mapping
+    * predicted-probability deciles to calibrated pass rates, the
+    * standard post-hoc calibrator (Zadrozny & Elkan) every score
+    * consumer (DSIR weights, curriculum, threshold sweeps) should read
+    * instead of the raw head. Computed DECLARATIVELY via the minimax
+    * identity — fitted(i) = max_{j<=i} min_{k>=i} weightedMean(j..k) —
+    * over the 10-bin decile frame, so no driver-side pooling loop: the
+    * interval means come from one triangular self-join of the prefix
+    * sums (<= 55 rows), and the min/max fold over grid-sized frames.
+    *
+    * Determinism: interval means compare through the exact integer key
+    * `(P * 1e12) div Q` — distinct rationals with denominators q1, q2
+    * differ by >= 1/(q1*q2), so the key orders them EXACTLY while
+    * q1*q2 <= 1e12 (per-decile counts to a million docs; larger
+    * corpora raise the scale constant) — and both engines floor the
+    * same integers. The output is monotone by construction; `lift_e6`
+    * (fitted minus raw rate) shows where PAV pooled.
+    *
+    * Scale: the one corpus pass + <= 10-group rollup of the
+    * calibration audit; everything after is grid-sized (55 intervals x
+    * 10 bins).
+    */
+  private val qualityIsotonic = Q(
+    (s, dir) => {
+      val stopArr = "array('the','a','of','and','to','in','is','it')"
+      val scored = TS(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_toks", size(col("toks")).cast("double"))
+        .withColumn("mean_len",
+          (length(col("text")).cast("double") - (col("n_toks") - 1.0)) / col("n_toks"))
+        .withColumn("stop_ratio",
+          expr(s"size(filter(toks, t -> array_contains($stopArr, t)))").cast("double")
+            / col("n_toks"))
+        .withColumn("digit_ratio",
+          (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+            .cast("double") / length(col("text")).cast("double"))
+        .withColumn("z",
+          lit(-1.5) + lit(0.004) * col("n_toks") + lit(0.35) * col("mean_len")
+            + lit(4.0) * col("stop_ratio") - lit(6.0) * col("digit_ratio"))
+        .withColumn("keep_prob", round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6))
+        .withColumn("quality", round(
+          size(array_distinct(col("toks"))).cast("double") /
+            size(col("toks")).cast("double") * 0.5 +
+            least(size(col("toks")).cast("double") / 100, lit(1.0)) * 0.5, 6))
+        .withColumn("bad", col("text").rlike("(^| )(dup|slow)( |$)"))
+        .select(col("keep_prob"), col("quality"), col("bad"))
+        .localCheckpoint(true)
+      val thr = scored.agg(
+        round(expr("percentile(quality, 0.25)"), 6).as("q25"))
+      val bins = scored.crossJoin(broadcast(thr))
+        .withColumn("pass", !col("bad") && col("quality") >= col("q25"))
+        .withColumn("decile", expr("cast(floor(keep_prob * 10) as bigint)"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("nd"),
+          sum(when(col("pass"), 1L).otherwise(0L)).as("np"))
+        .localCheckpoint(true) // <= 10 rows; four grid consumers
+      val wOrd = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pre = bins
+        .withColumn("cp", sum(col("np")).over(wOrd))
+        .withColumn("cq", sum(col("nd")).over(wOrd))
+        .select(col("decile"), col("cp"), col("cq"))
+        .localCheckpoint(true) // 10 rows; both sides of the triangle
+      val iv = pre.select(col("decile").as("j"), col("cp").as("cpj"),
+          col("cq").as("cqj"))
+        .join(pre.select(col("decile").as("k"), col("cp").as("cpk"),
+          col("cq").as("cqk")), col("j") <= col("k"))
+        .join(bins.select(col("decile").as("j"), col("np").as("npj"),
+          col("nd").as("ndj")), Seq("j"))
+        .select(col("j"), col("k"),
+          (col("cpk") - col("cpj") + col("npj")).as("p"),
+          (col("cqk") - col("cqj") + col("ndj")).as("q"))
+        .withColumn("key", expr("(p * 1000000000000) div q"))
+      val idx = bins.select(col("decile").as("i"))
+      val fit = idx.join(iv, col("j") <= col("i") && col("k") >= col("i"))
+        .groupBy(col("i"), col("j")).agg(min(col("key")).as("mnk"))
+        .groupBy(col("i")).agg(max(col("mnk")).as("fit_key"))
+      bins.join(fit, col("decile") === col("i"))
+        .select(col("decile"), col("nd").as("n_docs"),
+          expr("(np * 1000000) div nd").as("pass_rate_e6"),
+          expr("fit_key div 1000000").as("iso_e6"))
+        .withColumn("lift_e6", col("iso_e6") - col("pass_rate_e6"))
+        .orderBy(col("decile"))
+    },
+    Some("""WITH f AS (
+           |  SELECT text, string_split(text, ' ') AS toks,
+           |    cast(len(string_split(text, ' ')) as double) AS n_toks,
+           |    (cast(len(text) as double) - (len(string_split(text, ' ')) - 1.0))
+           |      / len(string_split(text, ' ')) AS mean_len,
+           |    cast(len(list_filter(string_split(text, ' '),
+           |      t -> list_contains(['the','a','of','and','to','in','is','it'], t)))
+           |      as double) / len(string_split(text, ' ')) AS stop_ratio,
+           |    cast(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) as double)
+           |      / cast(len(text) as double) AS digit_ratio
+           |  FROM documents
+           |), sc AS (
+           |  SELECT
+           |    round(1.0 / (1.0 + exp(-(-1.5 + 0.004 * n_toks + 0.35 * mean_len
+           |      + 4.0 * stop_ratio - 6.0 * digit_ratio))), 6) AS keep_prob,
+           |    round(cast(len(list_distinct(toks)) as double) / len(toks) * 0.5
+           |      + least(cast(len(toks) as double) / 100, 1.0) * 0.5, 6) AS quality,
+           |    regexp_matches(text, '(^| )(dup|slow)( |$)') AS bad
+           |  FROM f
+           |), thr AS (
+           |  SELECT round(quantile_cont(quality, 0.25), 6) AS q25 FROM sc
+           |), bins AS (
+           |  SELECT cast(floor(keep_prob * 10) as bigint) AS decile,
+           |    cast(count(*) as bigint) AS nd,
+           |    cast(sum(CASE WHEN NOT bad AND quality >= q25 THEN 1 ELSE 0 END)
+           |      as bigint) AS np
+           |  FROM sc, thr GROUP BY decile
+           |), pre AS (
+           |  SELECT decile, np, nd,
+           |    cast(sum(np) OVER (ORDER BY decile) as bigint) AS cp,
+           |    cast(sum(nd) OVER (ORDER BY decile) as bigint) AS cq
+           |  FROM bins
+           |), iv AS (
+           |  SELECT a.decile AS j, b.decile AS k,
+           |    b.cp - a.cp + a.np AS p, b.cq - a.cq + a.nd AS q,
+           |    ((b.cp - a.cp + a.np) * 1000000000000) // (b.cq - a.cq + a.nd)
+           |      AS key
+           |  FROM pre a JOIN pre b ON a.decile <= b.decile
+           |), fit AS (
+           |  SELECT i, cast(max(mnk) as bigint) AS fit_key FROM (
+           |    SELECT bi.decile AS i, iv.j, min(iv.key) AS mnk
+           |    FROM bins bi JOIN iv ON iv.j <= bi.decile AND iv.k >= bi.decile
+           |    GROUP BY bi.decile, iv.j)
+           |  GROUP BY i
+           |)
+           |SELECT b.decile, b.nd AS n_docs,
+           |  (b.np * 1000000) // b.nd AS pass_rate_e6,
+           |  cast(f.fit_key // 1000000 as bigint) AS iso_e6,
+           |  cast(f.fit_key // 1000000 - (b.np * 1000000) // b.nd as bigint)
+           |    AS lift_e6
+           |FROM bins b JOIN fit f ON f.i = b.decile
+           |ORDER BY b.decile""".stripMargin))
+
   // ---------------------------------------------------------------------
   // SFT loss-mask accounting (chat-turn packing prep)
   // ---------------------------------------------------------------------
@@ -8402,6 +8541,88 @@ object CurationQueries {
     },
     textFtsQuery.oracle)
 
+  /** COVER-DENSITY PROXIMITY RANKING — PostgreSQL's `ts_rank_cd`
+    * (Clarke et al.'s cover density), the ranking half of the FTS
+    * surface after [[textFtsQuery]]'s boolean half: documents where the
+    * query terms appear CLOSE together outrank documents that merely
+    * contain them. For a two-term query, the minimal covers are exactly
+    * the adjacent different-term pairs in the merged position list
+    * (any closer pairing would nest inside), and the declared estimator
+    * scores Σ floor(1e6 / cover_width) — a proximity-weighted count
+    * both engines fold exactly. Three ranked queries return their
+    * top-20 documents.
+    *
+    * Scale: the same postings discipline as bm25/[[textFtsQuery]] —
+    * the query-vocabulary filter prunes before any exchange; the cover
+    * windows (lag) are doc-bounded; per-query top-20 is
+    * TakeOrderedAndProject (per-partition heaps, no corpus-wide rank
+    * window); the final rank window orders 20 rows.
+    */
+  private val textRankCd = Q(
+    (s, dir) => {
+      val toks = T(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+        .where(col("term").isin("hash", "join", "merge", "sort",
+          "data", "table"))
+        .localCheckpoint(true) // three query consumers
+      def ranked(id: String, a: String, b: String) = {
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val top = toks.where(col("term").isin(a, b))
+          .withColumn("pterm", lag(col("term"), 1).over(w))
+          .withColumn("ppos", lag(col("pos"), 1).over(w))
+          .where(col("pterm").isNotNull && col("pterm") =!= col("term"))
+          .withColumn("width", col("pos") - col("ppos") + 1)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_covers"),
+            sum(expr("1000000 div width")).as("score_e6"))
+          .orderBy(col("score_e6").desc, col("doc_id"))
+          .limit(20)
+        top.withColumn("rnk", row_number().over(
+            Window.orderBy(col("score_e6").desc, col("doc_id"))).cast("long"))
+          .select(lit(id).as("query_id"), col("rnk"),
+            col("doc_id").cast("long").as("doc_id"),
+            col("n_covers"), col("score_e6"))
+      }
+      ranked("r1_hash_join", "hash", "join")
+        .unionAll(ranked("r2_merge_sort", "merge", "sort"))
+        .unionAll(ranked("r3_data_table", "data", "table"))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some("""WITH tk AS (
+           |  SELECT doc_id, i AS pos, w[i] AS term
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS w,
+           |          unnest(generate_series(1, len(string_split(text, ' '))))
+           |            AS i
+           |        FROM documents)
+           |  WHERE w[i] IN ('hash', 'join', 'merge', 'sort', 'data', 'table')
+           |), q AS (
+           |  SELECT 'r1_hash_join' AS query_id, 'hash' AS a, 'join' AS b
+           |  UNION ALL SELECT 'r2_merge_sort', 'merge', 'sort'
+           |  UNION ALL SELECT 'r3_data_table', 'data', 'table'
+           |), m AS (
+           |  SELECT q.query_id, tk.doc_id, tk.pos, tk.term,
+           |    lag(tk.term) OVER (PARTITION BY q.query_id, tk.doc_id
+           |      ORDER BY tk.pos) AS pterm,
+           |    lag(tk.pos) OVER (PARTITION BY q.query_id, tk.doc_id
+           |      ORDER BY tk.pos) AS ppos
+           |  FROM q JOIN tk ON tk.term IN (q.a, q.b)
+           |), sc AS (
+           |  SELECT query_id, doc_id, cast(count(*) as bigint) AS n_covers,
+           |    cast(sum(1000000 // (pos - ppos + 1)) as bigint) AS score_e6
+           |  FROM m WHERE pterm IS NOT NULL AND pterm <> term
+           |  GROUP BY query_id, doc_id
+           |), rk AS (
+           |  SELECT query_id, doc_id, n_covers, score_e6,
+           |    cast(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY score_e6 DESC, doc_id) as bigint) AS rnk
+           |  FROM sc
+           |)
+           |SELECT query_id, rnk, cast(doc_id as bigint) AS doc_id,
+           |  n_covers, score_e6
+           |FROM rk WHERE rnk <= 20
+           |ORDER BY query_id, rnk""".stripMargin))
+
   // ---------------------------------------------------------------------
   // Trigram similarity match (the pg_trgm class, prefix-filtered)
   // ---------------------------------------------------------------------
@@ -9442,6 +9663,88 @@ object CurationQueries {
            |  cast(floor(sqrt(cast(n * (a * a + bia * bia) + 2 * a * bia * diff
            |    as double) / cast(n as double)) * 1000) as bigint) AS rms_e3
            |FROM d ORDER BY file_id, channel""".stripMargin))
+
+  /** PCM BIT-DEPTH ladder — 8-bit (unsigned storage, the telephony/
+    * legacy tier), 16-bit, and 24-bit (studio masters) mono decode in
+    * one operator: real audio corpora mix depths, and the fixed-16-bit
+    * decoder sent a third of them to the reject row. Each depth
+    * decodes to CENTERED samples (8-bit subtracts the spec's +128
+    * offset; 24-bit sign-extends through bit 23), so one closed-form
+    * square-wave oracle family covers the whole ladder; per-depth
+    * amplitudes differ by orders of magnitude, so a decoder that
+    * mis-strides or forgets the 8-bit offset hash-fails immediately.
+    *
+    * Scale: the parseAll narrow shape — one partition-mapped decode,
+    * no shuffle.
+    */
+  private val multimodalAudioDepths = Q(
+    (s, dir) => {
+      val base = scratchDir("audiodepths")
+      val p = java.nio.file.Paths.get(base)
+      T(s, dir, "nation").select(col("n_nationkey")).collect() // 25-row dim
+        .foreach { r =>
+          val k = r.getInt(0)
+          val bits = Seq(8, 16, 24)(k % 3)
+          val amp = bits match {
+            case 8 => 40 + k
+            case 16 => 1000 + 50 * k
+            case _ => 100000 + 5000 * k
+          }
+          val bias = bits match {
+            case 8 => 10 + k % 8
+            case 16 => 100 + k
+            case _ => 10000 + 100 * k
+          }
+          java.nio.file.Files.write(p.resolve(f"a_$k%02d.wav"),
+            graft.operators.Multimodal.wavToneBytesDepth(
+              8000, 200 * (k + 1), amp, bias, 8 + (k % 5), bits))
+        }
+      val scanned = s.read.format("binaryFile").load(base)
+        .select(regexp_extract(col("path"), "a_(\\d+)\\.", 1).cast("long")
+          .as("file_id"), col("content"))
+      val out = graft.operators.Multimodal.pcmDepthAll(scanned).toDF()
+        .select(col("fileId").as("file_id"), col("bits"),
+          col("nSamples").as("n_samples"),
+          col("sumAmp").as("sum_amp"), col("sumSq").as("sum_sq"),
+          col("peakAbs").as("peak_abs"), col("crossings"), col("valid"))
+        .withColumn("rms_e3", expr(
+          "CASE WHEN n_samples > 0 THEN cast(floor(sqrt(cast(sum_sq as double) " +
+            "/ cast(n_samples as double)) * 1000) as bigint) ELSE 0 END"))
+        .orderBy(col("file_id"))
+        .localCheckpoint(true)
+      scratchDelete(base)
+      out
+    },
+    Some("""WITH g AS (
+           |  SELECT cast(n_nationkey as bigint) AS k,
+           |    cast(CASE n_nationkey % 3 WHEN 0 THEN 8 WHEN 1 THEN 16
+           |      ELSE 24 END as bigint) AS bits,
+           |    cast(200 * (n_nationkey + 1) as bigint) AS n,
+           |    cast(8 + (n_nationkey % 5) as bigint) AS h
+           |  FROM nation
+           |), ab AS (
+           |  SELECT k, bits, n, h,
+           |    CASE bits WHEN 8 THEN 40 + k WHEN 16 THEN 1000 + 50 * k
+           |      ELSE 100000 + 5000 * k END AS a,
+           |    CASE bits WHEN 8 THEN 10 + k % 8 WHEN 16 THEN 100 + k
+           |      ELSE 10000 + 100 * k END AS bia
+           |  FROM g
+           |), ph AS (
+           |  SELECT k, bits, n, a, bia, h,
+           |    (n // (2 * h)) * h + least(n % (2 * h), h) AS n_plus
+           |  FROM ab
+           |), d AS (
+           |  SELECT k, bits, n, a, bia, h, 2 * n_plus - n AS diff FROM ph
+           |)
+           |SELECT k AS file_id, bits, n AS n_samples,
+           |  n * bia + a * diff AS sum_amp,
+           |  n * (a * a + bia * bia) + 2 * a * bia * diff AS sum_sq,
+           |  a + bia AS peak_abs,
+           |  (n - 1) // h AS crossings,
+           |  true AS valid,
+           |  cast(floor(sqrt(cast(n * (a * a + bia * bia) + 2 * a * bia * diff
+           |    as double) / cast(n as double)) * 1000) as bigint) AS rms_e3
+           |FROM d ORDER BY file_id""".stripMargin))
 
   /** 4:2:2 / 4:4:0 JPEG DC statistics — the remaining rectangular
     * chroma-subsampling layouts (broadcast/video-derived stills are
@@ -12592,6 +12895,7 @@ object CurationQueries {
     "ns_multimodal_jpeg_422" -> multimodalJpeg422,
     "ns_multimodal_jpeg_prog" -> multimodalJpegProg,
     "ns_multimodal_gif_stats" -> multimodalGifStats,
+    "ns_multimodal_audio_depths" -> multimodalAudioDepths,
     "ns_multimodal_audio_stereo" -> multimodalAudioStereo,
     "ns_quality_rank_normalize" -> qualityRankNormalize,
     "ns_sample_histogram_match" -> sampleHistogramMatch,
@@ -12620,6 +12924,8 @@ object CurationQueries {
     "ns_text_fts_query" -> textFtsQuery,
     "ns_text_trigram_join" -> textTrigramJoin,
     "ns_text_fts_stream" -> textFtsStream,
+    "ns_text_rank_cd" -> textRankCd,
+    "ns_quality_isotonic" -> qualityIsotonic,
     "ns_dedup_exact_substr_bpe" -> dedupExactSubstrBpe,
     "ns_dedup_exact_substr_bpe50" -> dedupExactSubstrBpe50,
     "ns_corpus_grpo_groups" -> corpusGrpoGroups,
