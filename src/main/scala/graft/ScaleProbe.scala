@@ -390,7 +390,18 @@ object ScaleProbe {
       // signature), so the candidate self-join should be near-flat —
       // the same claim the probe-vs-index r16 row proved, now for the
       // self-join
-      "ns_text_trigram_join")
+      "ns_text_trigram_join",
+      // r17: rank_cd = the fts postings discipline + doc-bounded lag
+      // windows + TakeOrdered heaps — expected ~linear in postings
+      "ns_text_rank_cd",
+      // r17: isotonic = the calibration corpus pass + grid-sized
+      // minimax algebra; replication multiplies bin counts, not bins —
+      // expected the calibration floor class
+      "ns_quality_isotonic",
+      // r17: best-of-n = one score pass into ONE group aggregate (the
+      // four tiers are conditional aggregates in the same pass) —
+      // expected the grpo floor class
+      "ns_corpus_best_of_n")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected
@@ -459,7 +470,11 @@ object ScaleProbe {
       // r15: the streaming cusum twin replays hour-split files through
       // FMGWS; replication multiplies per-bucket counts, state stays
       // O(1) per type
-      "ts_cusum_stream")
+      "ts_cusum_stream",
+      // r17: MAD = the cusum collapse (calendar-bounded hourly counts)
+      // then percentile/flag rollups over hours-per-type rows —
+      // replication multiplies counts, not buckets
+      "ts_anomaly_mad")
     if (evtNames.exists(enabled)) {
       val evtReps = spark.range(docMult).select(col("id").as("rep"))
       Tables.load(spark, sfDir, "events")

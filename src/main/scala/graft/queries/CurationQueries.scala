@@ -5627,6 +5627,178 @@ object CurationQueries {
            |WHERE ct.n >= 2 AND s2.sc2 > 0
            |ORDER BY ct.source, ct.lang, ct.doc_id""".stripMargin))
 
+  /** ROBUST (MAD) ANOMALY DETECTION over hourly event volumes — the
+    * robust-statistics twin of `ts_anomaly_zscore`: mean/std break when
+    * the contamination IS what you're hunting (a traffic spike inflates
+    * the std that is supposed to flag it), so ops monitors use the
+    * median and the Median Absolute Deviation instead (breakdown point
+    * 50%): per event type, hours whose modified z-score
+    * `(c − median) / (1.4826·MAD)` clears 3.5 are anomalous — the
+    * Iglewicz-Hoberg rule.
+    *
+    * Determinism: medians of integers interpolate at .5 only, so
+    * `round(2·percentile(c, .5))` is an EXACT integer (med2, 2x scale)
+    * and the deviation median is exact at 4x (mad4); the z-score is one
+    * identically-written float expression over those exact ints,
+    * floored once to e3. Zero-MAD types (constant volume) report zero
+    * flags rather than dividing by zero.
+    *
+    * Scale: events collapse to the calendar-bounded (type, hour) count
+    * frame FIRST (one partial-aggregable pass); both percentile
+    * aggregates and the flag rollup run over hours-per-type rows — the
+    * ts_cusum class.
+    */
+  private val tsAnomalyMad = Q(
+    (s, dir) => {
+      val hc = T(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("date_trunc('hour', ts)").as("hr"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // median, MAD, and flag consumers
+      val med = hc.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          expr("cast(round(2 * percentile(c, 0.5), 0) as bigint)").as("med2"))
+      val dev = hc.join(broadcast(med), Seq("event_type"))
+        .withColumn("dev2", abs(lit(2) * col("c") - col("med2")))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(expr("cast(round(2 * percentile(dev2, 0.5), 0) as bigint)")
+          .as("mad4"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .withColumn("absz_e3", expr(
+          "CASE WHEN mad4 > 0 THEN cast(floor(cast(2 * dev2 as double) " +
+            "* 1000.0 / (1.4826 * cast(mad4 as double))) as bigint) " +
+            "ELSE 0 END"))
+        .groupBy(col("event_type"))
+        .agg(first(col("n_hours")).as("n_hours"),
+          first(col("med2")).as("med2"), first(col("mad4")).as("mad4"),
+          sum(when(col("absz_e3") >= 3500, 1L).otherwise(0L)).as("n_flagged"),
+          max(col("absz_e3")).as("max_absz_e3"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH hc AS (
+           |  SELECT event_type, date_trunc('hour', ts) AS hr,
+           |    cast(count(*) as bigint) AS c
+           |  FROM events GROUP BY event_type, date_trunc('hour', ts)
+           |), med AS (
+           |  SELECT event_type, cast(count(*) as bigint) AS n_hours,
+           |    cast(round(2 * quantile_cont(c, 0.5), 0) as bigint) AS med2
+           |  FROM hc GROUP BY event_type
+           |), dev AS (
+           |  SELECT hc.event_type, hc.c, med.n_hours, med.med2,
+           |    abs(2 * hc.c - med.med2) AS dev2
+           |  FROM hc JOIN med USING (event_type)
+           |), mad AS (
+           |  SELECT event_type,
+           |    cast(round(2 * quantile_cont(dev2, 0.5), 0) as bigint) AS mad4
+           |  FROM dev GROUP BY event_type
+           |), z AS (
+           |  SELECT dev.event_type, dev.n_hours, dev.med2, mad.mad4,
+           |    CASE WHEN mad.mad4 > 0 THEN cast(floor(cast(2 * dev.dev2 as double)
+           |      * 1000.0 / (1.4826 * cast(mad.mad4 as double))) as bigint)
+           |      ELSE 0 END AS absz_e3
+           |  FROM dev JOIN mad USING (event_type)
+           |)
+           |SELECT event_type, cast(max(n_hours) as bigint) AS n_hours,
+           |  cast(max(med2) as bigint) AS med2,
+           |  cast(max(mad4) as bigint) AS mad4,
+           |  cast(sum(CASE WHEN absz_e3 >= 3500 THEN 1 ELSE 0 END) as bigint)
+           |    AS n_flagged,
+           |  cast(max(absz_e3) as bigint) AS max_absz_e3
+           |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  /** BEST-OF-N SCALING CURVE — the rejection-sampling read RLHF
+    * pipelines run before picking a sampling budget: within each
+    * prompt group ((source, lang), the [[corpusGrpoGroups]] idiom,
+    * rewards = the same exact e3 quality score), how much does the
+    * BEST reward improve as the candidate pool grows? Four NESTED
+    * deterministic subsamples per group — members with
+    * `doc_id % m == 0` for m in {8, 4, 2, 1}, so each tier is a
+    * superset of the previous (expected sizes n/8 .. n) — give the
+    * curve its n axis without any randomness; per (group, tier):
+    * pool size, best reward, the argmax id (exact
+    * `max(struct(reward, -doc_id))` tie key), and the lift of the
+    * best over the FULL group's exact mean (e3·n-scaled bigint, no
+    * division). A flat curve says sampling more buys nothing for that
+    * prompt family; a steep one says the budget is still paying.
+    *
+    * Determinism: rewards are exact e3 integers; argmax ties break to
+    * the LOWEST doc_id through the packed struct; lift is exact bigint
+    * cross-multiplication (`best·n − Σr`).
+    *
+    * Scale: ONE map-side score pass into ONE group aggregate — the
+    * four tiers are conditional max/count aggregates in the same
+    * partial-aggregable pass (no windows, no self-joins, no per-tier
+    * scans); output is groups x 4 rows.
+    */
+  private val corpusBestOfN = Q(
+    (s, dir) => {
+      val scored = TS(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("score", round(
+          size(array_distinct(col("toks"))).cast("double") /
+            size(col("toks")).cast("double") * 0.5 +
+            least(size(col("toks")).cast("double") / 100, lit(1.0)) * 0.5, 6))
+        .select(col("source"), col("lang"), col("doc_id"),
+          expr("cast(round(score * 1000, 0) as bigint)").as("r"))
+      def tier(m: Int) = Seq(
+        count(when(col("doc_id") % m === 0, 1)).as(s"n_$m"),
+        max(when(col("doc_id") % m === 0,
+          struct(col("r"), (-col("doc_id")).as("nid")))).as(s"b_$m"))
+      val aggs = Seq(sum(col("r")).as("sr")) ++
+        tier(8) ++ tier(4) ++ tier(2) ++ tier(1)
+      val g = scored.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n"), aggs: _*)
+      val tiers = Seq(8, 4, 2, 1).map { m =>
+        g.where(col(s"n_$m") > 0)
+          .select(col("source"), col("lang"), col("n").as("n_group"),
+            lit(m.toLong).as("modulus"), col(s"n_$m").as("n_pool"),
+            col(s"b_$m")("r").as("best_e3"),
+            (-col(s"b_$m")("nid")).as("best_id"),
+            (col(s"b_$m")("r") * col("n") - col("sr")).as("lift_e3n"))
+      }
+      tiers.reduce(_ unionAll _)
+        .orderBy(col("source"), col("lang"), col("modulus").desc)
+    },
+    Some("""WITH f AS (
+           |  SELECT source, lang, doc_id, string_split(text, ' ') AS toks
+           |  FROM documents
+           |), sc AS (
+           |  SELECT source, lang, doc_id,
+           |    cast(round(round(
+           |      cast(len(list_distinct(toks)) as double) / len(toks) * 0.5
+           |        + least(cast(len(toks) as double) / 100, 1.0) * 0.5, 6)
+           |      * 1000, 0) as bigint) AS r
+           |  FROM f
+           |), g AS (
+           |  SELECT source, lang, cast(count(*) as bigint) AS n,
+           |    cast(sum(r) as bigint) AS sr,
+           |    cast(count(*) FILTER (WHERE doc_id % 8 = 0) as bigint) AS n_8,
+           |    max(CASE WHEN doc_id % 8 = 0
+           |      THEN struct_pack(r := r, nid := -doc_id) END) AS b_8,
+           |    cast(count(*) FILTER (WHERE doc_id % 4 = 0) as bigint) AS n_4,
+           |    max(CASE WHEN doc_id % 4 = 0
+           |      THEN struct_pack(r := r, nid := -doc_id) END) AS b_4,
+           |    cast(count(*) FILTER (WHERE doc_id % 2 = 0) as bigint) AS n_2,
+           |    max(CASE WHEN doc_id % 2 = 0
+           |      THEN struct_pack(r := r, nid := -doc_id) END) AS b_2,
+           |    cast(count(*) as bigint) AS n_1,
+           |    max(struct_pack(r := r, nid := -doc_id)) AS b_1
+           |  FROM sc GROUP BY source, lang
+           |), t AS (
+           |  SELECT source, lang, n AS n_group, 8 AS modulus, n_8 AS n_pool,
+           |    b_8 AS b, sr, n FROM g WHERE n_8 > 0
+           |  UNION ALL SELECT source, lang, n, 4, n_4, b_4, sr, n
+           |    FROM g WHERE n_4 > 0
+           |  UNION ALL SELECT source, lang, n, 2, n_2, b_2, sr, n
+           |    FROM g WHERE n_2 > 0
+           |  UNION ALL SELECT source, lang, n, 1, n_1, b_1, sr, n FROM g
+           |)
+           |SELECT source, lang, n_group, cast(modulus as bigint) AS modulus,
+           |  n_pool, cast(b.r as bigint) AS best_e3,
+           |  cast(-b.nid as bigint) AS best_id,
+           |  cast(b.r * n - sr as bigint) AS lift_e3n
+           |FROM t ORDER BY source, lang, modulus DESC""".stripMargin))
+
   // ---------------------------------------------------------------------
   // Referential-integrity audit (documents <-> embeddings)
   // ---------------------------------------------------------------------
@@ -12919,6 +13091,7 @@ object CurationQueries {
     "ns_sim_maxsim" -> simMaxsim,
     "ns_corpus_ipf_mix" -> corpusIpfMix,
     "ts_session_dynamic_gap" -> tsSessionDynamicGap,
+    "ts_anomaly_mad" -> tsAnomalyMad,
     "ns_text_entropy_rate" -> textEntropyRate,
     "ns_text_trigram_match" -> textTrigramMatch,
     "ns_text_fts_query" -> textFtsQuery,
@@ -12929,6 +13102,7 @@ object CurationQueries {
     "ns_dedup_exact_substr_bpe" -> dedupExactSubstrBpe,
     "ns_dedup_exact_substr_bpe50" -> dedupExactSubstrBpe50,
     "ns_corpus_grpo_groups" -> corpusGrpoGroups,
+    "ns_corpus_best_of_n" -> corpusBestOfN,
     "ns_corpus_split_js" -> corpusSplitJs,
     "ns_sim_sq_ladder" -> simSqLadder,
     "ns_sim_binary_quant" -> simBinaryQuant,
