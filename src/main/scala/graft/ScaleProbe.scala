@@ -401,7 +401,11 @@ object ScaleProbe {
       // r17: best-of-n = one score pass into ONE group aggregate (the
       // four tiers are conditional aggregates in the same pass) —
       // expected the grpo floor class
-      "ns_corpus_best_of_n")
+      "ns_corpus_best_of_n",
+      // r17: compressibility = one mapPartitions deflate pass (text
+      // never shuffles) + a source-median split — expected ~linear in
+      // text volume (deflate is the per-row cost)
+      "ns_text_compressibility")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected

@@ -1853,10 +1853,13 @@ object Multimodal {
     * deferred clear at 4096 — folding exact integer stats over the
     * decoded COLOR INDICES. Returns (width, height, nPixels, sumIdx,
     * minIdx, maxIdx); requires the stream to decode to exactly
-    * width*height pixels and end at EOI. None for interlaced images,
-    * truncated streams, or any code outside the dictionary — reject,
-    * never mis-decode. GifLzwSpec cross-checks against the JDK's own
-    * GIF decode (gray palette makes pixel value == index).
+    * width*height pixels and end at EOI. Interlaced images are
+    * accepted — the four-pass row order permutes the raster and index
+    * stats are order-invariant. None for truncated streams or any code
+    * outside the dictionary — reject, never mis-decode. GifLzwSpec
+    * cross-checks against the JDK's own GIF decode (gray palette makes
+    * pixel value == index), including the deinterlace map on an
+    * interlaced fixture.
     */
   def gifIndexStats(b: Array[Byte]): Option[(Long, Long, Long, Long, Long, Long)] =
     try gifIndexStatsImpl(b)
@@ -1889,7 +1892,10 @@ object Multimodal {
         val iw = le16(pos + 5)
         val ih = le16(pos + 7)
         val ip = b(pos + 9) & 0xff
-        if ((ip & 0x40) != 0) return None // interlaced: reject
+        // interlaced images are ACCEPTED: the four-pass row order is a
+        // permutation of the raster, and index stats are order-invariant
+        // (GifLzwSpec cross-checks an interlaced fixture against the
+        // JDK's deinterlacing decode)
         pos += 10
         if ((ip & 0x80) != 0) pos += 3 * (1 << ((ip & 7) + 1)) // local CT
         if (pos >= b.length) return None
@@ -2027,7 +2033,8 @@ object Multimodal {
     * control extension block is included so the 89a extension-skip
     * grammar is exercised on every fixture.
     */
-  def gifPatternBytes(width: Int, height: Int): Array[Byte] = {
+  def gifPatternBytes(width: Int, height: Int,
+      interlaced: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def b(xs: Int*): Unit = xs.foreach(x => out.write(x & 0xff))
     out.write("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
@@ -2035,7 +2042,8 @@ object Multimodal {
     (0 until 256).foreach(i => b(i, i, i)) // gray ramp GCT
     b(0x21, 0xf9, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00) // GCE (no transparency)
     b(0x2c, 0, 0, 0, 0,
-      width & 0xff, width >> 8, height & 0xff, height >> 8, 0x00)
+      width & 0xff, width >> 8, height & 0xff, height >> 8,
+      if (interlaced) 0x40 else 0x00)
     b(0x08) // LZW minimum code size
     val minCode = 8
     val clearCode = 1 << minCode
@@ -2075,7 +2083,18 @@ object Multimodal {
       emitted = 0
     }
     val nPix = width.toLong * height
-    def idx(p: Long): Int = (((7 * p) % 32) * 8).toInt
+    // with `interlaced`, rows are stored in the GIF87a four-pass order
+    // (8k, 8k+4, 4k+2, 2k+1) — the image, deinterlaced, still carries
+    // idx at raster position p, which is what the JDK cross-check sees
+    val rowOrder: Array[Int] =
+      if (!interlaced) Array.range(0, height)
+      else (Range(0, height, 8) ++ Range(4, height, 8) ++
+        Range(2, height, 4) ++ Range(1, height, 2)).toArray
+    def idx(streamPos: Long): Int = {
+      val row = rowOrder((streamPos / width).toInt)
+      val p = row.toLong * width + streamPos % width
+      (((7 * p) % 32) * 8).toInt
+    }
     putCode(clearCode, control = true)
     var curStr = idx(0)
     var p = 1L

@@ -5627,6 +5627,90 @@ object CurationQueries {
            |WHERE ct.n >= 2 AND s2.sc2 > 0
            |ORDER BY ct.source, ct.lang, ct.doc_id""".stripMargin))
 
+  /** COMPRESSIBILITY quality signal — the deflate-ratio filter the
+    * published curation stacks use as a cheap repetition detector
+    * (highly compressible text is boilerplate/templated; incompressible
+    * text at the other extreme is often binary junk): every document is
+    * zlib-deflated partition-side (`java.util.zip.Deflater`, fixed
+    * level — the narrow mapPartitions codec shape the multimodal family
+    * declared) and per source the ratio distribution is summarized.
+    * Deflate output is environment-specific, so the gate uses the
+    * BOUND-BOOLEAN oracle contract the approx-sketch family
+    * established: the oracle checks the exact columns (doc counts,
+    * diversity stats) numerically and the deflate-derived columns as
+    * bounded invariants — every ratio within (0.1, 1.2] for fixture-
+    * sized docs, and the LOW-diversity half of each source (split at
+    * the source's exact median distinct-token ratio) must compress
+    * strictly better than the high-diversity half — the monotonicity
+    * that makes the signal a usable filter.
+    *
+    * Scale: one mapPartitions pass (deflate + token stats per row, no
+    * text shuffle — 4 longs per doc leave the map side), one source
+    * median (exact 2x-scaled integer, the MAD idiom), one conditional
+    * rollup per source.
+    */
+  private val textCompressibility = Q(
+    (s, dir) => {
+      import s.implicits._
+      val per = TS(s, dir, "documents")
+        .select(col("source"), col("text"))
+        .as[(String, String)]
+        .mapPartitions { it =>
+          it.map { case (src, text) =>
+            val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val d = new java.util.zip.Deflater(6)
+            d.setInput(raw)
+            d.finish()
+            val buf = new Array[Byte](raw.length + 64)
+            var n = 0
+            while (!d.finished()) n += d.deflate(buf, n, buf.length - n)
+            d.end()
+            val toks = text.split(" ")
+            (src, raw.length.toLong, n.toLong,
+              toks.distinct.length.toLong, toks.length.toLong)
+          }
+        }
+        .toDF("source", "raw_b", "comp_b", "n_distinct", "n_toks")
+        .withColumn("ratio_e3", expr("comp_b * 1000 div raw_b"))
+        .withColumn("div_e6", expr("n_distinct * 1000000 div n_toks"))
+        .localCheckpoint(true) // median + rollup consumers; deflate once
+      val med = per.groupBy(col("source"))
+        .agg(expr("cast(round(2 * percentile(div_e6, 0.5), 0) as bigint)")
+          .as("med2"))
+      per.join(broadcast(med), Seq("source"))
+        .withColumn("lowdiv", lit(2) * col("div_e6") < col("med2"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          expr("sum(div_e6) div count(1)").as("mean_div_e6"),
+          sum(when(col("ratio_e3") > 100 && col("ratio_e3") <= 1200, 1L)
+            .otherwise(0L)).as("n_bounded"),
+          sum(when(col("lowdiv"), col("ratio_e3"))).as("sr_low"),
+          sum(when(col("lowdiv"), 1L).otherwise(0L)).as("n_low"),
+          sum(when(!col("lowdiv"), col("ratio_e3"))).as("sr_high"),
+          sum(when(!col("lowdiv"), 1L).otherwise(0L)).as("n_high"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("mean_div_e6"),
+          (col("n_bounded") === col("n_docs")).as("all_ratios_bounded"),
+          // exact cross-multiplied mean compare: lowdiv mean < highdiv;
+          // a degenerate split (all docs at the median) passes trivially
+          when(col("n_low") === 0 || col("n_high") === 0, lit(true))
+            .otherwise(col("sr_low") * col("n_high") <
+              col("sr_high") * col("n_low"))
+            .as("repetitive_compresses_better"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH f AS (
+           |  SELECT source, string_split(text, ' ') AS toks FROM documents
+           |)
+           |SELECT source, cast(count(*) as bigint) AS n_docs,
+           |  cast(sum(len(toks)) as bigint) AS n_tokens,
+           |  cast(sum(len(list_distinct(toks)) * 1000000 // len(toks))
+           |    // count(*) as bigint) AS mean_div_e6,
+           |  true AS all_ratios_bounded,
+           |  true AS repetitive_compresses_better
+           |FROM f GROUP BY source ORDER BY source""".stripMargin))
+
   /** ROBUST (MAD) ANOMALY DETECTION over hourly event volumes — the
     * robust-statistics twin of `ts_anomaly_zscore`: mean/std break when
     * the contamination IS what you're hunting (a traffic spike inflates
@@ -10080,7 +10164,8 @@ object CurationQueries {
         .foreach { r =>
           val k = r.getInt(0)
           java.nio.file.Files.write(p.resolve(f"g_$k%02d.gif"),
-            graft.operators.Multimodal.gifPatternBytes(16 + k, 10 + (k % 7)))
+            graft.operators.Multimodal.gifPatternBytes(16 + k, 10 + (k % 7),
+              interlaced = k % 3 == 0))
         }
       val scanned = s.read.format("binaryFile").load(base)
         .select(regexp_extract(col("path"), "g_(\\d+)\\.", 1).cast("long")
@@ -13092,6 +13177,7 @@ object CurationQueries {
     "ns_corpus_ipf_mix" -> corpusIpfMix,
     "ts_session_dynamic_gap" -> tsSessionDynamicGap,
     "ts_anomaly_mad" -> tsAnomalyMad,
+    "ns_text_compressibility" -> textCompressibility,
     "ns_text_entropy_rate" -> textEntropyRate,
     "ns_text_trigram_match" -> textTrigramMatch,
     "ns_text_fts_query" -> textFtsQuery,

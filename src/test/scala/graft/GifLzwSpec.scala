@@ -56,19 +56,41 @@ class GifLzwSpec extends AnyFunSuite {
     assert(Multimodal.gifIndexStats(good.take(30).toArray).isEmpty)
     // truncate mid-entropy-data: the exact-pixel-count check rejects
     assert(Multimodal.gifIndexStats(good.dropRight(8).toArray).isEmpty)
-    // flip the interlace flag: reject (deinterlacing unsupported)
-    val desc = good.indices.find(i => (good(i) & 0xff) == 0x2c &&
-      i > 13 + 768).get // first image separator after the GCT
-    val inter = good.clone()
-    inter(desc + 9) = (inter(desc + 9) | 0x40).toByte
-    assert(Multimodal.gifIndexStats(inter).isEmpty)
     // corrupt a code mid-stream so an out-of-dictionary code appears:
     // flip high bits in the middle of the LZW payload
+    val desc = good.indices.find(i => (good(i) & 0xff) == 0x2c &&
+      i > 13 + 768).get // first image separator after the GCT
     val corrupt = good.clone()
     val mid = desc + 11 + 20 // inside the first data sub-block
     corrupt(mid) = (corrupt(mid) ^ 0xff).toByte
     // either rejects outright or still satisfies the exact-pixel-count
     // contract — it must never throw out of the call
     Multimodal.gifIndexStats(corrupt)
+  }
+
+  test("INTERLACED GIFs decode to the same order-invariant stats") {
+    for ((w, h) <- Seq((16, 10), (40, 16), (64, 48))) {
+      val bytes = Multimodal.gifPatternBytes(w, h, interlaced = true)
+      val n = w.toLong * h
+      val vals = (0L until n).map(idx)
+      // the four-pass row order permutes the raster; index stats are
+      // order-invariant, so interlaced and sequential fixtures agree
+      assert(Multimodal.gifIndexStats(bytes)
+        .contains((w.toLong, h.toLong, n, vals.sum, vals.min, vals.max)))
+    }
+  }
+
+  test("INTERLACED fixture deinterlaces correctly in the JDK's decode") {
+    // proves the fixture writes genuinely pass-ordered rows: the JDK
+    // deinterlaces, so pixel (x,y) must carry idx at RASTER position
+    val (w, h) = (40, 16)
+    val bytes = Multimodal.gifPatternBytes(w, h, interlaced = true)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "JDK could not decode the interlaced GIF")
+    for (y <- 0 until h; x <- 0 until w) {
+      val expect = idx(y.toLong * w + x).toInt
+      val got = (img.getRGB(x, y) >> 8) & 0xff
+      assert(got == expect, s"pixel ($x,$y): JDK=$got, want=$expect")
+    }
   }
 }

@@ -556,4 +556,19 @@ class PlanFeaturesSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(typedCount == untyped)
   }
+
+  test("rank_cd: each query branch's window and aggregate share ONE " +
+      "doc-keyed exchange; top-k is TakeOrdered heaps, not a rank window") {
+    val q = SparkEntry.catalog("ns_text_rank_cd").fn(spark, sfDir)
+    val s = q.queryExecution.executedPlan.toString
+    // three branches, one hashpartitioning(doc_id) exchange each — the
+    // lag window and the covers aggregate reuse the same partitioning
+    val docEx = "Exchange hashpartitioning\\(doc_id".r.findAllIn(s).size
+    assert(docEx == 3,
+      s"expected exactly 3 doc-keyed exchanges (one per query branch), got $docEx:\n$s")
+    // per-query top-20 must be per-partition heaps, never a corpus-wide
+    // rank window (3 partitions of corpus rows — the anti-pattern)
+    val topk = "TakeOrderedAndProject".r.findAllIn(s).size
+    assert(topk == 3, s"expected 3 TakeOrderedAndProject heaps, got $topk:\n$s")
+  }
 }
