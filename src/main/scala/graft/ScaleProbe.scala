@@ -405,7 +405,11 @@ object ScaleProbe {
       // r17: compressibility = one mapPartitions deflate pass (text
       // never shuffles) + a source-median split — expected ~linear in
       // text volume (deflate is the per-row cost)
-      "ns_text_compressibility")
+      "ns_text_compressibility",
+      // r17: method agreement = BOTH band-keyed candidate generators
+      // under replication — the minhash_lsh stress class squared
+      // (every band bucket grows by the factor on both sides)
+      "ns_dedup_agreement")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected

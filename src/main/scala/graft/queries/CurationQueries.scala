@@ -11117,9 +11117,26 @@ object CurationQueries {
         .crossJoin(broadcast(m))
         .select(col("w"), expr(bpeApplyExpr).as("toks"))
         .localCheckpoint(true) // two consumers: id table + the stream
-      val tid = vocabToks.select(explode(col("toks")).as("tok")).distinct()
-        .withColumn("id",
-          row_number().over(Window.orderBy(col("tok"))).cast("long"))
+      // dense ids by global token order WITHOUT a single-reducer window:
+      // the ns_corpus_shuffle block decomposition — the first char is a
+      // PREFIX of the sort key, so block-major order IS the global
+      // order; ranks are per-block windows, block bases a <= alphabet-
+      // sized cumulative sum (ids identical to row_number over the
+      // unpartitioned orderBy — the r16 verdict's word-vocab ceiling,
+      // closed structurally)
+      val tid = {
+        val toks = vocabToks.select(explode(col("toks")).as("tok")).distinct()
+          .withColumn("blk", substring(col("tok"), 1, 1))
+        val local = toks.withColumn("rl", row_number()
+          .over(Window.partitionBy(col("blk")).orderBy(col("tok"))))
+        val bases = local.groupBy(col("blk")).agg(count(lit(1)).as("cnt"))
+          .withColumn("base", coalesce(sum(col("cnt"))
+            .over(Window.orderBy(col("blk"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("blk"), col("base"))
+        local.join(broadcast(bases), Seq("blk"))
+          .select(col("tok"), (col("base") + col("rl")).cast("long").as("id"))
+      }
       val seq0 = words.join(vocabToks, Seq("w"))
         .select(col("doc_id"), col("wpos"),
           posexplode(col("toks")).as(Seq("tpos", "tok")))
