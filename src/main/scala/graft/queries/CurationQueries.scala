@@ -5627,6 +5627,64 @@ object CurationQueries {
            |WHERE ct.n >= 2 AND s2.sc2 > 0
            |ORDER BY ct.source, ct.lang, ct.doc_id""".stripMargin))
 
+  /** WEIGHTED SAMPLE WITHOUT REPLACEMENT — the Efraimidis-Spirakis /
+    * Gumbel-top-k primitive every data-mixing stage needs when
+    * "sample proportional to weight" must be reproducible and
+    * single-pass: each document draws its seeded uniform u from a
+    * salted md5 (the sampleHash idiom, 52 mantissa-exact bits), gets
+    * the Gumbel key `ln(w) − ln(−ln(u))`, and the top-k keys ARE an
+    * exact weight-proportional sample without replacement — no
+    * rejection loop, no sequential state, trivially distributed. Here
+    * w = token count (longer documents proportionally likelier), k=50.
+    *
+    * Determinism: u is a pure function of doc_id (re-crawls resample
+    * identically); the key is ONE identically-written float expression
+    * floored once to e6 in both engines (the round-once contract);
+    * ties break on doc_id.
+    *
+    * Scale: one map-only pass + TakeOrderedAndProject per-partition
+    * heaps — no shuffle beyond the k-row final; the rank window orders
+    * 50 rows.
+    */
+  private val sampleGumbelTopk = Q(
+    (s, dir) => {
+      val top = TS(s, dir, "documents")
+        .withColumn("w", size(split(col("text"), " ")).cast("long"))
+        .withColumn("u", expr(
+          "(cast(conv(substring(md5(concat('gum:', cast(doc_id as string))), " +
+            "1, 13), 16, 10) as double) + 1.0) / 4503599627370498.0"))
+        .withColumn("key_e6", expr(
+          "cast(floor((ln(cast(w as double)) - ln(-ln(u))) * 1000000) as bigint)"))
+        .select(col("doc_id").cast("long").as("doc_id"), col("w"),
+          col("key_e6"))
+        .orderBy(col("key_e6").desc, col("doc_id"))
+        .limit(50)
+      top.withColumn("rnk", row_number().over(
+          Window.orderBy(col("key_e6").desc, col("doc_id"))).cast("long"))
+        .select(col("rnk"), col("doc_id"), col("w").as("weight_tokens"),
+          col("key_e6"))
+        .orderBy(col("rnk"))
+    },
+    Some("""WITH d AS (
+           |  SELECT cast(doc_id as bigint) AS doc_id,
+           |    cast(len(string_split(text, ' ')) as bigint) AS w,
+           |    (cast(cast('0x' || substr(md5('gum:' || cast(doc_id as varchar)),
+           |      1, 13) as bigint) as double) + 1.0) / 4503599627370498.0 AS u
+           |  FROM documents
+           |), k AS (
+           |  SELECT doc_id, w,
+           |    cast(floor((ln(cast(w as double)) - ln(-ln(u))) * 1000000)
+           |      as bigint) AS key_e6
+           |  FROM d
+           |), r AS (
+           |  SELECT doc_id, w, key_e6,
+           |    cast(row_number() OVER (ORDER BY key_e6 DESC, doc_id)
+           |      as bigint) AS rnk
+           |  FROM k
+           |)
+           |SELECT rnk, doc_id, w AS weight_tokens, key_e6
+           |FROM r WHERE rnk <= 50 ORDER BY rnk""".stripMargin))
+
   /** DEDUP METHOD AGREEMENT — the meta-audit an ops team runs before
     * trusting ONE near-dup detector: MinHash-LSH (band-bucket
     * candidates verified at exact shingle Jaccard >= 0.5) and SimHash
@@ -13381,6 +13439,7 @@ object CurationQueries {
     "ts_anomaly_mad" -> tsAnomalyMad,
     "ns_text_compressibility" -> textCompressibility,
     "ns_dedup_agreement" -> dedupAgreement,
+    "ns_sample_gumbel_topk" -> sampleGumbelTopk,
     "ns_text_entropy_rate" -> textEntropyRate,
     "ns_text_trigram_match" -> textTrigramMatch,
     "ns_text_fts_query" -> textFtsQuery,
