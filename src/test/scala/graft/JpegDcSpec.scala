@@ -195,6 +195,94 @@ class JpegDcSpec extends AnyFunSuite {
     }
   }
 
+  test("GRAYSCALE progressive (single-component SOF2) decodes exactly") {
+    // spec-local builder: 1-component SOF2 with the same scan script
+    // (DC first Al=1, one AC first scan as EOB runs, DC refine Ah=1) —
+    // covers the nComp=1 progressive path the 3-component fixture
+    // can't reach
+    def grayProg(width: Int, height: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def b(xs: Int*): Unit = xs.foreach(x => out.write(x & 0xff))
+      b(0xff, 0xd8)
+      b(0xff, 0xdb, 0x00, 0x43, 0x00); (0 until 64).foreach(_ => b(0x10))
+      b(0xff, 0xc2, 0x00, 0x0b) // SOF2, 1 component
+      b(0x08, (height >> 8) & 0xff, height & 0xff,
+        (width >> 8) & 0xff, width & 0xff, 0x01, 0x01, 0x11, 0x00)
+      b(0xff, 0xc4, 0x00, 0x19, 0x00) // DHT DC 0: len-3 codes 0-5
+      b(0x00, 0x00, 0x06); (0 until 13).foreach(_ => b(0x00))
+      (0 to 5).foreach(c => b(c))
+      b(0xff, 0xc4, 0x00, 0x19, 0x10) // DHT AC 0: len-3 EOBn codes
+      b(0x00, 0x00, 0x06); (0 until 13).foreach(_ => b(0x00))
+      (0 to 5).foreach(k => b(k << 4))
+      val ent = new java.io.ByteArrayOutputStream()
+      var cur = 0; var nbits = 0
+      def put(v: Long, n: Int): Unit = {
+        var i = n - 1
+        while (i >= 0) {
+          cur = (cur << 1) | ((v >> i) & 1L).toInt; nbits += 1
+          if (nbits == 8) { ent.write(cur); if (cur == 0xff) ent.write(0); cur = 0; nbits = 0 }
+          i -= 1
+        }
+      }
+      def endScan(): Unit = {
+        if (nbits > 0) { while (nbits < 8) { cur = (cur << 1) | 1; nbits += 1 }
+          ent.write(cur); if (cur == 0xff) ent.write(0); cur = 0; nbits = 0 }
+        out.write(ent.toByteArray); ent.reset()
+      }
+      val nb = ((width + 7) / 8) * ((height + 7) / 8)
+      def d(j: Int) = ((7 * j) % 32) - 16
+      // DC first, Al=1
+      b(0xff, 0xda, 0x00, 0x08, 0x01, 0x01, 0x00, 0x00, 0x00, 0x01)
+      var prev = 0
+      (0 until nb).foreach { j =>
+        val v = d(j) >> 1
+        val diff = v - prev; prev = v
+        val cat = if (diff == 0) 0
+          else 64 - java.lang.Long.numberOfLeadingZeros(math.abs(diff).toLong)
+        put(cat.toLong, 3)
+        if (cat > 0) put(if (diff >= 0) diff.toLong
+          else diff.toLong + (1L << cat) - 1, cat)
+      }
+      endScan()
+      // AC first scan, all-zero AC as EOB runs
+      b(0xff, 0xda, 0x00, 0x08, 0x01, 0x01, 0x00, 0x01, 0x3f, 0x00)
+      var left = nb
+      while (left > 0) {
+        val chunk = math.min(left, 63)
+        val k = 31 - java.lang.Integer.numberOfLeadingZeros(chunk)
+        put(k.toLong, 3); if (k > 0) put((chunk - (1 << k)).toLong, k)
+        left -= chunk
+      }
+      endScan()
+      // DC refinement Ah=1 Al=0: one raw low bit per block
+      b(0xff, 0xda, 0x00, 0x08, 0x01, 0x01, 0x00, 0x00, 0x00, 0x10)
+      (0 until nb).foreach(j => put((d(j) & 1).toLong, 1))
+      endScan()
+      b(0xff, 0xd9)
+      out.toByteArray
+    }
+    for ((w, h) <- Seq((16, 10), (40, 16), (7, 7))) {
+      val bytes = grayProg(w, h)
+      val nb = ((w + 7) / 8) * ((h + 7) / 8)
+      val want = pattern(nb).map(_ * 16L)
+      assert(Multimodal.jpegDcStats(bytes).contains(
+        (w.toLong, h.toLong, nb.toLong, want.sum, want.min, want.max)),
+        s"gray progressive ($w x $h)")
+    }
+    // JDK agreement on the grayscale progressive stream
+    val (w, h) = (40, 16)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(grayProg(w, h)))
+    assert(img != null, "JDK could not decode the gray progressive JPEG")
+    val bw = (w + 7) / 8
+    val dd = pattern(bw * ((h + 7) / 8))
+    for (y <- 0 until h; x <- 0 until w) {
+      val expect = 128 + 2 * dd((y / 8) * bw + (x / 8))
+      val got = img.getRaster.getSample(x, y, 0)
+      assert(got == expect, s"pixel ($x,$y): JDK=$got, want=$expect")
+    }
+  }
+
   test("PROGRESSIVE streams with an incomplete DC refinement chain reject") {
     val full = Multimodal.jpegDcProgPatternBytes(24, 16, 0)
     assert(Multimodal.jpegDcStats(full).nonEmpty)
