@@ -409,7 +409,10 @@ object ScaleProbe {
       // r17: method agreement = BOTH band-keyed candidate generators
       // under replication — the minhash_lsh stress class squared
       // (every band bucket grows by the factor on both sides)
-      "ns_dedup_agreement")
+      "ns_dedup_agreement",
+      // r17: gumbel = one map-only key pass + TakeOrdered heaps — the
+      // sampleHash floor class
+      "ns_sample_gumbel_topk")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected

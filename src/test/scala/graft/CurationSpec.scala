@@ -820,6 +820,31 @@ class CurationSpec extends SparkSpec {
     assert(meanRecall > 0.0, "truncated search found nothing — wiring bug")
   }
 
+  test("gumbel top-k: weights dominate, ranks deterministic across runs") {
+    import spark.implicits._
+    // a planted heavy doc (weight ~1000x the rest) must rank first:
+    // its Gumbel key ln(w) + g beats any light doc unless the light
+    // doc's gumbel exceeds ln(1000) ~ 6.9 — probability < 1e-3 per doc,
+    // and the seeded uniforms here are fixed, so the assertion is exact
+    val tmp = java.nio.file.Files.createTempDirectory("gum").toString
+    val heavy = (0L, ("x " * 50000).trim, "xx", "s", 1L)
+    val light = (1L to 60L).map(i => (i, "a b c", "xx", "s", 1L))
+    (heavy +: light).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r1 = SparkEntry.queries("ns_sample_gumbel_topk")(spark, tmp).collect()
+    assert(r1.head.getAs[Long]("doc_id") == 0L,
+      s"the 50000-token doc must win rank 1: ${r1.head}")
+    assert(r1.head.getAs[Long]("weight_tokens") == 50000L)
+    // determinism: a second evaluation returns identical rows
+    val r2 = SparkEntry.queries("ns_sample_gumbel_topk")(spark, tmp).collect()
+    assert(r1.toSeq == r2.toSeq, "seeded sample must be reproducible")
+    // without replacement: all sampled ids distinct, keys strictly ordered
+    val ids = r1.map(_.getAs[Long]("doc_id"))
+    assert(ids.distinct.length == ids.length)
+    val keys = r1.map(_.getAs[Long]("key_e6"))
+    assert(keys.zip(keys.tail).forall { case (a, b) => a >= b })
+  }
+
   test("incremental ExactSubstr: sequential probe+append protocol — " +
       "cross-cohort catch, read-only probe, replay equality") {
     import spark.implicits._
