@@ -412,12 +412,19 @@ object ScaleProbe {
       "ns_dedup_agreement",
       // r17: gumbel = one map-only key pass + TakeOrdered heaps — the
       // sampleHash floor class
-      "ns_sample_gumbel_topk")
+      "ns_sample_gumbel_topk",
+      // r18: weighted ts_rank = the bm25 postings discipline with doc
+      // length riding the posting rows — expected ~linear in postings
+      "ns_text_rank_weighted",
+      // r18: prefix tsquery = the same postings discipline with a
+      // startsWith map-side filter — expected ~linear in postings
+      "ns_text_fts_prefix")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected
     val needDocsFixture = docNames.exists(enabled) || enabled("ns_sim_hybrid_rrf") ||
-      enabled("ns_pipeline_integrity") || enabled("ns_sim_bitext_mining")
+      enabled("ns_pipeline_integrity") || enabled("ns_sim_bitext_mining") ||
+      enabled("ns_dedup_agreement_semantic")
     if (needDocsFixture) {
       val docReps = spark.range(docMult).select(col("id").as("rep"))
       Tables.load(spark, sfDir, "documents")
@@ -599,7 +606,8 @@ object ScaleProbe {
       "ns_sim_ivf_append_stream")
     // probes over the embeddings fixture that do NOT resolve through the
     // query catalog (custom parameterization below)
-    val customVecProbes = Seq("ns_dedup_semantic_kprop")
+    val customVecProbes = Seq("ns_dedup_semantic_kprop",
+      "ns_dedup_agreement_semantic")
     if ((vecNames ++ customVecProbes).exists(enabled)) {
       val vecReps = spark.range(docMult).select(col("id").as("rep"))
       Tables.load(spark, sfDir, "embeddings")
@@ -700,6 +708,24 @@ object ScaleProbe {
         graft.queries.NorthStarQueries.semanticPairStats(spark, tmp, asg)
           .write.mode("overwrite").format("noop").save()
         println(f"[scaleprobe] ns_dedup_semantic_kprop k=$k x$docMult (${nVecs} vecs): " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s" + spillTag())
+      }
+      // r18: the set-vs-semantic agreement audit at the SAME k ∝ N
+      // configuration (a fixed k = 8 under identical replicas collapses
+      // the cluster pair join quadratically — the kprop precedent);
+      // reads BOTH multiplied fixtures through the shared id remap, so
+      // minhash candidates stay band-keyed and semantic candidates
+      // cluster-keyed at production geometry.
+      if (enabled("ns_dedup_agreement_semantic")) {
+        val k = math.min(math.max(8, (nVecs / 2500L).toInt),
+          math.max(1, (nVecs / docMult).toInt))
+        val asg = graft.queries.NorthStarQueries
+          .kmeansAssign(spark, tmp, iters = 1, k = k, seedStride = docMult.toLong)
+          .select(col("vec_id"), col("cl"))
+        val t0 = System.nanoTime()
+        graft.queries.CurationQueries.agreementSemanticStats(spark, tmp, asg)
+          .write.mode("overwrite").format("noop").save()
+        println(f"[scaleprobe] ns_dedup_agreement_semantic k=$k x$docMult (${nVecs} vecs): " +
           f"${(System.nanoTime() - t0) / 1e9}%.2f s" + spillTag())
       }
     }

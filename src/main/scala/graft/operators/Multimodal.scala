@@ -715,37 +715,139 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** sha256 (hex) of the DECODED raw RGB pixel stream (rows
-    * concatenated, filter bytes excluded) — the content identity that
-    * survives container re-encoding (compression level, chunking),
-    * which a byte-level hash does not. None on undecodable input.
-    */
-  def pngPixelSha(b: Array[Byte]): Option[(Long, Long, String)] = {
-    // reuse the validated decode path, then re-walk for the digest
-    pngPixelStats(b).map { case (w, h, _, _, _) =>
-      // pngPixelStats proved the container decodes; re-inflate for bytes
-      val idat = new java.io.ByteArrayOutputStream()
-      var pos = 33
-      while (pos + 8 <= b.length) {
-        val size = be32(b, pos).toInt
-        val typ = new String(b, pos + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
-        if (typ == "IDAT") idat.write(b, pos + 8, size)
-        if (typ == "IEND") pos = b.length
-        else pos += 12 + size
-      }
-      val inflater = new java.util.zip.Inflater()
-      inflater.setInput(idat.toByteArray)
-      val raw = new Array[Byte]((h * (1 + w * 3)).toInt)
-      try inflater.inflate(raw) finally inflater.end()
-      val md = java.security.MessageDigest.getInstance("SHA-256")
-      var y = 0
-      while (y < h) {
-        md.update(raw, (y * (1 + w * 3)).toInt + 1, (w * 3).toInt)
-        y += 1
-      }
-      (w, h, md.digest().map("%02x".format(_)).mkString)
+  /** Shared PNG container writer for the color-type fixture family:
+    * signature, IHDR (8-bit, `colorType`, CRC-correct), optional PLTE,
+    * one IDAT with `raw` (filter-prefixed scanlines) deflated at
+    * `level`, IEND. */
+  private def pngContainer(width: Int, height: Int, colorType: Int,
+      raw: Array[Byte], plte: Array[Byte], level: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val len = java.nio.ByteBuffer.allocate(4).putInt(data.length).array()
+      out.write(len)
+      val body = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ data
+      out.write(body)
+      val crc = new java.util.zip.CRC32()
+      crc.update(body)
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
     }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+      .array()
+    chunk("IHDR", ihdr)
+    if (plte != null) chunk("PLTE", plte)
+    val deflater = new java.util.zip.Deflater(level)
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 128)
+    val n = deflater.deflate(buf)
+    deflater.end()
+    chunk("IDAT", buf.take(n))
+    chunk("IEND", Array.empty[Byte])
+    out.toByteArray
   }
+
+  /** The closed-form 256-entry palette the palette-tier fixtures index:
+    * PLTE[i] = (i, (2i+11) mod 256, (7i+3) mod 256) — every channel a
+    * linear form an oracle can recompute with generate_series. */
+  private def fixturePlte: Array[Byte] = {
+    val p = new Array[Byte](768)
+    var i = 0
+    while (i < 256) {
+      p(3 * i) = i.toByte
+      p(3 * i + 1) = ((2 * i + 11) % 256).toByte
+      p(3 * i + 2) = ((7 * i + 3) % 256).toByte
+      i += 1
+    }
+    p
+  }
+
+  /** Palette-index pattern shared by [[pngPaletteBytes]] and
+    * [[pngPaletteAsRgbBytes]]: idx(x, y) = (3x + 5y) mod 256. */
+  @inline private def paletteIdx(x: Int, y: Int): Int = (3 * x + 5 * y) % 256
+
+  /** PALETTE PNG (colorType 3): pixel (x, y) carries index
+    * (3x+5y) mod 256 into the closed-form [[fixturePlte]] — decoded
+    * RGB is (i, (2i+11) mod 256, (7i+3) mod 256) at i = (3x+5y) mod
+    * 256, so channel sums are SQL-recomputable like the gradient
+    * tier's. */
+  def pngPaletteBytes(width: Int, height: Int): Array[Byte] =
+    pngPaletteBytes(width, height, java.util.zip.Deflater.DEFAULT_COMPRESSION)
+
+  def pngPaletteBytes(width: Int, height: Int, level: Int): Array[Byte] = {
+    val raw = new Array[Byte](height * (1 + width))
+    var y = 0
+    while (y < height) {
+      val rowOff = y * (1 + width)
+      raw(rowOff) = 0
+      var x = 0
+      while (x < width) {
+        raw(rowOff + 1 + x) = paletteIdx(x, y).toByte
+        x += 1
+      }
+      y += 1
+    }
+    pngContainer(width, height, 3, raw, fixturePlte, level)
+  }
+
+  /** TRUECOLOR re-encode of exactly [[pngPaletteBytes]]'s decoded
+    * pixels — same canonical RGB stream in a colorType-2 container, the
+    * fixture pair that makes pixel-identity dedup group ACROSS color
+    * types, not just across compression levels. */
+  def pngPaletteAsRgbBytes(width: Int, height: Int, level: Int): Array[Byte] = {
+    val plte = fixturePlte
+    val raw = new Array[Byte](height * (1 + width * 3))
+    var y = 0
+    while (y < height) {
+      val rowOff = y * (1 + width * 3)
+      raw(rowOff) = 0
+      var x = 0
+      while (x < width) {
+        val i = paletteIdx(x, y)
+        raw(rowOff + 1 + 3 * x) = plte(3 * i)
+        raw(rowOff + 2 + 3 * x) = plte(3 * i + 1)
+        raw(rowOff + 3 + 3 * x) = plte(3 * i + 2)
+        x += 1
+      }
+      y += 1
+    }
+    pngContainer(width, height, 2, raw, null, level)
+  }
+
+  /** GRAYSCALE PNG (colorType 0): pixel (x, y) = (3x+7y) mod 256;
+    * decoded canonical RGB replicates the gray byte, so
+    * sum_r = sum_g = sum_b = the closed-form gray sum. */
+  def pngGrayBytes(width: Int, height: Int): Array[Byte] = {
+    val raw = new Array[Byte](height * (1 + width))
+    var y = 0
+    while (y < height) {
+      val rowOff = y * (1 + width)
+      raw(rowOff) = 0
+      var x = 0
+      while (x < width) {
+        raw(rowOff + 1 + x) = ((3 * x + 7 * y) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    pngContainer(width, height, 0, raw, null, level = 6)
+  }
+
+  /** sha256 (hex) of the DECODED canonical RGB pixel stream (3 bytes
+    * per pixel, rows concatenated, filter bytes excluded) — the content
+    * identity that survives container re-encoding (compression level,
+    * chunking, AND color type: a palette or grayscale re-encode of the
+    * same pixels digests identically to the truecolor form, because the
+    * digest is over the post-lookup RGB). None on undecodable input.
+    */
+  def pngPixelSha(b: Array[Byte]): Option[(Long, Long, String)] =
+    pngDecodeRgb(b).map { case (w, h, rgb) =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.update(rgb)
+      (w.toLong, h.toLong, md.digest().map("%02x".format(_)).mkString)
+    }
 
   final case class PixelId(fileId: Long, width: Long, height: Long,
       pixelSha: String, valid: Boolean)
@@ -766,18 +868,47 @@ object Multimodal {
       }
   }
 
-  /** Pixel-level statistics of an 8-bit RGB filter-0 PNG: dimensions
-    * plus exact per-channel byte sums from a REAL decode — IDAT chunks
-    * concatenated, inflated (`java.util.zip.Inflater`), scanlines
-    * unfiltered, pixels walked. None when the container is not 8-bit
-    * truecolor, uses a filter other than None, or the inflated payload
-    * is short — reject, never mis-decode.
+  /** Pixel-level statistics of an 8-bit filter-0 PNG — truecolor,
+    * GRAYSCALE, or PALETTE: dimensions plus exact per-channel byte sums
+    * from a REAL decode — IDAT chunks concatenated, inflated
+    * (`java.util.zip.Inflater`), scanlines unfiltered, pixels walked
+    * through the color-type mapping (grayscale replicates the gray
+    * byte across R=G=B; palette indexes the PLTE table). None when the
+    * container is not 8-bit type 0/2/3, uses a filter other than None,
+    * carries an out-of-palette index, or the inflated payload is
+    * short — reject, never mis-decode.
     */
   final case class PngStats(
       fileId: Long, width: Long, height: Long,
       sumR: Long, sumG: Long, sumB: Long, valid: Boolean)
 
-  def pngPixelStats(b: Array[Byte]): Option[(Long, Long, Long, Long, Long)] = {
+  def pngPixelStats(b: Array[Byte]): Option[(Long, Long, Long, Long, Long)] =
+    pngDecodeRgb(b).map { case (w, h, rgb) =>
+      var sumR = 0L; var sumG = 0L; var sumB = 0L
+      var p = 0
+      while (p < rgb.length) {
+        sumR += rgb(p) & 0xff
+        sumG += rgb(p + 1) & 0xff
+        sumB += rgb(p + 2) & 0xff
+        p += 3
+      }
+      (w.toLong, h.toLong, sumR, sumG, sumB)
+    }
+
+  /** Decode an 8-bit filter-0 PNG to its CANONICAL RGB stream (3 bytes
+    * per pixel, row-major) — the shared real-decode path under
+    * [[pngPixelStats]] and [[pngPixelSha]]. Accepted color types:
+    * 2 (truecolor, bytes pass through), 0 (grayscale, the gray byte
+    * replicates to R=G=B), 3 (palette, each index looks up the PLTE
+    * entry — an index past the table rejects). Everything else — other
+    * bit depths, filters, interlace, short payloads — returns None:
+    * reject, never mis-decode.
+    */
+  def pngDecodeRgb(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    try pngDecodeRgbImpl(b)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def pngDecodeRgbImpl(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
     if (b.length < 33 || !b.startsWith(pngSig)) return None
     if (!(b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')) return None
@@ -785,37 +916,63 @@ object Multimodal {
     val h = be32(b, 20).toInt
     val bitDepth = b(24) & 0xff
     val colorType = b(25) & 0xff
-    if (bitDepth != 8 || colorType != 2) return None
-    // concatenate IDAT payloads
+    val interlace = b(28) & 0xff
+    if (bitDepth != 8 || interlace != 0) return None
+    val bpp = colorType match {
+      case 0 => 1 // grayscale
+      case 2 => 3 // truecolor
+      case 3 => 1 // palette index
+      case _ => return None
+    }
+    if (w <= 0 || h <= 0) return None
+    // walk chunks: concatenate IDAT payloads, capture PLTE
     val idat = new java.io.ByteArrayOutputStream()
+    var plte: Array[Byte] = null
     var pos = 33 // after IHDR chunk (8 sig + 4 len + 4 type + 13 + 4 crc)
     while (pos + 8 <= b.length) {
       val size = be32(b, pos).toInt
       val typ = new String(b, pos + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
       if (typ == "IDAT") idat.write(b, pos + 8, size)
+      if (typ == "PLTE") plte = java.util.Arrays.copyOfRange(b, pos + 8, pos + 8 + size)
       if (typ == "IEND") pos = b.length
       else pos += 12 + size
     }
+    if (colorType == 3 &&
+      (plte == null || plte.length == 0 || plte.length % 3 != 0)) return None
+    val nPalette = if (plte == null) 0 else plte.length / 3
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(idat.toByteArray)
-    val raw = new Array[Byte](h * (1 + w * 3))
+    val raw = new Array[Byte](h * (1 + w * bpp))
     val got = try inflater.inflate(raw) finally inflater.end()
     if (got != raw.length) return None
-    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    val rgb = new Array[Byte](w * h * 3)
     var y = 0
     while (y < h) {
-      val rowOff = y * (1 + w * 3)
+      val rowOff = y * (1 + w * bpp)
       if (raw(rowOff) != 0) return None // only filter None supported
       var x = 0
       while (x < w) {
-        sumR += raw(rowOff + 1 + 3 * x) & 0xff
-        sumG += raw(rowOff + 2 + 3 * x) & 0xff
-        sumB += raw(rowOff + 3 + 3 * x) & 0xff
+        val o = (y * w + x) * 3
+        colorType match {
+          case 2 =>
+            rgb(o) = raw(rowOff + 1 + 3 * x)
+            rgb(o + 1) = raw(rowOff + 2 + 3 * x)
+            rgb(o + 2) = raw(rowOff + 3 + 3 * x)
+          case 0 =>
+            val g = raw(rowOff + 1 + x)
+            rgb(o) = g; rgb(o + 1) = g; rgb(o + 2) = g
+          case 3 =>
+            val idx = raw(rowOff + 1 + x) & 0xff
+            if (idx >= nPalette) return None
+            rgb(o) = plte(3 * idx)
+            rgb(o + 1) = plte(3 * idx + 1)
+            rgb(o + 2) = plte(3 * idx + 2)
+        }
         x += 1
       }
       y += 1
     }
-    Some((w.toLong, h.toLong, sumR, sumG, sumB))
+    Some((w, h, rgb))
   }
 
   /** Partition-mapped PNG pixel stats — the [[parseAll]] narrow shape. */
@@ -983,13 +1140,13 @@ object Multimodal {
     * baseline sequential with 8-bit quant tables: single-component
     * (grayscale) 1x1, and 3-component (YCbCr) with luma sampling
     * factors h,v in {1,2} against 1x1 chroma — 4:4:4 (1x1), 4:2:0
-    * (2x2), 4:2:2 (2x1), 4:4:0 (1x2) — chroma blocks are
-    * entropy-consumed with their own Huffman tables and DC predictors,
-    * stats fold Y only — and DRI restart intervals (byte-align at each
-    * RSTn, reset DC predictors). None for everything else
-    * (arithmetic coding, 4:1:1, chroma subsampling factors > 1;
-    * progressive streams decode via the DC first scan — see SOF2
-    * handling below) — reject, never mis-decode.
+    * (2x2), 4:2:2 (2x1), 4:4:0 (1x2) — plus 4:1:1 (4x1 luma) — chroma
+    * blocks are entropy-consumed with their own Huffman tables and DC
+    * predictors, stats fold Y only — and DRI restart intervals
+    * (byte-align at each RSTn, reset DC predictors). None for
+    * everything else (arithmetic coding, 1x4 / supersampled-chroma
+    * layouts; progressive streams decode via the DC first scan — see
+    * SOF2 handling below) — reject, never mis-decode.
     */
   def jpegDcStats(b: Array[Byte]): Option[(Long, Long, Long, Long, Long, Long)] =
     // A truncated/malformed segment must land in the valid=false row,
@@ -1062,14 +1219,18 @@ object Multimodal {
           }
           // accepted sampling layouts: grayscale 1x1; color with 1x1
           // chroma and luma factors h,v in {1,2} — 4:4:4 (1x1), 4:2:2
-          // (2x1), 4:4:0 (1x2), 4:2:0 (2x2). Anything else (4:1:1,
-          // supersampled chroma, ...) rejects, never mis-decodes.
+          // (2x1), 4:4:0 (1x2), 4:2:0 (2x2) — plus 4:1:1 (4x1, the
+          // remaining common camera layout; the MCU loop is generic in
+          // h x v so only this acceptance gates it). Anything else
+          // (1x4, supersampled chroma, 3x1, ...) rejects, never
+          // mis-decodes.
           val h0 = (compSamp(0) >> 4) & 0xf
           val v0 = compSamp(0) & 0xf
           val ok =
             (nComp == 1 && compSamp(0) == 0x11) ||
             (nComp == 3 && compSamp(1) == 0x11 && compSamp(2) == 0x11 &&
-              h0 >= 1 && h0 <= 2 && v0 >= 1 && v0 <= 2)
+              ((h0 >= 1 && h0 <= 2 && v0 >= 1 && v0 <= 2) ||
+                (h0 == 4 && v0 == 1)))
           if (!ok) return None
         case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
             0xcb | 0xcd | 0xce | 0xcf =>
@@ -1871,8 +2032,8 @@ object Multimodal {
     val sig = new String(b, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
     if (sig != "GIF87a" && sig != "GIF89a") return None
     def le16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
-    val sw = le16(6)
-    val sh = le16(8)
+    // logical-screen dims at offsets 6/8 are NOT the stats surface
+    // (the image descriptor's iw/ih are) — only the packed byte matters
     val packed = b(10) & 0xff
     var pos = 13
     if ((packed & 0x80) != 0) pos += 3 * (1 << ((packed & 7) + 1)) // GCT
@@ -1912,7 +2073,11 @@ object Multimodal {
           pos += 1 + n
         }
         if (iw <= 0 || ih <= 0) return None
-        return gifLzwStats(data.toByteArray, minCode, iw.toLong * ih, sw, sh)
+        // width/height are the IMAGE descriptor's (iw, ih) — the pixels
+        // the stats actually cover — not the logical-screen (sw, sh):
+        // a first frame that is a subrectangle of the screen would
+        // otherwise report width*height != n_pixels.
+        return gifLzwStats(data.toByteArray, minCode, iw.toLong * ih, iw, ih)
       } else return None
     }
     None

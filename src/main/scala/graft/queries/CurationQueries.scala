@@ -4416,7 +4416,11 @@ object CurationQueries {
         round(expr("percentile(quality, 0.25)"), 6).as("q25"))
       val bins = scored.crossJoin(broadcast(thr))
         .withColumn("pass", !col("bad") && col("quality") >= col("q25"))
-        .withColumn("decile", expr("cast(floor(keep_prob * 10) as bigint)"))
+        // keep_prob is round(sigmoid, 6): z >= ~13.8 rounds to exactly
+        // 1.0 → floor(·*10) = 10, an 11th bin outside the documented
+        // 10-bin PAV frame — clamp to decile 9 in BOTH engines.
+        .withColumn("decile",
+          expr("cast(least(floor(keep_prob * 10), 9) as bigint)"))
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("nd"),
           sum(when(col("pass"), 1L).otherwise(0L)).as("np"))
@@ -4471,7 +4475,7 @@ object CurationQueries {
            |), thr AS (
            |  SELECT round(quantile_cont(quality, 0.25), 6) AS q25 FROM sc
            |), bins AS (
-           |  SELECT cast(floor(keep_prob * 10) as bigint) AS decile,
+           |  SELECT cast(least(floor(keep_prob * 10), 9) as bigint) AS decile,
            |    cast(count(*) as bigint) AS nd,
            |    cast(sum(CASE WHEN NOT bad AND quality >= q25 THEN 1 ELSE 0 END)
            |      as bigint) AS np
@@ -5699,22 +5703,27 @@ object CurationQueries {
     * bar).
     *
     * Determinism: both pipelines are the proven exact plans (the
-    * minhash band/signature CTEs and the 32-bit simhash band plan,
-    * reused verbatim); Jaccard and Hamming are exact integers; means
-    * are exact integer division with degenerate-count guards.
+    * minhash band/signature CTEs and `ns_dedup_simhash64`'s 64-bit
+    * two-word signature + 4x16-bit-band plan, reused verbatim);
+    * Jaccard and Hamming are exact integers; means are exact integer
+    * division with degenerate-count guards.
     *
     * Scale: both candidate generators are band-keyed equi-joins (never
     * all-pairs); the verify joins carry only candidates against the
     * checkpointed shingle/signature tables; the agreement rollup is a
     * single row off a pair-keyed full-outer join of two
-    * candidate-sized sides.
-    *
-    * Measured at sf0.1: minhash flags 256 pairs, 32-bit simhash
-    * 380,123 — with the simhash-only pairs at mean exact Jaccard
-    * 0.0014. The audit CATCHES that the 8-bit-band 32-bit signature is
-    * too narrow for this vocabulary (the very finding that motivates
-    * `ns_dedup_simhash64`'s production width) — which is the point of
-    * running it.
+    * candidate-sized sides. The simhash side runs at the PRODUCTION
+    * 64-bit width: the r17 audit ran it at 32 bits and CAUGHT that
+    * width's vocabulary collisions live (380,123 candidate pairs at
+    * mean exact Jaccard 0.0014, ~quadratic bucket-occupancy growth —
+    * the finding that motivated `ns_dedup_simhash64`), but the
+    * 8-bit-band bucket join that exposes the pathology is itself the
+    * pathology, so the audit would not survive a 100x corpus at that
+    * width. The narrow-width comparison is retained as the BOUNDED
+    * diagnostic `n_32bit_would_flag`: of the union pairs either
+    * production method flags, how many the signature TRUNCATED to its
+    * low 32 bits would also verify at Hamming <= 3 — union-pair-sized
+    * arithmetic, no 32-bit bucket join anywhere.
     */
   private val dedupAgreement = Q(
     (s, dir) => {
@@ -5739,44 +5748,62 @@ object CurationQueries {
           "inter * 1000000 div (size(ha) + size(hb) - inter)"))
         .drop("ha", "hb", "inter")
       val mver = withJacc(mcand).where(col("jacc_e6") >= 500000)
-      // --- SimHash flagged pairs (banded candidates + Hamming verify)
-      val bitSum = (j: Int) =>
-        s"aggregate(split(text, ' '), 0, (acc, t) -> acc + " +
-          s"(CASE WHEN ascii(substring(md5(t), ${j + 1}, 1)) % 2 = 1 " +
-          "THEN 1 ELSE -1 END))"
-      val simhash = (0 until 32)
-        .map(j => s"(CASE WHEN ${bitSum(j)} >= 0 THEN cast(${1L << j} as bigint) " +
-          "ELSE cast(0 as bigint) END)")
+      // --- SimHash flagged pairs at the PRODUCTION 64-bit width
+      // (ns_dedup_simhash64's plan verbatim: one sha256 per token, 64
+      // parity lanes folded in one pass, two-word signature, 4x16-bit
+      // bands — bucket occupancy vocab/65536, not vocab/256)
+      val bitsums =
+        "aggregate(transform(split(text, ' '), t -> sha2(t, 256)), " +
+          "array_repeat(0, 64), (acc, h) -> zip_with(acc, " +
+          "transform(sequence(1, 64), j -> IF(ascii(substring(h, j, 1)) % 2 = 1, 1, -1)), " +
+          "(a, b) -> a + b))"
+      def word(lo: Int) = (0 until 32)
+        .map(j => s"(CASE WHEN element_at(bs, ${lo + j + 1}) >= 0 " +
+          s"THEN cast(${1L << j} as bigint) ELSE cast(0 as bigint) END)")
         .mkString(" + ")
       val sigs = TS(s, dir, "documents")
-        .select(col("doc_id"), expr(simhash).as("sh"))
+        .select(col("doc_id"), expr(bitsums).as("bs"))
+        .select(col("doc_id"), expr(word(0)).as("sh_lo"),
+          expr(word(32)).as("sh_hi"))
         .localCheckpoint(true) // band explode + both m-side hamming joins
       val sbands = sigs
-        .select(col("doc_id"), col("sh"),
+        .select(col("doc_id"), col("sh_lo"), col("sh_hi"),
           explode(expr("sequence(0, 3)")).as("k"))
-        .withColumn("bv", expr("shiftright(sh, 8 * k) & 255"))
+        .withColumn("bv", expr(
+          "IF(k < 2, shiftright(sh_lo, 16 * k), shiftright(sh_hi, 16 * (k - 2))) & 65535"))
       val sver = sbands
-        .select(col("doc_id").as("a"), col("sh").as("sa"), col("k"), col("bv"))
-        .join(sbands.select(col("doc_id").as("b"), col("sh").as("sb"),
-          col("k").as("kb"), col("bv").as("bvb")),
+        .select(col("doc_id").as("a"), col("sh_lo").as("la"),
+          col("sh_hi").as("ua"), col("k"), col("bv"))
+        .join(sbands.select(col("doc_id").as("b"), col("sh_lo").as("lb"),
+          col("sh_hi").as("ub"), col("k").as("kb"), col("bv").as("bvb")),
           col("k") === col("kb") && col("bv") === col("bvb") &&
             col("a") < col("b"))
-        .select(col("a"), col("b"), col("sa"), col("sb")).distinct()
-        .withColumn("hamming", expr("cast(bit_count(sa ^ sb) as bigint)"))
+        .select(col("a"), col("b"), col("la"), col("ua"), col("lb"), col("ub"))
+        .distinct()
+        .withColumn("hamming",
+          expr("cast(bit_count(la ^ lb) + bit_count(ua ^ ub) as bigint)"))
+        // the bounded narrow-width diagnostic: the signature truncated
+        // to its low word — carried per pair, never bucket-joined
+        .withColumn("hamming32", expr("cast(bit_count(la ^ lb) as bigint)"))
         .where(col("hamming") <= 3)
       // --- agreement rollup with the disagreement diagnosis: each
       // method's pairs also carry the OTHER method's metric
       val m2 = mver
-        .join(sigs.select(col("doc_id").as("a"), col("sh").as("msa")), Seq("a"))
-        .join(sigs.select(col("doc_id").as("b"), col("sh").as("msb")), Seq("b"))
-        .withColumn("m_hamming", expr("cast(bit_count(msa ^ msb) as bigint)"))
+        .join(sigs.select(col("doc_id").as("a"), col("sh_lo").as("mla"),
+          col("sh_hi").as("mua")), Seq("a"))
+        .join(sigs.select(col("doc_id").as("b"), col("sh_lo").as("mlb"),
+          col("sh_hi").as("mub")), Seq("b"))
+        .withColumn("m_hamming",
+          expr("cast(bit_count(mla ^ mlb) + bit_count(mua ^ mub) as bigint)"))
+        .withColumn("m_hamming32", expr("cast(bit_count(mla ^ mlb) as bigint)"))
         .select(col("a"), col("b"), col("jacc_e6"), col("m_hamming"),
-          lit(1L).as("in_m"))
-      val s2 = withJacc(sver.select(col("a"), col("b"), col("hamming")))
+          col("m_hamming32"), lit(1L).as("in_m"))
+      val s2 = withJacc(sver.select(col("a"), col("b"), col("hamming"),
+          col("hamming32")))
         .withColumnRenamed("jacc_e6", "s_jacc_e6")
         .withColumn("in_s", lit(1L))
         .select(col("a"), col("b"), col("s_jacc_e6"), col("hamming"),
-          col("in_s"))
+          col("hamming32"), col("in_s"))
       m2.join(s2, Seq("a", "b"), "full_outer")
         .agg(
           sum(coalesce(col("in_m"), lit(0L))).as("n_minhash"),
@@ -5789,22 +5816,22 @@ object CurationQueries {
             .otherwise(0L)).as("n_simhash_only"),
           count(lit(1)).as("n_union"),
           sum(when(col("in_m").isNull, col("s_jacc_e6"))).as("sj"),
-          sum(when(col("in_s").isNull, col("m_hamming"))).as("sm"))
+          sum(when(col("in_s").isNull, col("m_hamming"))).as("sm"),
+          sum(when(coalesce(col("m_hamming32"), col("hamming32")) <= 3, 1L)
+            .otherwise(0L)).as("n32"))
         .withColumn("agreement_e6", expr("n_both * 1000000 div n_union"))
         .select(col("n_minhash"), col("n_simhash"), col("n_both"),
           col("n_minhash_only"), col("n_simhash_only"), col("agreement_e6"),
           expr("CASE WHEN n_simhash_only > 0 THEN sj div n_simhash_only " +
             "ELSE 0 END").as("s_only_mean_jacc_e6"),
           expr("CASE WHEN n_minhash_only > 0 THEN sm div n_minhash_only " +
-            "ELSE 0 END").as("m_only_mean_hamming"))
+            "ELSE 0 END").as("m_only_mean_hamming"),
+          col("n32").as("n_32bit_would_flag"))
     },
     Some {
-      val bitSum = (j: Int) =>
-        s"list_sum(list_transform(string_split(text, ' '), t -> " +
-          s"CASE WHEN ascii(substr(md5(t), ${j + 1}, 1)) % 2 = 1 THEN 1 ELSE -1 END))"
-      val simhash = (0 until 32)
-        .map(j => s"(CASE WHEN ${bitSum(j)} >= 0 THEN cast(${1L << j} as bigint) " +
-          "ELSE cast(0 as bigint) END)")
+      def word(lo: Int) = (0 until 32)
+        .map(j => s"(CASE WHEN s[${lo + j + 1}] >= 0 " +
+          s"THEN cast(${1L << j} as bigint) ELSE cast(0 as bigint) END)")
         .mkString(" + ")
       s"""WITH ${NorthStarQueries.minhashBandsSqlCtes}, shl AS (
          |  SELECT doc_id, list_distinct(${NorthStarQueries.hashedShinglesSql}) AS hs
@@ -5813,8 +5840,20 @@ object CurationQueries {
          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |  FROM bands x JOIN bands y
          |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+         |), stoks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+         |), shx AS (
+         |  SELECT doc_id, sha256(t) AS hx FROM stoks
+         |), sjs AS (
+         |  SELECT unnest(generate_series(0, 63)) AS j
+         |), slanes AS (
+         |  SELECT doc_id, j,
+         |    sum(CASE WHEN ascii(substr(hx, j + 1, 1)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM shx, sjs GROUP BY doc_id, j
+         |), ssums AS (
+         |  SELECT doc_id, list(v ORDER BY j) AS s FROM slanes GROUP BY doc_id
          |), simt AS (
-         |  SELECT doc_id, $simhash AS sh FROM documents
+         |  SELECT doc_id, ${word(0)} AS sh_lo, ${word(32)} AS sh_hi FROM ssums
          |), mver0 AS (
          |  SELECT c.a, c.b,
          |    (len(list_intersect(ha.hs, hb.hs)) * 1000000)
@@ -5824,28 +5863,37 @@ object CurationQueries {
          |    JOIN shl hb ON hb.doc_id = c.b
          |), mver AS (
          |  SELECT m.a, m.b, m.jacc_e6,
-         |    cast(bit_count(xor(sa.sh, sb.sh)) as bigint) AS m_hamming
+         |    cast(bit_count(xor(sa.sh_lo, sb.sh_lo))
+         |      + bit_count(xor(sa.sh_hi, sb.sh_hi)) as bigint) AS m_hamming,
+         |    cast(bit_count(xor(sa.sh_lo, sb.sh_lo)) as bigint) AS m_hamming32
          |  FROM mver0 m JOIN simt sa ON sa.doc_id = m.a
          |    JOIN simt sb ON sb.doc_id = m.b
          |  WHERE m.jacc_e6 >= 500000
          |), sb AS (
-         |  SELECT doc_id, sh, k, (sh >> (8 * k)) & 255 AS bv
+         |  SELECT doc_id, sh_lo, sh_hi, k,
+         |    (CASE WHEN k < 2 THEN sh_lo >> (16 * k)
+         |          ELSE sh_hi >> (16 * (k - 2)) END) & 65535 AS bv
          |  FROM simt, (SELECT unnest(generate_series(0, 3)) AS k)
          |), sver0 AS (
-         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.sh AS sa, y.sh AS sb2
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         |    x.sh_lo AS la, x.sh_hi AS ua, y.sh_lo AS lb, y.sh_hi AS ub
          |  FROM sb x JOIN sb y
          |    ON x.k = y.k AND x.bv = y.bv AND x.doc_id < y.doc_id
          |), sver AS (
-         |  SELECT a, b, cast(bit_count(xor(sa, sb2)) as bigint) AS hamming,
+         |  SELECT a, b,
+         |    cast(bit_count(xor(la, lb)) + bit_count(xor(ua, ub)) as bigint)
+         |      AS hamming,
+         |    cast(bit_count(xor(la, lb)) as bigint) AS hamming32,
          |    (len(list_intersect(ha.hs, hb.hs)) * 1000000)
          |      // (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs)))
          |      AS s_jacc_e6
          |  FROM sver0 JOIN shl ha ON ha.doc_id = sver0.a
          |    JOIN shl hb ON hb.doc_id = sver0.b
-         |  WHERE bit_count(xor(sa, sb2)) <= 3
+         |  WHERE bit_count(xor(la, lb)) + bit_count(xor(ua, ub)) <= 3
          |), u AS (
          |  SELECT coalesce(m.a, s.a) AS a, coalesce(m.b, s.b) AS b,
          |    m.jacc_e6, m.m_hamming, s.hamming, s.s_jacc_e6,
+         |    coalesce(m.m_hamming32, s.hamming32) AS h32,
          |    (m.a IS NOT NULL) AS in_m, (s.a IS NOT NULL) AS in_s
          |  FROM mver m FULL OUTER JOIN sver s ON m.a = s.a AND m.b = s.b
          |), agg AS (
@@ -5858,7 +5906,8 @@ object CurationQueries {
          |      AS n_simhash_only,
          |    cast(count(*) as bigint) AS n_union,
          |    cast(sum(CASE WHEN NOT in_m THEN s_jacc_e6 END) as bigint) AS sj,
-         |    cast(sum(CASE WHEN NOT in_s THEN m_hamming END) as bigint) AS sm
+         |    cast(sum(CASE WHEN NOT in_s THEN m_hamming END) as bigint) AS sm,
+         |    cast(sum(CASE WHEN h32 <= 3 THEN 1 ELSE 0 END) as bigint) AS n32
          |  FROM u
          |)
          |SELECT n_minhash, n_simhash, n_both, n_minhash_only, n_simhash_only,
@@ -5866,7 +5915,208 @@ object CurationQueries {
          |  CASE WHEN n_simhash_only > 0 THEN sj // n_simhash_only
          |    ELSE 0 END AS s_only_mean_jacc_e6,
          |  CASE WHEN n_minhash_only > 0 THEN sm // n_minhash_only
-         |    ELSE 0 END AS m_only_mean_hamming
+         |    ELSE 0 END AS m_only_mean_hamming,
+         |  n32 AS n_32bit_would_flag
+         |FROM agg""".stripMargin
+    })
+
+  /** DEDUP METHOD AGREEMENT, set-similarity vs SEMANTIC — the
+    * [[dedupAgreement]] frame generalized to the read that prices
+    * semantic dedup before enabling it: MinHash-LSH (band-bucket
+    * candidates, exact shingle Jaccard >= 0.5) against SemDeDup
+    * (within-k-means-cluster exact cosine > 0.4 — `ns_dedup_semantic`'s
+    * plan verbatim), over the shared doc_id/vec_id id space (minhash
+    * pairs restrict to ids that HAVE embeddings — the inner join). The
+    * disagreement diagnosis: semantic-only pairs carry their mean exact
+    * Jaccard (how far under the set-similarity bar cosine-similar pairs
+    * sit — paraphrases, templates with different tokens), minhash-only
+    * pairs their mean exact cosine (near-identical token sets the
+    * embedding geometry separates), PLUS `n_minhash_cross_cluster` —
+    * set-identical pairs whose embeddings landed in DIFFERENT k-means
+    * cells, the pairs SemDeDup's blocking can never flag at any
+    * threshold. That count is the method's recall ceiling, measured.
+    *
+    * Determinism: both pipelines are proven exact plans (minhash CTEs;
+    * the kmeans unrolled-rounds oracle + scaled_dot cosine, whose
+    * double division/comparison is the bit-identical idiom
+    * `ns_dedup_semantic` established); reported cosines are
+    * floor(cos * 1e6) exact integers; means are integer division with
+    * degenerate-count guards.
+    *
+    * Scale: minhash candidates band-keyed, semantic candidates
+    * cluster-keyed (sum-of-cluster-sizes² work, k ∝ N in production) —
+    * never all-pairs on either side; the verify joins carry candidates
+    * against checkpointed shingle/embedding tables; the rollup is one
+    * row off a pair-keyed full-outer join.
+    *
+    * This is the body with the cluster assignment injected — shared
+    * with [[graft.ScaleProbe]], which passes a k ∝ N assignment (the
+    * `ns_dedup_semantic_kprop` production configuration) so the probe
+    * measures the audit at the k that keeps per-cluster pair work
+    * bounded as the corpus grows; the gate query below binds the
+    * k = 8 fixture contract.
+    */
+  private[graft] def agreementSemanticStats(s: SparkSession, dir: String,
+      asg: DataFrame): DataFrame = {
+      graft.expressions.ScaledDotProduct.registerIn(s)
+      // embedding facts: k-means cell + norm (the SemDeDup frame)
+      val emb = TS(s, dir, "embeddings")
+        .withColumn("nrm", expr("scaled_dot(embedding, embedding)"))
+        .join(asg, Seq("vec_id"))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cl"))
+        .localCheckpoint(true) // cluster pair join both sides + 2 m-side attaches
+      val cosE6 = (ea: String, eb: String, na: String, nb: String) =>
+        s"cast(floor(cast(scaled_dot($ea, $eb) as double) / " +
+          s"(sqrt(cast($na as double)) * sqrt(cast($nb as double))) * 1000000) as bigint)"
+      // MinHash-LSH flagged pairs (the dedupAgreement plan verbatim)
+      val bands = NorthStarQueries.minhashBands(s, dir)
+        .localCheckpoint(true) // both sides of the candidate self-join
+      val hs = TS(s, dir, "documents")
+        .select(col("doc_id"), expr(
+          s"array_distinct(${NorthStarQueries.hashedShinglesExpr})").as("hs"))
+        .localCheckpoint(true) // jaccard verify + semantic-pair attach
+      val mcand = bands.select(col("doc_id").as("a"), col("band"), col("bkey"))
+        .join(bands.select(col("doc_id").as("b"), col("band"), col("bkey")),
+          Seq("band", "bkey"))
+        .where(col("a") < col("b"))
+        .select(col("a"), col("b")).distinct()
+      def withJacc(pairs: DataFrame) = pairs
+        .join(hs.select(col("doc_id").as("a"), col("hs").as("ha")), Seq("a"))
+        .join(hs.select(col("doc_id").as("b"), col("hs").as("hb")), Seq("b"))
+        .withColumn("inter",
+          size(array_intersect(col("ha"), col("hb"))).cast("long"))
+        .withColumn("jacc_e6", expr(
+          "inter * 1000000 div (size(ha) + size(hb) - inter)"))
+        .drop("ha", "hb", "inter")
+      val mver = withJacc(mcand).where(col("jacc_e6") >= 500000)
+        // restrict to the embedded id space + attach both cells/cosine
+        .join(emb.select(col("vec_id").as("a"), col("embedding").as("mea"),
+          col("nrm").as("mna"), col("cl").as("mca")), Seq("a"))
+        .join(emb.select(col("vec_id").as("b"), col("embedding").as("meb"),
+          col("nrm").as("mnb"), col("cl").as("mcb")), Seq("b"))
+        .withColumn("m_cos_e6", expr(cosE6("mea", "meb", "mna", "mnb")))
+        .withColumn("cross_cl", col("mca") =!= col("mcb"))
+        .select(col("a"), col("b"), col("jacc_e6"), col("m_cos_e6"),
+          col("cross_cl"), lit(1L).as("in_m"))
+      // SemDeDup flagged pairs: within-cluster exact cosine > 0.4
+      val ea = emb.select(col("vec_id").as("a"), col("embedding").as("sea"),
+        col("nrm").as("sna"), col("cl"))
+      val eb = emb.select(col("vec_id").as("b"), col("embedding").as("seb"),
+        col("nrm").as("snb"), col("cl").as("cl_b"))
+      val sver = ea.join(eb, col("cl") === col("cl_b") && col("a") < col("b"))
+        .where(expr("cast(scaled_dot(sea, seb) as double)").cast("double") /
+          (sqrt(col("sna").cast("double")) * sqrt(col("snb").cast("double")))
+          > 0.4)
+        .withColumn("s_cos_e6", expr(cosE6("sea", "seb", "sna", "snb")))
+        .select(col("a"), col("b"), col("s_cos_e6"))
+      val s2 = withJacc(sver)
+        .withColumnRenamed("jacc_e6", "s_jacc_e6")
+        .withColumn("in_s", lit(1L))
+        .select(col("a"), col("b"), col("s_jacc_e6"), col("s_cos_e6"),
+          col("in_s"))
+      mver.join(s2, Seq("a", "b"), "full_outer")
+        .agg(
+          sum(coalesce(col("in_m"), lit(0L))).as("n_minhash"),
+          sum(coalesce(col("in_s"), lit(0L))).as("n_semantic"),
+          sum(when(col("in_m").isNotNull && col("in_s").isNotNull, 1L)
+            .otherwise(0L)).as("n_both"),
+          sum(when(col("in_m").isNotNull && col("in_s").isNull, 1L)
+            .otherwise(0L)).as("n_minhash_only"),
+          sum(when(col("in_m").isNull && col("in_s").isNotNull, 1L)
+            .otherwise(0L)).as("n_semantic_only"),
+          count(lit(1)).as("n_union"),
+          sum(when(col("in_m").isNull, col("s_jacc_e6"))).as("sj"),
+          sum(when(col("in_s").isNull, col("m_cos_e6"))).as("sc"),
+          sum(when(coalesce(col("cross_cl"), lit(false)), 1L)
+            .otherwise(0L)).as("n_cross"))
+        .select(col("n_minhash"), col("n_semantic"), col("n_both"),
+          col("n_minhash_only"), col("n_semantic_only"),
+          expr("CASE WHEN n_union > 0 THEN n_both * 1000000 div n_union " +
+            "ELSE 0 END").as("agreement_e6"),
+          expr("CASE WHEN n_semantic_only > 0 THEN sj div n_semantic_only " +
+            "ELSE 0 END").as("s_only_mean_jacc_e6"),
+          expr("CASE WHEN n_minhash_only > 0 THEN sc div n_minhash_only " +
+            "ELSE 0 END").as("m_only_mean_cos_e6"),
+          col("n_cross").as("n_minhash_cross_cluster"))
+  }
+
+  private val dedupAgreementSemantic = Q(
+    (s, dir) => agreementSemanticStats(s, dir,
+      NorthStarQueries.kmeansAssign(s, dir)
+        .select(col("vec_id"), col("cl"))),
+    Some {
+      def cosE6(ea: String, eb: String, na: String, nb: String) =
+        s"cast(floor(cast(${NorthStarQueries.scaledDotSql(ea, eb)} as double) / " +
+          s"(sqrt(cast($na as double)) * sqrt(cast($nb as double))) * 1000000) as bigint)"
+      val kctes = NorthStarQueries.kmeansOracleCtes.stripPrefix("WITH ")
+      s"""WITH ${NorthStarQueries.minhashBandsSqlCtes}, shl AS (
+         |  SELECT doc_id, list_distinct(${NorthStarQueries.hashedShinglesSql}) AS hs
+         |  FROM documents
+         |), $kctes, en AS (
+         |  SELECT e.vec_id, e.embedding, a3.cl,
+         |    ${NorthStarQueries.scaledDotSql("e.embedding", "e.embedding")} AS nrm
+         |  FROM embeddings e JOIN a3 ON e.vec_id = a3.vec_id
+         |), mcand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+         |), mver0 AS (
+         |  SELECT c.a, c.b,
+         |    (len(list_intersect(ha.hs, hb.hs)) * 1000000)
+         |      // (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs)))
+         |      AS jacc_e6
+         |  FROM mcand c JOIN shl ha ON ha.doc_id = c.a
+         |    JOIN shl hb ON hb.doc_id = c.b
+         |), mver AS (
+         |  SELECT m.a, m.b, m.jacc_e6,
+         |    ${cosE6("ea.embedding", "eb.embedding", "ea.nrm", "eb.nrm")}
+         |      AS m_cos_e6,
+         |    (ea.cl <> eb.cl) AS cross_cl
+         |  FROM mver0 m JOIN en ea ON ea.vec_id = m.a
+         |    JOIN en eb ON eb.vec_id = m.b
+         |  WHERE m.jacc_e6 >= 500000
+         |), sim AS (
+         |  SELECT x.vec_id AS a, y.vec_id AS b,
+         |    ${cosE6("x.embedding", "y.embedding", "x.nrm", "y.nrm")}
+         |      AS s_cos_e6
+         |  FROM en x JOIN en y ON x.cl = y.cl AND x.vec_id < y.vec_id
+         |  WHERE cast(${NorthStarQueries.scaledDotSql("x.embedding", "y.embedding")} as double)
+         |    / (sqrt(cast(x.nrm as double)) * sqrt(cast(y.nrm as double))) > 0.4
+         |), sver AS (
+         |  SELECT sim.a, sim.b, sim.s_cos_e6,
+         |    (len(list_intersect(ha.hs, hb.hs)) * 1000000)
+         |      // (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs)))
+         |      AS s_jacc_e6
+         |  FROM sim JOIN shl ha ON ha.doc_id = sim.a
+         |    JOIN shl hb ON hb.doc_id = sim.b
+         |), u AS (
+         |  SELECT coalesce(m.a, s.a) AS a, coalesce(m.b, s.b) AS b,
+         |    m.jacc_e6, m.m_cos_e6, m.cross_cl, s.s_jacc_e6, s.s_cos_e6,
+         |    (m.a IS NOT NULL) AS in_m, (s.a IS NOT NULL) AS in_s
+         |  FROM mver m FULL OUTER JOIN sver s ON m.a = s.a AND m.b = s.b
+         |), agg AS (
+         |  SELECT cast(sum(CASE WHEN in_m THEN 1 ELSE 0 END) as bigint) AS n_minhash,
+         |    cast(sum(CASE WHEN in_s THEN 1 ELSE 0 END) as bigint) AS n_semantic,
+         |    cast(sum(CASE WHEN in_m AND in_s THEN 1 ELSE 0 END) as bigint) AS n_both,
+         |    cast(sum(CASE WHEN in_m AND NOT in_s THEN 1 ELSE 0 END) as bigint)
+         |      AS n_minhash_only,
+         |    cast(sum(CASE WHEN NOT in_m AND in_s THEN 1 ELSE 0 END) as bigint)
+         |      AS n_semantic_only,
+         |    cast(count(*) as bigint) AS n_union,
+         |    cast(sum(CASE WHEN NOT in_m THEN s_jacc_e6 END) as bigint) AS sj,
+         |    cast(sum(CASE WHEN NOT in_s THEN m_cos_e6 END) as bigint) AS sc,
+         |    cast(sum(CASE WHEN coalesce(cross_cl, false) THEN 1 ELSE 0 END)
+         |      as bigint) AS n_cross
+         |  FROM u
+         |)
+         |SELECT n_minhash, n_semantic, n_both, n_minhash_only, n_semantic_only,
+         |  CASE WHEN n_union > 0 THEN (n_both * 1000000) // n_union
+         |    ELSE 0 END AS agreement_e6,
+         |  CASE WHEN n_semantic_only > 0 THEN sj // n_semantic_only
+         |    ELSE 0 END AS s_only_mean_jacc_e6,
+         |  CASE WHEN n_minhash_only > 0 THEN sc // n_minhash_only
+         |    ELSE 0 END AS m_only_mean_cos_e6,
+         |  n_cross AS n_minhash_cross_cluster
          |FROM agg""".stripMargin
     })
 
@@ -5904,12 +6154,16 @@ object CurationQueries {
             val d = new java.util.zip.Deflater(6)
             d.setInput(raw)
             d.finish()
-            val buf = new Array[Byte](raw.length + 64)
-            var n = 0
-            while (!d.finished()) n += d.deflate(buf, n, buf.length - n)
+            // Fixed scratch chunk, accumulate lengths: deflate can
+            // EXPAND high-entropy input past raw.length + header, and a
+            // full one-shot buffer makes deflate() return 0 forever —
+            // the chunk loop is bounded for any input size.
+            val chunk = new Array[Byte](8192)
+            var n = 0L
+            while (!d.finished()) n += d.deflate(chunk)
             d.end()
             val toks = text.split(" ")
-            (src, raw.length.toLong, n.toLong,
+            (src, raw.length.toLong, n,
               toks.distinct.length.toLong, toks.length.toLong)
           }
         }
@@ -9122,6 +9376,152 @@ object CurationQueries {
            |FROM rk WHERE rnk <= 20
            |ORDER BY query_id, rnk""".stripMargin))
 
+  /** WEIGHTED ts_rank — the tf-weighted companion of
+    * [[textRankCd]]'s proximity half, completing PG's ranking surface:
+    * `ts_rank(setweight(...), query)` scores each occurrence by its
+    * LEXEME WEIGHT CLASS. PG's A/B/C/D classes come from setweight
+    * calls on document sections; this fixture has no sections, so the
+    * class is POSITION-DERIVED exactly the way real schemas assign it
+    * (title → A, abstract → B, body → D): the first 8 tokens weigh 10,
+    * the next 24 weigh 4, the rest weigh 1. Per two-term query, docs
+    * passing the boolean `@@` filter (both terms present) are ranked
+    * by the length-normalized weighted tf (`score * 1e6 div n_toks` —
+    * ts_rank's document-length normalization flag, exact integers),
+    * top-20 each.
+    *
+    * Scale: the bm25/[[textFtsQuery]] postings discipline — the
+    * query-vocabulary filter prunes BEFORE any exchange (doc length
+    * rides each posting row from the same map-side pass, so no second
+    * corpus scan); per-query top-20 is TakeOrderedAndProject heaps;
+    * the final rank window orders 20 rows.
+    */
+  private val textRankWeighted = Q(
+    (s, dir) => {
+      val toks = T(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .select(col("doc_id"), size(col("w")).cast("long").as("n_toks"),
+          posexplode(col("w")).as(Seq("pos", "term")))
+        .where(col("term").isin("hash", "join", "merge", "sort",
+          "data", "table"))
+        .withColumn("wt", expr(
+          "CASE WHEN pos < 8 THEN 10 WHEN pos < 32 THEN 4 ELSE 1 END"))
+        .localCheckpoint(true) // three query consumers
+      def ranked(id: String, a: String, b: String) = {
+        val top = toks.where(col("term").isin(a, b))
+          .groupBy(col("doc_id"), col("n_toks"))
+          .agg(sum(col("wt")).cast("long").as("score"),
+            max(when(col("term") === a, 1).otherwise(0)).as("ha"),
+            max(when(col("term") === b, 1).otherwise(0)).as("hb"))
+          .where(col("ha") === 1 && col("hb") === 1) // the @@ AND filter
+          .withColumn("norm_e6", expr("score * 1000000 div n_toks"))
+          .orderBy(col("norm_e6").desc, col("doc_id"))
+          .limit(20)
+        top.withColumn("rnk", row_number().over(
+            Window.orderBy(col("norm_e6").desc, col("doc_id"))).cast("long"))
+          .select(lit(id).as("query_id"), col("rnk"),
+            col("doc_id").cast("long").as("doc_id"), col("score"),
+            col("norm_e6"))
+      }
+      ranked("r1_hash_join", "hash", "join")
+        .unionAll(ranked("r2_merge_sort", "merge", "sort"))
+        .unionAll(ranked("r3_data_table", "data", "table"))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some("""WITH tk AS (
+           |  SELECT doc_id, i, w[i] AS term, cast(len(w) as bigint) AS n_toks
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS w,
+           |          unnest(generate_series(1, len(string_split(text, ' '))))
+           |            AS i
+           |        FROM documents)
+           |  WHERE w[i] IN ('hash', 'join', 'merge', 'sort', 'data', 'table')
+           |), q AS (
+           |  SELECT 'r1_hash_join' AS query_id, 'hash' AS a, 'join' AS b
+           |  UNION ALL SELECT 'r2_merge_sort', 'merge', 'sort'
+           |  UNION ALL SELECT 'r3_data_table', 'data', 'table'
+           |), sc AS (
+           |  SELECT q.query_id, tk.doc_id, tk.n_toks,
+           |    cast(sum(CASE WHEN tk.i <= 8 THEN 10 WHEN tk.i <= 32 THEN 4
+           |      ELSE 1 END) as bigint) AS score,
+           |    max(CASE WHEN tk.term = q.a THEN 1 ELSE 0 END) AS ha,
+           |    max(CASE WHEN tk.term = q.b THEN 1 ELSE 0 END) AS hb
+           |  FROM q JOIN tk ON tk.term IN (q.a, q.b)
+           |  GROUP BY q.query_id, tk.doc_id, tk.n_toks
+           |), fl AS (
+           |  SELECT query_id, doc_id, score,
+           |    cast((score * 1000000) // n_toks as bigint) AS norm_e6
+           |  FROM sc WHERE ha = 1 AND hb = 1
+           |), rk AS (
+           |  SELECT query_id, doc_id, score, norm_e6,
+           |    cast(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY norm_e6 DESC, doc_id) as bigint) AS rnk
+           |  FROM fl
+           |)
+           |SELECT query_id, rnk, cast(doc_id as bigint) AS doc_id,
+           |  score, norm_e6
+           |FROM rk WHERE rnk <= 20
+           |ORDER BY query_id, rnk""".stripMargin))
+
+  /** tsquery PREFIX MATCHING — the `term:*` half of the PG tsquery
+    * grammar ([[textFtsQuery]] covered the exact-term combinators):
+    * `to_tsvector(text) @@ to_tsquery('vec:*')` matches any document
+    * holding a token that STARTS WITH the prefix. Three representative
+    * queries mix prefix terms with the boolean combinators (exact &
+    * prefix, prefix & !exact, prefix | prefix) and return their full
+    * match lists.
+    *
+    * Shape: the same postings-bounded plan — the map-side token filter
+    * keeps exact query terms OR prefix-matching tokens (a startsWith
+    * disjunction, still evaluated before any exchange, exactly how a
+    * GIN prefix scan walks the term btree range), then one per-doc
+    * flags aggregate serves all three queries. The oracle is the
+    * independent LIKE-scan implementation (`'% vec%'` on the
+    * space-padded text = some token starts with "vec").
+    *
+    * Scale: postings-bounded by the query vocabulary's prefix ranges;
+    * flags rows are one per doc containing >= 1 qualifying token. At
+    * 100 TB this is the GIN prefix range probe.
+    */
+  private val textFtsPrefix = Q(
+    (s, dir) => {
+      val toks = T(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .where(col("term") === "dup" || col("term") === "filter" ||
+          col("term").startsWith("vec") || col("term").startsWith("sca") ||
+          col("term").startsWith("mer") || col("term").startsWith("sor"))
+      val ev = toks.groupBy(col("doc_id"))
+        .agg(
+          max(when(col("term") === "dup", 1).otherwise(0)).as("has_dup"),
+          max(when(col("term") === "filter", 1).otherwise(0)).as("has_filter"),
+          max(when(col("term").startsWith("vec"), 1).otherwise(0)).as("p_vec"),
+          max(when(col("term").startsWith("sca"), 1).otherwise(0)).as("p_sca"),
+          max(when(col("term").startsWith("mer"), 1).otherwise(0)).as("p_mer"),
+          max(when(col("term").startsWith("sor"), 1).otherwise(0)).as("p_sor"))
+        .localCheckpoint(true) // doc-sized; three query consumers
+      def q(id: String, cond: org.apache.spark.sql.Column) =
+        ev.where(cond).select(lit(id).as("query_id"),
+          col("doc_id").cast("long").as("doc_id"))
+      q("p1_and_prefix", col("has_dup") === 1 && col("p_vec") === 1)
+        .unionAll(q("p2_prefix_not",
+          col("p_sca") === 1 && col("has_filter") === 0))
+        .unionAll(q("p3_or_prefix",
+          col("p_mer") === 1 || col("p_sor") === 1))
+        .orderBy(col("query_id"), col("doc_id"))
+    },
+    Some("""WITH d AS (
+           |  SELECT cast(doc_id as bigint) AS doc_id,
+           |    ' ' || text || ' ' AS t
+           |  FROM documents
+           |), m AS (
+           |  SELECT 'p1_and_prefix' AS query_id, doc_id FROM d
+           |    WHERE t LIKE '% dup %' AND t LIKE '% vec%'
+           |  UNION ALL SELECT 'p2_prefix_not', doc_id FROM d
+           |    WHERE t LIKE '% sca%' AND t NOT LIKE '% filter %'
+           |  UNION ALL SELECT 'p3_or_prefix', doc_id FROM d
+           |    WHERE t LIKE '% mer%' OR t LIKE '% sor%'
+           |)
+           |SELECT query_id, doc_id FROM m
+           |ORDER BY query_id, doc_id""".stripMargin))
+
   // ---------------------------------------------------------------------
   // Trigram similarity match (the pg_trgm class, prefix-filtered)
   // ---------------------------------------------------------------------
@@ -9881,6 +10281,97 @@ object CurationQueries {
            |  (sum_b * 1000) // n_px AS mean_b_e3
            |FROM sm ORDER BY file_id""".stripMargin))
 
+  /** PNG COLOR-TYPE LADDER — the decode tier most real web PNGs
+    * actually need (the r17 verdict's top missing item: palette
+    * (colorType 3) and grayscale (colorType 0) PNGs all landed in the
+    * reject row before this): 25 PNGs cycle through grayscale /
+    * palette / truecolor containers, and
+    * [[graft.operators.Multimodal.pngDecodeRgb]] REALLY decodes each —
+    * inflate, unfilter, then the color-type mapping (gray byte
+    * replicated to R=G=B; palette index looked up in the PLTE table;
+    * truecolor passed through) — into one canonical RGB stream whose
+    * exact channel sums the oracle recomputes in closed form from each
+    * tier's generator formula (gray g=(3x+7y) mod 256; palette
+    * idx=(3x+5y) mod 256 into PLTE[i]=(i, (2i+11) mod 256,
+    * (7i+3) mod 256); truecolor the gradient tier's linear forms).
+    * PngDecodeSpec cross-checks every tier pixel-for-pixel against the
+    * JDK's own ImageIO decode of the same bytes.
+    *
+    * Scale: the parseAll narrow shape — binaryFile scan, one
+    * partition-mapped decode pass, no shuffle; stats rows are
+    * constant-size regardless of pixel count.
+    */
+  private val multimodalPngTypes = Q(
+    (s, dir) => {
+      val base = scratchDir("pngtypes")
+      val p = java.nio.file.Paths.get(base)
+      T(s, dir, "nation").select(col("n_nationkey")).collect() // 25-row dim
+        .foreach { r =>
+          val k = r.getInt(0)
+          val (w, h) = (16 + k, 10 + (k % 7))
+          val bytes = (k % 3) match {
+            case 0 => graft.operators.Multimodal.pngGrayBytes(w, h)
+            case 1 => graft.operators.Multimodal.pngPaletteBytes(w, h)
+            case _ => graft.operators.Multimodal.pngGradientBytes(w, h)
+          }
+          java.nio.file.Files.write(p.resolve(f"t_$k%02d.png"), bytes)
+        }
+      val scanned = s.read.format("binaryFile").load(base)
+        .select(regexp_extract(col("path"), "t_(\\d+)\\.", 1).cast("long")
+          .as("file_id"), col("content"))
+      val out = graft.operators.Multimodal.pngStatsAll(scanned).toDF()
+        .select(col("fileId").as("file_id"), col("width"), col("height"),
+          (col("width") * col("height")).as("n_px"),
+          col("sumR").as("sum_r"), col("sumG").as("sum_g"),
+          col("sumB").as("sum_b"), col("valid"))
+        // the PNG colorType code each fixture was written with (fixture
+        // metadata, derived identically in the oracle)
+        .withColumn("color_type", expr(
+          "cast(CASE WHEN file_id % 3 = 0 THEN 0 " +
+            "WHEN file_id % 3 = 1 THEN 3 ELSE 2 END as bigint)"))
+        .select(col("file_id"), col("color_type"), col("width"),
+          col("height"), col("n_px"), col("sum_r"), col("sum_g"),
+          col("sum_b"), col("valid"))
+        .orderBy(col("file_id"))
+        .localCheckpoint(true)
+      scratchDelete(base)
+      out
+    },
+    Some("""WITH g AS (
+           |  SELECT cast(n_nationkey as bigint) AS k,
+           |    cast(16 + n_nationkey as bigint) AS w,
+           |    cast(10 + (n_nationkey % 7) as bigint) AS h
+           |  FROM nation
+           |), xs AS (
+           |  SELECT k, w, h, unnest(generate_series(0, w - 1)) AS x FROM g
+           |), ps AS (
+           |  SELECT k, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs
+           |), px AS (
+           |  SELECT k, w, h,
+           |    CASE WHEN k % 3 = 0 THEN (3 * x + 7 * y) % 256
+           |         WHEN k % 3 = 1 THEN (3 * x + 5 * y) % 256
+           |         ELSE (7 * x + 3 * y) % 256 END AS r,
+           |    CASE WHEN k % 3 = 0 THEN (3 * x + 7 * y) % 256
+           |         WHEN k % 3 = 1 THEN (2 * ((3 * x + 5 * y) % 256) + 11) % 256
+           |         ELSE (x + 2 * y) % 256 END AS gg,
+           |    CASE WHEN k % 3 = 0 THEN (3 * x + 7 * y) % 256
+           |         WHEN k % 3 = 1 THEN (7 * ((3 * x + 5 * y) % 256) + 3) % 256
+           |         ELSE (5 * x + y) % 256 END AS bb
+           |  FROM ps
+           |), sm AS (
+           |  SELECT k, w, h, cast(count(*) as bigint) AS n_px,
+           |    cast(sum(r) as bigint) AS sum_r,
+           |    cast(sum(gg) as bigint) AS sum_g,
+           |    cast(sum(bb) as bigint) AS sum_b
+           |  FROM px GROUP BY k, w, h
+           |)
+           |SELECT k AS file_id,
+           |  cast(CASE WHEN k % 3 = 0 THEN 0 WHEN k % 3 = 1 THEN 3
+           |    ELSE 2 END as bigint) AS color_type,
+           |  w AS width, h AS height, n_px, sum_r, sum_g, sum_b,
+           |  true AS valid
+           |FROM sm ORDER BY file_id""".stripMargin))
+
   // ---------------------------------------------------------------------
   // Multimodal: real JPEG entropy decode (DC-coefficient tier)
   // ---------------------------------------------------------------------
@@ -10293,6 +10784,74 @@ object CurationQueries {
            |    CASE WHEN k % 2 = 0
            |      THEN ((w + 15) // 16) * ((h + 7) // 8) * 2
            |      ELSE ((w + 7) // 8) * ((h + 15) // 16) * 2 END AS n_blocks
+           |  FROM g
+           |), ds AS (
+           |  SELECT k, w, h, n_blocks,
+           |    unnest(generate_series(0, n_blocks - 1)) AS j
+           |  FROM nb
+           |), dd AS (
+           |  SELECT k, w, h, n_blocks, 16 * (((7 * j) % 32) - 16) AS dcq FROM ds
+           |), sm AS (
+           |  SELECT k, w, h, n_blocks, cast(sum(dcq) as bigint) AS sum_dcq,
+           |    cast(min(dcq) as bigint) AS min_dcq,
+           |    cast(max(dcq) as bigint) AS max_dcq
+           |  FROM dd GROUP BY k, w, h, n_blocks
+           |)
+           |SELECT k AS file_id, w AS width, h AS height, n_blocks,
+           |  sum_dcq, min_dcq, max_dcq, true AS valid,
+           |  ((1024 * n_blocks + sum_dcq) * 1000) // (8 * n_blocks)
+           |    AS mean_level_e3
+           |FROM sm ORDER BY file_id""".stripMargin))
+
+  /** 4:1:1 JPEG DC statistics — the last common sampling layout that
+    * still rejected (camera/DV-derived stills: luma 4x1 against 1x1
+    * chroma, FOUR horizontally-adjacent Y blocks per MCU). The
+    * generalized h x v MCU loop needed only the acceptance widened;
+    * the Y closed form switches to the 32-pixel-wide MCU raster
+    * (ceil(w/32) x ceil(h/8) x 4 blocks), so a decoder that mis-walks
+    * the four-block run or miscounts edge-pad MCUs hash-fails. Restart
+    * intervals mix 0/1/2 as in the other sampling tiers; exotic
+    * layouts (1x4, 4x2, supersampled chroma) still reject —
+    * JpegDcSpec pins both sides of the acceptance boundary and
+    * cross-checks a 4:1:1 fixture against the JDK's full decode.
+    *
+    * Scale: the parseAll narrow shape — one partition-mapped decode, no
+    * shuffle.
+    */
+  private val multimodalJpeg411 = Q(
+    (s, dir) => {
+      val base = scratchDir("jpeg411")
+      val p = java.nio.file.Paths.get(base)
+      T(s, dir, "nation").select(col("n_nationkey")).collect() // 25-row dim
+        .foreach { r =>
+          val k = r.getInt(0)
+          java.nio.file.Files.write(p.resolve(f"j_$k%02d.jpg"),
+            graft.operators.Multimodal.jpegDcSubPatternBytes(
+              16 + k, 10 + (k % 7), restartEvery = k % 3, samp = 0x41))
+        }
+      val scanned = s.read.format("binaryFile").load(base)
+        .select(regexp_extract(col("path"), "j_(\\d+)\\.", 1).cast("long")
+          .as("file_id"), col("content"))
+      val out = graft.operators.Multimodal.jpegDcAll(scanned).toDF()
+        .select(col("fileId").as("file_id"), col("width"), col("height"),
+          col("nBlocks").as("n_blocks"), col("sumDcq").as("sum_dcq"),
+          col("minDcq").as("min_dcq"), col("maxDcq").as("max_dcq"),
+          col("valid"))
+        .withColumn("mean_level_e3",
+          expr("((1024 * n_blocks + sum_dcq) * 1000) div (8 * n_blocks)"))
+        .orderBy(col("file_id"))
+        .localCheckpoint(true)
+      scratchDelete(base)
+      out
+    },
+    Some("""WITH g AS (
+           |  SELECT cast(n_nationkey as bigint) AS k,
+           |    cast(16 + n_nationkey as bigint) AS w,
+           |    cast(10 + (n_nationkey % 7) as bigint) AS h
+           |  FROM nation
+           |), nb AS (
+           |  SELECT k, w, h,
+           |    ((w + 31) // 32) * ((h + 7) // 8) * 4 AS n_blocks
            |  FROM g
            |), ds AS (
            |  SELECT k, w, h, n_blocks,
@@ -11788,14 +12347,17 @@ object CurationQueries {
 
   /** PIXEL-IDENTITY image dedup — the dedup byte-hashing can't do: 25
     * PNGs where groups share EXACT pixel content but differ in
-    * container bytes (different zlib compression levels re-encode the
-    * same gradient), grouped by the sha256 of the DECODED RGB stream.
-    * A byte-level content hash sees 25 distinct files; the pixel
+    * container bytes — different zlib compression levels AND different
+    * COLOR TYPES (each 3-copy group's third member is a PALETTE
+    * re-encode of the same pixels the truecolor members carry) —
+    * grouped by the sha256 of the DECODED canonical RGB stream. A
+    * byte-level content hash sees 25 distinct files; the pixel
     * identity recovers the 10 true content groups — the image analog
     * of text exact-dedup after normalization.
     *
-    * Determinism: the pixel digest hashes the unfiltered RGB scanline
-    * bytes in row order; group canonical = min file id.
+    * Determinism: the pixel digest hashes the post-lookup canonical
+    * RGB bytes in row order (palette and truecolor encodes of the same
+    * pixels digest identically); group canonical = min file id.
     *
     * Scale: the parseAll narrow shape (decode + digest per file, no
     * shuffle) into a digest-keyed count — byte volume never shuffles,
@@ -11805,13 +12367,18 @@ object CurationQueries {
     (s, dir) => {
       val base = scratchDir("pixeldedup")
       val p = java.nio.file.Paths.get(base)
-      val levels = Array(1, 6, 9)
       T(s, dir, "nation").select(col("n_nationkey")).collect() // 25-row dim
         .foreach { r =>
           val k = r.getInt(0)
-          java.nio.file.Files.write(p.resolve(f"d_$k%02d.png"),
-            graft.operators.Multimodal.pngGradientBytes(
-              16 + (k % 10), 10 + (k % 5), levels(k / 10)))
+          val (w, h) = (16 + (k % 10), 10 + (k % 5))
+          val bytes = (k / 10) match {
+            // same decoded pixels three ways: two truecolor container
+            // re-encodes (levels 1/9), one palette re-encode
+            case 0 => graft.operators.Multimodal.pngPaletteAsRgbBytes(w, h, 1)
+            case 1 => graft.operators.Multimodal.pngPaletteAsRgbBytes(w, h, 9)
+            case _ => graft.operators.Multimodal.pngPaletteBytes(w, h, 6)
+          }
+          java.nio.file.Files.write(p.resolve(f"d_$k%02d.png"), bytes)
         }
       val scanned = s.read.format("binaryFile").load(base)
         .select(regexp_extract(col("path"), "d_(\\d+)\\.", 1).cast("long")
@@ -13401,6 +13968,7 @@ object CurationQueries {
     "ts_markov_transitions" -> tsMarkovTransitions,
     "ns_profile_heaps_fit" -> profileHeapsFit,
     "ns_multimodal_image_stats" -> multimodalImageStats,
+    "ns_multimodal_png_types" -> multimodalPngTypes,
     "ns_sim_maxsim_ivf" -> simMaxsimIvf,
     "ns_sim_maxsim_plaid" -> simMaxsimPlaid,
     "ns_sim_plaid_curve" -> simPlaidCurve,
@@ -13410,6 +13978,7 @@ object CurationQueries {
     "ns_multimodal_jpeg_color" -> multimodalJpegColor,
     "ns_multimodal_jpeg_420" -> multimodalJpeg420,
     "ns_multimodal_jpeg_422" -> multimodalJpeg422,
+    "ns_multimodal_jpeg_411" -> multimodalJpeg411,
     "ns_multimodal_jpeg_prog" -> multimodalJpegProg,
     "ns_multimodal_gif_stats" -> multimodalGifStats,
     "ns_multimodal_audio_depths" -> multimodalAudioDepths,
@@ -13439,6 +14008,7 @@ object CurationQueries {
     "ts_anomaly_mad" -> tsAnomalyMad,
     "ns_text_compressibility" -> textCompressibility,
     "ns_dedup_agreement" -> dedupAgreement,
+    "ns_dedup_agreement_semantic" -> dedupAgreementSemantic,
     "ns_sample_gumbel_topk" -> sampleGumbelTopk,
     "ns_text_entropy_rate" -> textEntropyRate,
     "ns_text_trigram_match" -> textTrigramMatch,
@@ -13446,6 +14016,8 @@ object CurationQueries {
     "ns_text_trigram_join" -> textTrigramJoin,
     "ns_text_fts_stream" -> textFtsStream,
     "ns_text_rank_cd" -> textRankCd,
+    "ns_text_rank_weighted" -> textRankWeighted,
+    "ns_text_fts_prefix" -> textFtsPrefix,
     "ns_quality_isotonic" -> qualityIsotonic,
     "ns_dedup_exact_substr_bpe" -> dedupExactSubstrBpe,
     "ns_dedup_exact_substr_bpe50" -> dedupExactSubstrBpe50,

@@ -68,6 +68,21 @@ class GifLzwSpec extends AnyFunSuite {
     Multimodal.gifIndexStats(corrupt)
   }
 
+  test("a first frame that is a SUBRECTANGLE of the screen reports ITS dims") {
+    // patch the logical-screen dims to be larger than the image
+    // descriptor's: width/height must be the descriptor's (iw, ih) —
+    // the pixels the stats cover — so width*height == n_pixels holds
+    val (w, h) = (16, 10)
+    val bytes = Multimodal.gifPatternBytes(w, h)
+    val patched = bytes.clone()
+    patched(6) = 100.toByte; patched(7) = 0 // screen width 100
+    patched(8) = 50.toByte; patched(9) = 0 // screen height 50
+    val n = w.toLong * h
+    val vals = (0L until n).map(idx)
+    assert(Multimodal.gifIndexStats(patched)
+      .contains((w.toLong, h.toLong, n, vals.sum, vals.min, vals.max)))
+  }
+
   test("INTERLACED GIFs decode to the same order-invariant stats") {
     for ((w, h) <- Seq((16, 10), (40, 16), (64, 48))) {
       val bytes = Multimodal.gifPatternBytes(w, h, interlaced = true)

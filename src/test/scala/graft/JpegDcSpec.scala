@@ -139,6 +139,44 @@ class JpegDcSpec extends AnyFunSuite {
     }
   }
 
+  test("4:1:1 luma DC decode matches the closed form per geometry") {
+    for ((w, h) <- Seq((32, 8), (64, 26), (17, 23), (96, 32));
+         rst <- Seq(0, 2)) {
+      val bytes = Multimodal.jpegDcSubPatternBytes(w, h, rst, samp = 0x41)
+      val nb = ((w + 31) / 32) * ((h + 7) / 8) * 4
+      val want = pattern(nb).map(_ * 16L)
+      val got = Multimodal.jpegDcStats(bytes)
+      assert(got.contains((w.toLong, h.toLong, nb.toLong,
+        want.sum, want.min, want.max)), s"($w x $h, rst=$rst): $got")
+    }
+  }
+
+  test("4:1:1 DC decode agrees with the JDK's full decode") {
+    // dims multiples of 32x8; MCU = FOUR Y blocks side by side:
+    // j = ((y/8)*mcusX + x/32)*4 + (x%32)/8
+    val (w, h) = (64, 24)
+    val bytes = Multimodal.jpegDcSubPatternBytes(w, h, 2, samp = 0x41)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "JDK could not decode the generated 4:1:1 JPEG")
+    val mcusX = w / 32
+    val d = pattern(mcusX * (h / 8) * 4)
+    for (y <- 0 until h; x <- 0 until w) {
+      val j = ((y / 8) * mcusX + x / 32) * 4 + (x % 32) / 8
+      val expect = 128 + 2 * d(j)
+      val got = (img.getRGB(x, y) >> 8) & 0xff
+      assert(got == expect, s"pixel ($x,$y) in Y block $j: JDK=$got, want=$expect")
+    }
+  }
+
+  test("1x4 and 4x2 layouts still reject (acceptance boundary)") {
+    // the generator writes any samp factor; only the decoder's
+    // acceptance list decides — 4x1 is in, its neighbors are not
+    assert(Multimodal.jpegDcStats(
+      Multimodal.jpegDcSubPatternBytes(32, 32, 0, samp = 0x14)).isEmpty)
+    assert(Multimodal.jpegDcStats(
+      Multimodal.jpegDcSubPatternBytes(32, 32, 0, samp = 0x42)).isEmpty)
+  }
+
   test("4:2:0 DC decode agrees with the JDK's full decode (with restarts)") {
     // chroma DC 0 => Cb=Cr=128 at any upsampling, so RGB == Y exactly;
     // dims multiples of 16 so no cropped padding blocks complicate the

@@ -1,0 +1,115 @@
+package graft
+
+import graft.operators.Multimodal
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The PNG color-type decode tier: [[Multimodal.pngDecodeRgb]] must
+  * really inflate + unfilter + color-map all three accepted color types
+  * (truecolor 2, grayscale 0, palette 3) — verified two independent
+  * ways: (a) closed form against each generator's pixel formula,
+  * (b) pixel-for-pixel against the JDK's own ImageIO decode of the
+  * same bytes. Plus the canonical-RGB digest contract: palette and
+  * truecolor re-encodes of the SAME pixels share one pixel sha.
+  */
+class PngDecodeSpec extends AnyFunSuite {
+
+  private def jdkRgb(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "JDK could not decode the generated PNG")
+    img
+  }
+
+  private def checkAgainstJdk(bytes: Array[Byte]): Unit = {
+    val Some((w, h, rgb)) = Multimodal.pngDecodeRgb(bytes)
+    val img = jdkRgb(bytes)
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      val px = img.getRGB(x, y)
+      val (er, eg, eb) = ((px >> 16) & 0xff, (px >> 8) & 0xff, px & 0xff)
+      val (gr, gg, gb) = (rgb(o) & 0xff, rgb(o + 1) & 0xff, rgb(o + 2) & 0xff)
+      assert((gr, gg, gb) == ((er, eg, eb)),
+        s"pixel ($x,$y): ours=($gr,$gg,$gb) JDK=($er,$eg,$eb)")
+    }
+  }
+
+  test("TRUECOLOR decode matches the gradient formula and the JDK") {
+    val (w, h) = (21, 13)
+    val bytes = Multimodal.pngGradientBytes(w, h)
+    val Some((gw, gh, sr, sg, sb)) = Multimodal.pngPixelStats(bytes)
+    val px = for (y <- 0 until h; x <- 0 until w) yield x -> y
+    assert((gw, gh) == ((w.toLong, h.toLong)))
+    assert(sr == px.map { case (x, y) => (7 * x + 3 * y) % 256 }.sum)
+    assert(sg == px.map { case (x, y) => (x + 2 * y) % 256 }.sum)
+    assert(sb == px.map { case (x, y) => (5 * x + y) % 256 }.sum)
+    checkAgainstJdk(bytes)
+  }
+
+  test("GRAYSCALE decode replicates the gray byte and matches the JDK") {
+    val (w, h) = (18, 11)
+    val bytes = Multimodal.pngGrayBytes(w, h)
+    val Some((gw, gh, sr, sg, sb)) = Multimodal.pngPixelStats(bytes)
+    val graySum = (for (y <- 0 until h; x <- 0 until w)
+      yield (3 * x + 7 * y) % 256).sum.toLong
+    assert((gw, gh) == ((w.toLong, h.toLong)))
+    assert(sr == graySum && sg == graySum && sb == graySum)
+    // JDK cross-check via the RASTER, not getRGB: ImageIO decodes
+    // grayscale PNGs to TYPE_BYTE_GRAY in linear gray space, and getRGB
+    // applies a linear->sRGB transfer that remaps the byte values — the
+    // raster sample is the decoded gray byte itself
+    val Some((_, _, rgb)) = Multimodal.pngDecodeRgb(bytes)
+    val raster = jdkRgb(bytes).getRaster
+    for (y <- 0 until h; x <- 0 until w) {
+      val want = raster.getSample(x, y, 0)
+      val got = rgb((y * w + x) * 3) & 0xff
+      assert(got == want, s"pixel ($x,$y): ours=$got JDK-raster=$want")
+    }
+  }
+
+  test("PALETTE decode looks up the PLTE table and matches the JDK") {
+    val (w, h) = (19, 12)
+    val bytes = Multimodal.pngPaletteBytes(w, h)
+    val Some((gw, gh, sr, sg, sb)) = Multimodal.pngPixelStats(bytes)
+    val idxs = for (y <- 0 until h; x <- 0 until w) yield (3 * x + 5 * y) % 256
+    assert((gw, gh) == ((w.toLong, h.toLong)))
+    assert(sr == idxs.map(_.toLong).sum)
+    assert(sg == idxs.map(i => ((2 * i + 11) % 256).toLong).sum)
+    assert(sb == idxs.map(i => ((7 * i + 3) % 256).toLong).sum)
+    checkAgainstJdk(bytes)
+  }
+
+  test("palette and truecolor re-encodes of the same pixels share one sha") {
+    val (w, h) = (17, 10)
+    val pal = Multimodal.pngPixelSha(Multimodal.pngPaletteBytes(w, h, 6))
+    val rgb1 = Multimodal.pngPixelSha(Multimodal.pngPaletteAsRgbBytes(w, h, 1))
+    val rgb9 = Multimodal.pngPixelSha(Multimodal.pngPaletteAsRgbBytes(w, h, 9))
+    assert(pal.isDefined && pal == rgb1 && pal == rgb9)
+    // different pixels (the gradient pattern) digest differently
+    assert(Multimodal.pngPixelSha(Multimodal.pngGradientBytes(w, h)) != pal)
+  }
+
+  test("unsupported containers reject, never mis-decode") {
+    val good = Multimodal.pngPaletteBytes(16, 10)
+    assert(Multimodal.pngDecodeRgb("not a png".getBytes).isEmpty)
+    assert(Multimodal.pngDecodeRgb(good.take(30).toArray).isEmpty)
+    // bit depth != 8 rejects (patch IHDR byte 24; CRC is not re-checked
+    // by our chunk walk, so the patched container still parses that far)
+    val depth4 = good.clone(); depth4(24) = 4
+    assert(Multimodal.pngDecodeRgb(depth4).isEmpty)
+    // color types with alpha (4, 6) reject
+    val typed = good.clone(); typed(25) = 6
+    assert(Multimodal.pngDecodeRgb(typed).isEmpty)
+    // Adam7 interlace rejects
+    val inter = good.clone(); inter(28) = 1
+    assert(Multimodal.pngDecodeRgb(inter).isEmpty)
+    // palette with no PLTE rejects: retype the PLTE chunk so the walk
+    // never captures a palette
+    val noPlte = good.clone()
+    val plteAt = noPlte.indices.find(i => noPlte(i) == 'P' && noPlte(i + 1) == 'L'
+      && noPlte(i + 2) == 'T' && noPlte(i + 3) == 'E').get
+    noPlte(plteAt) = 'x'.toByte
+    assert(Multimodal.pngDecodeRgb(noPlte).isEmpty)
+    // truncated IDAT rejects via the exact-length check
+    assert(Multimodal.pngDecodeRgb(good.dropRight(20).toArray).isEmpty)
+  }
+}
