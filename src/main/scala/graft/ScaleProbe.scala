@@ -418,7 +418,11 @@ object ScaleProbe {
       "ns_text_rank_weighted",
       // r18: prefix tsquery = the same postings discipline with a
       // startsWith map-side filter — expected ~linear in postings
-      "ns_text_fts_prefix")
+      "ns_text_fts_prefix",
+      // r18: headline = the rank_cd frame + a top-k-sized snippet join
+      // (only 30 winning docs' texts re-read) — expected ~linear in
+      // postings with the snippet stage corpus-independent
+      "ns_text_headline")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected

@@ -289,6 +289,112 @@ object Multimodal {
       }
   }
 
+  /** G.711 COMPANDED audio decode — µ-law (WAV format tag 7) and A-law
+    * (tag 6), the telephony codecs an 8 kHz voice corpus actually
+    * arrives in: each 8-bit code word expands to its 16-bit linear
+    * sample through the standard segment/mantissa formulas (the Sun
+    * g711.c reference expansion — µ-law: complement, bias-132
+    * mantissa, segment shift, signed fold; A-law: 0x55 even-bit
+    * inversion, segment 0/1 special cases, sign bit MEANS positive).
+    * Returns (law, n_samples, sum_lin, min_lin, max_lin). None unless
+    * the container is 8-bit mono with tag 6/7 — reject, never
+    * mis-decode.
+    */
+  final case class G711Stats(fileId: Long, law: Long, nSamples: Long,
+      sumLin: Long, minLin: Long, maxLin: Long, valid: Boolean)
+
+  def g711Stats(b: Array[Byte]): Option[(Long, Long, Long, Long, Long)] = {
+    if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+        b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E')
+      return None
+    var pos = 12
+    var law = -1
+    var dataOff = -1
+    var dataLen = -1
+    while (pos + 8 <= b.length && (law < 0 || dataOff < 0)) {
+      val id = new String(b, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = le32(b, pos + 4).toInt
+      if (id == "fmt " && pos + 24 <= b.length) {
+        val fmt = (b(pos + 8) & 0xff) | ((b(pos + 9) & 0xff) << 8)
+        val ch = (b(pos + 10) & 0xff) | ((b(pos + 11) & 0xff) << 8)
+        val bits = (b(pos + 22) & 0xff) | ((b(pos + 23) & 0xff) << 8)
+        if ((fmt == 6 || fmt == 7) && ch == 1 && bits == 8) law = fmt
+        else return None
+      } else if (id == "data") { dataOff = pos + 8; dataLen = size }
+      if (size < 0 || pos.toLong + 8L + size.toLong > b.length.toLong) return None
+      pos += 8 + size + (size & 1)
+    }
+    if (law < 0 || dataOff < 0 || dataOff + dataLen > b.length) return None
+    var sum = 0L
+    var mn = Long.MaxValue
+    var mx = Long.MinValue
+    var i = 0
+    while (i < dataLen) {
+      val v = b(dataOff + i) & 0xff
+      val lin =
+        if (law == 7) { // µ-law
+          val u = (~v) & 0xff
+          var t = ((u & 0x0f) << 3) + 0x84
+          t <<= (u & 0x70) >> 4
+          if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+        } else { // A-law
+          val a = v ^ 0x55
+          var t = (a & 0x0f) << 4
+          val seg = (a & 0x70) >> 4
+          t = seg match {
+            case 0 => t + 8
+            case 1 => t + 0x108
+            case _ => (t + 0x108) << (seg - 1)
+          }
+          if ((a & 0x80) != 0) t else -t
+        }
+      sum += lin
+      if (lin < mn) mn = lin
+      if (lin > mx) mx = lin
+      i += 1
+    }
+    if (dataLen == 0) return None
+    Some((law.toLong, dataLen.toLong, sum, mn, mx))
+  }
+
+  /** Partition-mapped G.711 stats — the [[parseAll]] narrow shape. */
+  def g711StatsAll(df: DataFrame): Dataset[G711Stats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("file_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          g711Stats(bytes) match {
+            case Some((law, n, s, mn, mx)) =>
+              G711Stats(id, law, n, s, mn, mx, valid = true)
+            case None => G711Stats(id, 0L, 0L, 0L, 0L, 0L, valid = false)
+          }
+        }
+      }
+  }
+
+  /** Complete G.711 WAV (µ-law tag 7 or A-law tag 6, 8-bit mono):
+    * byte i = (7i + 3) mod 256 — a full-period walk that hits all 256
+    * code words (both signs, every segment), so the closed-form oracle
+    * exercises the entire companding table. */
+  def wavG711Bytes(sampleRate: Int, nSamples: Int, lawTag: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + nSamples)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    bb.put("RIFF".getBytes(ascii)).putInt(36 + nSamples).put("WAVE".getBytes(ascii))
+    bb.put("fmt ".getBytes(ascii)).putInt(16)
+      .putShort(lawTag.toShort).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate).putShort(1).putShort(8)
+    bb.put("data".getBytes(ascii)).putInt(nSamples)
+    var i = 0
+    while (i < nSamples) {
+      bb.put(((7 * i + 3) % 256).toByte)
+      i += 1
+    }
+    bb.array()
+  }
+
   /** Complete 16-bit mono PCM WAV carrying a DETERMINISTIC biased
     * square wave: sample i = bias + amp when (i / halfPeriod) is even,
     * bias − amp when odd — every statistic [[pcmStats]] computes is
@@ -816,6 +922,60 @@ object Multimodal {
     pngContainer(width, height, 2, raw, null, level)
   }
 
+  /** TRUECOLOR gradient PNG whose rows cycle the full ADAPTIVE FILTER
+    * grammar — row y uses filter type (y mod 5): None, Sub, Up,
+    * Average, Paeth, each properly filter-ENCODED against the
+    * reconstructed neighbors, exactly as a real encoder's heuristic
+    * emits mixed filters. The decoded pixels are the same
+    * (7x+3y, x+2y, 5x+y) mod 256 gradient as [[pngGradientBytes]], so
+    * the closed-form channel-sum oracle is UNCHANGED and the pixel sha
+    * equals the filter-0 encode's — a filtered re-encode is the same
+    * content. */
+  def pngFilteredGradientBytes(width: Int, height: Int): Array[Byte] = {
+    val bpp = 3
+    val rowBytes = width * bpp
+    val raw = new Array[Byte](height * (1 + rowBytes))
+    val prior = new Array[Byte](rowBytes)
+    val cur = new Array[Byte](rowBytes)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        cur(3 * x) = ((7 * x + 3 * y) % 256).toByte
+        cur(3 * x + 1) = ((x + 2 * y) % 256).toByte
+        cur(3 * x + 2) = ((5 * x + y) % 256).toByte
+        x += 1
+      }
+      val f = y % 5
+      val rowOff = y * (1 + rowBytes)
+      raw(rowOff) = f.toByte
+      var i = 0
+      while (i < rowBytes) {
+        val xv = cur(i) & 0xff
+        val a = if (i >= bpp) cur(i - bpp) & 0xff else 0
+        val bu = prior(i) & 0xff
+        val c = if (i >= bpp) prior(i - bpp) & 0xff else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => a
+          case 2 => bu
+          case 3 => (a + bu) >> 1
+          case _ =>
+            val p = a + bu - c
+            val pa = math.abs(p - a)
+            val pb = math.abs(p - bu)
+            val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) bu else c
+        }
+        raw(rowOff + 1 + i) = ((xv - pred) & 0xff).toByte
+        i += 1
+      }
+      System.arraycopy(cur, 0, prior, 0, rowBytes)
+      y += 1
+    }
+    pngContainer(width, height, 2, raw, null, level = 6)
+  }
+
   /** GRAYSCALE PNG (colorType 0): pixel (x, y) = (3x+7y) mod 256;
     * decoded canonical RGB replicates the gray byte, so
     * sum_r = sum_g = sum_b = the closed-form gray sum. */
@@ -868,15 +1028,16 @@ object Multimodal {
       }
   }
 
-  /** Pixel-level statistics of an 8-bit filter-0 PNG — truecolor,
-    * GRAYSCALE, or PALETTE: dimensions plus exact per-channel byte sums
-    * from a REAL decode — IDAT chunks concatenated, inflated
-    * (`java.util.zip.Inflater`), scanlines unfiltered, pixels walked
-    * through the color-type mapping (grayscale replicates the gray
-    * byte across R=G=B; palette indexes the PLTE table). None when the
-    * container is not 8-bit type 0/2/3, uses a filter other than None,
-    * carries an out-of-palette index, or the inflated payload is
-    * short — reject, never mis-decode.
+  /** Pixel-level statistics of an 8-bit PNG — truecolor, GRAYSCALE,
+    * or PALETTE, under the full adaptive per-row filter grammar
+    * (None/Sub/Up/Average/Paeth): dimensions plus exact per-channel
+    * byte sums from a REAL decode — IDAT chunks concatenated, inflated
+    * (`java.util.zip.Inflater`), scanlines UNFILTERED per spec §9,
+    * pixels walked through the color-type mapping (grayscale
+    * replicates the gray byte across R=G=B; palette indexes the PLTE
+    * table). None when the container is not 8-bit type 0/2/3, uses an
+    * undefined filter type, carries an out-of-palette index, or the
+    * inflated payload is short — reject, never mis-decode.
     */
   final case class PngStats(
       fileId: Long, width: Long, height: Long,
@@ -895,14 +1056,17 @@ object Multimodal {
       (w.toLong, h.toLong, sumR, sumG, sumB)
     }
 
-  /** Decode an 8-bit filter-0 PNG to its CANONICAL RGB stream (3 bytes
-    * per pixel, row-major) — the shared real-decode path under
+  /** Decode an 8-bit PNG to its CANONICAL RGB stream (3 bytes per
+    * pixel, row-major) — the shared real-decode path under
     * [[pngPixelStats]] and [[pngPixelSha]]. Accepted color types:
     * 2 (truecolor, bytes pass through), 0 (grayscale, the gray byte
     * replicates to R=G=B), 3 (palette, each index looks up the PLTE
-    * entry — an index past the table rejects). Everything else — other
-    * bit depths, filters, interlace, short payloads — returns None:
-    * reject, never mis-decode.
+    * entry — an index past the table rejects); the full per-row
+    * adaptive filter grammar (0 None / 1 Sub / 2 Up / 3 Average /
+    * 4 Paeth) is reconstructed per spec §9 — what real encoders
+    * actually emit. Everything else — other bit depths, undefined
+    * filter types, interlace, short payloads — returns None: reject,
+    * never mis-decode.
     */
   def pngDecodeRgb(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
     try pngDecodeRgbImpl(b)
@@ -946,23 +1110,51 @@ object Multimodal {
     val got = try inflater.inflate(raw) finally inflater.end()
     if (got != raw.length) return None
     val rgb = new Array[Byte](w * h * 3)
+    // per-row adaptive unfiltering (the full filter grammar 0-4: None /
+    // Sub / Up / Average / Paeth, reconstructed per the PNG spec §9 —
+    // a=left, b=above, c=upper-left, all already-reconstructed bytes)
+    val rowBytes = w * bpp
+    val prior = new Array[Byte](rowBytes)
+    val cur = new Array[Byte](rowBytes)
     var y = 0
     while (y < h) {
-      val rowOff = y * (1 + w * bpp)
-      if (raw(rowOff) != 0) return None // only filter None supported
+      val rowOff = y * (1 + rowBytes)
+      val f = raw(rowOff) & 0xff
+      if (f > 4) return None // undefined filter type
+      var i = 0
+      while (i < rowBytes) {
+        val xv = raw(rowOff + 1 + i) & 0xff
+        val a = if (i >= bpp) cur(i - bpp) & 0xff else 0
+        val bu = prior(i) & 0xff
+        val c = if (i >= bpp) prior(i - bpp) & 0xff else 0
+        val rec = f match {
+          case 0 => xv
+          case 1 => xv + a
+          case 2 => xv + bu
+          case 3 => xv + ((a + bu) >> 1)
+          case _ => // Paeth predictor
+            val p = a + bu - c
+            val pa = math.abs(p - a)
+            val pb = math.abs(p - bu)
+            val pc = math.abs(p - c)
+            xv + (if (pa <= pb && pa <= pc) a else if (pb <= pc) bu else c)
+        }
+        cur(i) = rec.toByte // mod-256 per spec
+        i += 1
+      }
       var x = 0
       while (x < w) {
         val o = (y * w + x) * 3
         colorType match {
           case 2 =>
-            rgb(o) = raw(rowOff + 1 + 3 * x)
-            rgb(o + 1) = raw(rowOff + 2 + 3 * x)
-            rgb(o + 2) = raw(rowOff + 3 + 3 * x)
+            rgb(o) = cur(3 * x)
+            rgb(o + 1) = cur(3 * x + 1)
+            rgb(o + 2) = cur(3 * x + 2)
           case 0 =>
-            val g = raw(rowOff + 1 + x)
+            val g = cur(x)
             rgb(o) = g; rgb(o + 1) = g; rgb(o + 2) = g
           case 3 =>
-            val idx = raw(rowOff + 1 + x) & 0xff
+            val idx = cur(x) & 0xff
             if (idx >= nPalette) return None
             rgb(o) = plte(3 * idx)
             rgb(o + 1) = plte(3 * idx + 1)
@@ -970,6 +1162,7 @@ object Multimodal {
         }
         x += 1
       }
+      System.arraycopy(cur, 0, prior, 0, rowBytes)
       y += 1
     }
     Some((w, h, rgb))

@@ -9522,6 +9522,110 @@ object CurationQueries {
            |SELECT query_id, doc_id FROM m
            |ORDER BY query_id, doc_id""".stripMargin))
 
+  /** ts_headline — the SNIPPET half of the PG FTS surface (what a
+    * search UI actually renders): for each two-term query, each
+    * matching document's BEST cover (the minimal-width adjacent
+    * different-term window from [[textRankCd]]'s frame; ties broken at
+    * the earliest start) is excerpted with two tokens of context on
+    * each side. Top-10 documents per query by (cover width asc,
+    * doc_id) — tightest matches first, the ts_rank_cd ordering a
+    * headline list uses.
+    *
+    * Determinism: the best cover is one integer argmin key
+    * (width * 1e6 + start — positions < 1e6 at any fixture SF, the
+    * documented bound); the snippet is a pure token-array slice.
+    *
+    * Scale: the postings discipline (vocabulary filter before any
+    * exchange), doc-bounded lag windows, TakeOrderedAndProject top-10
+    * heaps; ONLY the 30 winning documents' texts are ever re-read —
+    * the snippet join is top-k-sized, so document bodies never
+    * shuffle corpus-wide.
+    */
+  private val textHeadline = Q(
+    (s, dir) => {
+      val toks = T(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+        .where(col("term").isin("hash", "join", "merge", "sort",
+          "data", "table"))
+        .localCheckpoint(true) // three query consumers
+      val docToks = T(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("wtok"))
+      def headlined(id: String, a: String, b: String) = {
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val top = toks.where(col("term").isin(a, b))
+          .withColumn("pterm", lag(col("term"), 1).over(w))
+          .withColumn("ppos", lag(col("pos"), 1).over(w))
+          .where(col("pterm").isNotNull && col("pterm") =!= col("term"))
+          .withColumn("k",
+            (col("pos") - col("ppos") + 1) * lit(1000000L) + col("ppos"))
+          .groupBy(col("doc_id"))
+          .agg(min(col("k")).as("k"))
+          .withColumn("width", expr("k div 1000000"))
+          .withColumn("start0", expr("k % 1000000"))
+          .orderBy(col("width").asc, col("doc_id"))
+          .limit(10)
+        top.join(docToks, Seq("doc_id")) // 10 rows — the snippet join
+          .withColumn("ss", greatest(col("start0") - 2, lit(0L)))
+          .withColumn("ee", least(col("start0") + col("width") + 1,
+            size(col("wtok")).cast("long") - 1))
+          .withColumn("headline", expr(
+            "array_join(slice(wtok, cast(ss + 1 as int), " +
+              "cast(ee - ss + 1 as int)), ' ')"))
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(col("width").asc, col("doc_id"))).cast("long"))
+          .select(lit(id).as("query_id"), col("rnk"),
+            col("doc_id").cast("long").as("doc_id"),
+            col("start0").cast("long").as("cover_start"),
+            col("width").cast("long").as("cover_width"), col("headline"))
+      }
+      headlined("h1_hash_join", "hash", "join")
+        .unionAll(headlined("h2_merge_sort", "merge", "sort"))
+        .unionAll(headlined("h3_data_table", "data", "table"))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some("""WITH tk AS (
+           |  SELECT doc_id, i AS pos, w[i] AS term
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS w,
+           |          unnest(generate_series(1, len(string_split(text, ' '))))
+           |            AS i
+           |        FROM documents)
+           |  WHERE w[i] IN ('hash', 'join', 'merge', 'sort', 'data', 'table')
+           |), q AS (
+           |  SELECT 'h1_hash_join' AS query_id, 'hash' AS a, 'join' AS b
+           |  UNION ALL SELECT 'h2_merge_sort', 'merge', 'sort'
+           |  UNION ALL SELECT 'h3_data_table', 'data', 'table'
+           |), m AS (
+           |  SELECT q.query_id, tk.doc_id, tk.pos, tk.term,
+           |    lag(tk.term) OVER (PARTITION BY q.query_id, tk.doc_id
+           |      ORDER BY tk.pos) AS pterm,
+           |    lag(tk.pos) OVER (PARTITION BY q.query_id, tk.doc_id
+           |      ORDER BY tk.pos) AS ppos
+           |  FROM q JOIN tk ON tk.term IN (q.a, q.b)
+           |), cov AS (
+           |  SELECT query_id, doc_id,
+           |    min((pos - ppos + 1) * 1000000 + (ppos - 1)) AS k
+           |  FROM m WHERE pterm IS NOT NULL AND pterm <> term
+           |  GROUP BY query_id, doc_id
+           |), rk AS (
+           |  SELECT query_id, doc_id, k // 1000000 AS width,
+           |    k % 1000000 AS start0,
+           |    cast(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY k // 1000000, doc_id) as bigint) AS rnk
+           |  FROM cov
+           |)
+           |SELECT t.query_id, t.rnk, cast(t.doc_id as bigint) AS doc_id,
+           |  cast(t.start0 as bigint) AS cover_start,
+           |  cast(t.width as bigint) AS cover_width,
+           |  array_to_string(list_slice(string_split(d.text, ' '),
+           |    cast(greatest(t.start0 - 2, 0) + 1 as bigint),
+           |    cast(least(t.start0 + t.width + 1,
+           |      len(string_split(d.text, ' ')) - 1) + 1 as bigint)), ' ')
+           |    AS headline
+           |FROM rk t JOIN documents d ON d.doc_id = t.doc_id
+           |WHERE t.rnk <= 10
+           |ORDER BY t.query_id, t.rnk""".stripMargin))
+
   // ---------------------------------------------------------------------
   // Trigram similarity match (the pg_trgm class, prefix-filtered)
   // ---------------------------------------------------------------------
@@ -10372,6 +10476,69 @@ object CurationQueries {
            |  true AS valid
            |FROM sm ORDER BY file_id""".stripMargin))
 
+  /** PNG ADAPTIVE-FILTER decode — the scanline-filter grammar real
+    * encoders actually emit (libpng's heuristic mixes Sub/Up/Average/
+    * Paeth per row; filter-0-only decoders reject essentially every
+    * wild PNG): 25 truecolor PNGs whose rows CYCLE all five filter
+    * types (row y uses filter y mod 5, properly filter-encoded against
+    * reconstructed neighbors), decoded through
+    * [[graft.operators.Multimodal.pngDecodeRgb]]'s spec-§9 unfilter
+    * (a=left, b=above, c=upper-left reconstruction, including the
+    * Paeth predictor's tie-break order). The decoded pixels are the
+    * SAME gradient as the filter-0 tier, so the oracle is the
+    * unchanged closed form — a wrong predictor, a wrong byte offset,
+    * or a missed mod-256 wrap corrupts every subsequent row and
+    * hash-fails. PngDecodeSpec additionally proves the filtered
+    * re-encode shares the filter-0 encode's pixel sha and matches the
+    * JDK's ImageIO decode pixel-for-pixel.
+    *
+    * Scale: the parseAll narrow shape — one partition-mapped decode
+    * pass, no shuffle.
+    */
+  private val multimodalPngFilters = Q(
+    (s, dir) => {
+      val base = scratchDir("pngfilters")
+      val p = java.nio.file.Paths.get(base)
+      T(s, dir, "nation").select(col("n_nationkey")).collect() // 25-row dim
+        .foreach { r =>
+          val k = r.getInt(0)
+          java.nio.file.Files.write(p.resolve(f"f_$k%02d.png"),
+            graft.operators.Multimodal.pngFilteredGradientBytes(
+              16 + k, 10 + (k % 7)))
+        }
+      val scanned = s.read.format("binaryFile").load(base)
+        .select(regexp_extract(col("path"), "f_(\\d+)\\.", 1).cast("long")
+          .as("file_id"), col("content"))
+      val out = graft.operators.Multimodal.pngStatsAll(scanned).toDF()
+        .select(col("fileId").as("file_id"), col("width"), col("height"),
+          (col("width") * col("height")).as("n_px"),
+          col("sumR").as("sum_r"), col("sumG").as("sum_g"),
+          col("sumB").as("sum_b"), col("valid"))
+        .orderBy(col("file_id"))
+        .localCheckpoint(true)
+      scratchDelete(base)
+      out
+    },
+    Some("""WITH g AS (
+           |  SELECT cast(n_nationkey as bigint) AS k,
+           |    cast(16 + n_nationkey as bigint) AS w,
+           |    cast(10 + (n_nationkey % 7) as bigint) AS h
+           |  FROM nation
+           |), xs AS (
+           |  SELECT k, w, h, unnest(generate_series(0, w - 1)) AS x FROM g
+           |), ps AS (
+           |  SELECT k, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs
+           |), sm AS (
+           |  SELECT k, w, h, cast(count(*) as bigint) AS n_px,
+           |    cast(sum((7 * x + 3 * y) % 256) as bigint) AS sum_r,
+           |    cast(sum((x + 2 * y) % 256) as bigint) AS sum_g,
+           |    cast(sum((5 * x + y) % 256) as bigint) AS sum_b
+           |  FROM ps GROUP BY k, w, h
+           |)
+           |SELECT k AS file_id, w AS width, h AS height, n_px,
+           |  sum_r, sum_g, sum_b, true AS valid
+           |FROM sm ORDER BY file_id""".stripMargin))
+
   // ---------------------------------------------------------------------
   // Multimodal: real JPEG entropy decode (DC-coefficient tier)
   // ---------------------------------------------------------------------
@@ -10653,6 +10820,86 @@ object CurationQueries {
            |  cast(floor(sqrt(cast(n * (a * a + bia * bia) + 2 * a * bia * diff
            |    as double) / cast(n as double)) * 1000) as bigint) AS rms_e3
            |FROM d ORDER BY file_id, channel""".stripMargin))
+
+  /** G.711 µ-LAW / A-LAW decode — the third real codec family (after
+    * the JPEG Huffman/DCT and GIF LZW tiers) and the format an 8 kHz
+    * telephony/voice corpus actually arrives in: each 8-bit companded
+    * code word expands to its 16-bit linear sample through the
+    * standard segment/mantissa formulas
+    * ([[graft.operators.Multimodal.g711Stats]] — µ-law: complement,
+    * 132-bias mantissa, segment shift, signed fold; A-law: 0x55
+    * even-bit inversion, segment 0/1 special cases, sign bit means
+    * POSITIVE). Fixtures alternate the two laws and their byte pattern
+    * (7i+3) mod 256 walks ALL 256 code words, so the oracle — which
+    * recomputes the full expansion in closed-form SQL (shifts, masks,
+    * CASE segments) — exercises the entire companding table: one wrong
+    * segment boundary, bias, or sign convention hash-fails.
+    * G711Spec pins the published reference points (µ-law 0x00 →
+    * -32124, 0xFF → 0; A-law 0x55 → -8, 0xD5 → +8) and the reject
+    * boundary (16-bit or stereo G.711 containers reject).
+    *
+    * Scale: the parseAll narrow shape — one partition-mapped decode,
+    * no shuffle.
+    */
+  private val multimodalAudioG711 = Q(
+    (s, dir) => {
+      val base = scratchDir("audiog711")
+      val p = java.nio.file.Paths.get(base)
+      T(s, dir, "nation").select(col("n_nationkey")).collect() // 25-row dim
+        .foreach { r =>
+          val k = r.getInt(0)
+          java.nio.file.Files.write(p.resolve(f"g_$k%02d.wav"),
+            graft.operators.Multimodal.wavG711Bytes(
+              8000, 200 * (k + 1), if (k % 2 == 0) 7 else 6))
+        }
+      val scanned = s.read.format("binaryFile").load(base)
+        .select(regexp_extract(col("path"), "g_(\\d+)\\.", 1).cast("long")
+          .as("file_id"), col("content"))
+      val out = graft.operators.Multimodal.g711StatsAll(scanned).toDF()
+        .select(col("fileId").as("file_id"), col("law"),
+          col("nSamples").as("n_samples"), col("sumLin").as("sum_lin"),
+          col("minLin").as("min_lin"), col("maxLin").as("max_lin"),
+          col("valid"))
+        .orderBy(col("file_id"))
+        .localCheckpoint(true)
+      scratchDelete(base)
+      out
+    },
+    Some("""WITH g AS (
+           |  SELECT cast(n_nationkey as bigint) AS k,
+           |    cast(CASE WHEN n_nationkey % 2 = 0 THEN 7 ELSE 6 END
+           |      as bigint) AS law,
+           |    cast(200 * (n_nationkey + 1) as bigint) AS n
+           |  FROM nation
+           |), ss AS (
+           |  SELECT k, law, n, unnest(generate_series(0, n - 1)) AS i FROM g
+           |), dv AS (
+           |  SELECT k, law, n, (7 * i + 3) % 256 AS v FROM ss
+           |), lin AS (
+           |  SELECT k, law, n,
+           |    CASE WHEN law = 7 THEN
+           |      CASE WHEN (255 - v) >= 128
+           |        THEN 132 - ((((255 - v) & 15) * 8 + 132)
+           |          << (((255 - v) & 112) // 16))
+           |        ELSE ((((255 - v) & 15) * 8 + 132)
+           |          << (((255 - v) & 112) // 16)) - 132
+           |      END
+           |    ELSE
+           |      (CASE WHEN xor(v, 85) >= 128 THEN 1 ELSE -1 END) *
+           |      (CASE ((xor(v, 85) & 112) // 16)
+           |        WHEN 0 THEN (xor(v, 85) & 15) * 16 + 8
+           |        WHEN 1 THEN (xor(v, 85) & 15) * 16 + 264
+           |        ELSE ((xor(v, 85) & 15) * 16 + 264)
+           |          << (((xor(v, 85) & 112) // 16) - 1)
+           |      END)
+           |    END AS s
+           |  FROM dv
+           |)
+           |SELECT k AS file_id, law, n AS n_samples,
+           |  cast(sum(s) as bigint) AS sum_lin,
+           |  cast(min(s) as bigint) AS min_lin,
+           |  cast(max(s) as bigint) AS max_lin, true AS valid
+           |FROM lin GROUP BY k, law, n ORDER BY file_id""".stripMargin))
 
   /** PCM BIT-DEPTH ladder — 8-bit (unsigned storage, the telephony/
     * legacy tier), 16-bit, and 24-bit (studio masters) mono decode in
@@ -13969,6 +14216,7 @@ object CurationQueries {
     "ns_profile_heaps_fit" -> profileHeapsFit,
     "ns_multimodal_image_stats" -> multimodalImageStats,
     "ns_multimodal_png_types" -> multimodalPngTypes,
+    "ns_multimodal_png_filters" -> multimodalPngFilters,
     "ns_sim_maxsim_ivf" -> simMaxsimIvf,
     "ns_sim_maxsim_plaid" -> simMaxsimPlaid,
     "ns_sim_plaid_curve" -> simPlaidCurve,
@@ -13982,6 +14230,7 @@ object CurationQueries {
     "ns_multimodal_jpeg_prog" -> multimodalJpegProg,
     "ns_multimodal_gif_stats" -> multimodalGifStats,
     "ns_multimodal_audio_depths" -> multimodalAudioDepths,
+    "ns_multimodal_audio_g711" -> multimodalAudioG711,
     "ns_multimodal_audio_stereo" -> multimodalAudioStereo,
     "ns_quality_rank_normalize" -> qualityRankNormalize,
     "ns_sample_histogram_match" -> sampleHistogramMatch,
@@ -14018,6 +14267,7 @@ object CurationQueries {
     "ns_text_rank_cd" -> textRankCd,
     "ns_text_rank_weighted" -> textRankWeighted,
     "ns_text_fts_prefix" -> textFtsPrefix,
+    "ns_text_headline" -> textHeadline,
     "ns_quality_isotonic" -> qualityIsotonic,
     "ns_dedup_exact_substr_bpe" -> dedupExactSubstrBpe,
     "ns_dedup_exact_substr_bpe50" -> dedupExactSubstrBpe50,

@@ -88,6 +88,20 @@ class PngDecodeSpec extends AnyFunSuite {
     assert(Multimodal.pngPixelSha(Multimodal.pngGradientBytes(w, h)) != pal)
   }
 
+  test("ADAPTIVE per-row filters (Sub/Up/Average/Paeth) unfilter exactly") {
+    for ((w, h) <- Seq((21, 13), (16, 10), (33, 7), (1, 6))) {
+      val filtered = Multimodal.pngFilteredGradientBytes(w, h)
+      // same pixels as the filter-0 gradient encode: identical stats...
+      assert(Multimodal.pngPixelStats(filtered) ==
+        Multimodal.pngPixelStats(Multimodal.pngGradientBytes(w, h)))
+      // ...and identical pixel sha — a filtered re-encode is the same content
+      assert(Multimodal.pngPixelSha(filtered) ==
+        Multimodal.pngPixelSha(Multimodal.pngGradientBytes(w, h)))
+    }
+    // JDK cross-check: the JDK unfilters too — pixel-for-pixel agreement
+    checkAgainstJdk(Multimodal.pngFilteredGradientBytes(24, 11))
+  }
+
   test("unsupported containers reject, never mis-decode") {
     val good = Multimodal.pngPaletteBytes(16, 10)
     assert(Multimodal.pngDecodeRgb("not a png".getBytes).isEmpty)
