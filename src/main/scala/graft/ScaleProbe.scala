@@ -422,7 +422,14 @@ object ScaleProbe {
       // r18: headline = the rank_cd frame + a top-k-sized snippet join
       // (only 30 winning docs' texts re-read) — expected ~linear in
       // postings with the snippet stage corpus-independent
-      "ns_text_headline")
+      "ns_text_headline",
+      // r18: <N> distance = one postings pass into per-doc position
+      // arrays + in-array HOFs — expected ~linear in postings
+      "ns_text_fts_distance",
+      // r18: edit-distance join = broadcast probes x distinct-collapsed
+      // title index (replication-proof) under the length-band prefilter
+      // — expected near-flat (the trigram probe class)
+      "ns_text_editdist_join")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected

@@ -374,6 +374,100 @@ object Multimodal {
       }
   }
 
+  /** IEEE-FLOAT PCM decode (WAV format tag 3, 32-bit mono) — the
+    * format DAWs and ML audio exports actually write: samples are LE
+    * IEEE-754 binary32 in [-1, 1]. Stats are folded as EXACT
+    * 2^8-scaled integers (`round(sample * 256)`) so the oracle compares
+    * integers, not accumulated floats — exact whenever the fixture's
+    * samples are representable multiples of 2^-8, which
+    * [[wavFloatToneBytes]] guarantees. Returns (n, sum_q8, min_q8,
+    * max_q8). None unless the container is 32-bit mono float — reject,
+    * never mis-decode.
+    */
+  final case class FloatPcmStats(fileId: Long, nSamples: Long,
+      sumQ8: Long, minQ8: Long, maxQ8: Long, valid: Boolean)
+
+  def floatPcmStats(b: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+        b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E')
+      return None
+    var pos = 12
+    var okFloat = false
+    var dataOff = -1
+    var dataLen = -1
+    while (pos + 8 <= b.length && (!okFloat || dataOff < 0)) {
+      val id = new String(b, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = le32(b, pos + 4).toInt
+      if (id == "fmt " && pos + 24 <= b.length) {
+        val fmt = (b(pos + 8) & 0xff) | ((b(pos + 9) & 0xff) << 8)
+        val ch = (b(pos + 10) & 0xff) | ((b(pos + 11) & 0xff) << 8)
+        val bits = (b(pos + 22) & 0xff) | ((b(pos + 23) & 0xff) << 8)
+        if (fmt == 3 && ch == 1 && bits == 32) okFloat = true
+        else return None
+      } else if (id == "data") { dataOff = pos + 8; dataLen = size }
+      if (size < 0 || pos.toLong + 8L + size.toLong > b.length.toLong) return None
+      pos += 8 + size + (size & 1)
+    }
+    if (!okFloat || dataOff < 0 || dataOff + dataLen > b.length) return None
+    val n = dataLen / 4
+    if (n == 0) return None
+    var sum = 0L
+    var mn = Long.MaxValue
+    var mx = Long.MinValue
+    var i = 0
+    while (i < n) {
+      val o = dataOff + 4 * i
+      val bits = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+      val s = java.lang.Float.intBitsToFloat(bits)
+      if (s.isNaN || s < -4f || s > 4f) return None // not audio-range
+      val q = math.round(s * 256f).toLong
+      sum += q
+      if (q < mn) mn = q
+      if (q > mx) mx = q
+      i += 1
+    }
+    Some((n.toLong, sum, mn, mx))
+  }
+
+  /** Partition-mapped float-PCM stats — the [[parseAll]] narrow shape. */
+  def floatPcmStatsAll(df: DataFrame): Dataset[FloatPcmStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("file_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          floatPcmStats(bytes) match {
+            case Some((n, s, mn, mx)) =>
+              FloatPcmStats(id, n, s, mn, mx, valid = true)
+            case None => FloatPcmStats(id, 0L, 0L, 0L, 0L, valid = false)
+          }
+        }
+      }
+  }
+
+  /** Complete IEEE-float WAV (tag 3, 32-bit mono): sample i =
+    * (((7i + 3) mod 33) - 16) / 16 — every value an exact multiple of
+    * 2^-4 (so 2^8-scaled stats are exact integers), walking the full
+    * [-1, 1] range with both signs. */
+  def wavFloatToneBytes(sampleRate: Int, nSamples: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + 4 * nSamples)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    bb.put("RIFF".getBytes(ascii)).putInt(36 + 4 * nSamples).put("WAVE".getBytes(ascii))
+    bb.put("fmt ".getBytes(ascii)).putInt(16)
+      .putShort(3).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate * 4).putShort(4).putShort(32)
+    bb.put("data".getBytes(ascii)).putInt(4 * nSamples)
+    var i = 0
+    while (i < nSamples) {
+      bb.putFloat((((7 * i + 3) % 33) - 16) / 16.0f)
+      i += 1
+    }
+    bb.array()
+  }
+
   /** Complete G.711 WAV (µ-law tag 7 or A-law tag 6, 8-bit mono):
     * byte i = (7i + 3) mod 256 — a full-period walk that hits all 256
     * code words (both signs, every segment), so the closed-form oracle
@@ -2280,6 +2374,112 @@ object Multimodal {
     * stats; exact-pixel-count and in-dictionary checks reject anything
     * malformed.
     */
+  /** ANIMATED-GIF census: walks EVERY image descriptor (not just the
+    * first), really LZW-decodes each frame's index stream through
+    * [[gifLzwStats]]'s validated decoder, captures each frame's
+    * graphic-control delay, and folds the file-level animation facts:
+    * (n_frames, width, height, total_pixels, sum_idx_all_frames,
+    * sum_delay_cs). Frames must share the first frame's dimensions
+    * (the fixture contract; mismatched-geometry animations reject
+    * rather than mis-aggregate). None on any malformed frame — the
+    * whole file rejects, never a partial count.
+    */
+  def gifAnimStats(b: Array[Byte]): Option[(Long, Long, Long, Long, Long, Long)] =
+    try gifAnimStatsImpl(b)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def gifAnimStatsImpl(
+      b: Array[Byte]): Option[(Long, Long, Long, Long, Long, Long)] = {
+    if (b.length < 14) return None
+    val sig = new String(b, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    def le16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    val packed = b(10) & 0xff
+    var pos = 13
+    if ((packed & 0x80) != 0) pos += 3 * (1 << ((packed & 7) + 1)) // GCT
+    var nFrames = 0L
+    var w0 = 0L; var h0 = 0L
+    var totalPx = 0L
+    var sumIdx = 0L
+    var sumDelay = 0L
+    var pendingDelay = 0L
+    while (pos < b.length) {
+      val bt = b(pos) & 0xff
+      if (bt == 0x3b) { // trailer: the census is complete
+        return if (nFrames == 0) None
+          else Some((nFrames, w0, h0, totalPx, sumIdx, sumDelay))
+      } else if (bt == 0x21) { // extension: label byte + sub-blocks
+        val label = b(pos + 1) & 0xff
+        if (label == 0xf9 && pos + 6 < b.length && (b(pos + 2) & 0xff) == 4)
+          pendingDelay = le16(pos + 4).toLong // GCE delay, centiseconds
+        pos += 2
+        var n = -1
+        while (n != 0) {
+          if (pos >= b.length) return None
+          n = b(pos) & 0xff
+          pos += 1 + n
+        }
+      } else if (bt == 0x2c) { // image descriptor
+        if (pos + 10 > b.length) return None
+        val iw = le16(pos + 5)
+        val ih = le16(pos + 7)
+        val ip = b(pos + 9) & 0xff
+        pos += 10
+        if ((ip & 0x80) != 0) pos += 3 * (1 << ((ip & 7) + 1)) // local CT
+        if (pos >= b.length) return None
+        val minCode = b(pos) & 0xff
+        pos += 1
+        if (minCode < 2 || minCode > 8) return None
+        val data = new java.io.ByteArrayOutputStream()
+        var n = -1
+        while (n != 0) {
+          if (pos >= b.length) return None
+          n = b(pos) & 0xff
+          if (pos + 1 + n > b.length) return None
+          data.write(b, pos + 1, n)
+          pos += 1 + n
+        }
+        if (iw <= 0 || ih <= 0) return None
+        if (nFrames == 0) { w0 = iw.toLong; h0 = ih.toLong }
+        else if (iw.toLong != w0 || ih.toLong != h0) return None
+        gifLzwStats(data.toByteArray, minCode, iw.toLong * ih, iw, ih) match {
+          case Some((_, _, nPix, s, _, _)) =>
+            nFrames += 1
+            totalPx += nPix
+            sumIdx += s
+            sumDelay += pendingDelay
+            pendingDelay = 0L
+          case None => return None
+        }
+      } else return None
+    }
+    None // ran off the end without a trailer
+  }
+
+  /** Multi-frame fixture: [[gifPatternBytes]]'s frame block (GCE +
+    * descriptor + really-LZW-compressed image data) repeated
+    * `nFrames` times with per-frame GCE delays 10(f+1) cs — a real
+    * animation whose every frame exercises the full decoder. */
+  def gifAnimBytes(width: Int, height: Int, nFrames: Int): Array[Byte] = {
+    val single = gifPatternBytes(width, height)
+    val gceAt = 6 + 7 + 768 // header + LSD + the 256-entry GCT (0xf7)
+    require((single(gceAt) & 0xff) == 0x21, "generator layout changed")
+    val frame = java.util.Arrays.copyOfRange(single, gceAt, single.length - 1)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(single, 0, gceAt)
+    var f = 0
+    while (f < nFrames) {
+      val fb = frame.clone()
+      val d = 10 * (f + 1)
+      fb(4) = (d & 0xff).toByte // GCE: 21 f9 04 flags delayLo delayHi
+      fb(5) = ((d >> 8) & 0xff).toByte
+      out.write(fb)
+      f += 1
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
   private def gifLzwStats(d: Array[Byte], minCode: Int, nPix: Long,
       w: Int, h: Int): Option[(Long, Long, Long, Long, Long, Long)] = {
     val clear = 1 << minCode
@@ -2494,6 +2694,28 @@ object Multimodal {
       sumIdx: Long, minIdx: Long, maxIdx: Long, valid: Boolean)
 
   /** Partition-mapped GIF index stats — the [[parseAll]] narrow shape. */
+  final case class GifAnimRow(fileId: Long, nFrames: Long, width: Long,
+      height: Long, totalPx: Long, sumIdx: Long, sumDelayCs: Long,
+      valid: Boolean)
+
+  /** Partition-mapped animated-GIF census — the [[parseAll]] shape. */
+  def gifAnimAll(df: DataFrame): Dataset[GifAnimRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("file_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          gifAnimStats(bytes) match {
+            case Some((nf, w, h, tp, si, sd)) =>
+              GifAnimRow(id, nf, w, h, tp, si, sd, valid = true)
+            case None =>
+              GifAnimRow(id, 0L, 0L, 0L, 0L, 0L, 0L, valid = false)
+          }
+        }
+      }
+  }
+
   def gifStatsAll(df: DataFrame): Dataset[GifStatsRow] = {
     val spark = df.sparkSession
     import spark.implicits._

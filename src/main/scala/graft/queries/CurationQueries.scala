@@ -9522,6 +9522,81 @@ object CurationQueries {
            |SELECT query_id, doc_id FROM m
            |ORDER BY query_id, doc_id""".stripMargin))
 
+  /** tsquery FOLLOWED-BY DISTANCE — the `<N>` operator completing the
+    * tsquery grammar beside `&`/`|`/`!` ([[textFtsQuery]]), `:*`
+    * ([[textFtsPrefix]]), and `<->` (the phrase operator, which PG
+    * defines as `<1>`): `a <N> b` matches documents holding an
+    * occurrence of `b` EXACTLY N lexeme positions after an occurrence
+    * of `a` — original text positions, regardless of what stands
+    * between. Three representative distance queries return their full
+    * match lists.
+    *
+    * Shape: one postings pass (vocabulary filter before any exchange)
+    * into ONE per-doc aggregate collecting each term's sorted position
+    * array; every distance query is then a per-row
+    * `arrays_overlap(transform(p_a, x -> x + N), p_b)` — in-array HOFs
+    * on doc-sized rows, no joins. The oracle is an INDEPENDENT
+    * implementation (a positions self-JOIN per query), so an
+    * off-by-one in either side hash-fails.
+    *
+    * Scale: postings-bounded; position arrays are per-doc
+    * query-vocabulary occurrences only. The GIN positional-postings
+    * probe shape at 100 TB.
+    */
+  private val textFtsDistance = Q(
+    (s, dir) => {
+      val toks = T(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+        .where(col("term").isin("hash", "join", "merge", "sort",
+          "data", "table"))
+      val ev = toks.groupBy(col("doc_id"))
+        .agg(
+          sort_array(collect_list(when(col("term") === "hash", col("pos"))))
+            .as("p_hash"),
+          sort_array(collect_list(when(col("term") === "join", col("pos"))))
+            .as("p_join"),
+          sort_array(collect_list(when(col("term") === "merge", col("pos"))))
+            .as("p_merge"),
+          sort_array(collect_list(when(col("term") === "sort", col("pos"))))
+            .as("p_sort"),
+          sort_array(collect_list(when(col("term") === "data", col("pos"))))
+            .as("p_data"),
+          sort_array(collect_list(when(col("term") === "table", col("pos"))))
+            .as("p_table"))
+        .localCheckpoint(true) // doc-sized; three query consumers
+      def q(id: String, a: String, b: String, n: Int) =
+        ev.where(expr(s"arrays_overlap(transform(p_$a, x -> x + $n), p_$b)"))
+          .select(lit(id).as("query_id"),
+            col("doc_id").cast("long").as("doc_id"))
+      q("d1_hash_2_join", "hash", "join", 2)
+        .unionAll(q("d2_merge_3_sort", "merge", "sort", 3))
+        .unionAll(q("d3_data_1_table", "data", "table", 1))
+        .orderBy(col("query_id"), col("doc_id"))
+    },
+    Some("""WITH tk AS (
+           |  SELECT doc_id, i AS pos, w[i] AS term
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS w,
+           |          unnest(generate_series(1, len(string_split(text, ' '))))
+           |            AS i
+           |        FROM documents)
+           |  WHERE w[i] IN ('hash', 'join', 'merge', 'sort', 'data', 'table')
+           |), m AS (
+           |  SELECT DISTINCT 'd1_hash_2_join' AS query_id, a.doc_id
+           |  FROM tk a JOIN tk b ON a.doc_id = b.doc_id
+           |    AND a.term = 'hash' AND b.term = 'join' AND b.pos = a.pos + 2
+           |  UNION ALL
+           |  SELECT DISTINCT 'd2_merge_3_sort', a.doc_id
+           |  FROM tk a JOIN tk b ON a.doc_id = b.doc_id
+           |    AND a.term = 'merge' AND b.term = 'sort' AND b.pos = a.pos + 3
+           |  UNION ALL
+           |  SELECT DISTINCT 'd3_data_1_table', a.doc_id
+           |  FROM tk a JOIN tk b ON a.doc_id = b.doc_id
+           |    AND a.term = 'data' AND b.term = 'table' AND b.pos = a.pos + 1
+           |)
+           |SELECT query_id, cast(doc_id as bigint) AS doc_id FROM m
+           |ORDER BY query_id, doc_id""".stripMargin))
+
   /** ts_headline — the SNIPPET half of the PG FTS surface (what a
     * search UI actually renders): for each two-term query, each
     * matching document's BEST cover (the minimal-width adjacent
@@ -9625,6 +9700,79 @@ object CurationQueries {
            |FROM rk t JOIN documents d ON d.doc_id = t.doc_id
            |WHERE t.rnk <= 10
            |ORDER BY t.query_id, t.rnk""".stripMargin))
+
+  /** EDIT-DISTANCE fuzzy match — the Levenshtein companion of the
+    * trigram tier (PG's fuzzystrmatch `levenshtein(a, b) <= d` beside
+    * pg_trgm's `%`): the same 64 typo'd probe titles ranked against
+    * the DISTINCT-title index by exact edit distance <= 6, top-5 per
+    * probe. Where trigram Jaccard is set-based (order-insensitive,
+    * length-normalized), edit distance prices each character
+    * operation — the complementary fuzzy-match geometry, and the two
+    * tiers disagree exactly where entity-resolution policy needs a
+    * human look. Self-audit: every probe's unperturbed source title
+    * ranks #1 at distance = its deletion count.
+    *
+    * Determinism: both engines compute the standard unit-cost DP;
+    * ranking orders (dist, sid) — total. Spark evaluates the
+    * THRESHOLDED form `levenshtein(p, t, 6)` (O(d·len) banded DP with
+    * early exit, -1 above the bound — the production form; the oracle
+    * filters the full distance at the same bound, same result set).
+    *
+    * Scale: the probe side broadcasts (bounded probe set — the GIN
+    * analog of the trigram tier); the title index is
+    * distinct-collapsed before any comparison (replication-proof);
+    * the length-band prefilter (|len(p)-len(t)| <= d, a NECESSARY
+    * Levenshtein condition) cuts candidates before the DP; the rank
+    * window is probe-bounded.
+    */
+  private val textEditDistJoin = Q(
+    (s, dir) => {
+      val docs = TS(s, dir, "documents")
+      val sig = docs
+        .select(lower(substring(col("text"), 1, 40)).as("title"), col("doc_id"))
+        .groupBy(col("title"))
+        .agg(min(col("doc_id")).as("sid"), count(lit(1)).as("n_docs"))
+      val probe = docs.where(col("doc_id") < 64)
+        .select(col("doc_id").as("qid"), expr(
+          "array_join(filter(split(lower(substring(text, 1, 40)), ''), " +
+            "(x, i) -> (i + 1) % 7 != 0), '')").as("ptitle"))
+      val wR = Window.partitionBy(col("qid")).orderBy(col("dist"), col("sid"))
+      broadcast(probe).join(sig,
+          abs(length(col("ptitle")) - length(col("title"))) <= 6)
+        .withColumn("dist", expr("levenshtein(ptitle, title, 6)").cast("long"))
+        .where(col("dist") >= 0)
+        .withColumn("rnk", row_number().over(wR).cast("long"))
+        .where(col("rnk") <= 5)
+        .select(col("qid").cast("long").as("qid"), col("rnk"),
+          col("sid").cast("long").as("sid"), col("n_docs"), col("dist"))
+        .orderBy(col("qid"), col("rnk"))
+    },
+    Some("""WITH sig AS (
+           |  SELECT lower(substr(text, 1, 40)) AS title,
+           |    cast(min(doc_id) as bigint) AS sid,
+           |    cast(count(*) as bigint) AS n_docs
+           |  FROM documents GROUP BY 1
+           |), probe AS (
+           |  SELECT cast(doc_id as bigint) AS qid,
+           |    array_to_string(list_filter(
+           |      string_split(lower(substr(text, 1, 40)), ''),
+           |      (x, i) -> i % 7 != 0), '') AS ptitle
+           |  FROM documents WHERE doc_id < 64
+           |), cand AS (
+           |  SELECT p.qid, s.sid, s.n_docs,
+           |    cast(levenshtein(p.ptitle, s.title) as bigint) AS dist
+           |  FROM probe p JOIN sig s
+           |    ON abs(len(p.ptitle) - len(s.title)) <= 6
+           |  WHERE levenshtein(p.ptitle, s.title) <= 6
+           |), rk AS (
+           |  SELECT qid, sid, n_docs, dist,
+           |    cast(row_number() OVER (PARTITION BY qid
+           |      ORDER BY dist, sid) as bigint) AS rnk
+           |  FROM cand
+           |)
+           |SELECT qid, rnk, sid, n_docs, dist
+           |FROM rk WHERE rnk <= 5
+           |ORDER BY qid, rnk""".stripMargin))
 
   // ---------------------------------------------------------------------
   // Trigram similarity match (the pg_trgm class, prefix-filtered)
@@ -10901,6 +11049,59 @@ object CurationQueries {
            |  cast(max(s) as bigint) AS max_lin, true AS valid
            |FROM lin GROUP BY k, law, n ORDER BY file_id""".stripMargin))
 
+  /** IEEE-FLOAT PCM decode (WAV format tag 3) — the fourth audio
+    * format tier (after int PCM 8/16/24, stereo, and G.711): DAW and
+    * ML-pipeline exports write 32-bit float WAVs, and the int-PCM
+    * decoders reject them all.
+    * [[graft.operators.Multimodal.floatPcmStats]] decodes LE binary32
+    * samples and folds EXACT 2^8-scaled integer stats (the fixture's
+    * samples are exact multiples of 2^-4, so `round(s * 256)` is an
+    * integer and the oracle compares integers, never accumulated
+    * floats). The closed form walks the generator's
+    * `(((7i+3) mod 33) - 16) / 16` wave — both signs, the full
+    * amplitude range.
+    *
+    * Scale: the parseAll narrow shape — one partition-mapped decode,
+    * no shuffle.
+    */
+  private val multimodalAudioFloat = Q(
+    (s, dir) => {
+      val base = scratchDir("audiofloat")
+      val p = java.nio.file.Paths.get(base)
+      T(s, dir, "nation").select(col("n_nationkey")).collect() // 25-row dim
+        .foreach { r =>
+          val k = r.getInt(0)
+          java.nio.file.Files.write(p.resolve(f"fl_$k%02d.wav"),
+            graft.operators.Multimodal.wavFloatToneBytes(8000, 200 * (k + 1)))
+        }
+      val scanned = s.read.format("binaryFile").load(base)
+        .select(regexp_extract(col("path"), "fl_(\\d+)\\.", 1).cast("long")
+          .as("file_id"), col("content"))
+      val out = graft.operators.Multimodal.floatPcmStatsAll(scanned).toDF()
+        .select(col("fileId").as("file_id"),
+          col("nSamples").as("n_samples"), col("sumQ8").as("sum_q8"),
+          col("minQ8").as("min_q8"), col("maxQ8").as("max_q8"),
+          col("valid"))
+        .orderBy(col("file_id"))
+        .localCheckpoint(true)
+      scratchDelete(base)
+      out
+    },
+    Some("""WITH g AS (
+           |  SELECT cast(n_nationkey as bigint) AS k,
+           |    cast(200 * (n_nationkey + 1) as bigint) AS n
+           |  FROM nation
+           |), ss AS (
+           |  SELECT k, n, unnest(generate_series(0, n - 1)) AS i FROM g
+           |), qv AS (
+           |  SELECT k, n, (((7 * i + 3) % 33) - 16) * 16 AS q FROM ss
+           |)
+           |SELECT k AS file_id, n AS n_samples,
+           |  cast(sum(q) as bigint) AS sum_q8,
+           |  cast(min(q) as bigint) AS min_q8,
+           |  cast(max(q) as bigint) AS max_q8, true AS valid
+           |FROM qv GROUP BY k, n ORDER BY file_id""".stripMargin))
+
   /** PCM BIT-DEPTH ladder — 8-bit (unsigned storage, the telephony/
     * legacy tier), 16-bit, and 24-bit (studio masters) mono decode in
     * one operator: real audio corpora mix depths, and the fixed-16-bit
@@ -11251,6 +11452,67 @@ object CurationQueries {
            |  sum_idx, min_idx, max_idx, true AS valid,
            |  (sum_idx * 1000) // n_pixels AS mean_idx_e3
            |FROM sm ORDER BY file_id""".stripMargin))
+
+  /** ANIMATED-GIF census — the multi-frame half of the GIF tier (a
+    * large share of real GIFs are animations; the single-frame decoder
+    * stops at the first image): every frame is really LZW-decoded
+    * ([[graft.operators.Multimodal.gifAnimStats]] walks ALL image
+    * descriptors through the validated decoder, captures each frame's
+    * graphic-control delay), and the file-level animation facts come
+    * back: frame count, per-file pixel volume, the index fold across
+    * every frame, and total duration in centiseconds. Fixtures carry
+    * 2-5 REALLY-compressed frames with per-frame delays 10(f+1) cs, so
+    * the closed form covers frames x pixels x delays — a decoder that
+    * stops early, double-counts a frame, or misreads a GCE delay
+    * hash-fails. GifLzwSpec pins the malformed-animation boundary
+    * (truncated mid-frame, mismatched frame geometry: whole-file
+    * reject, never a partial census).
+    *
+    * Scale: the parseAll narrow shape — one partition-mapped decode,
+    * no shuffle; per-file cost is linear in total entropy bytes.
+    */
+  private val multimodalGifAnim = Q(
+    (s, dir) => {
+      val base = scratchDir("gifanim")
+      val p = java.nio.file.Paths.get(base)
+      T(s, dir, "nation").select(col("n_nationkey")).collect() // 25-row dim
+        .foreach { r =>
+          val k = r.getInt(0)
+          java.nio.file.Files.write(p.resolve(f"a_$k%02d.gif"),
+            graft.operators.Multimodal.gifAnimBytes(
+              16 + (k % 10), 10 + (k % 5), 2 + (k % 4)))
+        }
+      val scanned = s.read.format("binaryFile").load(base)
+        .select(regexp_extract(col("path"), "a_(\\d+)\\.", 1).cast("long")
+          .as("file_id"), col("content"))
+      val out = graft.operators.Multimodal.gifAnimAll(scanned).toDF()
+        .select(col("fileId").as("file_id"), col("nFrames").as("n_frames"),
+          col("width"), col("height"), col("totalPx").as("total_px"),
+          col("sumIdx").as("sum_idx"),
+          col("sumDelayCs").as("sum_delay_cs"), col("valid"))
+        .orderBy(col("file_id"))
+        .localCheckpoint(true)
+      scratchDelete(base)
+      out
+    },
+    Some("""WITH g AS (
+           |  SELECT cast(n_nationkey as bigint) AS k,
+           |    cast(16 + (n_nationkey % 10) as bigint) AS w,
+           |    cast(10 + (n_nationkey % 5) as bigint) AS h,
+           |    cast(2 + (n_nationkey % 4) as bigint) AS nf
+           |  FROM nation
+           |), px AS (
+           |  SELECT k, w, h, nf, unnest(generate_series(0, w * h - 1)) AS p
+           |  FROM g
+           |), fs AS (
+           |  SELECT k, w, h, nf,
+           |    cast(sum(((7 * p) % 32) * 8) as bigint) AS fsum
+           |  FROM px GROUP BY k, w, h, nf
+           |)
+           |SELECT k AS file_id, nf AS n_frames, w AS width, h AS height,
+           |  nf * w * h AS total_px, nf * fsum AS sum_idx,
+           |  (10 * nf * (nf + 1)) // 2 AS sum_delay_cs, true AS valid
+           |FROM fs ORDER BY file_id""".stripMargin))
 
   // ---------------------------------------------------------------------
   // Two-stage MaxSim (IVF shortlist -> late-interaction re-rank)
@@ -14229,8 +14491,10 @@ object CurationQueries {
     "ns_multimodal_jpeg_411" -> multimodalJpeg411,
     "ns_multimodal_jpeg_prog" -> multimodalJpegProg,
     "ns_multimodal_gif_stats" -> multimodalGifStats,
+    "ns_multimodal_gif_anim" -> multimodalGifAnim,
     "ns_multimodal_audio_depths" -> multimodalAudioDepths,
     "ns_multimodal_audio_g711" -> multimodalAudioG711,
+    "ns_multimodal_audio_float" -> multimodalAudioFloat,
     "ns_multimodal_audio_stereo" -> multimodalAudioStereo,
     "ns_quality_rank_normalize" -> qualityRankNormalize,
     "ns_sample_histogram_match" -> sampleHistogramMatch,
@@ -14267,7 +14531,9 @@ object CurationQueries {
     "ns_text_rank_cd" -> textRankCd,
     "ns_text_rank_weighted" -> textRankWeighted,
     "ns_text_fts_prefix" -> textFtsPrefix,
+    "ns_text_fts_distance" -> textFtsDistance,
     "ns_text_headline" -> textHeadline,
+    "ns_text_editdist_join" -> textEditDistJoin,
     "ns_quality_isotonic" -> qualityIsotonic,
     "ns_dedup_exact_substr_bpe" -> dedupExactSubstrBpe,
     "ns_dedup_exact_substr_bpe50" -> dedupExactSubstrBpe50,

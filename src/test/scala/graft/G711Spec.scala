@@ -66,6 +66,21 @@ class G711Spec extends AnyFunSuite {
     assert(got._4 == -32124 && got._5 == 32124)
   }
 
+  test("IEEE-float PCM decodes to exact 2^8-scaled integers") {
+    val n = 200
+    val bytes = Multimodal.wavFloatToneBytes(8000, n)
+    val want = (0 until n).map(i => ((((7 * i + 3) % 33) - 16) * 16).toLong)
+    assert(Multimodal.floatPcmStats(bytes)
+      .contains((n.toLong, want.sum, want.min, want.max)))
+    // int PCM (tag 1) is not float; 16-bit float claims reject
+    assert(Multimodal.floatPcmStats(
+      Multimodal.wavToneBytes(8000, 100, 5, 0, 4)).isEmpty)
+    val bad = bytes.clone()
+    bad(34) = 16 // bits-per-sample byte
+    assert(Multimodal.floatPcmStats(bad).isEmpty)
+    assert(Multimodal.floatPcmStats(bytes.dropRight(10).toArray).isEmpty)
+  }
+
   test("non-G.711 and malformed containers reject") {
     assert(Multimodal.g711Stats("junk".getBytes).isEmpty)
     // linear PCM (tag 1) is NOT G.711 — the pcm tiers own it

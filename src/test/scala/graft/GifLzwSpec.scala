@@ -50,6 +50,39 @@ class GifLzwSpec extends AnyFunSuite {
     }
   }
 
+  test("ANIMATED census decodes every frame and sums the GCE delays") {
+    for ((w, h, nf) <- Seq((16, 10), (20, 12), (7, 7)).zip(Seq(2, 3, 5))
+        .map { case ((w, h), nf) => (w, h, nf) }) {
+      val bytes = Multimodal.gifAnimBytes(w, h, nf)
+      val n = w.toLong * h
+      val frameSum = (0L until n).map(idx).sum
+      val delays = (1 to nf).map(10L * _).sum
+      assert(Multimodal.gifAnimStats(bytes).contains(
+        (nf.toLong, w.toLong, h.toLong, nf * n, nf * frameSum, delays)),
+        s"($w x $h x $nf)")
+    }
+    // the single-frame census agrees with gifIndexStats on frame count 1
+    val one = Multimodal.gifAnimBytes(16, 10, 1)
+    assert(Multimodal.gifAnimStats(one).exists(_._1 == 1L))
+  }
+
+  test("malformed animations reject whole-file, never a partial census") {
+    val good = Multimodal.gifAnimBytes(16, 10, 3)
+    // truncate inside the LAST frame: no partial 2-frame answer allowed
+    assert(Multimodal.gifAnimStats(good.dropRight(8).toArray).isEmpty)
+    // mismatched frame geometry rejects: patch the 2nd descriptor's width.
+    // Descriptors are at known offsets only in the fixture layout, so
+    // find the SECOND 0x2c that begins a descriptor (after the first
+    // frame's data): scan from past the first descriptor.
+    val first = good.indices.find(i => (good(i) & 0xff) == 0x2c && i > 781).get
+    val second = good.indices.find(i => (good(i) & 0xff) == 0x2c && i > first + 10).get
+    val bad = good.clone()
+    bad(second + 5) = ((16 + 1) & 0xff).toByte // width 17 != frame 1's 16
+    // either rejects on geometry or on the now-wrong pixel count — it
+    // must not return a census
+    assert(Multimodal.gifAnimStats(bad).isEmpty)
+  }
+
   test("malformed and unsupported GIFs reject, never mis-decode") {
     val good = Multimodal.gifPatternBytes(16, 16)
     assert(Multimodal.gifIndexStats("not a gif".getBytes).isEmpty)
