@@ -429,7 +429,11 @@ object ScaleProbe {
       // r18: edit-distance join = broadcast probes x distinct-collapsed
       // title index (replication-proof) under the length-band prefilter
       // — expected near-flat (the trigram probe class)
-      "ns_text_editdist_join")
+      "ns_text_editdist_join",
+      // r18: nfc audit = one narrow mapPartitions normalize pass (text
+      // never shuffles; 3 longs/doc to the source rollup) — the
+      // compressibility class, expected ~linear in text volume
+      "ns_text_nfc_audit")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected

@@ -374,6 +374,176 @@ object Multimodal {
       }
   }
 
+  /** MAGIC-BYTE format router — the ingest front door a mixed binary
+    * corpus goes through before any decoder runs: sniff the container
+    * by signature (PNG 8-byte sig; GIF87a/89a; JPEG SOI; RIFF/WAVE
+    * with the fmt tag refining the audio subtype; BMP 'BM' + sane DIB
+    * header), never by file extension. Returns the detected kind or
+    * "unknown".
+    */
+  def sniffKind(b: Array[Byte]): String = {
+    val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    if (b.length >= 8 && b.startsWith(pngSig)) "png"
+    else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') "gif"
+    else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) "jpeg"
+    else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') {
+      // refine by the fmt chunk's format tag
+      var pos = 12
+      var tag = -1
+      while (pos + 8 <= b.length && tag < 0) {
+        val id = new String(b, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val size = le32(b, pos + 4).toInt
+        if (id == "fmt " && pos + 10 <= b.length)
+          tag = (b(pos + 8) & 0xff) | ((b(pos + 9) & 0xff) << 8)
+        if (size < 0 || pos.toLong + 8L + size.toLong > b.length.toLong)
+          return "wav_other"
+        pos += 8 + size + (size & 1)
+      }
+      tag match {
+        case 1 => "wav_pcm"
+        case 3 => "wav_float"
+        case 6 | 7 => "wav_g711"
+        case _ => "wav_other"
+      }
+    } else if (b.length >= 54 && b(0) == 'B' && b(1) == 'M' &&
+      le32(b, 14) >= 40) "bmp"
+    else "unknown"
+  }
+
+  /** Route a sniffed container to ITS decoder and report whether the
+    * full real decode succeeds — the validity read the router exists
+    * for (a sniffed-png that fails the PNG decode is corrupt or an
+    * unsupported profile, not an unknown format). */
+  def sniffValid(kind: String, b: Array[Byte]): Boolean = kind match {
+    case "png" => pngDecodeRgb(b).isDefined
+    case "gif" => gifAnimStats(b).isDefined
+    case "jpeg" => jpegDcStats(b).isDefined
+    case "bmp" => bmpPixelStats(b).isDefined
+    case "wav_pcm" => pcmStats(b).isDefined
+    case "wav_float" => floatPcmStats(b).isDefined
+    case "wav_g711" => g711Stats(b).isDefined
+    case _ => false
+  }
+
+  final case class SniffRow(fileId: Long, detected: String, valid: Boolean)
+
+  /** Partition-mapped sniff + dispatch — the [[parseAll]] shape. */
+  def sniffAll(df: DataFrame): Dataset[SniffRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("file_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val kind = sniffKind(bytes)
+          SniffRow(id, kind, sniffValid(kind, bytes))
+        }
+      }
+  }
+
+  /** BMP decode (Windows DIB, 24-bit BI_RGB) — the uncompressed image
+    * container screenshots/scans still arrive in: 14-byte file header,
+    * 40-byte BITMAPINFOHEADER, BOTTOM-UP rows of BGR triples padded to
+    * 4-byte boundaries. Decodes to exact per-channel sums; a decoder
+    * that misses the row padding, the bottom-up order (irrelevant to
+    * sums but not to the JDK pixel check), or the BGR byte order
+    * hash-fails. None unless 24-bit uncompressed (compression 0) with
+    * positive height — reject, never mis-decode.
+    */
+  def bmpPixelStats(b: Array[Byte]): Option[(Long, Long, Long, Long, Long)] =
+    try bmpPixelStatsImpl(b)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def bmpPixelStatsImpl(
+      b: Array[Byte]): Option[(Long, Long, Long, Long, Long)] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val dataOff = le32(b, 10).toInt
+    val hdrSize = le32(b, 14).toInt
+    if (hdrSize < 40) return None
+    val w = le32(b, 18).toInt
+    val h = le32(b, 22).toInt // positive = bottom-up (the only form here)
+    val planes = (b(26) & 0xff) | ((b(27) & 0xff) << 8)
+    val bpp = (b(28) & 0xff) | ((b(29) & 0xff) << 8)
+    val compression = le32(b, 30).toInt
+    if (w <= 0 || h <= 0 || planes != 1 || bpp != 24 || compression != 0)
+      return None
+    val stride = ((w * 3 + 3) / 4) * 4 // rows pad to 4-byte boundaries
+    if (dataOff.toLong + stride.toLong * h > b.length.toLong) return None
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var row = 0
+    while (row < h) {
+      val off = dataOff + row * stride // bottom-up; sums are order-free
+      var x = 0
+      while (x < w) {
+        sumB += b(off + 3 * x) & 0xff // BGR byte order
+        sumG += b(off + 3 * x + 1) & 0xff
+        sumR += b(off + 3 * x + 2) & 0xff
+        x += 1
+      }
+      row += 1
+    }
+    Some((w.toLong, h.toLong, sumR, sumG, sumB))
+  }
+
+  /** Decode a 24-bit BMP to the canonical top-down RGB stream (for the
+    * JDK pixel-for-pixel spec — sums alone can't catch a flipped or
+    * channel-swapped walk). */
+  def bmpDecodeRgb(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    try {
+      if (bmpPixelStatsImpl(b).isEmpty) return None
+      val dataOff = le32(b, 10).toInt
+      val w = le32(b, 18).toInt
+      val h = le32(b, 22).toInt
+      val stride = ((w * 3 + 3) / 4) * 4
+      val rgb = new Array[Byte](w * h * 3)
+      var row = 0
+      while (row < h) {
+        val srcOff = dataOff + (h - 1 - row) * stride // bottom-up -> top-down
+        var x = 0
+        while (x < w) {
+          val o = (row * w + x) * 3
+          rgb(o) = b(srcOff + 3 * x + 2) // R
+          rgb(o + 1) = b(srcOff + 3 * x + 1) // G
+          rgb(o + 2) = b(srcOff + 3 * x) // B
+          x += 1
+        }
+        row += 1
+      }
+      Some((w, h, rgb))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** 24-bit BMP carrying the SAME deterministic gradient as the PNG
+    * tiers (r = (7x+3y) mod 256 …), written bottom-up/BGR/padded per
+    * the DIB spec — the channel-sum oracle is the unchanged closed
+    * form. */
+  def bmpGradientBytes(width: Int, height: Int): Array[Byte] = {
+    val stride = ((width * 3 + 3) / 4) * 4
+    val size = 54 + stride * height
+    val bb = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    bb.putInt(40).putInt(width).putInt(height) // positive h = bottom-up
+      .putShort(1).putShort(24).putInt(0) // planes, bpp, BI_RGB
+      .putInt(stride * height).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var row = 0
+    while (row < height) {
+      val y = height - 1 - row // stored bottom-up
+      var x = 0
+      while (x < width) {
+        bb.put(((5 * x + y) % 256).toByte) // B
+        bb.put(((x + 2 * y) % 256).toByte) // G
+        bb.put(((7 * x + 3 * y) % 256).toByte) // R
+        x += 1
+      }
+      var p = width * 3
+      while (p < stride) { bb.put(0.toByte); p += 1 }
+      row += 1
+    }
+    bb.array()
+  }
+
   /** IEEE-FLOAT PCM decode (WAV format tag 3, 32-bit mono) — the
     * format DAWs and ML audio exports actually write: samples are LE
     * IEEE-754 binary32 in [-1, 1]. Stats are folded as EXACT

@@ -6208,6 +6208,76 @@ object CurationQueries {
            |  true AS repetitive_compresses_better
            |FROM f GROUP BY source ORDER BY source""".stripMargin))
 
+  /** UNICODE NFC NORMALIZATION audit — the canonical-form pass a
+    * multilingual corpus runs before any hashing or dedup (the SAME
+    * text arrives both precomposed and decomposed from different
+    * sources, and every byte-level identity downstream silently treats
+    * them as different documents): per source, how many documents NFC
+    * actually changes and the code-point volume before/after. The
+    * fixture plants both forms deterministically (doc_id % 3 == 0:
+    * every 'a' gains a COMBINING ACUTE — the decomposed form NFC
+    * collapses; % 3 == 1: every 'e' becomes PRECOMPOSED U+00E9 —
+    * already canonical, NFC must NOT touch it; else untouched), so the
+    * audit's selectivity is itself under test: only the decomposed
+    * branch may count as changed.
+    *
+    * Determinism: `java.text.Normalizer` NFC and DuckDB's
+    * `nfc_normalize` implement the same Unicode canonical composition;
+    * lengths are code-point counts in both engines; the injection is
+    * the same all-occurrence replace.
+    *
+    * Scale: one narrow mapPartitions pass (normalize per row — text
+    * never shuffles, 3 longs per doc leave the map side) into a
+    * per-source rollup.
+    */
+  private val textNfcAudit = Q(
+    (s, dir) => {
+      import s.implicits._
+      TS(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("text"))
+        .as[(String, Long, String)]
+        .mapPartitions { it =>
+          it.map { case (src, id, text) =>
+            val injected = (id % 3) match {
+              // explicit escapes: branch 0 MUST be the decomposed
+              // a + COMBINING ACUTE (U+0301), branch 1 the precomposed
+              // U+00E9 — a raw source literal could silently be either
+              case 0 => text.replace("a", "a\u0301")
+              case 1 => text.replace("e", "\u00e9")
+              case _ => text
+            }
+            val nfc = java.text.Normalizer.normalize(injected,
+              java.text.Normalizer.Form.NFC)
+            (src,
+              injected.codePointCount(0, injected.length).toLong,
+              nfc.codePointCount(0, nfc.length).toLong,
+              if (nfc != injected) 1L else 0L)
+          }
+        }
+        .toDF("source", "cp_before", "cp_after", "changed")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("cp_before")).as("sum_cp_before"),
+          sum(col("cp_after")).as("sum_cp_after"),
+          sum(col("changed")).as("n_changed"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH f AS (
+           |  SELECT source,
+           |    CASE WHEN doc_id % 3 = 0 THEN replace(text, 'a', 'a' || chr(769))
+           |         WHEN doc_id % 3 = 1 THEN replace(text, 'e', chr(233))
+           |         ELSE text END AS t
+           |  FROM documents
+           |), n AS (
+           |  SELECT source, t, nfc_normalize(t) AS nt FROM f
+           |)
+           |SELECT source, cast(count(*) as bigint) AS n_docs,
+           |  cast(sum(length(t)) as bigint) AS sum_cp_before,
+           |  cast(sum(length(nt)) as bigint) AS sum_cp_after,
+           |  cast(sum(CASE WHEN nt <> t THEN 1 ELSE 0 END) as bigint)
+           |    AS n_changed
+           |FROM n GROUP BY source ORDER BY source""".stripMargin))
+
   /** ROBUST (MAD) ANOMALY DETECTION over hourly event volumes — the
     * robust-statistics twin of `ts_anomaly_zscore`: mean/std break when
     * the contamination IS what you're hunting (a traffic spike inflates
@@ -10687,6 +10757,130 @@ object CurationQueries {
            |  sum_r, sum_g, sum_b, true AS valid
            |FROM sm ORDER BY file_id""".stripMargin))
 
+  /** BMP (Windows DIB) decode — the uncompressed image container
+    * screenshots and scanner output still arrive in: 24-bit BI_RGB,
+    * BOTTOM-UP rows of BGR triples padded to 4-byte boundaries —
+    * three byte-layout traps (row order, channel order, stride
+    * padding) that
+    * [[graft.operators.Multimodal.bmpPixelStats]] must all get right
+    * for the unchanged gradient closed form to hash-match (padding
+    * enters the walk whenever width mod 4 != 0, which 5 of 7 fixture
+    * widths exercise). PngDecodeSpec's BMP case cross-checks the
+    * canonical top-down RGB stream pixel-for-pixel against the JDK's
+    * own BMP decode, which the sums alone can't do (a flipped or
+    * channel-swapped walk preserves sums).
+    *
+    * Scale: the parseAll narrow shape — one partition-mapped decode,
+    * no shuffle.
+    */
+  private val multimodalBmpStats = Q(
+    (s, dir) => {
+      val base = scratchDir("bmpstats")
+      val p = java.nio.file.Paths.get(base)
+      T(s, dir, "nation").select(col("n_nationkey")).collect() // 25-row dim
+        .foreach { r =>
+          val k = r.getInt(0)
+          java.nio.file.Files.write(p.resolve(f"b_$k%02d.bmp"),
+            graft.operators.Multimodal.bmpGradientBytes(16 + k, 10 + (k % 7)))
+        }
+      val scanned = s.read.format("binaryFile").load(base)
+        .select(regexp_extract(col("path"), "b_(\\d+)\\.", 1).cast("long")
+          .as("file_id"), col("content"))
+      import s.implicits._
+      val out = scanned.select(col("file_id"), col("content"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            graft.operators.Multimodal.bmpPixelStats(bytes) match {
+              case Some((w, h, r, g, bl)) => (id, w, h, r, g, bl, true)
+              case None => (id, 0L, 0L, 0L, 0L, 0L, false)
+            }
+          }
+        }
+        .toDF("file_id", "width", "height", "sum_r", "sum_g", "sum_b", "valid")
+        .withColumn("n_px", col("width") * col("height"))
+        .select(col("file_id"), col("width"), col("height"), col("n_px"),
+          col("sum_r"), col("sum_g"), col("sum_b"), col("valid"))
+        .orderBy(col("file_id"))
+        .localCheckpoint(true)
+      scratchDelete(base)
+      out
+    },
+    Some("""WITH g AS (
+           |  SELECT cast(n_nationkey as bigint) AS k,
+           |    cast(16 + n_nationkey as bigint) AS w,
+           |    cast(10 + (n_nationkey % 7) as bigint) AS h
+           |  FROM nation
+           |), xs AS (
+           |  SELECT k, w, h, unnest(generate_series(0, w - 1)) AS x FROM g
+           |), ps AS (
+           |  SELECT k, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs
+           |), sm AS (
+           |  SELECT k, w, h, cast(count(*) as bigint) AS n_px,
+           |    cast(sum((7 * x + 3 * y) % 256) as bigint) AS sum_r,
+           |    cast(sum((x + 2 * y) % 256) as bigint) AS sum_g,
+           |    cast(sum((5 * x + y) % 256) as bigint) AS sum_b
+           |  FROM ps GROUP BY k, w, h
+           |)
+           |SELECT k AS file_id, w AS width, h AS height, n_px,
+           |  sum_r, sum_g, sum_b, true AS valid
+           |FROM sm ORDER BY file_id""".stripMargin))
+
+  /** MAGIC-BYTE FORMAT ROUTING — the ingest front door of every mixed
+    * binary corpus: 25 files cycle EIGHT containers (truecolor PNG,
+    * palette PNG, single-frame GIF, animated GIF, baseline JPEG,
+    * 16-bit PCM WAV, µ-law G.711 WAV, and plain junk bytes), and
+    * [[graft.operators.Multimodal.sniffKind]] classifies each by its
+    * magic signature (never the extension — every fixture is written
+    * `.bin`), then [[graft.operators.Multimodal.sniffValid]] routes it
+    * to ITS full real decoder for the validity verdict. The oracle is
+    * the closed form of the fixture construction, so a router that
+    * confuses containers, or a dispatch that sends a container to the
+    * wrong decoder, hash-fails.
+    *
+    * Scale: the parseAll narrow shape — one partition-mapped
+    * sniff+decode pass, no shuffle; this is the map-side dispatch
+    * stage every 100 TB multimodal ingest runs first.
+    */
+  private val multimodalSniffRoute = Q(
+    (s, dir) => {
+      val base = scratchDir("sniffroute")
+      val p = java.nio.file.Paths.get(base)
+      T(s, dir, "nation").select(col("n_nationkey")).collect() // 25-row dim
+        .foreach { r =>
+          val k = r.getInt(0)
+          val bytes = (k % 8) match {
+            case 0 => graft.operators.Multimodal.pngGradientBytes(16 + k, 10)
+            case 1 => graft.operators.Multimodal.pngPaletteBytes(16 + k, 10)
+            case 2 => graft.operators.Multimodal.gifPatternBytes(16 + k, 10)
+            case 3 => graft.operators.Multimodal.gifAnimBytes(16, 10, 2 + k % 3)
+            case 4 => graft.operators.Multimodal.jpegDcPatternBytes(16 + k, 10)
+            case 5 => graft.operators.Multimodal.wavToneBytes(8000, 100 + k, 5, 1, 4)
+            case 6 => graft.operators.Multimodal.wavG711Bytes(8000, 100 + k, 7)
+            case _ => (s"not a media file #$k " * 4).getBytes(
+              java.nio.charset.StandardCharsets.UTF_8)
+          }
+          java.nio.file.Files.write(p.resolve(f"m_$k%02d.bin"), bytes)
+        }
+      val scanned = s.read.format("binaryFile").load(base)
+        .select(regexp_extract(col("path"), "m_(\\d+)\\.", 1).cast("long")
+          .as("file_id"), col("content"))
+      val out = graft.operators.Multimodal.sniffAll(scanned).toDF()
+        .select(col("fileId").as("file_id"), col("detected"), col("valid"))
+        .orderBy(col("file_id"))
+        .localCheckpoint(true)
+      scratchDelete(base)
+      out
+    },
+    Some("""SELECT cast(n_nationkey as bigint) AS file_id,
+           |  CASE n_nationkey % 8
+           |    WHEN 0 THEN 'png' WHEN 1 THEN 'png'
+           |    WHEN 2 THEN 'gif' WHEN 3 THEN 'gif'
+           |    WHEN 4 THEN 'jpeg' WHEN 5 THEN 'wav_pcm'
+           |    WHEN 6 THEN 'wav_g711' ELSE 'unknown' END AS detected,
+           |  (n_nationkey % 8) <> 7 AS valid
+           |FROM nation ORDER BY file_id""".stripMargin))
+
   // ---------------------------------------------------------------------
   // Multimodal: real JPEG entropy decode (DC-coefficient tier)
   // ---------------------------------------------------------------------
@@ -14479,6 +14673,8 @@ object CurationQueries {
     "ns_multimodal_image_stats" -> multimodalImageStats,
     "ns_multimodal_png_types" -> multimodalPngTypes,
     "ns_multimodal_png_filters" -> multimodalPngFilters,
+    "ns_multimodal_bmp_stats" -> multimodalBmpStats,
+    "ns_multimodal_sniff_route" -> multimodalSniffRoute,
     "ns_sim_maxsim_ivf" -> simMaxsimIvf,
     "ns_sim_maxsim_plaid" -> simMaxsimPlaid,
     "ns_sim_plaid_curve" -> simPlaidCurve,
@@ -14520,6 +14716,7 @@ object CurationQueries {
     "ts_session_dynamic_gap" -> tsSessionDynamicGap,
     "ts_anomaly_mad" -> tsAnomalyMad,
     "ns_text_compressibility" -> textCompressibility,
+    "ns_text_nfc_audit" -> textNfcAudit,
     "ns_dedup_agreement" -> dedupAgreement,
     "ns_dedup_agreement_semantic" -> dedupAgreementSemantic,
     "ns_sample_gumbel_topk" -> sampleGumbelTopk,

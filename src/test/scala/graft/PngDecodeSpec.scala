@@ -102,6 +102,59 @@ class PngDecodeSpec extends AnyFunSuite {
     checkAgainstJdk(Multimodal.pngFilteredGradientBytes(24, 11))
   }
 
+  test("BMP decode matches the closed form and the JDK pixel-for-pixel") {
+    // widths 21/16/33/18 cover strides with 1/0/3/2 pad bytes — the
+    // row-padding trap a naive walk misses
+    for ((w, h) <- Seq((21, 13), (16, 10), (33, 7), (18, 5))) {
+      val bytes = Multimodal.bmpGradientBytes(w, h)
+      val Some((gw, gh, sr, sg, sb)) = Multimodal.bmpPixelStats(bytes)
+      val px = for (y <- 0 until h; x <- 0 until w) yield x -> y
+      assert((gw, gh) == ((w.toLong, h.toLong)))
+      assert(sr == px.map { case (x, y) => (7 * x + 3 * y) % 256 }.sum)
+      assert(sg == px.map { case (x, y) => (x + 2 * y) % 256 }.sum)
+      assert(sb == px.map { case (x, y) => (5 * x + y) % 256 }.sum)
+    }
+    // the JDK decodes BMP too: canonical RGB must agree pixel-for-pixel
+    // (sums can't catch a vertically-flipped or channel-swapped walk)
+    val (w, h) = (21, 13)
+    val bytes = Multimodal.bmpGradientBytes(w, h)
+    val Some((_, _, rgb)) = Multimodal.bmpDecodeRgb(bytes)
+    val img = jdkRgb(bytes)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      val px = img.getRGB(x, y)
+      assert(((rgb(o) & 0xff, rgb(o + 1) & 0xff, rgb(o + 2) & 0xff)) ==
+        (((px >> 16) & 0xff, (px >> 8) & 0xff, px & 0xff)),
+        s"pixel ($x,$y)")
+    }
+    // rejections: 8-bit, compressed, truncated
+    val bad = bytes.clone(); bad(28) = 8 // bpp
+    assert(Multimodal.bmpPixelStats(bad).isEmpty)
+    val comp = bytes.clone(); comp(30) = 1 // BI_RLE8
+    assert(Multimodal.bmpPixelStats(comp).isEmpty)
+    assert(Multimodal.bmpPixelStats(bytes.dropRight(20).toArray).isEmpty)
+  }
+
+  test("the magic-byte router classifies every fixture family") {
+    assert(Multimodal.sniffKind(Multimodal.pngGradientBytes(8, 8)) == "png")
+    assert(Multimodal.sniffKind(Multimodal.pngPaletteBytes(8, 8)) == "png")
+    assert(Multimodal.sniffKind(Multimodal.gifPatternBytes(8, 8)) == "gif")
+    assert(Multimodal.sniffKind(Multimodal.gifAnimBytes(8, 8, 2)) == "gif")
+    assert(Multimodal.sniffKind(Multimodal.jpegDcPatternBytes(8, 8)) == "jpeg")
+    assert(Multimodal.sniffKind(Multimodal.bmpGradientBytes(8, 8)) == "bmp")
+    assert(Multimodal.sniffKind(Multimodal.wavToneBytes(8000, 10, 5, 0, 2)) == "wav_pcm")
+    assert(Multimodal.sniffKind(Multimodal.wavFloatToneBytes(8000, 10)) == "wav_float")
+    assert(Multimodal.sniffKind(Multimodal.wavG711Bytes(8000, 10, 6)) == "wav_g711")
+    assert(Multimodal.sniffKind("plain text".getBytes) == "unknown")
+    // dispatch validity: the right decoder accepts, a corrupt container
+    // sniffs right but fails its decode — corrupt != unknown
+    val png = Multimodal.pngGradientBytes(8, 8)
+    assert(Multimodal.sniffValid("png", png))
+    val corrupt = png.dropRight(20).toArray
+    assert(Multimodal.sniffKind(corrupt) == "png" &&
+      !Multimodal.sniffValid("png", corrupt))
+  }
+
   test("unsupported containers reject, never mis-decode") {
     val good = Multimodal.pngPaletteBytes(16, 10)
     assert(Multimodal.pngDecodeRgb("not a png".getBytes).isEmpty)
