@@ -374,6 +374,176 @@ object Multimodal {
       }
   }
 
+  /** ZIP archive census — the container a delivered corpus actually
+    * arrives in: entries walked with `java.util.zip.ZipInputStream`
+    * (REAL inflate of each entry's payload — the CRC check in the
+    * stream layer fails loudly on corruption), folding entry count,
+    * total uncompressed bytes, and a payload checksum (sum of byte
+    * values across all entries — order-invariant within an entry
+    * stream, entry order fixed by the archive). The streamed entry
+    * count is VERIFIED against the end-of-central-directory record's
+    * declared total — a streaming reader alone would silently return a
+    * PARTIAL census for an archive truncated at an entry boundary
+    * (local headers parse fine; only the central directory knows how
+    * many entries there were). None on any malformed entry or an
+    * absent/mismatched EOCD — whole-archive reject, never a partial
+    * count.
+    */
+  def zipCensus(b: Array[Byte]): Option[(Long, Long, Long)] =
+    try {
+      val zin = new java.util.zip.ZipInputStream(
+        new java.io.ByteArrayInputStream(b))
+      var n = 0L
+      var bytes = 0L
+      var sum = 0L
+      var e = zin.getNextEntry
+      if (e == null) return None // not a zip (or empty)
+      while (e != null) {
+        val buf = new Array[Byte](8192)
+        var r = zin.read(buf)
+        while (r > 0) {
+          var i = 0
+          while (i < r) { sum += buf(i) & 0xff; i += 1 }
+          bytes += r
+          r = zin.read(buf)
+        }
+        n += 1
+        zin.closeEntry()
+        e = zin.getNextEntry
+      }
+      zin.close()
+      // EOCD: scan backwards for PK\5\6 (the comment field can push it
+      // up to 65535 bytes from the end); declared total entries at +10
+      var eocd = -1
+      var p = b.length - 22
+      val lo = math.max(0, b.length - 22 - 65535)
+      while (eocd < 0 && p >= lo) {
+        if ((b(p) & 0xff) == 0x50 && (b(p + 1) & 0xff) == 0x4b &&
+          (b(p + 2) & 0xff) == 0x05 && (b(p + 3) & 0xff) == 0x06) eocd = p
+        p -= 1
+      }
+      if (eocd < 0) return None
+      val declared = (b(eocd + 10) & 0xff) | ((b(eocd + 11) & 0xff) << 8)
+      if (declared.toLong != n) return None
+      Some((n, bytes, sum))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** TAR archive census — the other delivery container: 512-byte
+    * header blocks parsed directly (name, octal size, typeflag,
+    * checksum VERIFIED per the ustar rule: header bytes summed with
+    * the checksum field read as spaces), payloads walked to the
+    * 512-padded boundary. Returns (n_entries, total_bytes,
+    * payload byte sum). None on a bad magic/checksum or truncation —
+    * whole-archive reject.
+    */
+  def tarCensus(b: Array[Byte]): Option[(Long, Long, Long)] =
+    try tarCensusImpl(b)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def tarCensusImpl(b: Array[Byte]): Option[(Long, Long, Long)] = {
+    var pos = 0
+    var n = 0L
+    var total = 0L
+    var sum = 0L
+    while (pos + 512 <= b.length) {
+      // two all-zero blocks mark end-of-archive
+      if ((pos until pos + 512).forall(b(_) == 0)) {
+        return if (n > 0) Some((n, total, sum)) else None
+      }
+      // ustar magic at offset 257
+      if (pos + 262 > b.length ||
+        !(b(pos + 257) == 'u' && b(pos + 258) == 's' && b(pos + 259) == 't' &&
+          b(pos + 260) == 'a' && b(pos + 261) == 'r')) return None
+      // verify the header checksum: bytes summed with the checksum
+      // field (148..155) read as spaces
+      var hsum = 0L
+      var i = 0
+      while (i < 512) {
+        hsum += (if (i >= 148 && i < 156) ' '.toInt else b(pos + i) & 0xff)
+        i += 1
+      }
+      val declared = java.lang.Long.parseLong(
+        new String(b, pos + 148, 8, java.nio.charset.StandardCharsets.US_ASCII)
+          .trim.stripSuffix(" ").trim, 8)
+      if (hsum != declared) return None
+      val size = java.lang.Long.parseLong(
+        new String(b, pos + 124, 12, java.nio.charset.StandardCharsets.US_ASCII)
+          .trim.stripSuffix(" ").trim, 8)
+      pos += 512
+      if (pos + size > b.length) return None
+      var j = 0L
+      while (j < size) { sum += b(pos + j.toInt) & 0xff; j += 1 }
+      total += size
+      n += 1
+      pos += ((size + 511) / 512).toInt * 512
+    }
+    None // ran off the end without the terminator
+  }
+
+  /** Deterministic ZIP fixture: `nEntries` stored-then-deflated text
+    * entries, entry e carrying the bytes of
+    * "entry <e> of archive <tag> " repeated (e+1) times. */
+  def zipBytes(tag: Int, nEntries: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    var e = 0
+    while (e < nEntries) {
+      zos.putNextEntry(new java.util.zip.ZipEntry(f"doc_$e%03d.txt"))
+      val payload = (s"entry $e of archive $tag " * (e + 1))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      zos.write(payload)
+      zos.closeEntry()
+      e += 1
+    }
+    zos.close()
+    bos.toByteArray
+  }
+
+  /** Deterministic ustar TAR fixture with the same payload scheme as
+    * [[zipBytes]] — header checksums computed per spec. */
+  def tarBytes(tag: Int, nEntries: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var e = 0
+    while (e < nEntries) {
+      val payload = (s"entry $e of archive $tag " * (e + 1))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val hdr = new Array[Byte](512)
+      val name = f"doc_$e%03d.txt".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      System.arraycopy(name, 0, hdr, 0, name.length)
+      def putOctal(off: Int, len: Int, v: Long): Unit = {
+        val s = java.lang.Long.toOctalString(v)
+        val padded = ("0" * (len - 1 - s.length)) + s
+        val bytes = padded.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        System.arraycopy(bytes, 0, hdr, off, bytes.length)
+        hdr(off + len - 1) = 0
+      }
+      putOctal(100, 8, 420) // mode 0644
+      putOctal(108, 8, 0) // uid
+      putOctal(116, 8, 0) // gid
+      putOctal(124, 12, payload.length.toLong)
+      putOctal(136, 12, 1700000000L + e) // mtime, fixed
+      hdr(156) = '0' // typeflag: regular file
+      hdr(257) = 'u'; hdr(258) = 's'; hdr(259) = 't'; hdr(260) = 'a'; hdr(261) = 'r'
+      hdr(263) = '0'; hdr(264) = '0' // version "00"; magic NUL at 262
+      java.util.Arrays.fill(hdr, 148, 156, ' '.toByte)
+      var hsum = 0L
+      var i = 0
+      while (i < 512) { hsum += hdr(i) & 0xff; i += 1 }
+      val cs = java.lang.Long.toOctalString(hsum)
+      val csPad = ("0" * (6 - cs.length)) + cs
+      System.arraycopy(csPad.getBytes(java.nio.charset.StandardCharsets.US_ASCII),
+        0, hdr, 148, 6)
+      hdr(154) = 0; hdr(155) = ' '
+      out.write(hdr)
+      out.write(payload)
+      val pad = ((payload.length + 511) / 512) * 512 - payload.length
+      out.write(new Array[Byte](pad))
+      e += 1
+    }
+    out.write(new Array[Byte](1024)) // two terminator blocks
+    out.toByteArray
+  }
+
   /** MAGIC-BYTE format router — the ingest front door a mixed binary
     * corpus goes through before any decoder runs: sniff the container
     * by signature (PNG 8-byte sig; GIF87a/89a; JPEG SOI; RIFF/WAVE

@@ -10826,6 +10826,91 @@ object CurationQueries {
            |  sum_r, sum_g, sum_b, true AS valid
            |FROM sm ORDER BY file_id""".stripMargin))
 
+  /** ARCHIVE CENSUS (ZIP + TAR) — the container a delivered corpus
+    * actually arrives in, walked for REAL: ZIP entries inflate through
+    * `java.util.zip.ZipInputStream` (the stream layer's CRC check
+    * fails loudly on corruption); TAR ustar headers are parsed
+    * directly with their checksums VERIFIED per spec (header bytes
+    * summed with the checksum field as spaces) and payloads walked to
+    * the 512-padded boundary
+    * ([[graft.operators.Multimodal.zipCensus]] /
+    * [[graft.operators.Multimodal.tarCensus]]). Per archive: entry
+    * count, total uncompressed bytes, and the payload byte sum — all
+    * recomputed in closed form by the oracle from the fixture's
+    * deterministic entry scheme, so a census that miscounts entries,
+    * misparses an octal size, or mis-inflates a payload hash-fails.
+    * Malformed archives reject whole-file (spec'd: truncations, bad
+    * checksums).
+    *
+    * Scale: the parseAll narrow shape — one partition-mapped walk per
+    * archive, no shuffle; this is the unpack-accounting stage an
+    * archive-delivered 100 TB corpus runs before extraction.
+    */
+  private val multimodalArchiveCensus = Q(
+    (s, dir) => {
+      val base = scratchDir("archives")
+      val p = java.nio.file.Paths.get(base)
+      T(s, dir, "nation").select(col("n_nationkey")).collect() // 25-row dim
+        .foreach { r =>
+          val k = r.getInt(0)
+          val ne = 3 + (k % 5)
+          val bytes =
+            if (k % 2 == 0) graft.operators.Multimodal.zipBytes(k, ne)
+            else graft.operators.Multimodal.tarBytes(k, ne)
+          java.nio.file.Files.write(
+            p.resolve(f"ar_$k%02d." + (if (k % 2 == 0) "zip" else "tar")),
+            bytes)
+        }
+      val scanned = s.read.format("binaryFile").load(base)
+        .select(regexp_extract(col("path"), "ar_(\\d+)\\.", 1).cast("long")
+          .as("file_id"), col("content"))
+      import s.implicits._
+      val out = scanned.select(col("file_id"), col("content"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            // route by magic, never extension: PK.. -> zip, else tar
+            val isZip = bytes.length >= 4 && bytes(0) == 'P' && bytes(1) == 'K'
+            val res =
+              if (isZip) graft.operators.Multimodal.zipCensus(bytes)
+              else graft.operators.Multimodal.tarCensus(bytes)
+            res match {
+              case Some((n, tb, ps)) =>
+                (id, if (isZip) "zip" else "tar", n, tb, ps, true)
+              case None => (id, "invalid", 0L, 0L, 0L, false)
+            }
+          }
+        }
+        .toDF("file_id", "kind", "n_entries", "total_bytes", "payload_sum",
+          "valid")
+        .orderBy(col("file_id"))
+        .localCheckpoint(true)
+      scratchDelete(base)
+      out
+    },
+    Some("""WITH g AS (
+           |  SELECT cast(n_nationkey as bigint) AS k,
+           |    CASE WHEN n_nationkey % 2 = 0 THEN 'zip' ELSE 'tar' END AS kind,
+           |    cast(3 + (n_nationkey % 5) as bigint) AS ne
+           |  FROM nation
+           |), es AS (
+           |  SELECT k, kind, ne, unnest(generate_series(0, ne - 1)) AS e FROM g
+           |), pe AS (
+           |  SELECT k, kind, ne, e,
+           |    'entry ' || e || ' of archive ' || k || ' ' AS base
+           |  FROM es
+           |), sz AS (
+           |  SELECT k, kind, ne, e,
+           |    cast(length(base) * (e + 1) as bigint) AS nb,
+           |    cast(list_sum(list_transform(string_split(base, ''),
+           |      c -> ascii(c))) * (e + 1) as bigint) AS bsum
+           |  FROM pe
+           |)
+           |SELECT k AS file_id, kind, ne AS n_entries,
+           |  cast(sum(nb) as bigint) AS total_bytes,
+           |  cast(sum(bsum) as bigint) AS payload_sum, true AS valid
+           |FROM sz GROUP BY k, kind, ne ORDER BY file_id""".stripMargin))
+
   /** MAGIC-BYTE FORMAT ROUTING — the ingest front door of every mixed
     * binary corpus: 25 files cycle EIGHT containers (truecolor PNG,
     * palette PNG, single-frame GIF, animated GIF, baseline JPEG,
@@ -14675,6 +14760,7 @@ object CurationQueries {
     "ns_multimodal_png_filters" -> multimodalPngFilters,
     "ns_multimodal_bmp_stats" -> multimodalBmpStats,
     "ns_multimodal_sniff_route" -> multimodalSniffRoute,
+    "ns_multimodal_archive_census" -> multimodalArchiveCensus,
     "ns_sim_maxsim_ivf" -> simMaxsimIvf,
     "ns_sim_maxsim_plaid" -> simMaxsimPlaid,
     "ns_sim_plaid_curve" -> simPlaidCurve,
