@@ -433,7 +433,15 @@ object ScaleProbe {
       // r18: nfc audit = one narrow mapPartitions normalize pass (text
       // never shuffles; 3 longs/doc to the source rollup) — the
       // compressibility class, expected ~linear in text volume
-      "ns_text_nfc_audit")
+      "ns_text_nfc_audit",
+      // r18: step attribution = the pack frame's cumsum shuffle + a
+      // 3-row broadcast probe join — the pack_greedy class
+      "ns_pipeline_step_attribution",
+      // r18: chunk overlap = map-only window explode into an md5-keyed
+      // df agg (32-char keys shuffle, text doesn't) — expected ~linear
+      // in chunk volume; replication drives every chunk to df >= 2
+      // (the dedup-accounting stress case)
+      "ns_corpus_chunk_overlap")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected

@@ -3155,6 +3155,151 @@ object CurationQueries {
            |  round(cast(n_docs_split as double) / n_docs, 6) AS split_frac
            |FROM g ORDER BY source""".stripMargin))
 
+  /** OVERLAPPING-CHUNK retrieval prep — the RAG passage-window pass
+    * (64-token chunks at stride 32, final partial window kept) with
+    * CHUNK-granularity dedup accounting: identical 64-token windows
+    * recurring across documents are exactly what a retrieval index
+    * should store once, and their volume prices chunk-level dedup
+    * before anyone builds the index. Per source: docs, chunk count,
+    * chunk token volume, and the repeated-chunk share (chunk md5 with
+    * corpus df >= 2).
+    *
+    * Determinism: the window schedule is pure integer arithmetic
+    * (starts 1 + 32i, i <= (n-33) div 32 for n > 64, else the whole
+    * doc), mirrored exactly in both engines; chunk identity is the md5
+    * of the joined window.
+    *
+    * Scale: the chunk explode is map-only and collapses into the
+    * md5-keyed df aggregate (32-char keys — the substr-curve idiom,
+    * text never shuffles beyond the one explode pass); the instance
+    * rollup joins df back chunk-keyed. At 100 TB this is the
+    * chunk-store build's accounting pass.
+    */
+  private val corpusChunkOverlap = Q(
+    (s, dir) => {
+      val ch = TS(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("n", size(col("w")).cast("long"))
+        .select(col("source"), col("doc_id"),
+          explode(expr(
+            "transform(sequence(0, IF(n > 64, (n - 33) div 32, cast(0 as bigint))), " +
+              "i -> struct(md5(array_join(slice(w, cast(1 + 32 * i as int), 64), ' ')) as gk, " +
+              "least(cast(64 as bigint), n - 32 * i) as clen))")).as("c"))
+        .select(col("source"), col("doc_id"), col("c.gk").as("gk"),
+          col("c.clen").as("clen"))
+        .localCheckpoint(true) // df aggregate + the instance rollup
+      val dfk = ch.groupBy(col("gk")).agg(count(lit(1)).as("df"))
+      ch.join(dfk, Seq("gk"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum(col("clen")).as("chunk_tokens"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_repeated_chunks"),
+          coalesce(sum(when(col("df") >= 2, col("clen"))), lit(0L))
+            .as("repeated_tokens"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH d AS (
+           |  SELECT source, doc_id, string_split(text, ' ') AS w,
+           |    cast(len(string_split(text, ' ')) as bigint) AS n
+           |  FROM documents
+           |), ch AS (
+           |  SELECT source, doc_id,
+           |    unnest(list_transform(generate_series(0,
+           |      CASE WHEN n > 64 THEN (n - 33) // 32 ELSE 0 END),
+           |      i -> struct_pack(gk := md5(array_to_string(
+           |        list_slice(w, 1 + 32 * i, 32 * i + 64), ' ')),
+           |        clen := least(64, n - 32 * i)))) AS c
+           |  FROM d
+           |), cf AS (
+           |  SELECT source, doc_id, (c).gk AS gk,
+           |    cast((c).clen as bigint) AS clen
+           |  FROM ch
+           |), dfk AS (
+           |  SELECT gk, count(*) AS df FROM cf GROUP BY gk
+           |)
+           |SELECT cf.source,
+           |  cast(count(DISTINCT cf.doc_id) as bigint) AS n_docs,
+           |  cast(count(*) as bigint) AS n_chunks,
+           |  cast(sum(cf.clen) as bigint) AS chunk_tokens,
+           |  cast(sum(CASE WHEN dfk.df >= 2 THEN 1 ELSE 0 END) as bigint)
+           |    AS n_repeated_chunks,
+           |  cast(coalesce(sum(CASE WHEN dfk.df >= 2 THEN cf.clen END), 0)
+           |    as bigint) AS repeated_tokens
+           |FROM cf JOIN dfk USING (gk)
+           |GROUP BY cf.source ORDER BY cf.source""".stripMargin))
+
+  /** TRAINING-STEP ATTRIBUTION — the loss-spike forensics read: when
+    * training logs a loss spike at packed sequence S of source X, which
+    * DOCUMENTS were inside that sequence? Inverts the
+    * [[corpusPackGreedy]] packing model (per-source concat in doc_id
+    * order, 512-token windows) for probe sequences {0, 2, 5} per
+    * source: the docs whose token spans intersect the window, their
+    * id range, and each window's exact token fill — the
+    * batch-to-provenance map an ops team walks from a spike to the
+    * offending data.
+    *
+    * Determinism: pure integer interval intersection over the same
+    * cumulative-sum frame the packing accountant uses; probe windows
+    * that a short source never reaches are simply absent in both
+    * engines.
+    *
+    * Scale: ONE source-keyed cumsum window (the pack frame's own
+    * shuffle) + a 3-row broadcast probe join with a range predicate —
+    * attribution never re-scans text, and at 100 TB the probe list is
+    * whatever the spike log says, still broadcast-sized.
+    */
+  private val pipelineStepAttribution = Q(
+    (s, dir) => {
+      val SEQ = 512L
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      val docs = TS(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          expr("size(split(text, ' '))").cast("long").as("n_tok"))
+        .withColumn("cum_before",
+          coalesce(sum(col("n_tok")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val probes = s.createDataFrame(Seq(Tuple1(0L), Tuple1(2L), Tuple1(5L)))
+        .toDF("seq_id")
+      docs.crossJoin(broadcast(probes))
+        .where(col("cum_before") < (col("seq_id") + 1) * SEQ &&
+          col("cum_before") + col("n_tok") > col("seq_id") * SEQ)
+        .withColumn("overlap",
+          least(col("cum_before") + col("n_tok"), (col("seq_id") + 1) * lit(SEQ))
+            - greatest(col("cum_before"), col("seq_id") * lit(SEQ)))
+        .groupBy(col("source"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).cast("long").as("first_doc"),
+          max(col("doc_id")).cast("long").as("last_doc"),
+          sum(col("overlap")).as("toks_in_seq"))
+        .orderBy(col("source"), col("seq_id"))
+    },
+    Some("""WITH d AS (
+           |  SELECT doc_id, source,
+           |    cast(len(string_split(text, ' ')) as bigint) AS n_tok
+           |  FROM documents
+           |), c AS (
+           |  SELECT *, coalesce(sum(n_tok) OVER (PARTITION BY source
+           |      ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS cum_before
+           |  FROM d
+           |), q AS (
+           |  SELECT unnest([0, 2, 5]) AS seq_id
+           |), m AS (
+           |  SELECT c.source, cast(q.seq_id as bigint) AS seq_id, c.doc_id,
+           |    least(c.cum_before + c.n_tok, (q.seq_id + 1) * 512)
+           |      - greatest(c.cum_before, q.seq_id * 512) AS overlap
+           |  FROM c JOIN q ON c.cum_before < (q.seq_id + 1) * 512
+           |    AND c.cum_before + c.n_tok > q.seq_id * 512
+           |)
+           |SELECT source, seq_id, cast(count(*) as bigint) AS n_docs,
+           |  cast(min(doc_id) as bigint) AS first_doc,
+           |  cast(max(doc_id) as bigint) AS last_doc,
+           |  cast(sum(overlap) as bigint) AS toks_in_seq
+           |FROM m GROUP BY source, seq_id
+           |ORDER BY source, seq_id""".stripMargin))
+
   /** Temperature-weighted epoch schedule: allocate a global token budget
     * across sources by w_i = sqrt(n_tokens_i) (temperature α = 0.5, the
     * standard multilingual up-sampling) and report each source's token
@@ -14877,6 +15022,8 @@ object CurationQueries {
     "ns_corpus_curriculum" -> corpusCurriculum,
     "ns_sim_ivf_balance" -> simIvfBalance,
     "ns_corpus_pack_greedy" -> corpusPackGreedy,
+    "ns_pipeline_step_attribution" -> pipelineStepAttribution,
+    "ns_corpus_chunk_overlap" -> corpusChunkOverlap,
     "ns_corpus_epoch_schedule" -> corpusEpochSchedule,
     "ns_quality_threshold_sweep" -> qualityThresholdSweep,
     "ns_sketch_cms" -> sketchCms,
