@@ -441,7 +441,10 @@ object ScaleProbe {
       // df agg (32-char keys shuffle, text doesn't) — expected ~linear
       // in chunk volume; replication drives every chunk to df >= 2
       // (the dedup-accounting stress case)
-      "ns_corpus_chunk_overlap")
+      "ns_corpus_chunk_overlap",
+      // r18: allocation = one source rollup + sources-sized rank — the
+      // temperature floor class
+      "ns_sample_allocation")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected

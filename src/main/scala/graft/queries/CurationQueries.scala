@@ -3155,6 +3155,66 @@ object CurationQueries {
            |  round(cast(n_docs_split as double) / n_docs, 6) AS split_frac
            |FROM g ORDER BY source""".stripMargin))
 
+  /** LARGEST-REMAINDER SAMPLE ALLOCATION (Hamilton's method) — the
+    * exact way to split a fixed annotation/eval budget of N = 1000
+    * docs across sources proportionally: floor shares first, then the
+    * leftover seats go to the largest remainders. Naive rounding
+    * over- or under-spends the budget; Hamilton is the standard exact
+    * apportionment — the ROUNDING step every proportional allocation
+    * (including `ns_sample_neyman`'s variance-optimal floored shares)
+    * needs before it can be executed — and every quantity here is an
+    * integer (share
+    * numerators, remainders = docs_i * N mod total, seat ranks), so
+    * both engines agree bit-for-bit — ties break (remainder desc,
+    * source asc), total allocation PROVABLY sums to N.
+    *
+    * Scale: one source rollup + a sources-sized rank window — the
+    * allocation math never touches the corpus again.
+    */
+  private val sampleAllocation = Q(
+    (s, dir) => {
+      val N = 1000L
+      val per = TS(s, dir, "documents")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val tot = per.agg(sum(col("n_docs")).as("total"))
+      val based = per.crossJoin(broadcast(tot))
+        .withColumn("base", expr(s"n_docs * $N div total"))
+        .withColumn("rem", expr(s"n_docs * $N % total"))
+      val wR = Window.orderBy(col("rem").desc, col("source"))
+      based
+        .withColumn("seats_left",
+          lit(N) - sum(col("base")).over(
+            Window.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)))
+        .withColumn("rnk", row_number().over(wR).cast("long"))
+        .withColumn("alloc",
+          col("base") + when(col("rnk") <= col("seats_left"), 1L).otherwise(0L))
+        .select(col("source"), col("n_docs"), col("base"), col("rem"),
+          col("alloc"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH per AS (
+           |  SELECT source, cast(count(*) as bigint) AS n_docs
+           |  FROM documents GROUP BY source
+           |), t AS (
+           |  SELECT cast(sum(n_docs) as bigint) AS total FROM per
+           |), b AS (
+           |  SELECT per.source, per.n_docs,
+           |    cast((per.n_docs * 1000) // t.total as bigint) AS base,
+           |    cast((per.n_docs * 1000) % t.total as bigint) AS rem
+           |  FROM per, t
+           |), sl AS (
+           |  SELECT cast(1000 - sum(base) as bigint) AS seats_left FROM b
+           |), r AS (
+           |  SELECT b.*, sl.seats_left,
+           |    cast(row_number() OVER (ORDER BY b.rem DESC, b.source)
+           |      as bigint) AS rnk
+           |  FROM b, sl
+           |)
+           |SELECT source, n_docs, base, rem,
+           |  base + (CASE WHEN rnk <= seats_left THEN 1 ELSE 0 END) AS alloc
+           |FROM r ORDER BY source""".stripMargin))
+
   /** OVERLAPPING-CHUNK retrieval prep — the RAG passage-window pass
     * (64-token chunks at stride 32, final partial window kept) with
     * CHUNK-granularity dedup accounting: identical 64-token windows
@@ -15024,6 +15084,7 @@ object CurationQueries {
     "ns_corpus_pack_greedy" -> corpusPackGreedy,
     "ns_pipeline_step_attribution" -> pipelineStepAttribution,
     "ns_corpus_chunk_overlap" -> corpusChunkOverlap,
+    "ns_sample_allocation" -> sampleAllocation,
     "ns_corpus_epoch_schedule" -> corpusEpochSchedule,
     "ns_quality_threshold_sweep" -> qualityThresholdSweep,
     "ns_sketch_cms" -> sketchCms,

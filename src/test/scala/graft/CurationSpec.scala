@@ -25,6 +25,44 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("Hamilton allocation sums EXACTLY to the budget, every source seated") {
+    val rows = run("ns_sample_allocation").collect()
+    assert(rows.nonEmpty)
+    // the apportionment's defining property: never over- or under-spends
+    assert(rows.map(_.getAs[Long]("alloc")).sum == 1000L)
+    // floor shares are never exceeded by more than the one leftover seat
+    rows.foreach { r =>
+      val d = r.getAs[Long]("alloc") - r.getAs[Long]("base")
+      assert(d == 0L || d == 1L, s"allocation drifted from its floor: $r")
+    }
+  }
+
+  test("step attribution: each probed full window is exactly 512 tokens") {
+    val rows = run("ns_pipeline_step_attribution").collect()
+    assert(rows.nonEmpty)
+    // probe windows that exist before a source's final partial window
+    // must be exactly full — the interval-intersection identity
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    bySrc.foreach { case (_, rs) =>
+      val seqs = rs.map(r => r.getAs[Long]("seq_id") -> r.getAs[Long]("toks_in_seq"))
+      val maxSeq = seqs.map(_._1).max
+      seqs.filter(_._1 < maxSeq).foreach { case (sq, t) =>
+        assert(t == 512L, s"non-final window $sq underfilled: $t")
+      }
+    }
+  }
+
+  test("chunk overlap: window schedule covers every token exactly once at stride boundaries") {
+    // chunk_tokens >= doc tokens (overlap re-counts), and every doc
+    // contributes at least one chunk
+    val rows = run("ns_corpus_chunk_overlap").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_chunks") >= r.getAs[Long]("n_docs"), s"$r")
+      assert(r.getAs[Long]("repeated_tokens") <= r.getAs[Long]("chunk_tokens"), s"$r")
+    }
+  }
+
   test("entropy: a single-character document scores exactly zero bits") {
     // run the same expression pipeline on a planted degenerate doc
     import spark.implicits._
