@@ -374,6 +374,185 @@ object Multimodal {
       }
   }
 
+  /** TIFF baseline decode — the scanner/print-pipeline container:
+    * BOTH byte orders ("II" little- and "MM" big-endian — the tag
+    * every other container fixes, TIFF makes data), IFD entry walk,
+    * STRIP-segmented pixel data (rows split across strips per
+    * RowsPerStrip), 8-bit uncompressed grayscale (photometric 1) or
+    * RGB (photometric 2). Decodes to exact channel sums; wrong
+    * endianness reads garbage dimensions and rejects, a mis-walked
+    * strip order corrupts the sums and hash-fails. None for anything
+    * else (compression, other bit depths, palettes, tiles) — reject,
+    * never mis-decode.
+    */
+  def tiffPixelStats(b: Array[Byte]): Option[(Long, Long, Long, Long, Long)] =
+    try tiffPixelStatsImpl(b)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def tiffPixelStatsImpl(
+      b: Array[Byte]): Option[(Long, Long, Long, Long, Long)] = {
+    if (b.length < 8) return None
+    val le =
+      if (b(0) == 'I' && b(1) == 'I') true
+      else if (b(0) == 'M' && b(1) == 'M') false
+      else return None
+    def u16(o: Int): Int =
+      if (le) (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+      else ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    def u32(o: Int): Long =
+      if (le) (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+      else ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    if (u16(2) != 42) return None
+    val ifd = u32(4).toInt
+    if (ifd + 2 > b.length) return None
+    val nEntries = u16(ifd)
+    if (ifd + 2 + 12 * nEntries + 4 > b.length) return None
+    var w = -1L; var h = -1L
+    var compression = 1L; var photometric = -1L; var spp = 1L
+    var rowsPerStrip = Long.MaxValue
+    var bitsOk = true
+    var stripOffsets: Array[Long] = null
+    var stripCounts: Array[Long] = null
+    def readArray(typ: Int, count: Int, at: Int): Array[Long] = {
+      // SHORT(3) = 2 bytes, LONG(4) = 4; <=4 payload bytes live inline
+      val width = if (typ == 3) 2 else 4
+      val base = if (count * width <= 4) at else u32(at).toInt
+      Array.tabulate(count)(i =>
+        if (typ == 3) u16(base + 2 * i).toLong else u32(base + 4 * i))
+    }
+    var e = 0
+    while (e < nEntries) {
+      val off = ifd + 2 + 12 * e
+      val tag = u16(off)
+      val typ = u16(off + 2)
+      val count = u32(off + 4).toInt
+      val vat = off + 8
+      tag match {
+        case 256 => w = readArray(typ, 1, vat)(0)
+        case 257 => h = readArray(typ, 1, vat)(0)
+        case 258 => bitsOk = readArray(typ, count, vat).forall(_ == 8L)
+        case 259 => compression = readArray(typ, 1, vat)(0)
+        case 262 => photometric = readArray(typ, 1, vat)(0)
+        case 273 => stripOffsets = readArray(typ, count, vat)
+        case 277 => spp = readArray(typ, 1, vat)(0)
+        case 278 => rowsPerStrip = readArray(typ, 1, vat)(0)
+        case 279 => stripCounts = readArray(typ, count, vat)
+        case _ => ()
+      }
+      e += 1
+    }
+    if (w <= 0 || h <= 0 || compression != 1 || !bitsOk) return None
+    if (!((photometric == 1 && spp == 1) || (photometric == 2 && spp == 3)))
+      return None
+    if (stripOffsets == null || stripCounts == null ||
+      stripOffsets.length != stripCounts.length) return None
+    val rps = math.min(rowsPerStrip, h)
+    val nStrips = ((h + rps - 1) / rps).toInt
+    if (stripOffsets.length != nStrips) return None
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var strip = 0
+    var rowsDone = 0L
+    while (strip < nStrips) {
+      val rows = math.min(rps, h - rowsDone)
+      val expect = rows * w * spp
+      if (stripCounts(strip) != expect) return None
+      val so = stripOffsets(strip)
+      if (so + expect > b.length) return None
+      var i = 0L
+      while (i < expect) {
+        val v = b((so + i).toInt) & 0xff
+        if (spp == 1) { sumR += v; sumG += v; sumB += v }
+        else (i % 3) match {
+          case 0 => sumR += v
+          case 1 => sumG += v
+          case _ => sumB += v
+        }
+        i += 1
+      }
+      rowsDone += rows
+      strip += 1
+    }
+    Some((w, h, sumR, sumG, sumB))
+  }
+
+  /** TIFF fixture carrying the shared gradient (RGB, photometric 2) or
+    * the gray pattern (3x+7y mod 256, photometric 1), in EITHER byte
+    * order, strip-segmented at `rowsPerStrip` — the endianness and
+    * strip-walk axes under test. */
+  def tiffGradientBytes(width: Int, height: Int, bigEndian: Boolean,
+      gray: Boolean, rowsPerStrip: Int): Array[Byte] = {
+    val spp = if (gray) 1 else 3
+    val rps = math.min(rowsPerStrip, height)
+    val nStrips = (height + rps - 1) / rps
+    val out = new java.io.ByteArrayOutputStream()
+    def p8(v: Int): Unit = out.write(v & 0xff)
+    def p16(v: Int): Unit =
+      if (bigEndian) { p8(v >> 8); p8(v) } else { p8(v); p8(v >> 8) }
+    def p32(v: Long): Unit =
+      if (bigEndian) { p8((v >> 24).toInt); p8((v >> 16).toInt); p8((v >> 8).toInt); p8(v.toInt) }
+      else { p8(v.toInt); p8((v >> 8).toInt); p8((v >> 16).toInt); p8((v >> 24).toInt) }
+    // header; pixel strips start at 8, IFD after them
+    if (bigEndian) { p8('M'); p8('M') } else { p8('I'); p8('I') }
+    p16(42)
+    val stripStart = 8L
+    val stripLens = Array.tabulate(nStrips) { s =>
+      val rows = math.min(rps, height - s * rps)
+      rows.toLong * width * spp
+    }
+    val ifdAt = stripStart + stripLens.sum
+    p32(ifdAt)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        if (gray) p8((3 * x + 7 * y) % 256)
+        else {
+          p8((7 * x + 3 * y) % 256)
+          p8((x + 2 * y) % 256)
+          p8((5 * x + y) % 256)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    // IFD: 10 entries; arrays (bits for RGB, strip tables) follow it
+    val entries = 10
+    val arraysAt = ifdAt + 2 + 12 * entries + 4
+    var cursor = arraysAt
+    val bitsAt = { val a = cursor; if (spp == 3) cursor += 6; a }
+    val offsAt = { val a = cursor; if (nStrips > 1) cursor += 4 * nStrips; a }
+    val cntsAt = { val a = cursor; if (nStrips > 1) cursor += 4 * nStrips; a }
+    p16(entries)
+    def entry(tag: Int, typ: Int, count: Int, inline: => Unit): Unit = {
+      p16(tag); p16(typ); p32(count.toLong); inline
+    }
+    def inline32(v: Long): Unit = p32(v)
+    def inline16(v: Int): Unit = { p16(v); p16(0) }
+    entry(256, 4, 1, inline32(width.toLong)) // ImageWidth
+    entry(257, 4, 1, inline32(height.toLong)) // ImageLength
+    if (spp == 3) entry(258, 3, 3, inline32(bitsAt)) // BitsPerSample -> array
+    else entry(258, 3, 1, inline16(8))
+    entry(259, 3, 1, inline16(1)) // Compression: none
+    entry(262, 3, 1, inline16(if (gray) 1 else 2)) // Photometric
+    if (nStrips > 1) entry(273, 4, nStrips, inline32(offsAt))
+    else entry(273, 4, 1, inline32(stripStart))
+    entry(277, 3, 1, inline16(spp)) // SamplesPerPixel
+    entry(278, 4, 1, inline32(rps.toLong)) // RowsPerStrip
+    if (nStrips > 1) entry(279, 4, nStrips, inline32(cntsAt))
+    else entry(279, 4, 1, inline32(stripLens(0)))
+    entry(284, 3, 1, inline16(1)) // PlanarConfig: chunky
+    p32(0) // next IFD
+    if (spp == 3) { p16(8); p16(8); p16(8) }
+    if (nStrips > 1) {
+      var acc = stripStart
+      stripLens.foreach { l => p32(acc); acc += l }
+      stripLens.foreach(l => p32(l))
+    }
+    out.toByteArray
+  }
+
   /** ZIP archive census — the container a delivered corpus actually
     * arrives in: entries walked with `java.util.zip.ZipInputStream`
     * (REAL inflate of each entry's payload — the CRC check in the
@@ -579,6 +758,10 @@ object Multimodal {
       }
     } else if (b.length >= 54 && b(0) == 'B' && b(1) == 'M' &&
       le32(b, 14) >= 40) "bmp"
+    else if (b.length >= 8 &&
+      ((b(0) == 'I' && b(1) == 'I' && (b(2) & 0xff) == 42 && b(3) == 0) ||
+        (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && (b(3) & 0xff) == 42)))
+      "tiff"
     else "unknown"
   }
 
@@ -591,6 +774,7 @@ object Multimodal {
     case "gif" => gifAnimStats(b).isDefined
     case "jpeg" => jpegDcStats(b).isDefined
     case "bmp" => bmpPixelStats(b).isDefined
+    case "tiff" => tiffPixelStats(b).isDefined
     case "wav_pcm" => pcmStats(b).isDefined
     case "wav_float" => floatPcmStats(b).isDefined
     case "wav_g711" => g711Stats(b).isDefined

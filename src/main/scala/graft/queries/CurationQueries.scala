@@ -11116,6 +11116,87 @@ object CurationQueries {
            |  cast(sum(bsum) as bigint) AS payload_sum, true AS valid
            |FROM sz GROUP BY k, kind, ne ORDER BY file_id""".stripMargin))
 
+  /** TIFF baseline decode — the scanner/print-pipeline container and
+    * the one that makes BYTE ORDER data instead of spec (the "II"/"MM"
+    * header chooses per file): 25 fixtures cycle both endiannesses,
+    * grayscale (photometric 1) and RGB (photometric 2), and
+    * single- vs multi-STRIP segmentation (RowsPerStrip 4-8 against
+    * 10-16 rows), and
+    * [[graft.operators.Multimodal.tiffPixelStats]] really walks the
+    * IFD (typed entries, inline-vs-offset array values), validates
+    * per-strip byte counts, and folds exact channel sums — a decoder
+    * that misreads the byte order, mis-walks strips, or trusts a wrong
+    * StripByteCounts hash-fails against the unchanged closed forms.
+    * PngDecodeSpec's TIFF case cross-checks against the JDK's own TIFF
+    * reader in all four (endianness x photometric) corners.
+    *
+    * Scale: the parseAll narrow shape — one partition-mapped decode,
+    * no shuffle.
+    */
+  private val multimodalTiffStats = Q(
+    (s, dir) => {
+      val base = scratchDir("tiffstats")
+      val p = java.nio.file.Paths.get(base)
+      T(s, dir, "nation").select(col("n_nationkey")).collect() // 25-row dim
+        .foreach { r =>
+          val k = r.getInt(0)
+          java.nio.file.Files.write(p.resolve(f"t_$k%02d.tif"),
+            graft.operators.Multimodal.tiffGradientBytes(
+              16 + k, 10 + (k % 7), bigEndian = k % 2 == 1,
+              gray = k % 3 == 0, rowsPerStrip = 4 + (k % 5)))
+        }
+      val scanned = s.read.format("binaryFile").load(base)
+        .select(regexp_extract(col("path"), "t_(\\d+)\\.", 1).cast("long")
+          .as("file_id"), col("content"))
+      import s.implicits._
+      val out = scanned.select(col("file_id"), col("content"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            graft.operators.Multimodal.tiffPixelStats(bytes) match {
+              case Some((w, h, r, g, bl)) => (id, w, h, r, g, bl, true)
+              case None => (id, 0L, 0L, 0L, 0L, 0L, false)
+            }
+          }
+        }
+        .toDF("file_id", "width", "height", "sum_r", "sum_g", "sum_b", "valid")
+        .withColumn("n_px", col("width") * col("height"))
+        .select(col("file_id"), col("width"), col("height"), col("n_px"),
+          col("sum_r"), col("sum_g"), col("sum_b"), col("valid"))
+        .orderBy(col("file_id"))
+        .localCheckpoint(true)
+      scratchDelete(base)
+      out
+    },
+    Some("""WITH g AS (
+           |  SELECT cast(n_nationkey as bigint) AS k,
+           |    cast(16 + n_nationkey as bigint) AS w,
+           |    cast(10 + (n_nationkey % 7) as bigint) AS h
+           |  FROM nation
+           |), xs AS (
+           |  SELECT k, w, h, unnest(generate_series(0, w - 1)) AS x FROM g
+           |), ps AS (
+           |  SELECT k, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs
+           |), px AS (
+           |  SELECT k, w, h,
+           |    CASE WHEN k % 3 = 0 THEN (3 * x + 7 * y) % 256
+           |         ELSE (7 * x + 3 * y) % 256 END AS r,
+           |    CASE WHEN k % 3 = 0 THEN (3 * x + 7 * y) % 256
+           |         ELSE (x + 2 * y) % 256 END AS gg,
+           |    CASE WHEN k % 3 = 0 THEN (3 * x + 7 * y) % 256
+           |         ELSE (5 * x + y) % 256 END AS bb
+           |  FROM ps
+           |), sm AS (
+           |  SELECT k, w, h, cast(count(*) as bigint) AS n_px,
+           |    cast(sum(r) as bigint) AS sum_r,
+           |    cast(sum(gg) as bigint) AS sum_g,
+           |    cast(sum(bb) as bigint) AS sum_b
+           |  FROM px GROUP BY k, w, h
+           |)
+           |SELECT k AS file_id, w AS width, h AS height, n_px,
+           |  sum_r, sum_g, sum_b, true AS valid
+           |FROM sm ORDER BY file_id""".stripMargin))
+
   /** MAGIC-BYTE FORMAT ROUTING — the ingest front door of every mixed
     * binary corpus: 25 files cycle EIGHT containers (truecolor PNG,
     * palette PNG, single-frame GIF, animated GIF, baseline JPEG,
@@ -14964,6 +15045,7 @@ object CurationQueries {
     "ns_multimodal_png_types" -> multimodalPngTypes,
     "ns_multimodal_png_filters" -> multimodalPngFilters,
     "ns_multimodal_bmp_stats" -> multimodalBmpStats,
+    "ns_multimodal_tiff_stats" -> multimodalTiffStats,
     "ns_multimodal_sniff_route" -> multimodalSniffRoute,
     "ns_multimodal_archive_census" -> multimodalArchiveCensus,
     "ns_sim_maxsim_ivf" -> simMaxsimIvf,
