@@ -736,24 +736,13 @@ object ScaleProbe {
         println(f"[scaleprobe] ns_dedup_semantic_kprop k=$k x$docMult (${nVecs} vecs): " +
           f"${(System.nanoTime() - t0) / 1e9}%.2f s" + spillTag())
       }
-      // r18: the set-vs-semantic agreement audit at the SAME k ∝ N
-      // configuration (a fixed k = 8 under identical replicas collapses
-      // the cluster pair join quadratically — the kprop precedent);
-      // reads BOTH multiplied fixtures through the shared id remap, so
-      // minhash candidates stay band-keyed and semantic candidates
-      // cluster-keyed at production geometry.
-      if (enabled("ns_dedup_agreement_semantic")) {
-        val k = math.min(math.max(8, (nVecs / 2500L).toInt),
-          math.max(1, (nVecs / docMult).toInt))
-        val asg = graft.queries.NorthStarQueries
-          .kmeansAssign(spark, tmp, iters = 1, k = k, seedStride = docMult.toLong)
-          .select(col("vec_id"), col("cl"))
-        val t0 = System.nanoTime()
-        graft.queries.CurationQueries.agreementSemanticStats(spark, tmp, asg)
-          .write.mode("overwrite").format("noop").save()
-        println(f"[scaleprobe] ns_dedup_agreement_semantic k=$k x$docMult (${nVecs} vecs): " +
-          f"${(System.nanoTime() - t0) / 1e9}%.2f s" + spillTag())
-      }
+      // r19: the set-vs-semantic agreement audit GATE is now
+      // self-parameterizing (kmeansAssignKprop: k = max(8, N/250),
+      // distinct-vector seeds — replication-proof without any
+      // seedStride plumbing), so the probe times the registered query
+      // directly; it reads BOTH multiplied fixtures through the shared
+      // id remap.
+      timeVec("ns_dedup_agreement_semantic")
     }
     spark.stop()
   }

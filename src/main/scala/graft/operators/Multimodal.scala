@@ -602,8 +602,28 @@ object Multimodal {
         p -= 1
       }
       if (eocd < 0) return None
-      val declared = (b(eocd + 10) & 0xff) | ((b(eocd + 11) & 0xff) << 8)
-      if (declared.toLong != n) return None
+      val declared16 = (b(eocd + 10) & 0xff) | ((b(eocd + 11) & 0xff) << 8)
+      // 0xFFFF is the ZIP64 sentinel: the real count lives in the ZIP64
+      // EOCD record (PK\6\6, 8-byte total-entries at +32) that precedes
+      // the locator + EOCD — without this, any >= 65535-entry archive
+      // (plausible at crawl scale) would be rejected wholesale
+      val declared: Long =
+        if (declared16 != 0xffff) declared16.toLong
+        else {
+          var z64 = -1
+          var q = eocd - 56 // ZIP64 EOCD record is >= 56 bytes
+          while (z64 < 0 && q >= 0) {
+            if ((b(q) & 0xff) == 0x50 && (b(q + 1) & 0xff) == 0x4b &&
+              (b(q + 2) & 0xff) == 0x06 && (b(q + 3) & 0xff) == 0x06) z64 = q
+            q -= 1
+          }
+          if (z64 < 0 || z64 + 40 > b.length) return None
+          var v = 0L
+          var k = 7
+          while (k >= 0) { v = (v << 8) | (b(z64 + 32 + k) & 0xff); k -= 1 }
+          v
+        }
+      if (declared != n) return None
       Some((n, bytes, sum))
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -643,11 +663,15 @@ object Multimodal {
       }
       val declared = java.lang.Long.parseLong(
         new String(b, pos + 148, 8, java.nio.charset.StandardCharsets.US_ASCII)
-          .trim.stripSuffix(" ").trim, 8)
-      if (hsum != declared) return None
+          .trim, 8)
+      // parseLong(radix 8) accepts a leading '-', and the checksum is
+      // attacker-chosen — a negative size would net zero loop progress
+      // (pos += 512 then += -512): reject both fields explicitly
+      if (declared < 0 || hsum != declared) return None
       val size = java.lang.Long.parseLong(
         new String(b, pos + 124, 12, java.nio.charset.StandardCharsets.US_ASCII)
-          .trim.stripSuffix(" ").trim, 8)
+          .trim, 8)
+      if (size < 0) return None
       pos += 512
       if (pos + size > b.length) return None
       var j = 0L
@@ -1713,6 +1737,10 @@ object Multimodal {
     var pos = 33 // after IHDR chunk (8 sig + 4 len + 4 type + 13 + 4 crc)
     while (pos + 8 <= b.length) {
       val size = be32(b, pos).toInt
+      // a crafted length like 0xFFFFFFF4 reads as negative and would make
+      // `pos += 12 + size` advance by zero — an executor-task hang NonFatal
+      // can't catch; reject any chunk that is negative or runs off the end
+      if (size < 0 || pos.toLong + 12L + size.toLong > b.length.toLong) return None
       val typ = new String(b, pos + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
       if (typ == "IDAT") idat.write(b, pos + 8, size)
       if (typ == "PLTE") plte = java.util.Arrays.copyOfRange(b, pos + 8, pos + 8 + size)

@@ -3427,8 +3427,9 @@ object CurationQueries {
     *
     * Determinism: the score is [[qualityLogreg]]'s rounded 6-dp sigmoid
     * (already hash-proven cross-engine); the decile index is one
-    * floor(x*10) on that rounded double; retention fractions are exact
-    * integer parts-per-million.
+    * least(floor(x*10), 9) on that rounded double (clamped so a score
+    * rounding to exactly 1.0 cannot open an 11th bin); retention
+    * fractions are exact integer parts-per-million.
     *
     * Scale: one (decile)-keyed two-phase aggregate over the corpus; the
     * rollup localCheckpoints at <=11 rows and the cutoff expansion is a
@@ -3453,7 +3454,7 @@ object CurationQueries {
             + lit(4.0) * col("stop_ratio") - lit(6.0) * col("digit_ratio"))
         .withColumn("keep_prob", round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6))
         .withColumn("decile",
-          expr("cast(floor(keep_prob * 10) as bigint)"))
+          expr("cast(least(floor(keep_prob * 10), 9) as bigint)"))
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n_docs"),
              sum(col("n_toks").cast("long")).as("n_toks"))
@@ -3489,7 +3490,7 @@ object CurationQueries {
            |      + 4.0 * stop_ratio - 6.0 * digit_ratio))), 6) AS keep_prob
            |  FROM f
            |), b AS (
-           |  SELECT cast(floor(keep_prob * 10) as bigint) AS decile,
+           |  SELECT cast(least(floor(keep_prob * 10), 9) as bigint) AS decile,
            |    count(*) AS n_docs, sum(cast(n_toks as bigint)) AS n_toks
            |  FROM p GROUP BY 1
            |), t AS (
@@ -4516,7 +4517,7 @@ object CurationQueries {
         round(expr("percentile(quality, 0.25)"), 6).as("q25"))
       scored.crossJoin(broadcast(thr))
         .withColumn("pass", !col("bad") && col("quality") >= col("q25"))
-        .withColumn("decile", expr("cast(floor(keep_prob * 10) as bigint)"))
+        .withColumn("decile", expr("cast(least(floor(keep_prob * 10), 9) as bigint)"))
         .withColumn("pred_e6",
           expr("cast(round(keep_prob * 1000000, 0) as bigint)"))
         .groupBy(col("decile"))
@@ -4551,7 +4552,7 @@ object CurationQueries {
            |), thr AS (
            |  SELECT round(quantile_cont(quality, 0.25), 6) AS q25 FROM sc
            |), g AS (
-           |  SELECT cast(floor(keep_prob * 10) as bigint) AS decile,
+           |  SELECT cast(least(floor(keep_prob * 10), 9) as bigint) AS decile,
            |    cast(round(keep_prob * 1000000, 0) as bigint) AS pred_e6,
            |    (NOT bad AND quality >= q25) AS pass
            |  FROM sc, thr
@@ -6154,12 +6155,13 @@ object CurationQueries {
     * against checkpointed shingle/embedding tables; the rollup is one
     * row off a pair-keyed full-outer join.
     *
-    * This is the body with the cluster assignment injected — shared
-    * with [[graft.ScaleProbe]], which passes a k ∝ N assignment (the
-    * `ns_dedup_semantic_kprop` production configuration) so the probe
-    * measures the audit at the k that keeps per-cluster pair work
-    * bounded as the corpus grows; the gate query below binds the
-    * k = 8 fixture contract.
+    * This is the body with the cluster assignment injected. The gate
+    * query below binds [[NorthStarQueries.kmeansAssignKprop]] — the
+    * PRODUCTION k ∝ N configuration (k = max(8, N/250), distinct-vector
+    * seeds) — so the audit's SemDeDup side keeps per-cluster pair work
+    * linear as the corpus grows; the r18 fixed-k binding made it
+    * ~quadratic under replication (4.2x at the 10x tier) and survives
+    * only in the `ns_dedup_semantic` fixture-contract row.
     */
   private[graft] def agreementSemanticStats(s: SparkSession, dir: String,
       asg: DataFrame): DataFrame = {
@@ -6247,20 +6249,20 @@ object CurationQueries {
 
   private val dedupAgreementSemantic = Q(
     (s, dir) => agreementSemanticStats(s, dir,
-      NorthStarQueries.kmeansAssign(s, dir)
+      NorthStarQueries.kmeansAssignKprop(s, dir)
         .select(col("vec_id"), col("cl"))),
     Some {
       def cosE6(ea: String, eb: String, na: String, nb: String) =
         s"cast(floor(cast(${NorthStarQueries.scaledDotSql(ea, eb)} as double) / " +
           s"(sqrt(cast($na as double)) * sqrt(cast($nb as double))) * 1000000) as bigint)"
-      val kctes = NorthStarQueries.kmeansOracleCtes.stripPrefix("WITH ")
+      val kctes = NorthStarQueries.kmeansKpropOracleCtes
       s"""WITH ${NorthStarQueries.minhashBandsSqlCtes}, shl AS (
          |  SELECT doc_id, list_distinct(${NorthStarQueries.hashedShinglesSql}) AS hs
          |  FROM documents
          |), $kctes, en AS (
-         |  SELECT e.vec_id, e.embedding, a3.cl,
+         |  SELECT e.vec_id, e.embedding, a1.cl,
          |    ${NorthStarQueries.scaledDotSql("e.embedding", "e.embedding")} AS nrm
-         |  FROM embeddings e JOIN a3 ON e.vec_id = a3.vec_id
+         |  FROM embeddings e JOIN a1 ON e.vec_id = a1.vec_id
          |), mcand AS (
          |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |  FROM bands x JOIN bands y

@@ -2580,6 +2580,66 @@ object NorthStarQueries {
     assigned
   }
 
+  /** Target cluster occupancy for the AUDIT clustering tier: the audit
+    * verifies every within-cluster pair exactly, so its occupancy target
+    * is deliberately smaller than the dedup pass's ~2500 — k = max(8,
+    * N / 250) keeps per-cluster pair work (~occupancy²·k) linear in N.
+    */
+  private[graft] val AUDIT_OCCUPANCY = 250L
+
+  /** One-pass k-means assignment at the PRODUCTION k ∝ N configuration
+    * with REPLICATION-PROOF seeding: k = max(8, N / [[AUDIT_OCCUPANCY]]),
+    * and the seeds are the k DISTINCT quantized vectors with the
+    * smallest member vec_id (renumbered 0..k-1 in that order) — so
+    * identical copies of a vector can never occupy two seed slots, the
+    * failure mode that silently collapses `vec_id < k` seeding back to
+    * the original seed count under corpus replication. This is the
+    * assignment the set-vs-semantic agreement audit consumes (the r18
+    * fixed-k binding made its within-cluster pair join ~quadratic under
+    * growth). Driver state is k centroid rows — k ∝ N here rides the
+    * broadcast-literal path of [[kmeansAssignTo]]; at cluster scale the
+    * same plan swaps literals for a broadcast centroid table without
+    * changing the assignment semantics.
+    */
+  private[graft] def kmeansAssignKprop(s: SparkSession, dir: String): DataFrame = {
+    val v = kmeansQuantizedIndex(s, dir)
+    val k = math.max(8L, v.count() / AUDIT_OCCUPANCY).toInt
+    val cents: Seq[(Int, Seq[Long])] = v
+      .groupBy(col("xq")).agg(min(col("vec_id")).as("mv"))
+      .orderBy(col("mv")).limit(k)
+      .collect()
+      .sortBy(_.getLong(1))
+      .zipWithIndex
+      .map { case (r, j) => (j, r.getSeq[Long](0)) }
+      .toSeq
+    kmeansAssignTo(v, cents)
+  }
+
+  /** DuckDB twin of [[kmeansAssignKprop]] (no WITH prefix): dynamic k
+    * via a scalar subquery, distinct-vector seeds ranked by smallest
+    * member id, argmin by the exact d*k+j tie key. Final relation: a1.
+    */
+  private[queries] val kmeansKpropOracleCtes: String =
+    s"""v AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> cast(floor(x::double * $KQ) as bigint)) AS xq
+       |  FROM embeddings
+       |), kk AS (
+       |  SELECT greatest(8, count(*) // $AUDIT_OCCUPANCY) AS k FROM v
+       |), c0 AS (
+       |  SELECT row_number() OVER (ORDER BY mv) - 1 AS j, c FROM (
+       |    SELECT min(vec_id) AS mv, xq AS c FROM v GROUP BY xq
+       |  ) QUALIFY row_number() OVER (ORDER BY mv) <= (SELECT k FROM kk)
+       |), a1 AS (
+       |  SELECT vec_id, arg_min(j, d * (SELECT k FROM kk) + j) AS cl
+       |  FROM (
+       |    SELECT v.vec_id, c.j,
+       |      list_sum(list_transform(generate_series(1, 64),
+       |        i -> (v.xq[i] - c.c[i]) * (v.xq[i] - c.c[i]))) AS d
+       |    FROM v, c0 c
+       |  ) GROUP BY vec_id
+       |)""".stripMargin
+
   /** DuckDB twin of one assignment pass (argmin by the exact scalar key
     * d*k+j — equivalent to (d, j) lexicographic order because j < k).
     */

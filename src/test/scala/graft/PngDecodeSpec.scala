@@ -223,5 +223,16 @@ class PngDecodeSpec extends AnyFunSuite {
     assert(Multimodal.pngDecodeRgb(noPlte).isEmpty)
     // truncated IDAT rejects via the exact-length check
     assert(Multimodal.pngDecodeRgb(good.dropRight(20).toArray).isEmpty)
+    // a crafted chunk length of 0xFFFFFFF4 reads as -12, which would
+    // make the walk's `pos += 12 + size` advance by zero — an executor
+    // hang NonFatal can't catch; the guard must reject, and promptly
+    val loopy = Multimodal.pngGradientBytes(8, 8).clone()
+    loopy(33) = 0xff.toByte; loopy(34) = 0xff.toByte
+    loopy(35) = 0xff.toByte; loopy(36) = 0xf4.toByte
+    assert(Multimodal.pngDecodeRgb(loopy).isEmpty)
+    // and an oversized positive length that runs off the end rejects too
+    val over = Multimodal.pngGradientBytes(8, 8).clone()
+    over(33) = 0x7f.toByte
+    assert(Multimodal.pngDecodeRgb(over).isEmpty)
   }
 }
