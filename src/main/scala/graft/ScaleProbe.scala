@@ -444,7 +444,10 @@ object ScaleProbe {
       "ns_corpus_chunk_overlap",
       // r18: allocation = one source rollup + sources-sized rank — the
       // temperature floor class
-      "ns_sample_allocation")
+      "ns_sample_allocation",
+      // r19: stemming = map-side CASE chains over the vocabulary-filtered
+      // postings — expected postings-linear like the other FTS rows
+      "ns_text_fts_stemmed")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected

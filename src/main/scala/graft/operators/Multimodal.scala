@@ -374,16 +374,159 @@ object Multimodal {
       }
   }
 
+  /** TIFF LZW decompression of ONE strip — the dominant wild-TIFF
+    * compression (tag 259 = 5): MSB-first bit packing (GIF's LSB-first
+    * twin), fixed Clear=256 / EOI=257, dictionary from 258, and the
+    * spec's EARLY-CHANGE rule — the code width bumps when the NEXT
+    * table slot is 2^width - 1 (one entry earlier than GIF's LSB
+    * variant). Returns exactly `expect` bytes or None (bad code, bits
+    * exhausted before EOI, output over/underrun) — reject, never
+    * mis-decode. The JDK's own TIFF reader cross-checks the bit-level
+    * behavior in PngDecodeSpec (our encoder, its decoder).
+    */
+  private[graft] def tiffLzwDecode(b: Array[Byte], off: Int, len: Int,
+      expect: Int): Option[Array[Byte]] = {
+    val out = new Array[Byte](expect)
+    var outN = 0
+    // dictionary as (prefix chain): entry i>=258 = (prev entry, byte)
+    val prevOf = new Array[Int](4096)
+    val byteOf = new Array[Byte](4096)
+    var next = 258
+    var width = 9
+    var bitPos = 0L
+    val bitEnd = len.toLong * 8
+    def readCode(): Int = {
+      if (bitPos + width > bitEnd) return -1
+      var v = 0
+      var i = 0
+      while (i < width) {
+        val bp = bitPos + i
+        val byt = b(off + (bp >> 3).toInt) & 0xff
+        v = (v << 1) | ((byt >> (7 - (bp & 7).toInt)) & 1) // MSB-first
+        i += 1
+      }
+      bitPos += width
+      v
+    }
+    def emit(code: Int): Boolean = { // write entry `code`, reversed chain
+      var n = 0
+      var c = code
+      while (c >= 258) { n += 1; c = prevOf(c) }
+      n += 1
+      if (outN + n > expect) return false
+      var w = outN + n - 1
+      c = code
+      while (c >= 258) { out(w) = byteOf(c); w -= 1; c = prevOf(c) }
+      out(w) = c.toByte
+      outN += n
+      true
+    }
+    def firstByte(code: Int): Byte = {
+      var c = code
+      while (c >= 258) c = prevOf(c)
+      c.toByte
+    }
+    var prev = -1
+    var done = false
+    while (!done) {
+      val code = readCode()
+      if (code < 0) return None // ran out of bits before EOI
+      if (code == 257) done = true // EOI
+      else if (code == 256) { next = 258; width = 9; prev = -1 } // Clear
+      else if (prev < 0) { // first code after Clear: must be a literal
+        if (code > 255) return None
+        if (!emit(code)) return None
+        prev = code
+      } else {
+        if (code > next) return None // beyond the one-ahead KwKwK slot
+        if (code == next) { // the KwKwK case: entry defined by itself
+          if (next >= 4096) return None
+          prevOf(next) = prev; byteOf(next) = firstByte(prev)
+          next += 1
+          if (!emit(code)) return None // the entry just added
+        } else {
+          if (next < 4096) { prevOf(next) = prev; byteOf(next) = firstByte(code); next += 1 }
+          if (!emit(code)) return None
+        }
+        prev = code
+        // EARLY change: bump when the next slot to assign is 2^width - 1
+        if (next == (1 << width) - 1 && width < 12) width += 1
+      }
+    }
+    if (outN != expect) return None
+    Some(out)
+  }
+
+  /** TIFF LZW encoder (fixture side): MSB-first writer, Clear emitted
+    * first and at table-full, early-change width bumps mirroring a
+    * SIMULATED decoder counter (the GIF width-sync lesson: the decoder
+    * lags one entry — under TIFF's early change the encoder bumps when
+    * ITS next slot is 2^width, i.e. one after the decoder's 2^width-1).
+    */
+  private[graft] def tiffLzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var cur = 0
+    var curBits = 0
+    var width = 9
+    def put(code: Int): Unit = {
+      cur = (cur << width) | code
+      curBits += width
+      while (curBits >= 8) {
+        out.write((cur >> (curBits - 8)) & 0xff)
+        curBits -= 8
+      }
+      cur &= (1 << curBits) - 1
+    }
+    val table = new java.util.HashMap[Long, Integer]()
+    var next = 258
+    put(256) // Clear
+    var w = -1
+    var i = 0
+    while (i < data.length) {
+      val k = data(i) & 0xff
+      if (w < 0) w = k
+      else {
+        val key = (w.toLong << 8) | k
+        val hit = table.get(key)
+        if (hit != null) w = hit.intValue()
+        else {
+          put(w)
+          table.put(key, Integer.valueOf(next))
+          next += 1
+          // encoder-side early change: the decoder adds ITS copy of this
+          // entry one code LATER (it lags one entry), so its early-change
+          // bump at next == 2^width - 1 lands on the same emitted code as
+          // our bump at next == 2^width — one threshold apart, in sync
+          if (next == (1 << width) && width < 12) width += 1
+          if (next == 4094) { // table nearly full: reset per spec
+            put(256)
+            table.clear()
+            next = 258
+            width = 9
+          }
+          w = k
+        }
+      }
+      i += 1
+    }
+    if (w >= 0) put(w)
+    put(257) // EOI
+    if (curBits > 0) out.write((cur << (8 - curBits)) & 0xff)
+    out.toByteArray
+  }
+
   /** TIFF baseline decode — the scanner/print-pipeline container:
     * BOTH byte orders ("II" little- and "MM" big-endian — the tag
     * every other container fixes, TIFF makes data), IFD entry walk,
     * STRIP-segmented pixel data (rows split across strips per
-    * RowsPerStrip), 8-bit uncompressed grayscale (photometric 1) or
-    * RGB (photometric 2). Decodes to exact channel sums; wrong
-    * endianness reads garbage dimensions and rejects, a mis-walked
-    * strip order corrupts the sums and hash-fails. None for anything
-    * else (compression, other bit depths, palettes, tiles) — reject,
-    * never mis-decode.
+    * RowsPerStrip), 8-bit grayscale (photometric 1) or RGB
+    * (photometric 2), compression NONE (1) or LZW (5 — each strip an
+    * independent MSB-first early-change LZW stream, the dominant wild
+    * compression). Decodes to exact channel sums; wrong endianness
+    * reads garbage dimensions and rejects, a mis-walked strip order or
+    * desynced LZW width corrupts the sums and hash-fails. None for
+    * anything else (other compressions, bit depths, palettes, tiles) —
+    * reject, never mis-decode.
     */
   def tiffPixelStats(b: Array[Byte]): Option[(Long, Long, Long, Long, Long)] =
     try tiffPixelStatsImpl(b)
@@ -443,7 +586,8 @@ object Multimodal {
       }
       e += 1
     }
-    if (w <= 0 || h <= 0 || compression != 1 || !bitsOk) return None
+    if (w <= 0 || h <= 0 || (compression != 1 && compression != 5) || !bitsOk)
+      return None
     if (!((photometric == 1 && spp == 1) || (photometric == 2 && spp == 3)))
       return None
     if (stripOffsets == null || stripCounts == null ||
@@ -457,12 +601,24 @@ object Multimodal {
     while (strip < nStrips) {
       val rows = math.min(rps, h - rowsDone)
       val expect = rows * w * spp
-      if (stripCounts(strip) != expect) return None
       val so = stripOffsets(strip)
-      if (so + expect > b.length) return None
+      val sc = stripCounts(strip)
+      if (sc < 0 || so < 0 || so + sc > b.length) return None
+      // uncompressed strips must DECLARE exactly their pixel bytes; LZW
+      // strips are independent streams whose DECODED length must match
+      val data: Array[Byte] =
+        if (compression == 1) {
+          if (sc != expect) return None
+          null // summed in place below
+        } else {
+          tiffLzwDecode(b, so.toInt, sc.toInt, expect.toInt) match {
+            case Some(d) => d
+            case None => return None
+          }
+        }
       var i = 0L
       while (i < expect) {
-        val v = b((so + i).toInt) & 0xff
+        val v = (if (data == null) b((so + i).toInt) else data(i.toInt)) & 0xff
         if (spp == 1) { sumR += v; sumG += v; sumB += v }
         else (i % 3) match {
           case 0 => sumR += v
@@ -482,7 +638,15 @@ object Multimodal {
     * order, strip-segmented at `rowsPerStrip` — the endianness and
     * strip-walk axes under test. */
   def tiffGradientBytes(width: Int, height: Int, bigEndian: Boolean,
-      gray: Boolean, rowsPerStrip: Int): Array[Byte] = {
+      gray: Boolean, rowsPerStrip: Int): Array[Byte] =
+    tiffGradientBytes(width, height, bigEndian, gray, rowsPerStrip, lzw = false)
+
+  /** [[tiffGradientBytes]] with the compression axis: `lzw = true`
+    * writes compression tag 5 with each strip an INDEPENDENT
+    * [[tiffLzwEncode]] stream (StripByteCounts then hold compressed
+    * lengths — the layout wild LZW TIFFs really use). */
+  def tiffGradientBytes(width: Int, height: Int, bigEndian: Boolean,
+      gray: Boolean, rowsPerStrip: Int, lzw: Boolean): Array[Byte] = {
     val spp = if (gray) 1 else 3
     val rps = math.min(rowsPerStrip, height)
     val nStrips = (height + rps - 1) / rps
@@ -497,26 +661,33 @@ object Multimodal {
     if (bigEndian) { p8('M'); p8('M') } else { p8('I'); p8('I') }
     p16(42)
     val stripStart = 8L
-    val stripLens = Array.tabulate(nStrips) { s =>
-      val rows = math.min(rps, height - s * rps)
-      rows.toLong * width * spp
+    // per-strip payloads: raw pixel rows, LZW-compressed when asked
+    val stripData: Array[Array[Byte]] = Array.tabulate(nStrips) { s =>
+      val y0 = s * rps
+      val rows = math.min(rps, height - y0)
+      val raw = new Array[Byte](rows * width * spp)
+      var i = 0
+      var y = y0
+      while (y < y0 + rows) {
+        var x = 0
+        while (x < width) {
+          if (gray) { raw(i) = ((3 * x + 7 * y) % 256).toByte; i += 1 }
+          else {
+            raw(i) = ((7 * x + 3 * y) % 256).toByte
+            raw(i + 1) = ((x + 2 * y) % 256).toByte
+            raw(i + 2) = ((5 * x + y) % 256).toByte
+            i += 3
+          }
+          x += 1
+        }
+        y += 1
+      }
+      if (lzw) tiffLzwEncode(raw) else raw
     }
+    val stripLens = stripData.map(_.length.toLong)
     val ifdAt = stripStart + stripLens.sum
     p32(ifdAt)
-    var y = 0
-    while (y < height) {
-      var x = 0
-      while (x < width) {
-        if (gray) p8((3 * x + 7 * y) % 256)
-        else {
-          p8((7 * x + 3 * y) % 256)
-          p8((x + 2 * y) % 256)
-          p8((5 * x + y) % 256)
-        }
-        x += 1
-      }
-      y += 1
-    }
+    stripData.foreach(out.write)
     // IFD: 10 entries; arrays (bits for RGB, strip tables) follow it
     val entries = 10
     val arraysAt = ifdAt + 2 + 12 * entries + 4
@@ -534,7 +705,7 @@ object Multimodal {
     entry(257, 4, 1, inline32(height.toLong)) // ImageLength
     if (spp == 3) entry(258, 3, 3, inline32(bitsAt)) // BitsPerSample -> array
     else entry(258, 3, 1, inline16(8))
-    entry(259, 3, 1, inline16(1)) // Compression: none
+    entry(259, 3, 1, inline16(if (lzw) 5 else 1)) // Compression: none / LZW
     entry(262, 3, 1, inline16(if (gray) 1 else 2)) // Photometric
     if (nStrips > 1) entry(273, 4, nStrips, inline32(offsAt))
     else entry(273, 4, 1, inline32(stripStart))
@@ -683,6 +854,168 @@ object Multimodal {
     None // ran off the end without the terminator
   }
 
+  /** WARC (multi-member gzip) census — the container crawl corpora
+    * actually arrive in (Common Crawl ships exactly this: one gzip
+    * MEMBER per WARC record, members concatenated): the gzip member
+    * chain is walked RAW (header grammar incl. FEXTRA/FNAME/FCOMMENT/
+    * FHCRC fields, raw-deflate body, then the member trailer's CRC32
+    * AND ISIZE both VERIFIED against the inflated bytes — the ustar
+    * checksum precedent), and the concatenated payload is then framed
+    * as WARC records per the spec grammar: `WARC/1.x` version line,
+    * CRLF header block carrying WARC-Type and a mandatory
+    * Content-Length, the exact-length payload, and the two-CRLF record
+    * terminator. Returns (n_members, n_records, n_response,
+    * payload_bytes, payload_sum). None on ANY malformation — bad
+    * member magic, CRC/ISIZE mismatch, truncated member, bad version
+    * line, missing/negative Content-Length, missing terminator,
+    * trailing garbage — whole-archive reject, never a partial census.
+    *
+    * The inflate accumulates through a fixed 8 KiB scratch chunk
+    * (the textCompressibility contract — no unbounded single inflate
+    * call); at cluster scale the same walk runs as a streaming frame
+    * over file splits, which gzip members make possible in the first
+    * place (members are the split points).
+    */
+  def warcCensus(b: Array[Byte]): Option[(Long, Long, Long, Long, Long)] =
+    try warcCensusImpl(b)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def warcCensusImpl(b: Array[Byte]): Option[(Long, Long, Long, Long, Long)] = {
+    // ---- phase 1: the gzip member walk (count + CRC/ISIZE verify) ----
+    val out = new java.io.ByteArrayOutputStream()
+    var pos = 0
+    var nMembers = 0L
+    while (pos < b.length) {
+      if (pos + 10 > b.length ||
+        (b(pos) & 0xff) != 0x1f || (b(pos + 1) & 0xff) != 0x8b ||
+        (b(pos + 2) & 0xff) != 8) return None // magic + CM=deflate
+      val flg = b(pos + 3) & 0xff
+      if ((flg & 0xe0) != 0) return None // reserved flag bits must be 0
+      var p = pos + 10
+      if ((flg & 4) != 0) { // FEXTRA: le16 length + payload
+        if (p + 2 > b.length) return None
+        val xlen = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+        p += 2 + xlen
+      }
+      if ((flg & 8) != 0) { // FNAME: NUL-terminated
+        while (p < b.length && b(p) != 0) p += 1
+        p += 1
+      }
+      if ((flg & 16) != 0) { // FCOMMENT: NUL-terminated
+        while (p < b.length && b(p) != 0) p += 1
+        p += 1
+      }
+      if ((flg & 2) != 0) p += 2 // FHCRC
+      if (p >= b.length) return None
+      val inf = new java.util.zip.Inflater(true)
+      val crc = new java.util.zip.CRC32()
+      var isize = 0L
+      try {
+        inf.setInput(b, p, b.length - p)
+        val chunk = new Array[Byte](8192)
+        while (!inf.finished()) {
+          val got = inf.inflate(chunk)
+          if (got == 0 && inf.needsInput()) return None // truncated member
+          crc.update(chunk, 0, got)
+          isize += got
+          out.write(chunk, 0, got)
+        }
+        val end = p + inf.getBytesRead.toInt
+        if (end + 8 > b.length) return None // trailer truncated
+        if (le32(b, end) != crc.getValue) return None
+        if (le32(b, end + 4) != (isize & 0xffffffffL)) return None
+        pos = end + 8
+      } finally inf.end()
+      nMembers += 1
+    }
+    if (nMembers == 0) return None
+    // ---- phase 2: WARC record framing over the concatenated payload ----
+    val w = out.toByteArray
+    def lineEnd(from: Int): Int = { // index of the CR of the next CRLF
+      var i = from
+      while (i + 1 < w.length && !(w(i) == '\r' && w(i + 1) == '\n')) i += 1
+      if (i + 1 < w.length) i else -1
+    }
+    var q = 0
+    var nRecords = 0L
+    var nResponse = 0L
+    var payloadBytes = 0L
+    var payloadSum = 0L
+    while (q < w.length) {
+      val ve = lineEnd(q)
+      if (ve < 0) return None
+      val version = new String(w, q, ve - q, java.nio.charset.StandardCharsets.US_ASCII)
+      if (!(version == "WARC/1.0" || version == "WARC/1.1")) return None
+      q = ve + 2
+      var warcType: String = null
+      var contentLength = -1L
+      var headersDone = false
+      while (!headersDone) {
+        val he = lineEnd(q)
+        if (he < 0) return None
+        if (he == q) { headersDone = true; q += 2 } // the blank CRLF
+        else {
+          val line = new String(w, q, he - q, java.nio.charset.StandardCharsets.US_ASCII)
+          val colon = line.indexOf(':')
+          if (colon <= 0) return None
+          val name = line.substring(0, colon).trim
+          val value = line.substring(colon + 1).trim
+          if (name.equalsIgnoreCase("WARC-Type")) warcType = value
+          if (name.equalsIgnoreCase("Content-Length")) {
+            contentLength = java.lang.Long.parseLong(value)
+            if (contentLength < 0) return None
+          }
+          q = he + 2
+        }
+      }
+      if (warcType == null || contentLength < 0) return None
+      if (q + contentLength + 4 > w.length) return None // payload + 2 CRLFs
+      var i = 0L
+      while (i < contentLength) { payloadSum += w(q + i.toInt) & 0xff; i += 1 }
+      payloadBytes += contentLength
+      q += contentLength.toInt
+      if (!(w(q) == '\r' && w(q + 1) == '\n' &&
+        w(q + 2) == '\r' && w(q + 3) == '\n')) return None
+      q += 4
+      nRecords += 1
+      if (warcType == "response") nResponse += 1
+    }
+    Some((nMembers, nRecords, nResponse, payloadBytes, payloadSum))
+  }
+
+  /** Deterministic WARC fixture in Common Crawl's delivery shape: one
+    * gzip MEMBER per record, record r typed response/request/metadata
+    * by r % 3 and carrying "record <r> of crawl <tag> " repeated
+    * (r+1) times. */
+  def warcBytes(tag: Int, nRecords: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    var r = 0
+    while (r < nRecords) {
+      val payload = (s"record $r of crawl $tag " * (r + 1))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val typ = (r % 3) match {
+        case 0 => "response"
+        case 1 => "request"
+        case _ => "metadata"
+      }
+      val rec = new java.io.ByteArrayOutputStream()
+      val hdr = s"WARC/1.0\r\n" +
+        s"WARC-Type: $typ\r\n" +
+        f"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-${tag.toLong * 100000 + r}%012d>\r\n" +
+        s"WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+        s"Content-Length: ${payload.length}\r\n" +
+        "\r\n"
+      rec.write(hdr.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      rec.write(payload)
+      rec.write("\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(rec.toByteArray)
+      gz.finish() // end THIS member; the stream stays open for the next
+      r += 1
+    }
+    bos.toByteArray
+  }
+
   /** Deterministic ZIP fixture: `nEntries` stored-then-deflated text
     * entries, entry e carrying the bytes of
     * "entry <e> of archive <tag> " repeated (e+1) times. */
@@ -786,6 +1119,8 @@ object Multimodal {
       ((b(0) == 'I' && b(1) == 'I' && (b(2) & 0xff) == 42 && b(3) == 0) ||
         (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && (b(3) & 0xff) == 42)))
       "tiff"
+    else if (b.length >= 3 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b &&
+      (b(2) & 0xff) == 8) "gzip" // crawl containers: multi-member WARC
     else "unknown"
   }
 
@@ -802,6 +1137,7 @@ object Multimodal {
     case "wav_pcm" => pcmStats(b).isDefined
     case "wav_float" => floatPcmStats(b).isDefined
     case "wav_g711" => g711Stats(b).isDefined
+    case "gzip" => warcCensus(b).isDefined
     case _ => false
   }
 
@@ -1463,6 +1799,54 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** RGBA PNG (colorType 6) carrying the SAME RGB gradient as
+    * [[pngGradientBytes]] plus a closed-form alpha plane — alpha(x, y)
+    * = (3x+5y) mod 256 when `translucent`, constant 255 otherwise (the
+    * opaque twin whose pixel identity must match the plain-RGB
+    * encode). */
+  def pngRgbaBytes(width: Int, height: Int, translucent: Boolean,
+      level: Int = 6): Array[Byte] = {
+    val raw = new Array[Byte](height * (1 + width * 4))
+    var y = 0
+    while (y < height) {
+      val rowOff = y * (1 + width * 4)
+      raw(rowOff) = 0 // filter: None
+      var x = 0
+      while (x < width) {
+        raw(rowOff + 1 + 4 * x) = ((7 * x + 3 * y) % 256).toByte
+        raw(rowOff + 2 + 4 * x) = ((x + 2 * y) % 256).toByte
+        raw(rowOff + 3 + 4 * x) = ((5 * x + y) % 256).toByte
+        raw(rowOff + 4 + 4 * x) =
+          if (translucent) ((3 * x + 5 * y) % 256).toByte else 0xff.toByte
+        x += 1
+      }
+      y += 1
+    }
+    pngContainer(width, height, 6, raw, null, level)
+  }
+
+  /** Gray+alpha PNG (colorType 4): gray(x, y) = (3x+7y) mod 256 (the
+    * grayscale tier's pattern), alpha(x, y) = (3x+5y) mod 256 when
+    * `translucent`, 255 otherwise. */
+  def pngGrayAlphaBytes(width: Int, height: Int, translucent: Boolean,
+      level: Int = 6): Array[Byte] = {
+    val raw = new Array[Byte](height * (1 + width * 2))
+    var y = 0
+    while (y < height) {
+      val rowOff = y * (1 + width * 2)
+      raw(rowOff) = 0
+      var x = 0
+      while (x < width) {
+        raw(rowOff + 1 + 2 * x) = ((3 * x + 7 * y) % 256).toByte
+        raw(rowOff + 2 + 2 * x) =
+          if (translucent) ((3 * x + 5 * y) % 256).toByte else 0xff.toByte
+        x += 1
+      }
+      y += 1
+    }
+    pngContainer(width, height, 4, raw, null, level)
+  }
+
   /** Shared PNG container writer for the color-type fixture family:
     * signature, IHDR (8-bit, `colorType`, CRC-correct), optional PLTE,
     * one IDAT with `raw` (filter-prefixed scanlines) deflated at
@@ -1564,6 +1948,31 @@ object Multimodal {
     pngContainer(width, height, 2, raw, null, level)
   }
 
+  /** Fully-OPAQUE RGBA re-encode (colorType 6, alpha = 255) of the SAME
+    * palette-pattern pixels as [[pngPaletteAsRgbBytes]] — the pixel
+    * identity must group it with its RGB and palette twins (an opaque
+    * alpha plane carries no content). */
+  def pngPaletteAsRgbaBytes(width: Int, height: Int, level: Int): Array[Byte] = {
+    val plte = fixturePlte
+    val raw = new Array[Byte](height * (1 + width * 4))
+    var y = 0
+    while (y < height) {
+      val rowOff = y * (1 + width * 4)
+      raw(rowOff) = 0
+      var x = 0
+      while (x < width) {
+        val i = paletteIdx(x, y)
+        raw(rowOff + 1 + 4 * x) = plte(3 * i)
+        raw(rowOff + 2 + 4 * x) = plte(3 * i + 1)
+        raw(rowOff + 3 + 4 * x) = plte(3 * i + 2)
+        raw(rowOff + 4 + 4 * x) = 0xff.toByte
+        x += 1
+      }
+      y += 1
+    }
+    pngContainer(width, height, 6, raw, null, level)
+  }
+
   /** TRUECOLOR gradient PNG whose rows cycle the full ADAPTIVE FILTER
     * grammar — row y uses filter type (y mod 5): None, Sub, Up,
     * Average, Paeth, each properly filter-ENCODED against the
@@ -1640,14 +2049,25 @@ object Multimodal {
   /** sha256 (hex) of the DECODED canonical RGB pixel stream (3 bytes
     * per pixel, rows concatenated, filter bytes excluded) — the content
     * identity that survives container re-encoding (compression level,
-    * chunking, AND color type: a palette or grayscale re-encode of the
-    * same pixels digests identically to the truecolor form, because the
-    * digest is over the post-lookup RGB). None on undecodable input.
+    * chunking, AND color type: a palette, grayscale, or fully-OPAQUE
+    * RGBA re-encode of the same pixels digests identically to the
+    * truecolor form, because the digest is over the post-lookup RGB;
+    * the alpha plane joins the digest only when it carries information,
+    * i.e. any pixel is non-opaque — transparency is pixel content, so
+    * a translucent variant must NOT collapse onto its opaque twin).
+    * None on undecodable input.
     */
   def pngPixelSha(b: Array[Byte]): Option[(Long, Long, String)] =
-    pngDecodeRgb(b).map { case (w, h, rgb) =>
+    pngDecodeRgba(b).map { case (w, h, rgb, alpha) =>
       val md = java.security.MessageDigest.getInstance("SHA-256")
       md.update(rgb)
+      var i = 0
+      var opaque = true
+      while (opaque && i < alpha.length) {
+        if (alpha(i) != 0xff.toByte) opaque = false
+        i += 1
+      }
+      if (!opaque) md.update(alpha)
       (w.toLong, h.toLong, md.digest().map("%02x".format(_)).mkString)
     }
 
@@ -1698,23 +2118,56 @@ object Multimodal {
       (w.toLong, h.toLong, sumR, sumG, sumB)
     }
 
+  /** [[pngPixelStats]] plus the exact ALPHA channel sum and the count
+    * of non-opaque pixels — the two numbers a transparency-aware
+    * curation gate reads (fully-opaque vs translucent routing). */
+  def pngRgbaStats(b: Array[Byte]): Option[(Long, Long, Long, Long, Long, Long, Long)] =
+    pngDecodeRgba(b).map { case (w, h, rgb, alpha) =>
+      var sumR = 0L; var sumG = 0L; var sumB = 0L
+      var p = 0
+      while (p < rgb.length) {
+        sumR += rgb(p) & 0xff
+        sumG += rgb(p + 1) & 0xff
+        sumB += rgb(p + 2) & 0xff
+        p += 3
+      }
+      var sumA = 0L
+      var nTrans = 0L
+      var i = 0
+      while (i < alpha.length) {
+        sumA += alpha(i) & 0xff
+        if (alpha(i) != 0xff.toByte) nTrans += 1
+        i += 1
+      }
+      (w.toLong, h.toLong, sumR, sumG, sumB, sumA, nTrans)
+    }
+
   /** Decode an 8-bit PNG to its CANONICAL RGB stream (3 bytes per
     * pixel, row-major) — the shared real-decode path under
     * [[pngPixelStats]] and [[pngPixelSha]]. Accepted color types:
     * 2 (truecolor, bytes pass through), 0 (grayscale, the gray byte
     * replicates to R=G=B), 3 (palette, each index looks up the PLTE
-    * entry — an index past the table rejects); the full per-row
-    * adaptive filter grammar (0 None / 1 Sub / 2 Up / 3 Average /
-    * 4 Paeth) is reconstructed per spec §9 — what real encoders
-    * actually emit. Everything else — other bit depths, undefined
-    * filter types, interlace, short payloads — returns None: reject,
-    * never mis-decode.
+    * entry — an index past the table rejects), 6 (truecolor+ALPHA —
+    * the largest share of real web PNGs — color folds to the canonical
+    * stream, alpha rides the side channel of [[pngDecodeRgba]]), and
+    * 4 (grayscale+alpha, likewise); the full per-row adaptive filter
+    * grammar (0 None / 1 Sub / 2 Up / 3 Average / 4 Paeth) is
+    * reconstructed per spec §9 — what real encoders actually emit.
+    * Everything else — other bit depths, undefined filter types,
+    * Adam7 interlace, short payloads — returns None: reject, never
+    * mis-decode.
     */
   def pngDecodeRgb(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    pngDecodeRgba(b).map { case (w, h, rgb, _) => (w, h, rgb) }
+
+  /** [[pngDecodeRgb]] plus the per-pixel ALPHA plane (w*h bytes; all
+    * 0xFF for the alpha-less color types 0/2/3 — an opaque RGBA
+    * re-encode therefore carries the same planes as its RGB twin). */
+  def pngDecodeRgba(b: Array[Byte]): Option[(Int, Int, Array[Byte], Array[Byte])] =
     try pngDecodeRgbImpl(b)
     catch { case scala.util.control.NonFatal(_) => None }
 
-  private def pngDecodeRgbImpl(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+  private def pngDecodeRgbImpl(b: Array[Byte]): Option[(Int, Int, Array[Byte], Array[Byte])] = {
     val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
     if (b.length < 33 || !b.startsWith(pngSig)) return None
     if (!(b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')) return None
@@ -1728,6 +2181,8 @@ object Multimodal {
       case 0 => 1 // grayscale
       case 2 => 3 // truecolor
       case 3 => 1 // palette index
+      case 4 => 2 // grayscale + alpha
+      case 6 => 4 // truecolor + alpha
       case _ => return None
     }
     if (w <= 0 || h <= 0) return None
@@ -1756,6 +2211,9 @@ object Multimodal {
     val got = try inflater.inflate(raw) finally inflater.end()
     if (got != raw.length) return None
     val rgb = new Array[Byte](w * h * 3)
+    val alpha = new Array[Byte](w * h)
+    if (colorType != 4 && colorType != 6)
+      java.util.Arrays.fill(alpha, 0xff.toByte) // alpha-less types: opaque
     // per-row adaptive unfiltering (the full filter grammar 0-4: None /
     // Sub / Up / Average / Paeth, reconstructed per the PNG spec §9 —
     // a=left, b=above, c=upper-left, all already-reconstructed bytes)
@@ -1805,13 +2263,22 @@ object Multimodal {
             rgb(o) = plte(3 * idx)
             rgb(o + 1) = plte(3 * idx + 1)
             rgb(o + 2) = plte(3 * idx + 2)
+          case 4 =>
+            val g = cur(2 * x)
+            rgb(o) = g; rgb(o + 1) = g; rgb(o + 2) = g
+            alpha(y * w + x) = cur(2 * x + 1)
+          case 6 =>
+            rgb(o) = cur(4 * x)
+            rgb(o + 1) = cur(4 * x + 1)
+            rgb(o + 2) = cur(4 * x + 2)
+            alpha(y * w + x) = cur(4 * x + 3)
         }
         x += 1
       }
       System.arraycopy(cur, 0, prior, 0, rowBytes)
       y += 1
     }
-    Some((w, h, rgb))
+    Some((w, h, rgb, alpha))
   }
 
   /** Partition-mapped PNG pixel stats — the [[parseAll]] narrow shape. */

@@ -9508,6 +9508,146 @@ object CurationQueries {
            |SELECT query_id, doc_id FROM m
            |ORDER BY query_id, doc_id""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // FTS stemming layer (the PG dictionary semantics)
+  // ---------------------------------------------------------------------
+
+  /** The light suffix stemmer's three stages as DIALECT-NEUTRAL SQL
+    * (runs verbatim under Spark `expr` and DuckDB — LIKE chains instead
+    * of regex, substring/length only): Porter step 1a (sses/ies/ss/s),
+    * step 1b's ed/ing strip gated on a vowel in the stem, and the 1b
+    * follow-ups (at/bl/iz +e; undouble a final double consonant except
+    * l/s/z). The m-measure-gated eed rule and the short-word +e rule
+    * are deliberately omitted (documented divergence — both engines
+    * compute the identical function, which is the cross-engine
+    * contract; PG's snowball differs on those tails).
+    */
+  private def stem1aSql(c: String): String =
+    s"""CASE WHEN $c LIKE '%sses' THEN substring($c, 1, length($c) - 2)
+       |  WHEN $c LIKE '%ies' THEN substring($c, 1, length($c) - 2)
+       |  WHEN $c LIKE '%ss' THEN $c
+       |  WHEN $c LIKE '%s' AND length($c) > 1
+       |    THEN substring($c, 1, length($c) - 1)
+       |  ELSE $c END""".stripMargin
+
+  private def vowelInSql(c: String): String =
+    s"($c LIKE '%a%' OR $c LIKE '%e%' OR $c LIKE '%i%' OR " +
+      s"$c LIKE '%o%' OR $c LIKE '%u%')"
+
+  private def stem1bStripSql(c: String): String =
+    s"""CASE WHEN $c LIKE '%ed'
+       |    AND ${vowelInSql(s"substring($c, 1, length($c) - 2)")}
+       |    THEN substring($c, 1, length($c) - 2)
+       |  WHEN $c LIKE '%ing'
+       |    AND ${vowelInSql(s"substring($c, 1, length($c) - 3)")}
+       |    THEN substring($c, 1, length($c) - 3)
+       |  ELSE $c END""".stripMargin
+
+  private def stemPostSql(c: String): String =
+    s"""CASE WHEN $c LIKE '%at' OR $c LIKE '%bl' OR $c LIKE '%iz'
+       |    THEN $c || 'e'
+       |  WHEN substring($c, length($c) - 1, 1) = substring($c, length($c), 1)
+       |    AND substring($c, length($c), 1)
+       |      NOT IN ('a','e','i','o','u','l','s','z')
+       |    THEN substring($c, 1, length($c) - 1)
+       |  ELSE $c END""".stripMargin
+
+  /** Deterministic MORPH corpus: token at (doc_id, pos) takes surface
+    * form (doc_id + pos) % 4 — base / +s / doubled-final-consonant+ing
+    * (plain +ing after vowels and l/s/z, where undoubling must NOT
+    * fire) / +ed — the variants the stemmer must fold back. */
+  private def morphSql(w: String, v: String): String =
+    s"""CASE WHEN $v = 0 THEN $w
+       |  WHEN $v = 1 THEN $w || 's'
+       |  WHEN $v = 2 THEN CASE
+       |    WHEN substring($w, length($w), 1)
+       |      IN ('a','e','i','o','u','l','s','z') THEN $w || 'ing'
+       |    ELSE $w || substring($w, length($w), 1) || 'ing' END
+       |  ELSE $w || 'ed' END""".stripMargin
+
+  /** STEMMED FULL-TEXT SEARCH — the dictionary layer that closes the
+    * last semantic delta with PG's `to_tsvector('english')`: PG stems
+    * before indexing, so "running", "runs", and "run" hit the same
+    * lexeme; the raw-token FTS tier misses morphological variants. The
+    * fixture corpus carries no inflected forms, so the query DERIVES a
+    * deterministic morph corpus in-plan (each query-vocabulary posting
+    * takes its (doc_id+pos) % 4 surface form: base/+s/+C+ing/+ed,
+    * including consonant doubling — "scanning" not "scaning") and runs
+    * the light suffix stemmer ([[stem1aSql]]/[[stem1bStripSql]]/
+    * [[stemPostSql]], the identical dialect-neutral SQL in BOTH
+    * engines) as the map-side token normalize over the postings.
+    * Reported per stem lexeme: distinct surface forms unified, doc
+    * frequency through the stemmed index, doc frequency raw exact
+    * match would have found (df_docs - df_docs_raw IS the recall the
+    * dictionary layer adds), and posting count. Every vocabulary
+    * lexeme must unify all four of its surface forms — a wrong strip,
+    * a missed vowel gate, or an undouble that fires on l/s/z breaks a
+    * row and hash-fails.
+    *
+    * Scale: the bm25 idiom — the query-vocabulary isin filter prunes
+    * BEFORE any exchange (morphing + stemming are per-posting scalar
+    * CASE chains, map-side, codegen'd); only (stem, m, doc_id) postings
+    * shuffle into the stem-keyed aggregate; text never shuffles. At
+    * 100 TB the stemmer runs once at INDEX time exactly like PG's
+    * dictionary pass.
+    */
+  private val textFtsStemmed = Q(
+    (s, dir) => {
+      val vocab = Seq("dup", "vector", "hash", "join", "scan", "filter",
+        "merge", "sort", "data", "table", "slow")
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .where(col("w").isin(vocab: _*))
+        .withColumn("m", expr(morphSql("w", "(doc_id + pos) % 4")))
+        .withColumn("st1", expr(stem1aSql("m")))
+        .withColumn("sp", expr(stem1bStripSql("st1")))
+        .withColumn("stem",
+          expr(s"CASE WHEN sp = st1 THEN st1 ELSE ${stemPostSql("sp")} END"))
+        .groupBy(col("stem"))
+        .agg(countDistinct(col("m")).as("n_surface_forms"),
+          countDistinct(col("doc_id")).as("df_docs"),
+          countDistinct(when(col("m") === col("stem"), col("doc_id")))
+            .as("df_docs_raw"),
+          count(lit(1)).as("n_postings"))
+        .orderBy(col("stem"))
+    },
+    Some {
+      val vocabSql = "'dup','vector','hash','join','scan','filter'," +
+        "'merge','sort','data','table','slow'"
+      s"""WITH wd AS (
+         |  SELECT cast(doc_id as bigint) AS doc_id,
+         |    string_split(text, ' ') AS ws
+         |  FROM documents
+         |), px AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)),
+         |    i -> {'pos': i - 1, 'w': ws[i]})) AS e
+         |  FROM wd
+         |), t AS (
+         |  SELECT doc_id, cast(e.pos as bigint) AS pos, e.w AS w
+         |  FROM px WHERE e.w IN ($vocabSql)
+         |), mo AS (
+         |  SELECT doc_id, pos, w,
+         |    ${morphSql("w", "(doc_id + pos) % 4")} AS m
+         |  FROM t
+         |), s1 AS (
+         |  SELECT *, ${stem1aSql("m")} AS st1 FROM mo
+         |), s2 AS (
+         |  SELECT *, ${stem1bStripSql("st1")} AS sp FROM s1
+         |), s3 AS (
+         |  SELECT *, CASE WHEN sp = st1 THEN st1
+         |    ELSE ${stemPostSql("sp")} END AS stem
+         |  FROM s2
+         |)
+         |SELECT stem,
+         |  cast(count(DISTINCT m) as bigint) AS n_surface_forms,
+         |  cast(count(DISTINCT doc_id) as bigint) AS df_docs,
+         |  cast(count(DISTINCT CASE WHEN m = stem THEN doc_id END) as bigint)
+         |    AS df_docs_raw,
+         |  cast(count(*) as bigint) AS n_postings
+         |FROM s3 GROUP BY stem ORDER BY stem""".stripMargin
+    })
+
   /** STANDING FTS QUERIES over the document STREAM — the percolator
     * twin of [[textFtsQuery]] (PG users run exactly this as a
     * LISTEN/NOTIFY consumer of `to_tsvector(new.text) @@ tsquery`):
@@ -10964,6 +11104,95 @@ object CurationQueries {
            |  sum_r, sum_g, sum_b, true AS valid
            |FROM sm ORDER BY file_id""".stripMargin))
 
+  /** PNG ALPHA tiers (colorTypes 6 RGBA and 4 gray+alpha) — the
+    * largest share of real web PNGs, previously the reject row's main
+    * occupant: 25 fixtures cycle RGBA-translucent / RGBA-opaque /
+    * gray+alpha-translucent / gray+alpha-opaque, and
+    * [[graft.operators.Multimodal.pngRgbaStats]] folds color to the
+    * canonical RGB stream while the alpha plane reports its exact sum
+    * and non-opaque pixel count — the routing numbers a
+    * transparency-aware curation gate reads. The alpha planes are
+    * closed-form ((3x+5y) mod 256 translucent, constant 255 opaque),
+    * so the oracle recomputes every column; PngDecodeSpec cross-checks
+    * both color types against the JDK's ImageIO decode per channel
+    * INCLUDING alpha, and proves a fully-opaque RGBA re-encode shares
+    * its RGB twin's pixel sha while a translucent variant does not.
+    * Adam7 interlace remains a spec'd reject.
+    *
+    * Scale: the parseAll narrow shape — one partition-mapped decode,
+    * no shuffle.
+    */
+  private val multimodalPngAlpha = Q(
+    (s, dir) => {
+      val base = scratchDir("pngalpha")
+      val p = java.nio.file.Paths.get(base)
+      T(s, dir, "nation").select(col("n_nationkey")).collect() // 25-row dim
+        .foreach { r =>
+          val k = r.getInt(0)
+          val (w, h) = (16 + k, 10 + (k % 7))
+          val bytes = (k % 4) match {
+            case 0 => graft.operators.Multimodal.pngRgbaBytes(w, h, translucent = true)
+            case 1 => graft.operators.Multimodal.pngRgbaBytes(w, h, translucent = false)
+            case 2 => graft.operators.Multimodal.pngGrayAlphaBytes(w, h, translucent = true)
+            case _ => graft.operators.Multimodal.pngGrayAlphaBytes(w, h, translucent = false)
+          }
+          java.nio.file.Files.write(p.resolve(f"a_$k%02d.png"), bytes)
+        }
+      val scanned = s.read.format("binaryFile").load(base)
+        .select(regexp_extract(col("path"), "a_(\\d+)\\.", 1).cast("long")
+          .as("file_id"), col("content"))
+      import s.implicits._
+      val out = scanned.select(col("file_id"), col("content"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            graft.operators.Multimodal.pngRgbaStats(bytes) match {
+              case Some((w, h, r, g, bl, a, nt)) =>
+                (id, w, h, r, g, bl, a, nt, true)
+              case None => (id, 0L, 0L, 0L, 0L, 0L, 0L, 0L, false)
+            }
+          }
+        }
+        .toDF("file_id", "width", "height", "sum_r", "sum_g", "sum_b",
+          "sum_a", "n_translucent", "valid")
+        .orderBy(col("file_id"))
+        .localCheckpoint(true)
+      scratchDelete(base)
+      out
+    },
+    Some("""WITH g AS (
+           |  SELECT cast(n_nationkey as bigint) AS k,
+           |    cast(16 + n_nationkey as bigint) AS w,
+           |    cast(10 + (n_nationkey % 7) as bigint) AS h
+           |  FROM nation
+           |), xs AS (
+           |  SELECT k, w, h, unnest(generate_series(0, w - 1)) AS x FROM g
+           |), ps AS (
+           |  SELECT k, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs
+           |), px AS (
+           |  SELECT k, w, h,
+           |    CASE WHEN k % 4 IN (0, 1) THEN (7 * x + 3 * y) % 256
+           |         ELSE (3 * x + 7 * y) % 256 END AS r,
+           |    CASE WHEN k % 4 IN (0, 1) THEN (x + 2 * y) % 256
+           |         ELSE (3 * x + 7 * y) % 256 END AS gg,
+           |    CASE WHEN k % 4 IN (0, 1) THEN (5 * x + y) % 256
+           |         ELSE (3 * x + 7 * y) % 256 END AS bb,
+           |    CASE WHEN k % 4 IN (0, 2) THEN (3 * x + 5 * y) % 256
+           |         ELSE 255 END AS a
+           |  FROM ps
+           |), sm AS (
+           |  SELECT k, w, h, cast(sum(r) as bigint) AS sum_r,
+           |    cast(sum(gg) as bigint) AS sum_g,
+           |    cast(sum(bb) as bigint) AS sum_b,
+           |    cast(sum(a) as bigint) AS sum_a,
+           |    cast(sum(CASE WHEN a <> 255 THEN 1 ELSE 0 END) as bigint)
+           |      AS n_translucent
+           |  FROM px GROUP BY k, w, h
+           |)
+           |SELECT k AS file_id, w AS width, h AS height,
+           |  sum_r, sum_g, sum_b, sum_a, n_translucent, true AS valid
+           |FROM sm ORDER BY file_id""".stripMargin))
+
   /** BMP (Windows DIB) decode — the uncompressed image container
     * screenshots and scanner output still arrive in: 24-bit BI_RGB,
     * BOTTOM-UP rows of BGR triples padded to 4-byte boundaries —
@@ -11118,6 +11347,85 @@ object CurationQueries {
            |  cast(sum(bsum) as bigint) AS payload_sum, true AS valid
            |FROM sz GROUP BY k, kind, ne ORDER BY file_id""".stripMargin))
 
+  /** WARC CENSUS (multi-member gzip) — the container crawl corpora
+    * ACTUALLY arrive in (Common Crawl ships one gzip member per WARC
+    * record, members concatenated — the only delivery format of the
+    * largest public crawl): 25 fixture files in exactly that shape,
+    * and [[graft.operators.Multimodal.warcCensus]] walks the gzip
+    * member chain RAW (header field grammar, raw-deflate inflate
+    * through a fixed scratch chunk, per-member CRC32 AND ISIZE
+    * verified against the inflated bytes — the ustar-checksum
+    * precedent) and then frames the concatenated payload as WARC
+    * records per spec (version line, CRLF headers with mandatory
+    * Content-Length, exact-length payload, two-CRLF terminator).
+    * Reported per file: member count, record count, response-record
+    * count, payload bytes, payload byte sum — all recomputed in
+    * closed form by the oracle from the fixture scheme. Malformed
+    * archives (truncated member, forged CRC/ISIZE, forged
+    * Content-Length, missing terminator) reject whole-file — spec'd
+    * in ArchiveSpec, the partial-census trap identical to ZIP's.
+    *
+    * Scale: the parseAll narrow shape — one partition-mapped walk per
+    * file, no shuffle; gzip member boundaries are the split points a
+    * cluster-scale WARC reader fans out on, which is exactly why the
+    * census walks members rather than one opaque stream.
+    */
+  private val multimodalWarcCensus = Q(
+    (s, dir) => {
+      val base = scratchDir("warcs")
+      val p = java.nio.file.Paths.get(base)
+      T(s, dir, "nation").select(col("n_nationkey")).collect() // 25-row dim
+        .foreach { r =>
+          val k = r.getInt(0)
+          java.nio.file.Files.write(p.resolve(f"wa_$k%02d.warc.gz"),
+            graft.operators.Multimodal.warcBytes(k, 2 + (k % 5)))
+        }
+      val scanned = s.read.format("binaryFile").load(base)
+        .select(regexp_extract(col("path"), "wa_(\\d+)\\.", 1).cast("long")
+          .as("file_id"), col("content"))
+      import s.implicits._
+      val out = scanned.select(col("file_id"), col("content"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            graft.operators.Multimodal.warcCensus(bytes) match {
+              case Some((nm, nr, nresp, pb, ps)) => (id, nm, nr, nresp, pb, ps, true)
+              case None => (id, 0L, 0L, 0L, 0L, 0L, false)
+            }
+          }
+        }
+        .toDF("file_id", "n_members", "n_records", "n_response",
+          "payload_bytes", "payload_sum", "valid")
+        .orderBy(col("file_id"))
+        .localCheckpoint(true)
+      scratchDelete(base)
+      out
+    },
+    Some("""WITH g AS (
+           |  SELECT cast(n_nationkey as bigint) AS k,
+           |    cast(2 + (n_nationkey % 5) as bigint) AS nr
+           |  FROM nation
+           |), rs AS (
+           |  SELECT k, nr, unnest(generate_series(0, nr - 1)) AS r FROM g
+           |), pr AS (
+           |  SELECT k, nr, r,
+           |    'record ' || r || ' of crawl ' || k || ' ' AS base
+           |  FROM rs
+           |), sz AS (
+           |  SELECT k, nr, r,
+           |    cast(length(base) * (r + 1) as bigint) AS nb,
+           |    cast(list_sum(list_transform(string_split(base, ''),
+           |      c -> ascii(c))) * (r + 1) as bigint) AS bsum,
+           |    (r % 3 = 0) AS is_resp
+           |  FROM pr
+           |)
+           |SELECT k AS file_id, nr AS n_members, nr AS n_records,
+           |  cast(sum(CASE WHEN is_resp THEN 1 ELSE 0 END) as bigint)
+           |    AS n_response,
+           |  cast(sum(nb) as bigint) AS payload_bytes,
+           |  cast(sum(bsum) as bigint) AS payload_sum, true AS valid
+           |FROM sz GROUP BY k, nr ORDER BY file_id""".stripMargin))
+
   /** TIFF baseline decode — the scanner/print-pipeline container and
     * the one that makes BYTE ORDER data instead of spec (the "II"/"MM"
     * header chooses per file): 25 fixtures cycle both endiannesses,
@@ -11199,10 +11507,97 @@ object CurationQueries {
            |  sum_r, sum_g, sum_b, true AS valid
            |FROM sm ORDER BY file_id""".stripMargin))
 
+  /** LZW-COMPRESSED TIFF decode — the dominant wild-TIFF compression
+    * (tag 259 = 5): 25 fixtures cycle compression NONE/LZW on top of
+    * the baseline tier's axes (both byte orders, gray/RGB,
+    * multi-strip), each LZW strip an independent MSB-first
+    * EARLY-CHANGE stream ([[graft.operators.Multimodal.tiffLzwDecode]]
+    * — the bit-order twin of the GIF tier's LSB decoder, with the
+    * width bump one table slot earlier). The decoded pixels are the
+    * SAME closed-form gradient whatever the compression, so the oracle
+    * is the unchanged formula — a desynced code width, a mis-handled
+    * KwKwK case, or a broken early-change boundary corrupts sums and
+    * hash-fails. PngDecodeSpec cross-checks the JDK's own TIFF plugin
+    * decoding OUR encoder's streams (both endiannesses, past the
+    * 511/1023 width boundaries and a mid-stream table reset); tiled
+    * TIFFs remain a spec'd reject.
+    *
+    * Scale: the parseAll narrow shape — one partition-mapped decode,
+    * no shuffle.
+    */
+  private val multimodalTiffLzw = Q(
+    (s, dir) => {
+      val base = scratchDir("tifflzw")
+      val p = java.nio.file.Paths.get(base)
+      T(s, dir, "nation").select(col("n_nationkey")).collect() // 25-row dim
+        .foreach { r =>
+          val k = r.getInt(0)
+          java.nio.file.Files.write(p.resolve(f"z_$k%02d.tif"),
+            graft.operators.Multimodal.tiffGradientBytes(
+              16 + k, 10 + (k % 7), bigEndian = k % 2 == 1,
+              gray = k % 3 == 0, rowsPerStrip = 4 + (k % 5),
+              lzw = k % 2 == 0))
+        }
+      val scanned = s.read.format("binaryFile").load(base)
+        .select(regexp_extract(col("path"), "z_(\\d+)\\.", 1).cast("long")
+          .as("file_id"), col("content"))
+      import s.implicits._
+      val out = scanned.select(col("file_id"), col("content"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            graft.operators.Multimodal.tiffPixelStats(bytes) match {
+              case Some((w, h, r, g, bl)) => (id, w, h, r, g, bl, true)
+              case None => (id, 0L, 0L, 0L, 0L, 0L, false)
+            }
+          }
+        }
+        .toDF("file_id", "width", "height", "sum_r", "sum_g", "sum_b", "valid")
+        .withColumn("compression",
+          expr("cast(CASE WHEN file_id % 2 = 0 THEN 5 ELSE 1 END as bigint)"))
+        .select(col("file_id"), col("compression"), col("width"),
+          col("height"), col("sum_r"), col("sum_g"), col("sum_b"),
+          col("valid"))
+        .orderBy(col("file_id"))
+        .localCheckpoint(true)
+      scratchDelete(base)
+      out
+    },
+    Some("""WITH g AS (
+           |  SELECT cast(n_nationkey as bigint) AS k,
+           |    cast(16 + n_nationkey as bigint) AS w,
+           |    cast(10 + (n_nationkey % 7) as bigint) AS h
+           |  FROM nation
+           |), xs AS (
+           |  SELECT k, w, h, unnest(generate_series(0, w - 1)) AS x FROM g
+           |), ps AS (
+           |  SELECT k, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs
+           |), px AS (
+           |  SELECT k, w, h,
+           |    CASE WHEN k % 3 = 0 THEN (3 * x + 7 * y) % 256
+           |         ELSE (7 * x + 3 * y) % 256 END AS r,
+           |    CASE WHEN k % 3 = 0 THEN (3 * x + 7 * y) % 256
+           |         ELSE (x + 2 * y) % 256 END AS gg,
+           |    CASE WHEN k % 3 = 0 THEN (3 * x + 7 * y) % 256
+           |         ELSE (5 * x + y) % 256 END AS bb
+           |  FROM ps
+           |), sm AS (
+           |  SELECT k, w, h, cast(sum(r) as bigint) AS sum_r,
+           |    cast(sum(gg) as bigint) AS sum_g,
+           |    cast(sum(bb) as bigint) AS sum_b
+           |  FROM px GROUP BY k, w, h
+           |)
+           |SELECT k AS file_id,
+           |  cast(CASE WHEN k % 2 = 0 THEN 5 ELSE 1 END as bigint)
+           |    AS compression,
+           |  w AS width, h AS height, sum_r, sum_g, sum_b, true AS valid
+           |FROM sm ORDER BY file_id""".stripMargin))
+
   /** MAGIC-BYTE FORMAT ROUTING — the ingest front door of every mixed
-    * binary corpus: 25 files cycle EIGHT containers (truecolor PNG,
+    * binary corpus: 25 files cycle NINE containers (truecolor PNG,
     * palette PNG, single-frame GIF, animated GIF, baseline JPEG,
-    * 16-bit PCM WAV, µ-law G.711 WAV, and plain junk bytes), and
+    * 16-bit PCM WAV, µ-law G.711 WAV, multi-member gzip WARC, and
+    * plain junk bytes), and
     * [[graft.operators.Multimodal.sniffKind]] classifies each by its
     * magic signature (never the extension — every fixture is written
     * `.bin`), then [[graft.operators.Multimodal.sniffValid]] routes it
@@ -11222,7 +11617,7 @@ object CurationQueries {
       T(s, dir, "nation").select(col("n_nationkey")).collect() // 25-row dim
         .foreach { r =>
           val k = r.getInt(0)
-          val bytes = (k % 8) match {
+          val bytes = (k % 9) match {
             case 0 => graft.operators.Multimodal.pngGradientBytes(16 + k, 10)
             case 1 => graft.operators.Multimodal.pngPaletteBytes(16 + k, 10)
             case 2 => graft.operators.Multimodal.gifPatternBytes(16 + k, 10)
@@ -11230,6 +11625,7 @@ object CurationQueries {
             case 4 => graft.operators.Multimodal.jpegDcPatternBytes(16 + k, 10)
             case 5 => graft.operators.Multimodal.wavToneBytes(8000, 100 + k, 5, 1, 4)
             case 6 => graft.operators.Multimodal.wavG711Bytes(8000, 100 + k, 7)
+            case 7 => graft.operators.Multimodal.warcBytes(k, 2 + k % 4)
             case _ => (s"not a media file #$k " * 4).getBytes(
               java.nio.charset.StandardCharsets.UTF_8)
           }
@@ -11246,12 +11642,13 @@ object CurationQueries {
       out
     },
     Some("""SELECT cast(n_nationkey as bigint) AS file_id,
-           |  CASE n_nationkey % 8
+           |  CASE n_nationkey % 9
            |    WHEN 0 THEN 'png' WHEN 1 THEN 'png'
            |    WHEN 2 THEN 'gif' WHEN 3 THEN 'gif'
            |    WHEN 4 THEN 'jpeg' WHEN 5 THEN 'wav_pcm'
-           |    WHEN 6 THEN 'wav_g711' ELSE 'unknown' END AS detected,
-           |  (n_nationkey % 8) <> 7 AS valid
+           |    WHEN 6 THEN 'wav_g711' WHEN 7 THEN 'gzip'
+           |    ELSE 'unknown' END AS detected,
+           |  (n_nationkey % 9) <> 8 AS valid
            |FROM nation ORDER BY file_id""".stripMargin))
 
   // ---------------------------------------------------------------------
@@ -13424,16 +13821,18 @@ object CurationQueries {
   /** PIXEL-IDENTITY image dedup — the dedup byte-hashing can't do: 25
     * PNGs where groups share EXACT pixel content but differ in
     * container bytes — different zlib compression levels AND different
-    * COLOR TYPES (each 3-copy group's third member is a PALETTE
-    * re-encode of the same pixels the truecolor members carry) —
-    * grouped by the sha256 of the DECODED canonical RGB stream. A
-    * byte-level content hash sees 25 distinct files; the pixel
-    * identity recovers the 10 true content groups — the image analog
-    * of text exact-dedup after normalization.
+    * COLOR TYPES (each 3-copy group spans a truecolor encode, a
+    * fully-opaque RGBA re-encode, and a PALETTE re-encode of the same
+    * pixels) — grouped by the sha256 of the DECODED canonical RGB
+    * stream. A byte-level content hash sees 25 distinct files; the
+    * pixel identity recovers the 10 true content groups — the image
+    * analog of text exact-dedup after normalization.
     *
     * Determinism: the pixel digest hashes the post-lookup canonical
-    * RGB bytes in row order (palette and truecolor encodes of the same
-    * pixels digest identically); group canonical = min file id.
+    * RGB bytes in row order (palette, truecolor, and opaque-RGBA
+    * encodes of the same pixels digest identically — a TRANSLUCENT
+    * alpha plane joins the digest and correctly separates, spec'd in
+    * PngDecodeSpec); group canonical = min file id.
     *
     * Scale: the parseAll narrow shape (decode + digest per file, no
     * shuffle) into a digest-keyed count — byte volume never shuffles,
@@ -13448,10 +13847,10 @@ object CurationQueries {
           val k = r.getInt(0)
           val (w, h) = (16 + (k % 10), 10 + (k % 5))
           val bytes = (k / 10) match {
-            // same decoded pixels three ways: two truecolor container
-            // re-encodes (levels 1/9), one palette re-encode
+            // same decoded pixels three ways: one truecolor encode, one
+            // fully-opaque RGBA re-encode, one palette re-encode
             case 0 => graft.operators.Multimodal.pngPaletteAsRgbBytes(w, h, 1)
-            case 1 => graft.operators.Multimodal.pngPaletteAsRgbBytes(w, h, 9)
+            case 1 => graft.operators.Multimodal.pngPaletteAsRgbaBytes(w, h, 9)
             case _ => graft.operators.Multimodal.pngPaletteBytes(w, h, 6)
           }
           java.nio.file.Files.write(p.resolve(f"d_$k%02d.png"), bytes)
@@ -15046,10 +15445,13 @@ object CurationQueries {
     "ns_multimodal_image_stats" -> multimodalImageStats,
     "ns_multimodal_png_types" -> multimodalPngTypes,
     "ns_multimodal_png_filters" -> multimodalPngFilters,
+    "ns_multimodal_png_alpha" -> multimodalPngAlpha,
     "ns_multimodal_bmp_stats" -> multimodalBmpStats,
     "ns_multimodal_tiff_stats" -> multimodalTiffStats,
     "ns_multimodal_sniff_route" -> multimodalSniffRoute,
     "ns_multimodal_archive_census" -> multimodalArchiveCensus,
+    "ns_multimodal_warc_census" -> multimodalWarcCensus,
+    "ns_multimodal_tiff_lzw" -> multimodalTiffLzw,
     "ns_sim_maxsim_ivf" -> simMaxsimIvf,
     "ns_sim_maxsim_plaid" -> simMaxsimPlaid,
     "ns_sim_plaid_curve" -> simPlaidCurve,
@@ -15104,6 +15506,7 @@ object CurationQueries {
     "ns_text_rank_weighted" -> textRankWeighted,
     "ns_text_fts_prefix" -> textFtsPrefix,
     "ns_text_fts_distance" -> textFtsDistance,
+    "ns_text_fts_stemmed" -> textFtsStemmed,
     "ns_text_headline" -> textHeadline,
     "ns_text_editdist_join" -> textEditDistJoin,
     "ns_quality_isotonic" -> qualityIsotonic,

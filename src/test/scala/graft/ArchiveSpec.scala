@@ -100,6 +100,73 @@ class ArchiveSpec extends AnyFunSuite {
     assert(Multimodal.tarCensus(tar).isEmpty)
   }
 
+  test("WARC census walks gzip members and frames records to the closed form") {
+    for ((tag, nr) <- Seq((0, 3), (4, 7), (11, 1))) {
+      var total = 0L
+      var sum = 0L
+      var resp = 0L
+      for (r <- 0 until nr) {
+        val payload = (s"record $r of crawl $tag " * (r + 1))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        total += payload.length
+        sum += payload.map(_ & 0xff).map(_.toLong).sum
+        if (r % 3 == 0) resp += 1
+      }
+      assert(Multimodal.warcCensus(Multimodal.warcBytes(tag, nr))
+        .contains((nr.toLong, nr.toLong, resp, total, sum)), s"tag=$tag nr=$nr")
+    }
+  }
+
+  test("the JDK agrees the WARC fixture's gzip member chain concatenates") {
+    // GZIPInputStream reads concatenated members transparently — its
+    // total decompressed output must equal our member walk's framing input
+    val b = Multimodal.warcBytes(5, 4)
+    val gin = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(b))
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var r = gin.read(buf)
+    while (r > 0) { out.write(buf, 0, r); r = gin.read(buf) }
+    val text = out.toString("US-ASCII")
+    assert(text.startsWith("WARC/1.0\r\n"))
+    assert("WARC-Type: response".r.findAllIn(text).size == 2) // r = 0, 3
+    assert("WARC/1\\.0".r.findAllIn(text).size == 4)
+  }
+
+  test("malformed WARC members and records reject whole-file") {
+    val ok = Multimodal.warcBytes(2, 3)
+    // truncated final member: the inflate starves -> reject
+    assert(Multimodal.warcCensus(ok.dropRight(15).toArray).isEmpty)
+    // forged member CRC rejects even though framing would parse
+    val crcBad = ok.clone()
+    crcBad(ok.length - 8) = (crcBad(ok.length - 8) ^ 0x01).toByte
+    assert(Multimodal.warcCensus(crcBad).isEmpty)
+    // forged ISIZE rejects
+    val szBad = ok.clone()
+    szBad(ok.length - 1) = (szBad(ok.length - 1) ^ 0x01).toByte
+    assert(Multimodal.warcCensus(szBad).isEmpty)
+    // trailing garbage after the last member rejects (bad next magic)
+    assert(Multimodal.warcCensus(ok ++ "junk".getBytes).isEmpty)
+    // a gzip member whose payload is NOT WARC-framed rejects
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write("HTTP/1.1 200 OK\r\n\r\nnot warc".getBytes)
+    gz.close()
+    assert(Multimodal.warcCensus(bos.toByteArray).isEmpty)
+    // a record with a forged (short) Content-Length breaks the
+    // terminator alignment -> reject, never a partial census
+    val one = Multimodal.warcBytes(9, 1)
+    val gin = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(one))
+    val rec = new String(gin.readAllBytes(), java.nio.charset.StandardCharsets.US_ASCII)
+    val forged = rec.replaceFirst("Content-Length: (\\d+)", "Content-Length: 3")
+    val rbos = new java.io.ByteArrayOutputStream()
+    val rgz = new java.util.zip.GZIPOutputStream(rbos)
+    rgz.write(forged.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    rgz.close()
+    assert(Multimodal.warcCensus(rbos.toByteArray).isEmpty)
+    assert(Multimodal.warcCensus("plain text".getBytes).isEmpty)
+    assert(Multimodal.warcCensus(Array.emptyByteArray).isEmpty)
+  }
+
   test("a >= 65535-entry archive reads its count from the ZIP64 EOCD") {
     // the 16-bit EOCD total-entries field saturates at 0xFFFF; the JDK
     // writes the real count to the ZIP64 EOCD record — without the

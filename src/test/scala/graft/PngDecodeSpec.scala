@@ -88,6 +88,72 @@ class PngDecodeSpec extends AnyFunSuite {
     assert(Multimodal.pngPixelSha(Multimodal.pngGradientBytes(w, h)) != pal)
   }
 
+  test("RGBA decode matches the closed form and the JDK on all four channels") {
+    val (w, h) = (20, 12)
+    for (translucent <- Seq(true, false)) {
+      val bytes = Multimodal.pngRgbaBytes(w, h, translucent)
+      val Some((gw, gh, sr, sg, sb, sa, nt)) = Multimodal.pngRgbaStats(bytes)
+      val px = for (y <- 0 until h; x <- 0 until w) yield x -> y
+      assert((gw, gh) == ((w.toLong, h.toLong)))
+      assert(sr == px.map { case (x, y) => (7 * x + 3 * y) % 256 }.sum)
+      assert(sg == px.map { case (x, y) => (x + 2 * y) % 256 }.sum)
+      assert(sb == px.map { case (x, y) => (5 * x + y) % 256 }.sum)
+      if (translucent) {
+        assert(sa == px.map { case (x, y) => (3 * x + 5 * y) % 256 }.sum)
+        assert(nt == px.count { case (x, y) => (3 * x + 5 * y) % 256 != 255 })
+      } else assert(sa == 255L * w * h && nt == 0L)
+      // JDK cross-check via the raster bands (R,G,B,A for RGBA PNGs) —
+      // getRGB would premultiply nothing but can color-manage
+      val Some((_, _, rgb, alpha)) = Multimodal.pngDecodeRgba(bytes)
+      val raster = jdkRgb(bytes).getRaster
+      for (y <- 0 until h; x <- 0 until w) {
+        val o = (y * w + x) * 3
+        assert((rgb(o) & 0xff) == raster.getSample(x, y, 0), s"R ($x,$y)")
+        assert((rgb(o + 1) & 0xff) == raster.getSample(x, y, 1), s"G ($x,$y)")
+        assert((rgb(o + 2) & 0xff) == raster.getSample(x, y, 2), s"B ($x,$y)")
+        assert((alpha(y * w + x) & 0xff) == raster.getSample(x, y, 3), s"A ($x,$y)")
+      }
+    }
+  }
+
+  test("GRAY+ALPHA decode matches the closed form and the JDK raster") {
+    val (w, h) = (17, 11)
+    for (translucent <- Seq(true, false)) {
+      val bytes = Multimodal.pngGrayAlphaBytes(w, h, translucent)
+      val Some((gw, gh, sr, sg, sb, sa, nt)) = Multimodal.pngRgbaStats(bytes)
+      val px = for (y <- 0 until h; x <- 0 until w) yield x -> y
+      val graySum = px.map { case (x, y) => (3 * x + 7 * y) % 256 }.sum.toLong
+      assert((gw, gh) == ((w.toLong, h.toLong)))
+      assert(sr == graySum && sg == graySum && sb == graySum)
+      if (translucent)
+        assert(sa == px.map { case (x, y) => (3 * x + 5 * y) % 256 }.sum &&
+          nt == px.count { case (x, y) => (3 * x + 5 * y) % 256 != 255 })
+      else assert(sa == 255L * w * h && nt == 0L)
+      // gray+alpha rasters: band 0 = gray (linear space — raster, not
+      // getRGB, per the grayscale lesson), band 1 = alpha
+      val Some((_, _, rgb, alpha)) = Multimodal.pngDecodeRgba(bytes)
+      val raster = jdkRgb(bytes).getRaster
+      for (y <- 0 until h; x <- 0 until w) {
+        assert((rgb((y * w + x) * 3) & 0xff) == raster.getSample(x, y, 0), s"g ($x,$y)")
+        assert((alpha(y * w + x) & 0xff) == raster.getSample(x, y, 1), s"a ($x,$y)")
+      }
+    }
+  }
+
+  test("opaque RGBA re-encodes share their RGB twin's sha; translucent split") {
+    val (w, h) = (17, 10)
+    val pal = Multimodal.pngPixelSha(Multimodal.pngPaletteBytes(w, h, 6))
+    val rgba = Multimodal.pngPixelSha(Multimodal.pngPaletteAsRgbaBytes(w, h, 9))
+    assert(pal.isDefined && pal == rgba)
+    // a translucent image with the SAME color bytes digests differently —
+    // transparency is pixel content, not container detail
+    val opaque = Multimodal.pngPixelSha(Multimodal.pngRgbaBytes(w, h, translucent = false))
+    val trans = Multimodal.pngPixelSha(Multimodal.pngRgbaBytes(w, h, translucent = true))
+    assert(opaque.isDefined && trans.isDefined && opaque != trans)
+    // and the opaque RGBA twin digests as the plain RGB gradient
+    assert(opaque == Multimodal.pngPixelSha(Multimodal.pngGradientBytes(w, h)))
+  }
+
   test("ADAPTIVE per-row filters (Sub/Up/Average/Paeth) unfilter exactly") {
     for ((w, h) <- Seq((21, 13), (16, 10), (33, 7), (1, 6))) {
       val filtered = Multimodal.pngFilteredGradientBytes(w, h)
@@ -171,13 +237,51 @@ class PngDecodeSpec extends AnyFunSuite {
           assert(raster.getSample(x, y, 0) == (3 * x + 7 * y) % 256)
       }
     }
-    // rejections: compression != 1, 16-bit, wrong strip counts
+    // rejections: unsupported compression, 16-bit, wrong strip counts
     val good = Multimodal.tiffGradientBytes(16, 10, bigEndian = false,
       gray = false, rowsPerStrip = 4)
     assert(Multimodal.tiffPixelStats("not a tiff".getBytes).isEmpty)
     assert(Multimodal.tiffPixelStats(good.dropRight(8).toArray).isEmpty)
     assert(Multimodal.sniffKind(good) == "tiff" &&
       Multimodal.sniffValid("tiff", good))
+  }
+
+  test("LZW TIFF decodes identically to its uncompressed twin and the JDK") {
+    // a big enough frame to push the dictionary past the 511 and 1023
+    // early-change boundaries (the width-desync trap under test)
+    for ((w, h) <- Seq((21, 13), (80, 41)); be <- Seq(false, true);
+         gray <- Seq(false, true)) {
+      val lzw = Multimodal.tiffGradientBytes(w, h, be, gray, 7, lzw = true)
+      val flat = Multimodal.tiffGradientBytes(w, h, be, gray, 7, lzw = false)
+      val got = Multimodal.tiffPixelStats(lzw)
+      assert(got.isDefined && got == Multimodal.tiffPixelStats(flat),
+        s"w=$w be=$be gray=$gray")
+      // the JDK's TIFF plugin decompresses LZW itself: per-pixel agreement
+      // proves OUR encoder speaks the spec's MSB-first early-change dialect
+      val img = jdkRgb(lzw)
+      assert(img.getWidth == w && img.getHeight == h)
+      val raster = img.getRaster
+      for (y <- 0 until h; x <- 0 until w) {
+        if (gray) assert(raster.getSample(x, y, 0) == (3 * x + 7 * y) % 256)
+        else assert((raster.getSample(x, y, 0), raster.getSample(x, y, 1),
+          raster.getSample(x, y, 2)) ==
+          (((7 * x + 3 * y) % 256, (x + 2 * y) % 256, (5 * x + y) % 256)),
+          s"be=$be pixel ($x,$y)")
+      }
+    }
+    // raw round-trip across a table reset (>= 4094 entries forces the
+    // encoder's mid-stream Clear) — decode(encode(x)) == x exactly
+    val data = Array.tabulate(120000)(i => ((i * 31 + (i / 7)) % 256).toByte)
+    val enc = Multimodal.tiffLzwEncode(data)
+    assert(enc.length < data.length) // it actually compresses
+    assert(Multimodal.tiffLzwDecode(enc, 0, enc.length, data.length)
+      .exists(_.sameElements(data)))
+    // truncated stream (bits exhausted before EOI) rejects
+    assert(Multimodal.tiffLzwDecode(enc, 0, enc.length / 2, data.length).isEmpty)
+    // tiles still reject: a tiled layout has no strip tables
+    val lzwFile = Multimodal.tiffGradientBytes(16, 10, false, false, 4, lzw = true)
+    assert(Multimodal.sniffKind(lzwFile) == "tiff" &&
+      Multimodal.sniffValid("tiff", lzwFile))
   }
 
   test("the magic-byte router classifies every fixture family") {
@@ -208,7 +312,9 @@ class PngDecodeSpec extends AnyFunSuite {
     // by our chunk walk, so the patched container still parses that far)
     val depth4 = good.clone(); depth4(24) = 4
     assert(Multimodal.pngDecodeRgb(depth4).isEmpty)
-    // color types with alpha (4, 6) reject
+    // a FORGED color type (palette data relabeled RGBA) rejects via the
+    // exact inflated-length check — alpha types decode only when the
+    // payload really carries them
     val typed = good.clone(); typed(25) = 6
     assert(Multimodal.pngDecodeRgb(typed).isEmpty)
     // Adam7 interlace rejects
