@@ -5,11 +5,15 @@ import org.apache.spark.sql.functions._
 
 /** Materializes a scale-tier fixture for the bench: every fixture table
   * from `srcDir` written to `outDir`, with the corpus tables
-  * (`documents`, `embeddings`) replicated `mult` times under the SAME
-  * id-remap ScaleProbe uses (`id * mult + rep` — clones get distinct,
-  * collision-free ids). The relational tables pass through unchanged:
-  * the tier's purpose is a wall-clock anchor for the north-star corpus
-  * operators above the largest generated SF, and `Tables.registerWithStats`
+  * (`documents`, `embeddings`, `events`) replicated `mult` times under
+  * the SAME id-remap ScaleProbe uses (`id * mult + rep` — clones get
+  * distinct, collision-free ids; events remap BOTH user_id and
+  * event_id and keep timestamps, so every replica user carries the
+  * original's full session/cohort trajectory — the time axis densifies
+  * rather than stretches, which is how real traffic grows). The other
+  * relational tables pass through unchanged: the tier's purpose is a
+  * wall-clock anchor for the north-star corpus + time-series operators
+  * above the largest generated SF, and `Tables.registerWithStats`
   * needs every table present to ANALYZE the dir.
   *
   * Replication is a dedup STRESS tier, not an iid sample: every LSH /
@@ -43,6 +47,11 @@ object ScaleFixture {
         case "embeddings" =>
           src.crossJoin(broadcast(reps))
             .withColumn("vec_id", col("vec_id") * mult + col("rep")).drop("rep")
+        case "events" =>
+          src.crossJoin(broadcast(reps))
+            .withColumn("user_id", col("user_id") * mult + col("rep"))
+            .withColumn("event_id", col("event_id") * mult + col("rep"))
+            .drop("rep")
         case _ => src
       }
       out.write.mode("overwrite").parquet(s"$outDir/$name.parquet")

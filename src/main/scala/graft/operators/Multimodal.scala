@@ -880,8 +880,12 @@ object Multimodal {
     try warcCensusImpl(b)
     catch { case scala.util.control.NonFatal(_) => None }
 
-  private def warcCensusImpl(b: Array[Byte]): Option[(Long, Long, Long, Long, Long)] = {
-    // ---- phase 1: the gzip member walk (count + CRC/ISIZE verify) ----
+  /** The raw multi-member gzip walk shared by [[warcCensus]] and
+    * [[warcHttpStats]]: every member's header fields parsed, body
+    * inflated through a fixed scratch chunk, trailer CRC32 AND ISIZE
+    * verified. Returns (member count, concatenated payload) or None on
+    * any malformed/truncated member or trailing garbage. */
+  private def gunzipMembers(b: Array[Byte]): Option[(Long, Array[Byte])] = {
     val out = new java.io.ByteArrayOutputStream()
     var pos = 0
     var nMembers = 0L
@@ -929,18 +933,23 @@ object Multimodal {
       nMembers += 1
     }
     if (nMembers == 0) return None
-    // ---- phase 2: WARC record framing over the concatenated payload ----
-    val w = out.toByteArray
+    Some((nMembers, out.toByteArray))
+  }
+
+  /** WARC record framing over a decompressed member stream — the
+    * grammar walk shared by the census and the HTTP extraction tier:
+    * version line, CRLF header block (WARC-Type + mandatory
+    * Content-Length captured), exact-length payload, two-CRLF
+    * terminator. Returns (type, payloadOff, payloadLen) per record in
+    * stream order, or None on any malformation. */
+  private def warcRecordSpans(w: Array[Byte]): Option[Vector[(String, Int, Int)]] = {
     def lineEnd(from: Int): Int = { // index of the CR of the next CRLF
       var i = from
       while (i + 1 < w.length && !(w(i) == '\r' && w(i + 1) == '\n')) i += 1
       if (i + 1 < w.length) i else -1
     }
+    val recs = Vector.newBuilder[(String, Int, Int)]
     var q = 0
-    var nRecords = 0L
-    var nResponse = 0L
-    var payloadBytes = 0L
-    var payloadSum = 0L
     while (q < w.length) {
       val ve = lineEnd(q)
       if (ve < 0) return None
@@ -969,18 +978,159 @@ object Multimodal {
         }
       }
       if (warcType == null || contentLength < 0) return None
-      if (q + contentLength + 4 > w.length) return None // payload + 2 CRLFs
-      var i = 0L
-      while (i < contentLength) { payloadSum += w(q + i.toInt) & 0xff; i += 1 }
-      payloadBytes += contentLength
+      if (q.toLong + contentLength + 4 > w.length) return None // payload + 2 CRLFs
+      recs += ((warcType, q, contentLength.toInt))
       q += contentLength.toInt
       if (!(w(q) == '\r' && w(q + 1) == '\n' &&
         w(q + 2) == '\r' && w(q + 3) == '\n')) return None
       q += 4
-      nRecords += 1
-      if (warcType == "response") nResponse += 1
     }
-    Some((nMembers, nRecords, nResponse, payloadBytes, payloadSum))
+    Some(recs.result())
+  }
+
+  private def warcCensusImpl(b: Array[Byte]): Option[(Long, Long, Long, Long, Long)] = {
+    val (nMembers, w) = gunzipMembers(b) match {
+      case Some(x) => x
+      case None => return None
+    }
+    val recs = warcRecordSpans(w) match {
+      case Some(x) => x
+      case None => return None
+    }
+    var payloadBytes = 0L
+    var payloadSum = 0L
+    var nResponse = 0L
+    recs.foreach { case (typ, off, len) =>
+      var i = 0
+      while (i < len) { payloadSum += w(off + i) & 0xff; i += 1 }
+      payloadBytes += len
+      if (typ == "response") nResponse += 1
+    }
+    Some((nMembers, recs.length.toLong, nResponse, payloadBytes, payloadSum))
+  }
+
+  /** HTTP extraction from WARC RESPONSE records — the inner structure
+    * Common Crawl response payloads actually carry (an HTTP/1.x
+    * message: status line, header block, body): per response record,
+    * the status code, header count, declared Content-Length (verified
+    * against the actual body length — a mismatch rejects the file),
+    * and exact body byte stats. Non-response records pass through
+    * uncounted (request/metadata records are census material, not
+    * corpus text). None on any malformed member, record, or HTTP
+    * message — whole-file reject.
+    */
+  def warcHttpStats(b: Array[Byte]): Option[Vector[(Long, Long, Long, Long, Long)]] =
+    try warcHttpStatsImpl(b)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def warcHttpStatsImpl(
+      b: Array[Byte]): Option[Vector[(Long, Long, Long, Long, Long)]] = {
+    val (_, w) = gunzipMembers(b) match {
+      case Some(x) => x
+      case None => return None
+    }
+    val recs = warcRecordSpans(w) match {
+      case Some(x) => x
+      case None => return None
+    }
+    val out = Vector.newBuilder[(Long, Long, Long, Long, Long)]
+    var respIdx = 0L
+    recs.foreach { case (typ, off, len) =>
+      if (typ == "response") {
+        def lineEnd(from: Int): Int = {
+          var i = from
+          while (i + 1 < off + len && !(w(i) == '\r' && w(i + 1) == '\n')) i += 1
+          if (i + 1 < off + len) i else -1
+        }
+        val se = lineEnd(off)
+        if (se < 0) return None
+        val status = new String(w, off, se - off, java.nio.charset.StandardCharsets.US_ASCII)
+        // status line: HTTP/1.x SP 3-digit code SP reason
+        if (!status.startsWith("HTTP/1.")) return None
+        val parts = status.split(" ", 3)
+        if (parts.length < 2 || !parts(1).forall(_.isDigit)) return None
+        val code = parts(1).toLong
+        var q = se + 2
+        var nHeaders = 0L
+        var declared = -1L
+        var headersDone = false
+        while (!headersDone) {
+          val he = lineEnd(q)
+          if (he < 0) return None
+          if (he == q) { headersDone = true; q += 2 }
+          else {
+            val line = new String(w, q, he - q, java.nio.charset.StandardCharsets.US_ASCII)
+            val colon = line.indexOf(':')
+            if (colon <= 0) return None
+            if (line.substring(0, colon).trim.equalsIgnoreCase("Content-Length"))
+              declared = java.lang.Long.parseLong(line.substring(colon + 1).trim)
+            nHeaders += 1
+            q = he + 2
+          }
+        }
+        val bodyLen = off + len - q
+        if (bodyLen < 0) return None
+        // the declared HTTP length must match the framed body exactly —
+        // a forged header is how a partial/overlong body slips through
+        if (declared >= 0 && declared != bodyLen) return None
+        var s = 0L
+        var i = 0
+        while (i < bodyLen) { s += w(q + i) & 0xff; i += 1 }
+        out += ((respIdx, code, nHeaders, bodyLen.toLong, s))
+        respIdx += 1
+      }
+    }
+    Some(out.result())
+  }
+
+  /** Deterministic WARC fixture whose RESPONSE payloads are real
+    * HTTP/1.1 messages (status cycling 200/404/301 by response index,
+    * Content-Type + Content-Length + X-Crawl headers, body "body <r>
+    * of crawl <tag> " repeated (r+1) times); request records
+    * interleave every third record as in real crawls. */
+  def warcHttpBytes(tag: Int, nRecords: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    var r = 0
+    var resp = 0
+    while (r < nRecords) {
+      val isReq = r % 3 == 2
+      val payload: Array[Byte] =
+        if (isReq)
+          (s"GET /page/$r HTTP/1.1\r\nHost: crawl-$tag.example\r\n\r\n")
+            .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        else {
+          val body = (s"body $resp of crawl $tag " * (resp + 1))
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val code = (resp % 3) match {
+            case 0 => "200 OK"
+            case 1 => "404 Not Found"
+            case _ => "301 Moved Permanently"
+          }
+          val hdr = s"HTTP/1.1 $code\r\n" +
+            "Content-Type: text/plain\r\n" +
+            s"Content-Length: ${body.length}\r\n" +
+            s"X-Crawl: $tag\r\n" +
+            "\r\n"
+          resp += 1
+          hdr.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ body
+        }
+      val typ = if (isReq) "request" else "response"
+      val rec = new java.io.ByteArrayOutputStream()
+      val whdr = s"WARC/1.0\r\n" +
+        s"WARC-Type: $typ\r\n" +
+        f"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0001-${tag.toLong * 100000 + r}%012d>\r\n" +
+        s"WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+        s"Content-Length: ${payload.length}\r\n" +
+        "\r\n"
+      rec.write(whdr.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      rec.write(payload)
+      rec.write("\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(rec.toByteArray)
+      gz.finish()
+      r += 1
+    }
+    bos.toByteArray
   }
 
   /** Deterministic WARC fixture in Common Crawl's delivery shape: one

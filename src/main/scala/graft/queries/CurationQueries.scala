@@ -9522,7 +9522,7 @@ object CurationQueries {
     * compute the identical function, which is the cross-engine
     * contract; PG's snowball differs on those tails).
     */
-  private def stem1aSql(c: String): String =
+  private[graft] def stem1aSql(c: String): String =
     s"""CASE WHEN $c LIKE '%sses' THEN substring($c, 1, length($c) - 2)
        |  WHEN $c LIKE '%ies' THEN substring($c, 1, length($c) - 2)
        |  WHEN $c LIKE '%ss' THEN $c
@@ -9530,11 +9530,11 @@ object CurationQueries {
        |    THEN substring($c, 1, length($c) - 1)
        |  ELSE $c END""".stripMargin
 
-  private def vowelInSql(c: String): String =
+  private[graft] def vowelInSql(c: String): String =
     s"($c LIKE '%a%' OR $c LIKE '%e%' OR $c LIKE '%i%' OR " +
       s"$c LIKE '%o%' OR $c LIKE '%u%')"
 
-  private def stem1bStripSql(c: String): String =
+  private[graft] def stem1bStripSql(c: String): String =
     s"""CASE WHEN $c LIKE '%ed'
        |    AND ${vowelInSql(s"substring($c, 1, length($c) - 2)")}
        |    THEN substring($c, 1, length($c) - 2)
@@ -9543,7 +9543,7 @@ object CurationQueries {
        |    THEN substring($c, 1, length($c) - 3)
        |  ELSE $c END""".stripMargin
 
-  private def stemPostSql(c: String): String =
+  private[graft] def stemPostSql(c: String): String =
     s"""CASE WHEN $c LIKE '%at' OR $c LIKE '%bl' OR $c LIKE '%iz'
        |    THEN $c || 'e'
        |  WHEN substring($c, length($c) - 1, 1) = substring($c, length($c), 1)
@@ -9556,7 +9556,7 @@ object CurationQueries {
     * form (doc_id + pos) % 4 — base / +s / doubled-final-consonant+ing
     * (plain +ing after vowels and l/s/z, where undoubling must NOT
     * fire) / +ed — the variants the stemmer must fold back. */
-  private def morphSql(w: String, v: String): String =
+  private[graft] def morphSql(w: String, v: String): String =
     s"""CASE WHEN $v = 0 THEN $w
        |  WHEN $v = 1 THEN $w || 's'
        |  WHEN $v = 2 THEN CASE
@@ -9604,12 +9604,18 @@ object CurationQueries {
         .withColumn("sp", expr(stem1bStripSql("st1")))
         .withColumn("stem",
           expr(s"CASE WHEN sp = st1 THEN st1 ELSE ${stemPostSql("sp")} END"))
+        // collapse to (stem, form, doc) triples FIRST — one shuffle with
+        // map-side combine (replicated postings collapse before moving);
+        // the multi-distinct Expand then runs over the tiny triple frame
+        // (lexemes x forms x docs), never the full postings stream
+        .groupBy(col("stem"), col("m"), col("doc_id"))
+        .agg(count(lit(1)).as("n"))
         .groupBy(col("stem"))
         .agg(countDistinct(col("m")).as("n_surface_forms"),
           countDistinct(col("doc_id")).as("df_docs"),
           countDistinct(when(col("m") === col("stem"), col("doc_id")))
             .as("df_docs_raw"),
-          count(lit(1)).as("n_postings"))
+          sum(col("n")).as("n_postings"))
         .orderBy(col("stem"))
     },
     Some {
@@ -11506,6 +11512,77 @@ object CurationQueries {
            |SELECT k AS file_id, w AS width, h AS height, n_px,
            |  sum_r, sum_g, sum_b, true AS valid
            |FROM sm ORDER BY file_id""".stripMargin))
+
+  /** WARC -> HTTP EXTRACTION — the step after the census, where crawl
+    * bytes become corpus candidates: Common Crawl response payloads
+    * are HTTP/1.x MESSAGES, and a pipeline that stops at WARC framing
+    * still hasn't seen the document. Per response record:
+    * status code (the 200-only filter every crawl pipeline applies
+    * first), header count, and exact body stats — with the HTTP
+    * Content-Length header VERIFIED against the framed body (a forged
+    * header is how partial bodies slip into a corpus; mismatch rejects
+    * the file). Request records interleave as in real crawls and pass
+    * through uncounted. All columns recomputed in closed form by the
+    * oracle from the fixture scheme; malformed members/records/HTTP
+    * messages reject whole-file (ArchiveSpec).
+    *
+    * Scale: the parseAll narrow shape — per-file member walk + record
+    * framing + HTTP parse, rows out are response-sized; payload bytes
+    * never shuffle.
+    */
+  private val multimodalWarcHttp = Q(
+    (s, dir) => {
+      val base = scratchDir("warchttp")
+      val p = java.nio.file.Paths.get(base)
+      T(s, dir, "nation").select(col("n_nationkey")).collect() // 25-row dim
+        .foreach { r =>
+          val k = r.getInt(0)
+          java.nio.file.Files.write(p.resolve(f"wh_$k%02d.warc.gz"),
+            graft.operators.Multimodal.warcHttpBytes(k, 3 + (k % 4)))
+        }
+      val scanned = s.read.format("binaryFile").load(base)
+        .select(regexp_extract(col("path"), "wh_(\\d+)\\.", 1).cast("long")
+          .as("file_id"), col("content"))
+      import s.implicits._
+      val out = scanned.select(col("file_id"), col("content"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.flatMap { case (id, bytes) =>
+            graft.operators.Multimodal.warcHttpStats(bytes) match {
+              case Some(rows) => rows.map { case (i, st, nh, bb, bs) =>
+                (id, i, st, nh, bb, bs, true)
+              }
+              case None => Seq((id, 0L, 0L, 0L, 0L, 0L, false))
+            }
+          }
+        }
+        .toDF("file_id", "resp_idx", "status", "n_headers", "body_bytes",
+          "body_sum", "valid")
+        .orderBy(col("file_id"), col("resp_idx"))
+        .localCheckpoint(true)
+      scratchDelete(base)
+      out
+    },
+    Some("""WITH g AS (
+           |  SELECT cast(n_nationkey as bigint) AS k,
+           |    cast(3 + (n_nationkey % 4) as bigint) AS n
+           |  FROM nation
+           |), r AS (
+           |  SELECT k, unnest(generate_series(0, n - (n // 3) - 1)) AS i FROM g
+           |), b AS (
+           |  SELECT k, cast(i as bigint) AS i,
+           |    'body ' || i || ' of crawl ' || k || ' ' AS base
+           |  FROM r
+           |)
+           |SELECT k AS file_id, i AS resp_idx,
+           |  cast(CASE i % 3 WHEN 0 THEN 200 WHEN 1 THEN 404
+           |    ELSE 301 END as bigint) AS status,
+           |  cast(3 as bigint) AS n_headers,
+           |  cast(length(base) * (i + 1) as bigint) AS body_bytes,
+           |  cast(list_sum(list_transform(string_split(base, ''),
+           |    c -> ascii(c))) * (i + 1) as bigint) AS body_sum,
+           |  true AS valid
+           |FROM b ORDER BY file_id, resp_idx""".stripMargin))
 
   /** LZW-COMPRESSED TIFF decode — the dominant wild-TIFF compression
     * (tag 259 = 5): 25 fixtures cycle compression NONE/LZW on top of
@@ -15451,6 +15528,7 @@ object CurationQueries {
     "ns_multimodal_sniff_route" -> multimodalSniffRoute,
     "ns_multimodal_archive_census" -> multimodalArchiveCensus,
     "ns_multimodal_warc_census" -> multimodalWarcCensus,
+    "ns_multimodal_warc_http" -> multimodalWarcHttp,
     "ns_multimodal_tiff_lzw" -> multimodalTiffLzw,
     "ns_sim_maxsim_ivf" -> simMaxsimIvf,
     "ns_sim_maxsim_plaid" -> simMaxsimPlaid,

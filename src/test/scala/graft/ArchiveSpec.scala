@@ -167,6 +167,36 @@ class ArchiveSpec extends AnyFunSuite {
     assert(Multimodal.warcCensus(Array.emptyByteArray).isEmpty)
   }
 
+  test("WARC HTTP extraction parses status/headers/bodies; forged lengths reject") {
+    val b = Multimodal.warcHttpBytes(3, 7) // records 0..6; r%3==2 are requests
+    val Some(rows) = Multimodal.warcHttpStats(b)
+    assert(rows.length == 5) // 7 - 7/3 = 5 responses
+    for ((row, i) <- rows.zipWithIndex) {
+      val body = s"body $i of crawl 3 " * (i + 1)
+      val wantStatus = Seq(200L, 404L, 301L)(i % 3)
+      assert(row == ((i.toLong, wantStatus, 3L,
+        body.length.toLong, body.getBytes.map(_ & 0xff).map(_.toLong).sum)),
+        s"response $i: $row")
+    }
+    // a forged HTTP Content-Length (framed body unchanged) rejects the file
+    val gin = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(
+      Multimodal.warcHttpBytes(1, 1)))
+    val rec = new String(gin.readAllBytes(), java.nio.charset.StandardCharsets.US_ASCII)
+    // the SECOND Content-Length line is the HTTP header (the first is WARC's)
+    val idx = rec.indexOf("Content-Length", rec.indexOf("Content-Length") + 1)
+    val forged = rec.substring(0, idx) +
+      rec.substring(idx).replaceFirst("Content-Length: (\\d+)", "Content-Length: 2")
+    val rbos = new java.io.ByteArrayOutputStream()
+    val rgz = new java.util.zip.GZIPOutputStream(rbos)
+    rgz.write(forged.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    rgz.close()
+    assert(Multimodal.warcHttpStats(rbos.toByteArray).isEmpty)
+    // a non-HTTP response payload rejects
+    assert(Multimodal.warcHttpStats(Multimodal.warcBytes(2, 3)).isEmpty)
+    // truncation rejects like the census
+    assert(Multimodal.warcHttpStats(b.dropRight(12).toArray).isEmpty)
+  }
+
   test("a >= 65535-entry archive reads its count from the ZIP64 EOCD") {
     // the 16-bit EOCD total-entries field saturates at 0xFFFF; the JDK
     // writes the real count to the ZIP64 EOCD record — without the
