@@ -447,7 +447,12 @@ object ScaleProbe {
       "ns_sample_allocation",
       // r19: stemming = map-side CASE chains over the vocabulary-filtered
       // postings — expected postings-linear like the other FTS rows
-      "ns_text_fts_stemmed")
+      "ns_text_fts_stemmed",
+      // r19: b-bit audit = the band-bucket candidate stress axis (the
+      // agreement audit's minhash side) + two sig-table joins; the six
+      // widths fold from one inline pass, so growth should track the
+      // candidate volume
+      "ns_dedup_bbit_minhash")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected

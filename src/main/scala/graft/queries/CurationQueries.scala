@@ -6126,6 +6126,117 @@ object CurationQueries {
          |FROM agg""".stripMargin
     })
 
+  /** B-BIT MINHASH estimator audit (Li & Koenig) — the storage knob on
+    * the minhash signature nobody prices before turning: keeping only
+    * the lowest b bits of each of the 8 signature values shrinks the
+    * sketch 31/b-fold but inflates collisions, and the corrected
+    * estimator J_b = (match_frac - 2^-b) / (1 - 2^-b) trades variance
+    * for the space. Over the SAME band-bucket candidate pairs the
+    * production LSH emits, for b in {1, 2, 4, 8, 16, 31} (31 = the
+    * full-width baseline — signature values live in [0, 2^31-1)):
+    * mean |estimate - exact Jaccard| and the false-accept /
+    * false-reject counts at the production 0.5 threshold. All exact
+    * integers (match counts, the e6-scaled estimator as one `div`,
+    * `greatest(..., 0)` clamps the negative tail BEFORE the division
+    * so signed-div semantics never differ cross-engine).
+    *
+    * Scale: candidates band-keyed (never all-pairs); the signature
+    * attach is two doc-keyed joins against the checkpointed 8-column
+    * signature table; all six b-widths fold from ONE inline pass over
+    * the candidate rows — adding widths costs nothing corpus-sized.
+    */
+  private val dedupBbitMinhash = Q(
+    (s, dir) => {
+      val bs = Seq(1, 2, 4, 8, 16, 31)
+      val sigs = NorthStarQueries.minhashSigs(s, dir)
+        .localCheckpoint(true) // both sides of the pair attach
+      val bands = NorthStarQueries.minhashBands(s, dir)
+        .localCheckpoint(true)
+      val hs = TS(s, dir, "documents")
+        .select(col("doc_id"), expr(
+          s"array_distinct(${NorthStarQueries.hashedShinglesExpr})").as("hs"))
+        .localCheckpoint(true)
+      val cand = bands.select(col("doc_id").as("a"), col("band"), col("bkey"))
+        .join(bands.select(col("doc_id").as("b"), col("band"), col("bkey")),
+          Seq("band", "bkey"))
+        .where(col("a") < col("b"))
+        .select(col("a"), col("b")).distinct()
+      val withJ = cand
+        .join(hs.select(col("doc_id").as("a"), col("hs").as("ha")), Seq("a"))
+        .join(hs.select(col("doc_id").as("b"), col("hs").as("hb")), Seq("b"))
+        .withColumn("inter",
+          size(array_intersect(col("ha"), col("hb"))).cast("long"))
+        .withColumn("jacc_e6", expr(
+          "inter * 1000000 div (size(ha) + size(hb) - inter)"))
+        .drop("ha", "hb", "inter")
+      val aSig = (0 until 8).map(i => col(s"s$i").as(s"sa$i"))
+      val bSig = (0 until 8).map(i => col(s"s$i").as(s"sb$i"))
+      val withSig = withJ
+        .join(sigs.select((col("doc_id").as("a") +: aSig): _*), Seq("a"))
+        .join(sigs.select((col("doc_id").as("b") +: bSig): _*), Seq("b"))
+      val structs = bs.map { b =>
+        val pow = 1L << b
+        val m = (0 until 8)
+          .map(i => s"(CASE WHEN sa$i % $pow = sb$i % $pow THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"struct(cast($b as bigint) as b, cast($m as bigint) as m)"
+      }.mkString("inline(array(", ", ", "))")
+      withSig
+        .select(col("jacc_e6"), expr(structs))
+        .withColumn("est_e6", expr(
+          "greatest(m * shiftleft(1L, cast(b as int)) - 8, 0L) * 1000000 " +
+            "div (8 * (shiftleft(1L, cast(b as int)) - 1))"))
+        .groupBy(col("b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(abs(est_e6 - jacc_e6)) div count(1)").as("mean_abs_err_e6"),
+          sum(when(col("est_e6") >= 500000 && col("jacc_e6") < 500000, 1L)
+            .otherwise(0L)).as("n_false_accept"),
+          sum(when(col("est_e6") < 500000 && col("jacc_e6") >= 500000, 1L)
+            .otherwise(0L)).as("n_false_reject"))
+        .orderBy(col("b"))
+    },
+    Some {
+      val bRows = Seq(1, 2, 4, 8, 16, 31).map { b =>
+        val pow = 1L << b
+        val m = (0 until 8)
+          .map(i => s"(CASE WHEN x.s$i % $pow = y.s$i % $pow THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"SELECT p.a, p.b AS bdoc, p.jacc_e6, cast($b as bigint) AS b, " +
+          s"cast($m as bigint) AS m FROM pj p " +
+          "JOIN sig x ON x.doc_id = p.a JOIN sig y ON y.doc_id = p.b"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH ${NorthStarQueries.minhashBandsSqlCtes}, shl AS (
+         |  SELECT doc_id, list_distinct(${NorthStarQueries.hashedShinglesSql}) AS hs
+         |  FROM documents
+         |), cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+         |), pj AS (
+         |  SELECT c.a, c.b,
+         |    (len(list_intersect(ha.hs, hb.hs)) * 1000000)
+         |      // (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs)))
+         |      AS jacc_e6
+         |  FROM cand c JOIN shl ha ON ha.doc_id = c.a
+         |    JOIN shl hb ON hb.doc_id = c.b
+         |), bb AS (
+         |  $bRows
+         |), est AS (
+         |  SELECT b, jacc_e6,
+         |    (greatest(m * (1::bigint << b) - 8, 0) * 1000000)
+         |      // (8 * ((1::bigint << b) - 1)) AS est_e6
+         |  FROM bb
+         |)
+         |SELECT b, cast(count(*) as bigint) AS n_pairs,
+         |  cast(sum(abs(est_e6 - jacc_e6)) // count(*) as bigint)
+         |    AS mean_abs_err_e6,
+         |  cast(sum(CASE WHEN est_e6 >= 500000 AND jacc_e6 < 500000
+         |    THEN 1 ELSE 0 END) as bigint) AS n_false_accept,
+         |  cast(sum(CASE WHEN est_e6 < 500000 AND jacc_e6 >= 500000
+         |    THEN 1 ELSE 0 END) as bigint) AS n_false_reject
+         |FROM est GROUP BY b ORDER BY b""".stripMargin
+    })
+
   /** DEDUP METHOD AGREEMENT, set-similarity vs SEMANTIC — the
     * [[dedupAgreement]] frame generalized to the read that prices
     * semantic dedup before enabling it: MinHash-LSH (band-bucket
@@ -15574,6 +15685,7 @@ object CurationQueries {
     "ns_text_nfc_audit" -> textNfcAudit,
     "ns_dedup_agreement" -> dedupAgreement,
     "ns_dedup_agreement_semantic" -> dedupAgreementSemantic,
+    "ns_dedup_bbit_minhash" -> dedupBbitMinhash,
     "ns_sample_gumbel_topk" -> sampleGumbelTopk,
     "ns_text_entropy_rate" -> textEntropyRate,
     "ns_text_trigram_match" -> textTrigramMatch,
