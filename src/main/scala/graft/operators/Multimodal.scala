@@ -1230,6 +1230,51 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** DATA-URI image extraction from TEXT — the crawl-text-to-multimodal
+    * bridge: HTML in a web corpus embeds images inline as
+    * `data:image/<fmt>;base64,...`, and a pipeline that only routes
+    * binary FILES never sees them. Finds every base64 image data URI
+    * in a document, decodes the payload (strict RFC 4648 — bad
+    * alphabet/padding counts as invalid, never a partial image),
+    * routes the bytes by MAGIC (the declared media type is untrusted
+    * input and is deliberately ignored, exactly like file extensions),
+    * and folds real decode stats: PNGs through the canonical-RGB path
+    * (pixel count + channel sums), GIFs through the real LZW decode
+    * (pixel count). Returns (nUris, nDecoded, nPng, nGif, nInvalid,
+    * nPx, sumR, sumG, sumB); URIs whose payload fails its decoder land
+    * in nInvalid.
+    */
+  def dataUriImageStats(text: String): (Long, Long, Long, Long, Long, Long, Long, Long, Long) = {
+    val re = "data:image/[a-z]+;base64,([A-Za-z0-9+/=]+)".r
+    var nUris = 0L; var nDecoded = 0L; var nPng = 0L; var nGif = 0L
+    var nInvalid = 0L; var nPx = 0L
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    re.findAllMatchIn(text).foreach { m =>
+      nUris += 1
+      val payload =
+        try Some(java.util.Base64.getDecoder.decode(m.group(1)))
+        catch { case _: IllegalArgumentException => None }
+      payload match {
+        case None => nInvalid += 1
+        case Some(bytes) => sniffKind(bytes) match {
+          case "png" => pngPixelStats(bytes) match {
+            case Some((w, h, r, g, bl)) =>
+              nDecoded += 1; nPng += 1; nPx += w * h
+              sumR += r; sumG += g; sumB += bl
+            case None => nInvalid += 1
+          }
+          case "gif" => gifIndexStats(bytes) match {
+            case Some((_, _, px, _, _, _)) =>
+              nDecoded += 1; nGif += 1; nPx += px
+            case None => nInvalid += 1
+          }
+          case _ => nInvalid += 1
+        }
+      }
+    }
+    (nUris, nDecoded, nPng, nGif, nInvalid, nPx, sumR, sumG, sumB)
+  }
+
   /** MAGIC-BYTE format router — the ingest front door a mixed binary
     * corpus goes through before any decoder runs: sniff the container
     * by signature (PNG 8-byte sig; GIF87a/89a; JPEG SOI; RIFF/WAVE

@@ -11695,6 +11695,99 @@ object CurationQueries {
            |  true AS valid
            |FROM b ORDER BY file_id, resp_idx""".stripMargin))
 
+  /** DATA-URI image extraction — the crawl-text-to-multimodal bridge:
+    * web corpora embed images INLINE as `data:image/<fmt>;base64,...`,
+    * invisible to any pipeline that only routes binary files. Per
+    * document: URIs found, payloads base64-decoded (strict — a bad
+    * alphabet/padding is an invalid URI, never a partial image),
+    * routed by MAGIC (the declared media type is untrusted and
+    * ignored, like file extensions), PNGs really decoded through the
+    * canonical-RGB path (pixel + channel sums), GIFs through the real
+    * LZW decode (pixel count); junk payloads land in n_invalid. The
+    * fixture plants gradient PNGs, real-LZW GIFs, and a
+    * decodes-but-isn't-an-image URI per schedule, so extraction,
+    * strictness, magic routing, and both decoders are all under the
+    * closed-form oracle.
+    *
+    * Scale: one narrow mapPartitions pass (regex + base64 + decode per
+    * row — the multimodal codec shape over TEXT); 9 longs per doc
+    * leave the map side, document bodies never shuffle.
+    */
+  private val multimodalDataUri = Q(
+    (s, dir) => {
+      val base = scratchDir("datauri")
+      import s.implicits._
+      val enc = java.util.Base64.getEncoder
+      val docs = T(s, dir, "nation").select(col("n_nationkey")).collect()
+        .map { r =>
+          val k = r.getInt(0)
+          val sb = new StringBuilder(s"doc $k opens with plain words ")
+          val nPng = 1 + k % 3
+          for (i <- 0 until nPng) {
+            val png = graft.operators.Multimodal
+              .pngGradientBytes(8 + ((k + i) % 5), 6 + (i % 3))
+            sb.append(s"<img src=data:image/png;base64,${enc.encodeToString(png)}> ")
+          }
+          if (k % 2 == 0) {
+            val gif = graft.operators.Multimodal.gifPatternBytes(8 + k % 4, 5)
+            sb.append(s"<img src=data:image/gif;base64,${enc.encodeToString(gif)}> ")
+          }
+          if (k % 4 == 0)
+            sb.append("and a liar: data:image/png;base64,QUJDRA== ")
+          sb.append("closing words.")
+          (k.toLong, sb.toString)
+        }.toSeq
+      docs.toDF("file_id", "text")
+        .write.mode("overwrite").parquet(base)
+      val out = s.read.parquet(base)
+        .select(col("file_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            val (u, d, p, g, inv, px, r, gg, b) =
+              graft.operators.Multimodal.dataUriImageStats(text)
+            (id, u, d, p, g, inv, px, r, gg, b)
+          }
+        }
+        .toDF("file_id", "n_uris", "n_decoded", "n_png", "n_gif",
+          "n_invalid", "n_px", "sum_r", "sum_g", "sum_b")
+        .orderBy(col("file_id"))
+        .localCheckpoint(true)
+      scratchDelete(base)
+      out
+    },
+    Some("""WITH g AS (
+           |  SELECT cast(n_nationkey as bigint) AS k,
+           |    cast(1 + n_nationkey % 3 as bigint) AS n_png,
+           |    cast(CASE WHEN n_nationkey % 2 = 0 THEN 1 ELSE 0 END as bigint)
+           |      AS n_gif,
+           |    cast(CASE WHEN n_nationkey % 4 = 0 THEN 1 ELSE 0 END as bigint)
+           |      AS n_bad
+           |  FROM nation
+           |), pimg AS (
+           |  SELECT k, unnest(generate_series(0, n_png - 1)) AS i FROM g
+           |), pdim AS (
+           |  SELECT k, i, 8 + ((k + i) % 5) AS w, 6 + (i % 3) AS h FROM pimg
+           |), px AS (
+           |  SELECT k, i, w, h, unnest(generate_series(0, w - 1)) AS x FROM pdim
+           |), pxy AS (
+           |  SELECT k, i, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM px
+           |), psum AS (
+           |  SELECT k, cast(count(*) as bigint) AS n_px,
+           |    cast(sum((7 * x + 3 * y) % 256) as bigint) AS sum_r,
+           |    cast(sum((x + 2 * y) % 256) as bigint) AS sum_g,
+           |    cast(sum((5 * x + y) % 256) as bigint) AS sum_b
+           |  FROM pxy GROUP BY k
+           |)
+           |SELECT g.k AS file_id,
+           |  g.n_png + g.n_gif + g.n_bad AS n_uris,
+           |  g.n_png + g.n_gif AS n_decoded,
+           |  g.n_png, g.n_gif, g.n_bad AS n_invalid,
+           |  psum.n_px + g.n_gif * (8 + g.k % 4) * 5 AS n_px,
+           |  psum.sum_r, psum.sum_g, psum.sum_b
+           |FROM g JOIN psum ON psum.k = g.k
+           |ORDER BY file_id""".stripMargin))
+
   /** LZW-COMPRESSED TIFF decode — the dominant wild-TIFF compression
     * (tag 259 = 5): 25 fixtures cycle compression NONE/LZW on top of
     * the baseline tier's axes (both byte orders, gray/RGB,
@@ -15641,6 +15734,7 @@ object CurationQueries {
     "ns_multimodal_warc_census" -> multimodalWarcCensus,
     "ns_multimodal_warc_http" -> multimodalWarcHttp,
     "ns_multimodal_tiff_lzw" -> multimodalTiffLzw,
+    "ns_multimodal_data_uri" -> multimodalDataUri,
     "ns_sim_maxsim_ivf" -> simMaxsimIvf,
     "ns_sim_maxsim_plaid" -> simMaxsimPlaid,
     "ns_sim_plaid_curve" -> simPlaidCurve,

@@ -304,6 +304,33 @@ class PngDecodeSpec extends AnyFunSuite {
       !Multimodal.sniffValid("png", corrupt))
   }
 
+  test("data-URI extraction routes by magic, rejects bad base64 and junk") {
+    val enc = java.util.Base64.getEncoder
+    val png = Multimodal.pngGradientBytes(8, 6)
+    val gif = Multimodal.gifPatternBytes(8, 5)
+    val px = (for (y <- 0 until 6; x <- 0 until 8) yield (x, y))
+    val text = "words " +
+      s"data:image/png;base64,${enc.encodeToString(png)} more " +
+      // the declared type LIES (says png, payload is GIF): magic wins
+      s"data:image/png;base64,${enc.encodeToString(gif)} " +
+      "data:image/png;base64,QUJDRA== " + // decodes to 'ABCD': junk
+      "data:image/png;base64,QQ=Q " + // '=' mid-stream: strict decode rejects
+      "data:application/json;base64,e30= tail" // non-image scheme: not a URI hit
+    val (u, d, p, g, inv, npx, r, gg, b) = Multimodal.dataUriImageStats(text)
+    assert(u == 4L && d == 2L && p == 1L && g == 1L && inv == 2L)
+    assert(npx == 8L * 6 + 8L * 5)
+    assert(r == px.map { case (x, y) => (7 * x + 3 * y) % 256 }.sum)
+    assert(gg == px.map { case (x, y) => (x + 2 * y) % 256 }.sum)
+    assert(b == px.map { case (x, y) => (5 * x + y) % 256 }.sum)
+    // a TRUNCATED png payload inside a valid base64 wrapper is invalid,
+    // never a partial decode
+    val cut = s"data:image/png;base64,${enc.encodeToString(png.take(30))}"
+    assert(Multimodal.dataUriImageStats(cut) ==
+      ((1L, 0L, 0L, 0L, 1L, 0L, 0L, 0L, 0L)))
+    assert(Multimodal.dataUriImageStats("no uris here at all") ==
+      ((0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
   test("unsupported containers reject, never mis-decode") {
     val good = Multimodal.pngPaletteBytes(16, 10)
     assert(Multimodal.pngDecodeRgb("not a png".getBytes).isEmpty)
