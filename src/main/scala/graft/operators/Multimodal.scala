@@ -1012,12 +1012,16 @@ object Multimodal {
   /** HTTP extraction from WARC RESPONSE records — the inner structure
     * Common Crawl response payloads actually carry (an HTTP/1.x
     * message: status line, header block, body): per response record,
-    * the status code, header count, declared Content-Length (verified
-    * against the actual body length — a mismatch rejects the file),
-    * and exact body byte stats. Non-response records pass through
-    * uncounted (request/metadata records are census material, not
-    * corpus text). None on any malformed member, record, or HTTP
-    * message — whole-file reject.
+    * the status code, header count, and exact body byte stats, under
+    * BOTH wire framings crawl archives contain — Content-Length
+    * (VERIFIED against the framed body; a forged header rejects the
+    * file) and `Transfer-Encoding: chunked` (RFC 7230 hex-size chunk
+    * walk, required to consume the record payload exactly; body stats
+    * are over the DE-CHUNKED bytes, so they are framing-invariant).
+    * A message declaring both framings is ambiguous and rejects.
+    * Non-response records pass through uncounted (request/metadata
+    * records are census material, not corpus text). None on any
+    * malformed member, record, or HTTP message — whole-file reject.
     */
   def warcHttpStats(b: Array[Byte]): Option[Vector[(Long, Long, Long, Long, Long)]] =
     try warcHttpStatsImpl(b)
@@ -1053,6 +1057,7 @@ object Multimodal {
         var q = se + 2
         var nHeaders = 0L
         var declared = -1L
+        var chunked = false
         var headersDone = false
         while (!headersDone) {
           val he = lineEnd(q)
@@ -1062,21 +1067,60 @@ object Multimodal {
             val line = new String(w, q, he - q, java.nio.charset.StandardCharsets.US_ASCII)
             val colon = line.indexOf(':')
             if (colon <= 0) return None
-            if (line.substring(0, colon).trim.equalsIgnoreCase("Content-Length"))
+            val hname = line.substring(0, colon).trim
+            if (hname.equalsIgnoreCase("Content-Length"))
               declared = java.lang.Long.parseLong(line.substring(colon + 1).trim)
+            if (hname.equalsIgnoreCase("Transfer-Encoding") &&
+              line.substring(colon + 1).trim.equalsIgnoreCase("chunked"))
+              chunked = true
             nHeaders += 1
             q = he + 2
           }
         }
-        val bodyLen = off + len - q
-        if (bodyLen < 0) return None
-        // the declared HTTP length must match the framed body exactly —
-        // a forged header is how a partial/overlong body slips through
-        if (declared >= 0 && declared != bodyLen) return None
+        if (chunked && declared >= 0) return None // ambiguous framing
+        var bodyLen = 0L
         var s = 0L
-        var i = 0
-        while (i < bodyLen) { s += w(q + i) & 0xff; i += 1 }
-        out += ((respIdx, code, nHeaders, bodyLen.toLong, s))
+        if (chunked) {
+          // RFC 7230 chunked framing: hex size line, chunk, CRLF,
+          // repeated; the 0 chunk then a final CRLF (no trailers in
+          // crawl archives); the chunk stream must consume the framed
+          // record payload EXACTLY — never a partial body
+          var p = q
+          var zero = false
+          while (!zero) {
+            val he = lineEnd(p)
+            if (he < 0) return None
+            val sizeStr = new String(w, p, he - p, java.nio.charset.StandardCharsets.US_ASCII)
+            if (sizeStr.isEmpty || !sizeStr.forall(c => Character.digit(c, 16) >= 0))
+              return None
+            val csize = java.lang.Long.parseLong(sizeStr, 16)
+            p = he + 2
+            if (csize == 0) {
+              if (!(p + 1 < off + len && w(p) == '\r' && w(p + 1) == '\n'))
+                return None
+              p += 2
+              zero = true
+            } else {
+              if (p + csize + 2 > off + len) return None
+              var i = 0L
+              while (i < csize) { s += w(p + i.toInt) & 0xff; i += 1 }
+              bodyLen += csize
+              p += csize.toInt
+              if (!(w(p) == '\r' && w(p + 1) == '\n')) return None
+              p += 2
+            }
+          }
+          if (p != off + len) return None // trailing bytes after the 0 chunk
+        } else {
+          bodyLen = off + len - q
+          if (bodyLen < 0) return None
+          // the declared HTTP length must match the framed body exactly —
+          // a forged header is how a partial/overlong body slips through
+          if (declared >= 0 && declared != bodyLen) return None
+          var i = 0L
+          while (i < bodyLen) { s += w(q + i.toInt) & 0xff; i += 1 }
+        }
+        out += ((respIdx, code, nHeaders, bodyLen, s))
         respIdx += 1
       }
     }
@@ -1106,13 +1150,39 @@ object Multimodal {
             case 1 => "404 Not Found"
             case _ => "301 Moved Permanently"
           }
+          // every fourth response ships Transfer-Encoding: chunked (the
+          // other HTTP framing crawl archives really contain): same
+          // de-chunked body, so the closed-form body oracle is invariant
+          // to the wire framing — which is itself the check
+          val chunked = resp % 4 == 3
+          val wire: Array[Byte] =
+            if (!chunked) body
+            else {
+              val cb = new java.io.ByteArrayOutputStream()
+              var o = 0
+              var ci = 0
+              while (o < body.length) {
+                val n = math.min(3 + (ci % 5), body.length - o)
+                cb.write(java.lang.Long.toHexString(n.toLong)
+                  .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+                cb.write('\r'); cb.write('\n')
+                cb.write(body, o, n)
+                cb.write('\r'); cb.write('\n')
+                o += n
+                ci += 1
+              }
+              cb.write('0'); cb.write('\r'); cb.write('\n')
+              cb.write('\r'); cb.write('\n')
+              cb.toByteArray
+            }
           val hdr = s"HTTP/1.1 $code\r\n" +
             "Content-Type: text/plain\r\n" +
-            s"Content-Length: ${body.length}\r\n" +
+            (if (chunked) "Transfer-Encoding: chunked\r\n"
+             else s"Content-Length: ${body.length}\r\n") +
             s"X-Crawl: $tag\r\n" +
             "\r\n"
           resp += 1
-          hdr.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ body
+          hdr.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ wire
         }
       val typ = if (isReq) "request" else "response"
       val rec = new java.io.ByteArrayOutputStream()

@@ -11629,13 +11629,18 @@ object CurationQueries {
     * are HTTP/1.x MESSAGES, and a pipeline that stops at WARC framing
     * still hasn't seen the document. Per response record:
     * status code (the 200-only filter every crawl pipeline applies
-    * first), header count, and exact body stats — with the HTTP
-    * Content-Length header VERIFIED against the framed body (a forged
-    * header is how partial bodies slip into a corpus; mismatch rejects
-    * the file). Request records interleave as in real crawls and pass
+    * first), header count, and exact body stats — under BOTH wire
+    * framings crawl archives contain: Content-Length (VERIFIED against
+    * the framed body — a forged header is how partial bodies slip into
+    * a corpus; mismatch rejects the file) and `Transfer-Encoding:
+    * chunked` (the RFC 7230 hex-size chunk walk, required to consume
+    * the record exactly; body stats are over the DE-CHUNKED bytes, so
+    * the closed-form oracle is framing-INVARIANT — which is itself the
+    * check; a message declaring both framings is ambiguous and
+    * rejects). Request records interleave as in real crawls and pass
     * through uncounted. All columns recomputed in closed form by the
     * oracle from the fixture scheme; malformed members/records/HTTP
-    * messages reject whole-file (ArchiveSpec).
+    * messages/chunk streams reject whole-file (ArchiveSpec).
     *
     * Scale: the parseAll narrow shape — per-file member walk + record
     * framing + HTTP parse, rows out are response-sized; payload bytes

@@ -197,6 +197,59 @@ class ArchiveSpec extends AnyFunSuite {
     assert(Multimodal.warcHttpStats(b.dropRight(12).toArray).isEmpty)
   }
 
+  test("chunked transfer-encoding de-chunks to framing-invariant body stats") {
+    // 7 responses: resp 3 is chunked (resp % 4 == 3) — the closed-form
+    // row tuples are IDENTICAL to the Content-Length framing's, which is
+    // the invariance under test (plus real multi-chunk walking: bodies
+    // split at 3..7-byte boundaries)
+    val b = Multimodal.warcHttpBytes(4, 11) // 8 responses; resp 3 and 7 chunked
+    val Some(rows) = Multimodal.warcHttpStats(b)
+    assert(rows.length == 8)
+    for ((row, i) <- rows.zipWithIndex) {
+      val body = s"body $i of crawl 4 " * (i + 1)
+      assert(row == ((i.toLong, Seq(200L, 404L, 301L)(i % 3), 3L,
+        body.length.toLong, body.getBytes.map(_ & 0xff).map(_.toLong).sum)),
+        s"response $i: $row")
+    }
+    // malformed chunk streams reject whole-file: rebuild resp-3's record
+    // with (a) a corrupted hex size line, (b) trailing bytes after the
+    // 0 chunk — both must land in None, never a partial body
+    def rezip(rec: String): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(o)
+      gz.write(rec.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      gz.close()
+      o.toByteArray
+    }
+    val one = Multimodal.warcHttpBytes(9, 4) // responses 0,1,3(req),... resp idx 3 absent; use 7 records
+    val seven = Multimodal.warcHttpBytes(9, 7)
+    val gin = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(seven))
+    val all = new String(gin.readAllBytes(), java.nio.charset.StandardCharsets.US_ASCII)
+    assert(all.contains("Transfer-Encoding: chunked"))
+    val recStart = all.lastIndexOf("WARC/1.0", all.indexOf("Transfer-Encoding: chunked"))
+    val recEnd = all.indexOf("WARC/1.0", recStart + 1) match {
+      case -1 => all.length
+      case x => x
+    }
+    val chunkedRec = all.substring(recStart, recEnd)
+    // (a) corrupt the first hex size digit to a non-hex char (it sits
+    // after the SECOND CRLFCRLF: WARC headers, then HTTP headers); the
+    // WARC Content-Length is unchanged so only the chunk grammar objects
+    val hexAt = chunkedRec.indexOf("\r\n\r\n",
+      chunkedRec.indexOf("\r\n\r\n") + 4) + 4
+    val badHex = chunkedRec.substring(0, hexAt) + "x" + chunkedRec.substring(hexAt + 1)
+    assert(Multimodal.warcHttpStats(rezip(badHex)).isEmpty)
+    // (b) ambiguous framing: add a Content-Length beside the chunked TE
+    // (WARC's own record length re-fixed so only the HTTP layer objects)
+    val amb = chunkedRec.replaceFirst("Transfer-Encoding: chunked",
+      "Transfer-Encoding: chunked\r\nContent-Length: 5")
+    val oldLen = "Content-Length: (\\d+)".r.findFirstMatchIn(chunkedRec).get.group(1).toInt
+    val amb2 = amb.replaceFirst(s"Content-Length: $oldLen",
+      s"Content-Length: ${oldLen + (amb.length - chunkedRec.length)}")
+    assert(Multimodal.warcHttpStats(rezip(amb2)).isEmpty)
+    assert(one.nonEmpty) // silence unused warning
+  }
+
   test("a >= 65535-entry archive reads its count from the ZIP64 EOCD") {
     // the 16-bit EOCD total-entries field saturates at 0xFFFF; the JDK
     // writes the real count to the ZIP64 EOCD record — without the
