@@ -2117,7 +2117,8 @@ object Multimodal {
     * one IDAT with `raw` (filter-prefixed scanlines) deflated at
     * `level`, IEND. */
   private def pngContainer(width: Int, height: Int, colorType: Int,
-      raw: Array[Byte], plte: Array[Byte], level: Int): Array[Byte] = {
+      raw: Array[Byte], plte: Array[Byte], level: Int,
+      trns: Array[Byte] = null): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
     def chunk(typ: String, data: Array[Byte]): Unit = {
@@ -2136,6 +2137,7 @@ object Multimodal {
       .array()
     chunk("IHDR", ihdr)
     if (plte != null) chunk("PLTE", plte)
+    if (trns != null) chunk("tRNS", trns)
     val deflater = new java.util.zip.Deflater(level)
     deflater.setInput(raw); deflater.finish()
     val buf = new Array[Byte](raw.length + 128)
@@ -2211,6 +2213,27 @@ object Multimodal {
       y += 1
     }
     pngContainer(width, height, 2, raw, null, level)
+  }
+
+  /** PALETTE PNG with a tRNS per-index alpha table — the third alpha
+    * form real web PNGs carry (beside colorTypes 6/4): same pixel
+    * pattern as [[pngPaletteBytes]], alpha(idx) = (5*idx + 7) mod 256
+    * over the full 256-entry table — both channels closed-form. */
+  def pngPaletteTrnsBytes(width: Int, height: Int, level: Int = 6): Array[Byte] = {
+    val raw = new Array[Byte](height * (1 + width))
+    var y = 0
+    while (y < height) {
+      val rowOff = y * (1 + width)
+      raw(rowOff) = 0
+      var x = 0
+      while (x < width) {
+        raw(rowOff + 1 + x) = paletteIdx(x, y).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val trns = Array.tabulate(256)(i => ((5 * i + 7) % 256).toByte)
+    pngContainer(width, height, 3, raw, fixturePlte, level, trns)
   }
 
   /** Fully-OPAQUE RGBA re-encode (colorType 6, alpha = 255) of the SAME
@@ -2454,6 +2477,7 @@ object Multimodal {
     // walk chunks: concatenate IDAT payloads, capture PLTE
     val idat = new java.io.ByteArrayOutputStream()
     var plte: Array[Byte] = null
+    var trns: Array[Byte] = null
     var pos = 33 // after IHDR chunk (8 sig + 4 len + 4 type + 13 + 4 crc)
     while (pos + 8 <= b.length) {
       val size = be32(b, pos).toInt
@@ -2464,11 +2488,18 @@ object Multimodal {
       val typ = new String(b, pos + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
       if (typ == "IDAT") idat.write(b, pos + 8, size)
       if (typ == "PLTE") plte = java.util.Arrays.copyOfRange(b, pos + 8, pos + 8 + size)
+      if (typ == "tRNS") trns = java.util.Arrays.copyOfRange(b, pos + 8, pos + 8 + size)
       if (typ == "IEND") pos = b.length
       else pos += 12 + size
     }
     if (colorType == 3 &&
       (plte == null || plte.length == 0 || plte.length % 3 != 0)) return None
+    // tRNS on a PALETTE image is a per-index alpha table (entries past
+    // its end are opaque per spec); on gray/truecolor it is a COLOR-KEY
+    // whose chroma-key semantics this decoder does not implement —
+    // reject rather than silently decode a keyed image as opaque
+    if (trns != null && colorType != 3) return None
+    if (trns != null && trns.length > 256) return None
     val nPalette = if (plte == null) 0 else plte.length / 3
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(idat.toByteArray)
@@ -2528,6 +2559,7 @@ object Multimodal {
             rgb(o) = plte(3 * idx)
             rgb(o + 1) = plte(3 * idx + 1)
             rgb(o + 2) = plte(3 * idx + 2)
+            if (trns != null && idx < trns.length) alpha(y * w + x) = trns(idx)
           case 4 =>
             val g = cur(2 * x)
             rgb(o) = g; rgb(o + 1) = g; rgb(o + 2) = g

@@ -11221,20 +11221,24 @@ object CurationQueries {
            |  sum_r, sum_g, sum_b, true AS valid
            |FROM sm ORDER BY file_id""".stripMargin))
 
-  /** PNG ALPHA tiers (colorTypes 6 RGBA and 4 gray+alpha) — the
-    * largest share of real web PNGs, previously the reject row's main
-    * occupant: 25 fixtures cycle RGBA-translucent / RGBA-opaque /
-    * gray+alpha-translucent / gray+alpha-opaque, and
+  /** PNG ALPHA tiers (colorTypes 6 RGBA, 4 gray+alpha, and PALETTE
+    * with a tRNS per-index alpha table) — the largest share of real
+    * web PNGs, previously the reject row's main occupant: 25 fixtures
+    * cycle RGBA-translucent / RGBA-opaque / gray+alpha-translucent /
+    * gray+alpha-opaque / palette+tRNS, and
     * [[graft.operators.Multimodal.pngRgbaStats]] folds color to the
     * canonical RGB stream while the alpha plane reports its exact sum
     * and non-opaque pixel count — the routing numbers a
     * transparency-aware curation gate reads. The alpha planes are
-    * closed-form ((3x+5y) mod 256 translucent, constant 255 opaque),
-    * so the oracle recomputes every column; PngDecodeSpec cross-checks
-    * both color types against the JDK's ImageIO decode per channel
-    * INCLUDING alpha, and proves a fully-opaque RGBA re-encode shares
-    * its RGB twin's pixel sha while a translucent variant does not.
-    * Adam7 interlace remains a spec'd reject.
+    * closed-form ((3x+5y) mod 256 translucent, constant 255 opaque,
+    * (5·idx+7) mod 256 through the tRNS table), so the oracle
+    * recomputes every column; PngDecodeSpec cross-checks the color
+    * types against the JDK's ImageIO decode per channel INCLUDING
+    * alpha, and proves a fully-opaque RGBA re-encode shares its RGB
+    * twin's pixel sha while a translucent variant does not. A tRNS on
+    * a gray/truecolor image is a COLOR KEY this decoder does not
+    * implement — spec'd reject, never an opaque mis-decode; Adam7
+    * interlace likewise stays rejected.
     *
     * Scale: the parseAll narrow shape — one partition-mapped decode,
     * no shuffle.
@@ -11247,11 +11251,12 @@ object CurationQueries {
         .foreach { r =>
           val k = r.getInt(0)
           val (w, h) = (16 + k, 10 + (k % 7))
-          val bytes = (k % 4) match {
+          val bytes = (k % 5) match {
             case 0 => graft.operators.Multimodal.pngRgbaBytes(w, h, translucent = true)
             case 1 => graft.operators.Multimodal.pngRgbaBytes(w, h, translucent = false)
             case 2 => graft.operators.Multimodal.pngGrayAlphaBytes(w, h, translucent = true)
-            case _ => graft.operators.Multimodal.pngGrayAlphaBytes(w, h, translucent = false)
+            case 3 => graft.operators.Multimodal.pngGrayAlphaBytes(w, h, translucent = false)
+            case _ => graft.operators.Multimodal.pngPaletteTrnsBytes(w, h)
           }
           java.nio.file.Files.write(p.resolve(f"a_$k%02d.png"), bytes)
         }
@@ -11288,13 +11293,17 @@ object CurationQueries {
            |  SELECT k, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs
            |), px AS (
            |  SELECT k, w, h,
-           |    CASE WHEN k % 4 IN (0, 1) THEN (7 * x + 3 * y) % 256
+           |    CASE WHEN k % 5 IN (0, 1) THEN (7 * x + 3 * y) % 256
+           |         WHEN k % 5 = 4 THEN (3 * x + 5 * y) % 256
            |         ELSE (3 * x + 7 * y) % 256 END AS r,
-           |    CASE WHEN k % 4 IN (0, 1) THEN (x + 2 * y) % 256
+           |    CASE WHEN k % 5 IN (0, 1) THEN (x + 2 * y) % 256
+           |         WHEN k % 5 = 4 THEN (2 * ((3 * x + 5 * y) % 256) + 11) % 256
            |         ELSE (3 * x + 7 * y) % 256 END AS gg,
-           |    CASE WHEN k % 4 IN (0, 1) THEN (5 * x + y) % 256
+           |    CASE WHEN k % 5 IN (0, 1) THEN (5 * x + y) % 256
+           |         WHEN k % 5 = 4 THEN (7 * ((3 * x + 5 * y) % 256) + 3) % 256
            |         ELSE (3 * x + 7 * y) % 256 END AS bb,
-           |    CASE WHEN k % 4 IN (0, 2) THEN (3 * x + 5 * y) % 256
+           |    CASE WHEN k % 5 IN (0, 2) THEN (3 * x + 5 * y) % 256
+           |         WHEN k % 5 = 4 THEN (5 * ((3 * x + 5 * y) % 256) + 7) % 256
            |         ELSE 255 END AS a
            |  FROM ps
            |), sm AS (
