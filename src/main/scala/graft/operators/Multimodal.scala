@@ -2215,6 +2215,61 @@ object Multimodal {
     pngContainer(width, height, 2, raw, null, level)
   }
 
+  /** ADAM7-INTERLACED truecolor PNG carrying the SAME gradient as
+    * [[pngGradientBytes]]: pixels re-ordered into the spec's seven
+    * passes, each pass an independently filtered sub-image whose rows
+    * ALTERNATE filter types 0/2 (Up) — so a decoder that forgets the
+    * per-pass prior-row reset, mis-sizes an empty pass, or maps a pass
+    * offset wrong corrupts pixels and hash-fails against the unchanged
+    * closed form. */
+  def pngInterlacedGradientBytes(width: Int, height: Int): Array[Byte] = {
+    val passes = Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val out = new java.io.ByteArrayOutputStream()
+    passes.foreach { case (xs, ys, xst, yst) =>
+      val wp = math.max(0, (width - xs + xst - 1) / xst)
+      val hp = math.max(0, (height - ys + yst - 1) / yst)
+      if (wp > 0 && hp > 0) {
+        val rowBytes = wp * 3
+        val prior = new Array[Int](rowBytes)
+        var j = 0
+        while (j < hp) {
+          val cur = new Array[Int](rowBytes)
+          var x = 0
+          while (x < wp) {
+            val px = xs + x * xst
+            val py = ys + j * yst
+            cur(3 * x) = (7 * px + 3 * py) % 256
+            cur(3 * x + 1) = (px + 2 * py) % 256
+            cur(3 * x + 2) = (5 * px + py) % 256
+            x += 1
+          }
+          val f = j % 2 * 2 // rows alternate None / Up
+          out.write(f)
+          var i = 0
+          while (i < rowBytes) {
+            out.write(if (f == 0) cur(i) else (cur(i) - prior(i)) & 0xff)
+            i += 1
+          }
+          System.arraycopy(cur, 0, prior, 0, rowBytes)
+          j += 1
+        }
+      }
+    }
+    val raw = out.toByteArray
+    // pngContainer deflates `raw` as the IDAT payload; write the IHDR
+    // interlace flag afterwards (byte 28 of the container, inside IHDR)
+    val png = pngContainer(width, height, 2, raw, null, 6)
+    png(28) = 1
+    // fix the IHDR CRC for the flipped interlace byte (chunk body = type
+    // + 13 data bytes at offsets 12..28)
+    val crc = new java.util.zip.CRC32()
+    crc.update(png, 12, 17)
+    val bb = java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array()
+    System.arraycopy(bb, 0, png, 29, 4)
+    png
+  }
+
   /** PALETTE PNG with a tRNS per-index alpha table — the third alpha
     * form real web PNGs carry (beside colorTypes 6/4): same pixel
     * pattern as [[pngPaletteBytes]], alpha(idx) = (5*idx + 7) mod 256
@@ -2464,7 +2519,7 @@ object Multimodal {
     val bitDepth = b(24) & 0xff
     val colorType = b(25) & 0xff
     val interlace = b(28) & 0xff
-    if (bitDepth != 8 || interlace != 0) return None
+    if (bitDepth != 8 || (interlace != 0 && interlace != 1)) return None
     val bpp = colorType match {
       case 0 => 1 // grayscale
       case 2 => 3 // truecolor
@@ -2501,9 +2556,24 @@ object Multimodal {
     if (trns != null && colorType != 3) return None
     if (trns != null && trns.length > 256) return None
     val nPalette = if (plte == null) 0 else plte.length / 3
+    // pass geometry: (xStart, yStart, xStep, yStep) — interlace 0 is one
+    // full-frame pass; interlace 1 is the spec's seven Adam7 passes, each
+    // an INDEPENDENTLY FILTERED sub-image (prior-row state resets per
+    // pass; passes that are empty at this geometry contribute no bytes)
+    val passes: Array[(Int, Int, Int, Int)] =
+      if (interlace == 0) Array((0, 0, 1, 1))
+      else Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val dims = passes.map { case (xs, ys, xst, yst) =>
+      (math.max(0, (w - xs + xst - 1) / xst),
+        math.max(0, (h - ys + yst - 1) / yst))
+    }
+    val rawLen = dims.map { case (wp, hp) =>
+      if (wp == 0 || hp == 0) 0 else hp * (1 + wp * bpp)
+    }.sum
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(idat.toByteArray)
-    val raw = new Array[Byte](h * (1 + w * bpp))
+    val raw = new Array[Byte](rawLen)
     val got = try inflater.inflate(raw) finally inflater.end()
     if (got != raw.length) return None
     val rgb = new Array[Byte](w * h * 3)
@@ -2513,67 +2583,80 @@ object Multimodal {
     // per-row adaptive unfiltering (the full filter grammar 0-4: None /
     // Sub / Up / Average / Paeth, reconstructed per the PNG spec §9 —
     // a=left, b=above, c=upper-left, all already-reconstructed bytes)
-    val rowBytes = w * bpp
-    val prior = new Array[Byte](rowBytes)
-    val cur = new Array[Byte](rowBytes)
-    var y = 0
-    while (y < h) {
-      val rowOff = y * (1 + rowBytes)
-      val f = raw(rowOff) & 0xff
-      if (f > 4) return None // undefined filter type
-      var i = 0
-      while (i < rowBytes) {
-        val xv = raw(rowOff + 1 + i) & 0xff
-        val a = if (i >= bpp) cur(i - bpp) & 0xff else 0
-        val bu = prior(i) & 0xff
-        val c = if (i >= bpp) prior(i - bpp) & 0xff else 0
-        val rec = f match {
-          case 0 => xv
-          case 1 => xv + a
-          case 2 => xv + bu
-          case 3 => xv + ((a + bu) >> 1)
-          case _ => // Paeth predictor
-            val p = a + bu - c
-            val pa = math.abs(p - a)
-            val pb = math.abs(p - bu)
-            val pc = math.abs(p - c)
-            xv + (if (pa <= pb && pa <= pc) a else if (pb <= pc) bu else c)
+    var rawOff = 0
+    var pass = 0
+    while (pass < passes.length) {
+      val (xs, ys, xst, yst) = passes(pass)
+      val (wp, hp) = dims(pass)
+      if (wp > 0 && hp > 0) {
+        val rowBytes = wp * bpp
+        val prior = new Array[Byte](rowBytes)
+        val cur = new Array[Byte](rowBytes)
+        java.util.Arrays.fill(prior, 0.toByte)
+        var y = 0
+        while (y < hp) {
+          val rowOff = rawOff + y * (1 + rowBytes)
+          val f = raw(rowOff) & 0xff
+          if (f > 4) return None // undefined filter type
+          var i = 0
+          while (i < rowBytes) {
+            val xv = raw(rowOff + 1 + i) & 0xff
+            val a = if (i >= bpp) cur(i - bpp) & 0xff else 0
+            val bu = prior(i) & 0xff
+            val c = if (i >= bpp) prior(i - bpp) & 0xff else 0
+            val rec = f match {
+              case 0 => xv
+              case 1 => xv + a
+              case 2 => xv + bu
+              case 3 => xv + ((a + bu) >> 1)
+              case _ => // Paeth predictor
+                val p = a + bu - c
+                val pa = math.abs(p - a)
+                val pb = math.abs(p - bu)
+                val pc = math.abs(p - c)
+                xv + (if (pa <= pb && pa <= pc) a else if (pb <= pc) bu else c)
+            }
+            cur(i) = rec.toByte // mod-256 per spec
+            i += 1
+          }
+          var x = 0
+          while (x < wp) {
+            val px = xs + x * xst
+            val py = ys + y * yst
+            val o = (py * w + px) * 3
+            colorType match {
+              case 2 =>
+                rgb(o) = cur(3 * x)
+                rgb(o + 1) = cur(3 * x + 1)
+                rgb(o + 2) = cur(3 * x + 2)
+              case 0 =>
+                val g = cur(x)
+                rgb(o) = g; rgb(o + 1) = g; rgb(o + 2) = g
+              case 3 =>
+                val idx = cur(x) & 0xff
+                if (idx >= nPalette) return None
+                rgb(o) = plte(3 * idx)
+                rgb(o + 1) = plte(3 * idx + 1)
+                rgb(o + 2) = plte(3 * idx + 2)
+                if (trns != null && idx < trns.length) alpha(py * w + px) = trns(idx)
+              case 4 =>
+                val g = cur(2 * x)
+                rgb(o) = g; rgb(o + 1) = g; rgb(o + 2) = g
+                alpha(py * w + px) = cur(2 * x + 1)
+              case 6 =>
+                rgb(o) = cur(4 * x)
+                rgb(o + 1) = cur(4 * x + 1)
+                rgb(o + 2) = cur(4 * x + 2)
+                alpha(py * w + px) = cur(4 * x + 3)
+            }
+            x += 1
+          }
+          System.arraycopy(cur, 0, prior, 0, rowBytes)
+          y += 1
         }
-        cur(i) = rec.toByte // mod-256 per spec
-        i += 1
+        rawOff += hp * (1 + rowBytes)
       }
-      var x = 0
-      while (x < w) {
-        val o = (y * w + x) * 3
-        colorType match {
-          case 2 =>
-            rgb(o) = cur(3 * x)
-            rgb(o + 1) = cur(3 * x + 1)
-            rgb(o + 2) = cur(3 * x + 2)
-          case 0 =>
-            val g = cur(x)
-            rgb(o) = g; rgb(o + 1) = g; rgb(o + 2) = g
-          case 3 =>
-            val idx = cur(x) & 0xff
-            if (idx >= nPalette) return None
-            rgb(o) = plte(3 * idx)
-            rgb(o + 1) = plte(3 * idx + 1)
-            rgb(o + 2) = plte(3 * idx + 2)
-            if (trns != null && idx < trns.length) alpha(y * w + x) = trns(idx)
-          case 4 =>
-            val g = cur(2 * x)
-            rgb(o) = g; rgb(o + 1) = g; rgb(o + 2) = g
-            alpha(y * w + x) = cur(2 * x + 1)
-          case 6 =>
-            rgb(o) = cur(4 * x)
-            rgb(o + 1) = cur(4 * x + 1)
-            rgb(o + 2) = cur(4 * x + 2)
-            alpha(y * w + x) = cur(4 * x + 3)
-        }
-        x += 1
-      }
-      System.arraycopy(cur, 0, prior, 0, rowBytes)
-      y += 1
+      pass += 1
     }
     Some((w, h, rgb, alpha))
   }

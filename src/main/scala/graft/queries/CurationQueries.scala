@@ -11319,6 +11319,67 @@ object CurationQueries {
            |  sum_r, sum_g, sum_b, sum_a, n_translucent, true AS valid
            |FROM sm ORDER BY file_id""".stripMargin))
 
+  /** ADAM7-INTERLACED PNG decode — the last PNG grammar axis after
+    * color types, adaptive filters, and the alpha tiers: interlace
+    * method 1 re-orders pixels into SEVEN independently-filtered
+    * sub-images (per-pass prior-row reset, per-pass geometry with
+    * empty passes at small sizes), and a progressive-rendering-era
+    * web corpus still carries them. Fixture rows alternate filter
+    * types 0/2 inside each pass, so a decoder that forgets the
+    * per-pass filter reset or mis-maps a pass offset corrupts pixels;
+    * the decoded image is the SAME gradient as the filter-0 tier —
+    * the oracle is the unchanged closed form and the pixel sha equals
+    * the progressive encode's (content identity across interlace,
+    * spec'd, plus JDK deinterlace agreement and the pass-geometry
+    * corner sizes down to 1-pixel rows/columns).
+    *
+    * Scale: the parseAll narrow shape — one partition-mapped decode,
+    * no shuffle.
+    */
+  private val multimodalPngAdam7 = Q(
+    (s, dir) => {
+      val base = scratchDir("pngadam7")
+      val p = java.nio.file.Paths.get(base)
+      T(s, dir, "nation").select(col("n_nationkey")).collect() // 25-row dim
+        .foreach { r =>
+          val k = r.getInt(0)
+          java.nio.file.Files.write(p.resolve(f"i_$k%02d.png"),
+            graft.operators.Multimodal.pngInterlacedGradientBytes(
+              16 + k, 10 + (k % 7)))
+        }
+      val scanned = s.read.format("binaryFile").load(base)
+        .select(regexp_extract(col("path"), "i_(\\d+)\\.", 1).cast("long")
+          .as("file_id"), col("content"))
+      val out = graft.operators.Multimodal.pngStatsAll(scanned).toDF()
+        .select(col("fileId").as("file_id"), col("width"), col("height"),
+          (col("width") * col("height")).as("n_px"),
+          col("sumR").as("sum_r"), col("sumG").as("sum_g"),
+          col("sumB").as("sum_b"), col("valid"))
+        .orderBy(col("file_id"))
+        .localCheckpoint(true)
+      scratchDelete(base)
+      out
+    },
+    Some("""WITH g AS (
+           |  SELECT cast(n_nationkey as bigint) AS k,
+           |    cast(16 + n_nationkey as bigint) AS w,
+           |    cast(10 + (n_nationkey % 7) as bigint) AS h
+           |  FROM nation
+           |), xs AS (
+           |  SELECT k, w, h, unnest(generate_series(0, w - 1)) AS x FROM g
+           |), ps AS (
+           |  SELECT k, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs
+           |), sm AS (
+           |  SELECT k, w, h, cast(count(*) as bigint) AS n_px,
+           |    cast(sum((7 * x + 3 * y) % 256) as bigint) AS sum_r,
+           |    cast(sum((x + 2 * y) % 256) as bigint) AS sum_g,
+           |    cast(sum((5 * x + y) % 256) as bigint) AS sum_b
+           |  FROM ps GROUP BY k, w, h
+           |)
+           |SELECT k AS file_id, w AS width, h AS height, n_px,
+           |  sum_r, sum_g, sum_b, true AS valid
+           |FROM sm ORDER BY file_id""".stripMargin))
+
   /** BMP (Windows DIB) decode — the uncompressed image container
     * screenshots and scanner output still arrive in: 24-bit BI_RGB,
     * BOTTOM-UP rows of BGR triples padded to 4-byte boundaries —
@@ -15741,6 +15802,7 @@ object CurationQueries {
     "ns_multimodal_png_types" -> multimodalPngTypes,
     "ns_multimodal_png_filters" -> multimodalPngFilters,
     "ns_multimodal_png_alpha" -> multimodalPngAlpha,
+    "ns_multimodal_png_adam7" -> multimodalPngAdam7,
     "ns_multimodal_bmp_stats" -> multimodalBmpStats,
     "ns_multimodal_tiff_stats" -> multimodalTiffStats,
     "ns_multimodal_sniff_route" -> multimodalSniffRoute,

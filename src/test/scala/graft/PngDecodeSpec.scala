@@ -207,6 +207,27 @@ class PngDecodeSpec extends AnyFunSuite {
     checkAgainstJdk(Multimodal.pngFilteredGradientBytes(24, 11))
   }
 
+  test("ADAM7 interlaced decode deinterlaces to the same pixels as filter-0") {
+    // widths/heights straddle the pass-geometry corners: < 8 (several
+    // passes empty), non-multiples of 8, and a 1-pixel column/row
+    for ((w, h) <- Seq((21, 13), (16, 10), (7, 5), (8, 8), (1, 9), (9, 1), (3, 3))) {
+      val inter = Multimodal.pngInterlacedGradientBytes(w, h)
+      assert(Multimodal.pngPixelStats(inter) ==
+        Multimodal.pngPixelStats(Multimodal.pngGradientBytes(w, h)), s"($w,$h)")
+      // content identity across interlace: same pixel sha
+      assert(Multimodal.pngPixelSha(inter) ==
+        Multimodal.pngPixelSha(Multimodal.pngGradientBytes(w, h)), s"sha ($w,$h)")
+    }
+    // JDK cross-check: ImageIO deinterlaces too — pixel-for-pixel
+    checkAgainstJdk(Multimodal.pngInterlacedGradientBytes(21, 13))
+    // a truncated interlaced payload rejects via the exact-length check
+    assert(Multimodal.pngDecodeRgb(
+      Multimodal.pngInterlacedGradientBytes(21, 13).dropRight(16).toArray).isEmpty)
+    // interlace values other than 0/1 reject
+    val bad = Multimodal.pngGradientBytes(8, 8).clone(); bad(28) = 2
+    assert(Multimodal.pngDecodeRgb(bad).isEmpty)
+  }
+
   test("BMP decode matches the closed form and the JDK pixel-for-pixel") {
     // widths 21/16/33/18 cover strides with 1/0/3/2 pad bytes — the
     // row-padding trap a naive walk misses
@@ -383,7 +404,9 @@ class PngDecodeSpec extends AnyFunSuite {
     // payload really carries them
     val typed = good.clone(); typed(25) = 6
     assert(Multimodal.pngDecodeRgb(typed).isEmpty)
-    // Adam7 interlace rejects
+    // a RELABELED interlace flag over progressive-layout data rejects
+    // via the exact pass-geometry length check (Adam7 itself decodes —
+    // see the ADAM7 test; this is the mislabeled-container boundary)
     val inter = good.clone(); inter(28) = 1
     assert(Multimodal.pngDecodeRgb(inter).isEmpty)
     // palette with no PLTE rejects: retype the PLTE chunk so the walk
