@@ -526,7 +526,12 @@ object ScaleProbe {
       // r17: MAD = the cusum collapse (calendar-bounded hourly counts)
       // then percentile/flag rollups over hours-per-type rows —
       // replication multiplies counts, not buckets
-      "ts_anomaly_mad")
+      "ts_anomaly_mad",
+      // r19: concurrency peak = the sessionization shuffle + a
+      // day-partitioned delta window (fat partitions bounded by a day's
+      // sessions) + a span-bounded carry explode — replication multiplies
+      // sessions per day, the day-window stress axis
+      "ts_concurrency_peak")
     if (evtNames.exists(enabled)) {
       val evtReps = spark.range(docMult).select(col("id").as("rep"))
       Tables.load(spark, sfDir, "events")

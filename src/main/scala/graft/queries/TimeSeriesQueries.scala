@@ -478,7 +478,122 @@ object TimeSeriesQueries {
            |  false AS missing_is_null
            |FROM events ORDER BY event_id""".stripMargin))
 
+  /** PEAK CONCURRENT SESSIONS per day — the capacity gauge behind
+    * serving/ingest sizing that none of the per-user session views
+    * answer (sessionization counts sessions; this counts how many
+    * OVERLAP at the worst instant): sessions are the proven 30-minute
+    * -gap intervals, each contributes +1 at its start and -1 at its
+    * end, and the peak is the maximum of the running sum — computed
+    * WITHOUT a global unpartitioned window: the running sum partitions
+    * BY DAY (the short-key time-block pattern), and sessions that
+    * span midnight enter later days through an exact CARRY count (a
+    * bounded per-session day explode — span days, not event rows).
+    * The empty prefix counts (a day whose peak is its carry-in, before
+    * any in-day event — the CUSUM running-min lesson); +1 orders
+    * before -1 at equal timestamps (inclusive interval ends), with a
+    * (us, delta, user, session) total order so every running value is
+    * deterministic.
+    *
+    * Scale: one user-keyed session window (the sessionization
+    * shuffle), one day-keyed delta window (fat partitions bounded by a
+    * day's sessions), a span-bounded carry explode, and a day-keyed
+    * rollup — nothing global, nothing quadratic.
+    */
+  private val tsConcurrencyPeak = Q(
+    (s, dir) => {
+      val uw = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val sessions = T(s, dir, "events")
+        .withColumn("us", expr("unix_micros(ts)"))
+        .withColumn("brk", when(lag(col("us"), 1).over(uw).isNull ||
+          col("us") - lag(col("us"), 1).over(uw) > 1800000000L, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("brk")).over(
+          uw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("us")).as("st"), max(col("us")).as("en"))
+        .withColumn("d_st", expr("st div 86400000000"))
+        .withColumn("d_en", expr("en div 86400000000"))
+        .localCheckpoint(true) // deltas + carry both read it
+      val deltas = sessions
+        .select(col("d_st").as("day_idx"), col("st").as("us"),
+          lit(1L).as("delta"), col("user_id"), col("sid"))
+        .unionAll(sessions.select(col("d_en").as("day_idx"), col("en").as("us"),
+          lit(-1L).as("delta"), col("user_id"), col("sid")))
+      val dw = Window.partitionBy(col("day_idx"))
+        .orderBy(col("us"), col("delta").desc, col("user_id"), col("sid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val inDay = deltas
+        .withColumn("run", sum(col("delta")).over(dw))
+        .groupBy(col("day_idx"))
+        .agg(max(col("run")).as("max_run"),
+          sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_starts"))
+      val carry = sessions
+        .where(col("d_en") > col("d_st"))
+        .select(explode(expr("sequence(d_st + 1, d_en)")).as("day_idx"))
+        .groupBy(col("day_idx"))
+        .agg(count(lit(1)).as("carried_in"))
+      inDay.join(carry, Seq("day_idx"), "full_outer")
+        .withColumn("carried_in", coalesce(col("carried_in"), lit(0L)))
+        .withColumn("n_starts", coalesce(col("n_starts"), lit(0L)))
+        .withColumn("peak_concurrent",
+          col("carried_in") + greatest(coalesce(col("max_run"), lit(0L)), lit(0L)))
+        .select(col("day_idx"),
+          expr("date_add(date'1970-01-01', cast(day_idx as int))").as("day_date"),
+          (col("carried_in") + col("n_starts")).as("n_active"),
+          col("n_starts"), col("carried_in"), col("peak_concurrent"))
+        .orderBy(col("day_idx"))
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+           |), flagged AS (
+           |  SELECT user_id, us,
+           |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+           |         THEN 1 ELSE 0 END AS brk
+           |  FROM ev
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+           |), sid AS (
+           |  SELECT user_id, us,
+           |    cast(sum(brk) OVER (PARTITION BY user_id ORDER BY us
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS sid
+           |  FROM flagged
+           |), sess AS (
+           |  SELECT user_id, sid, min(us) AS st, max(us) AS en,
+           |    min(us) // 86400000000 AS d_st, max(us) // 86400000000 AS d_en
+           |  FROM sid GROUP BY user_id, sid
+           |), deltas AS (
+           |  SELECT d_st AS day_idx, st AS us, 1 AS delta, user_id, sid FROM sess
+           |  UNION ALL
+           |  SELECT d_en, en, -1, user_id, sid FROM sess
+           |), run AS (
+           |  SELECT day_idx, delta,
+           |    cast(sum(delta) OVER (PARTITION BY day_idx
+           |      ORDER BY us, delta DESC, user_id, sid
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS run
+           |  FROM deltas
+           |), in_day AS (
+           |  SELECT day_idx, max(run) AS max_run,
+           |    cast(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) as bigint)
+           |      AS n_starts
+           |  FROM run GROUP BY day_idx
+           |), carry AS (
+           |  SELECT unnest(generate_series(d_st + 1, d_en)) AS day_idx
+           |  FROM sess WHERE d_en > d_st
+           |), carry_g AS (
+           |  SELECT day_idx, cast(count(*) as bigint) AS carried_in
+           |  FROM carry GROUP BY day_idx
+           |)
+           |SELECT coalesce(i.day_idx, c.day_idx) AS day_idx,
+           |  DATE '1970-01-01' + cast(coalesce(i.day_idx, c.day_idx) as int)
+           |    AS day_date,
+           |  coalesce(c.carried_in, 0) + coalesce(i.n_starts, 0) AS n_active,
+           |  coalesce(i.n_starts, 0) AS n_starts,
+           |  coalesce(c.carried_in, 0) AS carried_in,
+           |  coalesce(c.carried_in, 0) + greatest(coalesce(i.max_run, 0), 0)
+           |    AS peak_concurrent
+           |FROM in_day i FULL OUTER JOIN carry_g c ON i.day_idx = c.day_idx
+           |ORDER BY day_idx""".stripMargin))
+
   val all: Map[String, Q] = Map(
+    "ts_concurrency_peak" -> tsConcurrencyPeak,
     "ts_json_struct" -> tsJsonStruct,
     "ts_resample_ffill" -> tsResampleFfill,
     "ts_click_attribution" -> tsClickAttribution,
