@@ -15787,8 +15787,103 @@ object CurationQueries {
          |FROM sm ORDER BY event_id""".stripMargin
     })
 
+  /** HTML -> VISIBLE-TEXT extraction — the step after
+    * `ns_multimodal_warc_http` where a crawl response body becomes a
+    * corpus document, and the single highest-frequency transform in any
+    * web-scale pipeline (every Common Crawl document passes through
+    * exactly this). [[graft.operators.HtmlText.extract]] is a one-pass
+    * character state machine whose traps ARE the fixture: `<script>`
+    * bodies that print fake `<p>` tags, `<style>` rules and comments
+    * containing markup, attribute values with embedded `>` (quote-aware
+    * tag scanning), named + numeric character references, uppercase tag
+    * names, and markup-layout whitespace that must collapse out. The
+    * oracle rebuilds the EXPECTED extracted text closed-form from the
+    * same generation parameters and recomputes length + exact
+    * char-code sum — a stripper that leaks script text, drops an
+    * anchor's text, splits on a quoted `>`, or mis-decodes an entity
+    * hash-fails. Structural truncation rejects whole-document
+    * (HtmlTextSpec pins the reject boundaries).
+    *
+    * Scale: one narrow mapPartitions pass over document text — the
+    * multimodal codec shape applied to markup; a title + five longs per
+    * document leave the map side, bodies never shuffle.
+    */
+  private val textHtmlExtract = Q(
+    (s, dir) => {
+      val base = scratchDir("htmlx")
+      import s.implicits._
+      val docs = T(s, dir, "nation").select(col("n_nationkey")).collect()
+        .map { r =>
+          val k = r.getInt(0)
+          val nPara = 2 + k % 3
+          val nLink = 1 + k % 4
+          val sb = new StringBuilder
+          sb.append("<!DOCTYPE html>\n<HTML>\n<head>\n")
+          sb.append(s"<TITLE>Crawl  &amp;\n Page $k</TITLE>\n")
+          sb.append("<style type=\"text/css\">p{color:#fff} /* <p>not text</p> */</style>\n")
+          sb.append("<script>if (1 < 2) { document.write(\"<p>fake " +
+            k + "</p>\"); }</script>\n")
+          sb.append("</head>\n<BODY>\n<!-- <p>ghost</p> -->\n")
+          for (i <- 0 until nPara)
+            sb.append(s"""<p class="t$i">Section $i of page $k: alpha &amp; beta""" +
+              " &lt;tag&gt; A=&#65; B=&#x42;.</p>\n")
+          for (j <- 0 until nLink)
+            sb.append(s"""<a href="/r?a>b&amp;x=$j" TITLE="x>y">link $j of page $k</a>\n""")
+          sb.append(s"<br/>\ntrailing words of page $k\n</BODY></HTML>\n")
+          (k.toLong, sb.toString)
+        }.toSeq
+      docs.toDF("file_id", "html").write.mode("overwrite").parquet(base)
+      val out = s.read.parquet(base)
+        .select(col("file_id"), col("html")).as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, h) =>
+            graft.operators.HtmlText.extract(h) match {
+              case Some(e) =>
+                (id, e.title, e.nLinks, e.nPara, e.text.length.toLong,
+                  e.text.foldLeft(0L)(_ + _.toLong), true)
+              case None => (id, "", 0L, 0L, 0L, 0L, false)
+            }
+          }
+        }
+        .toDF("file_id", "title", "n_links", "n_para", "text_chars",
+          "text_sum", "valid")
+        .orderBy(col("file_id"))
+        .localCheckpoint(true)
+      scratchDelete(base)
+      out
+    },
+    Some("""WITH g AS (
+           |  SELECT cast(n_nationkey as bigint) AS k,
+           |    cast(2 + n_nationkey % 3 as bigint) AS np,
+           |    cast(1 + n_nationkey % 4 as bigint) AS nl
+           |  FROM nation
+           |), paras AS (
+           |  SELECT k, string_agg('Section ' || i || ' of page ' || k ||
+           |      ': alpha & beta <tag> A=A B=B.', ' ' ORDER BY i) AS ptxt
+           |  FROM (SELECT k, unnest(generate_series(0, np - 1)) AS i FROM g)
+           |  GROUP BY k
+           |), links AS (
+           |  SELECT k, string_agg('link ' || j || ' of page ' || k,
+           |      ' ' ORDER BY j) AS ltxt
+           |  FROM (SELECT k, unnest(generate_series(0, nl - 1)) AS j FROM g)
+           |  GROUP BY k
+           |), vis AS (
+           |  SELECT g.k, g.np, g.nl,
+           |    paras.ptxt || ' ' || links.ltxt ||
+           |      ' trailing words of page ' || g.k AS v
+           |  FROM g JOIN paras ON paras.k = g.k JOIN links ON links.k = g.k
+           |)
+           |SELECT k AS file_id, 'Crawl & Page ' || k AS title,
+           |  nl AS n_links, np AS n_para,
+           |  cast(length(v) as bigint) AS text_chars,
+           |  cast(list_sum(list_transform(string_split(v, ''),
+           |    c -> ascii(c))) as bigint) AS text_sum,
+           |  true AS valid
+           |FROM vis ORDER BY file_id""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "ts_ewma_smooth" -> tsEwmaSmooth,
+    "ns_text_html_extract" -> textHtmlExtract,
     "ns_dedup_sorted_neighborhood" -> dedupSortedNeighborhood,
     "ns_corpus_kfold" -> corpusKfold,
     "ns_sample_neyman" -> sampleNeyman,
