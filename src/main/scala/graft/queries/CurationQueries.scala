@@ -15881,9 +15881,91 @@ object CurationQueries {
            |  true AS valid
            |FROM vis ORDER BY file_id""".stripMargin))
 
+  /** robots.txt POLICY EVALUATION — the crawl-permission gate applied
+    * before any URL becomes corpus bytes: [[graft.operators.Robots]]
+    * implements RFC 9309 (lenient line grammar, group selection with
+    * specific-agent-beats-`*`, `*` wildcards + trailing-`$` anchors
+    * over path+query, LONGEST-pattern precedence with the allow
+    * tie-break, empty-Disallow-matches-nothing). The fixture policy
+    * exercises every precedence mechanism — a nested Allow carve-out
+    * under a Disallow prefix, competing wildcard anchors at different
+    * lengths, the `/private/`-vs-`/privatevalue` prefix boundary, a
+    * query-string target that defeats a `$` anchor, and an unknown
+    * directive (`Crawl-delay`) that must be ignored — and the oracle is
+    * the RFC decision table derived BY HAND for all 10 targets under
+    * both the specific-group and `*`-group agents (RobotsSpec re-derives
+    * the same table case by case, plus the lenient-parse corners).
+    *
+    * Scale: parse once per (host, robots fetch), probe per URL map-side
+    * — the decide pass runs inside one narrow mapPartitions over the
+    * URL stream; nothing shuffles.
+    */
+  private val textRobots = Q(
+    (s, dir) => {
+      import s.implicits._
+      val robotsTxt =
+        """# graft crawl policy
+          |User-agent: graftbot
+          |Disallow: /private/
+          |Allow: /private/public/
+          |Disallow: /*.json$
+          |Allow: /api/*.json$
+          |
+          |User-agent: *
+          |Disallow: /tmp/
+          |Allow: /
+          |Crawl-delay: 2
+          |""".stripMargin
+      val paths = Vector("/", "/private/x", "/private/public/y",
+        "/data/file.json", "/data/file.json?x=1", "/api/v1/data.json",
+        "/tmp/scratch", "/privatevalue", "/private/public", "/a/b.json.txt")
+      val agents = T(s, dir, "nation").select(col("n_nationkey")).collect()
+        .map { r =>
+          val k = r.getInt(0)
+          (k.toLong, if (k % 2 == 0) "graftbot" else "otherbot")
+        }.toSeq
+      agents.toDF("file_id", "agent").as[(Long, String)]
+        .mapPartitions { it =>
+          val groups = graft.operators.Robots.parse(robotsTxt)
+          it.flatMap { case (id, agent) =>
+            paths.zipWithIndex.map { case (p, i) =>
+              val (ok, len) = graft.operators.Robots.decide(groups, agent, p)
+              (id, i.toLong, agent, p, ok, len.toLong)
+            }
+          }
+        }
+        .toDF("file_id", "path_idx", "agent", "path", "allowed", "rule_len")
+        .orderBy(col("file_id"), col("path_idx"))
+    },
+    Some("""WITH g AS (
+           |  SELECT cast(n_nationkey as bigint) AS k,
+           |    CASE WHEN n_nationkey % 2 = 0 THEN 'graftbot'
+           |         ELSE 'otherbot' END AS agent
+           |  FROM nation
+           |), p AS (
+           |  SELECT k, agent, cast(unnest(generate_series(0, 9)) as bigint) AS i
+           |  FROM g
+           |)
+           |SELECT k AS file_id, i AS path_idx, agent,
+           |  CASE i WHEN 0 THEN '/' WHEN 1 THEN '/private/x'
+           |    WHEN 2 THEN '/private/public/y' WHEN 3 THEN '/data/file.json'
+           |    WHEN 4 THEN '/data/file.json?x=1' WHEN 5 THEN '/api/v1/data.json'
+           |    WHEN 6 THEN '/tmp/scratch' WHEN 7 THEN '/privatevalue'
+           |    WHEN 8 THEN '/private/public' ELSE '/a/b.json.txt' END AS path,
+           |  CASE WHEN agent = 'graftbot'
+           |    THEN i NOT IN (1, 3, 8)
+           |    ELSE i <> 6 END AS allowed,
+           |  CASE WHEN agent = 'graftbot'
+           |    THEN cast(CASE i WHEN 1 THEN 9 WHEN 2 THEN 16 WHEN 3 THEN 8
+           |      WHEN 5 THEN 12 WHEN 8 THEN 9 ELSE 0 END as bigint)
+           |    ELSE cast(CASE i WHEN 6 THEN 5 ELSE 1 END as bigint)
+           |  END AS rule_len
+           |FROM p ORDER BY file_id, path_idx""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "ts_ewma_smooth" -> tsEwmaSmooth,
     "ns_text_html_extract" -> textHtmlExtract,
+    "ns_text_robots" -> textRobots,
     "ns_dedup_sorted_neighborhood" -> dedupSortedNeighborhood,
     "ns_corpus_kfold" -> corpusKfold,
     "ns_sample_neyman" -> sampleNeyman,
