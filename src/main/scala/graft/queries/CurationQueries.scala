@@ -15962,10 +15962,138 @@ object CurationQueries {
            |  END AS rule_len
            |FROM p ORDER BY file_id, path_idx""".stripMargin))
 
+  /** URL-CANONICALIZATION dedup — the FIRST dedup pass real crawl
+    * pipelines run (CCNet/RefinedWeb class: URL-level dedup before any
+    * content hash, because re-crawls and tracking-tagged share links
+    * are the bulk of raw-crawl duplication). Each document carries a
+    * deterministically perturbed raw URL (scheme/host case, default
+    * vs explicit vs non-default port, query-parameter order, `utm_*`/
+    * `gclid` tracking params, fragments); BOTH engines canonicalize
+    * INDEPENDENTLY with their own native expressions — lowercase
+    * scheme+host, strip the fragment, strip the scheme's default port
+    * (keep `:8080`), drop tracking params, sort the survivors — and
+    * the group census (dup count, keeper = min doc_id, how many
+    * members carried tracking params / fragments) must agree. A
+    * canonicalizer that sorts before dropping, strips `:8080`, or
+    * lowercases the query hash-fails.
+    *
+    * Scale: canonicalization is a map-side codegen'd expression chain
+    * (regexp part-split + array filter/sort — no UDF); the ONE shuffle
+    * is the group-by on short canonical strings with map-side combine;
+    * document text is never read. Replication multiplies group
+    * occupancy, not group count — the exact-dedup scale shape.
+    */
+  private val dedupUrl = Q(
+    (s, dir) => {
+      val raw =
+        """concat(
+          |  CASE WHEN doc_id % 5 = 0 THEN 'HTTP' WHEN doc_id % 5 = 1 THEN 'http'
+          |       WHEN doc_id % 5 = 2 THEN 'HTTPS' ELSE 'https' END,
+          |  '://',
+          |  CASE WHEN doc_id % 3 = 0
+          |         THEN concat('WWW.Site', cast(doc_id % 5 as string), '.Example.COM')
+          |       WHEN doc_id % 3 = 1
+          |         THEN concat('www.SITE', cast(doc_id % 5 as string), '.example.com')
+          |       ELSE concat('www.site', cast(doc_id % 5 as string), '.example.com') END,
+          |  CASE WHEN doc_id % 4 = 0
+          |         THEN CASE WHEN doc_id % 5 <= 1 THEN ':80' ELSE ':443' END
+          |       WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END,
+          |  concat('/docs/', cast(doc_id % 10 as string)),
+          |  '?',
+          |  CASE WHEN doc_id % 2 = 0 THEN 'p=1&q=2' ELSE 'q=2&p=1' END,
+          |  CASE WHEN doc_id % 3 = 0 THEN '&utm_source=feed' ELSE '' END,
+          |  CASE WHEN doc_id % 7 = 0 THEN concat('&gclid=g', cast(doc_id as string)) ELSE '' END,
+          |  CASE WHEN doc_id % 2 = 1 THEN concat('#sec', cast(doc_id % 7 as string)) ELSE '' END
+          |)""".stripMargin
+      T(s, dir, "documents").select(col("doc_id"))
+        .withColumn("url", expr(raw))
+        .withColumn("sch", expr("lower(regexp_extract(url, '^([A-Za-z]+)://', 1))"))
+        .withColumn("hostport", expr("regexp_extract(url, '^[A-Za-z]+://([^/]+)', 1)"))
+        .withColumn("host", expr("lower(regexp_extract(hostport, '^([^:]+)', 1))"))
+        .withColumn("port", expr("regexp_extract(hostport, ':([0-9]+)$', 1)"))
+        .withColumn("path", expr("regexp_extract(url, '^[A-Za-z]+://[^/]+([^?#]*)', 1)"))
+        .withColumn("qparts", expr("filter(split(regexp_extract(url, '\\\\?([^#]*)', 1), '&'), p -> p <> '')"))
+        .withColumn("kept", expr(
+          "array_sort(filter(qparts, p -> NOT (startswith(p, 'utm_') " +
+            "OR startswith(p, 'gclid=') OR startswith(p, 'fbclid='))))"))
+        .withColumn("canonical_url", expr(
+          """concat(sch, '://', host,
+            |  CASE WHEN port = '' OR (sch = 'https' AND port = '443')
+            |         OR (sch = 'http' AND port = '80') THEN ''
+            |       ELSE concat(':', port) END,
+            |  path,
+            |  CASE WHEN size(kept) = 0 THEN ''
+            |       ELSE concat('?', array_join(kept, '&')) END)""".stripMargin))
+        .withColumn("tracked", expr("size(kept) < size(qparts)"))
+        .withColumn("frag", expr("instr(url, '#') > 0"))
+        .groupBy(col("canonical_url"))
+        .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keeper"),
+          sum(expr("cast(tracked as bigint)")).as("n_tracked"),
+          sum(expr("cast(frag as bigint)")).as("n_fragment"))
+        .orderBy(col("canonical_url"))
+    },
+    Some("""WITH u AS (
+           |  SELECT doc_id,
+           |    (CASE WHEN doc_id % 5 = 0 THEN 'HTTP' WHEN doc_id % 5 = 1 THEN 'http'
+           |          WHEN doc_id % 5 = 2 THEN 'HTTPS' ELSE 'https' END)
+           |    || '://'
+           |    || (CASE WHEN doc_id % 3 = 0
+           |               THEN 'WWW.Site' || cast(doc_id % 5 as varchar) || '.Example.COM'
+           |             WHEN doc_id % 3 = 1
+           |               THEN 'www.SITE' || cast(doc_id % 5 as varchar) || '.example.com'
+           |             ELSE 'www.site' || cast(doc_id % 5 as varchar) || '.example.com' END)
+           |    || (CASE WHEN doc_id % 4 = 0
+           |               THEN CASE WHEN doc_id % 5 <= 1 THEN ':80' ELSE ':443' END
+           |             WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END)
+           |    || '/docs/' || cast(doc_id % 10 as varchar)
+           |    || '?'
+           |    || (CASE WHEN doc_id % 2 = 0 THEN 'p=1&q=2' ELSE 'q=2&p=1' END)
+           |    || (CASE WHEN doc_id % 3 = 0 THEN '&utm_source=feed' ELSE '' END)
+           |    || (CASE WHEN doc_id % 7 = 0 THEN '&gclid=g' || cast(doc_id as varchar) ELSE '' END)
+           |    || (CASE WHEN doc_id % 2 = 1 THEN '#sec' || cast(doc_id % 7 as varchar) ELSE '' END)
+           |    AS url
+           |  FROM documents
+           |), parts AS (
+           |  SELECT doc_id, url,
+           |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS sch,
+           |    lower(regexp_extract(regexp_extract(url, '^[A-Za-z]+://([^/]+)', 1),
+           |      '^([^:]+)', 1)) AS host,
+           |    regexp_extract(regexp_extract(url, '^[A-Za-z]+://([^/]+)', 1),
+           |      ':([0-9]+)$', 1) AS port,
+           |    regexp_extract(url, '^[A-Za-z]+://[^/]+([^?#]*)', 1) AS path,
+           |    list_filter(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+           |      p -> p <> '') AS qparts
+           |  FROM u
+           |), kept AS (
+           |  SELECT doc_id, url, sch, host, port, path, qparts,
+           |    list_sort(list_filter(qparts, p -> NOT (starts_with(p, 'utm_')
+           |      OR starts_with(p, 'gclid=') OR starts_with(p, 'fbclid=')))) AS kq
+           |  FROM parts
+           |), canon AS (
+           |  SELECT doc_id,
+           |    sch || '://' || host
+           |    || (CASE WHEN port = '' OR (sch = 'https' AND port = '443')
+           |               OR (sch = 'http' AND port = '80') THEN ''
+           |             ELSE ':' || port END)
+           |    || path
+           |    || (CASE WHEN len(kq) = 0 THEN ''
+           |             ELSE '?' || array_to_string(kq, '&') END) AS canonical_url,
+           |    len(kq) < len(qparts) AS tracked,
+           |    instr(url, '#') > 0 AS frag
+           |  FROM kept
+           |)
+           |SELECT canonical_url, count(*) AS n_dups,
+           |  min(doc_id) AS keeper,
+           |  cast(sum(CASE WHEN tracked THEN 1 ELSE 0 END) as bigint) AS n_tracked,
+           |  cast(sum(CASE WHEN frag THEN 1 ELSE 0 END) as bigint) AS n_fragment
+           |FROM canon GROUP BY canonical_url
+           |ORDER BY canonical_url""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "ts_ewma_smooth" -> tsEwmaSmooth,
     "ns_text_html_extract" -> textHtmlExtract,
     "ns_text_robots" -> textRobots,
+    "ns_dedup_url" -> dedupUrl,
     "ns_dedup_sorted_neighborhood" -> dedupSortedNeighborhood,
     "ns_corpus_kfold" -> corpusKfold,
     "ns_sample_neyman" -> sampleNeyman,
