@@ -55,6 +55,32 @@ object HtmlText {
 
   private val HrefAttr = "(^|[\\s/])href\\s*=".r
 
+  /** Deterministic fixture page: every extractor trap in one document
+    * (script printing fake `<p>` tags, style + comment markup, quoted
+    * `>` in attributes, named + numeric entities, uppercase tags,
+    * layout whitespace). The EXPECTED extraction has a closed form the
+    * oracles replay: title `Crawl & Page <seed>`, nPara paragraphs
+    * `Section <i> of page <seed>: alpha & beta <tag> A=A B=B.`, nLink
+    * anchors `link <j> of page <seed>`, then
+    * `trailing words of page <seed>`, joined by single spaces.
+    */
+  def htmlPage(seed: Int, nPara: Int, nLink: Int): String = {
+    val sb = new StringBuilder
+    sb.append("<!DOCTYPE html>\n<HTML>\n<head>\n")
+    sb.append(s"<TITLE>Crawl  &amp;\n Page $seed</TITLE>\n")
+    sb.append("<style type=\"text/css\">p{color:#fff} /* <p>not text</p> */</style>\n")
+    sb.append("<script>if (1 < 2) { document.write(\"<p>fake " +
+      seed + "</p>\"); }</script>\n")
+    sb.append("</head>\n<BODY>\n<!-- <p>ghost</p> -->\n")
+    for (i <- 0 until nPara)
+      sb.append(s"""<p class="t$i">Section $i of page $seed: alpha &amp; beta""" +
+        " &lt;tag&gt; A=&#65; B=&#x42;.</p>\n")
+    for (j <- 0 until nLink)
+      sb.append(s"""<a href="/r?a>b&amp;x=$j" TITLE="x>y">link $j of page $seed</a>\n""")
+    sb.append(s"<br/>\ntrailing words of page $seed\n</BODY></HTML>\n")
+    sb.toString
+  }
+
   /** Decode character references in a raw text node. Returns None on a
     * malformed numeric reference (out of Unicode range).
     */

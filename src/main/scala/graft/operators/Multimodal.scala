@@ -1041,90 +1041,107 @@ object Multimodal {
     var respIdx = 0L
     recs.foreach { case (typ, off, len) =>
       if (typ == "response") {
-        def lineEnd(from: Int): Int = {
-          var i = from
-          while (i + 1 < off + len && !(w(i) == '\r' && w(i + 1) == '\n')) i += 1
-          if (i + 1 < off + len) i else -1
+        val (code, nHeaders, body) = httpResponseMessage(w, off, len) match {
+          case Some(x) => x
+          case None => return None
         }
-        val se = lineEnd(off)
-        if (se < 0) return None
-        val status = new String(w, off, se - off, java.nio.charset.StandardCharsets.US_ASCII)
-        // status line: HTTP/1.x SP 3-digit code SP reason
-        if (!status.startsWith("HTTP/1.")) return None
-        val parts = status.split(" ", 3)
-        if (parts.length < 2 || !parts(1).forall(_.isDigit)) return None
-        val code = parts(1).toLong
-        var q = se + 2
-        var nHeaders = 0L
-        var declared = -1L
-        var chunked = false
-        var headersDone = false
-        while (!headersDone) {
-          val he = lineEnd(q)
-          if (he < 0) return None
-          if (he == q) { headersDone = true; q += 2 }
-          else {
-            val line = new String(w, q, he - q, java.nio.charset.StandardCharsets.US_ASCII)
-            val colon = line.indexOf(':')
-            if (colon <= 0) return None
-            val hname = line.substring(0, colon).trim
-            if (hname.equalsIgnoreCase("Content-Length"))
-              declared = java.lang.Long.parseLong(line.substring(colon + 1).trim)
-            if (hname.equalsIgnoreCase("Transfer-Encoding") &&
-              line.substring(colon + 1).trim.equalsIgnoreCase("chunked"))
-              chunked = true
-            nHeaders += 1
-            q = he + 2
-          }
-        }
-        if (chunked && declared >= 0) return None // ambiguous framing
-        var bodyLen = 0L
         var s = 0L
-        if (chunked) {
-          // RFC 7230 chunked framing: hex size line, chunk, CRLF,
-          // repeated; the 0 chunk then a final CRLF (no trailers in
-          // crawl archives); the chunk stream must consume the framed
-          // record payload EXACTLY — never a partial body
-          var p = q
-          var zero = false
-          while (!zero) {
-            val he = lineEnd(p)
-            if (he < 0) return None
-            val sizeStr = new String(w, p, he - p, java.nio.charset.StandardCharsets.US_ASCII)
-            if (sizeStr.isEmpty || !sizeStr.forall(c => Character.digit(c, 16) >= 0))
-              return None
-            val csize = java.lang.Long.parseLong(sizeStr, 16)
-            p = he + 2
-            if (csize == 0) {
-              if (!(p + 1 < off + len && w(p) == '\r' && w(p + 1) == '\n'))
-                return None
-              p += 2
-              zero = true
-            } else {
-              if (p + csize + 2 > off + len) return None
-              var i = 0L
-              while (i < csize) { s += w(p + i.toInt) & 0xff; i += 1 }
-              bodyLen += csize
-              p += csize.toInt
-              if (!(w(p) == '\r' && w(p + 1) == '\n')) return None
-              p += 2
-            }
-          }
-          if (p != off + len) return None // trailing bytes after the 0 chunk
-        } else {
-          bodyLen = off + len - q
-          if (bodyLen < 0) return None
-          // the declared HTTP length must match the framed body exactly —
-          // a forged header is how a partial/overlong body slips through
-          if (declared >= 0 && declared != bodyLen) return None
-          var i = 0L
-          while (i < bodyLen) { s += w(q + i.toInt) & 0xff; i += 1 }
-        }
-        out += ((respIdx, code, nHeaders, bodyLen, s))
+        var i = 0
+        while (i < body.length) { s += body(i) & 0xff; i += 1 }
+        out += ((respIdx, code, nHeaders, body.length.toLong, s))
         respIdx += 1
       }
     }
     Some(out.result())
+  }
+
+  /** Parse one HTTP/1.x response message framed inside a WARC record
+    * payload at w[off, off+len): status code, header count, and the
+    * DE-FRAMED body bytes — under both wire framings (Content-Length
+    * VERIFIED against the framed body; RFC 7230 chunked walked and
+    * reassembled, required to consume the payload exactly). None on any
+    * grammar violation, a forged length, ambiguous double framing, or
+    * trailing bytes after the 0 chunk.
+    */
+  private def httpResponseMessage(
+      w: Array[Byte], off: Int, len: Int): Option[(Long, Long, Array[Byte])] = {
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i + 1 < off + len && !(w(i) == '\r' && w(i + 1) == '\n')) i += 1
+      if (i + 1 < off + len) i else -1
+    }
+    val se = lineEnd(off)
+    if (se < 0) return None
+    val status = new String(w, off, se - off, java.nio.charset.StandardCharsets.US_ASCII)
+    // status line: HTTP/1.x SP 3-digit code SP reason
+    if (!status.startsWith("HTTP/1.")) return None
+    val parts = status.split(" ", 3)
+    if (parts.length < 2 || parts(1).isEmpty || !parts(1).forall(_.isDigit))
+      return None
+    val code = parts(1).toLong
+    var q = se + 2
+    var nHeaders = 0L
+    var declared = -1L
+    var chunked = false
+    var headersDone = false
+    while (!headersDone) {
+      val he = lineEnd(q)
+      if (he < 0) return None
+      if (he == q) { headersDone = true; q += 2 }
+      else {
+        val line = new String(w, q, he - q, java.nio.charset.StandardCharsets.US_ASCII)
+        val colon = line.indexOf(':')
+        if (colon <= 0) return None
+        val hname = line.substring(0, colon).trim
+        if (hname.equalsIgnoreCase("Content-Length"))
+          declared = java.lang.Long.parseLong(line.substring(colon + 1).trim)
+        if (hname.equalsIgnoreCase("Transfer-Encoding") &&
+          line.substring(colon + 1).trim.equalsIgnoreCase("chunked"))
+          chunked = true
+        nHeaders += 1
+        q = he + 2
+      }
+    }
+    if (chunked && declared >= 0) return None // ambiguous framing
+    if (chunked) {
+      // RFC 7230 chunked framing: hex size line, chunk, CRLF, repeated;
+      // the 0 chunk then a final CRLF (no trailers in crawl archives);
+      // the chunk stream must consume the framed record payload
+      // EXACTLY — never a partial body
+      val body = new java.io.ByteArrayOutputStream()
+      var p = q
+      var zero = false
+      while (!zero) {
+        val he = lineEnd(p)
+        if (he < 0) return None
+        val sizeStr = new String(w, p, he - p, java.nio.charset.StandardCharsets.US_ASCII)
+        if (sizeStr.isEmpty || !sizeStr.forall(c => Character.digit(c, 16) >= 0))
+          return None
+        val csize = java.lang.Long.parseLong(sizeStr, 16)
+        p = he + 2
+        if (csize == 0) {
+          if (!(p + 1 < off + len && w(p) == '\r' && w(p + 1) == '\n'))
+            return None
+          p += 2
+          zero = true
+        } else {
+          if (p + csize + 2 > off + len) return None
+          body.write(w, p, csize.toInt)
+          p += csize.toInt
+          if (!(w(p) == '\r' && w(p + 1) == '\n')) return None
+          p += 2
+        }
+      }
+      if (p != off + len) return None // trailing bytes after the 0 chunk
+      Some((code, nHeaders, body.toByteArray))
+    } else {
+      val bodyLen = off + len - q
+      if (bodyLen < 0) return None
+      // the declared HTTP length must match the framed body exactly —
+      // a forged header is how a partial/overlong body slips through
+      if (declared >= 0 && declared != bodyLen) return None
+      Some((code, nHeaders, java.util.Arrays.copyOfRange(w, q, off + len)))
+    }
   }
 
   /** Deterministic WARC fixture whose RESPONSE payloads are real
@@ -1199,6 +1216,132 @@ object Multimodal {
       gz.write(rec.toByteArray)
       gz.finish()
       r += 1
+    }
+    bos.toByteArray
+  }
+
+  /** WARC -> HTTP -> HTML chain: per status-200 response record, the
+    * de-framed body parsed as an HTML page and extracted to visible
+    * text ([[HtmlText.extract]]) — the complete crawl front door in one
+    * walk (gzip members -> WARC records -> HTTP messages -> documents),
+    * applying the 200-only filter every crawl pipeline applies first.
+    * Rows: (respIdx, status, title, nLinks, nPara, textChars, textSum,
+    * htmlOk). Non-200 responses get a row with zeroed extraction
+    * (filtered, not extracted); a structurally malformed HTML body is a
+    * PER-DOCUMENT failure (htmlOk = false) — the WARC framing is
+    * intact, so one bad page must not reject the crawl file. Container
+    * or HTTP grammar violations still reject whole-file (None).
+    */
+  def warcHtmlTexts(
+      b: Array[Byte]): Option[Vector[(Long, Long, String, Long, Long, Long, Long, Boolean)]] =
+    try warcHtmlTextsImpl(b)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def warcHtmlTextsImpl(
+      b: Array[Byte]): Option[Vector[(Long, Long, String, Long, Long, Long, Long, Boolean)]] = {
+    val (_, w) = gunzipMembers(b) match {
+      case Some(x) => x
+      case None => return None
+    }
+    val recs = warcRecordSpans(w) match {
+      case Some(x) => x
+      case None => return None
+    }
+    val out = Vector.newBuilder[(Long, Long, String, Long, Long, Long, Long, Boolean)]
+    var respIdx = 0L
+    recs.foreach { case (typ, off, len) =>
+      if (typ == "response") {
+        val (code, _, body) = httpResponseMessage(w, off, len) match {
+          case Some(x) => x
+          case None => return None
+        }
+        if (code == 200L) {
+          val html = new String(body, java.nio.charset.StandardCharsets.UTF_8)
+          HtmlText.extract(html) match {
+            case Some(e) =>
+              var s = 0L
+              var i = 0
+              while (i < e.text.length) { s += e.text.charAt(i).toLong; i += 1 }
+              out += ((respIdx, code, e.title, e.nLinks, e.nPara,
+                e.text.length.toLong, s, true))
+            case None =>
+              out += ((respIdx, code, "", 0L, 0L, 0L, 0L, false))
+          }
+        } else out += ((respIdx, code, "", 0L, 0L, 0L, 0L, false))
+        respIdx += 1
+      }
+    }
+    Some(out.result())
+  }
+
+  /** Deterministic WARC fixture whose response bodies are the
+    * [[HtmlText.htmlPage]] trap pages: response p of file `tag` carries
+    * page seed `tag * 10 + p` with nPara = 2 + (tag+p) % 3 and
+    * nLink = 1 + (tag+p) % 4; every p % 3 == 1 response is a 404 (the
+    * 200-only filter's prey); every ODD response ships
+    * Transfer-Encoding: chunked with 3-7 byte chunks, so tags and
+    * entities are split MID-TOKEN across chunk boundaries and the
+    * extraction must be framing-invariant; request records interleave.
+    */
+  def warcHtmlBytes(tag: Int, nResponses: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def writeRecord(typ: String, payload: Array[Byte], id: Long): Unit = {
+      val rec = new java.io.ByteArrayOutputStream()
+      val whdr = s"WARC/1.0\r\n" +
+        s"WARC-Type: $typ\r\n" +
+        f"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0002-$id%012d>\r\n" +
+        s"WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+        s"Content-Length: ${payload.length}\r\n" +
+        "\r\n"
+      rec.write(whdr.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      rec.write(payload)
+      rec.write("\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(rec.toByteArray)
+      gz.finish()
+    }
+    var p = 0
+    while (p < nResponses) {
+      val is404 = p % 3 == 1
+      val body: Array[Byte] =
+        if (is404) "gone".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        else HtmlText.htmlPage(tag * 10 + p, 2 + (tag + p) % 3, 1 + (tag + p) % 4)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val chunked = p % 2 == 1
+      val wire: Array[Byte] =
+        if (!chunked) body
+        else {
+          val cb = new java.io.ByteArrayOutputStream()
+          var o = 0
+          var ci = 0
+          while (o < body.length) {
+            val n = math.min(3 + (ci % 5), body.length - o)
+            cb.write(java.lang.Long.toHexString(n.toLong)
+              .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+            cb.write('\r'); cb.write('\n')
+            cb.write(body, o, n)
+            cb.write('\r'); cb.write('\n')
+            o += n
+            ci += 1
+          }
+          cb.write('0'); cb.write('\r'); cb.write('\n')
+          cb.write('\r'); cb.write('\n')
+          cb.toByteArray
+        }
+      val hdr = s"HTTP/1.1 ${if (is404) "404 Not Found" else "200 OK"}\r\n" +
+        "Content-Type: text/html; charset=utf-8\r\n" +
+        (if (chunked) "Transfer-Encoding: chunked\r\n"
+         else s"Content-Length: ${body.length}\r\n") +
+        "\r\n"
+      writeRecord("response",
+        hdr.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ wire,
+        tag.toLong * 100000 + p * 2)
+      if (p % 2 == 0)
+        writeRecord("request",
+          (s"GET /page/$p HTTP/1.1\r\nHost: crawl-$tag.example\r\n\r\n")
+            .getBytes(java.nio.charset.StandardCharsets.US_ASCII),
+          tag.toLong * 100000 + p * 2 + 1)
+      p += 1
     }
     bos.toByteArray
   }

@@ -15815,22 +15815,7 @@ object CurationQueries {
       val docs = T(s, dir, "nation").select(col("n_nationkey")).collect()
         .map { r =>
           val k = r.getInt(0)
-          val nPara = 2 + k % 3
-          val nLink = 1 + k % 4
-          val sb = new StringBuilder
-          sb.append("<!DOCTYPE html>\n<HTML>\n<head>\n")
-          sb.append(s"<TITLE>Crawl  &amp;\n Page $k</TITLE>\n")
-          sb.append("<style type=\"text/css\">p{color:#fff} /* <p>not text</p> */</style>\n")
-          sb.append("<script>if (1 < 2) { document.write(\"<p>fake " +
-            k + "</p>\"); }</script>\n")
-          sb.append("</head>\n<BODY>\n<!-- <p>ghost</p> -->\n")
-          for (i <- 0 until nPara)
-            sb.append(s"""<p class="t$i">Section $i of page $k: alpha &amp; beta""" +
-              " &lt;tag&gt; A=&#65; B=&#x42;.</p>\n")
-          for (j <- 0 until nLink)
-            sb.append(s"""<a href="/r?a>b&amp;x=$j" TITLE="x>y">link $j of page $k</a>\n""")
-          sb.append(s"<br/>\ntrailing words of page $k\n</BODY></HTML>\n")
-          (k.toLong, sb.toString)
+          (k.toLong, graft.operators.HtmlText.htmlPage(k, 2 + k % 3, 1 + k % 4))
         }.toSeq
       docs.toDF("file_id", "html").write.mode("overwrite").parquet(base)
       val out = s.read.parquet(base)
@@ -16089,11 +16074,112 @@ object CurationQueries {
            |FROM canon GROUP BY canonical_url
            |ORDER BY canonical_url""".stripMargin))
 
+  /** The COMPLETE crawl front door in one plan — WARC container ->
+    * gzip members -> WARC records -> HTTP messages -> HTML pages ->
+    * corpus text: what a Common Crawl ingest actually runs, end to end.
+    * [[graft.operators.Multimodal.warcHtmlTexts]] chains the verified
+    * member walk, record framing, and both HTTP framings into
+    * [[graft.operators.HtmlText.extract]]; the fixture makes the chain
+    * itself the test — every ODD response is Transfer-Encoding:
+    * chunked with 3-7 byte chunks, so tags and entities arrive SPLIT
+    * MID-TOKEN and the extraction must be framing-invariant (the
+    * closed-form oracle doesn't know which pages were chunked), 404
+    * responses exercise the 200-only filter (zeroed rows, never
+    * extracted), and request records interleave uncounted. Failure
+    * granularity is the contract: a malformed HTML body fails THAT
+    * document (html_ok = false), while container/HTTP grammar
+    * violations still reject whole-file (ArchiveSpec).
+    *
+    * Scale: the parseAll narrow shape — one partition-mapped walk per
+    * file, rows out are response-sized; payload bytes never shuffle.
+    * On a cluster the gzip members are the split points.
+    */
+  private val multimodalWarcText = Q(
+    (s, dir) => {
+      val base = scratchDir("warctext")
+      val p = java.nio.file.Paths.get(base)
+      T(s, dir, "nation").select(col("n_nationkey")).collect() // 25-row dim
+        .foreach { r =>
+          val k = r.getInt(0)
+          java.nio.file.Files.write(p.resolve(f"wt_$k%02d.warc.gz"),
+            graft.operators.Multimodal.warcHtmlBytes(k, 3 + (k % 3)))
+        }
+      val scanned = s.read.format("binaryFile").load(base)
+        .select(regexp_extract(col("path"), "wt_(\\d+)\\.", 1).cast("long")
+          .as("file_id"), col("content"))
+      import s.implicits._
+      val out = scanned.select(col("file_id"), col("content"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.flatMap { case (id, bytes) =>
+            graft.operators.Multimodal.warcHtmlTexts(bytes) match {
+              case Some(rows) => rows.map { case (i, st, t, nl, np, tc, ts, ok) =>
+                (id, i, st, t, nl, np, tc, ts, ok)
+              }
+              case None => Seq((id, -1L, 0L, "", 0L, 0L, 0L, 0L, false))
+            }
+          }
+        }
+        .toDF("file_id", "resp_idx", "status", "title", "n_links", "n_para",
+          "text_chars", "text_sum", "html_ok")
+        .orderBy(col("file_id"), col("resp_idx"))
+        .localCheckpoint(true)
+      scratchDelete(base)
+      out
+    },
+    Some("""WITH g AS (
+           |  SELECT cast(n_nationkey as bigint) AS k,
+           |    cast(3 + (n_nationkey % 3) as bigint) AS nr
+           |  FROM nation
+           |), r AS (
+           |  SELECT k, cast(unnest(generate_series(0, nr - 1)) as bigint) AS p
+           |  FROM g
+           |), pg AS (
+           |  SELECT k, p, (p % 3 <> 1) AS ok,
+           |    k * 10 + p AS seed,
+           |    2 + (k + p) % 3 AS np,
+           |    1 + (k + p) % 4 AS nl
+           |  FROM r
+           |), paras AS (
+           |  SELECT k, p, string_agg('Section ' || i || ' of page ' || seed ||
+           |      ': alpha & beta <tag> A=A B=B.', ' ' ORDER BY i) AS ptxt
+           |  FROM (SELECT k, p, seed, unnest(generate_series(0, np - 1)) AS i
+           |        FROM pg WHERE ok)
+           |  GROUP BY k, p
+           |), links AS (
+           |  SELECT k, p, string_agg('link ' || j || ' of page ' || seed,
+           |      ' ' ORDER BY j) AS ltxt
+           |  FROM (SELECT k, p, seed, unnest(generate_series(0, nl - 1)) AS j
+           |        FROM pg WHERE ok)
+           |  GROUP BY k, p
+           |), vis AS (
+           |  SELECT pg.k, pg.p, pg.seed, pg.np, pg.nl,
+           |    paras.ptxt || ' ' || links.ltxt ||
+           |      ' trailing words of page ' || pg.seed AS v
+           |  FROM pg JOIN paras ON paras.k = pg.k AND paras.p = pg.p
+           |    JOIN links ON links.k = pg.k AND links.p = pg.p
+           |  WHERE pg.ok
+           |)
+           |SELECT pg.k AS file_id, pg.p AS resp_idx,
+           |  cast(CASE WHEN pg.ok THEN 200 ELSE 404 END as bigint) AS status,
+           |  CASE WHEN pg.ok THEN 'Crawl & Page ' || pg.seed ELSE '' END AS title,
+           |  CASE WHEN pg.ok THEN pg.nl ELSE 0 END AS n_links,
+           |  CASE WHEN pg.ok THEN pg.np ELSE 0 END AS n_para,
+           |  cast(CASE WHEN pg.ok THEN length(vis.v) ELSE 0 END as bigint)
+           |    AS text_chars,
+           |  cast(CASE WHEN pg.ok THEN list_sum(list_transform(
+           |    string_split(vis.v, ''), c -> ascii(c))) ELSE 0 END as bigint)
+           |    AS text_sum,
+           |  pg.ok AS html_ok
+           |FROM pg LEFT JOIN vis ON vis.k = pg.k AND vis.p = pg.p
+           |ORDER BY file_id, resp_idx""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "ts_ewma_smooth" -> tsEwmaSmooth,
     "ns_text_html_extract" -> textHtmlExtract,
     "ns_text_robots" -> textRobots,
     "ns_dedup_url" -> dedupUrl,
+    "ns_multimodal_warc_text" -> multimodalWarcText,
     "ns_dedup_sorted_neighborhood" -> dedupSortedNeighborhood,
     "ns_corpus_kfold" -> corpusKfold,
     "ns_sample_neyman" -> sampleNeyman,

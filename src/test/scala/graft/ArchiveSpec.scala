@@ -250,6 +250,55 @@ class ArchiveSpec extends AnyFunSuite {
     assert(one.nonEmpty) // silence unused warning
   }
 
+  test("WARC->HTML chain: failure granularity is per-document vs whole-file") {
+    // 5 responses (idx 1,4 are 404s; idx 1,3 chunked): 200s extract to
+    // the closed-form page, 404s get zeroed filtered rows
+    val b = Multimodal.warcHtmlBytes(7, 5)
+    val Some(rows) = Multimodal.warcHtmlTexts(b)
+    assert(rows.length == 5)
+    assert(rows.map(_._2) == Vector(200L, 404L, 200L, 200L, 404L))
+    for (p <- Seq(0, 2, 3)) {
+      val r = rows(p)
+      assert(r._3 == s"Crawl & Page ${70 + p}", r)
+      assert(r._4 == 1 + (7 + p) % 4 && r._5 == 2 + (7 + p) % 3, r)
+      assert(r._8, r)
+    }
+    assert(rows(1) == ((1L, 404L, "", 0L, 0L, 0L, 0L, false)))
+    // the chunked page (idx 3) extracts IDENTICALLY to what the same
+    // page yields un-chunked — framing invariance through the chain
+    val direct = graft.operators.HtmlText
+      .extract(graft.operators.HtmlText.htmlPage(73, 2 + 10 % 3, 1 + 10 % 4)).get
+    assert(rows(3)._6 == direct.text.length.toLong)
+    // a structurally malformed HTML body (unterminated comment) fails
+    // THAT document only: rebuild response 0's record with a bad body,
+    // WARC + HTTP lengths kept consistent so only the HTML layer objects
+    def gz(rec: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(o)
+      g.write(rec); g.close(); o.toByteArray
+    }
+    val badHtml = "<p>never closed <!-- oops"
+    val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      s"Content-Length: ${badHtml.length}\r\n\r\n" + badHtml
+    val rec = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Record-ID: <urn:uuid:00000000-0000-0000-0002-000000000099>\r\n" +
+      "WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n" + http + "\r\n\r\n"
+    val mixed = gz(rec.getBytes(java.nio.charset.StandardCharsets.US_ASCII)) ++
+      Multimodal.warcHtmlBytes(7, 2)
+    val Some(rows2) = Multimodal.warcHtmlTexts(mixed)
+    assert(rows2.length == 3)
+    assert(rows2(0) == ((0L, 200L, "", 0L, 0L, 0L, 0L, false))) // that doc only
+    assert(rows2(1)._8) // the rest of the file still extracts
+    // container/HTTP violations still reject whole-file
+    assert(Multimodal.warcHtmlTexts(b.dropRight(9).toArray).isEmpty)
+    val forged = http.replaceFirst(s"Content-Length: ${badHtml.length}",
+      s"Content-Length: ${badHtml.length + 3}")
+    val rec2 = rec.replace(http, forged)
+    assert(Multimodal.warcHtmlTexts(
+      gz(rec2.getBytes(java.nio.charset.StandardCharsets.US_ASCII))).isEmpty)
+  }
+
   test("a >= 65535-entry archive reads its count from the ZIP64 EOCD") {
     // the 16-bit EOCD total-entries field saturates at 0xFFFF; the JDK
     // writes the real count to the ZIP64 EOCD record — without the
