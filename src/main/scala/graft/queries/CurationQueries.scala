@@ -16174,12 +16174,65 @@ object CurationQueries {
            |FROM pg LEFT JOIN vis ON vis.k = pg.k AND vis.p = pg.p
            |ORDER BY file_id, resp_idx""".stripMargin))
 
+  /** CRAWL-FRONTIER politeness scheduling — between `ns_text_robots`
+    * (may I fetch) and the WARC chain (what I fetched) sits WHEN: a
+    * polite crawler fetches at most ONE url per host per round, so the
+    * frontier schedule is exactly a per-host priority rank. Each
+    * document derives its crawl url's host (doc_id-keyed) and a
+    * priority (n_chars — fetch fat pages first); fetch round = rank
+    * within host by (priority desc, doc_id). The round census reports
+    * the crawl's shape: how many fetches land in each round (the
+    * declining active-host curve), how many hosts FINISH that round,
+    * and the exact priority volume fetched — the numbers that size a
+    * crawl's wall-clock and reveal hot-host skew (one giant host =
+    * max-round tail; the makespan IS the biggest host).
+    *
+    * Scale: one shuffle (hash by host) feeds the rank window —
+    * per-host sort volume stays in-partition; the round census is a
+    * second short-key agg on (round) whose cardinality is the MAX
+    * host size, not the corpus. Replication multiplies host occupancy
+    * (rounds), not host count — the politeness stress axis.
+    */
+  private val pipelineCrawlFrontier = Q(
+    (s, dir) => {
+      val w = Window.partitionBy(col("host"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val ranked = T(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        .withColumn("host", expr("concat('h', cast(doc_id % 40 as string))"))
+        .withColumn("round", row_number().over(w).cast("long"))
+      val perHost = ranked.groupBy(col("host"))
+        .agg(max(col("round")).as("host_rounds"))
+      ranked.join(perHost, Seq("host"))
+        .groupBy(col("round"))
+        .agg(count(lit(1)).as("n_fetched"),
+          sum(expr("cast(round = host_rounds as bigint)")).as("n_hosts_done"),
+          sum(col("n_chars")).as("priority_volume"))
+        .orderBy(col("round"))
+    },
+    Some("""WITH ranked AS (
+           |  SELECT doc_id, n_chars,
+           |    'h' || cast(doc_id % 40 as varchar) AS host,
+           |    cast(row_number() OVER (PARTITION BY doc_id % 40
+           |      ORDER BY n_chars DESC, doc_id) as bigint) AS round
+           |  FROM documents
+           |), per_host AS (
+           |  SELECT host, max(round) AS host_rounds
+           |  FROM ranked GROUP BY host
+           |)
+           |SELECT r.round, count(*) AS n_fetched,
+           |  cast(sum(CASE WHEN r.round = p.host_rounds THEN 1 ELSE 0 END)
+           |    as bigint) AS n_hosts_done,
+           |  cast(sum(r.n_chars) as bigint) AS priority_volume
+           |FROM ranked r JOIN per_host p ON p.host = r.host
+           |GROUP BY r.round ORDER BY r.round""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "ts_ewma_smooth" -> tsEwmaSmooth,
     "ns_text_html_extract" -> textHtmlExtract,
     "ns_text_robots" -> textRobots,
     "ns_dedup_url" -> dedupUrl,
     "ns_multimodal_warc_text" -> multimodalWarcText,
+    "ns_pipeline_crawl_frontier" -> pipelineCrawlFrontier,
     "ns_dedup_sorted_neighborhood" -> dedupSortedNeighborhood,
     "ns_corpus_kfold" -> corpusKfold,
     "ns_sample_neyman" -> sampleNeyman,
