@@ -7905,6 +7905,75 @@ object CurationQueries {
       "WHERE p.q_id <> e.c_id",
       "WHERE p.q_id <> e.c_id AND e.c_id % 7 <> 3")))
 
+  /** TOMBSTONE COMPACTION — the index lifecycle's VACUUM and the fourth
+    * operation after build/append/delete: [[simIvfDelete]] serves with a
+    * broadcast anti-join so deletes are instant, but the tombstoned rows
+    * still occupy disk and probe I/O; compaction rewrites ONLY the cells
+    * that hold tombstoned rows (dynamic partition overwrite — the
+    * [[upsertShardStore]] discipline) and the serve path then runs with
+    * NO tombstone filter at all. The oracle is byte-identical to the
+    * delete op's (the IVF-PQ search SQL with deleted ids excluded):
+    * compacted-store serving must be indistinguishable from tombstoned
+    * serving — a compaction that loses a survivor in a touched cell,
+    * resurrects a tombstone, or disturbs an untouched cell changes a
+    * top-3 list and hash-fails. CurationSpec asserts the file-level
+    * contract: untouched cells keep their exact files (size + mtime),
+    * touched cells shrink by exactly the tombstoned rows, and the
+    * tombstoned ids are GONE from disk, not merely filtered.
+    *
+    * Scale: compaction I/O is touched-cells-only — delete volume is
+    * tiny and clustered next to the corpus, so the rewrite touches
+    * |affected cells|/C of the index (at 100 TB: a background job sized
+    * by the takedown batch, never a full-index rewrite); the touched
+    * list is the one driver collect, bounded by C.
+    */
+  private val simIvfCompact = Q(
+    (s, dir) => {
+      graft.expressions.SquaredL2.registerIn(s)
+      val v = NorthStarQueries.kmeansQuantizedIndex(s, dir)
+      val cellSorted = ivfCellSortedExpr(v)
+      val vc = v.withColumn("cell", expr(s"element_at($cellSorted, 1).j"))
+      val cb = NorthStarQueries.pqCodebook(v)
+      val base = scratchDir("ivfcompact")
+      ivfPqIndexRows(vc, cb)
+        .write.mode("overwrite").partitionBy("cell").parquet(base)
+      val tomb = v.where(col("vec_id") % 7 === 3)
+        .select(col("vec_id").as("c_id")).localCheckpoint(true)
+      compactIvfStore(s, base, tomb)
+      // serve with NO tombstone filter: the store itself is now clean
+      val out = ivfPqServeStore(s, v, base, cellSorted, cb).localCheckpoint(true)
+      scratchDelete(base)
+      out
+    },
+    simIvfPq.oracle.map(_.replace(
+      "WHERE p.q_id <> e.c_id",
+      "WHERE p.q_id <> e.c_id AND e.c_id % 7 <> 3")))
+
+  /** Rewrite ONLY the cells of a persisted IVF store that contain
+    * tombstoned rows, dropping those rows (dynamic partition overwrite;
+    * untouched cells keep their physical files). Returns the touched
+    * cell ids.
+    */
+  private[graft] def compactIvfStore(s: org.apache.spark.sql.SparkSession,
+      base: String, tomb: DataFrame): Seq[Long] = {
+    val store = s.read.parquet(base)
+    // the read-back partition column infers as int: normalize to long
+    val touched = store.join(broadcast(tomb), Seq("c_id"), "left_semi")
+      .select(col("cell").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    if (touched.nonEmpty) {
+      val survivors = store.where(col("cell").isin(touched: _*))
+        .join(broadcast(tomb), Seq("c_id"), "left_anti")
+        // break lineage to the files being overwritten
+        .localCheckpoint(true)
+      val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try survivors.write.mode("overwrite").partitionBy("cell").parquet(base)
+      finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    }
+    touched
+  }
+
   // ---------------------------------------------------------------------
   // Classifier agreement (Cohen's kappa)
   // ---------------------------------------------------------------------
@@ -16337,6 +16406,7 @@ object CurationQueries {
     "ns_profile_zipf" -> profileZipf,
     "ns_corpus_interleave" -> corpusInterleave,
     "ns_sim_ivf_delete" -> simIvfDelete,
+    "ns_sim_ivf_compact" -> simIvfCompact,
     "ns_quality_kappa" -> qualityKappa,
     "ns_profile_datacard" -> profileDatacard,
     "ns_pipeline_manifest_diff" -> pipelineManifestDiff,

@@ -754,6 +754,48 @@ class CurationSpec extends SparkSpec {
     graft.queries.Q.scratchDelete(base)
   }
 
+  test("ivf compaction: untouched cells keep their files, tombstones leave disk") {
+    import org.apache.spark.sql.functions._
+    graft.expressions.SquaredL2.registerIn(spark)
+    val v = graft.queries.NorthStarQueries.kmeansQuantizedIndex(spark, sfDir)
+    val cellSorted = graft.queries.CurationQueries.ivfCellSortedExpr(v)
+    val vc = v.withColumn("cell", expr(s"element_at($cellSorted, 1).j"))
+    val cb = graft.queries.NorthStarQueries.pqCodebook(v)
+    val base = graft.queries.Q.scratchDir("ivfcompact-spec")
+    graft.queries.CurationQueries.ivfPqIndexRows(vc, cb)
+      .write.mode("overwrite").partitionBy("cell").parquet(base)
+    def files(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(base)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> (f.length(), f.lastModified())).toMap
+    }
+    val before = files()
+    val rowsBefore = spark.read.parquet(base).count()
+    val tomb = v.where(col("vec_id") % 7 === 3)
+      .select(col("vec_id").as("c_id")).localCheckpoint(true)
+    val nTomb = tomb.count()
+    assert(nTomb > 0, "fixture must tombstone something")
+    val touched = graft.queries.CurationQueries.compactIvfStore(spark, base, tomb)
+    assert(touched.nonEmpty)
+    val after = files()
+    // untouched cells: exact same physical files (size + mtime)
+    val touchedDirs = touched.map(c => s"cell=$c").toSet
+    before.foreach { case (path, stat) =>
+      val inTouched = touchedDirs.exists(d => path.contains(s"/$d/"))
+      if (!inTouched)
+        assert(after.get(path).contains(stat),
+          s"compaction disturbed an untouched cell's file: $path")
+    }
+    // tombstoned rows are GONE from disk, survivors intact
+    val rb = spark.read.parquet(base)
+    assert(rb.join(tomb, Seq("c_id"), "left_semi").count() == 0,
+      "a tombstoned id survived compaction on disk")
+    assert(rb.count() == rowsBefore - nTomb * 8, // PQ_M rows per vector
+      "compaction must remove exactly the tombstoned rows")
+    graft.queries.Q.scratchDelete(base)
+  }
+
   test("reshard: rendezvous never moves a doc between two OLD shards") {
     // the consistent-hashing guarantee the audit's movement numbers rest
     // on: growing 16 -> 24 only ever moves a doc to a NEW shard (its
