@@ -452,7 +452,16 @@ object ScaleProbe {
       // agreement audit's minhash side) + two sig-table joins; the six
       // widths fold from one inline pass, so growth should track the
       // candidate volume
-      "ns_dedup_bbit_minhash")
+      "ns_dedup_bbit_minhash",
+      // r19: url dedup = map-side regexp/array canonicalization into ONE
+      // group-by on short canonical strings; replication (identical
+      // doc_id remaps mod the url scheme) multiplies group occupancy,
+      // not group count — expected ~flat beyond the map pass
+      "ns_dedup_url",
+      // r19: crawl frontier = one host-keyed rank window + a round-keyed
+      // census; replication multiplies per-host rows (rounds), the
+      // politeness stress axis — per-host sort stays in-partition
+      "ns_pipeline_crawl_frontier")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected
@@ -642,7 +651,12 @@ object ScaleProbe {
       // r16: streaming IVF ingest = the append build through the file
       // sink (two micro-batches) + the partition-pruned serve; wall
       // should track ns_sim_ivf_append's (write volume dominates)
-      "ns_sim_ivf_append_stream")
+      "ns_sim_ivf_append_stream",
+      // r19: compaction = the persisted build + a touched-cells-only
+      // dynamic-overwrite rewrite + the unfiltered serve; wall should
+      // track ivf_delete's (build/write dominates), with the rewrite
+      // sized by tombstone spread, not the corpus
+      "ns_sim_ivf_compact")
     // probes over the embeddings fixture that do NOT resolve through the
     // query catalog (custom parameterization below)
     val customVecProbes = Seq("ns_dedup_semantic_kprop",
@@ -710,6 +724,7 @@ object ScaleProbe {
       timeVec("ns_decontaminate_semantic")
       timeVec("ns_sample_cluster_balance")
       timeVec("ns_sim_ivf_delete")
+      timeVec("ns_sim_ivf_compact")
       timeVec("ns_sim_bitext_mining")
       timeVec("ns_embed_hits")
       // maxsim: the broadcast-query class with 64 sub-dots per pair in
