@@ -4290,4 +4290,295 @@ object Multimodal {
           }
       }
   }
+
+  // ---------------------------------------------------------------------
+  // ISO BMFF (MP4) box census — the video-container front door
+  // ---------------------------------------------------------------------
+
+  /** Walk an ISO base-media file's box tree (MP4/MOV/M4A — the container
+    * essentially all crawl video arrives in): u32-BE size + 4cc type,
+    * size==1 -> 64-bit largesize (the >4 GiB form real video files use),
+    * size==0 -> box extends to EOF (legal only for the LAST top-level
+    * box); containers (moov/trak/mdia/minf/stbl) recurse; full boxes
+    * (mvhd/mdhd/hdlr) carry version+flags. Returns (majorBrand,
+    * nTopBoxes, nTracks, nVideo, nAudio, timescale, duration,
+    * mdatBytes) or None on any structural violation: a box size that
+    * overruns its parent, size < 8 (other than the 0/1 forms), a
+    * missing/late ftyp, a missing moov/mvhd, an unsupported mvhd
+    * version, or a size==0 box that is not last.
+    */
+  def mp4BoxStats(
+      b: Array[Byte]): Option[(String, Long, Long, Long, Long, Long, Long, Long)] =
+    try mp4BoxStatsImpl(b)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def mp4BoxStatsImpl(
+      b: Array[Byte]): Option[(String, Long, Long, Long, Long, Long, Long, Long)] = {
+    if (b.length < 16) return None
+    def u32(o: Int): Long = ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+    def fourcc(o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl", "edts")
+    var majorBrand: String = null
+    var nTop = 0L
+    var nTracks = 0L
+    var nVideo = 0L
+    var nAudio = 0L
+    var timescale = -1L
+    var duration = -1L
+    var mdatBytes = 0L
+    var sawMoov = false
+    // returns false on structural violation
+    def walk(lo: Long, hi: Long, depth: Int): Boolean = {
+      var p = lo
+      while (p < hi) {
+        if (p + 8 > hi) return false
+        var size = u32(p.toInt)
+        var hdr = 8L
+        val typ = fourcc(p.toInt + 4)
+        if (size == 1L) {
+          if (p + 16 > hi) return false
+          size = u64(p.toInt + 8)
+          hdr = 16L
+        } else if (size == 0L) {
+          // to-EOF form: legal only for the LAST top-level box
+          if (depth != 0) return false
+          size = hi - p
+        }
+        if (size < hdr || p + size > hi) return false
+        if (depth == 0) {
+          nTop += 1
+          if (nTop == 1L) {
+            if (typ != "ftyp" || size < hdr + 8) return false
+            majorBrand = fourcc((p + hdr).toInt)
+          } else if (typ == "ftyp") return false // ftyp must be first
+        }
+        typ match {
+          case "moov" => sawMoov = true
+          case "trak" => nTracks += 1
+          case "mdat" => mdatBytes += size - hdr
+          case "mvhd" =>
+            val v = b((p + hdr).toInt) & 0xff
+            if (v == 0) {
+              // version 0: 32-bit ctime/mtime, then timescale + duration
+              timescale = u32((p + hdr + 12).toInt)
+              duration = u32((p + hdr + 16).toInt)
+            } else if (v == 1) {
+              // version 1: 64-bit times and duration
+              timescale = u32((p + hdr + 20).toInt)
+              duration = u64((p + hdr + 24).toInt)
+            } else return false
+          case "hdlr" =>
+            // full box: version+flags, pre_defined, then handler_type
+            val ht = fourcc((p + hdr + 8).toInt)
+            if (ht == "vide") nVideo += 1
+            if (ht == "soun") nAudio += 1
+          case _ => ()
+        }
+        if (containers(typ) && !walk(p + hdr, p + size, depth + 1))
+          return false
+        p += size
+      }
+      p == hi
+    }
+    if (!walk(0L, b.length.toLong, 0)) return None
+    if (majorBrand == null || !sawMoov || timescale <= 0 || duration < 0)
+      return None
+    Some((majorBrand, nTop, nTracks, nVideo, nAudio, timescale, duration,
+      mdatBytes))
+  }
+
+  /** Deterministic minimal-but-conformant MP4 fixture: ftyp(isom) +
+    * moov(mvhd v0 + one trak(mdia(mdhd, hdlr)) per track, handlers
+    * alternating vide/soun) + a free box + mdat carrying `payload`
+    * bytes; when `largesize` the mdat uses the 64-bit size==1 form (the
+    * >4 GiB header real video ships), and when `toEof` the LAST mdat
+    * uses the size==0 to-EOF form.
+    */
+  def mp4Bytes(tag: Int, nTracks: Int, timescale: Long, duration: Long,
+      payloadBytes: Int, largesize: Boolean = false,
+      toEof: Boolean = false): Array[Byte] = {
+    def box(typ: String, body: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(8 + body.length)
+      out.putInt(8 + body.length)
+      out.put(typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      out.put(body)
+      out.array()
+    }
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val ftyp = box("ftyp",
+      "isom".getBytes ++ be32(0x200) ++ "isommp41".getBytes)
+    val mvhd = box("mvhd",
+      be32(0) /* v0 + flags */ ++ be32(0) ++ be32(0) /* ctime mtime */ ++
+        be32(timescale) ++ be32(duration) ++
+        Array.fill(80)(0.toByte)) // rate/volume/matrix/next_track
+    val traks = (0 until nTracks).map { t =>
+      val ht = if (t % 2 == 0) "vide" else "soun"
+      val hdlr = box("hdlr",
+        be32(0) ++ be32(0) ++ ht.getBytes ++ Array.fill(12)(0.toByte) ++
+          Array[Byte](0)) // name: empty NUL-terminated
+      val mdhd = box("mdhd",
+        be32(0) ++ be32(0) ++ be32(0) ++ be32(timescale) ++ be32(duration) ++
+          Array[Byte](0x55, ((0xc4 & 0xff)).toByte, 0, 0)) // und language
+      box("trak", box("mdia", mdhd ++ hdlr))
+    }
+    val moov = box("moov", mvhd ++ traks.flatten.toArray)
+    val free = box("free", Array.fill(4)((tag & 0xff).toByte))
+    val payload = Array.tabulate(payloadBytes)(i => ((tag * 7 + i) % 251).toByte)
+    val mdat: Array[Byte] =
+      if (largesize) {
+        val out = java.nio.ByteBuffer.allocate(16 + payload.length)
+        out.putInt(1)
+        out.put("mdat".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        out.putLong(16L + payload.length)
+        out.put(payload)
+        out.array()
+      } else if (toEof) {
+        val out = java.nio.ByteBuffer.allocate(8 + payload.length)
+        out.putInt(0)
+        out.put("mdat".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        out.put(payload)
+        out.array()
+      } else box("mdat", payload)
+    ftyp ++ moov ++ free ++ mdat
+  }
+
+  // ---------------------------------------------------------------------
+  // EXIF metadata extraction (JPEG APP1 -> embedded TIFF IFD walk)
+  // ---------------------------------------------------------------------
+
+  /** Extract EXIF metadata from a JPEG's APP1 segment — the curation
+    * signals image pipelines read WITHOUT decoding pixels: orientation
+    * (tag 274; the rotate-before-resize bit), and the EXIF sub-IFD's
+    * PixelXDimension/PixelYDimension (0xA002/0xA003 — the declared
+    * dimensions, cross-checkable against the decoded ones). The APP1
+    * payload is a complete embedded TIFF in EITHER byte order, all
+    * offsets relative to its own header — the classic off-by-APP1-start
+    * bug is the thing the fixtures' big-endian/little-endian split
+    * catches. Returns (byteOrderLE, orientation, pixelX, pixelY) or
+    * None when there is no well-formed Exif APP1 (missing marker,
+    * wrong "Exif\0\0" preamble, bad TIFF magic, truncated IFD) —
+    * absence-of-metadata rejects, it never invents defaults.
+    */
+  def exifStats(b: Array[Byte]): Option[(Boolean, Long, Long, Long)] =
+    try exifStatsImpl(b)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def exifStatsImpl(b: Array[Byte]): Option[(Boolean, Long, Long, Long)] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return None // not a JPEG
+    // marker walk to APP1/Exif
+    var p = 2
+    var app1 = -1
+    var app1Len = 0
+    while (app1 < 0) {
+      if (p + 4 > b.length) return None
+      if ((b(p) & 0xff) != 0xff) return None
+      val m = b(p + 1) & 0xff
+      if (m == 0xd9 || m == 0xda) return None // EOI/SOS: no Exif present
+      val len = ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+      if (len < 2 || p + 2 + len > b.length) return None
+      // the EXIF preamble is the 6 bytes 'E','x','i','f',NUL,NUL
+      if (m == 0xe1 && len >= 8 &&
+        b(p + 4) == 'E' && b(p + 5) == 'x' && b(p + 6) == 'i' &&
+        b(p + 7) == 'f' && b(p + 8) == 0 && b(p + 9) == 0) {
+        app1 = p + 10 // TIFF header start
+        app1Len = len - 8
+      } else p += 2 + len
+    }
+    val t = app1 // all TIFF offsets are relative to this
+    if (app1Len < 8) return None
+    val le =
+      if (b(t) == 'I' && b(t + 1) == 'I') true
+      else if (b(t) == 'M' && b(t + 1) == 'M') false
+      else return None
+    def u16(o: Int): Int =
+      if (le) (b(t + o) & 0xff) | ((b(t + o + 1) & 0xff) << 8)
+      else ((b(t + o) & 0xff) << 8) | (b(t + o + 1) & 0xff)
+    def u32(o: Int): Long =
+      if (le) (b(t + o) & 0xffL) | ((b(t + o + 1) & 0xffL) << 8) |
+        ((b(t + o + 2) & 0xffL) << 16) | ((b(t + o + 3) & 0xffL) << 24)
+      else ((b(t + o) & 0xffL) << 24) | ((b(t + o + 1) & 0xffL) << 16) |
+        ((b(t + o + 2) & 0xffL) << 8) | (b(t + o + 3) & 0xffL)
+    if (u16(2) != 42) return None
+    var orientation = -1L
+    var px = -1L
+    var py = -1L
+    def walkIfd(at: Int, depth: Int): Boolean = {
+      if (at + 2 > app1Len) return false
+      val n = u16(at)
+      if (at + 2 + 12 * n + 4 > app1Len) return false
+      var e = 0
+      var exifIfd = -1L
+      while (e < n) {
+        val off = at + 2 + 12 * e
+        val tag = u16(off)
+        val typ = u16(off + 2)
+        def value(): Long =
+          if (typ == 3) u16(off + 8).toLong else u32(off + 8)
+        tag match {
+          case 274 => orientation = value()
+          case 0xA002 => px = value()
+          case 0xA003 => py = value()
+          case 0x8769 => exifIfd = u32(off + 8)
+          case _ => ()
+        }
+        e += 1
+      }
+      // follow the EXIF sub-IFD pointer from IFD0 only — a crafted
+      // self-pointing sub-IFD must not recurse forever
+      if (exifIfd >= 0 && depth == 0 && !walkIfd(exifIfd.toInt, depth + 1))
+        return false
+      true
+    }
+    if (!walkIfd(u32(4).toInt, 0)) return None
+    if (orientation < 1 || orientation > 8 || px < 0 || py < 0) return None
+    Some((le, orientation, px, py))
+  }
+
+  /** Deterministic JPEG-with-EXIF fixture: SOI + APP1(Exif, byte order
+    * by `littleEndian`, IFD0 carrying orientation + the EXIF sub-IFD
+    * pointer, sub-IFD carrying PixelX/YDimension) + the shared baseline
+    * gradient JPEG's remaining segments (so the file also really
+    * decodes).
+    */
+  def exifJpegBytes(width: Int, height: Int, littleEndian: Boolean,
+      orientation: Int): Array[Byte] = {
+    val jpeg = jpegBytes(width, height)
+    def u16(v: Int): Array[Byte] =
+      if (littleEndian) Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+      else Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def u32(v: Long): Array[Byte] =
+      if (littleEndian) Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      else Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def entry(tag: Int, typ: Int, count: Long, value: Array[Byte]): Array[Byte] =
+      u16(tag) ++ u16(typ) ++ u32(count) ++ value.padTo(4, 0.toByte)
+    // IFD0 at offset 8: 2 entries (orientation, exif pointer); sub-IFD
+    // follows immediately after IFD0's next-IFD pointer
+    val ifd0At = 8L
+    val subAt = 8L + 2L + 2L * 12L + 4L
+    val ifd0 = u16(2) ++
+      entry(274, 3, 1, u16(orientation) ++ Array[Byte](0, 0)) ++
+      entry(0x8769, 4, 1, u32(subAt)) ++
+      u32(0)
+    val sub = u16(2) ++
+      entry(0xA002, 4, 1, u32(width.toLong)) ++
+      entry(0xA003, 4, 1, u32(height.toLong)) ++
+      u32(0)
+    val tiff = (if (littleEndian) "II".getBytes else "MM".getBytes) ++
+      u16(42) ++ u32(ifd0At) ++ ifd0 ++ sub
+    val payload = "Exif".getBytes(
+      java.nio.charset.StandardCharsets.US_ASCII) ++ Array[Byte](0, 0) ++ tiff
+    val app1 = Array[Byte](0xff.toByte, 0xe1.toByte,
+      (((payload.length + 2) >> 8) & 0xff).toByte,
+      ((payload.length + 2) & 0xff).toByte) ++ payload
+    // splice after SOI
+    jpeg.take(2) ++ app1 ++ jpeg.drop(2)
+  }
 }

@@ -16295,8 +16295,149 @@ object CurationQueries {
            |FROM ranked r JOIN per_host p ON p.host = r.host
            |GROUP BY r.round ORDER BY r.round""".stripMargin))
 
+  /** ISO BMFF (MP4) BOX CENSUS — the video-container front door:
+    * essentially all crawl video arrives as MP4/MOV, and the structural
+    * read (brand, track count + handler types, movie timescale/duration,
+    * media payload volume) is what a pipeline needs BEFORE deciding to
+    * spend decode cycles. [[graft.operators.Multimodal.mp4BoxStats]]
+    * really walks the box tree — u32-BE sizes, the 64-bit `size==1`
+    * largesize form (the >4 GiB header real video ships — fixtures
+    * cycle it), the `size==0` to-EOF form (legal only for the last
+    * top-level box), container recursion (moov/trak/mdia), full-box
+    * version handling in mvhd (v0 and v1 layouts) — and rejects any
+    * size overrunning its parent, a late/missing ftyp, or a missing
+    * moov. Duration is reported both raw and as the exact integer
+    * `ms = duration * 1000 div timescale` both engines replay.
+    *
+    * Scale: the parseAll narrow shape — one partition-mapped walk, a
+    * string + 8 longs per file leave the map side; payload bytes never
+    * shuffle (the census never touches mdat content).
+    */
+  private val multimodalMp4Boxes = Q(
+    (s, dir) => {
+      val base = scratchDir("mp4box")
+      val p = java.nio.file.Paths.get(base)
+      T(s, dir, "nation").select(col("n_nationkey")).collect() // 25-row dim
+        .foreach { r =>
+          val k = r.getInt(0)
+          java.nio.file.Files.write(p.resolve(f"m_$k%02d.mp4"),
+            graft.operators.Multimodal.mp4Bytes(
+              k, 1 + k % 3, 1000L * (1 + k % 4), 1500L + 137L * k,
+              64 + 16 * k, largesize = k % 4 == 0,
+              toEof = k % 4 != 0 && k % 5 == 4))
+        }
+      val scanned = s.read.format("binaryFile").load(base)
+        .select(regexp_extract(col("path"), "m_(\\d+)\\.", 1).cast("long")
+          .as("file_id"), col("content"))
+      import s.implicits._
+      val out = scanned.select(col("file_id"), col("content"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            graft.operators.Multimodal.mp4BoxStats(bytes) match {
+              case Some((br, nt, tr, nv, na, ts, du, mb)) =>
+                (id, br, nt, tr, nv, na, ts, du, mb, true)
+              case None => (id, "", 0L, 0L, 0L, 0L, 0L, 0L, 0L, false)
+            }
+          }
+        }
+        .toDF("file_id", "brand", "n_top", "n_tracks", "n_video", "n_audio",
+          "timescale", "duration", "mdat_bytes", "valid")
+        .withColumn("dur_ms", expr("(duration * 1000) div timescale"))
+        .select(col("file_id"), col("brand"), col("n_top"), col("n_tracks"),
+          col("n_video"), col("n_audio"), col("timescale"), col("duration"),
+          col("dur_ms"), col("mdat_bytes"), col("valid"))
+        .orderBy(col("file_id"))
+        .localCheckpoint(true)
+      scratchDelete(base)
+      out
+    },
+    Some("""WITH g AS (
+           |  SELECT cast(n_nationkey as bigint) AS k,
+           |    cast(1 + n_nationkey % 3 as bigint) AS tr,
+           |    cast(1000 * (1 + n_nationkey % 4) as bigint) AS ts,
+           |    cast(1500 + 137 * n_nationkey as bigint) AS du
+           |  FROM nation
+           |)
+           |SELECT k AS file_id, 'isom' AS brand, cast(4 as bigint) AS n_top,
+           |  tr AS n_tracks, (tr + 1) // 2 AS n_video, tr // 2 AS n_audio,
+           |  ts AS timescale, du AS duration, (du * 1000) // ts AS dur_ms,
+           |  cast(64 + 16 * k as bigint) AS mdat_bytes, true AS valid
+           |FROM g ORDER BY file_id""".stripMargin))
+
+  /** EXIF METADATA extraction — the curation signals image pipelines
+    * read WITHOUT decoding pixels: orientation (the rotate-before-
+    * resize bit every thumbnailer needs) and the declared
+    * PixelX/YDimension from the EXIF sub-IFD.
+    * [[graft.operators.Multimodal.exifStats]] walks the JPEG marker
+    * stream to APP1, verifies the `Exif\0\0` preamble, and then walks
+    * the EMBEDDED TIFF (either byte order — fixtures cycle II/MM; all
+    * offsets relative to the embedded header, the classic
+    * off-by-APP1-start bug) through IFD0 into the pointed sub-IFD.
+    * Every fixture is ALSO a real decodable JPEG (the APP1 splices into
+    * the shared baseline gradient), and every sixth file ships with NO
+    * EXIF — absence rejects (valid = false), the reader never invents
+    * defaults.
+    *
+    * Scale: the parseAll narrow shape — marker walk + two IFDs per
+    * file, no pixel decode, no shuffle of payload bytes.
+    */
+  private val multimodalExif = Q(
+    (s, dir) => {
+      val base = scratchDir("exif")
+      val p = java.nio.file.Paths.get(base)
+      T(s, dir, "nation").select(col("n_nationkey")).collect() // 25-row dim
+        .foreach { r =>
+          val k = r.getInt(0)
+          val w = 16 + (k % 3) * 8
+          val h = 8 + (k % 2) * 8
+          val bytes =
+            if (k % 6 == 5) graft.operators.Multimodal.jpegBytes(w, h)
+            else graft.operators.Multimodal.exifJpegBytes(
+              w, h, littleEndian = k % 2 == 0, orientation = 1 + k % 8)
+          java.nio.file.Files.write(p.resolve(f"x_$k%02d.jpg"), bytes)
+        }
+      val scanned = s.read.format("binaryFile").load(base)
+        .select(regexp_extract(col("path"), "x_(\\d+)\\.", 1).cast("long")
+          .as("file_id"), col("content"))
+      import s.implicits._
+      val out = scanned.select(col("file_id"), col("content"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            graft.operators.Multimodal.exifStats(bytes) match {
+              case Some((le, o, px, py)) =>
+                (id, if (le) "II" else "MM", o, px, py, true)
+              case None => (id, "", 0L, 0L, 0L, false)
+            }
+          }
+        }
+        .toDF("file_id", "byte_order", "orientation", "pixel_x", "pixel_y",
+          "valid")
+        .orderBy(col("file_id"))
+        .localCheckpoint(true)
+      scratchDelete(base)
+      out
+    },
+    Some("""WITH g AS (
+           |  SELECT cast(n_nationkey as bigint) AS k FROM nation
+           |)
+           |SELECT k AS file_id,
+           |  CASE WHEN k % 6 = 5 THEN ''
+           |       WHEN k % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+           |  cast(CASE WHEN k % 6 = 5 THEN 0 ELSE 1 + k % 8 END as bigint)
+           |    AS orientation,
+           |  cast(CASE WHEN k % 6 = 5 THEN 0 ELSE 16 + (k % 3) * 8 END as bigint)
+           |    AS pixel_x,
+           |  cast(CASE WHEN k % 6 = 5 THEN 0 ELSE 8 + (k % 2) * 8 END as bigint)
+           |    AS pixel_y,
+           |  k % 6 <> 5 AS valid
+           |FROM g ORDER BY file_id""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "ts_ewma_smooth" -> tsEwmaSmooth,
+    "ns_multimodal_mp4_boxes" -> multimodalMp4Boxes,
+    "ns_multimodal_exif" -> multimodalExif,
     "ns_text_html_extract" -> textHtmlExtract,
     "ns_text_robots" -> textRobots,
     "ns_dedup_url" -> dedupUrl,

