@@ -4292,6 +4292,130 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------------
+  // MP3 frame census (MPEG-1 Layer III header walk, no audio decode)
+  // ---------------------------------------------------------------------
+
+  /** MPEG-1 Layer III bitrate table, kbps, for header indexes 1-14
+    * (index 0 = free-format and 15 = bad both reject).
+    */
+  private val Mp3Kbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+    160, 192, 224, 256, 320)
+  private val Mp3Rates = Array(44100, 48000, 32000)
+
+  /** Walk an MP3 stream's frame headers — the audio-container census
+    * that answers duration/bitrate/integrity WITHOUT decoding samples:
+    * optional ID3v2 preamble (syncsafe size) skipped, then every frame
+    * header validated (sync, MPEG-1, Layer III, a real bitrate index,
+    * a non-reserved sample rate, consistent sample rate across frames —
+    * real VBR varies bitrate, never rate) and stepped by the exact
+    * `144 * bitrate / samplerate + padding` frame length; an optional
+    * trailing 128-byte ID3v1 tag is recognized. Returns (nFrames,
+    * sampleRate, kbpsSum, durationMs = nFrames * 1152 * 1000 div rate,
+    * hasId3v2, hasId3v1) or None on any desync, truncated frame,
+    * free-format/bad bitrate, reserved rate, or trailing junk — a
+    * stream that desyncs mid-walk rejects whole-file, never a partial
+    * frame count.
+    */
+  def mp3FrameStats(
+      b: Array[Byte]): Option[(Long, Long, Long, Long, Boolean, Boolean)] =
+    try mp3FrameStatsImpl(b)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def mp3FrameStatsImpl(
+      b: Array[Byte]): Option[(Long, Long, Long, Long, Boolean, Boolean)] = {
+    var p = 0
+    var id3v2 = false
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      // syncsafe 28-bit size; reject a set high bit (not syncsafe)
+      var size = 0L
+      var i = 0
+      while (i < 4) {
+        val v = b(6 + i) & 0xff
+        if ((v & 0x80) != 0) return None
+        size = (size << 7) | v
+        i += 1
+      }
+      if (10L + size > b.length) return None
+      p = (10L + size).toInt
+      id3v2 = true
+    }
+    var nFrames = 0L
+    var sr = -1L
+    var kbpsSum = 0L
+    var id3v1 = false
+    while (p < b.length) {
+      if (b.length - p == 128 && b(p) == 'T' && b(p + 1) == 'A' && b(p + 2) == 'G') {
+        id3v1 = true
+        p = b.length
+      } else {
+        if (p + 4 > b.length) return None
+        val h = ((b(p) & 0xff) << 24) | ((b(p + 1) & 0xff) << 16) |
+          ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+        if ((h >>> 21) != 0x7ff) return None // desync
+        if (((h >> 19) & 3) != 3) return None // not MPEG-1
+        if (((h >> 17) & 3) != 1) return None // not Layer III
+        val brIdx = (h >> 12) & 0xf
+        val srIdx = (h >> 10) & 3
+        val pad = (h >> 9) & 1
+        if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
+        val rate = Mp3Rates(srIdx).toLong
+        if (sr < 0) sr = rate
+        else if (sr != rate) return None // rate must not vary mid-stream
+        val kbps = Mp3Kbps(brIdx).toLong
+        val frameLen = (144L * kbps * 1000L) / rate + pad
+        if (p + frameLen > b.length) return None // truncated frame
+        nFrames += 1
+        kbpsSum += kbps
+        p += frameLen.toInt
+      }
+    }
+    if (nFrames == 0L) return None
+    Some((nFrames, sr, kbpsSum, nFrames * 1152L * 1000L / sr, id3v2, id3v1))
+  }
+
+  /** Deterministic MP3 fixture: optional ID3v2 preamble, `nFrames`
+    * MPEG-1 Layer III frames at sample-rate index `srIdx` with bitrate
+    * indexes cycling `1 + (tag + i) % 14` (the VBR reality) and the
+    * padding bit set every third frame, deterministic payload bytes;
+    * optional trailing ID3v1 tag.
+    */
+  def mp3Bytes(tag: Int, nFrames: Int, srIdx: Int, id3v2: Boolean,
+      id3v1: Boolean): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    if (id3v2) {
+      val body = Array.tabulate(20 + tag % 7)(i => ((tag + i) % 100 + 32).toByte)
+      bos.write("ID3".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      bos.write(4); bos.write(0); bos.write(0) // version 2.4, no flags
+      // syncsafe size
+      bos.write((body.length >> 21) & 0x7f); bos.write((body.length >> 14) & 0x7f)
+      bos.write((body.length >> 7) & 0x7f); bos.write(body.length & 0x7f)
+      bos.write(body)
+    }
+    val rate = Mp3Rates(srIdx)
+    for (i <- 0 until nFrames) {
+      val brIdx = 1 + (tag + i) % 14
+      val pad = if (i % 3 == 0) 1 else 0
+      val h = (0x7ffL << 21) | (3L << 19) | (1L << 17) | (1L << 16) |
+        (brIdx.toLong << 12) | (srIdx.toLong << 10) | (pad.toLong << 9)
+      val frameLen = (144L * Mp3Kbps(brIdx) * 1000L / rate + pad).toInt
+      val frame = new Array[Byte](frameLen)
+      frame(0) = ((h >> 24) & 0xff).toByte
+      frame(1) = ((h >> 16) & 0xff).toByte
+      frame(2) = ((h >> 8) & 0xff).toByte
+      frame(3) = (h & 0xff).toByte
+      var j = 4
+      while (j < frameLen) { frame(j) = ((tag * 3 + i * 7 + j) % 251).toByte; j += 1 }
+      bos.write(frame)
+    }
+    if (id3v1) {
+      val tag1 = new Array[Byte](128)
+      tag1(0) = 'T'; tag1(1) = 'A'; tag1(2) = 'G'
+      bos.write(tag1)
+    }
+    bos.toByteArray
+  }
+
+  // ---------------------------------------------------------------------
   // ISO BMFF (MP4) box census — the video-container front door
   // ---------------------------------------------------------------------
 

@@ -16434,10 +16434,86 @@ object CurationQueries {
            |  k % 6 <> 5 AS valid
            |FROM g ORDER BY file_id""".stripMargin))
 
+  /** MP3 FRAME CENSUS — the audio-container census that answers
+    * duration/bitrate/integrity WITHOUT decoding samples (the triage
+    * read before an audio corpus spends decode cycles, completing the
+    * container triad: MP4 for video, BMFF boxes + this for sound).
+    * [[graft.operators.Multimodal.mp3FrameStats]] really walks the
+    * frame grammar: optional ID3v2 preamble (syncsafe size — a set
+    * high bit rejects), every header validated (sync / MPEG-1 /
+    * Layer III / real bitrate index / non-reserved rate), frames
+    * stepped by the exact `144 * bitrate / rate + padding` length with
+    * bitrate VARYING per frame (the VBR reality) and the padding bit
+    * cycling, the sample rate held consistent across frames (real VBR
+    * varies bitrate, never rate — a mid-stream rate change rejects),
+    * and an optional trailing ID3v1 tag. Desync or truncation rejects
+    * whole-file — never a partial frame count. Duration is the exact
+    * integer `nFrames * 1152 * 1000 div rate` both engines replay.
+    *
+    * Scale: the parseAll narrow shape — one header walk per file, six
+    * small values out; audio bytes never shuffle.
+    */
+  private val multimodalMp3Frames = Q(
+    (s, dir) => {
+      val base = scratchDir("mp3f")
+      val p = java.nio.file.Paths.get(base)
+      T(s, dir, "nation").select(col("n_nationkey")).collect() // 25-row dim
+        .foreach { r =>
+          val k = r.getInt(0)
+          java.nio.file.Files.write(p.resolve(f"a_$k%02d.mp3"),
+            graft.operators.Multimodal.mp3Bytes(
+              k, 5 + k % 6, k % 3, id3v2 = k % 2 == 0, id3v1 = k % 3 == 0))
+        }
+      val scanned = s.read.format("binaryFile").load(base)
+        .select(regexp_extract(col("path"), "a_(\\d+)\\.", 1).cast("long")
+          .as("file_id"), col("content"))
+      import s.implicits._
+      val out = scanned.select(col("file_id"), col("content"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            graft.operators.Multimodal.mp3FrameStats(bytes) match {
+              case Some((nf, sr, kb, ms, v2, v1)) =>
+                (id, nf, sr, ms, kb, v2, v1, true)
+              case None => (id, 0L, 0L, 0L, 0L, false, false, false)
+            }
+          }
+        }
+        .toDF("file_id", "n_frames", "sample_rate", "dur_ms", "kbps_sum",
+          "has_id3v2", "has_id3v1", "valid")
+        .orderBy(col("file_id"))
+        .localCheckpoint(true)
+      scratchDelete(base)
+      out
+    },
+    Some("""WITH g AS (
+           |  SELECT cast(n_nationkey as bigint) AS k,
+           |    cast(5 + n_nationkey % 6 as bigint) AS nf,
+           |    cast(CASE n_nationkey % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+           |      ELSE 32000 END as bigint) AS sr
+           |  FROM nation
+           |), f AS (
+           |  SELECT k, nf, sr, unnest(generate_series(0, nf - 1)) AS i FROM g
+           |), kb AS (
+           |  SELECT k, nf, sr,
+           |    CASE cast(1 + (k + i) % 14 as int)
+           |      WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48 WHEN 4 THEN 56
+           |      WHEN 5 THEN 64 WHEN 6 THEN 80 WHEN 7 THEN 96 WHEN 8 THEN 112
+           |      WHEN 9 THEN 128 WHEN 10 THEN 160 WHEN 11 THEN 192
+           |      WHEN 12 THEN 224 WHEN 13 THEN 256 ELSE 320 END AS kbps
+           |  FROM f
+           |)
+           |SELECT k AS file_id, nf AS n_frames, sr AS sample_rate,
+           |  (nf * 1152 * 1000) // sr AS dur_ms,
+           |  cast(sum(kbps) as bigint) AS kbps_sum,
+           |  k % 2 = 0 AS has_id3v2, k % 3 = 0 AS has_id3v1, true AS valid
+           |FROM kb GROUP BY k, nf, sr ORDER BY file_id""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "ts_ewma_smooth" -> tsEwmaSmooth,
     "ns_multimodal_mp4_boxes" -> multimodalMp4Boxes,
     "ns_multimodal_exif" -> multimodalExif,
+    "ns_multimodal_mp3_frames" -> multimodalMp3Frames,
     "ns_text_html_extract" -> textHtmlExtract,
     "ns_text_robots" -> textRobots,
     "ns_dedup_url" -> dedupUrl,

@@ -90,6 +90,39 @@ class Mp4ExifSpec extends AnyFunSuite {
     assert(Multimodal.mp4BoxStats(tiny).isEmpty)
   }
 
+  test("mp3: the frame walk reaches its closed form with both ID3 tags") {
+    val b = Multimodal.mp3Bytes(7, 6, 1, id3v2 = true, id3v1 = true)
+    // bitrate indexes 1+(7+i)%14 for i in 0..5 -> 8..13 ->
+    // kbps 112+128+160+192+224+256 = 1072
+    assert(Multimodal.mp3FrameStats(b)
+      .contains((6L, 48000L, 1072L, 6L * 1152L * 1000L / 48000L, true, true)))
+    val plain = Multimodal.mp3Bytes(7, 6, 1, id3v2 = false, id3v1 = false)
+    assert(Multimodal.mp3FrameStats(plain)
+      .contains((6L, 48000L, 1072L, 144L, false, false)))
+  }
+
+  test("mp3: desync, truncation, rate change, free bitrate all reject") {
+    val b = Multimodal.mp3Bytes(2, 5, 0, id3v2 = false, id3v1 = false)
+    assert(Multimodal.mp3FrameStats(b.dropRight(3)).isEmpty) // truncated tail
+    // corrupt the SECOND frame's sync byte: whole-file reject, never a
+    // partial count of 1
+    val len0 = (144L * 48 * 1000 / 44100 + 1).toInt // frame 0: brIdx 3, pad 1
+    assert((b(len0) & 0xff) == 0xff, "frame-1 offset computed wrong")
+    val desync = b.clone(); desync(len0) = 0x12
+    assert(Multimodal.mp3FrameStats(desync).isEmpty)
+    // flip frame 1's sample-rate index (44100 -> 48000): rate varies
+    val rateFlip = b.clone()
+    rateFlip(len0 + 2) = ((rateFlip(len0 + 2) & ~0x0c) | 0x04).toByte
+    assert(Multimodal.mp3FrameStats(rateFlip).isEmpty)
+    // free-format bitrate (index 0) rejects
+    val free = b.clone(); free(2) = (free(2) & 0x0f).toByte
+    assert(Multimodal.mp3FrameStats(free).isEmpty)
+    // a non-syncsafe ID3v2 size byte rejects
+    val tagged = Multimodal.mp3Bytes(2, 3, 0, id3v2 = true, id3v1 = false)
+    val badSize = tagged.clone(); badSize(6) = 0x81.toByte
+    assert(Multimodal.mp3FrameStats(badSize).isEmpty)
+  }
+
   test("exif: byte orders agree; the plain JPEG rejects (no invented default)") {
     val ii = Multimodal.exifJpegBytes(24, 16, littleEndian = true, orientation = 6)
     val mm = Multimodal.exifJpegBytes(24, 16, littleEndian = false, orientation = 6)
