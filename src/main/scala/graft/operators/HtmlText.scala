@@ -44,16 +44,20 @@ object HtmlText {
 
   /** Extraction result: page title (collapsed, trimmed), number of
     * `<a>` tags carrying an href attribute, number of `<p>` elements
-    * opened, and the visible body text (entity-decoded, whitespace
-    * collapsed).
+    * opened, the visible body text (entity-decoded, whitespace
+    * collapsed), and the href VALUES in document order (entity-decoded
+    * — `&amp;` in a URL is one `&`; quotes stripped) for link-graph
+    * consumers.
     */
   final case class Extract(title: String, nLinks: Long, nPara: Long,
-      text: String)
+      text: String, hrefs: Vector[String] = Vector.empty)
 
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
 
   private val HrefAttr = "(^|[\\s/])href\\s*=".r
+  private val HrefValue =
+    "(?i)(?:^|[\\s/])href\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s>]+))".r
 
   /** Deterministic fixture page: every extractor trap in one document
     * (script printing fake `<p>` tags, style + comment markup, quoted
@@ -158,6 +162,7 @@ object HtmlText {
     var title: String = ""
     var sawTitle = false
     val fragments = ArrayBuffer.empty[String]
+    val hrefs = ArrayBuffer.empty[String]
     val textBuf = new java.lang.StringBuilder
 
     def flushText(): Boolean = {
@@ -191,25 +196,37 @@ object HtmlText {
         while (j < n && (html.charAt(j).isLetterOrDigit || html.charAt(j) == '!' ||
             html.charAt(j) == '?')) j += 1
         val name = html.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
-        // attribute scan to the closing '>', quote-aware
+        // attribute scan to the closing '>', quote-aware; attrBuf holds
+        // the UNQUOTED skeleton (for cheap attribute-name detection),
+        // rawBuf the verbatim attributes (for value extraction)
         var quote: Char = 0
-        var hasHref = false
         val attrBuf = new java.lang.StringBuilder
+        val rawBuf = new java.lang.StringBuilder
         var done = false
         while (j < n && !done) {
           val a = html.charAt(j)
           if (quote != 0) {
             if (a == quote) quote = 0
+            rawBuf.append(a)
             j += 1
-          } else if (a == '"' || a == '\'') { quote = a; j += 1 }
+          } else if (a == '"' || a == '\'') { quote = a; rawBuf.append(a); j += 1 }
           else if (a == '>') { done = true }
-          else { attrBuf.append(a); j += 1 }
+          else { attrBuf.append(a); rawBuf.append(a); j += 1 }
         }
         if (!done) return None // EOF inside a tag
         if (!close) {
           val attrsLower = attrBuf.toString.toLowerCase(java.util.Locale.ROOT)
-          if (name == "a" && HrefAttr.findFirstIn(attrsLower).isDefined)
+          if (name == "a" && HrefAttr.findFirstIn(attrsLower).isDefined) {
             nLinks += 1
+            HrefValue.findFirstMatchIn(rawBuf.toString).foreach { m =>
+              val v = Option(m.group(1)).orElse(Option(m.group(2)))
+                .getOrElse(m.group(3))
+              decodeEntities(v) match {
+                case None => return None // malformed reference in the URL
+                case Some(d) => hrefs += d
+              }
+            }
+          }
           if (name == "p") nPara += 1
         }
         i = j + 1
@@ -248,6 +265,6 @@ object HtmlText {
       }
     }
     if (!flushText()) return None
-    Some(Extract(title, nLinks, nPara, fragments.mkString(" ")))
+    Some(Extract(title, nLinks, nPara, fragments.mkString(" "), hrefs.toVector))
   }
 }

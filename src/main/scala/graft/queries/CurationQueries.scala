@@ -16509,11 +16509,78 @@ object CurationQueries {
            |  k % 2 = 0 AS has_id3v2, k % 3 = 0 AS has_id3v1, true AS valid
            |FROM kb GROUP BY k, nf, sr ORDER BY file_id""".stripMargin))
 
+  /** OUTLINK HOST GRAPH — the link-level census crawl ranking feeds on
+    * (host in-degree is the oldest quality prior on the web): pages go
+    * through the REAL HTML extractor ([[graft.operators.HtmlText]] now
+    * returns href values — entity-decoded, all three quote forms), and
+    * the fixture plants the trap that separates an extractor from a
+    * regex: a `<script>` body printing a fake high-degree anchor that
+    * must NOT count. Absolute links resolve to lowercase hosts (case
+    * perturbed in the fixture); relative links stay internal and are
+    * excluded from the host census. Output per target host: in-degree
+    * and distinct linking pages.
+    *
+    * Scale: extraction is the narrow mapPartitions codec pass; the
+    * explode carries (host, page) pairs — never page bodies — into ONE
+    * group-by with map-side combine. At crawl scale this is the
+    * host-graph build that feeds PageRank-class ranking; the heavy side
+    * (pages) never shuffles.
+    */
+  private val textLinkGraph = Q(
+    (s, dir) => {
+      val base = scratchDir("linkgraph")
+      import s.implicits._
+      val docs = T(s, dir, "nation").select(col("n_nationkey")).collect()
+        .map { r =>
+          val k = r.getInt(0)
+          val sb = new StringBuilder("<html><body>\n")
+          sb.append("<script>document.write('<a href=\"https://evil.example/x\">');</script>\n")
+          for (j <- 0 until (2 + k % 3))
+            sb.append(s"""<a href="https://H${(k + j) % 8}.Example.com/p/$j">out $j</a>\n""")
+          sb.append(s"""<a href="/local/$k">internal</a>\n</body></html>\n""")
+          (k.toLong, sb.toString)
+        }.toSeq
+      docs.toDF("page_id", "html").write.mode("overwrite").parquet(base)
+      val links = s.read.parquet(base)
+        .select(col("page_id"), col("html")).as[(Long, String)]
+        .mapPartitions { it =>
+          it.flatMap { case (id, h) =>
+            graft.operators.HtmlText.extract(h).toSeq
+              .flatMap(_.hrefs.map(u => (id, u)))
+          }
+        }
+        .toDF("page_id", "href")
+      val out = links
+        .where(col("href").startsWith("http"))
+        .withColumn("host",
+          expr("lower(regexp_extract(href, '^https?://([^/]+)', 1))"))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("in_degree"),
+          countDistinct(col("page_id")).as("n_pages"))
+        .orderBy(col("host"))
+        .localCheckpoint(true)
+      scratchDelete(base)
+      out
+    },
+    Some("""WITH g AS (
+           |  SELECT cast(n_nationkey as bigint) AS k,
+           |    cast(2 + n_nationkey % 3 as bigint) AS nl
+           |  FROM nation
+           |), l AS (
+           |  SELECT k, 'h' || cast((k + j) % 8 as varchar) || '.example.com'
+           |      AS host
+           |  FROM (SELECT k, nl, unnest(generate_series(0, nl - 1)) AS j FROM g)
+           |)
+           |SELECT host, count(*) AS in_degree,
+           |  count(DISTINCT k) AS n_pages
+           |FROM l GROUP BY host ORDER BY host""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "ts_ewma_smooth" -> tsEwmaSmooth,
     "ns_multimodal_mp4_boxes" -> multimodalMp4Boxes,
     "ns_multimodal_exif" -> multimodalExif,
     "ns_multimodal_mp3_frames" -> multimodalMp3Frames,
+    "ns_text_link_graph" -> textLinkGraph,
     "ns_text_html_extract" -> textHtmlExtract,
     "ns_text_robots" -> textRobots,
     "ns_dedup_url" -> dedupUrl,

@@ -86,4 +86,14 @@ class HtmlTextSpec extends AnyFunSuite {
     val e = x("<p>a&nbsp;&nbsp;b</p>").get
     assert(e.text == "a b")
   }
+
+  test("href values are captured in order, entity-decoded, all quote forms") {
+    val e = x("""<a href="/r?a>b&amp;x=0">one</a>""" +
+      "<a HREF='https://Site.example/p'>two</a>" +
+      "<a href=/bare/path>three</a>" +
+      """<a name="no-href">four</a>""").get
+    assert(e.hrefs ==
+      Vector("/r?a>b&x=0", "https://Site.example/p", "/bare/path"))
+    assert(e.nLinks == 3)
+  }
 }
