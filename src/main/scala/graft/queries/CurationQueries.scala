@@ -16575,12 +16575,158 @@ object CurationQueries {
            |  count(DISTINCT k) AS n_pages
            |FROM l GROUP BY host ORDER BY host""".stripMargin))
 
+  /** REGISTRABLE-DOMAIN (eTLD+1) census — the KEY real pipelines cap,
+    * dedup, and attribute by: `site3.co.uk`, not `www.site3.co.uk` and
+    * not `uk` (a naive last-label or last-two-labels split gets both
+    * multi-label suffixes and bare TLDs wrong — the public-suffix
+    * problem). The longest-matching-suffix rule runs as a pure
+    * native-expression chain in BOTH engines: filter the suffix list to
+    * those the host ends with, rank by length (lpad-prefix trick so a
+    * plain max picks the longest), strip, take the one label left of
+    * the suffix. Hosts vary subdomain depth (none / `www.` /
+    * `cdn.a.`) and cycle single- and multi-label suffixes; the census
+    * groups by registrable domain with distinct-host and doc counts.
+    *
+    * Scale: the suffix list is a broadcast literal (the real
+    * public-suffix list is ~9k entries — same shape, a literal array or
+    * a broadcast join); the derivation is map-side codegen'd array ops
+    * (no UDF), and the ONE shuffle groups short domain strings with
+    * map-side combine.
+    */
+  private val profileEtld1 = Q(
+    (s, dir) => {
+      val suffixes = "array('co.uk','org.uk','com','org','net','io','uk')"
+      T(s, dir, "documents").select(col("doc_id"))
+        .withColumn("host", expr(
+          """concat(
+            |  CASE doc_id % 3 WHEN 0 THEN 'www.' WHEN 1 THEN 'cdn.a.' ELSE '' END,
+            |  'site', cast(doc_id % 7 as string),
+            |  CASE doc_id % 4 WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com'
+            |       WHEN 2 THEN '.org.uk' ELSE '.io' END)""".stripMargin))
+        .withColumn("sfx", expr(
+          s"substring(array_max(transform(filter($suffixes, " +
+            "sf -> endswith(host, concat('.', sf))), " +
+            "sf -> concat(lpad(cast(length(sf) as string), 3, '0'), sf))), 4)"))
+        .withColumn("etld1", expr(
+          "concat(element_at(split(substring(host, 1, " +
+            "length(host) - length(sfx) - 1), '\\\\.'), -1), '.', sfx)"))
+        .groupBy(col("etld1"))
+        .agg(countDistinct(col("host")).as("n_hosts"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("etld1"))
+    },
+    Some("""WITH h AS (
+           |  SELECT doc_id,
+           |    (CASE doc_id % 3 WHEN 0 THEN 'www.' WHEN 1 THEN 'cdn.a.'
+           |      ELSE '' END)
+           |    || 'site' || cast(doc_id % 7 as varchar)
+           |    || (CASE doc_id % 4 WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com'
+           |        WHEN 2 THEN '.org.uk' ELSE '.io' END) AS host
+           |  FROM documents
+           |), m AS (
+           |  SELECT doc_id, host,
+           |    substring(list_max(list_transform(
+           |      list_filter(['co.uk','org.uk','com','org','net','io','uk'],
+           |        s -> ends_with(host, '.' || s)),
+           |      s -> lpad(cast(len(s) as varchar), 3, '0') || s)), 4) AS sfx
+           |  FROM h
+           |), e AS (
+           |  SELECT doc_id, host,
+           |    string_split(substring(host, 1, len(host) - len(sfx) - 1),
+           |      '.')[-1] || '.' || sfx AS etld1
+           |  FROM m
+           |)
+           |SELECT etld1, count(DISTINCT host) AS n_hosts,
+           |  count(*) AS n_docs
+           |FROM e GROUP BY etld1 ORDER BY etld1""".stripMargin))
+
+  /** SITEMAP CENSUS — the crawl-discovery side robots.txt points at:
+    * per host, what the site DECLARES it has (url inventory, freshness
+    * from lastmod, crawl-priority mass). The fixtures are real
+    * sitemaps.org XML documents (namespace attribute, changefreq noise
+    * fields) and the read is Spark's NATIVE XML source (`format("xml")`,
+    * rowTag `url`, explicit schema — the Spark-first answer; no
+    * hand-rolled XML parsing anywhere). Freshness aggregates: newest
+    * lastmod, urls modified on/after the cutoff, and the exact
+    * priority mass as a x10 integer (the sitemaps 0.0-1.0 priority
+    * scale carried without floats).
+    *
+    * Scale: each sitemap file is an independent split (real sitemaps
+    * cap at 50k urls/file and shard themselves — the format is
+    * cluster-friendly by construction); rows out are url-sized; the
+    * census is one host-keyed map-side-combined aggregate.
+    */
+  private val pipelineSitemap = Q(
+    (s, dir) => {
+      val base = scratchDir("sitemap")
+      val p = java.nio.file.Paths.get(base)
+      T(s, dir, "nation").select(col("n_nationkey")).collect() // 25-row dim
+        .foreach { r =>
+          val k = r.getInt(0)
+          val n = 3 + k % 4
+          val sb = new StringBuilder(
+            "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+              "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n")
+          for (i <- 0 until n) {
+            val day = 1 + (k * 3 + i) % 28
+            sb.append(s"  <url><loc>https://h$k.example.com/p/$i</loc>" +
+              f"<lastmod>2024-03-$day%02d</lastmod>" +
+              "<changefreq>daily</changefreq>" +
+              s"<priority>0.${5 + i % 5}</priority></url>\n")
+          }
+          sb.append("</urlset>\n")
+          java.nio.file.Files.write(p.resolve(f"sm_$k%02d.xml"),
+            sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("loc",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lastmod",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("priority",
+          org.apache.spark.sql.types.StringType)))
+      val out = s.read.schema(schema)
+        .format("xml").option("rowTag", "url").load(base)
+        .withColumn("host", expr("regexp_extract(loc, '^https://([^/]+)', 1)"))
+        .withColumn("file_id",
+          expr("cast(regexp_extract(host, '^h(\\\\d+)\\\\.', 1) as bigint)"))
+        .withColumn("prio_e1", expr(
+          "cast(substring(priority, 3, 1) as bigint)"))
+        .groupBy(col("file_id"), col("host"))
+        .agg(count(lit(1)).as("n_urls"),
+          max(col("lastmod")).as("newest"),
+          sum(expr("cast(lastmod >= '2024-03-15' as bigint)")).as("n_recent"),
+          sum(col("prio_e1")).as("prio_sum_e1"))
+        .orderBy(col("file_id"))
+        .localCheckpoint(true)
+      scratchDelete(base)
+      out
+    },
+    Some("""WITH g AS (
+           |  SELECT cast(n_nationkey as bigint) AS k,
+           |    cast(3 + n_nationkey % 4 as bigint) AS n
+           |  FROM nation
+           |), u AS (
+           |  SELECT k, n, i, 1 + (k * 3 + i) % 28 AS day,
+           |    cast(5 + i % 5 as bigint) AS prio_e1
+           |  FROM (SELECT k, n, unnest(generate_series(0, n - 1)) AS i FROM g)
+           |)
+           |SELECT k AS file_id, 'h' || k || '.example.com' AS host,
+           |  n AS n_urls,
+           |  max('2024-03-' || lpad(cast(day as varchar), 2, '0')) AS newest,
+           |  cast(sum(CASE WHEN day >= 15 THEN 1 ELSE 0 END) as bigint)
+           |    AS n_recent,
+           |  cast(sum(prio_e1) as bigint) AS prio_sum_e1
+           |FROM u GROUP BY k, n ORDER BY file_id""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "ts_ewma_smooth" -> tsEwmaSmooth,
     "ns_multimodal_mp4_boxes" -> multimodalMp4Boxes,
     "ns_multimodal_exif" -> multimodalExif,
     "ns_multimodal_mp3_frames" -> multimodalMp3Frames,
     "ns_text_link_graph" -> textLinkGraph,
+    "ns_profile_etld1" -> profileEtld1,
+    "ns_pipeline_sitemap" -> pipelineSitemap,
     "ns_text_html_extract" -> textHtmlExtract,
     "ns_text_robots" -> textRobots,
     "ns_dedup_url" -> dedupUrl,
