@@ -461,7 +461,11 @@ object ScaleProbe {
       // r19: crawl frontier = one host-keyed rank window + a round-keyed
       // census; replication multiplies per-host rows (rounds), the
       // politeness stress axis — per-host sort stays in-partition
-      "ns_pipeline_crawl_frontier")
+      "ns_pipeline_crawl_frontier",
+      // r19: etld1 = map-side array-expression suffix match into one
+      // short-key group-by; the registrable-domain key space is
+      // replication-invariant — expected ~flat beyond the map pass
+      "ns_profile_etld1")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected
