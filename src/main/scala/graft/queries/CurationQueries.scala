@@ -16016,6 +16016,111 @@ object CurationQueries {
            |  END AS rule_len
            |FROM p ORDER BY file_id, path_idx""".stripMargin))
 
+  /** Deterministic raw-URL fixture expression (Spark SQL) over an id
+    * column — scheme/host case, default vs explicit vs non-default
+    * port, query-param order, tracking params, fragments all perturbed
+    * by the id's residues. Shared by [[dedupUrl]] (over doc_id) and
+    * [[decontaminateUrl]] (over benchmark ids).
+    */
+  private def rawUrlSpark(id: String): String =
+    s"""concat(
+       |  CASE WHEN $id % 5 = 0 THEN 'HTTP' WHEN $id % 5 = 1 THEN 'http'
+       |       WHEN $id % 5 = 2 THEN 'HTTPS' ELSE 'https' END,
+       |  '://',
+       |  CASE WHEN $id % 3 = 0
+       |         THEN concat('WWW.Site', cast($id % 5 as string), '.Example.COM')
+       |       WHEN $id % 3 = 1
+       |         THEN concat('www.SITE', cast($id % 5 as string), '.example.com')
+       |       ELSE concat('www.site', cast($id % 5 as string), '.example.com') END,
+       |  CASE WHEN $id % 4 = 0
+       |         THEN CASE WHEN $id % 5 <= 1 THEN ':80' ELSE ':443' END
+       |       WHEN $id % 4 = 1 THEN ':8080' ELSE '' END,
+       |  concat('/docs/', cast($id % 10 as string)),
+       |  '?',
+       |  CASE WHEN $id % 2 = 0 THEN 'p=1&q=2' ELSE 'q=2&p=1' END,
+       |  CASE WHEN $id % 3 = 0 THEN '&utm_source=feed' ELSE '' END,
+       |  CASE WHEN $id % 7 = 0 THEN concat('&gclid=g', cast($id as string)) ELSE '' END,
+       |  CASE WHEN $id % 2 = 1 THEN concat('#sec', cast($id % 7 as string)) ELSE '' END
+       |)""".stripMargin
+
+  /** DuckDB twin of [[rawUrlSpark]]. */
+  private def rawUrlSql(id: String): String =
+    s"""(CASE WHEN $id % 5 = 0 THEN 'HTTP' WHEN $id % 5 = 1 THEN 'http'
+       |      WHEN $id % 5 = 2 THEN 'HTTPS' ELSE 'https' END)
+       ||| '://'
+       ||| (CASE WHEN $id % 3 = 0
+       |           THEN 'WWW.Site' || cast($id % 5 as varchar) || '.Example.COM'
+       |         WHEN $id % 3 = 1
+       |           THEN 'www.SITE' || cast($id % 5 as varchar) || '.example.com'
+       |         ELSE 'www.site' || cast($id % 5 as varchar) || '.example.com' END)
+       ||| (CASE WHEN $id % 4 = 0
+       |           THEN CASE WHEN $id % 5 <= 1 THEN ':80' ELSE ':443' END
+       |         WHEN $id % 4 = 1 THEN ':8080' ELSE '' END)
+       ||| '/docs/' || cast($id % 10 as varchar)
+       ||| '?'
+       ||| (CASE WHEN $id % 2 = 0 THEN 'p=1&q=2' ELSE 'q=2&p=1' END)
+       ||| (CASE WHEN $id % 3 = 0 THEN '&utm_source=feed' ELSE '' END)
+       ||| (CASE WHEN $id % 7 = 0 THEN '&gclid=g' || cast($id as varchar) ELSE '' END)
+       ||| (CASE WHEN $id % 2 = 1 THEN '#sec' || cast($id % 7 as varchar) ELSE '' END)""".stripMargin
+
+  /** Add `canonical_url` (+ `tracked`, `frag`) to a frame carrying a
+    * raw `url` column — the crawl canonicalization contract: lowercase
+    * scheme+host, strip fragment, strip the scheme's default port
+    * only, drop tracking params, sort survivors. Pure codegen'd
+    * regexp/array expressions, no UDF.
+    */
+  private[graft] def withCanonicalUrl(df: DataFrame): DataFrame =
+    df.withColumn("sch", expr("lower(regexp_extract(url, '^([A-Za-z]+)://', 1))"))
+      .withColumn("hostport", expr("regexp_extract(url, '^[A-Za-z]+://([^/]+)', 1)"))
+      .withColumn("host", expr("lower(regexp_extract(hostport, '^([^:]+)', 1))"))
+      .withColumn("port", expr("regexp_extract(hostport, ':([0-9]+)$', 1)"))
+      .withColumn("path", expr("regexp_extract(url, '^[A-Za-z]+://[^/]+([^?#]*)', 1)"))
+      .withColumn("qparts", expr("filter(split(regexp_extract(url, '\\\\?([^#]*)', 1), '&'), p -> p <> '')"))
+      .withColumn("kept", expr(
+        "array_sort(filter(qparts, p -> NOT (startswith(p, 'utm_') " +
+          "OR startswith(p, 'gclid=') OR startswith(p, 'fbclid='))))"))
+      .withColumn("canonical_url", expr(
+        """concat(sch, '://', host,
+          |  CASE WHEN port = '' OR (sch = 'https' AND port = '443')
+          |         OR (sch = 'http' AND port = '80') THEN ''
+          |       ELSE concat(':', port) END,
+          |  path,
+          |  CASE WHEN size(kept) = 0 THEN ''
+          |       ELSE concat('?', array_join(kept, '&')) END)""".stripMargin))
+      .withColumn("tracked", expr("size(kept) < size(qparts)"))
+      .withColumn("frag", expr("instr(url, '#') > 0"))
+
+  /** DuckDB twin of [[withCanonicalUrl]]: a SELECT producing
+    * (doc_id, url, canonical_url, tracked, frag) from a relation
+    * `$src(doc_id, url)`.
+    */
+  private def canonSql(src: String): String =
+    s"""SELECT doc_id, url,
+       |    sch || '://' || host
+       |    || (CASE WHEN port = '' OR (sch = 'https' AND port = '443')
+       |               OR (sch = 'http' AND port = '80') THEN ''
+       |             ELSE ':' || port END)
+       |    || path
+       |    || (CASE WHEN len(kq) = 0 THEN ''
+       |             ELSE '?' || array_to_string(kq, '&') END) AS canonical_url,
+       |    len(kq) < len(qparts) AS tracked,
+       |    instr(url, '#') > 0 AS frag
+       |  FROM (
+       |    SELECT doc_id, url, sch, host, port, path, qparts,
+       |      list_sort(list_filter(qparts, p -> NOT (starts_with(p, 'utm_')
+       |        OR starts_with(p, 'gclid=') OR starts_with(p, 'fbclid=')))) AS kq
+       |    FROM (
+       |      SELECT doc_id, url,
+       |        lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS sch,
+       |        lower(regexp_extract(regexp_extract(url, '^[A-Za-z]+://([^/]+)', 1),
+       |          '^([^:]+)', 1)) AS host,
+       |        regexp_extract(regexp_extract(url, '^[A-Za-z]+://([^/]+)', 1),
+       |          ':([0-9]+)$$', 1) AS port,
+       |        regexp_extract(url, '^[A-Za-z]+://[^/]+([^?#]*)', 1) AS path,
+       |        list_filter(string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+       |          p -> p <> '') AS qparts
+       |      FROM $src))""".stripMargin
+
   /** URL-CANONICALIZATION dedup — the FIRST dedup pass real crawl
     * pipelines run (CCNet/RefinedWeb class: URL-level dedup before any
     * content hash, because re-crawls and tracking-tagged share links
@@ -16039,47 +16144,8 @@ object CurationQueries {
     */
   private val dedupUrl = Q(
     (s, dir) => {
-      val raw =
-        """concat(
-          |  CASE WHEN doc_id % 5 = 0 THEN 'HTTP' WHEN doc_id % 5 = 1 THEN 'http'
-          |       WHEN doc_id % 5 = 2 THEN 'HTTPS' ELSE 'https' END,
-          |  '://',
-          |  CASE WHEN doc_id % 3 = 0
-          |         THEN concat('WWW.Site', cast(doc_id % 5 as string), '.Example.COM')
-          |       WHEN doc_id % 3 = 1
-          |         THEN concat('www.SITE', cast(doc_id % 5 as string), '.example.com')
-          |       ELSE concat('www.site', cast(doc_id % 5 as string), '.example.com') END,
-          |  CASE WHEN doc_id % 4 = 0
-          |         THEN CASE WHEN doc_id % 5 <= 1 THEN ':80' ELSE ':443' END
-          |       WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END,
-          |  concat('/docs/', cast(doc_id % 10 as string)),
-          |  '?',
-          |  CASE WHEN doc_id % 2 = 0 THEN 'p=1&q=2' ELSE 'q=2&p=1' END,
-          |  CASE WHEN doc_id % 3 = 0 THEN '&utm_source=feed' ELSE '' END,
-          |  CASE WHEN doc_id % 7 = 0 THEN concat('&gclid=g', cast(doc_id as string)) ELSE '' END,
-          |  CASE WHEN doc_id % 2 = 1 THEN concat('#sec', cast(doc_id % 7 as string)) ELSE '' END
-          |)""".stripMargin
-      T(s, dir, "documents").select(col("doc_id"))
-        .withColumn("url", expr(raw))
-        .withColumn("sch", expr("lower(regexp_extract(url, '^([A-Za-z]+)://', 1))"))
-        .withColumn("hostport", expr("regexp_extract(url, '^[A-Za-z]+://([^/]+)', 1)"))
-        .withColumn("host", expr("lower(regexp_extract(hostport, '^([^:]+)', 1))"))
-        .withColumn("port", expr("regexp_extract(hostport, ':([0-9]+)$', 1)"))
-        .withColumn("path", expr("regexp_extract(url, '^[A-Za-z]+://[^/]+([^?#]*)', 1)"))
-        .withColumn("qparts", expr("filter(split(regexp_extract(url, '\\\\?([^#]*)', 1), '&'), p -> p <> '')"))
-        .withColumn("kept", expr(
-          "array_sort(filter(qparts, p -> NOT (startswith(p, 'utm_') " +
-            "OR startswith(p, 'gclid=') OR startswith(p, 'fbclid='))))"))
-        .withColumn("canonical_url", expr(
-          """concat(sch, '://', host,
-            |  CASE WHEN port = '' OR (sch = 'https' AND port = '443')
-            |         OR (sch = 'http' AND port = '80') THEN ''
-            |       ELSE concat(':', port) END,
-            |  path,
-            |  CASE WHEN size(kept) = 0 THEN ''
-            |       ELSE concat('?', array_join(kept, '&')) END)""".stripMargin))
-        .withColumn("tracked", expr("size(kept) < size(qparts)"))
-        .withColumn("frag", expr("instr(url, '#') > 0"))
+      withCanonicalUrl(T(s, dir, "documents").select(col("doc_id"))
+        .withColumn("url", expr(rawUrlSpark("doc_id"))))
         .groupBy(col("canonical_url"))
         .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keeper"),
           sum(expr("cast(tracked as bigint)")).as("n_tracked"),
@@ -16719,6 +16785,128 @@ object CurationQueries {
            |  cast(sum(prio_e1) as bigint) AS prio_sum_e1
            |FROM u GROUP BY k, n ORDER BY file_id""".stripMargin))
 
+  /** URL-LEVEL DECONTAMINATION — the cheapest decontamination pass and
+    * the one benchmark curators publish for (eval sets ship source-URL
+    * lists precisely so pipelines can block them): corpus URLs and the
+    * benchmark blocklist BOTH canonicalize through
+    * [[withCanonicalUrl]], and the match happens on canonical forms.
+    * The fixture is the trap: blocklist entries are written in
+    * DIFFERENT surface spellings than the corpus re-crawls of the same
+    * page (ids 21/27/34 — same canonical residues as corpus ids
+    * ≡ 1/7/14 mod 20, different case/order/tracking perturbations), so
+    * a raw-string matcher finds only the 1-per-group literal
+    * coincidence while the canonical matcher blocks the whole group —
+    * `n_raw_exact` vs `n_blocked` makes the gap a gate-checked OUTPUT,
+    * not a claim.
+    *
+    * Scale: the blocklist broadcasts (benchmark URL lists are
+    * thousands of rows against a corpus of billions); the corpus side
+    * is one map-side canonicalize + a broadcast hash join — no
+    * corpus-keyed shuffle anywhere.
+    */
+  private val decontaminateUrl = Q(
+    (s, dir) => {
+      import s.implicits._
+      val corpus = withCanonicalUrl(T(s, dir, "documents").select(col("doc_id"))
+        .withColumn("url", expr(rawUrlSpark("doc_id"))))
+        .select(col("doc_id"), col("url"), col("canonical_url"))
+      val bench = withCanonicalUrl(Seq(21L, 27L, 34L).toDF("doc_id")
+        .withColumn("url", expr(rawUrlSpark("doc_id"))))
+        .select(col("canonical_url"), col("url").as("bench_url"))
+      corpus.join(broadcast(bench), Seq("canonical_url"))
+        .groupBy(col("canonical_url"))
+        .agg(count(lit(1)).as("n_blocked"),
+          sum(expr("cast(url = bench_url as bigint)")).as("n_raw_exact"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy(col("canonical_url"))
+    },
+    // '#'-margin: the interpolated SQL fragments contain '||' concat
+    // lines that a '|' stripMargin would eat
+    Some(s"""WITH corpus_u AS (
+            #  SELECT doc_id, ${rawUrlSql("doc_id")} AS url FROM documents
+            #), corpus AS (
+            #  ${canonSql("corpus_u")}
+            #), bench_u AS (
+            #  SELECT doc_id, ${rawUrlSql("doc_id")} AS url
+            #  FROM (SELECT cast(unnest([21, 27, 34]) as bigint) AS doc_id)
+            #), bench AS (
+            #  ${canonSql("bench_u")}
+            #)
+            #SELECT c.canonical_url, count(*) AS n_blocked,
+            #  cast(sum(CASE WHEN c.url = b.url THEN 1 ELSE 0 END) as bigint)
+            #    AS n_raw_exact,
+            #  min(c.doc_id) AS first_doc
+            #FROM corpus c JOIN bench b ON b.canonical_url = c.canonical_url
+            #GROUP BY c.canonical_url ORDER BY c.canonical_url""".stripMargin('#')))
+
+  /** FILL-IN-THE-MIDDLE transform — the pretraining-data rearrangement
+    * code models train on (Bavarian et al.: move a middle span after
+    * the suffix so the model learns infilling as ordinary next-token
+    * prediction): documents selected at the configured FIM rate by a
+    * seeded md5 coin (never `rand()` — reproducibility is the
+    * contract) split at EXACT integer char boundaries (n/3, 2n/3) and
+    * re-emit as `<PRE>prefix<SUF>suffix<MID>middle`; unselected docs
+    * pass through verbatim. The audit is conservation + determinism:
+    * per source, transformed char mass must equal original mass plus
+    * exactly 15 sentinel chars per FIM doc, and the md5 fingerprint
+    * sum over TRANSFORMED texts pins every byte of the rearrangement
+    * (an off-by-one boundary or swapped span order changes the
+    * fingerprint, not just the lengths).
+    *
+    * Scale: one map-only pass (substring arithmetic + md5 — all
+    * codegen'd); the rollup shuffles five longs per source; text never
+    * shuffles.
+    */
+  private val corpusFim = Q(
+    (s, dir) => {
+      val coin = "cast(conv(substring(md5(concat('fim:', cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 100"
+      T(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .withColumn("is_fim", expr(s"$coin < 50"))
+        .withColumn("a", expr("length(text) div 3"))
+        .withColumn("b", expr("(2 * length(text)) div 3"))
+        .withColumn("out", expr(
+          """CASE WHEN is_fim THEN concat(
+            |  '<PRE>', substring(text, 1, a),
+            |  '<SUF>', substring(text, b + 1),
+            |  '<MID>', substring(text, a + 1, b - a))
+            |ELSE text END""".stripMargin))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr("cast(is_fim as bigint)")).as("n_fim"),
+          sum(expr("length(text)")).as("chars_in"),
+          sum(expr("length(out)")).as("chars_out"),
+          sum(expr("cast(conv(substring(md5(out), 1, 10), 16, 10) as bigint)"))
+            .as("fp_sum"))
+        .withColumn("conserved",
+          expr("chars_out = chars_in + 15 * n_fim"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH f AS (
+           |  SELECT source, text,
+           |    cast('0x' || substr(md5('fim:' || cast(doc_id as varchar)), 1, 8)
+           |      as bigint) % 100 < 50 AS is_fim,
+           |    len(text) // 3 AS a, (2 * len(text)) // 3 AS b
+           |  FROM documents
+           |), t AS (
+           |  SELECT source, text, is_fim,
+           |    CASE WHEN is_fim THEN
+           |      '<PRE>' || substring(text, 1, a)
+           |      || '<SUF>' || substring(text, b + 1)
+           |      || '<MID>' || substring(text, a + 1, b - a)
+           |    ELSE text END AS out
+           |  FROM f
+           |)
+           |SELECT source, count(*) AS n_docs,
+           |  cast(sum(CASE WHEN is_fim THEN 1 ELSE 0 END) as bigint) AS n_fim,
+           |  cast(sum(len(text)) as bigint) AS chars_in,
+           |  cast(sum(len(out)) as bigint) AS chars_out,
+           |  cast(sum(cast('0x' || substr(md5(out), 1, 10) as bigint))
+           |    as bigint) AS fp_sum,
+           |  sum(len(out)) = sum(len(text))
+           |    + 15 * sum(CASE WHEN is_fim THEN 1 ELSE 0 END) AS conserved
+           |FROM t GROUP BY source ORDER BY source""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "ts_ewma_smooth" -> tsEwmaSmooth,
     "ns_multimodal_mp4_boxes" -> multimodalMp4Boxes,
@@ -16727,6 +16915,8 @@ object CurationQueries {
     "ns_text_link_graph" -> textLinkGraph,
     "ns_profile_etld1" -> profileEtld1,
     "ns_pipeline_sitemap" -> pipelineSitemap,
+    "ns_decontaminate_url" -> decontaminateUrl,
+    "ns_corpus_fim" -> corpusFim,
     "ns_text_html_extract" -> textHtmlExtract,
     "ns_text_robots" -> textRobots,
     "ns_dedup_url" -> dedupUrl,
