@@ -465,7 +465,13 @@ object ScaleProbe {
       // r19: etld1 = map-side array-expression suffix match into one
       // short-key group-by; the registrable-domain key space is
       // replication-invariant — expected ~flat beyond the map pass
-      "ns_profile_etld1")
+      "ns_profile_etld1",
+      // r19: url decontamination = map-side canonicalize + a broadcast
+      // hash join vs the 3-row blocklist — the decontaminate floor class
+      "ns_decontaminate_url",
+      // r19: fim = one map-only substring+md5 pass into a source rollup
+      // — the normalize/compressibility floor class, linear in text
+      "ns_corpus_fim")
     val tmp = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
     // hybrid RRF reads BOTH fixture tables: write the documents fixture
     // (without timing any doc probe) when only the rrf probe is selected

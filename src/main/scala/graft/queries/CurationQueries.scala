@@ -16063,34 +16063,55 @@ object CurationQueries {
        ||| (CASE WHEN $id % 7 = 0 THEN '&gclid=g' || cast($id as varchar) ELSE '' END)
        ||| (CASE WHEN $id % 2 = 1 THEN '#sec' || cast($id % 7 as varchar) ELSE '' END)""".stripMargin
 
-  /** Add `canonical_url` (+ `tracked`, `frag`) to a frame carrying a
-    * raw `url` column — the crawl canonicalization contract: lowercase
+  /** Add `url`, `canonical_url`, `tracked`, `frag` derived from
+    * `urlExpr` — the crawl canonicalization contract: lowercase
     * scheme+host, strip fragment, strip the scheme's default port
-    * only, drop tracking params, sort survivors. Pure codegen'd
-    * regexp/array expressions, no UDF.
+    * only, drop tracking params, sort survivors. Pure native
+    * expressions, no UDF.
+    *
+    * Plan shape matters here: a naive withColumn CHAIN re-inlines the
+    * url construction into every downstream reference (CollapseProject),
+    * so the canonical expression's codegen grows multiplicatively and
+    * per-plan JIT dominates the wall. Binding the url (and then the
+    * derived parts) as HIGHER-ORDER-FUNCTION lambda variables —
+    * `transform(array(url), u -> ...)` — stops the expansion: lambda
+    * variables are evaluated once per row, never re-inlined, so the
+    * expression stays flat no matter how many consumers read it.
     */
-  private[graft] def withCanonicalUrl(df: DataFrame): DataFrame =
-    df.withColumn("sch", expr("lower(regexp_extract(url, '^([A-Za-z]+)://', 1))"))
-      .withColumn("hostport", expr("regexp_extract(url, '^[A-Za-z]+://([^/]+)', 1)"))
-      .withColumn("host", expr("lower(regexp_extract(hostport, '^([^:]+)', 1))"))
-      .withColumn("port", expr("regexp_extract(hostport, ':([0-9]+)$', 1)"))
-      .withColumn("path", expr("regexp_extract(url, '^[A-Za-z]+://[^/]+([^?#]*)', 1)"))
-      .withColumn("qparts", expr("filter(split(regexp_extract(url, '\\\\?([^#]*)', 1), '&'), p -> p <> '')"))
-      .withColumn("kept", expr(
-        "array_sort(filter(qparts, p -> NOT (startswith(p, 'utm_') " +
-          "OR startswith(p, 'gclid=') OR startswith(p, 'fbclid='))))"))
-      .withColumn("canonical_url", expr(
-        """concat(sch, '://', host,
-          |  CASE WHEN port = '' OR (sch = 'https' AND port = '443')
-          |         OR (sch = 'http' AND port = '80') THEN ''
-          |       ELSE concat(':', port) END,
-          |  path,
-          |  CASE WHEN size(kept) = 0 THEN ''
-          |       ELSE concat('?', array_join(kept, '&')) END)""".stripMargin))
-      .withColumn("tracked", expr("size(kept) < size(qparts)"))
-      .withColumn("frag", expr("instr(url, '#') > 0"))
+  private[graft] def canonicalized(df: DataFrame, urlExpr: String): DataFrame =
+    df.withColumn("c", expr(
+      s"""element_at(transform(array($urlExpr), u ->
+         #  element_at(transform(array(struct(
+         #      lower(regexp_extract(u, '^([A-Za-z]+)://', 1)) AS sch,
+         #      lower(regexp_extract(regexp_extract(u, '^[A-Za-z]+://([^/]+)', 1),
+         #        '^([^:]+)', 1)) AS host,
+         #      regexp_extract(regexp_extract(u, '^[A-Za-z]+://([^/]+)', 1),
+         #        ':([0-9]+)$$', 1) AS port,
+         #      regexp_extract(u, '^[A-Za-z]+://[^/]+([^?#]*)', 1) AS path,
+         #      filter(split(regexp_extract(u, '\\\\?([^#]*)', 1), '&'),
+         #        p -> p <> '') AS qparts,
+         #      array_sort(filter(filter(split(regexp_extract(u, '\\\\?([^#]*)', 1), '&'),
+         #          p -> p <> ''),
+         #        p -> NOT (startswith(p, 'utm_') OR startswith(p, 'gclid=')
+         #          OR startswith(p, 'fbclid=')))) AS kept)),
+         #    q -> struct(
+         #      u AS url,
+         #      concat(q.sch, '://', q.host,
+         #        CASE WHEN q.port = '' OR (q.sch = 'https' AND q.port = '443')
+         #               OR (q.sch = 'http' AND q.port = '80') THEN ''
+         #             ELSE concat(':', q.port) END,
+         #        q.path,
+         #        CASE WHEN size(q.kept) = 0 THEN ''
+         #             ELSE concat('?', array_join(q.kept, '&')) END) AS canonical_url,
+         #      size(q.kept) < size(q.qparts) AS tracked,
+         #      instr(u, '#') > 0 AS frag)), 1)), 1)""".stripMargin('#')))
+      .withColumn("url", col("c.url"))
+      .withColumn("canonical_url", col("c.canonical_url"))
+      .withColumn("tracked", col("c.tracked"))
+      .withColumn("frag", col("c.frag"))
+      .drop("c")
 
-  /** DuckDB twin of [[withCanonicalUrl]]: a SELECT producing
+  /** DuckDB twin of [[canonicalized]]: a SELECT producing
     * (doc_id, url, canonical_url, tracked, frag) from a relation
     * `$src(doc_id, url)`.
     */
@@ -16144,8 +16165,8 @@ object CurationQueries {
     */
   private val dedupUrl = Q(
     (s, dir) => {
-      withCanonicalUrl(T(s, dir, "documents").select(col("doc_id"))
-        .withColumn("url", expr(rawUrlSpark("doc_id"))))
+      canonicalized(T(s, dir, "documents").select(col("doc_id")),
+        rawUrlSpark("doc_id"))
         .groupBy(col("canonical_url"))
         .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keeper"),
           sum(expr("cast(tracked as bigint)")).as("n_tracked"),
@@ -16789,7 +16810,7 @@ object CurationQueries {
     * the one benchmark curators publish for (eval sets ship source-URL
     * lists precisely so pipelines can block them): corpus URLs and the
     * benchmark blocklist BOTH canonicalize through
-    * [[withCanonicalUrl]], and the match happens on canonical forms.
+    * [[canonicalized]], and the match happens on canonical forms.
     * The fixture is the trap: blocklist entries are written in
     * DIFFERENT surface spellings than the corpus re-crawls of the same
     * page (ids 21/27/34 — same canonical residues as corpus ids
@@ -16807,11 +16828,11 @@ object CurationQueries {
   private val decontaminateUrl = Q(
     (s, dir) => {
       import s.implicits._
-      val corpus = withCanonicalUrl(T(s, dir, "documents").select(col("doc_id"))
-        .withColumn("url", expr(rawUrlSpark("doc_id"))))
+      val corpus = canonicalized(T(s, dir, "documents").select(col("doc_id")),
+        rawUrlSpark("doc_id"))
         .select(col("doc_id"), col("url"), col("canonical_url"))
-      val bench = withCanonicalUrl(Seq(21L, 27L, 34L).toDF("doc_id")
-        .withColumn("url", expr(rawUrlSpark("doc_id"))))
+      val bench = canonicalized(Seq(21L, 27L, 34L).toDF("doc_id"),
+        rawUrlSpark("doc_id"))
         .select(col("canonical_url"), col("url").as("bench_url"))
       corpus.join(broadcast(bench), Seq("canonical_url"))
         .groupBy(col("canonical_url"))
