@@ -285,6 +285,47 @@ class PlanFeaturesSpec extends SparkSpec {
     assert(q.collect().length == 26)
   }
 
+  test("url decontamination joins the blocklist by broadcast, never a shuffle join") {
+    // the blocklist is thousands of rows against a corpus of billions:
+    // a SortMergeJoin here would shuffle the whole corpus on url keys
+    val q = SparkEntry.catalog("ns_decontaminate_url").fn(spark, sfDir)
+    val s = q.queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastHashJoin"), s"expected broadcast join:\n$s")
+    assert(!s.contains("SortMergeJoin"), s"corpus-shuffling join:\n$s")
+  }
+
+  test("crawl frontier: per-host rank sorts in-partition off one host exchange") {
+    val q = SparkEntry.catalog("ns_pipeline_crawl_frontier").fn(spark, sfDir)
+    val s = q.queryExecution.executedPlan.toString
+    assert(s.contains("Window"), s"expected the per-host rank window:\n$s")
+    // host rank + round census + contract sort — nothing else shuffles
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(s).size
+    assert(hashEx <= 3, s"expected <=3 hash exchanges, got $hashEx:\n$s")
+  }
+
+  test("link graph: page bodies never shuffle — only (host, page) pairs do") {
+    // the narrow extract pass feeds one combine-agg; the shuffled row
+    // width is host + page id, never html
+    val links = {
+      import spark.implicits._
+      Seq((1L, "<a href=\"https://x.example/a\">t</a>")).toDF("page_id", "html")
+        .as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, h) =>
+          graft.operators.HtmlText.extract(h).toSeq.flatMap(_.hrefs.map((id, _)))
+        }).toDF("page_id", "href")
+    }
+    val q = links.groupBy(col("href")).count()
+    val s = q.queryExecution.executedPlan.toString.toLowerCase
+    // the exchange partitions on href with the partial count below it —
+    // html exists only under the mapPartitions extract, never above
+    assert(s.contains("exchange hashpartitioning(href"),
+      s"expected the href-keyed exchange:\n$s")
+    val exchangeAt = s.indexOf("exchange hashpartitioning")
+    val htmlAt = s.indexOf("html")
+    assert(htmlAt < 0 || htmlAt > exchangeAt,
+      s"html column appears above the exchange:\n$s")
+  }
+
   test("pref pairs: one hash-agg pass, no window, no per-partition sort agg") {
     // the packed-bigint compare key exists precisely so the max_by /
     // min_by aggregate stays a HashAggregate — a struct ordering demotes
