@@ -1529,6 +1529,10 @@ object Multimodal {
       "tiff"
     else if (b.length >= 3 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b &&
       (b(2) & 0xff) == 8) "gzip" // crawl containers: multi-member WARC
+    else if (b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' &&
+      b(7) == 'p') "mp4" // ISO BMFF: the brand box leads at offset 4
+    else if (b.length >= 4 && ((b(0) == 'I' && b(1) == 'D' && b(2) == '3') ||
+      ((b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0))) "mp3" // ID3 or frame sync
     else "unknown"
   }
 
@@ -1546,6 +1550,8 @@ object Multimodal {
     case "wav_float" => floatPcmStats(b).isDefined
     case "wav_g711" => g711Stats(b).isDefined
     case "gzip" => warcCensus(b).isDefined
+    case "mp4" => mp4BoxStats(b).isDefined
+    case "mp3" => mp3FrameStats(b).isDefined
     case _ => false
   }
 

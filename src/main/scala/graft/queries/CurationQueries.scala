@@ -12019,10 +12019,11 @@ object CurationQueries {
            |FROM sm ORDER BY file_id""".stripMargin))
 
   /** MAGIC-BYTE FORMAT ROUTING — the ingest front door of every mixed
-    * binary corpus: 25 files cycle NINE containers (truecolor PNG,
+    * binary corpus: 25 files cycle ELEVEN containers (truecolor PNG,
     * palette PNG, single-frame GIF, animated GIF, baseline JPEG,
-    * 16-bit PCM WAV, µ-law G.711 WAV, multi-member gzip WARC, and
-    * plain junk bytes), and
+    * 16-bit PCM WAV, µ-law G.711 WAV, multi-member gzip WARC, MP4
+    * movie, MP3 stream, and plain junk bytes — every family the engine
+    * decodes routes here), and
     * [[graft.operators.Multimodal.sniffKind]] classifies each by its
     * magic signature (never the extension — every fixture is written
     * `.bin`), then [[graft.operators.Multimodal.sniffValid]] routes it
@@ -12042,7 +12043,7 @@ object CurationQueries {
       T(s, dir, "nation").select(col("n_nationkey")).collect() // 25-row dim
         .foreach { r =>
           val k = r.getInt(0)
-          val bytes = (k % 9) match {
+          val bytes = (k % 11) match {
             case 0 => graft.operators.Multimodal.pngGradientBytes(16 + k, 10)
             case 1 => graft.operators.Multimodal.pngPaletteBytes(16 + k, 10)
             case 2 => graft.operators.Multimodal.gifPatternBytes(16 + k, 10)
@@ -12051,6 +12052,10 @@ object CurationQueries {
             case 5 => graft.operators.Multimodal.wavToneBytes(8000, 100 + k, 5, 1, 4)
             case 6 => graft.operators.Multimodal.wavG711Bytes(8000, 100 + k, 7)
             case 7 => graft.operators.Multimodal.warcBytes(k, 2 + k % 4)
+            case 8 => graft.operators.Multimodal.mp4Bytes(
+              k, 1 + k % 3, 1000L, 1500L + k, 64)
+            case 9 => graft.operators.Multimodal.mp3Bytes(
+              k, 4, k % 3, id3v2 = k % 2 == 0, id3v1 = false)
             case _ => (s"not a media file #$k " * 4).getBytes(
               java.nio.charset.StandardCharsets.UTF_8)
           }
@@ -12067,13 +12072,14 @@ object CurationQueries {
       out
     },
     Some("""SELECT cast(n_nationkey as bigint) AS file_id,
-           |  CASE n_nationkey % 9
+           |  CASE n_nationkey % 11
            |    WHEN 0 THEN 'png' WHEN 1 THEN 'png'
            |    WHEN 2 THEN 'gif' WHEN 3 THEN 'gif'
            |    WHEN 4 THEN 'jpeg' WHEN 5 THEN 'wav_pcm'
            |    WHEN 6 THEN 'wav_g711' WHEN 7 THEN 'gzip'
+           |    WHEN 8 THEN 'mp4' WHEN 9 THEN 'mp3'
            |    ELSE 'unknown' END AS detected,
-           |  (n_nationkey % 9) <> 8 AS valid
+           |  (n_nationkey % 11) <> 10 AS valid
            |FROM nation ORDER BY file_id""".stripMargin))
 
   // ---------------------------------------------------------------------
