@@ -1521,7 +1521,10 @@ object Multimodal {
         case 6 | 7 => "wav_g711"
         case _ => "wav_other"
       }
-    } else if (b.length >= 54 && b(0) == 'B' && b(1) == 'M' &&
+    } else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' &&
+      b(11) == 'P') "webp"
+    else if (b.length >= 54 && b(0) == 'B' && b(1) == 'M' &&
       le32(b, 14) >= 40) "bmp"
     else if (b.length >= 8 &&
       ((b(0) == 'I' && b(1) == 'I' && (b(2) & 0xff) == 42 && b(3) == 0) ||
@@ -1552,6 +1555,7 @@ object Multimodal {
     case "gzip" => warcCensus(b).isDefined
     case "mp4" => mp4BoxStats(b).isDefined
     case "mp3" => mp3FrameStats(b).isDefined
+    case "webp" => webpInfo(b).isDefined
     case _ => false
   }
 
@@ -4295,6 +4299,116 @@ object Multimodal {
             MediaFrame(id, f, bytes.slice(off, math.min(off + bytesPerFrame, bytes.length)))
           }
       }
+  }
+
+  // ---------------------------------------------------------------------
+  // WebP header census (RIFF container + VP8/VP8L/VP8X bitstream headers)
+  // ---------------------------------------------------------------------
+
+  /** WebP structural census — the dominant modern web image format's
+    * no-decode read: RIFF framing validated (declared size vs actual),
+    * then the first chunk's header parsed per variant: `VP8 ` (lossy —
+    * the 3-byte frame tag with keyframe bit + the 0x9d012a sync code,
+    * 14-bit dims), `VP8L` (lossless — the 0x2f signature byte, 14-bit
+    * minus-one dims, the alpha bit), `VP8X` (extended — the feature
+    * flag byte, 24-bit LE minus-one canvas dims, alpha + animation
+    * flags). Returns (variant, width, height, hasAlpha, animated) or
+    * None on any framing/signature/size violation — a WebP that lies
+    * about its RIFF size or carries an unknown first chunk rejects,
+    * never guesses.
+    */
+  def webpInfo(b: Array[Byte]): Option[(String, Long, Long, Boolean, Boolean)] =
+    try webpInfoImpl(b)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def webpInfoImpl(
+      b: Array[Byte]): Option[(String, Long, Long, Boolean, Boolean)] = {
+    if (b.length < 20) return None
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')) return None
+    val riffSize = le32(b, 4)
+    if (riffSize + 8 != b.length) return None // declared vs actual
+    if (!(b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P')) return None
+    val tag = new String(b, 12, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    val size = le32(b, 16)
+    if (size < 0 || 20L + size > b.length) return None
+    tag match {
+      case "VP8 " =>
+        // lossy: 3-byte frame tag (bit 0 = keyframe marker 0), then the
+        // 3-byte sync code 0x9d 0x01 0x2a, then 14-bit width/height
+        if (size < 10) return None
+        if ((b(20) & 0x01) != 0) return None // first frame must be key
+        if (!((b(23) & 0xff) == 0x9d && (b(24) & 0xff) == 0x01 &&
+          (b(25) & 0xff) == 0x2a)) return None
+        val w = ((b(26) & 0xff) | ((b(27) & 0x3f) << 8)).toLong
+        val h = ((b(28) & 0xff) | ((b(29) & 0x3f) << 8)).toLong
+        if (w <= 0 || h <= 0) return None
+        Some(("lossy", w, h, false, false))
+      case "VP8L" =>
+        if (size < 5) return None
+        if ((b(20) & 0xff) != 0x2f) return None // lossless signature
+        val bits = le32(b, 21)
+        val w = (bits & 0x3fff) + 1L
+        val h = ((bits >> 14) & 0x3fff) + 1L
+        val alpha = ((bits >> 28) & 1L) == 1L
+        Some(("lossless", w, h, alpha, false))
+      case "VP8X" =>
+        if (size < 10) return None
+        val flags = b(20) & 0xff
+        if ((flags & 0xc1) != 0) return None // reserved bits must be 0
+        val w = 1L + (((b(24) & 0xffL)) | ((b(25) & 0xffL) << 8) |
+          ((b(26) & 0xffL) << 16))
+        val h = 1L + (((b(27) & 0xffL)) | ((b(28) & 0xffL) << 8) |
+          ((b(29) & 0xffL) << 16))
+        Some(("extended", w, h, (flags & 0x10) != 0, (flags & 0x02) != 0))
+      case _ => None
+    }
+  }
+
+  /** Deterministic WebP fixture cycling the three header variants with
+    * the given dims/flags; payload bytes after the parsed header are
+    * deterministic filler (the census never reads them).
+    */
+  def webpBytes(variant: Int, width: Int, height: Int, alpha: Boolean,
+      anim: Boolean, tag: Int): Array[Byte] = {
+    val body = new java.io.ByteArrayOutputStream()
+    val filler = Array.tabulate(20 + tag % 9)(i => ((tag * 5 + i) % 251).toByte)
+    val chunk: Array[Byte] = variant match {
+      case 0 => // VP8 lossy
+        val hdr = new Array[Byte](10)
+        hdr(0) = 0x10 // frame tag: keyframe (bit0=0), version/show bits
+        hdr(3) = 0x9d.toByte; hdr(4) = 0x01; hdr(5) = 0x2a
+        hdr(6) = (width & 0xff).toByte; hdr(7) = ((width >> 8) & 0x3f).toByte
+        hdr(8) = (height & 0xff).toByte; hdr(9) = ((height >> 8) & 0x3f).toByte
+        hdr ++ filler
+      case 1 => // VP8L lossless
+        val bits = (width - 1).toLong | ((height - 1).toLong << 14) |
+          (if (alpha) 1L << 28 else 0L)
+        Array(0x2f.toByte,
+          (bits & 0xff).toByte, ((bits >> 8) & 0xff).toByte,
+          ((bits >> 16) & 0xff).toByte, ((bits >> 24) & 0xff).toByte) ++ filler
+      case _ => // VP8X extended
+        val flags = (if (alpha) 0x10 else 0) | (if (anim) 0x02 else 0)
+        Array[Byte](flags.toByte, 0, 0, 0,
+          ((width - 1) & 0xff).toByte, (((width - 1) >> 8) & 0xff).toByte,
+          (((width - 1) >> 16) & 0xff).toByte,
+          ((height - 1) & 0xff).toByte, (((height - 1) >> 8) & 0xff).toByte,
+          (((height - 1) >> 16) & 0xff).toByte) ++ filler
+    }
+    val fourcc = variant match {
+      case 0 => "VP8 "; case 1 => "VP8L"; case _ => "VP8X"
+    }
+    body.write("WEBP".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    body.write(fourcc.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    body.write(chunk.length & 0xff); body.write((chunk.length >> 8) & 0xff)
+    body.write((chunk.length >> 16) & 0xff); body.write((chunk.length >> 24) & 0xff)
+    body.write(chunk)
+    val payload = body.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.write(payload.length & 0xff); out.write((payload.length >> 8) & 0xff)
+    out.write((payload.length >> 16) & 0xff); out.write((payload.length >> 24) & 0xff)
+    out.write(payload)
+    out.toByteArray
   }
 
   // ---------------------------------------------------------------------

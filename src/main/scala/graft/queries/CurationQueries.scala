@@ -12019,11 +12019,11 @@ object CurationQueries {
            |FROM sm ORDER BY file_id""".stripMargin))
 
   /** MAGIC-BYTE FORMAT ROUTING — the ingest front door of every mixed
-    * binary corpus: 25 files cycle ELEVEN containers (truecolor PNG,
+    * binary corpus: 25 files cycle TWELVE containers (truecolor PNG,
     * palette PNG, single-frame GIF, animated GIF, baseline JPEG,
     * 16-bit PCM WAV, µ-law G.711 WAV, multi-member gzip WARC, MP4
-    * movie, MP3 stream, and plain junk bytes — every family the engine
-    * decodes routes here), and
+    * movie, MP3 stream, WebP image, and plain junk bytes — every
+    * family the engine decodes routes here), and
     * [[graft.operators.Multimodal.sniffKind]] classifies each by its
     * magic signature (never the extension — every fixture is written
     * `.bin`), then [[graft.operators.Multimodal.sniffValid]] routes it
@@ -12043,7 +12043,7 @@ object CurationQueries {
       T(s, dir, "nation").select(col("n_nationkey")).collect() // 25-row dim
         .foreach { r =>
           val k = r.getInt(0)
-          val bytes = (k % 11) match {
+          val bytes = (k % 12) match {
             case 0 => graft.operators.Multimodal.pngGradientBytes(16 + k, 10)
             case 1 => graft.operators.Multimodal.pngPaletteBytes(16 + k, 10)
             case 2 => graft.operators.Multimodal.gifPatternBytes(16 + k, 10)
@@ -12056,6 +12056,8 @@ object CurationQueries {
               k, 1 + k % 3, 1000L, 1500L + k, 64)
             case 9 => graft.operators.Multimodal.mp3Bytes(
               k, 4, k % 3, id3v2 = k % 2 == 0, id3v1 = false)
+            case 10 => graft.operators.Multimodal.webpBytes(
+              k % 3, 16 + k, 10, alpha = k % 2 == 0, anim = false, tag = k)
             case _ => (s"not a media file #$k " * 4).getBytes(
               java.nio.charset.StandardCharsets.UTF_8)
           }
@@ -12072,14 +12074,15 @@ object CurationQueries {
       out
     },
     Some("""SELECT cast(n_nationkey as bigint) AS file_id,
-           |  CASE n_nationkey % 11
+           |  CASE n_nationkey % 12
            |    WHEN 0 THEN 'png' WHEN 1 THEN 'png'
            |    WHEN 2 THEN 'gif' WHEN 3 THEN 'gif'
            |    WHEN 4 THEN 'jpeg' WHEN 5 THEN 'wav_pcm'
            |    WHEN 6 THEN 'wav_g711' WHEN 7 THEN 'gzip'
            |    WHEN 8 THEN 'mp4' WHEN 9 THEN 'mp3'
+           |    WHEN 10 THEN 'webp'
            |    ELSE 'unknown' END AS detected,
-           |  (n_nationkey % 11) <> 10 AS valid
+           |  (n_nationkey % 12) <> 11 AS valid
            |FROM nation ORDER BY file_id""".stripMargin))
 
   // ---------------------------------------------------------------------
@@ -16934,11 +16937,75 @@ object CurationQueries {
            |    + 15 * sum(CASE WHEN is_fim THEN 1 ELSE 0 END) AS conserved
            |FROM t GROUP BY source ORDER BY source""".stripMargin))
 
+  /** WebP HEADER CENSUS — the dominant modern web image format (the
+    * largest single share of image bytes in recent crawls), read at
+    * the header level the way [[multimodalMp4Boxes]] reads video: RIFF
+    * framing VERIFIED (declared size vs actual — a lying RIFF header
+    * rejects), then the first chunk parsed per variant — `VP8 ` lossy
+    * (keyframe bit + the 0x9d012a sync code + 14-bit dims), `VP8L`
+    * lossless (0x2f signature, 14-bit minus-one dims, the alpha bit),
+    * `VP8X` extended (feature flags with reserved bits enforced zero,
+    * 24-bit minus-one canvas dims, alpha + animation flags). Fixtures
+    * cycle all three variants with alpha/animation schedules; the
+    * oracle replays every column from the construction. No pixel
+    * decode is claimed — this is the route/size/alpha/animation triage
+    * read (the VP8 entropy decode is out of scope, spec'd as such).
+    *
+    * Scale: the parseAll narrow shape — fixed-offset header reads per
+    * file, payload bytes never touched or shuffled.
+    */
+  private val multimodalWebpInfo = Q(
+    (s, dir) => {
+      val base = scratchDir("webp")
+      val p = java.nio.file.Paths.get(base)
+      T(s, dir, "nation").select(col("n_nationkey")).collect() // 25-row dim
+        .foreach { r =>
+          val k = r.getInt(0)
+          java.nio.file.Files.write(p.resolve(f"w_$k%02d.webp"),
+            graft.operators.Multimodal.webpBytes(
+              k % 3, 16 + k, 10 + k % 7, alpha = k % 2 == 0,
+              anim = k % 4 == 0, tag = k))
+        }
+      val scanned = s.read.format("binaryFile").load(base)
+        .select(regexp_extract(col("path"), "w_(\\d+)\\.", 1).cast("long")
+          .as("file_id"), col("content"))
+      import s.implicits._
+      val out = scanned.select(col("file_id"), col("content"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            graft.operators.Multimodal.webpInfo(bytes) match {
+              case Some((v, w, h, a, an)) => (id, v, w, h, a, an, true)
+              case None => (id, "", 0L, 0L, false, false, false)
+            }
+          }
+        }
+        .toDF("file_id", "variant", "width", "height", "has_alpha",
+          "animated", "valid")
+        .orderBy(col("file_id"))
+        .localCheckpoint(true)
+      scratchDelete(base)
+      out
+    },
+    Some("""WITH g AS (
+           |  SELECT cast(n_nationkey as bigint) AS k FROM nation
+           |)
+           |SELECT k AS file_id,
+           |  CASE k % 3 WHEN 0 THEN 'lossy' WHEN 1 THEN 'lossless'
+           |    ELSE 'extended' END AS variant,
+           |  cast(16 + k as bigint) AS width,
+           |  cast(10 + k % 7 as bigint) AS height,
+           |  CASE WHEN k % 3 = 0 THEN false ELSE k % 2 = 0 END AS has_alpha,
+           |  (k % 3 = 2 AND k % 4 = 0) AS animated,
+           |  true AS valid
+           |FROM g ORDER BY file_id""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "ts_ewma_smooth" -> tsEwmaSmooth,
     "ns_multimodal_mp4_boxes" -> multimodalMp4Boxes,
     "ns_multimodal_exif" -> multimodalExif,
     "ns_multimodal_mp3_frames" -> multimodalMp3Frames,
+    "ns_multimodal_webp_info" -> multimodalWebpInfo,
     "ns_text_link_graph" -> textLinkGraph,
     "ns_profile_etld1" -> profileEtld1,
     "ns_pipeline_sitemap" -> pipelineSitemap,

@@ -123,6 +123,32 @@ class Mp4ExifSpec extends AnyFunSuite {
     assert(Multimodal.mp3FrameStats(badSize).isEmpty)
   }
 
+  test("webp: all three variants census to their headers; lies reject") {
+    assert(Multimodal.webpInfo(Multimodal.webpBytes(0, 320, 240,
+      alpha = true /* lossy has no alpha bit */, anim = false, tag = 1))
+      .contains(("lossy", 320L, 240L, false, false)))
+    assert(Multimodal.webpInfo(Multimodal.webpBytes(1, 100, 50,
+      alpha = true, anim = false, tag = 2))
+      .contains(("lossless", 100L, 50L, true, false)))
+    assert(Multimodal.webpInfo(Multimodal.webpBytes(2, 5000, 3000,
+      alpha = false, anim = true, tag = 3))
+      .contains(("extended", 5000L, 3000L, false, true)))
+    val b = Multimodal.webpBytes(0, 64, 64, alpha = false, anim = false, tag = 4)
+    // a RIFF size lying about the actual length rejects
+    val lied = b.clone(); lied(4) = (lied(4) + 1).toByte
+    assert(Multimodal.webpInfo(lied).isEmpty)
+    // a corrupt VP8 sync code rejects
+    val sync = b.clone(); sync(23) = 0x00
+    assert(Multimodal.webpInfo(sync).isEmpty)
+    // reserved VP8X flag bits must be zero
+    val x = Multimodal.webpBytes(2, 64, 64, alpha = false, anim = false, tag = 5)
+    val rsv = x.clone(); rsv(20) = (rsv(20) | 0x80).toByte
+    assert(Multimodal.webpInfo(rsv).isEmpty)
+    assert(Multimodal.webpInfo(b.take(19)).isEmpty) // truncation
+    // the router recognizes and validates it
+    assert(Multimodal.sniffKind(b) == "webp" && Multimodal.sniffValid("webp", b))
+  }
+
   test("exif: byte orders agree; the plain JPEG rejects (no invented default)") {
     val ii = Multimodal.exifJpegBytes(24, 16, littleEndian = true, orientation = 6)
     val mm = Multimodal.exifJpegBytes(24, 16, littleEndian = false, orientation = 6)
