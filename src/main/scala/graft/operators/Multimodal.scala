@@ -1536,6 +1536,8 @@ object Multimodal {
       b(7) == 'p') "mp4" // ISO BMFF: the brand box leads at offset 4
     else if (b.length >= 4 && ((b(0) == 'I' && b(1) == 'D' && b(2) == '3') ||
       ((b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0))) "mp3" // ID3 or frame sync
+    else if (b.length >= 4 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' &&
+      b(3) == 'C') "flac"
     else "unknown"
   }
 
@@ -1556,6 +1558,7 @@ object Multimodal {
     case "mp4" => mp4BoxStats(b).isDefined
     case "mp3" => mp3FrameStats(b).isDefined
     case "webp" => webpInfo(b).isDefined
+    case "flac" => flacInfo(b).isDefined
     case _ => false
   }
 
@@ -4299,6 +4302,113 @@ object Multimodal {
             MediaFrame(id, f, bytes.slice(off, math.min(off + bytesPerFrame, bytes.length)))
           }
       }
+  }
+
+  // ---------------------------------------------------------------------
+  // FLAC STREAMINFO census (metadata block walk, no frame decode)
+  // ---------------------------------------------------------------------
+
+  /** FLAC structural census — the lossless-audio companion of the MP3
+    * frame walk: the `fLaC` magic, then the metadata block chain
+    * (1-byte last-flag+type header, 24-bit BE length) with STREAMINFO
+    * REQUIRED FIRST per spec, its packed bitfields decoded exactly —
+    * 20-bit sample rate, 3-bit channels-1, 5-bit bps-1, 36-bit total
+    * samples — and the remaining blocks (padding, vorbis comment, ...)
+    * counted and stepped until the last-flag. Returns (sampleRate,
+    * channels, bps, totalSamples, nMetaBlocks, durationMs =
+    * totalSamples * 1000 div rate) or None on a bad magic, STREAMINFO
+    * not first, a truncated block, or a zero sample rate. Frame data
+    * after the metadata chain is not parsed (the no-decode triage
+    * read, like the MP4 census's mdat).
+    */
+  def flacInfo(b: Array[Byte]): Option[(Long, Long, Long, Long, Long, Long)] =
+    try flacInfoImpl(b)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def flacInfoImpl(
+      b: Array[Byte]): Option[(Long, Long, Long, Long, Long, Long)] = {
+    if (b.length < 42) return None
+    if (!(b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')) return None
+    var p = 4
+    var first = true
+    var last = false
+    var nBlocks = 0L
+    var rate = -1L
+    var channels = -1L
+    var bps = -1L
+    var total = -1L
+    while (!last) {
+      if (p + 4 > b.length) return None
+      val hdr = b(p) & 0xff
+      last = (hdr & 0x80) != 0
+      val typ = hdr & 0x7f
+      val len = ((b(p + 1) & 0xff) << 16) | ((b(p + 2) & 0xff) << 8) |
+        (b(p + 3) & 0xff)
+      if (typ == 127) return None // invalid block type per spec
+      if (first && typ != 0) return None // STREAMINFO must be first
+      if (p + 4 + len > b.length) return None
+      if (typ == 0) {
+        if (!first || len != 34) return None // exactly one, exactly 34 bytes
+        val o = p + 4
+        // bytes 10..17 pack rate(20) | chan-1(3) | bps-1(5) | total(36)
+        val hi = ((b(o + 10) & 0xffL) << 32) | ((b(o + 11) & 0xffL) << 24) |
+          ((b(o + 12) & 0xffL) << 16) | ((b(o + 13) & 0xffL) << 8) |
+          (b(o + 14) & 0xffL)
+        rate = (hi >> 20) & 0xfffffL
+        channels = ((hi >> 17) & 0x7L) + 1L
+        bps = ((hi >> 12) & 0x1fL) + 1L
+        total = ((hi & 0xfffL) << 24) | ((b(o + 15) & 0xffL) << 16) |
+          ((b(o + 16) & 0xffL) << 8) | (b(o + 17) & 0xffL)
+        if (rate == 0L) return None
+      }
+      nBlocks += 1
+      first = false
+      p += 4 + len
+    }
+    if (rate < 0) return None
+    Some((rate, channels, bps, total, nBlocks, total * 1000L / rate))
+  }
+
+  /** Deterministic FLAC fixture: STREAMINFO with the given parameters,
+    * a vorbis-comment block, a padding block (last), then deterministic
+    * filler frame bytes the census must not read.
+    */
+  def flacBytes(rate: Int, channels: Int, bps: Int, totalSamples: Long,
+      tag: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    // STREAMINFO (type 0, 34 bytes)
+    out.write(0x00); out.write(0); out.write(0); out.write(34)
+    val si = new Array[Byte](34)
+    si(0) = 0x10; si(1) = 0x00 // min blocksize 4096
+    si(2) = 0x10; si(3) = 0x00 // max blocksize
+    // min/max framesize (24-bit each): leave 0 = unknown
+    val hi = (rate.toLong << 20) | ((channels - 1).toLong << 17) |
+      ((bps - 1).toLong << 12) | ((totalSamples >> 24) & 0xfffL)
+    si(10) = ((hi >> 32) & 0xff).toByte
+    si(11) = ((hi >> 24) & 0xff).toByte
+    si(12) = ((hi >> 16) & 0xff).toByte
+    si(13) = ((hi >> 8) & 0xff).toByte
+    si(14) = (hi & 0xff).toByte
+    si(15) = ((totalSamples >> 16) & 0xff).toByte
+    si(16) = ((totalSamples >> 8) & 0xff).toByte
+    si(17) = (totalSamples & 0xff).toByte
+    // bytes 18-33: md5 of the unencoded audio — deterministic filler
+    var i = 18
+    while (i < 34) { si(i) = ((tag * 11 + i) % 251).toByte; i += 1 }
+    out.write(si)
+    // VORBIS_COMMENT (type 4)
+    val vc = s"graft fixture $tag".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    out.write(0x04); out.write(0); out.write((vc.length >> 8) & 0xff)
+    out.write(vc.length & 0xff)
+    out.write(vc)
+    // PADDING (type 1, LAST)
+    val padLen = 8 + tag % 5
+    out.write(0x81); out.write(0); out.write(0); out.write(padLen)
+    out.write(new Array[Byte](padLen))
+    // frame bytes: never parsed
+    out.write(Array.tabulate(32)(j => ((tag * 13 + j) % 251).toByte))
+    out.toByteArray
   }
 
   // ---------------------------------------------------------------------

@@ -12019,11 +12019,11 @@ object CurationQueries {
            |FROM sm ORDER BY file_id""".stripMargin))
 
   /** MAGIC-BYTE FORMAT ROUTING — the ingest front door of every mixed
-    * binary corpus: 25 files cycle TWELVE containers (truecolor PNG,
+    * binary corpus: 25 files cycle THIRTEEN containers (truecolor PNG,
     * palette PNG, single-frame GIF, animated GIF, baseline JPEG,
     * 16-bit PCM WAV, µ-law G.711 WAV, multi-member gzip WARC, MP4
-    * movie, MP3 stream, WebP image, and plain junk bytes — every
-    * family the engine decodes routes here), and
+    * movie, MP3 stream, WebP image, FLAC stream, and plain junk bytes
+    * — every family the engine decodes routes here), and
     * [[graft.operators.Multimodal.sniffKind]] classifies each by its
     * magic signature (never the extension — every fixture is written
     * `.bin`), then [[graft.operators.Multimodal.sniffValid]] routes it
@@ -12043,7 +12043,7 @@ object CurationQueries {
       T(s, dir, "nation").select(col("n_nationkey")).collect() // 25-row dim
         .foreach { r =>
           val k = r.getInt(0)
-          val bytes = (k % 12) match {
+          val bytes = (k % 13) match {
             case 0 => graft.operators.Multimodal.pngGradientBytes(16 + k, 10)
             case 1 => graft.operators.Multimodal.pngPaletteBytes(16 + k, 10)
             case 2 => graft.operators.Multimodal.gifPatternBytes(16 + k, 10)
@@ -12058,6 +12058,8 @@ object CurationQueries {
               k, 4, k % 3, id3v2 = k % 2 == 0, id3v1 = false)
             case 10 => graft.operators.Multimodal.webpBytes(
               k % 3, 16 + k, 10, alpha = k % 2 == 0, anim = false, tag = k)
+            case 11 => graft.operators.Multimodal.flacBytes(
+              44100, 1 + k % 3, 16, 88200L + 997L * k, k)
             case _ => (s"not a media file #$k " * 4).getBytes(
               java.nio.charset.StandardCharsets.UTF_8)
           }
@@ -12074,15 +12076,15 @@ object CurationQueries {
       out
     },
     Some("""SELECT cast(n_nationkey as bigint) AS file_id,
-           |  CASE n_nationkey % 12
+           |  CASE n_nationkey % 13
            |    WHEN 0 THEN 'png' WHEN 1 THEN 'png'
            |    WHEN 2 THEN 'gif' WHEN 3 THEN 'gif'
            |    WHEN 4 THEN 'jpeg' WHEN 5 THEN 'wav_pcm'
            |    WHEN 6 THEN 'wav_g711' WHEN 7 THEN 'gzip'
            |    WHEN 8 THEN 'mp4' WHEN 9 THEN 'mp3'
-           |    WHEN 10 THEN 'webp'
+           |    WHEN 10 THEN 'webp' WHEN 11 THEN 'flac'
            |    ELSE 'unknown' END AS detected,
-           |  (n_nationkey % 12) <> 11 AS valid
+           |  (n_nationkey % 13) <> 12 AS valid
            |FROM nation ORDER BY file_id""".stripMargin))
 
   // ---------------------------------------------------------------------
@@ -17000,12 +17002,79 @@ object CurationQueries {
            |  true AS valid
            |FROM g ORDER BY file_id""".stripMargin))
 
+  /** FLAC STREAMINFO census — the lossless-audio companion of the MP3
+    * frame walk and the last member of the container set: the `fLaC`
+    * metadata block chain walked per spec (STREAMINFO required FIRST
+    * and exactly 34 bytes; 24-bit block lengths; the last-flag ends
+    * the chain; the invalid type 127 rejects), its packed bitfields
+    * decoded exactly — 20-bit sample rate, 3-bit channels-1, 5-bit
+    * bps-1, 36-bit total samples spanning a byte boundary — and
+    * duration reported as the exact integer
+    * `totalSamples * 1000 div rate`. Frame data after the chain is
+    * never read (the MP4-census altitude). Fixtures interleave a
+    * vorbis-comment and a padding block so the walk is a real chain,
+    * not a fixed offset.
+    *
+    * Scale: the parseAll narrow shape — one metadata walk per file,
+    * six longs out; audio bytes never shuffle.
+    */
+  private val multimodalFlacInfo = Q(
+    (s, dir) => {
+      val base = scratchDir("flac")
+      val p = java.nio.file.Paths.get(base)
+      T(s, dir, "nation").select(col("n_nationkey")).collect() // 25-row dim
+        .foreach { r =>
+          val k = r.getInt(0)
+          val rate = Seq(44100, 48000, 96000)(k % 3)
+          java.nio.file.Files.write(p.resolve(f"f_$k%02d.flac"),
+            graft.operators.Multimodal.flacBytes(
+              rate, 1 + k % 3, if (k % 2 == 0) 16 else 24,
+              88200L + 997L * k, k))
+        }
+      val scanned = s.read.format("binaryFile").load(base)
+        .select(regexp_extract(col("path"), "f_(\\d+)\\.", 1).cast("long")
+          .as("file_id"), col("content"))
+      import s.implicits._
+      val out = scanned.select(col("file_id"), col("content"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            graft.operators.Multimodal.flacInfo(bytes) match {
+              case Some((r2, ch, bp, tot, nb, ms)) =>
+                (id, r2, ch, bp, tot, nb, ms, true)
+              case None => (id, 0L, 0L, 0L, 0L, 0L, 0L, false)
+            }
+          }
+        }
+        .toDF("file_id", "sample_rate", "channels", "bits_per_sample",
+          "total_samples", "n_meta_blocks", "dur_ms", "valid")
+        .orderBy(col("file_id"))
+        .localCheckpoint(true)
+      scratchDelete(base)
+      out
+    },
+    Some("""WITH g AS (
+           |  SELECT cast(n_nationkey as bigint) AS k,
+           |    cast(CASE n_nationkey % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+           |      ELSE 96000 END as bigint) AS sr,
+           |    cast(88200 + 997 * n_nationkey as bigint) AS tot
+           |  FROM nation
+           |)
+           |SELECT k AS file_id, sr AS sample_rate,
+           |  cast(1 + k % 3 as bigint) AS channels,
+           |  cast(CASE WHEN k % 2 = 0 THEN 16 ELSE 24 END as bigint)
+           |    AS bits_per_sample,
+           |  tot AS total_samples, cast(3 as bigint) AS n_meta_blocks,
+           |  (tot * 1000) // sr AS dur_ms, true AS valid
+           |FROM g ORDER BY file_id""".stripMargin))
+
   val all: Map[String, Q] = Map(
     "ts_ewma_smooth" -> tsEwmaSmooth,
     "ns_multimodal_mp4_boxes" -> multimodalMp4Boxes,
     "ns_multimodal_exif" -> multimodalExif,
     "ns_multimodal_mp3_frames" -> multimodalMp3Frames,
     "ns_multimodal_webp_info" -> multimodalWebpInfo,
+    "ns_multimodal_flac_info" -> multimodalFlacInfo,
     "ns_text_link_graph" -> textLinkGraph,
     "ns_profile_etld1" -> profileEtld1,
     "ns_pipeline_sitemap" -> pipelineSitemap,

@@ -149,6 +149,28 @@ class Mp4ExifSpec extends AnyFunSuite {
     assert(Multimodal.sniffKind(b) == "webp" && Multimodal.sniffValid("webp", b))
   }
 
+  test("flac: the metadata chain walks to its fields; violations reject") {
+    val b = Multimodal.flacBytes(48000, 2, 24, 480000L, 3)
+    assert(Multimodal.flacInfo(b)
+      .contains((48000L, 2L, 24L, 480000L, 3L, 10000L)))
+    // a 36-bit total crossing the byte boundary decodes exactly
+    val big = Multimodal.flacBytes(44100, 1, 16, 0x123456789L, 1)
+    assert(Multimodal.flacInfo(big).exists(_._4 == 0x123456789L))
+    // STREAMINFO not first: swap the first block's type to padding
+    val swapped = b.clone(); swapped(4) = 0x01
+    assert(Multimodal.flacInfo(swapped).isEmpty)
+    // truncated mid-chain rejects (cut inside the vorbis comment)
+    assert(Multimodal.flacInfo(b.take(50)).isEmpty)
+    // the invalid block type 127 rejects
+    val bad = b.clone(); bad(4 + 4 + 34) = 0x7f
+    assert(Multimodal.flacInfo(bad).isEmpty)
+    // a zero sample rate rejects rather than dividing
+    assert(Multimodal.flacInfo(
+      Multimodal.flacBytes(0, 1, 16, 100L, 2)).isEmpty)
+    // the router recognizes and validates it
+    assert(Multimodal.sniffKind(b) == "flac" && Multimodal.sniffValid("flac", b))
+  }
+
   test("exif: byte orders agree; the plain JPEG rejects (no invented default)") {
     val ii = Multimodal.exifJpegBytes(24, 16, littleEndian = true, orientation = 6)
     val mm = Multimodal.exifJpegBytes(24, 16, littleEndian = false, orientation = 6)
