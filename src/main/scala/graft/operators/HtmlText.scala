@@ -55,10 +55,6 @@ object HtmlText {
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
 
-  private val HrefAttr = "(^|[\\s/])href\\s*=".r
-  private val HrefValue =
-    "(?i)(?:^|[\\s/])href\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s>]+))".r
-
   /** Deterministic fixture page: every extractor trap in one document
     * (script printing fake `<p>` tags, style + comment markup, quoted
     * `>` in attributes, named + numeric entities, uppercase tags,
@@ -196,32 +192,63 @@ object HtmlText {
         while (j < n && (html.charAt(j).isLetterOrDigit || html.charAt(j) == '!' ||
             html.charAt(j) == '?')) j += 1
         val name = html.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
-        // attribute scan to the closing '>', quote-aware; attrBuf holds
-        // the UNQUOTED skeleton (for cheap attribute-name detection),
-        // rawBuf the verbatim attributes (for value extraction)
-        var quote: Char = 0
-        val attrBuf = new java.lang.StringBuilder
-        val rawBuf = new java.lang.StringBuilder
+        // attribute scan to the closing '>': a real attribute-level
+        // parse (name [= value], quoted or bare values, quote-aware),
+        // NOT a regex over the raw attribute text — ' href=' inside
+        // another attribute's quoted value must not steal the
+        // extraction (<a title="x href=evil" href="/real"> yields
+        // /real, never evil)
+        var sawHref = false      // an actual href= attribute was parsed
+        var hrefVal: String = null // its value; null when bare-empty
         var done = false
         while (j < n && !done) {
           val a = html.charAt(j)
-          if (quote != 0) {
-            if (a == quote) quote = 0
-            rawBuf.append(a)
-            j += 1
-          } else if (a == '"' || a == '\'') { quote = a; rawBuf.append(a); j += 1 }
-          else if (a == '>') { done = true }
-          else { attrBuf.append(a); rawBuf.append(a); j += 1 }
+          if (a == '>') { done = true }
+          else if (isWs(a) || a == '/') j += 1
+          else {
+            val ns = j
+            while (j < n && {
+              val c2 = html.charAt(j)
+              c2 != '=' && c2 != '>' && c2 != '/' && !isWs(c2)
+            }) j += 1
+            val aname = html.substring(ns, j).toLowerCase(java.util.Locale.ROOT)
+            var k = j
+            while (k < n && isWs(html.charAt(k))) k += 1
+            var hadEq = false
+            var value: String = null
+            if (k < n && html.charAt(k) == '=') {
+              hadEq = true
+              k += 1
+              while (k < n && isWs(html.charAt(k))) k += 1
+              if (k < n && (html.charAt(k) == '"' || html.charAt(k) == '\'')) {
+                val q = html.charAt(k)
+                k += 1
+                val vs = k
+                while (k < n && html.charAt(k) != q) k += 1
+                if (k >= n) { j = n } // unterminated quote: EOF inside tag
+                else {
+                  value = html.substring(vs, k)
+                  j = k + 1
+                }
+              } else {
+                val vs = k
+                while (k < n && !isWs(html.charAt(k)) && html.charAt(k) != '>') k += 1
+                if (k > vs) value = html.substring(vs, k)
+                j = k
+              }
+            }
+            if (aname == "href" && hadEq && !sawHref) {
+              sawHref = true
+              hrefVal = value
+            }
+          }
         }
         if (!done) return None // EOF inside a tag
         if (!close) {
-          val attrsLower = attrBuf.toString.toLowerCase(java.util.Locale.ROOT)
-          if (name == "a" && HrefAttr.findFirstIn(attrsLower).isDefined) {
+          if (name == "a" && sawHref) {
             nLinks += 1
-            HrefValue.findFirstMatchIn(rawBuf.toString).foreach { m =>
-              val v = Option(m.group(1)).orElse(Option(m.group(2)))
-                .getOrElse(m.group(3))
-              decodeEntities(v) match {
+            if (hrefVal != null) {
+              decodeEntities(hrefVal) match {
                 case None => return None // malformed reference in the URL
                 case Some(d) => hrefs += d
               }

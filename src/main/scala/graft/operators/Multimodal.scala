@@ -4714,18 +4714,26 @@ object Multimodal {
           case "trak" => nTracks += 1
           case "mdat" => mdatBytes += size - hdr
           case "mvhd" =>
+            // the box size must cover every field we read — an
+            // undersized mvhd would otherwise read the next sibling's
+            // bytes as timescale/duration
+            if (size < hdr + 1) return false
             val v = b((p + hdr).toInt) & 0xff
             if (v == 0) {
               // version 0: 32-bit ctime/mtime, then timescale + duration
+              if (size < hdr + 20) return false
               timescale = u32((p + hdr + 12).toInt)
               duration = u32((p + hdr + 16).toInt)
             } else if (v == 1) {
               // version 1: 64-bit times and duration
+              if (size < hdr + 32) return false
               timescale = u32((p + hdr + 20).toInt)
               duration = u64((p + hdr + 24).toInt)
             } else return false
           case "hdlr" =>
-            // full box: version+flags, pre_defined, then handler_type
+            // full box: version+flags, pre_defined, then handler_type —
+            // reject an hdlr too small to hold the handler fourcc
+            if (size < hdr + 12) return false
             val ht = fourcc((p + hdr + 8).toInt)
             if (ht == "vide") nVideo += 1
             if (ht == "soun") nAudio += 1
@@ -4830,19 +4838,28 @@ object Multimodal {
     var app1 = -1
     var app1Len = 0
     while (app1 < 0) {
-      if (p + 4 > b.length) return None
+      if (p + 2 > b.length) return None
       if ((b(p) & 0xff) != 0xff) return None
+      // legal fill: any number of repeated 0xFF padding bytes may
+      // precede a marker byte — skip to the last 0xFF of the run
+      while (p + 2 < b.length && (b(p + 1) & 0xff) == 0xff) p += 1
       val m = b(p + 1) & 0xff
       if (m == 0xd9 || m == 0xda) return None // EOI/SOS: no Exif present
-      val len = ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
-      if (len < 2 || p + 2 + len > b.length) return None
-      // the EXIF preamble is the 6 bytes 'E','x','i','f',NUL,NUL
-      if (m == 0xe1 && len >= 8 &&
-        b(p + 4) == 'E' && b(p + 5) == 'x' && b(p + 6) == 'i' &&
-        b(p + 7) == 'f' && b(p + 8) == 0 && b(p + 9) == 0) {
-        app1 = p + 10 // TIFF header start
-        app1Len = len - 8
-      } else p += 2 + len
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+        // standalone markers (TEM, RSTn) carry no length segment
+        p += 2
+      } else {
+        if (p + 4 > b.length) return None
+        val len = ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+        if (len < 2 || p + 2 + len > b.length) return None
+        // the EXIF preamble is the 6 bytes 'E','x','i','f',NUL,NUL
+        if (m == 0xe1 && len >= 8 &&
+          b(p + 4) == 'E' && b(p + 5) == 'x' && b(p + 6) == 'i' &&
+          b(p + 7) == 'f' && b(p + 8) == 0 && b(p + 9) == 0) {
+          app1 = p + 10 // TIFF header start
+          app1Len = len - 8
+        } else p += 2 + len
+      }
     }
     val t = app1 // all TIFF offsets are relative to this
     if (app1Len < 8) return None

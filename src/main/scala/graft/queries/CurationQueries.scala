@@ -7970,6 +7970,21 @@ object CurationQueries {
       s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       try survivors.write.mode("overwrite").partitionBy("cell").parquet(base)
       finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      // dynamic partition overwrite only rewrites partitions PRESENT in
+      // the survivors frame — a touched cell whose rows are ALL
+      // tombstoned contributes none, so its files would survive and
+      // the tombstoned ids resurrect in the unfiltered serve path.
+      // Delete those partition directories explicitly.
+      val survCells = survivors.select(col("cell").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      val emptied = touched.filterNot(survCells)
+      if (emptied.nonEmpty) {
+        val hconf = s.sparkContext.hadoopConfiguration
+        emptied.foreach { c =>
+          val part = new org.apache.hadoop.fs.Path(base, s"cell=$c")
+          part.getFileSystem(hconf).delete(part, true)
+        }
+      }
     }
     touched
   }

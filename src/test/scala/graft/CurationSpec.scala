@@ -796,6 +796,43 @@ class CurationSpec extends SparkSpec {
     graft.queries.Q.scratchDelete(base)
   }
 
+  test("ivf compaction: a fully-tombstoned cell's files are deleted from disk") {
+    // dynamic partition overwrite only rewrites partitions PRESENT in
+    // the survivors frame — a cell whose rows are ALL tombstoned must
+    // have its directory deleted explicitly, or the ids resurrect in
+    // the unfiltered serve path
+    import org.apache.spark.sql.functions._
+    graft.expressions.SquaredL2.registerIn(spark)
+    val v = graft.queries.NorthStarQueries.kmeansQuantizedIndex(spark, sfDir)
+    val cellSorted = graft.queries.CurationQueries.ivfCellSortedExpr(v)
+    val vc = v.withColumn("cell", expr(s"element_at($cellSorted, 1).j"))
+    val cb = graft.queries.NorthStarQueries.pqCodebook(v)
+    val base = graft.queries.Q.scratchDir("ivfcompact-full")
+    graft.queries.CurationQueries.ivfPqIndexRows(vc, cb)
+      .write.mode("overwrite").partitionBy("cell").parquet(base)
+    // tombstone EVERY vector of the most populated cell
+    val target = vc.groupBy(col("cell").cast("long").as("cell")).count()
+      .orderBy(desc("count"), asc("cell")).limit(1)
+      .collect()(0).getLong(0)
+    val tomb = vc.where(col("cell").cast("long") === target)
+      .select(col("vec_id").as("c_id")).localCheckpoint(true)
+    val nTomb = tomb.count()
+    assert(nTomb > 0, "fixture must fully tombstone a populated cell")
+    val rowsBefore = spark.read.parquet(base).count()
+    val touched = graft.queries.CurationQueries.compactIvfStore(spark, base, tomb)
+    assert(touched.contains(target))
+    // the emptied cell's partition directory is GONE, not merely empty
+    assert(!new java.io.File(base, s"cell=$target").exists(),
+      s"fully-tombstoned cell $target's partition directory survived")
+    // nothing resurrects in an unfiltered read; exactly the tombstoned
+    // rows left
+    val rb = spark.read.parquet(base)
+    assert(rb.join(tomb, Seq("c_id"), "left_semi").count() == 0,
+      "a tombstoned id resurrected after full-cell compaction")
+    assert(rb.count() == rowsBefore - nTomb * 8) // PQ_M rows per vector
+    graft.queries.Q.scratchDelete(base)
+  }
+
   test("reshard: rendezvous never moves a doc between two OLD shards") {
     // the consistent-hashing guarantee the audit's movement numbers rest
     // on: growing 16 -> 24 only ever moves a doc to a NEW shard (its

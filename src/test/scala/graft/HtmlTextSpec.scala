@@ -87,6 +87,17 @@ class HtmlTextSpec extends AnyFunSuite {
     assert(e.text == "a b")
   }
 
+  test("' href=' inside another attribute's quoted value never steals extraction") {
+    val e = x("""<a title="x href=evil" href="/real">link</a>""").get
+    assert(e.hrefs == Vector("/real"))
+    assert(e.nLinks == 1)
+    // an anchor whose only href-looking text sits inside another
+    // attribute's quoted value is not a link at all
+    val f = x("""<a title="see href=/nope here">plain</a>""").get
+    assert(f.nLinks == 0)
+    assert(f.hrefs.isEmpty)
+  }
+
   test("href values are captured in order, entity-decoded, all quote forms") {
     val e = x("""<a href="/r?a>b&amp;x=0">one</a>""" +
       "<a HREF='https://Site.example/p'>two</a>" +

@@ -90,6 +90,35 @@ class Mp4ExifSpec extends AnyFunSuite {
     assert(Multimodal.mp4BoxStats(tiny).isEmpty)
   }
 
+  test("mp4: undersized mvhd/hdlr boxes reject, never read sibling bytes") {
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      be32(8L + body.length) ++ typ.getBytes("US-ASCII") ++ body
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0x200))
+    val freeBox = box("free", Array.fill[Byte](8)(0))
+    // an mvhd whose size stops BEFORE the v0 duration field, followed by
+    // a sibling whose bytes a bounds-unchecked read would mis-attribute
+    // as timescale/duration (body[12..16] = plausible timescale 1000,
+    // duration would read the sibling's size field)
+    val shortMvhd = box("mvhd",
+      Array.fill[Byte](12)(0) ++ be32(1000L))
+    assert(Multimodal.mp4BoxStats(
+      ftyp ++ box("moov", shortMvhd ++ freeBox)).isEmpty)
+    // an hdlr too small to hold the handler fourcc, with a sibling whose
+    // size field would otherwise be read as the handler type
+    val mvhd = box("mvhd",
+      Array.fill[Byte](12)(0) ++ be32(1000L) ++ be32(500L))
+    val shortHdlr = box("hdlr", Array.fill[Byte](8)(0))
+    val trak = box("trak", box("mdia", shortHdlr ++ freeBox))
+    assert(Multimodal.mp4BoxStats(
+      ftyp ++ box("moov", mvhd ++ trak)).isEmpty)
+    // the same shape with full-size boxes passes (the guard is exact)
+    val hdlr = box("hdlr",
+      Array.fill[Byte](8)(0) ++ "vide".getBytes("US-ASCII"))
+    val okTrak = box("trak", box("mdia", hdlr ++ freeBox))
+    assert(Multimodal.mp4BoxStats(ftyp ++ box("moov", mvhd ++ okTrak))
+      .contains(("isom", 2L, 1L, 1L, 0L, 1000L, 500L, 0L)))
+  }
+
   test("mp3: the frame walk reaches its closed form with both ID3 tags") {
     val b = Multimodal.mp3Bytes(7, 6, 1, id3v2 = true, id3v1 = true)
     // bitrate indexes 1+(7+i)%14 for i in 0..5 -> 8..13 ->
@@ -180,6 +209,19 @@ class Mp4ExifSpec extends AnyFunSuite {
     // the spliced file still really decodes as a JPEG
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(ii))
     assert(img != null && img.getWidth == 24 && img.getHeight == 16)
+  }
+
+  test("exif: 0xFF fill bytes and standalone markers before APP1 are legal") {
+    val b = Multimodal.exifJpegBytes(16, 8, littleEndian = true, orientation = 3)
+    // splice legal inter-marker noise after SOI: a run of 0xFF fill
+    // bytes ending in a TEM marker, then an RST0 — both length-less
+    val noise = Array[Byte](0xff.toByte, 0xff.toByte, 0xff.toByte, 0x01,
+      0xff.toByte, 0xd0.toByte)
+    val padded = b.take(2) ++ noise ++ b.drop(2)
+    assert(Multimodal.exifStats(padded).contains((true, 3L, 16L, 8L)))
+    // a non-marker byte after fill still rejects
+    val junk = b.take(2) ++ Array[Byte](0xff.toByte, 0x00) ++ b.drop(2)
+    assert(Multimodal.exifStats(junk).isEmpty)
   }
 
   test("exif: corrupt preambles and structures reject") {
