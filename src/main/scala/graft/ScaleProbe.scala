@@ -670,7 +670,7 @@ object ScaleProbe {
     // probes over the embeddings fixture that do NOT resolve through the
     // query catalog (custom parameterization below)
     val customVecProbes = Seq("ns_dedup_semantic_kprop",
-      "ns_dedup_agreement_semantic")
+      "ns_dedup_agreement_semantic", "kprop_route")
     if ((vecNames ++ customVecProbes).exists(enabled)) {
       val vecReps = spark.range(docMult).select(col("id").as("rep"))
       Tables.load(spark, sfDir, "embeddings")
@@ -781,6 +781,47 @@ object ScaleProbe {
       // directly; it reads BOTH multiplied fixtures through the shared
       // id remap.
       timeVec("ns_dedup_agreement_semantic")
+      // r20: assignment-SHAPE probe at FIXED N — the claim under test
+      // is the two-level route's O(N·√k) vs the flat argmin's O(N·k):
+      // time both shapes over the SAME vectors at k and 4k. Flat should
+      // grow ~4x between the k points; routed ~2x (√4). This is the
+      // verdict's last 100x ceiling: under k ∝ N the flat pass is
+      // O(N²/occupancy) while the route stays O(N^1.5).
+      if (enabled("kprop_route")) {
+        val v = graft.queries.NorthStarQueries.kmeansQuantizedIndex(spark, tmp)
+        def centsOf(k: Int): Seq[(Int, Seq[Long])] = v
+          .groupBy(col("xq")).agg(min(col("vec_id")).as("mv"))
+          .orderBy(col("mv")).limit(k).collect()
+          .sortBy(_.getLong(1)).zipWithIndex
+          .map { case (r, j) => (j, r.getSeq[Long](0)) }.toSeq
+        // untimed warm-up: JIT + codegen caches, so the measured points
+        // compare shapes, not first-run compilation
+        centsOf(64) match {
+          case w if w.size == 64 =>
+            graft.queries.NorthStarQueries.kmeansAssignRouted(v, w)
+              .select("vec_id", "cl", "d")
+              .write.mode("overwrite").format("noop").save()
+            graft.queries.NorthStarQueries.kmeansAssignTo(v, w.take(63))
+              .select("vec_id", "cl", "d")
+              .write.mode("overwrite").format("noop").save()
+          case _ => ()
+        }
+        for (k <- Seq(128, 1152)) {
+          val cents = centsOf(k)
+          if (cents.size == k) {
+            for ((tag, asg) <- Seq(
+                "flat" -> graft.queries.NorthStarQueries.kmeansAssignTo(v, cents),
+                "routed" -> graft.queries.NorthStarQueries.kmeansAssignRouted(v, cents))) {
+              val t0 = System.nanoTime()
+              asg.select("vec_id", "cl", "d")
+                .write.mode("overwrite").format("noop").save()
+              println(f"[scaleprobe] kprop_route_$tag k=$k x$docMult (${nVecs} vecs): " +
+                f"${(System.nanoTime() - t0) / 1e9}%.2f s" + spillTag())
+            }
+          } else println(s"[scaleprobe] kprop_route k=$k skipped " +
+            s"(only ${cents.size} distinct vectors)")
+        }
+      }
     }
     spark.stop()
   }

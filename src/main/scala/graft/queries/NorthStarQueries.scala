@@ -2515,21 +2515,117 @@ object NorthStarQueries {
       _ => kmeansQuantized(s, dir).localCheckpoint(true))
   }
 
-  /** One assignment pass: nearest centroid by exact integer squared
-    * distance, ties to the lowest centroid id. The centroids arrive as
-    * expression literals (the broadcast side of Lloyd at any scale), so
-    * assignment is map-only over the corpus.
+  /** Literal-expression budget for [[kmeansAssignTo]]: below this the
+    * centroids inline as one codegen'd expression (map-only, zero join
+    * machinery — the fastest shape for Lloyd's k=8 and the IVF
+    * fixtures' k=16); above it the same exact semantics ride the
+    * broadcast-centroid-ROWS path, because a k-struct literal stops
+    * compiling around k ~ 1e3 while k ∝ N reaches 1e5-1e6 at corpus
+    * scale.
     */
-  private def kmeansAssignTo(v: DataFrame, cents: Seq[(Int, Seq[Long])]): DataFrame = {
+  private[graft] val KMEANS_LITERAL_BUDGET = 64
+
+  /** The k centroids as a broadcastable 2-column frame (j, c). */
+  private def centroidFrame(s: SparkSession,
+      cents: Seq[(Int, Seq[Long])]): DataFrame = {
+    import s.implicits._
+    cents.map { case (j, c) => (j.toLong, c) }.toDF("j", "c")
+  }
+
+  /** One assignment pass: nearest centroid by exact integer squared
+    * distance, ties to the lowest centroid id. Two plans, ONE
+    * semantics:
+    *
+    *  - k <= [[KMEANS_LITERAL_BUDGET]]: centroids inline as expression
+    *    literals and the argmin is one codegen'd `array_sort` pick —
+    *    map-only over the corpus, no exchange at all.
+    *  - k above the budget: centroids arrive as a BROADCAST ROW FRAME;
+    *    each vector meets all k rows in a broadcast nested-loop join
+    *    and the argmin is a partial-aggregable `min(struct(d, j))` —
+    *    the k-wide intermediate collapses map-side before the single
+    *    vec_id exchange, and nothing here is bounded by codegen's
+    *    method-size ceiling. This is the PLAID shape the r19 verdict
+    *    asked for, and the path k ∝ N rides at cluster scale.
+    *
+    * Both argmins order by (d, j) lexicographically, so the paths are
+    * result-identical (NorthStarSpec proves literal == rows on a
+    * forced-past-budget k).
+    */
+  private[graft] def kmeansAssignTo(v: DataFrame,
+      cents: Seq[(Int, Seq[Long])]): DataFrame = {
     graft.expressions.SquaredL2.registerIn(v.sparkSession)
-    val structs = cents.map { case (j, c) =>
-      // codegen'd exact integer distance (graft.expressions.SquaredL2) —
-      // the interpreted HOF chain was the dominant ScaleProbe cost
-      s"struct(sq_l2(xq, cast(array(${c.mkString(",")}) as array<bigint>)) AS d, " +
-        s"cast($j as bigint) AS j)"
+    if (cents.size <= KMEANS_LITERAL_BUDGET) {
+      val structs = cents.map { case (j, c) =>
+        // codegen'd exact integer distance (graft.expressions.SquaredL2) —
+        // the interpreted HOF chain was the dominant ScaleProbe cost
+        s"struct(sq_l2(xq, cast(array(${c.mkString(",")}) as array<bigint>)) AS d, " +
+          s"cast($j as bigint) AS j)"
+      }
+      v.withColumn("best", expr(s"element_at(array_sort(array(${structs.mkString(", ")})), 1)"))
+        .select(col("vec_id"), col("xq"), col("best.j").as("cl"), col("best.d").as("d"))
+    } else {
+      val cdf = centroidFrame(v.sparkSession, cents)
+      v.crossJoin(broadcast(cdf))
+        .withColumn("d", expr("sq_l2(xq, c)"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d"), col("j"))).as("best"),
+          first(col("xq")).as("xq"))
+        .select(col("vec_id"), col("xq"), col("best.j").as("cl"),
+          col("best.d").as("d"))
     }
-    v.withColumn("best", expr(s"element_at(array_sort(array(${structs.mkString(", ")})), 1)"))
-      .select(col("vec_id"), col("xq"), col("best.j").as("cl"), col("best.d").as("d"))
+  }
+
+  /** TWO-LEVEL routed assignment — the O(N·√k) production shape for
+    * k ∝ N clustering (SemDeDup partitioning, coarse quantizer
+    * builds), where even the broadcast-rows flat argmin's O(N·k) exact
+    * dots turn quadratic under k = N/occupancy. Deterministic
+    * hierarchy, no training pass:
+    *
+    *  1. the first s = ceil(√k) centroids act as ROUTING HEADS;
+    *  2. every centroid routes to its nearest head (ties to the lowest
+    *     head id) — a k-row broadcast min-struct pass;
+    *  3. every vector routes to its nearest head the same way, then
+    *     meets ONLY its head's member centroids (a broadcast hash join
+    *     on the head id) for the exact within-cell argmin.
+    *
+    * Per-vector work is s + |cell| ≈ 2√k exact distances instead of k.
+    * The route is an APPROXIMATION of the flat 1-NN (a vector whose
+    * true nearest centroid lives under another head gets its best
+    * within-cell centroid instead) — but a deterministic, engine-
+    * independent one: `ns_dedup_kmeans_route` audits its agreement and
+    * SSE inflation against the flat assignment under the DuckDB twin,
+    * and the ScaleProbe `kprop_route` row measures the ~√k growth at
+    * fixed N. Ties everywhere use the (distance, id) lexicographic
+    * key, so results are replayable in SQL via arg_min(id, d*m+id).
+    */
+  private[graft] def kmeansAssignRouted(v: DataFrame,
+      cents: Seq[(Int, Seq[Long])]): DataFrame = {
+    val sp = v.sparkSession
+    graft.expressions.SquaredL2.registerIn(sp)
+    val k = cents.size
+    val s = math.ceil(math.sqrt(k.toDouble)).toInt
+    val cdf = centroidFrame(sp, cents)
+    val sup = centroidFrame(sp, cents.filter(_._1 < s))
+      .select(col("j").as("g"), col("c").as("sc"))
+    // each centroid's routing head: k x s broadcast pass over k rows
+    val routed = cdf.crossJoin(broadcast(sup))
+      .withColumn("dg", expr("sq_l2(c, sc)"))
+      .groupBy(col("j"))
+      .agg(min(struct(col("dg"), col("g"))).as("bg"), first(col("c")).as("c"))
+      .select(col("bg.g").as("g"), col("j"), col("c"))
+    // each vector's routing head: N x s broadcast pass, map-side argmin
+    val vg = v.crossJoin(broadcast(sup))
+      .withColumn("dg", expr("sq_l2(xq, sc)"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dg"), col("g"))).as("bg"), first(col("xq")).as("xq"))
+      .select(col("vec_id"), col("xq"), col("bg.g").as("g"))
+    // exact argmin within the routed head's member centroids only
+    vg.join(broadcast(routed), Seq("g"))
+      .withColumn("d", expr("sq_l2(xq, c)"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d"), col("j"))).as("best"), first(col("xq")).as("xq"))
+      .select(col("vec_id"), col("xq"), col("best.j").as("cl"),
+        col("best.d").as("d"))
   }
 
   /** KMEANS_ITERS Lloyd rounds over the 2^14-quantized embeddings, k = 8,
@@ -2604,6 +2700,25 @@ object NorthStarQueries {
   private val kpropAssignCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** The kprop configuration's centroid seeds: the k = max(8,
+    * N/[[AUDIT_OCCUPANCY]]) DISTINCT quantized vectors with the
+    * smallest member vec_id, renumbered 0..k-1 in that order.
+    */
+  private[graft] def kpropCentroids(s: SparkSession,
+      dir: String): (Int, Seq[(Int, Seq[Long])]) = {
+    val v = kmeansQuantizedIndex(s, dir)
+    val k = math.max(8L, v.count() / AUDIT_OCCUPANCY).toInt
+    val cents: Seq[(Int, Seq[Long])] = v
+      .groupBy(col("xq")).agg(min(col("vec_id")).as("mv"))
+      .orderBy(col("mv")).limit(k)
+      .collect()
+      .sortBy(_.getLong(1))
+      .zipWithIndex
+      .map { case (r, j) => (j, r.getSeq[Long](0)) }
+      .toSeq
+    (k, cents)
+  }
+
   private[graft] def kmeansAssignKprop(s: SparkSession, dir: String): DataFrame = {
     // Session-scoped INDEX ARTIFACT, exactly like [[kmeansQuantizedIndex]]:
     // a clustering assignment is an index BUILD (count + seed collect +
@@ -2615,16 +2730,18 @@ object NorthStarQueries {
       graft.Tables.fileStamp(s, s"$dir/embeddings.parquet")
     kpropAssignCache.computeIfAbsent(key, _ => {
       val v = kmeansQuantizedIndex(s, dir)
-      val k = math.max(8L, v.count() / AUDIT_OCCUPANCY).toInt
-      val cents: Seq[(Int, Seq[Long])] = v
-        .groupBy(col("xq")).agg(min(col("vec_id")).as("mv"))
-        .orderBy(col("mv")).limit(k)
-        .collect()
-        .sortBy(_.getLong(1))
-        .zipWithIndex
-        .map { case (r, j) => (j, r.getSeq[Long](0)) }
-        .toSeq
-      kmeansAssignTo(v, cents).localCheckpoint(true)
+      val (k, cents) = kpropCentroids(s, dir)
+      // At the gate SFs k = max(8, N/250) stays inside the literal
+      // budget (N <= 2000 -> k = 8), so the oracle replays the exact
+      // flat argmin; past the budget (the 10x probe tiers and corpus
+      // scale, where O(N·k) flat dots are quadratic under k ∝ N) the
+      // assignment rides the O(N·√k) two-level route —
+      // `ns_dedup_kmeans_route` is the gate row that audits the routed
+      // semantics against the flat assignment under the DuckDB twin.
+      val asg =
+        if (k <= KMEANS_LITERAL_BUDGET) kmeansAssignTo(v, cents)
+        else kmeansAssignRouted(v, cents)
+      asg.localCheckpoint(true)
     })
   }
 
@@ -2715,6 +2832,89 @@ object NorthStarQueries {
             |  cast(sum(d) as bigint) AS sse_scaled,
             |  min(vec_id) AS min_vec, max(vec_id) AS max_vec
             |FROM a3 GROUP BY cl ORDER BY cluster""".stripMargin))
+
+  /** TWO-LEVEL ROUTE AUDIT — the gate row that makes the O(N·√k)
+    * [[kmeansAssignRouted]] production shape honest: at the kprop
+    * configuration (k = max(8, N/250), distinct-vector seeds) it runs
+    * BOTH the exact flat assignment and the two-level route over the
+    * same centroids and reports their divergence — vectors whose
+    * routed cluster equals the exact 1-NN cluster, exact vs routed SSE
+    * (the route's d is >= the flat d pointwise, so the inflation is
+    * the approximation cost in distance units), and occupied-cell
+    * counts. Every figure is exact integer math, and the DuckDB twin
+    * replays the full hierarchy (head selection, centroid routing,
+    * vector routing, within-cell argmin) with the same (distance, id)
+    * tie keys — so the routed semantics are oracle-pinned, not just
+    * "approximately right".
+    *
+    * Scale: this audit IS the flat O(N·k) pass plus the O(N·√k) route;
+    * at 100 TB one runs it on a sampled slice to calibrate occupancy,
+    * while production assignment rides only the routed path
+    * ([[kmeansAssignKprop]] switches at [[KMEANS_LITERAL_BUDGET]]).
+    */
+  private val dedupKmeansRoute = Q(
+    (s, dir) => {
+      val v = kmeansQuantizedIndex(s, dir)
+      val (k, cents) = kpropCentroids(s, dir)
+      val sHeads = math.ceil(math.sqrt(k.toDouble)).toLong
+      val flat = kmeansAssignTo(v, cents)
+        .select(col("vec_id"), col("cl").as("cl_f"), col("d").as("d_f"))
+      val routed = kmeansAssignRouted(v, cents)
+        .select(col("vec_id"), col("cl").as("cl_r"), col("d").as("d_r"))
+      flat.join(routed, Seq("vec_id"))
+        .agg(
+          count(lit(1)).as("n"),
+          expr("count_if(cl_f = cl_r)").as("n_agree"),
+          sum(col("d_f")).as("sse_exact"),
+          sum(col("d_r")).as("sse_routed"),
+          countDistinct(col("cl_f")).as("n_cells_exact"),
+          countDistinct(col("cl_r")).as("n_cells_routed"))
+        .select(lit(k.toLong).as("k"), lit(sHeads).as("s"), col("n"),
+          col("n_agree"), col("sse_exact"), col("sse_routed"),
+          col("n_cells_exact"), col("n_cells_routed"))
+    },
+    Some {
+      def dist(a: String, b: String) =
+        s"list_sum(list_transform(generate_series(1, 64), " +
+          s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+      s"""WITH $kmeansKpropOracleCtes, af AS (
+         |  SELECT vec_id, arg_min(j, d * (SELECT k FROM kk) + j) AS cl,
+         |    min(d * (SELECT k FROM kk) + j) // (SELECT k FROM kk) AS d
+         |  FROM (SELECT v.vec_id, c.j, ${dist("v.xq", "c.c")} AS d
+         |        FROM v, c0 c)
+         |  GROUP BY vec_id
+         |), ss AS (
+         |  SELECT cast(ceil(sqrt(k)) as bigint) AS s FROM kk
+         |), sup AS (
+         |  SELECT j AS g, c AS sc FROM c0 WHERE j < (SELECT s FROM ss)
+         |), cg AS (
+         |  SELECT j, arg_min(g, dg * (SELECT s FROM ss) + g) AS g FROM (
+         |    SELECT c0.j, sup.g, ${dist("c0.c", "sup.sc")} AS dg
+         |    FROM c0, sup)
+         |  GROUP BY j
+         |), vg AS (
+         |  SELECT vec_id, arg_min(g, dg * (SELECT s FROM ss) + g) AS g FROM (
+         |    SELECT v.vec_id, sup.g, ${dist("v.xq", "sup.sc")} AS dg
+         |    FROM v, sup)
+         |  GROUP BY vec_id
+         |), ar AS (
+         |  SELECT vec_id, arg_min(j, d * (SELECT k FROM kk) + j) AS cl,
+         |    min(d * (SELECT k FROM kk) + j) // (SELECT k FROM kk) AS d
+         |  FROM (
+         |    SELECT vg.vec_id, c0.j, ${dist("v.xq", "c0.c")} AS d
+         |    FROM vg JOIN v USING (vec_id)
+         |      JOIN cg ON cg.g = vg.g JOIN c0 ON c0.j = cg.j)
+         |  GROUP BY vec_id
+         |)
+         |SELECT (SELECT k FROM kk) AS k, (SELECT s FROM ss) AS s,
+         |  count(*) AS n,
+         |  cast(count_if(af.cl = ar.cl) as bigint) AS n_agree,
+         |  cast(sum(af.d) as bigint) AS sse_exact,
+         |  cast(sum(ar.d) as bigint) AS sse_routed,
+         |  (SELECT count(DISTINCT cl) FROM af) AS n_cells_exact,
+         |  (SELECT count(DISTINCT cl) FROM ar) AS n_cells_routed
+         |FROM af JOIN ar USING (vec_id)""".stripMargin
+    })
 
   /** SemDeDup-style semantic dedup, the pair phase: within each k-means
     * cluster of a given (vec_id, cl) assignment, find vector pairs whose
@@ -4196,6 +4396,7 @@ object NorthStarQueries {
     "ns_text_ngram_lm" -> textNgramLm,
     "ns_text_boilerplate" -> textBoilerplate,
     "ns_embed_kmeans" -> embedKmeans,
+    "ns_dedup_kmeans_route" -> dedupKmeansRoute,
     "ns_dedup_semantic" -> dedupSemantic,
     "ns_dedup_semantic_k16" -> dedupSemanticK16,
     "ns_sim_pq_adc" -> simPqAdc,

@@ -434,6 +434,42 @@ class NorthStarSpec extends SparkSpec {
     assert(asg.select("vec_id", "cl").exceptAll(again.select("vec_id", "cl")).isEmpty)
   }
 
+  test("k-means assignment: literal and broadcast-rows paths are result-identical") {
+    // kmeansAssignTo dispatches on KMEANS_LITERAL_BUDGET (64): below,
+    // centroids inline as a codegen'd literal expression; above, they
+    // ride the broadcast-rows min(struct(d, j)) join. Both must realize
+    // the SAME exact argmin — force a k past the budget and compare
+    // row-for-row against the literal path computed head-wise.
+    import graft.queries.NorthStarQueries
+    val v = NorthStarQueries.kmeansQuantizedIndex(spark, sfDir)
+    val k = NorthStarQueries.KMEANS_LITERAL_BUDGET + 6 // 70 > 64
+    val cents = v.groupBy(col("xq")).agg(min(col("vec_id")).as("mv"))
+      .orderBy(col("mv")).limit(k).collect()
+      .sortBy(_.getLong(1)).zipWithIndex
+      .map { case (r, j) => (j, r.getSeq[Long](0)) }.toSeq
+    assert(cents.size == k, s"fixture has fewer than $k distinct vectors")
+    val rows = NorthStarQueries.kmeansAssignTo(v, cents) // k > budget: rows path
+      .select("vec_id", "cl", "d")
+    // literal reference: two <=64-centroid literal passes merged by the
+    // same (d, j) lexicographic argmin
+    val lo = NorthStarQueries.kmeansAssignTo(v, cents.take(35))
+      .select(col("vec_id"), col("cl"), col("d"))
+    val hi = NorthStarQueries.kmeansAssignTo(v, cents.drop(35))
+      .select(col("vec_id"), col("cl"), col("d"))
+    val lit = lo.unionAll(hi)
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d"), col("cl"))).as("b"))
+      .select(col("vec_id"), col("b.cl").as("cl"), col("b.d").as("d"))
+    assert(rows.exceptAll(lit).isEmpty && lit.exceptAll(rows).isEmpty,
+      "broadcast-rows assignment diverged from the literal-expression argmin")
+    // and the routed two-level assignment never beats the exact argmin
+    val routed = NorthStarQueries.kmeansAssignRouted(v, cents)
+      .select(col("vec_id"), col("d").as("dr"))
+    val worse = rows.join(routed, Seq("vec_id"))
+      .where(col("dr") < col("d")).count()
+    assert(worse == 0, s"$worse routed distances beat the exact argmin")
+  }
+
   test("semantic dedup: dropped + kept == cluster size, drops need a lower-id witness") {
     val out = SparkEntry.queries("ns_dedup_semantic")(spark, sfDir).collect()
     out.foreach { r =>
