@@ -1538,6 +1538,8 @@ object Multimodal {
       ((b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0))) "mp3" // ID3 or frame sync
     else if (b.length >= 4 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' &&
       b(3) == 'C') "flac"
+    else if (b.length >= 5 && b(0) == '%' && b(1) == 'P' && b(2) == 'D' &&
+      b(3) == 'F' && b(4) == '-') "pdf"
     else "unknown"
   }
 
@@ -1559,6 +1561,7 @@ object Multimodal {
     case "mp3" => mp3FrameStats(b).isDefined
     case "webp" => webpInfo(b).isDefined
     case "flac" => flacInfo(b).isDefined
+    case "pdf" => PdfText.pdfText(b).isDefined
     case _ => false
   }
 

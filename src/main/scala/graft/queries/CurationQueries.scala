@@ -12034,11 +12034,12 @@ object CurationQueries {
            |FROM sm ORDER BY file_id""".stripMargin))
 
   /** MAGIC-BYTE FORMAT ROUTING — the ingest front door of every mixed
-    * binary corpus: 25 files cycle THIRTEEN containers (truecolor PNG,
+    * binary corpus: 25 files cycle FOURTEEN containers (truecolor PNG,
     * palette PNG, single-frame GIF, animated GIF, baseline JPEG,
     * 16-bit PCM WAV, µ-law G.711 WAV, multi-member gzip WARC, MP4
-    * movie, MP3 stream, WebP image, FLAC stream, and plain junk bytes
-    * — every family the engine decodes routes here), and
+    * movie, MP3 stream, WebP image, FLAC stream, PDF document, and
+    * plain junk bytes — every family the engine decodes routes here),
+    * and
     * [[graft.operators.Multimodal.sniffKind]] classifies each by its
     * magic signature (never the extension — every fixture is written
     * `.bin`), then [[graft.operators.Multimodal.sniffValid]] routes it
@@ -12058,7 +12059,7 @@ object CurationQueries {
       T(s, dir, "nation").select(col("n_nationkey")).collect() // 25-row dim
         .foreach { r =>
           val k = r.getInt(0)
-          val bytes = (k % 13) match {
+          val bytes = (k % 14) match {
             case 0 => graft.operators.Multimodal.pngGradientBytes(16 + k, 10)
             case 1 => graft.operators.Multimodal.pngPaletteBytes(16 + k, 10)
             case 2 => graft.operators.Multimodal.gifPatternBytes(16 + k, 10)
@@ -12075,6 +12076,8 @@ object CurationQueries {
               k % 3, 16 + k, 10, alpha = k % 2 == 0, anim = false, tag = k)
             case 11 => graft.operators.Multimodal.flacBytes(
               44100, 1 + k % 3, 16, 88200L + 997L * k, k)
+            case 12 => graft.operators.PdfText.pdfBytes(
+              k, 1 + k % 3, flate = k % 2 == 0)
             case _ => (s"not a media file #$k " * 4).getBytes(
               java.nio.charset.StandardCharsets.UTF_8)
           }
@@ -12091,16 +12094,92 @@ object CurationQueries {
       out
     },
     Some("""SELECT cast(n_nationkey as bigint) AS file_id,
-           |  CASE n_nationkey % 13
+           |  CASE n_nationkey % 14
            |    WHEN 0 THEN 'png' WHEN 1 THEN 'png'
            |    WHEN 2 THEN 'gif' WHEN 3 THEN 'gif'
            |    WHEN 4 THEN 'jpeg' WHEN 5 THEN 'wav_pcm'
            |    WHEN 6 THEN 'wav_g711' WHEN 7 THEN 'gzip'
            |    WHEN 8 THEN 'mp4' WHEN 9 THEN 'mp3'
            |    WHEN 10 THEN 'webp' WHEN 11 THEN 'flac'
+           |    WHEN 12 THEN 'pdf'
            |    ELSE 'unknown' END AS detected,
-           |  (n_nationkey % 13) <> 12 AS valid
+           |  (n_nationkey % 14) <> 13 AS valid
            |FROM nation ORDER BY file_id""".stripMargin))
+
+  /** PDF TEXT EXTRACTION — the top real-corpus document container the
+    * router previously could not parse (every crawl/document pipeline
+    * hits PDF volume before HTML volume).
+    * [[graft.operators.PdfText.pdfText]] is a real classic-xref
+    * reader: startxref → xref table(s) → trailer → catalog → page
+    * tree → /Contents streams (plain or FlateDecode — fixtures cycle
+    * both), then the BT..ET text operators (Tj, kerned TJ, escaped
+    * literal strings, hex strings) join into the page text. Every
+    * sixth fixture carries an /Encrypt trailer entry and must reject
+    * WHOLE-FILE (valid = false, zero pages — an extractor that
+    * partially reads an encrypted document invents text). The oracle
+    * replays the fixture's closed-form page text with string_agg.
+    *
+    * Scale: the parseAll narrow shape — one partition-mapped
+    * parse+inflate per file; page/op counts and the text leave the
+    * map side, raw PDF bytes never shuffle.
+    */
+  private val multimodalPdfText = Q(
+    (s, dir) => {
+      val base = scratchDir("pdftext")
+      val p = java.nio.file.Paths.get(base)
+      T(s, dir, "nation").select(col("n_nationkey")).collect() // 25-row dim
+        .foreach { r =>
+          val k = r.getInt(0)
+          java.nio.file.Files.write(p.resolve(f"d_$k%02d.bin"),
+            graft.operators.PdfText.pdfBytes(
+              k, 1 + k % 3, flate = k % 2 == 0, encrypted = k % 6 == 5))
+        }
+      val scanned = s.read.format("binaryFile").load(base)
+        .select(regexp_extract(col("path"), "d_(\\d+)\\.", 1).cast("long")
+          .as("file_id"), col("content"))
+      import s.implicits._
+      val out = scanned.select(col("file_id"), col("content"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            graft.operators.PdfText.pdfText(bytes) match {
+              case Some((np, ops, text)) => (id, np, ops, text, true)
+              case None => (id, 0L, 0L, "", false)
+            }
+          }
+        }
+        .toDF("file_id", "n_pages", "n_text_ops", "text", "valid")
+        .withColumn("n_chars", length(col("text")).cast("bigint"))
+        .select(col("file_id"), col("n_pages"), col("n_text_ops"),
+          col("n_chars"), col("text"), col("valid"))
+        .orderBy(col("file_id"))
+        .localCheckpoint(true)
+      scratchDelete(base)
+      out
+    },
+    Some("""WITH g AS (
+           |  SELECT cast(n_nationkey as bigint) AS k,
+           |    cast(1 + n_nationkey % 3 as bigint) AS p,
+           |    (n_nationkey % 6 = 5) AS enc
+           |  FROM nation
+           |), pg AS (
+           |  SELECT g.k, sr.i FROM g, generate_series(0, 2) AS sr(i)
+           |  WHERE sr.i < g.p
+           |), agg AS (
+           |  SELECT k, string_agg('Page ' || i || ' of pdf ' || k ||
+           |      ': alpha beta gamma (' || k || ') hex!', chr(10)
+           |      ORDER BY i) AS pagetext
+           |  FROM pg GROUP BY k
+           |), t AS (
+           |  SELECT g.k, g.p, g.enc,
+           |    CASE WHEN g.enc THEN '' ELSE a.pagetext END AS text
+           |  FROM g JOIN agg a ON a.k = g.k
+           |)
+           |SELECT k AS file_id,
+           |  CASE WHEN enc THEN 0 ELSE p END AS n_pages,
+           |  CASE WHEN enc THEN 0 ELSE p * 4 END AS n_text_ops,
+           |  cast(length(text) as bigint) AS n_chars, text, NOT enc AS valid
+           |FROM t ORDER BY file_id""".stripMargin))
 
   // ---------------------------------------------------------------------
   // Multimodal: real JPEG entropy decode (DC-coefficient tier)
@@ -17117,6 +17196,7 @@ object CurationQueries {
     "ns_multimodal_bmp_stats" -> multimodalBmpStats,
     "ns_multimodal_tiff_stats" -> multimodalTiffStats,
     "ns_multimodal_sniff_route" -> multimodalSniffRoute,
+    "ns_multimodal_pdf_text" -> multimodalPdfText,
     "ns_multimodal_archive_census" -> multimodalArchiveCensus,
     "ns_multimodal_warc_census" -> multimodalWarcCensus,
     "ns_multimodal_warc_http" -> multimodalWarcHttp,
