@@ -1069,4 +1069,22 @@ class CurationSpec extends SparkSpec {
         s"stemming lost documents: $r")
     }
   }
+
+  test("tsquery parse path reproduces the six hard-coded FTS shapes byte-identically") {
+    // the r19 verdict's contract: the data-supplied parser must realize
+    // the SAME semantics the six fixed shapes hand-encode
+    val fixed = SparkEntry.queries("ns_text_fts_query")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val parsed = SparkEntry.queries("ns_text_fts_parse")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val pairs = Seq("q1_and" -> "q01_and", "q2_phrase" -> "q02_phrase",
+      "q3_andnot" -> "q03_andnot", "q4_or" -> "q04_or",
+      "q5_phrase_not" -> "q05_phrase_not", "q6_mixed" -> "q06_mixed")
+    pairs.foreach { case (f, pq) =>
+      val a = fixed.filter(_._1 == f).map(_._2).sorted.toSeq
+      val b = parsed.filter(_._1 == pq).map(_._2).sorted.toSeq
+      assert(a.nonEmpty, s"$f matched nothing — vacuous pin")
+      assert(a == b, s"$f vs $pq diverged: ${a.size} vs ${b.size} docs")
+    }
+  }
 }
