@@ -9892,17 +9892,25 @@ object CurationQueries {
        |  ELSE $c END""".stripMargin
 
   /** Deterministic MORPH corpus: token at (doc_id, pos) takes surface
-    * form (doc_id + pos) % 4 — base / +s / doubled-final-consonant+ing
-    * (plain +ing after vowels and l/s/z, where undoubling must NOT
-    * fire) / +ed — the variants the stemmer must fold back. */
-  private[graft] def morphSql(w: String, v: String): String =
+    * form (doc_id + pos) % 4 — base / +s / +ing / +ed — inflected the
+    * way English (and Porter's inverse) does: a final e drops before
+    * ing/ed (merge -> merging), a final consonant outside
+    * a,e,i,o,u,l,s,z doubles (scan -> scanning, dup -> dupped — the
+    * form Porter's *d undouble folds back; l/s/z stay single because
+    * the undouble rule exempts them). These are exactly the variants
+    * the full Porter chain must fold to one lexeme. */
+  private[graft] def morphSql(w: String, v: String): String = {
+    def inflect(suf: String): String =
+      s"""CASE WHEN $w LIKE '%e'
+         |    THEN substring($w, 1, length($w) - 1) || '$suf'
+         |  WHEN substring($w, length($w), 1)
+         |    IN ('a','e','i','o','u','l','s','z') THEN $w || '$suf'
+         |  ELSE $w || substring($w, length($w), 1) || '$suf' END""".stripMargin
     s"""CASE WHEN $v = 0 THEN $w
        |  WHEN $v = 1 THEN $w || 's'
-       |  WHEN $v = 2 THEN CASE
-       |    WHEN substring($w, length($w), 1)
-       |      IN ('a','e','i','o','u','l','s','z') THEN $w || 'ing'
-       |    ELSE $w || substring($w, length($w), 1) || 'ing' END
-       |  ELSE $w || 'ed' END""".stripMargin
+       |  WHEN $v = 2 THEN ${inflect("ing")}
+       |  ELSE ${inflect("ed")} END""".stripMargin
+  }
 
   /** STEMMED FULL-TEXT SEARCH — the dictionary layer that closes the
     * last semantic delta with PG's `to_tsvector('english')`: PG stems
@@ -9910,11 +9918,15 @@ object CurationQueries {
     * lexeme; the raw-token FTS tier misses morphological variants. The
     * fixture corpus carries no inflected forms, so the query DERIVES a
     * deterministic morph corpus in-plan (each query-vocabulary posting
-    * takes its (doc_id+pos) % 4 surface form: base/+s/+C+ing/+ed,
-    * including consonant doubling — "scanning" not "scaning") and runs
-    * the light suffix stemmer ([[stem1aSql]]/[[stem1bStripSql]]/
-    * [[stemPostSql]], the identical dialect-neutral SQL in BOTH
-    * engines) as the map-side token normalize over the postings.
+    * takes its (doc_id+pos) % 4 surface form: base/+s/+ing/+ed with
+    * English e-drop and consonant doubling — "merging" not "mergeing",
+    * "scanning" not "scaning") and runs the FULL Porter (1980) stemmer
+    * ([[PorterSql]] — all of steps 1a-5b, m-measure gates via the CV
+    * skeleton, the identical generated dialect-neutral SQL in BOTH
+    * engines; PorterSpec pins the paper's published examples
+    * end-to-end) as the map-side token normalize over the postings.
+    * The r19 light stemmer ([[stem1aSql]] et al.) remains as the
+    * spec'd rule-by-rule reference for steps 1a/1b.
     * Reported per stem lexeme: distinct surface forms unified, doc
     * frequency through the stemmed index, doc frequency raw exact
     * match would have found (df_docs - df_docs_raw IS the recall the
@@ -9934,15 +9946,16 @@ object CurationQueries {
     (s, dir) => {
       val vocab = Seq("dup", "vector", "hash", "join", "scan", "filter",
         "merge", "sort", "data", "table", "slow")
-      T(s, dir, "documents")
+      val base = T(s, dir, "documents")
         .select(col("doc_id"),
           posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
         .where(col("w").isin(vocab: _*))
         .withColumn("m", expr(morphSql("w", "(doc_id + pos) % 4")))
-        .withColumn("st1", expr(stem1aSql("m")))
-        .withColumn("sp", expr(stem1bStripSql("st1")))
-        .withColumn("stem",
-          expr(s"CASE WHEN sp = st1 THEN st1 ELSE ${stemPostSql("sp")} END"))
+      // the FULL Porter chain (PorterSql) folds as map-side columns —
+      // the identical generated SQL the oracle chains as CTEs
+      PorterSql.chain("m").foldLeft(base) { case (df, (name, sql)) =>
+        df.withColumn(name, expr(sql))
+      }
         // collapse to (stem, form, doc) triples FIRST — one shuffle with
         // map-side combine (replicated postings collapse before moving);
         // the multi-distinct Expand then runs over the tiny triple frame
@@ -9960,6 +9973,12 @@ object CurationQueries {
     Some {
       val vocabSql = "'dup','vector','hash','join','scan','filter'," +
         "'merge','sort','data','table','slow'"
+      val porterCtes = PorterSql.chain("m").zipWithIndex.map {
+        case ((name, sql), i) =>
+          val prev = if (i == 0) "mo" else s"p$i"
+          s"p${i + 1} AS (\n  SELECT *, $sql AS $name FROM $prev\n)"
+      }.mkString(", ")
+      val last = s"p${PorterSql.chain("m").size}"
       s"""WITH wd AS (
          |  SELECT cast(doc_id as bigint) AS doc_id,
          |    string_split(text, ' ') AS ws
@@ -9975,22 +9994,14 @@ object CurationQueries {
          |  SELECT doc_id, pos, w,
          |    ${morphSql("w", "(doc_id + pos) % 4")} AS m
          |  FROM t
-         |), s1 AS (
-         |  SELECT *, ${stem1aSql("m")} AS st1 FROM mo
-         |), s2 AS (
-         |  SELECT *, ${stem1bStripSql("st1")} AS sp FROM s1
-         |), s3 AS (
-         |  SELECT *, CASE WHEN sp = st1 THEN st1
-         |    ELSE ${stemPostSql("sp")} END AS stem
-         |  FROM s2
-         |)
+         |), $porterCtes
          |SELECT stem,
          |  cast(count(DISTINCT m) as bigint) AS n_surface_forms,
          |  cast(count(DISTINCT doc_id) as bigint) AS df_docs,
          |  cast(count(DISTINCT CASE WHEN m = stem THEN doc_id END) as bigint)
          |    AS df_docs_raw,
          |  cast(count(*) as bigint) AS n_postings
-         |FROM s3 GROUP BY stem ORDER BY stem""".stripMargin
+         |FROM $last GROUP BY stem ORDER BY stem""".stripMargin
     })
 
   /** STANDING FTS QUERIES over the document STREAM — the percolator
