@@ -2887,9 +2887,9 @@ object Multimodal {
     bb.array()
   }
 
-  /** "Frame sample" stub: split the payload into `frames` contiguous
-    * chunks and keep the first `bytesPerFrame` bytes of each — the
-    * video-keyframe-sampling shape (one row in, `frames` rows out, a
+  /** A sampled media frame (see [[sampleFrames]]: real MP4 keyframes
+    * when the payload has sample tables, even-slice fallback
+    * otherwise — one row in, up to `frames` rows out, a
     * generator/UDTF-style expansion done partition-locally).
     */
   final case class MediaFrame(docId: Long, frameIdx: Int, frame: Array[Byte])
@@ -4291,19 +4291,32 @@ object Multimodal {
       }
   }
 
+  /** Frame sampling over binary payloads. A payload that is a
+    * consistent sample-table MP4 with a video track + stss routes
+    * through [[mp4Keyframes]] — REAL keyframe bytes at real stco/stsz
+    * offsets, evenly picked across the sync-sample list (the r19
+    * "stub featurizer" seam closed). Anything else falls back to the
+    * deterministic even-slicing stub (documented placeholder for
+    * containers without frame structure).
+    */
   def sampleFrames(df: DataFrame, frames: Int = 4, bytesPerFrame: Int = 8): Dataset[MediaFrame] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        val chunk = math.max(bytes.length / frames, 1)
-        (0 until frames).iterator
-          .map(f => (f, f * chunk))
-          .takeWhile { case (_, off) => off < bytes.length }
-          .map { case (f, off) =>
-            MediaFrame(id, f, bytes.slice(off, math.min(off + bytesPerFrame, bytes.length)))
-          }
+        mp4Keyframes(bytes, frames, bytesPerFrame) match {
+          case Some(sel) =>
+            sel.iterator.map { case (fi, _, fb) => MediaFrame(id, fi, fb) }
+          case None =>
+            val chunk = math.max(bytes.length / frames, 1)
+            (0 until frames).iterator
+              .map(f => (f, f * chunk))
+              .takeWhile { case (_, off) => off < bytes.length }
+              .map { case (f, off) =>
+                MediaFrame(id, f, bytes.slice(off, math.min(off + bytesPerFrame, bytes.length)))
+              }
+        }
       }
   }
 
@@ -4810,6 +4823,296 @@ object Multimodal {
         out.array()
       } else box("mdat", payload)
     ftyp ++ moov ++ free ++ mdat
+  }
+
+  // ---------------------------------------------------------------------
+  // MP4 sample tables (stts/stsz/stsc/stco/stss) — per-track census +
+  // real keyframe extraction
+  // ---------------------------------------------------------------------
+
+  private def mp4U32(b: Array[Byte], o: Long): Long =
+    ((b(o.toInt) & 0xffL) << 24) | ((b(o.toInt + 1) & 0xffL) << 16) |
+      ((b(o.toInt + 2) & 0xffL) << 8) | (b(o.toInt + 3) & 0xffL)
+  private def mp4U64(b: Array[Byte], o: Long): Long =
+    (mp4U32(b, o) << 32) | mp4U32(b, o + 4)
+  private def mp4cc(b: Array[Byte], o: Long): String =
+    new String(b, o.toInt, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Direct children of a box payload [lo, hi): (type, payloadLo,
+    * boxEnd). None on any structural violation (the mp4BoxStats
+    * contract: sizes must tile the parent exactly).
+    */
+  private def mp4Children(b: Array[Byte], lo: Long,
+      hi: Long): Option[Seq[(String, Long, Long)]] = {
+    val out = Seq.newBuilder[(String, Long, Long)]
+    var p = lo
+    while (p < hi) {
+      if (p + 8 > hi) return None
+      var size = mp4U32(b, p)
+      var hdr = 8L
+      val typ = mp4cc(b, p + 4)
+      if (size == 1L) {
+        if (p + 16 > hi) return None
+        size = mp4U64(b, p + 8)
+        hdr = 16L
+      } else if (size == 0L) size = hi - p
+      if (size < hdr || p + size > hi) return None
+      out += ((typ, p + hdr, p + size))
+      p += size
+    }
+    Some(out.result())
+  }
+
+  private val Mp4MaxSamples = 10000000L
+
+  /** One track's parsed sample tables + derived per-sample offsets. */
+  private final case class Mp4Track(handler: String, timescale: Long,
+      durationTicks: Long, sizes: Array[Long], offsets: Array[Long],
+      stss: Option[Array[Long]])
+
+  /** Parse every trak's stbl into sample tables. None (whole-file) on
+    * any reject: missing/undersized boxes, stts-vs-stsz sample-count
+    * disagreement, an stsc chunk walk that does not cover the samples
+    * exactly, an stss sample number out of 1..n or non-ascending, a
+    * sample lying outside the file, or count fields past the
+    * [[Mp4MaxSamples]] allocation guard.
+    */
+  private def mp4Tracks(b: Array[Byte]): Option[Seq[Mp4Track]] = {
+    val top = mp4Children(b, 0L, b.length.toLong).getOrElse(return None)
+    if (top.isEmpty || top.head._1 != "ftyp") return None
+    val moov = top.find(_._1 == "moov").getOrElse(return None)
+    val moovKids = mp4Children(b, moov._2, moov._3).getOrElse(return None)
+    val out = Seq.newBuilder[Mp4Track]
+    for ((typ, lo, hi) <- moovKids if typ == "trak") {
+      val trakKids = mp4Children(b, lo, hi).getOrElse(return None)
+      val mdia = trakKids.find(_._1 == "mdia").getOrElse(return None)
+      val mdiaKids = mp4Children(b, mdia._2, mdia._3).getOrElse(return None)
+      // mdhd timescale (v0/v1, sizes validated)
+      val mdhd = mdiaKids.find(_._1 == "mdhd").getOrElse(return None)
+      val tsc = {
+        if (mdhd._3 - mdhd._2 < 1) return None
+        val v = b(mdhd._2.toInt) & 0xff
+        if (v == 0) {
+          if (mdhd._3 - mdhd._2 < 20) return None
+          mp4U32(b, mdhd._2 + 12)
+        } else if (v == 1) {
+          if (mdhd._3 - mdhd._2 < 32) return None
+          mp4U32(b, mdhd._2 + 20)
+        } else return None
+      }
+      if (tsc <= 0) return None
+      val hdlr = mdiaKids.find(_._1 == "hdlr").getOrElse(return None)
+      if (hdlr._3 - hdlr._2 < 12) return None
+      val handler = mp4cc(b, hdlr._2 + 8)
+      val minf = mdiaKids.find(_._1 == "minf").getOrElse(return None)
+      val minfKids = mp4Children(b, minf._2, minf._3).getOrElse(return None)
+      val stbl = minfKids.find(_._1 == "stbl").getOrElse(return None)
+      val stblKids = mp4Children(b, stbl._2, stbl._3).getOrElse(return None)
+      def full(name: String): Option[(Long, Long)] =
+        stblKids.find(_._1 == name).map(k => (k._2, k._3)).map {
+          case (l, h) => if (h - l < 8) return None else (l + 4, h)
+        } // skip version+flags; require the entry-count field below
+      // stts: entry_count x (sample_count, sample_delta)
+      val (sttsLo, sttsHi) = full("stts").getOrElse(return None)
+      val nStts = mp4U32(b, sttsLo)
+      if (nStts < 0 || nStts > Mp4MaxSamples ||
+        sttsLo + 4 + nStts * 8 > sttsHi) return None
+      var nFromStts = 0L
+      var durTicks = 0L
+      var i = 0L
+      while (i < nStts) {
+        val c = mp4U32(b, sttsLo + 4 + i * 8)
+        val d = mp4U32(b, sttsLo + 4 + i * 8 + 4)
+        nFromStts += c
+        durTicks += c * d
+        i += 1
+      }
+      if (nFromStts > Mp4MaxSamples) return None
+      // stsz: sample_size or per-sample table
+      val (stszLo, stszHi) = full("stsz").getOrElse(return None)
+      if (stszLo + 8 > stszHi) return None
+      val uniform = mp4U32(b, stszLo)
+      val nSamples = mp4U32(b, stszLo + 4)
+      if (nSamples != nFromStts || nSamples > Mp4MaxSamples) return None
+      val sizes: Array[Long] =
+        if (uniform != 0L) Array.fill(nSamples.toInt)(uniform)
+        else {
+          if (stszLo + 8 + nSamples * 4 > stszHi) return None
+          Array.tabulate(nSamples.toInt)(j => mp4U32(b, stszLo + 8 + j * 4L))
+        }
+      // stsc: (first_chunk, samples_per_chunk, desc) runs
+      val (stscLo, stscHi) = full("stsc").getOrElse(return None)
+      val nStsc = mp4U32(b, stscLo)
+      if (nStsc <= 0 || nStsc > Mp4MaxSamples ||
+        stscLo + 4 + nStsc * 12 > stscHi) return None
+      val stsc = Array.tabulate(nStsc.toInt) { j =>
+        (mp4U32(b, stscLo + 4 + j * 12L), mp4U32(b, stscLo + 4 + j * 12L + 4))
+      }
+      if (stsc.head._1 != 1L) return None
+      // stco: chunk offsets
+      val (stcoLo, stcoHi) = full("stco").getOrElse(return None)
+      val nChunks = mp4U32(b, stcoLo)
+      if (nChunks < 0 || nChunks > Mp4MaxSamples ||
+        stcoLo + 4 + nChunks * 4 > stcoHi) return None
+      val chunkOff = Array.tabulate(nChunks.toInt)(j =>
+        mp4U32(b, stcoLo + 4 + j * 4L))
+      // assign samples to chunks via the stsc runs; derive offsets
+      val offsets = new Array[Long](nSamples.toInt)
+      var s = 0
+      var chunk = 1L
+      var run = 0
+      while (s < nSamples && chunk <= nChunks) {
+        while (run + 1 < stsc.length && stsc(run + 1)._1 <= chunk) run += 1
+        val spc = stsc(run)._2
+        if (spc <= 0) return None
+        var off = chunkOff(chunk.toInt - 1)
+        var j = 0L
+        while (j < spc && s < nSamples) {
+          offsets(s) = off
+          if (off < 0 || off + sizes(s) > b.length) return None
+          off += sizes(s)
+          s += 1
+          j += 1
+        }
+        chunk += 1
+      }
+      if (s != nSamples) return None // chunks must cover samples exactly
+      // stss: sync-sample numbers (optional; absent = every sample)
+      val stss: Option[Array[Long]] =
+        stblKids.find(_._1 == "stss") match {
+          case None => None
+          case Some(k) =>
+            if (k._3 - k._2 < 8) return None
+            val lo2 = k._2 + 4
+            val n = mp4U32(b, lo2)
+            if (n < 0 || n > Mp4MaxSamples || lo2 + 4 + n * 4 > k._3)
+              return None
+            val arr = Array.tabulate(n.toInt)(j => mp4U32(b, lo2 + 4 + j * 4L))
+            var prev = 0L
+            arr.foreach { sn =>
+              if (sn <= prev || sn > nSamples) return None
+              prev = sn
+            }
+            Some(arr)
+        }
+      out += Mp4Track(handler, tsc, durTicks, sizes, offsets, stss)
+    }
+    val tracks = out.result()
+    if (tracks.isEmpty) None else Some(tracks)
+  }
+
+  /** Per-track sample-table census — what a video curation pass gates
+    * on BEFORE spending decode cycles: exact per-track duration (stts
+    * sum against the mdhd timescale), sample count and byte volume
+    * (stsz), and keyframe count/density (stss; absent stss means every
+    * sample is a sync sample per spec — reported with hasStss=false so
+    * the density read stays honest). Whole-file None on any
+    * inconsistent table (see [[mp4Tracks]]).
+    */
+  def mp4SampleStats(b: Array[Byte]): Option[Seq[(Long, String, Long, Long,
+      Long, Long, Long, Long, Boolean)]] =
+    try {
+      mp4Tracks(b).map(_.zipWithIndex.map { case (t, i) =>
+        val nk = t.stss.map(_.length.toLong).getOrElse(t.sizes.length.toLong)
+        (i.toLong, t.handler, t.timescale, t.sizes.length.toLong,
+          t.durationTicks, t.durationTicks * 1000L / t.timescale,
+          t.sizes.sum, nk, t.stss.isDefined)
+      })
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** REAL keyframe extraction — the read that graduates
+    * [[sampleFrames]] from stub slicing: the first video (`vide`)
+    * track's stss sample numbers resolve through stsc/stco/stsz to
+    * byte ranges in mdat, and up to `frames` keyframes are picked
+    * evenly across the sync-sample list (indices i*K/frames,
+    * deduplicated — short lists yield fewer frames, never repeats).
+    * Returns (frameIdx, sampleNumber, first bytesPerFrame bytes of
+    * the sample). None when the file is not a consistent sample-table
+    * MP4 with a video track + stss (callers fall back).
+    */
+  def mp4Keyframes(b: Array[Byte], frames: Int = 4,
+      bytesPerFrame: Int = 8): Option[Seq[(Int, Long, Array[Byte])]] =
+    try {
+      mp4Tracks(b).flatMap { tracks =>
+        tracks.find(t => t.handler == "vide" && t.stss.isDefined).map { t =>
+          val kf = t.stss.get
+          val sel = (0 until frames).map(i => i * kf.length / frames)
+            .distinct.filter(_ < kf.length)
+          sel.zipWithIndex.map { case (si, fi) =>
+            val sn = kf(si) // 1-indexed sample number
+            val off = t.offsets(sn.toInt - 1)
+            val len = math.min(bytesPerFrame.toLong, t.sizes(sn.toInt - 1))
+            (fi, sn, java.util.Arrays.copyOfRange(b, off.toInt,
+              (off + len).toInt))
+          }
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Deterministic MOVIE fixture with REAL sample tables: ftyp, an
+    * mdat laid out sample-by-sample, and a moov whose video track
+    * carries a two-run stts (deltas 20/30 at timescale 600), an
+    * explicit stsz (sample j is 8 + ((j-1)%3)*4 bytes, every byte
+    * (tag*13 + (j-1)*7) % 256), a one-sample-per-chunk stsc/stco, and
+    * an stss marking every kf-th sample — while the audio track uses
+    * the UNIFORM stsz form (6-byte samples, one 160-tick run at
+    * timescale 8000) and no stss. `corrupt` lies in the stsz count
+    * (one fewer than stts), which must reject whole-file.
+    */
+  def mp4MovieBytes(tag: Int, nVideo: Int, kf: Int, nAudio: Int,
+      corrupt: Boolean = false): Array[Byte] = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      be32(8L + body.length) ++ typ.getBytes(ascii) ++ body
+    val vSizes = Array.tabulate(nVideo)(j => 8 + (j % 3) * 4)
+    val vBytes = (0 until nVideo).flatMap { j =>
+      Array.fill(vSizes(j))(((tag * 13 + j * 7) % 256).toByte)
+    }.toArray
+    val aBytes = (0 until nAudio).flatMap { j =>
+      Array.fill(6)(((tag * 29 + j * 11) % 256).toByte)
+    }.toArray
+    val ftyp = box("ftyp", "isom".getBytes(ascii) ++ be32(0x200))
+    val mdatPayloadAt = ftyp.length + 8
+    val mdat = box("mdat", vBytes ++ aBytes)
+    def fullBox(typ: String, body: Array[Byte]): Array[Byte] =
+      box(typ, be32(0) ++ body)
+    val s1 = nVideo / 2
+    val vStts = fullBox("stts", be32(2) ++
+      be32(s1) ++ be32(20) ++ be32(nVideo - s1) ++ be32(30))
+    val vStsz = fullBox("stsz", be32(0) ++
+      be32(if (corrupt) nVideo - 1 else nVideo) ++
+      vSizes.flatMap(sz => be32(sz)))
+    val vStsc = fullBox("stsc", be32(1) ++ be32(1) ++ be32(1) ++ be32(1))
+    val vOffs = vSizes.scanLeft(mdatPayloadAt.toLong)(_ + _).init
+    val vStco = fullBox("stco", be32(nVideo) ++ vOffs.flatMap(be32))
+    val vKf = (1 to nVideo).filter(j => (j - 1) % kf == 0)
+    val vStss = fullBox("stss", be32(vKf.length) ++
+      vKf.flatMap(j => be32(j)).toArray)
+    val aStts = fullBox("stts", be32(1) ++ be32(nAudio) ++ be32(160))
+    val aStsz = fullBox("stsz", be32(6) ++ be32(nAudio))
+    val aStsc = fullBox("stsc", be32(1) ++ be32(1) ++ be32(1) ++ be32(1))
+    val aStart = mdatPayloadAt.toLong + vBytes.length
+    val aOffs = Array.tabulate(nAudio)(j => aStart + 6L * j)
+    val aStco = fullBox("stco", be32(nAudio) ++ aOffs.flatMap(be32))
+    def mdhd(tsc: Long, dur: Long): Array[Byte] = fullBox("mdhd",
+      be32(0) ++ be32(0) ++ be32(tsc) ++ be32(dur) ++
+        Array[Byte](0x55, 0xc4.toByte, 0, 0))
+    def hdlr(ht: String): Array[Byte] = fullBox("hdlr",
+      be32(0) ++ ht.getBytes(ascii) ++ Array.fill(12)(0.toByte) ++
+        Array[Byte](0))
+    val vDur = s1.toLong * 20 + (nVideo - s1).toLong * 30
+    val vTrak = box("trak", box("mdia",
+      mdhd(600, vDur) ++ hdlr("vide") ++ box("minf",
+        box("stbl", vStts ++ vStsz ++ vStsc ++ vStco ++ vStss))))
+    val aTrak = box("trak", box("mdia",
+      mdhd(8000, nAudio.toLong * 160) ++ hdlr("soun") ++ box("minf",
+        box("stbl", aStts ++ aStsz ++ aStsc ++ aStco))))
+    val mvhd = fullBox("mvhd", be32(0) ++ be32(0) ++
+      be32(1000) ++ be32(777L + tag) ++ Array.fill(80)(0.toByte))
+    ftyp ++ mdat ++ box("moov", mvhd ++ vTrak ++ aTrak)
   }
 
   // ---------------------------------------------------------------------

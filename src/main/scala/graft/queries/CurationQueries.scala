@@ -2105,47 +2105,152 @@ object CurationQueries {
   // Multimodal frame sampling (gated twin of Multimodal.sampleFrames)
   // ---------------------------------------------------------------------
 
-  /** Frame sampling over binary payloads, oracled: each payload splits
-    * into 4 evenly-spaced offsets and the first 8 bytes of each survive
-    * — the video-keyframe-sampling shape (one row in, up to `frames`
-    * rows out). This is the SQL-expressible twin of
-    * [[graft.operators.Multimodal.sampleFrames]] (the mapPartitions
-    * form a real codec plugs into, covered by NorthStarSpec); gating it
-    * here puts the row-expansion + binary-slice semantics under the
-    * DuckDB hash.
+  /** REAL KEYFRAME SAMPLING (r20 re-point — the frame row graduates
+    * from stub slicing): 25 nation-keyed MP4 movies with full sample
+    * tables ([[graft.operators.Multimodal.mp4MovieBytes]] — two-run
+    * stts, explicit video stsz, stsc/stco chunk layout, stss sync
+    * list) run through the REAL operator
+    * [[graft.operators.Multimodal.sampleFrames]], which resolves stss
+    * sample numbers through stsc/stco/stsz to mdat byte ranges and
+    * picks up to 4 keyframes evenly across the sync list (i*K/4,
+    * deduplicated — short lists emit fewer frames). The oracle replays
+    * the fixture closed form: keyframe sample j carries bytes
+    * (tag*13 + j*7) % 256, so a wrong chunk walk, a mis-resolved
+    * offset, or an off-by-one sample number changes the hex and
+    * hash-fails. Non-MP4 payloads keep the documented even-slice
+    * fallback (NorthStarSpec covers it).
     *
-    * Scale: map-only generator expansion (posexplode of 4 computed
-    * offsets) + in-place binary substring — zero shuffles before the
-    * gate dump's sort; payload bytes never widen (8-byte slices out).
+    * Scale: the parseAll narrow shape — per-file table walk + bounded
+    * slice extraction, one row in / <=4 tiny rows out, no shuffle
+    * before the gate sort; mdat is touched only at the selected
+    * keyframe offsets.
     */
   private val multimodalFrames = Q(
-    (s, dir) =>
-      T(s, dir, "documents")
-        .withColumn("payload", encode(col("text"), "UTF-8"))
-        .withColumn("chunk", greatest(expr("length(payload) div 4"), lit(1)))
-        .select(col("doc_id"), col("payload"), col("chunk"),
-          posexplode(expr("transform(sequence(0, 3), f -> f * chunk)"))
-            .as(Seq("frame_idx", "off")))
-        .where(col("off") < length(col("payload")))
-        .select(col("doc_id"), col("frame_idx"),
-          length(col("payload")).as("n_bytes"),
-          // slice the hex FORM (DuckDB has no substring over BLOB):
-          // byte offset off -> hex offset off*2, 8 bytes -> 16 hex chars
-          expr("substring(lower(hex(payload)), off * 2 + 1, 16)").as("frame_hex"))
-        .orderBy(col("doc_id"), col("frame_idx")),
-    Some("""WITH p AS (
-           |  SELECT doc_id, encode(text) AS payload,
-           |    greatest(octet_length(encode(text)) // 4, 1) AS chunk
-           |  FROM documents
+    (s, dir) => {
+      val base = scratchDir("mp4frames")
+      val p = java.nio.file.Paths.get(base)
+      T(s, dir, "nation").select(col("n_nationkey")).collect() // 25-row dim
+        .foreach { r =>
+          val k = r.getInt(0)
+          java.nio.file.Files.write(p.resolve(f"v_$k%02d.bin"),
+            graft.operators.Multimodal.mp4MovieBytes(
+              k, 6 + k % 5, 2 + k % 3, 3 + k % 4))
+        }
+      val scanned = s.read.format("binaryFile").load(base)
+        .select(regexp_extract(col("path"), "v_(\\d+)\\.", 1).cast("long")
+          .as("doc_id"), col("content").as("payload"))
+      val out = graft.operators.Multimodal.sampleFrames(scanned).toDF()
+        .select(col("docId").as("file_id"), col("frameIdx").as("frame_idx"),
+          length(col("frame")).as("n_bytes"),
+          lower(hex(col("frame"))).as("frame_hex"))
+        .orderBy(col("file_id"), col("frame_idx"))
+        .localCheckpoint(true)
+      scratchDelete(base)
+      out
+    },
+    Some("""WITH g AS (
+           |  SELECT cast(n_nationkey as bigint) AS k,
+           |    cast(6 + n_nationkey % 5 as bigint) AS nv,
+           |    cast(2 + n_nationkey % 3 as bigint) AS kf
+           |  FROM nation
+           |), kk AS (
+           |  SELECT k, kf, (nv + kf - 1) // kf AS nk FROM g
+           |), sel AS (
+           |  SELECT DISTINCT k, kf, (t.i * nk) // 4 AS s
+           |  FROM kk, unnest(generate_series(0, 3)) AS t(i)
+           |  WHERE (t.i * nk) // 4 < nk
            |), fr AS (
-           |  SELECT doc_id, payload, f AS frame_idx, f * chunk AS off
-           |  FROM p, unnest(generate_series(0, 3)) AS t(f)
+           |  SELECT k, cast(row_number() OVER (PARTITION BY k ORDER BY s) - 1
+           |      as int) AS frame_idx,
+           |    s * kf AS j0
+           |  FROM sel
            |)
-           |SELECT doc_id, cast(frame_idx as int) AS frame_idx,
-           |  octet_length(payload) AS n_bytes,
-           |  substr(lower(hex(payload)), cast(off * 2 + 1 as int), 16) AS frame_hex
-           |FROM fr WHERE off < octet_length(payload)
-           |ORDER BY doc_id, frame_idx""".stripMargin))
+           |SELECT k AS file_id, frame_idx, cast(8 as int) AS n_bytes,
+           |  repeat(lpad(lower(hex((k * 13 + j0 * 7) % 256)), 2, '0'), 8)
+           |    AS frame_hex
+           |FROM fr ORDER BY file_id, frame_idx""".stripMargin))
+
+  /** MP4 SAMPLE-TABLE CENSUS — the per-track read a video curation
+    * pass gates on before spending decode cycles, the r19 verdict's
+    * named gap past the box census: exact per-track duration (stts
+    * runs against the mdhd timescale), sample count + byte volume
+    * (stsz, BOTH forms — explicit video table, uniform audio size),
+    * and keyframe count (stss; absent stss = every sample is sync per
+    * spec, reported with has_stss=false).
+    * [[graft.operators.Multimodal.mp4SampleStats]] validates the
+    * tables against each other — stts totals vs stsz count, the stsc
+    * chunk walk covering samples exactly, stss numbers in-range and
+    * ascending, every sample inside the file — and every 7th fixture
+    * carries a LYING stsz count that must reject whole-file
+    * (valid=false), never a partial census.
+    *
+    * Scale: the parseAll narrow shape — table walk per file, a few
+    * longs per track leave the map side; mdat is never read.
+    */
+  private val multimodalMp4Samples = Q(
+    (s, dir) => {
+      val base = scratchDir("mp4samples")
+      val p = java.nio.file.Paths.get(base)
+      T(s, dir, "nation").select(col("n_nationkey")).collect() // 25-row dim
+        .foreach { r =>
+          val k = r.getInt(0)
+          java.nio.file.Files.write(p.resolve(f"v_$k%02d.bin"),
+            graft.operators.Multimodal.mp4MovieBytes(
+              k, 6 + k % 5, 2 + k % 3, 4 + k % 4, corrupt = k % 7 == 6))
+        }
+      val scanned = s.read.format("binaryFile").load(base)
+        .select(regexp_extract(col("path"), "v_(\\d+)\\.", 1).cast("long")
+          .as("file_id"), col("content"))
+      import s.implicits._
+      val out = scanned.as[(Long, Array[Byte])]
+        .flatMap { case (id, bytes) =>
+          graft.operators.Multimodal.mp4SampleStats(bytes) match {
+            case Some(tracks) => tracks.map { case (ti, h, tsc, n, dt, dm,
+                tb, nk, hs) => (id, ti, h, tsc, n, dt, dm, tb, nk, hs, true) }
+            case None =>
+              Seq((id, -1L, "", 0L, 0L, 0L, 0L, 0L, 0L, false, false))
+          }
+        }
+        .toDF("file_id", "track_idx", "handler", "timescale", "n_samples",
+          "duration_ticks", "dur_ms", "total_bytes", "n_keyframes",
+          "has_stss", "valid")
+        .orderBy(col("file_id"), col("track_idx"))
+        .localCheckpoint(true)
+      scratchDelete(base)
+      out
+    },
+    Some("""WITH g AS (
+           |  SELECT cast(n_nationkey as bigint) AS k,
+           |    cast(6 + n_nationkey % 5 as bigint) AS nv,
+           |    cast(2 + n_nationkey % 3 as bigint) AS kf,
+           |    cast(4 + n_nationkey % 4 as bigint) AS na,
+           |    (n_nationkey % 7 = 6) AS bad
+           |  FROM nation
+           |), rows_ AS (
+           |  SELECT k, 0 AS track_idx, 'vide' AS handler, 600 AS timescale,
+           |    nv AS n_samples,
+           |    (nv // 2) * 20 + (nv - nv // 2) * 30 AS duration_ticks,
+           |    ((nv // 2) * 20 + (nv - nv // 2) * 30) * 1000 // 600 AS dur_ms,
+           |    (nv // 3) * 36 + CASE WHEN nv % 3 = 1 THEN 8
+           |      WHEN nv % 3 = 2 THEN 20 ELSE 0 END AS total_bytes,
+           |    (nv + kf - 1) // kf AS n_keyframes, true AS has_stss
+           |  FROM g WHERE NOT bad
+           |  UNION ALL
+           |  SELECT k, 1, 'soun', 8000, na, na * 160, na * 20, na * 6, na,
+           |    false
+           |  FROM g WHERE NOT bad
+           |  UNION ALL
+           |  SELECT k, -1, '', 0, 0, 0, 0, 0, 0, false FROM g WHERE bad
+           |)
+           |SELECT k AS file_id, cast(track_idx as bigint) AS track_idx,
+           |  handler, cast(timescale as bigint) AS timescale,
+           |  cast(n_samples as bigint) AS n_samples,
+           |  cast(duration_ticks as bigint) AS duration_ticks,
+           |  cast(dur_ms as bigint) AS dur_ms,
+           |  cast(total_bytes as bigint) AS total_bytes,
+           |  cast(n_keyframes as bigint) AS n_keyframes,
+           |  has_stss, (track_idx >= 0) AS valid
+           |FROM rows_ ORDER BY file_id, track_idx""".stripMargin))
 
   // ---------------------------------------------------------------------
   // Graph-expansion ANN search (2-hop over the k-NN graph)
@@ -17495,6 +17600,7 @@ object CurationQueries {
     "ns_dedup_lsh_tune" -> dedupLshTune,
     "ns_pipeline_delta_stream" -> pipelineDeltaStream,
     "ns_multimodal_frames" -> multimodalFrames,
+    "ns_multimodal_mp4_samples" -> multimodalMp4Samples,
     "ns_corpus_ppl_buckets" -> corpusPplBuckets,
     "ns_corpus_shuffle" -> corpusShuffle,
     "ns_corpus_shard_manifest" -> corpusShardManifest,

@@ -268,20 +268,37 @@ class CurationSpec extends SparkSpec {
   }
 
   test("multimodal frames: gated twin agrees with the mapPartitions operator") {
+    // the r20 re-point: the gate runs the REAL sampleFrames over MP4
+    // movies with sample tables; this twin rebuilds the same fixtures
+    // and compares the operator output byte-for-byte, and also checks
+    // the non-MP4 fallback still slices (NorthStarSpec covers its law)
     import graft.operators.Multimodal
-    val docs = Tables.load(spark, sfDir, "documents")
-    val fromOp = Multimodal.sampleFrames(Multimodal.withPayload(docs)).collect()
+    val tmp = java.nio.file.Files.createTempDirectory("frames-twin")
+    (0 until 25).foreach { k =>
+      java.nio.file.Files.write(tmp.resolve(f"v_$k%02d.bin"),
+        Multimodal.mp4MovieBytes(k, 6 + k % 5, 2 + k % 3, 3 + k % 4))
+    }
+    val scanned = spark.read.format("binaryFile").load(tmp.toString)
+      .select(regexp_extract(col("path"), "v_(\\d+)\\.", 1).cast("long")
+        .as("doc_id"), col("content").as("payload"))
+    val fromOp = Multimodal.sampleFrames(scanned).collect()
       .map(f => (f.docId, f.frameIdx) ->
         f.frame.map("%02x".format(_)).mkString).toMap
     val gated = run("ns_multimodal_frames").collect()
     assert(gated.nonEmpty)
     gated.foreach { r =>
-      val key = (r.getAs[Long]("doc_id"), r.getAs[Int]("frame_idx"))
+      val key = (r.getAs[Long]("file_id"), r.getAs[Int]("frame_idx"))
       assert(fromOp.contains(key), s"gated frame $key missing from operator output")
       assert(fromOp(key) == r.getAs[String]("frame_hex"),
         s"frame bytes diverge at $key")
     }
     assert(gated.length == fromOp.size, "row expansion counts differ")
+    // every keyframe slice must be REAL mdat bytes: the fixture pattern
+    fromOp.foreach { case ((id, _), hx) =>
+      assert(hx.length == 16 && hx.grouped(2).toSet.size == 1,
+        s"keyframe bytes for $id are not the constant sample pattern: $hx")
+    }
+    tmp.toFile.listFiles.foreach(_.delete()); tmp.toFile.delete()
   }
 
   test("sq8 recall: both top-5 branches prune map-side (WindowGroupLimit)") {

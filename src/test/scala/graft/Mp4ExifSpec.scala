@@ -119,6 +119,57 @@ class Mp4ExifSpec extends AnyFunSuite {
       .contains(("isom", 2L, 1L, 1L, 0L, 1000L, 500L, 0L)))
   }
 
+  test("mp4 sample tables: per-track census reaches its closed form") {
+    val b = Multimodal.mp4MovieBytes(tag = 5, nVideo = 7, kf = 3, nAudio = 4)
+    val Some(tracks) = Multimodal.mp4SampleStats(b): @unchecked
+    assert(tracks.size == 2)
+    // video: two-run stts (3x20 + 4x30 = 180 ticks @ 600), explicit
+    // stsz 8/12/16 cycle, stss every 3rd sample -> ceil(7/3) = 3
+    val v = tracks(0)
+    assert(v == ((0L, "vide", 600L, 7L, 180L, 300L,
+      (0 until 7).map(j => 8 + (j % 3) * 4).sum.toLong, 3L, true)), v)
+    // audio: uniform-stsz form, no stss -> every sample is sync
+    val a = tracks(1)
+    assert(a == ((1L, "soun", 8000L, 4L, 640L, 80L, 24L, 4L, false)), a)
+  }
+
+  test("mp4 keyframes: real stss/stco/stsz offsets, patterned bytes, dedup") {
+    val b = Multimodal.mp4MovieBytes(tag = 5, nVideo = 7, kf = 3, nAudio = 4)
+    val Some(kfs) = Multimodal.mp4Keyframes(b, frames = 4, bytesPerFrame = 8): @unchecked
+    // K = 3 sync samples (1, 4, 7); picks i*3/4 = 0,0,1,2 -> dedup 0,1,2
+    assert(kfs.map(_._1) == Seq(0, 1, 2))
+    assert(kfs.map(_._2) == Seq(1L, 4L, 7L))
+    kfs.foreach { case (_, sn, bytes) =>
+      val v = ((5 * 13 + (sn - 1) * 7) % 256).toByte
+      assert(bytes.length == 8 && bytes.forall(_ == v),
+        s"sample $sn bytes wrong")
+    }
+    // no video stss -> None (callers fall back to the slicing stub)
+    val plain = Multimodal.mp4Bytes(1, 1, 1000L, 1000L, 20)
+    assert(Multimodal.mp4Keyframes(plain).isEmpty)
+  }
+
+  test("mp4 sample tables: inconsistent tables reject whole-file") {
+    // stsz count lying about stts
+    assert(Multimodal.mp4SampleStats(
+      Multimodal.mp4MovieBytes(1, 6, 2, 3, corrupt = true)).isEmpty)
+    // truncation inside the tables
+    val b = Multimodal.mp4MovieBytes(1, 6, 2, 3)
+    assert(Multimodal.mp4SampleStats(b.dropRight(5)).isEmpty)
+    // an stco offset past EOF: patch the first video chunk offset
+    val s = b.clone()
+    var stcoAt = -1
+    var i = 0
+    while (stcoAt < 0 && i + 4 <= s.length) {
+      if (new String(s, i, 4, "US-ASCII") == "stco") stcoAt = i
+      else i += 1
+    }
+    // box header at stcoAt-4; payload: verflags(4) count(4) then offsets
+    val offAt = stcoAt + 4 + 4 + 4
+    s(offAt) = 0x7f; s(offAt + 1) = 0x7f.toByte
+    assert(Multimodal.mp4SampleStats(s).isEmpty)
+  }
+
   test("mp3: the frame walk reaches its closed form with both ID3 tags") {
     val b = Multimodal.mp3Bytes(7, 6, 1, id3v2 = true, id3v1 = true)
     // bitrate indexes 1+(7+i)%14 for i in 0..5 -> 8..13 ->
