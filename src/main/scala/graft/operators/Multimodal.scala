@@ -1540,6 +1540,8 @@ object Multimodal {
       b(3) == 'C') "flac"
     else if (b.length >= 5 && b(0) == '%' && b(1) == 'P' && b(2) == 'D' &&
       b(3) == 'F' && b(4) == '-') "pdf"
+    else if (b.length >= 4 && (b(0) & 0xff) == 0x28 && (b(1) & 0xff) == 0xb5 &&
+      (b(2) & 0xff) == 0x2f && (b(3) & 0xff) == 0xfd) "zstd"
     else "unknown"
   }
 
@@ -1562,6 +1564,7 @@ object Multimodal {
     case "webp" => webpInfo(b).isDefined
     case "flac" => flacInfo(b).isDefined
     case "pdf" => PdfText.pdfText(b).isDefined
+    case "zstd" => Zstd.decompress(b).isDefined
     case _ => false
   }
 

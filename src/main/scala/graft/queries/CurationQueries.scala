@@ -12294,12 +12294,12 @@ object CurationQueries {
            |FROM sm ORDER BY file_id""".stripMargin))
 
   /** MAGIC-BYTE FORMAT ROUTING — the ingest front door of every mixed
-    * binary corpus: 25 files cycle FOURTEEN containers (truecolor PNG,
+    * binary corpus: 25 files cycle FIFTEEN containers (truecolor PNG,
     * palette PNG, single-frame GIF, animated GIF, baseline JPEG,
     * 16-bit PCM WAV, µ-law G.711 WAV, multi-member gzip WARC, MP4
-    * movie, MP3 stream, WebP image, FLAC stream, PDF document, and
-    * plain junk bytes — every family the engine decodes routes here),
-    * and
+    * movie, MP3 stream, WebP image, FLAC stream, PDF document, zstd
+    * member, and plain junk bytes — every family the engine decodes
+    * routes here), and
     * [[graft.operators.Multimodal.sniffKind]] classifies each by its
     * magic signature (never the extension — every fixture is written
     * `.bin`), then [[graft.operators.Multimodal.sniffValid]] routes it
@@ -12319,7 +12319,7 @@ object CurationQueries {
       T(s, dir, "nation").select(col("n_nationkey")).collect() // 25-row dim
         .foreach { r =>
           val k = r.getInt(0)
-          val bytes = (k % 14) match {
+          val bytes = (k % 15) match {
             case 0 => graft.operators.Multimodal.pngGradientBytes(16 + k, 10)
             case 1 => graft.operators.Multimodal.pngPaletteBytes(16 + k, 10)
             case 2 => graft.operators.Multimodal.gifPatternBytes(16 + k, 10)
@@ -12338,6 +12338,7 @@ object CurationQueries {
               44100, 1 + k % 3, 16, 88200L + 997L * k, k)
             case 12 => graft.operators.PdfText.pdfBytes(
               k, 1 + k % 3, flate = k % 2 == 0)
+            case 13 => graft.operators.ZstdVectors.all(k % 12)._2
             case _ => (s"not a media file #$k " * 4).getBytes(
               java.nio.charset.StandardCharsets.UTF_8)
           }
@@ -12354,16 +12355,16 @@ object CurationQueries {
       out
     },
     Some("""SELECT cast(n_nationkey as bigint) AS file_id,
-           |  CASE n_nationkey % 14
+           |  CASE n_nationkey % 15
            |    WHEN 0 THEN 'png' WHEN 1 THEN 'png'
            |    WHEN 2 THEN 'gif' WHEN 3 THEN 'gif'
            |    WHEN 4 THEN 'jpeg' WHEN 5 THEN 'wav_pcm'
            |    WHEN 6 THEN 'wav_g711' WHEN 7 THEN 'gzip'
            |    WHEN 8 THEN 'mp4' WHEN 9 THEN 'mp3'
            |    WHEN 10 THEN 'webp' WHEN 11 THEN 'flac'
-           |    WHEN 12 THEN 'pdf'
+           |    WHEN 12 THEN 'pdf' WHEN 13 THEN 'zstd'
            |    ELSE 'unknown' END AS detected,
-           |  (n_nationkey % 14) <> 13 AS valid
+           |  (n_nationkey % 15) <> 14 AS valid
            |FROM nation ORDER BY file_id""".stripMargin))
 
   /** PDF TEXT EXTRACTION — the top real-corpus document container the
@@ -12439,6 +12440,107 @@ object CurationQueries {
            |  CASE WHEN enc THEN 0 ELSE p END AS n_pages,
            |  CASE WHEN enc THEN 0 ELSE p * 4 END AS n_text_ops,
            |  cast(length(text) as bigint) AS n_chars, text, NOT enc AS valid
+           |FROM t ORDER BY file_id""".stripMargin))
+
+  /** ZSTD MEMBER CENSUS — the r19 verdict's modern-corpus gap closed
+    * with a FROM-SCRATCH RFC 8878 decoder
+    * ([[graft.operators.Zstd]]): Dolma/RedPajama/FineWeb-class
+    * releases ship `.jsonl.zst`, which no JDK decoder reads. Fixtures
+    * cycle five shapes: real-compressor frames at level 19
+    * (FSE-compressed sequence tables) and level 1 (predefined tables)
+    * — both from [[graft.operators.ZstdVectors]], produced by zstd
+    * CLI v1.5.7 from closed-form inputs — a skippable frame followed
+    * by a raw-block frame, an RLE-block frame, and a
+    * checksum-corrupted frame that must reject whole-input
+    * (valid=false; the decoder VERIFIES xxh64 content checksums).
+    * The oracle replays frame counts and the full decompressed text.
+    *
+    * Scale: the parseAll narrow shape — one partition-mapped decode
+    * per member; at 100 TB this is the WARC/shard ingest edge, and
+    * compressed payload bytes never shuffle.
+    */
+  private val multimodalZstdCensus = Q(
+    (s, dir) => {
+      val base = scratchDir("zstdcensus")
+      val p = java.nio.file.Paths.get(base)
+      T(s, dir, "nation").select(col("n_nationkey")).collect() // 25-row dim
+        .foreach { r =>
+          val k = r.getInt(0)
+          val i = (k / 5) % 6
+          val vecs = Seq(
+            graft.operators.ZstdVectors.v0L19, graft.operators.ZstdVectors.v1L19,
+            graft.operators.ZstdVectors.v2L19, graft.operators.ZstdVectors.v3L19,
+            graft.operators.ZstdVectors.v4L19, graft.operators.ZstdVectors.v5L19)
+          val vecs1 = Seq(
+            graft.operators.ZstdVectors.v0L1, graft.operators.ZstdVectors.v1L1,
+            graft.operators.ZstdVectors.v2L1, graft.operators.ZstdVectors.v3L1,
+            graft.operators.ZstdVectors.v4L1, graft.operators.ZstdVectors.v5L1)
+          val bytes: Array[Byte] = (k % 5) match {
+            case 0 => vecs(i)
+            case 1 => vecs1(i)
+            case 2 =>
+              graft.operators.Zstd.skippableFrame(s"meta $k".getBytes) ++
+                graft.operators.Zstd.rawFrame(
+                  (s"raw member $k data " * 4).getBytes("UTF-8"))
+            case 3 => graft.operators.Zstd.rleFrame('z', 120 + k)
+            case _ =>
+              val bad = vecs(i).clone()
+              bad(bad.length - 1) = (bad(bad.length - 1) ^ 0x5a).toByte
+              bad
+          }
+          java.nio.file.Files.write(p.resolve(f"z_$k%02d.bin"), bytes)
+        }
+      val scanned = s.read.format("binaryFile").load(base)
+        .select(regexp_extract(col("path"), "z_(\\d+)\\.", 1).cast("long")
+          .as("file_id"), col("content"))
+      import s.implicits._
+      val out = scanned.as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            graft.operators.Zstd.decompress(bytes) match {
+              case Some((fr, sk, content)) =>
+                (id, fr, sk, new String(content, "UTF-8"), true)
+              case None => (id, 0L, 0L, "", false)
+            }
+          }
+        }
+        .toDF("file_id", "n_frames", "n_skippable", "text", "valid")
+        .withColumn("n_bytes", length(col("text")).cast("bigint"))
+        .select(col("file_id"), col("n_frames"), col("n_skippable"),
+          col("n_bytes"), col("text"), col("valid"))
+        .orderBy(col("file_id"))
+        .localCheckpoint(true)
+      scratchDelete(base)
+      out
+    },
+    Some("""WITH g AS (
+           |  SELECT cast(n_nationkey as bigint) AS k,
+           |    cast(n_nationkey % 5 as bigint) AS cls,
+           |    cast((n_nationkey // 5) % 6 as bigint) AS i
+           |  FROM nation
+           |), vec AS (
+           |  SELECT g.k,
+           |    string_agg('zstd line ' || sr.j || ' of vector ' || g.i ||
+           |      ': the quick brown fox jumps over the lazy dog',
+           |      chr(10) ORDER BY sr.j) || chr(10) AS text
+           |  FROM g, generate_series(0, 54) AS sr(j)
+           |  WHERE g.cls IN (0, 1) AND sr.j < 20 + 7 * g.i
+           |  GROUP BY g.k, g.i
+           |), t AS (
+           |  SELECT k,
+           |    CASE WHEN cls = 4 THEN 0 ELSE 1 END AS n_frames,
+           |    CASE WHEN cls = 2 THEN 1 ELSE 0 END AS n_skippable,
+           |    CASE
+           |      WHEN cls IN (0, 1) THEN (SELECT text FROM vec v WHERE v.k = g.k)
+           |      WHEN cls = 2 THEN repeat('raw member ' || k || ' data ', 4)
+           |      WHEN cls = 3 THEN repeat('z', cast(120 + k as int))
+           |      ELSE '' END AS text,
+           |    cls <> 4 AS valid
+           |  FROM g
+           |)
+           |SELECT k AS file_id, cast(n_frames as bigint) AS n_frames,
+           |  cast(n_skippable as bigint) AS n_skippable,
+           |  cast(length(text) as bigint) AS n_bytes, text, valid
            |FROM t ORDER BY file_id""".stripMargin))
 
   // ---------------------------------------------------------------------
@@ -17601,6 +17703,7 @@ object CurationQueries {
     "ns_pipeline_delta_stream" -> pipelineDeltaStream,
     "ns_multimodal_frames" -> multimodalFrames,
     "ns_multimodal_mp4_samples" -> multimodalMp4Samples,
+    "ns_multimodal_zstd_census" -> multimodalZstdCensus,
     "ns_corpus_ppl_buckets" -> corpusPplBuckets,
     "ns_corpus_shuffle" -> corpusShuffle,
     "ns_corpus_shard_manifest" -> corpusShardManifest,
