@@ -12557,6 +12557,68 @@ object CurationQueries {
            |  cast(length(text) as bigint) AS n_bytes, text, valid
            |FROM t ORDER BY file_id""".stripMargin))
 
+  /** `.jsonl.zst` INGEST — the end-to-end composition modern corpus
+    * releases actually require: zstd member decode
+    * ([[graft.operators.Zstd]], real-compressor frames from
+    * [[graft.operators.ZstdVectors.jsonl]]) → JSONL line split →
+    * schema'd JSON parse (`from_json`, codegen'd — no UDF) →
+    * host-keyed relational census. The oracle replays the members'
+    * closed-form line content, so a decode error, a dropped line, or
+    * a mis-parsed field shifts a count or a sum and hash-fails.
+    *
+    * Scale: member decode and JSON parse are map-side over the
+    * binaryFile scan (compressed bytes never shuffle); only the
+    * (host)-keyed partial aggregates move — the exact shape a 100 TB
+    * `.jsonl.zst` release ingests with.
+    */
+  private val pipelineZstdJsonl = Q(
+    (s, dir) => {
+      val base = scratchDir("zstdjsonl")
+      val p = java.nio.file.Paths.get(base)
+      T(s, dir, "nation").select(col("n_nationkey")).collect() // 25-row dim
+        .foreach { r =>
+          val k = r.getInt(0)
+          java.nio.file.Files.write(p.resolve(f"m_$k%02d.jsonl.zst"),
+            graft.operators.ZstdVectors.jsonl(k % 4)._2)
+        }
+      val scanned = s.read.format("binaryFile").load(base)
+        .select(regexp_extract(col("path"), "m_(\\d+)\\.", 1).cast("long")
+          .as("file_id"), col("content"))
+      import s.implicits._
+      val lines = scanned.as[(Long, Array[Byte])]
+        .flatMap { case (id, bytes) =>
+          graft.operators.Zstd.decompress(bytes) match {
+            case Some((_, _, content)) =>
+              new String(content, "UTF-8").split("\n").iterator
+                .filter(_.nonEmpty).map(l => (id, l))
+            case None => Iterator.empty
+          }
+        }
+        .toDF("file_id", "line")
+      lines
+        .withColumn("rec", from_json(col("line"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "id BIGINT, host STRING, score BIGINT")))
+        .groupBy(col("rec.host").as("host"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("rec.score")).as("sum_score"),
+          countDistinct(col("file_id")).as("n_files"))
+        .orderBy(col("host"))
+    },
+    Some("""WITH g AS (
+           |  SELECT cast(n_nationkey as bigint) AS k,
+           |    cast(40 + 30 * (n_nationkey % 4) as bigint) AS n
+           |  FROM nation
+           |), ln AS (
+           |  SELECT g.k, sr.j FROM g, generate_series(0, 129) AS sr(j)
+           |  WHERE sr.j < g.n
+           |)
+           |SELECT 'h' || (j % 5) || '.example' AS host,
+           |  count(*) AS n_lines,
+           |  cast(sum((j * 7) % 100) as bigint) AS sum_score,
+           |  count(DISTINCT k) AS n_files
+           |FROM ln GROUP BY 1 ORDER BY host""".stripMargin))
+
   // ---------------------------------------------------------------------
   // Multimodal: real JPEG entropy decode (DC-coefficient tier)
   // ---------------------------------------------------------------------
@@ -17718,6 +17780,7 @@ object CurationQueries {
     "ns_multimodal_frames" -> multimodalFrames,
     "ns_multimodal_mp4_samples" -> multimodalMp4Samples,
     "ns_multimodal_zstd_census" -> multimodalZstdCensus,
+    "ns_pipeline_zstd_jsonl" -> pipelineZstdJsonl,
     "ns_corpus_ppl_buckets" -> corpusPplBuckets,
     "ns_corpus_shuffle" -> corpusShuffle,
     "ns_corpus_shard_manifest" -> corpusShardManifest,

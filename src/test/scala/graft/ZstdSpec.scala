@@ -25,6 +25,14 @@ class ZstdSpec extends AnyFunSuite {
     }
   }
 
+  test("embedded jsonl.zst members decode to their closed-form text") {
+    ZstdVectors.jsonl.foreach { case (i, frame) =>
+      val Some((_, _, out)) = Zstd.decompress(frame): @unchecked
+      assert(new String(out, "UTF-8") == ZstdVectors.jsonlText(i),
+        s"jsonl vector $i")
+    }
+  }
+
   test("raw/RLE frame builders round-trip, with verified checksums") {
     val content = (0 until 500).map(i => ('a' + i % 26).toChar).mkString
       .getBytes("UTF-8")
