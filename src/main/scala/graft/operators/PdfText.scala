@@ -3,13 +3,19 @@ package graft.operators
 import scala.collection.mutable
 
 /** PDF text extraction — the single most common document container in
-  * real training corpora, and the 14th family in the multimodal
+  * real training corpora, and a first-class family in the multimodal
   * router. A from-scratch reader of the honest production subset,
   * written against the public PDF 1.7 spec (ISO 32000-1):
   *
-  *   - classic cross-reference TABLES (`xref` sections + `trailer`
+  *   - BOTH cross-reference forms: classic `xref` TABLES (+ `trailer`
   *     dicts, incremental-update `/Prev` chains followed newest-first
-  *     so later sections win);
+  *     so later sections win) and PDF 1.5+ cross-reference STREAMS
+  *     (/Type /XRef, /W field widths, /Index subsections, FlateDecode
+  *     and the PNG predictors real writers apply), including hybrid
+  *     files' /XRefStm pointers — the modern-default layout most
+  *     generators emit;
+  *   - OBJECT STREAMS (/Type /ObjStm): type-2 xref entries resolve
+  *     through their container's (objnum, offset) header;
   *   - content streams stored plain or `/FlateDecode`-compressed (the
   *     zlib Inflater the PNG tier already trusts);
   *   - the text-showing operators `Tj`, `'`, `"`, and `TJ` inside
@@ -25,12 +31,11 @@ import scala.collection.mutable
   * a partial extraction, never a hang):
   *
   *   - encrypted documents (`/Encrypt` in any trailer);
-  *   - PDF 1.5+ cross-reference STREAMS and object streams (the
-  *     startxref target must be an `xref` keyword, not an object);
-  *   - any stream filter other than none / FlateDecode, or any
-  *     `/DecodeParms` (predictors unsupported);
+  *   - any stream filter other than none / FlateDecode; DecodeParms
+  *     anywhere but an xref stream's predictor; TIFF predictor 2;
   *   - structural damage: bad header, unparseable startxref/xref,
-  *     offsets out of bounds, reference cycles, missing /Root//Pages.
+  *     offsets out of bounds, reference cycles, missing /Root//Pages,
+  *     inconsistent /W//Index//N//First tables.
   *
   * Extraction contract: per content stream, the shown strings of each
   * text op join with a single space (TJ's array strings concatenate,
@@ -253,6 +258,108 @@ object PdfText {
     }
   }
 
+  sealed private trait XrefEntry
+  private final case class InFile(off: Long) extends XrefEntry
+  private final case class InStm(stm: Long, idx: Long) extends XrefEntry
+
+  /** Parse `num gen obj << ... >> stream` at a KNOWN offset where
+    * /Length must be a direct integer (the xref-stream case — its
+    * length cannot itself need the table being built).
+    */
+  private def parseStreamObjectAt(b: Array[Byte], at: Int): Option[PStream] =
+    try {
+      val l = new Lexer(b, at)
+      l.parseLong(); l.parseLong(); l.expect("obj")
+      val d = l.parseValue(0) match {
+        case d: PDict => d
+        case _ => return None
+      }
+      l.skipWs()
+      if (l.token() != "stream") return None
+      if (!l.atEnd && l.peek == '\r') l.pos += 1
+      if (l.atEnd || l.peek != '\n') return None
+      l.pos += 1
+      val len = d.m.get("Length") match {
+        case Some(PInt(n)) if n >= 0 => n
+        case _ => return None
+      }
+      if (l.pos.toLong + len > b.length) return None
+      Some(PStream(d, java.util.Arrays.copyOfRange(b, l.pos, l.pos + len.toInt)))
+    } catch { case _: Bad => None }
+
+  /** Decode an xref stream's data: none/FlateDecode, then the PNG
+    * predictors real writers apply (/DecodeParms /Predictor >= 10,
+    * row width /Columns, 1 byte per sample for xref streams;
+    * /Predictor 1 is identity). Unknown predictors reject.
+    */
+  private def xrefStreamData(b: Array[Byte], st: PStream): Option[Array[Byte]] =
+    try {
+      val raw = st.dict.m.get("Filter") match {
+        case None | Some(PNull) => st.raw
+        case Some(PName("FlateDecode")) => inflate(st.raw)
+        case Some(PArr(Vector(PName("FlateDecode")))) => inflate(st.raw)
+        case _ => return None
+      }
+      st.dict.m.get("DecodeParms") match {
+        case None => Some(raw)
+        case Some(PDict(pm)) =>
+          val pred = pm.get("Predictor") match {
+            case None => 1L
+            case Some(PInt(p)) => p
+            case _ => return None
+          }
+          if (pred == 1L) Some(raw)
+          else if (pred >= 10L) {
+            val cols = pm.get("Columns") match {
+              case Some(PInt(c)) if c > 0 && c <= (1 << 16) => c.toInt
+              case None => 1
+              case _ => return None
+            }
+            Some(pngUnfilter(raw, cols, 1).getOrElse(return None))
+          } else None // TIFF predictor 2: out of scope
+        case Some(_) => None
+      }
+    } catch { case _: Bad => None }
+
+  /** PNG row unfilter (filter byte per row): Sub/Up/Average/Paeth —
+    * the reconstruction the PNG tier also implements, reproduced here
+    * for predicted xref streams.
+    */
+  private def pngUnfilter(raw: Array[Byte], cols: Int,
+      bpp: Int): Option[Array[Byte]] = {
+    val rowLen = cols
+    if ((raw.length % (rowLen + 1)) != 0) return None
+    val nRows = raw.length / (rowLen + 1)
+    val out = new Array[Byte](nRows * rowLen)
+    var r = 0
+    while (r < nRows) {
+      val ft = raw(r * (rowLen + 1)) & 0xff
+      var x = 0
+      while (x < rowLen) {
+        val v = raw(r * (rowLen + 1) + 1 + x) & 0xff
+        val a = if (x >= bpp) out(r * rowLen + x - bpp) & 0xff else 0
+        val up = if (r > 0) out((r - 1) * rowLen + x) & 0xff else 0
+        val ul = if (r > 0 && x >= bpp) out((r - 1) * rowLen + x - bpp) & 0xff else 0
+        val rec = ft match {
+          case 0 => v
+          case 1 => v + a
+          case 2 => v + up
+          case 3 => v + (a + up) / 2
+          case 4 =>
+            val p = a + up - ul
+            val pa = math.abs(p - a); val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            v + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else ul)
+          case _ => return None
+        }
+        out(r * rowLen + x) = (rec & 0xff).toByte
+        x += 1
+      }
+      r += 1
+    }
+    Some(out)
+  }
+
   /** Parse + extract. Returns (nPages, nTextOps, text) or None. */
   def pdfText(b: Array[Byte]): Option[(Long, Long, String)] =
     try pdfTextImpl(b)
@@ -274,57 +381,169 @@ object PdfText {
     val xrefAt = lx.parseLong()
     if (xrefAt < 0 || xrefAt >= b.length) return None
 
-    // walk xref tables (newest first; /Prev chains; later sections win)
-    val xref = mutable.Map.empty[Long, Long] // objNum -> byte offset
+    // walk the cross-reference chain (newest first; /Prev chains and
+    // hybrid /XRefStm pointers; later sections win). Both forms are in
+    // scope: classic `xref` TABLES and PDF 1.5+ cross-reference
+    // STREAMS (/Type /XRef with /W field widths, optional
+    // FlateDecode + PNG predictors).
+    val xref = mutable.Map.empty[Long, XrefEntry]
     var rootRef: Obj = PNull
-    var at = xrefAt
     var hops = 0
-    while (at >= 0) {
+    val pending = mutable.Stack[Long](xrefAt)
+    while (pending.nonEmpty) {
       if (hops > MaxPrev) return None
       hops += 1
+      val at = pending.pop()
+      if (at < 0 || at >= b.length) return None
       val l = new Lexer(b, at.toInt)
-      // a PDF 1.5 cross-reference STREAM puts an indirect object here —
-      // out of scope, reject rather than misread
-      if (l.token() != "xref") return None
-      // subsections until the `trailer` keyword
-      var t = l.token()
-      while (t != "trailer") {
-        val start = try t.toLong catch { case _: NumberFormatException => return None }
-        val count = l.parseLong()
-        if (count < 0 || count > MaxObjects || xref.size > MaxObjects) return None
-        var i = 0L
-        while (i < count) {
-          val off = l.parseLong()
-          l.parseLong() // generation
-          val kind = l.token()
-          if (kind != "n" && kind != "f") return None
-          if (kind == "n" && !xref.contains(start + i)) {
-            if (off < 0 || off >= b.length) return None
-            xref(start + i) = off
+      val save = l.pos
+      val isClassic = try l.token() == "xref" catch { case _: Bad => false }
+      val trailer: PDict =
+        if (isClassic) {
+          // subsections until the `trailer` keyword
+          var t = l.token()
+          while (t != "trailer") {
+            val start = try t.toLong catch { case _: NumberFormatException => return None }
+            val count = l.parseLong()
+            if (count < 0 || count > MaxObjects || xref.size > MaxObjects) return None
+            var i = 0L
+            while (i < count) {
+              val off = l.parseLong()
+              l.parseLong() // generation
+              val kind = l.token()
+              if (kind != "n" && kind != "f") return None
+              if (kind == "n" && !xref.contains(start + i)) {
+                if (off < 0 || off >= b.length) return None
+                xref(start + i) = InFile(off)
+              }
+              i += 1
+            }
+            t = l.token()
           }
-          i += 1
+          l.parseValue(0) match {
+            case d: PDict => d
+            case _ => return None
+          }
+        } else {
+          // cross-reference STREAM: `num gen obj <<...>> stream...`
+          l.pos = save
+          val st = parseStreamObjectAt(b, at.toInt).getOrElse(return None)
+          if (st.dict.m.get("Type") != Some(PName("XRef"))) return None
+          val data = xrefStreamData(b, st).getOrElse(return None)
+          val w = st.dict.m.get("W") match {
+            case Some(PArr(Vector(PInt(a), PInt(bb2), PInt(c))))
+              if a >= 0 && a <= 4 && bb2 >= 0 && bb2 <= 8 && c >= 0 && c <= 8 =>
+              (a.toInt, bb2.toInt, c.toInt)
+            case _ => return None
+          }
+          val size = st.dict.m.get("Size") match {
+            case Some(PInt(n)) if n >= 0 && n <= MaxObjects => n
+            case _ => return None
+          }
+          val index: Seq[(Long, Long)] = st.dict.m.get("Index") match {
+            case None => Seq((0L, size))
+            case Some(PArr(items)) if items.length % 2 == 0 =>
+              items.grouped(2).map {
+                case Vector(PInt(s0), PInt(c0)) if s0 >= 0 && c0 >= 0 => (s0, c0)
+                case _ => return None
+              }.toSeq
+            case _ => return None
+          }
+          val rowLen = w._1 + w._2 + w._3
+          if (rowLen <= 0) return None
+          var pos = 0
+          def field(width: Int, default: Long): Long = {
+            if (width == 0) return default
+            var v = 0L
+            var i = 0
+            while (i < width) { v = (v << 8) | (data(pos + i) & 0xffL); i += 1 }
+            pos += width
+            v
+          }
+          index.foreach { case (start, count) =>
+            if (count > MaxObjects || xref.size > MaxObjects) return None
+            var i = 0L
+            while (i < count) {
+              if (pos + rowLen > data.length) return None
+              val typ = field(w._1, 1L) // absent type field defaults to 1
+              val f2 = field(w._2, 0L)
+              val f3 = field(w._3, 0L)
+              val num = start + i
+              if (!xref.contains(num)) typ match {
+                case 0 => () // free
+                case 1 =>
+                  if (f2 < 0 || f2 >= b.length) return None
+                  xref(num) = InFile(f2)
+                case 2 => xref(num) = InStm(f2, f3)
+                case _ => return None
+              }
+              i += 1
+            }
+          }
+          st.dict
         }
-        t = l.token()
-      }
-      val trailer = l.parseValue(0) match {
-        case d: PDict => d
-        case _ => return None
-      }
       if (trailer.m.contains("Encrypt")) return None // encrypted: reject
       if (rootRef == PNull) rootRef = trailer.m.getOrElse("Root", PNull)
-      at = trailer.m.get("Prev") match {
-        case Some(PInt(p)) if p >= 0 && p < b.length => p
+      trailer.m.get("Prev") match {
+        case Some(PInt(p)) => pending.push(p)
         case Some(_) => return None
-        case None => -1L
+        case None => ()
+      }
+      // hybrid-reference files: the classic trailer points at an
+      // ADDITIONAL xref stream holding the in-objstm entries
+      trailer.m.get("XRefStm") match {
+        case Some(PInt(p)) => pending.push(p)
+        case Some(_) => return None
+        case None => ()
       }
     }
     if (rootRef == PNull) return None
 
-    // indirect-object resolution with memo + cycle guard
+    // indirect-object resolution with memo + cycle guard; type-2
+    // entries resolve through their container OBJECT STREAM
+    // (/Type /ObjStm: N (objnum, offset) header pairs, values at
+    // /First + offset — streams cannot nest inside one, so every
+    // member is a plain value)
     val cache = mutable.Map.empty[Long, Obj]
     val inFlight = mutable.Set.empty[Long]
-    def parseIndirect(num: Long): Obj = {
-      val off = xref.getOrElse(num, bad())
+    val objStmCache = mutable.Map.empty[Long, Map[Long, Obj]]
+    def objStmMembers(stm: Long): Map[Long, Obj] =
+      objStmCache.getOrElseUpdate(stm, {
+        val container = xref.get(stm) match {
+          case Some(InFile(off)) =>
+            parseStreamObjectAt(b, off.toInt).getOrElse(bad())
+          case _ => bad() // an objstm cannot itself live in an objstm
+        }
+        if (container.dict.m.get("Type") != Some(PName("ObjStm"))) bad()
+        val n = container.dict.m.get("N") match {
+          case Some(PInt(v)) if v >= 0 && v <= MaxObjects => v.toInt
+          case _ => bad()
+        }
+        val first = container.dict.m.get("First") match {
+          case Some(PInt(v)) if v >= 0 => v.toInt
+          case _ => bad()
+        }
+        val data = container.dict.m.get("Filter") match {
+          case None | Some(PNull) => container.raw
+          case Some(PName("FlateDecode")) => inflate(container.raw)
+          case Some(PArr(Vector(PName("FlateDecode")))) => inflate(container.raw)
+          case _ => bad()
+        }
+        val hl = new Lexer(data, 0)
+        val pairs = (0 until n).map(_ => (hl.parseLong(), hl.parseLong()))
+        pairs.map { case (objNum, off) =>
+          if (first + off < 0 || first + off >= data.length) bad()
+          val vl = new Lexer(data, first + off.toInt)
+          objNum -> vl.parseValue(0)
+        }.toMap
+      })
+    def parseInStream(num: Long, stm: Long): Obj =
+      objStmMembers(stm).getOrElse(num, bad())
+    def parseIndirect(num: Long): Obj = xref.getOrElse(num, bad()) match {
+      case InStm(stm, _) => parseInStream(num, stm)
+      case InFile(off) => parseInFile(num, off)
+    }
+    def parseInFile(num: Long, off: Long): Obj = {
       val l = new Lexer(b, off.toInt)
       if (l.parseLong() != num) bad()
       l.parseLong() // gen
@@ -524,43 +743,52 @@ object PdfText {
     * `brokenXref`, the catalog's xref offset is corrupted.
     */
   def pdfBytes(tag: Int, nPages: Int, flate: Boolean,
-      encrypted: Boolean = false, brokenXref: Boolean = false): Array[Byte] = {
+      encrypted: Boolean = false, brokenXref: Boolean = false,
+      xrefStream: Boolean = false, predictor: Boolean = false): Array[Byte] = {
     val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
     val out = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes(latin1))
     val offsets = mutable.Map.empty[Int, Int]
     w("%PDF-1.4\n%âãÏÓ\n")
     // object numbers: 1 catalog, 2 pages, then per page i: 3+2i page,
-    // 4+2i content
+    // 4+2i content. In the xrefStream layout the catalog/pages/page
+    // dicts live in an OBJECT STREAM (object nObjs+1) and the
+    // cross-reference is itself a stream (object nObjs+2) — the
+    // modern-default file shape.
     def obj(num: Int)(body: => Unit): Unit = {
       offsets(num) = out.size()
       w(s"$num 0 obj\n")
       body
       w("\nendobj\n")
     }
-    obj(1) { w("<< /Type /Catalog /Pages 2 0 R >>") }
-    obj(2) {
+    def deflate(cb0: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(cb0); d.finish()
+      val bb = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      while (!d.finished()) bb.write(tmp, 0, d.deflate(tmp))
+      d.end()
+      bb.toByteArray
+    }
+    val catalogBody = "<< /Type /Catalog /Pages 2 0 R >>"
+    val pagesBody = {
       val kids = (0 until nPages).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
-      w(s"<< /Type /Pages /Kids [ $kids ] /Count $nPages >>")
+      s"<< /Type /Pages /Kids [ $kids ] /Count $nPages >>"
+    }
+    def pageBody(i: Int): String =
+      s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Contents ${4 + 2 * i} 0 R >>"
+    if (!xrefStream) {
+      obj(1) { w(catalogBody) }
+      obj(2) { w(pagesBody) }
     }
     for (i <- 0 until nPages) {
-      obj(3 + 2 * i) {
-        w(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
-          s"/Contents ${4 + 2 * i} 0 R >>")
-      }
+      if (!xrefStream) obj(3 + 2 * i) { w(pageBody(i)) }
       val content =
         s"BT /F1 12 Tf 72 720 Td (Page $i of pdf $tag:) Tj " +
           s"[(alpha )-250(beta)] TJ (gamma \\($tag\\)) Tj <68657821> Tj ET"
       val cb0 = content.getBytes(latin1)
-      val cb = if (flate) {
-        val d = new java.util.zip.Deflater()
-        d.setInput(cb0); d.finish()
-        val bb = new java.io.ByteArrayOutputStream()
-        val tmp = new Array[Byte](8192)
-        while (!d.finished()) bb.write(tmp, 0, d.deflate(tmp))
-        d.end()
-        bb.toByteArray
-      } else cb0
+      val cb = if (flate) deflate(cb0) else cb0
       obj(4 + 2 * i) {
         val filter = if (flate) " /Filter /FlateDecode" else ""
         w(s"<< /Length ${cb.length}$filter >>\nstream\n")
@@ -569,16 +797,90 @@ object PdfText {
       }
     }
     val nObjs = 2 + 2 * nPages
-    val xrefAt = out.size()
-    w(s"xref\n0 ${nObjs + 1}\n")
-    w("0000000000 65535 f \n")
-    for (n <- 1 to nObjs) {
-      val off = if (n == 1 && brokenXref) offsets(1) + 3 else offsets(n)
-      w(f"$off%010d 00000 n \n")
+    if (!xrefStream) {
+      val xrefAt = out.size()
+      w(s"xref\n0 ${nObjs + 1}\n")
+      w("0000000000 65535 f \n")
+      for (n <- 1 to nObjs) {
+        val off = if (n == 1 && brokenXref) offsets(1) + 3 else offsets(n)
+        w(f"$off%010d 00000 n \n")
+      }
+      val enc = if (encrypted) " /Encrypt 9999 0 R" else ""
+      w(s"trailer\n<< /Size ${nObjs + 1} /Root 1 0 R$enc >>\n")
+      w(s"startxref\n$xrefAt\n%%EOF\n")
+    } else {
+      // ---- object stream holding catalog + pages + page dicts
+      val stmObjNum = nObjs + 1
+      val xrefObjNum = nObjs + 2
+      val members: Seq[(Int, String)] =
+        Seq(1 -> catalogBody, 2 -> pagesBody) ++
+          (0 until nPages).map(i => (3 + 2 * i) -> pageBody(i))
+      val bodies = new java.io.ByteArrayOutputStream()
+      val pairs = new StringBuilder
+      members.foreach { case (num, body) =>
+        pairs.append(s"$num ${bodies.size()} ")
+        bodies.write(body.getBytes(latin1))
+        bodies.write(' ')
+      }
+      val header = pairs.toString.getBytes(latin1)
+      val stmData = header ++ bodies.toByteArray
+      val stmComp = if (flate) deflate(stmData) else stmData
+      obj(stmObjNum) {
+        val filter = if (flate) " /Filter /FlateDecode" else ""
+        w(s"<< /Type /ObjStm /N ${members.size} /First ${header.length}" +
+          s"$filter /Length ${stmComp.length} >>\nstream\n")
+        out.write(stmComp)
+        w("\nendstream")
+      }
+      // ---- cross-reference stream: W = [1 2 2]
+      val xrefAt = out.size()
+      offsets(xrefObjNum) = xrefAt
+      def row(t: Int, f2: Int, f3: Int): Array[Byte] =
+        Array(t.toByte, ((f2 >> 8) & 0xff).toByte, (f2 & 0xff).toByte,
+          ((f3 >> 8) & 0xff).toByte, (f3 & 0xff).toByte)
+      val rows = new java.io.ByteArrayOutputStream()
+      rows.write(row(0, 0, 0)) // object 0: free
+      var num = 1
+      val memberIdx = members.zipWithIndex.map { case ((n2, _), i2) => n2 -> i2 }.toMap
+      while (num <= nObjs) {
+        if (memberIdx.contains(num)) rows.write(row(2, stmObjNum, memberIdx(num)))
+        else rows.write(row(1, offsets(num), 0))
+        num += 1
+      }
+      rows.write(row(1, offsets(stmObjNum), 0))
+      rows.write(row(1, xrefAt, 0))
+      val rawRows = rows.toByteArray
+      val (finalData, parms) =
+        if (predictor) {
+          // PNG UP filter rows (predictor 12), then Flate — the layout
+          // real writers emit
+          val cols = 5
+          val n = rawRows.length / cols
+          val filtered = new java.io.ByteArrayOutputStream()
+          var r = 0
+          while (r < n) {
+            filtered.write(2) // Up
+            var x = 0
+            while (x < cols) {
+              val cur = rawRows(r * cols + x) & 0xff
+              val up = if (r > 0) rawRows((r - 1) * cols + x) & 0xff else 0
+              filtered.write((cur - up) & 0xff)
+              x += 1
+            }
+            r += 1
+          }
+          (deflate(filtered.toByteArray),
+            " /Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 5 >>")
+        } else if (flate) (deflate(rawRows), " /Filter /FlateDecode")
+        else (rawRows, "")
+      val enc = if (encrypted) " /Encrypt 9999 0 R" else ""
+      w(s"$xrefObjNum 0 obj\n<< /Type /XRef /Size ${xrefObjNum + 1} " +
+        s"/W [1 2 2] /Root 1 0 R$enc$parms /Length ${finalData.length} " +
+        s">>\nstream\n")
+      out.write(finalData)
+      w("\nendstream\nendobj\n")
+      w(s"startxref\n$xrefAt\n%%EOF\n")
     }
-    val enc = if (encrypted) " /Encrypt 9999 0 R" else ""
-    w(s"trailer\n<< /Size ${nObjs + 1} /Root 1 0 R$enc >>\n")
-    w(s"startxref\n$xrefAt\n%%EOF\n")
     out.toByteArray
   }
 }

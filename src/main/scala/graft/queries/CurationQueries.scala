@@ -12391,8 +12391,12 @@ object CurationQueries {
     * literal strings, hex strings) join into the page text. Every
     * sixth fixture carries an /Encrypt trailer entry and must reject
     * WHOLE-FILE (valid = false, zero pages — an extractor that
-    * partially reads an encrypted document invents text). The oracle
-    * replays the fixture's closed-form page text with string_agg.
+    * partially reads an encrypted document invents text). Fixtures
+    * cycle the classic-xref, xref-stream + object-stream, and
+    * PNG-predicted xref-stream layouts (the modern default most
+    * generators emit) — extraction is layout-invariant, so one oracle
+    * covers all three. It replays the closed-form page text with
+    * string_agg.
     *
     * Scale: the parseAll narrow shape — one partition-mapped
     * parse+inflate per file; page/op counts and the text leave the
@@ -12407,7 +12411,12 @@ object CurationQueries {
           val k = r.getInt(0)
           java.nio.file.Files.write(p.resolve(f"d_$k%02d.bin"),
             graft.operators.PdfText.pdfBytes(
-              k, 1 + k % 3, flate = k % 2 == 0, encrypted = k % 6 == 5))
+              k, 1 + k % 3, flate = k % 2 == 0, encrypted = k % 6 == 5,
+              // cycle all three real-world layouts: classic tables,
+              // xref streams + object streams, and predicted xref
+              // streams — extraction is layout-invariant, so the
+              // oracle is unchanged
+              xrefStream = k % 3 != 0, predictor = k % 3 == 2))
         }
       val scanned = s.read.format("binaryFile").load(base)
         .select(regexp_extract(col("path"), "d_(\\d+)\\.", 1).cast("long")

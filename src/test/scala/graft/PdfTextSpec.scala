@@ -60,6 +60,40 @@ class PdfTextSpec extends AnyFunSuite {
     assert(text == "AB\\C (nested) ok line A@")
   }
 
+  test("xref streams + object streams: the modern layout extracts identically") {
+    for (pred <- Seq(false, true); flate <- Seq(false, true); pages <- Seq(1, 3)) {
+      val classic = PdfText.pdfText(PdfText.pdfBytes(9, pages, flate))
+      val modern = PdfText.pdfText(PdfText.pdfBytes(9, pages, flate,
+        xrefStream = true, predictor = pred))
+      assert(modern.isDefined, s"pred=$pred flate=$flate pages=$pages rejected")
+      assert(modern == classic,
+        s"pred=$pred flate=$flate pages=$pages: layouts diverge")
+    }
+    // encrypted xref-stream files reject the same way classic ones do
+    assert(PdfText.pdfText(PdfText.pdfBytes(9, 2, flate = true,
+      encrypted = true, xrefStream = true)).isEmpty)
+  }
+
+  test("xref-stream structural damage rejects whole-file") {
+    val b = PdfText.pdfBytes(4, 2, flate = true, xrefStream = true,
+      predictor = true)
+    val s = new String(b, "ISO-8859-1")
+    // corrupt the /W widths: entries misparse -> reject
+    val wAt = s.indexOf("/W [1 2 2]")
+    assert(wAt > 0)
+    val badW = b.clone()
+    badW(wAt + 4) = '9'
+    assert(PdfText.pdfText(badW).isEmpty)
+    // truncate inside the xref stream payload
+    assert(PdfText.pdfText(b.dropRight(30)).isEmpty)
+    // corrupt the object stream's /First offset
+    val fAt = s.indexOf("/First ")
+    val badF = b.clone()
+    badF(fAt + 7) = '9'
+    assert(PdfText.pdfText(badF).isEmpty ||
+      PdfText.pdfText(badF) != PdfText.pdfText(b)) // misparse never silent
+  }
+
   test("encrypted, xref-stream-shaped, and broken-xref files reject whole-file") {
     assert(PdfText.pdfText(
       PdfText.pdfBytes(3, 2, flate = true, encrypted = true)).isEmpty)
