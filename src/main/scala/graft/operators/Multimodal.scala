@@ -457,6 +457,79 @@ object Multimodal {
     Some(out)
   }
 
+  /** Growable-output twin of [[tiffLzwDecode]] for callers that do not
+    * know the regenerated size upfront (PDF /LZWDecode — same MSB-first
+    * code stream, Clear 256 / EOI 257, default early-change rule).
+    * Returns the decoded bytes or None; output capped at `maxOut`.
+    */
+  private[graft] def lzwMsbDecodeGrow(b: Array[Byte], off: Int, len: Int,
+      maxOut: Int): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(64, len * 2))
+    val prevOf = new Array[Int](4096)
+    val byteOf = new Array[Byte](4096)
+    var next = 258
+    var width = 9
+    var bitPos = 0L
+    val bitEnd = len.toLong * 8
+    def readCode(): Int = {
+      if (bitPos + width > bitEnd) return -1
+      var v = 0
+      var i = 0
+      while (i < width) {
+        val bp = bitPos + i
+        val byt = b(off + (bp >> 3).toInt) & 0xff
+        v = (v << 1) | ((byt >> (7 - (bp & 7).toInt)) & 1)
+        i += 1
+      }
+      bitPos += width
+      v
+    }
+    val tmp = new Array[Byte](4096)
+    def emit(code: Int): Boolean = {
+      var n = 0
+      var c = code
+      while (c >= 258) { tmp(n) = byteOf(c); n += 1; c = prevOf(c) }
+      tmp(n) = c.toByte
+      n += 1
+      if (out.size() + n > maxOut) return false
+      var i = n - 1
+      while (i >= 0) { out.write(tmp(i)); i -= 1 }
+      true
+    }
+    def firstByte(code: Int): Byte = {
+      var c = code
+      while (c >= 258) c = prevOf(c)
+      c.toByte
+    }
+    var prev = -1
+    var done = false
+    while (!done) {
+      val code = readCode()
+      if (code < 0) return None
+      if (code == 257) done = true
+      else if (code == 256) { next = 258; width = 9; prev = -1 }
+      else if (prev < 0) {
+        if (code > 255) return None
+        if (!emit(code)) return None
+        prev = code
+      } else {
+        if (code > next) return None
+        if (code == next) {
+          if (next >= 4096) return None
+          prevOf(next) = prev; byteOf(next) = firstByte(prev)
+          next += 1
+          if (!emit(code)) return None
+        } else {
+          if (next < 4096) { prevOf(next) = prev; byteOf(next) = firstByte(code); next += 1 }
+          if (!emit(code)) return None
+        }
+        prev = code
+        if (next == (1 << width) - 1 && width < 12) width += 1
+      }
+    }
+    Some(out.toByteArray)
+  }
+
   /** TIFF LZW encoder (fixture side): MSB-first writer, Clear emitted
     * first and at table-full, early-change width bumps mirroring a
     * SIMULATED decoder counter (the GIF width-sync lesson: the decoder

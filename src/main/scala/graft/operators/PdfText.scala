@@ -620,15 +620,30 @@ object PdfText {
     }
     walk(pagesRoot, 0)
 
-    // decode each page's content stream(s)
+    // decode each page's content stream(s): filter CHAINS apply in
+    // array order (the spec's decode order); Flate, LZW (MSB-first,
+    // default early change — the shared [[Multimodal.lzwMsbDecodeGrow]]
+    // core) and ASCIIHex are in scope, anything else rejects
+    def applyFilter(name: String, data: Array[Byte]): Array[Byte] =
+      name match {
+        case "FlateDecode" | "Fl" => inflate(data)
+        case "LZWDecode" | "LZW" =>
+          Multimodal.lzwMsbDecodeGrow(data, 0, data.length, 64 << 20)
+            .getOrElse(bad())
+        case "ASCIIHexDecode" | "AHx" => asciiHexDecode(data)
+        case _ => bad() // unsupported filter: reject, never misread
+      }
     def streamBytes(st: PStream): Array[Byte] = {
       if (st.dict.m.contains("DecodeParms") || st.dict.m.contains("DP")) bad()
       resolve(st.dict.m.getOrElse("Filter", PNull), 0) match {
         case PNull => st.raw
-        case PName("FlateDecode") => inflate(st.raw)
-        case PArr(Vector()) => st.raw
-        case PArr(Vector(PName("FlateDecode"))) => inflate(st.raw)
-        case _ => bad() // unsupported filter: reject, never misread
+        case PName(n) => applyFilter(n, st.raw)
+        case PArr(items) =>
+          items.foldLeft(st.raw) {
+            case (data, PName(n)) => applyFilter(n, data)
+            case _ => bad()
+          }
+        case _ => bad()
       }
     }
     var nTextOps = 0L
@@ -672,6 +687,29 @@ object PdfText {
       out.toByteArray
     } catch { case _: java.util.zip.DataFormatException => bad() }
     finally inf.end()
+  }
+
+  /** ASCIIHexDecode: hex pairs, whitespace ignored, '>' terminates
+    * (an odd final digit pads with 0 per spec).
+    */
+  private def asciiHexDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2)
+    var hi = -1
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val c = data(i) & 0xff
+      if (c == '>') done = true
+      else if (!isWs(c)) {
+        val d = Character.digit(c, 16)
+        if (d < 0) bad()
+        if (hi < 0) hi = d else { out.write((hi << 4) | d); hi = -1 }
+      }
+      i += 1
+    }
+    if (!done) bad() // the EOD marker is required
+    if (hi >= 0) out.write(hi << 4)
+    out.toByteArray
   }
 
   /** Scan a decoded content stream for BT..ET text-showing operators.
@@ -744,7 +782,8 @@ object PdfText {
     */
   def pdfBytes(tag: Int, nPages: Int, flate: Boolean,
       encrypted: Boolean = false, brokenXref: Boolean = false,
-      xrefStream: Boolean = false, predictor: Boolean = false): Array[Byte] = {
+      xrefStream: Boolean = false, predictor: Boolean = false,
+      lzw: Boolean = false, ahx: Boolean = false): Array[Byte] = {
     val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
     val out = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes(latin1))
@@ -788,9 +827,22 @@ object PdfText {
         s"BT /F1 12 Tf 72 720 Td (Page $i of pdf $tag:) Tj " +
           s"[(alpha )-250(beta)] TJ (gamma \\($tag\\)) Tj <68657821> Tj ET"
       val cb0 = content.getBytes(latin1)
-      val cb = if (flate) deflate(cb0) else cb0
+      // content filter ladder: LZW (via the TIFF encoder) or Flate,
+      // optionally wrapped in ASCIIHex — /Filter lists in DECODE order
+      var cb = cb0
+      var names = Vector.empty[String]
+      if (lzw) { cb = Multimodal.tiffLzwEncode(cb); names :+= "/LZWDecode" }
+      else if (flate) { cb = deflate(cb); names :+= "/FlateDecode" }
+      if (ahx) {
+        cb = (cb.map("%02x".format(_)).mkString + ">").getBytes(latin1)
+        names = "/ASCIIHexDecode" +: names
+      }
       obj(4 + 2 * i) {
-        val filter = if (flate) " /Filter /FlateDecode" else ""
+        val filter = names.length match {
+          case 0 => ""
+          case 1 => s" /Filter ${names.head}"
+          case _ => s" /Filter [ ${names.mkString(" ")} ]"
+        }
         w(s"<< /Length ${cb.length}$filter >>\nstream\n")
         out.write(cb)
         w("\nendstream")

@@ -12412,11 +12412,13 @@ object CurationQueries {
           java.nio.file.Files.write(p.resolve(f"d_$k%02d.bin"),
             graft.operators.PdfText.pdfBytes(
               k, 1 + k % 3, flate = k % 2 == 0, encrypted = k % 6 == 5,
-              // cycle all three real-world layouts: classic tables,
-              // xref streams + object streams, and predicted xref
-              // streams — extraction is layout-invariant, so the
-              // oracle is unchanged
-              xrefStream = k % 3 != 0, predictor = k % 3 == 2))
+              // cycle the real-world layout AND filter ladders:
+              // classic tables / xref+object streams / predicted xref
+              // streams, and Flate / LZW / ASCIIHex-chained content —
+              // extraction is invariant to all of it, so one oracle
+              // covers every combination
+              xrefStream = k % 3 != 0, predictor = k % 3 == 2,
+              lzw = k % 4 == 1, ahx = k % 8 == 3))
         }
       val scanned = s.read.format("binaryFile").load(base)
         .select(regexp_extract(col("path"), "d_(\\d+)\\.", 1).cast("long")

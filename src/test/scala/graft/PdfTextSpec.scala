@@ -146,12 +146,27 @@ class PdfTextSpec extends AnyFunSuite {
     val content = "BT (x) Tj ET"
     assert(PdfText.pdfText(onePage("", content)).nonEmpty) // control
     assert(PdfText.pdfText(
-      onePage(" /Filter /LZWDecode", content)).isEmpty)
+      onePage(" /Filter /RunLengthDecode", content)).isEmpty)
     assert(PdfText.pdfText(
-      onePage(" /Filter [ /ASCIIHexDecode /FlateDecode ]", content)).isEmpty)
+      onePage(" /Filter /DCTDecode", content)).isEmpty)
+    // a DECLARED supported filter over data that is not actually
+    // encoded that way must reject, never mis-decode
+    assert(PdfText.pdfText(
+      onePage(" /Filter /LZWDecode", content)).isEmpty)
     assert(PdfText.pdfText(
       onePage(" /Filter /FlateDecode /DecodeParms << /Predictor 12 >>",
         content)).isEmpty)
+  }
+
+  test("LZW and ASCIIHex content filters, single and chained") {
+    val ref = PdfText.pdfText(PdfText.pdfBytes(6, 2, flate = false))
+    assert(ref.nonEmpty)
+    for ((lzw, flate, ahx) <- Seq((true, false, false), (false, false, true),
+        (true, false, true), (false, true, true))) {
+      val got = PdfText.pdfText(PdfText.pdfBytes(6, 2, flate = flate,
+        lzw = lzw, ahx = ahx))
+      assert(got == ref, s"lzw=$lzw flate=$flate ahx=$ahx diverged")
+    }
   }
 
   test("the sniffer routes and validates the pdf family") {
