@@ -9841,24 +9841,35 @@ object CurationQueries {
   private val textFtsParse = Q(
     (s, dir) => {
       import s.implicits._
-      // the query TABLE — strings as data, parsed at run time
+      // the query TABLE — strings as data, parsed at run time; the
+      // dialect column routes each row to to_tsquery or
+      // websearch_to_tsquery (both PG parsing surfaces)
       val queryTable = Seq(
-        "q01_and" -> "dup & vector",
-        "q02_phrase" -> "hash <-> join",
-        "q03_andnot" -> "scan & !filter",
-        "q04_or" -> "dup | merge <-> sort",
-        "q05_phrase_not" -> "merge <-> sort & !slow",
-        "q06_mixed" -> "data <-> table | dup & vector",
-        "q07_nested" -> "(dup | vector) & !slow",
-        "q08_prefix" -> "sca:*",
-        "q09_dist2" -> "hash <2> scan",
-        "q10_negation" -> "!slow",
-        "q11_deep" -> "((scan | filter) & (sort | merge)) & !dup",
-        "q12_quoted" -> "'hash join'").toDF("query_id", "q")
+        ("q01_and", "dup & vector", "tsquery"),
+        ("q02_phrase", "hash <-> join", "tsquery"),
+        ("q03_andnot", "scan & !filter", "tsquery"),
+        ("q04_or", "dup | merge <-> sort", "tsquery"),
+        ("q05_phrase_not", "merge <-> sort & !slow", "tsquery"),
+        ("q06_mixed", "data <-> table | dup & vector", "tsquery"),
+        ("q07_nested", "(dup | vector) & !slow", "tsquery"),
+        ("q08_prefix", "sca:*", "tsquery"),
+        ("q09_dist2", "hash <2> scan", "tsquery"),
+        ("q10_negation", "!slow", "tsquery"),
+        ("q11_deep", "((scan | filter) & (sort | merge)) & !dup", "tsquery"),
+        ("q12_quoted", "'hash join'", "tsquery"),
+        ("q13_web_and", "dup vector", "websearch"),
+        ("q14_web_or", "dup OR \"merge sort\"", "websearch"),
+        ("q15_web_neg", "scan -filter", "websearch"),
+        ("q16_web_mixed", "\"data table\" or dup vector", "websearch"))
+        .toDF("query_id", "q", "dialect")
       val parsed: Seq[(String, graft.operators.TsQuery.Ast)] = queryTable
         .collect() // bounded by the query table — driver-side parse
         .map { r =>
-          (r.getString(0), graft.operators.TsQuery.parse(r.getString(1))
+          val parse =
+            if (r.getString(2) == "websearch")
+              graft.operators.TsQuery.parseWebsearch _
+            else graft.operators.TsQuery.parse _
+          (r.getString(0), parse(r.getString(1))
             .getOrElse(throw new IllegalArgumentException(
               s"malformed tsquery: ${r.getString(1)}")))
         }.toSeq
@@ -9948,6 +9959,15 @@ object CurationQueries {
            |      AND t NOT LIKE '% dup %'
            |  UNION ALL SELECT 'q12_quoted', doc_id FROM d
            |    WHERE t LIKE '% hash join %'
+           |  UNION ALL SELECT 'q13_web_and', doc_id FROM d
+           |    WHERE t LIKE '% dup %' AND t LIKE '% vector %'
+           |  UNION ALL SELECT 'q14_web_or', doc_id FROM d
+           |    WHERE t LIKE '% dup %' OR t LIKE '% merge sort %'
+           |  UNION ALL SELECT 'q15_web_neg', doc_id FROM d
+           |    WHERE t LIKE '% scan %' AND t NOT LIKE '% filter %'
+           |  UNION ALL SELECT 'q16_web_mixed', doc_id FROM d
+           |    WHERE t LIKE '% data table %'
+           |      OR (t LIKE '% dup %' AND t LIKE '% vector %')
            |)
            |SELECT query_id, doc_id FROM m
            |ORDER BY query_id, doc_id""".stripMargin))

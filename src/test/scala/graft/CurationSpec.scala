@@ -1103,5 +1103,14 @@ class CurationSpec extends SparkSpec {
       assert(a.nonEmpty, s"$f matched nothing — vacuous pin")
       assert(a == b, s"$f vs $pq diverged: ${a.size} vs ${b.size} docs")
     }
+    // and the websearch dialect realizes the same semantics as its
+    // to_tsquery counterparts (both PG parsing surfaces, one evaluator)
+    val webPairs = Seq("q01_and" -> "q13_web_and", "q04_or" -> "q14_web_or",
+      "q03_andnot" -> "q15_web_neg", "q06_mixed" -> "q16_web_mixed")
+    webPairs.foreach { case (tq, wq) =>
+      val a = parsed.filter(_._1 == tq).map(_._2).sorted.toSeq
+      val b = parsed.filter(_._1 == wq).map(_._2).sorted.toSeq
+      assert(a.nonEmpty && a == b, s"$tq vs $wq diverged")
+    }
   }
 }

@@ -68,6 +68,28 @@ class TsQuerySpec extends AnyFunSuite {
     assert(TsQuery.parse("a <-> (b & c)").isEmpty)
   }
 
+  test("websearch dialect: implicit AND, quoted phrases, OR groups, -negation") {
+    assert(TsQuery.parseWebsearch("dup vector")
+      .contains(And(Term("dup"), Term("vector"))))
+    assert(TsQuery.parseWebsearch("dup OR \"merge sort\"")
+      .contains(Or(Term("dup"), Dist(Term("merge"), 1, Term("sort")))))
+    assert(TsQuery.parseWebsearch("scan -filter")
+      .contains(And(Term("scan"), Not(Term("filter")))))
+    // OR separates AND groups (a b or c d -> (a&b)|(c&d))
+    assert(TsQuery.parseWebsearch("data table or dup vector")
+      .contains(Or(And(Term("data"), Term("table")),
+        And(Term("dup"), Term("vector")))))
+    // -"phrase" negates the whole chain; case folds like PG's dictionary
+    assert(TsQuery.parseWebsearch("x -\"merge sort\"")
+      .contains(And(Term("x"), Not(Dist(Term("merge"), 1, Term("sort"))))))
+    assert(TsQuery.parseWebsearch("DUP Vector")
+      .contains(And(Term("dup"), Term("vector"))))
+    // rejects: empty, dangling or/-, unterminated phrase, empty phrase
+    for (bad <- Seq("", "or", "a or", "or a", "a or or b", "-", "a -",
+        "\"unterminated", "\"\"", "a & b"))
+      assert(TsQuery.parseWebsearch(bad).isEmpty, s"accepted: $bad")
+  }
+
   test("vocabulary walk collects exact terms and prefixes") {
     val Some(ast) = TsQuery.parse("(a | sca:*) & !b & c <2> d"): @unchecked
     val (terms, prefixes) = TsQuery.vocabulary(ast)
