@@ -33,6 +33,14 @@ class ZstdSpec extends AnyFunSuite {
     }
   }
 
+  test("degenerate-shape members: all-zero and striped data decode exactly") {
+    val Some((_, _, z)) = Zstd.decompress(ZstdVectors.zeros20k): @unchecked
+    assert(z.length == 20000 && z.forall(_ == 0))
+    val Some((_, _, a)) = Zstd.decompress(ZstdVectors.altStripes): @unchecked
+    val expect = (("A" * 500) + ("B" * 500)) * 12
+    assert(new String(a, "UTF-8") == expect)
+  }
+
   test("raw/RLE frame builders round-trip, with verified checksums") {
     val content = (0 until 500).map(i => ('a' + i % 26).toChar).mkString
       .getBytes("UTF-8")
