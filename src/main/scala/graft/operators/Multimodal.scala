@@ -76,10 +76,50 @@ object Multimodal {
   def withPayload(documents: DataFrame): DataFrame =
     documents.withColumn("payload", encode(col("text"), "UTF-8"))
 
-  /** "Resize" stub: deterministic fixed-length feature vector from the
-    * payload (byte-bucket histogram, L1-normalized) — stands in for an
-    * image thumbnail / mel spectrogram. Shape contract: every row yields
-    * exactly `dim` floats, the invariant a downstream embedding model
+  /** REAL thumbnail featurizer: when the payload decodes as an image
+    * with full pixels (the PNG tier — every color type, interlace and
+    * filter profile the decoder handles), the feature is a box-filter
+    * DOWNSCALE of the actual pixels to a √dim x √dim grayscale grid
+    * (Rec. 601 luminance per pixel, cell means, L1-normalized) — the
+    * real resize the r19 "stub featurizer" seam asked for. Returns
+    * None for payloads without a pixel decode (callers fall back).
+    */
+  def resizeThumbnail(b: Array[Byte], grid: Int): Option[Array[Float]] =
+    pngDecodeRgb(b).flatMap { case (w, h, rgb) =>
+      if (w <= 0 || h <= 0) None
+      else {
+        val acc = new Array[Double](grid * grid)
+        val cnt = new Array[Long](grid * grid)
+        var y = 0
+        while (y < h) {
+          val gy = y * grid / h
+          var x = 0
+          while (x < w) {
+            val gx = x * grid / w
+            val o = (y * w + x) * 3
+            acc(gy * grid + gx) += 0.299 * (rgb(o) & 0xff) +
+              0.587 * (rgb(o + 1) & 0xff) + 0.114 * (rgb(o + 2) & 0xff)
+            cnt(gy * grid + gx) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val means = Array.tabulate(grid * grid)(i =>
+          if (cnt(i) > 0) acc(i) / cnt(i) else 0.0)
+        val total = means.sum
+        Some(
+          if (total <= 0) new Array[Float](grid * grid)
+          else means.map(m => (m / total).toFloat))
+      }
+    }
+
+  /** Fixed-length feature vector per payload: REAL pixel thumbnails
+    * via [[resizeThumbnail]] when `dim` is a perfect square and the
+    * payload decodes (PNG tier); otherwise the deterministic
+    * byte-bucket histogram fallback (documented placeholder for
+    * payloads without pixel structure — text bytes, undecoded
+    * containers). Shape contract either way: exactly `dim`
+    * L1-normalized floats, the invariant a downstream embedding model
     * needs. Narrow stage, same batch plumbing as [[decodeAll]].
     */
   final case class MediaFeature(docId: Long, feature: Array[Float])
@@ -87,17 +127,24 @@ object Multimodal {
   def featurizeAll(df: DataFrame, dim: Int = 16): Dataset[MediaFeature] = {
     val spark = df.sparkSession
     import spark.implicits._
+    val grid = math.sqrt(dim.toDouble).toInt
+    val square = grid * grid == dim
     df.select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val hist = new Array[Float](dim)
-          var i = 0
-          while (i < bytes.length) { hist((bytes(i) & 0xff) % dim) += 1f; i += 1 }
-          val total = math.max(bytes.length, 1).toFloat
-          var j = 0
-          while (j < dim) { hist(j) /= total; j += 1 }
-          MediaFeature(id, hist)
+          val real =
+            if (square) resizeThumbnail(bytes, grid) else None
+          val feature = real.getOrElse {
+            val hist = new Array[Float](dim)
+            var i = 0
+            while (i < bytes.length) { hist((bytes(i) & 0xff) % dim) += 1f; i += 1 }
+            val total = math.max(bytes.length, 1).toFloat
+            var j = 0
+            while (j < dim) { hist(j) /= total; j += 1 }
+            hist
+          }
+          MediaFeature(id, feature)
         }
       }
   }

@@ -97,6 +97,41 @@ class NorthStarSpec extends SparkSpec {
     assert(frames.groupBy(_.docId).values.forall(_.length <= 4))
   }
 
+  test("featurize: PNG payloads yield REAL pixel thumbnails (box-filter closed form)") {
+    import graft.operators.Multimodal
+    // independent recompute: the decoder is JDK-cross-checked elsewhere,
+    // so the box filter over its pixels is a fair oracle here
+    val png = Multimodal.pngGradientBytes(23, 11)
+    val Some(feat) = Multimodal.resizeThumbnail(png, 4): @unchecked
+    assert(feat.length == 16)
+    assert(math.abs(feat.sum - 1.0f) < 1e-4f, s"not L1-normalized: ${feat.sum}")
+    val Some((w, h, rgb)) = Multimodal.pngDecodeRgb(png): @unchecked
+    val acc = new Array[Double](16); val cnt = new Array[Long](16)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      val lum = 0.299 * (rgb(o) & 0xff) + 0.587 * (rgb(o + 1) & 0xff) +
+        0.114 * (rgb(o + 2) & 0xff)
+      val cell = (y * 4 / h) * 4 + (x * 4 / w)
+      acc(cell) += lum; cnt(cell) += 1
+    }
+    val means = (0 until 16).map(i => acc(i) / cnt(i))
+    val tot = means.sum
+    (0 until 16).foreach { i =>
+      assert(math.abs(feat(i) - (means(i) / tot)) < 1e-6,
+        s"cell $i diverges: ${feat(i)} vs ${means(i) / tot}")
+    }
+    // the dataset path routes PNG payloads through the real resize and
+    // text payloads through the histogram fallback
+    import spark.implicits._
+    val mixed = Seq(
+      (1L, png), (2L, "just text bytes".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val feats = Multimodal.featurizeAll(mixed, dim = 16).collect()
+      .map(f => f.docId -> f.feature).toMap
+    assert(feats(1L).zip(feat).forall { case (a, b) => a == b })
+    assert(Multimodal.resizeThumbnail("just text bytes".getBytes, 4).isEmpty)
+    assert(math.abs(feats(2L).sum - 1.0f) < 1e-4f)
+  }
+
   test("media header parsers agree with the JDK's own readers on spec-valid containers") {
     // PNG: our writer emits a complete PNG (CRC-correct IHDR + deflated
     // IDAT), so the JDK can FULLY decode it — parser and ImageIO must
