@@ -11855,12 +11855,16 @@ object CurationQueries {
         .foreach { r =>
           val k = r.getInt(0)
           val ne = 3 + (k % 5)
-          val bytes =
-            if (k % 2 == 0) graft.operators.Multimodal.zipBytes(k, ne)
-            else graft.operators.Multimodal.tarBytes(k, ne)
-          java.nio.file.Files.write(
-            p.resolve(f"ar_$k%02d." + (if (k % 2 == 0) "zip" else "tar")),
-            bytes)
+          // r20: the cycle grows a .tar.zst member (zstd-framed tar --
+          // the shape modern corpus releases ship); rawFrame is a
+          // spec-valid store-mode zstd frame with a verified checksum
+          val bytes = (k % 3) match {
+            case 0 => graft.operators.Multimodal.zipBytes(k, ne)
+            case 1 => graft.operators.Multimodal.tarBytes(k, ne)
+            case _ => graft.operators.Zstd.rawFrame(
+              graft.operators.Multimodal.tarBytes(k, ne))
+          }
+          java.nio.file.Files.write(p.resolve(f"ar_$k%02d.bin"), bytes)
         }
       val scanned = s.read.format("binaryFile").load(base)
         .select(regexp_extract(col("path"), "ar_(\\d+)\\.", 1).cast("long")
@@ -11870,14 +11874,24 @@ object CurationQueries {
         .as[(Long, Array[Byte])]
         .mapPartitions { it =>
           it.map { case (id, bytes) =>
-            // route by magic, never extension: PK.. -> zip, else tar
+            // route by magic, never extension: PK.. -> zip,
+            // 28 B5 2F FD -> zstd-decode then tar, else tar
             val isZip = bytes.length >= 4 && bytes(0) == 'P' && bytes(1) == 'K'
+            val isZst = bytes.length >= 4 && (bytes(0) & 0xff) == 0x28 &&
+              (bytes(1) & 0xff) == 0xb5 && (bytes(2) & 0xff) == 0x2f &&
+              (bytes(3) & 0xff) == 0xfd
             val res =
               if (isZip) graft.operators.Multimodal.zipCensus(bytes)
-              else graft.operators.Multimodal.tarCensus(bytes)
+                .map(("zip", _))
+              else if (isZst)
+                graft.operators.Zstd.decompress(bytes).flatMap {
+                  case (_, _, inner) =>
+                    graft.operators.Multimodal.tarCensus(inner)
+                      .map(("tar_zst", _))
+                }
+              else graft.operators.Multimodal.tarCensus(bytes).map(("tar", _))
             res match {
-              case Some((n, tb, ps)) =>
-                (id, if (isZip) "zip" else "tar", n, tb, ps, true)
+              case Some((kind, (n, tb, ps))) => (id, kind, n, tb, ps, true)
               case None => (id, "invalid", 0L, 0L, 0L, false)
             }
           }
@@ -11891,7 +11905,8 @@ object CurationQueries {
     },
     Some("""WITH g AS (
            |  SELECT cast(n_nationkey as bigint) AS k,
-           |    CASE WHEN n_nationkey % 2 = 0 THEN 'zip' ELSE 'tar' END AS kind,
+           |    CASE n_nationkey % 3 WHEN 0 THEN 'zip' WHEN 1 THEN 'tar'
+           |      ELSE 'tar_zst' END AS kind,
            |    cast(3 + (n_nationkey % 5) as bigint) AS ne
            |  FROM nation
            |), es AS (
