@@ -9972,6 +9972,87 @@ object CurationQueries {
            |SELECT query_id, doc_id FROM m
            |ORDER BY query_id, doc_id""".stripMargin))
 
+  /** UNACCENT dictionary layer — PG's `unaccent` extension (the
+    * filtering dictionary run before stemming in multilingual FTS
+    * configs): diacritics fold to base letters so `café`/`cafe` hit
+    * the same lexeme. The fixture corpus is ASCII, so the query
+    * DERIVES a deterministic accented corpus in-plan (each
+    * query-vocabulary posting takes its (doc_id+pos) % 3 surface: base
+    * / acute-accented vowels / grave-accented vowels + cedilla, via
+    * `translate` — character-for-character, identical in BOTH engines)
+    * and folds it back with the inverse translate. Reported per base
+    * token: surface forms unified, accented posting count, total
+    * postings, doc frequency — df through the unaccent layer vs raw
+    * exact match is the recall the dictionary adds, the
+    * [[textFtsStemmed]] framing one dictionary earlier in PG's chain.
+    *
+    * Scale: the bm25 idiom — vocabulary pruning before any exchange;
+    * accent/fold are map-side codegen'd translates; only (base, form,
+    * doc) triples shuffle.
+    */
+  private val textUnaccent = Q(
+    (s, dir) => {
+      val vocab = Seq("dup", "vector", "hash", "join", "scan", "filter",
+        "merge", "sort", "data", "table", "slow")
+      val acc1 = "translate(w, 'aeiou', 'áéíóú')"
+      val acc2 = "translate(w, 'aeiouc', 'àèìòùç')"
+      val fold = "translate(m, 'áéíóúàèìòùç', 'aeiouaeiouc')"
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .where(col("w").isin(vocab: _*))
+        .withColumn("m", expr(
+          s"""CASE WHEN (doc_id + pos) % 3 = 0 THEN w
+             |  WHEN (doc_id + pos) % 3 = 1 THEN $acc1
+             |  ELSE $acc2 END""".stripMargin))
+        .withColumn("base", expr(fold))
+        .groupBy(col("base"), col("m"), col("doc_id"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("base"))
+        .agg(countDistinct(col("m")).as("n_surface_forms"),
+          sum(when(col("m") =!= col("base"), col("n")).otherwise(0L))
+            .as("n_accented_postings"),
+          sum(col("n")).as("n_postings"),
+          countDistinct(col("doc_id")).as("df_docs"),
+          countDistinct(when(col("m") === col("base"), col("doc_id")))
+            .as("df_docs_raw"))
+        .orderBy(col("base"))
+    },
+    Some {
+      val vocabSql = "'dup','vector','hash','join','scan','filter'," +
+        "'merge','sort','data','table','slow'"
+      s"""WITH wd AS (
+         |  SELECT cast(doc_id as bigint) AS doc_id,
+         |    string_split(text, ' ') AS ws
+         |  FROM documents
+         |), px AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)),
+         |    i -> {'pos': i - 1, 'w': ws[i]})) AS e
+         |  FROM wd
+         |), t AS (
+         |  SELECT doc_id, cast(e.pos as bigint) AS pos, e.w AS w
+         |  FROM px WHERE e.w IN ($vocabSql)
+         |), mo AS (
+         |  SELECT doc_id, pos, w,
+         |    CASE WHEN (doc_id + pos) % 3 = 0 THEN w
+         |      WHEN (doc_id + pos) % 3 = 1 THEN translate(w, 'aeiou', 'áéíóú')
+         |      ELSE translate(w, 'aeiouc', 'àèìòùç') END AS m
+         |  FROM t
+         |), f AS (
+         |  SELECT doc_id, m,
+         |    translate(m, 'áéíóúàèìòùç', 'aeiouaeiouc') AS base
+         |  FROM mo
+         |)
+         |SELECT base,
+         |  cast(count(DISTINCT m) as bigint) AS n_surface_forms,
+         |  cast(count_if(m <> base) as bigint) AS n_accented_postings,
+         |  cast(count(*) as bigint) AS n_postings,
+         |  cast(count(DISTINCT doc_id) as bigint) AS df_docs,
+         |  cast(count(DISTINCT CASE WHEN m = base THEN doc_id END) as bigint)
+         |    AS df_docs_raw
+         |FROM f GROUP BY base ORDER BY base""".stripMargin
+    })
+
   // ---------------------------------------------------------------------
   // FTS stemming layer (the PG dictionary semantics)
   // ---------------------------------------------------------------------
@@ -17743,6 +17824,7 @@ object CurationQueries {
     "ns_text_fts_prefix" -> textFtsPrefix,
     "ns_text_fts_distance" -> textFtsDistance,
     "ns_text_fts_stemmed" -> textFtsStemmed,
+    "ns_text_unaccent" -> textUnaccent,
     "ns_text_headline" -> textHeadline,
     "ns_text_editdist_join" -> textEditDistJoin,
     "ns_quality_isotonic" -> qualityIsotonic,
