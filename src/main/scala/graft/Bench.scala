@@ -109,6 +109,21 @@ object Bench {
       val f = cpu.trim.split("\\s+").drop(1).map(_.toLong)
       (f.sum - f(3) - (if (f.length > 4) f(4) else 0L)) * 10L
     } catch { case _: Throwable => 0L }
+  /** Hypervisor steal time (field 8 of /proc/stat), x10ms. This sandbox
+    * is a VM guest whose vCPUs are preempted by the host: measured r21,
+    * cumulative steal ~= cumulative user after two bench invocations,
+    * and a run window can be majority-stolen. Guest thread CPU time
+    * (taskCpuMs/procCpuMs) KEEPS TICKING while a vCPU is preempted, so
+    * a stolen window reads as "the same stage burned 20x CPU with zero
+    * GC/JIT/classload" — exactly the r9-spike / r20 driver-gap
+    * signature. A nonzero stealMs delta on an anomalous run attributes
+    * the spike to the host, not the plan. */
+  private def osStealMs: Long =
+    try {
+      val cpu = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      val f = cpu.trim.split("\\s+").drop(1).map(_.toLong)
+      if (f.length > 7) f(7) * 10L else 0L
+    } catch { case _: Throwable => 0L }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -213,8 +228,8 @@ object Bench {
       val timed = (1 to 3).map { _ =>
         org.apache.spark.graftbench.ListenerFlush.drain(spark.sparkContext)
         agg.reset()
-        val (gc0, jit0, pc0, os0, cl0) =
-          (gcMillis, jitMillis, procCpuMs, osBusyMs, classesLoaded)
+        val (gc0, jit0, pc0, os0, cl0, st0) =
+          (gcMillis, jitMillis, procCpuMs, osBusyMs, classesLoaded, osStealMs)
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case e: Throwable =>
@@ -237,6 +252,7 @@ object Bench {
           "codeUsedMB" -> codeUsedMB.toString,
           "procCpuMs" -> (procCpuMs - pc0).toString,
           "osBusyMs" -> (osBusyMs - os0).toString,
+          "stealMs" -> (osStealMs - st0).toString,
           // new classes defined during the run: a steadily-nonzero value
           // on a REPEATED query means fresh Janino codegen every run
           // (codegen cache miss) — compile work that can storm under

@@ -5058,7 +5058,13 @@ object Multimodal {
       val nSamples = mp4U32(b, stszLo + 4)
       if (nSamples != nFromStts || nSamples > Mp4MaxSamples) return None
       val sizes: Array[Long] =
-        if (uniform != 0L) Array.fill(nSamples.toInt)(uniform)
+        if (uniform != 0L) {
+          // file-derived bound BEFORE allocating: nSamples uniform-sized
+          // samples cannot outnumber the file's bytes, so a ~100-byte
+          // header claiming 10M samples must not force a 160 MB alloc
+          if (nSamples > b.length) return None
+          Array.fill(nSamples.toInt)(uniform)
+        }
         else {
           if (stszLo + 8 + nSamples * 4 > stszHi) return None
           Array.tabulate(nSamples.toInt)(j => mp4U32(b, stszLo + 8 + j * 4L))

@@ -27,6 +27,10 @@ object Zstd {
   private final class Bad extends RuntimeException("bad zstd")
   private def bad(): Nothing = throw new Bad
 
+  // Evaluated once: the synchronized Properties lookup must not sit in
+  // the per-sequence decode loop (it serializes all decoding threads).
+  private val ZDebug = System.getProperty("zstd.debug") != null
+
   private val MagicFrame = 0xFD2FB528
   private val MaxWindow = 1L << 30 // memory is governed by maxOut, not the window
 
@@ -260,6 +264,9 @@ object Zstd {
     * the LAST weight is implied by the power-of-two completion).
     */
   private def hufFromWeights(weights: Array[Int]): HufTable = {
+    // max 255 explicit weights: the implied last symbol completes 256;
+    // more would emit literal symbols > 255 (truncated by the byte sink)
+    if (weights.length > 255) bad()
     var sum = 0L
     weights.foreach { w =>
       if (w < 0 || w > 11) bad()
@@ -345,15 +352,21 @@ object Zstd {
       val out = scala.collection.mutable.ArrayBuffer.empty[Int]
       var done = false
       while (!done) {
-        if (out.length > 255) bad()
+        if (out.length > 254) bad()
         out += ft.symbol(s1)
         s1 = ft.baseline(s1) + bb.read(ft.nbBits(s1))
-        if (bb.overflowed) { out += ft.symbol(s2); done = true }
+        if (bb.overflowed) {
+          if (out.length > 254) bad() // forced append must stay <= 255 weights
+          out += ft.symbol(s2); done = true
+        }
         else {
-          if (out.length > 255) bad()
+          if (out.length > 254) bad()
           out += ft.symbol(s2)
           s2 = ft.baseline(s2) + bb.read(ft.nbBits(s2))
-          if (bb.overflowed) { out += ft.symbol(s1); done = true }
+          if (bb.overflowed) {
+            if (out.length > 254) bad()
+            out += ft.symbol(s1); done = true
+          }
         }
       }
       (hufFromWeights(out.toArray), 1 + h)
@@ -831,7 +844,7 @@ object Zstd {
     val modes = b(p) & 0xff
     if ((modes & 3) != 0) bad() // reserved bits
     p += 1
-    if (System.getProperty("zstd.debug") != null)
+    if (ZDebug)
       println(s"[zdbg] litType=$litType sf=$sizeFormat regen=$regenSize " +
         s"comp=$compSize four=$fourStreams nSeq=$nSeq modes=ll${(modes >> 6) & 3}" +
         s"/of${(modes >> 4) & 3}/ml${(modes >> 2) & 3} litLen=${lit.length}")
@@ -868,7 +881,7 @@ object Zstd {
     var litPos = 0
     var seq = 0
     while (seq < nSeq) {
-      if (System.getProperty("zstd.debug") != null && seq < 8)
+      if (ZDebug && seq < 8)
         println(s"[zst8] seq=$seq states ll=$llState of=$ofState ml=$mlState bitsLeft=${bb.bitsLeft}")
       val ofCode = ofT.symbol(ofState)
       if (ofCode > 31) bad()
@@ -900,7 +913,7 @@ object Zstd {
             o
           }
         }
-      if (System.getProperty("zstd.debug") != null && seq < 8)
+      if (ZDebug && seq < 8)
         println(s"[zdbg] seq=$seq llCode=$llCode mlCode=$mlCode ofCode=$ofCode " +
           s"ll=$ll ml=$ml ofValue=$ofValue offset=$offset outLen=${out.len}")
       // execute: ll literals + ml match bytes (overlap-safe)

@@ -2778,21 +2778,25 @@ object CurationQueries {
         .where(col("rn") <= 3)
         .select(col("a_id"), col("seed_label"),
           expr("cast(floor(cos * 1e6) as bigint)").as("cos_fp"))
-        // ≤ 3 rows per vector; checkpointed so the vote, coverage and
-        // pick consumers don't re-run the bucket join (the
-        // ns_embed_pagerank edge-list pattern)
-        .localCheckpoint(true)
+      // r21: votes is now k3's ONLY consumer (coverage rides the pick
+      // window as a partition sum), so the former localCheckpoint would
+      // be an eager materialization with nothing to share — the bucket
+      // join streams straight into the vote aggregate in one plan.
       val votes = k3.groupBy(col("a_id"), col("seed_label"))
         .agg(count(lit(1)).as("n_votes"), sum(col("cos_fp")).as("w_fp"))
       val pw = Window.partitionBy(col("a_id"))
         .orderBy(col("n_votes").desc, col("w_fp").desc, col("seed_label"))
+      // r21: n_voters (= k3 rows per a_id = sum of per-label vote counts)
+      // rides the pick window's exchange as a partition-wide sum instead
+      // of a second k3 aggregation + third join — one shuffle of the
+      // votes frame serves pick AND coverage, values identical.
       val pick = votes.withColumn("pr", row_number().over(pw))
+        .withColumn("n_voters",
+          sum(col("n_votes")).over(Window.partitionBy(col("a_id"))))
         .where(col("pr") === 1)
-        .select(col("a_id"), col("seed_label").as("label_pred"))
-      val nv = k3.groupBy(col("a_id")).agg(count(lit(1)).as("n_voters"))
+        .select(col("a_id"), col("seed_label").as("label_pred"), col("n_voters"))
       u.select(col("a_id").as("vec_id"), col("label_true"))
         .join(pick.withColumnRenamed("a_id", "vec_id"), Seq("vec_id"), "left")
-        .join(nv.withColumnRenamed("a_id", "vec_id"), Seq("vec_id"), "left")
         .select(col("vec_id"), col("label_true"), col("label_pred"),
           coalesce(col("n_voters"), lit(0L)).as("n_voters"),
           coalesce(col("label_pred") === col("label_true"), lit(false)).as("correct"))
@@ -9239,20 +9243,35 @@ object CurationQueries {
             expr(s"(($c div sc) * 1000000000000) div (mx div sc)").as(c))
           .localCheckpoint(true)
       }
-      var hub = nodes.select(col("id"), lit(1000000000000L).as("h"))
-      var auth = nodes.select(col("id"), lit(1000000000000L).as("a"))
-      (1 to 2).foreach { _ =>
-        val aRaw = edges.join(hub.withColumnRenamed("id", "a_id"), Seq("a_id"))
-          .groupBy(col("b_id").as("id")).agg(sum(col("h")).as("a"))
-        auth = norm(nodes.join(aRaw, Seq("id"), "left")
-          .select(col("id"), coalesce(col("a"), lit(0L)).as("a")), "a")
+      // r21: the per-round nodes left-joins only materialized zero rows —
+      // a node outside aRaw/hRaw normalizes to 0, the max() the re-scale
+      // divides by is unchanged by adding zeros (raw sums are >= 0 and a
+      // nonempty edge list makes them nonempty), and the NEXT round only
+      // reads scores of edge endpoints, which raw tables already cover.
+      // Keep the rounds on the raw (edge-endpoint) tables and attach the
+      // zero rows once at the end — 4 N-row joins removed, values
+      // bit-identical.
+      var auth: DataFrame = null
+      var hub: DataFrame = null
+      (1 to 2).foreach { i =>
+        // round 1's hub is the constant 1e12 for every node, so its
+        // rank join folds to count(inbound) * 1e12 (what sum(h) equals)
+        val aRaw =
+          if (i == 1) edges.groupBy(col("b_id").as("id"))
+            .agg((count(lit(1)) * lit(1000000000000L)).as("a"))
+          else edges.join(hub.withColumnRenamed("id", "a_id"), Seq("a_id"))
+            .groupBy(col("b_id").as("id")).agg(sum(col("h")).as("a"))
+        auth = norm(aRaw, "a")
         val hRaw = edges.join(auth.withColumnRenamed("id", "b_id"), Seq("b_id"))
           .groupBy(col("a_id").as("id")).agg(sum(col("a")).as("h"))
-        hub = norm(nodes.join(hRaw, Seq("id"), "left")
-          .select(col("id"), coalesce(col("h"), lit(0L)).as("h")), "h")
+        hub = norm(hRaw, "h")
       }
       val wR = Window.orderBy(col("a").desc, col("id"))
-      auth.join(hub, Seq("id"))
+      nodes
+        .join(auth, Seq("id"), "left")
+        .join(hub, Seq("id"), "left")
+        .select(col("id"), coalesce(col("a"), lit(0L)).as("a"),
+          coalesce(col("h"), lit(0L)).as("h"))
         .withColumn("rnk", row_number().over(wR))
         .where(col("rnk") <= 20)
         .select(col("rnk"), col("id").as("vec_id"), col("a").as("auth_fp"),

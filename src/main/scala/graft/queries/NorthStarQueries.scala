@@ -4017,17 +4017,32 @@ object NorthStarQueries {
         .select(col("a_id"), col("b_id"), col("outdeg"))
         .localCheckpoint(true)
       val nodes = e.select(col("vec_id"))
-      var rank = nodes.withColumn("r", lit(1000000000000L))
-      (1 to 3).foreach { _ =>
-        val contribs = edges.join(rank, edges("a_id") === rank("vec_id"))
-          .select(col("b_id").as("vec_id"), expr("r div outdeg").as("c"))
-          .groupBy(col("vec_id")).agg(sum(col("c")).as("s"))
-        rank = nodes.join(contribs, Seq("vec_id"), "left")
-          .select(col("vec_id"),
-            (lit(150000000000L) +
-              expr("(coalesce(s, cast(0 as bigint)) * 85) div 100")).as("r"))
-          .localCheckpoint(true)
+      // r21: the per-round rank table is redundant — a round only needs
+      // the PREVIOUS round's contribution sums. rank_0 is the constant
+      // 1e12 for every node, so round 1's rank join folds to a literal;
+      // rounds 2-3 reconstruct rank_{i-1}(a) = 0.15e12 +
+      // 0.85*coalesce(s_{i-1}(a), 0) inline on the edge side (nodes
+      // without inbound edges take the coalesce default — exactly the
+      // value the old nodes-left-join materialized for them). Same
+      // integer math bit-for-bit; removes 3 N-row nodes joins and the 3
+      // eager per-round localCheckpoint jobs, leaving one shuffle
+      // (the b_id aggregate) per round.
+      var contribs = edges
+        .select(col("b_id").as("vec_id"),
+          expr("1000000000000 div outdeg").as("c"))
+        .groupBy(col("vec_id")).agg(sum(col("c")).as("s"))
+      (2 to 3).foreach { _ =>
+        contribs = edges
+          .join(contribs, edges("a_id") === contribs("vec_id"), "left")
+          .select(col("b_id"),
+            expr("(150000000000 + (coalesce(s, cast(0 as bigint)) * 85) div 100) div outdeg")
+              .as("c"))
+          .groupBy(col("b_id").as("vec_id")).agg(sum(col("c")).as("s"))
       }
+      val rank = nodes.join(contribs, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          (lit(150000000000L) +
+            expr("(coalesce(s, cast(0 as bigint)) * 85) div 100")).as("r"))
       rank.orderBy(col("r").desc, col("vec_id")).limit(20)
         .select(col("vec_id"), col("r").as("rank_fp"),
           round(col("r").cast("double") / lit(1.0e12), 6).as("pr"))
