@@ -1876,15 +1876,28 @@ object CurationQueries {
     */
   private val textNovelty = Q(
     (s, dir) => {
+      // r21 (guide §2.4 — remove the shuffle outright): n_novel per doc
+      // is countable from the first-occurrence table ALONE (one row per
+      // gram), so the old gram-keyed join-back of the FULL (doc, gram)
+      // frame — the documented 2.6x@10x growth axis — disappears. Both
+      // consumers read the materialized distinct set (the bm25
+      // postings-materialize precedent: the two branches prune
+      // different columns, so exchange reuse would silently break and
+      // re-run the tokenize without the checkpoint); every exchange
+      // after it carries partial-aggregated rows only. Docs whose every
+      // gram was seen earlier take the coalesce-0 default — exactly the
+      // zero the old sum(when) computed for them.
       val grams = TS(s, dir, "documents")
         .select(col("doc_id"),
           explode(expr(NorthStarQueries.shinglesExpr)).as("g"))
         .distinct()
-      val first = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
-      grams.join(first, Seq("g"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        .localCheckpoint(true)
+      val nGrams = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      val novel = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+        .groupBy(col("first_doc").as("doc_id")).agg(count(lit(1)).as("n_novel"))
+      nGrams.join(novel, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"))
         .withColumn("novelty_ppm", expr("n_novel * 1000000 div n_grams"))
         .orderBy(col("doc_id"))
     },
@@ -7413,13 +7426,27 @@ object CurationQueries {
             "i -> concat_ws(' ', slice(toks, i, 8)))")).as("gram"))
         .distinct()
         .localCheckpoint(true)
+      // r21 (guide §2.3 — join fewer rows): only SHARED grams (df >= 2)
+      // need to re-join to their docs — a unique gram contributes 0 to
+      // n_shared/n_shared3 and its df=1 never wins max_df (every doc
+      // has >= 1 gram, so the old max over all grams is >= 1 and equals
+      // the shared max whenever one exists). Per-doc totals come from a
+      // separate count of the checkpointed distinct set. At production
+      // gram-df distributions (mostly unique) the join-back shrinks
+      // from the full gram stream to the shared tail; values identical.
       val df8 = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-      grams.join(df8, Seq("gram"))
+        .where(col("df") >= 2)
+      val shared = grams.join(df8, Seq("gram"))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"),
-          sum(when(col("df") >= 3, 1L).otherwise(0L)).as("n_shared3"),
-          max(col("df")).as("max_df"))
+        .agg(count(lit(1)).as("n_shared_j"),
+          sum(when(col("df") >= 3, 1L).otherwise(0L)).as("n_shared3_j"),
+          max(col("df")).as("max_df_j"))
+      grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+        .join(shared, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_shared_j"), lit(0L)).as("n_shared"),
+          coalesce(col("n_shared3_j"), lit(0L)).as("n_shared3"),
+          coalesce(col("max_df_j"), lit(1L)).as("max_df"))
         .withColumn("exposure_e6", expr("(n_shared * 1000000) div n_grams"))
         .orderBy(col("exposure_e6").desc, col("doc_id"))
         .limit(40)
@@ -10853,12 +10880,15 @@ object CurationQueries {
           "array_join(filter(split(lower(substring(text, 1, 40)), ''), " +
             "(x, i) -> (i + 1) % 7 != 0), '')").as("ptitle"))
       val ptri = shred(probe, "qid", "ptitle").localCheckpoint(true)
-      val pcnt = ptri.groupBy(col("qid")).agg(count(lit(1)).as("n"))
       val tdf = tri.groupBy(col("tg")).agg(count(lit(1)).as("df"))
       val wQ = Window.partitionBy(col("qid")).orderBy(col("df"), col("tg"))
+      // r21: n (probe trigram count) rides the prefix window's exchange
+      // as a partition count — the left join to tdf keeps every ptri
+      // row, so the window count equals the old pcnt aggregate; one
+      // ptri pass + one broadcast join removed.
       val ppfx = ptri.join(broadcast(tdf), Seq("tg"), "left")
         .na.fill(0L, Seq("df"))
-        .join(broadcast(pcnt), Seq("qid"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("qid"))))
         .withColumn("rn", row_number().over(wQ))
         .where(col("rn") <= col("n") - expr("(45 * n + 99) div 100") + 1)
         .select(col("qid"), col("tg"))
@@ -11013,9 +11043,12 @@ object CurationQueries {
         .distinct()
         .localCheckpoint(true) // consumers: df, prefix order, arrays
       val tdf = tri.groupBy(col("tg")).agg(count(lit(1)).as("df"))
-      val nt = tri.groupBy(col("eid")).agg(count(lit(1)).as("n"))
+      // r21: n (trigrams per entity) rides the prefix window's exchange
+      // as a partition count — the tri⋈tdf join is 1:1 (every trigram
+      // has a df row), so counting the window partition equals the old
+      // nt aggregate; one tri pass + one broadcast join removed.
       val pfx = tri.join(broadcast(tdf), Seq("tg"))
-        .join(broadcast(nt), Seq("eid"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("eid"))))
         .withColumn("p", row_number().over(Window.partitionBy(col("eid"))
           .orderBy(col("df"), col("tg"))))
         .where(col("p") <= col("n") - expr("(8 * n + 9) div 10") + 1)
@@ -14341,13 +14374,25 @@ object CurationQueries {
         local.join(broadcast(bases), Seq("blk"))
           .select(col("tok"), (col("base") + col("rl")).cast("long").as("id"))
       }
-      val seq0 = words.join(vocabToks, Seq("w"))
-        .select(col("doc_id"), col("wpos"),
-          posexplode(col("toks")).as(Seq("tpos", "tok")))
+      // r21 (guide §2.3 — shuffle fewer rows): the id lookup moves to
+      // the VOCABULARY side — each distinct word maps once to its
+      // tpos-ordered id array — so the corpus-sized stitch shuffles one
+      // row per WORD occurrence (carrying the word's id array) instead
+      // of one per TOKEN occurrence, and the per-token tid probe join
+      // disappears from the corpus path. flatten(sort by wpos) of
+      // per-word arrays == sort by (wpos, tpos) of per-token rows
+      // (wpos is unique within a doc), so the ids arrays are identical.
+      val vocabIds = vocabToks
+        .select(col("w"), posexplode(col("toks")).as(Seq("tpos", "tok")))
         .join(tid, Seq("tok"))
-      val ids = seq0.groupBy(col("doc_id"))
+        .groupBy(col("w"))
         .agg(expr(
-          "transform(sort_array(collect_list(struct(wpos, tpos, id))), x -> x.id)")
+          "transform(sort_array(collect_list(struct(tpos, id))), x -> x.id)")
+          .as("wids"))
+      val ids = words.join(vocabIds, Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(expr(
+          "flatten(transform(sort_array(collect_list(struct(wpos, wids))), x -> x.wids))")
           .as("ids"))
       val g = ids.where(size(col("ids")) >= L)
         .select(col("doc_id"), posexplode(expr(

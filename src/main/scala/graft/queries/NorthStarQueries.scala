@@ -1961,7 +1961,13 @@ object NorthStarQueries {
     */
   private val pipelineCorpus = Q(
     (s, dir) => {
+      // r21 (guide §2.3): hash + token stats computed map-side and text/
+      // toks projected away BEFORE the dedup window, so its exchange
+      // carries six narrow columns instead of the document body and the
+      // token array. Same rows, same rn (partitioning by the h column =
+      // by sha2(text)).
       val docs = T(s, dir, "documents")
+        .withColumn("h", sha2(col("text"), 256))
         .withColumn("toks", split(col("text"), " "))
         .withColumn("n_toks", size(col("toks")))
         .withColumn("stop_ratio",
@@ -1969,7 +1975,9 @@ object NorthStarQueries {
             col("n_toks"))
         .withColumn("distinct_ratio",
           size(array_distinct(col("toks"))).cast("double") / col("n_toks"))
-      val dedupW = Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("h"), col("n_toks"), col("stop_ratio"), col("distinct_ratio"))
+      val dedupW = Window.partitionBy(col("h")).orderBy(col("doc_id"))
       val keepers = docs
         .withColumn("rn", row_number().over(dedupW))
         .where(col("rn") === 1)
@@ -2406,15 +2414,24 @@ object NorthStarQueries {
     (s, dir) => {
       val docs = TS(s, dir, "documents")
       val base = docs.where(col("doc_id") >= 20)
-      val deduped = base
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))))
-      val scored = deduped
+      // r21 (guide §2.3 — shuffle fewer bytes): the dedup window used to
+      // shuffle FULL text by its sha because the token stats were
+      // computed after the window; hashing and tokenizing map-side and
+      // projecting text away first leaves the exchange carrying
+      // (doc_id, lang, source, h, n_tok, lowq) — a few dozen bytes per
+      // row instead of the document body. Same rows, same rk semantics
+      // (partitioning by the h column = by sha2(text)).
+      val scored = base
+        .withColumn("h", sha2(col("text"), 256))
         .withColumn("toks", split(col("text"), " "))
         .withColumn("n_tok", size(col("toks")))
         .withColumn("lowq",
           col("n_tok") < 10 ||
             size(array_distinct(col("toks"))).cast("double") / col("n_tok") <= 0.3)
+        .select(col("doc_id"), col("lang"), col("source"), col("h"),
+          col("n_tok"), col("lowq"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("h")).orderBy(col("doc_id"))))
       val benchSh = docs.where(col("doc_id") < 20)
         .select(explode(array_distinct(expr(shinglesExpr))).as("sh")).distinct()
       val contaminated = base
