@@ -10880,15 +10880,12 @@ object CurationQueries {
           "array_join(filter(split(lower(substring(text, 1, 40)), ''), " +
             "(x, i) -> (i + 1) % 7 != 0), '')").as("ptitle"))
       val ptri = shred(probe, "qid", "ptitle").localCheckpoint(true)
+      val pcnt = ptri.groupBy(col("qid")).agg(count(lit(1)).as("n"))
       val tdf = tri.groupBy(col("tg")).agg(count(lit(1)).as("df"))
       val wQ = Window.partitionBy(col("qid")).orderBy(col("df"), col("tg"))
-      // r21: n (probe trigram count) rides the prefix window's exchange
-      // as a partition count — the left join to tdf keeps every ptri
-      // row, so the window count equals the old pcnt aggregate; one
-      // ptri pass + one broadcast join removed.
       val ppfx = ptri.join(broadcast(tdf), Seq("tg"), "left")
         .na.fill(0L, Seq("df"))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("qid"))))
+        .join(broadcast(pcnt), Seq("qid"))
         .withColumn("rn", row_number().over(wQ))
         .where(col("rn") <= col("n") - expr("(45 * n + 99) div 100") + 1)
         .select(col("qid"), col("tg"))
@@ -11043,12 +11040,9 @@ object CurationQueries {
         .distinct()
         .localCheckpoint(true) // consumers: df, prefix order, arrays
       val tdf = tri.groupBy(col("tg")).agg(count(lit(1)).as("df"))
-      // r21: n (trigrams per entity) rides the prefix window's exchange
-      // as a partition count — the tri⋈tdf join is 1:1 (every trigram
-      // has a df row), so counting the window partition equals the old
-      // nt aggregate; one tri pass + one broadcast join removed.
+      val nt = tri.groupBy(col("eid")).agg(count(lit(1)).as("n"))
       val pfx = tri.join(broadcast(tdf), Seq("tg"))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("eid"))))
+        .join(broadcast(nt), Seq("eid"))
         .withColumn("p", row_number().over(Window.partitionBy(col("eid"))
           .orderBy(col("df"), col("tg"))))
         .where(col("p") <= col("n") - expr("(8 * n + 9) div 10") + 1)
@@ -14374,25 +14368,13 @@ object CurationQueries {
         local.join(broadcast(bases), Seq("blk"))
           .select(col("tok"), (col("base") + col("rl")).cast("long").as("id"))
       }
-      // r21 (guide §2.3 — shuffle fewer rows): the id lookup moves to
-      // the VOCABULARY side — each distinct word maps once to its
-      // tpos-ordered id array — so the corpus-sized stitch shuffles one
-      // row per WORD occurrence (carrying the word's id array) instead
-      // of one per TOKEN occurrence, and the per-token tid probe join
-      // disappears from the corpus path. flatten(sort by wpos) of
-      // per-word arrays == sort by (wpos, tpos) of per-token rows
-      // (wpos is unique within a doc), so the ids arrays are identical.
-      val vocabIds = vocabToks
-        .select(col("w"), posexplode(col("toks")).as(Seq("tpos", "tok")))
+      val seq0 = words.join(vocabToks, Seq("w"))
+        .select(col("doc_id"), col("wpos"),
+          posexplode(col("toks")).as(Seq("tpos", "tok")))
         .join(tid, Seq("tok"))
-        .groupBy(col("w"))
+      val ids = seq0.groupBy(col("doc_id"))
         .agg(expr(
-          "transform(sort_array(collect_list(struct(tpos, id))), x -> x.id)")
-          .as("wids"))
-      val ids = words.join(vocabIds, Seq("w"))
-        .groupBy(col("doc_id"))
-        .agg(expr(
-          "flatten(transform(sort_array(collect_list(struct(wpos, wids))), x -> x.wids))")
+          "transform(sort_array(collect_list(struct(wpos, tpos, id))), x -> x.id)")
           .as("ids"))
       val g = ids.where(size(col("ids")) >= L)
         .select(col("doc_id"), posexplode(expr(
