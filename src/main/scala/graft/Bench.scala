@@ -47,6 +47,13 @@ import org.apache.spark.sql.SparkSession
   * `suspect` on the printed line lists "query#runIdx" for any run whose
   * wall exceeds 2x that query's min — the artifact self-flags variance
   * without a reader cross-referencing raw diag rows.
+  *
+  * r21 steal guard: when even a query's BEST timed run lost >5% of its
+  * window to hypervisor steal (/proc/stat field 8 — this sandbox is a
+  * VM guest; see PLANS.md "r21 driver-gap root cause"), up to 2 extra
+  * timed runs are taken under the identical protocol, and every run is
+  * published in `runs`. The guard can only remove external-interference
+  * noise — with one clean run among the first three it never fires.
   */
 object Bench {
 
@@ -225,7 +232,7 @@ object Bench {
         bestWarm = math.min(bestWarm, w)
         warmed += 1
       }
-      val timed = (1 to 3).map { _ =>
+      def timedRun(): (Double, Long, Seq[(String, String)]) = {
         org.apache.spark.graftbench.ListenerFlush.drain(spark.sparkContext)
         agg.reset()
         val (gc0, jit0, pc0, os0, cl0, st0) =
@@ -240,6 +247,7 @@ object Bench {
         val stages = agg.stageRows.map { case (id, r, c, n) =>
           s"""{"id":$id,"runMs":$r,"cpuMs":$c,"tasks":$n}"""
         }.mkString("[", ",", "]")
+        val steal = osStealMs - st0
         val d = Seq(
           // Double.toString, not %f: locale-independent '.' separator
           "wall" -> ((wall * 1000).round / 1000.0).toString,
@@ -252,7 +260,7 @@ object Bench {
           "codeUsedMB" -> codeUsedMB.toString,
           "procCpuMs" -> (procCpuMs - pc0).toString,
           "osBusyMs" -> (osBusyMs - os0).toString,
-          "stealMs" -> (osStealMs - st0).toString,
+          "stealMs" -> steal.toString,
           // new classes defined during the run: a steadily-nonzero value
           // on a REPEATED query means fresh Janino codegen every run
           // (codegen cache miss) — compile work that can storm under
@@ -260,9 +268,29 @@ object Bench {
           "classesLoaded" -> (classesLoaded - cl0).toString,
           "stages" -> stages,
         )
-        (wall, d)
+        (wall, steal, d)
       }
-      (name, timed.map(_._1), timed.map(_._2), isHeadline)
+      var timed = (1 to 3).map(_ => timedRun()).toVector
+      // Steal-contamination guard (r21, disclosed in OPTIMIZATION_r21.md):
+      // this sandbox is a VM guest whose vCPUs the host preempts, and a
+      // steal burst can contaminate ALL of a query's timed runs — the
+      // min then prices the host's scheduler, not the plan. While even
+      // the BEST run's /proc/stat steal delta exceeds 5% of the
+      // machine-time in its window (wall x nCores), take up to 2 extra
+      // timed runs under the identical protocol. Runs are never
+      // discarded (every wall lands in the published `runs` array and
+      // the suspect flag still sees them); a query with one clean run
+      // among its first three triggers nothing.
+      val nCores = cpus.toDouble
+      var extraRuns = 0
+      while (extraRuns < 2 && {
+        val best = timed.minBy(_._1)
+        best._2 > 0.05 * best._1 * 1000.0 * nCores
+      }) {
+        timed :+= timedRun()
+        extraRuns += 1
+      }
+      (name, timed.map(_._1), timed.map(_._3), isHeadline)
     }
     def obj(rows: Seq[(String, String)]): String =
       rows.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
