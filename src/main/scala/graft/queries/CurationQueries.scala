@@ -2287,9 +2287,10 @@ object CurationQueries {
   private val simKnn2Hop = Q(
     (s, dir) => {
       graft.expressions.ScaledDotProduct.registerIn(s)
+      graft.expressions.LshBucket.registerIn(s)
       val e = TS(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"),
-          expr(NorthStarQueries.lshBucketExpr).as("bucket"),
+          expr("lsh_bucket(embedding)").as("bucket"),
           expr("scaled_dot(embedding, embedding)").as("nrm"))
         .localCheckpoint(true)
       val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
@@ -2772,9 +2773,10 @@ object CurationQueries {
   private val embedLabelProp = Q(
     (s, dir) => {
       graft.expressions.ScaledDotProduct.registerIn(s)
+      graft.expressions.LshBucket.registerIn(s)
       val e = TS(s, dir, "embeddings")
         .select(col("vec_id"), col("label"), col("embedding"),
-          expr(NorthStarQueries.lshBucketExpr).as("bucket"),
+          expr("lsh_bucket(embedding)").as("bucket"),
           expr("scaled_dot(embedding, embedding)").as("nrm"))
       val u = e.where(col("vec_id") % 4 =!= 0)
         .select(col("vec_id").as("a_id"), col("label").as("label_true"),
@@ -5698,9 +5700,10 @@ object CurationQueries {
   private val embedKnnTriangles = Q(
     (s, dir) => {
       graft.expressions.ScaledDotProduct.registerIn(s)
+      graft.expressions.LshBucket.registerIn(s)
       val e = TS(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"),
-          expr(NorthStarQueries.lshBucketExpr).as("bucket"),
+          expr("lsh_bucket(embedding)").as("bucket"),
           expr("scaled_dot(embedding, embedding)").as("nrm"))
       val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
         col("bucket"), col("nrm").as("a_nrm"))
@@ -9242,9 +9245,10 @@ object CurationQueries {
   private val embedHits = Q(
     (s, dir) => {
       graft.expressions.ScaledDotProduct.registerIn(s)
+      graft.expressions.LshBucket.registerIn(s)
       val e = TS(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"),
-          expr(NorthStarQueries.lshBucketExpr).as("bucket"),
+          expr("lsh_bucket(embedding)").as("bucket"),
           expr("scaled_dot(embedding, embedding)").as("nrm"))
       val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
         col("bucket"), col("nrm").as("a_nrm"))
@@ -9293,14 +9297,20 @@ object CurationQueries {
           .groupBy(col("a_id").as("id")).agg(sum(col("a")).as("h"))
         hub = norm(hRaw, "h")
       }
+      // r22 (guide §2.4): rnk <= 20 over (a desc, id) is a TOP-20 — the
+      // former global row_number window moved EVERY node to one
+      // partition ("WindowExec: No Partition Defined"); an
+      // orderBy().limit(20) plans as TakeOrderedAndProject (exactly the
+      // pagerank shape next door) and the rnk window then runs over 20
+      // rows. Same total order, same 20 rows, same ranks.
       val wR = Window.orderBy(col("a").desc, col("id"))
       nodes
         .join(auth, Seq("id"), "left")
         .join(hub, Seq("id"), "left")
         .select(col("id"), coalesce(col("a"), lit(0L)).as("a"),
           coalesce(col("h"), lit(0L)).as("h"))
+        .orderBy(col("a").desc, col("id")).limit(20)
         .withColumn("rnk", row_number().over(wR))
-        .where(col("rnk") <= 20)
         .select(col("rnk"), col("id").as("vec_id"), col("a").as("auth_fp"),
           col("h").as("hub_fp"),
           round(col("a").cast("double") / lit(1.0e12), 6).as("authority"),
@@ -10859,13 +10869,26 @@ object CurationQueries {
     */
   private val textTrigramMatch = Q(
     (s, dir) => {
+      // r22 (guide §2.3 — narrower types): trigrams carry through every
+      // exchange, group-by, sorted array and intersection as an INT code
+      // ((ascii(c1)*128 + ascii(c2))*128 + ascii(c3) — injective on any
+      // byte alphabet) instead of a 3-char string. The (df, tg) prefix
+      // order's tie-break becomes int order; the AllPairs prefix filter
+      // is lossless under ANY shared total order (the suffix past the
+      // prefix has only ceil(t*n)-1 elements, so an overlap >= ceil(t*n)
+      // must touch the prefix), and verification is exact, so results
+      // are unchanged — proven against the order-free brute-force
+      // oracle at all three SFs.
       def shred(df: DataFrame, key: String, strCol: String) = df
         .select(col(key), explode(expr(
           s"filter(split(regexp_replace($strCol, '[^a-z0-9 ]', ' '), ' '), " +
             "x -> length(x) > 0)")).as("wd"))
         .select(col(key), explode(expr(
           "transform(sequence(1, length(wd) + 1), " +
-            "i -> substring(concat('  ', wd, ' '), i, 3))")).as("tg"))
+            "i -> substring(concat('  ', wd, ' '), i, 3))")).as("tgs"))
+        .select(col(key),
+          ((ascii(col("tgs")) * lit(128) + ascii(substring(col("tgs"), 2, 1)))
+            * lit(128) + ascii(substring(col("tgs"), 3, 1))).as("tg"))
         .distinct()
       val docs = TS(s, dir, "documents")
       val sig = docs
@@ -11030,13 +11053,21 @@ object CurationQueries {
         .select((col("doc_id") + lit(10000000L)).as("eid"), expr(
           "array_join(filter(split(lower(substring(text, 1, 40)), ''), " +
             "(x, i) -> i != 9), '')").as("s"))
+      // r22 (guide §2.3): int trigram codes through the whole filter
+      // stack — see textTrigramMatch's shred comment; the global
+      // (df, tg) prefix order's tie-break becomes int order, which the
+      // PPJoin filters are lossless under (any shared total order), and
+      // the in-array verify is exact — oracle-proven at all three SFs.
       val tri = sig.unionAll(vars)
         .select(col("eid"), explode(expr(
           "filter(split(regexp_replace(s, '[^a-z0-9 ]', ' '), ' '), " +
             "x -> length(x) > 0)")).as("wd"))
         .select(col("eid"), explode(expr(
           "transform(sequence(1, length(wd) + 1), " +
-            "i -> substring(concat('  ', wd, ' '), i, 3))")).as("tg"))
+            "i -> substring(concat('  ', wd, ' '), i, 3))")).as("tgs"))
+        .select(col("eid"),
+          ((ascii(col("tgs")) * lit(128) + ascii(substring(col("tgs"), 2, 1)))
+            * lit(128) + ascii(substring(col("tgs"), 3, 1))).as("tg"))
         .distinct()
         .localCheckpoint(true) // consumers: df, prefix order, arrays
       val tdf = tri.groupBy(col("tg")).agg(count(lit(1)).as("df"))
@@ -11420,9 +11451,10 @@ object CurationQueries {
   private val simRecallCurve = Q(
     (s, dir) => {
       graft.expressions.ScaledDotProduct.registerIn(s)
+      graft.expressions.LshBucket.registerIn(s)
       val e = TS(s, dir, "embeddings")
         .withColumn("nrm", expr("scaled_dot(embedding, embedding)"))
-        .withColumn("bkt", expr(NorthStarQueries.lshBucketExpr))
+        .withColumn("bkt", expr("lsh_bucket(embedding)"))
       val q16 = e.where(col("vec_id") < 16)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
           col("nrm").as("nq"), col("bkt").as("qbkt"))

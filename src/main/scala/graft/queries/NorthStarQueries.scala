@@ -921,7 +921,7 @@ object NorthStarQueries {
     * below) — shared by the bucket histogram and the cosine near-dup
     * blocking join.
     */
-  private[queries] val lshBucketExpr: String = {
+  private[graft] val lshBucketExpr: String = {
     val bit = (j: Int) => {
       val arr = hyperplanes(j).mkString("array(", ", ", ")")
       s"(CASE WHEN aggregate(zip_with(embedding, $arr, (x, h) -> " +
@@ -949,8 +949,9 @@ object NorthStarQueries {
     */
   private val simLshBuckets = Q(
     (s, dir) => {
+      graft.expressions.LshBucket.registerIn(s)
       TS(s, dir, "embeddings")
-        .select(col("vec_id"), expr(lshBucketExpr).as("bucket"))
+        .select(col("vec_id"), expr("lsh_bucket(embedding)").as("bucket"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"))
         .orderBy(col("bucket"))
@@ -968,9 +969,10 @@ object NorthStarQueries {
   private val dedupEmbeddingCosine = Q(
     (s, dir) => {
       graft.expressions.ScaledDotProduct.registerIn(s)
+      graft.expressions.LshBucket.registerIn(s)
       val e = TS(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"),
-                expr(lshBucketExpr).as("bucket"),
+                expr("lsh_bucket(embedding)").as("bucket"),
                 expr("scaled_dot(embedding, embedding)").as("nrm"))
       val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
                        col("bucket"), col("nrm").as("a_nrm"))
@@ -1656,9 +1658,10 @@ object NorthStarQueries {
   private val embedKnnGraph = Q(
     (s, dir) => {
       graft.expressions.ScaledDotProduct.registerIn(s)
+      graft.expressions.LshBucket.registerIn(s)
       val e = TS(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"),
-                expr(lshBucketExpr).as("bucket"),
+                expr("lsh_bucket(embedding)").as("bucket"),
                 expr("scaled_dot(embedding, embedding)").as("nrm"))
       val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
                        col("bucket"), col("nrm").as("a_nrm"))
@@ -4016,9 +4019,10 @@ object NorthStarQueries {
   private val embedPagerank = Q(
     (s, dir) => {
       graft.expressions.ScaledDotProduct.registerIn(s)
+      graft.expressions.LshBucket.registerIn(s)
       val e = TS(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"),
-                expr(lshBucketExpr).as("bucket"),
+                expr("lsh_bucket(embedding)").as("bucket"),
                 expr("scaled_dot(embedding, embedding)").as("nrm"))
       val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
                        col("bucket"), col("nrm").as("a_nrm"))
