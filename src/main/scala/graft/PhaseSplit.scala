@@ -32,7 +32,7 @@ object PhaseSplit {
     val fn = SparkEntry.queryFn(name).getOrElse(
       sys.error(s"unknown query: $name"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = SessionTuning(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -23,7 +23,7 @@ object StageProf {
     val fn = SparkEntry.queryFn(name).getOrElse(
       sys.error(s"unknown query: $name"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = SessionTuning(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -34,10 +34,16 @@ object StageProf {
     Tables.registerWithStats(spark, sfDir)
 
     final case class Agg(var runMs: Long = 0L, var cpuMs: Long = 0L,
-        var tasks: Long = 0L, var name: String = "", var details: String = "")
+        var tasks: Long = 0L, var name: String = "", var details: String = "",
+        var jobId: Int = -1, var outRows: Long = 0L, var readRows: Long = 0L)
     val stages = new ConcurrentHashMap[Int, Agg]()
     var enabled = false
     spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (enabled) js.stageInfos.foreach { si =>
+          stages.computeIfAbsent(si.stageId, _ => Agg()).jobId = js.jobId
+        }
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
         if (enabled && te.taskMetrics != null) {
           val a = stages.computeIfAbsent(te.stageId, _ => Agg())
@@ -45,6 +51,10 @@ object StageProf {
             a.runMs += te.taskMetrics.executorRunTime
             a.cpuMs += te.taskMetrics.executorCpuTime / 1000000L
             a.tasks += 1
+            a.outRows += te.taskMetrics.shuffleWriteMetrics.recordsWritten +
+              te.taskMetrics.outputMetrics.recordsWritten
+            a.readRows += te.taskMetrics.shuffleReadMetrics.recordsRead +
+              te.taskMetrics.inputMetrics.recordsRead
           }
         }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
@@ -52,12 +62,29 @@ object StageProf {
           val a = stages.computeIfAbsent(sc.stageInfo.stageId, _ => Agg())
           a.synchronized {
             a.name = sc.stageInfo.name
-            a.details = sc.stageInfo.details.linesIterator
-              .filterNot(_.contains("StageProf"))
-              .take(4).mkString(" | ")
+            val scopes = sc.stageInfo.rddInfos
+              .flatMap(_.scope.map(_.name)).distinct.mkString(" > ")
+            a.details = (if (scopes.nonEmpty) s"ops[$scopes] | " else "") +
+              sc.stageInfo.details.linesIterator
+                .filterNot(_.contains("StageProf"))
+                .take(2).mkString(" | ")
           }
         }
     })
+
+    // SPARK_GRAFT_FINALPLAN=1: print the post-execution adaptive plan
+    // (isFinalPlan=true) so hot stages map to real runtime operators.
+    if (sys.env.get("SPARK_GRAFT_FINALPLAN").contains("1"))
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit =
+            println(s"[stageprof] executed plan:\n${qe.executedPlan}")
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = ()
+        })
 
     // warm-up (2 passes), then one measured run
     (1 to 2).foreach { _ =>
@@ -73,8 +100,9 @@ object StageProf {
     println(f"[stageprof] $name wall ${wall}%.3f s")
     import scala.jdk.CollectionConverters._
     stages.asScala.toSeq.sortBy(-_._2.runMs).foreach { case (id, a) =>
-      println(f"[stageprof] stage $id%5d run ${a.runMs}%7d ms cpu " +
-        f"${a.cpuMs}%7d ms tasks ${a.tasks}%4d  ${a.name}")
+      println(f"[stageprof] stage $id%5d job ${a.jobId}%3d run ${a.runMs}%7d ms cpu " +
+        f"${a.cpuMs}%7d ms tasks ${a.tasks}%4d rowsIn ${a.readRows}%9d " +
+        f"rowsOut ${a.outRows}%9d  ${a.name}")
       if (a.details.nonEmpty) println(s"[stageprof]            ${a.details}")
     }
     spark.stop()

@@ -10869,6 +10869,7 @@ object CurationQueries {
     */
   private val textTrigramMatch = Q(
     (s, dir) => {
+      graft.expressions.SortedOverlap.registerIn(s)
       // r22 (guide §2.3 — narrower types): trigrams carry through every
       // exchange, group-by, sorted array and intersection as an INT code
       // ((ascii(c1)*128 + ascii(c2))*128 + ascii(c3) — injective on any
@@ -10922,10 +10923,13 @@ object CurationQueries {
           count(lit(1)).as("pn"))
       val wR = Window.partitionBy(col("qid"))
         .orderBy(col("sim_e6").desc, col("sid"))
+      // r22: sorted_overlap = fused merge-scan intersection count over
+      // the sort_array'd distinct trigram-code arrays — codegen'd, no
+      // per-evaluation hash set (the filter lands in the join condition,
+      // so Catalyst evaluates the intersection 3x per candidate).
       cand.join(broadcast(pts), Seq("qid"))
         .join(ts, Seq("sid"))
-        .withColumn("sh", size(array_intersect(col("ptgs"), col("tgs")))
-          .cast("long"))
+        .withColumn("sh", expr("sorted_overlap(ptgs, tgs)").cast("long"))
         .withColumn("sim_e6", expr("sh * 1000000 div (pn + tn - sh)"))
         .where(col("sim_e6") >= 450000)
         .withColumn("rnk", row_number().over(wR).cast("long"))
@@ -11044,6 +11048,7 @@ object CurationQueries {
     */
   private val textTrigramJoin = Q(
     (s, dir) => {
+      graft.expressions.SortedOverlap.registerIn(s)
       val docs = TS(s, dir, "documents")
       val sig = docs
         .select(lower(substring(col("text"), 1, 40)).as("s"), col("doc_id"))
@@ -11078,6 +11083,14 @@ object CurationQueries {
           .orderBy(col("df"), col("tg"))))
         .where(col("p") <= col("n") - expr("(8 * n + 9) div 10") + 1)
         .select(col("eid"), col("tg"), col("n"), col("p"))
+        // r22 (guide §2.5/§2.6): the checkpointed prefix table drives
+        // the candidate self-join's stream-side parallelism; AQE had
+        // coalesced it below the core count (the pair explosion's CPU
+        // is invisible to byte-based coalescing), leaving half the
+        // cores idle through the heaviest stage. Round-robin to the
+        // session's parallelism BEFORE the one-time materialization —
+        // scale-adaptive, no per-run cost.
+        .repartition(s.sparkContext.defaultParallelism)
         .localCheckpoint(true) // both sides of the candidate self-join
       val a = pfx.select(col("eid").as("ea"), col("tg"),
         col("n").as("na"), col("p").as("pa"))
@@ -11098,8 +11111,7 @@ object CurationQueries {
           col("tn").as("na")), Seq("ea"))
         .join(ts.select(col("eid").as("eb"), col("tgs").as("tb"),
           col("tn").as("nb")), Seq("eb"))
-        .withColumn("sh", size(array_intersect(col("ta"), col("tb")))
-          .cast("long"))
+        .withColumn("sh", expr("sorted_overlap(ta, tb)").cast("long"))
         .withColumn("sim_e6", expr("sh * 1000000 div (na + nb - sh)"))
         .where(col("sim_e6") >= 800000)
         .select(col("ea"), col("eb"), col("na").cast("long").as("na"),
