@@ -14,6 +14,10 @@ object Explain {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // same native-expression registry as the Bench/Verify sessions,
+      // so captured plans match what the bench executes (r22: the
+      // gram_hash sites have no per-query registerIn fallback)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.expressions.{KMinValues, LshBucket, ScaledDotProduct, SortedOverlap, SquaredL2}
+import graft.expressions.{GramHash, KMinValues, LshBucket, ScaledDotProduct, SortedOverlap, SquaredL2}
 
 /** SparkSessionExtensions entry point (SURVEY.md §7.3): registers the
   * engine's native expressions into any session built with
@@ -27,5 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("lsh_bucket"), LshBucket.info, LshBucket.builder))
     ext.injectFunction(
       (FunctionIdentifier("sorted_overlap"), SortedOverlap.info, SortedOverlap.builder))
+    ext.injectFunction(
+      (FunctionIdentifier("gram_hash"), GramHash.info, GramHash.builder))
   }
 }

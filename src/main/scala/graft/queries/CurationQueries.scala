@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.expressions.GramHash
+
 import Q.{T, TS, scratchDir, scratchDelete}
 
 /** SURVEY.md §2C, round-10 additions — corpus-curation operators a
@@ -14087,24 +14089,46 @@ object CurationQueries {
     * and the source-flow rollup.
     */
   private def exactSubstrSpans(s: SparkSession, dir: String): DataFrame = {
+    GramHash.registerIn(s)
     val L = XS_L
     val g = TS(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .where(size(col("w")) >= L)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, size(w) - ${L - 1}), " +
-          s"i -> md5(array_join(slice(w, i, $L), ' ')))"))
-        .as(Seq("pos0", "gk")))
-      // two consumers (stats + sites): materialize so the scan +
-      // tokenize + gram hash run ONCE — column pruning can specialize
-      // "identical" subtrees apart and defeat exchange reuse (the r15
-      // bm25 root-cause; r16 PhaseSplit showed this frame double-scanned)
-      .localCheckpoint(true)
-    val stats = g.groupBy(col("gk"))
-      .agg(count(lit(1)).as("c"),
-        min(col("doc_id") * lit(4294967296L) + col("pos0")).as("fk"))
+      // r22 (guide §2.3/§4): gram identity is INTERNAL (grouped, joined,
+      // then dropped — no output column carries it), so the md5-hex
+      // STRING key (per gram: L-token array_join + md5 + 32-char hex,
+      // then string sort/hash keys through every exchange) becomes a
+      // 128-bit pair of xxhash64 longs over the token slice itself —
+      // no string building, and the slices are hashed in whole-stage
+      // codegen AFTER the explode (the HOF lambda only slices).
+      // Distinct seeds (the 7L prefix re-seeds the chain) make the two
+      // 64-bit hashes independent; the oracle twin keeps md5 — outputs
+      // agree unless BOTH hashes collide on real data, same negligible
+      // class as md5 itself (proven bit-identical at all 3 SFs).
+      // explode bare POSITIONS (ints), then hash the L-element window
+      // in place via the native gram_hash (== xxhash64(slice(...)) bit
+      // for bit) in whole-stage codegen — the HOF lambda form evaluated
+      // slice/hash interpreted, one lambda frame per gram, and even the
+      // codegen'd slice boxed every element on the copy (~20 us/gram
+      // measured; the hash itself is nanoseconds)
+      .select(col("doc_id"), col("w"),
+        explode(expr(s"sequence(0, size(w) - $L)")).as("pos0"))
+      .select(col("doc_id"), col("pos0"),
+        expr(s"gram_hash(w, pos0, $L, ${GramHash.DefaultSeed}L)").as("g1"),
+        expr(s"gram_hash(w, pos0, $L, ${GramHash.AltSeed}L)").as("g2"))
+    // r22 (guide §2.4 — remove shuffles outright): every gram row needs
+    // its own group's (count, min fk), so the groupBy + join-back pair
+    // (two gram-scale exchanges + an SMJ + a checkpoint to stop the
+    // double-scan) collapses into entire-frame window aggregates over
+    // ONE gram-keyed exchange. No orderBy on the window: the whole
+    // group is the frame, computed once per group. With a single
+    // consumer the r15/r16 double-scan checkpoint is obsolete too.
+    val wG = Window.partitionBy(col("g1"), col("g2"))
+    val sites = g
+      .withColumn("c", count(lit(1)).over(wG))
+      .withColumn("fk", min(col("doc_id") * lit(4294967296L) + col("pos0"))
+        .over(wG))
       .where(col("c") >= 2)
-    val sites = g.join(stats, Seq("gk"))
       .select(col("doc_id"), col("pos0"), col("fk"))
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos0"))
     sites
@@ -14257,21 +14281,26 @@ object CurationQueries {
     * store byte-identical, and a replayed probe returns an identical
     * frame.
     */
-  /** L-gram stream of a documents frame — (doc_id, pos0, gk). */
+  /** L-gram stream of a documents frame — (doc_id, pos0, g1, g2); the
+    * gram identity is the r22 two-seed xxhash64 pair over the token
+    * slice (see [[exactSubstrSpans]] — internal key, never output).
+    */
   private[graft] def substrGrams(df: DataFrame, L: Int): DataFrame = df
     .select(col("doc_id"), split(col("text"), " ").as("w"))
     .where(size(col("w")) >= L)
-    .select(col("doc_id"), posexplode(expr(
-      s"transform(sequence(1, size(w) - ${L - 1}), " +
-        s"i -> md5(array_join(slice(w, i, $L), ' ')))"))
-      .as(Seq("pos0", "gk")))
+    .select(col("doc_id"), col("w"),
+      explode(expr(s"sequence(0, size(w) - $L)")).as("pos0"))
+    .select(col("doc_id"), col("pos0"),
+      expr(s"gram_hash(w, pos0, $L, ${GramHash.DefaultSeed}L)").as("g1"),
+      expr(s"gram_hash(w, pos0, $L, ${GramHash.AltSeed}L)").as("g2"))
 
-  /** Gram-stats rows for the persisted store — (gk, c, fk); mergeable
-    * (counts sum, keep-first keys min), so cohort appends compose.
+  /** Gram-stats rows for the persisted store — (g1, g2, c, fk);
+    * mergeable (counts sum, keep-first keys min), so cohort appends
+    * compose.
     */
   private[graft] def substrGramStats(df: DataFrame, L: Int): DataFrame =
     substrGrams(df, L)
-      .groupBy(col("gk"))
+      .groupBy(col("g1"), col("g2"))
       .agg(count(lit(1)).as("c"),
         min(col("doc_id") * lit(4294967296L) + col("pos0")).as("fk"))
 
@@ -14284,18 +14313,18 @@ object CurationQueries {
       L: Int): DataFrame = {
     val ag = substrGrams(arrivals, L)
       .localCheckpoint(true) // two consumers: arrival stats + sites
-    val storeAgg = store.groupBy(col("gk"))
+    val storeAgg = store.groupBy(col("g1"), col("g2"))
       .agg(sum(col("c")).as("base_c"), min(col("fk")).as("base_fk"))
-    val merged = ag.groupBy(col("gk"))
+    val merged = ag.groupBy(col("g1"), col("g2"))
       .agg(count(lit(1)).as("arr_c"),
         min(col("doc_id") * lit(4294967296L) + col("pos0")).as("arr_fk"))
-      .join(storeAgg, Seq("gk"), "left_outer")
+      .join(storeAgg, Seq("g1", "g2"), "left_outer")
       .na.fill(0L, Seq("base_c"))
       .where(col("arr_c") + col("base_c") >= 2)
-      .select(col("gk"),
+      .select(col("g1"), col("g2"),
         when(col("base_fk").isNull, col("arr_fk"))
           .otherwise(least(col("arr_fk"), col("base_fk"))).as("fk"))
-    val sites = ag.join(merged, Seq("gk"))
+    val sites = ag.join(merged, Seq("g1", "g2"))
       .select(col("doc_id"), col("pos0"), col("fk"))
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos0"))
     sites
@@ -14322,6 +14351,7 @@ object CurationQueries {
 
   private val dedupSubstrIncr = Q(
     (s, dir) => {
+      GramHash.registerIn(s)
       val L = XS_L
       val docs = TS(s, dir, "documents")
       val base = scratchDir("substrstore")
@@ -14383,6 +14413,7 @@ object CurationQueries {
     */
   private def bpeSpanQ(L: Int) = Q(
     (s, dir) => {
+      GramHash.registerIn(s)
       val m = bpeRulePivot(s, dir)
       val words = TS(s, dir, "documents")
         .select(col("doc_id"), posexplode(split(col("text"), " "))
@@ -14420,18 +14451,30 @@ object CurationQueries {
         .agg(expr(
           "transform(sort_array(collect_list(struct(wpos, tpos, id))), x -> x.id)")
           .as("ids"))
+      // r22 (guide §2.3/§4/§2.5): gram identity is internal — the md5
+      // over a '-'-joined string of L id casts (per gram: 50 casts, a
+      // ~150-char concat, md5, 32-char hex) becomes the two-seed
+      // xxhash64 pair over the raw id slice (see exactSubstrSpans;
+      // hashed in codegen after the explode). The ids aggregate is also
+      // round-robined to the session parallelism first: AQE's
+      // byte-based coalescing had shrunk the 5000-doc frame to ~10
+      // partitions, running the whole gram explode+hash on a third of
+      // the cores (the trigram prefix-table fix, same mechanism).
       val g = ids.where(size(col("ids")) >= L)
-        .select(col("doc_id"), posexplode(expr(
-          s"transform(sequence(1, size(ids) - ${L - 1}), i -> " +
-            s"md5(array_join(transform(slice(ids, i, $L), " +
-            "x -> cast(x as string)), '-')))"))
-          .as(Seq("pos0", "gk")))
-        .localCheckpoint(true) // stats + sites: one tokenize+hash pass
-      val stats = g.groupBy(col("gk"))
-        .agg(count(lit(1)).as("c"),
-          min(col("doc_id") * lit(4294967296L) + col("pos0")).as("fk"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("ids"),
+          explode(expr(s"sequence(0, size(ids) - $L)")).as("pos0"))
+        .select(col("doc_id"), col("pos0"),
+          expr(s"gram_hash(ids, pos0, $L, ${GramHash.DefaultSeed}L)").as("g1"),
+          expr(s"gram_hash(ids, pos0, $L, ${GramHash.AltSeed}L)").as("g2"))
+      // entire-frame window stats over one gram-keyed exchange replace
+      // the groupBy + SMJ join-back + checkpoint (see exactSubstrSpans)
+      val wG = Window.partitionBy(col("g1"), col("g2"))
+      val sites = g
+        .withColumn("c", count(lit(1)).over(wG))
+        .withColumn("fk", min(col("doc_id") * lit(4294967296L) + col("pos0"))
+          .over(wG))
         .where(col("c") >= 2)
-      val sites = g.join(stats, Seq("gk"))
         .select(col("doc_id"), col("pos0"), col("fk"))
       val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos0"))
       sites
