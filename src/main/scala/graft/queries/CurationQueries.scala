@@ -7430,28 +7430,25 @@ object CurationQueries {
           "transform(sequence(1, greatest(size(toks) - 7, 1)), " +
             "i -> concat_ws(' ', slice(toks, i, 8)))")).as("gram"))
         .distinct()
-        .localCheckpoint(true)
-      // r21 (guide §2.3 — join fewer rows): only SHARED grams (df >= 2)
-      // need to re-join to their docs — a unique gram contributes 0 to
-      // n_shared/n_shared3 and its df=1 never wins max_df (every doc
-      // has >= 1 gram, so the old max over all grams is >= 1 and equals
-      // the shared max whenever one exists). Per-doc totals come from a
-      // separate count of the checkpointed distinct set. At production
-      // gram-df distributions (mostly unique) the join-back shrinks
-      // from the full gram stream to the shared tail; values identical.
-      val df8 = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-        .where(col("df") >= 2)
-      val shared = grams.join(df8, Seq("gram"))
+      // r22 (guide §2.4, VERDICT item 7 — replaces the r21 df>=2
+      // join-back whose all-duplicated 10x tier regressed 1.16x):
+      // every (doc, gram) row needs its own gram's df, so the df
+      // aggregate + gram-keyed join-back + separate per-doc totals pass
+      // collapse into ONE entire-frame window count riding a gram-keyed
+      // exchange, followed by the single doc rollup. max(df) over ALL
+      // of a doc's grams is the r20 semantics verbatim (>= 1 always);
+      // n_grams rides the same rollup. No assumption about the df
+      // distribution — wins at both the mostly-unique and the
+      // all-duplicated extremes. Single consumer, so the r21
+      // checkpoint is obsolete.
+      val wDf = Window.partitionBy(col("gram"))
+      grams
+        .withColumn("df", count(lit(1)).over(wDf))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_shared_j"),
-          sum(when(col("df") >= 3, 1L).otherwise(0L)).as("n_shared3_j"),
-          max(col("df")).as("max_df_j"))
-      grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-        .join(shared, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_grams"),
-          coalesce(col("n_shared_j"), lit(0L)).as("n_shared"),
-          coalesce(col("n_shared3_j"), lit(0L)).as("n_shared3"),
-          coalesce(col("max_df_j"), lit(1L)).as("max_df"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"),
+          sum(when(col("df") >= 3, 1L).otherwise(0L)).as("n_shared3"),
+          max(col("df")).as("max_df"))
         .withColumn("exposure_e6", expr("(n_shared * 1000000) div n_grams"))
         .orderBy(col("exposure_e6").desc, col("doc_id"))
         .limit(40)
