@@ -14308,21 +14308,29 @@ object CurationQueries {
     */
   private[graft] def substrIncrProbe(arrivals: DataFrame, store: DataFrame,
       L: Int): DataFrame = {
-    val ag = substrGrams(arrivals, L)
-      .localCheckpoint(true) // two consumers: arrival stats + sites
+    // r22 (guide §2.4, the wave-3 window fold): every arrival gram row
+    // needs its own gram's ARRIVAL stats (count, min key), so they ride
+    // the one gram-keyed exchange as entire-frame window aggregates and
+    // each row joins the store directly — the arrival self-aggregate,
+    // its join-back, and the two-consumer checkpoint are gone. The
+    // store join itself stays (a different table, the GIN-index probe
+    // shape); the window's gram-keyed sort feeds the SMJ's ordering
+    // requirement, so no extra exchange appears. Row-level values are
+    // the r17 semantics verbatim: total = arr_c + base_c, keep-first =
+    // least(arr_fk, base_fk) with the store side absent -> arrival key.
     val storeAgg = store.groupBy(col("g1"), col("g2"))
       .agg(sum(col("c")).as("base_c"), min(col("fk")).as("base_fk"))
-    val merged = ag.groupBy(col("g1"), col("g2"))
-      .agg(count(lit(1)).as("arr_c"),
-        min(col("doc_id") * lit(4294967296L) + col("pos0")).as("arr_fk"))
+    val wG = Window.partitionBy(col("g1"), col("g2"))
+    val sites = substrGrams(arrivals, L)
+      .withColumn("arr_c", count(lit(1)).over(wG))
+      .withColumn("arr_fk", min(col("doc_id") * lit(4294967296L)
+        + col("pos0")).over(wG))
       .join(storeAgg, Seq("g1", "g2"), "left_outer")
       .na.fill(0L, Seq("base_c"))
       .where(col("arr_c") + col("base_c") >= 2)
-      .select(col("g1"), col("g2"),
+      .select(col("doc_id"), col("pos0"),
         when(col("base_fk").isNull, col("arr_fk"))
           .otherwise(least(col("arr_fk"), col("base_fk"))).as("fk"))
-    val sites = ag.join(merged, Seq("g1", "g2"))
-      .select(col("doc_id"), col("pos0"), col("fk"))
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos0"))
     sites
       .withColumn("prev_end", max(col("pos0") + lit(L - 1))
